@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the settings the Graft engine relies on.
+  *
+  * Design note (100 TB): everything here is declarative DataFrame planning —
+  * AQE handles runtime re-partitioning / join-strategy switching / skew
+  * splitting, so the same plans scale from `local[32]` to a 1000-executor
+  * cluster without code changes.
+  */
+object GraftSession {
+
+  /** Apply the session-level SQL confs Graft needs to an existing session.
+    * Safe to call repeatedly; all of these are runtime-settable.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong`: the `events` testdata carries a
+    * parquet TIMESTAMP(NANOS) column, which Spark has no native type for —
+    * we read it as a raw epoch-nanos long and normalize in [[Tables.events]].
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def build(
+      master: String = "local[32]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

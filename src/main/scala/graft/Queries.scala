@@ -1,0 +1,313 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** The engine's declared query inventory (SURVEY.md §2.12 Q1-Q20): every
+  * reference capability restated as a batch query over the driver testdata,
+  * each paired with ANSI SQL the DuckDB oracle can run on the same parquet.
+  *
+  * Conventions that make the oracle hash-compare work:
+  *  - every computed column is aliased identically on both sides;
+  *  - event time is epoch-micros longs on both sides (`ts div 1000` here,
+  *    `epoch_us(ts)` in DuckDB — DuckDB also truncates the parquet
+  *    TIMESTAMP(NANOS) to micros, so the values agree exactly);
+  *  - doubles that go through different summation orders are rounded.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** One declared query: Spark definition + optional DuckDB oracle SQL.
+    * `oracle == None` → the driver records a weaker rows-only check
+    * (used only for ops whose hashing has no SQL equivalent). */
+  final case class Entry(name: String, run: QueryFn, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** 1 hour / 10 days / 10 minutes in epoch-micros. */
+  private val HourUs = 3600000000L
+  private val TenDaysUs = 864000000000L
+  private val TenMinUs = 600000000L
+
+  // ---------------------------------------------------------------- core
+
+  val core: Seq[Entry] = Seq(
+    // Q1 — scan + projection (reference S1/P1/P3). Column pruning reaches the
+    // parquet scan: ReadSchema lists exactly these four columns.
+    Entry(
+      "q01_project",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+              FROM lineitem""")),
+
+    // Q2 — predicate stack (P6 contains, P13 timestamp compare, F4 equality);
+    // all three push down to the parquet scan.
+    Entry(
+      "q02_filter",
+      (s, d) =>
+        t(s, d, "orders").filter(
+          col("o_orderstatus") === "O" &&
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+            col("o_orderpriority").contains("URGENT")),
+      Some("""SELECT * FROM orders
+              WHERE o_orderstatus = 'O'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderpriority LIKE '%URGENT%'""")),
+
+    // Q3 — left equi-join enrichment (J1): broadcast hash join, no shuffle of
+    // the fact side.
+    Entry(
+      "q03_enrich",
+      (s, d) =>
+        Enrichment.leftEnrich(
+          t(s, d, "orders"), t(s, d, "customer"),
+          "o_custkey", "c_custkey", Seq("c_name", "c_mktsegment")),
+      Some("""SELECT o.*, c.c_name AS c_name, c.c_mktsegment AS c_mktsegment
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""")),
+
+    // Q4 — two-hop snowflake chain (J1 twice).
+    Entry(
+      "q04_dim_chain",
+      (s, d) =>
+        Enrichment.dimChain(
+          t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          Seq(
+            (t(s, d, "nation"), "c_nationkey", "n_nationkey", Seq("n_name", "n_regionkey")),
+            (t(s, d, "region"), "n_regionkey", "r_regionkey", Seq("r_name"))))
+          .select("c_custkey", "n_name", "r_name"),
+      Some("""SELECT c.c_custkey, n.n_name AS n_name, r.r_name AS r_name
+              FROM customer c
+              LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+              LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""")),
+
+    // Q5 — interval-overlap join + clamp (J2/J3/P10): events as [ts, ts+1h)
+    // sessions self-joined per user. Uses the range-bucketed equi-join form —
+    // the plan that survives 100 TB (shuffle on (user, bucket), no BNLJ).
+    Entry(
+      "q05_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val e1 = ev.select(
+          col("user_id"), col("event_id").as("e1_id"),
+          col("ts").as("t1_start"), (col("ts") + HourUs).as("t1_end"))
+        val e2 = ev.select(
+          col("user_id").as("u2"), col("event_id").as("e2_id"),
+          col("ts").as("t2_start"), (col("ts") + HourUs).as("t2_end"))
+        val joined = IntervalJoin.overlapJoinBucketed(
+          e1, e2.withColumnRenamed("u2", "user_id"), Seq("user_id"),
+          "t1_start", "t1_end", "t2_start", "t2_end", HourUs)
+          .filter(col("e1_id") < col("e2_id"))
+        IntervalJoin.clamped(joined, "t1_start", "t1_end", "t2_start", "t2_end")
+          .select("user_id", "e1_id", "e2_id", "fact_start", "fact_end")
+      },
+      Some("""SELECT e1.user_id AS user_id, e1.event_id AS e1_id,
+                     e2.event_id AS e2_id,
+                     GREATEST(epoch_us(e1.ts), epoch_us(e2.ts)) AS fact_start,
+                     LEAST(epoch_us(e1.ts) + 3600000000,
+                           epoch_us(e2.ts) + 3600000000) AS fact_end
+              FROM events e1 JOIN events e2
+                ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+               AND epoch_us(e1.ts) < epoch_us(e2.ts) + 3600000000
+               AND epoch_us(e1.ts) + 3600000000 > epoch_us(e2.ts)""")),
+
+    // Q6 — OEE-analog metric (P7/P8/P9): per-part average as the "planned"
+    // denominator, conditional zeroing, product metric. The per-part aggregate
+    // is tiny relative to lineitem → broadcast back.
+    Entry(
+      "q06_oee",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val avgQty = li.groupBy("l_partkey")
+          .agg(avg("l_quantity").as("avg_qty"))
+        val perf = (lit(1.0) - col("l_discount")) *
+          (col("l_quantity") / expr("nullif(avg_qty, 0)"))
+        val avail = when(col("l_linestatus") === "F", 1.0).otherwise(0.0)
+        val qual = when(col("l_returnflag") === "R", 0.0).otherwise(1.0)
+        li.join(broadcast(avgQty), Seq("l_partkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(perf, 6).as("perf"), avail.as("avail"), qual.as("qual"),
+            round(perf * avail * qual, 6).as("oee"))
+      },
+      Some("""WITH a AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+                         FROM lineitem GROUP BY l_partkey)
+              SELECT l.l_orderkey AS l_orderkey, l.l_linenumber AS l_linenumber,
+                     ROUND((1 - l.l_discount) * (l.l_quantity / NULLIF(a.avg_qty, 0)), 6) AS perf,
+                     CASE WHEN l.l_linestatus = 'F' THEN 1.0 ELSE 0.0 END AS avail,
+                     CASE WHEN l.l_returnflag = 'R' THEN 0.0 ELSE 1.0 END AS qual,
+                     ROUND((1 - l.l_discount) * (l.l_quantity / NULLIF(a.avg_qty, 0))
+                           * (CASE WHEN l.l_linestatus = 'F' THEN 1.0 ELSE 0.0 END)
+                           * (CASE WHEN l.l_returnflag = 'R' THEN 0.0 ELSE 1.0 END), 6) AS oee
+              FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey""")),
+
+    // Q7 — last-value-per-key compaction (A1): single hash agg with map-side
+    // combine; shuffle size = #users, not #events.
+    Entry(
+      "q07_latest_by_key",
+      (s, d) =>
+        Compaction
+          .latestByKey(
+            Tables.events(s, d).select("user_id", "event_id", "ts"),
+            Seq("user_id"), "ts")
+          .select(
+            col("user_id"), col("event_id").as("last_event_id"),
+            col("ts").as("last_ts")),
+      Some("""SELECT user_id, arg_max(event_id, ts) AS last_event_id,
+                     epoch_us(MAX(ts)) AS last_ts
+              FROM events GROUP BY user_id""")),
+
+    // Q8 — running max per key (A2).
+    Entry(
+      "q08_running_max",
+      (s, d) =>
+        Tables.events(s, d).groupBy("user_id")
+          .agg(max("ts").as("max_ts")),
+      Some("""SELECT user_id, epoch_us(MAX(ts)) AS max_ts
+              FROM events GROUP BY user_id""")),
+
+    // Q9 — dynamic semi-join pruning (J4/F1, the "on-demand" idea): only
+    // parts observed in recent shipments survive.
+    Entry(
+      "q09_semi_join",
+      (s, d) =>
+        OnDemand.semiFilter(
+          t(s, d, "part"),
+          t(s, d, "lineitem")
+            .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz")),
+          "p_partkey", "l_partkey"),
+      Some("""SELECT p.* FROM part p
+              WHERE EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_partkey = p.p_partkey
+                              AND l.l_shipdate > TIMESTAMP '1996-01-01')""")),
+
+    // Q10 — anti-join eviction (J5/K5).
+    Entry(
+      "q10_anti_join",
+      (s, d) =>
+        OnDemand.antiFilter(
+          t(s, d, "customer").select("c_custkey"),
+          t(s, d, "orders"), "c_custkey", "o_custkey"),
+      Some("""SELECT c.c_custkey FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)""")),
+
+    // Q11 — retention horizon (F2): keep events within 10 days of the max.
+    Entry(
+      "q11_retention",
+      (s, d) =>
+        OnDemand.retainWithin(Tables.events(s, d), "ts", TenDaysUs),
+      Some("""SELECT event_id, epoch_us(ts) AS ts, user_id, event_type,
+                     value, props
+              FROM events
+              WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 10 DAY""")),
+
+    // Q12 — CDC upsert semantics (K3/A3): newest write per (user, type) wins.
+    Entry(
+      "q12_cdc_upsert",
+      (s, d) =>
+        Compaction
+          .latestByKey(
+            Tables.events(s, d).select("user_id", "event_type", "value", "ts"),
+            Seq("user_id", "event_type"), "ts"),
+      Some("""SELECT user_id, event_type, arg_max(value, ts) AS value,
+                     epoch_us(MAX(ts)) AS ts
+              FROM events GROUP BY user_id, event_type""")),
+
+    // Q13 — JSON field extraction (P2).
+    Entry(
+      "q13_json",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_id"), get_json_object(col("props"), "$.k").as("k")),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k
+              FROM events""")),
+
+    // Q14 — epoch cast round-trip + formatting (P4/P5).
+    Entry(
+      "q14_epoch_format",
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          expr("ts div 1000").as("ts_ms"),
+          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH:mm:ss.SSS")
+            .as("ts_str")),
+      Some("""SELECT event_id, epoch_us(ts) // 1000 AS ts_ms,
+                     strftime(make_timestamp(epoch_us(ts)),
+                              '%Y-%m-%d %H:%M:%S.%g') AS ts_str
+              FROM events""")),
+
+    // Q15 — NaN normalization + ordered fold (P11/P12/A4): the reference's
+    // unordered mkString made deterministic by ordering on event_id.
+    Entry(
+      "q15_nan_fold",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val noisy = when(col("value") < 50, lit(Double.NaN))
+          .otherwise(col("value"))
+        val clean = Oee.nanToZero(noisy)
+        ev.select(
+            col("user_id"), col("event_id"),
+            format_string("%.3f", clean).as("s"),
+            when(isnan(noisy), 1).otherwise(0).as("is_nan"))
+          .groupBy("user_id")
+          .agg(
+            concat_ws(
+              ",",
+              transform(
+                array_sort(collect_list(struct(col("event_id"), col("s")))),
+                x => x.getField("s"))).as("folded"),
+            count(when(col("is_nan") === 1, 1)).as("n_nan"))
+      },
+      Some("""SELECT user_id,
+                     string_agg(printf('%.3f', CASE WHEN value < 50 THEN 0.0
+                                                    ELSE value END),
+                                ',' ORDER BY event_id) AS folded,
+                     COUNT(*) FILTER (WHERE value < 50) AS n_nan
+              FROM events GROUP BY user_id""")),
+
+    // Q16 — general grouped aggregation (generalizes A4; TPC-H Q1 shape).
+    Entry(
+      "q16_group_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     ROUND(SUM(l_quantity), 4) AS sum_qty,
+                     ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // Q17 — tumbling-window aggregation (T1/T2 batch equivalent): 10-minute
+    // buckets per user.
+    Entry(
+      "q17_window_agg",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            col("user_id"),
+            expr(s"ts div $TenMinUs").as("bucket"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")),
+      Some(s"""SELECT user_id, epoch_us(ts) // $TenMinUs AS bucket,
+                      COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+               FROM events GROUP BY 1, 2"""))
+  )
+
+  def all: Seq[Entry] = core ++ QueriesExt.all
+
+  def byName: Map[String, QueryFn] =
+    all.map(e => e.name -> e.run).toMap
+
+  def oracles: Map[String, String] =
+    all.flatMap(e => e.oracle.map(o => e.name -> o.linesIterator
+      .map(_.trim).filter(_.nonEmpty).mkString(" "))).toMap
+}

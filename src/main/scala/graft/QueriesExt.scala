@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Entry
+import graft.operators._
+
+/** North-star extension queries (SURVEY.md §2.12 Q18-Q20 + the LLM-pipeline
+  * operators): dedup, similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle notes: queries whose semantics depend on xxhash64 (MinHash, SimHash,
+  * LSH, winnowing) have no SQL-expressible DuckDB equivalent → no oracle
+  * (driver records a rows-only check). Everything else is mirrored exactly.
+  */
+object QueriesExt {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  val all: Seq[Entry] = Seq(
+    // Q18 — dedup by normalized-text hash (md5 on both sides).
+    Entry(
+      "q18_dedup_norm",
+      (s, d) => Dedup.byNormalizedText(docs(s, d), "doc_id", "text"),
+      Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+                     COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+              FROM documents
+              GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""")),
+
+    // Q19 — similarity baseline: exact top-5 cosine neighbors of vec_id=0.
+    Entry(
+      "q19_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(embs(s, d), "vec_id", "embedding", 0L, 5),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                         FROM embeddings WHERE vec_id = 0),
+                   sims AS (SELECT e.vec_id AS vec_id,
+                                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS raw_sim
+                            FROM embeddings e, q WHERE e.vec_id <> 0),
+                   top AS (SELECT vec_id, raw_sim FROM sims
+                           ORDER BY raw_sim DESC, vec_id LIMIT 5)
+              SELECT vec_id, ROUND(raw_sim, 6) AS sim FROM top""")),
+
+    // Q20 — token counting + language filter over documents.
+    Entry(
+      "q20_tokens",
+      (s, d) =>
+        docs(s, d).filter(col("lang") === "en")
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      Some("""SELECT doc_id, lang, n_chars,
+                     len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+              FROM documents WHERE lang = 'en'""")),
+
+    // D1 — exact full-row dedup.
+    Entry(
+      "d01_exact_dedup",
+      (s, d) => Dedup.exact(docs(s, d)),
+      Some("SELECT DISTINCT * FROM documents")),
+
+    // D2 — MinHash+LSH near-dup pairs (xxhash64-based; no SQL oracle).
+    Entry(
+      "d02_minhash_lsh",
+      (s, d) => Dedup.minHashLshPairs(docs(s, d), "doc_id", "text", threshold = 0.5),
+      None),
+
+    // D3 — SimHash near-dup pairs (xxhash64-based; no SQL oracle).
+    Entry(
+      "d03_simhash",
+      (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 8),
+      None),
+
+    // D4 — blocked word-set Jaccard pairs; blocking on (lang, n_chars/100).
+    Entry(
+      "d04_ngram_jaccard",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(
+          docs(s, d), "doc_id", "text",
+          Seq(col("lang"), expr("n_chars div 100")), threshold = 0.8),
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars // 100 AS blk,
+                                list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+                         FROM documents)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jacc
+              FROM t a JOIN t b
+                ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""")),
+
+    // D5 — embedding-cosine near-dup pairs, blocked on label (coarse cell).
+    Entry(
+      "d05_embed_neardup",
+      (s, d) =>
+        Dedup.embeddingNearDupPairs(
+          embs(s, d), "vec_id", "embedding", "label", threshold = 0.3),
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS sim
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.3""")),
+
+    // S1 — IVF-style ANN (label cells, probe top-2 centroids; no SQL oracle —
+    // centroid codebook has no clean DuckDB equivalent).
+    Entry(
+      "s01_ann_ivf",
+      (s, d) =>
+        Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", "label", 0L, 5, nProbe = 2),
+      None),
+
+    // S2 — sign-LSH ANN (xxhash64-derived hyperplanes; no SQL oracle).
+    Entry(
+      "s02_ann_lsh",
+      (s, d) =>
+        Similarity.lshTopK(embs(s, d), "vec_id", "embedding", 0L, 5, nPlanes = 8),
+      None),
+
+    // T1 — language-ID heuristic (stopword density).
+    Entry(
+      "t01_langid",
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio")),
+      Some("""SELECT doc_id,
+                     CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                    x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                               / len(string_split_regex(trim(lower(text)), '\s+')) >= 0.1
+                          THEN 'en' ELSE 'unk' END AS pred_lang,
+                     ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                    x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                           / len(string_split_regex(trim(lower(text)), '\s+')), 6) AS stop_ratio
+              FROM documents""")),
+
+    // T2 — quality scoring (length/punct/stopword ratios + linear score).
+    Entry(
+      "t02_quality",
+      (s, d) =>
+        TextAnalysis.withQuality(docs(s, d), "text")
+          .select(
+            "doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+            "stopword_ratio", "quality_score", "keep"),
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS avg_token_len,
+                       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                         / length(text) AS punct_ratio,
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS stopword_ratio
+                FROM documents)
+              SELECT doc_id, n_tokens, ROUND(avg_token_len, 6) AS avg_token_len,
+                     ROUND(punct_ratio, 6) AS punct_ratio,
+                     ROUND(stopword_ratio, 6) AS stopword_ratio,
+                     ROUND(LEAST(1.0, GREATEST(0.0,
+                       0.2 + 0.05 * avg_token_len + 0.5 * stopword_ratio - 2.0 * punct_ratio)), 6) AS quality_score,
+                     LEAST(1.0, GREATEST(0.0,
+                       0.2 + 0.05 * avg_token_len + 0.5 * stopword_ratio - 2.0 * punct_ratio)) >= 0.5 AS keep
+              FROM m""")),
+
+    // T3 — whitespace + BPE-ish regex token counts.
+    Entry(
+      "t03_tokens_bpe",
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount("text").as("n_bpe_tokens")),
+      Some("""SELECT doc_id,
+                     len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+              FROM documents""")),
+
+    // T4 — winnowing fingerprint (xxhash64-based; no SQL oracle).
+    Entry(
+      "t04_fingerprint",
+      (s, d) =>
+        TextAnalysis.withFingerprint(docs(s, d), "text")
+          .select("doc_id", "fingerprint"),
+      None),
+
+    // M1 — multimodal binary-column plumbing: payload bytes + hash (the
+    // decode step itself is the stubbed [[Multimodal.decodeFeatures]]).
+    Entry(
+      "m01_multimodal",
+      (s, d) =>
+        Multimodal.withPayload(docs(s, d), "doc_id", "text")
+          .select(
+            col("doc_id"),
+            col("meta.n_bytes").as("byte_len"),
+            sha2(col("payload"), 256).as("sha")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                     sha256(text) AS sha
+              FROM documents"""))
+  )
+}

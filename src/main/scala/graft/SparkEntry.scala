@@ -1,13 +1,23 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The real surface lives in [[Queries]] / [[QueriesExt]]; this object only
+  * adapts it to the driver's shape. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the OEE-analog metric pipeline
+    * (scan → join → conditional metric math), the reference's hot path in
+    * batch form. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.byName("q06_oee")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.byName
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Keys absent here are non-SQL-expressible ops
+    * (xxhash64-based LSH/SimHash/fingerprints) → rows-only check. */
+  def oracleSql: Map[String, String] = Queries.oracles
 }
