@@ -129,21 +129,21 @@ object Queries {
           (col("l_quantity") / expr("nullif(avg_qty, 0)"))
         val avail = when(col("l_linestatus") === "F", 1.0).otherwise(0.0)
         val qual = when(col("l_returnflag") === "R", 0.0).otherwise(1.0)
-        li.join(broadcast(avgQty), Seq("l_partkey"))
+        li.join(avgQty, Seq("l_partkey"))
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            round(perf, 6).as("perf"), avail.as("avail"), qual.as("qual"),
-            round(perf * avail * qual, 6).as("oee"))
+            stableRound(perf, 6).as("perf"), avail.as("avail"), qual.as("qual"),
+            stableRound(perf * avail * qual, 6).as("oee"))
       },
       Some("""WITH a AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty
                          FROM lineitem GROUP BY l_partkey)
               SELECT l.l_orderkey AS l_orderkey, l.l_linenumber AS l_linenumber,
-                     ROUND((1 - l.l_discount) * (l.l_quantity / NULLIF(a.avg_qty, 0)), 6) AS perf,
+                     ROUND((1 - l.l_discount) * (l.l_quantity / NULLIF(a.avg_qty, 0)) + 1e-9, 6) AS perf,
                      CASE WHEN l.l_linestatus = 'F' THEN 1.0 ELSE 0.0 END AS avail,
                      CASE WHEN l.l_returnflag = 'R' THEN 0.0 ELSE 1.0 END AS qual,
                      ROUND((1 - l.l_discount) * (l.l_quantity / NULLIF(a.avg_qty, 0))
                            * (CASE WHEN l.l_linestatus = 'F' THEN 1.0 ELSE 0.0 END)
-                           * (CASE WHEN l.l_returnflag = 'R' THEN 0.0 ELSE 1.0 END), 6) AS oee
+                           * (CASE WHEN l.l_returnflag = 'R' THEN 0.0 ELSE 1.0 END) + 1e-9, 6) AS oee
               FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey""")),
 
     // Q7 — last-value-per-key compaction (A1): single hash agg with map-side

@@ -60,17 +60,54 @@ object QueriesExt {
       (s, d) => Dedup.exact(docs(s, d)),
       Some("SELECT DISTINCT * FROM documents")),
 
-    // D2 — MinHash+LSH near-dup pairs (xxhash64-based; no SQL oracle).
+    // D2 — MinHash+LSH near-dup pairs. The LSH candidate step is xxhash64-
+    // based, but the FINAL filter is exact shingle-set Jaccard ≥ 0.5, so the
+    // oracle computes the exact all-pairs answer (with a lossless length-
+    // ratio prune: jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|)) — a
+    // stronger check than mirroring: it also proves LSH recall is complete
+    // on this data (32 bands × 2 rows ⇒ p(miss) ≤ 1e-4 at j = 0.5).
     Entry(
       "d02_minhash_lsh",
       (s, d) => Dedup.minHashLshPairs(docs(s, d), "doc_id", "text", threshold = 0.5),
-      None),
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   t AS (SELECT doc_id,
+                                list_distinct([substring(norm, i, 5)
+                                               for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                         FROM n)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+              FROM t a JOIN t b
+                ON a.doc_id < b.doc_id
+               AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
 
-    // D3 — SimHash near-dup pairs (xxhash64-based; no SQL oracle).
+    // D3 — SimHash near-dup pairs. hash56 (md5-derived) simhash is computed
+    // bit-identically by DuckDB; 8×7-bit chunk blocking guarantees recall for
+    // Hamming ≤ 7, so the output IS the all-pairs answer and the oracle
+    // computes it directly.
     Entry(
       "d03_simhash",
-      (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 8),
-      None),
+      (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 7),
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   h AS (SELECT doc_id,
+                                [('0x' || substr(md5(t), 1, 14))::UBIGINT::BIGINT
+                                 for t in string_split(norm, ' ')] AS th
+                         FROM n),
+                   s AS (SELECT doc_id,
+                                list_sum([CASE WHEN list_sum([CASE WHEN (x >> j) & 1 = 1
+                                                                   THEN 1 ELSE -1 END
+                                                              for x in th]) > 0
+                                               THEN (1::BIGINT << j) ELSE 0 END
+                                          for j in range(0, 56)])::BIGINT AS simhash
+                         FROM h)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""")),
 
     // D4 — blocked word-set Jaccard pairs; blocking on (lang, n_chars/100).
     Entry(
@@ -104,13 +141,29 @@ object QueriesExt {
               WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])) >= 0.3""")),
 
-    // S1 — IVF-style ANN (label cells, probe top-2 centroids; no SQL oracle —
-    // centroid codebook has no clean DuckDB equivalent).
+    // S1 — IVF-style ANN (label cells, probe top-2 centroids). Fully
+    // deterministic given the data, so the oracle mirrors the whole pipeline:
+    // per-cell mean centroid → rank cells by query cosine → exact top-k
+    // within the probed cells.
     Entry(
       "s01_ann_ivf",
       (s, d) =>
         Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", "label", 0L, 5, nProbe = 2),
-      None),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   probed AS (SELECT cent.label FROM cent, q
+                              ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label
+                              LIMIT 2),
+                   cand AS (SELECT e.vec_id AS vec_id,
+                                   list_cosine_similarity(e.v, q.qv) AS raw_sim
+                            FROM e JOIN probed ON e.label = probed.label, q
+                            WHERE e.vec_id <> 0)
+              SELECT vec_id, ROUND(raw_sim, 6) AS sim FROM cand
+              ORDER BY raw_sim DESC, vec_id LIMIT 5""")),
 
     // S2 — sign-LSH ANN (xxhash64-derived hyperplanes; no SQL oracle).
     Entry(
@@ -178,13 +231,24 @@ object QueriesExt {
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
               FROM documents""")),
 
-    // T4 — winnowing fingerprint (xxhash64-based; no SQL oracle).
+    // T4 — winnowing fingerprint (hash56 k-gram minima, string output). The
+    // md5-derived hash makes the whole fingerprint DuckDB-reproducible.
     Entry(
       "t04_fingerprint",
       (s, d) =>
         TextAnalysis.withFingerprint(docs(s, d), "text")
           .select("doc_id", "fingerprint"),
-      None),
+      Some("""WITH nn AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                          FROM documents),
+                   g AS (SELECT doc_id,
+                                [('0x' || substr(md5(substring(norm, i, 8)), 1, 14))::UBIGINT::BIGINT
+                                 for i in range(1, greatest(length(norm) - 8, 0) + 2)] AS grams
+                         FROM nn),
+                   m AS (SELECT doc_id,
+                                list_sort(list_distinct([list_min(grams[w:w+3])
+                                                         for w in range(1, greatest(len(grams) - 4, 0) + 2)])) AS mins
+                         FROM g)
+              SELECT doc_id, array_to_string(mins[1:8], ',') AS fingerprint FROM m""")),
 
     // M1 — multimodal binary-column plumbing: payload bytes + hash (the
     // decode step itself is the stubbed [[Multimodal.decodeFeatures]]).

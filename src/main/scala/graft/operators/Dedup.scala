@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines: exact,
   * normalized-hash, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
@@ -13,8 +14,10 @@ import org.apache.spark.sql.functions._
   * Scale design: every candidate-generation step is an equi-join on a hash
   * bucket (LSH band, SimHash chunk, blocking key) — never an all-pairs
   * comparison — so the shuffle is proportional to candidate pairs, not n².
-  * All hashing is `xxhash64` (codegen'd Catalyst expression), fully
-  * deterministic across runs and executors.
+  * Verification filters compare the RAW score against the threshold and only
+  * round in the final projection, mirroring the oracles' WHERE-on-raw /
+  * SELECT-rounded structure (a raw score inside [t-5e-7, t) must fail on both
+  * engines identically).
   */
 object Dedup {
 
@@ -40,11 +43,20 @@ object Dedup {
         i => n.substr(i + 1, lit(k))))
   }
 
-  /** MinHash signature: for permutation i, min over shingles of
-    * xxhash64(i, shingle). */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
+  /** Shingle set hashed to longs — every downstream MinHash/Jaccard step
+    * operates on these 8-byte values instead of carrying the raw k-char
+    * strings through the shuffles (the round-1 profile showed the string
+    * arrays dominating d02's cost). Jaccard on the hashed sets equals Jaccard
+    * on the string sets up to 2^-64 collision odds. */
+  def hashedShingles(c: Column, k: Int): Column =
+    array_distinct(transform(charShingles(c, k), s => xxhash64(s)))
+
+  /** MinHash signature from pre-hashed shingles: for permutation i, min over
+    * shingle hashes h of xxhash64(i, h) — 64 passes over a long array (cheap,
+    * codegen'd) instead of 64 string-hashing passes. */
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))): _*)
 
   /** LSH band keys: hash `rows`-sized slices of the signature. */
   private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -53,22 +65,33 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * shingle → minhash → band → bucket-equi-join → verify. Returns
-    * `(a_id, b_id, jaccard)` for pairs whose exact shingle-set Jaccard is
-    * ≥ `threshold`. Band-bucket join keys are `(band_index, band_hash)`, so
-    * candidates shuffle by bucket; the verification join pulls shingle sets
-    * only for surviving candidates.
+    * shingle → hash-to-long → minhash → band → bucket-equi-join → verify.
+    * Returns `(a_id, b_id, jaccard)` for pairs whose exact hashed-shingle-set
+    * Jaccard is ≥ `threshold`. Band-bucket join keys are
+    * `(band_index, band_hash)`, so candidates shuffle by bucket; the
+    * verification join pulls shingle-hash sets only for surviving candidates.
+    *
+    * Recall: a pair at Jaccard j is caught with p = 1-(1-j^rows)^bands; the
+    * default 32 bands × 2 rows gives p ≈ 0.9999 at j = 0.5 and ≈ 1-6e-15 at
+    * j = 0.8 — at the oracle's scale the output equals the exact all-pairs
+    * result (validated against the DuckDB all-pairs oracle).
+    *
+    * The hashed-shingle frame is persisted: it feeds the banding branch and
+    * both sides of the verification join, and Spark does not share common
+    * subplans across join branches.
     */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val base = df.select(
-      col(idCol).as("_id"),
-      charShingles(col(textCol), shingleK).as("_sh"))
-    val sigs = base.withColumn("_sig", minHashSignature(col("_sh"), numHashes))
+        col(idCol).as("_id"),
+        hashedShingles(col(textCol), shingleK).as("_hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = base.select(
+      col("_id"), minHashSignature(col("_hs"), numHashes).as("_sig"))
     val banded = sigs.select(
       col("_id"),
       posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bh")))
@@ -80,41 +103,52 @@ object Dedup {
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val withSets = cand
-      .join(base.select(col("_id").as("a_id"), col("_sh").as("_sh_a")), Seq("a_id"))
-      .join(base.select(col("_id").as("b_id"), col("_sh").as("_sh_b")), Seq("b_id"))
-    val inter = size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double")
-    val jacc = inter / (size(col("_sh_a")) + size(col("_sh_b")) - inter)
+      .join(base.select(col("_id").as("a_id"), col("_hs").as("_hs_a")), Seq("a_id"))
+      .join(base.select(col("_id").as("b_id"), col("_hs").as("_hs_b")), Seq("b_id"))
+    val inter = size(array_intersect(col("_hs_a"), col("_hs_b"))).cast("double")
+    val jacc = inter / (size(col("_hs_a")) + size(col("_hs_b")) - inter)
     withSets
+      .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * xxhash64 values, folded into one long. Pure Catalyst higher-order
-    * functions (no UDF). */
+  /** 56-bit token hash both engines can compute identically: the top 14 hex
+    * chars of md5 parsed base-16 (DuckDB mirror:
+    * `('0x' || substr(md5(t), 1, 14))::UBIGINT`). 56 bits so the value fits a
+    * signed long on both sides and splits evenly into 8 blocking chunks. */
+  def hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** 56-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hash56 values, folded into one long. Pure Catalyst higher-order
+    * functions (no UDF); md5-based so the DuckDB oracle reproduces it
+    * bit-for-bit. (At larger corpora swap hash56 for xxhash64 + 64 bits —
+    * same shape, no oracle.) */
   def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     df.withColumn("_toks", split(normalizeText(col(textCol)), " "))
-      .withColumn("_th", transform(col("_toks"), t => xxhash64(t)))
+      .withColumn("_th", transform(col("_toks"), t => hash56(t)))
       .withColumn(
         out,
-        expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
+        expr("""aggregate(sequence(0, 55), 0L, (acc, j) ->
                   acc + CASE WHEN aggregate(_th, 0L, (a, h) ->
                           a + CASE WHEN (shiftright(h, j) & 1) = 1
                                    THEN 1 ELSE -1 END) > 0
                         THEN shiftleft(1L, j) ELSE 0L END)"""))
       .drop("_toks", "_th")
 
-  /** SimHash near-dup pairs: block on exact-matching 16-bit chunks (a pair
-    * within Hamming distance 3 of a 64-bit hash must agree on at least one of
-    * the four chunks), then verify `bit_count(a^b) <= maxHamming`. */
+  /** SimHash near-dup pairs: block on exact-matching 7-bit chunks — a pair
+    * within Hamming distance 7 of a 56-bit hash must agree on at least one of
+    * the eight chunks (pigeonhole), so candidate recall is GUARANTEED for
+    * `maxHamming` ≤ 7 and the output is exactly the all-pairs result. */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8x7-bit chunk blocking only guarantees recall to Hamming 7")
     val hashed = withSimHash(df.select(col(idCol).as("_id"), col(textCol)), textCol)
     val chunks = hashed.select(
       col("_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until 8).map(i =>
+        shiftright(col("simhash"), 7 * i).bitwiseAND(lit(0x7FL))): _*))
         .as(Seq("_chunk_idx", "_chunk")))
     val a = chunks.select(
       col("_id").as("a_id"), col("simhash").as("a_hash"),
@@ -153,8 +187,8 @@ object Dedup {
     val inter = size(array_intersect(col("_ta"), col("_tb"))).cast("double")
     val jacc = inter / (size(col("_ta")) + size(col("_tb")) - inter)
     joined
+      .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
-      .filter(col("jacc") >= threshold)
   }
 
   /** Embedding-cosine near-duplicates, blocked on a coarse bucket column
@@ -166,10 +200,9 @@ object Dedup {
       col(idCol).as("a_id"), col(vecCol).as("_va"), col(blockCol).as("_blk"))
     val b = df.select(
       col(idCol).as("b_id"), col(vecCol).as("_vb"), col(blockCol).as("_blk"))
+    val sim = Similarity.cosine(col("_va"), col("_vb"))
     a.join(b, Seq("_blk")).filter(col("a_id") < col("b_id"))
-      .select(
-        col("a_id"), col("b_id"),
-        round(Similarity.cosine(col("_va"), col("_vb")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+      .filter(sim >= threshold)
+      .select(col("a_id"), col("b_id"), round(sim, 6).as("sim"))
   }
 }

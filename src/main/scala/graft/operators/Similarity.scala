@@ -25,8 +25,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Distributed top-k finisher: `orderBy(...).limit(k)` plans as
+    * `TakeOrderedAndProject` — each partition keeps its local top-k and only
+    * those k·numPartitions rows reach the driver-side merge, vs. a global
+    * `Window.orderBy` which funnels every candidate row into one partition.
+    * Ties broken by id for determinism. */
+  private def topK(sims: DataFrame, idCol: String, k: Int): DataFrame =
+    sims.orderBy(col("_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("_sim"), 6).as("sim"))
+
   /** Exact top-k cosine neighbors of the vector with id `queryId`.
-    * One-row broadcast join + rank; ties broken by id for determinism. */
+    * One-row broadcast join + distributed partial top-k. */
   def bruteForceTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
@@ -34,11 +44,7 @@ object Similarity {
     val sims = df.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_sim").desc, col(idCol))
-    sims.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col(idCol), round(col("_sim"), 6).as("sim"))
+    topK(sims, idCol, k)
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
@@ -71,12 +77,9 @@ object Similarity {
       .select(col(vecCol).as("_q"), col("_bucket"))
     val cands = bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("_bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_sim").desc, col(idCol))
-    cands.select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col(idCol), round(col("_sim"), 6).as("sim"))
+    topK(
+      cands.select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim")),
+      idCol, k)
   }
 
   /** Element-wise mean vector per cell — the IVF coarse codebook. Exploded
@@ -107,11 +110,8 @@ object Similarity {
     val cands = df.filter(col(idCol) =!= queryId)
       .join(broadcast(probed), col(cellCol) === col("_cell"))
       .crossJoin(broadcast(q))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_sim").desc, col(idCol))
-    cands.select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col(idCol), round(col("_sim"), 6).as("sim"))
+    topK(
+      cands.select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim")),
+      idCol, k)
   }
 }

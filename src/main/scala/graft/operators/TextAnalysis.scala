@@ -61,24 +61,29 @@ object TextAnalysis {
       .withColumn("keep", score >= lit(0.5))
   }
 
-  /** Winnowing-style rolling-hash fingerprint: char k-gram xxhash64 values,
-    * sliding-window minima, distinct + sorted, first `take` kept. Output is a
-    * sorted array of longs — equal fingerprints ⇒ near-identical documents. */
+  /** Winnowing-style rolling-hash fingerprint: char k-gram hash56 values,
+    * sliding-window minima, distinct + sorted, first `take` kept, joined to a
+    * comma-separated string — equal fingerprints ⇒ near-identical documents.
+    * String output (not array<long>) so the result is sortable/hashable by
+    * any comparison harness; hash56 (md5-derived, [[Dedup.hash56]]) so the
+    * DuckDB oracle reproduces it exactly. */
   def withFingerprint(
       df: DataFrame, textCol: String, k: Int = 8, window: Int = 4,
       take: Int = 8, out: String = "fingerprint"): DataFrame = {
     val n = Dedup.normalizeText(col(textCol))
     val grams = transform(
       sequence(lit(0), greatest(length(n) - k, lit(0))),
-      i => xxhash64(n.substr(i + 1, lit(k))))
+      i => Dedup.hash56(n.substr(i + 1, lit(k))))
     df.withColumn("_grams", grams)
       .withColumn(
         out,
-        slice(
-          array_sort(array_distinct(expr(
-            s"""transform(sequence(0, greatest(size(_grams) - $window, 0)),
-                 w -> array_min(slice(_grams, w + 1, $window)))"""))),
-          1, take))
+        concat_ws(
+          ",",
+          slice(
+            array_sort(array_distinct(expr(
+              s"""transform(sequence(0, greatest(size(_grams) - $window, 0)),
+                   w -> array_min(slice(_grams, w + 1, $window)))"""))),
+            1, take)))
       .drop("_grams")
   }
 }
