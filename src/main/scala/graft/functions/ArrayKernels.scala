@@ -1,0 +1,293 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpr}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/similarity hot paths.
+  *
+  * Why these exist: Spark's higher-order functions (`transform` / `zip_with` /
+  * `aggregate`) are interpreted with per-element boxing — fine for per-
+  * document work at document cardinality, ruinous for per-candidate-pair work
+  * at pair cardinality (a near-dup join evaluates its kernels tens of
+  * millions of times; profiled ~100× slower than the equivalent primitive
+  * loop). The per-PAIR kernels below implement `doGenCode` so they stay
+  * inside whole-stage codegen as tight primitive loops; the per-DOCUMENT
+  * kernels (shingle hashing, minhash signatures) are `CodegenFallback` —
+  * one virtual call per row at document cardinality is noise, and their
+  * internal loops are primitive either way.
+  *
+  * Hashing is FNV-1a 64 over UTF-8 bytes + a splitmix64 finalizer — public
+  * textbook constructions, deterministic across runs/executors, with no
+  * dependency on Spark-internal hash utilities. None of these hashes need to
+  * match any other engine: correctness contracts (e.g. exact Jaccard) are on
+  * SET algebra, which any injective-in-practice 64-bit hash preserves
+  * (collision odds ~n²/2⁶⁵).
+  */
+object kernels {
+
+  @inline final def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline final def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** Sort + dedupe in place; returns the deduped prefix length. */
+  final def sortDistinct(a: Array[Long]): Int = {
+    if (a.length == 0) return 0
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(w)) { w += 1; a(w) = a(i) }
+      i += 1
+    }
+    w + 1
+  }
+}
+
+/** Count of positions where two long arrays hold equal values (up to the
+  * shorter length). Used as the minhash signature-agreement estimator, so it
+  * runs once per candidate pair — codegen'd primitive loop. */
+case class LongArrayAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "long_array_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayAgree =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 1-based index of the first position where two long arrays agree; 0 when
+  * none. Drives first-matching-band dedup of LSH candidate pairs — codegen'd,
+  * runs once per raw band match. */
+case class LongArrayFirstEqual(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "long_array_first_equal"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i + 1
+      i += 1
+    }
+    0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i + 1; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayFirstEqual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection cardinality of two SORTED-distinct long arrays via a merge
+  * scan — O(n+m), no per-call hash table (unlike `array_intersect`). The
+  * caller contract (sortedness) is produced by [[ShingleHashes]] /
+  * [[SortedTokenHashes]]. Codegen'd; runs once per verified candidate pair. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val u = x.getLong(i)
+      val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0;
+         |while ($i < $n && $j < $m) {
+         |  final long $u = $a.getLong($i);
+         |  final long $v = $b.getLong($j);
+         |  if ($u == $v) { ${ev.value}++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted-distinct 64-bit hashes of the character `k`-grams of a string.
+  * Replaces the `transform(sequence(...), i -> xxhash64(substr(...)))` chain
+  * (interpreted, per-element boxed, plus an O(n log n) `array_distinct` on
+  * boxed longs). Texts shorter than `k` hash as one whole-string shingle,
+  * matching `substring`'s clamping semantics. Per-document cardinality →
+  * CodegenFallback. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String]
+    val n = str.numChars()
+    val count = math.max(n - k, 0) + 1
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      out(i) = kernels.splitmix64(
+        kernels.fnv1a64(str.substringSQL(i + 1, k).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out.take(kernels.sortDistinct(out)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Sorted-distinct 64-bit hashes of an array of strings (word tokens).
+  * Same motivation as [[ShingleHashes]], for token-set Jaccard. */
+case class SortedTokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_token_hashes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      out(i) =
+        if (t == null) 0L
+        else kernels.splitmix64(kernels.fnv1a64(t.getBytes))
+      i += 1
+    }
+    new GenericArrayData(out.take(kernels.sortDistinct(out)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedTokenHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature: element `i` is the minimum over all shingle hashes `h`
+  * of `splitmix64(h ^ seed_i)` — one fused primitive pass instead of
+  * `numHashes` interpreted `transform`s. Per-document cardinality →
+  * CodegenFallback. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => kernels.splitmix64(0x5EED5EED00000000L + i))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = kernels.splitmix64(h ^ seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the kernels above. */
+object ArrayKernels {
+  private def c(e: Expression): Column = GraftExpr.column(e)
+  private def e(col: Column): Expression = GraftExpr.expression(col)
+
+  def agreeCount(a: Column, b: Column): Column = c(LongArrayAgree(e(a), e(b)))
+  def firstEqualIndex(a: Column, b: Column): Column = c(LongArrayFirstEqual(e(a), e(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    c(SortedLongIntersectCount(e(a), e(b)))
+  def shingleHashes(s: Column, k: Int): Column = c(ShingleHashes(e(s), k))
+  def sortedTokenHashes(a: Column): Column = c(SortedTokenHashes(e(a)))
+  def minHashSig(hashes: Column, numHashes: Int): Column =
+    c(MinHashSig(e(hashes), numHashes))
+}

@@ -34,29 +34,30 @@ object Dedup {
     df.groupBy(md5(normalizeText(col(textCol))).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
-  /** Distinct character k-gram shingles of the normalized text. */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normalizeText(c)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(length(n) - k, lit(0))),
-        i => n.substr(i + 1, lit(k))))
-  }
+  /** Distinct character k-gram shingles of the normalized text. `let`-bound
+    * so the regex normalization runs once per row, not once per shingle. */
+  def charShingles(c: Column, k: Int): Column =
+    let(normalizeText(c)) { n =>
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(length(n) - k, lit(0))),
+          i => n.substr(i + 1, lit(k))))
+    }
 
-  /** Shingle set hashed to longs — every downstream MinHash/Jaccard step
-    * operates on these 8-byte values instead of carrying the raw k-char
-    * strings through the shuffles (the round-1 profile showed the string
-    * arrays dominating d02's cost). Jaccard on the hashed sets equals Jaccard
-    * on the string sets up to 2^-64 collision odds. */
+  /** Shingle set hashed to longs (sorted distinct) — every downstream
+    * MinHash/Jaccard step operates on these 8-byte values instead of carrying
+    * the raw k-char strings through the shuffles (the round-1 profile showed
+    * the string arrays dominating d02's cost). Jaccard on the hashed sets
+    * equals Jaccard on the string sets up to 2^-64 collision odds. Native
+    * kernel ([[graft.functions.ShingleHashes]]): one primitive pass per doc. */
   def hashedShingles(c: Column, k: Int): Column =
-    array_distinct(transform(charShingles(c, k), s => xxhash64(s)))
+    graft.functions.ArrayKernels.shingleHashes(normalizeText(c), k)
 
-  /** MinHash signature from pre-hashed shingles: for permutation i, min over
-    * shingle hashes h of xxhash64(i, h) — 64 passes over a long array (cheap,
-    * codegen'd) instead of 64 string-hashing passes. */
+  /** MinHash signature from pre-hashed shingles: one fused primitive pass
+    * ([[graft.functions.MinHashSig]]) instead of `numHashes` interpreted
+    * `transform`s. */
   def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))): _*)
+    graft.functions.ArrayKernels.minHashSig(shingleHashes, numHashes)
 
   /** LSH band keys: hash `rows`-sized slices of the signature. */
   private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -91,21 +92,62 @@ object Dedup {
         hashedShingles(col(textCol), shingleK).as("_hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(
-      col("_id"), minHashSignature(col("_hs"), numHashes).as("_sig"))
-    val banded = sigs.select(
+        col("_id"), minHashSignature(col("_hs"), numHashes).as("_sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsK = sigs.select(
+      col("_id"), col("_sig"), bandKeys(col("_sig"), bands, rows).as("_bks"))
+    // The band-bucket self-join carries ONLY (id, band, bandHash). Band-hash
+    // buckets are skewed (a hot bucket expands n² pairs in ONE join task, and
+    // AQE cannot see output explosion, only input bytes), so any non-trivial
+    // per-pair compute placed inside this join would serialize on the hot
+    // task. Keeping the join rows narrow makes the hot task pure row
+    // emission; all heavy per-pair work happens after the repartition below.
+    val banded = sigsK.select(
       col("_id"),
-      posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bh")))
+      posexplode(col("_bks")).as(Seq("_band", "_bh")))
     val a = banded.select(col("_id").as("a_id"), col("_band"), col("_bh"))
-    val b = banded.select(col("_id").as("b_id"), col("_band").as("_band2"), col("_bh").as("_bh2"))
-    val cand = a.join(
+    val b = banded.select(
+      col("_id").as("b_id"), col("_band").as("_band2"), col("_bh").as("_bh2"))
+    val candRaw = a.join(
         b,
         col("_band") === col("_band2") && col("_bh") === col("_bh2") &&
           col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select(col("a_id"), col("b_id"), col("_band"))
+    // Redistribute candidate rows uniformly by pair id, then attach the
+    // signature + band-key arrays (small keyed frame — Spark broadcasts it)
+    // and do the per-pair work at full parallelism:
+    //  * first-match dedup: a pair matching in k bands appears k times; keep
+    //    only the row whose _band is the FIRST agreeing band — exact dedup
+    //    with a 32-element compare instead of a 16M-row shuffle distinct.
+    //  * signature-agreement pre-filter: the fraction of agreeing minhash
+    //    positions estimates Jaccard with σ = sqrt(j(1-j)/H); rejecting
+    //    candidates more than 4σ below the threshold (p ≈ 3e-5 of dropping a
+    //    true pair) keeps the exact-verification join to near-real pairs
+    //    (profiled at sf0.1: 16M band matches → 2.9M after both filters →
+    //    256 real).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sigCut =
+      math.max(0.0, threshold - 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    val firstMatch =
+      graft.functions.ArrayKernels.firstEqualIndex(col("_bks_a"), col("_bks_b"))
+    val agree =
+      graft.functions.ArrayKernels.agreeCount(col("_sig_a"), col("_sig_b"))
+    val cand = candRaw
+      .repartition(par, col("a_id"), col("b_id"))
+      .join(sigsK.select(
+        col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a")),
+        Seq("a_id"))
+      .join(sigsK.select(
+        col("_id").as("b_id"), col("_sig").as("_sig_b"), col("_bks").as("_bks_b")),
+        Seq("b_id"))
+      .filter(firstMatch === col("_band") + 1)
+      .filter(agree >= lit(sigCut * numHashes))
+      .select("a_id", "b_id")
     val withSets = cand
       .join(base.select(col("_id").as("a_id"), col("_hs").as("_hs_a")), Seq("a_id"))
       .join(base.select(col("_id").as("b_id"), col("_hs").as("_hs_b")), Seq("b_id"))
-    val inter = size(array_intersect(col("_hs_a"), col("_hs_b"))).cast("double")
+    val inter = graft.functions.ArrayKernels
+      .sortedIntersectCount(col("_hs_a"), col("_hs_b")).cast("double")
     val jacc = inter / (size(col("_hs_a")) + size(col("_hs_b")) - inter)
     withSets
       .filter(jacc >= threshold)
@@ -124,17 +166,27 @@ object Dedup {
     * functions (no UDF); md5-based so the DuckDB oracle reproduces it
     * bit-for-bit. (At larger corpora swap hash56 for xxhash64 + 64 bits —
     * same shape, no oracle.) */
-  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
-    df.withColumn("_toks", split(normalizeText(col(textCol)), " "))
-      .withColumn("_th", transform(col("_toks"), t => hash56(t)))
-      .withColumn(
-        out,
-        expr("""aggregate(sequence(0, 55), 0L, (acc, j) ->
-                  acc + CASE WHEN aggregate(_th, 0L, (a, h) ->
-                          a + CASE WHEN (shiftright(h, j) & 1) = 1
-                                   THEN 1 ELSE -1 END) > 0
-                        THEN shiftleft(1L, j) ELSE 0L END)"""))
-      .drop("_toks", "_th")
+  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
+    // Single pass over the token hashes: one 56-counter array accumulator
+    // (`let`-bound so tokens are md5-hashed exactly once, not once per bit —
+    // the naive nested-aggregate form re-evaluates the token-hash array per
+    // outer element).
+    val th = transform(split(normalizeText(col(textCol)), " "), t => hash56(t))
+    val bitIdx = sequence(lit(0), lit(55))
+    val sim = let(th) { ths =>
+      let(aggregate(
+        ths, array_repeat(lit(0L), 56),
+        (acc, h) => zip_with(acc, bitIdx, (cnt, j) =>
+          cnt + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1, 1L)
+            .otherwise(-1L)))) { counts =>
+        aggregate(
+          zip_with(counts, bitIdx, (cnt, j) =>
+            when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)
+      }
+    }
+    df.withColumn(out, sim)
+  }
 
   /** SimHash near-dup pairs: block on exact-matching 7-bit chunks — a pair
     * within Hamming distance 7 of a 56-bit hash must agree on at least one of
@@ -174,7 +226,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockingCols: Seq[Column], threshold: Double): DataFrame = {
-    val toks = array_distinct(split(lower(col(textCol)), "\\s+"))
+    // Token SETS are carried as sorted-distinct 64-bit hashes: set Jaccard is
+    // hash-invariant, the arrays are 8-byte-element primitives (vs UTF8
+    // strings) through the block-join shuffle, and the merge-scan intersect
+    // kernel replaces per-pair `array_intersect` hash tables.
+    val toks = graft.functions.ArrayKernels
+      .sortedTokenHashes(split(lower(col(textCol)), "\\s+"))
     val base = df.select(
       (col(idCol).as("_id") +: toks.as("_toks") +:
         blockingCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }): _*)
@@ -184,7 +241,8 @@ object Dedup {
     val b = base.select(
       (col("_id").as("b_id") +: col("_toks").as("_tb") +: blkKeys.map(col)): _*)
     val joined = a.join(b, blkKeys).filter(col("a_id") < col("b_id"))
-    val inter = size(array_intersect(col("_ta"), col("_tb"))).cast("double")
+    val inter = graft.functions.ArrayKernels
+      .sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
     val jacc = inter / (size(col("_ta")) + size(col("_tb")) - inter)
     joined
       .filter(jacc >= threshold)

@@ -70,20 +70,24 @@ object TextAnalysis {
   def withFingerprint(
       df: DataFrame, textCol: String, k: Int = 8, window: Int = 4,
       take: Int = 8, out: String = "fingerprint"): DataFrame = {
-    val n = Dedup.normalizeText(col(textCol))
-    val grams = transform(
-      sequence(lit(0), greatest(length(n) - k, lit(0))),
-      i => Dedup.hash56(n.substr(i + 1, lit(k))))
-    df.withColumn("_grams", grams)
-      .withColumn(
-        out,
-        concat_ws(
-          ",",
-          slice(
-            array_sort(array_distinct(expr(
-              s"""transform(sequence(0, greatest(size(_grams) - $window, 0)),
-                   w -> array_min(slice(_grams, w + 1, $window)))"""))),
-            1, take)))
-      .drop("_grams")
+    // Both stages `let`-bound: the regex normalization must not inline into
+    // the per-gram lambda (once-per-gram regex), and the gram array must not
+    // inline into the per-window lambda (once-per-window rehash of all grams).
+    val grams = let(Dedup.normalizeText(col(textCol))) { n =>
+      transform(
+        sequence(lit(0), greatest(length(n) - k, lit(0))),
+        i => Dedup.hash56(n.substr(i + 1, lit(k))))
+    }
+    val fp = let(grams) { g =>
+      concat_ws(
+        ",",
+        slice(
+          array_sort(array_distinct(
+            transform(
+              sequence(lit(0), greatest(size(g) - window, lit(0))),
+              w => array_min(slice(g, w + 1, lit(window)))))),
+          1, take))
+    }
+    df.withColumn(out, fp)
   }
 }
