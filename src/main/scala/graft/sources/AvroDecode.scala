@@ -1,0 +1,117 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** S4 — Avro deserialization (reference: Confluent `KafkaAvroDeserializer`
+  * configured at `…/dodetl/imtu/InMemoryTableUpdaterManager.scala:43-53`,
+  * schemas carried per-record via the registry).
+  *
+  * Implemented against the plain Apache Avro Java library (on the Spark
+  * classpath): a binary column + a writer-schema JSON (the registry lookup
+  * happens once at the driver, as in the reference) decode into typed
+  * columns. `mapPartitions` is justified here — the reader/decoder pair is
+  * per-partition state (the same amortization the reference gets from one
+  * deserializer per consumer); the decode itself is a tight per-record loop.
+  *
+  * Schema mapping: Avro `union {null, T}` → nullable column; `timestamp-
+  * millis` logical longs stay epoch-millis longs (the engine's P4 cast,
+  * `timestamp_millis`, converts downstream — same contract as the
+  * reference's `…/dodetl/imtu/DatabaseManager.scala:71-74`).
+  */
+object AvroDecode {
+
+  private def unwrapUnion(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"only union{null,T} supported, got $s")
+      (nonNull.head, true)
+    } else (s, false)
+
+  private def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.ENUM => StringType
+    case t => throw new IllegalArgumentException(s"unsupported Avro type $t")
+  }
+
+  /** Spark StructType for an Avro record schema. */
+  def toSparkSchema(avroSchemaJson: String): StructType = {
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    require(schema.getType == Schema.Type.RECORD, "record schema required")
+    StructType(schema.getFields.asScala.map { f =>
+      val (inner, nullable) = unwrapUnion(f.schema())
+      StructField(f.name(), toSparkType(inner), nullable)
+    }.toSeq)
+  }
+
+  private def toRowValue(v: AnyRef): Any = v match {
+    case null => null
+    case u: Utf8 => u.toString
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case other => other
+  }
+
+  /** Decode `binCol` (Avro-serialized record bytes) into one typed column per
+    * Avro field, replacing the original columns. */
+  def decode(df: DataFrame, binCol: String, avroSchemaJson: String): DataFrame = {
+    val sparkSchema = toSparkSchema(avroSchemaJson)
+    val bytesDs = df.select(col(binCol)).as(Encoders.BINARY)
+    bytesDs.mapPartitions { it =>
+      // per-partition reader/decoder state (the mapPartitions justification)
+      val schema = new Schema.Parser().parse(avroSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var record: GenericRecord = null
+      it.map { bytes =>
+        val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
+        record = reader.read(record, decoder)
+        Row.fromSeq(schema.getFields.asScala.toSeq.map(f =>
+          toRowValue(record.get(f.pos()))))
+      }
+    }(Encoders.row(sparkSchema))
+  }
+
+  /** Encode rows to Avro binary (test/round-trip helper and K-side building
+    * block; primitive fields only, mirroring [[toSparkSchema]]'s mapping). */
+  def encode(df: DataFrame, avroSchemaJson: String, out: String = "value"): DataFrame = {
+    val fieldNames = new Schema.Parser().parse(avroSchemaJson)
+      .getFields.asScala.map(_.name()).toSeq
+    val src = df.select(fieldNames.map(col): _*)
+    src.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(avroSchemaJson)
+      val writer = new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      it.map { row =>
+        bos.reset()
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        schema.getFields.asScala.foreach { f =>
+          val v = row.get(row.fieldIndex(f.name())) match {
+            case null => null
+            case s: String => new Utf8(s)
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case other => other.asInstanceOf[AnyRef]
+          }
+          rec.put(f.pos(), v)
+        }
+        writer.write(rec, enc)
+        enc.flush()
+        bos.toByteArray
+      }
+    }(Encoders.BINARY).toDF(out)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY §2.2).
+  *
+  * K1 text/csv, K2 JDBC (batched upsert-free insert with NaN→0 coercion),
+  * K3 upsert (see [[graft.streaming.DimensionMaintainer]] /
+  * [[graft.operators.Compaction.applyUpserts]]), K5 delete-by-key
+  * ([[graft.operators.Compaction.deleteKeys]]), K6 drop
+  * (`spark.catalog.dropTempView`).
+  */
+object Sinks {
+
+  /** K1 — text/CSV file sink (reference `TextIO.write().to("oee")`,
+    * `…/dodetl/stp/BeamStreamProcessor.scala:115-118`). */
+  def csv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** K1 streaming form — attach to a streaming frame:
+    * `df.writeStream.format("csv").option("path", …).option("checkpointLocation", …)`. */
+  def csvStreamWriter(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .format("csv")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** K2 — JDBC insert sink with the reference's NaN→0.0 coercion
+    * (`…/dodetl/utils/JDBCSink.scala:8-32`, NaN at `:21`). Doubles are
+    * nanvl'd; writes are Spark's batched JDBC inserts (the reference batched
+    * via `addBatch`/`executeBatch`; `spark.write.jdbc` batches with
+    * `batchsize`, default 1000). */
+  def jdbcAppend(
+      df: DataFrame, url: String, table: String,
+      props: Map[String, String] = Map.empty): Unit = {
+    val cleaned = df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        acc.withColumn(f.name, nanvl(col(f.name), lit(0.0)))
+      else acc
+    }
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    cleaned.write.mode(SaveMode.Append).jdbc(url, table, p)
+  }
+
+  /** K2 streaming form — foreachBatch JDBC append (idempotence is the
+    * table's concern, as in the reference's fire-and-forget insert). */
+  def jdbcForeachBatch(
+      stream: DataFrame, url: String, table: String, checkpoint: String,
+      props: Map[String, String] = Map.empty) =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => jdbcAppend(batch, url, table, props))
+      .option("checkpointLocation", checkpoint)
+
+  /** Create a table via plain JDBC DDL (reference K4 generated DDL from Avro
+    * schemas, `…/dodetl/imtu/DatabaseManager.scala:101-126`; here the Spark
+    * schema drives the column types). For engines Spark's JDBC writer can't
+    * auto-create (or when indexes/PKs are wanted). */
+  def createTableFromSchema(
+      url: String, table: String, df: DataFrame,
+      primaryKey: Option[String] = None): Unit = {
+    val typeMap: org.apache.spark.sql.types.DataType => String = {
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.IntegerType => "INT"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case _ => "VARCHAR(1024)"
+    }
+    // identifiers left unquoted so the engine's case normalization matches
+    // Spark's unquoted JDBC references to the same table
+    val cols = df.schema.fields.map { f =>
+      val notNull = if (primaryKey.contains(f.name)) " NOT NULL" else ""
+      s"${f.name} ${typeMap(f.dataType)}$notNull"
+    }
+    val pk = primaryKey.map(k => s", PRIMARY KEY ($k)").getOrElse("")
+    val conn: Connection = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(s"CREATE TABLE $table (${cols.mkString(", ")}$pk)")
+      st.close()
+    } finally conn.close()
+  }
+}

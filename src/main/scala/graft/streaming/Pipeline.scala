@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's operational streaming pipeline, restated as Structured
+  * Streaming plans (`…/dodetl/stp/BeamStreamProcessor.scala:39-121`:
+  * Kafka → JSON parse → per-event dimension lookups → interval split → OEE →
+  * text sink, with a declared-but-unimplemented 10-minute watermark at
+  * `:25-26`).
+  *
+  * Every builder takes a STREAMING DataFrame (from Kafka, file, or
+  * MemoryStream — the plan is source-agnostic) and returns a transformed
+  * streaming frame; the caller picks the sink. Batch/stream parity: each
+  * builder evaluates to the same result as its batch analog in
+  * [[graft.Queries]] when run over the same finite input, which is what the
+  * ScalaTest parity suites assert via MemoryStream.
+  *
+  * 100 TB: stream-static joins against [[DimensionMaintainer]] snapshots are
+  * planned per micro-batch, so AQE sizes them (broadcast while dims are
+  * small, shuffle once they are not); windowed aggregates carry watermark
+  * state in the state store keyed by (key, window) — partitioned, bounded by
+  * the watermark horizon.
+  */
+object Pipeline {
+
+  /** T1 — the reference's declared watermark, implemented: tolerate
+    * out-of-order events up to `delay`; drop anything older (T3's
+    * late-data policy, made explicit). `tsCol` must be TimestampType. */
+  def withEventTimeWatermark(
+      stream: DataFrame, tsCol: String, delay: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+
+  /** S1+P2 — parse a raw JSON `value` column (the Kafka wire format of the
+    * reference's operational events, `…/stp/BeamStreamProcessor.scala:52-65`)
+    * into typed columns. */
+  def parseJsonEvents(raw: DataFrame, schemaDdl: String): DataFrame =
+    raw.select(
+      from_json(
+        col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)).as("j"))
+      .select("j.*")
+
+  /** J1 — stream-static enrichment join against a dimension snapshot
+    * (`…/stp/DataTransformer.scala:17-38`). NOTE: in a directly-started
+    * streaming plan the static side is resolved once at query start; to join
+    * a live [[DimensionMaintainer]] snapshot use [[operationalQuery]] (the
+    * join then happens per batch, at batch time). */
+  def enrich(
+      stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      dimCols: Seq[String]): DataFrame = {
+    // internal rename so a shared key name can't collide (drop-by-name drops
+    // ALL columns with that name, including the stream's)
+    val d = dim.select(col(dimKey).as("_dim_key") +: dimCols.map(col): _*)
+    stream.join(d, stream(streamKey) === d("_dim_key"), "left").drop("_dim_key")
+  }
+
+  /** A1 streaming — latest event per key (reference's compaction semantics as
+    * a continuously-updated result; batch analog q07). Complete/update
+    * output mode. */
+  def latestByKey(stream: DataFrame, key: String, ord: String): DataFrame = {
+    val payload = stream.columns.filterNot(_ == key).map(col)
+    stream.groupBy(col(key))
+      .agg(max_by(struct(payload: _*), col(ord)).as("_latest"))
+      .select(col(key) +: stream.columns.filterNot(_ == key)
+        .map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** T2 — tumbling event-time window aggregate with watermark (batch analog
+    * q17: count + sum per user per 10-minute bucket). `tsCol` TimestampType. */
+  def windowedAgg(
+      stream: DataFrame, tsCol: String, key: String, valCol: String,
+      windowLen: String = "10 minutes", delay: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(col(key), window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valCol)).as("sum_value"))
+      .select(
+        col(key), col("w.start").as("bucket_start"),
+        col("n_events"), col("sum_value"))
+
+  /** P7-P9 — the OEE metric block (performance × availability × quality) as a
+    * column transform applicable to any (streaming or batch) frame; mirrors
+    * `…/dodetl/stp/DataTransformer.scala:104-141`. */
+  def oeeColumns(
+      perfNum: Column, perfDen: Column,
+      isDown: Column, isBad: Column): Seq[(String, Column)] = {
+    val perf = perfNum / perfDen
+    val avail = when(isDown, 0.0).otherwise(1.0)
+    val qual = when(isBad, 0.0).otherwise(1.0)
+    Seq(
+      "performance" -> perf,
+      "availability" -> avail,
+      "quality" -> qual,
+      "oee" -> nanvl(perf * avail * qual, lit(0.0)))
+  }
+
+  /** End-to-end operational pipeline (the reference's entry point 1):
+    * watermark → enrich → per-event metric columns. Sink is the caller's
+    * (`writeStream.format("csv"|"parquet")`,
+    * [[graft.sources.Sinks.jdbcForeachBatch]], or memory for tests).
+    *
+    * `dim` must be a FIXED dimension frame: a streaming query analyzes its
+    * static sides once at start, so a [[DimensionMaintainer]] snapshot passed
+    * here would be frozen at its start-time version (empty, typically). For
+    * a LIVE maintained dimension use [[operationalQuery]], which re-reads the
+    * snapshot inside `foreachBatch`. */
+  def operational(
+      events: DataFrame, tsCol: String,
+      dim: DataFrame, streamKey: String, dimKey: String, dimCols: Seq[String],
+      metricCols: Seq[(String, Column)],
+      delay: String = "10 minutes"): DataFrame = {
+    val enriched = enrich(
+      withEventTimeWatermark(events, tsCol, delay),
+      dim, streamKey, dimKey, dimCols)
+    metricCols.foldLeft(enriched) { case (df, (n, c)) => df.withColumn(n, c) }
+  }
+
+  /** Operational pipeline against a LIVE maintained dimension: the
+    * enrichment join is planned inside `foreachBatch`, so each micro-batch
+    * joins the dimension snapshot AS OF batch execution — the reference's
+    * read-your-writes-at-lookup-time semantics
+    * (`…/dodetl/stp/DataTransformer.scala:27-29` querying live H2). A plan-
+    * time join against a swapped snapshot would silently freeze at the
+    * start-time (empty) version — caught live by the streaming demo.
+    *
+    * Returns the configured writer; caller adds checkpoint/trigger and
+    * `.start()`s it. */
+  def operationalQuery(
+      events: DataFrame, tsCol: String,
+      dim: () => DataFrame, streamKey: String, dimKey: String, dimCols: Seq[String],
+      metricCols: Seq[(String, Column)],
+      delay: String = "10 minutes")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    withEventTimeWatermark(events, tsCol, delay).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val enriched = enrich(batch, dim(), streamKey, dimKey, dimCols)
+        writeBatch(
+          metricCols.foldLeft(enriched) { case (df, (n, c)) => df.withColumn(n, c) },
+          id)
+      }
+}

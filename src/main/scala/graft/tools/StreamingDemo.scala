@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.GraftSession
+import graft.sources.{Sinks, Sources}
+import graft.streaming.{DimensionMaintainer, ObservedKeySet, Pipeline}
+
+/** Runnable end-to-end demo of the streaming layer (dev example): a CDC
+  * stream maintains a dimension while an operational stream joins against it
+  * and lands OEE metrics in a JDBC table — the reference's full dataflow. */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("local[4]", "graft-streaming-demo", 4)
+    import spark.implicits._
+    val derby = "jdbc:derby:memory:demo;create=true"
+    val ckpt = java.nio.file.Files.createTempDirectory("demo-ckpt")
+
+    // dimension: equipment -> planned quantity, maintained from a CDC stream
+    val dimSchema = StructType.fromDDL("equip BIGINT, ord BIGINT, planned DOUBLE, grp STRING")
+    val dim = new DimensionMaintainer(spark, "equipment", Seq("equip"), "ord", dimSchema)
+    val cdc = MemoryStream[(Long, Long, Double, String)](spark)
+    val cdcQ = dim.attachTo(cdc.toDF().toDF("equip", "ord", "planned", "grp"), s"$ckpt/cdc")
+
+    // operational stream: events with quantities + status flags
+    val ops = MemoryStream[(Long, Long, Double, Boolean, Boolean)](spark)
+    val events = ops.toDF().toDF("equip", "ts_us", "qty", "down", "bad")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val keySet = new ObservedKeySet(spark, "equip", "BIGINT")
+    val keyQ = keySet.attachTo(events.select("equip"), s"$ckpt/keys")
+
+    val sinkQ = Pipeline.operationalQuery(
+        events, "ts_utc", () => dim.current, "equip", "equip", Seq("planned", "grp"),
+        Pipeline.oeeColumns(col("qty"), col("planned"), col("down"), col("bad"))) {
+        (batch, _) =>
+          Sinks.jdbcAppend(
+            batch.select("equip", "grp", "qty", "performance",
+              "availability", "quality", "oee"),
+            derby, "oee_metrics")
+      }
+      .option("checkpointLocation", s"$ckpt/sink")
+      .start()
+
+    // batch 1: dimension rows arrive first, then events
+    cdc.addData(Seq((1L, 1L, 10.0, "A"), (2L, 1L, 20.0, "B")))
+    cdcQ.processAllAvailable()
+    ops.addData(Seq((1L, 1700000000000000L, 5.0, false, false),
+                    (2L, 1700000000000000L, 10.0, true, false)))
+    sinkQ.processAllAvailable(); keyQ.processAllAvailable()
+
+    // batch 2: a CDC update changes planned qty for equip 1; new event sees it
+    cdc.addData(Seq((1L, 2L, 5.0, "A")))
+    cdcQ.processAllAvailable()
+    ops.addData(Seq((1L, 1700000060000000L, 5.0, false, false)))
+    sinkQ.processAllAvailable(); keyQ.processAllAvailable()
+
+    println("=== maintained dimension (after CDC update) ===")
+    dim.current.orderBy("equip").show()
+    println("=== observed keys ===")
+    keySet.current.orderBy("equip").show()
+    println("=== on-demand pruned view ===")
+    dim.onDemandView(keySet.current, "equip").orderBy("equip").show()
+    println("=== OEE metrics landed in Derby ===")
+    Sources.jdbcTable(spark, derby, "oee_metrics").orderBy("equip", "performance").show()
+
+    Seq(cdcQ, keyQ, sinkQ).foreach(_.stop())
+    spark.stop()
+  }
+}

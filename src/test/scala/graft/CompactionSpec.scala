@@ -1,0 +1,53 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.Compaction
+
+/** Compaction/upsert semantics vs an independent Scala fold model
+  * (SURVEY §5.3: compaction vs reduceByKey oracle; upsert idempotence). */
+class CompactionSpec extends SparkSpec {
+
+  private def model(rows: Seq[(Long, Long, String)]): Map[Long, (Long, String)] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      val best = vs.maxBy(_._2)
+      k -> (best._2, best._3)
+    }
+
+  test("latestByKey == max-fold model on random data (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(7, 99, 1234)) {
+      val rng = new Random(seed)
+      // unique (key, ord) so the argmax is well-defined
+      val rows = rng.shuffle(
+        (for (k <- 0L until 20L; o <- 0L until 10L) yield (k, o, s"v$k-$o-${rng.nextInt(9)}"))
+          .toSeq).take(120)
+      val df = rows.toDF("k", "ord", "v")
+      val got = Compaction.latestByKey(df, Seq("k"), "ord")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == model(rows))
+    }
+  }
+
+  test("applyUpserts: newest wins and applying a batch twice is idempotent") {
+    import spark.implicits._
+    val snap = Seq((1L, 1L, "old1"), (2L, 1L, "old2")).toDF("k", "ord", "v")
+    val upd = Seq((1L, 2L, "new1"), (3L, 1L, "new3")).toDF("k", "ord", "v")
+    val once = Compaction.applyUpserts(snap, upd, Seq("k"), "ord")
+    val twice = Compaction.applyUpserts(once, upd, Seq("k"), "ord")
+    val expect = Set((1L, 2L, "new1"), (2L, 1L, "old2"), (3L, 1L, "new3"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(asSet(once) == expect)
+    assert(asSet(twice) == expect)
+  }
+
+  test("deleteKeys removes exactly the evicted keys") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val evicted = Seq(Tuple1(2L), Tuple1(9L)).toDF("k")
+    val got = Compaction.deleteKeys(snap, evicted, "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Near-dup operators vs independent brute-force Scala models. */
+class DedupSpec extends SparkSpec {
+
+  private def norm(s: String): String =
+    s.replaceAll("\\s+", " ").trim.toLowerCase
+
+  private def shingleSet(s: String, k: Int): Set[String] = {
+    val n = norm(s)
+    val cnt = math.max(n.length - k, 0) + 1
+    (0 until cnt).map(i => n.substring(i, math.min(i + k, n.length))).toSet
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double = {
+    val i = a.intersect(b).size.toDouble
+    i / (a.size + b.size - i)
+  }
+
+  // A corpus with clear duplicate clusters (true-pair jaccard well above the
+  // 0.5 threshold, so the LSH miss probability at 32x2 banding is < 1e-8 and
+  // the test is deterministic in practice).
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    3L -> "The  QUICK brown fox jumps over the lazy dog near the river bank",
+    4L -> "completely unrelated text about spark catalyst expression codegen",
+    5L -> "completely unrelated text about spark catalyst expression codegen internals",
+    6L -> "nothing in common with anything else whatsoever kumquat zeppelin",
+    7L -> "short",
+    8L -> "short")
+
+  test("minHashLshPairs == brute-force exact jaccard pairs (threshold 0.5)") {
+    import spark.implicits._
+    val expect = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      j = jaccard(shingleSet(ta, 5), shingleSet(tb, 5)) if j >= 0.5
+    } yield (ia, ib, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    val got = Dedup.minHashLshPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty) // the corpus really has near-dups
+  }
+
+  test("simHashPairs == brute-force hamming pairs (8x7-bit blocking, maxHamming 7)") {
+    import spark.implicits._
+    def hash56(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    def simhash(s: String): Long = {
+      val toks = norm(s).split(" ", -1)
+      (0 until 56).map { j =>
+        val vote = toks.map(t => if (((hash56(t) >> j) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << j else 0L
+      }.sum
+    }
+    val expect = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      h = java.lang.Long.bitCount(simhash(ta) ^ simhash(tb)) if h <= 7
+    } yield (ia, ib, h)).toSet
+
+    val got = Dedup.simHashPairs(corpus.toDF("doc_id", "text"), "doc_id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+  }
+
+  test("simHashPairs rejects maxHamming above the blocking guarantee") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(corpus.toDF("doc_id", "text"), "doc_id", "text", 8)
+    }
+  }
+
+  test("ngramJaccardPairs == brute-force token jaccard within blocks") {
+    import spark.implicits._
+    def tokSet(s: String): Set[String] = s.toLowerCase.split("\\s+").toSet
+    val expect = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      i = tokSet(ta).intersect(tokSet(tb)).size.toDouble
+      j = i / (tokSet(ta).size + tokSet(tb).size - i) if j >= 0.4
+    } yield (ia, ib)).toSet
+    val got = Dedup.ngramJaccardPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", Seq(lit(1)), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("byNormalizedText groups case/whitespace variants") {
+    import spark.implicits._
+    val out = Dedup.byNormalizedText(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_dups"), r.getAs[Long]("canonical_id")))
+    assert(out.count(_._1 == 2L) == 2) // {1,3} and {7,8}
+    assert(out.map(_._1).sum == corpus.size)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Config
+import graft.sources.{AvroDecode, Sinks, Sources}
+
+/** I/O surface: JDBC round-trip (embedded Derby), CSV sink, Avro
+  * encode/decode round-trip, JSON config load. */
+class IoSpec extends SparkSpec {
+
+  private val derbyUrl = "jdbc:derby:memory:graftdb;create=true"
+
+  test("K2/S5: JDBC append sink (NaN→0) + table scan round-trip on Derby") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 1.5), (2L, "b", Double.NaN), (3L, "c", -2.25)
+    ).toDF("id", "name", "metric")
+    Sinks.jdbcAppend(df, derbyUrl, "oee_out")
+    val back = Sources.jdbcTable(spark, derbyUrl, "oee_out")
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 1.5), (2L, "b", 0.0), (3L, "c", -2.25)))
+  }
+
+  test("K2 streaming: foreachBatch JDBC sink writes each micro-batch") {
+    import spark.implicits._
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](spark)
+    val q = Sinks.jdbcForeachBatch(
+        stream.toDF().toDF("id", "v"), derbyUrl, "oee_stream_out", tmpDir("ckpt-jdbc"))
+      .start()
+    try {
+      stream.addData(Seq((1L, 1.0), (2L, Double.NaN)))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, 3.0)))
+      q.processAllAvailable()
+      val got = Sources.jdbcTable(spark, derbyUrl, "oee_stream_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 1.0), (2L, 0.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("K4: createTableFromSchema generates usable DDL with a primary key") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 2.0, true)).toDF("id", "s", "d", "b")
+    Sinks.createTableFromSchema(derbyUrl, "ddl_test", df, primaryKey = Some("id"))
+    Sinks.jdbcAppend(df, derbyUrl, "ddl_test")
+    // PK enforced: duplicate insert fails
+    intercept[Exception] { Sinks.jdbcAppend(df, derbyUrl, "ddl_test") }
+    assert(Sources.jdbcTable(spark, derbyUrl, "ddl_test").count() == 1)
+  }
+
+  test("K1: CSV sink round-trip") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b,with,commas", 2.5)).toDF("id", "name", "v")
+    val dir = tmpDir("csv-out")
+    Sinks.csv(df, dir)
+    val back = spark.read.option("header", "true")
+      .schema("id BIGINT, name STRING, v DOUBLE").csv(dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      == df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+  }
+
+  test("S4: Avro encode/decode round-trip incl. nullable union and bytes") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"CdcRec","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"name","type":["null","string"],"default":null},
+        |{"name":"qty","type":"double"},
+        |{"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}}
+        |]}""".stripMargin
+    val df = Seq(
+      (1L, Option("alpha"), 1.25, 1700000000000L),
+      (2L, None: Option[String], -0.5, 1700000001000L)
+    ).toDF("id", "name", "qty", "ts_ms")
+    val encoded = AvroDecode.encode(df, schemaJson)
+    assert(encoded.schema.fields.map(_.name).toSeq == Seq("value"))
+    val decoded = AvroDecode.decode(encoded, "value", schemaJson)
+    val got = decoded.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getLong(3))).toSet
+    val expect = df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // P4: the epoch-millis long casts to a usable timestamp downstream
+    val ts = decoded.select(timestamp_millis(col("ts_ms"))).head().getTimestamp(0)
+    assert(ts.toInstant.toEpochMilli == 1700000000000L)
+  }
+
+  test("S6/F5: JSON config loads with driver-side predicates") {
+    val json =
+      """{
+        |  "brokers": "broker1:9092",
+        |  "watermarkDelay": "5 minutes",
+        |  "shufflePartitions": 16,
+        |  "tables": [
+        |    {"tableName": "events", "isOperational": true,
+        |     "keyColumns": ["event_id"], "ordColumn": "ts"},
+        |    {"tableName": "equipment_status", "isOperational": false,
+        |     "keyColumns": ["id"], "ordColumn": "updated_at",
+        |     "filterColumn": "cod_equipment", "topicName": "cdc.es",
+        |     "retentionDays": 10}
+        |  ]
+        |}""".stripMargin
+    val path = java.nio.file.Files.createTempFile("graft-conf", ".json")
+    java.nio.file.Files.writeString(path, json)
+    val cfg = Config.load(spark, path.toString)
+    assert(cfg.brokers.contains("broker1:9092"))
+    assert(cfg.jdbcUrl.isEmpty)
+    assert(cfg.watermarkDelay == "5 minutes")
+    assert(cfg.shufflePartitions == 16)
+    assert(cfg.operational.tableName == "events")
+    assert(cfg.metadata.map(_.tableName) == Seq("equipment_status"))
+    assert(cfg.metadata.head.retentionDays.contains(10))
+    assert(cfg.metadata.head.filterColumn.contains("cod_equipment"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{kernels, ArrayKernels}
+
+/** Native kernel expressions vs independent Scala set/sequence models,
+  * driven through the DataFrame surface (covers the codegen path for the
+  * per-pair kernels and the eval path for the CodegenFallback ones). */
+class KernelsSpec extends SparkSpec {
+
+  test("sortedIntersectCount == Set.intersect on random sorted-distinct arrays") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rng.nextInt(30))(rng.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(30))(rng.nextInt(40).toLong).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val got = rows.toDF("a", "b", "expect")
+      .withColumn("got", ArrayKernels.sortedIntersectCount(col("a"), col("b")))
+      .filter(col("got") =!= col("expect")).count()
+    assert(got == 0)
+  }
+
+  test("agreeCount / firstEqualIndex == zip models (incl. unequal lengths, empty)") {
+    import spark.implicits._
+    val rng = new Random(13)
+    val rows = (1 to 200).map { _ =>
+      val n = rng.nextInt(10); val m = rng.nextInt(10)
+      val a = Seq.fill(n)(rng.nextInt(4).toLong)
+      val b = Seq.fill(m)(rng.nextInt(4).toLong)
+      val agree = a.zip(b).count { case (x, y) => x == y }
+      val first = a.zip(b).indexWhere { case (x, y) => x == y } match {
+        case -1 => 0
+        case i => i + 1
+      }
+      (a, b, agree, first)
+    }
+    val bad = rows.toDF("a", "b", "eAgree", "eFirst")
+      .withColumn("gAgree", ArrayKernels.agreeCount(col("a"), col("b")))
+      .withColumn("gFirst", ArrayKernels.firstEqualIndex(col("a"), col("b")))
+      .filter(col("gAgree") =!= col("eAgree") || col("gFirst") =!= col("eFirst"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("shingleHashes: sorted-distinct, matches string-shingle model cardinality") {
+    import spark.implicits._
+    def modelShingles(s: String, k: Int): Set[String] = {
+      val n = s.trim.replaceAll("\\s+", " ").toLowerCase
+      val cnt = math.max(n.length - k, 0) + 1
+      (0 until cnt).map(i => n.substring(i, math.min(i + k, n.length))).toSet
+    }
+    val texts = Seq("", "ab", "hello world hello", "  MiXeD   Case  text ",
+      "aaaaaaaaaa", "the quick brown fox jumps over the lazy dog")
+    val rows = texts.map(t => (t, modelShingles(t, 5).size))
+    val got = rows.toDF("text", "expectN")
+      .withColumn("hs", graft.operators.Dedup.hashedShingles(col("text"), 5))
+      .select(col("expectN"), size(col("hs")).as("gotN"),
+        (col("hs") === array_sort(col("hs"))).as("sorted"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "cardinality")
+      assert(r.getBoolean(2), "sortedness")
+    }
+  }
+
+  test("minHashSig: correct length, elementwise-min property, jaccard estimate sane") {
+    import spark.implicits._
+    // signature of a union is the elementwise min of the signatures
+    val a = Seq.fill(50)(Random.nextLong()).distinct
+    val b = Seq.fill(50)(Random.nextLong()).distinct
+    val df = Seq((a, b, a ++ b)).toDF("a", "b", "ab")
+    val r = df.select(
+      ArrayKernels.minHashSig(col("a"), 64).as("sa"),
+      ArrayKernels.minHashSig(col("b"), 64).as("sb"),
+      ArrayKernels.minHashSig(col("ab"), 64).as("sab")).head()
+    val (sa, sb, sab) = (
+      r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2))
+    assert(sa.length == 64)
+    assert(sab == sa.zip(sb).map { case (x, y) => math.min(x, y) })
+  }
+
+  test("kernels.sortDistinct dedupes and sorts in place") {
+    val a = Array(5L, 1L, 5L, 3L, 1L, 7L)
+    val n = kernels.sortDistinct(a)
+    assert(a.take(n).toSeq == Seq(1L, 3L, 5L, 7L))
+    assert(kernels.sortDistinct(Array.empty[Long]) == 0)
+  }
+}

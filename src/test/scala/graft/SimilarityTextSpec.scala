@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Similarity top-k vs a Scala model; text-analysis goldens. */
+class SimilarityTextSpec extends SparkSpec {
+
+  test("bruteForceTopK == Scala cosine model (ties broken by id)") {
+    import spark.implicits._
+    val rng = new Random(21)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextDouble() - 0.5)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs.find(_._1 == 7L).get._2
+    val expect = vecs.filter(_._1 != 7L)
+      .map { case (i, v) => (i, cos(v, q)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(5).map(_._1)
+    val got = Similarity.bruteForceTopK(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", 7L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("ivfTopK probes only nProbe cells but returns exact ranking within them") {
+    import spark.implicits._
+    val rng = new Random(22)
+    // two well-separated clusters; query in cluster 0
+    val vecs = (0L until 40L).map { i =>
+      val cell = (i % 2).toInt
+      val base = if (cell == 0) 1.0 else -1.0
+      (i, Seq.fill(8)(base + rng.nextGaussian() * 0.01), cell.toLong)
+    }
+    val got = Similarity.ivfTopK(
+        vecs.toDF("vec_id", "embedding", "cell"), "vec_id", "embedding", "cell",
+        0L, 3, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(got.length == 3)
+    assert(got.forall(_ % 2 == 0)) // all from the query's cluster
+  }
+
+  test("text analysis goldens: tokens, stopword ratio, langid, bpe count") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat",   // 6 tokens, 3 stopwords ("the","on","the")
+      "Zebra quagga xylophone"    // no stopwords
+    ).toDF("text")
+    val out = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("sr"),
+      TextAnalysis.langIdHeuristic(col("text")).as("lang"),
+      TextAnalysis.bpeTokenCount("text").as("bpe")).collect()
+    assert(out(0).getInt(0) == 6)
+    assert(math.abs(out(0).getDouble(1) - 0.5) < 1e-9)
+    assert(out(0).getString(2) == "en")
+    assert(out(1).getString(2) == "unk")
+    assert(out(0).getInt(3) == 6) // pure words -> same as whitespace tokens
+    // punctuation splits into extra BPE-ish tokens
+    val p = Seq("don't stop!").toDF("text")
+      .select(TextAnalysis.bpeTokenCount("text")).head().getInt(0)
+    assert(p == 5) // don | ' | t | stop | !
+  }
+
+  test("fingerprint: deterministic, comma-joined, equal for near-identical docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the  QUICK brown fox jumps over the lazy dog again and again"),
+      (3L, "an entirely different document about streaming watermarks")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.withFingerprint(df, "text")
+      .select("doc_id", "fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))      // normalization-invariant
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L).split(",").length == 8)
+    assert(fp(1L).split(",").forall(s => s.nonEmpty && s.forall(c => c.isDigit || c == '-')))
+  }
+
+  test("quality score keeps clean text and flags punctuation soup") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@")
+    ).toDF("id", "text")
+    val out = TextAnalysis.withQuality(df, "text")
+      .select("id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))
+    assert(!out(2L))
+  }
+}

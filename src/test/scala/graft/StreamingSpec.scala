@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Compaction
+import graft.streaming.{DimensionMaintainer, ObservedKeySet, Pipeline}
+
+/** Streaming-vs-batch parity (SURVEY §5.4): the streaming forms of the
+  * compaction (q07), CDC upsert (q12), and windowed-agg (q17) semantics must
+  * equal their batch analogs over the same finite input, via MemoryStream.
+  * Plus watermark late-data drop (T1/T3) observed through query progress. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventRows(n: Int, seed: Int): Seq[(Long, String, Long, Double)] = {
+    val rng = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (rng.nextInt(5).toLong, s"t${rng.nextInt(3)}",
+        1700000000000000L + rng.nextInt(3600) * 1000000L, rng.nextDouble())
+    }
+  }
+
+  test("q07 parity: streaming latestByKey == batch compaction") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, Long, Double)](spark)
+    val df = stream.toDF().toDF("user_id", "event_type", "ts", "value")
+    val out = Pipeline.latestByKey(df, "user_id", "ts")
+    val q = out.writeStream.format("memory").queryName("q07_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = eventRows(200, 5)
+      // distinct ts per key so the argmax is unique
+      val uniq = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+      stream.addData(uniq.take(100))
+      q.processAllAvailable()
+      stream.addData(uniq.drop(100))
+      q.processAllAvailable()
+      val got = spark.table("q07_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val expect = Compaction.latestByKey(
+          uniq.toDF("user_id", "event_type", "ts", "value"), Seq("user_id"), "ts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("q12 parity: DimensionMaintainer CDC == batch applyUpserts") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val dim = new DimensionMaintainer(spark, "dim_test", Seq("k"), "ord", schema)
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val q = dim.attachTo(
+      stream.toDF().toDF("k", "ord", "v"), tmpDir("ckpt-dim"))
+    try {
+      val b1 = Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"))
+      val b2 = Seq((1L, 2L, "a2"), (4L, 1L, "d1"))
+      val b3 = Seq((2L, 0L, "stale-b0"), (4L, 3L, "d3")) // stale update must lose
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      stream.addData(b3); q.processAllAvailable()
+      val got = dim.current.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val expect = Compaction.latestByKey(
+          (b1 ++ b2 ++ b3).toDF("k", "ord", "v"), Seq("k"), "ord")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == expect)
+      assert(got.contains((4L, 3L, "d3")) && got.contains((2L, 1L, "b1")))
+      // the registered temp view serves the same snapshot
+      assert(spark.table("dim_test").count() == got.size)
+      // K5 eviction
+      dim.evict(Seq(Tuple1(1L)).toDF("k"), "k")
+      assert(!dim.current.collect().map(_.getLong(0)).contains(1L))
+    } finally q.stop()
+  }
+
+  test("q17 parity: streaming windowedAgg == batch window aggregate") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long, Double)](spark)
+    val df = stream.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val out = Pipeline.windowedAgg(df, "ts_utc", "user_id", "value")
+    val q = out.writeStream.format("memory").queryName("q17_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = eventRows(300, 9).map(r => (r._1, r._3, r._4))
+      stream.addData(rows.take(150)); q.processAllAvailable()
+      stream.addData(rows.drop(150)); q.processAllAvailable()
+      val got = spark.table("q17_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      val expect = rows.toDF("user_id", "ts_us", "value")
+        .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), window(col("ts_utc"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("T1/T3: watermark drops late rows (observed via numRowsDroppedByWatermark)") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long, Double)](spark)
+    val df = stream.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val out = Pipeline.windowedAgg(df, "ts_utc", "user_id", "value",
+      windowLen = "10 minutes", delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("t3_stream")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000000L
+      val hour = 3600L * 1000000L
+      stream.addData(Seq((1L, base, 1.0), (1L, base + 2 * hour, 1.0)))
+      q.processAllAvailable() // watermark advances to base + 2h - 10min
+      stream.addData(Seq((1L, base + 1000L, 9.9))) // 2h late -> dropped
+      q.processAllAvailable()
+      stream.addData(Seq((1L, base + 3 * hour, 1.0)))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"expected a late-dropped row, got $dropped")
+      // and the late row's value never appeared in any emitted window
+      val sums = spark.table("t3_stream").collect().map(_.getDouble(3))
+      assert(!sums.exists(s => math.abs(s - 9.9) < 1e-9 || math.abs(s - 10.9) < 1e-9))
+    } finally q.stop()
+  }
+
+  test("on-demand: ObservedKeySet prunes the maintained dimension (F1/J4)") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val dim = new DimensionMaintainer(spark, "dim_od", Seq("k"), "ord", schema)
+    dim.applyBatch(
+      Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"))
+        .toDF("k", "ord", "v"), 0L)
+    val keys = new ObservedKeySet(spark, "k", "BIGINT")
+    val stream = MemoryStream[Long](spark)
+    val q = keys.attachTo(stream.toDF().toDF("k"), tmpDir("ckpt-keys"))
+    try {
+      stream.addData(Seq(2L, 4L, 2L)); q.processAllAvailable()
+      val pruned = dim.onDemandView(keys.current, "k")
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned == Set(2L, 4L))
+      // eviction candidates: observed keys no longer present in a new stream
+      val evict = keys.except(Seq(Tuple1(2L)).toDF("k"), "k")
+        .collect().map(_.getLong(0)).toSet
+      assert(evict == Set(4L))
+    } finally q.stop()
+  }
+
+  test("operationalQuery sees CDC updates applied between micro-batches (live dim)") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, planned DOUBLE")
+    val dim = new DimensionMaintainer(spark, "dim_live", Seq("k"), "ord", schema)
+    dim.applyBatch(Seq((1L, 1L, 10.0)).toDF("k", "ord", "planned"), 0L)
+    val stream = MemoryStream[(Long, Long, Double)](spark)
+    val events = stream.toDF().toDF("k", "ts_us", "qty")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = Pipeline.operationalQuery(
+        events, "ts_utc", () => dim.current, "k", "k", Seq("planned"),
+        Seq("performance" -> (col("qty") / col("planned")))) { (batch, _) =>
+        seen ++= batch.select("k", "performance").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      .option("checkpointLocation", tmpDir("ckpt-live"))
+      .start()
+    try {
+      stream.addData(Seq((1L, 1700000000000000L, 5.0)))
+      q.processAllAvailable()
+      dim.applyBatch(Seq((1L, 2L, 5.0)).toDF("k", "ord", "planned"), 1L)
+      stream.addData(Seq((1L, 1700000060000000L, 5.0)))
+      q.processAllAvailable()
+      // first event saw planned=10 (perf 0.5); second saw the update (perf 1.0)
+      assert(seen.toList == List((1L, 0.5), (1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("operational pipeline: enrich + metric columns over a stream") {
+    import spark.implicits._
+    val dimDf = Seq((1L, 10.0, "A"), (2L, 20.0, "B")).toDF("k", "planned", "grp")
+    val stream = MemoryStream[(Long, Long, Double, Boolean, Boolean)](spark)
+    val events = stream.toDF()
+      .toDF("k", "ts_us", "qty", "down", "bad")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val out = Pipeline.operational(
+      events, "ts_utc", dimDf, "k", "k", Seq("planned", "grp"),
+      Pipeline.oeeColumns(col("qty"), col("planned"), col("down"), col("bad")))
+    val q = out.writeStream.format("memory").queryName("op_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, 1700000000000000L, 5.0, false, false),
+        (2L, 1700000000000000L, 5.0, true, false),
+        (3L, 1700000000000000L, 5.0, false, false))) // no dim row -> null enrich
+      q.processAllAvailable()
+      val rows = spark.table("op_stream")
+        .select("k", "grp", "performance", "availability", "quality", "oee")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+            Option(r.get(4)), Option(r.get(5))))
+        .toMap
+      assert(rows(1L) == ((Some("A"), Some(0.5), Some(1.0), Some(1.0), Some(0.5))))
+      assert(rows(2L) == ((Some("B"), Some(0.25), Some(0.0), Some(1.0), Some(0.0))))
+      assert(rows(3L)._1.isEmpty) // left join kept the unmatched event
+      assert(rows(3L)._5.isEmpty) // missing dim -> null metric (NaN→0 is for NaN only)
+    } finally q.stop()
+  }
+}
