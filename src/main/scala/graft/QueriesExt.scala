@@ -165,12 +165,27 @@ object QueriesExt {
               SELECT vec_id, ROUND(raw_sim, 6) AS sim FROM cand
               ORDER BY raw_sim DESC, vec_id LIMIT 5""")),
 
-    // S2 — sign-LSH ANN (xxhash64-derived hyperplanes; no SQL oracle).
+    // S2 — sign-LSH ANN. Hyperplanes are md5-derived, so DuckDB recomputes
+    // the identical plane matrix and the whole bucket-then-exact-rank
+    // pipeline is mirrored (the last formerly-oracle-less query).
     Entry(
       "s02_ann_lsh",
       (s, d) =>
         Similarity.lshTopK(embs(s, d), "vec_id", "embedding", 0L, 5, nPlanes = 8),
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   s AS (SELECT vec_id, v,
+                                list_sum([CASE WHEN
+                                    list_sum([v[i+1] * ((('0x' || substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 14))::UBIGINT::BIGINT % 2000003) / 1000001.5 - 1.0)
+                                              for i in range(0, 64)]) >= 0
+                                    THEN (1::BIGINT << p) ELSE 0 END
+                                          for p in range(0, 8)])::BIGINT AS bucket
+                         FROM e),
+                   q AS (SELECT v AS qv, bucket AS qb FROM s WHERE vec_id = 0),
+                   cand AS (SELECT s.vec_id AS vec_id,
+                                   list_cosine_similarity(s.v, q.qv) AS raw
+                            FROM s, q WHERE s.bucket = q.qb AND s.vec_id <> 0)
+              SELECT vec_id, ROUND(raw, 6) AS sim FROM cand
+              ORDER BY raw DESC, vec_id LIMIT 5""")),
 
     // T1 — language-ID heuristic (stopword density).
     Entry(

@@ -48,18 +48,24 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    * from xxhash64 so every executor computes identical planes. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000003L)).cast("double") / 1000001.5) - 1.0
+    * from md5 of "plane_dim" (identical on every executor AND reproducible in
+    * the DuckDB oracle as
+    * `(('0x'||substr(md5(p||'_'||i),1,14))::UBIGINT % 2000003)/1000001.5-1`). */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${plane}_${dim}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(14), 16) % 2000003L).toDouble / 1000001.5 - 1.0
+  }
 
-  /** Sign-random-projection LSH bucket id: `nPlanes` sign bits. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  /** Sign-random-projection LSH bucket id: `nPlanes` sign bits. The plane
+    * matrix is computed once at the driver and embedded as literal arrays —
+    * constants, not per-row hash evaluations. */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
+      val plane = typedLit((0 until dims).map(i => planeComponent(p, i)))
       val proj = aggregate(
-        zip_with(
-          vec,
-          transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
-          (x, h) => x.cast("double") * h),
+        zip_with(vec, plane, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -71,8 +77,8 @@ object Similarity {
     * is small (the scale/recall trade ANN makes). */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
-    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), nPlanes))
+      queryId: Long, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), nPlanes, dims))
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_q"), col("_bucket"))
     val cands = bucketed.filter(col(idCol) =!= queryId)

@@ -79,6 +79,14 @@ final class DimensionMaintainer(
   def onDemandView(observedKeys: DataFrame, keyCol: String): DataFrame =
     OnDemand.semiFilter(snapshot, observedKeys, keys.head, keyCol)
 
+  /** K6 — drop: unregister the temp view and release the snapshot
+    * (reference `DROP TABLE IF EXISTS`,
+    * `…/dodetl/imtu/DatabaseManager.scala:153-159`). */
+  def drop(): Unit = synchronized {
+    spark.catalog.dropTempView(name)
+    snapshot.unpersist(blocking = false)
+  }
+
   /** Attach this maintainer to a streaming CDC frame as a foreachBatch sink. */
   def attachTo(cdcStream: DataFrame, checkpoint: String): StreamingQuery =
     cdcStream.writeStream

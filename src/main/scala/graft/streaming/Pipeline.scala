@@ -139,4 +139,35 @@ object Pipeline {
           metricCols.foldLeft(enriched) { case (df, (n, c)) => df.withColumn(n, c) },
           id)
       }
+
+  /** [[operationalQuery]] + F6/T3 late-data buffering: an event whose
+    * dimension row is missing is NOT emitted with null enrichment — it parks
+    * in `buffer` and is retried on every subsequent batch, emitting once its
+    * dimension data has arrived (the reference's `missingDataList`
+    * buffer-and-drain, `…/dodetl/stp/BeamStreamProcessor.scala:56-61,83-98`).
+    * `buffer`'s schema must equal the event schema. */
+  def operationalQueryBuffered(
+      events: DataFrame, tsCol: String,
+      dim: () => DataFrame, streamKey: String, dimKey: String, dimCols: Seq[String],
+      metricCols: Seq[(String, Column)],
+      buffer: LateDataBuffer,
+      delay: String = "10 minutes")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    withEventTimeWatermark(events, tsCol, delay).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val eventCols = batch.columns.toSeq
+        val retry = batch.unionByName(buffer.current)
+        val d = dim().select(
+          col(dimKey).as("_dim_key") +: lit(true).as("_matched") +: dimCols.map(col): _*)
+        val joined = retry
+          .join(d, retry(streamKey) === d("_dim_key"), "left")
+          .drop("_dim_key")
+        val ready = joined.filter(col("_matched")).drop("_matched")
+        val missing = joined.filter(col("_matched").isNull)
+          .select(eventCols.map(col): _*)
+        buffer.replaceWith(missing)
+        writeBatch(
+          metricCols.foldLeft(ready) { case (df, (n, c)) => df.withColumn(n, c) },
+          id)
+      }
 }

@@ -31,14 +31,17 @@ object StreamingDemo {
     val keySet = new ObservedKeySet(spark, "equip", "BIGINT")
     val keyQ = keySet.attachTo(events.select("equip"), s"$ckpt/keys")
 
-    val sinkQ = Pipeline.operationalQuery(
+    val buffer = new graft.streaming.LateDataBuffer(
+      spark, StructType.fromDDL(
+        "equip BIGINT, ts_us BIGINT, qty DOUBLE, down BOOLEAN, bad BOOLEAN, ts_utc TIMESTAMP"))
+    val sinkQ = Pipeline.operationalQueryBuffered(
         events, "ts_utc", () => dim.current, "equip", "equip", Seq("planned", "grp"),
-        Pipeline.oeeColumns(col("qty"), col("planned"), col("down"), col("bad"))) {
-        (batch, _) =>
-          Sinks.jdbcAppend(
-            batch.select("equip", "grp", "qty", "performance",
-              "availability", "quality", "oee"),
-            derby, "oee_metrics")
+        Pipeline.oeeColumns(col("qty"), col("planned"), col("down"), col("bad")),
+        buffer) { (batch, _) =>
+        Sinks.jdbcAppend(
+          batch.select("equip", "grp", "qty", "performance",
+            "availability", "quality", "oee"),
+          derby, "oee_metrics")
       }
       .option("checkpointLocation", s"$ckpt/sink")
       .start()
@@ -50,11 +53,22 @@ object StreamingDemo {
                     (2L, 1700000000000000L, 10.0, true, false)))
     sinkQ.processAllAvailable(); keyQ.processAllAvailable()
 
-    // batch 2: a CDC update changes planned qty for equip 1; new event sees it
+    // batch 2: a CDC update changes planned qty for equip 1; new event sees
+    // it. Also an event for equip 7 whose dimension row doesn't exist yet —
+    // it must buffer, not emit.
     cdc.addData(Seq((1L, 2L, 5.0, "A")))
     cdcQ.processAllAvailable()
-    ops.addData(Seq((1L, 1700000060000000L, 5.0, false, false)))
+    ops.addData(Seq((1L, 1700000060000000L, 5.0, false, false),
+                    (7L, 1700000060000000L, 8.0, false, false)))
     sinkQ.processAllAvailable(); keyQ.processAllAvailable()
+    println(s"=== buffered (missing dim) after batch 2: ${buffer.current.count()} ===")
+
+    // batch 3: equip 7's dimension row arrives; the buffered event drains
+    cdc.addData(Seq((7L, 1L, 16.0, "C")))
+    cdcQ.processAllAvailable()
+    ops.addData(Seq((2L, 1700000120000000L, 5.0, false, true)))
+    sinkQ.processAllAvailable(); keyQ.processAllAvailable()
+    println(s"=== buffered after batch 3 (drained): ${buffer.current.count()} ===")
 
     println("=== maintained dimension (after CDC update) ===")
     dim.current.orderBy("equip").show()

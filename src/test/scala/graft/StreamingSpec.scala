@@ -179,6 +179,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F6/T3: late-data buffer holds unmatched events and re-emits on dim arrival") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, planned DOUBLE")
+    val dim = new DimensionMaintainer(spark, "dim_buf", Seq("k"), "ord", schema)
+    dim.applyBatch(Seq((1L, 1L, 10.0)).toDF("k", "ord", "planned"), 0L)
+    val stream = MemoryStream[(Long, Long, Double)](spark)
+    val events = stream.toDF().toDF("k", "ts_us", "qty")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val buffer = new graft.streaming.LateDataBuffer(
+      spark, StructType.fromDDL("k BIGINT, ts_us BIGINT, qty DOUBLE, ts_utc TIMESTAMP"))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = Pipeline.operationalQueryBuffered(
+        events, "ts_utc", () => dim.current, "k", "k", Seq("planned"),
+        Seq("performance" -> (col("qty") / col("planned"))), buffer) { (batch, _) =>
+        emitted ++= batch.select("k", "performance").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      .option("checkpointLocation", tmpDir("ckpt-buf"))
+      .start()
+    try {
+      // k=9 has no dimension row yet: must buffer, not emit
+      stream.addData(Seq((1L, 1700000000000000L, 5.0), (9L, 1700000000000000L, 9.0)))
+      q.processAllAvailable()
+      assert(emitted.toList == List((1L, 0.5)))
+      assert(buffer.current.count() == 1)
+      // the dimension catches up; next batch drains the buffer
+      dim.applyBatch(Seq((9L, 1L, 3.0)).toDF("k", "ord", "planned"), 1L)
+      stream.addData(Seq((1L, 1700000060000000L, 5.0)))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set((1L, 0.5), (9L, 3.0)))
+      assert(buffer.current.count() == 0)
+    } finally q.stop()
+  }
+
+  test("K6: drop unregisters the dimension temp view") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val dim = new DimensionMaintainer(spark, "dim_drop", Seq("k"), "ord", schema)
+    dim.applyBatch(Seq((1L, 1L, "x")).toDF("k", "ord", "v"), 0L)
+    assert(spark.catalog.tableExists("dim_drop"))
+    dim.drop()
+    assert(!spark.catalog.tableExists("dim_drop"))
+  }
+
   test("operational pipeline: enrich + metric columns over a stream") {
     import spark.implicits._
     val dimDf = Seq((1L, 10.0, "A"), (2L, 20.0, "B")).toDF("k", "planned", "grp")
