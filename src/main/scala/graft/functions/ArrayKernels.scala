@@ -279,6 +279,40 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 /** Column-level entry points for the kernels above. */
 object ArrayKernels {
+
+  /** Register the kernels as SQL functions (via SparkSessionExtensions), so
+    * `spark.sql` users get the same codegen'd kernels:
+    * `SELECT sorted_long_intersect_count(a, b) FROM …`. */
+  def registerSql(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    def info(name: String, clazz: Class[_]) =
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz.getName, name)
+    ext.injectFunction((FunctionIdentifier("long_array_agree"),
+      info("long_array_agree", classOf[LongArrayAgree]),
+      (es: Seq[Expression]) => LongArrayAgree(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("long_array_first_equal"),
+      info("long_array_first_equal", classOf[LongArrayFirstEqual]),
+      (es: Seq[Expression]) => LongArrayFirstEqual(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_long_intersect_count"),
+      info("sorted_long_intersect_count", classOf[SortedLongIntersectCount]),
+      (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", classOf[ShingleHashes]),
+      (es: Seq[Expression]) => ShingleHashes(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes(text, k): k must be a literal, got $other")
+      })))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSig]),
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(hashes, n): n must be a literal, got $other")
+      })))
+  }
   private def c(e: Expression): Column = GraftExpr.column(e)
   private def e(col: Column): Expression = GraftExpr.expression(col)
 
