@@ -277,6 +277,76 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Cosine similarity of two numeric arrays (float or double elements) in one
+  * fused primitive pass (dot product + both norms simultaneously), instead of
+  * three interpreted `aggregate(zip_with(…))` traversals. Runs once per
+  * candidate pair in the similarity joins → codegen'd. Accumulation order is
+  * identical to the sequential HOF form (left-to-right double adds), so
+  * results are bit-identical to it and to the DuckDB oracle. Mirrors the HOF
+  * null semantics: null when lengths differ or any element is null. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cosine"
+
+  private def elemAccessor(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case t => throw new IllegalArgumentException(s"vec_cosine: unsupported element type $t")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val u = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val v = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += u * v; na += u * u; nb += v * v
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $u = (double) $a.${elemAccessor(left)}($i);
+         |    final double $v = (double) $b.${elemAccessor(right)}($i);
+         |    $dot += $u * $v; $na += $u * $u; $nb += $v * $v;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the kernels above. */
 object ArrayKernels {
 
@@ -317,6 +387,7 @@ object ArrayKernels {
   private def e(col: Column): Expression = GraftExpr.expression(col)
 
   def agreeCount(a: Column, b: Column): Column = c(LongArrayAgree(e(a), e(b)))
+  def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def firstEqualIndex(a: Column, b: Column): Column = c(LongArrayFirstEqual(e(a), e(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedLongIntersectCount(e(a), e(b)))

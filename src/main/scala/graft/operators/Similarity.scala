@@ -23,7 +23,11 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused codegen kernel ([[graft.functions.VecCosine]]): one primitive pass
+    * for dot + both norms; bit-identical to the HOF composition
+    * `dot(a,b)/(l2Norm(a)*l2Norm(b))` (same left-to-right accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.ArrayKernels.vecCosine(a, b)
 
   /** Distributed top-k finisher: `orderBy(...).limit(k)` plans as
     * `TakeOrderedAndProject` — each partition keeps its local top-k and only

@@ -29,6 +29,13 @@ object Sinks {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
 
+  /** P14 — processing-time stamp, the reference's `NOW(3)` on each sunk row
+    * (`…/dodetl/utils/JDBCSink.scala:24`). Applied at the sink (batch or
+    * foreachBatch), so the stamp is the processing time of the micro-batch
+    * that landed the row. */
+  def withIngestTime(df: DataFrame, colName: String = "ingest_ts"): DataFrame =
+    df.withColumn(colName, current_timestamp())
+
   /** K2 — JDBC insert sink with the reference's NaN→0.0 coercion
     * (`…/dodetl/utils/JDBCSink.scala:8-32`, NaN at `:21`). Doubles are
     * nanvl'd; writes are Spark's batched JDBC inserts (the reference batched

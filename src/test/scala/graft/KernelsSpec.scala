@@ -84,6 +84,38 @@ class KernelsSpec extends SparkSpec {
     assert(sab == sa.zip(sb).map { case (x, y) => math.min(x, y) })
   }
 
+  test("vecCosine == HOF cosine composition; null on length mismatch") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val rows = (1 to 100).map { _ =>
+      (Seq.fill(16)(rng.nextFloat()), Seq.fill(16)(rng.nextFloat()))
+    }
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => {
+      def d(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+    }
+    val bad = rows.toDF("a", "b")
+      .select(
+        ArrayKernels.vecCosine(col("a"), col("b")).as("k"),
+        hof(col("a"), col("b")).as("h"))
+      .filter(col("k") =!= col("h")) // bit-identical expected, not just close
+      .count()
+    assert(bad == 0)
+    val mism = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(ArrayKernels.vecCosine(col("a"), col("b"))).head()
+    assert(mism.isNullAt(0))
+  }
+
+  test("P14: withIngestTime stamps sink rows with processing time") {
+    import spark.implicits._
+    val before = System.currentTimeMillis() - 1000
+    val out = graft.sources.Sinks.withIngestTime(Seq(1, 2).toDF("x"))
+    val ts = out.select("ingest_ts").collect().map(_.getTimestamp(0).getTime)
+    assert(ts.forall(t => t >= before && t <= System.currentTimeMillis() + 1000))
+  }
+
   test("kernels.sortDistinct dedupes and sorts in place") {
     val a = Array(5L, 1L, 5L, 3L, 1L, 7L)
     val n = kernels.sortDistinct(a)
