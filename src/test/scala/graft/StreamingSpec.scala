@@ -213,6 +213,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T5/T7: restart from checkpoint resumes at committed offsets (no reprocessing)") {
+    val inDir = tmpDir("files-in")
+    val ckpt = tmpDir("ckpt-restart")
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name), rows.mkString("\n") + "\n")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = graft.sources.Sources
+      .fileStream(spark, inDir, "csv", "id BIGINT, v DOUBLE")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.collect().map(_.getLong(0))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    writeFile("f1.csv", Seq("1,0.5", "2,0.5", "3,0.5"))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.sorted == Seq(1L, 2L, 3L))
+
+    writeFile("f2.csv", Seq("4,0.5", "5,0.5"))
+    val q2 = start() // same checkpoint: must NOT re-read f1
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.sorted == Seq(1L, 2L, 3L, 4L, 5L), s"got $seen")
+  }
+
   test("K6: drop unregisters the dimension temp view") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
