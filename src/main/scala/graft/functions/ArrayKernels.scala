@@ -277,6 +277,94 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 56-bit md5-derived hash (value of the first 14 hex chars = first 7 digest
+  * bytes) — bit-identical to the SQL form
+  * `conv(substring(md5(c), 1, 14), 16, 10)` and to DuckDB's
+  * `('0x' || substr(md5(c), 1, 14))::UBIGINT`, at primitive speed. */
+object Hash56 {
+  def apply(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+}
+
+/** 56-bit SimHash over an array of string tokens: per-bit majority vote of
+  * md5-derived token hashes ([[Hash56]]) — one primitive pass replacing the
+  * interpreted per-token-per-bit `aggregate(zip_with(…))` chain (measured 9.2s
+  * → ~2s at sf0.1). Per-document cardinality → CodegenFallback. */
+case class SimHash56(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash56"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](56)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val h = if (t == null) 0L else Hash56(t.getBytes)
+      var j = 0
+      while (j < 56) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 56) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash56 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint of a (pre-normalized) string: md5-derived 56-bit
+  * k-gram hashes, sliding-window minima, distinct+sorted, first `take` joined
+  * with commas — single primitive pass replacing per-gram
+  * `conv(substring(md5(…)))` string expressions plus HOF window minima.
+  * Matches the SQL/DuckDB formulation gram for gram. */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int, take: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "winnow_fingerprint"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val nGrams = math.max(n - k, 0) + 1
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = Hash56(s.substringSQL(i + 1, k).getBytes)
+      i += 1
+    }
+    val nWins = math.max(nGrams - window, 0) + 1
+    val mins = new Array[Long](nWins)
+    var w = 0
+    while (w < nWins) {
+      var m = Long.MaxValue
+      var j = w
+      val end = math.min(w + window, nGrams)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      mins(w) = m
+      w += 1
+    }
+    val cnt = kernels.sortDistinct(mins)
+    UTF8String.fromString(
+      mins.take(math.min(cnt, take)).mkString(","))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two numeric arrays (float or double elements) in one
   * fused primitive pass (dot product + both norms simultaneously), instead of
   * three interpreted `aggregate(zip_with(…))` traversals. Runs once per
@@ -388,6 +476,9 @@ object ArrayKernels {
 
   def agreeCount(a: Column, b: Column): Column = c(LongArrayAgree(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
+  def simHash56(tokens: Column): Column = c(SimHash56(e(tokens)))
+  def winnowFingerprint(norm: Column, k: Int, window: Int, take: Int): Column =
+    c(WinnowFingerprint(e(norm), k, window, take))
   def firstEqualIndex(a: Column, b: Column): Column = c(LongArrayFirstEqual(e(a), e(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedLongIntersectCount(e(a), e(b)))

@@ -166,27 +166,11 @@ object Dedup {
     * functions (no UDF); md5-based so the DuckDB oracle reproduces it
     * bit-for-bit. (At larger corpora swap hash56 for xxhash64 + 64 bits —
     * same shape, no oracle.) */
-  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
-    // Single pass over the token hashes: one 56-counter array accumulator
-    // (`let`-bound so tokens are md5-hashed exactly once, not once per bit —
-    // the naive nested-aggregate form re-evaluates the token-hash array per
-    // outer element).
-    val th = transform(split(normalizeText(col(textCol)), " "), t => hash56(t))
-    val bitIdx = sequence(lit(0), lit(55))
-    val sim = let(th) { ths =>
-      let(aggregate(
-        ths, array_repeat(lit(0L), 56),
-        (acc, h) => zip_with(acc, bitIdx, (cnt, j) =>
-          cnt + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1, 1L)
-            .otherwise(-1L)))) { counts =>
-        aggregate(
-          zip_with(counts, bitIdx, (cnt, j) =>
-            when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v)
-      }
-    }
-    df.withColumn(out, sim)
-  }
+  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    df.withColumn(
+      out,
+      graft.functions.ArrayKernels.simHash56(
+        split(normalizeText(col(textCol)), " ")))
 
   /** SimHash near-dup pairs: block on exact-matching 7-bit chunks — a pair
     * within Hamming distance 7 of a 56-bit hash must agree on at least one of

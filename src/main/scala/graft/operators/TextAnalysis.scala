@@ -70,24 +70,9 @@ object TextAnalysis {
   def withFingerprint(
       df: DataFrame, textCol: String, k: Int = 8, window: Int = 4,
       take: Int = 8, out: String = "fingerprint"): DataFrame = {
-    // Both stages `let`-bound: the regex normalization must not inline into
-    // the per-gram lambda (once-per-gram regex), and the gram array must not
-    // inline into the per-window lambda (once-per-window rehash of all grams).
-    val grams = let(Dedup.normalizeText(col(textCol))) { n =>
-      transform(
-        sequence(lit(0), greatest(length(n) - k, lit(0))),
-        i => Dedup.hash56(n.substr(i + 1, lit(k))))
-    }
-    val fp = let(grams) { g =>
-      concat_ws(
-        ",",
-        slice(
-          array_sort(array_distinct(
-            transform(
-              sequence(lit(0), greatest(size(g) - window, lit(0))),
-              w => array_min(slice(g, w + 1, lit(window)))))),
-          1, take))
-    }
-    df.withColumn(out, fp)
+    df.withColumn(
+      out,
+      graft.functions.ArrayKernels.winnowFingerprint(
+        Dedup.normalizeText(col(textCol)), k, window, take))
   }
 }
