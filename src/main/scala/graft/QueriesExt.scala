@@ -277,6 +277,23 @@ object QueriesExt {
             sha2(col("payload"), 256).as("sha")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
                      sha256(text) AS sha
+              FROM documents""")),
+
+    // M2 — multimodal frame-sampling shape: every stride-th byte offset of
+    // the payload (stand-in for video frame sampling), output as a string so
+    // the compare harness can canonicalize it.
+    Entry(
+      "m02_frame_sample",
+      (s, d) =>
+        Multimodal.sampleOffsets(
+            Multimodal.withPayload(docs(s, d), "doc_id", "text"), stride = 64)
+          .select(
+            col("doc_id"),
+            concat_ws(",", col("sampled_offsets")).as("offsets")),
+      Some("""SELECT doc_id,
+                     array_to_string(
+                       range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64),
+                       ',') AS offsets
               FROM documents"""))
   )
 }

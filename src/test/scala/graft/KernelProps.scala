@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{kernels, Hash56}
+
+/** ScalaCheck properties for the pure (no-Spark) kernel functions — the JVM
+  * loops under the Catalyst expressions (SURVEY §5.3). */
+object KernelProps extends Properties("kernels") {
+
+  property("sortDistinct == sorted+distinct") =
+    forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { xs =>
+      val arr = xs.toArray
+      val n = kernels.sortDistinct(arr)
+      arr.take(n).toSeq == xs.distinct.sorted
+    }
+
+  property("sortDistinct output feeds a correct merge intersect") =
+    forAll(
+      Gen.listOf(Gen.chooseNum(0L, 50L)),
+      Gen.listOf(Gen.chooseNum(0L, 50L))) { (xs, ys) =>
+      val a = xs.toArray; val na = kernels.sortDistinct(a)
+      val b = ys.toArray; val nb = kernels.sortDistinct(b)
+      // same merge scan the SortedLongIntersectCount codegen emits
+      var i = 0; var j = 0; var c = 0
+      while (i < na && j < nb) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c == xs.toSet.intersect(ys.toSet).size
+    }
+
+  property("Hash56 == first-14-hex-chars-of-md5 parsed base 16") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      Hash56(bytes) == java.lang.Long.parseLong(hex.take(14), 16)
+    }
+
+  property("Hash56 is non-negative (fits DuckDB BIGINT cast)") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      Hash56(bs.map(_.toByte).toArray) >= 0L
+    }
+
+  property("splitmix64 is injective on a sample (no accidental collisions)") =
+    forAll(Gen.listOfN(100, Gen.chooseNum(Long.MinValue, Long.MaxValue))) { xs =>
+      val d = xs.distinct
+      d.map(kernels.splitmix64).distinct.size == d.size
+    }
+
+  property("fnv1a64 deterministic across copies") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.map(_.toByte).toArray
+      kernels.fnv1a64(arr) == kernels.fnv1a64(arr.clone())
+    }
+
+  property("minhash containment: signature of a superset is elementwise <=") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { (xs, extra) =>
+      def sig(hs: Seq[Long]): Seq[Long] = {
+        val seeds = (0 until 16).map(i => kernels.splitmix64(0x5EED5EED00000000L + i))
+        seeds.map(s => hs.map(h => kernels.splitmix64(h ^ s)).min)
+      }
+      Prop(sig(xs ++ extra).zip(sig(xs)).forall { case (sup, sub) => sup <= sub })
+    }
+}
