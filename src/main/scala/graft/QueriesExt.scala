@@ -265,6 +265,39 @@ object QueriesExt {
                          FROM g)
               SELECT doc_id, array_to_string(mins[1:8], ',') AS fingerprint FROM m""")),
 
+    // T5 — corpus-trained trigram language classifier: per-label top-200
+    // document-frequency trigram profiles, classify by max overlap. Both
+    // engines train and classify on the same data with integer counts and
+    // deterministic tie-breaks, so the oracle mirrors the whole pipeline.
+    Entry(
+      "t05_langid_ngram",
+      (s, d) =>
+        TextAnalysis.langIdNgram(docs(s, d), "doc_id", "text", "lang"),
+      Some("""WITH n AS (SELECT doc_id, lang,
+                                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   t AS (SELECT doc_id, lang,
+                                unnest(list_distinct([substring(norm, i, 3)
+                                       for i in range(1, greatest(length(norm) - 3, 0) + 2)])) AS tri
+                         FROM n),
+                   c AS (SELECT lang AS plab, tri, count(*) AS c FROM t GROUP BY lang, tri),
+                   p AS (SELECT plab, tri FROM
+                           (SELECT plab, tri,
+                                   row_number() OVER (PARTITION BY plab ORDER BY c DESC, tri ASC) AS rk
+                            FROM c) WHERE rk <= 200),
+                   ov AS (SELECT t.doc_id, p.plab, count(*) AS ov
+                          FROM (SELECT DISTINCT doc_id, tri FROM t) t
+                          JOIN p ON t.tri = p.tri
+                          GROUP BY t.doc_id, p.plab),
+                   pr AS (SELECT doc_id, plab, ov FROM
+                            (SELECT doc_id, plab, ov,
+                                    row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, plab ASC) AS rk
+                             FROM ov) WHERE rk = 1)
+              SELECT d.doc_id AS doc_id,
+                     COALESCE(pr.plab, 'unk') AS lang_pred,
+                     COALESCE(pr.ov, 0) AS n_shared
+              FROM documents d LEFT JOIN pr ON d.doc_id = pr.doc_id""")),
+
     // M1 — multimodal binary-column plumbing: payload bytes + hash (the
     // decode step itself is the stubbed [[Multimodal.decodeFeatures]]).
     Entry(

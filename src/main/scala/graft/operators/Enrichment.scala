@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * parallel at `…/dodetl/stp/BeamStreamProcessor.scala:71-88`).
   *
   * The reference issues one H2 SQL lookup per event per dimension; here the
-  * whole enrichment is a single declarative multi-join plan. Dimensions are
-  * broadcast (MES dims are small); at 100 TB, drop the broadcast hint and let
-  * AQE pick shuffled-hash — or pre-filter the dimension with
-  * [[OnDemand.semiFilter]] (the reference's on-demand trick) first.
+  * whole enrichment is a single declarative multi-join plan. No explicit
+  * broadcast hint: AQE broadcasts dimensions that are actually small at
+  * runtime and falls back to a shuffled join when they are not (a pinned
+  * hint on a 100 TB dimension would OOM the driver). To shrink a large
+  * dimension first, pre-filter it with [[OnDemand.semiFilter]] (the
+  * reference's on-demand trick).
   */
 object Enrichment {
 
@@ -25,7 +27,7 @@ object Enrichment {
       dimKey: String,
       dimCols: Seq[String]): DataFrame = {
     val d = dim.select((dimKey +: dimCols).map(col): _*)
-    fact.join(broadcast(d), fact(factKey) === d(dimKey), "left").drop(d(dimKey))
+    fact.join(d, fact(factKey) === d(dimKey), "left").drop(d(dimKey))
   }
 
   /** Chain of left-outer hops (customer -> nation -> region style snowflake).

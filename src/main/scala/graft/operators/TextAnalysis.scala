@@ -33,6 +33,51 @@ object TextAnalysis {
   def langIdHeuristic(c: Column): Column =
     when(stopwordRatio(c) >= lit(0.1), "en").otherwise("unk")
 
+  /** Corpus-trained character-trigram language ID.
+    *
+    * Train: per label, the `topN` trigrams with the highest document
+    * frequency (distinct trigrams per doc; ties broken lexicographically).
+    * Classify: per doc, the label whose profile shares the most trigrams
+    * (ties → smallest label; no overlap → "unk").
+    *
+    * Everything is relational — trigram explode, per-label windowed top-N,
+    * profile join, per-doc argmax — so both training and inference run as
+    * one Spark job, and the DuckDB oracle reproduces it exactly (integer
+    * counts, deterministic tie-breaks). Scale: profiles are labels × topN
+    * rows (tiny → broadcast); the windows partition by label / doc id, never
+    * globally. At 100 TB you'd train the profile on a sample and persist it;
+    * the classify side is unchanged.
+    *
+    * Output: (idCol, lang_pred, n_shared).
+    */
+  def langIdNgram(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df.select(
+        col(idCol).as("_id"), col(labelCol).as("_lab"),
+        explode(Dedup.charShingles(col(textCol), 3)).as("_tri"))
+    val counts = exploded.groupBy("_lab", "_tri").agg(count(lit(1)).as("_c"))
+    val byLang = Window.partitionBy("_lab").orderBy(col("_c").desc, col("_tri").asc)
+    val profile = counts
+      .withColumn("_rk", row_number().over(byLang))
+      .filter(col("_rk") <= topN)
+      .select(col("_lab").as("_plab"), col("_tri"))
+    val overlap = exploded.select("_id", "_tri")
+      .join(profile, Seq("_tri"))
+      .groupBy("_id", "_plab").agg(count(lit(1)).as("_ov"))
+    val byDoc = Window.partitionBy("_id").orderBy(col("_ov").desc, col("_plab").asc)
+    val pred = overlap
+      .withColumn("_rk", row_number().over(byDoc))
+      .filter(col("_rk") === 1)
+    df.select(col(idCol))
+      .join(pred, col(idCol) === pred("_id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_plab"), lit("unk")).as("lang_pred"),
+        coalesce(col("_ov"), lit(0L)).as("n_shared"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single non-space
     * symbols — the pre-tokenization most BPE vocabularies apply.
     * Takes the column name (builds a SQL expression). */
