@@ -87,7 +87,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val base = df.select(
+    // Repartition at ingest: a small-file source (one parquet file ⇒ one
+    // partition) would otherwise serialize shingle hashing, signature
+    // computation, AND the band join's row emission on a single task — the
+    // per-doc kernels and the join probe inherit this partitioning.
+    val par0 = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par0)
+      .select(
         col(idCol).as("_id"),
         hashedShingles(col(textCol), shingleK).as("_hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
