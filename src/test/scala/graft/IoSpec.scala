@@ -51,6 +51,43 @@ class IoSpec extends SparkSpec {
     assert(Sources.jdbcTable(spark, derbyUrl, "ddl_test").count() == 1)
   }
 
+  test("K1 streaming: csvStreamWriter lands micro-batches as csv files") {
+    import spark.implicits._
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](spark)
+    val outDir = tmpDir("csv-stream-out")
+    val q = Sinks.csvStreamWriter(
+        stream.toDF().toDF("id", "v"), outDir, tmpDir("ckpt-csv"))
+      .start()
+    try {
+      stream.addData(Seq((1L, 1.5), (2L, 2.5)))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, 3.5)))
+      q.processAllAvailable()
+      val back = spark.read.schema("id BIGINT, v DOUBLE").csv(outDir)
+      assert(back.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        == Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    } finally q.stop()
+  }
+
+  test("S4: truncated Avro bytes fail the task; well-formed-looking junk parses") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[{"name":"id","type":"long"},
+        |{"name":"s","type":"string"}]}""".stripMargin
+    // Avro binary is positional (no magic/field tags): [1,2,3] decodes as
+    // id=-1 (zigzag 1), s = 1-byte string "". Silent garbage-in is a
+    // property of the format, worth pinning in a test.
+    val junk = Seq(Array[Byte](1, 2, 3)).toDF("value")
+    val r = AvroDecode.decode(junk, "value", schemaJson).head()
+    assert(r.getLong(0) == -1L && r.getString(1).length == 1)
+    // truncated payload (string length says 1, no bytes follow) must error
+    val truncated = Seq(Array[Byte](1, 2)).toDF("value")
+    intercept[Exception] {
+      AvroDecode.decode(truncated, "value", schemaJson).collect()
+    }
+  }
+
   test("K1: CSV sink round-trip") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b,with,commas", 2.5)).toDF("id", "name", "v")
