@@ -42,6 +42,13 @@ class CompactionSpec extends SparkSpec {
     assert(asSet(twice) == expect)
   }
 
+  test("typed Dataset facade: events load with compile-checked schema") {
+    val ds = graft.model.Schemas.events(spark, "/root/testdata/sf0.001")
+    val e = ds.head() // typed access, no Row casts
+    assert(e.event_id >= 0L && e.ts > 0L)
+    assert(ds.filter((ev: graft.model.Event) => ev.value >= 0.0).count() > 0)
+  }
+
   test("deleteKeys removes exactly the evicted keys") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
