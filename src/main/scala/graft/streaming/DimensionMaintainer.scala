@@ -94,6 +94,30 @@ final class DimensionMaintainer(
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()
+
+  /** On-demand replication (reference F1: a CDC record is applied only if its
+    * key has been observed on the operational stream,
+    * `…/dodetl/imtu/InMemoryTableUpdater.scala:142-146,182-187`): each batch
+    * of updates is semi-join-filtered against the CURRENT observed key set
+    * before folding into the snapshot. At 100 TB this is what keeps the
+    * maintained state proportional to the active key set instead of the full
+    * dimension. Caveat mirrored from the reference: rows whose key is
+    * observed only LATER are not back-filled by the tail — the reference
+    * re-dumps the topic on key-set growth (`…/imtu/InMemoryTableUpdater
+    * .scala:66-70`); here, re-apply a snapshot read
+    * ([[graft.sources.Sources.kafkaSnapshotReader]]) via [[applyBatch]] when
+    * [[ObservedKeySet]] grows. */
+  def attachToOnDemand(
+      cdcStream: DataFrame, checkpoint: String,
+      observedKeys: () => DataFrame, keyCol: String): StreamingQuery =
+    cdcStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(
+          OnDemand.semiFilter(batch, observedKeys(), keys.head, keyCol), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
 }
 
 /** Accumulates the distinct join keys observed on the operational stream —

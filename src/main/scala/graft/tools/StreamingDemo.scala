@@ -79,6 +79,22 @@ object StreamingDemo {
     println("=== OEE metrics landed in Derby ===")
     Sources.jdbcTable(spark, derby, "oee_metrics").orderBy("equip", "performance").show()
 
+    // on-demand replication: a second dimension whose CDC stream is filtered
+    // at APPLY time against the observed key set (keys 1/2/7 were observed
+    // above; CDC rows for 8/9 must not replicate)
+    val shiftSchema = StructType.fromDDL("equip BIGINT, ord BIGINT, shift STRING")
+    val shifts = new DimensionMaintainer(spark, "shifts", Seq("equip"), "ord", shiftSchema)
+    val shiftCdc = MemoryStream[(Long, Long, String)](spark)
+    val odQ = shifts.attachToOnDemand(
+      shiftCdc.toDF().toDF("equip", "ord", "shift"), s"$ckpt/od",
+      () => keySet.current, "equip")
+    shiftCdc.addData(Seq((1L, 1L, "day"), (8L, 1L, "night"), (9L, 1L, "night"),
+                         (7L, 1L, "day")))
+    odQ.processAllAvailable()
+    println("=== on-demand replicated shifts (only observed keys 1,7) ===")
+    shifts.current.orderBy("equip").show()
+    odQ.stop()
+
     Seq(cdcQ, keyQ, sinkQ).foreach(_.stop())
     spark.stop()
   }

@@ -151,6 +151,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F1: on-demand replication filters CDC records at apply time") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val dim = new DimensionMaintainer(spark, "dim_ondemand", Seq("k"), "ord", schema)
+    val keys = new ObservedKeySet(spark, "k", "BIGINT")
+    keys.observeBatch(Seq(Tuple1(2L), Tuple1(4L)).toDF("k"), 0L)
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val q = dim.attachToOnDemand(
+      stream.toDF().toDF("k", "ord", "v"), tmpDir("ckpt-od"),
+      () => keys.current, "k")
+    try {
+      stream.addData(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d")))
+      q.processAllAvailable()
+      // only observed keys replicated — state ∝ active key set
+      assert(dim.current.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+      // a key observed later applies from the NEXT batch on (no back-fill,
+      // as in the reference tail; snapshot re-read is the back-fill path)
+      keys.observeBatch(Seq(Tuple1(3L)).toDF("k"), 1L)
+      stream.addData(Seq((3L, 2L, "c2"), (5L, 1L, "e")))
+      q.processAllAvailable()
+      assert(dim.current.collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("operationalQuery sees CDC updates applied between micro-batches (live dim)") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, planned DOUBLE")
