@@ -138,6 +138,10 @@ object Dedup {
       graft.functions.ArrayKernels.firstEqualIndex(col("_bks_a"), col("_bks_b"))
     val agree =
       graft.functions.ArrayKernels.agreeCount(col("_sig_a"), col("_sig_b"))
+    // Single-stage attach: both payloads in one pair of broadcast joins.
+    // (A staged variant — band keys first, signatures only for first-match
+    // survivors — measured ~35% SLOWER: two extra joins cost more than the
+    // array-copy volume they save.)
     val cand = candRaw
       .repartition(par, col("a_id"), col("b_id"))
       .join(sigsK.select(
