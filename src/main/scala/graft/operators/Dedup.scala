@@ -67,19 +67,23 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * shingle → hash-to-long → minhash → band → bucket-equi-join → verify.
-    * Returns `(a_id, b_id, jaccard)` for pairs whose exact hashed-shingle-set
-    * Jaccard is ≥ `threshold`. Band-bucket join keys are
+    * Returns `(a_id, b_id, jaccard)` for candidate pairs whose exact
+    * hashed-shingle-set Jaccard is ≥ `threshold`. Band-bucket join keys are
     * `(band_index, band_hash)`, so candidates shuffle by bucket; the
     * verification join pulls shingle-hash sets only for surviving candidates.
     *
-    * Recall: a pair at Jaccard j is caught with p = 1-(1-j^rows)^bands; the
-    * default 32 bands × 2 rows gives p ≈ 0.9999 at j = 0.5 and ≈ 1-6e-15 at
-    * j = 0.8 — at the oracle's scale the output equals the exact all-pairs
-    * result (validated against the DuckDB all-pairs oracle).
+    * Output is PROBABILISTICALLY complete, not guaranteed-exact: a true pair
+    * can be missed by (a) LSH banding — caught with p = 1-(1-j^rows)^bands,
+    * ≈ 0.9999 at j = 0.5 for the default 32 bands × 2 rows — and (b) the 4σ
+    * signature-agreement pre-filter (≈ 3e-5 per pair). Every EMITTED pair's
+    * Jaccard is exact. On the driver testdata the output matches the exact
+    * all-pairs DuckDB oracle.
     *
-    * The hashed-shingle frame is persisted: it feeds the banding branch and
-    * both sides of the verification join, and Spark does not share common
-    * subplans across join branches.
+    * The hashed-shingle and signature frames are persisted (each feeds the
+    * banding branch and both sides of a verification join, and Spark does not
+    * share common subplans across join branches) and stay cached after the
+    * call because the result is lazy; callers running many dedups in one
+    * session should `spark.catalog.clearCache()` between them.
     */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -185,7 +189,14 @@ object Dedup {
   /** SimHash near-dup pairs: block on exact-matching 7-bit chunks — a pair
     * within Hamming distance 7 of a 56-bit hash must agree on at least one of
     * the eight chunks (pigeonhole), so candidate recall is GUARANTEED for
-    * `maxHamming` ≤ 7 and the output is exactly the all-pairs result. */
+    * `maxHamming` ≤ 7 and the output is exactly the all-pairs result.
+    *
+    * A pair agreeing on k chunks is produced by k of the eight chunk joins;
+    * instead of a full shuffle `distinct`, each duplicate is eliminated AT
+    * EMISSION by keeping only the row whose chunk index is the FIRST index
+    * where the two hashes agree — pure bit arithmetic on the xor of the two
+    * hashes that are already in the join output (no payload, no extra
+    * shuffle). */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
@@ -202,58 +213,105 @@ object Dedup {
     val b = chunks.select(
       col("_id").as("b_id"), col("simhash").as("b_hash"),
       col("_chunk_idx").as("_ci2"), col("_chunk").as("_c2"))
+    // Chunk i agrees iff bits [7i, 7i+7) of a_hash^b_hash are all zero; the
+    // first agreeing index is a constant-size when-chain over the xor value.
+    val xorHash = col("a_hash").bitwiseXOR(col("b_hash"))
+    val firstAgree = (7 to 0 by -1).foldLeft(lit(-1)) { (acc, i) =>
+      when(shiftright(xorHash, 7 * i).bitwiseAND(lit(0x7FL)) === 0, lit(i))
+        .otherwise(acc)
+    }
     a.join(
         b,
         col("_chunk_idx") === col("_ci2") && col("_chunk") === col("_c2") &&
           col("a_id") < col("b_id"))
+      .filter(col("_chunk_idx") === firstAgree)
       .select(
         col("a_id"), col("b_id"),
-        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
-      .distinct()
+        bit_count(xorHash).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Blocked word-set Jaccard: candidate pairs come only from the same
     * `(blocking cols)` group (the classic blocking trick — at 100 TB the
     * block key bounds the quadratic blow-up), Jaccard computed exactly on
-    * distinct lowercase tokens. */
+    * distinct lowercase tokens.
+    *
+    * Same skew discipline as [[minHashLshPairs]]: the block self-join carries
+    * only `(id, token-count, block key)` — a hot block expands its pairs as
+    * pure row emission; token-hash payloads attach and the merge-intersect
+    * kernel runs only AFTER candidates are repartitioned uniformly by pair
+    * id (AQE cannot split a skewed join's output, only its input bytes).
+    * The token-count carried through the join powers a lossless length-ratio
+    * prune: jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|).
+    *
+    * `base` stays persisted after the call (it feeds the block join and both
+    * payload-attach sides lazily); callers running many dedups in one session
+    * should `spark.catalog.clearCache()` between them. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockingCols: Seq[Column], threshold: Double): DataFrame = {
-    // Token SETS are carried as sorted-distinct 64-bit hashes: set Jaccard is
+    // Token SETS are sorted-distinct 64-bit hashes: set Jaccard is
     // hash-invariant, the arrays are 8-byte-element primitives (vs UTF8
-    // strings) through the block-join shuffle, and the merge-scan intersect
-    // kernel replaces per-pair `array_intersect` hash tables.
+    // strings), and the merge-scan intersect kernel replaces per-pair
+    // `array_intersect` hash tables.
     val toks = graft.functions.ArrayKernels
       .sortedTokenHashes(split(lower(col(textCol)), "\\s+"))
-    val base = df.select(
-      (col(idCol).as("_id") +: toks.as("_toks") +:
-        blockingCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }): _*)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par)
+      .select(
+        (col(idCol).as("_id") +: toks.as("_toks") +:
+          blockingCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val blkKeys = blockingCols.indices.map(i => s"_blk$i")
-    val a = base.select(
-      (col("_id").as("a_id") +: col("_toks").as("_ta") +: blkKeys.map(col)): _*)
-    val b = base.select(
-      (col("_id").as("b_id") +: col("_toks").as("_tb") +: blkKeys.map(col)): _*)
-    val joined = a.join(b, blkKeys).filter(col("a_id") < col("b_id"))
+    val narrow = base.select(
+      (col("_id") +: size(col("_toks")).as("_n") +: blkKeys.map(col)): _*)
+    val a = narrow.select(
+      (col("_id").as("a_id") +: col("_n").as("_na") +: blkKeys.map(col)): _*)
+    val b = narrow.select(
+      (col("_id").as("b_id") +: col("_n").as("_nb") +: blkKeys.map(col)): _*)
+    val candRaw = a.join(b, blkKeys)
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("_na"), col("_nb")) >=
+        lit(threshold) * greatest(col("_na"), col("_nb")))
+      .select("a_id", "b_id")
+    val cand = candRaw
+      .repartition(par, col("a_id"), col("b_id"))
+      .join(base.select(col("_id").as("a_id"), col("_toks").as("_ta")), Seq("a_id"))
+      .join(base.select(col("_id").as("b_id"), col("_toks").as("_tb")), Seq("b_id"))
     val inter = graft.functions.ArrayKernels
       .sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
     val jacc = inter / (size(col("_ta")) + size(col("_tb")) - inter)
-    joined
+    cand
       .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
   }
 
   /** Embedding-cosine near-duplicates, blocked on a coarse bucket column
-    * (IVF-style: compare only within the same coarse cell). */
+    * (IVF-style: compare only within the same coarse cell).
+    *
+    * Skew discipline as in [[minHashLshPairs]]/[[ngramJaccardPairs]]: the
+    * cell self-join emits narrow `(a_id, b_id)` rows only; vectors attach and
+    * [[graft.functions.VecCosine]] runs after a uniform repartition by pair
+    * id, so one hot cell cannot serialize the per-pair compute on one task.
+    * `base` stays persisted after the call (see [[ngramJaccardPairs]]). */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(
-      col(idCol).as("a_id"), col(vecCol).as("_va"), col(blockCol).as("_blk"))
-    val b = df.select(
-      col(idCol).as("b_id"), col(vecCol).as("_vb"), col(blockCol).as("_blk"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col(blockCol).as("_blk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val narrow = base.select(col("_id"), col("_blk"))
+    val candRaw = narrow.select(col("_id").as("a_id"), col("_blk"))
+      .join(narrow.select(col("_id").as("b_id"), col("_blk")), Seq("_blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val cand = candRaw
+      .repartition(par, col("a_id"), col("b_id"))
+      .join(base.select(col("_id").as("a_id"), col("_v").as("_va")), Seq("a_id"))
+      .join(base.select(col("_id").as("b_id"), col("_v").as("_vb")), Seq("b_id"))
     val sim = Similarity.cosine(col("_va"), col("_vb"))
-    a.join(b, Seq("_blk")).filter(col("a_id") < col("b_id"))
+    cand
       .filter(sim >= threshold)
       .select(col("a_id"), col("b_id"), round(sim, 6).as("sim"))
   }

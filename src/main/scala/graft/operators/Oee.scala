@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Oee {
 
-  /** Duration between two epoch-micros longs, as double millis (the reference
-    * computes `getTime` differences in millis). */
-  def durationMs(startUs: Column, endUs: Column): Column =
-    ((endUs - startUs) / lit(1000.0))
-
   /** Append PERFORMANCE / AVAILABILITY / QUALITY / OEE columns to a fact-grain
     * frame. Inputs are column expressions so callers can pass epoch-micros
     * longs or TimestampType-derived durations alike. */

@@ -37,17 +37,22 @@ object Sinks {
     df.withColumn(colName, current_timestamp())
 
   /** K2 — JDBC insert sink with the reference's NaN→0.0 coercion
-    * (`…/dodetl/utils/JDBCSink.scala:8-32`, NaN at `:21`). Doubles are
-    * nanvl'd; writes are Spark's batched JDBC inserts (the reference batched
-    * via `addBatch`/`executeBatch`; `spark.write.jdbc` batches with
-    * `batchsize`, default 1000). */
+    * (`…/dodetl/utils/JDBCSink.scala:8-32`, NaN at `:21`). Double AND float
+    * columns are nanvl'd (the reference coerces per value, type-blind);
+    * writes are Spark's batched JDBC inserts (the reference batched via
+    * `addBatch`/`executeBatch`; `spark.write.jdbc` batches with `batchsize`,
+    * default 1000). */
   def jdbcAppend(
       df: DataFrame, url: String, table: String,
       props: Map[String, String] = Map.empty): Unit = {
     val cleaned = df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (f.dataType == org.apache.spark.sql.types.DoubleType)
-        acc.withColumn(f.name, nanvl(col(f.name), lit(0.0)))
-      else acc
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          acc.withColumn(f.name, nanvl(col(f.name), lit(0.0)))
+        case org.apache.spark.sql.types.FloatType =>
+          acc.withColumn(f.name, nanvl(col(f.name), lit(0.0f)).cast("float"))
+        case _ => acc
+      }
     }
     val p = new Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
@@ -78,13 +83,25 @@ object Sinks {
       case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
       case _ => "VARCHAR(1024)"
     }
-    // identifiers left unquoted so the engine's case normalization matches
-    // Spark's unquoted JDBC references to the same table
+    // Identifiers are validated, not quoted: quoting would freeze case and
+    // mismatch Spark's UNQUOTED JDBC references to the same table (Derby/H2
+    // fold unquoted identifiers to upper case). The whitelist regex rejects
+    // anything that could smuggle DDL (spaces, quotes, semicolons) or collide
+    // with reserved words needing quoting.
+    val ident = "[A-Za-z][A-Za-z0-9_]*".r
+    def validate(kind: String, name: String): String = {
+      require(
+        ident.matches(name),
+        s"$kind identifier '$name' is not a plain [A-Za-z][A-Za-z0-9_]* name")
+      name
+    }
+    validate("table", table)
     val cols = df.schema.fields.map { f =>
       val notNull = if (primaryKey.contains(f.name)) " NOT NULL" else ""
-      s"${f.name} ${typeMap(f.dataType)}$notNull"
+      s"${validate("column", f.name)} ${typeMap(f.dataType)}$notNull"
     }
-    val pk = primaryKey.map(k => s", PRIMARY KEY ($k)").getOrElse("")
+    val pk = primaryKey
+      .map(k => s", PRIMARY KEY (${validate("primary key", k)})").getOrElse("")
     val conn: Connection = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
