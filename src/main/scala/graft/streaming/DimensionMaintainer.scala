@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Compaction, OnDemand}
 
@@ -15,76 +15,74 @@ import graft.operators.{Compaction, OnDemand}
   * dimension table applying Kafka CDC records into embedded H2 via
   * `MERGE INTO … KEY(ID)`).
   *
-  * Design: each micro-batch of CDC updates folds into a persisted snapshot
-  * with newest-wins semantics ([[Compaction.applyUpserts]]); the snapshot is
-  * re-registered as a temp view so concurrent queries always see a complete,
-  * per-batch-consistent version. The reference's Phaser barrier (read-your-
-  * writes for fresh keys, `…/imtu/InMemoryTableUpdaterManager.scala:55-65`)
-  * is subsumed by micro-batch ordering: a batch's joins run strictly after
-  * the dimension batches that precede them in the trigger sequence.
+  * Design: each micro-batch of CDC updates folds into a [[DurableState]]
+  * snapshot with newest-wins semantics ([[Compaction.applyUpserts]]); the
+  * snapshot is re-registered as a temp view so concurrent queries always see
+  * a complete, per-batch-consistent version. The reference's Phaser barrier
+  * (read-your-writes for fresh keys,
+  * `…/imtu/InMemoryTableUpdaterManager.scala:55-65`) is subsumed by
+  * micro-batch ordering: a batch's joins run strictly after the dimension
+  * batches that precede them in the trigger sequence.
+  *
+  * Durability: with a `stateDir` the snapshot is spilled to
+  * `<stateDir>/v<batch>/` parquet per [[DurableState]]'s cadence and RESTORED
+  * on construction — a restarted process resumes with the pre-crash
+  * dimension instead of an empty one (the reference's equivalent is
+  * re-dumping the compacted CDC topic into H2,
+  * `…/imtu/InMemoryTableUpdater.scala:106-127`). Pass the streaming query's
+  * `<checkpoint>/snapshot` so snapshot and offsets live together. The spill
+  * re-read also bounds lineage: the plan re-roots at a file scan instead of
+  * growing one union+agg per micro-batch.
   *
   * 100 TB: the snapshot is a keyed DataFrame, so "in-memory H2" becomes
   * MEMORY_AND_DISK-persisted partitions across the cluster; the per-batch
-  * fold shuffles only distinct keys (map-side-combined `max_by`). Each new
-  * snapshot is persisted and counted before the old one unpersists, cutting
-  * lineage growth (no unbounded union chains).
+  * fold shuffles only distinct keys (map-side-combined `max_by`).
   */
 final class DimensionMaintainer(
     spark: SparkSession,
     val name: String,
     keys: Seq[String],
     ord: String,
-    schema: StructType) {
+    schema: StructType,
+    stateDir: Option[String] = None,
+    spillEvery: Int = 1) {
 
-  @volatile private var snapshot: DataFrame = {
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[Row](), schema)
-    empty.persist(StorageLevel.MEMORY_AND_DISK)
-  }
+  private val state = new DurableState(spark, schema, stateDir, spillEvery)
   register()
 
-  private def register(): Unit = snapshot.createOrReplaceTempView(name)
+  private def register(): Unit = state.current.createOrReplaceTempView(name)
 
   /** The current consistent snapshot (newest-wins per key). */
-  def current: DataFrame = snapshot
+  def current: DataFrame = state.current
 
   /** Apply one micro-batch of CDC updates (same schema incl. `ord`).
-    * Synchronized: one writer at a time; readers see either the old or the
-    * new persisted snapshot, never a partial state. */
-  def applyBatch(updates: DataFrame, batchId: Long): Unit = synchronized {
-    val next = Compaction
-      .applyUpserts(snapshot, updates, keys, ord)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    next.count() // materialize before swapping so readers never recompute
-    val old = snapshot
-    snapshot = next
+    * Synchronized inside [[DurableState.swap]]: one writer at a time; readers
+    * see either the old or the new materialized snapshot, never a partial
+    * state. */
+  def applyBatch(updates: DataFrame, batchId: Long): Unit = {
+    state.swap(Compaction.applyUpserts(state.current, updates, keys, ord))
     register()
-    old.unpersist(blocking = false)
   }
 
   /** Delete rows whose key appears in `evicted` (reference K5/J5). */
-  def evict(evicted: DataFrame, keyCol: String): Unit = synchronized {
-    val next = Compaction
-      .deleteKeys(snapshot, evicted.select(col(keyCol).as(keys.head)), keys.head)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    next.count()
-    val old = snapshot
-    snapshot = next
+  def evict(evicted: DataFrame, keyCol: String): Unit = {
+    state.swap(Compaction.deleteKeys(
+      state.current, evicted.select(col(keyCol).as(keys.head)), keys.head))
     register()
-    old.unpersist(blocking = false)
   }
 
   /** On-demand view: only rows whose key has been observed in the stream
     * (the DOD-ETL paper's core pruning idea, reference F1/J4). */
   def onDemandView(observedKeys: DataFrame, keyCol: String): DataFrame =
-    OnDemand.semiFilter(snapshot, observedKeys, keys.head, keyCol)
+    OnDemand.semiFilter(state.current, observedKeys, keys.head, keyCol)
 
   /** K6 — drop: unregister the temp view and release the snapshot
     * (reference `DROP TABLE IF EXISTS`,
-    * `…/dodetl/imtu/DatabaseManager.scala:153-159`). */
-  def drop(): Unit = synchronized {
+    * `…/dodetl/imtu/DatabaseManager.scala:153-159`). Spilled parquet
+    * versions remain on disk as the durable copy. */
+  def drop(): Unit = {
     spark.catalog.dropTempView(name)
-    snapshot.unpersist(blocking = false)
+    state.release()
   }
 
   /** Attach this maintainer to a streaming CDC frame as a foreachBatch sink. */
@@ -123,32 +121,26 @@ final class DimensionMaintainer(
 /** Accumulates the distinct join keys observed on the operational stream —
   * the "on-demand" key registry (reference
   * `…/dodetl/imtu/InMemoryTableUpdaterManager.scala:55-65`, a concurrent
-  * key set guarded by a Phaser; here a persisted distinct-keys DataFrame
-  * folded per micro-batch). */
-final class ObservedKeySet(spark: SparkSession, keyCol: String, keyType: String) {
+  * key set guarded by a Phaser; here a [[DurableState]] distinct-keys frame
+  * folded per micro-batch — lineage bounded, optionally durable). */
+final class ObservedKeySet(
+    spark: SparkSession, keyCol: String, keyType: String,
+    stateDir: Option[String] = None,
+    spillEvery: Int = 8) {
 
-  @volatile private var keySet: DataFrame = {
-    val empty = spark.sql(s"SELECT CAST(NULL AS $keyType) AS $keyCol").limit(0)
-    empty.persist(StorageLevel.MEMORY_AND_DISK)
-  }
+  private val state = new DurableState(
+    spark, StructType.fromDDL(s"$keyCol $keyType"), stateDir, spillEvery)
 
-  def current: DataFrame = keySet
+  def current: DataFrame = state.current
 
-  def observeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    val next = keySet
-      .unionByName(batch.select(col(keyCol)))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    next.count()
-    val old = keySet
-    keySet = next
-    old.unpersist(blocking = false)
-  }
+  def observeBatch(batch: DataFrame, batchId: Long): Unit =
+    state.swap(
+      state.current.unionByName(batch.select(col(keyCol))).distinct())
 
   /** Keys in this set but absent from `other` — eviction candidates
     * (reference `local ∖ global`, `…/imtu/InMemoryTableUpdater.scala:90-103`). */
   def except(other: DataFrame, otherKeyCol: String): DataFrame =
-    keySet.join(
+    state.current.join(
       other.select(col(otherKeyCol).as(keyCol)).distinct(),
       Seq(keyCol), "left_anti")
 

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.storage.StorageLevel
 
 /** F6/T3 — missing-dimension-data buffering: events whose dimension rows have
   * not arrived yet are held back and re-emitted once they match, instead of
@@ -13,26 +12,26 @@ import org.apache.spark.storage.StorageLevel
   * (`…/dodetl/imtu/InMemoryTableUpdaterManager.scala:19,67-78`, drain at
   * `…/dodetl/stp/BeamStreamProcessor.scala:56-61`, detection `:83-98`).
   *
-  * Here the buffer is a persisted keyed frame swapped per micro-batch (same
-  * lineage-cutting discipline as [[DimensionMaintainer]]); each batch retries
-  * `current ∪ newMisses`. Events whose key never arrives stay buffered —
-  * bound it with a retention policy ([[graft.operators.OnDemand.retainWithin]])
-  * at the call site, as the reference intended (its retention was stubbed).
+  * The buffer is a [[DurableState]] frame swapped per micro-batch: lineage is
+  * bounded, and with a `stateDir` (pass `<checkpoint>/buffer`) the parked
+  * events survive a process restart — by default every swap spills, so a
+  * restart loses nothing but the in-flight batch, which the checkpoint
+  * replays. Events whose key never arrives stay buffered — bound that with a
+  * retention policy ([[graft.operators.OnDemand.retainWithin]]) at the call
+  * site, as the reference intended (its retention was stubbed).
   */
-final class LateDataBuffer(spark: SparkSession, schema: StructType) {
+final class LateDataBuffer(
+    spark: SparkSession, schema: StructType,
+    stateDir: Option[String] = None,
+    spillEvery: Int = 1) {
 
-  @volatile private var buf: DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private val state = new DurableState(spark, schema, stateDir, spillEvery)
 
-  def current: DataFrame = buf
+  def current: DataFrame = state.current
 
-  /** Replace the buffer contents (the still-unmatched rows of this batch). */
-  def replaceWith(stillMissing: DataFrame): Unit = synchronized {
-    val next = stillMissing.persist(StorageLevel.MEMORY_AND_DISK)
-    next.count()
-    val old = buf
-    buf = next
-    old.unpersist(blocking = false)
-  }
+  /** Replace the buffer contents (the still-unmatched rows of this batch).
+    * Call only AFTER the batch's ready rows are emitted/materialized — the
+    * swap releases the previous buffer frame this batch's plans read from
+    * ([[Pipeline.operationalQueryBuffered]] orders this correctly). */
+  def replaceWith(stillMissing: DataFrame): Unit = state.swap(stillMissing)
 }

@@ -145,7 +145,15 @@ object Pipeline {
     * in `buffer` and is retried on every subsequent batch, emitting once its
     * dimension data has arrived (the reference's `missingDataList`
     * buffer-and-drain, `…/dodetl/stp/BeamStreamProcessor.scala:56-61,83-98`).
-    * `buffer`'s schema must equal the event schema. */
+    * `buffer`'s schema must equal the event schema.
+    *
+    * Failure ordering: the ready rows are materialized and handed to
+    * `writeBatch` BEFORE the buffer is mutated, so a `writeBatch` failure
+    * leaves the buffer exactly as the retried batch expects — no parked
+    * event is lost on retry or restart-from-checkpoint (with a durable
+    * buffer, pass `stateDir` to [[LateDataBuffer]]). The inverse order would
+    * drain events in a failed attempt that never emitted them. Emission is
+    * at-least-once across retries, `foreachBatch`'s contract. */
   def operationalQueryBuffered(
       events: DataFrame, tsCol: String,
       dim: () => DataFrame, streamKey: String, dimKey: String, dimCols: Seq[String],
@@ -163,11 +171,15 @@ object Pipeline {
           .join(d, retry(streamKey) === d("_dim_key"), "left")
           .drop("_dim_key")
         val ready = joined.filter(col("_matched")).drop("_matched")
-        val missing = joined.filter(col("_matched").isNull)
-          .select(eventCols.map(col): _*)
-        buffer.replaceWith(missing)
-        writeBatch(
-          metricCols.foldLeft(ready) { case (df, (n, c)) => df.withColumn(n, c) },
-          id)
+        val out = metricCols
+          .foldLeft(ready) { case (df, (n, c)) => df.withColumn(n, c) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          out.count() // materialize while the plan's buffer frame is live
+          writeBatch(out, id) // emit first: a throw here leaves the buffer intact
+          val missing = joined.filter(col("_matched").isNull)
+            .select(eventCols.map(col): _*)
+          buffer.replaceWith(missing)
+        } finally out.unpersist(blocking = false)
       }
 }

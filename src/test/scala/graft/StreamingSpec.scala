@@ -265,6 +265,113 @@ class StreamingSpec extends SparkSpec {
     assert(seen.sorted == Seq(1L, 2L, 3L, 4L, 5L), s"got $seen")
   }
 
+  test("T7: dimension snapshot survives process restart (durable stateDir)") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val inDir = tmpDir("cdc-in")
+    val ckpt = tmpDir("ckpt-durable")
+    val stateDir = ckpt + "/snapshot"
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name), rows.mkString("\n") + "\n")
+    def cdcStream = graft.sources.Sources
+      .fileStream(spark, inDir, "csv", "k BIGINT, ord BIGINT, v STRING")
+
+    val dim1 = new DimensionMaintainer(
+      spark, "dim_durable", Seq("k"), "ord", schema, Some(stateDir))
+    writeFile("b1.csv", Seq("1,1,a1", "2,1,b1"))
+    val q1 = dim1.attachTo(cdcStream, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    dim1.drop()
+
+    // "restart": a NEW maintainer restores the pre-crash snapshot from disk,
+    // BEFORE any stream processing
+    val dim2 = new DimensionMaintainer(
+      spark, "dim_durable", Seq("k"), "ord", schema, Some(stateDir))
+    val restored = dim2.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(restored == Set((1L, 1L, "a1"), (2L, 1L, "b1")), s"got $restored")
+
+    // offsets resume past b1 (not reprocessed), and the restored snapshot
+    // still serves its rows — the round-3 verdict's data-loss scenario
+    writeFile("b2.csv", Seq("1,2,a2", "3,1,c1"))
+    val q2 = dim2.attachTo(cdcStream, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = dim2.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")), s"got $after")
+    dim2.drop()
+  }
+
+  test("F6/T3: writeBatch failure does not drain the buffer (retry-safe order)") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, planned DOUBLE")
+    val dim = new DimensionMaintainer(spark, "dim_retry", Seq("k"), "ord", schema)
+    dim.applyBatch(Seq((1L, 1L, 10.0)).toDF("k", "ord", "planned"), 0L)
+    val inDir = tmpDir("buf-in")
+    val ckpt = tmpDir("ckpt-retry")
+    val bufDir = ckpt + "/buffer"
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name), rows.mkString("\n") + "\n")
+    val bufSchema = StructType.fromDDL("k BIGINT, ts_us BIGINT, qty DOUBLE, ts_utc TIMESTAMP")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start(buffer: graft.streaming.LateDataBuffer) = Pipeline.operationalQueryBuffered(
+        graft.sources.Sources.fileStream(spark, inDir, "csv", "k BIGINT, ts_us BIGINT, qty DOUBLE")
+          .withColumn("ts_utc", timestamp_micros(col("ts_us"))),
+        "ts_utc", () => dim.current, "k", "k", Seq("planned"),
+        Seq("performance" -> (col("qty") / col("planned"))), buffer) { (batch, _) =>
+        if (failOnce.getAndSet(false)) sys.error("transient sink failure")
+        emitted ++= batch.select("k", "performance").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // k=9 has no dim row: parks. First attempt fails in writeBatch.
+    writeFile("e1.csv", Seq("1,1700000000000000,5.0", "9,1700000000000000,9.0"))
+    val buf1 = new graft.streaming.LateDataBuffer(spark, bufSchema, Some(bufDir))
+    val q1 = start(buf1)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(emitted.isEmpty) // failed attempt emitted nothing...
+    assert(buf1.current.count() == 0) // ...and did NOT mutate the buffer
+
+    // restart from the same checkpoint: batch replays, emits k=1, parks k=9
+    val q2 = start(buf1)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(emitted.toList == List((1L, 0.5)))
+    assert(buf1.current.select("k").collect().map(_.getLong(0)).toSet == Set(9L))
+
+    // process restart: a NEW buffer restores the parked event from disk
+    val buf2 = new graft.streaming.LateDataBuffer(spark, bufSchema, Some(bufDir))
+    assert(buf2.current.select("k").collect().map(_.getLong(0)).toSet == Set(9L))
+
+    // dim catches up -> the restored buffer drains on the next batch
+    dim.applyBatch(Seq((9L, 1L, 3.0)).toDF("k", "ord", "planned"), 1L)
+    writeFile("e2.csv", Seq("1,1700000060000000,5.0"))
+    val q3 = start(buf2)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(emitted.toSet == Set((1L, 0.5), (9L, 3.0)))
+    assert(buf2.current.count() == 0)
+  }
+
+  test("lineage stays bounded across many state swaps (ObservedKeySet/DurableState)") {
+    import spark.implicits._
+    val keys = new ObservedKeySet(spark, "k", "BIGINT") // no stateDir: localCheckpoint path
+    (1 to 50).foreach { i =>
+      keys.observeBatch(Seq(Tuple1(i.toLong), Tuple1((i % 7).toLong)).toDF("k"), i.toLong)
+    }
+    val nodes = keys.current.queryExecution.optimizedPlan.collect { case p => p }.size
+    // one union+distinct per batch would be 100+ nodes after 50 batches; the
+    // spill cadence (default 8) re-roots the plan, bounding depth
+    assert(nodes <= 40, s"optimized plan has $nodes nodes — lineage is growing unbounded")
+    assert(keys.current.count() == 51) // {1..50} ∪ {0..6}
+  }
+
   test("K6: drop unregisters the dimension temp view") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
