@@ -35,18 +35,33 @@ object Bench {
     // warm for a 4-column scan).
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
-    val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qJson = results
+    val results: Seq[(String, Either[String, Double])] =
+      headline.filter(qs.contains).map { name =>
+        val t0 = System.nanoTime()
+        val r = try {
+          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            Left(e.toString.takeWhile(_ != '\n'))
+        }
+        // release caches a query left behind (the dedup builders persist
+        // intermediates) so one query's cache pressure can't skew the next
+        spark.catalog.clearCache()
+        name -> r
+      }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val failures = results.collect { case (k, Left(_)) => k }
+    val qJson = ok
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val fJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a failed query is EXCLUDED from `queries`/total and listed in
+    // `failures` + nonzero exit — erroring instantly must not read as fast
+    val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"sf":"$sfDir"}"""
     // stdout AND a file: sbt's log decoration ([info] prefixes) makes the
     // printed line unparseable to callers that scrape stdout, so the file is
     // the machine-readable channel.
@@ -54,5 +69,6 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

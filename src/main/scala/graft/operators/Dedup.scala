@@ -19,6 +19,17 @@ import org.apache.spark.storage.StorageLevel
   * SELECT-rounded structure (a raw score inside [t-5e-7, t) must fail on both
   * engines identically).
   */
+/** A lazily-built pair frame plus OWNERSHIP of the intermediate frames the
+  * builder persisted: materialize `result` (action), then [[close]] to
+  * release the caches. The `*Managed` variants return this so a pipeline
+  * running many dedups in one session releases each call's caches instead of
+  * accumulating them until eviction pressure (or a blanket `clearCache()`). */
+final case class ManagedPairs(result: DataFrame, cached: Seq[DataFrame]) {
+  /** Unpersist the intermediates (blocking, so `getPersistentRDDs` is clean
+    * on return). Actions on `result` after close recompute from source. */
+  def close(): Unit = cached.foreach(_.unpersist(blocking = true))
+}
+
 object Dedup {
 
   /** Exact full-row dedup — a hash aggregation over all columns. */
@@ -83,12 +94,20 @@ object Dedup {
     * banding branch and both sides of a verification join, and Spark does not
     * share common subplans across join branches) and stay cached after the
     * call because the result is lazy; callers running many dedups in one
-    * session should `spark.catalog.clearCache()` between them.
+    * session should use [[minHashLshPairsManaged]] and `close()` after
+    * materializing (or `spark.catalog.clearCache()` between calls).
     */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minHashLshPairsManaged(df, idCol, textCol, shingleK, numHashes, bands, threshold).result
+
+  /** [[minHashLshPairs]] with cache ownership — see [[ManagedPairs]]. */
+  def minHashLshPairsManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): ManagedPairs = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // Repartition at ingest: a small-file source (one parquet file ⇒ one
@@ -163,9 +182,10 @@ object Dedup {
     val inter = graft.functions.ArrayKernels
       .sortedIntersectCount(col("_hs_a"), col("_hs_b")).cast("double")
     val jacc = inter / (size(col("_hs_a")) + size(col("_hs_b")) - inter)
-    withSets
+    val out = withSets
       .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jaccard"))
+    ManagedPairs(out, Seq(base, sigs))
   }
 
   /** 56-bit token hash both engines can compute identically: the top 14 hex
@@ -246,10 +266,17 @@ object Dedup {
     *
     * `base` stays persisted after the call (it feeds the block join and both
     * payload-attach sides lazily); callers running many dedups in one session
-    * should `spark.catalog.clearCache()` between them. */
+    * should use [[ngramJaccardPairsManaged]] and `close()` after
+    * materializing. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      blockingCols: Seq[Column], threshold: Double): DataFrame = {
+      blockingCols: Seq[Column], threshold: Double): DataFrame =
+    ngramJaccardPairsManaged(df, idCol, textCol, blockingCols, threshold).result
+
+  /** [[ngramJaccardPairs]] with cache ownership — see [[ManagedPairs]]. */
+  def ngramJaccardPairsManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      blockingCols: Seq[Column], threshold: Double): ManagedPairs = {
     // Token SETS are sorted-distinct 64-bit hashes: set Jaccard is
     // hash-invariant, the arrays are 8-byte-element primitives (vs UTF8
     // strings), and the merge-scan intersect kernel replaces per-pair
@@ -281,9 +308,10 @@ object Dedup {
     val inter = graft.functions.ArrayKernels
       .sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
     val jacc = inter / (size(col("_ta")) + size(col("_tb")) - inter)
-    cand
+    val out = cand
       .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
+    ManagedPairs(out, Seq(base))
   }
 
   /** Embedding-cosine near-duplicates, blocked on a coarse bucket column
@@ -293,10 +321,17 @@ object Dedup {
     * cell self-join emits narrow `(a_id, b_id)` rows only; vectors attach and
     * [[graft.functions.VecCosine]] runs after a uniform repartition by pair
     * id, so one hot cell cannot serialize the per-pair compute on one task.
-    * `base` stays persisted after the call (see [[ngramJaccardPairs]]). */
+    * `base` stays persisted after the call (see [[ngramJaccardPairs]]);
+    * [[embeddingNearDupPairsManaged]] owns it. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    embeddingNearDupPairsManaged(df, idCol, vecCol, blockCol, threshold).result
+
+  /** [[embeddingNearDupPairs]] with cache ownership — see [[ManagedPairs]]. */
+  def embeddingNearDupPairsManaged(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): ManagedPairs = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.repartition(par)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col(blockCol).as("_blk"))
@@ -311,8 +346,9 @@ object Dedup {
       .join(base.select(col("_id").as("a_id"), col("_v").as("_va")), Seq("a_id"))
       .join(base.select(col("_id").as("b_id"), col("_v").as("_vb")), Seq("b_id"))
     val sim = Similarity.cosine(col("_va"), col("_vb"))
-    cand
+    val out = cand
       .filter(sim >= threshold)
       .select(col("a_id"), col("b_id"), round(sim, 6).as("sim"))
+    ManagedPairs(out, Seq(base))
   }
 }

@@ -64,7 +64,13 @@ object Similarity {
 
   /** Sign-random-projection LSH bucket id: `nPlanes` sign bits. The plane
     * matrix is computed once at the driver and embedded as literal arrays —
-    * constants, not per-row hash evaluations. */
+    * constants, not per-row hash evaluations.
+    *
+    * A vector whose length ≠ `dims` raises at execution time: `zip_with`
+    * would null-pad the projection, every such row would silently land in
+    * bucket 0, and [[lshTopK]] would degrade to a full scan of bucket 0 with
+    * no error — fail fast instead (one `size` compare per row, negligible
+    * next to the `nPlanes × dims` projection). */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val plane = typedLit((0 until dims).map(i => planeComponent(p, i)))
@@ -73,7 +79,10 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $dims-dim vector, got "),
+        size(vec).cast("string"))))
   }
 
   /** ANN via LSH: search only vectors sharing the query's bucket. Recall is

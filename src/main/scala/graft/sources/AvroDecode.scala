@@ -7,7 +7,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.avro.util.Utf8
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.types._
 
 /** S4 — Avro deserialization (reference: Confluent `KafkaAvroDeserializer`
@@ -83,6 +83,61 @@ object AvroDecode {
           toRowValue(record.get(f.pos()))))
       }
     }(Encoders.row(sparkSchema))
+  }
+
+  /** Per-record schema evolution (the reference reads the WRITER schema off
+    * every CDC record via its registry deserializer,
+    * `…/dodetl/imtu/InMemoryTableUpdater.scala:191,196`): decode
+    * registry-framed records — magic byte 0x0 + 4-byte big-endian schema id +
+    * Avro binary payload — resolving each record's writer schema against one
+    * `readerSchemaJson`. Avro schema resolution applies: fields added with a
+    * default materialize the default for old writers; fields the reader
+    * dropped are skipped. FAILS LOUDLY (task error) on an unknown schema id
+    * or a bad magic byte instead of decoding garbage — [[decode]]'s
+    * fixed-schema path would silently misparse positionally.
+    *
+    * `mapPartitions` justification as in [[decode]]: the resolved
+    * reader-per-writer-id cache is per-partition state. */
+  def decodeFramed(
+      df: DataFrame, binCol: String,
+      schemasById: Map[Int, String], readerSchemaJson: String): DataFrame = {
+    val sparkSchema = toSparkSchema(readerSchemaJson)
+    val bytesDs = df.select(col(binCol)).as(Encoders.BINARY)
+    bytesDs.mapPartitions { it =>
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      val parsed = schemasById.map { case (id, json) =>
+        id -> new Schema.Parser().parse(json)
+      }
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      it.map { bytes =>
+        require(
+          bytes.length >= 5 && bytes(0) == 0x0,
+          s"not a registry-framed Avro record (len=${bytes.length}, " +
+            s"magic=${if (bytes.nonEmpty) bytes(0) else "<empty>"})")
+        val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+        val reader = readers.getOrElseUpdate(id, {
+          val writerSchema = parsed.getOrElse(
+            id, throw new IllegalStateException(
+              s"unknown writer schema id $id — register it before decoding"))
+          new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
+        })
+        val decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+        val record = reader.read(null, decoder)
+        Row.fromSeq(readerSchema.getFields.asScala.toSeq.map(f =>
+          toRowValue(record.get(f.name()))))
+      }
+    }(Encoders.row(sparkSchema))
+  }
+
+  /** Frame Avro binary as registry wire format (magic 0x0 + schema id) —
+    * the encode-side mate of [[decodeFramed]]. */
+  def encodeFramed(
+      df: DataFrame, avroSchemaJson: String, schemaId: Int,
+      out: String = "value"): DataFrame = {
+    val plain = encode(df, avroSchemaJson, out)
+    val header = new Array[Byte](5)
+    java.nio.ByteBuffer.wrap(header).put(0x0.toByte).putInt(schemaId)
+    plain.select(concat(lit(header), col(out)).as(out))
   }
 
   /** Encode rows to Avro binary (test/round-trip helper and K-side building

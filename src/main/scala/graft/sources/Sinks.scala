@@ -79,20 +79,38 @@ object Sinks {
       case org.apache.spark.sql.types.LongType => "BIGINT"
       case org.apache.spark.sql.types.IntegerType => "INT"
       case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+      // REAL = 4-byte float on Derby/H2/Postgres — matches jdbcAppend's
+      // FloatType handling (a VARCHAR here would stringify appended floats)
+      case org.apache.spark.sql.types.FloatType => "REAL"
       case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
       case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
       case _ => "VARCHAR(1024)"
     }
     // Identifiers are validated, not quoted: quoting would freeze case and
     // mismatch Spark's UNQUOTED JDBC references to the same table (Derby/H2
-    // fold unquoted identifiers to upper case). The whitelist regex rejects
-    // anything that could smuggle DDL (spaces, quotes, semicolons) or collide
-    // with reserved words needing quoting.
+    // fold unquoted identifiers to upper case). The whitelist regex prevents
+    // DDL injection (spaces, quotes, semicolons cannot appear); separately,
+    // common SQL reserved words are rejected because unquoted they produce
+    // broken DDL (the list is the ANSI core both Derby and H2 reserve — not
+    // exhaustive, but it catches the names people actually try). Leading
+    // underscores stay rejected: Derby's grammar refuses them UNQUOTED, and
+    // this sink never quotes (the engine's `_`-prefixed columns are internal
+    // plan columns that are projected away before any sink).
     val ident = "[A-Za-z][A-Za-z0-9_]*".r
+    val reserved = Set(
+      "select", "from", "where", "group", "order", "by", "having", "join",
+      "inner", "outer", "left", "right", "on", "union", "insert", "update",
+      "delete", "create", "drop", "alter", "table", "index", "primary",
+      "key", "not", "null", "and", "or", "in", "is", "as", "distinct",
+      "between", "like", "exists", "case", "when", "then", "else", "end",
+      "user", "current_date", "current_time", "current_timestamp")
     def validate(kind: String, name: String): String = {
       require(
         ident.matches(name),
         s"$kind identifier '$name' is not a plain [A-Za-z][A-Za-z0-9_]* name")
+      require(
+        !reserved.contains(name.toLowerCase(java.util.Locale.ROOT)),
+        s"$kind identifier '$name' is a SQL reserved word and would need quoting")
       name
     }
     validate("table", table)

@@ -93,6 +93,22 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("managed variants release their caches (no persistent-RDD leak)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = corpus.toDF("doc_id", "text")
+    // two consecutive managed runs, each materialized then closed
+    Seq(
+      Dedup.minHashLshPairsManaged(df, "doc_id", "text", threshold = 0.5),
+      Dedup.ngramJaccardPairsManaged(df, "doc_id", "text", Seq(lit(1)), 0.4)
+    ).foreach { m =>
+      assert(m.result.count() > 0)
+      m.close()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("byNormalizedText groups case/whitespace variants") {
     import spark.implicits._
     val out = Dedup.byNormalizedText(corpus.toDF("doc_id", "text"), "doc_id", "text")

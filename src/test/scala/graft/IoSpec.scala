@@ -51,6 +51,71 @@ class IoSpec extends SparkSpec {
     assert(Sources.jdbcTable(spark, derbyUrl, "ddl_test").count() == 1)
   }
 
+  test("K4: float columns map to REAL; reserved/injection identifiers rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5f), (2L, Float.NaN)).toDF("id", "score")
+    // FloatType must create REAL, so the NaN→0 float append lands as a
+    // float, not a string
+    Sinks.createTableFromSchema(derbyUrl, "float_ddl", df, primaryKey = Some("id"))
+    Sinks.jdbcAppend(df, derbyUrl, "float_ddl")
+    val got = Sources.jdbcTable(spark, derbyUrl, "float_ddl")
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSet
+    assert(got == Set((1L, 1.5f), (2L, 0.0f)))
+    // reserved word -> rejected before any DDL runs
+    intercept[IllegalArgumentException] {
+      Sinks.createTableFromSchema(derbyUrl, "order", df)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.createTableFromSchema(
+        derbyUrl, "t2", Seq((1L, "x")).toDF("id", "select"))
+    }
+    // injection shapes still rejected, and so are leading underscores
+    // (Derby refuses them unquoted — this sink never quotes)
+    intercept[IllegalArgumentException] {
+      Sinks.createTableFromSchema(derbyUrl, "t3; DROP TABLE x", df)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.createTableFromSchema(
+        derbyUrl, "t4", Seq((1L, "x")).toDF("id", "_score"))
+    }
+  }
+
+  test("S4 evolution: framed records decode per-writer-schema; unknown id fails") {
+    import spark.implicits._
+    val v1 =
+      """{"type":"record","name":"Dim","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val v2 =
+      """{"type":"record","name":"Dim","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"},
+        |{"name":"score","type":"double","default":-1.0}]}""".stripMargin
+    val oldRecs = AvroDecode.encodeFramed(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), v1, schemaId = 1)
+    val newRecs = AvroDecode.encodeFramed(
+      Seq((3L, "c", 9.5)).toDF("id", "name", "score"), v2, schemaId = 2)
+    // a mixed stream (ALTER mid-stream) decodes with per-record resolution:
+    // v1 writers materialize v2's default
+    val got = AvroDecode.decodeFramed(
+        oldRecs.unionByName(newRecs), "value", Map(1 -> v1, 2 -> v2), v2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", -1.0), (2L, "b", -1.0), (3L, "c", 9.5)))
+    // an UNREGISTERED writer id fails the task loudly (no positional garbage)
+    val e = intercept[Exception] {
+      AvroDecode.decodeFramed(
+        AvroDecode.encodeFramed(Seq((9L, "z")).toDF("id", "name"), v1, schemaId = 7),
+        "value", Map(1 -> v1), v1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unknown writer schema id")))
+    // unframed bytes fail the magic check instead of misparsing
+    intercept[Exception] {
+      AvroDecode.decodeFramed(
+        AvroDecode.encode(Seq((9L, "z")).toDF("id", "name"), v1),
+        "value", Map(1 -> v1), v1).collect()
+    }
+  }
+
   test("K1 streaming: csvStreamWriter lands micro-batches as csv files") {
     import spark.implicits._
     val stream =

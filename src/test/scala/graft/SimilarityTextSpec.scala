@@ -45,6 +45,25 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got.forall(_ % 2 == 0)) // all from the query's cluster
   }
 
+  test("lshBucket fails fast on a dims mismatch instead of bucketing to 0") {
+    import spark.implicits._
+    val rng = new Random(23)
+    val vecs = (0L until 10L).map(i => (i, Seq.fill(32)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // correct dims: buckets compute, more than one bucket on random data
+    val ok = df.select(Similarity.lshBucket(col("embedding"), 8, 32).as("b"))
+      .collect().map(_.getLong(0))
+    assert(ok.length == 10)
+    // wrong dims: raises instead of silently sending every row to bucket 0
+    val e = intercept[Exception] {
+      Similarity.lshTopK(df, "vec_id", "embedding", 0L, 3, nPlanes = 8, dims = 64)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lshBucket")), s"got $e")
+  }
+
   test("text analysis goldens: tokens, stopword ratio, langid, bpe count") {
     import spark.implicits._
     val df = Seq(
