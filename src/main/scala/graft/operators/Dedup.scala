@@ -32,6 +32,29 @@ final case class ManagedPairs(result: DataFrame, cached: Seq[DataFrame]) {
 
 object Dedup {
 
+  /** Corpus-size gate for the candidate/attach join strategy shared by
+    * [[minHashLshPairs]]/[[ngramJaccardPairs]]/[[embeddingNearDupPairs]].
+    *
+    * At or below this many documents, the whole per-doc payload frame
+    * (hashed shingles / token hashes / vectors — roughly 0.25–4 KB per doc,
+    * so ≤ ~64k docs ≈ ≤ ~256 MB) is explicitly `broadcast()` into the
+    * candidate and attach joins. The candidate join's stream side then keeps
+    * its uniform ingest partitioning — a hot block's pairs are emitted
+    * across ALL stream tasks, not concentrated in one — so the per-pair
+    * kernels pipeline in the same stage with NO repartition and no extra
+    * exchanges (one stage end-to-end after the payload cache).
+    *
+    * Above it, payloads cannot broadcast: the block join shuffles by block
+    * key, which DOES concentrate each block's n² pair emission in one task —
+    * AQE cannot split skewed join OUTPUT, only input bytes — so the scale
+    * discipline applies: emit narrow (id, id) rows, repartition uniformly by
+    * pair id, then attach payloads and run the kernels at full parallelism.
+    *
+    * This is the strategy decision AQE cannot make (it never sees output
+    * explosion), made with the one stat that predicts it: corpus size,
+    * known for free from materializing the payload cache. */
+  val defaultMaxBroadcastDocs: Long = 64 * 1024
+
   /** Exact full-row dedup — a hash aggregation over all columns. */
   def exact(df: DataFrame): DataFrame = df.dropDuplicates()
 
@@ -100,14 +123,17 @@ object Dedup {
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame =
-    minHashLshPairsManaged(df, idCol, textCol, shingleK, numHashes, bands, threshold).result
+      threshold: Double = 0.5,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame =
+    minHashLshPairsManaged(
+      df, idCol, textCol, shingleK, numHashes, bands, threshold, maxBroadcastDocs).result
 
   /** [[minHashLshPairs]] with cache ownership — see [[ManagedPairs]]. */
   def minHashLshPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): ManagedPairs = {
+      threshold: Double = 0.5,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): ManagedPairs = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // Repartition at ingest: a small-file source (one parquet file ⇒ one
@@ -123,28 +149,47 @@ object Dedup {
     val sigs = base.select(
         col("_id"), minHashSignature(col("_hs"), numHashes).as("_sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the caches once (both join branches then read cached
+    // blocks) and learn the corpus size — the [[defaultMaxBroadcastDocs]]
+    // strategy gate.
+    val nDocs = sigs.count()
+    val direct = nDocs <= maxBroadcastDocs
+    // Narrow-mode attaches hint SHUFFLE_HASH: the build side is the per-doc
+    // payload frame (bounded per partition by the shuffle partition count);
+    // sort-merge would instead SORT the candidate-pair stream — hundreds of
+    // millions of rows — once per attach (measured 23× the CPU of the hash
+    // attach at 4× replication).
+    def attach(f: DataFrame): DataFrame =
+      if (direct) broadcast(f) else f.hint("shuffle_hash")
     val sigsK = sigs.select(
       col("_id"), col("_sig"), bandKeys(col("_sig"), bands, rows).as("_bks"))
-    // The band-bucket self-join carries ONLY (id, band, bandHash). Band-hash
-    // buckets are skewed (a hot bucket expands n² pairs in ONE join task, and
-    // AQE cannot see output explosion, only input bytes), so any non-trivial
-    // per-pair compute placed inside this join would serialize on the hot
-    // task. Keeping the join rows narrow makes the hot task pure row
-    // emission; all heavy per-pair work happens after the repartition below.
+    // The band-bucket self-join carries ONLY (id, band, bandHash). When the
+    // join shuffles by bucket, hot band-hash buckets expand n² pairs in ONE
+    // join task (AQE cannot see output explosion, only input bytes), so any
+    // non-trivial per-pair compute placed inside this join would serialize
+    // on the hot task. Keeping the join rows narrow makes the hot task pure
+    // row emission. In direct (broadcast) mode the build side is broadcast,
+    // the stream side keeps its uniform ingest partitioning, and the hot-task
+    // problem does not arise at all.
     val banded = sigsK.select(
       col("_id"),
       posexplode(col("_bks")).as(Seq("_band", "_bh")))
     val a = banded.select(col("_id").as("a_id"), col("_band"), col("_bh"))
     val b = banded.select(
       col("_id").as("b_id"), col("_band").as("_band2"), col("_bh").as("_bh2"))
+    // band join build side: broadcast in direct mode; in narrow mode leave
+    // it UNHINTED — bucket keys are the skewed ones, and AQE's skew-join
+    // splitting works on the sort-merge plan it picks there
     val candRaw = a.join(
-        b,
+        if (direct) broadcast(b) else b,
         col("_band") === col("_band2") && col("_bh") === col("_bh2") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("_band"))
-    // Redistribute candidate rows uniformly by pair id, then attach the
-    // signature + band-key arrays (small keyed frame — Spark broadcasts it)
-    // and do the per-pair work at full parallelism:
+    // Narrow mode: redistribute candidate rows uniformly by pair id, then
+    // attach the signature + band-key arrays and do the per-pair work at
+    // full parallelism. Direct mode: candidates are already uniform over the
+    // stream tasks, so no repartition — the attaches broadcast and the whole
+    // path below is ONE pipelined stage. Per-pair work either way:
     //  * first-match dedup: a pair matching in k bands appears k times; keep
     //    only the row whose _band is the FIRST agreeing band — exact dedup
     //    with a 32-element compare instead of a 16M-row shuffle distinct.
@@ -161,27 +206,34 @@ object Dedup {
       graft.functions.ArrayKernels.firstEqualIndex(col("_bks_a"), col("_bks_b"))
     val agree =
       graft.functions.ArrayKernels.agreeCount(col("_sig_a"), col("_sig_b"))
-    // Single-stage attach: both payloads in one pair of broadcast joins.
-    // (A staged variant — band keys first, signatures only for first-match
-    // survivors — measured ~35% SLOWER: two extra joins cost more than the
-    // array-copy volume they save.)
-    val cand = candRaw
-      .repartition(par, col("a_id"), col("b_id"))
-      .join(sigsK.select(
-        col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a")),
+    // Single-stage attach: both payloads in one pair of joins. (A staged
+    // variant — band keys first, signatures only for first-match survivors —
+    // measured ~35% SLOWER: two extra joins cost more than the array-copy
+    // volume they save.) In narrow mode the attach joins are sort-merge
+    // (payloads exceed broadcast size by construction), which reshuffles by
+    // the single id key — uniform unless one document dominates the
+    // candidate set, which the banding bounds.
+    val cand0 =
+      if (direct) candRaw else candRaw.repartition(par, col("a_id"), col("b_id"))
+    val cand = cand0
+      .join(attach(sigsK.select(
+        col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a"))),
         Seq("a_id"))
-      .join(sigsK.select(
-        col("_id").as("b_id"), col("_sig").as("_sig_b"), col("_bks").as("_bks_b")),
+      .join(attach(sigsK.select(
+        col("_id").as("b_id"), col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))),
         Seq("b_id"))
       .filter(firstMatch === col("_band") + 1)
       .filter(agree >= lit(sigCut * numHashes))
       .select("a_id", "b_id")
     val withSets = cand
-      .join(base.select(col("_id").as("a_id"), col("_hs").as("_hs_a")), Seq("a_id"))
-      .join(base.select(col("_id").as("b_id"), col("_hs").as("_hs_b")), Seq("b_id"))
-    val inter = graft.functions.ArrayKernels
-      .sortedIntersectCount(col("_hs_a"), col("_hs_b")).cast("double")
-    val jacc = inter / (size(col("_hs_a")) + size(col("_hs_b")) - inter)
+      .join(attach(base.select(col("_id").as("a_id"), col("_hs").as("_hs_a"))), Seq("a_id"))
+      .join(attach(base.select(col("_id").as("b_id"), col("_hs").as("_hs_b"))), Seq("b_id"))
+    // Thresholded merge ([[graft.functions.SortedJaccardGeq]]): exact Jaccard
+    // for pairs that can reach the threshold, early-exit -1 for the rest —
+    // the emitted set is identical to the full-merge formulation (and the
+    // DuckDB oracle), the bail only skips provably-failing suffixes.
+    val jacc = graft.functions.ArrayKernels
+      .sortedJaccardGeq(col("_hs_a"), col("_hs_b"), threshold)
     val out = withSets
       .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jaccard"))
@@ -256,13 +308,17 @@ object Dedup {
     * block key bounds the quadratic blow-up), Jaccard computed exactly on
     * distinct lowercase tokens.
     *
-    * Same skew discipline as [[minHashLshPairs]]: the block self-join carries
-    * only `(id, token-count, block key)` — a hot block expands its pairs as
-    * pure row emission; token-hash payloads attach and the merge-intersect
-    * kernel runs only AFTER candidates are repartitioned uniformly by pair
-    * id (AQE cannot split a skewed join's output, only its input bytes).
-    * The token-count carried through the join powers a lossless length-ratio
-    * prune: jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|).
+    * Same skew discipline as [[minHashLshPairs]], gated by
+    * [[defaultMaxBroadcastDocs]]: on a broadcastable corpus the block join's
+    * build side and the payload attaches broadcast, candidates stay uniform
+    * over the stream tasks, and the merge-intersect kernel pipelines with no
+    * repartition. Beyond broadcast size, the block self-join carries only
+    * `(id, token-count, block key)` — a hot block expands its pairs as pure
+    * row emission; token-hash payloads attach and the kernel runs only AFTER
+    * candidates are repartitioned uniformly by pair id (AQE cannot split a
+    * skewed join's output, only its input bytes). The token-count carried
+    * through the join powers a lossless length-ratio prune: jaccard ≥ t
+    * implies min(|A|,|B|) ≥ t·max(|A|,|B|).
     *
     * `base` stays persisted after the call (it feeds the block join and both
     * payload-attach sides lazily); callers running many dedups in one session
@@ -270,13 +326,15 @@ object Dedup {
     * materializing. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      blockingCols: Seq[Column], threshold: Double): DataFrame =
-    ngramJaccardPairsManaged(df, idCol, textCol, blockingCols, threshold).result
+      blockingCols: Seq[Column], threshold: Double,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame =
+    ngramJaccardPairsManaged(df, idCol, textCol, blockingCols, threshold, maxBroadcastDocs).result
 
   /** [[ngramJaccardPairs]] with cache ownership — see [[ManagedPairs]]. */
   def ngramJaccardPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
-      blockingCols: Seq[Column], threshold: Double): ManagedPairs = {
+      blockingCols: Seq[Column], threshold: Double,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): ManagedPairs = {
     // Token SETS are sorted-distinct 64-bit hashes: set Jaccard is
     // hash-invariant, the arrays are 8-byte-element primitives (vs UTF8
     // strings), and the merge-scan intersect kernel replaces per-pair
@@ -289,25 +347,44 @@ object Dedup {
         (col(idCol).as("_id") +: toks.as("_toks") +:
           blockingCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = base.count() // materialize the cache + the strategy gate
+    val direct = nDocs <= maxBroadcastDocs
     val blkKeys = blockingCols.indices.map(i => s"_blk$i")
-    val narrow = base.select(
-      (col("_id") +: size(col("_toks")).as("_n") +: blkKeys.map(col)): _*)
-    val a = narrow.select(
-      (col("_id").as("a_id") +: col("_n").as("_na") +: blkKeys.map(col)): _*)
-    val b = narrow.select(
-      (col("_id").as("b_id") +: col("_n").as("_nb") +: blkKeys.map(col)): _*)
-    val candRaw = a.join(b, blkKeys)
-      .filter(col("a_id") < col("b_id"))
-      .filter(least(col("_na"), col("_nb")) >=
-        lit(threshold) * greatest(col("_na"), col("_nb")))
-      .select("a_id", "b_id")
-    val cand = candRaw
-      .repartition(par, col("a_id"), col("b_id"))
-      .join(base.select(col("_id").as("a_id"), col("_toks").as("_ta")), Seq("a_id"))
-      .join(base.select(col("_id").as("b_id"), col("_toks").as("_tb")), Seq("b_id"))
-    val inter = graft.functions.ArrayKernels
-      .sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
-    val jacc = inter / (size(col("_ta")) + size(col("_tb")) - inter)
+    val lengthPrune =
+      least(col("_na"), col("_nb")) >= lit(threshold) * greatest(col("_na"), col("_nb"))
+    val cand = if (direct) {
+      // direct mode: token payloads ride the block join itself — one
+      // broadcast hash join, zero attach probes, kernel pipelined
+      val aF = base.select(
+        (col("_id").as("a_id") +: size(col("_toks")).as("_na") +:
+          col("_toks").as("_ta") +: blkKeys.map(col)): _*)
+      val bF = base.select(
+        (col("_id").as("b_id") +: size(col("_toks")).as("_nb") +:
+          col("_toks").as("_tb") +: blkKeys.map(col)): _*)
+      aF.join(broadcast(bF), blkKeys)
+        .filter(col("a_id") < col("b_id"))
+        .filter(lengthPrune)
+    } else {
+      val narrow = base.select(
+        (col("_id") +: size(col("_toks")).as("_n") +: blkKeys.map(col)): _*)
+      val a = narrow.select(
+        (col("_id").as("a_id") +: col("_n").as("_na") +: blkKeys.map(col)): _*)
+      val b = narrow.select(
+        (col("_id").as("b_id") +: col("_n").as("_nb") +: blkKeys.map(col)): _*)
+      // shuffle_hash attach: build the per-doc payload map, never sort the
+      // candidate-pair stream (see [[minHashLshPairsManaged]])
+      a.join(b, blkKeys)
+        .filter(col("a_id") < col("b_id"))
+        .filter(lengthPrune)
+        .select("a_id", "b_id")
+        .repartition(par, col("a_id"), col("b_id"))
+        .join(base.select(col("_id").as("a_id"), col("_toks").as("_ta"))
+          .hint("shuffle_hash"), Seq("a_id"))
+        .join(base.select(col("_id").as("b_id"), col("_toks").as("_tb"))
+          .hint("shuffle_hash"), Seq("b_id"))
+    }
+    val jacc = graft.functions.ArrayKernels
+      .sortedJaccardGeq(col("_ta"), col("_tb"), threshold)
     val out = cand
       .filter(jacc >= threshold)
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
@@ -317,34 +394,48 @@ object Dedup {
   /** Embedding-cosine near-duplicates, blocked on a coarse bucket column
     * (IVF-style: compare only within the same coarse cell).
     *
-    * Skew discipline as in [[minHashLshPairs]]/[[ngramJaccardPairs]]: the
-    * cell self-join emits narrow `(a_id, b_id)` rows only; vectors attach and
-    * [[graft.functions.VecCosine]] runs after a uniform repartition by pair
-    * id, so one hot cell cannot serialize the per-pair compute on one task.
+    * Skew discipline as in [[minHashLshPairs]]/[[ngramJaccardPairs]], gated
+    * by [[defaultMaxBroadcastDocs]]: broadcastable corpora pipeline the cell
+    * join + [[graft.functions.VecCosine]] in one stage; beyond broadcast
+    * size the cell self-join emits narrow `(a_id, b_id)` rows only, vectors
+    * attach and the kernel runs after a uniform repartition by pair id, so
+    * one hot cell cannot serialize the per-pair compute on one task.
     * `base` stays persisted after the call (see [[ngramJaccardPairs]]);
     * [[embeddingNearDupPairsManaged]] owns it. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame =
-    embeddingNearDupPairsManaged(df, idCol, vecCol, blockCol, threshold).result
+      threshold: Double,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame =
+    embeddingNearDupPairsManaged(
+      df, idCol, vecCol, blockCol, threshold, maxBroadcastDocs).result
 
   /** [[embeddingNearDupPairs]] with cache ownership — see [[ManagedPairs]]. */
   def embeddingNearDupPairsManaged(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): ManagedPairs = {
+      threshold: Double,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): ManagedPairs = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.repartition(par)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col(blockCol).as("_blk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = base.count() // materialize the cache + the strategy gate
+    val direct = nDocs <= maxBroadcastDocs
+    // see [[minHashLshPairsManaged]] on the narrow-mode shuffle_hash hint
+    def attach(f: DataFrame): DataFrame =
+      if (direct) broadcast(f) else f.hint("shuffle_hash")
     val narrow = base.select(col("_id"), col("_blk"))
+    // cell join build side: broadcast in direct mode, unhinted in narrow
+    // (cell keys are the skewed ones — leave them to AQE's skew splitting)
+    val bCell = narrow.select(col("_id").as("b_id"), col("_blk"))
     val candRaw = narrow.select(col("_id").as("a_id"), col("_blk"))
-      .join(narrow.select(col("_id").as("b_id"), col("_blk")), Seq("_blk"))
+      .join(if (direct) broadcast(bCell) else bCell, Seq("_blk"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    val cand = candRaw
-      .repartition(par, col("a_id"), col("b_id"))
-      .join(base.select(col("_id").as("a_id"), col("_v").as("_va")), Seq("a_id"))
-      .join(base.select(col("_id").as("b_id"), col("_v").as("_vb")), Seq("b_id"))
+    val cand0 =
+      if (direct) candRaw else candRaw.repartition(par, col("a_id"), col("b_id"))
+    val cand = cand0
+      .join(attach(base.select(col("_id").as("a_id"), col("_v").as("_va"))), Seq("a_id"))
+      .join(attach(base.select(col("_id").as("b_id"), col("_v").as("_vb"))), Seq("b_id"))
     val sim = Similarity.cosine(col("_va"), col("_vb"))
     val out = cand
       .filter(sim >= threshold)

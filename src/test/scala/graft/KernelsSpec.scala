@@ -25,6 +25,41 @@ class KernelsSpec extends SparkSpec {
     assert(got == 0)
   }
 
+  test("sortedJaccardGeq: exact for >= t, -1 only when truly below t") {
+    import spark.implicits._
+    val rng = new Random(17)
+    // 0.4 is NOT binary-exact: the raw floating requirement t(n+m)/(1+t)
+    // rounds UP, which a naive bail compares against and silently drops
+    // exact-boundary pairs (caught live: 78k pairs at sf0.1)
+    val t = 0.4
+    val boundary = {
+      // |A|=14, |B|=21, |A∩B|=10 -> jaccard = 10/25 = 0.4 exactly
+      val common = (0L until 10L)
+      ((common ++ (100L until 104L)).sorted,
+        (common ++ (200L until 211L)).sorted,
+        0.4)
+    }
+    val rows = boundary +: (1 to 400).map { _ =>
+      // small value range -> plenty of overlap, so both branches exercise
+      val a = Seq.fill(1 + rng.nextInt(30))(rng.nextInt(25).toLong).distinct.sorted
+      val b = Seq.fill(1 + rng.nextInt(30))(rng.nextInt(25).toLong).distinct.sorted
+      val i = a.toSet.intersect(b.toSet).size.toDouble
+      (a, b, i / (a.size + b.size - i))
+    }
+    val got = rows.toDF("a", "b", "expect")
+      .withColumn("got", ArrayKernels.sortedJaccardGeq(col("a"), col("b"), t))
+      .collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    got.foreach { case (expect, g) =>
+      if (expect >= t) assert(math.abs(g - expect) < 1e-12, s"exact for $expect")
+      else assert(g == -1.0 || math.abs(g - expect) < 1e-12,
+        s"below-threshold must be -1 or exact, got $g for $expect")
+      // the filter semantics are what matters: (g >= t) <=> (expect >= t)
+      assert((g >= t) == (expect >= t))
+    }
+    assert(got.count(_._1 >= t) > 10 && got.count(_._1 < t) > 10) // both sides hit
+  }
+
   test("agreeCount / firstEqualIndex == zip models (incl. unequal lengths, empty)") {
     import spark.implicits._
     val rng = new Random(13)
