@@ -24,6 +24,23 @@ object GraftSession {
     spark
   }
 
+  /** Switch Structured Streaming state to the RocksDB provider (per-session;
+    * applies to queries STARTED afterwards). The default HDFS-backed store
+    * keeps every (key, window) state row on the executor JVM heap — at
+    * 100 TB-scale streams (wide watermark horizons × high key cardinality)
+    * that heap bound is the first thing to break; RocksDB keeps state
+    * off-heap + on local disk with incremental checkpointing, at identical
+    * query semantics (asserted by the streaming parity suite). */
+  def useRocksDbStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // bound RocksDB native memory per executor (local-mode friendly too)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    spark
+  }
+
   def build(
       master: String = "local[32]",
       appName: String = "graft",

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.DurableState
+
+/** DurableState crash-consistency edges: _SUCCESS as the commit marker,
+  * multi-version restore, stale-version cleanup, version continuation. */
+class DurableStateSpec extends SparkSpec {
+
+  private val schema = StructType.fromDDL("k BIGINT, v STRING")
+
+  private def rows(s: DurableState): Set[(Long, String)] =
+    s.current.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("restore picks the highest committed version and continues versioning") {
+    import spark.implicits._
+    val dir = tmpDir("ds-restore")
+    val s1 = new DurableState(spark, schema, Some(dir))
+    s1.swap(Seq((1L, "a")).toDF("k", "v"))
+    s1.swap(s1.current.unionByName(Seq((2L, "b")).toDF("k", "v")))
+    assert(s1.currentVersion == 2)
+    s1.release()
+
+    val s2 = new DurableState(spark, schema, Some(dir))
+    assert(s2.currentVersion == 2)
+    assert(rows(s2) == Set((1L, "a"), (2L, "b")))
+    s2.swap(s2.current.unionByName(Seq((3L, "c")).toDF("k", "v")))
+    assert(s2.currentVersion == 3)
+    assert(rows(s2) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("a version dir without _SUCCESS (crashed mid-write) is ignored on restore") {
+    import spark.implicits._
+    val dir = tmpDir("ds-crash")
+    val s1 = new DurableState(spark, schema, Some(dir))
+    s1.swap(Seq((1L, "a")).toDF("k", "v"))
+    s1.release()
+    // fake a crash: v2 exists with data files but no _SUCCESS commit marker
+    val v2 = java.nio.file.Paths.get(dir, "v2")
+    java.nio.file.Files.createDirectories(v2)
+    java.nio.file.Files.writeString(v2.resolve("part-garbage.parquet"), "not parquet")
+
+    val s2 = new DurableState(spark, schema, Some(dir))
+    assert(s2.currentVersion == 1) // v2 uncommitted -> ignored
+    assert(rows(s2) == Set((1L, "a")))
+    // the next swap REUSES the version slot and overwrites the garbage
+    s2.swap(s2.current.unionByName(Seq((2L, "b")).toDF("k", "v")))
+    assert(rows(s2) == Set((1L, "a"), (2L, "b")))
+    val s3 = new DurableState(spark, schema, Some(dir))
+    assert(s3.currentVersion == 2 && rows(s3) == rows(s2))
+  }
+
+  test("stale spill versions are cleaned, keeping the previous one deep") {
+    import spark.implicits._
+    val dir = tmpDir("ds-clean")
+    val s = new DurableState(spark, schema, Some(dir))
+    (1 to 5).foreach(i => s.swap(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val kept = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("v")).sorted
+    assert(kept.toSeq == Seq("v4", "v5"), s"got ${kept.toSeq}")
+  }
+
+  test("no stateDir: lineage is truncated on the spill cadence, state correct") {
+    import spark.implicits._
+    val s = new DurableState(spark, schema, stateDir = None, spillEvery = 4)
+    (1 to 12).foreach { i =>
+      s.swap(s.current.unionByName(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    }
+    assert(s.current.count() == 12)
+    val nodes = s.current.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes <= 12, s"plan has $nodes nodes") // 12 unions would be ~25+
+  }
+
+  test("empty initial state has the declared schema") {
+    val s = new DurableState(spark, schema, None)
+    assert(s.current.schema == schema)
+    assert(s.current.count() == 0)
+  }
+}

@@ -57,6 +57,29 @@ object KernelProps extends Properties("kernels") {
       kernels.fnv1a64(arr) == kernels.fnv1a64(arr.clone())
     }
 
+  property("SortedJaccardGeq: (result >= t) iff (double-formula jaccard >= t)") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
+    // thresholds deliberately include binary-INEXACT values (0.4, 0.3, 1/3…)
+    // whose ceil'd floating requirement over-rounds without the integer fixup
+    val tGen = Gen.oneOf(0.0, 0.3, 1.0 / 3.0, 0.4, 0.5, 0.6, 2.0 / 3.0, 0.75, 1.0)
+    forAll(arrGen, arrGen, tGen) { (a, b, t) =>
+      val expr = graft.functions.SortedJaccardGeq(
+        Literal.create(new GenericArrayData(a.toArray), ArrayType(LongType, false)),
+        Literal.create(new GenericArrayData(b.toArray), ArrayType(LongType, false)),
+        t)
+      val got = expr.eval(null).asInstanceOf[Double]
+      val inter = a.toSet.intersect(b.toSet).size
+      val exact = inter.toDouble / (a.size + b.size - inter).toDouble
+      // identical filter outcome, and emitted values are the exact jaccard
+      Prop(
+        ((got >= t) == (exact >= t)) &&
+          (got == -1.0 || got == exact || (got.isNaN && exact.isNaN)))
+    }
+  }
+
   property("minhash containment: signature of a superset is elementwise <=") =
     forAll(
       Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),

@@ -265,6 +265,44 @@ class StreamingSpec extends SparkSpec {
     assert(seen.sorted == Seq(1L, 2L, 3L, 4L, 5L), s"got $seen")
   }
 
+  test("T2/T7: windowedAgg parity holds on the RocksDB state store") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    GraftSession.useRocksDbStateStore(spark)
+    try {
+      val stream = MemoryStream[(Long, Long, Double)](spark)
+      val df = stream.toDF().toDF("user_id", "ts_us", "value")
+        .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      val out = Pipeline.windowedAgg(df, "ts_utc", "user_id", "value")
+      val q = out.writeStream.format("memory").queryName("q17_rocks")
+        .outputMode("complete").start()
+      try {
+        val rows = eventRows(200, 41).map(r => (r._1, r._3, r._4))
+        stream.addData(rows.take(100)); q.processAllAvailable()
+        stream.addData(rows.drop(100)); q.processAllAvailable()
+        // the running query really uses RocksDB (operator metrics expose it)
+        val provider = q.lastProgress.stateOperators.head
+          .customMetrics.keySet.toString
+        assert(provider.contains("rocksdb"), s"metrics: $provider")
+        val got = spark.table("q17_rocks").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+            math.round(r.getDouble(3) * 1e6))).toSet
+        val expect = rows.toDF("user_id", "ts_us", "value")
+          .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+          .groupBy(col("user_id"), window(col("ts_utc"), "10 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("w.start"), col("n_events"), col("sum_value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+            math.round(r.getDouble(3) * 1e6))).toSet
+        assert(got == expect)
+      } finally q.stop()
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("T7: dimension snapshot survives process restart (durable stateDir)") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
