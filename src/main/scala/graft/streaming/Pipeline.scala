@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * state in the state store keyed by (key, window) — partitioned, bounded by
   * the watermark horizon.
   */
+/** One dimension side of a multi-way enrichment: a live snapshot supplier
+  * plus the join columns ([[Pipeline.operationalQueryBufferedMulti]]). */
+final case class DimSpec(
+    name: String,
+    dim: () => DataFrame,
+    streamKey: String,
+    dimKey: String,
+    dimCols: Seq[String])
+
 object Pipeline {
 
   /** T1 — the reference's declared watermark, implemented: tolerate
@@ -182,4 +191,54 @@ object Pipeline {
           buffer.replaceWith(missing)
         } finally out.unpersist(blocking = false)
       }
+
+  /** Multi-dimension form of [[operationalQueryBuffered]] — the reference's
+    * actual buffering contract: an event is emitted only when ALL its
+    * dimension rows exist; if ANY is missing the event parks and every later
+    * batch retries it (`missingDataList` holds (event, missing-tables)
+    * pairs, `…/dodetl/stp/BeamStreamProcessor.scala:83-98`; per-event
+    * multi-table lookups `…/dodetl/stp/DataTransformer.scala:17-38`).
+    *
+    * All dimension joins are planned inside `foreachBatch` (live snapshots,
+    * see [[operationalQuery]]) as left joins + match markers; `ready` =
+    * every marker set. Same failure ordering as the single-dim form: emit
+    * before the buffer swap. */
+  def operationalQueryBufferedMulti(
+      events: DataFrame, tsCol: String,
+      dims: Seq[DimSpec],
+      metricCols: Seq[(String, Column)],
+      buffer: LateDataBuffer,
+      delay: String = "10 minutes")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(dims.nonEmpty, "at least one dimension required")
+    withEventTimeWatermark(events, tsCol, delay).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val eventCols = batch.columns.toSeq
+        val retry = batch.unionByName(buffer.current)
+        val joined = dims.zipWithIndex.foldLeft(retry) {
+          case (acc, (spec, i)) =>
+            val d = spec.dim().select(
+              col(spec.dimKey).as(s"_dim_key_$i") +:
+                lit(true).as(s"_matched_$i") +: spec.dimCols.map(col): _*)
+            acc.join(d, acc(spec.streamKey) === d(s"_dim_key_$i"), "left")
+              .drop(s"_dim_key_$i")
+        }
+        val allMatched = dims.indices
+          .map(i => col(s"_matched_$i"))
+          .reduce(_ && _)
+        val ready = joined.filter(allMatched)
+          .drop(dims.indices.map(i => s"_matched_$i"): _*)
+        val out = metricCols
+          .foldLeft(ready) { case (df, (n, c)) => df.withColumn(n, c) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          out.count()
+          writeBatch(out, id)
+          val missing = joined
+            .filter(dims.indices.map(i => col(s"_matched_$i").isNull).reduce(_ || _))
+            .select(eventCols.map(col): _*)
+          buffer.replaceWith(missing)
+        } finally out.unpersist(blocking = false)
+      }
+  }
 }
