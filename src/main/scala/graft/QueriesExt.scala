@@ -141,6 +141,43 @@ object QueriesExt {
               WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])) >= 0.3""")),
 
+    // D6 — connected components over the d02 near-dup pairs: the cluster-
+    // assignment step of corpus dedup (one canonical doc per cluster).
+    // Oracle: DuckDB recursive-CTE transitive closure → min reachable id.
+    Entry(
+      "d06_components",
+      (s, d) => {
+        val documents = docs(s, d)
+        Dedup.connectedComponents(
+          documents.select("doc_id"), "doc_id",
+          Dedup.minHashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+            .select("a_id", "b_id"),
+          "a_id", "b_id")
+      },
+      Some("""WITH RECURSIVE
+                n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                      FROM documents),
+                t AS (SELECT doc_id,
+                             list_distinct([substring(norm, i, 5)
+                                            for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                      FROM n),
+                p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM t a JOIN t b
+                        ON a.doc_id < b.doc_id
+                       AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+                      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+                e AS (SELECT a_id AS src, b_id AS dst FROM p
+                      UNION SELECT b_id, a_id FROM p),
+                reach(src, dst) AS (
+                  SELECT src, dst FROM e
+                  UNION
+                  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+                m AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src)
+              SELECT d.doc_id AS doc_id,
+                     LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN m ON d.doc_id = m.src""")),
+
     // S1 — IVF-style ANN (label cells, probe top-2 centroids). Fully
     // deterministic given the data, so the oracle mirrors the whole pipeline:
     // per-cell mean centroid → rank cells by query cosine → exact top-k
@@ -297,6 +334,49 @@ object QueriesExt {
                      COALESCE(pr.plab, 'unk') AS lang_pred,
                      COALESCE(pr.ov, 0) AS n_shared
               FROM documents d LEFT JOIN pr ON d.doc_id = pr.doc_id""")),
+
+    // T6 — deterministic md5 hash-split (train/validation/test): identical
+    // assignment on every engine and run, unlike random sampling.
+    Entry(
+      "t06_hash_split",
+      (s, d) =>
+        TextAnalysis.deterministicSplit(docs(s, d), "doc_id")
+          .select("doc_id", "bucket", "split"),
+      Some("""WITH b AS (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 100 AS bucket
+              FROM documents)
+              SELECT doc_id, bucket,
+                     CASE WHEN bucket < 90 THEN 'train'
+                          WHEN bucket < 95 THEN 'validation'
+                          ELSE 'test' END AS split
+              FROM b""")),
+
+    // T7 — benchmark decontamination: training docs sharing any 3-token-gram
+    // with the benchmark slice (doc_id % 50 = 0 stands in for the holdout;
+    // real pipelines use 13-grams — the short synthetic docs need short
+    // grams for the check to exercise real overlap volume).
+    Entry(
+      "t07_decontam",
+      (s, d) => {
+        val documents = docs(s, d)
+        TextAnalysis.contaminatedDocs(
+          documents.filter(col("doc_id") % 50 =!= 0),
+          documents.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+                   g AS (SELECT doc_id,
+                                list_distinct([array_to_string(toks[i:i+2], ' ')
+                                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS grams
+                         FROM tk),
+                   bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+                   tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+              SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared_grams
+              FROM tr JOIN bench ON tr.gram = bench.gram
+              GROUP BY tr.doc_id
+              HAVING COUNT(*) >= 1""")),
 
     // M1 — multimodal binary-column plumbing: payload bytes + hash (the
     // decode step itself is the stubbed [[Multimodal.decodeFeatures]]).

@@ -442,4 +442,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(sim, 6).as("sim"))
     ManagedPairs(out, Seq(base))
   }
+
+  /** Connected components over a near-dup pair frame — the cluster-assignment
+    * step that turns pairwise matches into dedup groups (keep one canonical
+    * doc per cluster). Returns `(idCol, cluster_id)` for EVERY node in
+    * `nodes`; singletons map to themselves; `cluster_id` = the minimum id in
+    * the component.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes `min(own label, min(neighbor labels))`; converges in O(graph
+    * diameter) rounds. Each round is two shuffles (edge×label join + min
+    * agg), and the label frame is `localCheckpoint`ed per round so lineage
+    * stays one round deep (a 20-round loop would otherwise stack 40 joins
+    * into one plan). Dedup components are shallow (near-dup clusters are
+    * cliques or near-cliques from the same candidate buckets), so rounds
+    * ≈ 2-3 in practice; the `maxIter` guard stops adversarial chains.
+    * 100 TB: per-round shuffle ∝ |edges| — for graphs where diameter is the
+    * bottleneck, swap in large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce"); the interface stays the same. */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("_dst").as("_src"), col("_src").as("_dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var labels = nodes
+      .select(col(idCol).as("_id"), col(idCol).as("_label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("_dst") === labels("_id"))
+        .groupBy(col("_src"))
+        .agg(min(col("_label")).as("_nmin"))
+      val next = labels
+        .join(nbrMin, labels("_id") === nbrMin("_src"), "left")
+        .select(
+          labels("_id"),
+          least(labels("_label"), coalesce(col("_nmin"), labels("_label"))).as("_label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("p"), col("n._id") === col("p._id"))
+        .filter(col("n._label") =!= col("p._label"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("_id").as(idCol), col("_label").as("cluster_id"))
+  }
 }

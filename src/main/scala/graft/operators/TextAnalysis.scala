@@ -120,4 +120,62 @@ object TextAnalysis {
       graft.functions.ArrayKernels.winnowFingerprint(
         Dedup.normalizeText(col(textCol)), k, window, take))
   }
+
+  /** Deterministic train/validation/test assignment: md5-hash the id into
+    * one of `buckets` buckets ([[Dedup.hash56]], so the split is identical
+    * on every engine, run, and cluster size — re-running the pipeline never
+    * migrates a document across splits, the property random `sample()` lacks).
+    * Buckets `< trainUpTo` → train, `< valUpTo` → validation, rest → test.
+    * Pure per-row expression: no shuffle, no state, trivially 100 TB-safe. */
+  def deterministicSplit(
+      df: DataFrame, idCol: String, buckets: Int = 100,
+      trainUpTo: Int = 90, valUpTo: Int = 95): DataFrame = {
+    require(0 < trainUpTo && trainUpTo <= valUpTo && valUpTo <= buckets)
+    val bucket = pmod(Dedup.hash56(col(idCol).cast("string")), lit(buckets.toLong))
+    df.withColumn("bucket", bucket)
+      .withColumn(
+        "split",
+        when(col("bucket") < trainUpTo, "train")
+          .when(col("bucket") < valUpTo, "validation")
+          .otherwise("test"))
+  }
+
+  /** Distinct `n`-token-gram set of the normalized text, as strings (the
+    * decontamination unit; GPT-3-style dedup uses 13-grams — configurable
+    * because short corpora need shorter grams). `let`-bound so the
+    * tokenization runs once per row, not once per gram. */
+  def tokenNgrams(c: Column, n: Int): Column =
+    let(split(Dedup.normalizeText(c), " ")) { toks =>
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minShared` n-token-grams with ANY benchmark document (the standard
+    * guard against test-set leakage into training corpora). Returns
+    * `(idCol, n_shared_grams)` for flagged training docs.
+    *
+    * Scale shape: benchmark grams explode to a DISTINCT gram set (size ∝
+    * benchmark corpus, small by construction) and the match is a gram
+    * equi-join against the training grams — shuffle ∝ gram occurrences, no
+    * pairwise doc×doc comparison anywhere. At 100 TB the benchmark gram set
+    * is broadcastable (benchmarks are MBs, not TBs) and Spark's AQE picks
+    * that automatically from its size. */
+  def contaminatedDocs(
+      train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 13, minShared: Int = 1): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(tokenNgrams(col(textCol), n)).as("_gram"))
+      .distinct()
+    val trainGrams = train.select(
+      col(idCol), explode(tokenNgrams(col(textCol), n)).as("_gram"))
+    trainGrams
+      .join(benchGrams, Seq("_gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
 }

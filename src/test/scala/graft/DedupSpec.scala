@@ -109,6 +109,33 @@ class DedupSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("connectedComponents == union-find model (chains, singletons, merges)") {
+    import spark.implicits._
+    // a 4-chain (1-2-3-4), a triangle (10,11,12), a 2-clique, singletons
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val nodes = ((1L to 4L) ++ (10L to 12L) ++ Seq(20L, 21L) ++ Seq(30L, 31L))
+      .toDF("doc_id")
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    nodes.collect().map(_.getLong(0)).foreach(x => parent(x) = x)
+    pairs.collect().foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got(4L) == 1L && got(12L) == 10L && got(21L) == 20L && got(30L) == 30L)
+  }
+
   test("byNormalizedText groups case/whitespace variants") {
     import spark.implicits._
     val out = Dedup.byNormalizedText(corpus.toDF("doc_id", "text"), "doc_id", "text")

@@ -129,6 +129,42 @@ class SimilarityTextSpec extends SparkSpec {
     assert(fp(1L).split(",").forall(s => s.nonEmpty && s.forall(c => c.isDigit || c == '-')))
   }
 
+  test("deterministicSplit: stable across runs, respects bucket thresholds") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("doc_id")
+    val s1 = TextAnalysis.deterministicSplit(df, "doc_id")
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val s2 = TextAnalysis.deterministicSplit(df, "doc_id")
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s1.toSeq == s2.toSeq) // deterministic, not sampled
+    s1.foreach { case (_, b, sp) =>
+      assert(b >= 0 && b < 100)
+      assert(sp == (if (b < 90) "train" else if (b < 95) "validation" else "test"))
+    }
+    // roughly proportional (md5 is uniform; 1000 ids => loose bounds)
+    val frac = s1.count(_._3 == "train").toDouble / s1.length
+    assert(frac > 0.8 && frac < 0.98, s"train frac $frac")
+  }
+
+  test("contaminatedDocs flags gram overlap with the benchmark set only") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares a 3-gram
+      (2L, "entirely novel content about catalyst codegen plans"),
+      (3L, "quick brown fox appears here too")              // shares as well
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "benchmark says the quick brown fox is canonical")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminatedDocs(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 3L)) // doc 2 shares nothing
+    assert(out(1L) >= 2)              // "the quick brown", "quick brown fox"
+    assert(out(3L) >= 1)              // "quick brown fox"
+  }
+
   test("quality score keeps clean text and flags punctuation soup") {
     import spark.implicits._
     val df = Seq(
