@@ -28,7 +28,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             return tuple(norm(x) for x in v)
         return v
 
-    out = df.applymap(norm)
+    out = df.map(norm) if hasattr(df, "map") else df.applymap(norm)
     return out.sort_values(by=list(out.columns), ignore_index=True,
                            key=lambda s: s.astype(str))
 
