@@ -35,6 +35,19 @@ object Bench {
     // warm for a 4-column scan).
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
+    // ... and the dedup kernel paths: the per-doc/per-pair kernels run
+    // interpreted until C2 kicks in — profiled 62 CPU-s cold vs 2 CPU-s warm
+    // for the SAME 1.5 MB cache build — so a 200-doc pass through the
+    // minhash and token-jaccard pipelines pays the JIT cost outside the
+    // timed region (one-time cost, not steady-state throughput).
+    val warmDocs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    graft.operators.Dedup.minHashLshPairs(warmDocs, "doc_id", "text", threshold = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    graft.operators.Dedup.ngramJaccardPairs(
+        warmDocs, "doc_id", "text",
+        Seq(org.apache.spark.sql.functions.lit(1)), threshold = 0.8)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     val results: Seq[(String, Either[String, Double])] =
       headline.filter(qs.contains).map { name =>
         val t0 = System.nanoTime()

@@ -1,9 +1,5 @@
 package graft.tools
 
-import scala.collection.concurrent.TrieMap
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -30,30 +26,12 @@ import graft.operators.Dedup
   */
 object ScaleStress {
 
-  private final class TaskSkew extends SparkListener {
-    val durations: TrieMap[Int, ArrayBuffer[Long]] = TrieMap.empty
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val buf = durations.getOrElseUpdate(e.stageId, ArrayBuffer.empty)
-      buf.synchronized { buf += e.taskInfo.duration }
-    }
-    def reset(): Unit = durations.clear()
-    /** (stageId, nTasks, totalSec, maxMs, medianMs, ratio) for the heaviest
-      * stages, by total task time. */
-    def heaviest(n: Int): Seq[(Int, Int, Double, Long, Long, Double)] =
-      durations.toSeq.map { case (sid, ds0) =>
-        val ds = ds0.sorted
-        val median = ds(ds.length / 2)
-        (sid, ds.length, ds.sum / 1e3, ds.last, median,
-          ds.last.toDouble / math.max(median, 1L))
-      }.sortBy(-_._3).take(n)
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.drop(1).headOption
       .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2, 4))
     val spark = GraftSession.build("local[32]")
-    val skew = new TaskSkew
+    val skew = new TaskSkewListener
     spark.sparkContext.addSparkListener(skew)
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val n0 = base.count()
@@ -73,10 +51,7 @@ object ScaleStress {
       m.close()
       println(f"[stress] d02 ${factor}x/$mode%-6s docs=${n0 * factor}%7d " +
         f"wall=$wall%7.2f s pairs=$pairs%6d")
-      skew.heaviest(5).foreach { case (sid, nt, tot, mx, med, ratio) =>
-        println(f"[stress]   stage $sid%4d tasks=$nt%4d total=$tot%8.1f s " +
-          f"max=${mx / 1e3}%7.2f s median=${med / 1e3}%7.2f s max/med=$ratio%5.2f")
-      }
+      skew.print("[stress]  ", 5)
     }
     spark.stop()
   }

@@ -1,0 +1,30 @@
+package graft.tools
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Shared dev-tool listener: per-stage task durations → max/median skew and
+  * total CPU-time per stage (used by [[ScaleStress]] and [[ProfileD02]]). */
+final class TaskSkewListener extends SparkListener {
+  val durations: TrieMap[Int, ArrayBuffer[Long]] = TrieMap.empty
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val buf = durations.getOrElseUpdate(e.stageId, ArrayBuffer.empty)
+    buf.synchronized { buf += e.taskInfo.duration }
+  }
+  def reset(): Unit = durations.clear()
+  /** (stageId, nTasks, totalSec, maxMs, medianMs, ratio), heaviest first. */
+  def heaviest(n: Int): Seq[(Int, Int, Double, Long, Long, Double)] =
+    durations.toSeq.map { case (sid, ds0) =>
+      val ds = ds0.sorted
+      val median = ds(ds.length / 2)
+      (sid, ds.length, ds.sum / 1e3, ds.last, median,
+        ds.last.toDouble / math.max(median, 1L))
+    }.sortBy(-_._3).take(n)
+  def print(prefix: String, n: Int = 6): Unit =
+    heaviest(n).foreach { case (sid, nt, tot, mx, med, ratio) =>
+      println(f"$prefix stage $sid%4d tasks=$nt%4d total=$tot%8.1f s " +
+        f"max=${mx / 1e3}%7.2f s median=${med / 1e3}%7.2f s max/med=$ratio%5.2f")
+    }
+}
