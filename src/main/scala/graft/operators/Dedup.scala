@@ -470,6 +470,16 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
+    // each round's labels frame is localCheckpoint'ed (lineage stays one
+    // round deep) and EXPLICITLY released once superseded — checkpointed
+    // RDD blocks are not freed by Dataset.unpersist and would otherwise
+    // pin one full label-set per round until GC
+    def releaseLabels(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var labels = nodes
       .select(col(idCol).as("_id"), col(idCol).as("_label"))
       .localCheckpoint(true)
@@ -490,10 +500,17 @@ object Dedup {
         .join(labels.as("p"), col("n._id") === col("p._id"))
         .filter(col("n._label") =!= col("p._label"))
         .count()
+      releaseLabels(labels)
       labels = next
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // an unconverged exit would silently return WRONG cluster ids (far ends
+    // of a >maxIter-diameter chain keep non-minimal labels) — fail instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — the pair graph has diameter > " +
+        s"$maxIter; raise maxIter or use a star-contraction variant")
     labels.select(col("_id").as(idCol), col("_label").as("cluster_id"))
   }
 }

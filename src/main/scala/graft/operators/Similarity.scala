@@ -79,10 +79,13 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
+    // NULL vectors fail the guard too (size(null) is null → otherwise
+    // branch) — previously they silently landed in bucket 0; coalesce keeps
+    // the raise_error message non-null so the diagnostic survives
     when(size(vec) === dims, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshBucket: expected $dims-dim vector, got "),
-        size(vec).cast("string"))))
+        coalesce(size(vec).cast("string"), lit("NULL")))))
   }
 
   /** ANN via LSH: search only vectors sharing the query's bucket. Recall is

@@ -55,19 +55,20 @@ final class DimensionMaintainer(
   /** The current consistent snapshot (newest-wins per key). */
   def current: DataFrame = state.current
 
-  /** Apply one micro-batch of CDC updates (same schema incl. `ord`).
-    * Synchronized inside [[DurableState.swap]]: one writer at a time; readers
-    * see either the old or the new materialized snapshot, never a partial
-    * state. */
+  /** Apply one micro-batch of CDC updates (same schema incl. `ord`). The
+    * read-modify-write runs under [[DurableState.swap]]'s lock, so a
+    * concurrent [[evict]]/applyBatch cannot build from a stale snapshot and
+    * lose this batch's upserts; readers see either the old or the new
+    * materialized snapshot, never a partial state. */
   def applyBatch(updates: DataFrame, batchId: Long): Unit = {
-    state.swap(Compaction.applyUpserts(state.current, updates, keys, ord))
+    state.swap(cur => Compaction.applyUpserts(cur, updates, keys, ord))
     register()
   }
 
   /** Delete rows whose key appears in `evicted` (reference K5/J5). */
   def evict(evicted: DataFrame, keyCol: String): Unit = {
-    state.swap(Compaction.deleteKeys(
-      state.current, evicted.select(col(keyCol).as(keys.head)), keys.head))
+    state.swap(cur => Compaction.deleteKeys(
+      cur, evicted.select(col(keyCol).as(keys.head)), keys.head))
     register()
   }
 
@@ -134,8 +135,7 @@ final class ObservedKeySet(
   def current: DataFrame = state.current
 
   def observeBatch(batch: DataFrame, batchId: Long): Unit =
-    state.swap(
-      state.current.unionByName(batch.select(col(keyCol))).distinct())
+    state.swap(cur => cur.unionByName(batch.select(col(keyCol))).distinct())
 
   /** Keys in this set but absent from `other` — eviction candidates
     * (reference `local ∖ global`, `…/imtu/InMemoryTableUpdater.scala:90-103`). */

@@ -101,10 +101,42 @@ final class DurableState(
     case None => emptyFrame()
   }
 
-  /** Replace the state with `next` (a plan that may read [[current]]).
-    * Materializes, spills per the cadence, then swaps; the old frame is
-    * released after the new one is visible. */
-  def swap(next0: DataFrame): Unit = synchronized {
+  // Superseded one generation ago; released on the NEXT swap. The delay
+  // gives in-flight readers of the previous frame (a temp-view query planned
+  // just before a swap) their micro-batch to finish before storage vanishes.
+  private var retired: Option[DataFrame] = None
+
+  // Eagerly freeing a localCheckpoint'ed frame's RDD blocks is only safe
+  // when NOTHING live can recompute through it. With spillEvery == 1 every
+  // installed frame is SELF-ROOTED (a parquet re-read or its own checkpoint
+  // blocks), so the retired frame has no dependents and can be freed
+  // deterministically. With spillEvery > 1 the persisted frames between
+  // checkpoints keep the previous checkpoint as their recompute ROOT — a
+  // cache miss after an eager free fails with an unrecoverable
+  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by DurableStateSpec) — so
+  // those blocks are left to GC + ContextCleaner, which only ever frees
+  // RDDs no live plan references.
+  private val selfRootedFrames = spillEvery == 1
+
+  /** Free a frame's storage: always the cache-manager entry; the underlying
+    * checkpoint RDD blocks too when provably dependency-free (see above —
+    * plain `Dataset.unpersist` is a no-op for those). */
+  private def releaseFrame(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    if (selfRootedFrames) df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** Replace the state with `build(current)` — the read-modify-write runs
+    * UNDER this lock, so concurrent writers serialize on the same base
+    * frame and cannot lose each other's updates. Materializes, spills per
+    * the cadence, then swaps; the frame superseded one generation ago is
+    * released. */
+  def swap(build: DataFrame => DataFrame): Unit = synchronized {
+    val next0 = build(frame)
     version += 1
     val next = stateDir match {
       case Some(dir) if version % spillEvery == 0 =>
@@ -127,12 +159,15 @@ final class DurableState(
     }
     val old = frame
     frame = next
-    old.unpersist(blocking = false)
+    retired.foreach(releaseFrame)
+    retired = Some(old)
   }
 
   /** Release the cached state (spilled parquet versions are left on disk —
     * they are the durable copy a successor instance restores from). */
   def release(): Unit = synchronized {
-    frame.unpersist(blocking = false)
+    retired.foreach(releaseFrame)
+    retired = None
+    releaseFrame(frame)
   }
 }

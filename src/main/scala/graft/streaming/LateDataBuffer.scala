@@ -31,7 +31,7 @@ final class LateDataBuffer(
 
   /** Replace the buffer contents (the still-unmatched rows of this batch).
     * Call only AFTER the batch's ready rows are emitted/materialized — the
-    * swap releases the previous buffer frame this batch's plans read from
+    * swap retires the previous buffer frame this batch's plans read from
     * ([[Pipeline.operationalQueryBuffered]] orders this correctly). */
-  def replaceWith(stillMissing: DataFrame): Unit = state.swap(stillMissing)
+  def replaceWith(stillMissing: DataFrame): Unit = state.swap(_ => stillMissing)
 }

@@ -48,12 +48,18 @@ final class Topology(
         stateDir = Some(s"$checkpointRoot/${t.tableName}/snapshot"))
     }.toMap
 
-  /** Observed operational keys (one registry, as in the reference manager). */
+  /** Observed operational keys (one registry, as in the reference manager).
+    * `spillEvery = 1`: the key-registration stream's checkpoint commits
+    * offsets per batch, so a lazier spill cadence would permanently lose the
+    * keys observed between the last spill and a crash — their CDC rows
+    * would be on-demand-pruned forever. The key set is small (distinct
+    * active keys), so the per-batch spill is cheap. */
   val observedKeys: ObservedKeySet = {
     val opKey = cfg.operational.keyColumns.head
     new ObservedKeySet(
       spark, opKey, "BIGINT",
-      stateDir = Some(s"$checkpointRoot/_observed_keys"))
+      stateDir = Some(s"$checkpointRoot/_observed_keys"),
+      spillEvery = 1)
   }
 
   /** Start one metadata table's CDC replication (on-demand when the config

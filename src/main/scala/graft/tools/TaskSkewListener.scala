@@ -14,10 +14,13 @@ final class TaskSkewListener extends SparkListener {
     buf.synchronized { buf += e.taskInfo.duration }
   }
   def reset(): Unit = durations.clear()
-  /** (stageId, nTasks, totalSec, maxMs, medianMs, ratio), heaviest first. */
+  /** (stageId, nTasks, totalSec, maxMs, medianMs, ratio), heaviest first.
+    * Snapshots each buffer under the same lock `onTaskEnd` appends with —
+    * the listener bus is asynchronous, so late task events can still be
+    * draining when a caller reads right after an action. */
   def heaviest(n: Int): Seq[(Int, Int, Double, Long, Long, Double)] =
     durations.toSeq.map { case (sid, ds0) =>
-      val ds = ds0.sorted
+      val ds = ds0.synchronized(ds0.toArray).sorted
       val median = ds(ds.length / 2)
       (sid, ds.length, ds.sum / 1e3, ds.last, median,
         ds.last.toDouble / math.max(median, 1L))

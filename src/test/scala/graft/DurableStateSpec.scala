@@ -17,15 +17,15 @@ class DurableStateSpec extends SparkSpec {
     import spark.implicits._
     val dir = tmpDir("ds-restore")
     val s1 = new DurableState(spark, schema, Some(dir))
-    s1.swap(Seq((1L, "a")).toDF("k", "v"))
-    s1.swap(s1.current.unionByName(Seq((2L, "b")).toDF("k", "v")))
+    s1.swap(_ => Seq((1L, "a")).toDF("k", "v"))
+    s1.swap(cur => cur.unionByName(Seq((2L, "b")).toDF("k", "v")))
     assert(s1.currentVersion == 2)
     s1.release()
 
     val s2 = new DurableState(spark, schema, Some(dir))
     assert(s2.currentVersion == 2)
     assert(rows(s2) == Set((1L, "a"), (2L, "b")))
-    s2.swap(s2.current.unionByName(Seq((3L, "c")).toDF("k", "v")))
+    s2.swap(cur => cur.unionByName(Seq((3L, "c")).toDF("k", "v")))
     assert(s2.currentVersion == 3)
     assert(rows(s2) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
@@ -34,7 +34,7 @@ class DurableStateSpec extends SparkSpec {
     import spark.implicits._
     val dir = tmpDir("ds-crash")
     val s1 = new DurableState(spark, schema, Some(dir))
-    s1.swap(Seq((1L, "a")).toDF("k", "v"))
+    s1.swap(_ => Seq((1L, "a")).toDF("k", "v"))
     s1.release()
     // fake a crash: v2 exists with data files but no _SUCCESS commit marker
     val v2 = java.nio.file.Paths.get(dir, "v2")
@@ -45,7 +45,7 @@ class DurableStateSpec extends SparkSpec {
     assert(s2.currentVersion == 1) // v2 uncommitted -> ignored
     assert(rows(s2) == Set((1L, "a")))
     // the next swap REUSES the version slot and overwrites the garbage
-    s2.swap(s2.current.unionByName(Seq((2L, "b")).toDF("k", "v")))
+    s2.swap(cur => cur.unionByName(Seq((2L, "b")).toDF("k", "v")))
     assert(rows(s2) == Set((1L, "a"), (2L, "b")))
     val s3 = new DurableState(spark, schema, Some(dir))
     assert(s3.currentVersion == 2 && rows(s3) == rows(s2))
@@ -55,7 +55,7 @@ class DurableStateSpec extends SparkSpec {
     import spark.implicits._
     val dir = tmpDir("ds-clean")
     val s = new DurableState(spark, schema, Some(dir))
-    (1 to 5).foreach(i => s.swap(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    (1 to 5).foreach(i => s.swap(_ => Seq((i.toLong, s"v$i")).toDF("k", "v")))
     val kept = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("v")).sorted
     assert(kept.toSeq == Seq("v4", "v5"), s"got ${kept.toSeq}")
   }
@@ -64,7 +64,7 @@ class DurableStateSpec extends SparkSpec {
     import spark.implicits._
     val s = new DurableState(spark, schema, stateDir = None, spillEvery = 4)
     (1 to 12).foreach { i =>
-      s.swap(s.current.unionByName(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+      s.swap(cur => cur.unionByName(Seq((i.toLong, s"v$i")).toDF("k", "v")))
     }
     assert(s.current.count() == 12)
     val nodes = s.current.queryExecution.optimizedPlan.collect { case p => p }.size

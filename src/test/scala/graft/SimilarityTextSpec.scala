@@ -62,6 +62,14 @@ class SimilarityTextSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("lshBucket")), s"got $e")
+    // a NULL vector also raises, with a non-null diagnostic (size(null) is
+    // null, so the message must coalesce, not null-propagate)
+    val eNull = intercept[Exception] {
+      Seq(Tuple1(null.asInstanceOf[Seq[Double]])).toDF("embedding")
+        .select(Similarity.lshBucket(col("embedding"), 8, 32)).collect()
+    }
+    assert(messages(eNull).exists(m => m.contains("lshBucket") && m.contains("NULL")),
+      s"got $eNull")
   }
 
   test("text analysis goldens: tokens, stopword ratio, langid, bpe count") {
