@@ -410,6 +410,36 @@ class StreamingSpec extends SparkSpec {
     assert(keys.current.count() == 51) // {1..50} ∪ {0..6}
   }
 
+  test("concurrent applyBatch/evict serialize without losing either update") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val dim = new DimensionMaintainer(spark, "dim_conc", Seq("k"), "ord", schema)
+    dim.applyBatch(
+      (1L to 40L).map(i => (i, 0L, s"init$i")).toDF("k", "ord", "v"), 0L)
+    // two writers racing: upserts on keys 1..20 vs evictions of 31..40.
+    // The builder-under-lock contract means neither effect can be built
+    // from a stale snapshot and overwrite the other.
+    val t1 = new Thread(() =>
+      (1 to 5).foreach { r =>
+        dim.applyBatch(
+          (1L to 20L).map(i => (i, r.toLong, s"up$r-$i")).toDF("k", "ord", "v"),
+          r.toLong)
+      })
+    val t2 = new Thread(() =>
+      (0 until 10).foreach { j =>
+        dim.evict(Seq(Tuple1(31L + j)).toDF("k"), "k")
+      })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val rows = dim.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byKey = rows.map(r => r._1 -> r).toMap
+    assert(rows.length == 30, s"got ${rows.length} rows") // 40 - 10 evicted
+    (1L to 20L).foreach(i => assert(byKey(i) == ((i, 5L, s"up5-$i")), s"key $i"))
+    (21L to 30L).foreach(i => assert(byKey(i)._3 == s"init$i"))
+    (31L to 40L).foreach(i => assert(!byKey.contains(i), s"key $i not evicted"))
+    dim.drop()
+  }
+
   test("K6: drop unregisters the dimension temp view") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
