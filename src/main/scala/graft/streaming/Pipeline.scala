@@ -65,6 +65,31 @@ object Pipeline {
     stream.join(d, stream(streamKey) === d("_dim_key"), "left").drop("_dim_key")
   }
 
+  /** A1 streaming, TYPED custom-state form: latest event per key via
+    * `KeyValueGroupedDataset.mapGroupsWithState` — the arbitrary-state API
+    * for semantics `groupBy().agg()` can't express (here it CAN, so this is
+    * the parity-checkable exemplar; the pattern generalizes to session
+    * assembly, custom timeouts, etc.). State = one record per key in the
+    * state store (partitioned, RocksDB-capable via
+    * [[graft.GraftSession.useRocksDbStateStore]]); update mode emits the
+    * winner per key per batch. `ord` and `key` are extracted by function,
+    * so the event type stays compile-checked. */
+  def latestByKeyStateful[K, V](
+      stream: org.apache.spark.sql.Dataset[V],
+      key: V => K, ord: V => Long)(
+      implicit kEnc: org.apache.spark.sql.Encoder[K],
+      vEnc: org.apache.spark.sql.Encoder[V],
+      kvEnc: org.apache.spark.sql.Encoder[(K, V)]): org.apache.spark.sql.Dataset[V] =
+    stream.groupByKey(key)
+      .mapGroupsWithState[V, V](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (_: K, events: Iterator[V], state: org.apache.spark.sql.streaming.GroupState[V]) =>
+          val newest = (state.getOption.iterator ++ events)
+            .maxBy(ord) // newest-wins, same as Compaction.latestByKey
+          state.update(newest)
+          newest
+      }
+
   /** A1 streaming — latest event per key (reference's compaction semantics as
     * a continuously-updated result; batch analog q07). Complete/update
     * output mode. */

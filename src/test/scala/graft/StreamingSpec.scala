@@ -45,6 +45,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q07 parity: mapGroupsWithState latestByKeyStateful == batch compaction") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, Long, Double)](spark)
+    val ds = stream.toDS()
+    val out = Pipeline.latestByKeyStateful[Long, (Long, String, Long, Double)](
+      ds, _._1, _._3)
+    // update mode: each batch re-emits the keys it changed; fold emissions
+    // in batch order to recover the final per-key state
+    val latest = scala.collection.mutable.Map.empty[Long, (Long, String, Long, Double)]
+    val q = out.writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, String, Long, Double)], _: Long) =>
+        b.collect().foreach(r => latest(r._1) = r)
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-mgws"))
+      .start()
+    try {
+      val rows = eventRows(200, 7)
+      val uniq = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+      stream.addData(uniq.take(100)); q.processAllAvailable()
+      stream.addData(uniq.drop(100)); q.processAllAvailable()
+      val expect = Compaction.latestByKey(
+          uniq.toDF("user_id", "event_type", "ts", "value"), Seq("user_id"), "ts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(latest.values.toSet == expect)
+    } finally q.stop()
+  }
+
   test("q12 parity: DimensionMaintainer CDC == batch applyUpserts") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
