@@ -299,7 +299,40 @@ object Queries {
           .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")),
       Some(s"""SELECT user_id, epoch_us(ts) // $TenMinUs AS bucket,
                       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
-               FROM events GROUP BY 1, 2"""))
+               FROM events GROUP BY 1, 2""")),
+
+    // Q21 — session windows (§2.8/T2): Spark's built-in session_window
+    // (merge events whose gaps are under 30 minutes; window end = last event
+    // + gap) vs the classic gaps-and-islands formulation in DuckDB. A new
+    // session starts when the gap is >= the threshold — session_window
+    // treats touching-but-not-overlapping windows as separate.
+    Entry(
+      "q21_sessions",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            col("user_id"),
+            session_window(timestamp_micros(col("ts")), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("cnt")),
+      Some("""WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+              sess AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+              SELECT user_id, MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS cnt
+              FROM sess GROUP BY user_id, sid"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

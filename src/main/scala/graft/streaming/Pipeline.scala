@@ -90,6 +90,65 @@ object Pipeline {
           newest
       }
 
+  /** Session assembly via `flatMapGroupsWithState` + EVENT-TIME TIMEOUT —
+    * the arbitrary-custom-state exemplar the built-in
+    * `session_window` (batch analog q21) cannot generalize beyond: per-key
+    * state is (start, last, count); a session EMITS when (a) a gap ≥
+    * `gapMinutes` closes it within a batch, or (b) the watermark passes
+    * `last + gap` (timeout) with no successor. Input: (key, event-time)
+    * pairs with the watermark already applied downstream of `delay`.
+    *
+    * Contract caveat (documented, not hidden): a session closed by an
+    * intra-batch gap emits immediately, so an out-of-order event arriving
+    * LATER that would have bridged the two sessions splits them; choose
+    * `delay` ≥ the reorder horizon and `gapMinutes` > `delay` for exact
+    * sessions, or use the built-in `session_window` aggregation, which
+    * merges across batches at the cost of fixed output columns. */
+  def sessionizeStateful(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapMinutes: Int = 30,
+      delay: String = "10 minutes"): org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.toDF("k", "ts").withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (k, it, state) =>
+          def emit(s: (Long, Long, Long)) =
+            (k, new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2 + gapMs), s._3)
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(emit(done))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long)]
+            var cur = state.getOption
+            it.map(_._2.getTime).toArray.sorted.foreach { t =>
+              cur = cur match {
+                case Some((s, l, n)) if t - l < gapMs =>
+                  Some((math.min(s, t), math.max(l, t), n + 1))
+                case Some(done) =>
+                  closed += done
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // the timeout must sit past the watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(c._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map(emit)
+          }
+      }
+  }
+
   /** A1 streaming — latest event per key (reference's compaction semantics as
     * a continuously-updated result; batch analog q07). Complete/update
     * output mode. */

@@ -75,6 +75,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful emits gap-closed and timeout-closed sessions (flatMapGroupsWithState)") {
+    import spark.implicits._
+    val base = 1700000000000L // epoch millis
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val out = Pipeline.sessionizeStateful(stream.toDS(), gapMinutes = 30, delay = "5 minutes")
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)], _: Long) =>
+        sessions ++= b.collect().map(s =>
+          (s._1, (s._2.getTime - base) / 60000L, (s._3.getTime - base) / 60000L, s._4))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-sess"))
+      .start()
+    try {
+      // key 1: two events 10 min apart (one session), then a 60-min gap
+      // within the SAME batch closes it and opens another
+      stream.addData(Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(70))))
+      q.processAllAvailable()
+      assert(sessions.toList == List((1L, 0L, 40L, 2L))) // [0, 10+30) of 2 events
+      // watermark advances far past key 1's open session -> timeout closes it
+      stream.addData(Seq((2L, ts(300))))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, ts(301)))) // one more batch so the timeout fires
+      q.processAllAvailable()
+      assert(sessions.toSet.contains((1L, 70L, 100L, 1L)), s"got $sessions")
+    } finally q.stop()
+  }
+
   test("q12 parity: DimensionMaintainer CDC == batch applyUpserts") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
