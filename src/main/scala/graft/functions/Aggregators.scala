@@ -16,13 +16,19 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Aggregators {
 
-  /** Streaming-friendly moments buffer: count/sum/sumSq/min/max merge
-    * associatively, so partial aggregation is exact. */
+  /** Welford/Chan central-moment buffer: (count, mean, M2) merges
+    * ASSOCIATIVELY (Chan et al.'s pairwise update), so partial aggregation
+    * is exact AND numerically stable — the naive `sumSq − n·mean²` one-pass
+    * form cancels catastrophically on large-magnitude data (1000 values
+    * near 1.7e15 gave std = 0.0 instead of 288.8). */
   final case class MomentsBuf(
-      n: Long, sum: Double, sumSq: Double, min: Double, max: Double)
+      n: Long, mean: Double, m2: Double, min: Double, max: Double)
 
   /** Finalized per-group stats; `std` is the sample standard deviation
-    * (n-1 denominator, matching `stddev_samp`). */
+    * (n−1 denominator, matching `stddev_samp`; NaN for n < 2). Empty groups
+    * finalize to `n = 0` with NaN mean/std/min/max — the double-typed
+    * analog of SQL's NULL over empty input (the buffer's ±∞ sentinels never
+    * leak). */
   final case class Moments(
       n: Long, mean: Double, std: Double, min: Double, max: Double)
 
@@ -33,19 +39,30 @@ object Aggregators {
       MomentsBuf(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
     override def reduce(b: MomentsBuf, a: IN): MomentsBuf = {
       val v = f(a)
-      MomentsBuf(b.n + 1, b.sum + v, b.sumSq + v * v,
+      val n = b.n + 1
+      val delta = v - b.mean
+      val mean = b.mean + delta / n
+      MomentsBuf(n, mean, b.m2 + delta * (v - mean),
         math.min(b.min, v), math.max(b.max, v))
     }
     override def merge(x: MomentsBuf, y: MomentsBuf): MomentsBuf =
-      MomentsBuf(x.n + y.n, x.sum + y.sum, x.sumSq + y.sumSq,
-        math.min(x.min, y.min), math.max(x.max, y.max))
-    override def finish(b: MomentsBuf): Moments = {
-      val mean = b.sum / b.n
-      val variance =
-        if (b.n < 2) Double.NaN
-        else math.max(0.0, (b.sumSq - b.n * mean * mean) / (b.n - 1))
-      Moments(b.n, mean, math.sqrt(variance), b.min, b.max)
-    }
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else {
+        val n = x.n + y.n
+        val delta = y.mean - x.mean
+        MomentsBuf(
+          n,
+          x.mean + delta * y.n / n,
+          x.m2 + y.m2 + delta * delta * x.n * y.n / n,
+          math.min(x.min, y.min), math.max(x.max, y.max))
+      }
+    override def finish(b: MomentsBuf): Moments =
+      if (b.n == 0) Moments(0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else Moments(
+        b.n, b.mean,
+        if (b.n < 2) Double.NaN else math.sqrt(math.max(0.0, b.m2 / (b.n - 1))),
+        b.min, b.max)
     override def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
     override def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
   }
@@ -54,10 +71,25 @@ object Aggregators {
   def momentsOf[IN](f: IN => Double): TypedColumn[IN, Moments] =
     new DoubleMoments[IN](f).toColumn
 
-  /** Untyped/SQL form over a Double column, for
+  /** Boxed-input wrapper for the SQL/DataFrame surface: a nullable Double
+    * column deserializes to `java.lang.Double` with nulls preserved, and
+    * nulls are SKIPPED like every built-in aggregate (a primitive-Double
+    * encoder silently turns NULL into 0.0 and corrupts every statistic). */
+  private object NullSkippingMoments
+      extends Aggregator[java.lang.Double, MomentsBuf, Moments] {
+    private val inner = new DoubleMoments[Double](identity)
+    override def zero: MomentsBuf = inner.zero
+    override def reduce(b: MomentsBuf, a: java.lang.Double): MomentsBuf =
+      if (a == null) b else inner.reduce(b, a.doubleValue())
+    override def merge(x: MomentsBuf, y: MomentsBuf): MomentsBuf = inner.merge(x, y)
+    override def finish(b: MomentsBuf): Moments = inner.finish(b)
+    override def bufferEncoder: Encoder[MomentsBuf] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Moments] = inner.outputEncoder
+  }
+
+  /** Untyped/SQL form over a (nullable) Double column, for
     * `df.groupBy(...).agg(momentsUdaf(col("value")))` or
     * `spark.udf.register("moments", momentsUdaf)`. */
   val momentsUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(
-      new DoubleMoments[Double](identity), Encoders.scalaDouble)
+    org.apache.spark.sql.functions.udaf(NullSkippingMoments, Encoders.DOUBLE)
 }

@@ -78,8 +78,7 @@ object Pipeline {
       stream: org.apache.spark.sql.Dataset[V],
       key: V => K, ord: V => Long)(
       implicit kEnc: org.apache.spark.sql.Encoder[K],
-      vEnc: org.apache.spark.sql.Encoder[V],
-      kvEnc: org.apache.spark.sql.Encoder[(K, V)]): org.apache.spark.sql.Dataset[V] =
+      vEnc: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Dataset[V] =
     stream.groupByKey(key)
       .mapGroupsWithState[V, V](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
@@ -125,26 +124,34 @@ object Pipeline {
             state.remove()
             Iterator.single(emit(done))
           } else {
-            val closed = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Long)]
-            var cur = state.getOption
+            // sessions from this batch's SORTED events...
+            val batch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
             it.map(_._2.getTime).toArray.sorted.foreach { t =>
-              cur = cur match {
+              batch.lastOption match {
                 case Some((s, l, n)) if t - l < gapMs =>
-                  Some((math.min(s, t), math.max(l, t), n + 1))
-                case Some(done) =>
-                  closed += done
-                  Some((t, t, 1L))
-                case None => Some((t, t, 1L))
+                  batch(batch.length - 1) = (s, math.max(l, t), n + 1)
+                case _ => batch += ((t, t, 1L))
               }
             }
-            cur.foreach { c =>
-              state.update(c)
-              // the timeout must sit past the watermark or Spark rejects it
-              state.setTimeoutTimestamp(
-                math.max(c._2 + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator.map(emit)
+            // ...then the carried state interval merges in START order, so
+            // an out-of-order event BEFORE the open session merges only when
+            // genuinely within the gap (a plain `t - last < gap` test is
+            // trivially true for any negative gap and would weld sessions
+            // across arbitrarily long silences)
+            val merged = (state.getOption.toList ++ batch)
+              .sortBy(_._1)
+              .foldLeft(List.empty[(Long, Long, Long)]) {
+                case ((ps, pl, pn) :: rest, (s, l, n)) if s - pl < gapMs =>
+                  (math.min(ps, s), math.max(pl, l), pn + n) :: rest
+                case (acc, cur) => cur :: acc
+              }
+              .reverse
+            val open = merged.last
+            state.update(open)
+            // the timeout must sit past the watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(open._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            merged.dropRight(1).iterator.map(emit)
           }
       }
   }

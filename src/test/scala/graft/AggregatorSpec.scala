@@ -45,8 +45,42 @@ class AggregatorSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
     // registered for SQL users too
     spark.udf.register("moments", Aggregators.momentsUdaf)
-    val s = df.createOrReplaceTempView("mo_in")
+    df.createOrReplaceTempView("mo_in")
     val viaSql = spark.sql("SELECT moments(v).mean FROM mo_in").head().getDouble(0)
     assert(math.abs(viaSql - 2.5) < 1e-12)
+  }
+
+  test("momentsUdaf skips NULLs like built-in aggregates") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val r = df.agg(Aggregators.momentsUdaf(col("v")).as("m"))
+      .select("m.n", "m.mean", "m.min", "m.max").head()
+    assert(r.getLong(0) == 2, "NULL must not count")
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12, "NULL must not enter the mean as 0.0")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 3.0)
+  }
+
+  test("moments std is numerically stable at large magnitude (Welford/Chan)") {
+    import spark.implicits._
+    // epoch-micros-scale values: the naive sumSq - n*mean^2 form returns 0.0
+    val base = 1.7e15
+    val df = (0 until 1000).map(i => base + i).toDF("v").repartition(8)
+    val got = df.agg(Aggregators.momentsUdaf(col("v")).as("m"))
+      .select("m.std").head().getDouble(0)
+    val expect = df.agg(stddev_samp(col("v"))).head().getDouble(0)
+    // both engines compute central moments from 1.7e15-magnitude inputs, so
+    // agreement is ~1e-6 relative (ULP of the input scale); the naive
+    // sumSq − n·mean² form returned EXACTLY 0.0 here
+    assert(math.abs(got - expect) / expect < 1e-4, s"got $got expect $expect")
+    assert(got > 250 && got < 320) // truly nonzero
+  }
+
+  test("moments over empty input: n=0 and NaN stats, no infinity leak") {
+    import spark.implicits._
+    val r = Seq(1.0).toDF("v").filter(lit(false))
+      .agg(Aggregators.momentsUdaf(col("v")).as("m"))
+      .select("m.n", "m.mean", "m.std", "m.min", "m.max").head()
+    assert(r.getLong(0) == 0)
+    (1 to 4).foreach(i => assert(r.getDouble(i).isNaN, s"field $i must be NaN"))
   }
 }

@@ -105,6 +105,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful: out-of-order event beyond the gap forms its own session") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    // delay (60) > gap (30): the watermark admits events older than the gap,
+    // the regime where a naive `t - last < gap` merge test is trivially true
+    // for ANY out-of-order event and welds sessions across long silences
+    val out = Pipeline.sessionizeStateful(stream.toDS(), gapMinutes = 30, delay = "60 minutes")
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)], _: Long) =>
+        sessions ++= b.collect().map(s =>
+          (s._1, (s._2.getTime - base) / 60000L, (s._3.getTime - base) / 60000L, s._4))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-sess-ooo"))
+      .start()
+    try {
+      stream.addData(Seq((5L, ts(100)))) // opens (100, 100); watermark -> 40
+      q.processAllAvailable()
+      // out-of-order event at 45: admitted (> watermark 40) but 55 min
+      // before the open session — an 80+-minute silence >= gap, so it must
+      // close as its OWN session, not weld onto (100, 100)
+      stream.addData(Seq((5L, ts(45))))
+      q.processAllAvailable()
+      assert(sessions.toList == List((5L, 45L, 75L, 1L)), s"got $sessions")
+    } finally q.stop()
+  }
+
   test("q12 parity: DimensionMaintainer CDC == batch applyUpserts") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
