@@ -29,6 +29,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.ArrayKernels.vecCosine(a, b)
 
+  /** Unit-L2-normalized copy of a vector column (the standard pre-step
+    * before dot-product ≡ cosine retrieval). The norm is `let`-bound so it
+    * computes ONCE per row — inlined into the `transform` lambda it would
+    * re-evaluate per ELEMENT (the HOF-inlining trap, a d×-cost bug).
+    * Zero vectors map to zero vectors (0/0 → NaN elements would poison
+    * downstream sums). */
+  def l2Normalize(v: Column): Column =
+    graft.operators.let(l2Norm(v)) { n =>
+      transform(v, x => when(n === 0.0, 0.0).otherwise(x.cast("double") / n))
+    }
+
   /** Distributed top-k finisher: `orderBy(...).limit(k)` plans as
     * `TakeOrderedAndProject` — each partition keeps its local top-k and only
     * those k·numPartitions rows reach the driver-side merge, vs. a global

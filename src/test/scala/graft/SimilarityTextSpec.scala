@@ -45,6 +45,26 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got.forall(_ % 2 == 0)) // all from the query's cluster
   }
 
+  test("l2Normalize: unit norm, cosine == dot after normalization, zero-safe") {
+    import spark.implicits._
+    val rng = new Random(29)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(8)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("id", "v")
+      .withColumn("nv", Similarity.l2Normalize(col("v")))
+    val norms = df.select(Similarity.l2Norm(col("nv"))).collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+    // cosine(a, b) == dot(normalize(a), normalize(b))
+    val pair = df.limit(2).collect().map(_.getSeq[Double](2))
+    val viaDot = pair(0).zip(pair(1)).map { case (x, y) => x * y }.sum
+    val viaCos = Seq((vecs(0)._2, vecs(1)._2)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(viaDot - viaCos) < 1e-9)
+    // zero vector stays zero, no NaN poison
+    val z = Seq(Tuple1(Seq(0.0, 0.0))).toDF("v")
+      .select(Similarity.l2Normalize(col("v"))).head().getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0))
+  }
+
   test("lshBucket fails fast on a dims mismatch instead of bucketing to 0") {
     import spark.implicits._
     val rng = new Random(23)
