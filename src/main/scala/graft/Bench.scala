@@ -71,7 +71,17 @@ object Bench {
       }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val failures = results.collect { case (k, Left(e)) => k -> e }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // control chars included: a Spark analysis error's tab/CR in
+    // failure_detail must not break the machine-readable JSON channel
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qJson = ok
       .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")

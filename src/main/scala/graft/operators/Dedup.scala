@@ -51,9 +51,24 @@ object Dedup {
     * pair id, then attach payloads and run the kernels at full parallelism.
     *
     * This is the strategy decision AQE cannot make (it never sees output
-    * explosion), made with the one stat that predicts it: corpus size,
-    * known for free from materializing the payload cache. */
+    * explosion), made with the stats that predict it: corpus size AND the
+    * measured in-memory payload bytes (from the cached relation's stats —
+    * free once the cache is materialized). Both gates must pass: a 50k-doc
+    * corpus of megabyte texts must NOT be force-broadcast just because its
+    * doc count is small. */
   val defaultMaxBroadcastDocs: Long = 64 * 1024
+
+  /** Byte cap for the direct (broadcast) strategy — measured against the
+    * cached payload frame's stats, well under Spark's 8 GB broadcast limit
+    * and sized for 1000-executor fan-out cost. */
+  val defaultMaxBroadcastBytes: Long = 256L << 20
+
+  /** The direct/narrow decision for a MATERIALIZED (persisted + counted)
+    * payload frame: doc count within `maxDocs` AND the cached relation's
+    * measured size within [[defaultMaxBroadcastBytes]]. */
+  private def broadcastable(cached: DataFrame, nDocs: Long, maxDocs: Long): Boolean =
+    nDocs <= maxDocs &&
+      cached.queryExecution.optimizedPlan.stats.sizeInBytes <= defaultMaxBroadcastBytes
 
   /** Exact full-row dedup — a hash aggregation over all columns. */
   def exact(df: DataFrame): DataFrame = df.dropDuplicates()
@@ -153,7 +168,7 @@ object Dedup {
     // blocks) and learn the corpus size — the [[defaultMaxBroadcastDocs]]
     // strategy gate.
     val nDocs = sigs.count()
-    val direct = nDocs <= maxBroadcastDocs
+    val direct = broadcastable(base, nDocs, maxBroadcastDocs)
     // Narrow-mode attaches hint SHUFFLE_HASH: the build side is the per-doc
     // payload frame (bounded per partition by the shuffle partition count);
     // sort-merge would instead SORT the candidate-pair stream — hundreds of
@@ -348,7 +363,7 @@ object Dedup {
           blockingCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = base.count() // materialize the cache + the strategy gate
-    val direct = nDocs <= maxBroadcastDocs
+    val direct = broadcastable(base, nDocs, maxBroadcastDocs)
     val blkKeys = blockingCols.indices.map(i => s"_blk$i")
     val lengthPrune =
       least(col("_na"), col("_nb")) >= lit(threshold) * greatest(col("_na"), col("_nb"))
@@ -419,7 +434,7 @@ object Dedup {
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col(blockCol).as("_blk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = base.count() // materialize the cache + the strategy gate
-    val direct = nDocs <= maxBroadcastDocs
+    val direct = broadcastable(base, nDocs, maxBroadcastDocs)
     // see [[minHashLshPairsManaged]] on the narrow-mode shuffle_hash hint
     def attach(f: DataFrame): DataFrame =
       if (direct) broadcast(f) else f.hint("shuffle_hash")
@@ -490,18 +505,20 @@ object Dedup {
         .join(labels, edges("_dst") === labels("_id"))
         .groupBy(col("_src"))
         .agg(min(col("_label")).as("_nmin"))
+      // the change flag rides the SAME projection (old and new label are
+      // both in scope here) — a separate next-vs-labels join to count
+      // changes would add a full extra shuffle per round
+      val newLabel =
+        least(labels("_label"), coalesce(col("_nmin"), labels("_label")))
       val next = labels
         .join(nbrMin, labels("_id") === nbrMin("_src"), "left")
         .select(
-          labels("_id"),
-          least(labels("_label"), coalesce(col("_nmin"), labels("_label"))).as("_label"))
+          labels("_id"), newLabel.as("_label"),
+          (newLabel < labels("_label")).as("_chg"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("p"), col("n._id") === col("p._id"))
-        .filter(col("n._label") =!= col("p._label"))
-        .count()
+      changed = next.filter(col("_chg")).count()
       releaseLabels(labels)
-      labels = next
+      labels = next.drop("_chg")
       iter += 1
     }
     edges.unpersist(blocking = false)

@@ -111,6 +111,9 @@ object AvroDecode {
       val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
       it.map { bytes =>
         require(
+          bytes != null,
+          "NULL Avro value (Kafka tombstone?) — filter nulls before decodeFramed")
+        require(
           bytes.length >= 5 && bytes(0) == 0x0,
           s"not a registry-framed Avro record (len=${bytes.length}, " +
             s"magic=${if (bytes.nonEmpty) bytes(0) else "<empty>"})")

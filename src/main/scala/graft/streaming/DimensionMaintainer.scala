@@ -60,13 +60,13 @@ final class DimensionMaintainer(
     * concurrent [[evict]]/applyBatch cannot build from a stale snapshot and
     * lose this batch's upserts; readers see either the old or the new
     * materialized snapshot, never a partial state. */
-  def applyBatch(updates: DataFrame, batchId: Long): Unit = {
+  def applyBatch(updates: DataFrame, batchId: Long): Unit = synchronized {
     state.swap(cur => Compaction.applyUpserts(cur, updates, keys, ord))
     register()
   }
 
   /** Delete rows whose key appears in `evicted` (reference K5/J5). */
-  def evict(evicted: DataFrame, keyCol: String): Unit = {
+  def evict(evicted: DataFrame, keyCol: String): Unit = synchronized {
     state.swap(cur => Compaction.deleteKeys(
       cur, evicted.select(col(keyCol).as(keys.head)), keys.head))
     register()
@@ -81,7 +81,9 @@ final class DimensionMaintainer(
     * (reference `DROP TABLE IF EXISTS`,
     * `…/dodetl/imtu/DatabaseManager.scala:153-159`). Spilled parquet
     * versions remain on disk as the durable copy. */
-  def drop(): Unit = {
+  def drop(): Unit = synchronized {
+    // maintainer-level lock (shared with applyBatch/evict): a mutation
+    // in flight cannot re-register the temp view after this drop
     spark.catalog.dropTempView(name)
     state.release()
   }
@@ -127,7 +129,7 @@ final class DimensionMaintainer(
 final class ObservedKeySet(
     spark: SparkSession, keyCol: String, keyType: String,
     stateDir: Option[String] = None,
-    spillEvery: Int = 8) {
+    spillEvery: Int = 1) {
 
   private val state = new DurableState(
     spark, StructType.fromDDL(s"$keyCol $keyType"), stateDir, spillEvery)

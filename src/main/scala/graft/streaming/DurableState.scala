@@ -26,10 +26,10 @@ import org.apache.spark.storage.StorageLevel
   * protocol has written `v<version>/_SUCCESS`, so the committer — not a
   * self-managed marker file — is the atomic commit point. [[restoreOrEmpty]]
   * picks the highest committed version; a version dir half-written by a crash
-  * has no `_SUCCESS` and is ignored (and overwritten on reuse). Older
-  * committed versions are kept one deep (in-flight readers of the previous
-  * frame may still fault cached blocks back from its files) and deleted after
-  * the next spill.
+  * has no `_SUCCESS` and is ignored (and overwritten on reuse). Several
+  * older committed versions are kept (in-flight readers may hold frames a
+  * few swaps stale and still fault blocks back from their files); older
+  * ones are deleted after each spill.
   *
   * Durability lag: `spillEvery = 1` (the default) spills on every swap —
   * with `foreachBatch`, whose offsets commit only after the batch function
@@ -103,32 +103,20 @@ final class DurableState(
 
   // Superseded one generation ago; released on the NEXT swap. The delay
   // gives in-flight readers of the previous frame (a temp-view query planned
-  // just before a swap) their micro-batch to finish before storage vanishes.
+  // just before a swap) their micro-batch to finish before the cache entry
+  // vanishes.
   private var retired: Option[DataFrame] = None
 
-  // Eagerly freeing a localCheckpoint'ed frame's RDD blocks is only safe
-  // when NOTHING live can recompute through it. With spillEvery == 1 every
-  // installed frame is SELF-ROOTED (a parquet re-read or its own checkpoint
-  // blocks), so the retired frame has no dependents and can be freed
-  // deterministically. With spillEvery > 1 the persisted frames between
-  // checkpoints keep the previous checkpoint as their recompute ROOT — a
-  // cache miss after an eager free fails with an unrecoverable
-  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by DurableStateSpec) — so
-  // those blocks are left to GC + ContextCleaner, which only ever frees
-  // RDDs no live plan references.
-  private val selfRootedFrames = spillEvery == 1
-
-  /** Free a frame's storage: always the cache-manager entry; the underlying
-    * checkpoint RDD blocks too when provably dependency-free (see above —
-    * plain `Dataset.unpersist` is a no-op for those). */
-  private def releaseFrame(df: DataFrame): Unit = {
+  /** Free a frame's CACHE entry. The underlying localCheckpoint RDD blocks
+    * are deliberately NOT freed here: a reader can hold the previous frame
+    * across an arbitrarily long micro-batch (e.g. `operationalQueryBuffered`
+    * between its emit and its buffer swap) while this state swaps several
+    * times — eager freeing would hand that reader an unrecoverable
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, because a checkpointed frame cannot
+    * recompute. ContextCleaner frees the blocks once no live plan
+    * references the RDD, which is the reference-safe cleanup. */
+  private def releaseFrame(df: DataFrame): Unit =
     df.unpersist(blocking = false)
-    if (selfRootedFrames) df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-  }
 
   /** Replace the state with `build(current)` — the read-modify-write runs
     * UNDER this lock, so concurrent writers serialize on the same base
@@ -145,8 +133,9 @@ final class DurableState(
         val reread = spark.read.schema(schema).parquet(vDir.toString)
           .persist(StorageLevel.MEMORY_AND_DISK)
         reread.count()
-        // keep the previous committed spill one deep; drop anything older
-        val stale = committedVersions(dir).sorted.dropRight(2)
+        // keep several committed spills: an in-flight reader may hold a
+        // frame a few swaps stale, and its parquet files must outlive it
+        val stale = committedVersions(dir).sorted.dropRight(4)
         stale.foreach(v => fs(spillPath(dir, v)).delete(spillPath(dir, v), true))
         reread
       case None if version % spillEvery == 0 =>

@@ -56,8 +56,15 @@ final class Topology(
     * active keys), so the per-batch spill is cheap. */
   val observedKeys: ObservedKeySet = {
     val opKey = cfg.operational.keyColumns.head
+    // key TYPE comes from the dimension key the on-demand semi-join
+    // compares against (hardcoding BIGINT would corrupt the durable key-set
+    // state for string-keyed configs)
+    val keyType = cfg.metadata.headOption
+      .flatMap(t => dimSchemas.get(t.tableName)
+        .map(sch => sch(t.keyColumns.head).dataType.sql))
+      .getOrElse("BIGINT")
     new ObservedKeySet(
-      spark, opKey, "BIGINT",
+      spark, opKey, keyType,
       stateDir = Some(s"$checkpointRoot/_observed_keys"),
       spillEvery = 1)
   }

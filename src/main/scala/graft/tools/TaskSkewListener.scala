@@ -19,8 +19,10 @@ final class TaskSkewListener extends SparkListener {
     * the listener bus is asynchronous, so late task events can still be
     * draining when a caller reads right after an action. */
   def heaviest(n: Int): Seq[(Int, Int, Double, Long, Long, Double)] =
-    durations.toSeq.map { case (sid, ds0) =>
-      val ds = ds0.synchronized(ds0.toArray).sorted
+    durations.toSeq
+      .map { case (sid, ds0) => sid -> ds0.synchronized(ds0.toArray).sorted }
+      .filter(_._2.nonEmpty) // bus may have registered a stage, no tasks yet
+      .map { case (sid, ds) =>
       val median = ds(ds.length / 2)
       (sid, ds.length, ds.sum / 1e3, ds.last, median,
         ds.last.toDouble / math.max(median, 1L))
