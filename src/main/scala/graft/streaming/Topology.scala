@@ -49,11 +49,12 @@ final class Topology(
     }.toMap
 
   /** Observed operational keys (one registry, as in the reference manager).
-    * `spillEvery = 1`: the key-registration stream's checkpoint commits
-    * offsets per batch, so a lazier spill cadence would permanently lose the
-    * keys observed between the last spill and a crash — their CDC rows
-    * would be on-demand-pruned forever. The key set is small (distinct
-    * active keys), so the per-batch spill is cheap. */
+    * Durability is per NON-EMPTY DELTA ([[DurableState.appendDelta]]): the
+    * key-registration stream's checkpoint commits offsets per batch, and
+    * every batch's newly observed keys are spilled before those offsets
+    * commit — a crash can never permanently lose a key (whose CDC rows
+    * would be on-demand-pruned forever). Per-batch write is ∝ the new keys,
+    * usually zero on a warm stream. */
   val observedKeys: ObservedKeySet = {
     val opKey = cfg.operational.keyColumns.head
     // key TYPE comes from the dimension key the on-demand semi-join
@@ -85,11 +86,34 @@ final class Topology(
     cfg.metadata.map(t => t.tableName -> startDimension(t, cdcStreams(t.tableName))).toMap
 
   /** Start observed-key registration off the operational stream (reference
-    * `…/imtu/InMemoryTableUpdaterManager.scala:55-65`). */
-  def startKeyRegistration(events: DataFrame): StreamingQuery =
+    * `…/imtu/InMemoryTableUpdaterManager.scala:55-65`), with AUTOMATED
+    * on-demand back-fill: when a batch observes keys for the first time,
+    * every on-demand dimension with a `cdcSnapshots` source re-applies its
+    * compacted-topic snapshot BOUNDED to those keys
+    * ([[DimensionMaintainer.backfill]]) — the reference's re-dump-on-key-
+    * set-growth (`…/dodetl/imtu/InMemoryTableUpdater.scala:66-70,106-127`)
+    * without its full-topic rescan. Until this runs, events for a
+    * late-observed key park in the late-data buffer; afterwards the next
+    * operational batch drains them enriched.
+    *
+    * `cdcSnapshots`: per on-demand table, a BATCH read of the compacted CDC
+    * topic ([[graft.sources.Sources.kafkaSnapshotReader]] in production, a
+    * file/memory frame in tests). Tables without a source keep the manual
+    * back-fill contract. */
+  def startKeyRegistration(
+      events: DataFrame,
+      cdcSnapshots: Map[String, () => DataFrame] = Map.empty): StreamingQuery = {
+    val opKey = cfg.operational.keyColumns.head
+    val onDemandDims = cfg.metadata
+      .filter(_.filterColumn.isDefined)
+      .flatMap(t => cdcSnapshots.get(t.tableName).map(snap => (t.tableName, snap)))
     observedKeys.attachTo(
-      events.select(cfg.operational.keyColumns.head),
-      s"$checkpointRoot/_observed_keys/ckpt")
+      events.select(opKey),
+      s"$checkpointRoot/_observed_keys/ckpt",
+      onNewKeys = (newKeys, id) => onDemandDims.foreach { case (table, snap) =>
+        maintainers(table).backfill(snap(), newKeys, opKey, id)
+      })
+  }
 
   /** Start the operational pipeline: buffered multi-dimension enrichment +
     * metric columns + the caller's sink, with the config's watermark delay

@@ -78,4 +78,80 @@ class DurableStateSpec extends SparkSpec {
     assert(s.current.schema == schema)
     assert(s.current.count() == 0)
   }
+
+  test("appendDelta: delta chain restores ≡ the full state; versions continue") {
+    import spark.implicits._
+    val dir = tmpDir("ds-delta")
+    val s1 = new DurableState(spark, schema, Some(dir), compactEvery = 100)
+    (1 to 5).foreach(i => s1.appendDelta(_ => Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(s1.currentVersion == 5)
+    assert(rows(s1) == (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    s1.release()
+
+    // restore = no full snapshot yet, just the committed delta chain
+    val s2 = new DurableState(spark, schema, Some(dir), compactEvery = 100)
+    assert(s2.currentVersion == 5)
+    assert(rows(s2) == rows(s1))
+    s2.appendDelta(_ => Seq((6L, "v6")).toDF("k", "v"))
+    assert(s2.currentVersion == 6 && rows(s2).size == 6)
+  }
+
+  test("appendDelta: empty delta is a complete no-op (no write, no version)") {
+    import spark.implicits._
+    val dir = tmpDir("ds-delta-empty")
+    val s = new DurableState(spark, schema, Some(dir))
+    s.appendDelta(_ => Seq((1L, "a")).toDF("k", "v"))
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(s.appendDelta(_ => Seq.empty[(Long, String)].toDF("k", "v")).isEmpty)
+    assert(s.currentVersion == 1)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == before)
+    assert(rows(s) == Set((1L, "a")))
+  }
+
+  test("appendDelta: compaction supersedes the chain; restore ≡; old deltas cleaned") {
+    import spark.implicits._
+    val dir = tmpDir("ds-compact")
+    val s = new DurableState(spark, schema, Some(dir), compactEvery = 3)
+    (1 to 7).foreach(i => s.appendDelta(_ => Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // compactions fired at versions 3 and 6 -> full snapshots exist
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("v3") && names.contains("v6"), s"got $names")
+    // deltas older than the reader-grace horizon of the last snapshot are gone
+    assert(!names.contains("d1") && !names.contains("d2"), s"got $names")
+    assert(rows(s) == (1 to 7).map(i => (i.toLong, s"v$i")).toSet)
+    s.release()
+    val s2 = new DurableState(spark, schema, Some(dir), compactEvery = 3)
+    assert(s2.currentVersion == 7)
+    assert(rows(s2) == rows(s))
+  }
+
+  test("appendDelta: crash mid-compaction restores the pre-compaction chain") {
+    import spark.implicits._
+    val dir = tmpDir("ds-compact-crash")
+    val s = new DurableState(spark, schema, Some(dir), compactEvery = 3)
+    (1 to 3).foreach(i => s.appendDelta(_ => Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    s.release()
+    // fake a crash DURING the v3 compaction write: kill its commit marker.
+    // The superseded deltas d1..d3 are still on disk (cleanup is ordered
+    // after the snapshot commit), so restore must fall back to them.
+    val marker = java.nio.file.Paths.get(dir, "v3", "_SUCCESS")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    val s2 = new DurableState(spark, schema, Some(dir), compactEvery = 3)
+    assert(s2.currentVersion == 3)
+    assert(rows(s2) == Set((1L, "v1"), (2L, "v2"), (3L, "v3")))
+  }
+
+  test("swap with pending deltas forces a full spill (replace cannot resurrect)") {
+    import spark.implicits._
+    val dir = tmpDir("ds-mixed")
+    // spillEvery = 1000: this swap would normally NOT spill on cadence
+    val s = new DurableState(spark, schema, Some(dir), spillEvery = 1000)
+    s.appendDelta(_ => Seq((1L, "a")).toDF("k", "v"))
+    s.swap(_ => Seq((9L, "replaced")).toDF("k", "v"))
+    s.release()
+    // a crash here must restore the REPLACED state, not d1 over an older
+    // snapshot (which would resurrect k=1)
+    val s2 = new DurableState(spark, schema, Some(dir), spillEvery = 1000)
+    assert(rows(s2) == Set((9L, "replaced")), s"got ${rows(s2)}")
+  }
 }

@@ -256,8 +256,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // only observed keys replicated — state ∝ active key set
       assert(dim.current.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
-      // a key observed later applies from the NEXT batch on (no back-fill,
-      // as in the reference tail; snapshot re-read is the back-fill path)
+      // a key observed later applies from the NEXT batch on (the tail alone
+      // does not back-fill; the automated path is ObservedKeySet.attachTo's
+      // onNewKeys -> DimensionMaintainer.backfill, tested separately)
       keys.observeBatch(Seq(Tuple1(3L)).toDF("k"), 1L)
       stream.addData(Seq((3L, 2L, "c2"), (5L, 1L, "e")))
       q.processAllAvailable()
@@ -487,6 +488,101 @@ class StreamingSpec extends SparkSpec {
     assert(buf2.current.count() == 0)
   }
 
+  test("ObservedKeySet: per-batch shuffle and write ∝ batch delta, not the set") {
+    import spark.implicits._
+    val dir = tmpDir("okeys-incr")
+    val keys = new ObservedKeySet(spark, "k", "BIGINT", Some(dir))
+    // accumulate a 5000-key set over 50 batches
+    (0 until 50).foreach { b =>
+      keys.observeBatch(
+        ((b * 100) until ((b + 1) * 100)).map(i => Tuple1(i.toLong)).toDF("k"),
+        b.toLong)
+    }
+    assert(keys.current.count() == 5000)
+    // measure one more small batch (10 keys, 5 genuinely new): with the
+    // incremental fold only the BATCH side shuffles; the old full-set
+    // distinct would move ~5000 rows here
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      keys.observeBatch(
+        (Seq(1L, 2L, 3L, 4L, 5L) ++ (9000L until 9005L)).map(Tuple1(_)).toDF("k"), 50L)
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(keys.current.count() == 5005)
+    assert(shuffled.get() < 500,
+      s"batch shuffled ${shuffled.get()} rows — proportional to the set, not the batch")
+    // a batch with NO new keys writes nothing (steady state of a warm stream)
+    val verBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
+    keys.observeBatch(Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("k"), 51L)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == verBefore)
+    // restart restores the full set from snapshot + delta chain
+    val keys2 = new ObservedKeySet(spark, "k", "BIGINT", Some(dir))
+    assert(keys2.current.count() == 5005)
+  }
+
+  test("J4: automated back-fill — pruned CDC key re-applied when observed late") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, planned DOUBLE")
+    val dim = new DimensionMaintainer(spark, "dim_backfill", Seq("k"), "ord", schema)
+    val keySet = new ObservedKeySet(spark, "k", "BIGINT")
+    // the compacted CDC topic as a bounded batch snapshot source — holds the
+    // latest value per key, including the row the on-demand tail pruned
+    val topic = Seq((1L, 1L, 10.0), (2L, 2L, 22.0), (3L, 1L, 30.0))
+      .toDF("k", "ord", "planned")
+    val cdc = MemoryStream[(Long, Long, Double)](spark)
+    val qCdc = dim.attachToOnDemand(
+      cdc.toDF().toDF("k", "ord", "planned"), tmpDir("ckpt-bf-cdc"),
+      () => keySet.current, "k")
+    val keyStream = MemoryStream[Long](spark)
+    val qKeys = keySet.attachTo(
+      keyStream.toDF().toDF("k"), tmpDir("ckpt-bf-keys"),
+      onNewKeys = (nk, id) => dim.backfill(topic, nk, "k", id))
+    val events = MemoryStream[(Long, Long, Double)](spark)
+    val evDf = events.toDF().toDF("k", "ts_us", "qty")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val buffer = new graft.streaming.LateDataBuffer(
+      spark, StructType.fromDDL("k BIGINT, ts_us BIGINT, qty DOUBLE, ts_utc TIMESTAMP"))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val qOp = Pipeline.operationalQueryBuffered(
+        evDf, "ts_utc", () => dim.current, "k", "k", Seq("planned"),
+        Seq("performance" -> (col("qty") / col("planned"))), buffer) { (b, _) =>
+        emitted ++= b.select("k", "performance").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      .option("checkpointLocation", tmpDir("ckpt-bf-op"))
+      .start()
+    try {
+      // CDC row for k=2 arrives while k=2 is unobserved -> pruned
+      cdc.addData(Seq((2L, 2L, 22.0))); qCdc.processAllAvailable()
+      assert(dim.current.count() == 0)
+      // operational event for k=2 parks: its dimension row was pruned
+      events.addData(Seq((2L, 1700000000000000L, 11.0))); qOp.processAllAvailable()
+      assert(emitted.isEmpty && buffer.current.count() == 1)
+      // k=2 observed for the first time -> back-fill pulls ONLY its row
+      // from the compacted topic (the reference's re-dump, bounded)
+      keyStream.addData(Seq(2L)); qKeys.processAllAvailable()
+      assert(dim.current.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+        == Set((2L, 22.0)))
+      // next operational batch drains the parked event, enriched
+      events.addData(Seq((9L, 1700000060000000L, 1.0))) // trigger; k=9 parks
+      qOp.processAllAvailable()
+      assert(emitted.toList == List((2L, 0.5)), s"got $emitted")
+      // re-observing k=2 later back-fills nothing (empty delta, no churn)
+      keyStream.addData(Seq(2L)); qKeys.processAllAvailable()
+      // and subsequent CDC updates for the now-observed key keep applying
+      cdc.addData(Seq((2L, 3L, 44.0))); qCdc.processAllAvailable()
+      assert(dim.current.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+        == Set((2L, 44.0)))
+    } finally { qCdc.stop(); qKeys.stop(); qOp.stop() }
+  }
+
   test("lineage stays bounded across many state swaps (ObservedKeySet/DurableState)") {
     import spark.implicits._
     val keys = new ObservedKeySet(spark, "k", "BIGINT") // no stateDir: localCheckpoint path
@@ -495,7 +591,7 @@ class StreamingSpec extends SparkSpec {
     }
     val nodes = keys.current.queryExecution.optimizedPlan.collect { case p => p }.size
     // one union+distinct per batch would be 100+ nodes after 50 batches; the
-    // spill cadence (default 8) re-roots the plan, bounding depth
+    // delta-compaction cadence re-roots the plan, bounding depth
     assert(nodes <= 40, s"optimized plan has $nodes nodes — lineage is growing unbounded")
     assert(keys.current.count() == 51) // {1..50} ∪ {0..6}
   }

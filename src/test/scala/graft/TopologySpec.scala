@@ -79,6 +79,54 @@ class TopologySpec extends SparkSpec {
     } finally (dimQs.values.toSeq :+ keyQ :+ opQ).foreach(_.stop())
   }
 
+  test("topology: cdcSnapshots back-fill on-demand dims for late-observed keys") {
+    import spark.implicits._
+    val root = tmpDir("topo-bf")
+    val topo = new Topology(spark, cfg, root, dimSchemas)
+    val plannedCdc = MemoryStream[(Long, Long, Double)](spark)
+    val shiftCdc = MemoryStream[(Long, Long, String)](spark)
+    val dimQs = topo.startDimensions {
+      case "planned_dim" => plannedCdc.toDF().toDF("equip", "ord", "planned")
+      case "shift_dim" => shiftCdc.toDF().toDF("equip", "ord", "shift")
+    }
+    val ops = MemoryStream[(Long, Long, Double)](spark)
+    val events = ops.toDF().toDF("equip", "ts_us", "qty")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    // the compacted CDC topic for the ON-DEMAND table, as a batch source
+    val shiftTopic = Seq((8L, 1L, "early"), (9L, 1L, "late"))
+      .toDF("equip", "ord", "shift")
+    val keyQ = topo.startKeyRegistration(
+      events, cdcSnapshots = Map("shift_dim" -> (() => shiftTopic)))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val opQ = topo.startOperational(
+      events, "ts_utc",
+      StructType.fromDDL("equip BIGINT, ts_us BIGINT, qty DOUBLE, ts_utc TIMESTAMP"),
+      Seq("performance" -> (col("qty") / col("planned")))) { (batch, _) =>
+      emitted ++= batch.select("equip", "performance", "shift").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    }
+    try {
+      // shift_dim CDC for equip 9 arrives BEFORE 9 is ever observed -> pruned
+      shiftCdc.addData(Seq((9L, 1L, "late")))
+      dimQs("shift_dim").processAllAvailable()
+      assert(topo.maintainers("shift_dim").current.count() == 0)
+      // planned_dim is NOT on-demand: replicates regardless
+      plannedCdc.addData(Seq((9L, 1L, 10.0)))
+      dimQs("planned_dim").processAllAvailable()
+      // equip 9's first event: parks (shift row pruned) — but registration
+      // back-fills shift_dim from the compacted topic, bounded to key 9
+      ops.addData(Seq((9L, 1700000000000000L, 5.0)))
+      opQ.processAllAvailable()
+      keyQ.processAllAvailable()
+      assert(topo.maintainers("shift_dim").current
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet == Set((9L, "late")))
+      // next batch drains the parked event fully enriched
+      ops.addData(Seq((9L, 1700000060000000L, 2.0)))
+      opQ.processAllAvailable()
+      assert(emitted.toSet == Set((9L, 0.5, "late"), (9L, 0.2, "late")))
+    } finally (dimQs.values.toSeq :+ keyQ :+ opQ).foreach(_.stop())
+  }
+
   test("topology: restart restores durable dimension snapshots from the root") {
     import spark.implicits._
     val root = tmpDir("topo-restart")
