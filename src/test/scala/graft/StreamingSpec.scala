@@ -92,14 +92,15 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       // key 1: two events 10 min apart (one session), then a 60-min gap
-      // within the SAME batch closes it and opens another
+      // within the SAME batch opens another. The watermark advances to 65
+      // (70-5) after the data batch and the follow-up batch fires the
+      // timeout: [0, 40) is sealed (no admissible event can bridge it),
+      // [70, 100) is not (65 < 100) and stays held.
       stream.addData(Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(70))))
       q.processAllAvailable()
-      assert(sessions.toList == List((1L, 0L, 40L, 2L))) // [0, 10+30) of 2 events
-      // watermark advances far past key 1's open session -> timeout closes it
+      assert(sessions.toList == List((1L, 0L, 40L, 2L)), s"got $sessions")
+      // watermark -> 295: seals key 1's held [70, 100)
       stream.addData(Seq((2L, ts(300))))
-      q.processAllAvailable()
-      stream.addData(Seq((2L, ts(301)))) // one more batch so the timeout fires
       q.processAllAvailable()
       assert(sessions.toSet.contains((1L, 70L, 100L, 1L)), s"got $sessions")
     } finally q.stop()
@@ -128,10 +129,88 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // out-of-order event at 45: admitted (> watermark 40) but 55 min
       // before the open session — an 80+-minute silence >= gap, so it must
-      // close as its OWN session, not weld onto (100, 100)
+      // stay its OWN session, not weld onto (100, 100)
       stream.addData(Seq((5L, ts(45))))
       q.processAllAvailable()
-      assert(sessions.toList == List((5L, 45L, 75L, 1L)), s"got $sessions")
+      // flush: advance the watermark far past both sessions, then one more
+      // batch so key 5's timeout fires
+      stream.addData(Seq((6L, ts(400)))); q.processAllAvailable()
+      stream.addData(Seq((6L, ts(401)))); q.processAllAvailable()
+      assert(sessions.toList.filter(_._1 == 5L)
+        == List((5L, 45L, 75L, 1L), (5L, 100L, 130L, 1L)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful: late bridge event welds two held sessions exactly") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val out = Pipeline.sessionizeStateful(stream.toDS(), gapMinutes = 30, delay = "120 minutes")
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)], _: Long) =>
+        sessions ++= b.collect().map(s =>
+          (s._1, (s._2.getTime - base) / 60000L, (s._3.getTime - base) / 60000L, s._4))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-sess-bridge"))
+      .start()
+    try {
+      // events at 0 and 50: 50 >= gap apart -> two separate sessions, both
+      // held (nothing sealed). The round-4 implementation emitted [0, 30)
+      // here and could never repair it.
+      stream.addData(Seq((1L, ts(0)), (1L, ts(50))))
+      q.processAllAvailable()
+      assert(sessions.isEmpty)
+      // the bridge arrives out of order: 25 is within the gap of BOTH —
+      // the three events are one session [0, 80) of 3
+      stream.addData(Seq((1L, ts(25))))
+      q.processAllAvailable()
+      // flush + timeout batch
+      stream.addData(Seq((2L, ts(500)))); q.processAllAvailable()
+      stream.addData(Seq((2L, ts(501)))); q.processAllAvailable()
+      assert(sessions.toList.filter(_._1 == 1L) == List((1L, 0L, 80L, 3L)),
+        s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful parity: shuffled OOO corpus with bridges == batch session_window") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000L)
+    // random corpus over 3 keys, offsets in [0, 600) minutes — dense enough
+    // for multi-event sessions, sparse enough for several sessions per key
+    val rng = new scala.util.Random(17)
+    val corpus = Seq.fill(120)((rng.nextInt(3).toLong + 1L, rng.nextInt(600).toLong))
+      .distinct.map { case (k, off) => (k, ts(off)) }
+    val shuffled = rng.shuffle(corpus)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    // delay longer than the corpus span: every event is admitted no matter
+    // how disordered — the regime where only exact merging gives parity
+    val out = Pipeline.sessionizeStateful(stream.toDS(), gapMinutes = 30, delay = "700 minutes")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)], _: Long) =>
+        got ++= b.collect().map(s => (s._1, s._2.getTime, s._3.getTime, s._4))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-sess-parity"))
+      .start()
+    try {
+      shuffled.grouped(30).foreach { g => stream.addData(g); q.processAllAvailable() }
+      // flush far past span+delay, then one more batch to fire timeouts
+      stream.addData(Seq((99L, ts(5000)))); q.processAllAvailable()
+      stream.addData(Seq((99L, ts(5001)))); q.processAllAvailable()
+      val expect = corpus.toDF("k", "ts")
+        .groupBy(col("k"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0).getTime,
+          r.getStruct(1).getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      assert(got.filter(_._1 != 99L).toSet == expect,
+        s"streaming != batch session_window")
     } finally q.stop()
   }
 
