@@ -97,17 +97,27 @@ object AvroDecode {
     * fixed-schema path would silently misparse positionally.
     *
     * `mapPartitions` justification as in [[decode]]: the resolved
-    * reader-per-writer-id cache is per-partition state. */
+    * reader-per-writer-id cache is per-partition state.
+    *
+    * `resolve`: fallback writer-schema lookup for ids NOT in the static
+    * `schemasById` map — the hook a registry client plugs into (the
+    * reference's deserializer fetches unknown ids from its registry per
+    * record; a static map alone fails any id registered after query
+    * start). Called at most once per unknown id per partition (the result
+    * — including a miss — is cached); must be serializable, it runs in
+    * tasks. The default resolves nothing, preserving the static-map-only
+    * behavior; an id missed by BOTH stays a loud task failure — decoding
+    * garbage positionally is never the fallback. */
   def decodeFramed(
       df: DataFrame, binCol: String,
-      schemasById: Map[Int, String], readerSchemaJson: String): DataFrame = {
+      schemasById: Map[Int, String], readerSchemaJson: String,
+      resolve: Int => Option[String] = _ => None): DataFrame = {
     val sparkSchema = toSparkSchema(readerSchemaJson)
     val bytesDs = df.select(col(binCol)).as(Encoders.BINARY)
     bytesDs.mapPartitions { it =>
       val readerSchema = new Schema.Parser().parse(readerSchemaJson)
-      val parsed = schemasById.map { case (id, json) =>
-        id -> new Schema.Parser().parse(json)
-      }
+      val parsed = scala.collection.mutable.Map.empty[Int, Schema] ++
+        schemasById.map { case (id, json) => id -> new Schema.Parser().parse(json) }
       val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
       it.map { bytes =>
         require(
@@ -119,9 +129,11 @@ object AvroDecode {
             s"magic=${if (bytes.nonEmpty) bytes(0) else "<empty>"})")
         val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
         val reader = readers.getOrElseUpdate(id, {
-          val writerSchema = parsed.getOrElse(
-            id, throw new IllegalStateException(
-              s"unknown writer schema id $id — register it before decoding"))
+          val writerSchema = parsed.getOrElseUpdate(id,
+            resolve(id).map(new Schema.Parser().parse(_)).getOrElse(
+              throw new IllegalStateException(
+                s"unknown writer schema id $id — not in the static map and " +
+                  "the resolver returned None; register it before decoding")))
           new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
         })
         val decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)

@@ -116,6 +116,36 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("S4 resolver: an id absent from the static map resolves via callback") {
+    import spark.implicits._
+    val v1 =
+      """{"type":"record","name":"Dim","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val v2 =
+      """{"type":"record","name":"Dim","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"},
+        |{"name":"score","type":"double","default":-1.0}]}""".stripMargin
+    // id 2 was registered AFTER query start: only the resolver knows it
+    val mixed = AvroDecode.encodeFramed(
+        Seq((1L, "a")).toDF("id", "name"), v1, schemaId = 1)
+      .unionByName(AvroDecode.encodeFramed(
+        Seq((3L, "c", 9.5)).toDF("id", "name", "score"), v2, schemaId = 2))
+    val got = AvroDecode.decodeFramed(
+        mixed, "value", Map(1 -> v1), v2,
+        resolve = id => if (id == 2) Some(v2) else None)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", -1.0), (3L, "c", 9.5)))
+    // a miss in BOTH the map and the resolver stays a loud failure
+    val e = intercept[Exception] {
+      AvroDecode.decodeFramed(
+        AvroDecode.encodeFramed(Seq((9L, "z")).toDF("id", "name"), v1, schemaId = 7),
+        "value", Map(1 -> v1), v1, resolve = _ => None).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("resolver returned None")))
+  }
+
   test("K1 streaming: csvStreamWriter lands micro-batches as csv files") {
     import spark.implicits._
     val stream =
