@@ -93,8 +93,16 @@ object Bench {
     // `failures` (reason in `failure_detail`) + nonzero exit — erroring
     // instantly must not read as fast
     val total = ok.map(_._2).sum
+    // box-drift normalization: each query over the trivial q01 scan. Box
+    // throughput drifts ±50-60% across hours, so absolute times are only
+    // comparable within one run; the ratios survive across rounds (SCALE.md
+    // caveat). q01 itself is always 1.0 when present.
+    val rJson = ok.toMap.get("q01_project").filter(_ > 0)
+      .map(base => ok.map { case (k, v) => jstr(k) + ":" + f"${v / base}%.3f" }
+        .mkString("{", ",", "}"))
+      .getOrElse("{}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"ratios_vs_q01":$rJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
     // stdout AND a file: sbt's log decoration ([info] prefixes) makes the
     // printed line unparseable to callers that scrape stdout, so the file is
     // the machine-readable channel.

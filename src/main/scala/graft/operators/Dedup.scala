@@ -22,12 +22,66 @@ import org.apache.spark.storage.StorageLevel
 /** A lazily-built pair frame plus OWNERSHIP of the intermediate frames the
   * builder persisted: materialize `result` (action), then [[close]] to
   * release the caches. The `*Managed` variants return this so a pipeline
-  * running many dedups in one session releases each call's caches instead of
-  * accumulating them until eviction pressure (or a blanket `clearCache()`). */
+  * running many dedups in one session controls exactly when each call's
+  * caches release; the plain entry points use [[releaseOnFirstUse]], which
+  * releases them automatically after the caller's first action. */
 final case class ManagedPairs(result: DataFrame, cached: Seq[DataFrame]) {
   /** Unpersist the intermediates (blocking, so `getPersistentRDDs` is clean
     * on return). Actions on `result` after close recompute from source. */
   def close(): Unit = cached.foreach(_.unpersist(blocking = true))
+
+  /** Self-releasing form — the plain (unmanaged) entry points' default: a
+    * one-shot `QueryExecutionListener` unpersists the intermediates right
+    * after the FIRST completed query execution that READ them (matched by
+    * cache-entry identity, so unrelated queries don't trigger it) —
+    * typically the caller's materializing action. A long-lived session
+    * therefore cannot accumulate dedup caches (the round-4 advice).
+    * Further actions on the frame recompute from source — correct, just
+    * uncached; callers that materialize repeatedly should hold the
+    * [[graft.operators.Dedup.minHashLshPairsManaged]] form and [[close]]
+    * when done. */
+  def releaseOnFirstUse(): DataFrame = {
+    val spark = result.sparkSession
+    val targets = cached
+      .flatMap(c => ManagedPairs.cacheScans(c.queryExecution.executedPlan))
+      .toSet
+    if (targets.isEmpty) close() // defensive: nothing ended up cached
+    else {
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (ManagedPairs.cacheScans(qe.executedPlan).exists(targets.contains) &&
+            done.compareAndSet(false, true)) {
+            cached.foreach(_.unpersist(blocking = false))
+            spark.listenerManager.unregister(this)
+          }
+        override def onSuccess(
+            funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = maybeRelease(qe)
+        override def onFailure(
+            funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = maybeRelease(qe)
+      }
+      spark.listenerManager.register(listener)
+    }
+    result
+  }
+}
+
+object ManagedPairs {
+  /** The cache entries (by `CachedRDDBuilder` identity) a physical plan
+    * scans — recursing through AQE wrappers (AdaptiveSparkPlanExec and the
+    * materialized QueryStageExec leaves), whose inner plans are not
+    * TreeNode children. */
+  private def cacheScans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[AnyRef] =
+    plan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq[AnyRef](s.relation.cacheBuilder)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        cacheScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        cacheScans(q.plan)
+    }.flatten
 }
 
 object Dedup {
@@ -47,8 +101,10 @@ object Dedup {
     * Above it, payloads cannot broadcast: the block join shuffles by block
     * key, which DOES concentrate each block's n² pair emission in one task —
     * AQE cannot split skewed join OUTPUT, only input bytes — so the scale
-    * discipline applies: emit narrow (id, id) rows, repartition uniformly by
-    * pair id, then attach payloads and run the kernels at full parallelism.
+    * discipline applies: emit narrow (id, id) rows, then attach payloads via
+    * SHUFFLE_HASH joins whose id-key exchanges redistribute the pairs (each
+    * doc's candidate count is bounded by the banding/blocking), and run the
+    * kernels at full parallelism.
     *
     * This is the strategy decision AQE cannot make (it never sees output
     * explosion), made with the stats that predict it: corpus size AND the
@@ -130,25 +186,28 @@ object Dedup {
     *
     * The hashed-shingle and signature frames are persisted (each feeds the
     * banding branch and both sides of a verification join, and Spark does not
-    * share common subplans across join branches) and stay cached after the
-    * call because the result is lazy; callers running many dedups in one
-    * session should use [[minHashLshPairsManaged]] and `close()` after
-    * materializing (or `spark.catalog.clearCache()` between calls).
+    * share common subplans across join branches). The plain entry point
+    * releases them automatically after the caller's first action
+    * ([[ManagedPairs.releaseOnFirstUse]]); use [[minHashLshPairsManaged]] to
+    * control the release point when materializing repeatedly.
     */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame =
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
+      uniformPairRepartition: Boolean = false): DataFrame =
     minHashLshPairsManaged(
-      df, idCol, textCol, shingleK, numHashes, bands, threshold, maxBroadcastDocs).result
+      df, idCol, textCol, shingleK, numHashes, bands, threshold,
+      maxBroadcastDocs, uniformPairRepartition).releaseOnFirstUse()
 
   /** [[minHashLshPairs]] with cache ownership — see [[ManagedPairs]]. */
   def minHashLshPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): ManagedPairs = {
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
+      uniformPairRepartition: Boolean = false): ManagedPairs = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // Repartition at ingest: a small-file source (one parquet file ⇒ one
@@ -200,11 +259,18 @@ object Dedup {
         col("_band") === col("_band2") && col("_bh") === col("_bh2") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("_band"))
-    // Narrow mode: redistribute candidate rows uniformly by pair id, then
-    // attach the signature + band-key arrays and do the per-pair work at
-    // full parallelism. Direct mode: candidates are already uniform over the
-    // stream tasks, so no repartition — the attaches broadcast and the whole
-    // path below is ONE pipelined stage. Per-pair work either way:
+    // Narrow mode: the SHUFFLE_HASH attach joins below each exchange the
+    // candidate stream by a single id key, and banding bounds how many
+    // candidates any one document contributes, so those exchanges stay
+    // balanced on their own (measured max/med ≤ 1.05 at 16× candidate
+    // growth) — an additional up-front repartition by (a_id, b_id) would be
+    // a third full exchange of the largest stream in the pipeline whose
+    // uniform distribution the very next join discards. It remains
+    // available (`uniformPairRepartition`) as a backstop for corpora where
+    // one id dominates the candidate set beyond what banding bounds.
+    // Direct mode: candidates are already uniform over the stream tasks —
+    // the attaches broadcast and the whole path below is ONE pipelined
+    // stage. Per-pair work either way:
     //  * first-match dedup: a pair matching in k bands appears k times; keep
     //    only the row whose _band is the FIRST agreeing band — exact dedup
     //    with a 32-element compare instead of a 16M-row shuffle distinct.
@@ -224,12 +290,13 @@ object Dedup {
     // Single-stage attach: both payloads in one pair of joins. (A staged
     // variant — band keys first, signatures only for first-match survivors —
     // measured ~35% SLOWER: two extra joins cost more than the array-copy
-    // volume they save.) In narrow mode the attach joins are sort-merge
-    // (payloads exceed broadcast size by construction), which reshuffles by
-    // the single id key — uniform unless one document dominates the
-    // candidate set, which the banding bounds.
+    // volume they save.) The shuffle_hash-hinted attaches exchange the
+    // candidate stream by the single id key — uniform unless one document
+    // dominates the candidate set, which the banding bounds.
     val cand0 =
-      if (direct) candRaw else candRaw.repartition(par, col("a_id"), col("b_id"))
+      if (!direct && uniformPairRepartition)
+        candRaw.repartition(par, col("a_id"), col("b_id"))
+      else candRaw
     val cand = cand0
       .join(attach(sigsK.select(
         col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a"))),
@@ -329,27 +396,32 @@ object Dedup {
     * over the stream tasks, and the merge-intersect kernel pipelines with no
     * repartition. Beyond broadcast size, the block self-join carries only
     * `(id, token-count, block key)` — a hot block expands its pairs as pure
-    * row emission; token-hash payloads attach and the kernel runs only AFTER
-    * candidates are repartitioned uniformly by pair id (AQE cannot split a
-    * skewed join's output, only its input bytes). The token-count carried
+    * row emission; token-hash payloads attach through SHUFFLE_HASH joins
+    * whose id-key exchanges redistribute the pairs before the kernel runs
+    * (AQE cannot split a skewed join's output, only its input bytes; an
+    * extra up-front pair-id repartition is opt-in). The token-count carried
     * through the join powers a lossless length-ratio prune: jaccard ≥ t
     * implies min(|A|,|B|) ≥ t·max(|A|,|B|).
     *
-    * `base` stays persisted after the call (it feeds the block join and both
-    * payload-attach sides lazily); callers running many dedups in one session
-    * should use [[ngramJaccardPairsManaged]] and `close()` after
-    * materializing. */
+    * `base` is persisted (it feeds the block join and both payload-attach
+    * sides); the plain entry point releases it after the caller's first
+    * action ([[ManagedPairs.releaseOnFirstUse]]) — use
+    * [[ngramJaccardPairsManaged]] to control the release point. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockingCols: Seq[Column], threshold: Double,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame =
-    ngramJaccardPairsManaged(df, idCol, textCol, blockingCols, threshold, maxBroadcastDocs).result
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
+      uniformPairRepartition: Boolean = false): DataFrame =
+    ngramJaccardPairsManaged(
+      df, idCol, textCol, blockingCols, threshold, maxBroadcastDocs,
+      uniformPairRepartition).releaseOnFirstUse()
 
   /** [[ngramJaccardPairs]] with cache ownership — see [[ManagedPairs]]. */
   def ngramJaccardPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       blockingCols: Seq[Column], threshold: Double,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): ManagedPairs = {
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
+      uniformPairRepartition: Boolean = false): ManagedPairs = {
     // Token SETS are sorted-distinct 64-bit hashes: set Jaccard is
     // hash-invariant, the arrays are 8-byte-element primitives (vs UTF8
     // strings), and the merge-scan intersect kernel replaces per-pair
@@ -387,12 +459,15 @@ object Dedup {
       val b = narrow.select(
         (col("_id").as("b_id") +: col("_n").as("_nb") +: blkKeys.map(col)): _*)
       // shuffle_hash attach: build the per-doc payload map, never sort the
-      // candidate-pair stream (see [[minHashLshPairsManaged]])
-      a.join(b, blkKeys)
+      // candidate-pair stream; the attaches themselves exchange by id (see
+      // [[minHashLshPairsManaged]] on why an up-front pair repartition is
+      // off by default)
+      val raw = a.join(b, blkKeys)
         .filter(col("a_id") < col("b_id"))
         .filter(lengthPrune)
         .select("a_id", "b_id")
-        .repartition(par, col("a_id"), col("b_id"))
+      (if (uniformPairRepartition) raw.repartition(par, col("a_id"), col("b_id"))
+       else raw)
         .join(base.select(col("_id").as("a_id"), col("_toks").as("_ta"))
           .hint("shuffle_hash"), Seq("a_id"))
         .join(base.select(col("_id").as("b_id"), col("_toks").as("_tb"))
@@ -413,22 +488,26 @@ object Dedup {
     * by [[defaultMaxBroadcastDocs]]: broadcastable corpora pipeline the cell
     * join + [[graft.functions.VecCosine]] in one stage; beyond broadcast
     * size the cell self-join emits narrow `(a_id, b_id)` rows only, vectors
-    * attach and the kernel runs after a uniform repartition by pair id, so
-    * one hot cell cannot serialize the per-pair compute on one task.
-    * `base` stays persisted after the call (see [[ngramJaccardPairs]]);
-    * [[embeddingNearDupPairsManaged]] owns it. */
+    * attach through SHUFFLE_HASH joins whose id-key exchanges redistribute
+    * the pairs before the kernel runs, so one hot cell cannot serialize the
+    * per-pair compute on one task.
+    * `base` is persisted and auto-released after the first action (see
+    * [[ngramJaccardPairs]]); [[embeddingNearDupPairsManaged]] owns it. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame =
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
+      uniformPairRepartition: Boolean = false): DataFrame =
     embeddingNearDupPairsManaged(
-      df, idCol, vecCol, blockCol, threshold, maxBroadcastDocs).result
+      df, idCol, vecCol, blockCol, threshold, maxBroadcastDocs,
+      uniformPairRepartition).releaseOnFirstUse()
 
   /** [[embeddingNearDupPairs]] with cache ownership — see [[ManagedPairs]]. */
   def embeddingNearDupPairsManaged(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): ManagedPairs = {
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
+      uniformPairRepartition: Boolean = false): ManagedPairs = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.repartition(par)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col(blockCol).as("_blk"))
@@ -447,7 +526,9 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
     val cand0 =
-      if (direct) candRaw else candRaw.repartition(par, col("a_id"), col("b_id"))
+      if (!direct && uniformPairRepartition)
+        candRaw.repartition(par, col("a_id"), col("b_id"))
+      else candRaw
     val cand = cand0
       .join(attach(base.select(col("_id").as("a_id"), col("_v").as("_va"))), Seq("a_id"))
       .join(attach(base.select(col("_id").as("b_id"), col("_v").as("_vb"))), Seq("b_id"))

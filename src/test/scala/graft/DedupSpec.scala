@@ -109,6 +109,31 @@ class DedupSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("UNmanaged pair calls self-release caches after the first action") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = corpus.toDF("doc_id", "text")
+    // the plain entry points — no clearCache(), no manual close()
+    assert(Dedup.minHashLshPairs(df, "doc_id", "text", threshold = 0.5).count() > 0)
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(lit(1)), 0.4).count() > 0)
+    // the release listener fires on the ExecutionListenerBus — drain it
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+    // an unrelated query must NOT have been what released them: re-run one
+    // unmanaged call, run an unrelated action, and the caches must STILL be
+    // alive for the pair frame's first materialization
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text", threshold = 0.5)
+    spark.range(10).count() // unrelated — reads none of the dedup caches
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    val held = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(held.nonEmpty, "caches released by an unrelated query")
+    assert(pairs.count() > 0)
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"leaked cached RDDs after deferred action: $after")
+  }
+
   test("connectedComponents == union-find model (chains, singletons, merges)") {
     import spark.implicits._
     // a 4-chain (1-2-3-4), a triangle (10,11,12), a 2-clique, singletons
@@ -134,6 +159,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
     assert(got(4L) == 1L && got(12L) == 10L && got(21L) == 20L && got(30L) == 30L)
+  }
+
+  test("connectedComponents: adversarial chain fails loudly past maxIter, converges within") {
+    import spark.implicits._
+    // a pure path graph is the diameter worst case for label propagation:
+    // the min label crosses one hop per round
+    val n = 12
+    val chainPairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val chainNodes = (1L to n.toLong).toDF("doc_id")
+    // too few rounds: must THROW, never return wrong clusters silently
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chainNodes, "doc_id", chainPairs, "a_id", "b_id", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // enough rounds: the whole chain collapses to label 1
+    val got = Dedup.connectedComponents(
+        chainNodes, "doc_id", chainPairs, "a_id", "b_id", maxIter = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n.toLong).map(_ -> 1L).toMap)
   }
 
   test("byNormalizedText groups case/whitespace variants") {
