@@ -332,7 +332,42 @@ object Queries {
               SELECT user_id, MIN(ts) AS session_start,
                      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                      COUNT(*) AS cnt
-              FROM sess GROUP BY user_id, sid"""))
+              FROM sess GROUP BY user_id, sid""")),
+
+    // Q22 — as-of join (temporal point lookup): each event picks up the
+    // latest order of the same customer at-or-before the event time. The
+    // oracle mirrors the same union+running-window formulation (testdata has
+    // duplicate (custkey, orderdate) pairs, so the struct tie-break is what
+    // makes BOTH sides deterministic — a native ASOF JOIN would not be).
+    Entry(
+      "q22_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val ord = t(s, d, "orders").select(
+          col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_t"),
+          col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.asOf(
+          ev, ord, Seq("user_id"), Seq("o_custkey"), "ts", "o_t",
+          Seq("o_orderkey", "o_totalprice"))
+      },
+      Some("""WITH r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS tag,
+                                {'o_orderkey': o_orderkey, 'o_totalprice': o_totalprice} AS p,
+                                CAST(NULL AS BIGINT) AS event_id
+                         FROM orders),
+                   l AS (SELECT user_id AS k, epoch_us(ts) AS t, 1 AS tag,
+                                CAST(NULL AS STRUCT(o_orderkey BIGINT, o_totalprice DOUBLE)) AS p,
+                                event_id
+                         FROM events),
+                   u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+                   m AS (SELECT k, t, tag, event_id,
+                                last_value(p IGNORE NULLS) OVER (
+                                  PARTITION BY k ORDER BY t, tag, p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+                         FROM u)
+              SELECT event_id, k AS user_id, t AS ts,
+                     mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
+              FROM m WHERE tag = 1"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

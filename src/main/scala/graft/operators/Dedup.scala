@@ -570,12 +570,7 @@ object Dedup {
     // round deep) and EXPLICITLY released once superseded — checkpointed
     // RDD blocks are not freed by Dataset.unpersist and would otherwise
     // pin one full label-set per round until GC
-    def releaseLabels(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+    def releaseLabels(df: DataFrame): Unit = releaseCheckpointed(df)
     var labels = nodes
       .select(col(idCol).as("_id"), col(idCol).as("_label"))
       .localCheckpoint(true)
@@ -610,5 +605,130 @@ object Dedup {
         s"($changed labels still changing) — the pair graph has diameter > " +
         s"$maxIter; raise maxIter or use a star-contraction variant")
     labels.select(col("_id").as(idCol), col("_label").as("cluster_id"))
+  }
+
+  /** Release the `localCheckpoint` RDD blocks backing a superseded frame —
+    * checkpointed blocks are not freed by `Dataset.unpersist` and would
+    * otherwise pin one full frame per loop round until GC. Safe only when
+    * nothing live recomputes THROUGH the released frame (every round's
+    * output here is itself checkpointed, i.e. self-rooted). */
+  private def releaseCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — same contract as [[connectedComponents]], but
+    * converges in O(log² n) rounds INDEPENDENT of graph diameter, where
+    * min-label propagation needs O(diameter) rounds. Use this when dedup
+    * graphs chain (each doc near-dups its neighbor — crawl snapshots,
+    * versioned wiki dumps); propagation remains marginally cheaper per
+    * round for the shallow near-clique graphs LSH usually emits.
+    *
+    * Per round: large-star points every node's larger neighbors at its
+    * minimum reachable node, small-star re-points the smaller ones — each
+    * phase is one grouped min + one equi-join + one distinct, all keyed
+    * shuffles ∝ |edges|, no driver-side state. Rounds end when the edge-set
+    * fingerprint (count + two independent hash sums) is stable; the final
+    * star forest is then validated EXACTLY — every input pair must land in
+    * one cluster — so a fingerprint collision cannot return a wrong answer.
+    */
+  def connectedComponentsAlternating(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val origPairs = pairs
+      .select(col(aCol).as("_pa"), col(bCol).as("_pb"))
+      .filter(col("_pa") =!= col("_pb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // canonical edge frame: (_hi > _lo), deduped
+    var edges = origPairs
+      .select(
+        greatest(col("_pa"), col("_pb")).as("_hi"),
+        least(col("_pa"), col("_pb")).as("_lo"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // bit_xor (not sum): overflow-free under ANSI mode at any edge count,
+    // order-independent, and exact as a SET fingerprint because the edge
+    // frame is deduped (duplicate cancellation can't occur)
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(_hi, _lo))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(_lo, 17, _hi))"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    // large-star: per node u, m = min(N(u) ∪ {u}); connect each neighbor
+    // v > u to m. Operates on the bidirectional view.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("_hi").as("_u"), col("_lo").as("_v"))
+        .unionByName(e.select(col("_lo").as("_u"), col("_hi").as("_v")))
+      val mins = bidir.groupBy("_u")
+        .agg(least(min(col("_v")), col("_u")).as("_m"))
+      bidir.filter(col("_v") > col("_u"))
+        .join(mins, Seq("_u"))
+        .select(col("_v").as("_hi"), col("_m").as("_lo"))
+        .distinct()
+    }
+
+    // small-star: per node u over its SMALLER neighbors N< (canonical frame
+    // is already (hi=u, lo∈N<)), m = min(N< ∪ {u}) = min(N<); connect u and
+    // every other small neighbor to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("_hi").agg(min(col("_lo")).as("_m"))
+      e.join(mins, Seq("_hi"))
+        .filter(col("_lo") =!= col("_m"))
+        .select(col("_lo").as("_hi"), col("_m").as("_lo"))
+        .unionByName(mins.select(col("_hi"), col("_m").as("_lo")))
+        .distinct()
+    }
+
+    var fp = fingerprint(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      releaseCheckpointed(edges)
+      edges = next
+      converged = nfp == fp
+      fp = nfp
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsAlternating did not converge in $maxIter rounds " +
+        "— raise maxIter (expected O(log² n) rounds)")
+
+    // star forest -> labels; nodes absent from any pair are singletons
+    val labels = edges.groupBy(col("_hi").as("_id"))
+      .agg(min(col("_lo")).as("_label"))
+    val out = nodes.select(col(idCol).as("_id"))
+      .join(labels, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("_label"), col("_id")).as("cluster_id"))
+      .localCheckpoint(true)
+
+    // exact soundness check (immune to fingerprint collisions): every input
+    // pair must connect two nodes of the SAME cluster. Over-merging is
+    // impossible by construction (stars only ever link nodes already in one
+    // component), so same-cluster-per-edge == correct.
+    val la = out.select(col(idCol).as("_pa"), col("cluster_id").as("_ca"))
+    val lb = out.select(col(idCol).as("_pb"), col("cluster_id").as("_cb"))
+    val crossing = origPairs.join(la, Seq("_pa")).join(lb, Seq("_pb"))
+      .filter(col("_ca") =!= col("_cb")).count()
+    releaseCheckpointed(edges)
+    origPairs.unpersist(blocking = false)
+    if (crossing > 0) throw new IllegalStateException(
+      s"connectedComponentsAlternating under-merged: $crossing input pairs " +
+        "cross clusters (fingerprint false-positive) — raise maxIter")
+    out
   }
 }

@@ -127,4 +127,35 @@ object Sinks {
       st.close()
     } finally conn.close()
   }
+
+  /** Persist a table bucketed (and per-bucket sorted) by its join/agg keys —
+    * the storage-side half of shuffle elimination at 100 TB. Two tables
+    * bucketed the same way (same columns, same `numBuckets`) equi-join on
+    * those columns WITHOUT either side shuffling (`HashPartitioning`
+    * satisfies the join's distribution requirement), and aggregations on the
+    * bucket keys skip their exchange too. For a fact table re-joined every
+    * batch/round (the reference's per-event dimension lookups, this engine's
+    * dedup-pair attaches), one bucketed write amortizes the per-query
+    * shuffle away.
+    *
+    * Bucket count sizes the parallelism of every downstream bucket-local
+    * join: pick ≈ (table bytes / 128 MB), NOT the cluster core count.
+    * `sortCols` default to the bucket keys — per-bucket sorted files let the
+    * reader skip the sort for sort-merge plans. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val sorts = if (sortCols.isEmpty) bucketCols else sortCols
+    val w = df.write
+      .mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .format("parquet")
+    // explicit path -> external table (data owned by the caller's location);
+    // otherwise managed under spark.sql.warehouse.dir
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

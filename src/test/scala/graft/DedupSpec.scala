@@ -180,6 +180,50 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to n.toLong).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponentsAlternating == union-find model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val nNodes = 300
+    val pairsSeq = (0 until 350).map(_ =>
+      (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = pairsSeq.toDF("a_id", "b_id")
+    val nodes = (0L until nNodes.toLong).toDF("doc_id")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairsSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0L until nNodes.toLong).map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponentsAlternating(
+        nodes, "doc_id", pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("connectedComponentsAlternating collapses a high-diameter chain in O(log² n) rounds") {
+    import spark.implicits._
+    // diameter-199 path: label propagation needs ~199 rounds (its default
+    // maxIter=20 would fail loudly); star contraction needs only a handful
+    val n = 200
+    val chainPairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    val chainNodes = (1L to n.toLong).toDF("doc_id")
+    val got = Dedup.connectedComponentsAlternating(
+        chainNodes, "doc_id", chainPairs, "a_id", "b_id", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n.toLong).map(_ -> 1L).toMap)
+    // and the propagation variant on the same graph: fails loudly, never wrong
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chainNodes, "doc_id", chainPairs, "a_id", "b_id")
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("byNormalizedText groups case/whitespace variants") {
     import spark.implicits._
     val out = Dedup.byNormalizedText(corpus.toDF("doc_id", "text"), "doc_id", "text")
