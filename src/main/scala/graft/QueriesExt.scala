@@ -378,6 +378,48 @@ object QueriesExt {
               GROUP BY tr.doc_id
               HAVING COUNT(*) >= 1""")),
 
+    // T8 — exact heavy hitters: global top-50 tokens with deterministic
+    // tie-break (vocabulary/boilerplate audit over the corpus).
+    Entry(
+      "t08_topterms",
+      (s, d) => TextAnalysis.topTerms(docs(s, d), "text", 50),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                           FROM documents)
+              SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+              ORDER BY cnt DESC, token ASC LIMIT 50""")),
+
+    // T9 — PII redaction: synthetic emails/phones are spliced in (the
+    // corpus has none), then scrubbed; audit counts ride along. The regex
+    // is written in the Java∩RE2 common subset so both engines apply the
+    // identical pattern.
+    Entry(
+      "t09_redact",
+      (s, d) => {
+        val aug = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string"))
+        docs(s, d)
+          .select(col("doc_id"), aug.as("_raw"))
+          .select(
+            col("doc_id"),
+            TextAnalysis.redactPii(col("_raw")).as("redacted"),
+            TextAnalysis.emailCount(col("_raw")).cast("long").as("n_emails"),
+            TextAnalysis.phoneCount(col("_raw")).cast("long").as("n_phones"))
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+                                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                       || '@example.com or +1-555-'
+                                       || CAST(1000 + doc_id % 9000 AS VARCHAR) AS raw
+                           FROM documents)
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS redacted,
+                     len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(raw, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS n_phones
+              FROM aug""")),
+
     // M1 — multimodal binary-column plumbing: payload bytes + hash (the
     // decode step itself is the stubbed [[Multimodal.decodeFeatures]]).
     Entry(

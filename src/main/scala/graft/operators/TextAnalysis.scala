@@ -140,6 +140,40 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Global top-`k` most frequent tokens — the exact heavy-hitters query
+    * (corpus vocabulary audits, boilerplate detection, stopword discovery).
+    * Shape: explode → hash agg (map-side combine, shuffle ∝ DISTINCT tokens,
+    * not token occurrences) → `TakeOrderedAndProject` for the top-k (each
+    * partition keeps k rows; only k×partitions rows reach the driver side of
+    * the sort — no global sort materializes). Ties break lexicographically
+    * so the cut at `k` is deterministic. For streaming or
+    * memory-bounded approximation, pair with
+    * [[graft.functions.Sketches]] count-min estimates. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Email/phone patterns shared by redaction and counting — written in the
+    * common subset of Java regex and RE2 so the DuckDB oracle applies the
+    * IDENTICAL pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+  /** PII scrub for training corpora: replace every email/phone match with a
+    * typed placeholder token. Pure per-row codegen'd expressions — no
+    * shuffle, no UDF; at 100 TB this runs entirely inside the scan stage. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of email / phone matches (for redaction audit columns). */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+
   /** Distinct `n`-token-gram set of the normalized text, as strings (the
     * decontamination unit; GPT-3-style dedup uses 13-grams — configurable
     * because short corpora need shorter grams). `let`-bound so the
