@@ -367,7 +367,28 @@ object Queries {
                          FROM u)
               SELECT event_id, k AS user_id, t AS ts,
                      mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
-              FROM m WHERE tag = 1"""))
+              FROM m WHERE tag = 1""")),
+
+    // Q23 — grouped EXACT quantiles (both engines linear-interpolate, so the
+    // values hash-match). Exact `percentile` buffers each group's values —
+    // fine at per-group cardinalities that fit an executor, but the 100 TB
+    // path is the mergeable sketch ([[graft.functions.Sketches
+    // .approxQuantiles]]); this query pins the exact semantics the sketch
+    // approximates.
+    Entry(
+      "q23_quantiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            stableRound(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+            stableRound(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+            stableRound(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price")),
+      Some("""SELECT l_returnflag,
+                     ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 6) AS p25_qty,
+                     ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 6) AS p50_qty,
+                     ROUND(quantile_cont(l_extendedprice, 0.9) + 1e-9, 6) AS p90_price
+              FROM lineitem GROUP BY l_returnflag"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

@@ -420,6 +420,68 @@ object QueriesExt {
                      len(regexp_extract_all(raw, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS n_phones
               FROM aug""")),
 
+    // T10 — repetition-based quality (the Gopher-rule family): top-2-gram
+    // fraction + repeated-token fraction, with a keep flag.
+    Entry(
+      "t10_repetition",
+      (s, d) =>
+        TextAnalysis.repetitionStats(docs(s, d), "doc_id", "text", n = 2),
+      Some("""WITH nn AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                          FROM documents),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nn),
+                   g AS (SELECT doc_id,
+                                unnest([array_to_string(toks[i:i+1], ' ')
+                                        for i in range(1, greatest(len(toks) - 2, 0) + 2)]) AS gram
+                         FROM tk),
+                   c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+                   r AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS total FROM c GROUP BY doc_id),
+                   b AS (SELECT doc_id, len(toks) AS n_tokens,
+                                len(list_distinct(toks)) AS n_distinct
+                         FROM tk)
+              SELECT b.doc_id AS doc_id, b.n_tokens AS n_tokens,
+                     ROUND(CAST(r.top AS DOUBLE) / r.total, 6) AS top_ngram_ratio,
+                     ROUND(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_token_ratio,
+                     (CAST(r.top AS DOUBLE) / r.total <= 0.2
+                      AND 1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= 0.3) AS keep
+              FROM b LEFT JOIN r ON b.doc_id = r.doc_id""")),
+
+    // D7 — the SAME cluster-assignment contract as d06, computed by the
+    // diameter-independent star-contraction algorithm — both paths are held
+    // to the identical recursive-CTE transitive-closure oracle.
+    Entry(
+      "d07_components_star",
+      (s, d) => {
+        val documents = docs(s, d)
+        Dedup.connectedComponentsAlternating(
+          documents.select("doc_id"), "doc_id",
+          Dedup.minHashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+            .select("a_id", "b_id"),
+          "a_id", "b_id")
+      },
+      Some("""WITH RECURSIVE
+                n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                      FROM documents),
+                t AS (SELECT doc_id,
+                             list_distinct([substring(norm, i, 5)
+                                            for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                      FROM n),
+                p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM t a JOIN t b
+                        ON a.doc_id < b.doc_id
+                       AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+                      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+                e AS (SELECT a_id AS src, b_id AS dst FROM p
+                      UNION SELECT b_id, a_id FROM p),
+                reach(src, dst) AS (
+                  SELECT src, dst FROM e
+                  UNION
+                  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+                m AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src)
+              SELECT d.doc_id AS doc_id,
+                     LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN m ON d.doc_id = m.src""")),
+
     // M1 — multimodal binary-column plumbing: payload bytes + hash (the
     // decode step itself is the stubbed [[Multimodal.decodeFeatures]]).
     Entry(

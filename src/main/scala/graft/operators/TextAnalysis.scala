@@ -186,6 +186,54 @@ object TextAnalysis {
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
     }
 
+  /** Non-distinct `n`-token-grams (repetition counting needs multiplicity —
+    * [[tokenNgrams]] is the distinct-set form). `let`-bound tokenization. */
+  def tokenNgramsAll(c: Column, n: Int): Column =
+    let(split(Dedup.normalizeText(c), " ")) { toks =>
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    }
+
+  /** Repetition-based quality filters (the Gopher-rule family, Rae et al.
+    * 2021): the fraction of all `n`-grams taken by the single most frequent
+    * one, and the fraction of tokens that are repeats — high values flag
+    * boilerplate/spam that length or stopword ratios miss.
+    *
+    * Shape: gram explode → per-(doc, gram) hash count → per-doc max/sum —
+    * every step map-side combines, shuffle ∝ gram occurrences, no per-row
+    * interpreted fold. Output: (idCol, n_tokens, top_ngram_ratio,
+    * dup_token_ratio, keep). */
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      maxTopNgramRatio: Double = 0.2,
+      maxDupTokenRatio: Double = 0.3): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("_id"),
+      explode(tokenNgramsAll(col(textCol), n)).as("_gram"))
+    val perGram = grams.groupBy("_id", "_gram").agg(count(lit(1)).as("_c"))
+    val perDoc = perGram.groupBy("_id")
+      .agg(max(col("_c")).as("_top"), sum(col("_c")).as("_total"))
+    // plain per-row expression (duplicated subexpr is fine OUTSIDE a lambda —
+    // it evaluates per row, not per element; codegen CSEs it)
+    val toks = split(Dedup.normalizeText(col(textCol)), " ")
+    val base = df.select(
+      col(idCol).as("_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("_distinct"))
+    val topRatio = col("_top").cast("double") / col("_total")
+    val dupRatio =
+      lit(1.0) - col("_distinct").cast("double") / col("n_tokens")
+    base.join(perDoc, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        col("n_tokens"),
+        round(topRatio, 6).as("top_ngram_ratio"),
+        round(dupRatio, 6).as("dup_token_ratio"),
+        (topRatio <= maxTopNgramRatio && dupRatio <= maxDupTokenRatio)
+          .as("keep"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` n-token-grams with ANY benchmark document (the standard
     * guard against test-set leakage into training corpora). Returns

@@ -134,6 +134,88 @@ final class DimensionMaintainer(
       .start()
 }
 
+/** Append-only CDC dimension HISTORY — every version of every key, not just
+  * the newest ([[DimensionMaintainer]] keeps the compacted snapshot). This
+  * is what temporal (as-of) enrichment needs: an event carries the dimension
+  * values that were in effect AT ITS EVENT TIME, so a late event is enriched
+  * with the version its timestamp selects, not whatever happens to be
+  * current when the micro-batch runs. The reference joins current state only
+  * (`…/dodetl/stp/DataTransformer.scala:40-66` reads "the" status row) —
+  * under out-of-order delivery that answer is wrong for late events; the
+  * history + as-of form closes that.
+  *
+  * Appends are idempotent under foreachBatch's at-least-once replay: a
+  * batch's rows are anti-joined on (keys, ord) against the accumulated
+  * history, so a replayed batch appends nothing. Durability and per-batch
+  * cost ride [[DurableState.appendDelta]] — write and shuffle ∝ the batch's
+  * NEW versions, with snapshot compaction on a cadence.
+  *
+  * 100 TB: history grows without bound by design; prune on a horizon with
+  * [[pruneBefore]] (watermark-aligned — versions older than the oldest
+  * admissible event minus one version per key can never be selected again,
+  * the same bound a streaming as-of state store would keep). */
+final class DimensionHistory(
+    spark: SparkSession,
+    val name: String,
+    keys: Seq[String],
+    ord: String,
+    schema: StructType,
+    stateDir: Option[String] = None,
+    spillEvery: Int = 1,
+    compactEvery: Int = 16) {
+
+  private val state = new DurableState(
+    spark, schema, stateDir, spillEvery, compactEvery)
+
+  /** All accumulated (key, version) rows. */
+  def current: DataFrame = state.current
+
+  /** Append one micro-batch of CDC rows (schema incl. `ord`); duplicate
+    * (keys, ord) versions — incl. at-least-once replays — are dropped. */
+  def applyBatch(updates: DataFrame, batchId: Long): Unit = synchronized {
+    state.appendDelta(cur =>
+      updates.dropDuplicates(keys :+ ord)
+        .join(cur.select((keys :+ ord).map(col): _*), keys :+ ord, "left_anti"))
+    ()
+  }
+
+  /** Drop versions SUPERSEDED before `horizon`: for each key, keep every
+    * version with `ord >= horizon` PLUS the newest one below it (still
+    * selectable by events at the horizon). Replace-mode swap (forces a full
+    * spill, per [[DurableState]]'s mixing rule). */
+  def pruneBefore(horizon: Long): Unit = synchronized {
+    state.swap { cur =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(ord).desc)
+      val newestBelow = cur.filter(col(ord) < horizon)
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .drop("_rk")
+      cur.filter(col(ord) >= horizon).unionByName(newestBelow)
+    }
+  }
+
+  /** As-of enrich `batch`: attach `payload` columns of the newest history
+    * row per key with `ord <= tsCol` (exact temporal lookup — see
+    * [[graft.operators.AsOfJoin]] for the one-shuffle merge formulation). */
+  def asOfEnrich(
+      batch: DataFrame, streamKeys: Seq[String], tsCol: String,
+      payload: Seq[String]): DataFrame =
+    graft.operators.AsOfJoin.asOf(
+      batch, current, streamKeys, keys, tsCol, ord, payload)
+
+  /** Attach to a streaming CDC frame. */
+  def attachTo(cdcStream: DataFrame, checkpoint: String): StreamingQuery =
+    cdcStream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => applyBatch(batch, id))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
+  def release(): Unit = synchronized(state.release())
+}
+
 /** Accumulates the distinct join keys observed on the operational stream —
   * the "on-demand" key registry (reference
   * `…/dodetl/imtu/InMemoryTableUpdaterManager.scala:55-65`, a concurrent

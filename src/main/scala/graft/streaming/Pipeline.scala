@@ -243,6 +243,29 @@ object Pipeline {
           id)
       }
 
+  /** TEMPORAL operational pipeline: events enrich against the dimension
+    * version in effect AT THEIR EVENT TIME, via an as-of join into a
+    * [[DimensionHistory]] — where [[operationalQuery]] answers "what is the
+    * dimension NOW" (the reference's semantics), this answers "what was it
+    * WHEN the event happened", which is the correct join for out-of-order
+    * events: an event delayed past a dimension update must not pick up the
+    * newer version. Per batch: one as-of merge join (one exchange of
+    * batch ∪ history — see [[graft.operators.AsOfJoin]]); bound the history
+    * with [[DimensionHistory.pruneBefore]] aligned to the watermark. */
+  def operationalQueryTemporal(
+      events: DataFrame, tsCol: String, eventTimeCol: String,
+      history: DimensionHistory, streamKeys: Seq[String], payload: Seq[String],
+      metricCols: Seq[(String, Column)],
+      delay: String = "10 minutes")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    withEventTimeWatermark(events, tsCol, delay).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val enriched = history.asOfEnrich(batch, streamKeys, eventTimeCol, payload)
+        writeBatch(
+          metricCols.foldLeft(enriched) { case (df, (n, c)) => df.withColumn(n, c) },
+          id)
+      }
+
   /** [[operationalQuery]] + F6/T3 late-data buffering: an event whose
     * dimension row is missing is NOT emitted with null enrichment — it parks
     * in `buffer` and is retried on every subsequent batch, emitting once its

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Compaction
-import graft.streaming.{DimensionMaintainer, ObservedKeySet, Pipeline}
+import graft.streaming.{DimensionHistory, DimensionMaintainer, ObservedKeySet, Pipeline}
 
 /** Streaming-vs-batch parity (SURVEY §5.4): the streaming forms of the
   * compaction (q07), CDC upsert (q12), and windowed-agg (q17) semantics must
@@ -241,6 +241,59 @@ class StreamingSpec extends SparkSpec {
       dim.evict(Seq(Tuple1(1L)).toDF("k"), "k")
       assert(!dim.current.collect().map(_.getLong(0)).contains(1L))
     } finally q.stop()
+  }
+
+  test("temporal enrichment: late events pick the dimension version AT event time") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
+    val hist = new DimensionHistory(spark, "hist_test", Seq("k"), "ord", schema)
+    // dimension timeline: k=1 has v10 (from t=10) then v20 (from t=20);
+    // k=2 has w15 (from t=15)
+    hist.applyBatch(Seq((1L, 10L, "v10"), (2L, 15L, "w15")).toDF("k", "ord", "v"), 0L)
+    hist.applyBatch(Seq((1L, 20L, "v20")).toDF("k", "ord", "v"), 1L)
+    // idempotent re-apply (foreachBatch replay): no duplicate versions
+    hist.applyBatch(Seq((1L, 20L, "v20")).toDF("k", "ord", "v"), 1L)
+    assert(hist.current.count() == 3)
+
+    val got = scala.collection.mutable.Map[Long, Option[String]]()
+    val stream = MemoryStream[(Long, Long, Long)](spark) // (event_id, k, t)
+    val events = stream.toDF().toDF("event_id", "k", "t")
+      .withColumn("ts_utc", timestamp_micros(col("t") * 1000000L))
+    val q = Pipeline.operationalQueryTemporal(
+        events, "ts_utc", "t", hist, Seq("k"), Seq("v"), Nil) {
+        (batch, _) =>
+          batch.collect().foreach(r =>
+            got(r.getAs[Long]("event_id")) = Option(r.getAs[String]("v")))
+      }
+      .option("checkpointLocation", tmpDir("ckpt-temporal"))
+      .start()
+    try {
+      stream.addData(Seq(
+        (100L, 1L, 12L), // late: between v10 and v20 -> must see v10
+        (101L, 1L, 25L), // after v20 -> v20
+        (102L, 1L, 20L), // exactly at the version's ord -> inclusive, v20
+        (103L, 2L, 5L),  // before any version -> null
+        (104L, 2L, 15L)))
+      q.processAllAvailable()
+      assert(got(100L) === Some("v10"),
+        "late event must NOT pick up the newer version")
+      assert(got(101L) === Some("v20"))
+      assert(got(102L) === Some("v20"))
+      assert(got(103L) === None)
+      assert(got(104L) === Some("w15"))
+    } finally q.stop()
+
+    // watermark-aligned pruning: horizon 21 keeps only the newest version
+    // per key at-or-below it (plus anything newer) — as-of answers at t >=
+    // horizon are unchanged
+    hist.pruneBefore(21L)
+    val left = hist.current.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(left === Set((1L, "v20"), (2L, "w15")), s"got $left")
+    val enriched = hist.asOfEnrich(
+        Seq((200L, 1L, 25L)).toDF("event_id", "k", "t"), Seq("k"), "t", Seq("v"))
+      .collect().head.getAs[String]("v")
+    assert(enriched === "v20")
+    hist.release()
   }
 
   test("q17 parity: streaming windowedAgg == batch window aggregate") {
