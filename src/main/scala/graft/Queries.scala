@@ -369,6 +369,41 @@ object Queries {
                      mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
               FROM m WHERE tag = 1""")),
 
+    // Q24 — the SKEW-RESISTANT as-of join (AsOfJoin.asOfBucketed): same
+    // semantics and same oracle as q22, but the running window partitions by
+    // (customer, 30-day time bucket) with a carry pass across buckets, so a
+    // hot customer cannot serialize one task at 100 TB. Output equality with
+    // q22 is exactly what the shared oracle pins.
+    Entry(
+      "q24_asof_bucketed",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val ord = t(s, d, "orders").select(
+          col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_t"),
+          col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.asOfBucketed(
+          ev, ord, Seq("user_id"), Seq("o_custkey"), "ts", "o_t",
+          Seq("o_orderkey", "o_totalprice"), bucketWidth = 3 * TenDaysUs)
+      },
+      Some("""WITH r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS tag,
+                                {'o_orderkey': o_orderkey, 'o_totalprice': o_totalprice} AS p,
+                                CAST(NULL AS BIGINT) AS event_id
+                         FROM orders),
+                   l AS (SELECT user_id AS k, epoch_us(ts) AS t, 1 AS tag,
+                                CAST(NULL AS STRUCT(o_orderkey BIGINT, o_totalprice DOUBLE)) AS p,
+                                event_id
+                         FROM events),
+                   u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+                   m AS (SELECT k, t, tag, event_id,
+                                last_value(p IGNORE NULLS) OVER (
+                                  PARTITION BY k ORDER BY t, tag, p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+                         FROM u)
+              SELECT event_id, k AS user_id, t AS ts,
+                     mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
+              FROM m WHERE tag = 1""")),
+
     // Q23 — grouped EXACT quantiles (both engines linear-interpolate, so the
     // values hash-match). Exact `percentile` buffers each group's values —
     // fine at per-group cardinalities that fit an executor, but the 100 TB

@@ -33,6 +33,7 @@ object AsOfJoin {
   private val TAG = "_graft_asof_tag"
   private val P = "_graft_asof_p"
   private val L = "_graft_asof_l"
+  private val B = "_graft_asof_b"
 
   /** Left as-of join. Returns all `left` columns plus `payload` columns from
     * the matched right row (null when no right row is at-or-before).
@@ -55,6 +56,108 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String],
       inclusive: Boolean = true): DataFrame = {
+    val (union, keyNames, tagOrder) = taggedUnion(
+      left, right, leftKeys, rightKeys, leftTime, rightTime, payload, inclusive)
+    val w = Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col(T).asc, tagOrder, col(P).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    project(union
+      .withColumn(P, last(col(P), ignoreNulls = true).over(w))
+      .filter(col(TAG) === 1), payload)
+  }
+
+  /** Skew-resistant as-of join: identical output to [[asOf]], but the running
+    * window partitions by (key, time-bucket) instead of key alone, so a hot
+    * key — a null/default customer id owning 10% of a 100 TB fact table —
+    * spreads over `timeSpan / bucketWidth` tasks instead of serializing one
+    * straggler task's sort. Two passes:
+    *
+    *  1. the same running-window merge as [[asOf]], within (key, bucket);
+    *  2. a carry pass over the per-(key, bucket) grid — each bucket's CLOSING
+    *     right payload (max (time, payload) right row) is carried forward with
+    *     a window over buckets, so rows whose bucket has no at-or-before right
+    *     row inherit the latest closing from an earlier bucket.
+    *
+    * The grid is one row per distinct (key, bucket) — the carry window
+    * partitions by key but holds at most `span/bucketWidth` rows per key, so
+    * the hot-key sort that pass 1 avoided cannot reappear in pass 2. Cost vs
+    * [[asOf]]: one extra small aggregation + one join that reuses pass 1's
+    * (key, bucket) partitioning — shuffle volume stays ∝ |L|+|R| (+grid).
+    *
+    * Time columns must be integral (cast timestamps to epoch micros first) so
+    * bucket ids are exact; `bucketWidth` is in those units. Pick it so a hot
+    * key's densest bucket fits a task comfortably: ~(hot-key rows per day
+    * / tasks wanted) worth of time. Equivalence with [[asOf]] on random and
+    * single-key adversarial data is property-pinned (AsOfJoinSpec).
+    */
+  def asOfBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      bucketWidth: Long,
+      inclusive: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    Seq(left.schema(leftTime), right.schema(rightTime)).foreach { f =>
+      import org.apache.spark.sql.types._
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)(f.dataType),
+        s"asOfBucketed needs integral time columns, got ${f.name}: ${f.dataType}")
+    }
+    val (union0, keyNames, tagOrder) = taggedUnion(
+      left, right, leftKeys, rightKeys, leftTime, rightTime, payload, inclusive)
+    // floor division exact on longs for any sign (DIV truncates; subtracting
+    // the non-negative pmod first makes the quotient the mathematical floor)
+    val union = union0.withColumn(
+      B, expr(s"($T - pmod($T, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+    val keyCols = keyNames.map(col)
+
+    // pass 1: running merge within (key, bucket)
+    val w1 = Window
+      .partitionBy(keyCols :+ col(B): _*)
+      .orderBy(col(T).asc, tagOrder, col(P).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = union.withColumn(P, last(col(P), ignoreNulls = true).over(w1))
+
+    // pass 2: per-(key, bucket) closing payloads, carried across buckets.
+    // max(struct(t, p)) = the payload the running window would carry out of
+    // the bucket (right rows only; time asc then payload-struct asc).
+    val closings = union.filter(col(TAG) === 0)
+      .groupBy(keyCols :+ col(B): _*)
+      .agg(max(struct(col(T).as("t"), col(P).as("p"))).as("_cl"))
+      .select(keyCols ++ Seq(col(B), col("_cl.p").as("_closing")): _*)
+    val grid = union.select(keyCols :+ col(B): _*).distinct()
+      .join(closings, keyNames :+ B, "left")
+    val wCarry = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(B).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = grid.withColumn(
+      "_carry", last(col("_closing"), ignoreNulls = true).over(wCarry))
+      .select(keyCols ++ Seq(col(B), col("_carry")): _*)
+
+    // join back on (key, bucket): run is already hash-partitioned on exactly
+    // these columns by w1, so only the small grid side exchanges
+    val merged = run.filter(col(TAG) === 1)
+      .join(carry, keyNames :+ B, "left")
+      .withColumn(P, coalesce(col(P), col("_carry")))
+    project(merged, payload)
+  }
+
+  /** Both sides tagged and projected to the shared merge schema. */
+  private def taggedUnion(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      inclusive: Boolean): (DataFrame, Seq[String], Column) = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"key lists must be non-empty and equal length: $leftKeys vs $rightKeys")
     require(payload.nonEmpty, "payload columns must be non-empty")
@@ -81,16 +184,10 @@ object AsOfJoin {
     // exactly-simultaneous right row is visible to the left row. Exclusive
     // flips the tag order so the left row comes first and cannot see it.
     val tagOrder = if (inclusive) col(TAG).asc else col(TAG).desc
-    val w = Window
-      .partitionBy(keyNames.map(col): _*)
-      .orderBy(col(T).asc, tagOrder, col(P).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (rSide.unionByName(lSide), keyNames, tagOrder)
+  }
 
-    val matched = rSide.unionByName(lSide)
-      .withColumn(P, last(col(P), ignoreNulls = true).over(w))
-      .filter(col(TAG) === 1)
-
+  private def project(matched: DataFrame, payload: Seq[String]): DataFrame =
     matched.select(
       col(s"$L.*") +: payload.map(c => col(s"$P.$c").as(c)): _*)
-  }
 }

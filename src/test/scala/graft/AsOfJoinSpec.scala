@@ -68,6 +68,87 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L) === None)
   }
 
+  private def runBucketed(
+      left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long, Double)],
+      inclusive: Boolean,
+      width: Long): Map[Long, Option[(Long, Double)]] = {
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("rk", "rt", "pk", "v")
+    AsOfJoin.asOfBucketed(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"),
+        bucketWidth = width, inclusive = inclusive)
+      .collect()
+      .map {
+        case Row(id: Long, _, _, pk, v) =>
+          id -> Option(pk).map(p => (p.asInstanceOf[Long],
+            v.asInstanceOf[Double]))
+      }.toMap
+  }
+
+  test("asOfBucketed matches naive for widths from degenerate to one-bucket") {
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(100).toLong - 50))
+    val right = (0 until 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong - 50, i.toLong,
+        rnd.nextInt(5).toDouble))
+    val expectInc = naive(left, right, inclusive = true)
+    val expectExc = naive(left, right, inclusive = false)
+    // width 1 = every instant its own bucket (carry pass does all the work);
+    // width 7 = mixed; width 512 = one bucket (pure pass-1, equals asOf);
+    // negative times exercise the floor division
+    for (w <- Seq(1L, 7L, 512L)) {
+      assert(runBucketed(left, right, inclusive = true, w) === expectInc,
+        s"inclusive width=$w")
+      assert(runBucketed(left, right, inclusive = false, w) === expectExc,
+        s"exclusive width=$w")
+    }
+  }
+
+  test("asOfBucketed: adversarial single hot key matches naive") {
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 500).map(i => (i.toLong, 1L, rnd.nextInt(200).toLong))
+    val right = (0 until 200).map(i =>
+      (1L, rnd.nextInt(200).toLong, i.toLong, rnd.nextInt(3).toDouble))
+    assert(runBucketed(left, right, inclusive = true, 16L)
+      === naive(left, right, inclusive = true))
+  }
+
+  test("asOfBucketed ties resolve exactly like asOf") {
+    val left = Seq((1L, 1L, 10L))
+    val right = Seq((1L, 10L, 5L, 1.0), (1L, 10L, 9L, 2.0), (1L, 10L, 7L, 3.0))
+    assert(runBucketed(left, right, inclusive = true, 4L)(1L) === Some((9L, 2.0)))
+    assert(runBucketed(left, right, inclusive = false, 4L)(1L) === None)
+  }
+
+  test("hot key: plain form serializes one task, bucketed form balances") {
+    // deterministic skew matrix: with AQE coalescing off, the final stage of
+    // each plan keeps its window partitioning, so per-partition output row
+    // counts measure exactly how the hot key spread over tasks
+    val n = 20000
+    val left = (0 until n).map(i => (i.toLong, 1L, (i * 7 % 50000).toLong))
+      .toDF("id", "k", "t")
+    val right = (0 until 2000).map(i => (1L, (i * 25 % 50000).toLong, i.toLong, 1.0))
+      .toDF("rk", "rt", "pk", "v")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def partCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+      val plain = partCounts(AsOfJoin.asOf(
+        left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v")))
+      val bucketed = partCounts(AsOfJoin.asOfBucketed(
+        left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"),
+        bucketWidth = 1000L))
+      assert(plain.max === plain.sum,
+        s"plain as-of should put the hot key in ONE task: $plain")
+      assert(bucketed.max <= (bucketed.sum * 0.4).toLong,
+        s"bucketed as-of should spread the hot key: $bucketed")
+      info(s"plain per-task rows: $plain")
+      info(s"bucketed per-task rows: $bucketed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("plan shuffles once by key: single Exchange, no joins") {
     val l = (0 until 100).map(i => (i.toLong, (i % 5).toLong, i.toLong))
       .toDF("id", "k", "t")
