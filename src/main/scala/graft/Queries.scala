@@ -404,21 +404,31 @@ object Queries {
                      mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
               FROM m WHERE tag = 1""")),
 
-    // Q23 — grouped EXACT quantiles (both engines linear-interpolate, so the
-    // values hash-match). Exact `percentile` buffers each group's values —
-    // fine at per-group cardinalities that fit an executor, but the 100 TB
-    // path is the mergeable sketch ([[graft.functions.Sketches
-    // .approxQuantiles]]); this query pins the exact semantics the sketch
-    // approximates.
+    // Q23 — grouped EXACT quantiles by distributed rank selection
+    // ([[Quantiles.exactGrouped]]): two balanced passes (range-slice count,
+    // then rank-within-slice + interpolate), NO per-group value buffer — the
+    // `percentile` built-in's ObjectHashAggregate holds every group value in
+    // one buffer, an executor OOM by design with 3 groups at 100 TB. Same
+    // linear interpolation as `percentile`/`quantile_cont`, so the oracle
+    // hash-matches. The one-pass approximate companion is the mergeable
+    // sketch ([[graft.functions.Sketches.approxQuantiles]]).
     Entry(
       "q23_quantiles",
-      (s, d) =>
-        t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            stableRound(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
-            stableRound(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-            stableRound(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price")),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val qty = Quantiles.exactGrouped(
+          li, Seq("l_returnflag"), "l_quantity",
+          Seq("p25_qty" -> 0.25, "p50_qty" -> 0.5))
+        val price = Quantiles.exactGrouped(
+          li, Seq("l_returnflag"), "l_extendedprice",
+          Seq("p90_price" -> 0.9))
+        qty.join(price, Seq("l_returnflag"))
+          .select(
+            col("l_returnflag"),
+            stableRound(col("p25_qty"), 6).as("p25_qty"),
+            stableRound(col("p50_qty"), 6).as("p50_qty"),
+            stableRound(col("p90_price"), 6).as("p90_price"))
+      },
       Some("""SELECT l_returnflag,
                      ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 6) AS p25_qty,
                      ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 6) AS p50_qty,

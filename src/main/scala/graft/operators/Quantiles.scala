@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT grouped quantiles by distributed rank selection — the scale-safe
+  * replacement for `percentile()`, whose ObjectHashAggregate buffers every
+  * group's values in one aggregation buffer (a by-design executor OOM once a
+  * group outgrows a heap: 100 TB of lineitem has three `l_returnflag` groups).
+  *
+  * Two-pass count-then-select, no per-group value buffer anywhere:
+  *
+  *  1. range-partition rows by (group, value) — each partition holds a
+  *     contiguous, bounded slice of one group's value range — and count rows
+  *     per (group, slice). The per-slice counts (≤ partitions + groups rows)
+  *     give every slice its global rank OFFSET and every group its total `n`.
+  *  2. rank rows within their slice (`row_number` over the slice — a sort of
+  *     one bounded partition, never of a whole group), add the slice offset,
+  *     and keep only rows whose global rank is a floor/ceil target rank
+  *     `r = 1 + p·(n-1)`. A tiny aggregate interpolates
+  *     `v_lo + (r - lo)·(v_hi - v_lo)` — the same linear interpolation as
+  *     `percentile` and DuckDB's `quantile_cont`, so results hash-match.
+  *
+  * Cost: two balanced exchanges of the (group, value) projection (range
+  * partition + slice-rank window) plus two broadcast-joined tiny frames. The
+  * largest single sort is one range slice (~`rows/partitions`), independent
+  * of group sizes, so one giant group cannot OOM or straggle a task. Caveat:
+  * rows EQUAL on (group, value) land in the same range slice, so a single
+  * value duplicated billions of times still concentrates — that degrades to
+  * one spilling (external) sort slice, never a wrong answer or an OOM of an
+  * in-memory buffer. Nulls are excluded, matching `percentile`.
+  */
+object Quantiles {
+
+  /** One row per group; `quantiles` = (output column name, p ∈ [0,1]).
+    * Values are cast to double; output columns are double. */
+  def exactGrouped(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(quantiles.nonEmpty, "quantiles must be non-empty")
+    quantiles.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"quantile $n=$p outside [0,1]")
+    }
+    val gCols = groupCols.map(col)
+    val proj = df.filter(col(valueCol).isNotNull)
+      .select(gCols :+ col(valueCol).cast("double").as("_v"): _*)
+    val numSlices = df.sparkSession.sessionState.conf.numShufflePartitions
+
+    // pass 1: range slices + per-(group, slice) counts
+    val ranged = proj
+      .repartitionByRange(numSlices, gCols :+ col("_v"): _*)
+      .withColumn("_pid", spark_partition_id())
+    val localCounts = ranged
+      .groupBy(gCols :+ col("_pid"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = localCounts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(gCols ++ Seq(col("_pid"), col("_off")): _*)
+    val totals = localCounts.groupBy(gCols: _*).agg(sum(col("_c")).as("_n"))
+    // per-group target ranks, 1-indexed: r = 1 + p·(n-1)
+    val targets = quantiles.foldLeft(totals) { case (acc, (name, p)) =>
+      acc.withColumn(s"_r_$name",
+          lit(1.0) + lit(p) * (col("_n") - 1).cast("double"))
+        .withColumn(s"_lo_$name", floor(col(s"_r_$name")).cast("long"))
+        .withColumn(s"_hi_$name", ceil(col(s"_r_$name")).cast("long"))
+    }.drop("_n")
+
+    // pass 2: global rank = slice offset + rank-within-slice; keep targets
+    val wRank = Window.partitionBy(gCols :+ col("_pid"): _*).orderBy(col("_v").asc)
+    val picked = ranged
+      .withColumn("_lrk", row_number().over(wRank))
+      .join(broadcast(offsets), groupCols :+ "_pid")
+      .withColumn("_grk", col("_off") + col("_lrk"))
+      .join(broadcast(targets), groupCols)
+      .filter(quantiles.map { case (name, _) =>
+        col("_grk") === col(s"_lo_$name") || col("_grk") === col(s"_hi_$name")
+      }.reduce(_ || _))
+
+    val aggs = quantiles.flatMap { case (name, _) =>
+      Seq(
+        max(when(col("_grk") === col(s"_lo_$name"), col("_v"))).as(s"_vlo_$name"),
+        max(when(col("_grk") === col(s"_hi_$name"), col("_v"))).as(s"_vhi_$name"),
+        max(col(s"_r_$name")).as(s"_rr_$name"),
+        max(col(s"_lo_$name")).as(s"_flo_$name"))
+    }
+    val agg = picked.groupBy(gCols: _*).agg(aggs.head, aggs.tail: _*)
+    quantiles.foldLeft(agg) { case (acc, (name, _)) =>
+      acc.withColumn(name,
+        col(s"_vlo_$name") +
+          (col(s"_rr_$name") - col(s"_flo_$name")) *
+          (col(s"_vhi_$name") - col(s"_vlo_$name")))
+    }.select(gCols ++ quantiles.map { case (name, _) => col(name) }: _*)
+  }
+}
