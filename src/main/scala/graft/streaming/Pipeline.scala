@@ -250,21 +250,51 @@ object Pipeline {
     * WHEN the event happened", which is the correct join for out-of-order
     * events: an event delayed past a dimension update must not pick up the
     * newer version. Per batch: one as-of merge join (one exchange of
-    * batch ∪ history — see [[graft.operators.AsOfJoin]]); bound the history
-    * with [[DimensionHistory.pruneBefore]] aligned to the watermark. */
+    * batch ∪ history — see [[graft.operators.AsOfJoin]]).
+    *
+    * History is pruned AUTOMATICALLY to the stream's horizon: every
+    * `pruneEvery` batches, versions superseded before
+    * `max event time seen − delay` are dropped (newest-below kept per key —
+    * [[DimensionHistory.pruneBefore]]'s bound), so a long-running pipeline's
+    * history stays ∝ the watermark window instead of growing forever. An
+    * event the watermark still admits always finds its version: the prune
+    * horizon IS the watermark, and the newest version at-or-below it
+    * survives. `eventTimeCol` must be epoch-micros (same units as the
+    * history's `ord`).
+    *
+    * Scale note: the per-batch as-of still exchanges history+batch; for a
+    * per-batch cost ∝ batch alone use [[StreamingAsOf.enrich]], whose
+    * version store lives in partitioned per-key state. */
   def operationalQueryTemporal(
       events: DataFrame, tsCol: String, eventTimeCol: String,
       history: DimensionHistory, streamKeys: Seq[String], payload: Seq[String],
       metricCols: Seq[(String, Column)],
-      delay: String = "10 minutes")(
-      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      delay: String = "10 minutes",
+      pruneEvery: Int = 8)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"delay must not use month units: $delay")
+    val delayUs = iv.days * 86400000000L + iv.microseconds
+    val maxSeenUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     withEventTimeWatermark(events, tsCol, delay).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val enriched = history.asOfEnrich(batch, streamKeys, eventTimeCol, payload)
         writeBatch(
           metricCols.foldLeft(enriched) { case (df, (n, c)) => df.withColumn(n, c) },
           id)
+        // after the write: advance the horizon, prune on cadence. Replayed
+        // batches only re-prune (idempotent), never un-prune.
+        val mx = batch.agg(max(col(eventTimeCol))).head().get(0)
+        if (mx != null)
+          maxSeenUs.updateAndGet(cur => math.max(cur, mx.asInstanceOf[Long]))
+        if (batches.incrementAndGet() % pruneEvery == 0 &&
+            maxSeenUs.get() != Long.MinValue)
+          history.pruneBefore(maxSeenUs.get() - delayUs)
       }
+  }
 
   /** [[operationalQuery]] + F6/T3 late-data buffering: an event whose
     * dimension row is missing is NOT emitted with null enrichment — it parks

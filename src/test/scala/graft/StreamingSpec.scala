@@ -296,6 +296,54 @@ class StreamingSpec extends SparkSpec {
     hist.release()
   }
 
+  test("temporal enrichment auto-prunes history to the watermark horizon") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v BIGINT")
+    val hist = new DimensionHistory(spark, "hist_prune", Seq("k"), "ord", schema)
+    val got = scala.collection.mutable.Map[Long, Option[Long]]()
+    val stream = MemoryStream[(Long, Long, Long)](spark) // (event_id, k, t_us)
+    val events = stream.toDF().toDF("event_id", "k", "t")
+      .withColumn("ts_utc", timestamp_micros(col("t")))
+    val minuteUs = 60L * 1000000L
+    val base = 1700000000000000L
+    val q = Pipeline.operationalQueryTemporal(
+        events, "ts_utc", "t", hist, Seq("k"), Seq("v"), Nil,
+        delay = "2 minutes", pruneEvery = 4) {
+        (batch, _) =>
+          batch.collect().foreach(r =>
+            got(r.getAs[Long]("event_id")) =
+              Option(r.getAs[java.lang.Long]("v")).map(_.longValue()))
+      }
+      .option("checkpointLocation", tmpDir("ckpt-temporal-prune"))
+      .start()
+    try {
+      // 24 batches of continuous CDC + events, times advancing 1 min/batch:
+      // 48 versions accumulate unpruned = the unbounded-growth defect; the
+      // auto-prune must keep history ∝ the 2-minute horizon instead
+      for (b <- 0 until 24) {
+        val t = base + b * minuteUs
+        hist.applyBatch(
+          Seq((1L, t, b.toLong), (2L, t, 100L + b)).toDF("k", "ord", "v"), b.toLong)
+        stream.addData(Seq((b.toLong, 1L, t)))
+        q.processAllAvailable()
+      }
+      val rows = hist.current.count()
+      assert(rows <= 12,
+        s"history must stay bounded by the horizon, got $rows of 48 versions")
+      assert(rows >= 2, "newest-below-horizon version per key must survive")
+      // a maximally-late admissible event (exactly at the watermark horizon)
+      // still enriches with the version in effect at ITS time
+      val lastT = base + 23 * minuteUs
+      val lateT = lastT - 2 * minuteUs // = horizon after the last prune
+      stream.addData(Seq((900L, 1L, lateT)))
+      q.processAllAvailable()
+      assert(got(900L) === Some(21L),
+        s"late admissible event must see the version at its event time")
+      // events at the current edge see the newest version
+      assert(got(23L) === Some(23L))
+    } finally { q.stop(); hist.release() }
+  }
+
   test("q17 parity: streaming windowedAgg == batch window aggregate") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long, Double)](spark)
