@@ -54,24 +54,43 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] kernel warm-up skipped: $e")
     }
     spark.catalog.clearCache()
-    val results: Seq[(String, Either[String, Double])] =
-      headline.filter(qs.contains).map { name =>
-        val t0 = System.nanoTime()
-        val r = try {
-          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e")
-            Left(e.toString.takeWhile(_ != '\n'))
+    // Repeats: box throughput drifts ±50-60% across hours, and even within a
+    // run one GC or page-cache hiccup can move a single measurement ±25%
+    // (round 6's q01 "+23%" was exactly this). min-of-3 is the stable
+    // estimator — noise only ever ADDS time — so `queries`/`value` publish
+    // mins; means ride along for drift visibility.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val samples: Seq[Seq[(String, Either[String, Double])]] =
+      (0 until reps).map { _ =>
+        headline.filter(qs.contains).map { name =>
+          val t0 = System.nanoTime()
+          val r = try {
+            qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e")
+              Left(e.toString.takeWhile(_ != '\n'))
+          }
+          // release caches a query left behind (the dedup builders persist
+          // intermediates) so one query's cache pressure can't skew the next
+          spark.catalog.clearCache()
+          name -> r
         }
-        // release caches a query left behind (the dedup builders persist
-        // intermediates) so one query's cache pressure can't skew the next
-        spark.catalog.clearCache()
-        name -> r
       }
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val failures = results.collect { case (k, Left(e)) => k -> e }
+    val byName = samples.flatten.groupBy(_._1)
+    val order = headline.filter(byName.contains)
+    // a query that failed in ANY rep is excluded and reported
+    val failures = order.flatMap(n =>
+      byName(n).collectFirst { case (_, Left(e)) => n -> e })
+    val failed = failures.map(_._1).toSet
+    val ok = order.filterNot(failed).map { n =>
+      n -> byName(n).collect { case (_, Right(v)) => v }.min
+    }
+    val okMean = order.filterNot(failed).map { n =>
+      val vs = byName(n).collect { case (_, Right(v)) => v }
+      n -> vs.sum / vs.size
+    }
     // control chars included: a Spark analysis error's tab/CR in
     // failure_detail must not break the machine-readable JSON channel
     def jstr(s: String) = "\"" + s.flatMap {
@@ -84,6 +103,9 @@ object Bench {
       case c => c.toString
     } + "\""
     val qJson = ok
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val qMeanJson = okMean
       .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fJson = failures.map(f => jstr(f._1)).mkString("[", ",", "]")
@@ -103,7 +125,7 @@ object Bench {
         .mkString("{", ",", "}"))
       .getOrElse("{}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"ratios_vs_q01":$rJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$reps,"queries":$qJson,"queries_mean":$qMeanJson,"ratios_vs_q01":$rJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
     // stdout AND a file: sbt's log decoration ([info] prefixes) makes the
     // printed line unparseable to callers that scrape stdout, so the file is
     // the machine-readable channel.
