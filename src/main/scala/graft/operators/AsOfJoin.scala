@@ -123,15 +123,17 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = union.withColumn(P, last(col(P), ignoreNulls = true).over(w1))
 
-    // pass 2: per-(key, bucket) closing payloads, carried across buckets.
-    // max(struct(t, p)) = the payload the running window would carry out of
-    // the bucket (right rows only; time asc then payload-struct asc).
-    val closings = union.filter(col(TAG) === 0)
+    // pass 2: ONE aggregate over the union yields both the (key, bucket)
+    // grid and each bucket's closing right payload — max(struct(t, p))
+    // among right rows (the payload the running window carries out of the
+    // bucket; max ignores the nulls left rows produce, so right-less
+    // buckets stay null and the carry window skips them). Map-side
+    // combined: shuffle ∝ distinct (key, bucket), not rows.
+    val grid = union
       .groupBy(keyCols :+ col(B): _*)
-      .agg(max(struct(col(T).as("t"), col(P).as("p"))).as("_cl"))
+      .agg(max(when(col(TAG) === 0, struct(col(T).as("t"), col(P).as("p"))))
+        .as("_cl"))
       .select(keyCols ++ Seq(col(B), col("_cl.p").as("_closing")): _*)
-    val grid = union.select(keyCols :+ col(B): _*).distinct()
-      .join(closings, keyNames :+ B, "left")
     val wCarry = Window
       .partitionBy(keyCols: _*)
       .orderBy(col(B).asc)
