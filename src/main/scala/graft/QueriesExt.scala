@@ -511,6 +511,89 @@ object QueriesExt {
                      array_to_string(
                        range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64),
                        ',') AS offsets
-              FROM documents"""))
+              FROM documents""")),
+
+    // T11 — per-group top-k (TopK.perGroup two-pass rank: local top-k per
+    // (group, partition) slice, then global over ≤ k×partitions survivors —
+    // a hot group cannot straggle one task): best 3 documents per language
+    // by quality score. Ranking on the ROUNDED score (what both engines
+    // output for t02) with doc_id tie-break keeps the cut deterministic.
+    Entry(
+      "t11_topk_quality",
+      (s, d) => {
+        val q = TextAnalysis.withQuality(docs(s, d), "text")
+          .select(col("lang"), col("doc_id"), col("quality_score"))
+        TopK.perGroup(
+            q, Seq("lang"),
+            Seq(col("quality_score").desc, col("doc_id").asc), 3)
+          .select(
+            col("lang"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("quality_score"))
+      },
+      Some("""WITH m AS (
+                SELECT lang, doc_id,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS avg_token_len,
+                       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                         / length(text) AS punct_ratio,
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS stopword_ratio
+                FROM documents),
+              sc AS (
+                SELECT lang, doc_id,
+                       ROUND(LEAST(1.0, GREATEST(0.0,
+                         0.2 + 0.05 * avg_token_len + 0.5 * stopword_ratio - 2.0 * punct_ratio)), 6) AS quality_score
+                FROM m),
+              r AS (
+                SELECT lang, doc_id, quality_score,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY quality_score DESC, doc_id) AS rank
+                FROM sc)
+              SELECT lang, rank, doc_id, quality_score FROM r WHERE rank <= 3""")),
+
+    // T12 — deterministic stratified sample: exactly 5 docs per language,
+    // selected by md5(doc_id) order — stable across runs, partitionings, and
+    // engines (the md5 IS the sampling randomness, as in t06's hash split).
+    Entry(
+      "t12_stratified_sample",
+      (s, d) =>
+        TopK.stratifiedSample(docs(s, d), Seq("lang"), "doc_id", 5)
+          .select(
+            col("lang"), col("rank").cast("long").as("rank"), col("doc_id")),
+      Some("""WITH r AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+                FROM documents)
+              SELECT lang, rank, doc_id FROM r WHERE rank <= 5""")),
+
+    // T13 — per-document top-3 TF-IDF terms (smoothed idf; scores rounded
+    // to 6dp BEFORE ranking so a last-ulp ln() difference can't reorder the
+    // cut; term tie-break). The corpus size joins in as a broadcast one-row
+    // frame — no driver collect.
+    Entry(
+      "t13_tfidf",
+      (s, d) =>
+        TextAnalysis.tfIdfTopTerms(docs(s, d), "doc_id", "text", k = 3)
+          .select(
+            col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+            col("tf"), col("tfidf")),
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                FROM documents),
+              f AS (SELECT doc_id, term, COUNT(*) AS tf
+                    FROM toks WHERE length(term) >= 3 GROUP BY doc_id, term),
+              dd AS (SELECT term, COUNT(*) AS dfq FROM f GROUP BY term),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+              sc AS (SELECT f.doc_id, f.term, f.tf,
+                            ROUND(f.tf * ln((n.n + 1.0) / (dd.dfq + 1)) + 1e-9, 6) AS tfidf
+                     FROM f, dd, n WHERE f.term = dd.term),
+              r AS (SELECT doc_id, term, tf, tfidf,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tfidf DESC, term) AS rank
+                    FROM sc)
+              SELECT doc_id, rank, term, tf, tfidf FROM r WHERE rank <= 3"""))
   )
 }

@@ -260,4 +260,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)
   }
+
+  /** Per-document top-`k` TF-IDF terms — the classic keyword/topic signal
+    * for corpus exploration and per-document routing. Smoothed idf
+    * `ln((N + 1) / (df + 1))`; scores round to 6dp BEFORE ranking so the
+    * rank cut is deterministic on both engines (a last-ulp `ln` difference
+    * cannot reorder terms; equal rounded scores break ties on the term).
+    *
+    * Shape: token explode → per-(doc, term) hash count (map-side combined,
+    * shuffle ∝ distinct (doc, term)) → per-term document frequencies (small,
+    * ∝ vocabulary — AQE broadcasts the join back) → corpus size as a
+    * broadcast one-row frame (never a driver `collect`) →
+    * [[TopK.perGroup]]'s two-pass rank (hot documents cannot straggle a
+    * task, though `tokens-per-doc` already bounds the group). Tokens shorter
+    * than `minTokenLen` are noise-pruned before any shuffle. */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minTokenLen: Int = 3): DataFrame = {
+    val toks = df.select(
+        col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("_n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", stableRound(
+        col("tf") * log((col("_n") + 1).cast("double") / (col("_df") + 1)), 6))
+    TopK.perGroup(scored, Seq("_id"), Seq(col("tfidf").desc, col("term").asc), k)
+      .select(col("_id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("tfidf"))
+  }
 }

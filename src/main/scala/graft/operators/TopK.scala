@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact top-k rows per group, scale-safe under group skew.
+  *
+  * The textbook form — `row_number() over (partition by group order by s)`
+  * then `filter rank <= k` — puts each group's ENTIRE row set through one
+  * task's sort: a hot group (one language owning 90% of a 100 TB corpus)
+  * becomes a job-length straggler, the same shape as the as-of hot key
+  * ([[AsOfJoin.asOfBucketed]]) and the quantile value buffer
+  * ([[Quantiles.exactGrouped]]). This is the two-pass fix:
+  *
+  *  1. LOCAL top-k within (group, input partition): a window over the
+  *     (group, partition-id) slice — never larger than one input partition —
+  *     discards everything below rank k. Survivors per group ≤ k × partitions.
+  *  2. GLOBAL top-k over the survivors: the same window partitioned by group
+  *     alone, now over ≤ k × partitions rows per group instead of the group's
+  *     full cardinality.
+  *
+  * Correct because a row outside its partition's local top-k cannot be in the
+  * global top-k (k better rows exist in that partition alone). Exact for any
+  * `sortCols`, including ties — give a total order (tie-break column) for
+  * deterministic output, as the oracle-checked queries do.
+  *
+  * Cost: two exchanges (by (group, pid), then by group), both balanced; the
+  * global pass moves ≤ k × partitions rows per group. The single-window form
+  * is one exchange but unbounded per-task; prefer this form whenever group
+  * sizes are data-dependent.
+  */
+object TopK {
+
+  /** Top `k` rows per `groupCols` under `sortCols` (give a total order for
+    * determinism). Adds `rank` (1-based within group). */
+  def perGroup(
+      df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gCols = groupCols.map(col)
+    val local = Window
+      .partitionBy(gCols :+ col("_tk_pid"): _*)
+      .orderBy(sortCols: _*)
+    val global = Window.partitionBy(gCols: _*).orderBy(sortCols: _*)
+    df.withColumn("_tk_pid", spark_partition_id())
+      .withColumn("_tk_lrk", row_number().over(local))
+      .filter(col("_tk_lrk") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("_tk_pid", "_tk_lrk")
+  }
+
+  /** Deterministic stratified sample: `k` rows per stratum, selected by
+    * md5-hash order of `idCol` (stable across runs, engines, and
+    * partitionings — the same selection DuckDB computes from the same
+    * data). Use for train/eval carve-outs where per-stratum sizes must be
+    * exact; for fraction-based splits see
+    * [[TextAnalysis.deterministicSplit]], which needs no shuffle at all. */
+  def stratifiedSample(
+      df: DataFrame, strataCols: Seq[String], idCol: String, k: Int): DataFrame =
+    perGroup(
+      df, strataCols,
+      Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc), k)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+
+  test("perGroup equals the single-window form, ties included") {
+    val rnd = new scala.util.Random(31)
+    // scores drawn from a small range so ties are common; tie-break on id
+    val df = (0 until 3000).map(i =>
+      ((i % 11).toLong, rnd.nextInt(20).toDouble, i.toLong)).toDF("g", "s", "id")
+      .repartition(7) // multiple input partitions so the local pass matters
+    for (k <- Seq(1, 4, 50, 5000)) {
+      val got = TopK.perGroup(df, Seq("g"), Seq(col("s").desc, col("id").asc), k)
+        .select("g", "rank", "id", "s").collect().map(_.toSeq).toSet
+      val want = naive(df, k).select("g", "rank", "id", "s")
+        .collect().map(_.toSeq).toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("groups smaller than k return all rows, ranked") {
+    val df = Seq((1L, 2.0, 1L), (1L, 1.0, 2L)).toDF("g", "s", "id")
+    val out = TopK.perGroup(df, Seq("g"), Seq(col("s").desc, col("id").asc), 10)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(out === Set((1, 1L), (2, 2L)))
+  }
+
+  test("hot group: local pass discards below-k rows before the global window") {
+    // one group owns ~everything; after the local pass at most k×partitions
+    // rows per group reach the per-group window, so the global sort input is
+    // bounded regardless of group size
+    val df = (0 until 40000).map(i => (1L, (i % 97).toDouble, i.toLong))
+      .toDF("g", "s", "id").repartition(8)
+    val k = 5
+    val out = TopK.perGroup(df, Seq("g"), Seq(col("s").desc, col("id").asc), k)
+    assert(out.count() === k)
+    // structural check: the plan has two Window nodes (local then global) —
+    // the local one partitioned by (g, partition id)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size >= 2, s"expected two windows:\n$plan")
+    assert(plan.contains("_tk_pid"), s"local pass must slice by partition id:\n$plan")
+  }
+
+  test("stratifiedSample: exact k per stratum, stable under repartitioning") {
+    val df = (0 until 2000).map(i => ((i % 4).toLong, i.toLong, s"payload$i"))
+      .toDF("lang", "doc_id", "text")
+    val a = TopK.stratifiedSample(df, Seq("lang"), "doc_id", 7)
+      .select("lang", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = TopK.stratifiedSample(df.repartition(13), Seq("lang"), "doc_id", 7)
+      .select("lang", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "selection must not depend on physical layout")
+    assert(a.groupBy(_._1).forall(_._2.size == 7), "exactly k per stratum")
+  }
+}
