@@ -594,6 +594,34 @@ object QueriesExt {
                            row_number() OVER (PARTITION BY doc_id
                                               ORDER BY tfidf DESC, term) AS rank
                     FROM sc)
-              SELECT doc_id, rank, term, tf, tfidf FROM r WHERE rank <= 3"""))
+              SELECT doc_id, rank, term, tf, tfidf FROM r WHERE rank <= 3""")),
+
+    // T14 — training-sequence packing: concatenate the corpus in
+    // deterministic md5(doc_id) order and cut every 512 tokens; each doc
+    // gets the 0-based id of the sequence its first token lands in. The
+    // global running token count is a DISTRIBUTED prefix sum
+    // (Packing.globalRunningSum: range partition + per-slice window +
+    // broadcast slice offsets) — the naive `sum over (order by)` would pull
+    // 100 TB through one task's sort.
+    Entry(
+      "t14_packing",
+      (s, d) =>
+        Packing.packSequences(
+            docs(s, d).select(
+              col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+            "doc_id", "n_tokens", maxTokens = 512)
+          .select("doc_id", "n_tokens", "cum_tokens", "seq_id"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+                     (cum_tokens - n_tokens) // 512 AS seq_id
+              FROM c"""))
   )
 }

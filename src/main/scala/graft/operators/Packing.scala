@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global running totals and training-sequence packing.
+  *
+  * A GLOBAL prefix sum (`sum over (order by …)` with no partition key) is
+  * the one window shape Spark executes on a SINGLE task — `WindowExec` with
+  * an empty partition spec pulls the whole dataset through one sort, the
+  * canonical 100 TB scale bug (the engine's other windows all partition).
+  * [[globalRunningSum]] is the distributed form: range-partition by the
+  * ordering, local prefix sums within each bounded slice, then add each
+  * slice's broadcast offset (the exclusive prefix sum of per-slice totals —
+  * partitions + 1 rows, never the data). Same two-pass count-then-place
+  * pattern as [[Quantiles.exactGrouped]] and [[TopK.perGroup]].
+  *
+  * [[packSequences]] uses it for the standard pretraining packing: order
+  * documents deterministically (hash order — decorrelates sequence content
+  * from crawl order), concatenate token counts, cut every `maxTokens`. A
+  * document's sequence id is the bin its FIRST token lands in; documents
+  * straddling a boundary continue into the next sequence (how GPT-style
+  * packing slices the token stream — no padding, no first-fit heuristics,
+  * fully deterministic and order-independent of physical layout).
+  */
+object Packing {
+
+  /** `outCol` = inclusive running sum of `valueCol` over the TOTAL order
+    * given by `orderCols` (supply a tie-free order for determinism). All
+    * input columns are preserved. Cost: one range exchange + bounded
+    * per-slice window + a broadcast of per-slice offsets. */
+  def globalRunningSum(
+      df: DataFrame, orderCols: Seq[Column], valueCol: String,
+      outCol: String = "running_total"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val slices = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(slices, orderCols: _*)
+      .withColumn("_ps_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_ps_local", sum(col(valueCol)).over(wLocal))
+    // per-slice totals -> exclusive prefix, via a triangular self-join over
+    // the `slices`-row totals frame (a global window here would warn — and
+    // at 32 rows a join is just as cheap and keeps every plan node
+    // partition-safe; no driver collect either way)
+    val totals = ranged.groupBy(col("_ps_pid"))
+      .agg(sum(col(valueCol)).as("_ps_t"))
+    val earlier = totals
+      .select(col("_ps_pid").as("_ps_pid_b"), col("_ps_t").as("_ps_t_b"))
+    val offsets = totals
+      .join(earlier, col("_ps_pid_b") < col("_ps_pid"), "left")
+      .groupBy(col("_ps_pid"))
+      .agg(coalesce(sum(col("_ps_t_b")), lit(0L)).as("_ps_off"))
+    local.join(broadcast(offsets), Seq("_ps_pid"))
+      .withColumn(outCol, col("_ps_local") + col("_ps_off"))
+      .drop("_ps_pid", "_ps_local")
+  }
+
+  /** Assign each document the id of the fixed-`maxTokens` training sequence
+    * its first token lands in, under deterministic md5-hash document order.
+    * Output adds `cum_tokens` (inclusive global running token count) and
+    * `seq_id` (0-based). `tokenCol` must be a non-negative integral count. */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val order = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    // integer DIV: exact at any magnitude (a double divide would lose
+    // precision once cumulative tokens pass 2^53)
+    globalRunningSum(df, order, tokenCol, outCol = "cum_tokens")
+      .withColumn("seq_id",
+        expr(s"(cum_tokens - `$tokenCol`) DIV $maxTokens"))
+  }
+}

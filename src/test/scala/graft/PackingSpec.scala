@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRunningSum equals the single-task window form") {
+    val rnd = new scala.util.Random(41)
+    val df = (0 until 5000).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("id", "v").repartition(9)
+    val got = Packing.globalRunningSum(df, Seq(col("id").asc), "v", "cum")
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.withColumn("cum", sum(col("v")).over(
+        Window.partitionBy(lit(0)).orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("globalRunningSum is stable under physical layout") {
+    val df = (0 until 1000).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val a = Packing.globalRunningSum(df.repartition(3), Seq(col("id")), "v")
+      .select("id", "running_total").collect().map(_.toSeq).toSet
+    val b = Packing.globalRunningSum(df.repartition(17), Seq(col("id")), "v")
+      .select("id", "running_total").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("plan has no unpartitioned window over the data") {
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val plan = Packing.globalRunningSum(df, Seq(col("id")), "v")
+      .queryExecution.executedPlan.toString
+    // every Window node must carry a partition spec; the offsets pass is a
+    // join over per-slice totals, not a window at all
+    assert(!plan.contains("windowspecdefinition(id"), s"data window must be sliced:\n$plan")
+    assert(!plan.contains("No Partition"), plan)
+  }
+
+  test("packSequences: sequences fill to maxTokens, docs start where first token lands") {
+    val df = Seq((1L, 100L), (2L, 300L), (3L, 200L), (4L, 50L), (5L, 400L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packSequences(df, "doc_id", "n_tokens", maxTokens = 256)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id")))
+    // validate the invariant independent of the hash order: seq_id =
+    // (start offset) div maxTokens under SOME total order with contiguous
+    // cumulative sums
+    val byCum = out.sortBy(_._2)
+    var prev = 0L
+    byCum.foreach { case (_, cum, seq) =>
+      assert(seq === prev / 256, s"doc starting at $prev got seq $seq")
+      prev = cum
+    }
+    assert(byCum.last._2 === 1050L, "total tokens must be conserved")
+  }
+}
