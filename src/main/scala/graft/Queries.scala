@@ -433,7 +433,52 @@ object Queries {
                      ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 6) AS p25_qty,
                      ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 6) AS p50_qty,
                      ROUND(quantile_cont(l_extendedprice, 0.9) + 1e-9, 6) AS p90_price
-              FROM lineitem GROUP BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // Q25 — multi-level (ROLLUP) aggregation: detail + per-flag subtotal +
+    // grand total in ONE pass. Spark expands the grouping sets inside a
+    // single hash aggregate (partials map-side combined per set) — at 100 TB
+    // this is strictly cheaper than the 3-query union users write instead;
+    // `grouping_id()` and DuckDB's `GROUPING()` share bit semantics (bit =
+    // column aggregated out), so the oracle hash-matches the NULL-filled
+    // subtotal rows too.
+    Entry(
+      "q25_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            grouping_id().as("gid"),
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                     ROUND(SUM(l_quantity), 4) AS sum_qty,
+                     ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // Q26 — pivot (long→wide): per-user sum of `value` per event type as
+    // columns. The pivot values are DECLARED, not discovered — the
+    // two-arg `pivot(col)` form runs an extra distinct scan + driver collect
+    // just to learn the column list, which at 100 TB is a full pass of the
+    // fact table before the real one. Declared values make it one hash
+    // aggregate (pivot aggregates are map-side combined per (user, type)).
+    Entry(
+      "q26_pivot",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(round(sum("value"), 4)),
+      Some("""SELECT user_id,
+                     ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 4) AS click,
+                     ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 4) AS error,
+                     ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+                     ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
+                     ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 4) AS view
+              FROM events GROUP BY user_id"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

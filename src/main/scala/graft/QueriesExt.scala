@@ -622,6 +622,113 @@ object QueriesExt {
                 FROM t)
               SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
                      (cum_tokens - n_tokens) // 512 AS seq_id
-              FROM c"""))
+              FROM c""")),
+
+    // D8 — fixed-width token-chunk exact dedup (the shuffle-bounded stand-in
+    // for Lee-et-al-2021 exact-substring dedup): every 10-token chunk seen
+    // earlier (smallest (doc_id, pos)) anywhere in the corpus is removed and
+    // docs are rebuilt from the survivors. The oracle replays the identical
+    // chunking + first-occurrence rule in SQL.
+    Entry(
+      "d08_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(docs(s, d), "doc_id", "text", width = 10),
+      Some("""WITH n AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                         FROM documents),
+                   c AS (SELECT doc_id, i AS pos,
+                                array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+                         FROM n, LATERAL (SELECT unnest(range(0, CAST(ceil(len(n.toks)/10.0) AS BIGINT))) AS i) r),
+                   k AS (SELECT chunk, min({'d': doc_id, 'p': pos}) AS keeper
+                         FROM c GROUP BY chunk),
+                   kept AS (SELECT c.doc_id, c.pos, c.chunk FROM c JOIN k USING (chunk)
+                            WHERE k.keeper.d = c.doc_id AND k.keeper.p = c.pos)
+              SELECT d.doc_id,
+                     coalesce(string_agg(kept.chunk, ' ' ORDER BY kept.pos), '') AS clean_text,
+                     count(kept.pos) AS n_kept
+              FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+              GROUP BY d.doc_id""")),
+
+    // D9 — SemDeDup-style semantic dedup: per-label centroids → nearest-
+    // centroid assignment (6dp-rounded cosine, ties to the lowest cell) →
+    // drop every vector with a smaller-id same-cluster neighbor at cosine
+    // ≥ 0.4. The oracle replays centroid means, the argmax, and the
+    // anti-join exactly.
+    Entry(
+      "d09_semdedup",
+      (s, d) =>
+        Dedup.semanticDedup(embs(s, d), "vec_id", "embedding", "label",
+          threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   comp AS (SELECT label AS cell, i, ROUND(avg(v[i]) + 1e-9, 6) AS m
+                            FROM e, (SELECT unnest(range(1, 65)) AS i) r GROUP BY 1, 2),
+                   cent AS (SELECT cell, list(m ORDER BY i) AS c FROM comp GROUP BY cell),
+                   scored AS (SELECT vec_id, v, cell,
+                                     ROUND(list_cosine_similarity(v, c) + 1e-9, 6) AS cs
+                              FROM e CROSS JOIN cent),
+                   assigned AS (SELECT vec_id, v, cell FROM
+                                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                              ORDER BY cs DESC, cell) AS rn
+                                 FROM scored) WHERE rn = 1)
+              SELECT a.vec_id, CAST(a.cell AS INT) AS cluster FROM assigned a
+              WHERE NOT EXISTS (SELECT 1 FROM assigned b
+                                WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                                  AND list_cosine_similarity(a.v, b.v) >= 0.4)""")),
+
+    // T15 — deterministic weighted mixture sampling (domain reweighting):
+    // even-numbered sources keep 30%, odd keep 10%, selected in md5 order so
+    // the carve-out is reproducible. Quota per stratum = ceil(f·n).
+    Entry(
+      "t15_weighted_mix",
+      (s, d) =>
+        TopK.weightedStratifiedSample(
+            docs(s, d).select("doc_id", "source"), Seq("source"), "doc_id",
+            when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 0.3)
+              .otherwise(0.1))
+          .select(
+            col("doc_id"), col("source"), col("rank").cast("long").as("rank")),
+      Some("""WITH s AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+                         FROM documents),
+                   n AS (SELECT source, count(*) AS ns FROM s GROUP BY source),
+                   k AS (SELECT source,
+                                CAST(ceil(ns * (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                                                     THEN 0.3 ELSE 0.1 END)) AS BIGINT) AS ks
+                         FROM n),
+                   r AS (SELECT doc_id, source,
+                                row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+                         FROM s)
+              SELECT r.doc_id, r.source, r.rank
+              FROM r JOIN k USING (source) WHERE r.rank <= k.ks""")),
+
+    // T16 — per-language length-decile bucketing (curriculum binning) via
+    // the distributed-rank cut points of Quantiles.exactGrouped — the ntile
+    // formulation would sort each whole language in one task; this never
+    // sorts a group anywhere.
+    Entry(
+      "t16_quantile_buckets",
+      (s, d) =>
+        Quantiles.withQuantileBucket(
+            docs(s, d).select("doc_id", "lang", "n_chars"),
+            Seq("lang"), "n_chars", nBuckets = 10)
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("cnt")),
+      Some("""WITH c AS (SELECT lang,
+                                ROUND(quantile_cont(n_chars, 0.1) + 1e-9, 6) AS c1,
+                                ROUND(quantile_cont(n_chars, 0.2) + 1e-9, 6) AS c2,
+                                ROUND(quantile_cont(n_chars, 0.3) + 1e-9, 6) AS c3,
+                                ROUND(quantile_cont(n_chars, 0.4) + 1e-9, 6) AS c4,
+                                ROUND(quantile_cont(n_chars, 0.5) + 1e-9, 6) AS c5,
+                                ROUND(quantile_cont(n_chars, 0.6) + 1e-9, 6) AS c6,
+                                ROUND(quantile_cont(n_chars, 0.7) + 1e-9, 6) AS c7,
+                                ROUND(quantile_cont(n_chars, 0.8) + 1e-9, 6) AS c8,
+                                ROUND(quantile_cont(n_chars, 0.9) + 1e-9, 6) AS c9
+                         FROM documents GROUP BY lang)
+              SELECT d.lang,
+                     CAST(1 + ((d.n_chars > c1)::INT + (d.n_chars > c2)::INT
+                             + (d.n_chars > c3)::INT + (d.n_chars > c4)::INT
+                             + (d.n_chars > c5)::INT + (d.n_chars > c6)::INT
+                             + (d.n_chars > c7)::INT + (d.n_chars > c8)::INT
+                             + (d.n_chars > c9)::INT) AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM documents d JOIN c USING (lang)
+              GROUP BY 1, 2"""))
   )
 }

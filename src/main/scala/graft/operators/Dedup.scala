@@ -731,4 +731,110 @@ object Dedup {
         "cross clusters (fingerprint false-positive) — raise maxIter")
     out
   }
+
+  /** Fixed-width token-chunk exact dedup — the practical, shuffle-bounded
+    * approximation of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", which uses a suffix array
+    * no distributed engine materializes at 100 TB). Text is tokenized
+    * (whitespace), cut into consecutive `width`-token chunks, and every
+    * repeat of a chunk already seen ANYWHERE in the corpus (first occurrence
+    * = smallest `(id, position)`) is dropped; each document is rebuilt from
+    * its surviving chunks in order.
+    *
+    * Returns `(idCol, clean_text, n_kept)` for EVERY input document
+    * (fully-duplicated docs come back with `clean_text = ""`, `n_kept = 0`).
+    *
+    * Scale shape: chunk explode → per-chunk `min(struct(id, pos))` hash
+    * aggregate (map-side combined, shuffle ∝ DISTINCT chunks) → equi-join
+    * back (shuffle ∝ chunk occurrences) → per-doc rebuild whose
+    * `collect_list` is bounded by a single document's length. No windows, no
+    * pairwise doc×doc anywhere; a chunk duplicated millions of times is one
+    * hot GROUP KEY (combiner-absorbed), not a hot partition. */
+  def chunkDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int = 10): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val chunks = df.select(
+      col(idCol).as("_id"),
+      posexplode(graft.operators.let(split(lower(trim(col(textCol))), "\\s+")) {
+        t =>
+          transform(
+            sequence(
+              lit(0L),
+              ceil(size(t).cast("double") / width).cast("long") - 1),
+            i => concat_ws(" ", slice(t, (i * width + 1).cast("int"), lit(width))))
+      }).as(Seq("pos", "chunk")))
+    val keeper = chunks.groupBy("chunk")
+      .agg(min(struct(col("_id"), col("pos"))).as("_keep"))
+    val kept = chunks.join(keeper, Seq("chunk"))
+      .filter(col("_keep._id") === col("_id") && col("_keep.pos") === col("pos"))
+    val rebuilt = kept.groupBy("_id")
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("_id")).join(rebuilt, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings around per-seed centroids, then within each cluster
+    * drop every vector that has a smaller-id neighbor with cosine ≥
+    * `threshold`. Returns the KEPT set as `(idCol, cluster)`.
+    *
+    * The three phases and their scale shapes:
+    *  1. centroids = per-`seedCol` element-wise mean via an exploded
+    *     (cell, position) aggregate — shuffles cells × dims rows, never
+    *     collects a vector to the driver (same shape as
+    *     [[Similarity.centroids]]). Components are stable-rounded to 6 dp so
+    *     the downstream argmax is reproducible across engines.
+    *  2. assignment = cosine against the BROADCAST codebook (k × dims
+    *     doubles), argmax folded into a `min(struct(-cos, cell))` hash
+    *     aggregate — map-side combined, no window, no sort; ties break to
+    *     the lowest cell id deterministically.
+    *  3. within-cluster near-dup pairs via [[embeddingNearDupPairs]], which
+    *     carries the broadcast/narrow skew gate; dropped = every pair's
+    *     larger id. SemDeDup's k controls cluster size — at 100 TB pick k
+    *     large enough (paper: 10⁵ on LAION) that a cluster's pair join stays
+    *     bounded; the cell self-join never materializes doc×doc across
+    *     clusters.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, seedCol: String,
+      threshold: Double,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame = {
+    val e = df.select(
+      col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"),
+      col(seedCol).as("_seed"))
+    val cents = e
+      .select(col("_seed").as("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .groupBy("_cell", "_pos")
+      .agg(avg("_x").as("_m"))
+      .groupBy("_cell")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("_pos"), stableRound(col("_m"), 6).as("_m")))),
+          x => x.getField("_m")).as("_c"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(
+        col("_id"), col("_v"),
+        struct(
+          (stableRound(Similarity.cosine(col("_v"), col("_c")), 6) * -1).as("_ncs"),
+          col("_cell")).as("_key"))
+      .groupBy("_id")
+      .agg(min(col("_key")).as("_best"), first(col("_v")).as("_v"))
+      .select(col("_id"), col("_v"), col("_best._cell").as("_cell"))
+    val dropped = embeddingNearDupPairs(
+        assigned, "_id", "_v", "_cell", threshold, maxBroadcastDocs)
+      .select(col("b_id").as("_id")).distinct()
+    assigned.join(dropped, Seq("_id"), "left_anti")
+      .select(col("_id").as(idCol), col("_cell").as("cluster"))
+  }
 }

@@ -97,4 +97,35 @@ object Quantiles {
           (col(s"_vhi_$name") - col(s"_vlo_$name")))
     }.select(gCols ++ quantiles.map { case (name, _) => col(name) }: _*)
   }
+
+  /** Per-group quantile BUCKETING — curriculum / quality binning: each row
+    * gets `bucketCol` ∈ [1, nBuckets] from its value's position among its
+    * group's `1/n … (n-1)/n` quantile cut points (bucket = 1 + number of cut
+    * points strictly below the value; cut points are computed by
+    * [[exactGrouped]] and stable-rounded to 6 dp before the compare so the
+    * boundary is reproducible across engines).
+    *
+    * Scale shape: the cut-point frame is one row per group (broadcast), the
+    * bucket assignment is a map-side expression — no shuffle beyond
+    * [[exactGrouped]]'s two balanced passes, and no per-group window (the
+    * `ntile` formulation sorts each whole group in one task; this never
+    * does). */
+  def withQuantileBucket(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      nBuckets: Int, bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val cutNames = (1 until nBuckets).map(i => s"_qb_c$i")
+    val cuts = exactGrouped(
+      df, groupCols, valueCol,
+      cutNames.zipWithIndex.map { case (n, i) =>
+        n -> (i + 1).toDouble / nBuckets
+      })
+    val b = cutNames
+      .map(n => when(col(valueCol).cast("double") > stableRound(col(n), 6), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    df.join(broadcast(cuts), groupCols)
+      .withColumn(bucketCol, (lit(1) + b).cast("long"))
+      .drop(cutNames: _*)
+  }
 }

@@ -37,9 +37,19 @@ object TopK {
   def perGroup(
       df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    perGroupImpl(df, groupCols, sortCols, lit(k.toLong))
+  }
+
+  /** The two-pass rank with a PER-ROW k expression (constant within each
+    * group — e.g. a per-stratum quota joined on beforehand). The local prune
+    * stays exact for any group-constant k: a row below local rank k_g in one
+    * partition has k_g better rows there alone. */
+  private def perGroupImpl(
+      df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+      kExpr: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sortCols.nonEmpty, "sortCols must be non-empty")
-    require(k >= 1, s"k must be >= 1, got $k")
     val gCols = groupCols.map(col)
     val local = Window
       .partitionBy(gCols :+ col("_tk_pid"): _*)
@@ -47,9 +57,9 @@ object TopK {
     val global = Window.partitionBy(gCols: _*).orderBy(sortCols: _*)
     df.withColumn("_tk_pid", spark_partition_id())
       .withColumn("_tk_lrk", row_number().over(local))
-      .filter(col("_tk_lrk") <= k)
+      .filter(col("_tk_lrk") <= kExpr)
       .withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= kExpr)
       .drop("_tk_pid", "_tk_lrk")
   }
 
@@ -64,4 +74,31 @@ object TopK {
     perGroup(
       df, strataCols,
       Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc), k)
+
+  /** Deterministic WEIGHTED mixture sampling — the domain-reweighting step
+    * of corpus curation (take 30% of web, 100% of books, 5% of logs…).
+    * Per-stratum quota `k_s = ceil(fraction_s × n_s)` where `fraction` is
+    * any expression over the strata columns; rows are selected in md5-hash
+    * order of `idCol`, so the selection is stable across runs, engines, and
+    * physical layout.
+    *
+    * Scale shape: stratum counts are one hash aggregate (tiny — ∝ strata
+    * cardinality) broadcast back onto the rows; selection is the same
+    * two-pass skew-safe rank as [[perGroup]] with the per-stratum quota as
+    * the cut, so one giant stratum cannot serialize a task's sort. */
+  def weightedStratifiedSample(
+      df: DataFrame, strataCols: Seq[String], idCol: String,
+      fraction: Column): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    val gCols = strataCols.map(col)
+    val quotas = df.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("_tk_n"))
+      .withColumn("_tk_k", ceil(col("_tk_n") * fraction).cast("long"))
+      .drop("_tk_n")
+    perGroupImpl(
+      df.join(broadcast(quotas), strataCols),
+      strataCols,
+      Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
+      col("_tk_k")).drop("_tk_k")
+  }
 }

@@ -231,4 +231,69 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._1 == 2L) == 2) // {1,3} and {7,8}
     assert(out.map(_._1).sum == corpus.size)
   }
+
+  test("chunkDedup == sequential first-occurrence model; rebuild preserves order") {
+    import spark.implicits._
+    val w = 3
+    val docs = Seq(
+      1L -> "a b c d e f g",            // chunks: "a b c" "d e f" "g"
+      2L -> "a b c d e f g",            // full dup of 1 -> empty
+      3L -> "x y z a b c x y z",        // "x y z" kept, "a b c" dup, "x y z" dup of own pos 0
+      4L -> "d e f brand new words here",
+      5L -> "")                         // empty text -> one "" chunk
+    // independent sequential model: scan docs in (id) order, chunks in pos
+    // order, keep first global occurrence of each chunk string
+    val seen = scala.collection.mutable.Set[String]()
+    val want = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ") match {
+        case t => t.split(" ", -1).toSeq // "" -> Seq("")
+      }
+      val chunks = toks.grouped(w).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(c => seen.add(c))
+      (id, kept.mkString(" "), kept.size.toLong)
+    }
+    val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // layout independence: keeper choice is min(id, pos), not partition order
+    val got13 = Dedup.chunkDedup(
+        docs.toDF("doc_id", "text").repartition(13), "doc_id", "text", w)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got13 === want)
+  }
+
+  test("semanticDedup: drops exactly the smaller-id-neighbor vectors, keeps clusters") {
+    import spark.implicits._
+    // two well-separated directions; seeds deliberately MISlabel one vector
+    // (id 13 seeded into cell 1 but pointing along cell 0's direction) so the
+    // nearest-centroid assignment, not the seed, decides its cluster
+    def v(x: Double, y: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val rows = Seq(
+      (10L, v(1.0, 0.0), 0),   // cell 0 anchor
+      (11L, v(0.99, 0.01), 0), // near-dup of 10 -> dropped
+      (12L, v(0.98, 0.02), 0), // near-dup of 10/11 -> dropped
+      (20L, v(0.0, 1.0), 1),   // cell 1 anchor
+      (21L, v(0.01, 0.99), 1), // near-dup of 20 -> dropped
+      (13L, v(1.0, 0.01), 1),  // mislabeled seed; assigns to cell 0, dup of 10
+      (30L, v(0.6, 0.55), 1))  // between, similar to neither above threshold? no:
+                               // cos with (0,1)=0.676, with (1,0)=0.737 -> dup-ish
+    val out = Dedup.semanticDedup(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+        "label", threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // θ=0.995: 10~11 (cos≈0.99995), 10~12, 11~12, 20~21 are dups; 13 assigns
+    // to cell 0 and cos(13,10)=0.99995 -> dropped; 30 similar to nothing
+    assert(out.keySet === Set(10L, 20L, 30L))
+    assert(out(10L) === 0)
+    assert(out(20L) === 1)
+    // determinism under repartition
+    val again = Dedup.semanticDedup(
+        rows.toDF("vec_id", "embedding", "label").repartition(5), "vec_id",
+        "embedding", "label", threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(again === out)
+  }
 }

@@ -68,4 +68,29 @@ class QuantilesSpec extends SparkSpec {
     // and the tiny offset window over per-slice counts
     assert(!plan.contains("percentile"), s"must not fall back to percentile:\n$plan")
   }
+
+  test("withQuantileBucket: every row bucketed, deciles near-uniform, edges right") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 2000).map(i =>
+      ((i % 2).toLong, rnd.nextInt(100000).toDouble)).toDF("g", "v")
+    val out = Quantiles.withQuantileBucket(df, Seq("g"), "v", nBuckets = 10)
+    assert(out.count() === 2000, "bucketing must not drop or duplicate rows")
+    val buckets = out.groupBy("g", "bucket").count().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(buckets.keys.map(_._2).toSet === (1L to 10L).toSet)
+    // continuous-ish values: each of the 10 buckets holds ~100 of each group
+    buckets.foreach { case ((g, b), n) =>
+      assert(n >= 80 && n <= 120, s"group $g bucket $b holds $n of ~100")
+    }
+    // brute-force check on a tiny frame: value above p90 cut -> bucket 10,
+    // below p10 cut -> bucket 1
+    val tiny = (1 to 100).map(i => (1L, i.toDouble)).toDF("g", "v")
+    val t = Quantiles.withQuantileBucket(tiny, Seq("g"), "v", nBuckets = 10)
+      .select("v", "bucket").collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(t(1.0) === 1L)
+    assert(t(100.0) === 10L)
+    // p50 cut for 1..100 = 50.5 -> 50 in bucket 5, 51 in bucket 6
+    assert(t(50.0) === 5L)
+    assert(t(51.0) === 6L)
+  }
 }

@@ -61,4 +61,31 @@ class TopKSpec extends SparkSpec {
     assert(a === b, "selection must not depend on physical layout")
     assert(a.groupBy(_._1).forall(_._2.size == 7), "exactly k per stratum")
   }
+
+  test("weightedStratifiedSample: ceil(f·n) per stratum, layout-stable, md5 order") {
+    // strata sizes differ; fractions keyed off the stratum value
+    val df = (0 until 1000).map(i => (s"src${i % 5}", i.toLong))
+      .toDF("source", "doc_id")
+    val frac = when(col("source").isin("src0", "src2", "src4"), 0.3).otherwise(0.1)
+    val out = TopK.weightedStratifiedSample(df, Seq("source"), "doc_id", frac)
+      .select("source", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // 200 rows per stratum: ceil(.3*200)=60 even, ceil(.1*200)=20 odd
+    assert(bySrc === Map(
+      "src0" -> 60, "src1" -> 20, "src2" -> 60, "src3" -> 20, "src4" -> 60))
+    // same selection regardless of physical layout
+    val again = TopK.weightedStratifiedSample(
+        df.repartition(11), Seq("source"), "doc_id", frac)
+      .select("source", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet === again.toSet)
+    // the quota cuts the md5-ordered prefix: rank r holds the r-th smallest
+    // md5 within the stratum
+    val src1 = out.filter(_._1 == "src1").sortBy(_._3).map(_._2)
+    val wantSrc1 = (0 until 1000).filter(_ % 5 == 1).map(_.toLong)
+      .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+      .take(20)
+    assert(src1.toSeq === wantSrc1)
+  }
 }
