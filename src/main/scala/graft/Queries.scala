@@ -478,7 +478,44 @@ object Queries {
                      ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
                      ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
                      ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 4) AS view
-              FROM events GROUP BY user_id"""))
+              FROM events GROUP BY user_id""")),
+
+    // Q27 — inter-event gaps (lag): per-user avg/max time between
+    // consecutive events, the classic engagement-cadence metric. The window
+    // partitions by user — groups are user-sized (bounded, high-cardinality
+    // key), the balanced case for windows; the (ts, event_id) tie-break
+    // makes the lag deterministic under duplicate timestamps, and the GAP
+    // multiset is tie-order-invariant anyway (consecutive diffs of the
+    // sorted sequence).
+    Entry(
+      "q27_event_gaps",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("_gap", col("ts") - lag("ts", 1).over(w))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("cnt"),
+            count(col("_gap")).as("n_gaps"),
+            // EXACT mean, reported in SECONDS: integer gap sum (lossless in
+            // long) ÷ count ÷ 1e6, same operation order as the oracle, so
+            // the doubles agree bit-for-bit. In µs the magnitude (~3e10)
+            // puts 6 dp past double precision and ROUND itself diverges
+            // across engines (DuckDB's ×10⁶ step overflows 2^53).
+            operators.stableRound(
+              sum(col("_gap")).cast("double") / count(col("_gap")) / 1000000.0,
+              6).as("avg_gap_s"),
+            max(col("_gap")).as("max_gap_us"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id,
+                                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+                         FROM events)
+              SELECT user_id, count(*) AS cnt, count(gap) AS n_gaps,
+                     ROUND(CAST(sum(gap) AS DOUBLE) / count(gap) / 1000000.0 + 1e-9, 6) AS avg_gap_s,
+                     max(gap) AS max_gap_us
+              FROM g GROUP BY user_id"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

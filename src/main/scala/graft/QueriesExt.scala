@@ -729,6 +729,27 @@ object QueriesExt {
                              + (d.n_chars > c9)::INT) AS BIGINT) AS bucket,
                      count(*) AS cnt
               FROM documents d JOIN c USING (lang)
-              GROUP BY 1, 2"""))
+              GROUP BY 1, 2""")),
+
+    // T17 — n-gram novelty: fraction of each doc's distinct trigrams found
+    // nowhere else in the corpus (inverse boilerplate signal). Gram
+    // construction mirrors t07's decontamination unit exactly.
+    Entry(
+      "t17_novelty",
+      (s, d) => TextAnalysis.noveltyScore(docs(s, d), "doc_id", "text", n = 3),
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+                   g AS (SELECT doc_id,
+                                list_distinct([array_to_string(toks[i:i+2], ' ')
+                                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS grams
+                         FROM tk),
+                   x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+                   f AS (SELECT gram, count(*) AS df FROM x GROUP BY gram)
+              SELECT x.doc_id, count(*) AS n_grams,
+                     CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                     ROUND(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*) + 1e-9, 6) AS novelty
+              FROM x JOIN f USING (gram) GROUP BY x.doc_id"""))
   )
 }

@@ -744,9 +744,10 @@ object Dedup {
     * Returns `(idCol, clean_text, n_kept)` for EVERY input document
     * (fully-duplicated docs come back with `clean_text = ""`, `n_kept = 0`).
     *
-    * Scale shape: chunk explode → per-chunk `min(struct(id, pos))` hash
-    * aggregate (map-side combined, shuffle ∝ DISTINCT chunks) → equi-join
-    * back (shuffle ∝ chunk occurrences) → per-doc rebuild whose
+    * Scale shape: chunk explode → per-chunk `min(struct(id, pos))` aggregate
+    * (struct-min lowers to SortAggregate — still map-side partial, shuffle ∝
+    * DISTINCT chunks, and the local sorts are external/spillable) →
+    * equi-join back (shuffle ∝ chunk occurrences) → per-doc rebuild whose
     * `collect_list` is bounded by a single document's length. No windows, no
     * pairwise doc×doc anywhere; a chunk duplicated millions of times is one
     * hot GROUP KEY (combiner-absorbed), not a hot partition. */
@@ -794,10 +795,14 @@ object Dedup {
     *     collects a vector to the driver (same shape as
     *     [[Similarity.centroids]]). Components are stable-rounded to 6 dp so
     *     the downstream argmax is reproducible across engines.
-    *  2. assignment = cosine against the BROADCAST codebook (k × dims
-    *     doubles), argmax folded into a `min(struct(-cos, cell))` hash
-    *     aggregate — map-side combined, no window, no sort; ties break to
-    *     the lowest cell id deterministically.
+    *  2. assignment = a pure per-row fold over the BROADCAST codebook (one
+    *     array of k (cell, centroid) structs, cell-sorted): `aggregate`
+    *     keeps the best (6dp-rounded cosine, lowest-cell tie-break) as it
+    *     scans — NO exchange, NO sort, NO group-by anywhere in assignment;
+    *     the rows never move. (The HOF fold is interpreted — CodegenFallback
+    *     — but that is per-row map work that scales linearly; the
+    *     alternative min(struct) aggregation exchanges every vector-carrying
+    *     row.)
     *  3. within-cluster near-dup pairs via [[embeddingNearDupPairs]], which
     *     carries the broadcast/narrow skew gate; dropped = every pair's
     *     larger id. SemDeDup's k controls cluster size — at 100 TB pick k
@@ -809,6 +814,31 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, seedCol: String,
       threshold: Double,
       maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame = {
+    val assigned = assignNearestCentroid(
+      df.select(
+        col(idCol).as("_id"), col(vecCol).as("_v"), col(seedCol).as("_seed")),
+      "_id", "_v", "_seed")
+    val dropped = embeddingNearDupPairs(
+        assigned, "_id", "_v", "_cell", threshold, maxBroadcastDocs)
+      .select(col("b_id").as("_id")).distinct()
+    assigned.join(dropped, Seq("_id"), "left_anti")
+      .select(col("_id").as(idCol), col("_cell").as("cluster"))
+  }
+
+  /** Nearest-centroid (hard k-means E-step) assignment: per-`seedCol`
+    * element-wise-mean centroids, then every vector gets the cell of its
+    * max-cosine centroid (6dp-rounded; ties to the lowest cell) as `_cell`.
+    * Returns `(idCol, vecCol, _cell)` with the vector cast to double.
+    *
+    * The assignment itself moves NO rows: the codebook collapses to ONE
+    * broadcast row holding a cell-sorted array of (cell, centroid) structs,
+    * and the argmax is a per-row `aggregate` fold over that array — no
+    * exchange, no sort, no group-by on the data side (the only exchanges in
+    * the plan belong to the tiny centroid aggregate). The fold is
+    * interpreted (HOFs are CodegenFallback) — linear per-row work that
+    * beats exchanging every vector-carrying row at any scale. */
+  def assignNearestCentroid(
+      df: DataFrame, idCol: String, vecCol: String, seedCol: String): DataFrame = {
     val e = df.select(
       col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"),
@@ -822,19 +852,27 @@ object Dedup {
         transform(
           array_sort(collect_list(struct(col("_pos"), stableRound(col("_m"), 6).as("_m")))),
           x => x.getField("_m")).as("_c"))
-    val assigned = e.crossJoin(broadcast(cents))
+    // one-row broadcast codebook, cell-sorted so the fold's strict `>` keeps
+    // the LOWEST cell on rounded-cosine ties (mirrors ORDER BY cs DESC, cell)
+    val codebook = cents
+      .agg(array_sort(collect_list(struct(col("_cell"), col("_c")))).as("_cb"))
+    e.crossJoin(broadcast(codebook))
+      .withColumn("_best",
+        aggregate(
+          col("_cb"),
+          struct(
+            lit(-2.0).as("_s"),
+            element_at(col("_cb"), 1).getField("_cell").as("_cell")),
+          (acc, x) =>
+            graft.operators.let(
+              stableRound(Similarity.cosine(col("_v"), x.getField("_c")), 6)) {
+              s =>
+                when(s > acc.getField("_s"),
+                  struct(s.as("_s"), x.getField("_cell").as("_cell")))
+                  .otherwise(acc)
+            }))
       .select(
-        col("_id"), col("_v"),
-        struct(
-          (stableRound(Similarity.cosine(col("_v"), col("_c")), 6) * -1).as("_ncs"),
-          col("_cell")).as("_key"))
-      .groupBy("_id")
-      .agg(min(col("_key")).as("_best"), first(col("_v")).as("_v"))
-      .select(col("_id"), col("_v"), col("_best._cell").as("_cell"))
-    val dropped = embeddingNearDupPairs(
-        assigned, "_id", "_v", "_cell", threshold, maxBroadcastDocs)
-      .select(col("b_id").as("_id")).distinct()
-    assigned.join(dropped, Seq("_id"), "left_anti")
-      .select(col("_id").as(idCol), col("_cell").as("cluster"))
+        col("_id").as(idCol), col("_v").as(vecCol),
+        col("_best").getField("_cell").as("_cell"))
   }
 }

@@ -261,6 +261,35 @@ object TextAnalysis {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * `n`-token-grams that occur in no other document — the inverse of the
+    * boilerplate signal (near-zero novelty = the doc is assembled from
+    * corpus-common phrases; near-one = fresh text). Returns
+    * `(idCol, n_grams, n_unique, novelty)`.
+    *
+    * Shape: distinct-gram explode → gram document-frequency hash aggregate
+    * (map-side combined, shuffle ∝ DISTINCT grams) → equi-join back
+    * (shuffle ∝ doc-gram pairs) → per-doc counts. Same scale family as
+    * [[contaminatedDocs]]/[[tfIdfTopTerms]]: no doc×doc comparison, a
+    * corpus-common gram is a hot GROUP KEY (combiner-absorbed), and at
+    * 100 TB AQE picks broadcast vs shuffle for the frequency join from real
+    * sizes. */
+  def noveltyScore(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("_id"), explode(tokenNgrams(col(textCol), n)).as("_gram"))
+    val dfreq = grams.groupBy("_gram").agg(count(lit(1)).as("_df"))
+    grams.join(dfreq, Seq("_gram"))
+      .groupBy("_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(
+        col("_id").as(idCol), col("n_grams"), col("n_unique"),
+        stableRound(
+          col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Per-document top-`k` TF-IDF terms — the classic keyword/topic signal
     * for corpus exploration and per-document routing. Smoothed idf
     * `ln((N + 1) / (df + 1))`; scores round to 6dp BEFORE ranking so the

@@ -296,4 +296,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(again === out)
   }
+
+  test("assignNearestCentroid: data side never shuffles (broadcast codebook fold)") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(8)((i % 7).toFloat + 1f), i % 3))
+    val out = Dedup.assignNearestCentroid(
+      rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding", "label")
+    out.count() // materialize through AQE
+    val plan = out.queryExecution.executedPlan.toString
+    // the ONLY exchanges allowed are the centroid aggregate's (tiny,
+    // cells × dims) and its broadcast; the N-row side must reach the fold
+    // without an exchange — no sort, no window, no data-side shuffle
+    assert(!plan.contains("Window"), s"assignment must not window:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"only centroid-side exchanges allowed, got $shuffles:\n$plan")
+    assert(out.columns.toSeq === Seq("vec_id", "embedding", "_cell"))
+  }
 }
