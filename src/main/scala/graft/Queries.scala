@@ -515,7 +515,55 @@ object Queries {
               SELECT user_id, count(*) AS cnt, count(gap) AS n_gaps,
                      ROUND(CAST(sum(gap) AS DOUBLE) / count(gap) / 1000000.0 + 1e-9, 6) AS avg_gap_s,
                      max(gap) AS max_gap_us
-              FROM g GROUP BY user_id"""))
+              FROM g GROUP BY user_id""")),
+
+    // Q28 — hopping (sliding) windows: 30-minute window every 10 minutes via
+    // the built-in `window()` — each event lands in window÷slide = 3 epoch-
+    // aligned windows (start ≡ 0 mod slide), the streaming-native windowing
+    // T2 covers with tumbling only. Scale: window() EXPLODES each row into 3
+    // before one hash aggregate — partial aggregation absorbs the 3× on the
+    // map side, shuffle ∝ distinct (user, window) groups, no sort, no
+    // window-function partition. The oracle replays the alignment rule
+    // arithmetically (window = 3·slide exactly ⇒ every event is in exactly
+    // the 3 windows ending at its slide bucket).
+    Entry(
+      "q28_hop_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            col("user_id"),
+            window(timestamp_micros(col("ts")), "30 minutes", "10 minutes")
+              .as("_w"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+          .select(
+            col("user_id"), unix_micros(col("_w.start")).as("win_start"),
+            col("cnt"), col("sum_value")),
+      Some(s"""SELECT user_id,
+                      (epoch_us(ts) // $TenMinUs - i) * $TenMinUs AS win_start,
+                      COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+               FROM events, (SELECT unnest(range(0, 3)) AS i) r
+               GROUP BY 1, 2""")),
+
+    // Q29 — Bloom-pruned exact semi join (J-family at scale): lineitems of
+    // high-value orders. [[BloomJoin.semiPruned]] builds a Bloom filter over
+    // the selective dim keys, broadcasts it, and rejects non-matching fact
+    // rows INSIDE the scan stage before the exchange — the shuffle is sized
+    // by the ~8% answer, not the 100% input. The exact left-semi join then
+    // removes Bloom false positives, so rows are identical to the plain semi
+    // join the oracle runs.
+    Entry(
+      "q29_bloom_semi",
+      (s, d) =>
+        BloomJoin.semiPruned(
+          t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders")
+            .filter(col("o_totalprice") > 450000)
+            .select("o_orderkey"),
+          "o_orderkey"),
+      Some("""SELECT l.* FROM lineitem l
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey
+                              AND o.o_totalprice > 450000)"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

@@ -750,6 +750,121 @@ object QueriesExt {
                      CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
                      ROUND(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                            / count(*) + 1e-9, 6) AS novelty
-              FROM x JOIN f USING (gram) GROUP BY x.doc_id"""))
+              FROM x JOIN f USING (gram) GROUP BY x.doc_id""")),
+
+    // D10 — cluster-canonical selection: d06's near-dup components carried
+    // through to the step that actually shrinks the corpus — per cluster
+    // keep the longest member (ties to the lowest id) and map every doc to
+    // its keeper. The keeper pick is ONE max_by hash aggregate per cluster
+    // (no per-cluster sort, no window), so a million-member cluster is a
+    // combiner-absorbed hot KEY, not a hot task.
+    Entry(
+      "d10_canonical",
+      (s, d) => {
+        val documents = docs(s, d)
+        val labels = Dedup.connectedComponents(
+          documents.select("doc_id"), "doc_id",
+          Dedup.minHashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+            .select("a_id", "b_id"),
+          "a_id", "b_id")
+        Dedup.canonicalByCluster(
+          labels.join(
+            documents.select(
+              col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).as("_n_toks")),
+            Seq("doc_id")),
+          "doc_id", "cluster_id", "_n_toks")
+          .select("doc_id", "cluster_id", "keeper_id", "kept")
+      },
+      Some("""WITH RECURSIVE
+                n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                      FROM documents),
+                t AS (SELECT doc_id,
+                             list_distinct([substring(norm, i, 5)
+                                            for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                      FROM n),
+                p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM t a JOIN t b
+                        ON a.doc_id < b.doc_id
+                       AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+                      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+                e AS (SELECT a_id AS src, b_id AS dst FROM p
+                      UNION SELECT b_id, a_id FROM p),
+                reach(src, dst) AS (
+                  SELECT src, dst FROM e
+                  UNION
+                  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+                m AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src),
+                lab AS (SELECT d.doc_id AS doc_id,
+                               LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+                        FROM documents d LEFT JOIN m ON d.doc_id = m.src),
+                q AS (SELECT doc_id,
+                             len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+                      FROM documents),
+                k AS (SELECT cluster_id, doc_id AS keeper_id FROM
+                      (SELECT lab.cluster_id, lab.doc_id,
+                              row_number() OVER (PARTITION BY lab.cluster_id
+                                                 ORDER BY q.n_toks DESC, lab.doc_id) AS rn
+                       FROM lab JOIN q USING (doc_id)) WHERE rn = 1)
+              SELECT lab.doc_id AS doc_id, lab.cluster_id AS cluster_id,
+                     k.keeper_id AS keeper_id,
+                     lab.doc_id = k.keeper_id AS kept
+              FROM lab JOIN k USING (cluster_id)""")),
+
+    // D11 — incremental (cross-corpus) exact dedup, the ingestion-time form:
+    // a batch of new docs is admitted only where its normalized-text hash is
+    // absent from the accumulated corpus AND first within the batch. Corpus
+    // side moves only as its DISTINCT hash set (the hash index, not the
+    // text); all three exchanges hash on the same key.
+    Entry(
+      "d11_incremental",
+      (s, d) => {
+        val documents = docs(s, d)
+        Dedup.incrementalDedup(
+          documents.filter(col("doc_id") % 3 =!= 0),
+          documents.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text")
+      },
+      Some("""WITH n AS (SELECT doc_id,
+                                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash
+                         FROM documents),
+                   c AS (SELECT DISTINCT text_hash FROM n WHERE doc_id % 3 = 0),
+                   b AS (SELECT doc_id, text_hash FROM n WHERE doc_id % 3 <> 0),
+                   f AS (SELECT text_hash, min(doc_id) AS first_id FROM b GROUP BY text_hash)
+              SELECT b.doc_id AS doc_id, b.text_hash AS text_hash,
+                     (c.text_hash IS NOT NULL) AS dup_of_corpus,
+                     (c.text_hash IS NULL AND b.doc_id = f.first_id) AS kept
+              FROM b LEFT JOIN c USING (text_hash) JOIN f USING (text_hash)""")),
+
+    // T18 — scored decontamination: t07's binary flag graded into the
+    // contamination FRACTION (shared ÷ distinct grams), the form a
+    // threshold-policy pipeline actually consumes. LEFT gram join so
+    // unshared grams still count the denominator; same no-doc×doc shape as
+    // t07/t17.
+    Entry(
+      "t18_contam_score",
+      (s, d) => {
+        val documents = docs(s, d)
+        TextAnalysis.contaminationScore(
+          documents.filter(col("doc_id") % 50 =!= 0),
+          documents.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+                   g AS (SELECT doc_id,
+                                list_distinct([array_to_string(toks[i:i+2], ' ')
+                                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS grams
+                         FROM tk),
+                   bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+                   tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+              SELECT tr.doc_id AS doc_id, COUNT(*) AS n_grams,
+                     CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                     ROUND(CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) + 1e-9, 6) AS contam_score
+              FROM tr LEFT JOIN bench ON tr.gram = bench.gram
+              GROUP BY tr.doc_id"""))
   )
 }

@@ -875,4 +875,70 @@ object Dedup {
         col("_id").as(idCol), col("_v").as(vecCol),
         col("_best").getField("_cell").as("_cell"))
   }
+
+  /** Cluster-canonical selection — the step after near-dup clustering that
+    * actually SHRINKS the corpus: within each cluster keep ONE canonical
+    * document (highest `scoreCol`, ties to the lowest id) and map every
+    * member to its keeper. Input is a labeling `(idCol, clusterCol,
+    * scoreCol)` (e.g. [[connectedComponents]] output joined with a quality
+    * score); output is `(idCol, clusterCol, keeper_id, kept)` for every
+    * member.
+    *
+    * Scale shape: one `max_by(id, struct(score, -id))` hash aggregate per
+    * cluster (map-side partial, shuffle ∝ DISTINCT clusters) and one
+    * equi-join back on the cluster key — the join reuses the aggregate's
+    * hash partitioning, and a million-member cluster is one hot GROUP KEY
+    * (combiner-absorbed), not a hot partition. No windows: the classic
+    * `row_number() over (partition by cluster)` form sorts every cluster in
+    * a single task — exactly the skew shape this avoids. */
+  def canonicalByCluster(
+      labels: DataFrame, idCol: String, clusterCol: String,
+      scoreCol: String): DataFrame = {
+    // max of (score, -id) = highest score, then lowest id — deterministic
+    // because ids are unique within a cluster
+    val keepers = labels
+      .groupBy(col(clusterCol))
+      .agg(max_by(
+        col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("_negid"))).as("keeper_id"))
+    labels
+      .join(keepers, Seq(clusterCol))
+      .select(
+        col(idCol), col(clusterCol), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).as("kept"))
+  }
+
+  /** Incremental (cross-corpus) exact dedup — the ingestion-time form: a
+    * `batch` of new documents is admitted only where its normalized-text
+    * hash (a) does not already exist in the accumulated `corpus` and (b) is
+    * the first occurrence (lowest id) within the batch itself. Returns every
+    * batch row as `(idCol, text_hash, dup_of_corpus, kept)`.
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT hash set before
+    * moving (shuffle ∝ distinct corpus hashes — at 100 TB this is the
+    * hash-index, not the text), the membership probe is a left equi-join on
+    * the hash, and the within-batch rule is a `min(id)` hash aggregate
+    * (map-side partial) joined back on the same key — three exchanges, all
+    * on the hash key, no windows. The corpus hash set is exactly what a
+    * production pipeline would persist as a bucketed table
+    * ([[graft.sources.Sinks.writeBucketed]]) so re-ingestion pays no
+    * corpus-side exchange at all. */
+  def incrementalDedup(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val h = md5(normalizeText(col(textCol)))
+    val corpusHashes = corpus.select(h.as("text_hash")).distinct()
+      .withColumn("_in_corpus", lit(true))
+    val batchH = batch.select(col(idCol), h.as("text_hash"))
+    val firstInBatch = batchH.groupBy("text_hash")
+      .agg(min(col(idCol)).as("_first_id"))
+    batchH
+      .join(corpusHashes, Seq("text_hash"), "left")
+      .join(firstInBatch, Seq("text_hash"))
+      .select(
+        col(idCol), col("text_hash"),
+        coalesce(col("_in_corpus"), lit(false)).as("dup_of_corpus"),
+        (coalesce(col("_in_corpus"), lit(false)).unary_! &&
+          col(idCol) === col("_first_id")).as("kept"))
+  }
 }

@@ -261,6 +261,40 @@ object TextAnalysis {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** Scored decontamination — [[contaminatedDocs]]'s binary flag graded into
+    * the per-document CONTAMINATION FRACTION: of a training doc's distinct
+    * `n`-grams, how many occur anywhere in the benchmark corpus. Returns
+    * `(idCol, n_grams, n_shared, contam_score)` for every training doc that
+    * has at least one gram; thresholding is the caller's policy (GPT-3-style
+    * pipelines drop above a fraction rather than on first overlap).
+    *
+    * Same scale shape as [[contaminatedDocs]]: the benchmark collapses to
+    * its DISTINCT gram set before moving (benchmarks are MBs — AQE
+    * broadcasts the probe), the match is a LEFT gram equi-join so unshared
+    * grams still count the denominator, and the per-doc ratio is one hash
+    * aggregate — shuffle ∝ training gram occurrences, never doc×doc. */
+  def contaminationScore(
+      train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(tokenNgrams(col(textCol), n)).as("_gram"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val trainGrams = train.select(
+      col(idCol), explode(tokenNgrams(col(textCol), n)).as("_gram"))
+    trainGrams
+      .join(benchGrams, Seq("_gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_shared"))
+      .select(
+        col(idCol), col("n_grams"), col("n_shared"),
+        stableRound(
+          col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("contam_score"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * `n`-token-grams that occur in no other document — the inverse of the
     * boilerplate signal (near-zero novelty = the doc is assembled from

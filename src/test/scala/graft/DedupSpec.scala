@@ -313,4 +313,42 @@ class DedupSpec extends SparkSpec {
     assert(shuffles <= 2, s"only centroid-side exchanges allowed, got $shuffles:\n$plan")
     assert(out.columns.toSeq === Seq("vec_id", "embedding", "_cell"))
   }
+
+  test("canonicalByCluster: highest score wins, ties to lowest id, no Window") {
+    import spark.implicits._
+    val labels = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // tie at 30 -> keeper 2
+      (7L, 7L, 5L),                                 // singleton keeps itself
+      (8L, 8L, 0L), (9L, 8L, 0L)                    // all-zero tie -> keeper 8
+    ).toDF("id", "cluster", "score")
+    val out = Dedup.canonicalByCluster(labels, "id", "cluster", "score")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === Map(
+      1L -> (2L, false), 2L -> (2L, true), 3L -> (2L, false),
+      7L -> (7L, true), 8L -> (8L, true), 9L -> (8L, false)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "keeper pick must be an aggregate, not a per-cluster sort")
+  }
+
+  test("incrementalDedup: corpus membership + first-in-batch rule") {
+    import spark.implicits._
+    val corpus = Seq((100L, "seen before"), (101L, "also seen")).toDF("id", "text")
+    val batch = Seq(
+      (1L, "Seen   before"),  // normalizes onto corpus -> dropped
+      (2L, "brand new"),      // first occurrence -> kept
+      (3L, "brand new"),      // within-batch dup -> dropped
+      (4L, "BRAND NEW"),      // same normalized text -> dropped
+      (5L, "unique text")     // kept
+    ).toDF("id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "id", "text")
+    val got = out.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("dup_of_corpus"), r.getAs[Boolean]("kept"))).toMap
+    assert(got === Map(
+      1L -> (true, false), 2L -> (false, true), 3L -> (false, false),
+      4L -> (false, false), 5L -> (false, true)))
+    // every batch row comes back exactly once
+    assert(out.count() === 5)
+  }
 }
