@@ -14,6 +14,7 @@ object Bench {
     "q01_project", "q03_enrich", "q05_interval_join", "q06_oee",
     "q07_latest_by_key", "q09_semi_join", "q16_group_agg", "q17_window_agg",
     "q18_dedup_norm", "q19_cosine_topk", "q22_asof", "q24_asof_bucketed",
+    "q28_hop_window", "q29_bloom_semi",
     "d02_minhash_lsh", "d04_ngram_jaccard", "t02_quality", "t03_tokens_bpe",
     "t08_topterms")
 

@@ -564,6 +564,40 @@ object Queries {
               WHERE EXISTS (SELECT 1 FROM orders o
                             WHERE o.o_orderkey = l.l_orderkey
                               AND o.o_totalprice > 450000)"""))
+      ,
+
+    // Q30 — star-schema analytics (the TPC-H-Q5-shaped multi-join the
+    // north-star "analytics engine" owes): revenue per nation over open
+    // orders. Plan shape at 100 TB: the date predicate pushes to the orders
+    // scan, fact⋈orders and ⋈customer shuffle on their keys (AQE sizes
+    // them), nation broadcasts explicitly — three joins, ONE aggregate, no
+    // window. Revenue = Σ price·(1−discount), rounded after the aggregate.
+    Entry(
+      "q30_star_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n.n_name AS n_name,
+                     ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+                     COUNT(*) AS n_items
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+              GROUP BY n.n_name"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

@@ -865,6 +865,24 @@ object QueriesExt {
                      ROUND(CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                            / COUNT(*) + 1e-9, 6) AS contam_score
               FROM tr LEFT JOIN bench ON tr.gram = bench.gram
-              GROUP BY tr.doc_id"""))
+              GROUP BY tr.doc_id""")),
+
+    // T19 — deterministic corpus shuffle + round-robin shard assignment
+    // (training-data export): md5-order permutation, shards balanced to ±1
+    // by construction. The global rank is the DISTRIBUTED prefix sum
+    // (Packing.globalRunningSum of 1) — the `row_number() OVER (ORDER BY …)`
+    // the oracle runs would be a single-task sort at 100 TB.
+    Entry(
+      "t19_shard",
+      (s, d) =>
+        Packing.shardAssignments(
+            docs(s, d).select("doc_id"), "doc_id", nShards = 16)
+          .select("doc_id", "global_rank", "shard", "shard_pos"),
+      Some("""WITH r AS (SELECT doc_id,
+                                row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS global_rank
+                         FROM documents)
+              SELECT doc_id, global_rank, (global_rank - 1) % 16 AS shard,
+                     (global_rank - 1) // 16 AS shard_pos
+              FROM r"""))
   )
 }

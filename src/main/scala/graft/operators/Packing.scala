@@ -73,4 +73,28 @@ object Packing {
       .withColumn("seq_id",
         expr(s"(cum_tokens - `$tokenCol`) DIV $maxTokens"))
   }
+
+  /** Deterministic corpus shuffle + shard assignment — the training-data
+    * export step: order documents by `(md5(id), id)` (a reproducible
+    * pseudo-random permutation, independent of physical layout), then deal
+    * them ROUND-ROBIN into `nShards` shards. Every shard gets ⌈n/nShards⌉
+    * or ⌊n/nShards⌋ docs by construction — balanced output files with no
+    * second balancing pass — and `(shard, shard_pos)` is a total
+    * addressing scheme a writer can partition by. Adds `global_rank`
+    * (1-based), `shard`, `shard_pos` (both 0-based).
+    *
+    * The global rank is [[globalRunningSum]] of 1 — range exchange +
+    * bounded per-slice windows + a broadcast offset join — never the
+    * single-task global `row_number` window. */
+  def shardAssignments(
+      df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val order = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    globalRunningSum(
+        df.withColumn("_ps_one", lit(1L)), order, "_ps_one",
+        outCol = "global_rank")
+      .withColumn("shard", expr(s"(global_rank - 1) % $nShards"))
+      .withColumn("shard_pos", expr(s"(global_rank - 1) DIV $nShards"))
+      .drop("_ps_one")
+  }
 }

@@ -40,6 +40,23 @@ object Pipeline {
       stream: DataFrame, tsCol: String, delay: String = "10 minutes"): DataFrame =
     stream.withWatermark(tsCol, delay)
 
+  /** Streaming ingestion dedup — the stream form of
+    * [[graft.operators.Dedup.incrementalDedup]]: keep the FIRST event per
+    * `keyCols` (e.g. a normalized-text hash) and drop later duplicates, via
+    * `dropDuplicatesWithinWatermark` so the per-key state is BOUNDED by the
+    * watermark horizon instead of growing with corpus history (plain
+    * streaming `dropDuplicates` retains every key forever). The contract is
+    * correspondingly windowed: a duplicate is suppressed only while its
+    * first occurrence is inside the watermark; a repeat arriving after the
+    * horizon re-admits — at 100 TB/day the horizon is the dedup window, and
+    * cross-horizon exactness belongs to the batch pass. First occurrences
+    * emit immediately (append mode), not at watermark close. */
+  def dedupStream(
+      stream: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** S1+P2 — parse a raw JSON `value` column (the Kafka wire format of the
     * reference's operational events, `…/stp/BeamStreamProcessor.scala:52-65`)
     * into typed columns. */

@@ -88,6 +88,48 @@ object ScaleStressR7 {
       }
     }
 
+    if (which("bloom")) {
+      // Bloom-pruned semi join vs plain, in the regime Bloom exists for:
+      // the dim is too big to broadcast (SMJ/SHJ path) but selective
+      // against the fact — the probe should collapse the fact-side
+      // exchange to ~the answer size.
+      val bytesL = new ShuffleBytesListener
+      spark.sparkContext.addSparkListener(bytesL)
+      val keySpace = 500000000L
+      val fact = spark.range(20000000L).select(
+        col("id").as("v"), pmod(xxhash64(col("id")), lit(keySpace)).as("fk")).cache()
+      val dim = spark.range(5000000L).select(
+        pmod(xxhash64(col("id") * 7919L), lit(keySpace)).as("dk")).cache()
+      fact.count(); dim.count()
+      // the build is one tree-aggregate over the DIM (per-partition 6 MB
+      // sketches merging up) — a once-per-dim-snapshot cost, reused across
+      // every query/micro-batch that probes it, so it's timed separately
+      // from the per-query join
+      bytesL.reset()
+      var t0 = System.nanoTime()
+      val bc = graft.operators.BloomJoin.buildFilter(
+        dim, "dk", expectedItems = 5000000L)
+      println(f"[bloom] build  wall=${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        f"shuffleWrite=${bytesL.bytes / 1e6}%8.1f MB (5M keys, fpp=0.01)")
+      val kept = fact
+        .filter(graft.operators.BloomJoin.mightContain(bc, col("fk"))).count()
+      for (mode <- Seq("plain", "bloom")) {
+        bytesL.reset()
+        t0 = System.nanoTime()
+        val out =
+          if (mode == "plain") fact.join(dim, fact("fk") === dim("dk"), "left_semi")
+          else fact.filter(graft.operators.BloomJoin.mightContain(bc, col("fk")))
+            .join(dim, fact("fk") === dim("dk"), "left_semi")
+        noop(out)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rows = if (mode == "bloom") kept else 20000000L
+        println(f"[bloom] $mode%-6s wall=$wall%6.2f s " +
+          f"shuffleWrite=${bytesL.bytes / 1e6}%8.1f MB factRowsIntoJoin=$rows%,d " +
+          s"(fact=20M over 500M keys, dim=5M keys ~1%% hit rate)")
+      }
+      fact.unpersist(); dim.unpersist()
+    }
+
     if (which("salt")) {
       // the planner path salting exists for: AQE skew splitting off
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")

@@ -33,3 +33,16 @@ final class TaskSkewListener extends SparkListener {
         f"max=${mx / 1e3}%7.2f s median=${med / 1e3}%7.2f s max/med=$ratio%5.2f")
     }
 }
+
+/** Dev-tool listener: total shuffle bytes WRITTEN across tasks since the
+  * last reset — the direct measure of exchange volume a pre-shuffle filter
+  * (e.g. the Bloom probe) saves. */
+final class ShuffleBytesListener extends SparkListener {
+  private var total = 0L
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) this.synchronized { total += m.shuffleWriteMetrics.bytesWritten }
+  }
+  def reset(): Unit = this.synchronized { total = 0L }
+  def bytes: Long = this.synchronized(total)
+}

@@ -57,4 +57,24 @@ class PackingSpec extends SparkSpec {
     }
     assert(byCum.last._2 === 1050L, "total tokens must be conserved")
   }
+
+  test("shardAssignments: balanced round-robin permutation, layout-stable") {
+    val df = (0 until 1003).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val out = Packing.shardAssignments(df.repartition(7), "doc_id", nShards = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("global_rank"),
+        r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))
+    // ranks are a permutation of 1..n
+    assert(out.map(_._2).sorted.toSeq === (1L to 1003L))
+    // dealing: shard/pos derive from the rank; shard sizes within ±1
+    out.foreach { case (_, rank, shard, pos) =>
+      assert(shard === (rank - 1) % 16 && pos === (rank - 1) / 16)
+    }
+    val sizes = out.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // same permutation under a different physical layout
+    val again = Packing.shardAssignments(df.repartition(3), "doc_id", 16)
+      .select("doc_id", "global_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out.map(t => (t._1, t._2)).toSet)
+  }
 }

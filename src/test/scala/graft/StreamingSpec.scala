@@ -846,4 +846,45 @@ class StreamingSpec extends SparkSpec {
       assert(rows(3L)._5.isEmpty) // missing dim -> null metric (NaN→0 is for NaN only)
     } finally q.stop()
   }
+
+  test("dedupStream: cross-batch duplicates drop within the watermark, firsts emit immediately") {
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val df = stream.toDF().toDF("doc_id", "ts_us", "text_hash")
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val out = Pipeline.dedupStream(df, "ts_utc", "10 minutes", Seq("text_hash"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: h0..h4, unique within the batch (which row survives a
+      // WITHIN-batch dup is not deterministic under shuffle — cross-batch
+      // suppression is the contract pinned here) -> all 5 emit
+      stream.addData((0 until 5).map(i =>
+        (i.toLong, base + i * 1000L, s"h$i")))
+      q.processAllAvailable()
+      // batch 2: all 5 hashes again 1 min later (inside the watermark)
+      // plus one genuinely new hash -> only the new one emits
+      stream.addData((0 until 6).map(i =>
+        (100L + i, base + 60000000L + i * 1000L, s"h$i")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("doc_id", "text_hash").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(got.length === 6, s"expected 6 firsts, got ${got.toSeq}")
+      assert(got.map(_._2).sorted.toSeq ===
+        Seq("h0", "h1", "h2", "h3", "h4", "h5"))
+      // the kept h0..h4 rows are batch-1 firsts (doc_id < 10), h5 is new
+      assert(got.filter(_._2 != "h5").forall(_._1 < 10L))
+      // parity with the batch rule: same firsts as incrementalDedup's
+      // first-in-batch pick against an empty corpus
+      val all = ((0 until 5).map(i => (i.toLong, s"h$i")) ++
+        (0 until 6).map(i => (100L + i, s"h$i")))
+        .toDF("doc_id", "text")
+      val batchFirsts = graft.operators.Dedup
+        .incrementalDedup(all, all.limit(0), "doc_id", "text")
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      assert(got.map(_._1).toSet === batchFirsts)
+    } finally q.stop()
+  }
 }
