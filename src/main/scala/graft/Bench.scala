@@ -8,15 +8,22 @@ import org.apache.spark.sql.SparkSession
   * math out of the plan). */
 object Bench {
 
-  /** Headline subset: one per operator family, weighted toward the
+  /** Headline subset: every operator family represented (relational core,
+    * windows/sessions/as-of, quantiles, rollup/pivot, bloom/star joins,
+    * dedup incl. chunk/semantic/incremental, ANN batch probe, text analysis,
+    * sampling, packing/sharding, multimodal plumbing), weighted toward the
     * shuffle/join-heavy plans that dominate at scale. */
   val headline: Seq[String] = Seq(
     "q01_project", "q03_enrich", "q05_interval_join", "q06_oee",
     "q07_latest_by_key", "q09_semi_join", "q16_group_agg", "q17_window_agg",
-    "q18_dedup_norm", "q19_cosine_topk", "q22_asof", "q24_asof_bucketed",
-    "q28_hop_window", "q29_bloom_semi",
-    "d02_minhash_lsh", "d04_ngram_jaccard", "t02_quality", "t03_tokens_bpe",
-    "t08_topterms")
+    "q18_dedup_norm", "q19_cosine_topk", "q21_sessions", "q22_asof",
+    "q23_quantiles", "q24_asof_bucketed", "q25_rollup", "q26_pivot",
+    "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
+    "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
+    "d11_incremental", "m01_multimodal", "s03_ann_batch",
+    "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
+    "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",
+    "t19_shard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

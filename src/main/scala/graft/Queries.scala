@@ -117,14 +117,21 @@ object Queries {
                AND epoch_us(e1.ts) + 3600000000 > epoch_us(e2.ts)""")),
 
     // Q6 — OEE-analog metric (P7/P8/P9): per-part average as the "planned"
-    // denominator, conditional zeroing, product metric. The per-part aggregate
-    // is tiny relative to lineitem → broadcast back.
+    // denominator, conditional zeroing, product metric. The per-part
+    // aggregate (one row per part) is SHUFFLE_HASH-hinted into the join
+    // back: at bench scale AQE turns the tiny build side into a broadcast
+    // anyway, but at 100 TB the part dimension (hundreds of millions of
+    // rows) exceeds any broadcast threshold and the unhinted fallback would
+    // be a sort-merge join — i.e. a full SORT of the fact table. The hash
+    // join needs no fact-side sort and its build side is bounded per task by
+    // the partkey exchange. Plan pinned in PlanAudit + q06 spec.
     Entry(
       "q06_oee",
       (s, d) => {
         val li = t(s, d, "lineitem")
         val avgQty = li.groupBy("l_partkey")
           .agg(avg("l_quantity").as("avg_qty"))
+          .hint("shuffle_hash")
         val perf = (lit(1.0) - col("l_discount")) *
           (col("l_quantity") / expr("nullif(avg_qty, 0)"))
         val avail = when(col("l_linestatus") === "F", 1.0).otherwise(0.0)

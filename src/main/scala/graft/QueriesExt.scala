@@ -224,6 +224,42 @@ object QueriesExt {
               SELECT vec_id, ROUND(raw, 6) AS sim FROM cand
               ORDER BY raw DESC, vec_id LIMIT 5""")),
 
+    // S3 — batch ANN: one job answers a whole query SET (every 100th vector)
+    // through the materialized IVF index — build once (codebook + cell
+    // assignments), probe as a cell equi-join + per-query two-pass top-k. No
+    // per-query driver loop anywhere; the oracle replays the identical
+    // centroid → cell-rank → candidate → rank pipeline per query.
+    Entry(
+      "s03_ann_batch",
+      (s, d) => {
+        val e = embs(s, d)
+        val index = Similarity.buildIvfIndex(e, "vec_id", "embedding", col("label"))
+        Similarity.probeIvf(
+          index, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 3, nProbe = 2, excludeSelf = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   cr AS (SELECT q.q_id, cent.label,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label) AS crk
+                          FROM cent, q),
+                   probed AS (SELECT q_id, label FROM cr WHERE crk <= 2),
+                   cand AS (SELECT p.q_id, e.vec_id,
+                                   list_cosine_similarity(e.v, q.qv) AS raw
+                            FROM e JOIN probed p ON e.label = p.label
+                                   JOIN q ON q.q_id = p.q_id
+                            WHERE e.vec_id <> p.q_id),
+                   r AS (SELECT q_id, vec_id, raw,
+                                row_number() OVER (PARTITION BY q_id
+                                                   ORDER BY raw DESC, vec_id) AS rank
+                         FROM cand)
+              SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 3""")),
+
     // T1 — language-ID heuristic (stopword density).
     Entry(
       "t01_langid",

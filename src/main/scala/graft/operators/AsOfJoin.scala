@@ -38,6 +38,19 @@ object AsOfJoin {
   /** Left as-of join. Returns all `left` columns plus `payload` columns from
     * the matched right row (null when no right row is at-or-before).
     *
+    * SKEW AUTO-ROUTING: this is the entry point users reach for, so it
+    * carries [[asOfBucketed]]'s hot-key protection by default. Before
+    * planning, a bounded head sample of the left side (`autoSkewSampleRows`
+    * rows — a `limit`, which short-circuits the scan, + one driver-local
+    * histogram; NOT a full-corpus pass) estimates the hottest key's row
+    * fraction. At or above `autoSkewHotFraction` — the regime where the
+    * plain per-key window serializes one task's sort on the hot key — and
+    * when both time columns are integral, the call routes to [[asOfBucketed]]
+    * with a bucket width of (sampled time span / 16·parallelism). Output is
+    * identical either way (property-pinned in AsOfJoinSpec); only the plan
+    * changes. Set `autoSkewSampleRows = 0` to skip the sample (micro-batch
+    * callers that re-plan per batch, e.g. the streaming maintainer).
+    *
     * @param leftKeys  equi-join key columns on `left`
     * @param rightKeys matching key columns on `right` (positional)
     * @param leftTime  left event-time column (any orderable type; must be
@@ -55,17 +68,63 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      inclusive: Boolean = true): DataFrame = {
-    val (union, keyNames, tagOrder) = taggedUnion(
-      left, right, leftKeys, rightKeys, leftTime, rightTime, payload, inclusive)
-    val w = Window
-      .partitionBy(keyNames.map(col): _*)
-      .orderBy(col(T).asc, tagOrder, col(P).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inclusive: Boolean = true,
+      autoSkewSampleRows: Int = 4096,
+      autoSkewHotFraction: Double = 0.5): DataFrame = {
+    val routedWidth =
+      if (autoSkewSampleRows > 0)
+        skewBucketWidth(left, right, leftKeys, leftTime, rightTime,
+          autoSkewSampleRows, autoSkewHotFraction)
+      else None
+    routedWidth match {
+      case Some(w) =>
+        asOfBucketed(left, right, leftKeys, rightKeys, leftTime, rightTime,
+          payload, bucketWidth = w, inclusive = inclusive)
+      case None =>
+        val (union, keyNames, tagOrder) = taggedUnion(
+          left, right, leftKeys, rightKeys, leftTime, rightTime, payload, inclusive)
+        val w = Window
+          .partitionBy(keyNames.map(col): _*)
+          .orderBy(col(T).asc, tagOrder, col(P).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    project(union
-      .withColumn(P, last(col(P), ignoreNulls = true).over(w))
-      .filter(col(TAG) === 1), payload)
+        project(union
+          .withColumn(P, last(col(P), ignoreNulls = true).over(w))
+          .filter(col(TAG) === 1), payload)
+    }
+  }
+
+  /** The auto-route decision: Some(bucketWidth) when the head sample shows a
+    * key at/above `hotFraction` of rows AND both time columns are integral
+    * (bucketing's precondition); None otherwise. The sample is a driver
+    * collect of at most `sampleRows` (leftKeys, time) tuples — bounded,
+    * justified: this is the strategy statistic AQE cannot provide (it never
+    * sees per-key window-sort concentration, only input bytes). A sample
+    * under 64 rows skips routing — data that small cannot straggle. */
+  private def skewBucketWidth(
+      left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      sampleRows: Int, hotFraction: Double): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
+    if (!integral(left.schema(leftTime).dataType) ||
+        !integral(right.schema(rightTime).dataType)) return None
+    val sample = left
+      .select(leftKeys.map(col) :+ col(leftTime).cast("long").as(T): _*)
+      .limit(sampleRows)
+      .collect()
+    if (sample.length < 64) return None
+    val hot = sample
+      .groupBy(r => leftKeys.indices.map(r.get).toIndexedSeq)
+      .valuesIterator.map(_.length).max.toDouble / sample.length
+    if (hot < hotFraction) return None
+    val ts = sample.iterator
+      .filterNot(_.isNullAt(leftKeys.length))
+      .map(_.getLong(leftKeys.length)).toSeq
+    if (ts.isEmpty) return None
+    val span = ts.max - ts.min
+    val buckets = 16L * math.max(1, left.sparkSession.sparkContext.defaultParallelism)
+    Some(math.max(1L, span / buckets))
   }
 
   /** Skew-resistant as-of join: identical output to [[asOf]], but the running

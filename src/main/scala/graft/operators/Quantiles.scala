@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   *
   * Two-pass count-then-select, no per-group value buffer anywhere:
   *
-  *  1. range-partition rows by (group, value) — each partition holds a
+  *  1. range-partition rows by (group, value, salt) — each partition holds a
   *     contiguous, bounded slice of one group's value range — and count rows
   *     per (group, slice). The per-slice counts (≤ partitions + groups rows)
   *     give every slice its global rank OFFSET and every group its total `n`.
+  *     The trailing salt key spreads rows EQUAL on (group, value) over
+  *     adjacent slices: a single value duplicated billions of times would
+  *     otherwise land in one slice and serialize it (the hot-key straggler
+  *     shape). Rank among equal values is arbitrary by definition and every
+  *     tied row carries the same value, so the interpolated quantile is
+  *     unchanged — the range-ordering invariant the offset math needs
+  *     (earlier slice ⇒ values ≤) still holds with ties split across a
+  *     contiguous slice run.
   *  2. rank rows within their slice (`row_number` over the slice — a sort of
   *     one bounded partition, never of a whole group), add the slice offset,
   *     and keep only rows whose global rank is a floor/ceil target rank
@@ -25,11 +33,9 @@ import org.apache.spark.sql.functions._
   * Cost: two balanced exchanges of the (group, value) projection (range
   * partition + slice-rank window) plus two broadcast-joined tiny frames. The
   * largest single sort is one range slice (~`rows/partitions`), independent
-  * of group sizes, so one giant group cannot OOM or straggle a task. Caveat:
-  * rows EQUAL on (group, value) land in the same range slice, so a single
-  * value duplicated billions of times still concentrates — that degrades to
-  * one spilling (external) sort slice, never a wrong answer or an OOM of an
-  * in-memory buffer. Nulls are excluded, matching `percentile`.
+  * of group sizes, so one giant group cannot OOM or straggle a task — and
+  * the salt key means not even a single massively-duplicated value can
+  * concentrate one slice. Nulls are excluded, matching `percentile`.
   */
 object Quantiles {
 
@@ -50,9 +56,15 @@ object Quantiles {
       .select(gCols :+ col(valueCol).cast("double").as("_v"): _*)
     val numSlices = df.sparkSession.sessionState.conf.numShufflePartitions
 
-    // pass 1: range slices + per-(group, slice) counts
+    // pass 1: range slices + per-(group, slice) counts. The salt is
+    // materialized in a Project first (monotonically_increasing_id is
+    // per-partition-stable within an execution; ties' relative order is
+    // arbitrary anyway) and trails the range key so equal (group, value)
+    // rows spread over adjacent slices instead of serializing one.
     val ranged = proj
-      .repartitionByRange(numSlices, gCols :+ col("_v"): _*)
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(numSlices.toLong)))
+      .repartitionByRange(numSlices, gCols ++ Seq(col("_v"), col("_salt")): _*)
+      .drop("_salt")
       .withColumn("_pid", spark_partition_id())
     val localCounts = ranged
       .groupBy(gCols :+ col("_pid"): _*)

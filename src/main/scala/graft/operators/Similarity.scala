@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -101,18 +101,20 @@ object Similarity {
 
   /** ANN via LSH: search only vectors sharing the query's bucket. Recall is
     * approximate by construction; k results are not guaranteed if the bucket
-    * is small (the scale/recall trade ANN makes). */
+    * is small (the scale/recall trade ANN makes).
+    *
+    * Convenience one-shot: builds a throwaway [[LshIndex]] for this single
+    * query. For repeated or batched retrieval, build once with
+    * [[buildLshIndex]] (+ [[LshIndex.persisted]] / [[saveLshIndex]]) and
+    * probe with [[probeLsh]] — per-query cost is then probe-proportional,
+    * not a full corpus bucket-assignment pass. */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
-    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), nPlanes, dims))
-    val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("_q"), col("_bucket"))
-    val cands = bucketed.filter(col(idCol) =!= queryId)
-      .join(broadcast(q), Seq("_bucket"))
-    topK(
-      cands.select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim")),
-      idCol, k)
+    val index = buildLshIndex(df, idCol, vecCol, nPlanes, dims)
+    probeLsh(index, df.filter(col(idCol) === queryId), idCol, vecCol, k,
+        excludeSelf = true)
+      .select(col(idCol), col("sim"))
   }
 
   /** Element-wise mean vector per cell — the IVF coarse codebook. Exploded
@@ -129,22 +131,199 @@ object Similarity {
           x => x.getField("_avg")).as("_centroid"))
 
   /** IVF-style ANN: rank cells by query→centroid cosine, scan only the top
-    * `nProbe` cells, then exact top-k within them. */
+    * `nProbe` cells, then exact top-k within them.
+    *
+    * Convenience one-shot: builds a throwaway [[IvfIndex]] for this single
+    * query. For repeated or batched retrieval, build once with
+    * [[buildIvfIndex]] (+ [[IvfIndex.persisted]] / [[saveIvfIndex]]) and
+    * probe with [[probeIvf]] — per-query cost is then probe-proportional,
+    * not a full corpus centroid recomputation. */
   def ivfTopK(
       df: DataFrame, idCol: String, vecCol: String, cellCol: String,
       queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = centroids(df, cellCol, vecCol)
-    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("_cell"), cosine(col("_centroid"), col("_q")).as("_csim"))
-      .orderBy(col("_csim").desc, col("_cell"))
-      .limit(nProbe)
-      .select("_cell")
-    val cands = df.filter(col(idCol) =!= queryId)
-      .join(broadcast(probed), col(cellCol) === col("_cell"))
-      .crossJoin(broadcast(q))
-    topK(
-      cands.select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim")),
-      idCol, k)
+    val index = buildIvfIndex(df, idCol, vecCol, col(cellCol))
+    probeIvf(index, df.filter(col(idCol) === queryId), idCol, vecCol, k,
+        nProbe, excludeSelf = true)
+      .select(col(idCol), col("sim"))
   }
+
+  // ---- Materialized ANN indexes: build once, probe many -------------------
+  //
+  // Real retrieval is build-once / probe-many: the expensive corpus passes
+  // (codebook construction, per-vector cell/bucket assignment) happen ONCE at
+  // index-build time; each probe touches only the codebook (tiny, broadcast)
+  // plus the candidate cells/buckets it selects. At 100 TB the alternative —
+  // recomputing assignments inside every query, as the one-shot ivfTopK/
+  // lshTopK wrappers do — costs a full corpus scan per query, i.e. MORE than
+  // brute force.
+
+  /** A built IVF index.
+    *
+    * @param codebook one row per cell: `(_cell, _centroid: array<double>)` —
+    *                 tiny (∝ nCells), broadcast into every probe
+    * @param assigned the corpus with its cell assignment:
+    *                 `(idCol, vecCol, _cell)` — the probe-side scan is pruned
+    *                 to the probed `_cell` values
+    */
+  final case class IvfIndex(
+      codebook: DataFrame, assigned: DataFrame, idCol: String, vecCol: String) {
+    /** Pin both frames in executor storage and materialize them now, so the
+      * first probe doesn't pay the build. Returns `this`. */
+    def persisted(): IvfIndex = {
+      codebook.persist(); assigned.persist()
+      codebook.count(); assigned.count()
+      this
+    }
+    def unpersisted(): IvfIndex = {
+      codebook.unpersist(); assigned.unpersist(); this
+    }
+  }
+
+  /** A built sign-LSH index: the corpus with its bucket id attached
+    * (`idCol, vecCol, _bucket`). Plane geometry rides along so probes hash
+    * queries with the identical matrix. */
+  final case class LshIndex(
+      buckets: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dims: Int) {
+    def persisted(): LshIndex = { buckets.persist(); buckets.count(); this }
+    def unpersisted(): LshIndex = { buckets.unpersist(); this }
+  }
+
+  /** Build an IVF index from an existing coarse-cell expression (a cluster
+    * label, a [[graft.operators.Dedup.assignNearestCentroid]] `_cell`, a
+    * partition key…). One corpus pass for the codebook (exploded
+    * (cell, position) aggregate — shuffles cells × dims rows, never vectors
+    * to the driver); the assignment itself is a projection. */
+  def buildIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String, cellCol: Column): IvfIndex = {
+    val assigned = df.select(col(idCol), col(vecCol), cellCol.as("_cell"))
+    IvfIndex(centroids(assigned, "_cell", vecCol), assigned, idCol, vecCol)
+  }
+
+  /** Build an IVF index with LEARNED cells when no natural coarse label
+    * exists: deterministic hash-seeded cells (`xxhash64(id) mod nCells`)
+    * refined by `iters` rounds of Lloyd reassignment
+    * ([[graft.operators.Dedup.assignNearestCentroid]] — broadcast codebook,
+    * zero data-side exchange per round). Deterministic: no RNG, ties to the
+    * lowest cell. */
+  def buildIvfIndexAuto(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      iters: Int = 2): IvfIndex = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var assigned = df.select(
+      col(idCol), col(vecCol),
+      pmod(xxhash64(col(idCol)), lit(nCells.toLong)).as("_cell"))
+    (1 to iters).foreach { _ =>
+      assigned = Dedup.assignNearestCentroid(assigned, idCol, vecCol, "_cell")
+    }
+    IvfIndex(centroids(assigned, "_cell", vecCol), assigned, idCol, vecCol)
+  }
+
+  /** Build a sign-LSH index: one corpus pass assigning every vector its
+    * `nPlanes`-bit bucket. */
+  def buildLshIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, dims: Int = 64): LshIndex =
+    LshIndex(
+      df.select(
+        col(idCol), col(vecCol),
+        lshBucket(col(vecCol), nPlanes, dims).as("_bucket")),
+      idCol, vecCol, nPlanes, dims)
+
+  /** Batch IVF probe: top-`k` corpus neighbors for EVERY query row, in one
+    * job — no per-query driver loop.
+    *
+    * Plan shape: queries × broadcast codebook (∝ queries·nCells narrow rows)
+    * → per-query top-`nProbe` cells via the skew-safe two-pass rank
+    * ([[TopK.perGroup]]) → equi-join with the assigned corpus on `_cell`
+    * (probe side broadcast by default — query batches are normally ≪ corpus;
+    * set `broadcastProbes = false` for query sets too large to broadcast and
+    * the join shuffles both sides by `_cell` instead) → cosine kernel →
+    * per-query top-k, again two-pass rank so a hot cell cannot straggle.
+    *
+    * Output: `(q_id, rank, <idCol>, sim)`, sim rounded to 6 dp, rank 1-based
+    * per query, ties broken by corpus id.
+    *
+    * @param excludeSelf drop corpus rows whose id equals the query id
+    *                    (self-retrieval when queries come from the corpus) */
+  def probeIvf(
+      index: IvfIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val scored = queries
+      .select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))
+      .crossJoin(broadcast(index.codebook))
+      .select(
+        col("_q_id"), col("_q_v"), col("_cell"),
+        cosine(col("_centroid"), col("_q_v")).as("_csim"))
+    val probes0 = TopK.perGroup(
+        scored, Seq("_q_id"), Seq(col("_csim").desc, col("_cell").asc), nProbe)
+      .select("_q_id", "_q_v", "_cell")
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    finishProbe(
+      index.assigned.join(probes, Seq("_cell")),
+      index.idCol, index.vecCol, k, excludeSelf)
+  }
+
+  /** Batch LSH probe: top-`k` same-bucket neighbors for every query row.
+    * Queries are hashed with the index's plane matrix (map-side, no corpus
+    * pass) and joined on `_bucket`; same probe-side broadcast default and
+    * skew-safe top-k as [[probeIvf]]. A query whose bucket is empty yields
+    * no rows (the recall trade LSH makes). */
+  def probeLsh(
+      index: LshIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes0 = queries.select(
+      col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"),
+      lshBucket(col(qVecCol), index.nPlanes, index.dims).as("_bucket"))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    finishProbe(
+      index.buckets.join(probes, Seq("_bucket")),
+      index.idCol, index.vecCol, k, excludeSelf)
+  }
+
+  /** Shared probe tail: optional self-filter, cosine kernel, two-pass
+    * per-query top-k. */
+  private def finishProbe(
+      cands: DataFrame, idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val kept = if (excludeSelf) cands.filter(col(idCol) =!= col("_q_id")) else cands
+    val sims = kept.select(
+      col("_q_id"), col(idCol), cosine(col(vecCol), col("_q_v")).as("_sim"))
+    TopK.perGroup(sims, Seq("_q_id"), Seq(col("_sim").desc, col(idCol).asc), k)
+      .select(
+        col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),
+        col(idCol), round(col("_sim"), 6).as("sim"))
+  }
+
+  /** Persist an IVF index as tables: the corpus assignment BUCKETED on
+    * `_cell` ([[graft.sources.Sinks.writeBucketed]]) so every future probe's
+    * candidate join is exchange-free on the corpus side, the codebook as a
+    * plain table. `numBuckets` ≈ corpus bytes / 128 MB. */
+  def saveIvfIndex(index: IvfIndex, name: String, numBuckets: Int): Unit = {
+    graft.sources.Sinks.writeBucketed(
+      index.assigned, s"${name}_assigned", Seq("_cell"), numBuckets)
+    index.codebook.write.mode("overwrite").saveAsTable(s"${name}_codebook")
+  }
+
+  def loadIvfIndex(
+      spark: SparkSession, name: String, idCol: String, vecCol: String): IvfIndex =
+    IvfIndex(
+      spark.table(s"${name}_codebook"), spark.table(s"${name}_assigned"),
+      idCol, vecCol)
+
+  /** [[saveIvfIndex]] for LSH: the bucket assignment bucketed on `_bucket`. */
+  def saveLshIndex(index: LshIndex, name: String, numBuckets: Int): Unit =
+    graft.sources.Sinks.writeBucketed(
+      index.buckets, s"${name}_buckets", Seq("_bucket"), numBuckets)
+
+  def loadLshIndex(
+      spark: SparkSession, name: String, idCol: String, vecCol: String,
+      nPlanes: Int = 8, dims: Int = 64): LshIndex =
+    LshIndex(spark.table(s"${name}_buckets"), idCol, vecCol, nPlanes, dims)
 }

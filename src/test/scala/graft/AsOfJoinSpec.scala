@@ -135,8 +135,11 @@ class AsOfJoinSpec extends SparkSpec {
     try {
       def partCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
         df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+      // autoSkewSampleRows = 0: this test MEASURES the plain form's hot-key
+      // serialization, so the auto-router must not rescue it
       val plain = partCounts(AsOfJoin.asOf(
-        left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v")))
+        left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"),
+        autoSkewSampleRows = 0))
       val bucketed = partCounts(AsOfJoin.asOfBucketed(
         left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"),
         bucketWidth = 1000L))
@@ -147,6 +150,35 @@ class AsOfJoinSpec extends SparkSpec {
       info(s"plain per-task rows: $plain")
       info(s"bucketed per-task rows: $bucketed")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("asOf auto-routes a 90%-hot-key input to the bucketed plan, output unchanged") {
+    val n = 5000
+    // 90% of left rows on key 1; the rest spread over keys 2..8
+    val left = (0 until n).map(i =>
+      (i.toLong, if (i % 10 == 0) (i % 7 + 2).toLong else 1L,
+        (i.toLong * 13) % 40000))
+    val right = (0 until 1000).map(i =>
+      ((i % 9).toLong, (i.toLong * 40) % 40000, i.toLong, (i % 5).toDouble))
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("rk", "rt", "pk", "v")
+    val routed = AsOfJoin.asOf(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"))
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_asof_b"),
+      s"hot-key input must plan the bucketed form:\n${plan.take(4000)}")
+    // identical output to the un-routed plain form (multiset compare)
+    val plain = AsOfJoin.asOf(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      Seq("pk", "v"), autoSkewSampleRows = 0)
+    assert(!plain.queryExecution.executedPlan.toString.contains("_graft_asof_b"))
+    assert(routed.collect().map(_.toString).sorted.toSeq
+      === plain.collect().map(_.toString).sorted.toSeq)
+    // a uniform key histogram stays on the single-exchange plain plan
+    val uni = (0 until 1000).map(i => (i.toLong, (i % 50).toLong, i.toLong))
+      .toDF("id", "k", "t")
+    val planU = AsOfJoin.asOf(uni, r, Seq("k"), Seq("rk"), "t", "rt",
+      Seq("pk", "v")).queryExecution.executedPlan.toString
+    assert(!planU.contains("_graft_asof_b"),
+      s"uniform input must keep the plain plan:\n${planU.take(4000)}")
   }
 
   test("plan shuffles once by key: single Exchange, no joins") {

@@ -69,6 +69,56 @@ class QuantilesSpec extends SparkSpec {
     assert(!plan.contains("percentile"), s"must not fall back to percentile:\n$plan")
   }
 
+  test("a value at 90% frequency spreads across range slices (salted), result exact") {
+    // one value owns 90% of the group — without the salt key every copy
+    // lands in ONE range slice and serializes its sort
+    val rows = (0 until 10000).map(i =>
+      (1L, if (i % 10 == 0) (i % 997).toDouble else 777.0))
+    val df = rows.toDF("g", "v").repartition(8)
+    assertClose(
+      toMap(Quantiles.exactGrouped(df, Seq("g"), "v", ps)),
+      toMap(viaPercentile(df)))
+    // slice balance, measured: per-task shuffle recordsRead in every stage
+    // that consumes the pass-1 range exchange (the per-slice count aggregate
+    // and the slice-rank window both read all 10k rows). Unsalted, one task
+    // reads >= 9000 of them.
+    val perTask = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) perTask.synchronized {
+          perTask += ((e.stageId, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+    }
+    // AQE off: at 10k-row test scale its byte-based coalescing legitimately
+    // merges every tiny reducer partition into one task, which would mask
+    // exactly the distribution this test measures
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Quantiles.exactGrouped(df, Seq("g"), "v", Seq("p50" -> 0.5)).collect()
+      Thread.sleep(1000) // listener bus is asynchronous
+      val byStage = perTask.synchronized(perTask.toSeq).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      val rangeReaders = byStage.filter(_._2.sum >= 10000)
+      assert(rangeReaders.nonEmpty, s"no stage read the range exchange: $byStage")
+      // the stage reading the RANGE exchange must be balanced (unsalted, its
+      // hot slice holds >= 9000 rows and no full-volume stage is balanced);
+      // the downstream (group, slice-id) hash exchange has only 4 distinct
+      // keys at this toy scale, so ITS per-task lumping is hash-collision
+      // noise, not slice skew — hence the existential form
+      assert(rangeReaders.values.exists(rs => rs.max <= 6000),
+        s"every full-volume stage has a >60% task — the 90%-duplicate " +
+          s"value serialized its range slice: $rangeReaders")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("withQuantileBucket: every row bucketed, deciles near-uniform, edges right") {
     val rnd = new scala.util.Random(7)
     val df = (0 until 2000).map(i =>

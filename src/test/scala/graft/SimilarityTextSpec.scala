@@ -45,6 +45,114 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got.forall(_ % 2 == 0)) // all from the query's cluster
   }
 
+  test("probeIvf batch == per-query ivfTopK through one shared index") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val vecs = (0L until 80L).map { i =>
+      val cell = (i % 4).toInt
+      (i, Seq.tabulate(8)(d => (if (d == cell * 2) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.05), cell.toLong)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "cell")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", col("cell"))
+      .persisted()
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val batch = Similarity.probeIvf(
+        index, queries, "vec_id", "embedding", k = 3, nProbe = 2,
+        excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = (0L until 80L by 10).flatMap { q =>
+      Similarity.ivfTopK(df, "vec_id", "embedding", "cell", q, 3, nProbe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .zipWithIndex
+        .map { case ((id, sim), i) => (q, (i + 1).toLong, id, sim) }
+    }.toSet
+    assert(batch === single)
+    index.unpersisted()
+  }
+
+  test("probeLsh batch == per-query lshTopK through one shared index") {
+    import spark.implicits._
+    val rng = new Random(33)
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(16)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.buildLshIndex(df, "vec_id", "embedding",
+      nPlanes = 4, dims = 16).persisted()
+    val queries = df.filter(col("vec_id") < 5)
+    val batch = Similarity.probeLsh(
+        index, queries, "vec_id", "embedding", k = 3, excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = (0L until 5L).flatMap { q =>
+      Similarity.lshTopK(df, "vec_id", "embedding", q, 3, nPlanes = 4, dims = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .zipWithIndex
+        .map { case ((id, sim), i) => (q, (i + 1).toLong, id, sim) }
+    }.toSet
+    assert(batch === single)
+    index.unpersisted()
+  }
+
+  test("buildIvfIndexAuto: learned cells, nProbe=nCells probe is exact") {
+    import spark.implicits._
+    val rng = new Random(35)
+    val vecs = (0L until 60L).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i, Seq.fill(8)(sign + rng.nextGaussian() * 0.05))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndexAuto(df, "vec_id", "embedding",
+      nCells = 2, iters = 2)
+    // every vector assigned to one of the learned cells
+    assert(index.assigned.count() === 60)
+    assert(index.codebook.count() <= 2)
+    // probing ALL cells makes IVF exact -> must equal brute force
+    val got = Similarity.probeIvf(
+        index, df.filter(col("vec_id") === 4L), "vec_id", "embedding",
+        k = 5, nProbe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 4L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === brute)
+  }
+
+  test("saveIvfIndex/loadIvfIndex: probe through the bucketed tables is identical") {
+    import spark.implicits._
+    val rng = new Random(37)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(rng.nextDouble() - 0.5), (i % 3).toLong)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "cell")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", col("cell"))
+    // a previous JVM's run may have left the managed location behind with no
+    // catalog entry — drop both so Overwrite can't hit LOCATION_ALREADY_EXISTS
+    Seq("simspec_ivf_assigned", "simspec_ivf_codebook").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Similarity.saveIvfIndex(index, "simspec_ivf", numBuckets = 4)
+    val loaded = Similarity.loadIvfIndex(spark, "simspec_ivf", "vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    def run(ix: Similarity.IvfIndex) = Similarity.probeIvf(
+        ix, queries, "vec_id", "embedding", k = 4, nProbe = 2, excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(run(loaded) === run(index))
+  }
+
   test("l2Normalize: unit norm, cosine == dot after normalization, zero-safe") {
     import spark.implicits._
     val rng = new Random(29)

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Reproducible leak scan (dev tooling): greps the shipped sources for
+indicators that anything non-public leaked into the build — proprietary
+package roots, internal-looking URLs/buckets, credential-shaped strings,
+environment variables outside the declared SPARK_GRAFT_* surface, and
+non-public dependency coordinates.
+
+Usage: python3 tools/leakcheck.py [repo_root]
+Prints one JSON object: {"round": null, "generated_by": ..., "files_scanned":
+N, "hits": {category: [file:line, ...]}} — all-empty hit lists mean clean.
+"""
+import json
+import os
+import re
+import sys
+
+CATEGORIES = {
+    # non-public package/import roots (the build only uses org.apache.spark,
+    # scala, java, graft, org.scalatest/scalacheck)
+    "nonpublic_imports": re.compile(
+        r"^\s*import\s+(?!org\.apache\.|scala\b|scala\.|java\.|javax\.|"
+        r"graft\.|org\.scalatest|org\.scalacheck|org\.slf4j|"
+        r"[a-z]\w*\.implicits\._)"),  # session `import spark.implicits._`
+    # URLs other than public docs/spec references
+    "urls": re.compile(
+        r"https?://(?!www\.apache\.org|spark\.apache\.org|github\.com|"
+        r"arxiv\.org|doi\.org|example\.com|localhost|127\.0\.0\.1)\S+"),
+    # cloud bucket / private-network host shapes
+    "buckets_hosts": re.compile(
+        r"s3://|gs://|abfss?://|vpc-|\b10\.\d+\.\d+\.\d+\b"),
+    # credential-shaped strings
+    "secrets": re.compile(
+        r"(?i)(api[_-]?key|secret|password|token)\s*[:=]\s*[\"'][^\"']{8,}"),
+    # env vars beyond the declared surface
+    "env_vars": re.compile(
+        r"sys\.env[^\n]*?\"(?!SPARK_GRAFT_)[A-Z][A-Z0-9_]*\""),
+    # dependency coordinates beyond the sbt file's declared set
+    "dependencies": re.compile(
+        r"libraryDependencies\s*\+?\+?=.*(?!scalatest|scalacheck)"),
+    # JDBC endpoints that aren't the in-memory/test Derby/H2 forms
+    "jdbc": re.compile(
+        r"jdbc:(?!derby:memory|h2:mem|derby:;)"),
+}
+
+SCAN_DIRS = ["src", "tools"]
+SCAN_EXT = {".scala", ".py", ".sbt", ".md"}
+
+
+def main(root: str) -> int:
+    hits = {k: [] for k in CATEGORIES}
+    n_files = 0
+    for d in SCAN_DIRS:
+        for dirpath, _, files in os.walk(os.path.join(root, d)):
+            for f in sorted(files):
+                if os.path.splitext(f)[1] not in SCAN_EXT:
+                    continue
+                if f == "leakcheck.py":  # the patterns match themselves
+                    continue
+                p = os.path.join(dirpath, f)
+                n_files += 1
+                scala = os.path.splitext(f)[1] in (".scala", ".sbt")
+                for i, line in enumerate(open(p, errors="replace"), 1):
+                    for cat, rx in CATEGORIES.items():
+                        # the import-root allowlist is a JVM-source rule;
+                        # python tooling imports (duckdb, pandas) are the
+                        # driver-declared dev dependencies
+                        if cat == "nonpublic_imports" and not scala:
+                            continue
+                        if rx.search(line):
+                            rel = os.path.relpath(p, root)
+                            hits[cat].append(f"{rel}:{i}")
+    out = {
+        "round": None,
+        "generated_by": "tools/leakcheck.py",
+        "files_scanned": n_files,
+        "hits": hits,
+    }
+    print(json.dumps(out, indent=2))
+    return 1 if any(hits.values()) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "."))
