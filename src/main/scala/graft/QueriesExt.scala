@@ -260,6 +260,53 @@ object QueriesExt {
                          FROM cand)
               SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 3""")),
 
+    // S4 — incremental index maintenance: the index is built on two thirds
+    // of the corpus (label cells), the remaining third arrives later and is
+    // assigned by the FROZEN codebook (broadcast argmax fold — no corpus
+    // pass), then the batch probe runs over the extended index. The oracle
+    // replays centroids-from-base → rounded-cosine argmax for the new
+    // vectors → union → cell-rank → candidate → rank.
+    Entry(
+      "s04_ann_extend",
+      (s, d) => {
+        val e = embs(s, d)
+        val base = Similarity.buildIvfIndex(
+          e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", col("label"))
+        val extended = Similarity.extendIvfIndex(base, e.filter(col("vec_id") % 3 === 0))
+        Similarity.probeIvf(
+          extended, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 3, nProbe = 2, excludeSelf = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   base AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM base),
+                   cent AS (SELECT label AS cell, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   nas AS (SELECT vec_id, v, cell FROM
+                             (SELECT n.vec_id, n.v, c.cell,
+                                     row_number() OVER (PARTITION BY n.vec_id
+                                       ORDER BY ROUND(list_cosine_similarity(n.v, c.cv) + 1e-9, 6) DESC, c.cell) AS rn
+                              FROM e n CROSS JOIN cent c WHERE n.vec_id % 3 = 0) WHERE rn = 1),
+                   corpus AS (SELECT vec_id, v, label AS cell FROM base
+                              UNION ALL SELECT vec_id, v, cell FROM nas),
+                   q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+                   cr AS (SELECT q.q_id, cent.cell,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                   ORDER BY list_cosine_similarity(cv, qv) DESC, cent.cell) AS crk
+                          FROM cent, q),
+                   probed AS (SELECT q_id, cell FROM cr WHERE crk <= 2),
+                   cand AS (SELECT p.q_id, corpus.vec_id,
+                                   list_cosine_similarity(corpus.v, q.qv) AS raw
+                            FROM corpus JOIN probed p ON corpus.cell = p.cell
+                                   JOIN q ON q.q_id = p.q_id
+                            WHERE corpus.vec_id <> p.q_id),
+                   r AS (SELECT q_id, vec_id, raw,
+                                row_number() OVER (PARTITION BY q_id
+                                                   ORDER BY raw DESC, vec_id) AS rank
+                         FROM cand)
+              SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 3""")),
+
     // T1 — language-ID heuristic (stopword density).
     Entry(
       "t01_langid",

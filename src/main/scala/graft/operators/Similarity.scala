@@ -231,6 +231,61 @@ object Similarity {
         lshBucket(col(vecCol), nPlanes, dims).as("_bucket")),
       idCol, vecCol, nPlanes, dims)
 
+  /** Nearest-cell assignment of `df`'s vectors against a FROZEN codebook:
+    * the codebook collapses to ONE broadcast row of cell-sorted
+    * (cell, centroid) structs and the argmax is a per-row fold — no exchange
+    * of the data rows, no corpus pass (the zero-shuffle shape of
+    * [[graft.operators.Dedup.assignNearestCentroid]], but against a GIVEN
+    * codebook instead of one refit from the data). Cosine is 6dp
+    * stable-rounded before the compare, ties to the lowest cell — mirror in
+    * SQL as `ROUND(cos + 1e-9, 6)` ranked `DESC, cell`. */
+  def assignToCodebook(
+      codebook: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cb = codebook.agg(
+      array_sort(collect_list(struct(col("_cell"), col("_centroid")))).as("_cb"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cb))
+      .withColumn("_best",
+        aggregate(
+          col("_cb"),
+          struct(
+            lit(-2.0).as("_s"),
+            element_at(col("_cb"), 1).getField("_cell").as("_cell")),
+          (acc, x) =>
+            graft.operators.let(
+              stableRound(cosine(col(vecCol), x.getField("_centroid")), 6)) { s =>
+              when(s > acc.getField("_s"),
+                struct(s.as("_s"), x.getField("_cell").as("_cell")))
+                .otherwise(acc)
+            }))
+      .select(col(idCol), col(vecCol), col("_best").getField("_cell").as("_cell"))
+  }
+
+  /** Ingestion-time index maintenance: append new vectors to an existing IVF
+    * index WITHOUT a corpus pass — each new vector is assigned its cell by
+    * the frozen codebook ([[assignToCodebook]], broadcast fold, rows never
+    * move). The codebook is not refit — standard IVF practice: recall
+    * degrades only as the data distribution drifts; rebuild with
+    * [[buildIvfIndex]] / [[buildIvfIndexAuto]] when it does. */
+  def extendIvfIndex(index: IvfIndex, newDf: DataFrame): IvfIndex =
+    IvfIndex(
+      index.codebook,
+      index.assigned.unionByName(
+        assignToCodebook(index.codebook, newDf, index.idCol, index.vecCol)),
+      index.idCol, index.vecCol)
+
+  /** [[extendIvfIndex]] for LSH: new rows hash map-side with the index's
+    * plane matrix — extension is a pure projection, and the extended index
+    * is IDENTICAL to a fresh [[buildLshIndex]] over the union (the planes
+    * are deterministic). */
+  def extendLshIndex(index: LshIndex, newDf: DataFrame): LshIndex =
+    LshIndex(
+      index.buckets.unionByName(
+        newDf.select(
+          col(index.idCol), col(index.vecCol),
+          lshBucket(col(index.vecCol), index.nPlanes, index.dims).as("_bucket"))),
+      index.idCol, index.vecCol, index.nPlanes, index.dims)
+
   /** Batch IVF probe: top-`k` corpus neighbors for EVERY query row, in one
     * job — no per-query driver loop.
     *

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** Streaming retrieval: enrich a stream of query vectors with their top-k
+  * corpus neighbors by probing a PREBUILT ANN index per micro-batch.
+  *
+  * The index is the build-once artifact ([[Similarity.buildIvfIndex]] →
+  * `persisted()` or [[Similarity.saveIvfIndex]]-as-bucketed-tables); each
+  * micro-batch pays ONLY the probe — broadcast codebook, candidate-cell
+  * equi-join, skew-safe per-query top-k — never a corpus pass. This is the
+  * streaming continuation of the build/probe split: at 100 TB the corpus
+  * side is a bucketed table the probe join reads exchange-free, and the
+  * per-trigger cost is ∝ batch size, flat while the corpus grows (grow the
+  * index itself with [[Similarity.extendIvfIndex]] between restarts, or a
+  * maintainer job).
+  *
+  * Shape: `foreachBatch` — the probe's per-query top-k is a window-function
+  * plan, unsupported directly on a streaming frame. A streaming-native
+  * formulation (mapGroupsWithState over cells) would buy nothing: the probe
+  * is stateless per batch; checkpointed offsets already give exactly-once
+  * sink semantics when `sink` is idempotent by (batch id, q_id).
+  */
+object StreamingSimilarity {
+
+  /** Start a query probing `index` with every micro-batch of `queries`.
+    * `sink` receives the probe result — `(q_id, rank, <idCol>, sim)`, see
+    * [[Similarity.probeIvf]] — and the batch id. */
+  def attachIvf(
+      queries: DataFrame, index: Similarity.IvfIndex,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        sink(Similarity.probeIvf(index, batch, qIdCol, qVecCol, k, nProbe), id))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** [[attachIvf]] for a sign-LSH index. */
+  def attachLsh(
+      queries: DataFrame, index: Similarity.LshIndex,
+      qIdCol: String, qVecCol: String, k: Int,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        sink(Similarity.probeLsh(index, batch, qIdCol, qVecCol, k), id))
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

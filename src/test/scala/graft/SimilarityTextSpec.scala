@@ -100,6 +100,97 @@ class SimilarityTextSpec extends SparkSpec {
     index.unpersisted()
   }
 
+  test("extendIvfIndex: frozen codebook, appended rows probeable, no refit") {
+    import spark.implicits._
+    val rng = new Random(41)
+    // two well-separated clusters; base corpus holds both labels
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      val cell = (i % 2).toInt
+      (i, Seq.tabulate(8)(d => (if (d == cell * 4) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.03), cell.toLong)
+    }
+    val base = mk(0L until 40L).toDF("vec_id", "embedding", "cell")
+    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding", col("cell"))
+    val newRows = mk(100L until 120L).toDF("vec_id", "embedding", "cell")
+      .drop("cell") // arrives unlabeled — the codebook assigns it
+    val extended = Similarity.extendIvfIndex(index, newRows)
+    // codebook unchanged (frozen), corpus grew by exactly the new rows
+    assert(extended.codebook.collect().toSet === index.codebook.collect().toSet)
+    assert(extended.assigned.count() === 60)
+    // every appended row landed in one of the codebook's cells — and in the
+    // RIGHT one (clusters are far apart)
+    val newCells = extended.assigned.filter(col("vec_id") >= 100L)
+      .select("vec_id", "_cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    newCells.foreach { case (id, cell) => assert(cell === id % 2, s"vec $id") }
+    // a probe finds appended vectors as neighbors of their cluster
+    val hit = Similarity.probeIvf(
+        extended, base.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 50, nProbe = 1, excludeSelf = true)
+      .filter(col("vec_id") >= 100L).count()
+    assert(hit > 0, "appended vectors must be retrievable")
+  }
+
+  test("extendLshIndex == buildLshIndex over the union (deterministic planes)") {
+    import spark.implicits._
+    val rng = new Random(43)
+    val all = (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextDouble() - 0.5)))
+    val df = all.toDF("vec_id", "embedding")
+    val part = Similarity.buildLshIndex(
+      df.filter(col("vec_id") < 30L), "vec_id", "embedding", nPlanes = 4, dims = 16)
+    val extended = Similarity.extendLshIndex(part, df.filter(col("vec_id") >= 30L))
+    val full = Similarity.buildLshIndex(df, "vec_id", "embedding", nPlanes = 4, dims = 16)
+    assert(
+      extended.buckets.select("vec_id", "_bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      full.buckets.select("vec_id", "_bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("StreamingSimilarity: per-batch probe over a prebuilt index == batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rng = new Random(47)
+    val corpus = (0L until 60L).map { i =>
+      val cell = (i % 3).toInt
+      (i, Seq.tabulate(9)(d => (if (d == cell * 3) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.05), cell.toLong)
+    }.toDF("vec_id", "embedding", "cell")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", col("cell"))
+      .persisted()
+    val queryVecs = (200L until 206L).map { i =>
+      val cell = (i % 3).toInt
+      (i, Seq.tabulate(9)(d => (if (d == cell * 3) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.05))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.StreamingSimilarity.attachIvf(
+      stream.toDF().toDF("q_vec_id", "q_embedding"), index,
+      "q_vec_id", "q_embedding", k = 4, nProbe = 1,
+      checkpoint = tmpDir("sim-ckpt")) { (probe, _) =>
+      got.synchronized {
+        got ++= probe.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      stream.addData(queryVecs.take(3))
+      q.processAllAvailable()
+      stream.addData(queryVecs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = Similarity.probeIvf(
+        index, queryVecs.toDF("q_vec_id", "q_embedding"),
+        "q_vec_id", "q_embedding", k = 4, nProbe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.synchronized(got.toSet) === expect)
+    assert(expect.map(_._1) === queryVecs.map(_._1).toSet) // every query answered
+    index.unpersisted()
+  }
+
   test("buildIvfIndexAuto: learned cells, nProbe=nCells probe is exact") {
     import spark.implicits._
     val rng = new Random(35)
