@@ -412,24 +412,24 @@ object Queries {
               FROM m WHERE tag = 1""")),
 
     // Q23 — grouped EXACT quantiles by distributed rank selection
-    // ([[Quantiles.exactGrouped]]): two balanced passes (range-slice count,
-    // then rank-within-slice + interpolate), NO per-group value buffer — the
-    // `percentile` built-in's ObjectHashAggregate holds every group value in
-    // one buffer, an executor OOM by design with 3 groups at 100 TB. Same
-    // linear interpolation as `percentile`/`quantile_cont`, so the oracle
-    // hash-matches. The one-pass approximate companion is the mergeable
-    // sketch ([[graft.functions.Sketches.approxQuantiles]]).
+    // ([[Quantiles.exactGroupedMulti]]): two balanced passes (range-slice
+    // count, then rank-within-slice + interpolate), NO per-group value
+    // buffer — the `percentile` built-in's ObjectHashAggregate holds every
+    // group value in one buffer, an executor OOM by design with 3 groups at
+    // 100 TB. Both value columns ride the SAME two exchanges (melted with a
+    // column tag as an extra group key) instead of two independent two-pass
+    // jobs. Same linear interpolation as `percentile`/`quantile_cont`, so
+    // the oracle hash-matches. The one-pass approximate companion is the
+    // mergeable sketch ([[graft.functions.Sketches.approxQuantiles]]).
     Entry(
       "q23_quantiles",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val qty = Quantiles.exactGrouped(
-          li, Seq("l_returnflag"), "l_quantity",
-          Seq("p25_qty" -> 0.25, "p50_qty" -> 0.5))
-        val price = Quantiles.exactGrouped(
-          li, Seq("l_returnflag"), "l_extendedprice",
-          Seq("p90_price" -> 0.9))
-        qty.join(price, Seq("l_returnflag"))
+        Quantiles.exactGroupedMulti(
+            li, Seq("l_returnflag"),
+            Seq(
+              "l_quantity" -> Seq("p25_qty" -> 0.25, "p50_qty" -> 0.5),
+              "l_extendedprice" -> Seq("p90_price" -> 0.9)))
           .select(
             col("l_returnflag"),
             stableRound(col("p25_qty"), 6).as("p25_qty"),

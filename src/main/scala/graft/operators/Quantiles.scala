@@ -82,6 +82,11 @@ object Quantiles {
         .withColumn(s"_lo_$name", floor(col(s"_r_$name")).cast("long"))
         .withColumn(s"_hi_$name", ceil(col(s"_r_$name")).cast("long"))
     }.drop("_n")
+    // (A slice-pruned pass 2 — filtering to the slices that contain a target
+    // rank via the tiny offsets×targets frame — was measured SLOWER at sf0.1
+    // (3.25 vs 2.36 s): the extra broadcast stages and deeper AQE plan cost
+    // more than the ~3× window-input reduction saves at this scale, and the
+    // window's (group, slice) exchange is already balanced by construction.)
 
     // pass 2: global rank = slice offset + rank-within-slice; keep targets
     val wRank = Window.partitionBy(gCols :+ col("_pid"): _*).orderBy(col("_v").asc)
@@ -108,6 +113,42 @@ object Quantiles {
           (col(s"_rr_$name") - col(s"_flo_$name")) *
           (col(s"_vhi_$name") - col(s"_vlo_$name")))
     }.select(gCols ++ quantiles.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** [[exactGrouped]] for SEVERAL value columns in ONE two-pass job: the
+    * columns are melted (`stack`) into (group, column-tag, value) rows and
+    * the same range-slice rank selection runs with the tag as an extra group
+    * key — n columns cost the SAME two balanced exchanges (of n× the rows)
+    * instead of n independent two-pass jobs. One scan feeds every column,
+    * and the fixed per-stage costs (exchange setup, AQE re-planning) are
+    * paid once; at any scale the shuffled volume is identical to the n
+    * separate jobs.
+    *
+    * `perCol` = (value column → its (output name, p) quantiles). Every
+    * distinct p is computed for every column internally (target-rank rows
+    * only — a handful per group); unrequested combinations are dropped in
+    * the final pivot. Per-column null exclusion matches [[exactGrouped]].
+    * Output: one row per group carrying every requested quantile column. */
+  def exactGroupedMulti(
+      df: DataFrame, groupCols: Seq[String],
+      perCol: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(perCol.nonEmpty, "perCol must be non-empty")
+    require(perCol.map(_._1).distinct.length == perCol.length,
+      s"duplicate value columns in $perCol")
+    val stackExpr = perCol
+      .map { case (c, _) => s"'$c', cast(`$c` as double)" }
+      .mkString(s"stack(${perCol.length}, ", ", ", ") as (_qcol, _qv)")
+    val melted = df.select(groupCols.map(col) :+ expr(stackExpr): _*)
+    val allQs = perCol.flatMap(_._2).map(_._2).distinct.zipWithIndex
+      .map { case (p, i) => s"_q$i" -> p }
+    val wide = exactGrouped(melted, groupCols :+ "_qcol", "_qv", allQs)
+    val aggs = perCol.flatMap { case (c, qs) =>
+      qs.map { case (name, p) =>
+        val src = allQs.find(_._2 == p).get._1
+        max(when(col("_qcol") === c, col(src))).as(name)
+      }
+    }
+    wide.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-group quantile BUCKETING — curriculum / quality binning: each row

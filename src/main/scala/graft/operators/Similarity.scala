@@ -294,8 +294,12 @@ object Similarity {
     * ([[TopK.perGroup]]) → equi-join with the assigned corpus on `_cell`
     * (probe side broadcast by default — query batches are normally ≪ corpus;
     * set `broadcastProbes = false` for query sets too large to broadcast and
-    * the join shuffles both sides by `_cell` instead) → cosine kernel →
-    * per-query top-k, again two-pass rank so a hot cell cannot straggle.
+    * the join shuffles both sides by `_cell` instead — a POPULAR cell in
+    * that regime is a skewed sort-merge partition, which AQE's skew-join
+    * splitting subdivides on the corpus side: input skew, unlike the
+    * join-OUTPUT explosion the dedup band joins must dodge by hand) →
+    * cosine kernel → per-query top-k, again two-pass rank so a hot cell
+    * cannot straggle.
     *
     * Output: `(q_id, rank, <idCol>, sim)`, sim rounded to 6 dp, rank 1-based
     * per query, ties broken by corpus id.

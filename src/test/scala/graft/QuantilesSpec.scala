@@ -69,6 +69,37 @@ class QuantilesSpec extends SparkSpec {
     assert(!plan.contains("percentile"), s"must not fall back to percentile:\n$plan")
   }
 
+  test("exactGroupedMulti == per-column exactGrouped, one melted job") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 3000).map { _ =>
+      val g = rnd.nextInt(5).toLong
+      (g, rnd.nextInt(40).toDouble / 4.0,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 1000))
+    }
+    val df = rows.toDF("g", "a", "b")
+    val multi = Quantiles.exactGroupedMulti(
+        df, Seq("g"),
+        Seq(
+          "a" -> Seq("a_p25" -> 0.25, "a_p50" -> 0.5),
+          "b" -> Seq("b_p90" -> 0.9)))
+      .collect()
+      .map(r => r.getAs[Long]("g") ->
+        (r.getAs[Double]("a_p25"), r.getAs[Double]("a_p50"), r.getAs[Double]("b_p90")))
+      .toMap
+    val a = Quantiles.exactGrouped(df, Seq("g"), "a",
+        Seq("a_p25" -> 0.25, "a_p50" -> 0.5))
+      .collect().map(r => r.getAs[Long]("g") ->
+        (r.getAs[Double]("a_p25"), r.getAs[Double]("a_p50"))).toMap
+    val b = Quantiles.exactGrouped(df, Seq("g"), "b", Seq("b_p90" -> 0.9))
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("b_p90")).toMap
+    assert(multi.keySet === a.keySet)
+    multi.foreach { case (g, (a25, a50, b90)) =>
+      assert(math.abs(a25 - a(g)._1) < 1e-9, s"g=$g a_p25")
+      assert(math.abs(a50 - a(g)._2) < 1e-9, s"g=$g a_p50")
+      assert(math.abs(b90 - b(g)) < 1e-9, s"g=$g b_p90")
+    }
+  }
+
   test("a value at 90% frequency spreads across range slices (salted), result exact") {
     // one value owns 90% of the group — without the salt key every copy
     // lands in ONE range slice and serializes its sort
