@@ -307,6 +307,92 @@ object QueriesExt {
                          FROM cand)
               SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 3""")),
 
+    // C1 — the whole curation pipeline as ONE composed query: quality
+    // filter → canonical exact dedup → benchmark decontamination → sequence
+    // packing → round-robin sharding. Every stage is individually
+    // oracle-verified (t02, q18, t07, t14, t19); this entry pins their
+    // COMPOSITION — the dataflow a real corpus-curation job runs — against
+    // one end-to-end DuckDB replay. Plan: map-side quality expressions, one
+    // hash-dedup aggregate, the no-doc×doc gram join, the distributed
+    // prefix sum; nothing quadratic, no global window.
+    Entry(
+      "c01_curation",
+      (s, d) => {
+        val documents = docs(s, d)
+        // threshold on the 6dp-ROUNDED score — t02's hash-match pins that
+        // column bit-identical across engines, so the cut is reproducible
+        // (0.45 fits this corpus's score distribution; the default `keep`
+        // at 0.5 would keep 3 docs of 500 — a meaningless pipeline)
+        val kept = TextAnalysis.withQuality(documents, "text")
+          .filter(col("quality_score") >= 0.45).select("doc_id", "text")
+        val canon = Dedup.byNormalizedText(kept, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val train = kept.join(canon, Seq("doc_id"))
+          .filter(col("doc_id") % 50 =!= 0)
+        val contaminated = TextAnalysis.contaminatedDocs(
+            train, documents.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 3)
+          .select("doc_id")
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        Packing.packSequences(
+            clean.select(
+              col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+            "doc_id", "n_tokens", maxTokens = 512)
+          .select(
+            col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("cum_tokens"), col("seq_id"),
+            pmod(col("seq_id"), lit(8)).cast("long").as("shard"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id, text,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS atl,
+                       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                         / length(text) AS pr,
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS swr
+                FROM documents),
+              kept AS (
+                SELECT doc_id, text FROM m
+                WHERE ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 0.05*atl + 0.5*swr - 2.0*pr)), 6) >= 0.45),
+              canon AS (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id,
+                             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+                      FROM kept)
+                GROUP BY h),
+              train AS (
+                SELECT kept.doc_id, kept.text FROM kept JOIN canon USING (doc_id)
+                WHERE kept.doc_id % 50 <> 0),
+              nb AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                     FROM documents WHERE doc_id % 50 = 0),
+              tb AS (SELECT string_split(norm, ' ') AS toks FROM nb),
+              bench AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS gram
+                        FROM tb),
+              nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                     FROM train),
+              tt AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nt),
+              tg AS (SELECT doc_id,
+                            unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, greatest(len(toks) - 3, 0) + 2)])) AS gram
+                     FROM tt),
+              contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (gram)),
+              clean AS (SELECT train.doc_id, train.text FROM train
+                        WHERE train.doc_id NOT IN (SELECT doc_id FROM contam)),
+              tok AS (SELECT doc_id,
+                             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+                      FROM clean),
+              c AS (SELECT doc_id, n_tokens,
+                           CAST(SUM(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                    FROM tok)
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+                     (cum_tokens - n_tokens) // 512 AS seq_id,
+                     ((cum_tokens - n_tokens) // 512) % 8 AS shard
+              FROM c""")),
+
     // T1 — language-ID heuristic (stopword density).
     Entry(
       "t01_langid",
