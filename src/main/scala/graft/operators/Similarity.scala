@@ -214,8 +214,19 @@ object Similarity {
     var assigned = df.select(
       col(idCol), col(vecCol),
       pmod(xxhash64(col(idCol)), lit(nCells.toLong)).as("_cell"))
+    // each round is materialized before the next reads it — lazily chained,
+    // round i's centroid aggregate would recompute rounds 1..i-1's argmax
+    // fold over the whole corpus (O(iters²) corpus passes); persisting makes
+    // the build exactly `iters` passes. Intermediates release as soon as the
+    // next round lands; the FINAL assignment stays persisted and is owned by
+    // the returned index (IvfIndex.unpersisted()).
+    var prev: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
       assigned = Dedup.assignNearestCentroid(assigned, idCol, vecCol, "_cell")
+        .persist()
+      assigned.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(assigned)
     }
     IvfIndex(centroids(assigned, "_cell", vecCol), assigned, idCol, vecCol)
   }
