@@ -242,6 +242,24 @@ object Similarity {
         lshBucket(col(vecCol), nPlanes, dims).as("_bucket")),
       idCol, vecCol, nPlanes, dims)
 
+  /** EXACT batch k-NN — the correctness baseline the approximate probes are
+    * measured against, with the same output contract as [[probeIvf]]:
+    * `(q_id, rank, <idCol>, sim)`. Queries broadcast against one full
+    * corpus pass (O(queries × corpus) cosine work, embarrassingly parallel,
+    * zero corpus exchange), finished by the skew-safe two-pass top-k. Use
+    * for modest query batches or recall audits; the indexed probes are the
+    * scale path. */
+  def bruteForceBatch(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    finishProbe(
+      df.crossJoin(broadcast(
+        queries.select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v")))),
+      idCol, vecCol, k, excludeSelf)
+  }
+
   /** Nearest-cell assignment of `df`'s vectors against a FROZEN codebook:
     * the codebook collapses to ONE broadcast row of cell-sorted
     * (cell, centroid) structs and the argmax is a per-row fold — no exchange

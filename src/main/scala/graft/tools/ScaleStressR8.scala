@@ -35,12 +35,62 @@ object ScaleStressR8 {
       pmod(xxhash64(col("id")), lit(math.max(1L, n / 4096L))).as("cell"))
 
   def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("wall,recall").split(",").toSet
     val spark = GraftSession.build("local[32]")
     spark.sparkContext.setLogLevel("WARN")
     val dims = 32
     val reps = 3
 
-    for (n <- Seq(500000L, 2000000L)) {
+    // recall@10 of the approximate probes vs the exact baseline, on
+    // mixture-of-clusters synthetic vectors (the regime IVF assumes) — the
+    // speed numbers in the wall matrix are honest only next to this
+    if (which("recall")) for (noise <- Seq(0.9, 2.0)) {
+      val n = 200000L
+      val nCells = math.max(1L, n / 4096L)
+      // cell center + noise: at 0.9 the cluster structure dominates (the
+      // regime IVF assumes — quantization is meaningful); at 2.0 the noise
+      // dominates (diffuse data — the regime where nProbe must rise, i.e.
+      // the honest failure mode of coarse quantization)
+      val df = spark.range(n).select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(nCells)).as("cell")).select(
+        col("id"), col("cell"),
+        transform(
+          sequence(lit(0), lit(dims - 1)),
+          d => pmod(xxhash64(col("cell") * 131 + d), lit(2000003L)).cast("double")
+            / 1000001.5 - 1.0 +
+            (pmod(xxhash64(col("id") * 31 + d), lit(2000003L)).cast("double")
+              / 1000001.5 - 1.0) * noise).as("vec")).cache()
+      df.count()
+      val queries = df.filter(col("id") % (n / 100) === 0).cache()
+      queries.count()
+      val exact = Similarity.bruteForceBatch(
+          df, "id", "vec", queries, "id", "vec", k = 10, excludeSelf = true)
+        .select(col("q_id"), col("id").as("nbr")).cache()
+      exact.count()
+      def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+        val hit = exact.join(
+          approx.select(col("q_id"), col("id").as("nbr")), Seq("q_id", "nbr"))
+        hit.count().toDouble / exact.count()
+      }
+      val index = Similarity.buildIvfIndex(df, "id", "vec", col("cell")).persisted()
+      for (nProbe <- Seq(1, 2, 4)) {
+        val r = recallOf(Similarity.probeIvf(
+          index, queries, "id", "vec", k = 10, nProbe = nProbe, excludeSelf = true))
+        println(f"[recall] noise=$noise%3.1f ivf  n=$n cells=$nCells nProbe=$nProbe recall@10=$r%5.3f")
+      }
+      index.unpersisted()
+      for (planes <- Seq(8, 12)) {
+        val lsh = Similarity.buildLshIndex(df, "id", "vec", planes, dims).persisted()
+        val r = recallOf(Similarity.probeLsh(
+          lsh, queries, "id", "vec", k = 10, excludeSelf = true))
+        println(f"[recall] noise=$noise%3.1f lsh  n=$n planes=$planes%2d           recall@10=$r%5.3f")
+        lsh.unpersisted()
+      }
+      exact.unpersist(); queries.unpersist(); df.unpersist()
+    }
+
+    if (which("wall")) for (n <- Seq(500000L, 2000000L)) {
       val df = corpus(spark, n, dims).cache()
       df.count()
       val queries = df.filter(col("id") % (n / 100) === 0).cache() // 100 queries

@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape pins for strategy decisions that comments alone can't hold:
+  * these assert the PHYSICAL plan a query builds, so a refactor that
+  * silently loses a hint or re-plans a scale-critical join fails loudly. */
+class PlanPinSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q06: the per-part aggregate joins back as a hash join, never sort-merge") {
+    // at 100 TB the part dimension exceeds any broadcast threshold and an
+    // unhinted fallback would SORT the fact table; the shuffle_hash hint
+    // pins the hash join (AQE may still upgrade the tiny bench-scale build
+    // side to broadcast — also sort-free, also fine)
+    val plan = Queries.byName("q06_oee")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"q06 aggregate join fell back to sort-merge:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"q06 lost its hash-join strategy:\n${plan.take(3000)}")
+  }
+
+  test("q22: uniform data plans the single-exchange as-of, no join") {
+    val plan = Queries.byName("q22_asof")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n${plan.take(3000)}")
+    assert(!plan.contains("_graft_asof_b"),
+      s"uniform q22 must not auto-route to the bucketed form:\n${plan.take(3000)}")
+  }
+
+  test("s03: batch ANN probe plans broadcast probes, no shuffle of the corpus by cell") {
+    val plan = Queries.byName("s03_ann_batch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop is the one-row codebook broadcast; the candidate
+    // join must be a broadcast hash join on _cell
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s03 candidate join must broadcast the probe side:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"s03 must not sort-merge the corpus:\n${plan.take(3000)}")
+  }
+}

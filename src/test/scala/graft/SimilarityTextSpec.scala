@@ -191,6 +191,29 @@ class SimilarityTextSpec extends SparkSpec {
     index.unpersisted()
   }
 
+  test("bruteForceBatch == per-query bruteForceTopK") {
+    import spark.implicits._
+    val rng = new Random(51)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(12)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    val batch = Similarity.bruteForceBatch(
+        df, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = (0L until 4L).flatMap { q =>
+      Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .zipWithIndex
+        .map { case ((id, sim), i) => (q, (i + 1).toLong, id, sim) }
+    }.toSet
+    assert(batch === single)
+  }
+
   test("buildIvfIndexAuto: learned cells, nProbe=nCells probe is exact") {
     import spark.implicits._
     val rng = new Random(35)
