@@ -307,6 +307,46 @@ object QueriesExt {
                          FROM cand)
               SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 3""")),
 
+    // S5 — multi-table (OR-amplified) sign-LSH batch probe: 4 independent
+    // 4-plane tables from the same md5-derived matrix; a pair is a
+    // candidate if it shares a bucket in ANY table (recall
+    // 1-(1-p^4)^4 vs single-table p^8); cross-table duplicates are kept
+    // only in their first agreeing table (exact dedup, no distinct
+    // shuffle). The oracle recomputes all four tables bit-identically and
+    // dedups with DISTINCT over the computed cosine.
+    Entry(
+      "s05_ann_lsh_multi",
+      (s, d) => {
+        val e = embs(s, d)
+        val index = Similarity.buildLshIndexMulti(
+          e, "vec_id", "embedding", nTables = 4, nPlanes = 4, dims = 64)
+        Similarity.probeLshMulti(
+          index, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 5, excludeSelf = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   s AS (SELECT vec_id, v,
+                                [list_sum([CASE WHEN
+                                    list_sum([v[i+1] * ((('0x' || substr(md5((t*4+p)::VARCHAR || '_' || i::VARCHAR), 1, 14))::UBIGINT::BIGINT % 2000003) / 1000001.5 - 1.0)
+                                              for i in range(0, 64)]) >= 0
+                                    THEN (1::BIGINT << p) ELSE 0 END
+                                          for p in range(0, 4)])::BIGINT
+                                 for t in range(0, 4)] AS bks
+                         FROM e),
+                   sb AS (SELECT vec_id, v, unnest(bks) AS b, generate_subscripts(bks, 1) AS t FROM s),
+                   qb AS (SELECT vec_id AS q_id, v AS qv, unnest(bks) AS b,
+                                 generate_subscripts(bks, 1) AS t
+                          FROM s WHERE vec_id % 100 = 0),
+                   cand AS (SELECT DISTINCT qb.q_id, sb.vec_id,
+                                   list_cosine_similarity(sb.v, qb.qv) AS raw
+                            FROM sb JOIN qb ON sb.t = qb.t AND sb.b = qb.b
+                            WHERE sb.vec_id <> qb.q_id),
+                   r AS (SELECT q_id, vec_id, raw,
+                                row_number() OVER (PARTITION BY q_id
+                                                   ORDER BY raw DESC, vec_id) AS rank
+                         FROM cand)
+              SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 5""")),
+
     // C1 — the whole curation pipeline as ONE composed query: quality
     // filter → canonical exact dedup → benchmark decontamination → sequence
     // packing → round-robin sharding. Every stage is individually

@@ -82,9 +82,10 @@ object Similarity {
     * bucket 0, and [[lshTopK]] would degrade to a full scan of bucket 0 with
     * no error — fail fast instead (one `size` compare per row, negligible
     * next to the `nPlanes × dims` projection). */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
+  def lshBucket(
+      vec: Column, nPlanes: Int, dims: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val plane = typedLit((0 until dims).map(i => planeComponent(p, i)))
+      val plane = typedLit((0 until dims).map(i => planeComponent(planeOffset + p, i)))
       val proj = aggregate(
         zip_with(vec, plane, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
@@ -241,6 +242,62 @@ object Similarity {
         col(idCol), col(vecCol),
         lshBucket(col(vecCol), nPlanes, dims).as("_bucket")),
       idCol, vecCol, nPlanes, dims)
+
+  /** A multi-table (OR-amplified) sign-LSH index: `nTables` independent
+    * plane sets; a pair is a candidate if it shares a bucket in ANY table —
+    * recall = 1-(1-p^planes)^tables instead of single-table p^planes, the
+    * standard cure for sign-LSH's low recall, paid for with nTables×
+    * corpus replication in the index (rows carry their full bucket array so
+    * probes can first-match-dedup without a shuffle). */
+  final case class LshMultiIndex(
+      buckets: DataFrame, idCol: String, vecCol: String,
+      nTables: Int, nPlanes: Int, dims: Int) {
+    def persisted(): LshMultiIndex = { buckets.persist(); buckets.count(); this }
+    def unpersisted(): LshMultiIndex = { buckets.unpersist(); this }
+  }
+
+  /** Build an OR-amplified LSH index: table t uses planes
+    * `[t·nPlanes, (t+1)·nPlanes)` of the same deterministic md5-derived
+    * matrix, so every engine (and the DuckDB oracle) reproduces all tables
+    * exactly. One corpus pass; the index holds nTables rows per vector. */
+  def buildLshIndexMulti(
+      df: DataFrame, idCol: String, vecCol: String,
+      nTables: Int, nPlanes: Int = 8, dims: Int = 64): LshMultiIndex = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val bks = array((0 until nTables).map(t =>
+      lshBucket(col(vecCol), nPlanes, dims, t * nPlanes)): _*)
+    LshMultiIndex(
+      df.select(col(idCol), col(vecCol), bks.as("_bks"))
+        .select(
+          col(idCol), col(vecCol), col("_bks"),
+          posexplode(col("_bks")).as(Seq("_table", "_bucket"))),
+      idCol, vecCol, nTables, nPlanes, dims)
+  }
+
+  /** Batch probe of a multi-table LSH index. Candidates are generated per
+    * (table, bucket) equi-join; a pair matching in several tables is kept
+    * ONLY in its first agreeing table ([[graft.functions.ArrayKernels
+    * .firstEqualIndex]] over the two bucket arrays — exact dedup with an
+    * nTables-element compare instead of a distinct shuffle, the d02 band
+    * trick). Same output contract and skew discipline as [[probeLsh]]. */
+  def probeLshMulti(
+      index: LshMultiIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes0 = queries
+      .select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))
+      .withColumn("_q_bks", array((0 until index.nTables).map(t =>
+        lshBucket(col("_q_v"), index.nPlanes, index.dims, t * index.nPlanes)): _*))
+      .select(
+        col("_q_id"), col("_q_v"), col("_q_bks"),
+        posexplode(col("_q_bks")).as(Seq("_table", "_bucket")))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val cands = index.buckets.join(probes, Seq("_table", "_bucket"))
+      .filter(graft.functions.ArrayKernels.firstEqualIndex(
+        col("_q_bks"), col("_bks")) === col("_table") + 1)
+    finishProbe(cands, index.idCol, index.vecCol, k, excludeSelf)
+  }
 
   /** EXACT batch k-NN — the correctness baseline the approximate probes are
     * measured against, with the same output contract as [[probeIvf]]:

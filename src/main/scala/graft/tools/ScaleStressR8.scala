@@ -87,6 +87,16 @@ object ScaleStressR8 {
         println(f"[recall] noise=$noise%3.1f lsh  n=$n planes=$planes%2d           recall@10=$r%5.3f")
         lsh.unpersisted()
       }
+      // OR-amplification: T independent tables recover the recall a single
+      // table's AND-construction loses
+      for ((tables, planes) <- Seq((4, 8), (8, 8))) {
+        val m = Similarity.buildLshIndexMulti(
+          df, "id", "vec", tables, planes, dims).persisted()
+        val r = recallOf(Similarity.probeLshMulti(
+          m, queries, "id", "vec", k = 10, excludeSelf = true))
+        println(f"[recall] noise=$noise%3.1f lshM n=$n tables=$tables%2d planes=$planes recall@10=$r%5.3f")
+        m.unpersisted()
+      }
       exact.unpersist(); queries.unpersist(); df.unpersist()
     }
 

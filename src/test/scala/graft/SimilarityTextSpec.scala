@@ -191,6 +191,37 @@ class SimilarityTextSpec extends SparkSpec {
     index.unpersisted()
   }
 
+  test("probeLshMulti: nTables=1 == probeLsh; no cross-table duplicate pairs") {
+    import spark.implicits._
+    val rng = new Random(53)
+    val vecs = (0L until 80L).map(i => (i, Seq.fill(16)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // one table over planes [0, n) is definitionally the single-table index
+    val one = Similarity.buildLshIndexMulti(df, "vec_id", "embedding",
+      nTables = 1, nPlanes = 4, dims = 16)
+    val single = Similarity.buildLshIndex(df, "vec_id", "embedding",
+      nPlanes = 4, dims = 16)
+    assert(
+      rows(Similarity.probeLshMulti(one, queries, "vec_id", "embedding", 5,
+        excludeSelf = true)) ===
+      rows(Similarity.probeLsh(single, queries, "vec_id", "embedding", 5,
+        excludeSelf = true)))
+    // multi-table: candidate sets only grow (OR-amplification), and a pair
+    // matching in several tables must appear ONCE (first-match dedup)
+    val multi = Similarity.buildLshIndexMulti(df, "vec_id", "embedding",
+      nTables = 4, nPlanes = 4, dims = 16)
+    val out = Similarity.probeLshMulti(multi, queries, "vec_id", "embedding",
+      k = 100, excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length === out.distinct.length, "duplicate (q, id) pair emitted")
+    val singleCount = Similarity.probeLsh(single, queries, "vec_id", "embedding",
+      k = 100, excludeSelf = true).count()
+    assert(out.length >= singleCount, "multi-table candidates must be a superset")
+  }
+
   test("bruteForceBatch == per-query bruteForceTopK") {
     import spark.implicits._
     val rng = new Random(51)
