@@ -46,7 +46,8 @@ object AsOfJoin {
     * fraction. At or above `autoSkewHotFraction` — the regime where the
     * plain per-key window serializes one task's sort on the hot key — and
     * when both time columns are integral, the call routes to [[asOfBucketed]]
-    * with a bucket width of (sampled time span / 16·parallelism). Output is
+    * with a bucket width of (TRUE left time range / 16·parallelism, from one
+    * single-column min/max aggregate paid only when routing triggers). Output is
     * identical either way (property-pinned in AsOfJoinSpec); only the plan
     * changes. Set `autoSkewSampleRows = 0` to skip the sample (micro-batch
     * callers that re-plan per batch, e.g. the streaming maintainer).
@@ -100,7 +101,23 @@ object AsOfJoin {
     * collect of at most `sampleRows` (leftKeys, time) tuples — bounded,
     * justified: this is the strategy statistic AQE cannot provide (it never
     * sees per-key window-sort concentration, only input bytes). A sample
-    * under 64 rows skips routing — data that small cannot straggle. */
+    * under 64 rows skips routing — data that small cannot straggle.
+    *
+    * Known head-sample biases, resolved toward the status-quo plan: a table
+    * stored SORTED BY KEY shows one key in its head whether the key is hot
+    * or the layout is clustered — indistinguishable from `limit`, so a
+    * single-distinct-key sample does NOT route (false negative ≻ false
+    * positive: the plain plan is correct either way, and [[asOfBucketed]]
+    * remains the explicit control). A hot key living beyond the head goes
+    * undetected — again the pre-feature status quo, not a regression.
+    *
+    * When routing DOES trigger, the bucket width comes from the TRUE time
+    * range — one min/max aggregate over the left time column (columnar
+    * single-column scan, paid only on the hot path). The head sample's span
+    * must not be used: a time-ordered table's head covers seconds of a
+    * year-long range, and a seconds-scale width would shatter the hot key
+    * into ~rows distinct buckets, rebuilding the very single-task grid
+    * straggler the routing exists to kill. */
   private def skewBucketWidth(
       left: DataFrame, right: DataFrame, leftKeys: Seq[String],
       leftTime: String, rightTime: String,
@@ -110,19 +127,20 @@ object AsOfJoin {
     if (!integral(left.schema(leftTime).dataType) ||
         !integral(right.schema(rightTime).dataType)) return None
     val sample = left
-      .select(leftKeys.map(col) :+ col(leftTime).cast("long").as(T): _*)
+      .select(leftKeys.map(col): _*)
       .limit(sampleRows)
       .collect()
     if (sample.length < 64) return None
-    val hot = sample
+    val freqs = sample
       .groupBy(r => leftKeys.indices.map(r.get).toIndexedSeq)
-      .valuesIterator.map(_.length).max.toDouble / sample.length
-    if (hot < hotFraction) return None
-    val ts = sample.iterator
-      .filterNot(_.isNullAt(leftKeys.length))
-      .map(_.getLong(leftKeys.length)).toSeq
-    if (ts.isEmpty) return None
-    val span = ts.max - ts.min
+      .valuesIterator.map(_.length).toSeq
+    val hot = freqs.max.toDouble / sample.length
+    if (hot < hotFraction || freqs.length < 2) return None
+    val mm = left.agg(
+        min(col(leftTime).cast("long")), max(col(leftTime).cast("long")))
+      .head()
+    if (mm.isNullAt(0) || mm.isNullAt(1)) return None
+    val span = mm.getLong(1) - mm.getLong(0)
     val buckets = 16L * math.max(1, left.sparkSession.sparkContext.defaultParallelism)
     Some(math.max(1L, span / buckets))
   }

@@ -852,28 +852,11 @@ object Dedup {
         transform(
           array_sort(collect_list(struct(col("_pos"), stableRound(col("_m"), 6).as("_m")))),
           x => x.getField("_m")).as("_c"))
-    // one-row broadcast codebook, cell-sorted so the fold's strict `>` keeps
-    // the LOWEST cell on rounded-cosine ties (mirrors ORDER BY cs DESC, cell)
-    val codebook = cents
-      .agg(array_sort(collect_list(struct(col("_cell"), col("_c")))).as("_cb"))
-    e.crossJoin(broadcast(codebook))
-      .withColumn("_best",
-        aggregate(
-          col("_cb"),
-          struct(
-            lit(-2.0).as("_s"),
-            element_at(col("_cb"), 1).getField("_cell").as("_cell")),
-          (acc, x) =>
-            graft.operators.let(
-              stableRound(Similarity.cosine(col("_v"), x.getField("_c")), 6)) {
-              s =>
-                when(s > acc.getField("_s"),
-                  struct(s.as("_s"), x.getField("_cell").as("_cell")))
-                  .otherwise(acc)
-            }))
-      .select(
-        col("_id").as(idCol), col("_v").as(vecCol),
-        col("_best").getField("_cell").as("_cell"))
+    // shared broadcast-argmax fold (Similarity.foldAssign); this caller's
+    // rounding contract — 6dp-rounded centroid COMPONENTS — is baked into
+    // `cents` above, which the d09 oracle mirrors
+    Similarity.foldAssign(e, "_id", "_v", cents)
+      .select(col("_id").as(idCol), col("_v").as(vecCol), col("_cell"))
   }
 
   /** Cluster-canonical selection — the step after near-dup clustering that

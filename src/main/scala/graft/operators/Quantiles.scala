@@ -56,13 +56,25 @@ object Quantiles {
       .select(gCols :+ col(valueCol).cast("double").as("_v"): _*)
     val numSlices = df.sparkSession.sessionState.conf.numShufflePartitions
 
-    // pass 1: range slices + per-(group, slice) counts. The salt is
-    // materialized in a Project first (monotonically_increasing_id is
-    // per-partition-stable within an execution; ties' relative order is
-    // arbitrary anyway) and trails the range key so equal (group, value)
-    // rows spread over adjacent slices instead of serializing one.
+    // pass 1: range slices + per-(group, slice) counts. The salt trails the
+    // range key so equal (group, value) rows spread over adjacent slices
+    // instead of serializing one. The salt must be RETRY-DETERMINISTIC: the
+    // range exchange's map output feeds two reduce stages (the count
+    // aggregate and the rank window), so a retried map task that re-salted
+    // rows differently would double-count them in one stage's offsets and
+    // drop them from the other's ranks — the round-robin-repartition retry
+    // bug class. hash(group, value, INPUT partition id) is a pure function
+    // of content + which map task owns the row (stable under retry, unlike
+    // a row-position id, and unlike a position id it needs no defensive
+    // local sort — which would run twice, once more for the range sampler,
+    // and measured 2× on q23). A duplicated value spanning many input
+    // partitions spreads over ~min(slices, partitions) slices; equal rows
+    // WITHIN one input partition share a slice, bounded by that partition's
+    // size (maxPartitionBytes) — never a data-proportional straggler.
     val ranged = proj
-      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(numSlices.toLong)))
+      .withColumn("_salt",
+        pmod(xxhash64(gCols ++ Seq(col("_v"), spark_partition_id()): _*),
+          lit(numSlices.toLong)))
       .repartitionByRange(numSlices, gCols ++ Seq(col("_v"), col("_salt")): _*)
       .drop("_salt")
       .withColumn("_pid", spark_partition_id())

@@ -326,9 +326,24 @@ object Similarity {
     * stable-rounded before the compare, ties to the lowest cell — mirror in
     * SQL as `ROUND(cos + 1e-9, 6)` ranked `DESC, cell`. */
   def assignToCodebook(
-      codebook: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cb = codebook.agg(
-      array_sort(collect_list(struct(col("_cell"), col("_centroid")))).as("_cb"))
+      codebook: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    foldAssign(
+      df, idCol, vecCol,
+      codebook.select(col("_cell"), col("_centroid").as("_c")))
+
+  /** The shared broadcast-argmax fold behind [[assignToCodebook]] and
+    * [[graft.operators.Dedup.assignNearestCentroid]]: `cells` is a
+    * `(_cell, _c: array<double>)` frame (rounded or not — the CALLER owns
+    * the rounding contract its oracle mirrors); it collapses to one
+    * broadcast row of cell-sorted structs and every `df` row folds over it
+    * keeping the best (6dp-stable-rounded cosine, lowest cell on ties) —
+    * no exchange, no sort, no group-by on the data side. */
+  private[operators] def foldAssign(
+      df: DataFrame, idCol: String, vecCol: String, cells: DataFrame): DataFrame = {
+    // cell-sorted so the fold's strict `>` keeps the LOWEST cell on rounded
+    // ties (mirrors ORDER BY cs DESC, cell)
+    val cb = cells.agg(
+      array_sort(collect_list(struct(col("_cell"), col("_c")))).as("_cb"))
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cb))
       .withColumn("_best",
@@ -339,7 +354,7 @@ object Similarity {
             element_at(col("_cb"), 1).getField("_cell").as("_cell")),
           (acc, x) =>
             graft.operators.let(
-              stableRound(cosine(col(vecCol), x.getField("_centroid")), 6)) { s =>
+              stableRound(cosine(col(vecCol), x.getField("_c")), 6)) { s =>
               when(s > acc.getField("_s"),
                 struct(s.as("_s"), x.getField("_cell").as("_cell")))
                 .otherwise(acc)
@@ -462,13 +477,24 @@ object Similarity {
       spark.table(s"${name}_codebook"), spark.table(s"${name}_assigned"),
       idCol, vecCol)
 
-  /** [[saveIvfIndex]] for LSH: the bucket assignment bucketed on `_bucket`. */
-  def saveLshIndex(index: LshIndex, name: String, numBuckets: Int): Unit =
+  /** [[saveIvfIndex]] for LSH: the bucket assignment bucketed on `_bucket`,
+    * PLUS a one-row `_meta` table carrying the plane geometry — an index
+    * loaded with the wrong nPlanes/dims would hash queries with a different
+    * plane matrix and silently return wrong (mostly empty) neighbors, so
+    * the geometry travels with the data and [[loadLshIndex]] takes none. */
+  def saveLshIndex(index: LshIndex, name: String, numBuckets: Int): Unit = {
     graft.sources.Sinks.writeBucketed(
       index.buckets, s"${name}_buckets", Seq("_bucket"), numBuckets)
+    index.buckets.sparkSession
+      .sql(s"SELECT ${index.nPlanes} AS n_planes, ${index.dims} AS dims")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
 
   def loadLshIndex(
-      spark: SparkSession, name: String, idCol: String, vecCol: String,
-      nPlanes: Int = 8, dims: Int = 64): LshIndex =
-    LshIndex(spark.table(s"${name}_buckets"), idCol, vecCol, nPlanes, dims)
+      spark: SparkSession, name: String, idCol: String, vecCol: String): LshIndex = {
+    val meta = spark.table(s"${name}_meta").head()
+    LshIndex(
+      spark.table(s"${name}_buckets"), idCol, vecCol,
+      meta.getAs[Int]("n_planes"), meta.getAs[Int]("dims"))
+  }
 }

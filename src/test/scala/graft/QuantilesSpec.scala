@@ -131,9 +131,16 @@ class QuantilesSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       Quantiles.exactGrouped(df, Seq("g"), "v", Seq("p50" -> 0.5)).collect()
-      Thread.sleep(1000) // listener bus is asynchronous
-      val byStage = perTask.synchronized(perTask.toSeq).groupBy(_._1)
+      // the listener bus is asynchronous and waitUntilEmpty is private[spark]:
+      // poll until a full-volume stage has landed (bounded, not a fixed sleep
+      // that flakes on a loaded box)
+      def stages() = perTask.synchronized(perTask.toSeq).groupBy(_._1)
         .view.mapValues(_.map(_._2)).toMap
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stages().forall(_._2.sum < 10000) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(300) // settle: late same-stage task events
+      val byStage = stages()
       val rangeReaders = byStage.filter(_._2.sum >= 10000)
       assert(rangeReaders.nonEmpty, s"no stage read the range exchange: $byStage")
       // the stage reading the RANGE exchange must be balanced (unsalted, its

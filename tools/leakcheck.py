@@ -31,12 +31,19 @@ CATEGORIES = {
     # credential-shaped strings
     "secrets": re.compile(
         r"(?i)(api[_-]?key|secret|password|token)\s*[:=]\s*[\"'][^\"']{8,}"),
-    # env vars beyond the declared surface
+    # env vars beyond the declared surface (SPARK_GRAFT_* plus standard
+    # SPARK_* runtime knobs)
     "env_vars": re.compile(
-        r"sys\.env[^\n]*?\"(?!SPARK_GRAFT_)[A-Z][A-Z0-9_]*\""),
-    # dependency coordinates beyond the sbt file's declared set
+        r"sys\.env[^\n]*?\"(?!SPARK_)[A-Z][A-Z0-9_]*\""),
+    # dependency coordinates beyond the declared test libs (the build may
+    # only resolve scalatest/scalacheck; Spark comes from unmanaged jars).
+    # Matches the coordinate LINE ("group" %% "artifact"), not the
+    # libraryDependencies keyword — the Seq(...) form puts them on later
+    # lines
+    # artifact must start with a letter — "x.y.z" version strings after the
+    # second % would otherwise self-flag the allowed coordinates
     "dependencies": re.compile(
-        r"libraryDependencies\s*\+?\+?=.*(?!scalatest|scalacheck)"),
+        r"\"[\w.-]+\"\s*%%?\s*\"(?!scalatest|scalacheck|\d)[A-Za-z]"),
     # JDBC endpoints that aren't the in-memory/test Derby/H2 forms
     "jdbc": re.compile(
         r"jdbc:(?!derby:memory|h2:mem|derby:;)"),
@@ -46,9 +53,27 @@ SCAN_DIRS = ["src", "tools"]
 SCAN_EXT = {".scala", ".py", ".sbt", ".md"}
 
 
+def scan_file(root, p, hits, scala):
+    for i, line in enumerate(open(p, errors="replace"), 1):
+        for cat, rx in CATEGORIES.items():
+            # the import-root allowlist is a JVM-source rule; python
+            # tooling imports (duckdb, pandas) are driver-declared deps
+            if cat == "nonpublic_imports" and not scala:
+                continue
+            if rx.search(line):
+                hits[cat].append(f"{os.path.relpath(p, root)}:{i}")
+
+
 def main(root: str) -> int:
     hits = {k: [] for k in CATEGORIES}
     n_files = 0
+    # the build file lives at the root, outside SCAN_DIRS — without this the
+    # 'dependencies' category could never fire on the one file it exists for
+    for f in ("build.sbt",):
+        p = os.path.join(root, f)
+        if os.path.exists(p):
+            n_files += 1
+            scan_file(root, p, hits, scala=True)
     for d in SCAN_DIRS:
         for dirpath, _, files in os.walk(os.path.join(root, d)):
             for f in sorted(files):
@@ -58,17 +83,8 @@ def main(root: str) -> int:
                     continue
                 p = os.path.join(dirpath, f)
                 n_files += 1
-                scala = os.path.splitext(f)[1] in (".scala", ".sbt")
-                for i, line in enumerate(open(p, errors="replace"), 1):
-                    for cat, rx in CATEGORIES.items():
-                        # the import-root allowlist is a JVM-source rule;
-                        # python tooling imports (duckdb, pandas) are the
-                        # driver-declared dev dependencies
-                        if cat == "nonpublic_imports" and not scala:
-                            continue
-                        if rx.search(line):
-                            rel = os.path.relpath(p, root)
-                            hits[cat].append(f"{rel}:{i}")
+                scan_file(root, p, hits,
+                          scala=os.path.splitext(f)[1] in (".scala", ".sbt"))
     out = {
         "round": None,
         "generated_by": "tools/leakcheck.py",
