@@ -292,7 +292,8 @@ object Similarity {
       .select(
         col("_q_id"), col("_q_v"), col("_q_bks"),
         posexplode(col("_q_bks")).as(Seq("_table", "_bucket")))
-    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
     val cands = index.buckets.join(probes, Seq("_table", "_bucket"))
       .filter(graft.functions.ArrayKernels.firstEqualIndex(
         col("_q_bks"), col("_bks")) === col("_table") + 1)
@@ -387,6 +388,19 @@ object Similarity {
           lshBucket(col(index.vecCol), index.nPlanes, index.dims).as("_bucket"))),
       index.idCol, index.vecCol, index.nPlanes, index.dims)
 
+  /** Queries above this head-count fall back from the broadcast probe join
+    * to the shuffle join even when `broadcastProbes = true` — a
+    * million-query probe frame (vectors included) would blow the broadcast,
+    * and the caller asking to broadcast usually means "my batch is small"
+    * rather than "OOM the driver if it isn't". The check is a bounded
+    * `limit(n+1).count()` — short-circuits after the head, never a full
+    * count of a large query set. */
+  val maxBroadcastProbeQueries: Long = 100000L
+
+  private def wantBroadcast(queries: DataFrame, requested: Boolean): Boolean =
+    requested &&
+      queries.limit(maxBroadcastProbeQueries.toInt + 1).count() <= maxBroadcastProbeQueries
+
   /** Batch IVF probe: top-`k` corpus neighbors for EVERY query row, in one
     * job — no per-query driver loop.
     *
@@ -422,7 +436,8 @@ object Similarity {
     val probes0 = TopK.perGroup(
         scored, Seq("_q_id"), Seq(col("_csim").desc, col("_cell").asc), nProbe)
       .select("_q_id", "_q_v", "_cell")
-    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
     finishProbe(
       index.assigned.join(probes, Seq("_cell")),
       index.idCol, index.vecCol, k, excludeSelf)
@@ -441,7 +456,8 @@ object Similarity {
     val probes0 = queries.select(
       col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"),
       lshBucket(col(qVecCol), index.nPlanes, index.dims).as("_bucket"))
-    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
     finishProbe(
       index.buckets.join(probes, Seq("_bucket")),
       index.idCol, index.vecCol, k, excludeSelf)
