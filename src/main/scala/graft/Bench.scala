@@ -21,10 +21,10 @@ object Bench {
     "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
     "d11_incremental", "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
-    "c01_curation",
+    "s06_label_outliers", "c01_curation",
     "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
     "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",
-    "t19_shard")
+    "t19_shard", "t20_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -347,6 +347,64 @@ object QueriesExt {
                          FROM cand)
               SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 5""")),
 
+    // S6 — embedding-space mislabel detection: the 5 vectors per label
+    // FARTHEST (lowest cosine) from their own label's mean vector. Fully
+    // deterministic; the oracle replays centroid → cosine → per-label
+    // bottom-k.
+    Entry(
+      "s06_label_outliers",
+      (s, d) =>
+        Similarity.labelOutliers(embs(s, d), "vec_id", "embedding", "label", k = 5),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   sims AS (SELECT e.label, e.vec_id,
+                                   list_cosine_similarity(e.v, cent.cv) AS raw
+                            FROM e JOIN cent USING (label)),
+                   r AS (SELECT label, vec_id, raw,
+                                row_number() OVER (PARTITION BY label
+                                                   ORDER BY raw ASC, vec_id) AS rank
+                         FROM sims)
+              SELECT label, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 5""")),
+
+    // S7 — hard-negative mining: for each query (every 100th vector), the
+    // top-3 most similar vectors with a DIFFERENT label, candidates probed
+    // from the top-2 FOREIGN label cells (the exclusion runs on the tiny
+    // codebook, before candidate generation). Oracle replays
+    // centroid → foreign-cell rank → candidate → rank.
+    Entry(
+      "s07_hard_negatives",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.hardNegatives(
+          e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", "label",
+          k = 3, nProbe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, label AS q_lbl, v AS qv
+                         FROM e WHERE vec_id % 100 = 0),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   cr AS (SELECT q.q_id, cent.label,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label) AS crk
+                          FROM cent, q WHERE cent.label <> q.q_lbl),
+                   probed AS (SELECT q_id, label FROM cr WHERE crk <= 2),
+                   cand AS (SELECT p.q_id, e.vec_id,
+                                   list_cosine_similarity(e.v, q.qv) AS raw
+                            FROM e JOIN probed p ON e.label = p.label
+                                   JOIN q ON q.q_id = p.q_id),
+                   r AS (SELECT q_id, vec_id, raw,
+                                row_number() OVER (PARTITION BY q_id
+                                                   ORDER BY raw DESC, vec_id) AS rank
+                         FROM cand)
+              SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r WHERE rank <= 3""")),
+
     // C1 — the whole curation pipeline as ONE composed query: quality
     // filter → canonical exact dedup → benchmark decontamination → sequence
     // packing → round-robin sharding. Every stage is individually
@@ -1092,6 +1150,25 @@ object QueriesExt {
                          FROM documents)
               SELECT doc_id, global_rank, (global_rank - 1) % 16 AS shard,
                      (global_rank - 1) // 16 AS shard_pos
-              FROM r"""))
+              FROM r""")),
+
+    // T20 — corpus-trained unigram log-probability (CCNet-style quality
+    // signal): mean per-token ln P(token) with P from this corpus's own
+    // frequencies. Oracle replays per-(doc, token) counts → vocabulary
+    // frequencies → corpus total → count-weighted mean of ln(freq/total).
+    Entry(
+      "t20_unigram_logprob",
+      (s, d) => TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id,
+                                unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                         FROM documents),
+                   tf AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w),
+                   f AS (SELECT w, SUM(c) AS wc FROM tf GROUP BY w),
+                   tot AS (SELECT SUM(wc) AS n FROM f),
+                   j AS (SELECT tf.doc_id, tf.c, tf.c * LN(wc / n) AS wlp
+                         FROM tf JOIN f USING (w), tot)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     ROUND(SUM(wlp) / SUM(c) + 1e-9, 6) AS avg_logprob
+              FROM j GROUP BY doc_id"""))
   )
 }

@@ -318,6 +318,75 @@ object Similarity {
       idCol, vecCol, k, excludeSelf)
   }
 
+  // ---- Embedding-space data quality ---------------------------------------
+
+  /** Per-label centroid outliers — the embedding-space mislabel detector:
+    * rows whose vector sits FARTHEST (lowest cosine) from their own label's
+    * mean vector are the likely labeling errors / noise samples a curation
+    * pipeline reviews or drops.
+    *
+    * Plan: one exploded (label, position) aggregate for the centroids
+    * ([[centroids]] — shuffles labels × dims rows, never vectors to the
+    * driver), the label-sized codebook broadcast back onto the corpus,
+    * cosine kernel map-side, then the skew-safe two-pass bottom-k per label
+    * ([[TopK.perGroup]]) — a million-row label cannot funnel into one
+    * window task.
+    *
+    * Output: `(labelCol, rank, <idCol>, sim)` — rank 1 = farthest from its
+    * own centroid, sim rounded to 6 dp, ties to the lowest id. */
+  def labelOutliers(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned = df.select(col(idCol), col(vecCol), col(labelCol).as("_cell"))
+    val sims = assigned
+      .join(broadcast(centroids(assigned, "_cell", vecCol)), Seq("_cell"))
+      .select(
+        col("_cell"), col(idCol),
+        cosine(col(vecCol), col("_centroid")).as("_sim"))
+    TopK.perGroup(sims, Seq("_cell"), Seq(col("_sim").asc, col(idCol).asc), k)
+      .select(
+        col("_cell").as(labelCol), col("rank").cast("long").as("rank"),
+        col(idCol), round(col("_sim"), 6).as("sim"))
+  }
+
+  /** Hard-negative mining for contrastive training: for every query row,
+    * the top-`k` most similar corpus vectors carrying a DIFFERENT label.
+    * Candidates come from the label-cell IVF view of the corpus — rank the
+    * OTHER labels' centroids by query cosine and scan only the top `nProbe`
+    * foreign cells — so per-query work is probe-proportional, never the
+    * all-pairs cross-label product. The label exclusion happens on the
+    * tiny broadcast codebook BEFORE candidates are generated, not as a
+    * post-filter on the joined candidate set.
+    *
+    * Same plan shape, skew discipline, and output contract as [[probeIvf]]:
+    * `(q_id, rank, <idCol>, sim)`. */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, qLabelCol: String,
+      k: Int, nProbe: Int = 2, broadcastProbes: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val index = buildIvfIndex(df, idCol, vecCol, col(labelCol))
+    val scored = queries
+      .select(
+        col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"),
+        col(qLabelCol).as("_q_lbl"))
+      .crossJoin(broadcast(index.codebook))
+      .filter(col("_cell") =!= col("_q_lbl"))
+      .select(
+        col("_q_id"), col("_q_v"), col("_cell"),
+        cosine(col("_centroid"), col("_q_v")).as("_csim"))
+    val probes0 = TopK.perGroup(
+        scored, Seq("_q_id"), Seq(col("_csim").desc, col("_cell").asc), nProbe)
+      .select("_q_id", "_q_v", "_cell")
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
+    finishProbe(
+      index.assigned.join(probes, Seq("_cell")), idCol, vecCol, k,
+      excludeSelf = false)
+  }
+
   /** Nearest-cell assignment of `df`'s vectors against a FROZEN codebook:
     * the codebook collapses to ONE broadcast row of cell-sorted
     * (cell, centroid) structs and the argmax is a per-row fold — no exchange

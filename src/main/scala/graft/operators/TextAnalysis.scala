@@ -354,4 +354,40 @@ object TextAnalysis {
       .select(col("_id").as(idCol), col("rank"), col("term"), col("tf"),
         col("tfidf"))
   }
+
+  /** Corpus-trained unigram log-probability score — the CCNet-style quality
+    * signal: each document's mean per-token `ln P(token)`, with `P`
+    * estimated from THIS corpus's own token frequencies. Very low scores
+    * mark gibberish / far-out-of-distribution documents; very high scores
+    * mark stopword soup — both tails are what a curation pipeline cuts.
+    *
+    * Shape: per-(doc, token) counts first (map-side combined — shuffle ∝
+    * DISTINCT doc×token pairs, not token occurrences, so a corpus-common
+    * token is a hot GROUP key absorbed by the combiner, not a hot JOIN
+    * key), token frequencies aggregated from those (∝ vocabulary), the
+    * corpus total as a one-row broadcast frame (the [[tfIdfTopTerms]]
+    * scalar pattern — never a driver collect), the frequency join
+    * AQE-sized (a Zipf-bounded vocabulary broadcasts at any realistic
+    * scale), and the per-doc mean is the count-weighted fold over the
+    * doc's distinct tokens.
+    *
+    * Output: `(idCol, n_tokens, avg_logprob)`, score stable-rounded to
+    * 6 dp. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
+    val freq = tf.groupBy("_w").agg(sum("_c").as("_wc"))
+    val total = freq.agg(sum("_wc").as("_n"))
+    tf.join(freq, Seq("_w"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("_id"), col("_c"),
+        (col("_c") * log(col("_wc").cast("double") / col("_n"))).as("_wlp"))
+      .groupBy("_id")
+      .agg(
+        sum("_c").cast("long").as("n_tokens"),
+        stableRound(sum("_wlp") / sum("_c"), 6).as("avg_logprob"))
+      .withColumnRenamed("_id", idCol)
+  }
 }

@@ -457,4 +457,63 @@ class SimilarityTextSpec extends SparkSpec {
     assert(out(1L))
     assert(!out(2L))
   }
+
+  test("labelOutliers ranks the planted far-from-centroid vector first") {
+    import spark.implicits._
+    val rng = new Random(41)
+    // two tight clusters per label; one planted outlier pointing the other way
+    val rows = (0L until 30L).flatMap { i =>
+      val lbl = (i % 2).toInt
+      val base = if (lbl == 0) 1.0 else -1.0
+      Seq((i, Seq.fill(8)(base + rng.nextGaussian() * 0.01), lbl))
+    } ++ Seq(
+      (100L, Seq.fill(8)(-1.0), 0),  // labeled 0, looks like label 1
+      (101L, Seq.fill(8)(1.0), 1))   // labeled 1, looks like label 0
+    val out = Similarity.labelOutliers(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+        "label", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val rank1 = out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(rank1 == Map(0 -> 100L, 1 -> 101L))
+  }
+
+  test("hardNegatives returns only foreign-label vectors, exactly ranked") {
+    import spark.implicits._
+    val rng = new Random(42)
+    val vecs = (0L until 60L).map { i =>
+      val lbl = (i % 2).toInt
+      val base = if (lbl == 0) 1.0 else -1.0
+      (i, Seq.tabulate(8)(d => base * (d + 1) / 8.0 + rng.nextGaussian() * 0.1), lbl)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        df, "vec_id", "embedding", "label",
+        df.filter(col("vec_id") === 0), "vec_id", "embedding", "label",
+        k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    // with two labels and nProbe=1, candidates are exactly the other label
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs.find(_._1 == 0L).get._2
+    val expect = vecs.filter(_._3 == 1)
+      .map { case (i, v, _) => (i, cos(v, q)) }
+      .sortBy { case (i, s) => (-s, i) }.take(3).map(_._1)
+    assert(got.map(_._1).toSeq == expect)
+    assert(vecs.filter(v => got.map(_._1).contains(v._1)).forall(_._3 == 1))
+  }
+
+  test("unigramLogProb matches the hand-computed corpus model") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus counts: a=3, b=1, c=1, total=5
+    val lpA = math.log(3.0 / 5.0); val lp1 = math.log(1.0 / 5.0)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * lpA + lp1) / 3.0) < 1e-5)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - (lpA + lp1) / 2.0) < 1e-5)
+  }
 }
