@@ -1169,6 +1169,53 @@ object QueriesExt {
                          FROM tf JOIN f USING (w), tot)
               SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                      ROUND(SUM(wlp) / SUM(c) + 1e-9, 6) AS avg_logprob
-              FROM j GROUP BY doc_id"""))
+              FROM j GROUP BY doc_id""")),
+
+    // T21 — PMI bigram collocations (phrase mining): top-20 bigrams by
+    // pointwise mutual information, min pair count 5. Oracle replays
+    // unigram counts → bigram counts → totals → ln((c12/M)/((c1/N)(c2/N))).
+    Entry(
+      "t21_pmi_collocations",
+      (s, d) => TextAnalysis.pmiCollocations(docs(s, d), "text", k = 20, minCount = 5),
+      Some("""WITH nt AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                          FROM documents),
+                   tk AS (SELECT string_split(norm, ' ') AS toks FROM nt),
+                   u AS (SELECT unnest(toks) AS w FROM tk),
+                   uni AS (SELECT w, COUNT(*) AS c1 FROM u GROUP BY w),
+                   n AS (SELECT SUM(c1) AS n FROM uni),
+                   bg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                                         for i in range(1, len(toks))]) AS g
+                          FROM tk WHERE len(toks) >= 2),
+                   m AS (SELECT COUNT(*) AS m FROM bg),
+                   pair AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY g
+                            HAVING COUNT(*) >= 5),
+                   sp AS (SELECT string_split(g, ' ') AS ps, c12 FROM pair),
+                   sc AS (SELECT ps[1] AS w1, ps[2] AS w2, c12,
+                                 ROUND(LN((c12::DOUBLE * n.n * n.n) /
+                                          (m.m::DOUBLE * u1.c1 * u2.c1)) + 1e-9, 6) AS pmi
+                          FROM sp JOIN uni u1 ON ps[1] = u1.w
+                                  JOIN uni u2 ON ps[2] = u2.w, n, m)
+              SELECT w1, w2, c12 AS n_pair, pmi FROM sc
+              ORDER BY pmi DESC, w1, w2 LIMIT 20""")),
+
+    // T22 — RAG-style overlapping token chunking: 20-token chunks, 5-token
+    // overlap, purely map-side (zero shuffle). Oracle replays the
+    // normalize → tokenize → ceil((T-o)/step) chunk count → slice pipeline.
+    Entry(
+      "t22_chunking",
+      (s, d) =>
+        TextAnalysis.chunkDocs(docs(s, d), "doc_id", "text",
+          chunkTokens = 20, overlap = 5),
+      Some("""WITH nt AS (SELECT doc_id,
+                                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                          FROM documents),
+                   c AS (SELECT doc_id, toks,
+                                GREATEST(1, CAST(CEIL((len(toks) - 5)::DOUBLE / 15) AS BIGINT)) AS nc
+                         FROM nt),
+                   x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c)
+              SELECT doc_id, chunk_id, chunk_id * 15 AS start_tok,
+                     len(toks[(chunk_id*15+1):(chunk_id*15+20)]) AS n_tokens,
+                     array_to_string(toks[(chunk_id*15+1):(chunk_id*15+20)], ' ') AS chunk_text
+              FROM x"""))
   )
 }

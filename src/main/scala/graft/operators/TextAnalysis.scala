@@ -373,6 +373,96 @@ object TextAnalysis {
     *
     * Output: `(idCol, n_tokens, avg_logprob)`, score stable-rounded to
     * 6 dp. */
+  /** Top-`k` bigram collocations by pointwise mutual information — the
+    * phrase-mining step (learn "new york"-style multi-word units before
+    * tokenizer training or query expansion). PMI compares the observed
+    * bigram rate against independence:
+    * `ln( (c12/M) / ((c1/N)·(c2/N)) )`, with `M` total bigrams and `N`
+    * total tokens, both from this corpus.
+    *
+    * Shape: both count tables are map-side-combined hash aggregates
+    * (shuffle ∝ distinct grams — a corpus-common gram is a hot GROUP key,
+    * combiner-absorbed); the two scalar totals are one-row broadcast
+    * frames; the unigram joins are vocabulary-sized (AQE broadcasts); the
+    * final top-k is `TakeOrderedAndProject` (partition-local top-k, never
+    * a global sort). `minCount` prunes noise bigrams BEFORE the joins.
+    *
+    * Output: `(w1, w2, n_pair, pmi)` — pmi stable-rounded to 6 dp, ties
+    * broken on (w1, w2). */
+  def pmiCollocations(
+      df: DataFrame, textCol: String, k: Int = 20, minCount: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = df
+      .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val nTok = uni.agg(sum("_c").as("_n"))
+    // single-token documents yield a degenerate 1-token "gram" (the
+    // sequence lower bound in tokenNgramsAll) — the 2-part filter drops it
+    val bg = df
+      .select(explode(tokenNgramsAll(col(textCol), 2)).as("_g"))
+      .filter(size(split(col("_g"), " ")) === 2)
+    val nPair = bg.agg(count(lit(1)).as("_m"))
+    val pair = bg.groupBy("_g").agg(count(lit(1)).as("_c12"))
+      .filter(col("_c12") >= minCount)
+      .select(
+        element_at(split(col("_g"), " "), 1).as("w1"),
+        element_at(split(col("_g"), " "), 2).as("w2"),
+        col("_c12"))
+    pair
+      .join(uni.withColumnRenamed("_w", "w1").withColumnRenamed("_c", "_c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("_w", "w2").withColumnRenamed("_c", "_c2"), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPair))
+      .select(
+        col("w1"), col("w2"), col("_c12").as("n_pair"),
+        stableRound(
+          log((col("_c12").cast("double") * col("_n") * col("_n")) /
+            (col("_m").cast("double") * col("_c1") * col("_c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Fixed-width overlapping token chunks — the RAG / context-window
+    * splitter: each document becomes `ceil((T - overlap) / step)` chunks of
+    * up to `chunkTokens` tokens, consecutive chunks sharing `overlap`
+    * tokens (text is whitespace-normalized and lowercased first, so chunk
+    * boundaries align with this engine's tokenizer everywhere).
+    *
+    * Purely map-side — tokenize, a per-row `sequence` explode, and slices;
+    * ZERO shuffle at any scale. Output: `(idCol, chunk_id, start_tok,
+    * n_tokens, chunk_text)`, chunk_id and start_tok 0-based; the last
+    * chunk may be short, and is non-empty by construction. */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20, overlap: Int = 5): DataFrame = {
+    require(overlap >= 0, s"overlap must be >= 0, got $overlap")
+    require(chunkTokens > overlap,
+      s"chunkTokens ($chunkTokens) must exceed overlap ($overlap)")
+    val step = chunkTokens - overlap
+    df.select(
+        col(idCol), split(Dedup.normalizeText(col(textCol)), " ").as("_toks"))
+      .withColumn("_nc",
+        greatest(lit(1L),
+          ceil((size(col("_toks")) - lit(overlap)).cast("double") / step)
+            .cast("long")))
+      .select(
+        col(idCol), col("_toks"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_id"))
+      .select(
+        col(idCol), col("chunk_id"),
+        (col("chunk_id") * step).as("start_tok"),
+        graft.operators.let(
+          slice(col("_toks"), (col("chunk_id") * step + 1).cast("int"),
+            lit(chunkTokens))) { ch =>
+          struct(
+            size(ch).cast("long").as("n"), concat_ws(" ", ch).as("t"))
+        }.as("_ch"))
+      .select(
+        col(idCol), col("chunk_id"), col("start_tok"),
+        col("_ch.n").as("n_tokens"), col("_ch.t").as("chunk_text"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
       .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))

@@ -504,6 +504,45 @@ class SimilarityTextSpec extends SparkSpec {
     assert(vecs.filter(v => got.map(_._1).contains(v._1)).forall(_._3 == 1))
   }
 
+  test("pmiCollocations surfaces the planted collocation above common pairs") {
+    import spark.implicits._
+    // "alpha beta" always co-occur (PMI high); "the x" pairs are independent
+    val docs = (0 until 12).map { i =>
+      (i.toLong, s"alpha beta the w$i the w${i % 3} the w${(i + 1) % 3}")
+    }
+    val out = TextAnalysis.pmiCollocations(
+        docs.toDF("doc_id", "text"), "text", k = 5, minCount = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(out.head._1 == ("alpha", "beta"))
+    assert(out.head._2 == 12L)
+    // PMI of the perfect collocation must beat everything else strictly
+    assert(out.tail.forall(_._3 < out.head._3))
+  }
+
+  test("chunkDocs covers every token with the declared overlap, zero shuffle") {
+    import spark.implicits._
+    val text = (1 to 47).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text",
+        chunkTokens = 20, overlap = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 47 tokens, step 15: chunks at 0,15,30 cover to 50 => ceil((47-5)/15)=3
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._3).toSeq == Seq(0L, 15L, 30L))
+    assert(d1.map(_._4).toSeq == Seq(20L, 20L, 17L))
+    assert(d1(0)._5.endsWith("t20") && d1(1)._5.startsWith("t16"))
+    // full coverage: every token appears in some chunk
+    assert(d1.flatMap(_._5.split(" ")).toSet == (1 to 47).map(i => s"t$i").toSet)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._5 == "short doc" && d2.head._4 == 2L)
+    // map-side only: the physical plan has no exchange
+    val plan = TextAnalysis.chunkDocs(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("unigramLogProb matches the hand-computed corpus model") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
