@@ -1216,6 +1216,29 @@ object QueriesExt {
               SELECT doc_id, chunk_id, chunk_id * 15 AS start_tok,
                      len(toks[(chunk_id*15+1):(chunk_id*15+20)]) AS n_tokens,
                      array_to_string(toks[(chunk_id*15+1):(chunk_id*15+20)], ' ') AS chunk_text
-              FROM x"""))
+              FROM x""")),
+
+    // T23 — temperature-scaled mixture weights (α-smoothing, α = 0.3): the
+    // per-source sampling distribution q ∝ p^α that up-samples tail
+    // domains. Oracle replays per-source token mass → share → power →
+    // renormalize → boost.
+    Entry(
+      "t23_mixture_weights",
+      (s, d) =>
+        TopK.temperatureWeights(
+          docs(s, d), "source", TextAnalysis.tokenCount(col("text")),
+          alpha = 0.3),
+      Some("""WITH g AS (SELECT source, COUNT(*) AS n_docs,
+                                SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS nt
+                         FROM documents GROUP BY source),
+                   t AS (SELECT SUM(nt) AS tot FROM g),
+                   p AS (SELECT g.source, g.n_docs, g.nt,
+                                nt / t.tot AS p, POWER(nt / t.tot, 0.3) AS pa
+                         FROM g, t),
+                   z AS (SELECT SUM(pa) AS z FROM p)
+              SELECT source, n_docs, CAST(nt AS BIGINT) AS n_tokens,
+                     ROUND(p + 1e-9, 6) AS p, ROUND(pa / z.z + 1e-9, 6) AS q,
+                     ROUND((pa / z.z) / p + 1e-9, 6) AS boost
+              FROM p, z"""))
   )
 }

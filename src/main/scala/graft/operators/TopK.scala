@@ -101,4 +101,36 @@ object TopK {
       Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
       col("_tk_k")).drop("_tk_k")
   }
+
+  /** Temperature-scaled sampling weights per group — the multilingual /
+    * multi-domain rebalancing step (the XLM-R `α`-smoothing): a group with
+    * token share `p_i` is sampled with probability
+    * `q_i = p_i^α / Σ_j p_j^α`; `α < 1` up-samples the tail, `α = 1` keeps
+    * the natural distribution. The output `boost = q/p` is the per-group
+    * over/under-sampling factor a sampler like
+    * [[weightedStratifiedSample]] consumes as its fraction.
+    *
+    * Shape: ONE corpus pass (a map-side-combined hash aggregate, ∝ group
+    * cardinality); everything after operates on the tiny group table with
+    * one-row broadcast totals — never a second pass, never a driver
+    * collect. Output: `(groupCol, n_docs, n_tokens, p, q, boost)`,
+    * rates stable-rounded to 6 dp. */
+  def temperatureWeights(
+      df: DataFrame, groupCol: String, sizeCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).as("_nt"))
+    val tot = g.agg(sum("_nt").as("_tot"))
+    val p = g.crossJoin(broadcast(tot))
+      .withColumn("_p", col("_nt").cast("double") / col("_tot"))
+      .withColumn("_pa", pow(col("_p"), alpha))
+    val z = p.agg(sum("_pa").as("_z"))
+    p.crossJoin(broadcast(z))
+      .select(
+        col(groupCol), col("n_docs"), col("_nt").cast("long").as("n_tokens"),
+        stableRound(col("_p"), 6).as("p"),
+        stableRound(col("_pa") / col("_z"), 6).as("q"),
+        stableRound((col("_pa") / col("_z")) / col("_p"), 6).as("boost"))
+  }
 }

@@ -38,4 +38,24 @@ class PlanPinSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"s03 must not sort-merge the corpus:\n${plan.take(3000)}")
   }
+
+  test("s06: centroid join broadcasts the label codebook, no sort-merge, no global window") {
+    val plan = Queries.byName("s06_label_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s06 must broadcast the label codebook:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"s06 must not sort-merge the corpus:\n${plan.take(3000)}")
+  }
+
+  test("t20/t21: token-frequency joins never sort-merge at bench scale") {
+    // the vocabulary side is Zipf-bounded — losing the broadcast/hash
+    // strategy here would sort the exploded token stream
+    Seq("t20_unigram_logprob", "t21_pmi_collocations").foreach { q =>
+      val plan = Queries.byName(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q frequency join fell back to sort-merge:\n${plan.take(3000)}")
+    }
+  }
 }

@@ -88,4 +88,28 @@ class TopKSpec extends SparkSpec {
       .take(20)
     assert(src1.toSeq === wantSrc1)
   }
+
+  test("temperatureWeights up-samples the tail and sums to one") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x y z"), ("a", "x y z"),   // 6 tokens => p = 0.75
+      ("b", "x y")                      // 2 tokens => p = 0.25
+    ).toDF("source", "text")
+    val out = TopK.temperatureWeights(
+        df, "source", org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")), alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val z = math.sqrt(0.75) + math.sqrt(0.25)
+    assert(out("a")._1 == 2L && out("a")._2 == 6L)
+    assert(out("b")._1 == 1L && out("b")._2 == 2L)
+    assert(math.abs(out("a")._3 - 0.75) < 1e-6)
+    assert(math.abs(out("a")._4 - math.sqrt(0.75) / z) < 1e-6)
+    assert(math.abs(out("b")._4 - math.sqrt(0.25) / z) < 1e-6)
+    // α < 1 up-samples the tail, down-samples the head; q still sums to 1
+    assert(out("b")._5 > 1.0 && out("a")._5 < 1.0)
+    assert(math.abs(out("a")._4 + out("b")._4 - 1.0) < 1e-5)
+  }
 }
