@@ -940,6 +940,27 @@ object QueriesExt {
                                 WHERE b.cell = a.cell AND b.vec_id < a.vec_id
                                   AND list_cosine_similarity(a.v, b.v) >= 0.4)""")),
 
+    // D12 — semantic decontamination: training vectors (vec_id % 100 <> 0)
+    // whose max cosine to ANY benchmark vector (vec_id % 100 = 0) stays
+    // under 0.25 — the embedding-space complement of t07's n-gram check
+    // (catches paraphrased leakage). The fold-max is order-independent, so
+    // the rounded compare is cross-engine stable.
+    Entry(
+      "d12_semantic_decon",
+      (s, d) => {
+        val e = embs(s, d)
+        Dedup.semanticDecontaminate(
+          e.filter(col("vec_id") % 100 =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 100 === 0), "embedding", threshold = 0.25)
+      },
+      Some("""WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings
+                         WHERE vec_id % 100 = 0),
+                   c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                         WHERE vec_id % 100 <> 0),
+                   m AS (SELECT c.vec_id, ROUND(MAX(list_cosine_similarity(v, bv)) + 1e-9, 6) AS ms
+                         FROM c CROSS JOIN b GROUP BY c.vec_id)
+              SELECT vec_id, ms AS max_bench_sim FROM m WHERE ms < 0.25""")),
+
     // T15 — deterministic weighted mixture sampling (domain reweighting):
     // even-numbered sources keep 30%, odd keep 10%, selected in md5 order so
     // the carve-out is reproducible. Quota per stratum = ceil(f·n).

@@ -924,4 +924,39 @@ object Dedup {
         (coalesce(col("_in_corpus"), lit(false)).unary_! &&
           col(idCol) === col("_first_id")).as("kept"))
   }
+
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram check ([[TextAnalysis.contaminatedDocs]]): a training row is
+    * contaminated when its embedding sits within cosine `threshold` of ANY
+    * benchmark embedding, catching paraphrased benchmark leakage that
+    * shares no literal n-gram.
+    *
+    * Scale shape: the benchmark set (thousands of rows — eval suites, not
+    * corpora) collapses to ONE broadcast row of vectors and every corpus
+    * row folds over it keeping its max cosine — a single corpus pass, zero
+    * exchange of corpus rows, no join. For a benchmark set too large to
+    * broadcast, block first ([[embeddingNearDupPairs]]'s keyed shape) — at
+    * that point it is near-dup detection, not decontamination. The compare
+    * runs on the 6dp-stable-rounded max (max is order-independent, so
+    * cross-engine last-ulp noise cannot flip it off the rounding cushion).
+    *
+    * Output: the CLEAN rows `(idCol, max_bench_sim)` — audit-friendly
+    * (the score says how close the nearest benchmark item came). An empty
+    * benchmark set keeps everything with `max_bench_sim = -1`. */
+  def semanticDecontaminate(
+      df: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String, threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold must be in (-1, 1], got $threshold")
+    val bv = bench.agg(collect_list(col(benchVecCol)).as("_bvs"))
+    df.crossJoin(broadcast(bv))
+      .select(
+        col(idCol),
+        graft.operators.stableRound(
+          aggregate(col("_bvs"), lit(-1.0),
+            (acc, b) => greatest(acc,
+              graft.functions.ArrayKernels.vecCosine(col(vecCol), b))), 6)
+          .as("max_bench_sim"))
+      .filter(col("max_bench_sim") < threshold)
+  }
 }

@@ -351,4 +351,27 @@ class DedupSpec extends SparkSpec {
     // every batch row comes back exactly once
     assert(out.count() === 5)
   }
+
+  test("semanticDecontaminate drops near-benchmark vectors, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // identical to bench -> dropped
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),   // near bench -> dropped
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),   // orthogonal -> kept
+      (4L, Seq(0.0, 0.0, 0.0, -1.0))   // opposite-ish -> kept
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(3L, 4L))
+    assert(out(3L) < 0.8 && out(4L) < 0.8)
+    // empty benchmark set keeps everything, audit score -1
+    val none = Dedup.semanticDecontaminate(
+        corpus, "vec_id", "embedding",
+        bench.filter(col("vec_id") < 0), "embedding", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(none.keySet == Set(1L, 2L, 3L, 4L))
+    assert(none.values.forall(_ == -1.0))
+  }
 }
