@@ -21,7 +21,7 @@ object Bench {
     "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
     "d11_incremental", "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
-    "s06_label_outliers", "c01_curation",
+    "s06_label_outliers", "c01_curation", "c02_embedding_curation",
     "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
     "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",
     "t19_shard", "t20_unigram_logprob", "t21_pmi_collocations")

@@ -491,6 +491,64 @@ object QueriesExt {
                      ((cum_tokens - n_tokens) // 512) % 8 AS shard
               FROM c""")),
 
+    // C2 — the embedding-side curation pipeline as ONE composed query
+    // (c01's vector-space sibling): semantic dedup (d09) → per-cluster
+    // outlier drop (s06's bottom-5, on the SURVIVORS' centroids) →
+    // semantic decontamination vs the benchmark split (d12). Each stage is
+    // individually oracle-verified; this pins their composition — order
+    // matters (outlier centroids shift after dedup) and the oracle replays
+    // the exact chain.
+    Entry(
+      "c02_embedding_curation",
+      (s, d) => {
+        val e = embs(s, d)
+        val train = e.filter(col("vec_id") % 100 =!= 0)
+        val bench = e.filter(col("vec_id") % 100 === 0)
+        val kept = Dedup.semanticDedup(train, "vec_id", "embedding", "label",
+          threshold = 0.4)
+        val kv = train.join(kept, Seq("vec_id"))
+        val outliers = Similarity.labelOutliers(
+            kv, "vec_id", "embedding", "cluster", k = 5)
+          .select("vec_id")
+        val inliers = kv.join(outliers, Seq("vec_id"), "left_anti")
+        Dedup.semanticDecontaminate(
+            inliers, "vec_id", "embedding", bench, "embedding", threshold = 0.25)
+          .join(kv.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+          .select(col("vec_id"), col("cluster"), col("max_bench_sim"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   tr AS (SELECT * FROM e WHERE vec_id % 100 <> 0),
+                   bench AS (SELECT v AS bv FROM e WHERE vec_id % 100 = 0),
+                   comp AS (SELECT label AS cell, i, ROUND(avg(v[i]) + 1e-9, 6) AS m
+                            FROM tr, (SELECT unnest(range(1, 65)) AS i) r GROUP BY 1, 2),
+                   cent AS (SELECT cell, list(m ORDER BY i) AS c FROM comp GROUP BY cell),
+                   scored AS (SELECT vec_id, v, cell,
+                                     ROUND(list_cosine_similarity(v, c) + 1e-9, 6) AS cs
+                              FROM tr CROSS JOIN cent),
+                   assigned AS (SELECT vec_id, v, cell FROM
+                                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                              ORDER BY cs DESC, cell) AS rn
+                                 FROM scored) WHERE rn = 1),
+                   kept AS (SELECT a.vec_id, a.v, a.cell FROM assigned a
+                            WHERE NOT EXISTS (SELECT 1 FROM assigned b
+                                              WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                                                AND list_cosine_similarity(a.v, b.v) >= 0.4)),
+                   ccomp AS (SELECT cell, i, AVG(val) AS av
+                             FROM (SELECT cell, unnest(v) AS val,
+                                          generate_subscripts(v, 1) AS i FROM kept)
+                             GROUP BY cell, i),
+                   ccent AS (SELECT cell, list(av ORDER BY i) AS cv FROM ccomp GROUP BY cell),
+                   ranked AS (SELECT k.vec_id, k.v, k.cell,
+                                     row_number() OVER (PARTITION BY k.cell
+                                       ORDER BY list_cosine_similarity(k.v, ccent.cv) ASC, k.vec_id) AS crk
+                              FROM kept k JOIN ccent USING (cell)),
+                   inl AS (SELECT vec_id, v, cell FROM ranked WHERE crk > 5),
+                   m AS (SELECT inl.vec_id, inl.cell,
+                                ROUND(MAX(list_cosine_similarity(inl.v, bench.bv)) + 1e-9, 6) AS ms
+                         FROM inl CROSS JOIN bench GROUP BY inl.vec_id, inl.cell)
+              SELECT vec_id, CAST(cell AS INT) AS cluster, ms AS max_bench_sim
+              FROM m WHERE ms < 0.25""")),
+
     // T1 — language-ID heuristic (stopword density).
     Entry(
       "t01_langid",
