@@ -543,6 +543,26 @@ class SimilarityTextSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("corpus statistics are invariant to physical layout") {
+    import spark.implicits._
+    // rounded corpus-level doubles must not depend on partitioning or row
+    // order (sum/max folds are cushioned by stableRound; a raw
+    // order-dependent sum would flake exactly here)
+    val rng = new Random(51)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(8 + rng.nextInt(10))(words(rng.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      canon(TextAnalysis.unigramLogProb(docs, "doc_id", "text")) ==
+      canon(TextAnalysis.unigramLogProb(docs.repartition(13), "doc_id", "text")))
+    assert(
+      canon(TextAnalysis.pmiCollocations(docs, "text", k = 10, minCount = 2)) ==
+      canon(TextAnalysis.pmiCollocations(docs.repartition(7), "text", k = 10, minCount = 2)))
+  }
+
   test("unigramLogProb matches the hand-computed corpus model") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
