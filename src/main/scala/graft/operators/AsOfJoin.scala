@@ -72,6 +72,13 @@ object AsOfJoin {
       inclusive: Boolean = true,
       autoSkewSampleRows: Int = 4096,
       autoSkewHotFraction: Double = 0.5): DataFrame = {
+    require(autoSkewSampleRows >= 0,
+      s"autoSkewSampleRows must be >= 0, got $autoSkewSampleRows")
+    // <= 0 would route EVERY integral-time input to the bucketed plan
+    // (a silent 2.4× premium on uniform data); > 1 would silently disable
+    // routing
+    require(autoSkewHotFraction > 0.0 && autoSkewHotFraction <= 1.0,
+      s"autoSkewHotFraction must be in (0, 1], got $autoSkewHotFraction")
     val routedWidth =
       if (autoSkewSampleRows > 0)
         skewBucketWidth(left, right, leftKeys, leftTime, rightTime,

@@ -942,7 +942,13 @@ object Dedup {
     *
     * Output: the CLEAN rows `(idCol, max_bench_sim)` — audit-friendly
     * (the score says how close the nearest benchmark item came). An empty
-    * benchmark set keeps everything with `max_bench_sim = -1`. */
+    * benchmark set keeps everything with `max_bench_sim = -1`.
+    *
+    * Zero vectors have no defined cosine (0/0 = NaN) and are neutralized
+    * per-compare (`nanvl` → -1): a single zero BENCHMARK vector would
+    * otherwise make the fold NaN for every corpus row — and since
+    * `NaN < threshold` is false, silently drop the ENTIRE corpus; a zero
+    * CORPUS vector is kept (score -1) — it is near nothing. */
   def semanticDecontaminate(
       df: DataFrame, idCol: String, vecCol: String,
       bench: DataFrame, benchVecCol: String, threshold: Double): DataFrame = {
@@ -954,8 +960,9 @@ object Dedup {
         col(idCol),
         graft.operators.stableRound(
           aggregate(col("_bvs"), lit(-1.0),
-            (acc, b) => greatest(acc,
-              graft.functions.ArrayKernels.vecCosine(col(vecCol), b))), 6)
+            (acc, b) => greatest(acc, nanvl(
+              graft.functions.ArrayKernels.vecCosine(col(vecCol), b),
+              lit(-1.0)))), 6)
           .as("max_bench_sim"))
       .filter(col("max_bench_sim") < threshold)
   }

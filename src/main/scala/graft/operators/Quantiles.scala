@@ -139,8 +139,14 @@ object Quantiles {
     * `perCol` = (value column → its (output name, p) quantiles). Every
     * distinct p is computed for every column internally (target-rank rows
     * only — a handful per group); unrequested combinations are dropped in
-    * the final pivot. Per-column null exclusion matches [[exactGrouped]].
-    * Output: one row per group carrying every requested quantile column. */
+    * the final pivot. Nulls are excluded per column like [[exactGrouped]],
+    * with ONE deliberate edge-case difference: a group whose values are ALL
+    * null in one column still appears (that quantile column null, the
+    * others computed), whereas composing per-column [[exactGrouped]] calls
+    * with inner joins would drop the group entirely — the partial row is
+    * the more useful answer and the group's presence does not depend on
+    * which columns were requested. Output: one row per group carrying every
+    * requested quantile column. */
   def exactGroupedMulti(
       df: DataFrame, groupCols: Seq[String],
       perCol: Seq[(String, Seq[(String, Double)])]): DataFrame = {

@@ -44,9 +44,13 @@ object Similarity {
     * `TakeOrderedAndProject` — each partition keeps its local top-k and only
     * those k·numPartitions rows reach the driver-side merge, vs. a global
     * `Window.orderBy` which funnels every candidate row into one partition.
-    * Ties broken by id for determinism. */
+    * Ties broken by id for determinism. NaN similarities (zero vectors —
+    * cosine is 0/0) are excluded: Spark sorts NaN ABOVE every real double,
+    * so one zero vector would otherwise be the "nearest" neighbor of
+    * everything. */
   private def topK(sims: DataFrame, idCol: String, k: Int): DataFrame =
-    sims.orderBy(col("_sim").desc, col(idCol))
+    sims.filter(!isnan(col("_sim")))
+      .orderBy(col("_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("_sim"), 6).as("sim"))
 
@@ -113,8 +117,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
     val index = buildLshIndex(df, idCol, vecCol, nPlanes, dims)
+    // guardBroadcast = false: the query frame is a single-id filter (≤ 1
+    // row by construction) — the head-count job would scan the corpus
+    // lineage to find it
     probeLsh(index, df.filter(col(idCol) === queryId), idCol, vecCol, k,
-        excludeSelf = true)
+        excludeSelf = true, guardBroadcast = false)
       .select(col(idCol), col("sim"))
   }
 
@@ -143,8 +150,9 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, cellCol: String,
       queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     val index = buildIvfIndex(df, idCol, vecCol, col(cellCol))
+    // guardBroadcast = false: single-id query frame, see lshTopK
     probeIvf(index, df.filter(col(idCol) === queryId), idCol, vecCol, k,
-        nProbe, excludeSelf = true)
+        nProbe, excludeSelf = true, guardBroadcast = false)
       .select(col(idCol), col("sim"))
   }
 
@@ -283,7 +291,7 @@ object Similarity {
   def probeLshMulti(
       index: LshMultiIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, excludeSelf: Boolean = false,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes0 = queries
       .select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))
@@ -293,7 +301,7 @@ object Similarity {
         col("_q_id"), col("_q_v"), col("_q_bks"),
         posexplode(col("_q_bks")).as(Seq("_table", "_bucket")))
     val probes =
-      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0) else probes0
     val cands = index.buckets.join(probes, Seq("_table", "_bucket"))
       .filter(graft.functions.ArrayKernels.firstEqualIndex(
         col("_q_bks"), col("_bks")) === col("_table") + 1)
@@ -360,11 +368,18 @@ object Similarity {
     * post-filter on the joined candidate set.
     *
     * Same plan shape, skew discipline, and output contract as [[probeIvf]]:
-    * `(q_id, rank, <idCol>, sim)`. */
+    * `(q_id, rank, <idCol>, sim)`.
+    *
+    * NULL labels: a query with no label has no "own" cell, so EVERY cell is
+    * foreign to it (the `coalesce` below — a plain `=!=` would go null,
+    * drop all its probe cells, and silently erase the query from the
+    * output). Corpus rows with a NULL label are excluded from candidates by
+    * construction: null never equi-joins on `_cell`. */
   def hardNegatives(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, qLabelCol: String,
-      k: Int, nProbe: Int = 2, broadcastProbes: Boolean = true): DataFrame = {
+      k: Int, nProbe: Int = 2, broadcastProbes: Boolean = true,
+      guardBroadcast: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val index = buildIvfIndex(df, idCol, vecCol, col(labelCol))
@@ -373,7 +388,7 @@ object Similarity {
         col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"),
         col(qLabelCol).as("_q_lbl"))
       .crossJoin(broadcast(index.codebook))
-      .filter(col("_cell") =!= col("_q_lbl"))
+      .filter(coalesce(col("_cell") =!= col("_q_lbl"), lit(true)))
       .select(
         col("_q_id"), col("_q_v"), col("_cell"),
         cosine(col("_centroid"), col("_q_v")).as("_csim"))
@@ -381,7 +396,7 @@ object Similarity {
         scored, Seq("_q_id"), Seq(col("_csim").desc, col("_cell").asc), nProbe)
       .select("_q_id", "_q_v", "_cell")
     val probes =
-      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0) else probes0
     finishProbe(
       index.assigned.join(probes, Seq("_cell")), idCol, vecCol, k,
       excludeSelf = false)
@@ -462,13 +477,21 @@ object Similarity {
     * million-query probe frame (vectors included) would blow the broadcast,
     * and the caller asking to broadcast usually means "my batch is small"
     * rather than "OOM the driver if it isn't". The check is a bounded
-    * `limit(n+1).count()` — short-circuits after the head, never a full
-    * count of a large query set. */
+    * `limit(n+1).count()` — it stops reading once n+1 rows surface, BUT it
+    * still executes the query frame's full lineage when matches are scarce
+    * (a selective filter over a large table finds < n+1 rows only after
+    * scanning everything). That is one extra pass over the QUERY lineage
+    * per probe call — so callers that already know the batch is bounded
+    * (the one-shot single-id wrappers, streaming micro-batches) pass
+    * `guardBroadcast = false` and skip the job entirely; batch callers with
+    * a lazy, selective query frame should pre-materialize it (persist) if
+    * they probe repeatedly. */
   val maxBroadcastProbeQueries: Long = 100000L
 
-  private def wantBroadcast(queries: DataFrame, requested: Boolean): Boolean =
-    requested &&
-      queries.limit(maxBroadcastProbeQueries.toInt + 1).count() <= maxBroadcastProbeQueries
+  private def wantBroadcast(
+      queries: DataFrame, requested: Boolean, guard: Boolean): Boolean =
+    requested && (!guard ||
+      queries.limit(maxBroadcastProbeQueries.toInt + 1).count() <= maxBroadcastProbeQueries)
 
   /** Batch IVF probe: top-`k` corpus neighbors for EVERY query row, in one
     * job — no per-query driver loop.
@@ -493,7 +516,7 @@ object Similarity {
   def probeIvf(
       index: IvfIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 2, excludeSelf: Boolean = false,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val scored = queries
@@ -506,7 +529,7 @@ object Similarity {
         scored, Seq("_q_id"), Seq(col("_csim").desc, col("_cell").asc), nProbe)
       .select("_q_id", "_q_v", "_cell")
     val probes =
-      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0) else probes0
     finishProbe(
       index.assigned.join(probes, Seq("_cell")),
       index.idCol, index.vecCol, k, excludeSelf)
@@ -520,26 +543,32 @@ object Similarity {
   def probeLsh(
       index: LshIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, excludeSelf: Boolean = false,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes0 = queries.select(
       col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"),
       lshBucket(col(qVecCol), index.nPlanes, index.dims).as("_bucket"))
     val probes =
-      if (wantBroadcast(queries, broadcastProbes)) broadcast(probes0) else probes0
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0) else probes0
     finishProbe(
       index.buckets.join(probes, Seq("_bucket")),
       index.idCol, index.vecCol, k, excludeSelf)
   }
 
   /** Shared probe tail: optional self-filter, cosine kernel, two-pass
-    * per-query top-k. */
+    * per-query top-k. NaN similarities are dropped BEFORE ranking — Spark
+    * orders NaN above every real double, so a single zero vector in a
+    * probed cell/bucket would otherwise outrank the true neighbor of every
+    * query that touches it (and, via [[bruteForceBatch]], silently poison
+    * the recall audit's ground truth too). */
   private def finishProbe(
       cands: DataFrame, idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean): DataFrame = {
     val kept = if (excludeSelf) cands.filter(col(idCol) =!= col("_q_id")) else cands
-    val sims = kept.select(
-      col("_q_id"), col(idCol), cosine(col(vecCol), col("_q_v")).as("_sim"))
+    val sims = kept
+      .select(
+        col("_q_id"), col(idCol), cosine(col(vecCol), col("_q_v")).as("_sim"))
+      .filter(!isnan(col("_sim")))
     TopK.perGroup(sims, Seq("_q_id"), Seq(col("_sim").desc, col(idCol).asc), k)
       .select(
         col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),

@@ -355,24 +355,6 @@ object TextAnalysis {
         col("tfidf"))
   }
 
-  /** Corpus-trained unigram log-probability score — the CCNet-style quality
-    * signal: each document's mean per-token `ln P(token)`, with `P`
-    * estimated from THIS corpus's own token frequencies. Very low scores
-    * mark gibberish / far-out-of-distribution documents; very high scores
-    * mark stopword soup — both tails are what a curation pipeline cuts.
-    *
-    * Shape: per-(doc, token) counts first (map-side combined — shuffle ∝
-    * DISTINCT doc×token pairs, not token occurrences, so a corpus-common
-    * token is a hot GROUP key absorbed by the combiner, not a hot JOIN
-    * key), token frequencies aggregated from those (∝ vocabulary), the
-    * corpus total as a one-row broadcast frame (the [[tfIdfTopTerms]]
-    * scalar pattern — never a driver collect), the frequency join
-    * AQE-sized (a Zipf-bounded vocabulary broadcasts at any realistic
-    * scale), and the per-doc mean is the count-weighted fold over the
-    * doc's distinct tokens.
-    *
-    * Output: `(idCol, n_tokens, avg_logprob)`, score stable-rounded to
-    * 6 dp. */
   /** Top-`k` bigram collocations by pointwise mutual information — the
     * phrase-mining step (learn "new york"-style multi-word units before
     * tokenizer training or query expansion). PMI compares the observed
@@ -463,6 +445,24 @@ object TextAnalysis {
         col("_ch.n").as("n_tokens"), col("_ch.t").as("chunk_text"))
   }
 
+  /** Corpus-trained unigram log-probability score — the CCNet-style quality
+    * signal: each document's mean per-token `ln P(token)`, with `P`
+    * estimated from THIS corpus's own token frequencies. Very low scores
+    * mark gibberish / far-out-of-distribution documents; very high scores
+    * mark stopword soup — both tails are what a curation pipeline cuts.
+    *
+    * Shape: per-(doc, token) counts first (map-side combined — shuffle ∝
+    * DISTINCT doc×token pairs, not token occurrences, so a corpus-common
+    * token is a hot GROUP key absorbed by the combiner, not a hot JOIN
+    * key), token frequencies aggregated from those (∝ vocabulary), the
+    * corpus total as a one-row broadcast frame (the [[tfIdfTopTerms]]
+    * scalar pattern — never a driver collect), the frequency join
+    * AQE-sized (a Zipf-bounded vocabulary broadcasts at any realistic
+    * scale), and the per-doc mean is the count-weighted fold over the
+    * doc's distinct tokens.
+    *
+    * Output: `(idCol, n_tokens, avg_logprob)`, score stable-rounded to
+    * 6 dp. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
       .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))

@@ -35,7 +35,11 @@ object StreamingSimilarity {
       checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch((batch: DataFrame, id: Long) =>
-        sink(Similarity.probeIvf(index, batch, qIdCol, qVecCol, k, nProbe), id))
+        // guardBroadcast = false: micro-batches are trigger-bounded — the
+        // per-batch head-count job would add a driver round-trip per
+        // trigger for a decision that is always "broadcast"
+        sink(Similarity.probeIvf(index, batch, qIdCol, qVecCol, k, nProbe,
+          guardBroadcast = false), id))
       .option("checkpointLocation", checkpoint)
       .start()
 
@@ -46,7 +50,8 @@ object StreamingSimilarity {
       checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch((batch: DataFrame, id: Long) =>
-        sink(Similarity.probeLsh(index, batch, qIdCol, qVecCol, k), id))
+        sink(Similarity.probeLsh(index, batch, qIdCol, qVecCol, k,
+          guardBroadcast = false), id))
       .option("checkpointLocation", checkpoint)
       .start()
 }

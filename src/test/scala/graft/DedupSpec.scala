@@ -373,5 +373,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(none.keySet == Set(1L, 2L, 3L, 4L))
     assert(none.values.forall(_ == -1.0))
+    // a zero benchmark vector (cosine NaN) must not poison the fold and
+    // silently drop the whole corpus; a zero corpus vector is kept
+    val zbench = Seq((100L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val zed = Dedup.semanticDecontaminate(
+        corpus, "vec_id", "embedding", zbench, "embedding", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(zed.keySet == Set(1L, 2L, 3L, 4L) && zed.values.forall(_ == -1.0))
+    val zcorp = Dedup.semanticDecontaminate(
+        corpus.union(Seq((9L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")),
+        "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(zcorp.contains(9L) && zcorp(9L) == -1.0)
   }
 }

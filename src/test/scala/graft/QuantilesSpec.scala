@@ -100,6 +100,22 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactGroupedMulti: an all-null column yields a null quantile, group kept") {
+    // deliberate divergence from per-column inner-join composition (which
+    // would drop the group) — pinned so it stays a decision, not a drift
+    val df = Seq(
+      (1L, Some(1.0), Some(10.0)), (1L, Some(2.0), Some(20.0)),
+      (2L, Some(3.0), None), (2L, Some(5.0), None)
+    ).toDF("g", "a", "b")
+    val out = Quantiles.exactGroupedMulti(
+        df, Seq("g"), Seq("a" -> Seq("a_p50" -> 0.5), "b" -> Seq("b_p50" -> 0.5)))
+      .collect().map(r => r.getAs[Long]("g") ->
+        (Option(r.getAs[Any]("a_p50")), Option(r.getAs[Any]("b_p50")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1.contains(1.5) && out(1L)._2.contains(15.0))
+    assert(out(2L)._1.contains(4.0) && out(2L)._2.isEmpty)
+  }
+
   test("a value at 90% frequency spreads across range slices (salted), result exact") {
     // one value owns 90% of the group — without the salt key every copy
     // lands in ONE range slice and serializes its sort

@@ -543,6 +543,49 @@ class SimilarityTextSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("hardNegatives: a NULL-label query treats every cell as foreign") {
+    import spark.implicits._
+    val rng = new Random(43)
+    val labeled = (0L until 40L).map { i =>
+      val lbl = (i % 2).toInt
+      val base = if (lbl == 0) 1.0 else -1.0
+      (i, Seq.fill(8)(base + rng.nextGaussian() * 0.05), Some(lbl))
+    }
+    val df = (labeled :+ ((99L, Seq.fill(8)(1.0), None: Option[Int])))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        df.filter(col("label").isNotNull), "vec_id", "embedding", "label",
+        df.filter(col("vec_id") === 99), "vec_id", "embedding", "label",
+        k = 3, nProbe = 2)
+      .collect()
+    // an unlabeled query has no own cell: it still gets k results (a plain
+    // =!= would null out the cell filter and erase it from the output)
+    assert(got.length == 3)
+  }
+
+  test("zero vectors never rank as neighbors (NaN cosine is excluded)") {
+    import spark.implicits._
+    // Spark sorts NaN above every real double — unfiltered, the zero
+    // vector would be the rank-1 "nearest" neighbor of every query
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 0L),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0), 0L),
+      (2L, Seq(0.8, 0.2, 0.0, 0.0), 0L),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0), 0L),  // zero vector, same cell
+      (4L, Seq(-1.0, 0.0, 0.0, 0.0), 1L)
+    ).toDF("vec_id", "embedding", "cell")
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!brute.contains(3L) && brute.take(2) == Seq(1L, 2L))
+    val index = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", col("cell"))
+    val probed = Similarity.probeIvf(
+        index, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, nProbe = 1, excludeSelf = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(!probed.map(_._2).contains(3L))
+    assert(probed.sortBy(_._1).map(_._2).take(2).toSeq == Seq(1L, 2L))
+  }
+
   test("corpus statistics are invariant to physical layout") {
     import spark.implicits._
     // rounded corpus-level doubles must not depend on partitioning or row

@@ -5,9 +5,11 @@ package roots, internal-looking URLs/buckets, credential-shaped strings,
 environment variables outside the declared SPARK_GRAFT_* surface, and
 non-public dependency coordinates.
 
-Usage: python3 tools/leakcheck.py [repo_root]
-Prints one JSON object: {"round": null, "generated_by": ..., "files_scanned":
-N, "hits": {category: [file:line, ...]}} — all-empty hit lists mean clean.
+Usage: python3 tools/leakcheck.py [repo_root] [round]
+Prints one JSON object: {"round": N|null, "generated_by": ...,
+"generated_at": ..., "files_scanned": N, "n_hits": N,
+"hits": {category: [file:line, ...]}} — n_hits 0 means clean. Redirect to
+LEAKCHECK.json to refresh the committed artifact reproducibly.
 """
 import json
 import os
@@ -64,7 +66,7 @@ def scan_file(root, p, hits, scala):
                 hits[cat].append(f"{os.path.relpath(p, root)}:{i}")
 
 
-def main(root: str) -> int:
+def main(root: str, round_no=None) -> int:
     hits = {k: [] for k in CATEGORIES}
     n_files = 0
     # the build file lives at the root, outside SCAN_DIRS — without this the
@@ -85,10 +87,14 @@ def main(root: str) -> int:
                 n_files += 1
                 scan_file(root, p, hits,
                           scala=os.path.splitext(f)[1] in (".scala", ".sbt"))
+    import datetime
     out = {
-        "round": None,
-        "generated_by": "tools/leakcheck.py",
+        "round": int(round_no) if round_no is not None else None,
+        "generated_by": "python3 tools/leakcheck.py <repo_root> [round]",
+        "generated_at": datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%MZ"),
         "files_scanned": n_files,
+        "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
     }
     print(json.dumps(out, indent=2))
@@ -96,4 +102,5 @@ def main(root: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "."))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else ".",
+                  sys.argv[2] if len(sys.argv) > 2 else None))
