@@ -146,6 +146,44 @@ object ScaleStressR8 {
       index.unpersisted(); lsh.unpersisted()
       queries.unpersist(); df.unpersist()
     }
+
+    // t20/t21 claim under test: shuffle ∝ DISTINCT doc×token pairs (then ∝
+    // vocabulary), NOT token occurrences — a corpus-common token is a hot
+    // GROUP key the map-side combiner absorbs, never a hot join key (the
+    // vocabulary side broadcasts). Zipf-ish corpus: u³ concentrates mass so
+    // the head token draws ~10% of ALL occurrences — the regime where an
+    // unguarded token join would straggle.
+    if (which("text")) {
+      import graft.operators.TextAnalysis
+      val n = 200000L
+      val tokensPerDoc = 60
+      val docs = spark.range(n).select(
+        col("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)), i =>
+          concat(lit("w"), floor(pow(
+            pmod(xxhash64(col("id") * 1543 + i), lit(2000003L)).cast("double")
+              / 2000003.0, 3.0) * 1000).cast("long")))).as("text")).cache()
+      docs.count()
+      val occurrences = n * tokensPerDoc
+      val skew = new TaskSkewListener
+      val vol = new ShuffleBytesListener
+      spark.sparkContext.addSparkListener(skew)
+      spark.sparkContext.addSparkListener(vol)
+      for ((name, run) <- Seq[(String, () => DataFrame)](
+        "t20_unigramLogProb" -> (() => TextAnalysis.unigramLogProb(docs, "id", "text")),
+        "t21_pmiCollocations" -> (() => TextAnalysis.pmiCollocations(docs, "text", k = 20, minCount = 5)))) {
+        skew.reset(); vol.reset()
+        val t = System.nanoTime()
+        noop(run())
+        val wall = (System.nanoTime() - t) / 1e9
+        Thread.sleep(1000) // listener bus drains asynchronously
+        println(f"[text] $name n=$n docs × $tokensPerDoc tokens = $occurrences%,d occurrences; " +
+          f"wall=$wall%5.2f s shuffle=${vol.records}%,d records / ${vol.bytes / 1e6}%6.1f MB " +
+          f"(${vol.records.toDouble / occurrences}%5.3f records per occurrence)")
+        skew.print(s"[text] $name")
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

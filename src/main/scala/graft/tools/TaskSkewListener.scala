@@ -34,15 +34,20 @@ final class TaskSkewListener extends SparkListener {
     }
 }
 
-/** Dev-tool listener: total shuffle bytes WRITTEN across tasks since the
-  * last reset — the direct measure of exchange volume a pre-shuffle filter
-  * (e.g. the Bloom probe) saves. */
+/** Dev-tool listener: total shuffle bytes + records WRITTEN across tasks
+  * since the last reset — the direct measure of exchange volume a
+  * pre-shuffle filter (e.g. the Bloom probe) or a map-side combiner saves. */
 final class ShuffleBytesListener extends SparkListener {
   private var total = 0L
+  private var recs = 0L
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
-    if (m != null) this.synchronized { total += m.shuffleWriteMetrics.bytesWritten }
+    if (m != null) this.synchronized {
+      total += m.shuffleWriteMetrics.bytesWritten
+      recs += m.shuffleWriteMetrics.recordsWritten
+    }
   }
-  def reset(): Unit = this.synchronized { total = 0L }
+  def reset(): Unit = this.synchronized { total = 0L; recs = 0L }
   def bytes: Long = this.synchronized(total)
+  def records: Long = this.synchronized(recs)
 }
