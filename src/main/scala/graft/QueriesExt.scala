@@ -998,6 +998,34 @@ object QueriesExt {
                                 WHERE b.cell = a.cell AND b.vec_id < a.vec_id
                                   AND list_cosine_similarity(a.v, b.v) >= 0.4)""")),
 
+    // D13 — incremental NEAR-dup: which "new batch" docs (doc_id % 10 = 0)
+    // near-duplicate an "existing corpus" doc (the rest) at Jaccard ≥ 0.5.
+    // Banding recall is the same as d02's (whose all-pairs output these
+    // cross pairs are a subset of); the oracle computes the exact cross
+    // product directly.
+    Entry(
+      "d13_incremental_neardup",
+      (s, d) => {
+        val docs0 = docs(s, d)
+        Dedup.incrementalNearDupPairs(
+          docs0.filter(col("doc_id") % 10 === 0),
+          docs0.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.5)
+      },
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   t AS (SELECT doc_id,
+                                list_distinct([substring(norm, i, 5)
+                                               for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                         FROM n)
+              SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+              FROM t a JOIN t b
+                ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
+
     // D12 — semantic decontamination: training vectors (vec_id % 100 <> 0)
     // whose max cosine to ANY benchmark vector (vec_id % 100 = 0) stays
     // under 0.25 — the embedding-space complement of t07's n-gram check

@@ -925,6 +925,75 @@ object Dedup {
           col(idCol) === col("_first_id")).as("kept"))
   }
 
+  /** Incremental NEAR-dup detection — [[incrementalDedup]]'s fuzzy sibling
+    * for continuous ingestion: which documents of a NEW batch near-duplicate
+    * (hashed-shingle Jaccard ≥ `threshold`) a document of the EXISTING
+    * corpus. Same shingle → minhash → band pipeline as [[minHashLshPairs]],
+    * but the band join is batch→corpus instead of a corpus self-join:
+    *
+    *  - the batch's band keys BROADCAST (ingestion batches are small by
+    *    definition) against the corpus band stream — the corpus is never
+    *    shuffled by bucket, and at scale the corpus's banded frame is
+    *    exactly what a production pipeline persists once
+    *    ([[graft.sources.Sinks.writeBucketed]] on the band key) and probes
+    *    with every batch, paying no corpus-side work per ingest;
+    *  - candidates stay narrow (corpus_id, batch_id, band); payloads attach
+    *    by id afterwards (batch side broadcast, corpus side SHUFFLE_HASH —
+    *    the d02 narrow discipline, so a hot bucket's row emission carries
+    *    no per-pair compute);
+    *  - cross-band duplicates die at emission via the first-agreeing-band
+    *    compare, never a distinct shuffle; the 4σ signature pre-filter and
+    *    the thresholded exact-Jaccard merge are shared with d02.
+    *
+    * Probabilistically complete like [[minHashLshPairs]] (same banding
+    * recall); every emitted pair's Jaccard is exact. Assumes batch and
+    * corpus id spaces are disjoint (an id present in both is reported
+    * as its own near-duplicate — exact re-ingestion is [[incrementalDedup]]'s
+    * job). Output: `(batch_id, corpus_id, jaccard)`. */
+  def incrementalNearDupPairs(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    def prep(f: DataFrame): DataFrame = {
+      val hs = f.select(
+        col(idCol).as("_id"), hashedShingles(col(textCol), shingleK).as("_hs"))
+      hs.select(
+          col("_id"), col("_hs"), minHashSignature(col("_hs"), numHashes).as("_sig"))
+        .select(
+          col("_id"), col("_hs"), col("_sig"),
+          bandKeys(col("_sig"), bands, rows).as("_bks"))
+    }
+    val bt = prep(batch)
+    val ct = prep(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val bBand = bt.select(col("_id").as("_b_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
+    val cBand = ct.select(col("_id").as("_c_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
+    val cand = cBand.join(broadcast(bBand), Seq("_band", "_bh"))
+      .select(col("_b_id"), col("_c_id"), col("_band"))
+      .join(broadcast(bt.select(
+        col("_id").as("_b_id"), col("_hs").as("_hs_b"),
+        col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))), Seq("_b_id"))
+      .join(ct.select(
+          col("_id").as("_c_id"), col("_hs").as("_hs_c"),
+          col("_sig").as("_sig_c"), col("_bks").as("_bks_c"))
+        .hint("shuffle_hash"), Seq("_c_id"))
+      .filter(graft.functions.ArrayKernels.firstEqualIndex(
+        col("_bks_b"), col("_bks_c")) === col("_band") + 1)
+    val sigCut =
+      math.max(0.0, threshold - 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    val jacc = graft.functions.ArrayKernels
+      .sortedJaccardGeq(col("_hs_b"), col("_hs_c"), threshold)
+    val out = cand
+      .filter(graft.functions.ArrayKernels.agreeCount(
+        col("_sig_b"), col("_sig_c")) >= lit(sigCut * numHashes))
+      .filter(jacc >= threshold)
+      .select(
+        col("_b_id").as("batch_id"), col("_c_id").as("corpus_id"),
+        round(jacc, 6).as("jaccard"))
+    ManagedPairs(out, Seq(ct)).releaseOnFirstUse()
+  }
+
   /** Semantic decontamination — the embedding-space complement of the
     * n-gram check ([[TextAnalysis.contaminatedDocs]]): a training row is
     * contaminated when its embedding sits within cosine `threshold` of ANY

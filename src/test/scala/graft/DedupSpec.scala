@@ -352,6 +352,27 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 5)
   }
 
+  test("incrementalNearDupPairs finds batch→corpus near-dups only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated content about spark catalyst codegen planning"),
+      (3L, "another document that shares nothing with the new batch at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (102L, "fresh novel text with zero overlap whatsoever anywhere in sight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairs(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((100L, 1L), (101L, 1L)))
+    assert(out.find(_._1 == 100L).get._3 == 1.0)         // exact copy
+    val near = out.find(_._1 == 101L).get._3
+    assert(near >= 0.5 && near < 1.0)                    // near, not exact
+  }
+
   test("semanticDecontaminate drops near-benchmark vectors, keeps the rest") {
     import spark.implicits._
     val corpus = Seq(
