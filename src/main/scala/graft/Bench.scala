@@ -20,7 +20,8 @@ object Bench {
     "q23_quantiles", "q24_asof_bucketed", "q25_rollup", "q26_pivot",
     "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
-    "d11_incremental", "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
+    "d11_incremental", "d13_incremental_neardup",
+    "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
     "s06_label_outliers", "c01_curation", "c02_embedding_curation",
     "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
     "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",

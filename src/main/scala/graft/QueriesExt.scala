@@ -1023,6 +1023,7 @@ object QueriesExt {
                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
               FROM t a JOIN t b
                 ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+               AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
 
