@@ -955,23 +955,74 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
       maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame = {
-    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
-    def prep(f: DataFrame): DataFrame = {
-      val hs = f.select(
-        col(idCol).as("_id"), hashedShingles(col(textCol), shingleK).as("_hs"))
-      hs.select(
-          col("_id"), col("_hs"), minHashSignature(col("_hs"), numHashes).as("_sig"))
-        .select(
-          col("_id"), col("_hs"), col("_sig"),
-          bandKeys(col("_sig"), bands, rows).as("_bks"))
+    val index = buildNearDupIndex(
+      corpus, idCol, textCol, shingleK, numHashes, bands).persisted()
+    ManagedPairs(
+      probeNearDup(index, batch, idCol, textCol, threshold, maxBroadcastDocs),
+      Seq(index.prepped)).releaseOnFirstUse()
+  }
+
+  /** A built near-dup index: the corpus with hashed shingles, minhash
+    * signature, and band keys per document (`_id, _hs, _sig, _bks`). Hash
+    * geometry rides along so probes hash their batches with the identical
+    * shingle width, hash count, and banding — a geometry mismatch would
+    * silently probe empty buckets. Build once, probe with every ingest
+    * batch ([[probeNearDup]]); at scale persist it as a bucketed table
+    * ([[saveNearDupIndex]]) so the probe's payload attaches are
+    * exchange-free on the corpus side. */
+  final case class NearDupIndex(
+      prepped: DataFrame, shingleK: Int, numHashes: Int, bands: Int) {
+    def persisted(): NearDupIndex = {
+      prepped.persist(StorageLevel.MEMORY_AND_DISK); prepped.count(); this
     }
-    val bt = prep(batch)
-    val ct = prep(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    def unpersisted(): NearDupIndex = { prepped.unpersist(); this }
+  }
+
+  /** One corpus pass: shingle → minhash → band keys per document. */
+  def buildNearDupIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32): NearDupIndex = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    NearDupIndex(
+      prepNearDup(corpus, idCol, textCol, shingleK, numHashes, bands),
+      shingleK, numHashes, bands)
+  }
+
+  private def prepNearDup(
+      f: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+    f.select(
+        col(idCol).as("_id"), hashedShingles(col(textCol), shingleK).as("_hs"))
+      .select(
+        col("_id"), col("_hs"), minHashSignature(col("_hs"), numHashes).as("_sig"))
+      .select(
+        col("_id"), col("_hs"), col("_sig"),
+        bandKeys(col("_sig"), bands, numHashes / bands).as("_bks"))
+
+  /** Probe a built index with a batch: the batch's band keys broadcast
+    * against the index band stream; candidates stay narrow and payloads
+    * attach afterwards. Probe cost ∝ batch × matched buckets — the corpus
+    * is never re-hashed or re-shuffled per probe. Same output contract as
+    * [[incrementalNearDupPairs]]: `(batch_id, corpus_id, jaccard)`.
+    *
+    * The corpus attach strategy follows the d02 gate against the INDEX's
+    * materialized size — persist the index ([[NearDupIndex.persisted]]) so
+    * the gate sees real cached bytes; an unpersisted index conservatively
+    * probes narrow. */
+  def probeNearDup(
+      index: NearDupIndex, batch: DataFrame, qIdCol: String, qTextCol: String,
+      threshold: Double = 0.5,
+      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame = {
+    val numHashes = index.numHashes
+    val ct = index.prepped
+    val bt = prepNearDup(
+      batch, qIdCol, qTextCol, index.shingleK, numHashes, index.bands)
     // same strategy gate as d02: a broadcast-sized corpus pipelines the
     // candidate stream against broadcast payloads (one stage, no candidate
-    // exchange); beyond it the SHUFFLE_HASH attaches are the 100 TB plan
-    val direct = broadcastable(ct, ct.count(), maxBroadcastDocs)
+    // exchange); beyond it the SHUFFLE_HASH attaches are the 100 TB plan.
+    // The head-count is bounded; the size check reads cached-plan stats.
+    val nDocs = ct.limit(maxBroadcastDocs.toInt + 1).count()
+    val direct = nDocs <= maxBroadcastDocs && broadcastable(ct, nDocs, maxBroadcastDocs)
     def attachC(f: DataFrame): DataFrame =
       if (direct) broadcast(f) else f.hint("shuffle_hash")
     val bBand = bt.select(col("_id").as("_b_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
@@ -1010,7 +1061,31 @@ object Dedup {
       .select(
         col("_b_id").as("batch_id"), col("_c_id").as("corpus_id"),
         round(jacc, 6).as("jaccard"))
-    ManagedPairs(out, Seq(ct)).releaseOnFirstUse()
+    out
+  }
+
+  /** Persist a near-dup index as tables: the prepped corpus BUCKETED on
+    * `_id` ([[graft.sources.Sinks.writeBucketed]]) so every probe's payload
+    * attaches are exchange-free on the corpus side, plus a one-row `_meta`
+    * table carrying the hash geometry (a probe with mismatched geometry
+    * would silently hash into empty buckets, so it travels with the data —
+    * the [[graft.operators.Similarity.saveLshIndex]] convention). */
+  def saveNearDupIndex(index: NearDupIndex, name: String, numBuckets: Int): Unit = {
+    graft.sources.Sinks.writeBucketed(
+      index.prepped, s"${name}_prepped", Seq("_id"), numBuckets)
+    index.prepped.sparkSession
+      .sql(s"SELECT ${index.shingleK} AS shingle_k, " +
+        s"${index.numHashes} AS num_hashes, ${index.bands} AS bands")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  def loadNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession, name: String): NearDupIndex = {
+    val meta = spark.table(s"${name}_meta").head()
+    NearDupIndex(
+      spark.table(s"${name}_prepped"),
+      meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("bands"))
   }
 
   /** Semantic decontamination — the embedding-space complement of the

@@ -373,6 +373,68 @@ class DedupSpec extends SparkSpec {
     assert(near >= 0.5 && near < 1.0)                    // near, not exact
   }
 
+  test("probeNearDup through a built index == one-shot incrementalNearDupPairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(61)
+    def doc(i: Long, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (i, Seq.fill(30)(s"tok${r.nextInt(40)}").mkString(" "))
+    }
+    val corpus = (0L until 40L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val batch = ((100L until 110L).map(i => doc(i, rng.nextInt())) ++
+      Seq(doc(200L, 3), doc(201L, 17))).toDF("doc_id", "text") // 2 planted dups
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = rows(Dedup.incrementalNearDupPairs(
+      batch, corpus, "doc_id", "text", threshold = 0.5))
+    val index = Dedup.buildNearDupIndex(corpus, "doc_id", "text").persisted()
+    val probed = rows(Dedup.probeNearDup(index, batch, "doc_id", "text",
+      threshold = 0.5))
+    assert(probed == oneShot)
+    assert(probed.map(p => (p._1, p._2)).intersect(
+      Set((200L, 3L), (201L, 17L))).size == 2) // planted dups found
+    // save/load round-trip probes identically through the bucketed tables
+    Dedup.saveNearDupIndex(index, "dedupspec_ndi", numBuckets = 4)
+    val loaded = Dedup.loadNearDupIndex(spark, "dedupspec_ndi")
+    assert(loaded.shingleK == index.shingleK && loaded.bands == index.bands)
+    assert(rows(Dedup.probeNearDup(loaded, batch, "doc_id", "text",
+      threshold = 0.5)) == oneShot)
+    index.unpersisted()
+  }
+
+  test("StreamingDedup: per-batch near-dup probe == batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def doc(i: Long, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (i, Seq.fill(30)(s"tok${r.nextInt(40)}").mkString(" "))
+    }
+    val corpus = (0L until 30L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(corpus, "doc_id", "text").persisted()
+    val queries = Seq(doc(300L, 5), doc(301L, 999), doc(302L, 12))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamingDedup.attachNearDup(
+      stream.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      threshold = 0.5, checkpoint = tmpDir("neardup-ckpt")) { (pairs, _) =>
+      got.synchronized {
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      stream.addData(queries.take(2))
+      q.processAllAvailable()
+      stream.addData(queries.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = Dedup.probeNearDup(
+        index, queries.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.synchronized(got.toSet) == expect)
+    assert(expect.map(_._1).intersect(Set(300L, 302L)).size == 2) // dups of 5, 12
+    index.unpersisted()
+  }
+
   test("semanticDecontaminate drops near-benchmark vectors, keeps the rest") {
     import spark.implicits._
     val corpus = Seq(
