@@ -393,7 +393,19 @@ class DedupSpec extends SparkSpec {
     assert(probed == oneShot)
     assert(probed.map(p => (p._1, p._2)).intersect(
       Set((200L, 3L), (201L, 17L))).size == 2) // planted dups found
-    // save/load round-trip probes identically through the bucketed tables
+    // save/load round-trip probes identically through the bucketed tables.
+    // A previous JVM's run may have left the managed location behind with
+    // no catalog entry — drop both so Overwrite can't hit
+    // LOCATION_ALREADY_EXISTS (the saveIvfIndex spec's pattern).
+    Seq("dedupspec_ndi_prepped", "dedupspec_ndi_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Dedup.saveNearDupIndex(index, "dedupspec_ndi", numBuckets = 4)
     val loaded = Dedup.loadNearDupIndex(spark, "dedupspec_ndi")
     assert(loaded.shingleK == index.shingleK && loaded.bands == index.bands)
