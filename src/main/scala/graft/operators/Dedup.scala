@@ -954,11 +954,11 @@ object Dedup {
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame = {
+      broadcastCandidates: Boolean = true): DataFrame = {
     val index = buildNearDupIndex(
       corpus, idCol, textCol, shingleK, numHashes, bands).persisted()
     ManagedPairs(
-      probeNearDup(index, batch, idCol, textCol, threshold, maxBroadcastDocs),
+      probeNearDup(index, batch, idCol, textCol, threshold, broadcastCandidates),
       Seq(index.prepped)).releaseOnFirstUse()
   }
 
@@ -999,77 +999,79 @@ object Dedup {
         col("_id"), col("_hs"), col("_sig"),
         bandKeys(col("_sig"), bands, numHashes / bands).as("_bks"))
 
-  /** Probe a built index with a batch: the batch's band keys broadcast
-    * against the index band stream; candidates stay narrow and payloads
-    * attach afterwards. Probe cost ∝ batch × matched buckets — the corpus
-    * is never re-hashed or re-shuffled per probe. Same output contract as
-    * [[incrementalNearDupPairs]]: `(batch_id, corpus_id, jaccard)`.
-    *
-    * The corpus attach strategy follows the d02 gate against the INDEX's
-    * materialized size — persist the index ([[NearDupIndex.persisted]]) so
-    * the gate sees real cached bytes; an unpersisted index conservatively
-    * probes narrow. */
+  /** Probe a built index with a batch: the batch's band keys and payloads
+    * broadcast; the corpus is only ever SCANNED — never re-hashed, never
+    * exchanged (with the default `broadcastCandidates`; see the in-body
+    * comment for the large-batch fallback). Per-probe cost = the batch's
+    * own kernels + two columnar passes over the index, so it is governed
+    * by corpus SIZE only through scan bandwidth, not through shuffles or
+    * per-doc hashing. Persist the index ([[NearDupIndex.persisted]]) so
+    * repeated probes read cached columnar blocks. Same output contract as
+    * [[incrementalNearDupPairs]]: `(batch_id, corpus_id, jaccard)`. */
   def probeNearDup(
       index: NearDupIndex, batch: DataFrame, qIdCol: String, qTextCol: String,
       threshold: Double = 0.5,
-      maxBroadcastDocs: Long = defaultMaxBroadcastDocs): DataFrame = {
+      broadcastCandidates: Boolean = true): DataFrame = {
     val numHashes = index.numHashes
     val ct = index.prepped
     val bt = prepNearDup(
       batch, qIdCol, qTextCol, index.shingleK, numHashes, index.bands)
-    // same strategy gate as d02: a broadcast-sized corpus pipelines the
-    // candidate stream against broadcast payloads (one stage, no candidate
-    // exchange); beyond it the SHUFFLE_HASH attaches are the 100 TB plan.
-    // The head-count is bounded; the size check reads cached-plan stats.
-    val nDocs = ct.limit(maxBroadcastDocs.toInt + 1).count()
-    val direct = nDocs <= maxBroadcastDocs && broadcastable(ct, nDocs, maxBroadcastDocs)
-    def attachC(f: DataFrame): DataFrame =
-      if (direct) broadcast(f) else f.hint("shuffle_hash")
     val bBand = bt.select(col("_id").as("_b_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
-    val cBand = ct.select(col("_id").as("_c_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
-    // Stage 1 — narrow candidates + the SMALL per-doc payloads (signature
-    // 64 longs + band keys 32 longs), then the two row-local filters. The
-    // fat hashed-shingle SETS (KBs per doc) attach in stage 2 for the
-    // post-filter survivors only: attached here they would ride the
-    // corpus-side exchange once per CANDIDATE — measured 22 s vs ~2 s at
-    // sf0.1 (~3M candidates × ~4 KB of set payload).
-    val cand = cBand.join(broadcast(bBand), Seq("_band", "_bh"))
+    // Pass 1 — corpus band scan × broadcast batch bands: a NARROW candidate
+    // id list (b_id, c_id, band), no payload, no exchange.
+    val candIds = ct
+      .select(col("_id").as("_c_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
+      .join(broadcast(bBand), Seq("_band", "_bh"))
       .select(col("_b_id"), col("_c_id"), col("_band"))
-      .join(broadcast(bt.select(
-        col("_id").as("_b_id"),
-        col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))), Seq("_b_id"))
-      .join(attachC(ct.select(
-          col("_id").as("_c_id"),
-          col("_sig").as("_sig_c"), col("_bks").as("_bks_c"))), Seq("_c_id"))
-      .filter(graft.functions.ArrayKernels.firstEqualIndex(
-        col("_bks_b"), col("_bks_c")) === col("_band") + 1)
+    // Pass 2 — attach payloads. Default: the candidate list broadcasts back
+    // onto the corpus (candidates ∝ batch × bucket occupancy — small in the
+    // ingest regime), so the corpus is only ever SCANNED: zero exchanges in
+    // the whole probe, and corpus payload columns materialize for matched
+    // rows only. The earlier shuffle_hash formulation exchanged the corpus
+    // payload per probe — measured probe wall GREW with corpus size
+    // (6.2 → 21.1 s at 100k → 400k docs) instead of staying scan-bound.
+    // For batches too large for their candidate list to broadcast, set
+    // `broadcastCandidates = false`: the attach becomes a SHUFFLE_HASH join
+    // (candidates and corpus exchange by corpus id — the d02 narrow
+    // discipline, correct at any size, one corpus exchange per probe).
+    val attached =
+      if (broadcastCandidates)
+        ct.select(
+            col("_id").as("_c_id"), col("_hs").as("_hs_c"),
+            col("_sig").as("_sig_c"), col("_bks").as("_bks_c"))
+          .join(broadcast(candIds), Seq("_c_id"))
+      else
+        candIds.join(
+          ct.select(
+            col("_id").as("_c_id"), col("_hs").as("_hs_c"),
+            col("_sig").as("_sig_c"), col("_bks").as("_bks_c"))
+            .hint("shuffle_hash"),
+          Seq("_c_id"))
     val sigCut =
       math.max(0.0, threshold - 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
-    val survivors = cand
-      .filter(graft.functions.ArrayKernels.agreeCount(
-        col("_sig_b"), col("_sig_c")) >= lit(sigCut * numHashes))
-      .select("_b_id", "_c_id")
-    // Stage 2 — exact verification on the near-real pairs.
     val jacc = graft.functions.ArrayKernels
       .sortedJaccardGeq(col("_hs_b"), col("_hs_c"), threshold)
-    val out = survivors
-      .join(broadcast(bt.select(col("_id").as("_b_id"), col("_hs").as("_hs_b"))),
-        Seq("_b_id"))
-      .join(attachC(
-        ct.select(col("_id").as("_c_id"), col("_hs").as("_hs_c"))), Seq("_c_id"))
+    attached
+      .join(broadcast(bt.select(
+        col("_id").as("_b_id"), col("_hs").as("_hs_b"),
+        col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))), Seq("_b_id"))
+      .filter(graft.functions.ArrayKernels.firstEqualIndex(
+        col("_bks_b"), col("_bks_c")) === col("_band") + 1)
+      .filter(graft.functions.ArrayKernels.agreeCount(
+        col("_sig_b"), col("_sig_c")) >= lit(sigCut * numHashes))
       .filter(jacc >= threshold)
       .select(
         col("_b_id").as("batch_id"), col("_c_id").as("corpus_id"),
         round(jacc, 6).as("jaccard"))
-    out
   }
 
   /** Persist a near-dup index as tables: the prepped corpus BUCKETED on
-    * `_id` ([[graft.sources.Sinks.writeBucketed]]) so every probe's payload
-    * attaches are exchange-free on the corpus side, plus a one-row `_meta`
-    * table carrying the hash geometry (a probe with mismatched geometry
-    * would silently hash into empty buckets, so it travels with the data —
-    * the [[graft.operators.Similarity.saveLshIndex]] convention). */
+    * `_id` ([[graft.sources.Sinks.writeBucketed]]) — which makes even the
+    * large-batch `broadcastCandidates = false` fallback's corpus-side
+    * attach exchange-free — plus a one-row `_meta` table carrying the hash
+    * geometry (a probe with mismatched geometry would silently hash into
+    * empty buckets, so it travels with the data — the
+    * [[graft.operators.Similarity.saveLshIndex]] convention). */
   def saveNearDupIndex(index: NearDupIndex, name: String, numBuckets: Int): Unit = {
     graft.sources.Sinks.writeBucketed(
       index.prepped, s"${name}_prepped", Seq("_id"), numBuckets)

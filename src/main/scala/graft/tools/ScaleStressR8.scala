@@ -147,6 +147,38 @@ object ScaleStressR8 {
       queries.unpersist(); df.unpersist()
     }
 
+    // near-dup index claim under test: with the corpus's shingle/minhash/
+    // band frame built ONCE, per-batch probe wall is governed by the batch
+    // and its matched buckets — growing the corpus grows the BUILD linearly
+    // but not the probe (candidates ∝ batch × bucket occupancy).
+    if (which("neardup")) for (n <- Seq(100000L, 400000L)) {
+      import graft.operators.Dedup
+      def synthDocs(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id") * 7919 + i), lit(5000L))))).as("text"))
+      val corpus = synthDocs(spark.range(n).toDF()).cache(); corpus.count()
+      // batch: 400 novel docs + 100 copies of corpus docs (planted dups)
+      val batch = synthDocs(
+        spark.range(n, n + 400L).select(col("id"))).unionByName(
+        synthDocs(spark.range(100L).select(col("id")))
+          .select((col("id") + 10000000L).as("id"),
+            col("text"))).cache()
+      batch.count()
+      var t0 = System.nanoTime()
+      val ndi = Dedup.buildNearDupIndex(corpus, "id", "text").persisted()
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      val probeWall = (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        noop(Dedup.probeNearDup(ndi, batch, "id", "text", threshold = 0.5))
+        (System.nanoTime() - t) / 1e9
+      }.min
+      val hits = Dedup.probeNearDup(ndi, batch, "id", "text", threshold = 0.5).count()
+      println(f"[neardup] n=$n%8d build=$buildWall%6.2f s  " +
+        f"probe(500-doc batch)=$probeWall%6.2f s  pairs=$hits%4d")
+      ndi.unpersisted(); corpus.unpersist(); batch.unpersist()
+    }
+
     // t20/t21 claim under test: shuffle ∝ DISTINCT doc×token pairs (then ∝
     // vocabulary), NOT token occurrences — a corpus-common token is a hot
     // GROUP key the map-side combiner absorbs, never a hot join key (the
