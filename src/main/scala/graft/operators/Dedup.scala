@@ -933,14 +933,15 @@ object Dedup {
     *
     *  - the batch's band keys BROADCAST (ingestion batches are small by
     *    definition) against the corpus band stream — the corpus is never
-    *    shuffled by bucket, and at scale the corpus's banded frame is
-    *    exactly what a production pipeline persists once
-    *    ([[graft.sources.Sinks.writeBucketed]] on the band key) and probes
-    *    with every batch, paying no corpus-side work per ingest;
-    *  - candidates stay narrow (corpus_id, batch_id, band); payloads attach
-    *    by id afterwards (batch side broadcast, corpus side SHUFFLE_HASH —
-    *    the d02 narrow discipline, so a hot bucket's row emission carries
-    *    no per-pair compute);
+    *    shuffled, only scanned, and at scale its prepped frame is exactly
+    *    what a production pipeline persists once ([[saveNearDupIndex]])
+    *    and probes with every batch, paying no corpus-side kernels per
+    *    ingest;
+    *  - candidates stay narrow (corpus_id, batch_id, band); payloads
+    *    attach by id afterwards with the candidate list broadcast back
+    *    onto the corpus — zero exchanges end to end (see [[probeNearDup]]
+    *    for the measured reason and the `broadcastCandidates = false`
+    *    bulk-batch fallback);
     *  - cross-band duplicates die at emission via the first-agreeing-band
     *    compare, never a distinct shuffle; the 4σ signature pre-filter and
     *    the thresholded exact-Jaccard merge are shared with d02.
@@ -991,7 +992,13 @@ object Dedup {
   private def prepNearDup(
       f: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int): DataFrame =
-    f.select(
+    // ingest repartition, as in minHashLshPairs: a small-file source (one
+    // parquet file ⇒ one partition) would otherwise serialize the shingle/
+    // minhash/band kernels on a single task — and, for the corpus build,
+    // bake that single-partition layout into the persisted index so every
+    // probe scan inherits it
+    f.repartition(f.sparkSession.sparkContext.defaultParallelism)
+      .select(
         col(idCol).as("_id"), hashedShingles(col(textCol), shingleK).as("_hs"))
       .select(
         col("_id"), col("_hs"), minHashSignature(col("_hs"), numHashes).as("_sig"))
@@ -1014,26 +1021,41 @@ object Dedup {
       broadcastCandidates: Boolean = true): DataFrame = {
     val numHashes = index.numHashes
     val ct = index.prepped
+    // the batch frame feeds two join branches (band keys + payload attach);
+    // Spark does not share common subplans across branches, so without the
+    // persist the batch's shingle/minhash/band kernels would run twice per
+    // probe — released by the one-shot listener after the caller's first
+    // action (the d02 cache discipline)
     val bt = prepNearDup(
-      batch, qIdCol, qTextCol, index.shingleK, numHashes, index.bands)
+        batch, qIdCol, qTextCol, index.shingleK, numHashes, index.bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def maybeB(f: DataFrame): DataFrame =
+      if (broadcastCandidates) broadcast(f) else f.hint("shuffle_hash")
     val bBand = bt.select(col("_id").as("_b_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
-    // Pass 1 — corpus band scan × broadcast batch bands: a NARROW candidate
-    // id list (b_id, c_id, band), no payload, no exchange.
+    // Pass 1 — candidate generation: a NARROW id list (b_id, c_id, band),
+    // no payload. Broadcast mode: corpus band scan × broadcast batch bands,
+    // no exchange. Fallback mode: both band streams exchange by
+    // (band, bandHash) — a sort-merge/AQE-skew-handled bucket join, the d02
+    // narrow band-join shape.
     val candIds = ct
       .select(col("_id").as("_c_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
-      .join(broadcast(bBand), Seq("_band", "_bh"))
+      .join(if (broadcastCandidates) broadcast(bBand) else bBand,
+        Seq("_band", "_bh"))
       .select(col("_b_id"), col("_c_id"), col("_band"))
-    // Pass 2 — attach payloads. Default: the candidate list broadcasts back
-    // onto the corpus (candidates ∝ batch × bucket occupancy — small in the
-    // ingest regime), so the corpus is only ever SCANNED: zero exchanges in
-    // the whole probe, and corpus payload columns materialize for matched
-    // rows only. The earlier shuffle_hash formulation exchanged the corpus
-    // payload per probe — measured probe wall GREW with corpus size
-    // (6.2 → 21.1 s at 100k → 400k docs) instead of staying scan-bound.
-    // For batches too large for their candidate list to broadcast, set
-    // `broadcastCandidates = false`: the attach becomes a SHUFFLE_HASH join
-    // (candidates and corpus exchange by corpus id — the d02 narrow
-    // discipline, correct at any size, one corpus exchange per probe).
+    // Pass 2 — attach payloads. Default (`broadcastCandidates = true`, the
+    // ingest regime — batch AND its candidate list fit the broadcast
+    // budget): the candidate list broadcasts back onto the corpus, so the
+    // corpus is only ever SCANNED — zero exchanges in the whole probe, and
+    // corpus payload columns materialize for matched rows only. The
+    // shuffle_hash formulation this replaced exchanged the corpus payload
+    // per probe — measured probe wall GREW with corpus size (6.2 → 21.1 s
+    // at 100k → 400k docs) instead of staying scan-bound.
+    // `broadcastCandidates = false` is the bulk regime (a backfill too big
+    // to broadcast): NOTHING batch-sided broadcasts — band join, payload
+    // attaches, and candidates all exchange by their keys (SHUFFLE_HASH on
+    // the id attaches), correct at any batch size at the price of one
+    // corpus exchange per probe (exchange-free on the corpus side when the
+    // index is a bucketed table, [[saveNearDupIndex]]).
     val attached =
       if (broadcastCandidates)
         ct.select(
@@ -1051,8 +1073,8 @@ object Dedup {
       math.max(0.0, threshold - 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
     val jacc = graft.functions.ArrayKernels
       .sortedJaccardGeq(col("_hs_b"), col("_hs_c"), threshold)
-    attached
-      .join(broadcast(bt.select(
+    val out = attached
+      .join(maybeB(bt.select(
         col("_id").as("_b_id"), col("_hs").as("_hs_b"),
         col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))), Seq("_b_id"))
       .filter(graft.functions.ArrayKernels.firstEqualIndex(
@@ -1063,6 +1085,7 @@ object Dedup {
       .select(
         col("_b_id").as("batch_id"), col("_c_id").as("corpus_id"),
         round(jacc, 6).as("jaccard"))
+    ManagedPairs(out, Seq(bt)).releaseOnFirstUse()
   }
 
   /** Persist a near-dup index as tables: the prepped corpus BUCKETED on

@@ -14,17 +14,21 @@ import graft.operators.Dedup
   *
   * `sink` receives `(batch_id, corpus_id, jaccard)` pairs and the batch id;
   * exactly-once sink semantics when `sink` is idempotent by (batch id,
-  * batch_id). Persist the index before attaching so the probe's strategy
-  * gate sees real cached sizes. */
+  * batch_id). Persist the index before attaching so repeated probes read
+  * cached columnar blocks. Micro-batches are trigger-bounded, so the
+  * default broadcast probe is right; `broadcastCandidates = false` exists
+  * for sources that can deliver a huge backlogged first batch. */
 object StreamingDedup {
 
   def attachNearDup(
       queries: DataFrame, index: Dedup.NearDupIndex,
       qIdCol: String, qTextCol: String, threshold: Double,
-      checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+      checkpoint: String, broadcastCandidates: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch((batch: DataFrame, id: Long) =>
-        sink(Dedup.probeNearDup(index, batch, qIdCol, qTextCol, threshold), id))
+        sink(Dedup.probeNearDup(index, batch, qIdCol, qTextCol, threshold,
+          broadcastCandidates), id))
       .option("checkpointLocation", checkpoint)
       .start()
 }

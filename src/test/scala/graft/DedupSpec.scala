@@ -411,6 +411,12 @@ class DedupSpec extends SparkSpec {
     assert(loaded.shingleK == index.shingleK && loaded.bands == index.bands)
     assert(rows(Dedup.probeNearDup(loaded, batch, "doc_id", "text",
       threshold = 0.5)) == oneShot)
+    // the bulk-batch fallback (nothing batch-sided broadcasts) must agree,
+    // both in-memory and through the bucketed tables
+    assert(rows(Dedup.probeNearDup(index, batch, "doc_id", "text",
+      threshold = 0.5, broadcastCandidates = false)) == oneShot)
+    assert(rows(Dedup.probeNearDup(loaded, batch, "doc_id", "text",
+      threshold = 0.5, broadcastCandidates = false)) == oneShot)
     index.unpersisted()
   }
 
