@@ -604,7 +604,42 @@ object Queries {
               JOIN customer c ON o.o_custkey = c.c_custkey
               JOIN nation n ON c.c_nationkey = n.n_nationkey
               WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
-              GROUP BY n.n_name"""))
+              GROUP BY n.n_name""")),
+
+    // Q31 — bounded time-RANGE rolling aggregate (§2.8's missing frame
+    // kind): per customer, order count and spend over the trailing 30 days
+    // INCLUDING the current order — a value-based frame (`rangeBetween` on
+    // epoch seconds), not a row-count frame, so same-timestamp orders are
+    // all in each other's frames on both engines identically. Scale: one
+    // exchange on the partition key; frames are resolved by a per-key sort
+    // + two pointers, never a per-row rescan. A pathologically hot key
+    // serializes its partition like any keyed window — q24's (key, bucket)
+    // split applies if one customer dominates (not a TPC-H shape).
+    Entry(
+      "q31_rolling_range",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L)
+            .cast("long").as("t"),
+          col("o_totalprice"))
+        val w = Window.partitionBy("o_custkey").orderBy(col("t"))
+          .rangeBetween(-30L * 86400, 0)
+        o.select(
+          col("o_custkey"), col("o_orderkey"), col("t"),
+          count(lit(1)).over(w).as("n_30d"),
+          round(sum(col("o_totalprice")).over(w) + lit(1e-9), 6).as("sum_30d"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+                                epoch(o_orderdate)::BIGINT AS t, o_totalprice
+                         FROM orders)
+              SELECT o_custkey, o_orderkey, t,
+                     COUNT(*) OVER w AS n_30d,
+                     ROUND(SUM(o_totalprice) OVER w + 1e-9, 6) AS sum_30d
+              FROM o
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY t
+                           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)"""))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all
