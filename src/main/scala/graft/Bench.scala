@@ -23,10 +23,12 @@ object Bench {
     "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
     "d11_incremental", "d13_incremental_neardup",
     "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
-    "s06_label_outliers", "c01_curation", "c02_embedding_curation",
+    "s06_label_outliers", "s08_bm25", "s09_embed_stats",
+    "c01_curation", "c02_embedding_curation",
     "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
     "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",
-    "t19_shard", "t20_unigram_logprob", "t21_pmi_collocations")
+    "t19_shard", "t20_unigram_logprob", "t21_pmi_collocations",
+    "t24_source_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1347,6 +1347,76 @@ object QueriesExt {
               SELECT source, n_docs, CAST(nt AS BIGINT) AS n_tokens,
                      ROUND(p + 1e-9, 6) AS p, ROUND(pa / z.z + 1e-9, 6) AS q,
                      ROUND((pa / z.z) / p + 1e-9, 6) AS boost
-              FROM p, z"""))
+              FROM p, z""")),
+
+    // T24 — per-source KL drift vs the corpus unigram blend. After the
+    // first (source, term) aggregate nothing is corpus-size-proportional;
+    // the corpus total is a one-row broadcast. Oracle mirrors the identical
+    // left-assoc double arithmetic.
+    Entry(
+      "t24_source_drift",
+      (s, d) => TextAnalysis.sourceDrift(docs(s, d), "source", "text"),
+      Some("""WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                            FROM documents),
+                   gt AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY source, t),
+                   ct AS (SELECT t, SUM(c) AS ctot FROM gt GROUP BY t),
+                   gn AS (SELECT source, SUM(c) AS ng FROM gt GROUP BY source),
+                   n AS (SELECT SUM(ctot) AS ntot FROM ct)
+              SELECT gt.source, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     ROUND(SUM((c / ng) * ln((c / ng) / (ctot / ntot))) + 1e-9, 6) AS kl
+              FROM gt JOIN ct USING (t) JOIN gn USING (source), n
+              GROUP BY gt.source""")),
+
+    // S8 — BM25 lexical retrieval: top-10 documents for a constant 3-term
+    // query. The tf columns are per-row HOF kernels inside the scan stage
+    // (no token explode, no (doc, term) shuffle); corpus stats are ONE
+    // one-row broadcast aggregate; the finisher is TakeOrderedAndProject.
+    // Oracle replays the identical arithmetic (same literal constants, same
+    // left-assoc order) so doubles agree to the last ulp before rounding.
+    Entry(
+      "s08_bm25",
+      (s, d) =>
+        TextAnalysis.bm25TopK(
+          docs(s, d), "doc_id", "text",
+          queryTerms = Seq("vector", "merge", "scan"), k = 10),
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf2
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents)),
+              g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                           SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                           SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                           SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+                    FROM p),
+              sc AS (SELECT doc_id,
+                       ROUND(
+                         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + 1e-9, 6) AS bm25
+                     FROM p, g)
+              SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+              ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+    // S9 — per-dimension embedding statistics (monitoring / whitening
+    // input). posexplode → 64-key hash aggregate: shuffle ∝ dims ×
+    // partitions, corpus-size-independent. Oracle zips two unnests
+    // (dimension index + value) — DuckDB zips parallel unnests positionally.
+    Entry(
+      "s09_embed_stats",
+      (s, d) => Similarity.dimensionStats(embs(s, d), "embedding"),
+      Some("""WITH u AS (
+                SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v
+                FROM embeddings)
+              SELECT dim, COUNT(*) AS n,
+                     ROUND(AVG(v) + 1e-9, 6) AS mean,
+                     ROUND(var_pop(v) + 1e-9, 6) AS variance,
+                     MIN(v) AS vmin, MAX(v) AS vmax
+              FROM u GROUP BY dim"""))
   )
 }

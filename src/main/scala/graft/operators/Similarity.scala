@@ -611,4 +611,28 @@ object Similarity {
       spark.table(s"${name}_buckets"), idCol, vecCol,
       meta.getAs[Int]("n_planes"), meta.getAs[Int]("dims"))
   }
+
+  /** Per-dimension corpus statistics of an embedding column — the
+    * monitoring / whitening signal (a collapsed dimension shows up as
+    * near-zero variance; a drifted encoder as a moved mean; a broken
+    * normalizer as out-of-range min/max). Returns
+    * `(dim, n, mean, variance, vmin, vmax)` with mean/variance rounded to
+    * 6dp (population variance — mirror `var_pop` in oracles); min/max are
+    * exact element values, identical bits on any engine.
+    *
+    * Shape: `posexplode` → hash aggregate on the dimension index. The
+    * group-key cardinality IS the dimensionality (tiny), so every partial
+    * aggregate collapses map-side and the shuffle moves
+    * `O(dims × partitions)` rows regardless of corpus size — at 100 TB this
+    * is scan-bound, and a hot dimension key cannot exist (every dimension
+    * appears exactly once per row). */
+  def dimensionStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "_v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        stableRound(avg(col("_v")), 6).as("mean"),
+        stableRound(var_pop(col("_v")), 6).as("variance"),
+        min(col("_v")).as("vmin"),
+        max(col("_v")).as("vmax"))
 }

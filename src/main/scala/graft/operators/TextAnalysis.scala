@@ -355,6 +355,59 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Top-`k` documents for a term query by BM25 (Robertson/Spärck Jones —
+    * the lexical-retrieval baseline every RAG/decontamination pipeline
+    * starts from). `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`, the standard
+    * Lucene-style non-negative form. Scores round to 6dp (tie-broken by id)
+    * before the cut; zero-score docs (no query term present) are dropped.
+    *
+    * Shape — deliberately NOT the explode+join shape of [[tfIdfTopTerms]]:
+    * the query is a handful of CONSTANT terms, so per-doc term frequencies
+    * compute as `size(filter(tokens, _ = term))` — per-row codegen'd
+    * higher-order functions inside the scan stage, no token explode, no
+    * (doc, term) shuffle at all. The corpus stats (N, avgdl, per-term df)
+    * collapse into ONE one-row aggregate (all-in combiner, bytes moved ∝
+    * #partitions) broadcast back; the finisher is
+    * `orderBy(...).limit(k)` = `TakeOrderedAndProject` (partition-local
+    * top-k). Total cost at 100 TB: two narrow scans + one scalar exchange —
+    * a doc with a million tokens is just a longer per-row loop, never a hot
+    * key. The token array is projected ONCE in its own select (a multi-use
+    * non-cheap alias, which `CollapseProject` refuses to duplicate), so the
+    * split runs once per row, not once per query term. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val tfCols = terms.indices.map { i =>
+      size(filter(col("_toks"), x => x === lit(terms(i))))
+        .cast("double").as(s"_tf$i")
+    }
+    val perDoc = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+      .select(
+        (col("_id") +: size(col("_toks")).cast("double").as("_dl") +: tfCols): _*)
+    val statAggs =
+      avg(col("_dl")).as("_avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).as(s"_df$i"))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("_n"), statAggs: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i")
+      val dfq = col(s"_df$i")
+      val idf = log(lit(1.0) + (col("_n") - dfq + lit(0.5)) / (dfq + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("bm25", stableRound(score, 6))
+      .filter(col("bm25") > 0)
+      .select(col("_id").as(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-`k` bigram collocations by pointwise mutual information — the
     * phrase-mining step (learn "new york"-style multi-word units before
     * tokenizer training or query expansion). PMI compares the observed
@@ -479,5 +532,43 @@ object TextAnalysis {
         sum("_c").cast("long").as("n_tokens"),
         stableRound(sum("_wlp") / sum("_c"), 6).as("avg_logprob"))
       .withColumnRenamed("_id", idCol)
+  }
+
+  /** Per-source distribution drift: `KL(p_source ‖ p_corpus)` over unigram
+    * term distributions — the standard monitor for "did this crawl slice /
+    * ingest batch drift away from the corpus mix" (0 = identical to the
+    * blend; large = divergent vocabulary). No smoothing is needed: every
+    * source term is by construction in the corpus, so `q(t) > 0` wherever
+    * `p(t) > 0`. Returns `(groupCol, n_terms, n_tokens, kl)`, kl rounded
+    * to 6dp.
+    *
+    * Shape: one token explode → per-(source, term) hash count (map-side
+    * combined, shuffle ∝ sources × vocabulary — a corpus-common term is a
+    * hot GROUP key, combiner-absorbed); corpus term frequencies and
+    * per-source totals aggregate FROM that table (∝ vocabulary / ∝
+    * sources, never a second corpus pass); the corpus total is a one-row
+    * broadcast frame; both joins are vocabulary-/source-sized (AQE
+    * broadcasts). Nothing in the plan is proportional to corpus size after
+    * the first aggregate. */
+  def sourceDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gt = df
+      .select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("_t"))
+      .groupBy("_g", "_t").agg(count(lit(1)).as("_c"))
+    val ct = gt.groupBy("_t").agg(sum("_c").as("_ct"))
+    val gn = gt.groupBy("_g").agg(sum("_c").as("_ng"))
+    val n = ct.agg(sum("_ct").as("_n"))
+    gt.join(ct, Seq("_t"))
+      .join(gn, Seq("_g"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("_g"), col("_c"),
+        ((col("_c") / col("_ng")) *
+          log((col("_c") / col("_ng")) / (col("_ct") / col("_n")))).as("_kl"))
+      .groupBy("_g")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("_c").cast("long").as("n_tokens"),
+        stableRound(sum("_kl"), 6).as("kl"))
+      .withColumnRenamed("_g", groupCol)
   }
 }

@@ -58,4 +58,24 @@ class PlanPinSpec extends SparkSpec {
         s"$q frequency join fell back to sort-merge:\n${plan.take(3000)}")
     }
   }
+
+  test("s08: BM25 plans no token explode, no join but the stats broadcast, top-k finisher") {
+    val plan = Queries.byName("s08_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"s08 must not explode the token stream:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"s08's only join must be the one-row stats broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"s08 must finish with a partition-local top-k:\n${plan.take(3000)}")
+  }
+
+  test("s09/t24: per-dim stats and KL drift never sort-merge, never global-sort") {
+    Seq("s09_embed_stats", "t24_source_drift").foreach { q =>
+      val plan = Queries.byName(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q fell back to sort-merge:\n${plan.take(3000)}")
+    }
+  }
 }

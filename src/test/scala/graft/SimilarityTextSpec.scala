@@ -618,4 +618,50 @@ class SimilarityTextSpec extends SparkSpec {
     assert(out(2L)._1 == 2L)
     assert(math.abs(out(2L)._2 - (lpA + lp1) / 2.0) < 1e-5)
   }
+
+  test("bm25TopK matches the hand-computed model; zero-score docs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b x"), (2L, "a c y y"), (3L, "b b b z"), (4L, "w w w w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=4, avgdl=4, df_a=df_b=2 → idf = ln(1 + 2.5/2.5) = ln 2; dl/avgdl=1
+    // so each term contributes ln2 · tf·2.2/(tf+1.2).
+    val ln2 = math.log(2.0)
+    def c(tf: Double) = ln2 * tf * 2.2 / (tf + 1.2)
+    val expect = Seq(
+      (1L, c(2) + c(1)), (3L, c(3)), (2L, c(1)))
+    assert(out.map(_._1).toSeq == expect.map(_._1)) // doc 4 (no terms) dropped
+    out.zip(expect).foreach { case ((_, got), (_, want)) =>
+      assert(math.abs(got - want) < 1e-5)
+    }
+  }
+
+  test("sourceDrift: uniform source has KL 0, skewed source positive") {
+    import spark.implicits._
+    // corpus: sA = "a b", sB = "a a" → p(a)=3/4, p(b)=1/4
+    val df = Seq(("sA", "a b"), ("sB", "a a")).toDF("source", "text")
+    val out = TextAnalysis.sourceDrift(df, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // KL(sA) = .5·ln(.5/.75) + .5·ln(.5/.25); KL(sB) = 1·ln(1/.75)
+    assert(out("sA")._1 == 2L && out("sA")._2 == 2L)
+    assert(math.abs(out("sA")._3 -
+      (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))) < 1e-5)
+    assert(out("sB")._1 == 1L && out("sB")._2 == 2L)
+    assert(math.abs(out("sB")._3 - math.log(1.0 / 0.75)) < 1e-5)
+  }
+
+  test("dimensionStats matches the hand model and is layout-invariant") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 6.0))).toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val got = canon(Similarity.dimensionStats(df, "embedding"))
+    assert(got == Seq(
+      (0L, 2L, 2.0, 1.0, 1.0, 3.0),
+      (1L, 2L, 4.0, 4.0, 2.0, 6.0)))
+    assert(got == canon(Similarity.dimensionStats(df.repartition(5), "embedding")))
+  }
 }
