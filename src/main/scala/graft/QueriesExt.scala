@@ -1357,7 +1357,7 @@ object QueriesExt {
       "t24_source_drift",
       (s, d) => TextAnalysis.sourceDrift(docs(s, d), "source", "text"),
       Some("""WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-                            FROM documents),
+                            FROM documents WHERE source IS NOT NULL),
                    gt AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY source, t),
                    ct AS (SELECT t, SUM(c) AS ctot FROM gt GROUP BY t),
                    gn AS (SELECT source, SUM(c) AS ng FROM gt GROUP BY source),

@@ -358,8 +358,10 @@ object TextAnalysis {
   /** Top-`k` documents for a term query by BM25 (Robertson/Spärck Jones —
     * the lexical-retrieval baseline every RAG/decontamination pipeline
     * starts from). `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`, the standard
-    * Lucene-style non-negative form. Scores round to 6dp (tie-broken by id)
-    * before the cut; zero-score docs (no query term present) are dropped.
+    * Lucene-style non-negative form; a query term repeated in `queryTerms`
+    * weights its contribution by its multiplicity (standard qtf). Scores
+    * round to 6dp (tie-broken by id) before the cut; zero-score docs (no
+    * query term present) are dropped.
     *
     * Shape — deliberately NOT the explode+join shape of [[tfIdfTopTerms]]:
     * the query is a handful of CONSTANT terms, so per-doc term frequencies
@@ -379,7 +381,11 @@ object TextAnalysis {
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    // standard BM25 query-term-frequency weighting: a term repeated in the
+    // query multiplies its contribution by its multiplicity (qtf), it is
+    // not silently deduped
     val terms = queryTerms.distinct
+    val qtf = queryTerms.groupBy(identity).view.mapValues(_.size.toDouble).toMap
     val tfCols = terms.indices.map { i =>
       size(filter(col("_toks"), x => x === lit(terms(i))))
         .cast("double").as(s"_tf$i")
@@ -397,8 +403,9 @@ object TextAnalysis {
       val tf = col(s"_tf$i")
       val dfq = col(s"_df$i")
       val idf = log(lit(1.0) + (col("_n") - dfq + lit(0.5)) / (dfq + lit(0.5)))
-      idf * tf * lit(k1 + 1.0) /
+      val contrib = idf * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+      if (qtf(terms(i)) == 1.0) contrib else contrib * lit(qtf(terms(i)))
     }.reduce(_ + _)
     perDoc.crossJoin(broadcast(stats))
       .withColumn("bm25", stableRound(score, 6))
@@ -549,9 +556,16 @@ object TextAnalysis {
     * sources, never a second corpus pass); the corpus total is a one-row
     * broadcast frame; both joins are vocabulary-/source-sized (AQE
     * broadcasts). Nothing in the plan is proportional to corpus size after
-    * the first aggregate. */
+    * the first aggregate. Null-group rows are filtered BEFORE the explode —
+    * they could never reach the output anyway (the equi-join drops null
+    * keys), but filtering them up front keeps every downstream branch's
+    * scan predicate identical, so the (source, term) exchange is
+    * canonically equal across all four consumers and plans as ONE exchange
+    * + `ReusedExchange`s; without it, join-inferred `isnotnull` lands on
+    * one branch only and the corpus scan + explode silently runs twice. */
   def sourceDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val gt = df
+      .filter(col(groupCol).isNotNull)
       .select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("_t"))
       .groupBy("_g", "_t").agg(count(lit(1)).as("_c"))
     val ct = gt.groupBy("_t").agg(sum("_c").as("_ct"))

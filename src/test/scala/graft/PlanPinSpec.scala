@@ -72,10 +72,29 @@ class PlanPinSpec extends SparkSpec {
 
   test("s09/t24: per-dim stats and KL drift never sort-merge, never global-sort") {
     Seq("s09_embed_stats", "t24_source_drift").foreach { q =>
-      val plan = Queries.byName(q)(spark, sf)
-        .queryExecution.executedPlan.toString
+      val df = Queries.byName(q)(spark, sf)
+      df.collect() // materialize so AQE's final plan (isFinalPlan) is inspected
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"),
         s"$q fell back to sort-merge:\n${plan.take(3000)}")
+      assert(!plan.contains("rangepartitioning"),
+        s"$q planned a global sort:\n${plan.take(3000)}")
     }
+  }
+
+  test("t24: ONE corpus scan — the (source, term) exchange is reused, not recomputed") {
+    // join-inferred isnotnull(source) must not break exchange canonical
+    // equality (the operator prefilters nulls so every branch's scan
+    // predicate is identical); a second live scan here doubles the only
+    // corpus-proportional stage at 100 TB
+    val df = Queries.byName("t24_source_drift")(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints the final plan AND the pre-AQE
+    // "== Initial Plan ==" (where ReusedExchange hasn't materialized yet);
+    // only the final section reflects what actually ran
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"t24 must scan the corpus once, found $scans scans:\n${plan.take(4000)}")
   }
 }

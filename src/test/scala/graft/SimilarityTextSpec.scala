@@ -638,6 +638,21 @@ class SimilarityTextSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: a repeated query term doubles its contribution (qtf weighting)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b x y"), (2L, "b c y y")).toDF("doc_id", "text")
+    def score(q: Seq[String]) =
+      TextAnalysis.bm25TopK(df, "doc_id", "text", q, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = score(Seq("a", "b"))
+    val doubled = score(Seq("a", "a", "b"))
+    // doc 1 holds both terms; doubling "a" adds exactly one more "a" contribution
+    val aContrib = single(1L) - score(Seq("b"))(1L)
+    assert(math.abs(doubled(1L) - (single(1L) + aContrib)) < 1e-5)
+    // doc 2 has no "a" — its score is unchanged by the repeat
+    assert(math.abs(doubled(2L) - single(2L)) < 1e-5)
+  }
+
   test("sourceDrift: uniform source has KL 0, skewed source positive") {
     import spark.implicits._
     // corpus: sA = "a b", sB = "a a" → p(a)=3/4, p(b)=1/4
