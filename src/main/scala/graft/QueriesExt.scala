@@ -1417,6 +1417,120 @@ object QueriesExt {
                      ROUND(AVG(v) + 1e-9, 6) AS mean,
                      ROUND(var_pop(v) + 1e-9, 6) AS variance,
                      MIN(v) AS vmin, MAX(v) AS vmax
-              FROM u GROUP BY dim"""))
+              FROM u GROUP BY dim""")),
+
+    // S10 — SQ8-compressed exact retrieval: per-dimension (min, max) bounds
+    // quantize every corpus vector to 1 byte/dim; top-k cosine runs against
+    // the RECONSTRUCTED corpus with the query left full-precision (ADC).
+    // Oracle replays bounds, round-trip quantization, and cosine with the
+    // identical left-associated arithmetic (64 dims hardcoded — the
+    // embeddings table's width; the operator itself is dims-agnostic).
+    Entry(
+      "s10_sq8_topk",
+      (s, d) =>
+        Similarity.sq8TopK(embs(s, d), "vec_id", "embedding", 0L, 5),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   px AS (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   b AS (SELECT list(mn ORDER BY pos) AS mns, list(ext ORDER BY pos) AS exts
+                         FROM (SELECT pos, MIN(val) AS mn, MAX(val) - MIN(val) AS ext
+                               FROM px GROUP BY pos)),
+                   r AS (SELECT vec_id,
+                                [CASE WHEN exts[i+1] = 0 THEN mns[i+1]
+                                      ELSE mns[i+1] + round((v[i+1]-mns[i+1])*255.0/exts[i+1])*exts[i+1]/255.0
+                                 END for i in range(0, 64)] AS rv
+                         FROM e, b),
+                   q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                   cand AS (SELECT r.vec_id AS vec_id,
+                                   list_cosine_similarity(r.rv, q.qv) AS raw
+                            FROM r, q WHERE r.vec_id <> 0)
+              SELECT vec_id, ROUND(raw, 6) AS sim FROM cand
+              WHERE NOT isnan(raw)
+              ORDER BY raw DESC, vec_id LIMIT 5""")),
+
+    // S11 — compressed IVF: candidates pruned to the top-nProbe label cells
+    // (s01's coarse path, centroids from RAW vectors) AND the resident
+    // corpus held as SQ8 codes, reconstructed map-side before the cosine —
+    // the pairing that holds at 100 TB (scan ∝ probed cells, bytes ∝ ¼).
+    Entry(
+      "s11_sq8_ivf",
+      (s, d) =>
+        Similarity.sq8IvfTopK(
+          embs(s, d), "vec_id", "embedding", "label", 0L, 5, nProbe = 2),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                   cx AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM cx GROUP BY label, pos)
+                            GROUP BY label),
+                   probed AS (SELECT cent.label FROM cent, q
+                              ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label
+                              LIMIT 2),
+                   b AS (SELECT list(mn ORDER BY pos) AS mns, list(ext ORDER BY pos) AS exts
+                         FROM (SELECT pos, MIN(val) AS mn, MAX(val) - MIN(val) AS ext
+                               FROM cx GROUP BY pos)),
+                   r AS (SELECT vec_id, label,
+                                [CASE WHEN exts[i+1] = 0 THEN mns[i+1]
+                                      ELSE mns[i+1] + round((v[i+1]-mns[i+1])*255.0/exts[i+1])*exts[i+1]/255.0
+                                 END for i in range(0, 64)] AS rv
+                         FROM e, b),
+                   cand AS (SELECT r.vec_id AS vec_id,
+                                   list_cosine_similarity(r.rv, q.qv) AS raw
+                            FROM r JOIN probed ON r.label = probed.label, q
+                            WHERE r.vec_id <> 0)
+              SELECT vec_id, ROUND(raw, 6) AS sim FROM cand
+              WHERE NOT isnan(raw)
+              ORDER BY raw DESC, vec_id LIMIT 5""")),
+
+    // S12 — recall@k audit: the acceptance gate for every approximate index.
+    // Exact ground truth (brute-force top-5) vs the IVF probe's top-5, per
+    // query; recall = |overlap| / |ground truth|. The audit join touches two
+    // queries×k frames only — corpus cost is the two probes themselves. The
+    // oracle replays both rankings with the identical NaN guard and
+    // (sim DESC, id ASC) tie-breaks, then the same left-join overlap count.
+    Entry(
+      "s12_recall_audit",
+      (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val exact = Similarity.bruteForceBatch(
+          e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 5, excludeSelf = true)
+        val approx = Similarity.probeIvf(
+          Similarity.buildIvfIndex(e, "vec_id", "embedding", col("label")),
+          q, "vec_id", "embedding", k = 5, nProbe = 2, excludeSelf = true)
+        Similarity.recallAtK(exact, approx, "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+                   ex AS (SELECT q.q_id, e.vec_id,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+                          FROM e, q
+                          WHERE e.vec_id <> q.q_id
+                            AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+                   exact AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   cr AS (SELECT q.q_id, cent.label,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label) AS crk
+                          FROM cent, q),
+                   probed AS (SELECT q_id, label FROM cr WHERE crk <= 2),
+                   ax AS (SELECT p.q_id, e.vec_id,
+                                 row_number() OVER (PARTITION BY p.q_id
+                                                    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+                          FROM e JOIN probed p ON e.label = p.label
+                                 JOIN q ON q.q_id = p.q_id
+                          WHERE e.vec_id <> p.q_id
+                            AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+                   approx AS (SELECT q_id, vec_id FROM ax WHERE rk <= 5)
+              SELECT exact.q_id AS q_id,
+                     ROUND(SUM(CASE WHEN approx.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                           / COUNT(*), 6) AS recall
+              FROM exact LEFT JOIN approx
+                ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
+              GROUP BY exact.q_id"""))
   )
 }

@@ -635,4 +635,213 @@ object Similarity {
         stableRound(var_pop(col("_v")), 6).as("variance"),
         min(col("_v")).as("vmin"),
         max(col("_v")).as("vmax"))
+
+  /** Recall@k audit: per-query fraction of the EXACT top-k
+    * ([[bruteForceBatch]]) that an approximate probe recovered. Both inputs
+    * carry the shared probe contract `(q_id, rank, <idCol>, sim)`; the audit
+    * joins them on `(q_id, <idCol>)` — two queries×k frames, so the audit
+    * itself costs nothing at any corpus scale beyond the probes that
+    * produced its inputs. The denominator is the query's ACTUAL ground-truth
+    * size (≤ k — a query can have fewer than k legal neighbors); queries
+    * with an empty ground truth are absent.
+    *
+    * This is the acceptance gate for every approximate index (IVF cells /
+    * nProbe, LSH planes / tables, SQ8): run it on a query sample after a
+    * build, alert when mean recall drifts. Output: `(q_id, recall)`,
+    * recall ∈ [0, 1] rounded to 6 dp. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame =
+    exact.select(col("q_id"), col(idCol))
+      .join(
+        approx.select(col("q_id"), col(idCol), lit(1).as("_hit")),
+        Seq("q_id", idCol), "left")
+      .groupBy("q_id")
+      .agg(round(count(col("_hit")) / count(lit(1)), 6).as("recall"))
+
+  // ---- SQ8 scalar quantization: 1 byte per dimension ----------------------
+  //
+  // The standard compressed-residency trade for vector search at corpus
+  // scale (FAISS's SQ8): each dimension is affinely mapped to an 8-bit code
+  // using per-dimension corpus (min, max) bounds. A float32 64-dim corpus
+  // shrinks 4× (100 TB of embeddings → 25 TB of codes), which is the
+  // difference between an index that fits executor storage and one that
+  // doesn't. Probes are ASYMMETRIC (ADC): the query stays full-precision and
+  // only the corpus side is reconstructed from codes, so quantization error
+  // enters once, not twice.
+
+  /** Per-dimension quantization bounds of an embedding column as ONE row
+    * `(_mins: array<double>, _exts: array<double>)` in dimension order
+    * (`ext = max − min`) — tiny, broadcast into every encode/decode. One
+    * corpus pass with the same dims-key aggregate shape as
+    * [[dimensionStats]]: shuffle ∝ dims × partitions, never corpus size. */
+  def sq8Bounds(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_v")))
+      .groupBy("_pos")
+      .agg(min("_v").as("_mn"), max("_v").as("_mx"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_mn")))),
+          x => x.getField("_mn")).as("_mins"),
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_mx"), col("_mn")))),
+          x => x.getField("_mx") - x.getField("_mn")).as("_exts"))
+
+  /** SQ8 code of `vec` under `(mins, exts)` bound arrays:
+    * `round(255·(x−min)/ext)` clamped to [0, 255] (the clamp only bites for
+    * vectors OUTSIDE the corpus bounds the index was built from), stored
+    * −128-offset so the element type is a true 1-byte `tinyint`. A
+    * zero-extent (constant) dimension codes to 0 and reconstructs exactly. */
+  private[graft] def sq8EncodeExpr(
+      vec: Column, mins: Column, exts: Column): Column =
+    transform(vec.cast("array<double>"), (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val ext = element_at(exts, i + 1)
+      (when(ext === 0.0, lit(0.0))
+        .otherwise(
+          least(lit(255.0), greatest(lit(0.0), round((x - mn) * lit(255.0) / ext))))
+        - lit(128.0)).cast("tinyint")
+    })
+
+  /** Inverse of [[sq8EncodeExpr]]: `min + code·ext/255` per element, as
+    * `array<double>`. Mirror in DuckDB as
+    * `mns[i+1] + round((v[i+1]-mns[i+1])*255.0/exts[i+1]) * exts[i+1]/255.0`
+    * (same left-associated order, so doubles agree bit-for-bit). */
+  private[graft] def sq8DecodeExpr(
+      code: Column, mins: Column, exts: Column): Column =
+    transform(code, (c, i) => {
+      val mn = element_at(mins, i + 1)
+      val ext = element_at(exts, i + 1)
+      mn + (c.cast("double") + lit(128.0)) * ext / lit(255.0)
+    })
+
+  /** A built SQ8 index: the corpus as 1-byte codes plus the one-row bounds
+    * frame needed to reconstruct them. `codes` is `(idCol, _code:
+    * array<tinyint>)` — 4× smaller than the float32 corpus it encodes. */
+  final case class Sq8Index(bounds: DataFrame, codes: DataFrame, idCol: String) {
+    def persisted(): Sq8Index = {
+      bounds.persist(); codes.persist()
+      bounds.count(); codes.count()
+      this
+    }
+    def unpersisted(): Sq8Index = {
+      bounds.unpersist(); codes.unpersist(); this
+    }
+  }
+
+  /** Build an SQ8 index: one corpus pass for the bounds ([[sq8Bounds]]),
+    * then encoding is a per-row projection under the broadcast bounds row —
+    * no second exchange. */
+  def buildSq8Index(df: DataFrame, idCol: String, vecCol: String): Sq8Index = {
+    val bounds = sq8Bounds(df, vecCol)
+    val codes = df.crossJoin(broadcast(bounds))
+      .select(
+        col(idCol),
+        sq8EncodeExpr(col(vecCol), col("_mins"), col("_exts")).as("_code"))
+    Sq8Index(bounds, codes, idCol)
+  }
+
+  /** Batch probe over the compressed corpus: exact cosine top-`k` against
+    * SQ8-RECONSTRUCTED vectors for every query row (asymmetric — queries
+    * stay full-precision). Same output contract and skew-safe top-k as
+    * [[probeIvf]]: `(q_id, rank, <idCol>, sim)`.
+    *
+    * This is [[bruteForceBatch]] at ¼ the scan bytes: O(queries × corpus)
+    * cosine work, zero corpus exchange, candidates decoded on the fly
+    * map-side. For candidate PRUNING on top of compression, compose with a
+    * coarse cell via [[buildSq8IvfIndex]]/[[probeSq8Ivf]]. */
+  def probeSq8(
+      index: Sq8Index, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val decoded = index.codes.crossJoin(broadcast(index.bounds))
+      .select(
+        col(index.idCol),
+        sq8DecodeExpr(col("_code"), col("_mins"), col("_exts")).as("_rv"))
+    finishProbe(
+      decoded.crossJoin(broadcast(
+        queries.select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v")))),
+      index.idCol, "_rv", k, excludeSelf)
+  }
+
+  /** An IVF index whose corpus residency is SQ8 codes: `assigned` is
+    * `(idCol, _code, _cell)` (¼ the bytes of [[IvfIndex.assigned]]), the
+    * codebook keeps full-precision centroids (∝ nCells — negligible), and
+    * the bounds row rides along for probe-time reconstruction. This is the
+    * shape that actually holds at 100 TB: candidates pruned to `nProbe`
+    * cells AND the resident corpus compressed 4×. */
+  final case class Sq8IvfIndex(
+      codebook: DataFrame, bounds: DataFrame, assigned: DataFrame, idCol: String) {
+    def persisted(): Sq8IvfIndex = {
+      codebook.persist(); bounds.persist(); assigned.persist()
+      codebook.count(); bounds.count(); assigned.count()
+      this
+    }
+    def unpersisted(): Sq8IvfIndex = {
+      codebook.unpersist(); bounds.unpersist(); assigned.unpersist(); this
+    }
+  }
+
+  /** Build the compressed IVF index from an existing coarse-cell expression
+    * (same contract as [[buildIvfIndex]]): one pass for the centroid
+    * codebook, one for the bounds, encoding as a projection. */
+  def buildSq8IvfIndex(
+      df: DataFrame, idCol: String, vecCol: String, cellCol: Column): Sq8IvfIndex = {
+    val raw = df.select(col(idCol), col(vecCol), cellCol.as("_cell"))
+    val bounds = sq8Bounds(raw, vecCol)
+    val assigned = raw.crossJoin(broadcast(bounds))
+      .select(
+        col(idCol),
+        sq8EncodeExpr(col(vecCol), col("_mins"), col("_exts")).as("_code"),
+        col("_cell"))
+    Sq8IvfIndex(centroids(raw, "_cell", vecCol), bounds, assigned, idCol)
+  }
+
+  /** Batch IVF probe over the compressed corpus: cell selection exactly as
+    * [[probeIvf]] (query × broadcast codebook → top-`nProbe` cells via the
+    * skew-safe two-pass rank), then the `_cell` equi-join scans only the
+    * probed cells' CODES and reconstructs them map-side before the cosine
+    * kernel. Quantization error enters only on the corpus side (ADC). */
+  def probeSq8Ivf(
+      index: Sq8IvfIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val scored = queries
+      .select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))
+      .crossJoin(broadcast(index.codebook))
+      .select(
+        col("_q_id"), col("_q_v"), col("_cell"),
+        cosine(col("_centroid"), col("_q_v")).as("_csim"))
+    val probes0 = TopK.perGroup(
+        scored, Seq("_q_id"), Seq(col("_csim").desc, col("_cell").asc), nProbe)
+      .select("_q_id", "_q_v", "_cell")
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0) else probes0
+    val cands = index.assigned.join(probes, Seq("_cell"))
+      .crossJoin(broadcast(index.bounds))
+      .select(
+        col("_q_id"), col("_q_v"), col(index.idCol),
+        sq8DecodeExpr(col("_code"), col("_mins"), col("_exts")).as("_rv"))
+    finishProbe(cands, index.idCol, "_rv", k, excludeSelf)
+  }
+
+  /** Single-query convenience over [[buildSq8Index]]/[[probeSq8]] (the
+    * oracle entry). For repeated retrieval build the index once. */
+  def sq8TopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame =
+    probeSq8(
+      buildSq8Index(df, idCol, vecCol),
+      df.filter(col(idCol) === queryId), idCol, vecCol, k, excludeSelf = true)
+      .select(col(idCol), col("sim"))
+
+  /** Single-query convenience over [[buildSq8IvfIndex]]/[[probeSq8Ivf]]. */
+  def sq8IvfTopK(
+      df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      queryId: Long, k: Int, nProbe: Int = 2): DataFrame =
+    probeSq8Ivf(
+      buildSq8IvfIndex(df, idCol, vecCol, col(cellCol)),
+      df.filter(col(idCol) === queryId), idCol, vecCol, k, nProbe,
+      excludeSelf = true, guardBroadcast = false)
+      .select(col(idCol), col("sim"))
 }

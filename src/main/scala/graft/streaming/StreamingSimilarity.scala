@@ -43,6 +43,23 @@ object StreamingSimilarity {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** [[attachIvf]] for an SQ8-compressed IVF index
+    * ([[Similarity.buildSq8IvfIndex]]): each trigger pays the pruned-cell
+    * probe over the ¼-sized coded corpus, reconstructing candidates
+    * map-side (ADC — the streaming query vector stays full-precision). The
+    * shape for a retrieval service whose resident index must fit executor
+    * storage at corpus scale. */
+  def attachSq8Ivf(
+      queries: DataFrame, index: Similarity.Sq8IvfIndex,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        sink(Similarity.probeSq8Ivf(index, batch, qIdCol, qVecCol, k, nProbe,
+          guardBroadcast = false), id))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** [[attachIvf]] for a sign-LSH index. */
   def attachLsh(
       queries: DataFrame, index: Similarity.LshIndex,

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Similarity
+
+/** Round-8 SQ8 evidence (dev tooling → SCALE.md).
+  *
+  * Claims under test:
+  *  1. BYTES — the coded corpus's at-rest footprint is ~¼ of the raw
+  *     vectors' (1-byte codes vs float32), measured as parquet bytes of
+  *     `(id, code)` vs `(id, vec)` on the same data.
+  *  2. WALL — with the compressed index built once and persisted, the
+  *     pruned probe ([[Similarity.probeSq8Ivf]]) stays flat as the corpus
+  *     grows (constant cell occupancy), while the flat ADC scan
+  *     ([[Similarity.probeSq8]]) scales with n — same discipline as the
+  *     uncompressed round-8 matrix (ScaleStressR8), now over codes.
+  *  3. HONESTY — reconstruct-on-the-fly is extra CPU per candidate; on a
+  *     hot in-memory corpus the coded flat scan can LOSE to the raw brute
+  *     force. The byte win is an I/O-bound / storage-bound win (the 100 TB
+  *     regime, where the corpus cannot be resident), not a hot-CPU win —
+  *     both numbers are printed side by side.
+  */
+object ProfileSq8 {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode(SaveMode.Overwrite).save()
+
+  private def timeMin(reps: Int)(body: => Unit): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Deterministic corpus: n vectors × dims in [−1, 1], constant 4096-vector
+    * cell occupancy (nCells ∝ n — the IVF discipline). */
+  private def corpus(spark: SparkSession, n: Long, dims: Int): DataFrame =
+    spark.range(n).select(
+      col("id"),
+      transform(
+        sequence(lit(0), lit(dims - 1)),
+        d => pmod(xxhash64(col("id") * 31 + d), lit(2000003L)).cast("double")
+          / 1000001.5 - 1.0).as("vec"),
+      pmod(xxhash64(col("id")), lit(math.max(1L, n / 4096L))).as("cell"))
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("local[32]")
+    spark.sparkContext.setLogLevel("WARN")
+    val dims = 64
+    val reps = 3
+
+    // ---- 1. bytes: raw float32 vs SQ8 codes, parquet at rest -------------
+    {
+      val n = 400000L
+      val df = corpus(spark, n, dims)
+        .select(col("id"), col("vec").cast("array<float>").as("vec"), col("cell"))
+      val index = Similarity.buildSq8Index(df, "id", "vec")
+      val rawPath = "/tmp/sq8_raw_parquet"
+      val codePath = "/tmp/sq8_code_parquet"
+      df.select("id", "vec").write.mode(SaveMode.Overwrite).parquet(rawPath)
+      index.codes.write.mode(SaveMode.Overwrite).parquet(codePath)
+      val (rb, cb) = (dirBytes(rawPath), dirBytes(codePath))
+      println(f"[bytes] n=$n dims=$dims raw=${rb / 1e6}%.1f MB codes=${cb / 1e6}%.1f MB ratio=${rb.toDouble / cb}%.2f×")
+    }
+
+    // ---- 2+3. wall: flat ADC scan vs pruned probe vs raw brute force -----
+    for (n <- Seq(200000L, 400000L, 800000L)) {
+      val df = corpus(spark, n, dims).persist()
+      df.count()
+      val queries = df.filter(col("id") % (n / 100L) === 0L).persist()
+      queries.count()
+      val sq8 = Similarity.buildSq8Index(df, "id", "vec").persisted()
+      val ivf = Similarity.buildSq8IvfIndex(df, "id", "vec", col("cell")).persisted()
+      val tFlat = timeMin(reps)(noop(
+        Similarity.probeSq8(sq8, queries, "id", "vec", k = 10)))
+      val tIvf = timeMin(reps)(noop(
+        Similarity.probeSq8Ivf(ivf, queries, "id", "vec", k = 10, nProbe = 8,
+          guardBroadcast = false)))
+      val tBrute = timeMin(reps)(noop(
+        Similarity.bruteForceBatch(df, "id", "vec", queries, "id", "vec", k = 10)))
+      println(f"[wall] n=$n queries=100 flatSq8=$tFlat%.2f s ivfSq8(nProbe=8)=$tIvf%.2f s rawBrute=$tBrute%.2f s")
+      sq8.unpersisted(); ivf.unpersisted()
+      queries.unpersist(); df.unpersist()
+    }
+    spark.stop()
+  }
+}

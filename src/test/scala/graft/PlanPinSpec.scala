@@ -82,6 +82,20 @@ class PlanPinSpec extends SparkSpec {
     }
   }
 
+  test("s10/s11: SQ8 probes plan only broadcast joins — the coded corpus is never shuffled") {
+    // every join in the compressed probe path is a one-row broadcast (bounds,
+    // query) or the broadcast probe→cell equi-join; a SortMergeJoin or
+    // ShuffledHashJoin here would mean the ¼-sized corpus residency is being
+    // exchanged anyway, throwing away the compression's scan advantage
+    Seq("s10_sq8_topk", "s11_sq8_ivf").foreach { q =>
+      val df = Queries.byName(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q shuffled the coded corpus:\n${plan.take(3000)}")
+    }
+  }
+
   test("t24: ONE corpus scan — the (source, term) exchange is reused, not recomputed") {
     // join-inferred isnotnull(source) must not break exchange canonical
     // equality (the operator prefilters nulls so every branch's scan

@@ -191,6 +191,47 @@ class SimilarityTextSpec extends SparkSpec {
     index.unpersisted()
   }
 
+  test("attachSq8Ivf: streaming probes of the compressed index == batch probeSq8Ivf") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rng = new Random(35)
+    val corpus = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      (i, Seq.tabulate(6)(d => (if (d == c * 2) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.05), c.toLong)
+    }
+    val index = Similarity.buildSq8IvfIndex(
+      corpus.toDF("vec_id", "embedding", "cell"),
+      "vec_id", "embedding", col("cell")).persisted()
+    val queryVecs = corpus.take(5).map { case (i, v, _) => (i + 1000L, v) }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.StreamingSimilarity.attachSq8Ivf(
+      stream.toDF().toDF("q_vec_id", "q_embedding"), index,
+      "q_vec_id", "q_embedding", k = 4, nProbe = 1,
+      checkpoint = tmpDir("sq8-ckpt")) { (probe, _) =>
+      got.synchronized {
+        got ++= probe.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      stream.addData(queryVecs.take(2))
+      q.processAllAvailable()
+      stream.addData(queryVecs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = Similarity.probeSq8Ivf(
+        index, queryVecs.toDF("q_vec_id", "q_embedding"),
+        "q_vec_id", "q_embedding", k = 4, nProbe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.synchronized(got.toSet) === expect)
+    assert(expect.map(_._1) === queryVecs.map(_._1).toSet)
+    index.unpersisted()
+  }
+
   test("probeLshMulti: nTables=1 == probeLsh; no cross-table duplicate pairs") {
     import spark.implicits._
     val rng = new Random(53)
@@ -678,5 +719,145 @@ class SimilarityTextSpec extends SparkSpec {
       (0L, 2L, 2.0, 1.0, 1.0, 3.0),
       (1L, 2L, 4.0, 4.0, 2.0, 6.0)))
     assert(got == canon(Similarity.dimensionStats(df.repartition(5), "embedding")))
+  }
+
+  test("sq8 round-trip: error ≤ half a quantization step; constant dim exact") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val vecs = (0L until 60L).map(i =>
+      // dim 3 is constant 0.25 across the corpus (ext = 0)
+      (i, Seq.tabulate(8)(d => if (d == 3) 0.25 else rng.nextDouble() * 4 - 2)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.buildSq8Index(df, "vec_id", "embedding")
+    val decoded = index.codes.crossJoin(broadcast(index.bounds))
+      .select(col("vec_id"),
+        Similarity.sq8DecodeExpr(col("_code"), col("_mins"), col("_exts")).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byDim = (0 until 8).map(d => vecs.map(_._2(d)))
+    val halfStep = byDim.map(vs => (vs.max - vs.min) / 255.0 / 2.0)
+    vecs.foreach { case (id, v) =>
+      (0 until 8).foreach { d =>
+        assert(math.abs(decoded(id)(d) - v(d)) <= halfStep(d) + 1e-12,
+          s"id=$id dim=$d: ${decoded(id)(d)} vs ${v(d)}")
+      }
+      assert(decoded(id)(3) == 0.25, "zero-extent dimension must reconstruct exactly")
+    }
+  }
+
+  test("sq8EncodeExpr clamps vectors outside the index bounds to [0, 255]") {
+    import spark.implicits._
+    val bounds = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("_mins", "_exts")
+    val out = Seq((1L, Seq(-5.0, 9.0))).toDF("vec_id", "v")
+      .crossJoin(broadcast(bounds))
+      .select(Similarity.sq8EncodeExpr(col("v"), col("_mins"), col("_exts")).as("c"))
+      .collect().head.getSeq[Byte](0)
+    assert(out == Seq((-128).toByte, 127.toByte)) // codes 0 and 255, −128-offset
+  }
+
+  test("sq8TopK == Scala model (quantize → reconstruct → cosine); cluster recall") {
+    import spark.implicits._
+    val rng = new Random(32)
+    // three tight clusters far apart; query is id 0 in cluster 0
+    val vecs = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      val base = Seq.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i, base.map(_ + rng.nextGaussian() * 0.05))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // exact model of the operator: per-dim (min, ext) bounds, HALF_UP code,
+    // reconstruct, cosine(reconstructed corpus, RAW query)
+    val mins = (0 until 8).map(d => vecs.map(_._2(d)).min)
+    val exts = (0 until 8).map(d => vecs.map(_._2(d)).max - mins(d))
+    def recon(v: Seq[Double]): Seq[Double] = v.zipWithIndex.map { case (x, d) =>
+      if (exts(d) == 0) mins(d)
+      else {
+        val code = java.math.BigDecimal.valueOf((x - mins(d)) * 255.0 / exts(d))
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        mins(d) + code * exts(d) / 255.0
+      }
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs.find(_._1 == 0L).get._2
+    val expect = vecs.filter(_._1 != 0L)
+      .map { case (i, v) => (i, cos(recon(v), q)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(5).map(_._1)
+    val sq8 = Similarity.sq8TopK(df, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sq8 == expect)
+    // the coarse property quantization must not break: every neighbor comes
+    // from the query's own cluster (ids ≡ 0 mod 3) — the cluster gap dwarfs
+    // the quantization step even though WITHIN-cluster rank can shuffle
+    assert(sq8.forall(_ % 3 == 0))
+  }
+
+  test("recallAtK: hand model — partial overlap, short ground truth, missing query") {
+    import spark.implicits._
+    // q 1: exact {10,11,12}, approx recovers {10,12} → 2/3
+    // q 2: exact {20} (short ground truth), approx misses it → 0/1
+    // q 3: exact {30,31}, approx has extras beyond ground truth → 2/2 (extras
+    //      don't inflate — denominator is the exact set)
+    val exact = Seq(
+      (1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8), (1L, 3L, 12L, 0.7),
+      (2L, 1L, 20L, 0.9),
+      (3L, 1L, 30L, 0.9), (3L, 2L, 31L, 0.8)
+    ).toDF("q_id", "rank", "vec_id", "sim")
+    val approx = Seq(
+      (1L, 1L, 10L, 0.9), (1L, 2L, 12L, 0.7), (1L, 3L, 99L, 0.1),
+      (2L, 1L, 98L, 0.2),
+      (3L, 1L, 31L, 0.8), (3L, 2L, 30L, 0.9), (3L, 3L, 97L, 0.1),
+      (4L, 1L, 40L, 0.5) // approx-only query: no ground truth → absent
+    ).toDF("q_id", "rank", "vec_id", "sim")
+    val got = Similarity.recallAtK(exact, approx, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.666667, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("recallAtK over real probes: IVF with all cells probed has recall 1.0") {
+    import spark.implicits._
+    val rng = new Random(34)
+    val vecs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Seq.tabulate(6)(d => (if (d == c * 2) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.05), c.toLong)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "cell")
+    val queries = df.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceBatch(
+      df, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 4, excludeSelf = true)
+    val full = Similarity.probeIvf(
+      Similarity.buildIvfIndex(df, "vec_id", "embedding", col("cell")),
+      queries, "vec_id", "embedding", k = 4, nProbe = 3, excludeSelf = true)
+    val got = Similarity.recallAtK(exact, full, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == (0L until 6L).toSet)
+    assert(got.values.forall(_ == 1.0),
+      s"nProbe=all must recover the exact top-k: $got")
+  }
+
+  test("probeSq8Ivf with all cells probed == flat probeSq8") {
+    import spark.implicits._
+    val rng = new Random(33)
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(8)(d => if (d == c) 5.0 + rng.nextGaussian() * 0.1
+                               else rng.nextGaussian() * 0.1), c.toLong)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "cell")
+    val queries = df.filter(col("vec_id") < 10)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val flat = canon(Similarity.probeSq8(
+      Similarity.buildSq8Index(df, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", 3, excludeSelf = true))
+    val ivf = canon(Similarity.probeSq8Ivf(
+      Similarity.buildSq8IvfIndex(df, "vec_id", "embedding", col("cell")),
+      queries, "vec_id", "embedding", 3, nProbe = 4, excludeSelf = true))
+    assert(ivf == flat)
   }
 }
