@@ -1495,9 +1495,13 @@ object QueriesExt {
         val exact = Similarity.bruteForceBatch(
           e, "vec_id", "embedding", q, "vec_id", "embedding",
           k = 5, excludeSelf = true)
+        // guardBroadcast = false: the modulo sample is bounded by
+        // construction, and the guard's head-count would re-execute the
+        // lazy filter's full corpus lineage once per probe call
         val approx = Similarity.probeIvf(
           Similarity.buildIvfIndex(e, "vec_id", "embedding", col("label")),
-          q, "vec_id", "embedding", k = 5, nProbe = 2, excludeSelf = true)
+          q, "vec_id", "embedding", k = 5, nProbe = 2, excludeSelf = true,
+          guardBroadcast = false)
         Similarity.recallAtK(exact, approx, "vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -49,7 +49,7 @@ object Similarity {
     * so one zero vector would otherwise be the "nearest" neighbor of
     * everything. */
   private def topK(sims: DataFrame, idCol: String, k: Int): DataFrame =
-    sims.filter(!isnan(col("_sim")))
+    sims.filter(col("_sim").isNotNull && !isnan(col("_sim")))
       .orderBy(col("_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("_sim"), 6).as("sim"))
@@ -560,7 +560,11 @@ object Similarity {
     * orders NaN above every real double, so a single zero vector in a
     * probed cell/bucket would otherwise outrank the true neighbor of every
     * query that touches it (and, via [[bruteForceBatch]], silently poison
-    * the recall audit's ground truth too). */
+    * the recall audit's ground truth too). NULL similarities (null-coded
+    * corrupt vectors from [[sq8EncodeExpr]], length-mismatched pairs) are
+    * dropped explicitly too: Spark's `isnan(null)` is FALSE, so `!isnan`
+    * alone would let nulls through to fill trailing ranks when k exceeds
+    * the real candidate count. */
   private def finishProbe(
       cands: DataFrame, idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean): DataFrame = {
@@ -568,7 +572,7 @@ object Similarity {
     val sims = kept
       .select(
         col("_q_id"), col(idCol), cosine(col(vecCol), col("_q_v")).as("_sim"))
-      .filter(!isnan(col("_sim")))
+      .filter(col("_sim").isNotNull && !isnan(col("_sim")))
     TopK.perGroup(sims, Seq("_q_id"), Seq(col("_sim").desc, col(idCol).asc), k)
       .select(
         col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),
@@ -668,13 +672,27 @@ object Similarity {
   // only the corpus side is reconstructed from codes, so quantization error
   // enters once, not twice.
 
+  /** True when the double element is NaN or ±Infinity. A corrupt embedding
+    * must not poison the index: the raw probe paths already drop such
+    * vectors (their cosine is NaN, filtered before ranking), so the SQ8
+    * path mirrors that — non-finite VALUES are ignored by the bounds
+    * aggregate and a vector containing one is null-coded
+    * ([[sq8EncodeExpr]]), which the shared probe tail drops the same way. */
+  private def nonFinite(x: Column): Column =
+    isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity
+
   /** Per-dimension quantization bounds of an embedding column as ONE row
     * `(_mins: array<double>, _exts: array<double>)` in dimension order
     * (`ext = max − min`) — tiny, broadcast into every encode/decode. One
     * corpus pass with the same dims-key aggregate shape as
-    * [[dimensionStats]]: shuffle ∝ dims × partitions, never corpus size. */
+    * [[dimensionStats]]: shuffle ∝ dims × partitions, never corpus size.
+    * Non-finite elements are excluded (min/max ignore nulls), so one
+    * corrupt vector cannot blow a dimension's extent to NaN/∞ and silently
+    * empty every probe. */
   def sq8Bounds(df: DataFrame, vecCol: String): DataFrame =
-    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_v")))
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_v0")))
+      .select(col("_pos"),
+        when(nonFinite(col("_v0")), lit(null)).otherwise(col("_v0")).as("_v"))
       .groupBy("_pos")
       .agg(min("_v").as("_mn"), max("_v").as("_mx"))
       .agg(
@@ -689,17 +707,25 @@ object Similarity {
     * `round(255·(x−min)/ext)` clamped to [0, 255] (the clamp only bites for
     * vectors OUTSIDE the corpus bounds the index was built from), stored
     * −128-offset so the element type is a true 1-byte `tinyint`. A
-    * zero-extent (constant) dimension codes to 0 and reconstructs exactly. */
+    * zero-extent (constant) dimension codes to 0 and reconstructs exactly.
+    * A vector with ANY non-finite element codes to NULL — its decode and
+    * cosine are null, and the probe tail's ranking filter drops it, exactly
+    * as the raw paths drop the same vector via its NaN cosine (without
+    * this, `greatest(0, NaN)=NaN` then `least(255, NaN)=255` would
+    * fabricate a finite near-max reconstruction for corrupt data). */
   private[graft] def sq8EncodeExpr(
-      vec: Column, mins: Column, exts: Column): Column =
-    transform(vec.cast("array<double>"), (x, i) => {
-      val mn = element_at(mins, i + 1)
-      val ext = element_at(exts, i + 1)
-      (when(ext === 0.0, lit(0.0))
-        .otherwise(
-          least(lit(255.0), greatest(lit(0.0), round((x - mn) * lit(255.0) / ext))))
-        - lit(128.0)).cast("tinyint")
-    })
+      vec: Column, mins: Column, exts: Column): Column = {
+    val v = vec.cast("array<double>")
+    when(exists(v, nonFinite), lit(null).cast("array<tinyint>"))
+      .otherwise(transform(v, (x, i) => {
+        val mn = element_at(mins, i + 1)
+        val ext = element_at(exts, i + 1)
+        (when(ext === 0.0, lit(0.0))
+          .otherwise(
+            least(lit(255.0), greatest(lit(0.0), round((x - mn) * lit(255.0) / ext))))
+          - lit(128.0)).cast("tinyint")
+      }))
+  }
 
   /** Inverse of [[sq8EncodeExpr]]: `min + code·ext/255` per element, as
     * `array<double>`. Mirror in DuckDB as
@@ -747,18 +773,25 @@ object Similarity {
     * This is [[bruteForceBatch]] at ¼ the scan bytes: O(queries × corpus)
     * cosine work, zero corpus exchange, candidates decoded on the fly
     * map-side. For candidate PRUNING on top of compression, compose with a
-    * coarse cell via [[buildSq8IvfIndex]]/[[probeSq8Ivf]]. */
+    * coarse cell via [[buildSq8IvfIndex]]/[[probeSq8Ivf]]. Same broadcast
+    * safety valve as the sibling probes: a query batch past
+    * [[maxBroadcastProbeQueries]] falls back to a partitioned cartesian
+    * instead of OOMing the forced broadcast. */
   def probeSq8(
       index: Sq8Index, queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val decoded = index.codes.crossJoin(broadcast(index.bounds))
       .select(
         col(index.idCol),
         sq8DecodeExpr(col("_code"), col("_mins"), col("_exts")).as("_rv"))
+    val probes0 = queries.select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0)
+      else probes0
     finishProbe(
-      decoded.crossJoin(broadcast(
-        queries.select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v")))),
+      decoded.crossJoin(probes),
       index.idCol, "_rv", k, excludeSelf)
   }
 
@@ -832,7 +865,8 @@ object Similarity {
       queryId: Long, k: Int): DataFrame =
     probeSq8(
       buildSq8Index(df, idCol, vecCol),
-      df.filter(col(idCol) === queryId), idCol, vecCol, k, excludeSelf = true)
+      df.filter(col(idCol) === queryId), idCol, vecCol, k, excludeSelf = true,
+      guardBroadcast = false)
       .select(col(idCol), col("sim"))
 
   /** Single-query convenience over [[buildSq8IvfIndex]]/[[probeSq8Ivf]]. */

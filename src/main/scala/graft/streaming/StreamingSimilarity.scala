@@ -26,6 +26,20 @@ import graft.operators.Similarity
   */
 object StreamingSimilarity {
 
+  /** Shared attach shape: one probe per micro-batch via `foreachBatch` —
+    * every public attach differs only in which batch probe it runs.
+    * guardBroadcast = false on all of them: micro-batches are
+    * trigger-bounded, so the guard's per-batch head-count job would add a
+    * driver round-trip per trigger for a decision that is always
+    * "broadcast". */
+  private def attach(
+      queries: DataFrame, checkpoint: String, sink: (DataFrame, Long) => Unit)(
+      probe: DataFrame => DataFrame): StreamingQuery =
+    queries.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => sink(probe(batch), id))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Start a query probing `index` with every micro-batch of `queries`.
     * `sink` receives the probe result — `(q_id, rank, <idCol>, sim)`, see
     * [[Similarity.probeIvf]] — and the batch id. */
@@ -33,15 +47,9 @@ object StreamingSimilarity {
       queries: DataFrame, index: Similarity.IvfIndex,
       qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
       checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
-    queries.writeStream
-      .foreachBatch((batch: DataFrame, id: Long) =>
-        // guardBroadcast = false: micro-batches are trigger-bounded — the
-        // per-batch head-count job would add a driver round-trip per
-        // trigger for a decision that is always "broadcast"
-        sink(Similarity.probeIvf(index, batch, qIdCol, qVecCol, k, nProbe,
-          guardBroadcast = false), id))
-      .option("checkpointLocation", checkpoint)
-      .start()
+    attach(queries, checkpoint, sink)(batch =>
+      Similarity.probeIvf(index, batch, qIdCol, qVecCol, k, nProbe,
+        guardBroadcast = false))
 
   /** [[attachIvf]] for an SQ8-compressed IVF index
     * ([[Similarity.buildSq8IvfIndex]]): each trigger pays the pruned-cell
@@ -53,22 +61,16 @@ object StreamingSimilarity {
       queries: DataFrame, index: Similarity.Sq8IvfIndex,
       qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
       checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
-    queries.writeStream
-      .foreachBatch((batch: DataFrame, id: Long) =>
-        sink(Similarity.probeSq8Ivf(index, batch, qIdCol, qVecCol, k, nProbe,
-          guardBroadcast = false), id))
-      .option("checkpointLocation", checkpoint)
-      .start()
+    attach(queries, checkpoint, sink)(batch =>
+      Similarity.probeSq8Ivf(index, batch, qIdCol, qVecCol, k, nProbe,
+        guardBroadcast = false))
 
   /** [[attachIvf]] for a sign-LSH index. */
   def attachLsh(
       queries: DataFrame, index: Similarity.LshIndex,
       qIdCol: String, qVecCol: String, k: Int,
       checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
-    queries.writeStream
-      .foreachBatch((batch: DataFrame, id: Long) =>
-        sink(Similarity.probeLsh(index, batch, qIdCol, qVecCol, k,
-          guardBroadcast = false), id))
-      .option("checkpointLocation", checkpoint)
-      .start()
+    attach(queries, checkpoint, sink)(batch =>
+      Similarity.probeLsh(index, batch, qIdCol, qVecCol, k,
+        guardBroadcast = false))
 }

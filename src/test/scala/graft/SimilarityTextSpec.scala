@@ -744,6 +744,37 @@ class SimilarityTextSpec extends SparkSpec {
     }
   }
 
+  test("sq8: a corpus vector with a NaN/Inf element is dropped from probes, not max-coded") {
+    import spark.implicits._
+    val rng = new Random(36)
+    val clean = (0L until 40L).map(i => (i, Seq.tabulate(4)(_ => rng.nextDouble())))
+    val corrupt = Seq(
+      (100L, Seq(Double.NaN, 0.5, 0.5, 0.5)),
+      (101L, Seq(0.5, Double.PositiveInfinity, 0.5, 0.5)),
+      (102L, Seq(0.5, 0.5, Double.NegativeInfinity, 0.5)))
+    val df = (clean ++ corrupt).toDF("vec_id", "embedding")
+    val index = Similarity.buildSq8Index(df, "vec_id", "embedding")
+    // bounds come from the FINITE values only — a corrupt vector must not
+    // blow a dimension's extent to NaN/Inf and empty every probe
+    val b = index.bounds.collect().head
+    val (mins, exts) = (b.getSeq[Double](0), b.getSeq[Double](1))
+    assert(mins.forall(java.lang.Double.isFinite) && exts.forall(java.lang.Double.isFinite))
+    // corrupt vectors are null-coded; clean vectors encode normally
+    val codes = index.codes.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(Seq(100L, 101L, 102L).forall(codes(_)), "corrupt vectors must null-code")
+    assert(clean.forall { case (i, _) => !codes(i) })
+    // and probes never surface them — same behavior as the raw paths'
+    // NaN-cosine drop
+    val got = Similarity.probeSq8(
+        index, df.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 50, excludeSelf = true, guardBroadcast = false)
+      .collect().map(_.getLong(2)).toSet
+    assert(got.intersect(Set(100L, 101L, 102L)).isEmpty)
+    // union over the 3 queries: every clean vector still ranks (each query
+    // excludes only itself)
+    assert(got == clean.map(_._1).toSet)
+  }
+
   test("sq8EncodeExpr clamps vectors outside the index bounds to [0, 255]") {
     import spark.implicits._
     val bounds = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("_mins", "_exts")
