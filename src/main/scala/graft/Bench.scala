@@ -24,7 +24,8 @@ object Bench {
     "d11_incremental", "d13_incremental_neardup",
     "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
     "s06_label_outliers", "s08_bm25", "s09_embed_stats",
-    "s10_sq8_topk", "s11_sq8_ivf", "s12_recall_audit",
+    "s10_sq8_topk", "s11_sq8_ivf", "s12_recall_audit", "s13_sign_hamming",
+    "s14_rerank_funnel",
     "c01_curation", "c02_embedding_curation",
     "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
     "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",

@@ -1535,6 +1535,63 @@ object QueriesExt {
                            / COUNT(*), 6) AS recall
               FROM exact LEFT JOIN approx
                 ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
-              GROUP BY exact.q_id"""))
+              GROUP BY exact.q_id""")),
+
+    // S13 — 1-bit sign quantization + Hamming retrieval: the 32× end of the
+    // compressed-residency ladder. Sign bits packed 32-per-BIGINT-word (no
+    // set bit ever lands in a sign position, so both engines build
+    // identical words), nearest = smallest Σ popcount(xor). Integral
+    // distances — zero floating-point parity surface. Oracle hardcodes the
+    // embeddings table's 64 dims (2 words); the operator is dims-agnostic.
+    Entry(
+      "s13_sign_hamming",
+      (s, d) =>
+        Similarity.signTopK(embs(s, d), "vec_id", "embedding", 64, 0L, 5),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   b AS (SELECT vec_id,
+                                CAST(list_sum([CASE WHEN v[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0 END
+                                               for j in range(0, 32)]) AS BIGINT) AS w0,
+                                CAST(list_sum([CASE WHEN v[j+33] >= 0 THEN (1::BIGINT << j) ELSE 0 END
+                                               for j in range(0, 32)]) AS BIGINT) AS w1
+                         FROM e),
+                   q AS (SELECT w0 AS qw0, w1 AS qw1 FROM b WHERE vec_id = 0),
+                   cand AS (SELECT b.vec_id,
+                                   bit_count(xor(b.w0, q.qw0)) + bit_count(xor(b.w1, q.qw1)) AS h
+                            FROM b, q WHERE b.vec_id <> 0)
+              SELECT vec_id, CAST(h AS BIGINT) AS hamming FROM cand
+              ORDER BY h, vec_id LIMIT 5""")),
+
+    // S14 — two-stage rerank funnel on dimension prefixes (Matryoshka
+    // discipline): stage 1 shortlists 50 per query by cosine on the first
+    // 16 dims (¼ of the scan work; at rest the prefix is its own column),
+    // stage 2 re-ranks the shortlist with exact full-dimension cosine.
+    // Oracle replays both stages with identical NaN guards and tie-breaks.
+    Entry(
+      "s14_rerank_funnel",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.rerankTopK(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 5, prefixDims = 16, shortlist = 50, guardBroadcast = false)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+                   coarse AS (SELECT q.q_id, e.vec_id,
+                                     row_number() OVER (PARTITION BY q.q_id
+                                                        ORDER BY list_cosine_similarity(e.v[1:16], q.qv[1:16]) DESC, e.vec_id) AS rk
+                              FROM e, q
+                              WHERE e.vec_id <> q.q_id
+                                AND NOT isnan(list_cosine_similarity(e.v[1:16], q.qv[1:16]))),
+                   short AS (SELECT q_id, vec_id FROM coarse WHERE rk <= 50),
+                   r AS (SELECT s.q_id, s.vec_id,
+                                list_cosine_similarity(e.v, q.qv) AS raw,
+                                row_number() OVER (PARTITION BY s.q_id
+                                                   ORDER BY list_cosine_similarity(e.v, q.qv) DESC, s.vec_id) AS rank
+                         FROM short s JOIN e ON e.vec_id = s.vec_id
+                              JOIN q ON q.q_id = s.q_id
+                         WHERE NOT isnan(list_cosine_similarity(e.v, q.qv)))
+              SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r
+              WHERE rank <= 5"""))
   )
 }

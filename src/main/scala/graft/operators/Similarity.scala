@@ -878,4 +878,156 @@ object Similarity {
       df.filter(col(idCol) === queryId), idCol, vecCol, k, nProbe,
       excludeSelf = true, guardBroadcast = false)
       .select(col(idCol), col("sim"))
+
+  // ---- 1-bit sign quantization: Hamming retrieval -------------------------
+  //
+  // The extreme end of the compressed-residency ladder (float32 → SQ8 4× →
+  // sign bits 32×): keep only each dimension's SIGN, packed into 64-bit
+  // words, and retrieve by Hamming distance — two xor+popcount per word per
+  // candidate, the cheapest full-scan retrieval kernel there is. Standard
+  // role at corpus scale: the SHORTLIST stage of a funnel (Hamming scan →
+  // exact re-rank of the survivors, see [[rerankExact]]), since sign-only
+  // similarity is coarse by construction.
+
+  /** Sign bits of a `dims`-dim vector packed into BIGINT words, 32 bits per
+    * word: bit j of word w is set when element 32w+j ≥ 0 (NaN compares ≥ 0
+    * in both Spark and DuckDB, so corrupt elements degrade to a wrong BIT,
+    * never a wrong TYPE). 32 bits per word — not 64 — keeps every set bit
+    * out of the sign position, so the DuckDB mirror can build the identical
+    * words with `1::BIGINT << j` and no overflow semantics in sight. */
+  private[graft] def signPackExpr(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val v = vec.cast("array<double>")
+    val words = (dims + 31) / 32
+    array((0 until words).map { w =>
+      val lo = w * 32
+      val hi = math.min(dims, lo + 32)
+      (lo until hi).map { i =>
+        when(element_at(v, i + 1) >= 0, lit(1L << (i - lo))).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two equal-length packed-word arrays:
+    * Σ popcount(xorᵢ). */
+  private[graft] def hammingExpr(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** A built sign index: the corpus as packed sign words — 1 bit per
+    * dimension at rest (a 64-dim float32 corpus shrinks 32×, 100 TB →
+    * ~3 TB), probed by Hamming distance. */
+  final case class SignIndex(bits: DataFrame, idCol: String, dims: Int) {
+    def persisted(): SignIndex = { bits.persist(); bits.count(); this }
+    def unpersisted(): SignIndex = { bits.unpersist(); this }
+  }
+
+  /** Build the sign index: a pure projection — no corpus aggregate at all
+    * (sign needs no corpus statistics, unlike [[sq8Bounds]]). */
+  def buildSignIndex(
+      df: DataFrame, idCol: String, vecCol: String, dims: Int): SignIndex =
+    SignIndex(
+      df.select(col(idCol), signPackExpr(col(vecCol), dims).as("_bits")),
+      idCol, dims)
+
+  /** Batch Hamming top-`k` over the sign index: query vectors are packed
+    * map-side (no corpus pass) and broadcast against one scan of the packed
+    * corpus; per-query top-k via the skew-safe two-pass rank, NEAREST
+    * first (ascending distance), ties to the lowest corpus id. Output:
+    * `(q_id, rank, <idCol>, hamming)` — hamming is integral, so this probe
+    * has no floating-point parity concerns at all. Same broadcast safety
+    * valve as the sibling probes. */
+  def probeSign(
+      index: SignIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes0 = queries.select(
+      col(qIdCol).as("_q_id"),
+      signPackExpr(col(qVecCol), index.dims).as("_q_bits"))
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0)
+      else probes0
+    val cands = index.bits.crossJoin(probes)
+    val kept =
+      if (excludeSelf) cands.filter(col(index.idCol) =!= col("_q_id")) else cands
+    val scored = kept.select(
+      col("_q_id"), col(index.idCol),
+      hammingExpr(col("_bits"), col("_q_bits")).as("_ham"))
+    TopK.perGroup(scored, Seq("_q_id"), Seq(col("_ham").asc, col(index.idCol).asc), k)
+      .select(
+        col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),
+        col(index.idCol), col("_ham").as("hamming"))
+  }
+
+  /** Single-query convenience over [[buildSignIndex]]/[[probeSign]] (the
+    * oracle entry). For repeated retrieval build the index once. */
+  def signTopK(
+      df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      queryId: Long, k: Int): DataFrame =
+    probeSign(
+      buildSignIndex(df, idCol, vecCol, dims),
+      df.filter(col(idCol) === queryId), idCol, vecCol, k,
+      excludeSelf = true, guardBroadcast = false)
+      .select(col(idCol), col("hamming"))
+
+  // ---- Two-stage rerank funnel --------------------------------------------
+
+  /** Exact re-rank tail of a retrieval funnel: take any per-query shortlist
+    * `(\_q_id, <idCol>)` — from a Hamming scan, an IVF probe, a prefix-dim
+    * pass, anything — attach the FULL-precision corpus vectors by id, and
+    * finish with exact cosine top-`k`. Cost ∝ queries × shortlist, never
+    * corpus size; the shortlist join is the only exchange. */
+  def rerankExact(
+      df: DataFrame, idCol: String, vecCol: String,
+      shortlist: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = broadcast(queries.select(
+      col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v")))
+    val cands = shortlist.select(col("_q_id"), col(idCol))
+      .join(df.select(col(idCol), col(vecCol).as("_v_full")), Seq(idCol))
+      .join(probes, Seq("_q_id"))
+    finishProbe(cands, idCol, "_v_full", k, excludeSelf = false)
+  }
+
+  /** Two-stage retrieval funnel on dimension PREFIXES (the
+    * Matryoshka-embedding discipline: a prefix of the dimensions is itself
+    * a usable lower-resolution embedding): stage 1 scores every corpus
+    * vector against the query on the first `prefixDims` dimensions only and
+    * keeps a per-query `shortlist`; stage 2 re-ranks the shortlist with
+    * exact full-dimension cosine ([[rerankExact]]). The corpus-proportional
+    * work drops to `prefixDims/dims` of brute force (at rest, store the
+    * prefix as its own column and the stage-1 scan reads only those bytes);
+    * full-precision cost is ∝ queries × shortlist. Self-matches are
+    * excluded in stage 1. Output: the probe contract
+    * `(q_id, rank, <idCol>, sim)`. */
+  def rerankTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, prefixDims: Int, shortlist: Int,
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val probes0 = queries.select(
+      col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))
+    val probes =
+      if (wantBroadcast(queries, broadcastProbes, guardBroadcast)) broadcast(probes0)
+      else probes0
+    val coarse = df.select(col(idCol), col(vecCol).as("_v"))
+      .crossJoin(probes)
+      .filter(col(idCol) =!= col("_q_id"))
+      .select(
+        col("_q_id"), col(idCol),
+        cosine(
+          slice(col("_v"), 1, prefixDims),
+          slice(col("_q_v"), 1, prefixDims)).as("_csim"))
+      .filter(col("_csim").isNotNull && !isnan(col("_csim")))
+    val short = TopK.perGroup(
+        coarse, Seq("_q_id"), Seq(col("_csim").desc, col(idCol).asc), shortlist)
+      .select(col("_q_id"), col(idCol))
+    rerankExact(df, idCol, vecCol, short, queries, qIdCol, qVecCol, k)
+  }
 }

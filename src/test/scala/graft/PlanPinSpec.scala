@@ -96,6 +96,19 @@ class PlanPinSpec extends SparkSpec {
     }
   }
 
+  test("s13/s14: sign scan and rerank funnel never sort the corpus into a merge join") {
+    // s13's only join is the packed-query broadcast over one corpus scan;
+    // s14's shortlist joins are queries×shortlist-sized — if either plans a
+    // SortMergeJoin the corpus is being exchanged for a probe-sized input
+    Seq("s13_sign_hamming", "s14_rerank_funnel").foreach { q =>
+      val df = Queries.byName(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q planned a sort-merge join:\n${plan.take(3000)}")
+    }
+  }
+
   test("t24: ONE corpus scan — the (source, term) exchange is reused, not recomputed") {
     // join-inferred isnotnull(source) must not break exchange canonical
     // equality (the operator prefilters nulls so every branch's scan

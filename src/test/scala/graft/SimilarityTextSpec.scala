@@ -232,6 +232,84 @@ class SimilarityTextSpec extends SparkSpec {
     index.unpersisted()
   }
 
+  test("signPackExpr: hand-modeled words; negatives clear bits; 32-bit word split") {
+    import spark.implicits._
+    // 34 dims → 2 words; dims 0,2,33 positive, rest negative
+    val v = Seq.tabulate(34)(i => if (Set(0, 2, 33)(i)) 1.0 else -1.0)
+    val got = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.signPackExpr(col("embedding"), 34).as("b"))
+      .collect().head.getSeq[Long](0)
+    assert(got == Seq((1L | (1L << 2)), (1L << 1))) // dim 33 = bit 1 of word 1
+    // zero counts as positive (>= 0)
+    val z = Seq((1L, Seq(0.0, -0.5))).toDF("vec_id", "embedding")
+      .select(Similarity.signPackExpr(col("embedding"), 2).as("b"))
+      .collect().head.getSeq[Long](0)
+    assert(z == Seq(1L))
+  }
+
+  test("probeSign == Scala Hamming model; hamming is symmetric and integral") {
+    import spark.implicits._
+    val rng = new Random(37)
+    val vecs = (0L until 70L).map(i => (i, Seq.fill(40)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.buildSignIndex(df, "vec_id", "embedding", 40)
+    def bits(v: Seq[Double]): Seq[Boolean] = v.map(_ >= 0)
+    def ham(a: Seq[Double], b: Seq[Double]): Long =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }.toLong
+    val q = vecs.find(_._1 == 3L).get._2
+    val expect = vecs.filter(_._1 != 3L)
+      .map { case (i, v) => (i, ham(v, q)) }
+      .sortBy { case (i, h) => (h, i) }.take(6)
+    val got = Similarity.probeSign(
+        index, df.filter(col("vec_id") === 3L), "vec_id", "embedding",
+        k = 6, excludeSelf = true, guardBroadcast = false)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("rerankTopK degenerates to exact brute force when the funnel is not selective") {
+    import spark.implicits._
+    val rng = new Random(38)
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(12)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // prefix = all dims and shortlist = corpus size → both stages exact
+    val funnel = Similarity.rerankTopK(
+      df, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, prefixDims = 12, shortlist = 60, guardBroadcast = false)
+    val brute = Similarity.bruteForceBatch(
+      df, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, excludeSelf = true)
+    assert(canon(funnel) == canon(brute))
+  }
+
+  test("sign-probe shortlist + rerankExact: the funnel composition recovers planted neighbors") {
+    import spark.implicits._
+    val rng = new Random(39)
+    // clusters along axes: sign pattern identifies the cluster, exact cosine
+    // ranks within it
+    val vecs = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      (i, Seq.tabulate(12)(d =>
+        (if (d / 4 == c) 1.0 else -1.0) * (0.5 + rng.nextDouble())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val index = Similarity.buildSignIndex(df, "vec_id", "embedding", 12)
+    val short = Similarity.probeSign(
+        index, queries, "vec_id", "embedding", k = 40,
+        excludeSelf = true, guardBroadcast = false)
+      .select(col("q_id").as("_q_id"), col("vec_id"))
+    val got = Similarity.rerankExact(
+      df, "vec_id", "embedding", short, queries, "vec_id", "embedding", k = 5)
+    // every survivor comes from the query's own cluster
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall { case (q, id) => id % 3 == q % 3 })
+  }
+
   test("probeLshMulti: nTables=1 == probeLsh; no cross-table duplicate pairs") {
     import spark.implicits._
     val rng = new Random(53)
