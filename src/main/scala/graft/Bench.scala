@@ -26,7 +26,7 @@ object Bench {
     "s06_label_outliers", "s08_bm25", "s09_embed_stats",
     "s10_sq8_topk", "s11_sq8_ivf", "s12_recall_audit", "s13_sign_hamming",
     "s14_rerank_funnel",
-    "c01_curation", "c02_embedding_curation",
+    "c01_curation", "c02_embedding_curation", "c03_funnel_report",
     "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
     "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",
     "t19_shard", "t20_unigram_logprob", "t21_pmi_collocations",

@@ -491,6 +491,92 @@ object QueriesExt {
                      ((cum_tokens - n_tokens) // 512) % 8 AS shard
               FROM c""")),
 
+    // C3 — the curation funnel's ATTRITION REPORT: every document labeled
+    // with the FIRST stage of c01's pipeline that dropped it (quality cut →
+    // duplicate → benchmark holdout → contamination → kept), then one
+    // count per stage. Computed as ONE labeled pass — a per-doc CASE over
+    // the pipeline's own two stage joins — not per-stage recounts, which
+    // would re-derive stage k's full lineage k times (O(stages²) corpus
+    // work at 100 TB). This is the first dashboard any production curation
+    // pipeline needs: where did my corpus go?
+    Entry(
+      "c03_funnel_report",
+      (s, d) => {
+        val documents = docs(s, d)
+        val scored = TextAnalysis.withQuality(documents, "text")
+          .select(col("doc_id"), col("text"), col("quality_score"))
+        val kept = scored.filter(col("quality_score") >= 0.45)
+          .select("doc_id", "text")
+        val canon = Dedup.byNormalizedText(kept, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"), lit(1).as("_canon"))
+        val train = kept.join(canon.select("doc_id"), Seq("doc_id"))
+          .filter(col("doc_id") % 50 =!= 0)
+        val contaminated = TextAnalysis.contaminatedDocs(
+            train, documents.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 3)
+          .select(col("doc_id"), lit(1).as("_contam"))
+        scored
+          .join(canon, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .select(
+            when(col("quality_score") < 0.45, "1_quality")
+              .when(col("_canon").isNull, "2_duplicate")
+              .when(col("doc_id") % 50 === 0, "3_benchmark_holdout")
+              .when(col("_contam").isNotNull, "4_contaminated")
+              .otherwise("5_kept").as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id, text,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS atl,
+                       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                         / length(text) AS pr,
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                         / len(string_split_regex(trim(lower(text)), '\s+')) AS swr
+                FROM documents),
+              scored AS (
+                SELECT doc_id, text,
+                       ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 0.05*atl + 0.5*swr - 2.0*pr)), 6) AS qs
+                FROM m),
+              kept AS (SELECT doc_id, text FROM scored WHERE qs >= 0.45),
+              canon AS (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id,
+                             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+                      FROM kept)
+                GROUP BY h),
+              train AS (
+                SELECT kept.doc_id, kept.text FROM kept JOIN canon USING (doc_id)
+                WHERE kept.doc_id % 50 <> 0),
+              nb AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                     FROM documents WHERE doc_id % 50 = 0),
+              tb AS (SELECT string_split(norm, ' ') AS toks FROM nb),
+              bench AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS gram
+                        FROM tb),
+              nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                     FROM train),
+              tt AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nt),
+              grams AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS gram
+                        FROM tt),
+              contaminated AS (
+                SELECT DISTINCT grams.doc_id
+                FROM grams JOIN bench ON grams.gram = bench.gram),
+              lab AS (
+                SELECT s.doc_id,
+                       CASE WHEN s.qs < 0.45 THEN '1_quality'
+                            WHEN c.doc_id IS NULL THEN '2_duplicate'
+                            WHEN s.doc_id % 50 = 0 THEN '3_benchmark_holdout'
+                            WHEN ct.doc_id IS NOT NULL THEN '4_contaminated'
+                            ELSE '5_kept' END AS stage
+                FROM scored s
+                LEFT JOIN canon c ON s.doc_id = c.doc_id
+                LEFT JOIN contaminated ct ON s.doc_id = ct.doc_id)
+              SELECT stage, COUNT(*) AS n_docs FROM lab GROUP BY stage""")),
+
     // C2 — the embedding-side curation pipeline as ONE composed query
     // (c01's vector-space sibling): semantic dedup (d09) → per-cluster
     // outlier drop (s06's bottom-5, on the SURVIVORS' centroids) →

@@ -267,6 +267,21 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("c03 funnel report: stages partition the corpus and label by FIRST drop") {
+    val report = Queries.byName("c03_funnel_report")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    // every document lands in exactly one stage — the report conserves the
+    // corpus (a doc both low-quality AND contaminated must count once,
+    // under its FIRST drop)
+    assert(report.values.sum == total, s"report $report must sum to $total")
+    assert(report.keySet.subsetOf(Set(
+      "1_quality", "2_duplicate", "3_benchmark_holdout", "4_contaminated", "5_kept")))
+    // the c01 pipeline's survivors are exactly the funnel's kept bucket
+    // (c01 continues into packing, so compare against its input stage)
+    assert(report.getOrElse("5_kept", 0L) > 0L)
+  }
+
   test("rerankTopK degenerates to exact brute force when the funnel is not selective") {
     import spark.implicits._
     val rng = new Random(38)
