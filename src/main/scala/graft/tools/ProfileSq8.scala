@@ -65,10 +65,13 @@ object ProfileSq8 {
       val index = Similarity.buildSq8Index(df, "id", "vec")
       val rawPath = "/tmp/sq8_raw_parquet"
       val codePath = "/tmp/sq8_code_parquet"
+      val signPath = "/tmp/sign_bits_parquet"
       df.select("id", "vec").write.mode(SaveMode.Overwrite).parquet(rawPath)
       index.codes.write.mode(SaveMode.Overwrite).parquet(codePath)
-      val (rb, cb) = (dirBytes(rawPath), dirBytes(codePath))
-      println(f"[bytes] n=$n dims=$dims raw=${rb / 1e6}%.1f MB codes=${cb / 1e6}%.1f MB ratio=${rb.toDouble / cb}%.2f×")
+      Similarity.buildSignIndex(df, "id", "vec", dims).bits
+        .write.mode(SaveMode.Overwrite).parquet(signPath)
+      val (rb, cb, sb) = (dirBytes(rawPath), dirBytes(codePath), dirBytes(signPath))
+      println(f"[bytes] n=$n dims=$dims raw=${rb / 1e6}%.1f MB codes=${cb / 1e6}%.1f MB (${rb.toDouble / cb}%.2f×) signBits=${sb / 1e6}%.1f MB (${rb.toDouble / sb}%.2f×)")
     }
 
     // ---- 2+3. wall: flat ADC scan vs pruned probe vs raw brute force -----
@@ -86,7 +89,12 @@ object ProfileSq8 {
           guardBroadcast = false)))
       val tBrute = timeMin(reps)(noop(
         Similarity.bruteForceBatch(df, "id", "vec", queries, "id", "vec", k = 10)))
-      println(f"[wall] n=$n queries=100 flatSq8=$tFlat%.2f s ivfSq8(nProbe=8)=$tIvf%.2f s rawBrute=$tBrute%.2f s")
+      val sign = Similarity.buildSignIndex(df, "id", "vec", dims).persisted()
+      val tSign = timeMin(reps)(noop(
+        Similarity.probeSign(sign, queries, "id", "vec", k = 10,
+          guardBroadcast = false)))
+      println(f"[wall] n=$n queries=100 flatSq8=$tFlat%.2f s ivfSq8(nProbe=8)=$tIvf%.2f s rawBrute=$tBrute%.2f s signHamming=$tSign%.2f s")
+      sign.unpersisted()
       sq8.unpersisted(); ivf.unpersisted()
       queries.unpersist(); df.unpersist()
     }
