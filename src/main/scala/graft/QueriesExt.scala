@@ -1113,6 +1113,32 @@ object QueriesExt {
               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
 
+    // D14 — cross-source duplicate-overlap matrix: for every unordered
+    // source pair, shared normalized-text hashes + Jaccard of the two
+    // hash sets, WITH zero-overlap pairs present (a monitoring matrix with
+    // missing cells reads as "no overlap" for the wrong reason). One
+    // (source, hash) distinct, a hash-keyed self-join bounded by sources²
+    // per hash, and a sources²-sized pair frame.
+    Entry(
+      "d14_source_overlap",
+      (s, d) => Dedup.sourceOverlap(docs(s, d), "text", "source"),
+      Some("""WITH h AS (SELECT DISTINCT source AS src,
+                                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+                         FROM documents),
+                   sizes AS (SELECT src, COUNT(*) AS n FROM h GROUP BY src),
+                   inter AS (SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS shared
+                             FROM h a JOIN h b ON a.h = b.h AND a.src < b.src
+                             GROUP BY a.src, b.src),
+                   pairs AS (SELECT x.src AS source_a, y.src AS source_b,
+                                    x.n AS na, y.n AS nb
+                             FROM sizes x JOIN sizes y ON x.src < y.src)
+              SELECT p.source_a, p.source_b,
+                     COALESCE(i.shared, 0) AS n_shared,
+                     ROUND(COALESCE(i.shared, 0) * 1.0
+                           / (p.na + p.nb - COALESCE(i.shared, 0)), 6) AS jaccard
+              FROM pairs p LEFT JOIN inter i
+                ON p.source_a = i.source_a AND p.source_b = i.source_b""")),
+
     // D12 — semantic decontamination: training vectors (vec_id % 100 <> 0)
     // whose max cosine to ANY benchmark vector (vec_id % 100 = 0) stays
     // under 0.25 — the embedding-space complement of t07's n-gram check

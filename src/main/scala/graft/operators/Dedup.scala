@@ -139,6 +139,44 @@ object Dedup {
     df.groupBy(md5(normalizeText(col(textCol))).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
+  /** Cross-source duplicate-overlap matrix: for every unordered source
+    * pair, how many normalized-text hashes appear in BOTH sources, and the
+    * Jaccard of the two sources' distinct-hash sets — the crawl-slice
+    * diagnostic for "which feeds are re-crawling each other" (run it before
+    * deciding which source to drop or down-weight).
+    *
+    * Plan: one distinct over `(source, hash)` (shuffle ∝ distinct pairs,
+    * combiner-absorbed), a hash-keyed self-join whose per-hash output is
+    * bounded by sources² (sources are few by construction — the join cannot
+    * explode the way a doc-pair join can), and a sources²-sized pair frame
+    * carrying the set sizes. Pairs with ZERO overlap are present (a
+    * monitoring matrix with silently missing cells reads as "no overlap"
+    * for the wrong reason). Output:
+    * `(source_a, source_b, n_shared, jaccard)`, `source_a < source_b`. */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val h = df.select(
+        col(srcCol).as("_src"), md5(normalizeText(col(textCol))).as("_h"))
+      .distinct()
+    val sizes = h.groupBy("_src").agg(count(lit(1)).as("_n"))
+    val inter = h.as("a")
+      .join(h.as("b"), col("a._h") === col("b._h") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(count(lit(1)).as("_shared"))
+    val pairs = sizes.as("x")
+      .join(sizes.as("y"), col("x._src") < col("y._src"))
+      .select(
+        col("x._src").as("source_a"), col("y._src").as("source_b"),
+        col("x._n").as("_na"), col("y._n").as("_nb"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(
+        col("source_a"), col("source_b"),
+        coalesce(col("_shared"), lit(0L)).as("n_shared"),
+        round(
+          coalesce(col("_shared"), lit(0L))
+            / (col("_na") + col("_nb") - coalesce(col("_shared"), lit(0L))),
+          6).as("jaccard"))
+  }
+
   /** Distinct character k-gram shingles of the normalized text. `let`-bound
     * so the regex normalization runs once per row, not once per shingle. */
   def charShingles(c: Column, k: Int): Column =

@@ -93,6 +93,27 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sourceOverlap: planted cross-source dups counted once; zero pairs present") {
+    import spark.implicits._
+    // srcA/srcB share two texts (one differing only in case/whitespace —
+    // normalization must unify them); srcC shares nothing; within-source
+    // duplicates must NOT inflate the distinct-hash sets
+    val df = Seq(
+      ("srcA", "shared one"), ("srcA", "shared two"), ("srcA", "only a"),
+      ("srcA", "only a"), // within-source dup: srcA has 3 DISTINCT texts
+      ("srcB", "Shared   ONE"), ("srcB", "shared two"), ("srcB", "only b"),
+      ("srcC", "only c one"), ("srcC", "only c two")
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(df, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    assert(got(("srcA", "srcB")) == ((2L, 0.5))) // 2 shared / (3 + 3 - 2)
+    assert(got(("srcA", "srcC")) == ((0L, 0.0)))
+    assert(got(("srcB", "srcC")) == ((0L, 0.0)))
+  }
+
   test("managed variants release their caches (no persistent-RDD leak)") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
