@@ -19,7 +19,7 @@ object Bench {
     "q18_dedup_norm", "q19_cosine_topk", "q21_sessions", "q22_asof",
     "q23_quantiles", "q24_asof_bucketed", "q25_rollup", "q26_pivot",
     "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
-    "q31_rolling_range",
+    "q31_rolling_range", "q32_profile",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
     "d11_incremental", "d13_incremental_neardup", "d14_source_overlap",
     "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",

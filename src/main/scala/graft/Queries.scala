@@ -639,7 +639,26 @@ object Queries {
                      ROUND(SUM(o_totalprice) OVER w + 1e-9, 6) AS sum_30d
               FROM o
               WINDOW w AS (PARTITION BY o_custkey ORDER BY t
-                           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)"""))
+                           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""")),
+
+    // Q32 — per-column data profile (ingest diagnostic): null count, exact
+    // distinct cardinality, range, mean for the fact table's numeric
+    // columns — ONE corpus pass (single aggregate, stack unpivot), never a
+    // pass per column.
+    Entry(
+      "q32_profile",
+      (s, d) =>
+        operators.Profiling.numericProfile(
+          t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS col_name,
+                   COUNT(*) - COUNT($c) AS n_nulls,
+                   COUNT(DISTINCT $c) AS n_distinct,
+                   CAST(MIN($c) AS DOUBLE) AS vmin,
+                   CAST(MAX($c) AS DOUBLE) AS vmax,
+                   ROUND(AVG($c) + 1e-9, 6) AS mean
+            FROM lineitem""").mkString(" UNION ALL ")))
   )
 
   def all: Seq[Entry] = core ++ QueriesExt.all

@@ -74,6 +74,54 @@ object ProfileSq8 {
       println(f"[bytes] n=$n dims=$dims raw=${rb / 1e6}%.1f MB codes=${cb / 1e6}%.1f MB (${rb.toDouble / cb}%.2f×) signBits=${sb / 1e6}%.1f MB (${rb.toDouble / sb}%.2f×)")
     }
 
+    // ---- 1b. recall ladder: what each compression level costs in recall --
+    // clustered synthetic (the regime embeddings live in), recall@10 vs the
+    // exact full-precision baseline via Similarity.recallAtK
+    {
+      val n = 200000L
+      val nCells = math.max(1L, n / 4096L)
+      for (noise <- Seq(0.9, 2.0)) {
+        val df = spark.range(n).select(
+          col("id"), pmod(xxhash64(col("id")), lit(nCells)).as("cell")).select(
+          col("id"), col("cell"),
+          transform(
+            sequence(lit(0), lit(dims - 1)),
+            d => (pmod(xxhash64(col("cell") * 131 + d), lit(2000003L)).cast("double")
+              / 1000001.5 - 1.0)
+              + (pmod(xxhash64(col("id") * 17 + d), lit(2000003L)).cast("double")
+                / 1000001.5 - 1.0) * noise).as("vec")).persist()
+        df.count()
+        val queries = df.filter(col("id") % (n / 100L) === 0L).persist()
+        queries.count()
+        val exact = Similarity.bruteForceBatch(
+          df, "id", "vec", queries, "id", "vec", k = 10).persist()
+        exact.count()
+        def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+          val r = Similarity.recallAtK(exact, approx, "id")
+            .agg(avg(col("recall"))).collect().head.getDouble(0)
+          math.round(r * 1000) / 1000.0
+        }
+        val sq8 = Similarity.buildSq8Index(df, "id", "vec").persisted()
+        val sq8Ivf = Similarity.buildSq8IvfIndex(df, "id", "vec", col("cell")).persisted()
+        val sign = Similarity.buildSignIndex(df, "id", "vec", dims).persisted()
+        val rSq8 = recall(Similarity.probeSq8(sq8, queries, "id", "vec", 10,
+          guardBroadcast = false))
+        val rIvf = recall(Similarity.probeSq8Ivf(sq8Ivf, queries, "id", "vec", 10,
+          nProbe = 8, guardBroadcast = false))
+        val rSign = recall(Similarity.probeSign(sign, queries, "id", "vec", 10,
+          guardBroadcast = false))
+        // sign shortlist 100 → exact rerank: the s14 funnel over the 32× index
+        val shortlist = Similarity.probeSign(sign, queries, "id", "vec", 100,
+            guardBroadcast = false)
+          .select(col("q_id").as("_q_id"), col("id"))
+        val rFunnel = recall(Similarity.rerankExact(
+          df, "id", "vec", shortlist, queries, "id", "vec", 10))
+        println(f"[recall] n=$n noise=$noise sq8Flat=$rSq8%.3f sq8Ivf(nProbe=8)=$rIvf%.3f signHamming=$rSign%.3f signFunnel(100→10)=$rFunnel%.3f")
+        sq8.unpersisted(); sq8Ivf.unpersisted(); sign.unpersisted()
+        exact.unpersist(); queries.unpersist(); df.unpersist()
+      }
+    }
+
     // ---- 2+3. wall: flat ADC scan vs pruned probe vs raw brute force -----
     for (n <- Seq(200000L, 400000L, 800000L)) {
       val df = corpus(spark, n, dims).persist()
