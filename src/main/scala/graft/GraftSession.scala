@@ -14,9 +14,12 @@ object GraftSession {
   /** Apply the session-level SQL confs Graft needs to an existing session.
     * Safe to call repeatedly; all of these are runtime-settable.
     *
-    * `spark.sql.legacy.parquet.nanosAsLong`: the `events` testdata carries a
-    * parquet TIMESTAMP(NANOS) column, which Spark has no native type for —
-    * we read it as a raw epoch-nanos long and normalize in [[Tables.events]].
+    * `spark.sql.legacy.parquet.nanosAsLong`: earlier testdata generations
+    * carried `events.ts` as parquet TIMESTAMP(NANOS), which Spark has no
+    * native type for — this conf reads such columns as raw epoch-nanos
+    * longs. Current generations write TIMESTAMP(MICROS), where the conf is
+    * inert; [[Tables.events]] normalizes either shape to epoch-micros longs
+    * by inspecting the loaded type.
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

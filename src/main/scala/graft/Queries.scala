@@ -11,9 +11,10 @@ import graft.operators._
   *
   * Conventions that make the oracle hash-compare work:
   *  - every computed column is aliased identically on both sides;
-  *  - event time is epoch-micros longs on both sides (`ts div 1000` here,
-  *    `epoch_us(ts)` in DuckDB — DuckDB also truncates the parquet
-  *    TIMESTAMP(NANOS) to micros, so the values agree exactly);
+  *  - event time is epoch-micros longs on both sides ([[Tables.events]]
+  *    normalizes whichever parquet shape `ts` carries — nanos-long or
+  *    TIMESTAMP(MICROS) — to epoch-micros; `epoch_us(ts)` in DuckDB
+  *    produces the same values exactly);
   *  - doubles that go through different summation orders are rounded.
   */
 object Queries {
