@@ -1704,6 +1704,88 @@ object QueriesExt {
                               JOIN q ON q.q_id = s.q_id
                          WHERE NOT isnan(list_cosine_similarity(e.v, q.qv)))
               SELECT q_id, rank, vec_id, ROUND(raw, 6) AS sim FROM r
-              WHERE rank <= 5"""))
+              WHERE rank <= 5""")),
+
+    // T25 — Naive Bayes language classifier (the fastText-style curation
+    // classifier): train token→lang log-probs on the deterministic 90%
+    // split, score the held-out 10%, argmax per doc. (On THIS synthetic
+    // corpus the langs share one token vocabulary, so accuracy sits at the
+    // majority prior — the oracle pins the math, not the signal; on real
+    // text the same pipeline separates languages.) The oracle replays
+    // training (counts → smoothed conditionals → priors) and scoring
+    // (per-doc token counts × per-label lookups → rounded log-posterior →
+    // argmax, ties on label) with identical rounding BEFORE the argmax so
+    // the winner is decided on identical numbers in both engines.
+    Entry(
+      "t25_nb_langid",
+      (s, d) => {
+        val split = TextAnalysis.deterministicSplit(docs(s, d), "doc_id")
+        val model = Classifier.trainNaiveBayes(
+          split.filter(col("split") === "train"), "text", "lang")
+        Classifier.scoreNaiveBayes(
+          model, split.filter(col("split") =!= "train"), "doc_id", "text")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 100 AS bucket
+              FROM documents),
+                   tr AS (SELECT d.* FROM documents d JOIN b USING (doc_id) WHERE bucket < 90),
+                   te AS (SELECT d.* FROM documents d JOIN b USING (doc_id) WHERE bucket >= 90),
+                   tt AS (SELECT lang AS label,
+                                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                          FROM tr),
+                   cnt AS (SELECT label, w, COUNT(*) AS c FROM tt GROUP BY 1, 2),
+                   v AS (SELECT COUNT(DISTINCT w) AS v FROM cnt),
+                   lt AS (SELECT label, SUM(c) AS nl FROM cnt GROUP BY 1),
+                   cond AS (SELECT label, w, LN((c + 1)::DOUBLE / (nl + v)) AS lp
+                            FROM cnt JOIN lt USING (label), v),
+                   fb AS (SELECT label, LN(1.0 / (nl + v)) AS lp0 FROM lt, v),
+                   n AS (SELECT COUNT(*) AS n FROM tr),
+                   pr AS (SELECT lang AS label, LN(COUNT(*)::DOUBLE / n.n) AS prior
+                          FROM tr, n GROUP BY lang, n.n),
+                   dt AS (SELECT doc_id, w, COUNT(*) AS cw
+                          FROM (SELECT doc_id,
+                                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                                FROM te)
+                          GROUP BY 1, 2),
+                   sc AS (SELECT dt.doc_id, pr.label,
+                                 ROUND(pr.prior + SUM(dt.cw * COALESCE(cond.lp, fb.lp0)) + 1e-9, 6) AS score
+                          FROM dt
+                               CROSS JOIN pr
+                               JOIN fb ON fb.label = pr.label
+                               LEFT JOIN cond ON cond.label = pr.label AND cond.w = dt.w
+                          GROUP BY dt.doc_id, pr.label, pr.prior),
+                   rk AS (SELECT doc_id, label, score,
+                                 row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY score DESC, label) AS rk
+                          FROM sc)
+              SELECT doc_id, label AS pred_label, score FROM rk WHERE rk = 1""")),
+
+    // C4 — ROC threshold sweep for a curation cutoff (score = n_chars,
+    // positive class = lang 'en'): cumulative confusion counts per distinct
+    // score under "keep when score ≥ threshold". Counts are exact longs —
+    // the hash-robust part — and the rates are rounded identically on both
+    // sides. Oracle replays the collapse-then-cumulate shape directly.
+    Entry(
+      "c04_roc_sweep",
+      (s, d) => Profiling.rocSweep(
+        docs(s, d).withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en"),
+      Some("""WITH per AS (SELECT CAST(n_chars AS DOUBLE) AS threshold,
+                                  COUNT(*) FILTER (lang = 'en') AS pos,
+                                  COUNT(*) FILTER (lang <> 'en') AS neg
+                           FROM documents GROUP BY 1),
+                   tot AS (SELECT COUNT(*) FILTER (lang = 'en') AS p,
+                                  COUNT(*) FILTER (lang <> 'en') AS n
+                           FROM documents),
+                   c AS (SELECT threshold,
+                                CAST(SUM(pos) OVER (ORDER BY threshold DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                                CAST(SUM(neg) OVER (ORDER BY threshold DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+                         FROM per)
+              SELECT threshold, tp, fp, p - tp AS fn, n - fp AS tn,
+                     ROUND(tp::DOUBLE / p + 1e-9, 6) AS tpr,
+                     ROUND(fp::DOUBLE / n + 1e-9, 6) AS fpr
+              FROM c, tot"""))
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classification — the lightweight
+  * quality/language classifier step of a curation pipeline (the role
+  * fastText-style linear models play in CCNet-like corpus filtering):
+  * train on a labeled slice, score the rest of the corpus, keep/reroute by
+  * predicted class.
+  *
+  * Why this shape at 100 TB: the MODEL is vocabulary-sized — a
+  * `(token, label) → log-probability` table of at most |V|·|labels| rows
+  * (MBs even for web-scale vocabularies after the usual min-count cut) —
+  * so training is one token-count aggregation over the labeled slice
+  * (shuffle ∝ distinct (token,label), map-side combined), and scoring is a
+  * BROADCAST join: every corpus token looks up its per-label log-prob
+  * locally, then one (doc,label) aggregation and a 1-row-per-doc argmax.
+  * No iteration, no driver-side state, nothing corpus-sized moves.
+  *
+  * Train/score split is the caller's job (pair with
+  * [[TextAnalysis.deterministicSplit]] for a reproducible one). Build the
+  * model once, persist its two frames if scoring many batches — the same
+  * build-once/probe-many discipline as the ANN and near-dup indexes.
+  *
+  * Reference anchor: the reference engine has no classifier; this is part
+  * of the north-star LLM-pipeline surface (SURVEY.md §2.13).
+  */
+object Classifier {
+
+  /** A trained model: two small DataFrames, both broadcastable.
+    *
+    *  - `condLogProb`: `(_label, _w, _lp)` — add-one-smoothed
+    *    ln P(token|label), one row per (token,label) seen in training.
+    *  - `labelPriors`: `(_label, _prior, _lp0)` — ln P(label) and the
+    *    unseen-token fallback ln(1/(tokens_label + |V|)), one row per label.
+    *
+    * Persist both (plain parquet) to reuse the model across scoring runs.
+    */
+  final case class NbModel(condLogProb: DataFrame, labelPriors: DataFrame)
+
+  /** Train on `train`'s `textCol` (whitespace tokens, lowercased — same
+    * convention as [[TextAnalysis.tokens]]) against the class in `labelCol`.
+    * One explode + one (token,label) aggregate; every derived statistic
+    * (vocab size, per-label token totals, doc priors) is a one-row or
+    * labels-row aggregate joined back broadcast — no driver collect. */
+  def trainNaiveBayes(
+      train: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val toks = train.select(
+      col(labelCol).cast("string").as("_label"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+    // vocabulary-sized; shuffle ∝ distinct (token,label), not occurrences
+    val counts = toks.groupBy("_label", "_w").agg(count(lit(1)).as("_c"))
+    val vocab = counts.agg(count_distinct(col("_w")).as("_v")) // 1 row
+    val labelTotals = counts.groupBy("_label").agg(sum("_c").as("_nl"))
+    val denom = labelTotals.crossJoin(broadcast(vocab)) // 1 row per label
+    val cond = counts
+      .join(broadcast(denom), "_label")
+      .select(
+        col("_label"), col("_w"),
+        log((col("_c") + lit(1)).cast("double") /
+          (col("_nl") + col("_v"))).as("_lp"))
+    val docTotal = train.agg(count(lit(1)).as("_n")) // 1 row
+    val priors = train
+      .groupBy(col(labelCol).cast("string").as("_label"))
+      .agg(count(lit(1)).as("_nd"))
+      .crossJoin(broadcast(docTotal))
+      .join(
+        denom.select(
+          col("_label"),
+          log(lit(1.0) / (col("_nl") + col("_v"))).as("_lp0")),
+        "_label")
+      .select(
+        col("_label"),
+        log(col("_nd").cast("double") / col("_n")).as("_prior"),
+        col("_lp0"))
+    NbModel(cond, priors)
+  }
+
+  /** Score `df`: argmax over labels of
+    * `ln P(label) + Σ_tokens count·ln P(token|label)`, add-one smoothing,
+    * unseen tokens charged the per-label fallback mass. Output:
+    * `(idCol, pred_label, score)`, score the winning log-posterior rounded
+    * boundary-stable to 6 dp (rounded BEFORE the argmax so the winner is
+    * identical across engines; ties break on label ascending).
+    *
+    * Plan: corpus-side work is one explode + one (doc,token) aggregate;
+    * both model joins are broadcast (labels × vocab is MBs); the final
+    * argmax is a (doc)-partitioned |labels|-row window — shuffle ∝
+    * docs × labels, never ∝ token occurrences. */
+  def scoreNaiveBayes(
+      model: NbModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docToks = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_cw"))
+    val perLabel = docToks
+      .crossJoin(broadcast(model.labelPriors)) // |labels| rows per token
+      .join(broadcast(model.condLogProb), Seq("_label", "_w"), "left")
+      .withColumn("_t", col("_cw") * coalesce(col("_lp"), col("_lp0")))
+      .groupBy(col(idCol), col("_label"), col("_prior"))
+      .agg(sum("_t").as("_s"))
+      .withColumn("_score", stableRound(col("_prior") + col("_s"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("_label").asc)
+    perLabel
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(
+        col(idCol),
+        col("_label").as("pred_label"),
+        col("_score").as("score"))
+  }
+}

@@ -32,30 +32,58 @@ object Packing {
     * per-slice window + a broadcast of per-slice offsets. */
   def globalRunningSum(
       df: DataFrame, orderCols: Seq[Column], valueCol: String,
-      outCol: String = "running_total"): DataFrame = {
+      outCol: String = "running_total"): DataFrame =
+    globalRunningSums(df, orderCols, Seq(valueCol -> outCol))
+
+  /** Multi-column form of [[globalRunningSum]]: every `(valueCol, outCol)`
+    * pair gets its inclusive running sum over the SAME total order in the
+    * same single range-exchange pass (one exchange, one bounded per-slice
+    * window, one broadcast of per-slice offsets — not a pass per column). */
+  def globalRunningSums(
+      df: DataFrame, orderCols: Seq[Column],
+      valueCols: Seq[(String, String)]): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
     val slices = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df
       .repartitionByRange(slices, orderCols: _*)
       .withColumn("_ps_pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_ps_local", sum(col(valueCol)).over(wLocal))
+    val local = valueCols.zipWithIndex.foldLeft(ranged) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"_ps_local_$i", sum(col(v)).over(wLocal))
+    }
     // per-slice totals -> exclusive prefix, via a triangular self-join over
     // the `slices`-row totals frame (a global window here would warn — and
     // at 32 rows a join is just as cheap and keeps every plan node
     // partition-safe; no driver collect either way)
     val totals = ranged.groupBy(col("_ps_pid"))
-      .agg(sum(col(valueCol)).as("_ps_t"))
-    val earlier = totals
-      .select(col("_ps_pid").as("_ps_pid_b"), col("_ps_t").as("_ps_t_b"))
+      .agg(
+        sum(col(valueCols.head._1)).as("_ps_t_0"),
+        valueCols.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(col(v)).as(s"_ps_t_${i + 1}")
+        }: _*)
+    val earlier = totals.select(
+      col("_ps_pid").as("_ps_pid_b") +:
+        valueCols.indices.map(i => col(s"_ps_t_$i").as(s"_ps_t_b_$i")): _*)
     val offsets = totals
       .join(earlier, col("_ps_pid_b") < col("_ps_pid"), "left")
       .groupBy(col("_ps_pid"))
-      .agg(coalesce(sum(col("_ps_t_b")), lit(0L)).as("_ps_off"))
-    local.join(broadcast(offsets), Seq("_ps_pid"))
-      .withColumn(outCol, col("_ps_local") + col("_ps_off"))
-      .drop("_ps_pid", "_ps_local")
+      .agg(
+        coalesce(sum(col("_ps_t_b_0")), lit(0L)).as("_ps_off_0"),
+        valueCols.tail.indices.map(i =>
+          coalesce(sum(col(s"_ps_t_b_${i + 1}")), lit(0L))
+            .as(s"_ps_off_${i + 1}")): _*)
+    val joined = local.join(broadcast(offsets), Seq("_ps_pid"))
+    val withOut = valueCols.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"_ps_local_$i") + col(s"_ps_off_$i"))
+    }
+    withOut.drop(
+      "_ps_pid" +:
+        valueCols.indices.flatMap(i =>
+          Seq(s"_ps_local_$i", s"_ps_off_$i")): _*)
   }
 
   /** Assign each document the id of the fixed-`maxTokens` training sequence

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Train corpus small enough to hand-compute every smoothed probability:
+  // vocab {a,b,c,d} (V=4), en tokens "a a b" (nl=3), fr tokens "c c d".
+  private lazy val model = Classifier.trainNaiveBayes(
+    Seq(("a a b", "en"), ("c c d", "fr")).toDF("text", "lang"),
+    "text", "lang")
+
+  private def predict(texts: String*): Map[String, (String, Double)] = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    Classifier.scoreNaiveBayes(model, df, "id", "text")
+      .collect()
+      .map(r => texts(r.getLong(0).toInt) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+  }
+
+  test("hand-computed posteriors: smoothing, priors, argmax") {
+    val got = predict("a a", "c c")
+    // P(a|en) = (2+1)/(3+4) = 3/7; prior = ln(1/2)
+    val wantEn = math.log(0.5) + 2 * math.log(3.0 / 7)
+    assert(got("a a")._1 == "en")
+    assert(math.abs(got("a a")._2 - wantEn) < 1e-5)
+    assert(got("c c")._1 == "fr")
+    assert(math.abs(got("c c")._2 - wantEn) < 1e-5) // symmetric corpus
+  }
+
+  test("exact tie breaks on label ascending") {
+    // "a c": en scores ln(1/2)+ln(3/7)+ln(1/7), fr identically (symmetry)
+    assert(predict("a c")("a c")._1 == "en")
+  }
+
+  test("tokens unseen in training charge the per-label fallback mass") {
+    val got = predict("z z z")
+    // fallback ln(1/(3+4)) identical for both labels -> tie -> en
+    assert(got("z z z")._1 == "en")
+    val want = math.log(0.5) + 3 * math.log(1.0 / 7)
+    assert(math.abs(got("z z z")._2 - want) < 1e-5)
+  }
+
+  test("model frames are reusable across scoring batches") {
+    val first = predict("a a")
+    val second = predict("a a b b", "d")
+    assert(first("a a")._1 == "en")
+    assert(second("a a b b")._1 == "en")
+    assert(second("d")._1 == "fr")
+  }
+
+  test("scoring plans broadcast model joins, no sort-merge") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = Classifier.scoreNaiveBayes(model, df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"model joins must broadcast:\n${plan.take(3000)}")
+  }
+}

@@ -28,4 +28,50 @@ class ProfilingSpec extends SparkSpec {
     assert(scans == 1,
       s"profile must scan the table once, found $scans scans:\n${plan.take(4000)}")
   }
+
+  test("rocSweep: hand model — cumulative confusion counts per distinct score") {
+    import spark.implicits._
+    val df = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
+    val got = Profiling.rocSweep(df, "s", "y")
+      .collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got(3.0) == ((1L, 0L, 1L, 1L, 0.5, 0.0)))
+    assert(got(2.0) == ((1L, 1L, 1L, 0L, 0.5, 1.0)))
+    assert(got(1.0) == ((2L, 1L, 0L, 0L, 1.0, 1.0)))
+  }
+
+  test("rocSweep: duplicate scores collapse to one threshold row") {
+    import spark.implicits._
+    val df = Seq((2.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
+    val got = Profiling.rocSweep(df, "s", "y").collect()
+    assert(got.length == 2)
+    val at2 = got.find(_.getDouble(0) == 2.0).get
+    assert((at2.getLong(1), at2.getLong(2)) == ((1L, 1L)))
+  }
+
+  test("auc: random sweep scores 0.5, perfect separation scores 1.0") {
+    import spark.implicits._
+    val random = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
+    val perfect = Seq((2.0, true), (1.0, false)).toDF("s", "y")
+    def v(df: org.apache.spark.sql.DataFrame) =
+      Profiling.auc(df, "s", "y").collect()(0).getDouble(0)
+    assert(math.abs(v(random) - 0.5) < 1e-6)
+    assert(math.abs(v(perfect) - 1.0) < 1e-6)
+  }
+
+  test("rocSweep/auc plan no unpartitioned window — prefix sums distribute") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toDouble % 97, i % 3 == 0)).toDF("s", "y")
+    for (plan <- Seq(
+        Profiling.rocSweep(df, "s", "y").queryExecution.executedPlan.toString,
+        Profiling.auc(df, "s", "y").queryExecution.executedPlan.toString)) {
+      // the prefix sum's window partitions by _ps_pid; a window specced
+      // directly on the order column would be the unpartitioned global form
+      assert(!plan.contains("windowspecdefinition(threshold"),
+        s"cumulative counts must come from the sliced prefix sum:\n${plan.take(3000)}")
+    }
+  }
 }
