@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Classifier
+
+/** Streaming classification against a PREBUILT model — ingestion-time
+  * language/quality routing, completing the build-once/probe-many streaming
+  * family ([[StreamingSimilarity]], [[StreamingDedup]]): the model was
+  * trained once ([[graft.operators.Classifier.trainNaiveBayes]], two
+  * broadcastable frames); each micro-batch is scored via broadcast lookups
+  * ([[graft.operators.Classifier.scoreNaiveBayes]]), so per-trigger cost is
+  * proportional to the batch, never to the training corpus.
+  *
+  * `sink` receives `(idCol, pred_label, score)` and the batch id;
+  * exactly-once sink semantics when `sink` is idempotent by batch id.
+  * Persist the model frames before attaching so repeated probes read
+  * cached columnar blocks rather than re-shuffling the counts. */
+object StreamingClassify {
+
+  def attachNaiveBayes(
+      docs: DataFrame, model: Classifier.NbModel,
+      idCol: String, textCol: String, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        sink(Classifier.scoreNaiveBayes(model, batch, idCol, textCol), id))
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

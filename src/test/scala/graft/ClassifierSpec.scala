@@ -53,6 +53,31 @@ class ClassifierSpec extends SparkSpec {
     assert(second("d")._1 == "fr")
   }
 
+  test("StreamingClassify: per-batch scoring over a prebuilt model == batch scoring") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq((10L, "a a"), (11L, "c d"), (12L, "b z"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamingClassify.attachNaiveBayes(
+      stream.toDF().toDF("id", "text"), model, "id", "text",
+      checkpoint = tmpDir("nb-ckpt")) { (scored, _) =>
+      got.synchronized {
+        got ++= scored.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)))
+      }
+    }
+    try {
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = Classifier.scoreNaiveBayes(
+        model, docs.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got.synchronized(got.toSet) == expect)
+  }
+
   test("scoring plans broadcast model joins, no sort-merge") {
     val df = Seq((1L, "a b c")).toDF("id", "text")
     val plan = Classifier.scoreNaiveBayes(model, df, "id", "text")
