@@ -1786,6 +1786,59 @@ object QueriesExt {
               SELECT threshold, tp, fp, p - tp AS fn, n - fp AS tn,
                      ROUND(tp::DOUBLE / p + 1e-9, 6) AS tpr,
                      ROUND(fp::DOUBLE / n + 1e-9, 6) AS fpr
-              FROM c, tot"""))
+              FROM c, tot""")),
+
+    // Q33 — conversion funnel (ordered-sequence analytics): earliest
+    // view → click → purchase chain per user, each step strictly after the
+    // previous step's earliest qualified time. One exchange + one sort
+    // resolves all steps (stacked running-min windows) — no k-way
+    // self-join. The oracle replays the same stacked windows.
+    Entry(
+      "q33_funnel_steps",
+      (s, d) => Sequence.funnelTimes(
+        graft.Tables.events(s, d), "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                                epoch_us(ts) AS t
+                         FROM events),
+                   o1 AS (SELECT *,
+                                 MIN(CASE WHEN event_type = 'view' THEN t END)
+                                   OVER w AS v
+                          FROM e
+                          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                   o2 AS (SELECT *,
+                                 CASE WHEN event_type = 'click' AND t > v THEN t END AS qc
+                          FROM o1),
+                   o3 AS (SELECT *, MIN(qc) OVER w AS c
+                          FROM o2
+                          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                   o4 AS (SELECT *,
+                                 CASE WHEN event_type = 'purchase' AND t > c THEN t END AS qp
+                          FROM o3)
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN t END) AS t_view,
+                     MIN(qc) AS t_click,
+                     MIN(qp) AS t_purchase
+              FROM o4 GROUP BY user_id""")),
+
+    // Q34 — weekly cohort retention: users bucketed by first-activity week
+    // (epoch-anchored), counted per (cohort, active) week pair. Exact-long
+    // output; shuffle after the distinct collapse ∝ users × active weeks.
+    Entry(
+      "q34_cohort_retention",
+      (s, d) => Sequence.cohortRetention(
+        graft.Tables.events(s, d), "user_id", "ts",
+        bucketUs = 7L * 86400 * 1000000),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+                   f AS (SELECT user_id, MIN(t) AS t0 FROM e GROUP BY user_id),
+                   a AS (SELECT DISTINCT e.user_id,
+                                         f.t0 // 604800000000 AS cohort_bucket,
+                                         e.t // 604800000000 AS active_bucket
+                         FROM e JOIN f USING (user_id))
+              SELECT cohort_bucket, active_bucket,
+                     COUNT(*) AS n_entities
+              FROM a GROUP BY 1, 2"""))
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Sequence
+
+class SequenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def funnel(rows: (Long, String, Long)*) =
+    Sequence.funnelTimes(
+      rows.zipWithIndex.map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+        .toDF("u", "typ", "ts", "eid"),
+      "u", "typ", "ts", "eid", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+
+  test("funnel: steps chain strictly in order") {
+    val got = funnel(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: the pre-view click and the pre-click purchase do not count
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 12L),
+      (2L, "click", 15L))
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((Some(10L), Some(15L), None)))
+  }
+
+  test("funnel: same-instant events do not chain (strictly after)") {
+    val got = funnel((1L, "view", 10L), (1L, "click", 10L), (1L, "click", 11L))
+    assert(got(1L) == ((Some(10L), Some(11L), None)))
+  }
+
+  test("funnel: never-started and mid-abandoned entities keep null tails") {
+    val got = funnel(
+      (1L, "click", 5L), (1L, "purchase", 6L), // no view at all
+      (2L, "view", 5L))                        // view only
+    assert(got(1L) == ((None, None, None)))
+    assert(got(2L) == ((Some(5L), None, None)))
+  }
+
+  test("cohortRetention: hand-computed cohort × activity counts") {
+    // bucket width 10: u1 first at 5 (cohort 0), active buckets {0, 2};
+    // u2 first at 15 (cohort 1), active {1}; u3 first at 7 (cohort 0),
+    // active {0} — duplicate events in one bucket collapse
+    val df = Seq(
+      (1L, 5L), (1L, 25L), (1L, 27L),
+      (2L, 15L),
+      (3L, 7L), (3L, 9L)).toDF("u", "ts")
+    val got = Sequence.cohortRetention(df, "u", "ts", bucketUs = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  test("funnel plans one exchange and one sort for all steps") {
+    val df = (0 until 500).map(i =>
+      ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
+        i.toLong, i.toLong))
+      .toDF("u", "typ", "ts", "eid")
+    val plan = Sequence.funnelTimes(
+      df, "u", "typ", "ts", "eid", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(u".r.findAllIn(plan).length
+    val sorts = "Sort \\[ts".r.findAllIn(plan).length
+    assert(exchanges == 1, s"want one exchange on the entity key:\n${plan.take(3000)}")
+    assert(sorts <= 1, s"stacked step windows must share one sort:\n${plan.take(3000)}")
+  }
+}
