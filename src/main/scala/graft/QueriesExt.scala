@@ -1839,6 +1839,31 @@ object QueriesExt {
                          FROM e JOIN f USING (user_id))
               SELECT cohort_bucket, active_bucket,
                      COUNT(*) AS n_entities
-              FROM a GROUP BY 1, 2"""))
+              FROM a GROUP BY 1, 2""")),
+
+    // Q35 — resample to a regular daily grid with forward fill (gap
+    // filling for sensor/ops series): per-entity grid over its own range,
+    // latest observation at-or-before each grid instant, null before the
+    // first. Same-instant observations collapse to max on BOTH sides so
+    // the as-of tie-break cannot diverge; the oracle uses DuckDB's native
+    // ASOF LEFT JOIN against the identical grid.
+    Entry(
+      "q35_resample_ffill",
+      (s, d) => Sequence.resampleFfill(
+        graft.Tables.events(s, d), "user_id", "ts", "value",
+        stepUs = 86400000000L),
+      Some("""WITH e0 AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+                   e AS (SELECT user_id, t, MAX(value) AS value
+                         FROM e0 GROUP BY 1, 2),
+                   r AS (SELECT user_id,
+                                MIN(t // 86400000000) AS b0,
+                                MAX(t // 86400000000) AS b1
+                         FROM e GROUP BY user_id),
+                   g AS (SELECT user_id,
+                                unnest(generate_series(b0, b1)) * 86400000000 AS grid_ts
+                         FROM r)
+              SELECT g.user_id, g.grid_ts, e.value AS value
+              FROM g ASOF LEFT JOIN e
+                ON g.user_id = e.user_id AND g.grid_ts >= e.t"""))
   )
 }

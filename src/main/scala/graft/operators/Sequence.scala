@@ -63,16 +63,18 @@ object Sequence {
     * Output: `(cohort_bucket, active_bucket, n_entities)` — exact longs.
     * One exchange on the entity (whole-partition min window, no sort),
     * one distinct collapse, one count. */
+  // exact integer floor-div for non-negative epochs: subtract the pmod
+  // remainder first so the double division is of an exact multiple
+  // (plain `c / widthUs` rounds in double space near bucket boundaries)
+  private def bucketOf(c: Column, widthUs: Long): Column =
+    ((c - pmod(c, lit(widthUs))) / lit(widthUs)).cast("long")
+
   def cohortRetention(
       df: DataFrame, entityCol: String, tsCol: String,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val wAll = Window.partitionBy(col(entityCol))
-    // exact integer floor-div for non-negative epochs: subtract the pmod
-    // remainder first so the double division is of an exact multiple
-    // (plain `c / bucketUs` rounds in double space near bucket boundaries)
-    val bucket = (c: Column) =>
-      ((c - pmod(c, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val bucket = (c: Column) => bucketOf(c, bucketUs)
     df
       .select(
         col(entityCol),
@@ -81,5 +83,40 @@ object Sequence {
       .distinct()
       .groupBy(col("cohort_bucket"), col("active_bucket"))
       .agg(count(lit(1)).as("n_entities"))
+  }
+
+  /** Resample each entity's observations onto a regular `stepUs`-wide
+    * epoch-anchored grid spanning that entity's own observed range,
+    * forward-filling `valueCol` from the latest observation at-or-before
+    * each grid instant (null before the first observation — forward fill
+    * never invents a value). Output: `(entityCol, grid_ts, valueCol)`.
+    *
+    * Same-instant observations collapse to their max BEFORE the as-of
+    * attach, so the fill is deterministic regardless of physical order.
+    * The grid explode is per-entity-range: rows ∝ Σ entity ranges / step —
+    * pick `stepUs` so that stays sane (a 10-year range at 1 ms steps is
+    * 3×10¹¹ grid rows; that is a caller bug, not an engine strategy).
+    * The attach is [[AsOfJoin.asOf]] — one union exchange + per-key
+    * window, hot-key auto-routing included. */
+  def resampleFfill(
+      df: DataFrame, entityCol: String, tsCol: String, valueCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val obs = df
+      .groupBy(col(entityCol), col(tsCol))
+      .agg(max(col(valueCol)).as(valueCol))
+    val ranges = obs
+      .groupBy(col(entityCol))
+      .agg(
+        min(bucketOf(col(tsCol), stepUs)).as("_b0"),
+        max(bucketOf(col(tsCol), stepUs)).as("_b1"))
+    val grid = ranges
+      .select(
+        col(entityCol),
+        explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+      .select(col(entityCol), (col("_b") * lit(stepUs)).as("grid_ts"))
+    AsOfJoin.asOf(
+      grid, obs, Seq(entityCol), Seq(entityCol), "grid_ts", tsCol,
+      Seq(valueCol), inclusive = true)
   }
 }

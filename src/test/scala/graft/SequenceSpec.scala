@@ -54,6 +54,21 @@ class SequenceSpec extends SparkSpec {
       (0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("resampleFfill: per-entity grid, forward fill, null before first obs") {
+    val df = Seq(
+      (1L, 12L, 1.0), (1L, 12L, 0.5), (1L, 25L, 2.0), // same-instant -> max
+      (2L, 5L, 9.0))
+      .toDF("u", "ts", "v")
+    val got = Sequence.resampleFfill(df, "u", "ts", "v", stepUs = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2)))
+      .toMap
+    assert(got == Map(
+      (1L, 10L) -> None,        // grid point precedes the first observation
+      (1L, 20L) -> Some(1.0),   // filled from ts=12 (max of the duplicates)
+      (2L, 0L) -> None))
+  }
+
   test("funnel plans one exchange and one sort for all steps") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
