@@ -21,7 +21,7 @@ object Bench {
     "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
     "q31_rolling_range", "q32_profile",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
-    "d11_incremental", "d13_incremental_neardup", "d14_source_overlap",
+    "d11_incremental", "d13_incremental_neardup", "d14_source_overlap", "d15_edit_distance",
     "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
     "s06_label_outliers", "s08_bm25", "s09_embed_stats",
     "s10_sq8_topk", "s11_sq8_ivf", "s12_recall_audit", "s13_sign_hamming",

@@ -1864,6 +1864,27 @@ object QueriesExt {
                          FROM r)
               SELECT g.user_id, g.grid_ts, e.value AS value
               FROM g ASOF LEFT JOIN e
-                ON g.user_id = e.user_id AND g.grid_ts >= e.t"""))
+                ON g.user_id = e.user_id AND g.grid_ts >= e.t""")),
+
+    // D15 — character-level near-dup pairs (Levenshtein ≤ 8 within
+    // 4-char-prefix blocks, length band pre-filter): the typo/OCR-noise
+    // modality the token-set dedup family misses. The oracle replays the
+    // identical blocking so the candidate sets match exactly; DuckDB's
+    // unbounded levenshtein agrees with Spark's thresholded form on every
+    // kept pair (both are the true distance when ≤ maxDist).
+    Entry(
+      "d15_edit_distance",
+      (s, d) => Dedup.editDistancePairs(docs(s, d), "doc_id", "text", maxDist = 8),
+      Some("""WITH n AS (SELECT doc_id,
+                                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   p AS (SELECT doc_id, norm, substr(norm, 1, 4) AS pfx,
+                                length(norm) AS len
+                         FROM n)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     levenshtein(a.norm, b.norm) AS dist
+              FROM p a JOIN p b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+              WHERE abs(a.len - b.len) <= 8
+                AND levenshtein(a.norm, b.norm) <= 8"""))
   )
 }

@@ -1192,4 +1192,51 @@ object Dedup {
           .as("max_bench_sim"))
       .filter(col("max_bench_sim") < threshold)
   }
+
+  /** Character-level (typo-scale) near-duplicate pairs: normalized texts
+    * within Levenshtein distance `maxDist`, the modality the token-set
+    * family is blind to (a dozen single-character edits barely move
+    * Jaccard but are exactly what OCR noise and template drift produce).
+    *
+    * Candidate generation is BLOCKED, never all-pairs: documents sharing
+    * the first `prefixLen` normalized characters self-join within the
+    * block, pre-filtered by the length band (|len(a)−len(b)| ≤ maxDist — a
+    * necessary condition for edit distance, applied before any DP runs).
+    * The DP itself runs with Spark's thresholded `levenshtein(_, _, k)`
+    * form: it abandons a pair the moment the running distance exceeds
+    * `maxDist` (banded O(len·maxDist) instead of O(len²)).
+    *
+    * Blocking recall/skew honesty (same contract as d03/d04): an edit
+    * inside the first `prefixLen` characters moves the pair to different
+    * blocks and is missed — raise recall by lowering `prefixLen` at the
+    * cost of bigger blocks; a boilerplate-heavy corpus with one dominant
+    * prefix makes that block quadratic — route such corpora through the
+    * d02 strategy gate discipline (block on a longer prefix, or pre-group
+    * exact duplicates away with [[byNormalizedText]] first, which also
+    * removes the distance-0 mass). */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      prefixLen: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val base = df.select(
+      col(idCol).as("_id"),
+      normalizeText(col(textCol)).as("_norm"))
+      .withColumn("_pfx", substring(col("_norm"), 1, prefixLen))
+      .withColumn("_len", length(col("_norm")))
+    val a = base.select(
+      col("_id").as("a_id"), col("_norm").as("_na"),
+      col("_pfx"), col("_len").as("_la"))
+    val b = base.select(
+      col("_id").as("b_id"), col("_norm").as("_nb"),
+      col("_pfx"), col("_len").as("_lb"))
+    a.join(b, Seq("_pfx"))
+      .filter(
+        col("a_id") < col("b_id") &&
+          abs(col("_la") - col("_lb")) <= maxDist)
+      .select(
+        col("a_id"), col("b_id"),
+        levenshtein(col("_na"), col("_nb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -508,4 +508,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(zcorp.contains(9L) && zcorp(9L) == -1.0)
   }
+
+  test("editDistancePairs: blocked Levenshtein pairs with exact distances") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world example"),
+      (2L, "hello  World exAmple"), // normalizes identically -> dist 0
+      (3L, "hello world exemplar"), // dist 3 from doc 1
+      (4L, "hello continents far away from the rest entirely"), // same block, too far
+      (5L, "jello world example")   // dist 1 from doc 1 but different prefix block
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // doc 4 fails the length band before any DP; doc 5 is the documented
+    // blocking miss (edit inside the prefix)
+    assert(got == Map((1L, 2L) -> 0, (1L, 3L) -> 3, (2L, 3L) -> 3))
+  }
+
+  test("editDistancePairs: length band excludes before the DP, threshold after") {
+    import spark.implicits._
+    // one "ab" prefix block: doc 2 fails the length band (|4-16| > 3)
+    // before any DP; doc 5 survives the band but its distances (4) exceed
+    // maxDist and are thresholded out; 1/3/4 pairwise at exactly dist 3
+    val docs = Seq(
+      (1L, "abcd"), (2L, "abcdefghijklmnop"), (3L, "abzzz"),
+      (4L, "abyyy"), (5L, "abqqqq")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 3, prefixLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 3L) -> 3, (1L, 4L) -> 3, (3L, 4L) -> 3))
+  }
 }
