@@ -1885,6 +1885,67 @@ object QueriesExt {
                      levenshtein(a.norm, b.norm) AS dist
               FROM p a JOIN p b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
               WHERE abs(a.len - b.len) <= 8
-                AND levenshtein(a.norm, b.norm) <= 8"""))
+                AND levenshtein(a.norm, b.norm) <= 8""")),
+
+    // Q36 — per-entity least-squares trend (metric drift detection): slope
+    // and intercept of value vs time-in-days, closed-form sums in ONE
+    // aggregate. x is centered on the data's own min epoch (the operator's
+    // conditioning contract); the oracle replays the identical formula —
+    // NOT regr_slope, whose different accumulation would float-diverge.
+    Entry(
+      "q36_trend",
+      (s, d) => {
+        val e = graft.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("value"))
+        val t0 = e.agg(min("ts").as("_t0"))
+        Profiling.groupTrend(
+          e.crossJoin(broadcast(t0))
+            .withColumn(
+              "x", (col("ts") - col("_t0")).cast("double") / 86400000000.0),
+          Seq("user_id"), "x", "value")
+      },
+      Some("""WITH m AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+                   e AS (SELECT user_id,
+                                (epoch_us(ts) - t0)::DOUBLE / 86400000000 AS x,
+                                value AS y
+                         FROM events, m),
+                   a AS (SELECT user_id, COUNT(*) AS n_points,
+                                SUM(x) AS sx, SUM(y) AS sy,
+                                SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                         FROM e GROUP BY 1),
+                   f AS (SELECT *, n_points::DOUBLE AS n,
+                                n_points::DOUBLE * sxx - sx * sx AS denom
+                         FROM a)
+              SELECT user_id, n_points,
+                     ROUND(CASE WHEN denom <> 0
+                                THEN (n * sxy - sx * sy) / denom END + 1e-9, 6) AS slope,
+                     ROUND(CASE WHEN denom <> 0
+                                THEN (sy - (n * sxy - sx * sy) / denom * sx) / n END + 1e-9, 6) AS intercept
+              FROM f""")),
+
+    // Q37 — per-entity z-score outliers (anomaly screening): events more
+    // than 2 sample standard deviations from their user's mean value.
+    // Stats formula replayed explicitly on both sides; membership decided
+    // on the ROUNDED z so the boundary cannot float-flip across engines.
+    Entry(
+      "q37_zscore_outliers",
+      (s, d) => Profiling.zscoreOutliers(
+        graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value")),
+        Seq("user_id"), "value", zThreshold = 2.0),
+      Some("""WITH e AS (SELECT event_id, user_id, value FROM events),
+                   st AS (SELECT user_id, COUNT(*) AS n,
+                                 SUM(value) AS sv, SUM(value * value) AS svv
+                          FROM e GROUP BY 1),
+                   s2 AS (SELECT user_id,
+                                 sv / n AS mu,
+                                 sqrt((svv - sv * sv / n) / (n - 1)) AS sigma
+                          FROM st WHERE n > 1),
+                   z AS (SELECT e.event_id, e.user_id, e.value,
+                                ROUND((e.value - s2.mu) / s2.sigma + 1e-9, 6) AS z
+                         FROM e JOIN s2 USING (user_id)
+                         WHERE s2.sigma > 0)
+              SELECT event_id, user_id, value, z FROM z
+              WHERE abs(z) > 2.0"""))
   )
 }

@@ -85,6 +85,75 @@ object Profiling {
         sum((col("_f") - col("_pf")) * (col("_t") + col("_pt")) / 2), 6)
         .as("auc"))
 
+  /** Per-group ordinary-least-squares trend of `yCol` against `xCol`:
+    * `(keys…, n_points, slope, intercept)` from the closed-form sums —
+    * ONE map-side-combined aggregate per group, no iteration, no join.
+    * Degenerate groups (single point, or zero x-variance) get null
+    * slope/intercept rather than a division blowup.
+    *
+    * Numeric-conditioning contract: CENTER `xCol` before calling (e.g.
+    * epoch micros → days since the data's own min). The closed form
+    * subtracts `(Σx)²`-scale terms; with raw epoch-micros x the
+    * subtraction cancels ~16 significant digits and the result is noise —
+    * with x in the hundreds it is exact to well past the 6 dp this
+    * rounds to. The oracle must replay THIS formula (not its engine's
+    * regr_slope, which uses a different accumulation). */
+  def groupTrend(
+      df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "groupTrend needs at least one key column")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
+    val n = col("n_points").cast("double")
+    val denom = n * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (n * col("_sxy") - col("_sx") * col("_sy")) / denom
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_points"),
+        stableRound(when(denom =!= 0.0, slope), 6).as("slope"),
+        stableRound(
+          when(denom =!= 0.0, (col("_sy") - slope * col("_sx")) / n), 6)
+          .as("intercept")): _*)
+  }
+
+  /** Per-group z-score outliers: rows of `df` whose `valueCol` deviates
+    * from their group mean by more than `zThreshold` sample standard
+    * deviations. Output: all input columns + `z` (rounded 6 dp; the
+    * threshold compares the ROUNDED z so borderline membership is decided
+    * on identical numbers in any engine). Groups with fewer than 2 rows or
+    * zero variance emit nothing. Plan: one map-side-combined aggregate to
+    * a groups-sized stats frame, joined back on the group key — equi-join
+    * AQE sizes (broadcast while the stats frame fits, shuffle join
+    * beyond). */
+  def zscoreOutliers(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      zThreshold: Double): DataFrame = {
+    require(keyCols.nonEmpty, "zscoreOutliers needs at least one key column")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(v).as("_sv"), sum(v * v).as("_svv"))
+      .filter(col("_n") > 1)
+      .select(
+        keyCols.map(col) ++ Seq(
+          (col("_sv") / col("_n")).as("_mu"),
+          sqrt(
+            (col("_svv") - col("_sv") * col("_sv") / col("_n")) /
+              (col("_n") - 1)).as("_sigma")): _*)
+      .filter(col("_sigma") > 0.0)
+    df.join(stats, keyCols)
+      .withColumn("z", stableRound((v - col("_mu")) / col("_sigma"), 6))
+      .filter(abs(col("z")) > zThreshold)
+      .drop("_mu", "_sigma")
+  }
+
   /** Shared sweep core: one row per distinct score with per-threshold
     * positive/negative increments (`_pos`/`_neg`), inclusive cumulative
     * confusion counts (`tp`/`fp`) by descending threshold, and broadcast

@@ -62,6 +62,37 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(v(perfect) - 1.0) < 1e-6)
   }
 
+  test("groupTrend: exact line recovered; degenerate groups get null fit") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0), // y = 2x + 1
+      ("b", 5.0, 7.0),                                   // single point
+      ("c", 4.0, 1.0), ("c", 4.0, 9.0)                   // zero x-variance
+    ).toDF("g", "x", "y")
+    val got = Profiling.groupTrend(df, Seq("g"), "x", "y")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(got("a") == ((3L, Some(2.0), Some(1.0))))
+    assert(got("b") == ((1L, None, None)))
+    assert(got("c") == ((2L, None, None)))
+  }
+
+  test("zscoreOutliers: hand-computed z, degenerate groups emit nothing") {
+    import spark.implicits._
+    val rows = (1L to 9L).map(i => (i, "a", 0.0)) ++ Seq(
+      (10L, "a", 100.0),      // z = 90/sqrt(1000) = 2.846 > 2
+      (11L, "b", 5.0),        // single-row group
+      (12L, "c", 7.0), (13L, "c", 7.0)) // zero variance
+    val got = Profiling.zscoreOutliers(
+        rows.toDF("id", "g", "v"), Seq("g"), "v", zThreshold = 2.0)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("z")).toMap
+    assert(got.keySet == Set(10L))
+    assert(math.abs(got(10L) - 90.0 / math.sqrt(1000.0)) < 1e-5)
+  }
+
   test("rocSweep/auc plan no unpartitioned window — prefix sums distribute") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toDouble % 97, i % 3 == 0)).toDF("s", "y")
