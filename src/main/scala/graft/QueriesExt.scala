@@ -1946,6 +1946,29 @@ object QueriesExt {
                          FROM e JOIN s2 USING (user_id)
                          WHERE s2.sigma > 0)
               SELECT event_id, user_id, value, z FROM z
-              WHERE abs(z) > 2.0"""))
+              WHERE abs(z) > 2.0""")),
+
+    // Q38 — event-type transition matrix (process mining): consecutive
+    // pairs per user under (ts, event_id) order, counted and
+    // row-normalized. Everything after the one sorted window is
+    // types²-sized. The oracle replays lead() under the identical order.
+    Entry(
+      "q38_transitions",
+      (s, d) => Sequence.transitionCounts(
+        graft.Tables.events(s, d), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                                epoch_us(ts) AS t
+                         FROM events),
+                   sq AS (SELECT event_type AS from_type,
+                                 lead(event_type) OVER (PARTITION BY user_id
+                                                        ORDER BY t, event_id) AS to_type
+                          FROM e),
+                   c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+                         FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+                   tot AS (SELECT from_type, SUM(n_transitions) AS ft
+                           FROM c GROUP BY 1)
+              SELECT c.from_type, c.to_type, c.n_transitions,
+                     ROUND(c.n_transitions::DOUBLE / tot.ft + 1e-9, 6) AS p
+              FROM c JOIN tot USING (from_type)"""))
   )
 }

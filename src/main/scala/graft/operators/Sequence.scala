@@ -85,6 +85,38 @@ object Sequence {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** First-order transition matrix over each entity's event sequence
+    * (process mining: which step follows which, how often): consecutive
+    * event-type pairs under (time, `orderCol`) order, counted and
+    * row-normalized. Output: `(from_type, to_type, n_transitions, p)`
+    * with `p` the per-from transition probability (rounded 6 dp).
+    *
+    * One exchange + one per-entity sort produces every adjacent pair via
+    * `lead`; the count collapse leaves a types²-sized frame, and the
+    * row-normalizing totals join is over a types-sized frame — broadcast
+    * by construction. Nothing after the first window is event-count
+    * proportional. */
+  def transitionCounts(
+      df: DataFrame, entityCol: String, typeCol: String, tsCol: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val counts = df
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("_ft"))
+    counts
+      .join(broadcast(totals), "from_type")
+      .withColumn(
+        "p",
+        graft.operators.stableRound(
+          col("n_transitions").cast("double") / col("_ft"), 6))
+      .drop("_ft")
+  }
+
   /** Resample each entity's observations onto a regular `stepUs`-wide
     * epoch-anchored grid spanning that entity's own observed range,
     * forward-filling `valueCol` from the latest observation at-or-before

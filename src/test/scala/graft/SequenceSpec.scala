@@ -69,6 +69,23 @@ class SequenceSpec extends SparkSpec {
       (2L, 0L) -> None))
   }
 
+  test("transitionCounts: hand-computed matrix, row-normalized") {
+    // u1: a->b->a->b ; u2: a->b  =>  a->b ×3, b->a ×1
+    val df = Seq(
+      (1L, "a", 10L, 0L), (1L, "b", 20L, 1L),
+      (1L, "a", 30L, 2L), (1L, "b", 40L, 3L),
+      (2L, "a", 5L, 4L), (2L, "b", 6L, 5L))
+      .toDF("u", "typ", "ts", "eid")
+    val got = Sequence.transitionCounts(df, "u", "typ", "ts", "eid")
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("p")))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 1.0)),
+      ("b", "a") -> ((1L, 1.0)))) // b row-normalizes over its own 1 exit
+  }
+
   test("funnel plans one exchange and one sort for all steps") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
