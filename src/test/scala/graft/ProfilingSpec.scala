@@ -93,6 +93,28 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(got(10L) - 90.0 / math.sqrt(1000.0)) < 1e-5)
   }
 
+  test("rocSweep == naive threshold scan on random data (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 41, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 1500).map(_ =>
+        (rnd.nextInt(60).toDouble, rnd.nextBoolean()))
+      val p = rows.count(_._2).toLong
+      val n = rows.size - p
+      val want = rows.map(_._1).distinct.map { thr =>
+        val tp = rows.count(r => r._1 >= thr && r._2).toLong
+        val fp = rows.count(r => r._1 >= thr && !r._2).toLong
+        thr -> ((tp, fp, p - tp, n - fp))
+      }.toMap
+      val got = Profiling.rocSweep(rows.toDF("s", "y"), "s", "y")
+        .collect()
+        .map(r => r.getDouble(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("rocSweep/auc plan no unpartitioned window — prefix sums distribute") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toDouble % 97, i % 3 == 0)).toDF("s", "y")

@@ -86,6 +86,65 @@ class SequenceSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0)))) // b row-normalizes over its own 1 exit
   }
 
+  test("funnel == naive per-entity fold on random data (3 seeds)") {
+    val types = Vector("view", "click", "purchase", "other")
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 2000).map { i =>
+        ((rnd.nextInt(40)).toLong, types(rnd.nextInt(types.size)),
+          rnd.nextInt(300).toLong, i.toLong)
+      }
+      // naive model: walk each entity's (ts, eid)-sorted events, tracking
+      // the earliest strictly-after qualified time per step
+      val want = rows.groupBy(_._1).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._4))
+        val steps = Seq("view", "click", "purchase")
+        val t = Array.fill[Option[Long]](3)(None)
+        for ((_, typ, ts, _) <- sorted; i = steps.indexOf(typ) if i >= 0) {
+          val ok = i == 0 || t(i - 1).exists(_ < ts)
+          if (ok && t(i).forall(_ > ts)) t(i) = Some(ts)
+        }
+        u -> ((t(0), t(1), t(2)))
+      }
+      val got = Sequence.funnelTimes(
+          rows.toDF("u", "typ", "ts", "eid"),
+          "u", "typ", "ts", "eid", Seq("view", "click", "purchase"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+        .toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("resampleFfill == naive grid walk on random data (3 seeds)") {
+    for (seed <- Seq(5, 17, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 800).map { _ =>
+        ((rnd.nextInt(20)).toLong, rnd.nextInt(500).toLong,
+          rnd.nextInt(100).toDouble)
+      }
+      val step = 25L
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val byTs = es.groupBy(_._2).map { case (ts, g) => ts -> g.map(_._3).max }
+        val b0 = byTs.keys.min / step
+        val b1 = byTs.keys.max / step
+        (b0 to b1).map { b =>
+          val gt = b * step
+          val vs = byTs.filter(_._1 <= gt)
+          (u, gt) -> (if (vs.isEmpty) None
+                      else Some(vs.maxBy(_._1)._2))
+        }
+      }
+      val got = Sequence.resampleFfill(
+          rows.toDF("u", "ts", "v"), "u", "ts", "v", stepUs = step)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2)))
+        .toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("funnel plans one exchange and one sort for all steps") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
