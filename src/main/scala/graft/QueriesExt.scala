@@ -1790,14 +1790,15 @@ object QueriesExt {
 
     // Q33 — conversion funnel (ordered-sequence analytics): earliest
     // view → click → purchase chain per user, each step strictly after the
-    // previous step's earliest qualified time. One exchange + one sort
-    // resolves all steps (stacked running-min windows) — no k-way
-    // self-join. The oracle replays the same stacked windows.
+    // previous step's earliest qualified time. Pure conditional
+    // aggregation — no window, no sort, no self-join (see the operator's
+    // equivalence argument). The oracle keeps the textbook stacked-window
+    // formulation: an INDEPENDENT derivation of the same semantics.
     Entry(
       "q33_funnel_steps",
       (s, d) => Sequence.funnelTimes(
         graft.Tables.events(s, d), "user_id", "event_type", "ts",
-        "event_id", Seq("view", "click", "purchase")),
+        Seq("view", "click", "purchase")),
       Some("""WITH e AS (SELECT user_id, event_id, event_type,
                                 epoch_us(ts) AS t
                          FROM events),

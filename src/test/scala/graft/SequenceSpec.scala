@@ -9,7 +9,7 @@ class SequenceSpec extends SparkSpec {
     Sequence.funnelTimes(
       rows.zipWithIndex.map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
         .toDF("u", "typ", "ts", "eid"),
-      "u", "typ", "ts", "eid", Seq("view", "click", "purchase"))
+      "u", "typ", "ts", Seq("view", "click", "purchase"))
       .collect()
       .map(r => r.getLong(0) ->
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
@@ -108,7 +108,7 @@ class SequenceSpec extends SparkSpec {
       }
       val got = Sequence.funnelTimes(
           rows.toDF("u", "typ", "ts", "eid"),
-          "u", "typ", "ts", "eid", Seq("view", "click", "purchase"))
+          "u", "typ", "ts", Seq("view", "click", "purchase"))
         .collect()
         .map(r => r.getLong(0) ->
           ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
@@ -145,17 +145,15 @@ class SequenceSpec extends SparkSpec {
     }
   }
 
-  test("funnel plans one exchange and one sort for all steps") {
+  test("funnel plans aggregates only — no window, no sort anywhere") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
         i.toLong, i.toLong))
       .toDF("u", "typ", "ts", "eid")
     val plan = Sequence.funnelTimes(
-      df, "u", "typ", "ts", "eid", Seq("view", "click", "purchase"))
+      df, "u", "typ", "ts", Seq("view", "click", "purchase"))
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning\\(u".r.findAllIn(plan).length
-    val sorts = "Sort \\[ts".r.findAllIn(plan).length
-    assert(exchanges == 1, s"want one exchange on the entity key:\n${plan.take(3000)}")
-    assert(sorts <= 1, s"stacked step windows must share one sort:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"no window expected:\n${plan.take(3000)}")
+    assert(!plan.contains("Sort "), s"no sort expected:\n${plan.take(3000)}")
   }
 }
