@@ -110,16 +110,30 @@ object Sequence {
     * `lead`; the count collapse leaves a types²-sized frame, and the
     * row-normalizing totals join is over a types-sized frame — broadcast
     * by construction. Nothing after the first window is event-count
-    * proportional. */
+    * proportional.
+    *
+    * Hot-entity control: adjacency genuinely needs order (no funnel-style
+    * aggregate collapse exists), so a 90%-hot entity serializes the flat
+    * window's sort. Pass `bucketUs > 0` to route through
+    * [[transitionPairsBucketed]] — within-(entity, time-bucket) windows
+    * plus boundary stitching over a buckets-sized frame — bounding any
+    * task by rows-per-bucket at the cost of one extra tiny window. Output
+    * is identical (property-pinned). */
   def transitionCounts(
       df: DataFrame, entityCol: String, typeCol: String, tsCol: String,
-      orderCol: String): DataFrame = {
-    val w = Window.partitionBy(col(entityCol))
-      .orderBy(col(tsCol), col(orderCol))
-    val counts = df
-      .withColumn("_next", lead(col(typeCol), 1).over(w))
-      .filter(col("_next").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      orderCol: String, bucketUs: Long = 0L): DataFrame = {
+    require(bucketUs >= 0, s"bucketUs must be >= 0, got $bucketUs")
+    val pairs =
+      if (bucketUs == 0L) {
+        val w = Window.partitionBy(col(entityCol))
+          .orderBy(col(tsCol), col(orderCol))
+        df.withColumn("_next", lead(col(typeCol), 1).over(w))
+          .filter(col("_next").isNotNull)
+          .select(col(typeCol).as("_from"), col("_next").as("_to"))
+      } else transitionPairsBucketed(df, entityCol, typeCol, tsCol,
+        orderCol, bucketUs)
+    val counts = pairs
+      .groupBy(col("_from").as("from_type"), col("_to").as("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
     val totals = counts.groupBy(col("from_type"))
       .agg(sum(col("n_transitions")).as("_ft"))
@@ -130,6 +144,37 @@ object Sequence {
         graft.operators.stableRound(
           col("n_transitions").cast("double") / col("_ft"), 6))
       .drop("_ft")
+  }
+
+  /** The q24 discipline applied to `lead`: adjacent pairs WITHIN each
+    * (entity, `bucketUs`-wide time bucket) via a bucketed window — task
+    * input bounded by rows-per-bucket, not rows-per-entity — plus the
+    * bucket-boundary pairs, stitched from a buckets-sized frame (one
+    * first/last aggregate per non-empty bucket, then `lead` over buckets;
+    * empty buckets are simply absent, so adjacency skips them exactly as
+    * the flat order does). Identical output to the flat window —
+    * property-pinned in SequenceSpec. */
+  private def transitionPairsBucketed(
+      df: DataFrame, entityCol: String, typeCol: String, tsCol: String,
+      orderCol: String, bucketUs: Long): DataFrame = {
+    val withB = df.withColumn("_bkt", bucketOf(col(tsCol), bucketUs))
+    val wIn = Window.partitionBy(col(entityCol), col("_bkt"))
+      .orderBy(col(tsCol), col(orderCol))
+    val inner = withB
+      .withColumn("_next", lead(col(typeCol), 1).over(wIn))
+      .filter(col("_next").isNotNull)
+      .select(col(typeCol).as("_from"), col("_next").as("_to"))
+    val ends = withB
+      .groupBy(col(entityCol), col("_bkt"))
+      .agg(
+        min_by(col(typeCol), struct(col(tsCol), col(orderCol))).as("_first"),
+        max_by(col(typeCol), struct(col(tsCol), col(orderCol))).as("_last"))
+    val wB = Window.partitionBy(col(entityCol)).orderBy(col("_bkt"))
+    val boundary = ends
+      .withColumn("_nextFirst", lead(col("_first"), 1).over(wB))
+      .filter(col("_nextFirst").isNotNull)
+      .select(col("_last").as("_from"), col("_nextFirst").as("_to"))
+    inner.unionByName(boundary)
   }
 
   /** Resample each entity's observations onto a regular `stepUs`-wide

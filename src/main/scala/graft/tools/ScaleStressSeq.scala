@@ -58,6 +58,19 @@ object ScaleStressSeq {
       println(f"[seq] funnel $label n=$n wall min=${walls.min}%.2f s " +
         f"(all: ${walls.map(w => f"$w%.2f").mkString(", ")})")
       skew.print(s"[seq] funnel $label")
+      // transitions: flat window vs (entity, bucket)-split under the same
+      // distribution — ts spans one day, so 1-minute buckets ≈ 1440 slices
+      for ((form, width) <- Seq("flat" -> 0L, "bucketed" -> 60000000L)) {
+        val tw = (1 to 3).map { _ =>
+          skew.reset()
+          val t0 = System.nanoTime()
+          noop(Sequence.transitionCounts(df, "u", "typ", "ts", "eid", width))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[seq] transitions $label/$form wall min=${tw.min}%.2f s " +
+          f"(all: ${tw.map(w => f"$w%.2f").mkString(", ")})")
+        skew.print(s"[seq] transitions $label/$form", 3)
+      }
       df.unpersist()
     }
     spark.stop()

@@ -86,6 +86,25 @@ class SequenceSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0)))) // b row-normalizes over its own 1 exit
   }
 
+  test("transitionCounts: bucketed == flat window on random data (3 seeds × widths)") {
+    val types = Vector("a", "b", "c", "d")
+    for (seed <- Seq(11, 47, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 3000).map { i =>
+        ((rnd.nextInt(25)).toLong, types(rnd.nextInt(types.size)),
+          rnd.nextInt(1000).toLong, i.toLong)
+      }.toDF("u", "typ", "ts", "eid")
+      val flat = Sequence.transitionCounts(rows, "u", "typ", "ts", "eid")
+        .collect().map(_.toSeq).toSet
+      for (width <- Seq(7L, 100L, 5000L)) {
+        val bucketed = Sequence.transitionCounts(
+            rows, "u", "typ", "ts", "eid", bucketUs = width)
+          .collect().map(_.toSeq).toSet
+        assert(bucketed == flat, s"seed=$seed width=$width")
+      }
+    }
+  }
+
   test("funnel == naive per-entity fold on random data (3 seeds)") {
     val types = Vector("view", "click", "purchase", "other")
     for (seed <- Seq(7, 23, 91)) {
