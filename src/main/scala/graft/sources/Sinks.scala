@@ -3,7 +3,7 @@ package graft.sources
 import java.sql.{Connection, DriverManager}
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Sink operators (SURVEY §2.2).
@@ -157,5 +157,48 @@ object Sinks {
     // explicit path -> external table (data owned by the caller's location);
     // otherwise managed under spark.sql.warehouse.dir
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Morton/Z-value of two non-negative ints: their low `bits` bits
+    * interleaved (a in the even positions, b in the odd). Rows close in
+    * BOTH dimensions are close on the curve — the clustering key
+    * [[writeZOrdered]] sorts by. Pure shift/mask expression tree
+    * (2×`bits` terms), whole-stage-codegen'd; no UDF. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(al, i) % 2, 2 * i) +
+          shiftleft(shiftright(bl, i) % 2, 2 * i + 1)
+      }
+      .reduce(_ + _)
+  }
+
+  /** Write `df` clustered on the Z-order curve of (`colA`, `colB`) — the
+    * multi-dimensional counterpart of a linear sort, for scan pruning at
+    * rest. A linear sort on A gives parquet row-group min/max stats that
+    * prune A-predicates only; Z-order clustering gives BOTH columns
+    * locality, so a 2-D range predicate (the "this day × this key range"
+    * shape every operational query has) skips row groups on both
+    * dimensions. Columns must be non-negative ints (epoch buckets, ids,
+    * quantile ranks — rank/bucket continuous values first, e.g.
+    * [[graft.operators.Quantiles.withQuantileBucket]]).
+    *
+    * `targetFiles` range-partitions the curve before writing (≈ table
+    * bytes / 128 MB, like bucket counts); each file then holds one tight
+    * curve segment and the per-file AND per-row-group stats stay narrow.
+    * Measured pruning evidence: SCALE.md (Z-order matrix). */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      targetFiles: Int, bits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    df.withColumn("_graft_z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(targetFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode(mode).parquet(path)
   }
 }

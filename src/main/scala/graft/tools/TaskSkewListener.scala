@@ -51,3 +51,21 @@ final class ShuffleBytesListener extends SparkListener {
   def bytes: Long = this.synchronized(total)
   def records: Long = this.synchronized(recs)
 }
+
+/** Dev-tool listener: total INPUT bytes + records READ across tasks since
+  * the last reset — the direct measure of what a storage layout (row-group
+  * pruning, file skipping) saves a scan. */
+final class InputBytesListener extends org.apache.spark.scheduler.SparkListener {
+  private var total = 0L
+  private var recs = 0L
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) this.synchronized {
+      total += m.inputMetrics.bytesRead
+      recs += m.inputMetrics.recordsRead
+    }
+  }
+  def reset(): Unit = this.synchronized { total = 0L; recs = 0L }
+  def bytes: Long = this.synchronized(total)
+  def records: Long = this.synchronized(recs)
+}

@@ -1,4 +1,5 @@
 package graft
+// (Z-order cases live at the bottom of this suite — same sink family.)
 
 import org.apache.spark.sql.functions._
 
@@ -64,6 +65,50 @@ class BucketedSinkSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Sinks.writeBucketed(df, "t", Seq("a"), 0)
+    }
+  }
+
+  test("zValue: hand-computed bit interleavings") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 3L),
+        (4095L, 0L), (0L, 4095L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Sinks.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 1L)   // a occupies even bit positions
+    assert(got((0L, 1L)) == 2L)   // b occupies odd bit positions
+    assert(got((1L, 1L)) == 3L)
+    assert(got((2L, 3L)) == 14L)  // 10 ⨯ 11 -> 1110
+    assert(got((3L, 3L)) == 15L)
+    // 12-bit values interleave into disjoint even/odd masks
+    assert(got((4095L, 0L)) == 0x555555L)
+    assert(got((0L, 4095L)) == 0xAAAAAAL)
+  }
+
+  test("writeZOrdered: round-trips the data and clusters the curve per file") {
+    import spark.implicits._
+    val dir = tmpDir("zorder")
+    val df = (0 until 4096).map(i => ((i * 2654435761L) % 64, (i * 40503L) % 64, i.toLong))
+      .toDF("x", "y", "p")
+    Sinks.writeZOrdered(df, dir, "x", "y", targetFiles = 8, bits = 6)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4096)
+    assert(back.select("x", "y", "p").collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // clustering evidence: per-file z ranges must be (near-)disjoint — the
+    // max z of file i stays below the min z of file i+2 (allow one-file
+    // overlap at range-partition boundaries)
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val ranges = back
+      .select(Sinks.zValue(col("x"), col("y"), 6).as("z"),
+        input_file_name().as("f"))
+      .groupBy("f").agg(fmin("z").as("lo"), fmax("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(3).foreach {
+      case Array((_, hi0), _, (lo2, _)) => assert(hi0 <= lo2,
+        s"files overlap on the curve: ${ranges.mkString(", ")}")
+      case _ =>
     }
   }
 }
