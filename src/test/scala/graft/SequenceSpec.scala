@@ -164,6 +164,39 @@ class SequenceSpec extends SparkSpec {
     }
   }
 
+  test("StreamingFunnel: incremental updates == batch funnel over in-order batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val steps = Seq("view", "click", "purchase")
+    val b1 = Seq(("u1", "view", 10L), ("u1", "other", 15L), ("u2", "click", 5L))
+    val b2 = Seq(("u1", "click", 20L), ("u2", "view", 8L), ("u1", "purchase", 21L))
+    val latest = scala.collection.mutable.Map.empty[String, Seq[Option[Long]]]
+    var emptyBatches = 0
+    val stream = MemoryStream[(String, String, Long)](spark)
+    val q = graft.streaming.StreamingFunnel.attach(
+      stream.toDF().toDF("u", "typ", "ts"), "u", "typ", "ts", steps,
+      checkpoint = tmpDir("funnel-ckpt")) { (batch, _) =>
+      val rows = batch.collect()
+      latest.synchronized {
+        if (rows.isEmpty) emptyBatches += 1
+        rows.foreach(r => latest(r.getString(0)) =
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      }
+    }
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      stream.addData(Seq(("u2", "other", 99L))); q.processAllAvailable() // no step events
+    } finally q.stop()
+    val want = Sequence.funnelTimes(
+        (b1 ++ b2).toDF("u", "typ", "ts"), "u", "typ", "ts", steps)
+      .collect()
+      .map(r => r.getString(0) ->
+        (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(latest.synchronized(latest.toMap) == want)
+    assert(latest.synchronized(emptyBatches) >= 1) // the no-change batch emitted nothing
+  }
+
   test("funnel plans aggregates only — no window, no sort anywhere") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
