@@ -160,18 +160,26 @@ object Profiling {
     * class totals (`_p`/`_n`). */
   private def sweepCounts(
       df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // NULL labels are excluded from BOTH classes — the FILTER-style
+    // semantics the oracles use; counting them as negatives would diverge
     val perScore = df
+      .filter(col(labelCol).isNotNull)
       .groupBy(col(scoreCol).cast("double").as("threshold"))
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("_pos"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("_neg"))
-    val totals = df.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"),
-      sum(when(col(labelCol), 0L).otherwise(1L)).as("_n"))
-    Packing
+      .persist()
+    // class totals fold the already-collapsed per-score frame — the corpus
+    // is scanned ONCE (the persist pins perScore across the two consumers;
+    // the standard one-shot listener releases it right after the caller's
+    // first materializing action, so sessions cannot accumulate caches)
+    val totals = perScore.agg(
+      sum(col("_pos")).as("_p"), sum(col("_neg")).as("_n"))
+    val joined = Packing
       .globalRunningSums(
         perScore, Seq(col("threshold").desc),
         Seq("_pos" -> "tp", "_neg" -> "fp"))
       .crossJoin(broadcast(totals))
+    ManagedPairs(joined, Seq(perScore)).releaseOnFirstUse()
   }
 }

@@ -35,11 +35,20 @@ object Sequence {
     * event later than `t_{k-1}` necessarily has that completion before it
     * in time order, so the per-row running-min window the textbook
     * formulation uses is equivalent and unnecessary. Each step is one
-    * map-side-combined conditional aggregate plus an entities-sized join,
-    * so a hot entity is absorbed by partial aggregation instead of
+    * map-side-combined conditional aggregate plus an entity-keyed join of
+    * the step events against the (entities-sized) previous-step frame, so
+    * a hot entity is absorbed by partial aggregation instead of
     * serializing a per-entity sort (measured: 90%-hot entity at 4M rows
-    * ran 8.6 s / max-med 51× as a window, aggregate form in SCALE.md),
-    * and shuffle is ∝ entities × steps, never ∝ events. */
+    * ran 8.6 s / max-med 51× as a window, 2.7 s balanced as aggregates —
+    * SCALE.md). Shuffle honesty: while the previous-step frame broadcasts
+    * (AQE, entities-sized — MBs up to tens of millions of entities), NO
+    * event row enters any exchange; past the broadcast threshold the
+    * per-step joins fall back to shuffling the step events by entity,
+    * which re-concentrates a hot entity's rows per join — cheaper than
+    * the sort (probe + partial-agg work per row, no ordering) but no
+    * longer skew-free. In that regime pre-aggregate per (entity, type)
+    * first if types repeat heavily, or salt the join
+    * ([[SkewJoin.saltedJoin]]). */
   def funnelTimes(
       df: DataFrame, entityCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
@@ -78,11 +87,15 @@ object Sequence {
     * Output: `(cohort_bucket, active_bucket, n_entities)` — exact longs.
     * One exchange on the entity (whole-partition min window, no sort),
     * one distinct collapse, one count. */
-  // exact integer floor-div for non-negative epochs: subtract the pmod
-  // remainder first so the double division is of an exact multiple
-  // (plain `c / widthUs` rounds in double space near bucket boundaries)
-  private def bucketOf(c: Column, widthUs: Long): Column =
-    ((c - pmod(c, lit(widthUs))) / lit(widthUs)).cast("long")
+  // exact integer floor-div for epochs of any magnitude: subtracting the
+  // non-negative pmod makes the numerator an exact multiple (pure long
+  // arithmetic), and the division runs in DECIMAL, not double — a double
+  // quotient of a long ≥ 2^53 can land one ulp below the true integer and
+  // truncate to the wrong bucket (epoch-NANOS inputs are in that range)
+  private def bucketOf(c: Column, widthUs: Long): Column = {
+    val exactMultiple = c.cast("long") - pmod(c.cast("long"), lit(widthUs))
+    (exactMultiple.cast("decimal(38,0)") / lit(widthUs)).cast("long")
+  }
 
   def cohortRetention(
       df: DataFrame, entityCol: String, tsCol: String,

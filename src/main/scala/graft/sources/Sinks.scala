@@ -166,8 +166,20 @@ object Sinks {
     * (2×`bits` terms), whole-stage-codegen'd; no UDF. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
+    val bound = 1L << bits
+    // fail LOUDLY on out-of-range input: silently masking the high bits
+    // would collide far-apart keys onto the same curve position and the
+    // promised pruning would quietly never materialize (negatives would
+    // produce garbage via sign extension). Two comparisons per row — noise
+    // against the write this feeds.
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long") < 0 || c.cast("long") >= bound,
+        raise_error(concat(
+          lit(s"zValue: $name out of [0, $bound) for bits=$bits, got "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val al = checked(a, "a")
+    val bl = checked(b, "b")
     (0 until bits)
       .map { i =>
         shiftleft(shiftright(al, i) % 2, 2 * i) +

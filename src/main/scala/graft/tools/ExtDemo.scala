@@ -18,8 +18,10 @@ object ExtDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("s"), col("event_id"))
+    // via Tables.events: normalizes ts to epoch-micros whichever physical
+    // shape the parquet carries (nanos-long or TIMESTAMP(MICROS))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").as("s"), col("event_id"))
       .withColumn("e", col("s") + 3600L * 1000000L)
     val l = ev.select(col("user_id"), col("s").as("ls"), col("e").as("le"), col("event_id").as("lid"))
     val r = ev.select(col("user_id").as("u2"), col("s").as("rs"), col("e").as("re"), col("event_id").as("rid"))

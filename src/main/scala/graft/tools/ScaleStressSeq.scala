@@ -43,7 +43,7 @@ object ScaleStressSeq {
     spark.sparkContext.setLogLevel("WARN")
     val skew = new TaskSkewListener
     spark.sparkContext.addSparkListener(skew)
-    val n = args.lift(1).map(_.toLong).getOrElse(4000000L)
+    val n = args.lift(0).map(_.toLong).getOrElse(4000000L)
     for ((label, hot) <- Seq("uniform" -> 0.0, "hot90" -> 0.9)) {
       val df = events(spark, n, entities = 40000L, hotFraction = hot)
         .persist()
