@@ -197,6 +197,34 @@ class SequenceSpec extends SparkSpec {
     assert(latest.synchronized(emptyBatches) >= 1) // the no-change batch emitted nothing
   }
 
+  test("StreamingFunnel: state survives a checkpoint restart — later steps qualify against pre-restart ones") {
+    val inDir = tmpDir("funnel-in")
+    val ckpt = tmpDir("funnel-restart-ckpt")
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name), rows.mkString("\n") + "\n")
+    val latest = scala.collection.mutable.Map.empty[String, Seq[Option[Long]]]
+    def start() = graft.streaming.StreamingFunnel.attach(
+      graft.sources.Sources.fileStream(
+        spark, inDir, "csv", "u STRING, typ STRING, ts BIGINT"),
+      "u", "typ", "ts", Seq("view", "click", "purchase"), ckpt) { (b, _) =>
+      latest.synchronized {
+        b.collect().foreach(r => latest(r.getString(0)) =
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      }
+    }
+    writeFile("f1.csv", Seq("u1,view,10"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.synchronized(latest("u1")) == Seq(Some(10L), None, None))
+    // restart from the same checkpoint: the click must qualify against the
+    // PRE-restart view, which only works if the state store restored t_view
+    writeFile("f2.csv", Seq("u1,click,20"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(latest.synchronized(latest("u1")) == Seq(Some(10L), Some(20L), None))
+  }
+
   test("funnel plans aggregates only — no window, no sort anywhere") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
