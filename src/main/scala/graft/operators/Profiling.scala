@@ -64,8 +64,12 @@ object Profiling {
         col("tp"), col("fp"),
         (col("_p") - col("tp")).as("fn"),
         (col("_n") - col("fp")).as("tn"),
-        stableRound(col("tp").cast("double") / col("_p"), 6).as("tpr"),
-        stableRound(col("fp").cast("double") / col("_n"), 6).as("fpr"))
+        // a corpus missing a class has no defined rate (and ANSI division
+        // would throw): null, not a crash
+        stableRound(when(col("_p") > 0,
+          col("tp").cast("double") / col("_p")), 6).as("tpr"),
+        stableRound(when(col("_n") > 0,
+          col("fp").cast("double") / col("_n")), 6).as("fpr"))
 
   /** Area under the ROC curve for score/label columns of `df`: trapezoid
     * rule over the [[rocSweep]] operating points with the implicit (0,0)
@@ -76,6 +80,8 @@ object Profiling {
     * plain order-free aggregate. */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
     sweepCounts(df, scoreCol, labelCol)
+      // missing class -> no defined curve -> null terms -> null auc
+      .filter(col("_p") > 0 && col("_n") > 0)
       .select(
         ((col("fp") - col("_neg")).cast("double") / col("_n")).as("_pf"),
         (col("fp").cast("double") / col("_n")).as("_f"),
@@ -104,7 +110,12 @@ object Profiling {
     require(keyCols.nonEmpty, "groupTrend needs at least one key column")
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
-    val agg = df.groupBy(keyCols.map(col): _*)
+    // rows missing either coordinate are excluded from ALL sums: a count
+    // over raw rows while the sums null-skip would take the closed form
+    // over inconsistent row sets and produce a silently wrong fit
+    val agg = df
+      .filter(x.isNotNull && y.isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_points"),
         sum(x).as("_sx"), sum(y).as("_sy"),
@@ -136,7 +147,12 @@ object Profiling {
     require(keyCols.nonEmpty, "zscoreOutliers needs at least one key column")
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
     val v = col(valueCol).cast("double")
-    val stats = df.groupBy(keyCols.map(col): _*)
+    // null values must not inflate _n while the sums skip them — that
+    // would corrupt mu/sigma and even let a single-real-value group past
+    // the degenerate gate; they also cannot be outliers themselves
+    val stats = df
+      .filter(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("_n"),
         sum(v).as("_sv"), sum(v * v).as("_svv"))
@@ -160,14 +176,15 @@ object Profiling {
     * class totals (`_p`/`_n`). */
   private def sweepCounts(
       df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    // NULL labels are excluded from BOTH classes — the FILTER-style
-    // semantics the oracles use; counting them as negatives would diverge
+    // NULL labels count toward NEITHER class — the FILTER-style semantics
+    // the oracles use — but their score values still contribute threshold
+    // rows (a GROUP BY keeps a group whose labels are all null; dropping
+    // the rows up front would lose that threshold and diverge)
     val perScore = df
-      .filter(col(labelCol).isNotNull)
       .groupBy(col(scoreCol).cast("double").as("threshold"))
       .agg(
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("_pos"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("_neg"))
+        sum(when(col(labelCol) === true, 1L).otherwise(0L)).as("_pos"),
+        sum(when(col(labelCol) === false, 1L).otherwise(0L)).as("_neg"))
       .persist()
     // class totals fold the already-collapsed per-score frame — the corpus
     // is scanned ONCE (the persist pins perScore across the two consumers;

@@ -62,12 +62,16 @@ object Sequence {
       .groupBy(col(entityCol))
       .agg(min(when(col(typeCol) === steps.head, col(tsCol)))
         .as(s"t_${steps.head}"))
+    // joins below are NULL-SAFE on the entity key: a null entity is a
+    // legitimate group (the oracle's GROUP BY keeps it, with real step
+    // times) — a plain equi-join would silently drop its chain
     val chained = steps.zipWithIndex.tail.foldLeft(first) {
       case (prev, (step, i)) =>
         val prevT = s"t_${steps(i - 1)}"
         val carried = steps.take(i).map(s => max(col(s"t_$s")).as(s"t_$s"))
+        val prevR = prev.withColumnRenamed(entityCol, "_graft_prev_e")
         stepEvents
-          .join(prev, Seq(entityCol))
+          .join(prevR, col(entityCol) <=> col("_graft_prev_e"))
           .groupBy(col(entityCol))
           .agg(
             carried.head,
@@ -77,8 +81,10 @@ object Sequence {
                 col(tsCol))).as(s"t_$step"): _*)
     }
     // restore entities whose events were all non-step (all-null funnel row)
+    val chainedR = chained.withColumnRenamed(entityCol, "_graft_chain_e")
     df.select(col(entityCol)).distinct()
-      .join(chained, Seq(entityCol), "left")
+      .join(chainedR, col(entityCol) <=> col("_graft_chain_e"), "left")
+      .drop("_graft_chain_e")
   }
 
   /** Cohort retention: bucket every entity by its FIRST activity
@@ -91,7 +97,10 @@ object Sequence {
   // non-negative pmod makes the numerator an exact multiple (pure long
   // arithmetic), and the division runs in DECIMAL, not double — a double
   // quotient of a long ≥ 2^53 can land one ulp below the true integer and
-  // truncate to the wrong bucket (epoch-NANOS inputs are in that range)
+  // truncate to the wrong bucket (epoch-NANOS inputs are in that range).
+  // AsOfJoin expresses the same invariant as SQL `... DIV w` — that form
+  // needs a NAMED column inside expr(); this helper takes arbitrary
+  // Column expressions (window results, casts), hence the decimal route.
   private def bucketOf(c: Column, widthUs: Long): Column = {
     val exactMultiple = c.cast("long") - pmod(c.cast("long"), lit(widthUs))
     (exactMultiple.cast("decimal(38,0)") / lit(widthUs)).cast("long")

@@ -173,10 +173,10 @@ object Sinks {
     // produce garbage via sign extension). Two comparisons per row — noise
     // against the write this feeds.
     def checked(c: Column, name: String): Column =
-      when(c.cast("long") < 0 || c.cast("long") >= bound,
+      when(c.isNull || c.cast("long") < 0 || c.cast("long") >= bound,
         raise_error(concat(
           lit(s"zValue: $name out of [0, $bound) for bits=$bits, got "),
-          c.cast("string"))).cast("long"))
+          coalesce(c.cast("string"), lit("NULL")))).cast("long"))
         .otherwise(c.cast("long"))
     val al = checked(a, "a")
     val bl = checked(b, "b")

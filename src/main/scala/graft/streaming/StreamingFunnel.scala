@@ -23,9 +23,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingFunnel {
 
   /** Per-trigger updates as `(entity, t_step1, …, t_stepK)` rows
-    * (−1 = step not reached yet); only entities whose funnel CHANGED in
-    * the trigger emit. `events` must be a streaming Dataset of
-    * `(entity, eventType, ts)`. */
+    * (`Long.MinValue` = step not reached yet — a sign-based sentinel
+    * would mis-handle legitimate pre-1970 negative epochs, which the
+    * batch operators support; an event AT `Long.MinValue` micros is not a
+    * representable instant, so the sentinel cannot collide); only
+    * entities whose funnel CHANGED in the trigger emit. `events` must be
+    * a streaming Dataset of `(entity, eventType, ts)`. */
   def updates(
       events: Dataset[(String, String, Long)],
       steps: Seq[String]): Dataset[(String, Seq[Long])] = {
@@ -41,16 +44,18 @@ object StreamingFunnel {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (entity: String, it: Iterator[(String, String, Long)],
          state: GroupState[Seq[Long]]) =>
+          val Unreached = Long.MinValue
           val t = state.getOption
             .map(_.toArray)
-            .getOrElse(Array.fill(steps.size)(-1L))
+            .getOrElse(Array.fill(steps.size)(Unreached))
           val before = t.toSeq
           // ts-ascending fold = the batch recurrence; equal-ts order is
           // irrelevant under strict-after chaining
           it.toSeq.sortBy(_._3).foreach { case (_, typ, ts) =>
             val k = stepIdx(typ)
-            val qualified = k == 0 || (t(k - 1) >= 0 && ts > t(k - 1))
-            if (qualified && (t(k) < 0 || ts < t(k))) t(k) = ts
+            val qualified =
+              k == 0 || (t(k - 1) != Unreached && ts > t(k - 1))
+            if (qualified && (t(k) == Unreached || ts < t(k))) t(k) = ts
           }
           val after = t.toSeq
           if (after != before) {
@@ -80,7 +85,7 @@ object StreamingFunnel {
           batch.select(
             col("_1").as(entityCol) +:
               steps.zipWithIndex.map { case (s, i) =>
-                when(element_at(col("_2"), i + 1) >= 0,
+                when(element_at(col("_2"), i + 1) =!= Long.MinValue,
                   element_at(col("_2"), i + 1)).as(s"t_$s")
               }: _*),
           id))

