@@ -32,7 +32,7 @@ object Bench {
     "t19_shard", "t20_unigram_logprob", "t21_pmi_collocations",
     "t24_source_drift", "t25_nb_langid", "c04_roc_sweep",
     "q33_funnel_steps", "q34_cohort_retention", "q35_resample_ffill",
-    "q36_trend", "q37_zscore_outliers", "q38_transitions")
+    "q36_trend", "q37_zscore_outliers", "q38_transitions", "q39_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

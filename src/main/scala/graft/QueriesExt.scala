@@ -1867,6 +1867,32 @@ object QueriesExt {
               FROM g ASOF LEFT JOIN e
                 ON g.user_id = e.user_id AND g.grid_ts >= e.t""")),
 
+    // Q39 — pairwise correlation matrix over the fact table's numeric
+    // columns (ingest diagnostic, the relationship half of q32): one
+    // corpus pass computes every pair's complete-case closed-form sums;
+    // the oracle replays the identical formula per pair (NOT corr(),
+    // whose different accumulation float-diverges).
+    Entry(
+      "q39_correlation",
+      (s, d) => Profiling.correlationMatrix(
+        Tables.load(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+          val (a, b) = (cols(i), cols(j))
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, COUNT(*) AS n_pairs,
+                     ROUND(CASE WHEN COUNT(*) >= 2
+                                 AND COUNT(*) * SUM($a * $a) - SUM($a) * SUM($a) > 0
+                                 AND COUNT(*) * SUM($b * $b) - SUM($b) * SUM($b) > 0
+                           THEN (COUNT(*) * SUM($a * $b) - SUM($a) * SUM($b))
+                                / sqrt((COUNT(*) * SUM($a * $a) - SUM($a) * SUM($a))
+                                       * (COUNT(*) * SUM($b * $b) - SUM($b) * SUM($b)))
+                           END + 1e-9, 6) AS corr
+              FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL"""
+        }).mkString(" UNION ALL ")
+      }),
+
     // D15 — character-level near-dup pairs (Levenshtein ≤ 8 within
     // 4-char-prefix blocks, length band pre-filter): the typo/OCR-noise
     // modality the token-set dedup family misses. The oracle replays the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the ingest-time diagnostic a pipeline runs
@@ -90,6 +90,52 @@ object Profiling {
       .agg(stableRound(
         sum((col("_f") - col("_pf")) * (col("_t") + col("_pt")) / 2), 6)
         .as("auc"))
+
+  /** Pairwise Pearson correlation matrix over `cols` — the other half of
+    * the ingest diagnostic ([[numericProfile]] characterizes columns,
+    * this characterizes their relationships): one row per unordered pair,
+    * `(col_a, col_b, n_pairs, corr)`, corr rounded 6 dp, null when either
+    * side has zero variance or fewer than 2 complete pairs.
+    *
+    * ONE corpus pass: every pair's closed-form sums (6 per pair,
+    * COMPLETE-CASE — each conditioned on BOTH sides non-null, so a null
+    * in one column cannot skew another pair's statistics) computed side
+    * by side in a single aggregate, then a `stack` unpivot of the one
+    * result row. The oracle must replay THIS formula — an engine's
+    * `corr()` uses a different accumulation and float-diverges. Pairs
+    * grow k²/2: meant for profiling-sized column lists, not hundreds. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val x = col(a).cast("double")
+      val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      def s(e: Column, suffix: String) =
+        sum(when(both, e).otherwise(lit(null))).as(s"${a}__${b}__$suffix")
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"${a}__${b}__n"),
+        s(x, "sx"), s(y, "sy"), s(x * x, "sxx"), s(y * y, "syy"),
+        s(x * y, "sxy"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      val p = s"`${a}__${b}"
+      val (n, sx, sy, sxx, syy, sxy) =
+        (s"${p}__n`", s"${p}__sx`", s"${p}__sy`", s"${p}__sxx`",
+          s"${p}__syy`", s"${p}__sxy`")
+      val dx = s"($n * $sxx - $sx * $sx)"
+      val dy = s"($n * $syy - $sy * $sy)"
+      s"""'$a', '$b', $n,
+          round(CASE WHEN $n >= 2 AND $dx > 0 AND $dy > 0
+                THEN ($n * $sxy - $sx * $sy) / sqrt($dx * $dy) END + 1e-9, 6)"""
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${pairs.size}, $stacked) as (col_a, col_b, n_pairs, corr)"))
+  }
 
   /** Per-group ordinary-least-squares trend of `yCol` against `xCol`:
     * `(keys…, n_points, slope, intercept)` from the closed-form sums —

@@ -93,6 +93,32 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(got(10L) - 90.0 / math.sqrt(1000.0)) < 1e-5)
   }
 
+  test("correlationMatrix: hand values, complete-case pairs, one scan") {
+    import spark.implicits._
+    // a vs b: perfect positive; a vs c: perfect negative on the three
+    // complete rows (the null-c row drops from a-c but stays in a-b)
+    val df = Seq[(Double, Double, java.lang.Double)](
+      (1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0), (4.0, 8.0, null)
+    ).toDF("a", "b", "c")
+    val got = Profiling.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3))))
+      .toMap
+    assert(got(("a", "b")) == ((4L, Some(1.0))))
+    assert(got(("a", "c")) == ((3L, Some(-1.0))))
+    assert(got(("b", "c")) == ((3L, Some(-1.0))))
+    // zero variance -> null corr; plan is one scan
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    val r = Profiling.correlationMatrix(const, Seq("a", "b")).collect()(0)
+    assert(r.getLong(2) == 2L && r.isNullAt(3))
+    val q = Profiling.correlationMatrix(df, Seq("a", "b", "c"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan ".r.findAllIn(plan).length <= 1 &&
+      !plan.contains("LocalTableScan (2)"), s"one pass expected")
+  }
+
   test("null handling: trend/zscore exclude incomplete rows, sweep keeps null-label thresholds") {
     import spark.implicits._
     // trend: the null-y row must drop from EVERY sum, not just sum(y)
