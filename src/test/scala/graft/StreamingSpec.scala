@@ -887,4 +887,141 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(_._1).toSet === batchFirsts)
     } finally q.stop()
   }
+
+  test("StreamingFunnel TTL: aged-out entities are evicted (state count drops) while live entities keep batch parity") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val latest = scala.collection.mutable.Map.empty[String, Seq[Option[Long]]]
+    val stream = MemoryStream[(String, String, Long)](spark)
+    def sec(s: Long) = s * 1000000L // event-time contract: epoch micros
+    val q = graft.streaming.StreamingFunnel.attach(
+      stream.toDF().toDF("u", "typ", "ts"), "u", "typ", "ts", steps,
+      checkpoint = tmpDir("funnel-ttl-ckpt"),
+      inactivity = Some(java.time.Duration.ofSeconds(60))) { (batch, _) =>
+      latest.synchronized {
+        batch.collect().foreach(r => latest(r.getString(0)) =
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      }
+    }
+    try {
+      // u1 and u2 both start; watermark reaches 30s
+      stream.addData(Seq(("u1", "view", sec(10)), ("u2", "view", sec(30))))
+      q.processAllAvailable()
+      // u2 stays live; watermark reaches 80s — past u1's horizon
+      // (last step 10s + 60s TTL = 70s), so u1 is evicted in the
+      // watermark-advance follow-up batch
+      stream.addData(Seq(("u2", "click", sec(80))))
+      q.processAllAvailable()
+      // a filtered-out event type still triggers a batch (belt and
+      // braces for the timeout batch) without advancing the watermark
+      stream.addData(Seq(("zz", "other", sec(81))))
+      q.processAllAvailable()
+      // u1's click WOULD have qualified (100s > view at 10s) had state
+      // survived — it must not: the evicted entity restarts from empty,
+      // where a click with no view is unqualified and emits nothing.
+      // u2 is live and completes the funnel.
+      stream.addData(Seq(("u1", "click", sec(100)), ("u2", "purchase", sec(100))))
+      q.processAllAvailable()
+      assert(latest.synchronized(latest("u1")) ==
+        Seq(Some(sec(10)), None, None), "evicted u1 must not extend its funnel")
+      // live-entity parity with the batch funnel over u2's full history
+      val wantU2 = graft.operators.Sequence.funnelTimes(
+          Seq(("u2", "view", sec(30)), ("u2", "click", sec(80)),
+            ("u2", "purchase", sec(100))).toDF("u", "typ", "ts"),
+          "u", "typ", "ts", steps)
+        .collect().map(r => r.getString(0) ->
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
+      assert(latest.synchronized(latest("u2")) == wantU2("u2"))
+      // state count dropped: both entities were resident at some point,
+      // only u2 remains after eviction
+      val counts = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+      assert(counts.max >= 2, s"expected both entities in state once: $counts")
+      assert(counts.last == 1, s"expected only u2 resident after eviction: $counts")
+      // an evicted entity that re-engages restarts from an empty funnel
+      stream.addData(Seq(("u1", "view", sec(120))))
+      q.processAllAvailable()
+      assert(latest.synchronized(latest("u1")) ==
+        Seq(Some(sec(120)), None, None), "re-engaged u1 restarts from scratch")
+    } finally q.stop()
+  }
+
+  test("StreamingFunnel + LateDataBuffer: cross-trigger disorder reordered by the buffer reaches batch parity") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    // Reorder gate in front of the funnel, per the StreamingFunnel class
+    // contract ("feed genuinely late sources through LateDataBuffer
+    // first"): events are parked in the buffer until the frontier
+    // (max seen ts − allowed lateness L) passes them, then released in
+    // event-time order. Under the bounded-lateness assumption (an event
+    // arrives before the frontier passes its ts), releases are
+    // non-decreasing in ts ACROSS triggers — exactly the funnel's
+    // in-order contract. The released rows relay to the funnel query
+    // through a file stream (the standard query-chaining channel).
+    def sec(s: Long) = s * 1000000L
+    val L = sec(50)
+    val relayDir = tmpDir("funnel-relay")
+    val buffer = new graft.streaming.LateDataBuffer(
+      spark, StructType.fromDDL("u STRING, typ STRING, ts BIGINT"))
+    var maxSeen = Long.MinValue
+    var relayed = 0
+    val gateStream = MemoryStream[(String, String, Long)](spark)
+    val gate = gateStream.toDF().toDF("u", "typ", "ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val all = batch.unionByName(buffer.current)
+        val batchMax = batch.agg(max("ts")).head().get(0)
+        if (batchMax != null) maxSeen = math.max(maxSeen, batchMax.asInstanceOf[Long])
+        val frontier = maxSeen - L
+        val ready = all.filter(col("ts") <= frontier)
+          .orderBy("ts").collect() // tiny spec frame; production would file-sink
+        if (ready.nonEmpty) {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(relayDir, s"release-$id.csv"),
+            ready.map(r => s"${r.getString(0)},${r.getString(1)},${r.getLong(2)}")
+              .mkString("", "\n", "\n"))
+          relayed += ready.length
+        }
+        buffer.replaceWith(all.filter(col("ts") > frontier))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("funnel-gate-ckpt"))
+      .start()
+    val latest = scala.collection.mutable.Map.empty[String, Seq[Option[Long]]]
+    val funnel = graft.streaming.StreamingFunnel.attach(
+      graft.sources.Sources.fileStream(
+        spark, relayDir, "csv", "u STRING, typ STRING, ts BIGINT"),
+      "u", "typ", "ts", steps, checkpoint = tmpDir("funnel-relay-ckpt")) { (b, _) =>
+      latest.synchronized {
+        b.collect().foreach(r => latest(r.getString(0)) =
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      }
+    }
+    def drain(): Unit = { gate.processAllAvailable(); funnel.processAllAvailable() }
+    try {
+      // genuine cross-trigger disorder: the click arrives one trigger
+      // BEFORE the earlier-ts view. Fed directly, the click would be
+      // rejected forever (no view yet) and the funnel would end
+      // (view, None, None) — the buffer is what restores parity.
+      gateStream.addData(Seq(("u1", "click", sec(100)))); drain()
+      gateStream.addData(Seq(("u1", "view", sec(60)))); drain()
+      assert(latest.synchronized(latest.isEmpty), "nothing released yet")
+      assert(buffer.current.count() == 2, "both events parked in the buffer")
+      // purchase@150 moves the frontier to 100: view@60 and click@100
+      // release together, in ts order
+      gateStream.addData(Seq(("u1", "purchase", sec(150)))); drain()
+      // a high-ts closer moves the frontier past the purchase
+      gateStream.addData(Seq(("zz", "other", sec(300)))); drain()
+      val want = graft.operators.Sequence.funnelTimes(
+          Seq(("u1", "view", sec(60)), ("u1", "click", sec(100)),
+            ("u1", "purchase", sec(150))).toDF("u", "typ", "ts"),
+          "u", "typ", "ts", steps)
+        .collect().map(r => r.getString(0) ->
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
+      assert(latest.synchronized(latest("u1")) == want("u1"),
+        s"buffered replay must equal the batch funnel; got ${latest.synchronized(latest.toMap)}")
+      // the closer itself stays parked (its ts is past the frontier)
+      assert(relayed == 3, s"view, click and purchase release: $relayed")
+    } finally { gate.stop(); funnel.stop() }
+  }
 }
