@@ -1970,7 +1970,8 @@ object QueriesExt {
                           FROM st WHERE n > 1),
                    z AS (SELECT e.event_id, e.user_id, e.value,
                                 ROUND((e.value - s2.mu) / s2.sigma + 1e-9, 6) AS z
-                         FROM e JOIN s2 USING (user_id)
+                         FROM e JOIN s2
+                           ON e.user_id IS NOT DISTINCT FROM s2.user_id
                          WHERE s2.sigma > 0)
               SELECT event_id, user_id, value, z FROM z
               WHERE abs(z) > 2.0""")),

@@ -88,7 +88,15 @@ object Classifier {
     * Plan: corpus-side work is one explode + one (doc,token) aggregate;
     * both model joins are broadcast (labels × vocab is MBs); the final
     * argmax is a (doc)-partitioned |labels|-row window — shuffle ∝
-    * docs × labels, never ∝ token occurrences. */
+    * docs × labels, never ∝ token occurrences.
+    *
+    * Token-less documents emit NO row: a NULL or empty `textCol` explodes
+    * to zero tokens, so the document never reaches the argmax (there is
+    * no evidence to score — emitting the bare prior argmax would assign
+    * every empty document the majority label with false confidence). A
+    * keep/reroute pipeline keyed on `pred_label` must treat absence as
+    * its own outcome — left-join this result back to the corpus and
+    * route unmatched docs explicitly. */
   def scoreNaiveBayes(
       model: NbModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {

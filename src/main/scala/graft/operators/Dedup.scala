@@ -1213,7 +1213,15 @@ object Dedup {
     * prefix makes that block quadratic — route such corpora through the
     * d02 strategy gate discipline (block on a longer prefix, or pre-group
     * exact duplicates away with [[byNormalizedText]] first, which also
-    * removes the distance-0 mass). */
+    * removes the distance-0 mass). Two further exclusions the prefix
+    * block implies: a normalized text SHORTER than `prefixLen` uses the
+    * whole short string as its block key, so its near-neighbors of
+    * different (still short) prefixes are missed even when the edit is
+    * past position 1 — short-text corpora should lower `prefixLen`
+    * toward the typical length; and a NULL `textCol` normalizes to a
+    * NULL prefix, which the block equi-join drops entirely (a null
+    * document has no character content to be edit-close to). Measured
+    * recall vs a brute-force oracle: SCALE.md round-9 d15 matrix. */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int,
       prefixLen: Int = 4): DataFrame = {

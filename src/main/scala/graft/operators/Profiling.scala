@@ -107,6 +107,16 @@ object Profiling {
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     require(cols.distinct.size == cols.size, "columns must be distinct")
+    // the pair sums are addressed through generated SQL (`stack` needs a
+    // literal argument list) with `__`-joined aliases: a name carrying a
+    // backtick/quote would break the parse, and one containing `__` could
+    // collide two different pairs' aliases — reject both up front
+    cols.foreach { c =>
+      require(!c.contains("`") && !c.contains("'") && !c.contains("__"),
+        s"correlationMatrix column name '$c' may not contain backticks, " +
+          "quotes, or '__' (used as the internal alias separator) — " +
+          "alias the column first")
+    }
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
@@ -184,9 +194,11 @@ object Profiling {
     * threshold compares the ROUNDED z so borderline membership is decided
     * on identical numbers in any engine). Groups with fewer than 2 rows or
     * zero variance emit nothing. Plan: one map-side-combined aggregate to
-    * a groups-sized stats frame, joined back on the group key — equi-join
-    * AQE sizes (broadcast while the stats frame fits, shuffle join
-    * beyond). */
+    * a groups-sized stats frame, joined back on the group key — a
+    * NULL-SAFE equi-join (same convention as
+    * [[Sequence.funnelTimes]]: a null group key is a real group, and its
+    * rows get z-scores like any other), AQE-sized (broadcast while the
+    * stats frame fits, shuffle join beyond). */
   def zscoreOutliers(
       df: DataFrame, keyCols: Seq[String], valueCol: String,
       zThreshold: Double): DataFrame = {
@@ -210,10 +222,14 @@ object Profiling {
             (col("_svv") - col("_sv") * col("_sv") / col("_n")) /
               (col("_n") - 1)).as("_sigma")): _*)
       .filter(col("_sigma") > 0.0)
-    df.join(stats, keyCols)
+    val statsR = stats.select(
+      keyCols.map(k => col(k).as(s"_graft_zs_$k")) ++
+        Seq(col("_mu"), col("_sigma")): _*)
+    df.join(statsR,
+        keyCols.map(k => col(k) <=> col(s"_graft_zs_$k")).reduce(_ && _))
       .withColumn("z", stableRound((v - col("_mu")) / col("_sigma"), 6))
       .filter(abs(col("z")) > zThreshold)
-      .drop("_mu", "_sigma")
+      .drop(keyCols.map(k => s"_graft_zs_$k") ++ Seq("_mu", "_sigma"): _*)
   }
 
   /** Shared sweep core: one row per distinct score with per-threshold

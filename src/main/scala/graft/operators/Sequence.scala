@@ -101,6 +101,11 @@ object Sequence {
   // AsOfJoin expresses the same invariant as SQL `... DIV w` — that form
   // needs a NAMED column inside expr(); this helper takes arbitrary
   // Column expressions (window results, casts), hence the decimal route.
+  // Semantics pin: this is FLOOR division (pmod is non-negative, so
+  // -25/10 buckets to -3, not -2) and the DuckDB oracles replay it with
+  // `//`, which is floor division too — an oracle rewritten with `/` +
+  // CAST (truncation) would diverge on pre-1970 negative epochs.
+  // Covered by SequenceSpec's negative-epoch bucket tests.
   private def bucketOf(c: Column, widthUs: Long): Column = {
     val exactMultiple = c.cast("long") - pmod(c.cast("long"), lit(widthUs))
     (exactMultiple.cast("decimal(38,0)") / lit(widthUs)).cast("long")

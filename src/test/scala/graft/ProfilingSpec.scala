@@ -93,6 +93,34 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(got(10L) - 90.0 / math.sqrt(1000.0)) < 1e-5)
   }
 
+  test("zscoreOutliers: a null group key is a real group (null-safe join)") {
+    import spark.implicits._
+    // group null: values 1,1,10 → mu 4, sigma sqrt(27); z(10) ≈ 1.1547.
+    // A plain equi-join would drop the whole group (null ≠ null) even
+    // though its stats row exists — the null-safe join keeps it, same
+    // convention as Sequence.funnelTimes.
+    val got = Profiling.zscoreOutliers(
+        Seq[(java.lang.Long, Double)](
+          (null, 1.0), (null, 1.0), (null, 10.0), (1L, 5.0))
+          .toDF("k", "v"),
+        Seq("k"), "v", zThreshold = 1.0)
+      .collect()
+    assert(got.length == 1, s"expected the null group's outlier: ${got.toSeq}")
+    assert(got(0).isNullAt(0) && got(0).getDouble(1) == 10.0)
+    assert(math.abs(got(0).getAs[Double]("z") - 6.0 / math.sqrt(27.0)) < 1e-5)
+  }
+
+  test("correlationMatrix: alias-breaking column names are rejected up front") {
+    import spark.implicits._
+    for (bad <- Seq("a`b", "a'b", "a__b")) {
+      val df = Seq((1.0, 2.0)).toDF(bad, "c")
+      val e = intercept[IllegalArgumentException] {
+        Profiling.correlationMatrix(df, Seq(bad, "c"))
+      }
+      assert(e.getMessage.contains("alias"), s"for name $bad: ${e.getMessage}")
+    }
+  }
+
   test("correlationMatrix: hand values, complete-case pairs, one scan") {
     import spark.implicits._
     // a vs b: perfect positive; a vs c: perfect negative on the three

@@ -260,6 +260,41 @@ class SequenceSpec extends SparkSpec {
     assert(latest.synchronized(latest("u1")) == Seq(Some(10L), Some(20L), None))
   }
 
+  test("negative (pre-1970) epochs bucket by FLOOR division across bucketOf operators") {
+    // bucketUs=10: ts −25 lands in bucket −3 (floor), NOT −2 (truncate).
+    // The DuckDB oracles replay the bucketing with `//`, which is floor
+    // division too — this pins the Spark side of that agreement.
+    val cohort = Sequence.cohortRetention(
+        Seq((1L, -25L), (1L, -5L), (1L, 7L)).toDF("u", "ts"),
+        "u", "ts", bucketUs = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cohort == Set((-3L, -3L, 1L), (-3L, -1L, 1L), (-3L, 0L, 1L)))
+
+    // resampleFfill: entity range buckets floor(−25/10) = −3 … floor(7/10)
+    // = 0 → grid −30, −20, −10, 0; the −30 instant precedes the first
+    // observation (forward fill never invents a value)
+    val grid = Sequence.resampleFfill(
+        Seq((1L, -25L, 1.0), (1L, 7L, 2.0)).toDF("u", "ts", "v"),
+        "u", "ts", "v", stepUs = 10L)
+      .collect()
+      .map(r => r.getLong(1) -> Option(r.get(2))).toSet
+    assert(grid == Set(
+      -30L -> None, -20L -> Some(1.0), -10L -> Some(1.0), 0L -> Some(1.0)))
+
+    // bucketed transition pairs == flat window when buckets span zero
+    val rows = Seq(
+      (1L, "a", -35L, 0L), (1L, "b", -22L, 1L), (1L, "c", -5L, 2L),
+      (1L, "a", 3L, 3L), (2L, "b", -11L, 4L), (2L, "a", -9L, 5L))
+      .toDF("u", "typ", "ts", "eid")
+    def mat(bucketUs: Long) = Sequence
+      .transitionCounts(rows, "u", "typ", "ts", "eid", bucketUs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(mat(10L) == mat(0L))
+  }
+
   test("funnel runs aggregates only — no window, no sort in the final plan") {
     val df = (0 until 500).map(i =>
       ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
