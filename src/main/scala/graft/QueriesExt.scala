@@ -185,7 +185,7 @@ object QueriesExt {
     Entry(
       "s01_ann_ivf",
       (s, d) =>
-        Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", "label", 0L, 5, nProbe = 2),
+        Similarity.ivfTopKOneShot(embs(s, d), "vec_id", "embedding", "label", 0L, 5, nProbe = 2),
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
                    px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
@@ -208,7 +208,7 @@ object QueriesExt {
     Entry(
       "s02_ann_lsh",
       (s, d) =>
-        Similarity.lshTopK(embs(s, d), "vec_id", "embedding", 0L, 5, nPlanes = 8),
+        Similarity.lshTopKOneShot(embs(s, d), "vec_id", "embedding", 0L, 5, nPlanes = 8),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                    s AS (SELECT vec_id, v,
                                 list_sum([CASE WHEN

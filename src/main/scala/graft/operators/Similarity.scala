@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale path: [[bruteForceTopK]] is a single broadcast of the query vector +
   * one pass (correct baseline at any scale, O(n·d) work but embarrassingly
-  * parallel); [[ivfTopK]] and [[lshTopK]] prune the scan to one coarse cell /
+  * parallel); [[ivfTopKOneShot]] and [[lshTopKOneShot]] prune the scan to one coarse cell /
   * LSH bucket first, the standard ANN trade at 100 TB.
   */
 object Similarity {
@@ -83,7 +83,7 @@ object Similarity {
     *
     * A vector whose length ≠ `dims` raises at execution time: `zip_with`
     * would null-pad the projection, every such row would silently land in
-    * bucket 0, and [[lshTopK]] would degrade to a full scan of bucket 0 with
+    * bucket 0, and [[lshTopKOneShot]] would degrade to a full scan of bucket 0 with
     * no error — fail fast instead (one `size` compare per row, negligible
     * next to the `nPlanes × dims` projection). */
   def lshBucket(
@@ -108,12 +108,13 @@ object Similarity {
     * approximate by construction; k results are not guaranteed if the bucket
     * is small (the scale/recall trade ANN makes).
     *
-    * Convenience one-shot: builds a throwaway [[LshIndex]] for this single
-    * query. For repeated or batched retrieval, build once with
-    * [[buildLshIndex]] (+ [[LshIndex.persisted]] / [[saveLshIndex]]) and
-    * probe with [[probeLsh]] — per-query cost is then probe-proportional,
-    * not a full corpus bucket-assignment pass. */
-  def lshTopK(
+    * Convenience ONE-SHOT — the name is the warning: builds a throwaway
+    * [[LshIndex]] for this single query, paying a full corpus
+    * bucket-assignment pass. For repeated or batched retrieval, build once
+    * with [[buildLshIndex]] (+ [[LshIndex.persisted]] / [[saveLshIndex]])
+    * and probe with [[probeLsh]] — per-query cost is then
+    * probe-proportional. */
+  def lshTopKOneShot(
       df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
     val index = buildLshIndex(df, idCol, vecCol, nPlanes, dims)
@@ -124,6 +125,14 @@ object Similarity {
         excludeSelf = true, guardBroadcast = false)
       .select(col(idCol), col("sim"))
   }
+
+  /** @deprecated renamed: the short name hid that every call pays a full
+    * corpus bucket-assignment pass. */
+  @deprecated("use lshTopKOneShot, or buildLshIndex + probeLsh for repeated retrieval", "0.1.0")
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame =
+    lshTopKOneShot(df, idCol, vecCol, queryId, k, nPlanes, dims)
 
   /** Element-wise mean vector per cell — the IVF coarse codebook. Exploded
     * (cell, position) aggregation: shuffles (cells × dims) rows, never
@@ -141,20 +150,29 @@ object Similarity {
   /** IVF-style ANN: rank cells by query→centroid cosine, scan only the top
     * `nProbe` cells, then exact top-k within them.
     *
-    * Convenience one-shot: builds a throwaway [[IvfIndex]] for this single
-    * query. For repeated or batched retrieval, build once with
+    * Convenience ONE-SHOT — the name is the warning: builds a throwaway
+    * [[IvfIndex]] for this single query, paying a full corpus centroid
+    * pass. For repeated or batched retrieval, build once with
     * [[buildIvfIndex]] (+ [[IvfIndex.persisted]] / [[saveIvfIndex]]) and
-    * probe with [[probeIvf]] — per-query cost is then probe-proportional,
-    * not a full corpus centroid recomputation. */
-  def ivfTopK(
+    * probe with [[probeIvf]] — per-query cost is then
+    * probe-proportional. */
+  def ivfTopKOneShot(
       df: DataFrame, idCol: String, vecCol: String, cellCol: String,
       queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     val index = buildIvfIndex(df, idCol, vecCol, col(cellCol))
-    // guardBroadcast = false: single-id query frame, see lshTopK
+    // guardBroadcast = false: single-id query frame, see lshTopKOneShot
     probeIvf(index, df.filter(col(idCol) === queryId), idCol, vecCol, k,
         nProbe, excludeSelf = true, guardBroadcast = false)
       .select(col(idCol), col("sim"))
   }
+
+  /** @deprecated renamed: the short name hid that every call pays a full
+    * corpus centroid pass. */
+  @deprecated("use ivfTopKOneShot, or buildIvfIndex + probeIvf for repeated retrieval", "0.1.0")
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      queryId: Long, k: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKOneShot(df, idCol, vecCol, cellCol, queryId, k, nProbe)
 
   // ---- Materialized ANN indexes: build once, probe many -------------------
   //
@@ -162,8 +180,8 @@ object Similarity {
   // (codebook construction, per-vector cell/bucket assignment) happen ONCE at
   // index-build time; each probe touches only the codebook (tiny, broadcast)
   // plus the candidate cells/buckets it selects. At 100 TB the alternative —
-  // recomputing assignments inside every query, as the one-shot ivfTopK/
-  // lshTopK wrappers do — costs a full corpus scan per query, i.e. MORE than
+  // recomputing assignments inside every query, as the one-shot ivfTopKOneShot/
+  // lshTopKOneShot wrappers do — costs a full corpus scan per query, i.e. MORE than
   // brute force.
 
   /** A built IVF index.
@@ -660,6 +678,55 @@ object Similarity {
         Seq("q_id", idCol), "left")
       .groupBy("q_id")
       .agg(round(count(col("_hit")) / count(lit(1)), 6).as("recall"))
+
+  /** Close the [[recallAtK]] audit loop: pick the smallest probe width that
+    * reaches `targetRecall` mean recall@k on a QUERY SAMPLE, by doubling
+    * search over nProbe (1, 2, 4, … capped at `maxNProbe`). Returns
+    * `(nProbe, achievedRecall)` — the last probe width tried and its
+    * measured recall; if the cap is hit below target, callers see that in
+    * the returned recall rather than an exception (an under-target index
+    * is a capacity decision, not an error).
+    *
+    * Cost model (why this scales): ground truth is ONE [[bruteForceBatch]]
+    * corpus pass over the sample (sample-sized broadcast, corpus scanned
+    * once), then ≤ log₂(maxNProbe) probe runs, each touching only probed
+    * cells. Everything is sample-proportional — production probe volume
+    * never enters. The driver-side loop holds only two scalars per
+    * iteration. Run it after every index (re)build and alert on drift,
+    * per the [[recallAtK]] contract. */
+  def tuneNProbe(
+      index: IvfIndex, sampleQueries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, targetRecall: Double,
+      maxNProbe: Int = 64, excludeSelf: Boolean = false): (Int, Double) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(maxNProbe >= 1, s"maxNProbe must be >= 1, got $maxNProbe")
+    // ground truth computed once and pinned: every doubling step re-reads
+    // it, and without the persist each step would re-pay the corpus scan
+    val exact = bruteForceBatch(
+      index.assigned, index.idCol, index.vecCol,
+      sampleQueries, qIdCol, qVecCol, k, excludeSelf).persist()
+    try {
+      exact.count()
+      def meanRecall(nProbe: Int): Double = {
+        val approx = probeIvf(
+          index, sampleQueries, qIdCol, qVecCol, k, nProbe, excludeSelf)
+        val r = recallAtK(exact, approx, index.idCol)
+          .agg(avg(col("recall"))).head()
+        // an empty ground truth (no sample query has any legal neighbor)
+        // is vacuously satisfied — any nProbe is as good as any other
+        if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+      }
+      var nProbe = 1
+      var recall = meanRecall(nProbe)
+      while (recall < targetRecall && nProbe < maxNProbe) {
+        nProbe = math.min(nProbe * 2, maxNProbe)
+        recall = meanRecall(nProbe)
+      }
+      (nProbe, recall)
+    } finally { exact.unpersist(); () }
+  }
 
   // ---- SQ8 scalar quantization: 1 byte per dimension ----------------------
   //

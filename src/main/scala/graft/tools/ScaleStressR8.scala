@@ -120,7 +120,7 @@ object ScaleStressR8 {
       }.min
       // one-shot path (round-7 shape): full codebook pass inside each query
       t0 = System.nanoTime()
-      noop(Similarity.ivfTopK(df, "id", "vec", "cell", 0L, 10, nProbe = 4))
+      noop(Similarity.ivfTopKOneShot(df, "id", "vec", "cell", 0L, 10, nProbe = 4))
       val oneShotWall = (System.nanoTime() - t0) / 1e9
 
       println(f"[ann] n=$n%8d cells=${math.max(1L, n / 4096L)}%5d " +

@@ -37,7 +37,7 @@ class SimilarityTextSpec extends SparkSpec {
       val base = if (cell == 0) 1.0 else -1.0
       (i, Seq.fill(8)(base + rng.nextGaussian() * 0.01), cell.toLong)
     }
-    val got = Similarity.ivfTopK(
+    val got = Similarity.ivfTopKOneShot(
         vecs.toDF("vec_id", "embedding", "cell"), "vec_id", "embedding", "cell",
         0L, 3, nProbe = 1)
       .collect().map(_.getLong(0))
@@ -64,7 +64,7 @@ class SimilarityTextSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     val single = (0L until 80L by 10).flatMap { q =>
-      Similarity.ivfTopK(df, "vec_id", "embedding", "cell", q, 3, nProbe = 2)
+      Similarity.ivfTopKOneShot(df, "vec_id", "embedding", "cell", q, 3, nProbe = 2)
         .collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
         .sortBy { case (id, sim) => (-sim, id) }
@@ -72,6 +72,41 @@ class SimilarityTextSpec extends SparkSpec {
         .map { case ((id, sim), i) => (q, (i + 1).toLong, id, sim) }
     }.toSet
     assert(batch === single)
+    index.unpersisted()
+  }
+
+  test("tuneNProbe: doubling search stops at the first width reaching target recall") {
+    import spark.implicits._
+    // deterministic construction, no RNG: the query (id 0) lives in cell 0
+    // with two same-cell neighbors, but its single BEST neighbor (id 10)
+    // is a stray planted in cell 1, whose centroid is e1-dominated. Cell
+    // ranking for the query is therefore cell0 > cell1 > rest, and exact
+    // top-3 = {10, 1, 2}: nProbe=1 recovers 2/3, nProbe=2 recovers 3/3.
+    val e = (i: Int) => Seq.tabulate(4)(d => if (d == i) 1.0 else 0.0)
+    val vecs =
+      Seq(
+        (0L, e(0), 0L),                            // the query
+        (1L, Seq(0.9, 0.1, 0.0, 0.0), 0L),
+        (2L, Seq(0.8, 0.2, 0.0, 0.0), 0L),
+        (10L, Seq(0.99, 0.01, 0.0, 0.0), 1L)) ++   // stray best neighbor
+        (11L to 19L).map(i => (i, Seq(0.01, 1.0, 0.0, 0.0), 1L)) ++
+        (20L to 29L).map(i => (i, e(2), 2L)) ++
+        (30L to 39L).map(i => (i, e(3), 3L))
+    val df = vecs.toDF("vec_id", "embedding", "cell")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", col("cell"))
+      .persisted()
+    val sample = df.filter(col("vec_id") === 0L)
+    val (nProbe, recall) = Similarity.tuneNProbe(
+      index, sample, "vec_id", "embedding", k = 3, targetRecall = 0.95,
+      maxNProbe = 8, excludeSelf = true)
+    assert(nProbe == 2, s"one cell misses the stray, two recover it: $nProbe")
+    assert(recall == 1.0)
+    // capped below target: the achieved recall is reported, not thrown
+    val (nCapped, rCapped) = Similarity.tuneNProbe(
+      index, sample, "vec_id", "embedding", k = 3, targetRecall = 1.0,
+      maxNProbe = 1, excludeSelf = true)
+    assert(nCapped == 1)
+    assert(math.abs(rCapped - 2.0 / 3.0) < 1e-5, s"got $rCapped")
     index.unpersisted()
   }
 
@@ -89,7 +124,7 @@ class SimilarityTextSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     val single = (0L until 5L).flatMap { q =>
-      Similarity.lshTopK(df, "vec_id", "embedding", q, 3, nPlanes = 4, dims = 16)
+      Similarity.lshTopKOneShot(df, "vec_id", "embedding", q, 3, nPlanes = 4, dims = 16)
         .collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
         .sortBy { case (id, sim) => (-sim, id) }
@@ -463,7 +498,7 @@ class SimilarityTextSpec extends SparkSpec {
     assert(ok.length == 10)
     // wrong dims: raises instead of silently sending every row to bucket 0
     val e = intercept[Exception] {
-      Similarity.lshTopK(df, "vec_id", "embedding", 0L, 3, nPlanes = 8, dims = 64)
+      Similarity.lshTopKOneShot(df, "vec_id", "embedding", 0L, 3, nPlanes = 8, dims = 64)
         .collect()
     }
     def messages(t: Throwable): Seq[String] =
