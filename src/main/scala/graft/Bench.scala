@@ -8,31 +8,11 @@ import org.apache.spark.sql.SparkSession
   * math out of the plan). */
 object Bench {
 
-  /** Headline subset: every operator family represented (relational core,
-    * windows/sessions/as-of, quantiles, rollup/pivot, bloom/star joins,
-    * dedup incl. chunk/semantic/incremental, ANN batch probe, text analysis,
-    * sampling, packing/sharding, multimodal plumbing), weighted toward the
-    * shuffle/join-heavy plans that dominate at scale. */
-  val headline: Seq[String] = Seq(
-    "q01_project", "q03_enrich", "q05_interval_join", "q06_oee",
-    "q07_latest_by_key", "q09_semi_join", "q16_group_agg", "q17_window_agg",
-    "q18_dedup_norm", "q19_cosine_topk", "q21_sessions", "q22_asof",
-    "q23_quantiles", "q24_asof_bucketed", "q25_rollup", "q26_pivot",
-    "q27_event_gaps", "q28_hop_window", "q29_bloom_semi", "q30_star_join",
-    "q31_rolling_range", "q32_profile",
-    "d02_minhash_lsh", "d04_ngram_jaccard", "d08_chunk_dedup", "d09_semdedup",
-    "d11_incremental", "d13_incremental_neardup", "d14_source_overlap", "d15_edit_distance",
-    "m01_multimodal", "s03_ann_batch", "s05_ann_lsh_multi",
-    "s06_label_outliers", "s08_bm25", "s09_embed_stats",
-    "s10_sq8_topk", "s11_sq8_ivf", "s12_recall_audit", "s13_sign_hamming",
-    "s14_rerank_funnel",
-    "c01_curation", "c02_embedding_curation", "c03_funnel_report",
-    "t02_quality", "t03_tokens_bpe", "t08_topterms", "t13_tfidf",
-    "t14_packing", "t15_weighted_mix", "t16_quantile_buckets", "t17_novelty",
-    "t19_shard", "t20_unigram_logprob", "t21_pmi_collocations",
-    "t24_source_drift", "t25_nb_langid", "c04_roc_sweep",
-    "q33_funnel_steps", "q34_cohort_retention", "q35_resample_ffill",
-    "q36_trend", "q37_zscore_outliers", "q38_transitions", "q39_correlation")
+  /** FULL coverage: every declared query is benched, so every operator has
+    * a per-round regression signal (round-8 verdict task 2 — the curated
+    * 65-query subset left 34 queries signal-free). Sorted for a stable
+    * cross-round key order; q01 stays the box-drift ratio base. */
+  val headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

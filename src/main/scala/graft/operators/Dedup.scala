@@ -1221,27 +1221,51 @@ object Dedup {
     * toward the typical length; and a NULL `textCol` normalizes to a
     * NULL prefix, which the block equi-join drops entirely (a null
     * document has no character content to be edit-close to). Measured
-    * recall vs a brute-force oracle: SCALE.md round-9 d15 matrix. */
+    * recall vs a brute-force oracle: SCALE.md round-9 d15 matrix.
+    *
+    * `suffixLen > 0` adds a SECOND blocking key — the trailing
+    * `suffixLen` normalized characters — and unions both candidate sets
+    * (deduped before any DP runs, so each pair pays one thresholded
+    * Levenshtein regardless of how many blocks propose it). Why the
+    * suffix specifically: a trailing-aligned suffix is insensitive to
+    * position shifts, so ANY single edit — including an insertion or
+    * deletion inside the prefix — leaves either the first `prefixLen` or
+    * the last `suffixLen` characters intact whenever
+    * `len > max(prefixLen, suffixLen)`; single-edit pairs are then
+    * caught with certainty, and multi-edit pairs are missed only when
+    * edits touch BOTH ends. Cost: a second blocked self-join of the same
+    * shape (≈2× candidate volume on non-pathological corpora). */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      prefixLen: Int = 4): DataFrame = {
+      prefixLen: Int = 4, suffixLen: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(suffixLen >= 0, s"suffixLen must be >= 0, got $suffixLen")
     val base = df.select(
       col(idCol).as("_id"),
       normalizeText(col(textCol)).as("_norm"))
-      .withColumn("_pfx", substring(col("_norm"), 1, prefixLen))
       .withColumn("_len", length(col("_norm")))
-    val a = base.select(
-      col("_id").as("a_id"), col("_norm").as("_na"),
-      col("_pfx"), col("_len").as("_la"))
-    val b = base.select(
-      col("_id").as("b_id"), col("_norm").as("_nb"),
-      col("_pfx"), col("_len").as("_lb"))
-    a.join(b, Seq("_pfx"))
-      .filter(
-        col("a_id") < col("b_id") &&
-          abs(col("_la") - col("_lb")) <= maxDist)
+    def blocked(key: Column): DataFrame = {
+      val withK = base.withColumn("_blk", key)
+      val a = withK.select(
+        col("_id").as("a_id"), col("_norm").as("_na"),
+        col("_blk"), col("_len").as("_la"))
+      val b = withK.select(
+        col("_id").as("b_id"), col("_norm").as("_nb"),
+        col("_blk"), col("_len").as("_lb"))
+      a.join(b, Seq("_blk"))
+        .filter(
+          col("a_id") < col("b_id") &&
+            abs(col("_la") - col("_lb")) <= maxDist)
+        .select(col("a_id"), col("b_id"), col("_na"), col("_nb"))
+    }
+    val prefixCands = blocked(substring(col("_norm"), 1, prefixLen))
+    val cands =
+      if (suffixLen == 0) prefixCands
+      else prefixCands
+        .unionByName(blocked(substring(col("_norm"), -suffixLen, suffixLen)))
+        .dropDuplicates("a_id", "b_id")
+    cands
       .select(
         col("a_id"), col("b_id"),
         levenshtein(col("_na"), col("_nb"), maxDist).as("dist"))

@@ -539,4 +539,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got == Map((1L, 3L) -> 3, (1L, 4L) -> 3, (3L, 4L) -> 3))
   }
+
+  test("editDistancePairs: suffix blocking recovers in-prefix edits, including shifts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world example"),
+      (2L, "jello world example"),  // substitution at position 1
+      (3L, "xhello world example"), // insertion at front — shifts everything
+      (4L, "sello world sample")    // edits at BOTH ends: still missed
+    ).toDF("doc_id", "text")
+    // prefix-only: every pair with an in-prefix edit is the documented miss
+    val prefixOnly = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 4, prefixLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixOnly == Set.empty)
+    // + suffix block: the trailing 8 chars are edit-free for docs 1-3, so
+    // those pairs are recovered with exact distances; doc 4 edits both
+    // ends and remains outside either block (the documented residual)
+    val both = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 4, prefixLen = 4, suffixLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(both == Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 2))
+    // each recovered pair ran ONE DP: dist values are exact, and a pair
+    // proposed by both blocks (none here) dedupes before the DP
+  }
 }
