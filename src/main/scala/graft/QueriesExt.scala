@@ -1997,6 +1997,110 @@ object QueriesExt {
                            FROM c GROUP BY 1)
               SELECT c.from_type, c.to_type, c.n_transitions,
                      ROUND(c.n_transitions::DOUBLE / tot.ft + 1e-9, 6) AS p
-              FROM c JOIN tot USING (from_type)"""))
+              FROM c JOIN tot USING (from_type)""")),
+
+    // T26 — sliding-window duplicated-span coverage (Lee et al. 2021 exact
+    // substring dedup, the overlapping form — d08 is the chunk-boundary
+    // stand-in): per doc, the fraction of its 8-token windows that occur
+    // anywhere else in the corpus. Oracle replays the identical window
+    // hashing in SQL.
+    Entry(
+      "t26_dup_spans",
+      (s, d) => SpanDedup.duplicateSpanCoverage(docs(s, d), "doc_id", "text", k = 8),
+      Some("""WITH n AS (SELECT doc_id,
+                                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, i - 1 AS pos,
+                                md5(array_to_string(t[i:i+7], ' ')) AS h
+                         FROM n, LATERAL (SELECT unnest(range(1, len(n.t) - 6)) AS i) r
+                         WHERE len(t) >= 8),
+                   c AS (SELECT h, COUNT(*) AS cnt FROM w GROUP BY h),
+                   pd AS (SELECT w.doc_id, COUNT(*) AS nw,
+                                 COUNT(*) FILTER (c.cnt > 1) AS dw
+                          FROM w JOIN c USING (h) GROUP BY w.doc_id)
+              SELECT d.doc_id,
+                     coalesce(pd.nw, 0) AS n_windows,
+                     coalesce(pd.dw, 0) AS dup_windows,
+                     CASE WHEN pd.nw > 0
+                          THEN ROUND(pd.dw::DOUBLE / pd.nw + 1e-9, 6)
+                          ELSE 0.0 END AS dup_frac
+              FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
+    // T27 — duplicated-span REMOVAL keeping one occurrence: the keeper of
+    // each duplicated 8-token window is its smallest (doc, offset); tokens
+    // covered only by non-keeper occurrences are dropped and docs rebuilt
+    // from the survivors in order. Oracle replays keeper selection, the
+    // covered-offset expansion, and the ordered rebuild.
+    Entry(
+      "t27_strip_spans",
+      (s, d) => SpanDedup.stripDuplicateSpans(docs(s, d), "doc_id", "text", k = 8),
+      Some("""WITH n AS (SELECT doc_id,
+                                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, i - 1 AS pos,
+                                md5(array_to_string(t[i:i+7], ' ')) AS h
+                         FROM n, LATERAL (SELECT unnest(range(1, len(n.t) - 6)) AS i) r
+                         WHERE len(t) >= 8),
+                   c AS (SELECT h, COUNT(*) AS cnt,
+                                min({'d': doc_id, 'p': pos}) AS keep
+                         FROM w GROUP BY h),
+                   dr AS (SELECT DISTINCT w.doc_id, ix
+                          FROM w JOIN c USING (h),
+                               LATERAL (SELECT unnest(range(w.pos, w.pos + 8)) AS ix) r
+                          WHERE c.cnt > 1
+                            AND NOT (c.keep.d = w.doc_id AND c.keep.p = w.pos)),
+                   tk AS (SELECT doc_id, j - 1 AS ix, t[j] AS tok
+                          FROM n, LATERAL (SELECT unnest(range(1, len(n.t) + 1)) AS j) r),
+                   kp AS (SELECT tk.doc_id, tk.ix, tk.tok
+                          FROM tk LEFT JOIN dr
+                            ON tk.doc_id = dr.doc_id AND tk.ix = dr.ix
+                          WHERE dr.ix IS NULL)
+              SELECT d.doc_id,
+                     coalesce(string_agg(kp.tok, ' ' ORDER BY kp.ix), '') AS clean_text,
+                     count(kp.ix) AS n_kept
+              FROM documents d LEFT JOIN kp ON d.doc_id = kp.doc_id
+              GROUP BY d.doc_id""")),
+
+    // T28 — bigram LM mean log-probability per doc (CCNet-style perplexity
+    // quality signal, one order up from t20's unigram). Model = the corpus
+    // itself, MLE, no smoothing; sub-2-token docs emit (0, NULL).
+    Entry(
+      "t28_bigram_logprob",
+      (s, d) => TextAnalysis.bigramLogProb(docs(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+                                   string_split_regex(trim(lower(text)), '\s+') AS t
+                            FROM documents),
+                   bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                          FROM toks, LATERAL (SELECT unnest(range(1, len(toks.t))) AS i) r
+                          WHERE len(t) >= 2),
+                   tf AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+                   bf AS (SELECT b, SUM(c) AS bc FROM tf GROUP BY b),
+                   cf AS (SELECT split_part(b, ' ', 1) AS w1, SUM(bc) AS cc
+                          FROM bf GROUP BY 1),
+                   sc AS (SELECT tf.doc_id,
+                                 SUM(tf.c) AS nb,
+                                 SUM(tf.c * ln(bf.bc::DOUBLE / cf.cc)) AS wlp
+                          FROM tf JOIN bf USING (b)
+                                  JOIN cf ON split_part(tf.b, ' ', 1) = cf.w1
+                          GROUP BY tf.doc_id)
+              SELECT d.doc_id,
+                     CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+                     ROUND(sc.wlp / sc.nb + 1e-9, 6) AS avg_logprob
+              FROM documents d LEFT JOIN sc USING (doc_id)""")),
+
+    // T29 — weighted sampling without replacement (A-ES): 25 docs with
+    // inclusion probability ∝ n_chars, md5-derived randomness so both
+    // engines draw the identical sample. One scan + per-partition top-n;
+    // no corpus shuffle.
+    Entry(
+      "t29_weighted_sample",
+      (s, d) => TopK.weightedSampleNoReplacement(docs(s, d), "doc_id", "n_chars", n = 25),
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+                                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT + 0.5)
+                                   / 72057594037927936.0) / n_chars AS sk
+                         FROM documents
+                         WHERE n_chars IS NOT NULL AND n_chars > 0)
+              SELECT doc_id, n_chars, ROUND(sk + 1e-9, 6) AS samp_key
+              FROM k ORDER BY sk DESC, doc_id LIMIT 25"""))
   )
 }

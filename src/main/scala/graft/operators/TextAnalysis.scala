@@ -541,6 +541,60 @@ object TextAnalysis {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Per-document mean bigram log-probability under the corpus's own
+    * bigram language model — the CCNet-style perplexity quality signal one
+    * order up from [[unigramLogProb]] (a doc of common words in an
+    * improbable ORDER scores low here but normal there; word-salad spam is
+    * exactly that). `P(w2|w1) = C(w1 w2) / C(w1·)` with no smoothing: the
+    * model is trained on the scored corpus itself, so every observed
+    * bigram has positive count by construction, and the context total
+    * `C(w1·)` is the sum of `C(w1 w2)` over the bigram table — derived
+    * FROM the bigram aggregate, never a second corpus pass.
+    *
+    * Shape: one bigram explode → per-(doc, bigram) hash count (map-side
+    * combined; shuffle ∝ bigram occurrences); the model tables are
+    * bigram-vocabulary-sized aggregates of that frame, joined back
+    * AQE-sized. Docs with fewer than 2 tokens have no bigram evidence and
+    * report `(0, NULL)` — emitted, not dropped (the [[Classifier]] lesson:
+    * absence must be an explicit outcome for keep/reroute pipelines).
+    *
+    * Output: `(idCol, n_bigrams, avg_logprob)`, 6 dp. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(
+        col(idCol).as("_id"),
+        explode(
+          let(tokens(col(textCol))) { t =>
+            when(
+              size(t) >= 2,
+              transform(
+                sequence(lit(1), size(t) - 1),
+                i => concat_ws(" ", slice(t, i, lit(2)))))
+              .otherwise(array().cast("array<string>"))
+          }).as("_bg"))
+      .groupBy("_id", "_bg").agg(count(lit(1)).as("_c"))
+    val bf = tf.groupBy("_bg").agg(sum("_c").as("_bc"))
+    val cf = bf
+      .groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+      .agg(sum("_bc").as("_cc"))
+    val scored = tf.join(bf, Seq("_bg"))
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .join(cf, Seq("_w1"))
+      .select(
+        col("_id"), col("_c"),
+        (col("_c") * log(col("_bc").cast("double") / col("_cc"))).as("_wlp"))
+      .groupBy("_id")
+      .agg(
+        sum("_c").cast("long").as("_nb"),
+        stableRound(sum("_wlp") / sum("_c"), 6).as("_lp"))
+    df.select(col(idCol).as("_id"))
+      .join(scored, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        col("_lp").as("avg_logprob"))
+  }
+
   /** Per-source distribution drift: `KL(p_source ‖ p_corpus)` over unigram
     * term distributions — the standard monitor for "did this crawl slice /
     * ingest batch drift away from the corpus mix" (0 = identical to the

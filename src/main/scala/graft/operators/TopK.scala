@@ -133,4 +133,36 @@ object TopK {
         stableRound(col("_pa") / col("_z"), 6).as("q"),
         stableRound((col("_pa") / col("_z")) / col("_p"), 6).as("boost"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): row `i` gets priority `ln(u_i) / w_i` with
+    * `u_i` uniform on (0,1); the `n` largest priorities are exactly an
+    * n-sample without replacement with inclusion probability proportional
+    * to weight. The per-row randomness is md5-derived from `idCol` (the
+    * same engine-portable idiom as [[stratifiedSample]]): the top 14 hex
+    * chars as a 56-bit integer, `u = (h + 0.5) / 2^56` — never 0, so
+    * `ln` is finite. Rows with non-positive or null weight are excluded
+    * (they have zero inclusion probability by definition).
+    *
+    * Priorities are continuous 56-bit randoms, so cross-engine `ln` ulp
+    * differences cannot realistically reorder the cut (unlike score ties,
+    * which [[stratifiedSample]]'s discrete ranks must tie-break); `id`
+    * remains the formal tie-break. Scale shape: one scan + per-partition
+    * top-n (`TakeOrderedAndProject`) — no global sort, no shuffle of the
+    * corpus, driver merge ∝ n × partitions.
+    *
+    * Output: `(idCol, weightCol, samp_key)` for the `n` sampled rows,
+    * `samp_key` 6 dp. */
+  def weightedSampleNoReplacement(
+      df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"sample size n must be >= 1, got $n")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 14), 16, 10)
+      .cast("double") + 0.5) / math.pow(2.0, 56)
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("_sk"))
+      .orderBy(col("_sk").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col(weightCol), stableRound(col("_sk"), 6).as("samp_key"))
+  }
 }

@@ -124,4 +124,40 @@ class PlanPinSpec extends SparkSpec {
     assert(scans == 1,
       s"t24 must scan the corpus once, found $scans scans:\n${plan.take(4000)}")
   }
+
+  test("t26: dup-hash semi join stays hash-keyed (broadcast/SHJ), no sort-merge, no window") {
+    // the corpus-token-sized window frame must never be SORTED into a merge
+    // join (the dup-hash side is the duplicated vocabulary — broadcast
+    // while it fits, pinned shuffle-hash beyond) and the per-doc rollup is
+    // pure hash aggregation — no window function anywhere
+    val df = Queries.byName("t26_dup_spans")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      s"t26 sorted the window frame into a merge join:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"),
+      s"t26 must stay window-free:\n${plan.take(3000)}")
+  }
+
+  test("t29: weighted sample plans a partition-local top-n, never a global sort") {
+    val plan = Queries.byName("t29_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t29 must plan per-partition top-n + driver merge:\n${plan.take(3000)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"t29 must not globally sort the corpus:\n${plan.take(3000)}")
+  }
+
+  test("t27/t28: span strip and bigram LM never sort-merge at bench scale") {
+    // t27's joins are hash-keyed (window hash / (doc, offset)); t28's model
+    // tables are bigram-vocabulary-sized — losing the hash strategy sorts
+    // the exploded token stream
+    Seq("t27_strip_spans", "t28_bigram_logprob").foreach { q =>
+      val df = Queries.byName(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q fell back to sort-merge:\n${plan.take(3000)}")
+    }
+  }
 }

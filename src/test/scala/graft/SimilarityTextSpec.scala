@@ -788,6 +788,29 @@ class SimilarityTextSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - (lpA + lp1) / 2.0) < 1e-5)
   }
 
+  test("bigramLogProb matches the hand-computed corpus model; short docs emit (0, NULL)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // corpus bigrams: "a b"=3, "b a"=1, "b c"=1; contexts: C(a·)=3, C(b·)=2
+    val pAB = math.log(3.0 / 3.0); val pBA = math.log(1.0 / 2.0)
+    val pBC = math.log(1.0 / 2.0)
+    assert(out(1L).getLong(1) == 3L) // a b | b a | a b
+    assert(math.abs(out(1L).getDouble(2) - (2 * pAB + pBA) / 3.0) < 1e-5)
+    assert(out(2L).getLong(1) == 2L) // a b | b c
+    assert(math.abs(out(2L).getDouble(2) - (pAB + pBC) / 2.0) < 1e-5)
+    // a single-token doc has no bigram evidence: explicit (0, NULL) row
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2))
+    // word-salad ordering scores lower than in-model ordering even when
+    // the unigram distributions are identical — the signal t20 cannot see
+    val df2 = df.union(Seq((4L, "b a c")).toDF("doc_id", "text"))
+    val out2 = TextAnalysis.bigramLogProb(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(4L).getDouble(2) < out2(2L).getDouble(2))
+  }
+
   test("bm25TopK matches the hand-computed model; zero-score docs dropped") {
     import spark.implicits._
     val df = Seq(

@@ -112,4 +112,42 @@ class TopKSpec extends SparkSpec {
     assert(out("b")._5 > 1.0 && out("a")._5 < 1.0)
     assert(math.abs(out("a")._4 + out("b")._4 - 1.0) < 1e-5)
   }
+
+  test("weightedSampleNoReplacement == Scala A-ES model; weight drives inclusion") {
+    import spark.implicits._
+    // ids 0..199; weight = 1 for most, 1000 for ids 0..9 — the heavy ids
+    // should essentially always be sampled
+    val df = (0L until 200L).map(i => (i, if (i < 10) 1000.0 else 1.0))
+      .toDF("id", "w")
+
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(14), 16).toDouble + 0.5) / math.pow(2, 56)
+    }
+    val expect = (0L until 200L)
+      .map(i => (i, math.log(u(i)) / (if (i < 10) 1000.0 else 1.0)))
+      .sortBy { case (id, k) => (-k, id) }
+      .take(20).map(_._1).toSet
+
+    val got = TopK.weightedSampleNoReplacement(df, "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert((0L until 10L).toSet.subsetOf(got)) // heavy weights dominate
+    // layout-stable: a different physical partitioning samples identically
+    val got2 = TopK.weightedSampleNoReplacement(df.repartition(17), "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+  }
+
+  test("weightedSampleNoReplacement excludes non-positive and null weights") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, null), (5L, 2.0))
+      .toDF("id", "w")
+    val got = TopK.weightedSampleNoReplacement(df, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L))
+  }
 }
