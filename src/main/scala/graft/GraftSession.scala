@@ -58,6 +58,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims broadcast/shuffle blocks when driver
+      // GC collects their refs; a large heap can defer full GC for the
+      // default 30 MIN, during which every build-once/probe-many query's
+      // broadcasts pile up in the block manager and throttle later jobs
+      // (measured: d13 probes degraded 6 s → 50 s across one session at
+      // 10× sf0.1; stable at ~5.5 s with timely cleanup — SCALE.md round
+      // 9). One minute bounds the pile at any heap size.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
