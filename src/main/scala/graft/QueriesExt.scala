@@ -2101,6 +2101,74 @@ object QueriesExt {
                          FROM documents
                          WHERE n_chars IS NOT NULL AND n_chars > 0)
               SELECT doc_id, n_chars, ROUND(sk + 1e-9, 6) AS samp_key
-              FROM k ORDER BY sk DESC, doc_id LIMIT 25"""))
+              FROM k ORDER BY sk DESC, doc_id LIMIT 25""")),
+
+    // T30 — contamination span localization: WHERE the benchmark overlap
+    // sits in each training doc, as maximal contiguous token ranges covered
+    // by shared 3-grams (t07's split/gram conventions; n=3 because the
+    // synthetic corpus is short — production uses 13). Oracle replays the
+    // positioned grams and the gaps-and-islands merge.
+    Entry(
+      "t30_contam_spans",
+      (s, d) => {
+        val documents = docs(s, d)
+        TextAnalysis.contaminationSpans(
+          documents.filter(col("doc_id") % 50 =!= 0),
+          documents.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH nn AS (SELECT doc_id,
+                                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                          FROM documents),
+                   bench AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+                             FROM nn, LATERAL (SELECT unnest(range(1, greatest(len(nn.t) - 3, 0) + 2)) AS i) r
+                             WHERE doc_id % 50 = 0),
+                   p AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS gram
+                         FROM nn, LATERAL (SELECT unnest(range(1, len(nn.t) - 1)) AS i) r
+                         WHERE doc_id % 50 <> 0 AND len(t) >= 3),
+                   h AS (SELECT doc_id, pos FROM p
+                         WHERE gram IN (SELECT gram FROM bench)),
+                   isl AS (SELECT doc_id, pos,
+                                  CASE WHEN lag(pos) OVER w IS NULL
+                                            OR pos > lag(pos) OVER w + 3
+                                       THEN 1 ELSE 0 END AS nw
+                           FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+                   g AS (SELECT doc_id, pos,
+                                SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS UNBOUNDED PRECEDING) AS grp
+                         FROM isl)
+              SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+                     COUNT(*) AS n_grams
+              FROM g GROUP BY doc_id, grp""")),
+
+    // Q40 — winsorized robust stats per group: values clamped to the
+    // group's exact [p05, p95] before mean/sd (heavy-tail-resistant
+    // normalization stats). Cuts are q23's quantile semantics rounded to
+    // 6 dp before the clamp so boundary membership is engine-portable; sd
+    // from explicit sums (the q39 discipline), not stddev().
+    Entry(
+      "q40_winsorized",
+      (s, d) => Profiling.winsorizedStats(
+        Tables.load(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95),
+      Some("""WITH c AS (SELECT l_returnflag,
+                                ROUND(quantile_cont(l_extendedprice, 0.05) + 1e-9, 6) AS lo,
+                                ROUND(quantile_cont(l_extendedprice, 0.95) + 1e-9, 6) AS hi
+                         FROM lineitem WHERE l_extendedprice IS NOT NULL
+                         GROUP BY l_returnflag),
+                   w AS (SELECT l.l_returnflag AS l_returnflag,
+                                l.l_extendedprice AS v, c.lo AS lo, c.hi AS hi,
+                                LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi) AS wv
+                         FROM lineitem l JOIN c USING (l_returnflag)
+                         WHERE l.l_extendedprice IS NOT NULL)
+              SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(COUNT(*) FILTER (v < lo) AS BIGINT) AS n_lo,
+                     CAST(COUNT(*) FILTER (v > hi) AS BIGINT) AS n_hi,
+                     ROUND(SUM(wv) / COUNT(*) + 1e-9, 6) AS w_mean,
+                     CASE WHEN COUNT(*) > 1
+                          THEN ROUND(sqrt((SUM(wv * wv) - SUM(wv) * SUM(wv) / COUNT(*))
+                                          / (COUNT(*) - 1)) + 1e-9, 6)
+                     END AS w_sd
+              FROM w GROUP BY l_returnflag"""))
   )
 }

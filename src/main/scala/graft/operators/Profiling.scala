@@ -261,4 +261,56 @@ object Profiling {
       .crossJoin(broadcast(totals))
     ManagedPairs(joined, Seq(perScore)).releaseOnFirstUse()
   }
+
+  /** Winsorized robust statistics per group: values clamped to the group's
+    * `[lo, hi]` exact quantiles (the heavy-tail-resistant mean the plain
+    * average is not — a feature-normalization staple). Output per group:
+    * `n` (non-null values), `n_lo`/`n_hi` (clamped below/above), `w_mean`,
+    * `w_sd` (sample, from explicit sums — not `stddev`, whose engine
+    * algorithms differ), both 6 dp; `w_sd` NULL when `n < 2`.
+    *
+    * Shape: cut points are [[Quantiles.exactGroupedMulti]]'s two balanced
+    * passes (never a per-group sort); the cuts frame is one row per group,
+    * joined back NULL-SAFELY (the [[zscoreOutliers]] convention — a null
+    * group key is a real group) and AQE-sized; the winsorized aggregate is
+    * one map-side-combined pass. Rows whose value is null are excluded
+    * (they have no place on the clamped scale), mirrored by the oracle. */
+  def winsorizedStats(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(groupCols.nonEmpty, "winsorizedStats needs at least one group column")
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val v = col(valueCol).cast("double")
+    val cuts = Quantiles
+      .exactGroupedMulti(
+        df.filter(v.isNotNull), groupCols,
+        Seq(valueCol -> Seq("_lo" -> lo, "_hi" -> hi)))
+      .select(
+        groupCols.map(k => col(k).as(s"_graft_ws_$k")) ++ Seq(
+          // cuts rounded to 6 dp BEFORE clamping: boundary membership is
+          // then decided against an identical 6-dp decimal on any engine,
+          // instead of the last ulp of two interpolation arithmetics
+          stableRound(col("_lo"), 6).as("_lo"),
+          stableRound(col("_hi"), 6).as("_hi")): _*)
+    val wv = least(greatest(v, col("_lo")), col("_hi"))
+    df.filter(v.isNotNull)
+      .join(cuts,
+        groupCols.map(k => col(k) <=> col(s"_graft_ws_$k")).reduce(_ && _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(v < col("_lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(v > col("_hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(wv).as("_sw"), sum(wv * wv).as("_sww"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n"), col("n_lo"), col("n_hi"),
+          stableRound(col("_sw") / col("n"), 6).as("w_mean"),
+          when(col("n") > 1,
+            stableRound(
+              sqrt(
+                (col("_sww") - col("_sw") * col("_sw") / col("n")) /
+                  (col("n") - 1)), 6)).as("w_sd")): _*)
+  }
 }

@@ -100,13 +100,27 @@ object Quantiles {
     // more than the ~3× window-input reduction saves at this scale, and the
     // window's (group, slice) exchange is already balanced by construction.)
 
-    // pass 2: global rank = slice offset + rank-within-slice; keep targets
+    // pass 2: global rank = slice offset + rank-within-slice; keep targets.
+    // Both joins are NULL-SAFE on the group keys (the zscoreOutliers /
+    // funnelTimes convention: a null group key is a real group and gets
+    // quantiles like any other — a plain equi-join would silently drop it)
+    val offsetsR = offsets.select(
+      groupCols.map(k => col(k).as(s"_qo_$k")) ++
+        Seq(col("_pid").as("_qo_pid"), col("_off")): _*)
+    val targetsR = targets.select(
+      targets.columns.toSeq.map(c =>
+        if (groupCols.contains(c)) col(c).as(s"_qt_$c") else col(c)): _*)
     val wRank = Window.partitionBy(gCols :+ col("_pid"): _*).orderBy(col("_v").asc)
     val picked = ranged
       .withColumn("_lrk", row_number().over(wRank))
-      .join(broadcast(offsets), groupCols :+ "_pid")
+      .join(broadcast(offsetsR),
+        (groupCols.map(k => col(k) <=> col(s"_qo_$k")) :+
+          (col("_pid") === col("_qo_pid"))).reduce(_ && _))
+      .drop(groupCols.map(k => s"_qo_$k") :+ "_qo_pid": _*)
       .withColumn("_grk", col("_off") + col("_lrk"))
-      .join(broadcast(targets), groupCols)
+      .join(broadcast(targetsR),
+        groupCols.map(k => col(k) <=> col(s"_qt_$k")).reduce(_ && _))
+      .drop(groupCols.map(k => s"_qt_$k"): _*)
       .filter(quantiles.map { case (name, _) =>
         col("_grk") === col(s"_lo_$name") || col("_grk") === col(s"_hi_$name")
       }.reduce(_ || _))

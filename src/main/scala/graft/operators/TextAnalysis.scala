@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: tokenization, language
@@ -293,6 +294,61 @@ object TextAnalysis {
         stableRound(
           col("n_shared").cast("double") / col("n_grams"), 6)
           .as("contam_score"))
+  }
+
+  /** Contamination span LOCALIZATION — [[contaminationScore]] tells you how
+    * much of a doc overlaps the benchmark; this tells you WHERE: maximal
+    * contiguous token ranges covered by benchmark-shared `n`-grams, as
+    * `(idCol, span_start, span_end, n_grams)` (0-based token offsets,
+    * inclusive). The surgical-removal / audit companion: drop the span,
+    * keep the doc.
+    *
+    * Shape: positioned gram explode (∝ training tokens) → semi-join
+    * against the benchmark's distinct gram set (benchmarks are MBs — AQE
+    * broadcasts) → gaps-and-islands merge of overlapping hit windows. The
+    * island window partitions by doc over HITS ONLY — bounded by the
+    * contaminated-gram count of one doc, never the corpus, and only
+    * matched docs reach it. */
+  def contaminationSpans(
+      train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(tokenNgrams(col(textCol), n)).as("_gram"))
+      .distinct()
+    val pos = train
+      .select(
+        col(idCol).as("_id"),
+        split(Dedup.normalizeText(col(textCol)), " ").as("_t"))
+      .select(
+        col("_id"),
+        posexplode(
+          when(
+            size(col("_t")) >= n,
+            transform(
+              sequence(lit(1), size(col("_t")) - n + 1),
+              i => concat_ws(" ", slice(col("_t"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))))
+      .withColumnsRenamed(Map("pos" -> "_pos", "col" -> "_gram"))
+    val hits = pos.join(benchGrams, Seq("_gram"), "left_semi")
+    val w = Window.partitionBy("_id").orderBy("_pos")
+    hits
+      .withColumn("_prev", lag(col("_pos"), 1).over(w))
+      // spans [p, p+n-1] merge while they overlap or touch: p ≤ prev + n
+      .withColumn(
+        "_new",
+        when(col("_prev").isNull || col("_pos") > col("_prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn(
+        "_grp",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(
+        min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + (n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(
+        col("_id").as(idCol),
+        col("span_start"), col("span_end"), col("n_grams"))
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct

@@ -153,14 +153,22 @@ object TopK {
     *
     * Output: `(idCol, weightCol, samp_key)` for the `n` sampled rows,
     * `samp_key` 6 dp. */
+  /** The A-ES priority `ln(u)/w` with md5-derived `u` — shared by the batch
+    * sampler and [[graft.streaming.StreamingSample]] so batch and stream
+    * draw BIT-IDENTICAL keys (the property that makes the streaming top-n
+    * merge equal the batch sample over everything seen). */
+  private[graft] def aesKey(id: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(id.cast("string")), 1, 14), 16, 10)
+      .cast("double") + 0.5) / math.pow(2.0, 56)
+    log(u) / weight.cast("double")
+  }
+
   def weightedSampleNoReplacement(
       df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
     require(n >= 1, s"sample size n must be >= 1, got $n")
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 14), 16, 10)
-      .cast("double") + 0.5) / math.pow(2.0, 56)
-    val key = log(u) / col(weightCol).cast("double")
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(idCol), col(weightCol), key.as("_sk"))
+      .select(col(idCol), col(weightCol),
+        aesKey(col(idCol), col(weightCol)).as("_sk"))
       .orderBy(col("_sk").desc, col(idCol))
       .limit(n)
       .select(col(idCol), col(weightCol), stableRound(col("_sk"), 6).as("samp_key"))

@@ -213,4 +213,44 @@ class ProfilingSpec extends SparkSpec {
         s"cumulative counts must come from the sliced prefix sum:\n${plan.take(3000)}")
     }
   }
+
+  test("winsorizedStats == Scala model; null group keys kept; null values excluded") {
+    import spark.implicits._
+    // group "a": 1..20 plus a 1000.0 outlier; group null: 5 values
+    val rows = (1 to 20).map(i => (Option("a"), Option(i.toDouble))) ++
+      Seq((Option("a"), Option(1000.0)), (Option("a"), Option.empty[Double])) ++
+      (1 to 5).map(i => (Option.empty[String], Option(i * 10.0)))
+    val df = rows.toDF("g", "v")
+
+    def model(vs: Seq[Double]): (Long, Long, Long, Double, Double) = {
+      val s = vs.sorted
+      def q(p: Double): Double = {
+        val h = (s.size - 1) * p
+        val i = h.toInt
+        val raw =
+          if (i + 1 < s.size) s(i) + (h - i) * (s(i + 1) - s(i)) else s(i)
+        BigDecimal(raw + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val (lo, hi) = (q(0.05), q(0.95))
+      val w = vs.map(x => math.min(math.max(x, lo), hi))
+      val mean = w.sum / w.size
+      val sd = math.sqrt(
+        (w.map(x => x * x).sum - w.sum * w.sum / w.size) / (w.size - 1))
+      (vs.size.toLong, vs.count(_ < lo).toLong, vs.count(_ > hi).toLong,
+        BigDecimal(mean + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(sd + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expectA = model((1 to 20).map(_.toDouble) :+ 1000.0)
+    val expectN = model((1 to 5).map(_ * 10.0))
+
+    val got = Profiling.winsorizedStats(df, Seq("g"), "v", 0.05, 0.95)
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(Some("a")) == expectA)   // outlier clamped, null value excluded
+    assert(got(None) == expectN)        // null group key is a real group
+    // the outlier moved the plain mean far more than the winsorized one
+    assert(got(Some("a"))._4 < 60.0)
+  }
 }

@@ -197,4 +197,16 @@ class QuantilesSpec extends SparkSpec {
     assert(t(50.0) === 5L)
     assert(t(51.0) === 6L)
   }
+
+  test("exactGrouped keeps a NULL group key as a real group (null-safe internal joins)") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0))
+      .toDF("g", "v")
+    val got = Quantiles.exactGrouped(df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got(Some("a")) == 2.0)
+    assert(got(None) == 15.0) // linear interpolation at rank 1.5
+  }
 }

@@ -788,6 +788,30 @@ class SimilarityTextSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - (lpA + lp1) / 2.0) < 1e-5)
   }
 
+  test("contaminationSpans: island merge, offsets, and multi-span docs match the hand model") {
+    import spark.implicits._
+    val bench = Seq((100L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    // doc 1: one contaminated run at tokens 2..6 ("x1 x2 x3 x4" gives 3-gram
+    // hits at offsets 2 and 3 → one merged span [2, 5]... plus the tail gram)
+    val train = Seq(
+      (1L, "a b x1 x2 x3 x4 c d"),
+      // doc 2: TWO separated spans (hits at 0 and far-apart 8)
+      (2L, "x1 x2 x3 e f g h i x2 x3 x4 j"),
+      // doc 3: clean
+      (3L, "nothing shared here at all ok"),
+      // doc 4: shorter than n tokens
+      (4L, "x1 x2")).toDF("doc_id", "text")
+
+    val got = TextAnalysis.contaminationSpans(train, bench, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: grams at offsets 2 ("x1 x2 x3") and 3 ("x2 x3 x4") merge →
+    // span [2, 5], 2 grams
+    // doc 2: "x1 x2 x3" at 0 → [0,2]; "x2 x3 x4" at 8 → [8,10]
+    assert(got == Set((1L, 2L, 5L, 2L), (2L, 0L, 2L, 1L), (2L, 8L, 10L, 1L)))
+  }
+
   test("bigramLogProb matches the hand-computed corpus model; short docs emit (0, NULL)") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
