@@ -2169,6 +2169,74 @@ object QueriesExt {
                           THEN ROUND(sqrt((SUM(wv * wv) - SUM(wv) * SUM(wv) / COUNT(*))
                                           / (COUNT(*) - 1)) + 1e-9, 6)
                      END AS w_sd
-              FROM w GROUP BY l_returnflag"""))
+              FROM w GROUP BY l_returnflag""")),
+
+    // T31 — Zipf-law fit of the vocabulary (OLS of ln freq vs ln rank):
+    // the natural-text-vs-synthetic fingerprint. Ranks are a distributed
+    // prefix sum on our side; the oracle's row_number() is DuckDB's
+    // single-node luxury. Same closed-form sums, same rounding.
+    Entry(
+      "t31_zipf_fit",
+      (s, d) => TextAnalysis.zipfFit(docs(s, d), "text"),
+      Some("""WITH tf AS (SELECT t AS w, COUNT(*) AS c
+                          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                                FROM documents)
+                          GROUP BY t),
+                   r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM tf),
+                   p AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y, c FROM r),
+                   a AS (SELECT COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                                SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                                SUM(x * x) AS sxx, SUM(y * y) AS syy
+                         FROM p)
+              SELECT n_types, n_tokens,
+                     ROUND(-(n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) + 1e-9, 6) AS alpha,
+                     ROUND((sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx)
+                           / n_types + 1e-9, 6) AS intercept,
+                     ROUND((n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)
+                           / ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy)) + 1e-9, 6) AS r2
+              FROM a""")),
+
+    // D16 — duplicate-cluster size histogram over d06's component
+    // assignment: the corpus-duplication monitoring table. The oracle
+    // reuses d06's recursive-CTE components and folds twice.
+    Entry(
+      "d16_cluster_sizes",
+      (s, d) => {
+        val documents = docs(s, d)
+        Dedup.clusterSizeHistogram(
+          Dedup.connectedComponents(
+            documents.select("doc_id"), "doc_id",
+            Dedup.minHashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+              .select("a_id", "b_id"),
+            "a_id", "b_id"),
+          "cluster_id")
+      },
+      Some("""WITH RECURSIVE
+                n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                      FROM documents),
+                t AS (SELECT doc_id,
+                             list_distinct([substring(norm, i, 5)
+                                            for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                      FROM n),
+                p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM t a JOIN t b
+                        ON a.doc_id < b.doc_id
+                       AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+                      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+                e AS (SELECT a_id AS src, b_id AS dst FROM p
+                      UNION SELECT b_id, a_id FROM p),
+                reach(src, dst) AS (
+                  SELECT src, dst FROM e
+                  UNION
+                  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+                m AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src),
+                comp AS (SELECT d.doc_id AS doc_id,
+                                LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+                         FROM documents d LEFT JOIN m ON d.doc_id = m.src),
+                sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                       FROM comp GROUP BY cluster_id)
+              SELECT cluster_size, COUNT(*) AS n_clusters
+              FROM sz GROUP BY cluster_size"""))
   )
 }

@@ -1271,4 +1271,21 @@ object Dedup {
         levenshtein(col("_na"), col("_nb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  /** Duplicate-cluster size histogram — the "how duplicated is this
+    * corpus" monitoring table over a component assignment
+    * ([[connectedComponents]] / [[connectedComponentsAlternating]] output,
+    * or any `(id, cluster)` frame): for each cluster SIZE, how many
+    * clusters have it. Size 1 = unique docs; the tail is the dedup
+    * opportunity, and its drift across ingest batches is the cheap signal
+    * that a new source is boilerplate-heavy.
+    *
+    * Shape: two map-side-combined hash aggregates (per-cluster count →
+    * per-size count) — a corpus-hot cluster is a hot GROUP key, absorbed
+    * by partial aggregation; output ∝ distinct sizes. */
+  def clusterSizeHistogram(
+      assignments: DataFrame, clusterCol: String): DataFrame =
+    assignments
+      .groupBy(col(clusterCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 }

@@ -651,6 +651,50 @@ object TextAnalysis {
         col("_lp").as("avg_logprob"))
   }
 
+  /** Zipf-law fit of the corpus vocabulary: OLS of `ln(freq)` against
+    * `ln(rank)` over the term-frequency table — `alpha` (the negated
+    * slope, ~1 for natural language) and `r2` are the standard "is this
+    * corpus natural text or something synthetic/templated" fingerprint,
+    * and the drift of `alpha` across ingest batches is a cheap corpus
+    * monitor. Returns ONE row:
+    * `(n_types, n_tokens, alpha, intercept, r2)`, 6 dp; alpha/r2 NULL on
+    * degenerate vocabularies (fewer than 2 types).
+    *
+    * Shape: one token explode → vocabulary hash aggregate (map-side
+    * combined); ranks come from the DISTRIBUTED prefix sum over
+    * `(freq desc, term)` ([[Packing.globalRunningSums]] — a naive
+    * `row_number()` over an unpartitioned window would pull the whole
+    * vocabulary through one task); the fit is one closed-form aggregate
+    * of the ranked frame. Nothing after the first aggregate is
+    * corpus-size-proportional. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val ranked = Packing.globalRunningSums(
+      tf.withColumn("_one", lit(1L)),
+      Seq(col("_c").desc, col("_w").asc),
+      Seq("_one" -> "_rank"))
+    val x = log(col("_rank").cast("double"))
+    val y = log(col("_c").cast("double"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("_c")).cast("long").as("n_tokens"),
+      sum(x).as("_sx"), sum(y).as("_sy"),
+      sum(x * y).as("_sxy"), sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
+    val n = col("n_types").cast("double")
+    val dx = n * col("_sxx") - col("_sx") * col("_sx")
+    val dy = n * col("_syy") - col("_sy") * col("_sy")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val slope = cov / dx
+    agg.select(
+      col("n_types"), col("n_tokens"),
+      stableRound(when(dx > 0.0, -slope), 6).as("alpha"),
+      stableRound(when(dx > 0.0, (col("_sy") - slope * col("_sx")) / n), 6)
+        .as("intercept"),
+      stableRound(when(dx > 0.0 && dy > 0.0, cov * cov / (dx * dy)), 6)
+        .as("r2"))
+  }
+
   /** Per-source distribution drift: `KL(p_source ‖ p_corpus)` over unigram
     * term distributions — the standard monitor for "did this crawl slice /
     * ingest batch drift away from the corpus mix" (0 = identical to the

@@ -563,4 +563,15 @@ class DedupSpec extends SparkSpec {
     // each recovered pair ran ONE DP: dist values are exact, and a pair
     // proposed by both blocks (none here) dedupes before the DP
   }
+
+  test("clusterSizeHistogram folds a component assignment into the size table") {
+    import spark.implicits._
+    // clusters: {1,2,3}, {4,5}, {6}, {7} → sizes 3:1, 2:1, 1:2
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterSizeHistogram(assign, "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
 }

@@ -788,6 +788,27 @@ class SimilarityTextSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - (lpA + lp1) / 2.0) < 1e-5)
   }
 
+  test("zipfFit recovers a planted power law; degenerate vocab gives null fit") {
+    import spark.implicits._
+    // plant freq(rank r) = round(1000 / r) for ranks 1..50 — alpha ≈ 1
+    val rows = (1 to 50).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w$r")
+    }
+    val df = rows.grouped(97).map(_.mkString(" ")).toSeq.toDF("text")
+    val out = TextAnalysis.zipfFit(df, "text").collect().head
+    assert(out.getLong(0) == 50) // n_types
+    assert(out.getLong(1) == rows.size) // n_tokens
+    val (alpha, r2) = (out.getDouble(2), out.getDouble(4))
+    assert(alpha > 0.9 && alpha < 1.1, s"planted exponent 1, got $alpha")
+    assert(r2 > 0.99, s"planted law should fit near-perfectly, got $r2")
+    // layout-stable: rank assignment must not depend on partitioning
+    val out2 = TextAnalysis.zipfFit(df.repartition(13), "text").collect().head
+    assert(out2.getDouble(2) == alpha && out2.getDouble(4) == r2)
+    // a single-type corpus has zero x-variance: null alpha/r2, not a blowup
+    val deg = TextAnalysis.zipfFit(Seq("a a a").toDF("text"), "text").collect().head
+    assert(deg.getLong(0) == 1 && deg.isNullAt(2) && deg.isNullAt(4))
+  }
+
   test("contaminationSpans: island merge, offsets, and multi-span docs match the hand model") {
     import spark.implicits._
     val bench = Seq((100L, "x1 x2 x3 x4")).toDF("doc_id", "text")
