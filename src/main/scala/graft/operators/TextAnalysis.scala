@@ -668,8 +668,14 @@ object TextAnalysis {
     * of the ranked frame. Nothing after the first aggregate is
     * corpus-size-proportional. */
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    // persist the vocabulary frame: globalRunningSums consumes it twice
+    // (per-slice window + offsets), and without the pin each consumer
+    // re-runs the corpus explode+aggregate — the only corpus-proportional
+    // stage, doubled (the rocSweep cache discipline; released by the
+    // one-shot listener after the caller's first action)
     val tf = df.select(explode(tokens(col(textCol))).as("_w"))
       .groupBy("_w").agg(count(lit(1)).as("_c"))
+      .persist()
     val ranked = Packing.globalRunningSums(
       tf.withColumn("_one", lit(1L)),
       Seq(col("_c").desc, col("_w").asc),
@@ -686,13 +692,14 @@ object TextAnalysis {
     val dy = n * col("_syy") - col("_sy") * col("_sy")
     val cov = n * col("_sxy") - col("_sx") * col("_sy")
     val slope = cov / dx
-    agg.select(
+    val out = agg.select(
       col("n_types"), col("n_tokens"),
       stableRound(when(dx > 0.0, -slope), 6).as("alpha"),
       stableRound(when(dx > 0.0, (col("_sy") - slope * col("_sx")) / n), 6)
         .as("intercept"),
       stableRound(when(dx > 0.0 && dy > 0.0, cov * cov / (dx * dy)), 6)
         .as("r2"))
+    ManagedPairs(out, Seq(tf)).releaseOnFirstUse()
   }
 
   /** Per-source distribution drift: `KL(p_source ‖ p_corpus)` over unigram

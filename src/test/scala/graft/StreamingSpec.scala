@@ -1025,6 +1025,49 @@ class StreamingSpec extends SparkSpec {
     } finally { gate.stop(); funnel.stop() }
   }
 
+  test("StreamingSample: state survives a checkpoint restart; post-restart sample == batch over ALL data") {
+    import spark.implicits._
+    val inDir = tmpDir("samp-in")
+    val ckpt = tmpDir("samp-restart-ckpt")
+    def writeFile(name: String, rows: Seq[(Long, Double)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name),
+        rows.map { case (i, w) => s"$i,$w" }.mkString("\n") + "\n")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def start() = {
+      val ds = graft.sources.Sources
+        .fileStream(spark, inDir, "csv", "id BIGINT, w DOUBLE")
+        .as[(Long, Double)]
+      graft.streaming.StreamingSample.updates(ds, n = 5)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Double, Double)], _: Long) =>
+          emitted.synchronized { emitted ++= b.collect().map(r => (r._1, r._3)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val b1 = (0L until 40L).map(i => (i, 1.0))
+    writeFile("f1.csv", b1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // heavy late arrivals MUST displace restored members — which only
+    // happens if the pre-restart state came back from the checkpoint
+    val b2 = (100L until 105L).map(i => (i, 1000.0))
+    writeFile("f2.csv", b2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = emitted.synchronized {
+      emitted.groupBy(_._1).map { case (id, ks) => (id, ks.head._2) }.toSeq
+        .sortBy { case (id, k) => (-k, id) }.take(5).map(_._1).toSet
+    }
+    val expect = graft.operators.TopK.weightedSampleNoReplacement(
+        (b1 ++ b2).toDF("id", "w"), "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert((100L until 105L).toSet.subsetOf(got), "restored state must merge with new data")
+  }
+
   test("StreamingSample: running top-n == batch A-ES sample over the union after every trigger") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Double)](spark)
