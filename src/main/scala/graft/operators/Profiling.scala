@@ -274,7 +274,11 @@ object Profiling {
     * joined back NULL-SAFELY (the [[zscoreOutliers]] convention — a null
     * group key is a real group) and AQE-sized; the winsorized aggregate is
     * one map-side-combined pass. Rows whose value is null are excluded
-    * (they have no place on the clamped scale), mirrored by the oracle. */
+    * (they have no place on the clamped scale), mirrored by the oracle —
+    * and therefore a group whose values are ALL null emits no row at all
+    * (it has no quantiles to clamp to); a keep/reroute pipeline keyed on
+    * these stats must treat absence as its own outcome, the
+    * [[Classifier.scoreNaiveBayes]] convention. */
   def winsorizedStats(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       lo: Double, hi: Double): DataFrame = {

@@ -13,7 +13,8 @@ import graft.operators.Dedup
   * serialization, which per-stage task timings cannot see). */
 object ProfileD13 {
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq
+    val dirArgs = args.filterNot(_.startsWith("--")).toSeq
+    val dirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale10x")
     val spark = GraftSession.build("local[32]")
     spark.sparkContext.setLogLevel("WARN")
@@ -38,7 +39,7 @@ object ProfileD13 {
       println(f"[d13-prof] $dir bcast=$bcast round=$round build=$tBuild%6.2f s " +
         f"probe1=$tProbe%6.2f s probe2=$tProbe2%6.2f s pairs=$n")
       spark.catalog.clearCache()
-      if (sys.env.contains("D13_GC")) { System.gc(); Thread.sleep(2000) }
+      if (args.contains("--gc")) { System.gc(); Thread.sleep(2000) }
     }
     spark.stop()
   }

@@ -31,7 +31,7 @@ import graft.{GraftSession, SparkEntry}
   */
 object ScaleStressR9 {
 
-  private val targets = Seq(
+  private val defaultTargets = Seq(
     "q23_quantiles", "c01_curation", "c02_embedding_curation",
     "d02_minhash_lsh", "d13_incremental_neardup", "q32_profile")
 
@@ -78,6 +78,8 @@ object ScaleStressR9 {
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val targets = args.lift(2)
+      .map(_.split(",").toSeq).getOrElse(defaultTargets)
     require(factor >= 2 && factor <= 26,
       s"factor must be in [2, 26] (cipher rotations are mod 26), got $factor")
     val spark = GraftSession.build("local[32]")

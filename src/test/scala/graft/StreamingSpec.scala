@@ -1025,6 +1025,31 @@ class StreamingSpec extends SparkSpec {
     } finally { gate.stop(); funnel.stop() }
   }
 
+  test("StreamingTopTerms: per-trigger top-k == batch topTerms over everything seen") {
+    import spark.implicits._
+    val stream = MemoryStream[String](spark)
+    val q = graft.streaming.StreamingTopTerms.attach(
+      stream.toDF().toDF("text"), "text", k = 3,
+      queryName = "tt_stream", checkpoint = tmpDir("tt-ckpt"))
+    // batch 2 makes a term that was NEVER in any single batch's top-3
+    // globally heavy — the case per-batch top-k merging gets wrong
+    val b1 = Seq("a a a a b b c d e", "a b c c")
+    val b2 = Seq("e e e e e d d d", "e d b")
+    try {
+      var seen = Seq.empty[String]
+      for (b <- Seq(b1, b2)) {
+        stream.addData(b); q.processAllAvailable()
+        seen = seen ++ b
+        val got = spark.table("tt_stream")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val expect = graft.operators.TextAnalysis.topTerms(
+            seen.toDF("text"), "text", 3)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(got == expect, s"after ${seen.size} docs: got $got expect $expect")
+      }
+    } finally q.stop()
+  }
+
   test("StreamingSample: state survives a checkpoint restart; post-restart sample == batch over ALL data") {
     import spark.implicits._
     val inDir = tmpDir("samp-in")
