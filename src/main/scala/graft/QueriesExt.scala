@@ -2237,6 +2237,108 @@ object QueriesExt {
                 sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
                        FROM comp GROUP BY cluster_id)
               SELECT cluster_size, COUNT(*) AS n_clusters
-              FROM sz GROUP BY cluster_size"""))
+              FROM sz GROUP BY cluster_size""")),
+
+    // T32 — DSIR importance weights (target = English docs, raw = rest,
+    // add-1 smoothing over the union vocabulary). Oracle replays the
+    // per-(doc, token) counts → one conditional vocabulary aggregate →
+    // one-row totals → per-doc log-ratio fold, LEFT-joined back so
+    // token-less docs emit (0, NULL).
+    Entry(
+      "t32_dsir_weights",
+      (s, d) => TextAnalysis.dsirWeights(
+        docs(s, d), "doc_id", "text", col("lang") === "en"),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                                unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                         FROM documents),
+                   tf AS (SELECT doc_id, tgt, w, COUNT(*) AS c
+                          FROM t GROUP BY doc_id, tgt, w),
+                   f AS (SELECT w,
+                                SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+                                SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cr
+                         FROM tf GROUP BY w),
+                   tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM f),
+                   j AS (SELECT tf.doc_id, tf.c,
+                                tf.c * (LN((ct + 1.0) / (nt + 1.0 * v))
+                                        - LN((cr + 1.0) / (nr + 1.0 * v))) AS wlr
+                         FROM tf JOIN f USING (w), tot),
+                   sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                                 ROUND(SUM(wlr) + 1e-9, 6) AS lw
+                          FROM j GROUP BY doc_id)
+              SELECT d.doc_id, d.lang = 'en' AS is_target,
+                     COALESCE(sc.n, 0) AS n_tokens, sc.lw AS log_weight
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
+
+    // D17 — soft-dedup sampling weights over exact normalized-text
+    // clusters (alpha=1: each cluster contributes one doc's worth of
+    // total weight). The operator is assignment-agnostic; the query uses
+    // the q18 hash clusters so the weight math — not the pair generation
+    // benched via d02/d16 — is what this entry measures.
+    Entry(
+      "d17_dup_weight",
+      (s, d) => Dedup.duplicationWeights(
+        docs(s, d).select(
+          col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("cluster")),
+        "doc_id", "cluster"),
+      Some("""WITH a AS (SELECT doc_id,
+                                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS cluster
+                         FROM documents),
+                   sz AS (SELECT cluster, COUNT(*) AS cluster_size
+                          FROM a GROUP BY cluster)
+              SELECT a.doc_id, a.cluster, sz.cluster_size,
+                     ROUND(POW(sz.cluster_size, -1.0) + 1e-9, 6) AS weight
+              FROM a JOIN sz USING (cluster)""")),
+
+    // C05 — calibration/reliability bins for the c04 score/label pair
+    // (n_chars as the "classifier" score, is-English as the label): does
+    // the score's magnitude track the empirical positive rate? Oracle
+    // replays the equal-width binning with identical IEEE-double edge
+    // arithmetic.
+    Entry(
+      "c05_calibration",
+      (s, d) => Profiling.calibrationBins(
+        docs(s, d).withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en", nBins = 10),
+      Some("""WITH sc AS (SELECT CAST(n_chars AS DOUBLE) AS s, lang = 'en' AS lbl
+                          FROM documents WHERE n_chars IS NOT NULL),
+                   b AS (SELECT MIN(s) AS mn, MAX(s) AS mx,
+                                (MAX(s) - MIN(s)) / 10.0 AS wd
+                         FROM sc),
+                   binned AS (SELECT CASE WHEN mx = mn THEN 0
+                                          ELSE CAST(LEAST(FLOOR((s - mn) / wd), 9) AS INTEGER)
+                                     END AS bin,
+                                     s, lbl, mn, wd
+                              FROM sc, b),
+                   g AS (SELECT bin, mn, wd, COUNT(*) AS n,
+                                COUNT(*) FILTER (lbl) AS pos,
+                                COUNT(*) FILTER (NOT lbl) AS neg,
+                                AVG(s) AS ms
+                         FROM binned GROUP BY bin, mn, wd)
+              SELECT bin, ROUND(mn + bin * wd + 1e-9, 6) AS bin_lo,
+                     ROUND(mn + (bin + 1) * wd + 1e-9, 6) AS bin_hi,
+                     n, ROUND(ms + 1e-9, 6) AS mean_score,
+                     CASE WHEN pos + neg > 0
+                          THEN ROUND(pos / CAST(pos + neg AS DOUBLE) + 1e-9, 6)
+                     END AS pos_rate
+              FROM g""")),
+
+    // S15 — exact maximum-inner-product top-5 of vec_id=0 (the retrieval
+    // objective when magnitude carries signal; cosine is q19). The
+    // norm-augmentation reduction that turns the whole cosine ANN stack
+    // into a MIPS index is spec-covered (approximate path, no oracle).
+    Entry(
+      "s15_mips",
+      (s, d) => Similarity.bruteForceMipsTopK(
+        embs(s, d), "vec_id", "embedding", 0L, 5),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                         FROM embeddings WHERE vec_id = 0),
+                   sims AS (SELECT e.vec_id AS vec_id,
+                                   list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS ip
+                            FROM embeddings e, q WHERE e.vec_id <> 0),
+                   top AS (SELECT vec_id, ip FROM sims
+                           ORDER BY ip DESC, vec_id LIMIT 5)
+              SELECT vec_id, ROUND(ip, 6) AS sim FROM top"""))
   )
 }

@@ -1288,4 +1288,37 @@ object Dedup {
     assignments
       .groupBy(col(clusterCol)).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /** Duplication-aware sampling weights — "soft dedup": instead of
+    * DROPPING a duplicate cluster's non-canonical members, keep every
+    * member and downweight it by `size^(-alpha)` so the cluster's total
+    * training contribution is `size^(1-alpha)` (alpha = 1, the default,
+    * makes every cluster contribute exactly one doc's worth — the
+    * published middle ground between hard dedup, which loses benign
+    * near-variants, and no dedup, which lets boilerplate dominate the
+    * loss). Feed the weights to [[TopK.weightedSampleNoReplacement]] or a
+    * mixture builder. Works over ANY `(id, cluster)` assignment —
+    * [[connectedComponents]] output, exact-hash clusters, or chunk-level
+    * groups.
+    *
+    * Shape: per-cluster count (map-side combined — a corpus-hot
+    * boilerplate cluster is a hot GROUP key, absorbed by partial
+    * aggregation) + one join back on the cluster key, AQE-sized; a
+    * mega-cluster is a hot JOIN key on the way back, which AQE's
+    * skew-join split handles (same discipline as [[SkewJoin]]).
+    *
+    * Output: `(idCol, clusterCol, cluster_size, weight)`, 6 dp. */
+  def duplicationWeights(
+      assignments: DataFrame, idCol: String, clusterCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val sizes = assignments
+      .groupBy(col(clusterCol)).agg(count(lit(1)).as("cluster_size"))
+    assignments
+      .join(sizes, Seq(clusterCol))
+      .select(
+        col(idCol), col(clusterCol), col("cluster_size"),
+        stableRound(
+          pow(col("cluster_size").cast("double"), lit(-alpha)), 6).as("weight"))
+  }
 }

@@ -317,4 +317,56 @@ object Profiling {
                 (col("_sww") - col("_sw") * col("_sw") / col("n")) /
                   (col("n") - 1)), 6)).as("w_sd")): _*)
   }
+
+  /** Calibration / reliability table for a scored binary label — the
+    * companion diagnostic to [[rocSweep]]: ROC ranks (is the score
+    * ORDERED right?), this bins (is the score's MAGNITUDE honest?).
+    * Scores are cut into `nBins` equal-width bins over the observed
+    * [min, max]; per bin the empirical positive rate sits next to the
+    * mean score, so a quality-classifier whose 0.9-bin is only 60%
+    * positive shows up as the gap between the two columns (the ECE is a
+    * weighted fold over exactly this table).
+    *
+    * Shape: one pass for the one-row (min, max) broadcast, one pass for
+    * the binned aggregate — bin count is the GROUP key, map-side
+    * combined; output ∝ nBins. No window, no sort. NULL scores cannot be
+    * binned and are excluded; NULL labels count toward the bin's `n` and
+    * `mean_score` but neither class (the [[rocSweep]] FILTER semantics),
+    * so `pos_rate` is NULL for a bin with no labeled rows, never 0/0.
+    *
+    * Output: `(bin, bin_lo, bin_hi, n, mean_score, pos_rate)`, 6 dp. */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val scored = df.filter(s.isNotNull)
+    val bounds = scored.agg(min(s).as("_mn"), max(s).as("_mx"))
+    // width computed identically on the oracle side ((mx-mn)/nBins, IEEE
+    // double both engines); a degenerate single-value score range (or a
+    // single row) collapses to bin 0 instead of dividing by zero
+    val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
+    val bin = when(col("_mx") === col("_mn"), 0)
+      .otherwise(least(
+        floor((s - col("_mn")) / width), lit(nBins - 1)))
+      .cast("int")
+    scored
+      .crossJoin(broadcast(bounds))
+      .groupBy(bin.as("bin"), col("_mn"), col("_mx"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol) === true, 1L).otherwise(0L)).as("_pos"),
+        sum(when(col(labelCol) === false, 1L).otherwise(0L)).as("_neg"),
+        avg(s).as("_ms"))
+      .select(
+        col("bin"),
+        stableRound(col("_mn") + col("bin") * width, 6).as("bin_lo"),
+        stableRound(col("_mn") + (col("bin") + 1) * width, 6).as("bin_hi"),
+        col("n"),
+        stableRound(col("_ms"), 6).as("mean_score"),
+        when(col("_pos") + col("_neg") > 0,
+          stableRound(
+            col("_pos").cast("double") / (col("_pos") + col("_neg")), 6))
+          .as("pos_rate"))
+  }
 }

@@ -66,6 +66,59 @@ object Similarity {
     topK(sims, idCol, k)
   }
 
+  /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors of `queryId` — the
+    * retrieval objective when magnitudes carry signal (recommender /
+    * learned-retrieval scores), where cosine's normalization is wrong: a
+    * long vector pointing roughly at the query should beat a unit vector
+    * pointing exactly at it. Same one-row broadcast + distributed
+    * partial-top-k shape as [[bruteForceTopK]]. */
+  def bruteForceMipsTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+    val sims = df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), dot(col(vecCol), col("_q")).as("_sim"))
+    topK(sims, idCol, k)
+  }
+
+  /** Norm-augmentation MIPS→cosine reduction (the public asymmetric
+    * transform of Bachrach et al. / Shrivastava-Li): append
+    * `sqrt(M² − ‖x‖²)` to every corpus vector, where `M` is the corpus max
+    * norm — every augmented vector then has constant norm `M`, and for a
+    * query padded with a literal 0 ([[mipsQueryPad]]),
+    * `cos(aug(x), pad(q)) = ⟨x,q⟩ / (M·‖q‖)` — MONOTONE in the inner
+    * product. The entire cosine ANN stack ([[buildIvfIndexAuto]] /
+    * [[probeIvf]] / [[probeLsh]] / the SQ8 ladder) becomes a MIPS index
+    * with no new operator: build on the augmented corpus, probe with
+    * padded queries, rerank exactly with [[bruteForceMipsTopK]] semantics
+    * if full precision matters.
+    *
+    * Shape: one corpus pass for the one-row max-norm broadcast, one
+    * map-side projection for the append — no shuffle, no UDF. The max
+    * vector's own slack is clamped at 0 (float roundoff would otherwise
+    * feed sqrt a `-1e-7`).
+    *
+    * Output: `(idCol, vecCol)` with `vecCol` REPLACED by the augmented
+    * `array<double>` (d+1 dims). */
+  def augmentForMips(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxNorm = df.agg(max(l2Norm(col(vecCol))).as("_m"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(maxNorm))
+      .select(
+        col(idCol),
+        concat(
+          transform(col(vecCol), x => x.cast("double")),
+          array(sqrt(greatest(
+            col("_m") * col("_m") - dot(col(vecCol), col(vecCol)),
+            lit(0.0))))).as(vecCol))
+  }
+
+  /** Query-side companion of [[augmentForMips]]: pad with a literal 0 so
+    * the appended corpus dimension never contributes to the product. */
+  def mipsQueryPad(v: Column): Column =
+    concat(transform(v, x => x.cast("double")), array(lit(0.0)))
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
     * from md5 of "plane_dim" (identical on every executor AND reproducible in
     * the DuckDB oracle as

@@ -746,4 +746,67 @@ object TextAnalysis {
         stableRound(sum("_kl"), 6).as("kl"))
       .withColumnRenamed("_g", groupCol)
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by its log
+    * importance ratio under two unigram LMs — a TARGET model trained on
+    * the docs matching `targetPred` and a RAW model trained on the rest.
+    * `log w(x) = Σ_tokens c(t)·(ln p_target(t) − ln p_raw(t))`, with add-k
+    * smoothing over the UNION vocabulary so tokens unseen on either side
+    * stay finite: `p(t) = (c(t)+k)/(N + k·V)`. Selecting the top raw docs
+    * by this weight (or sampling ∝ exp(weight) via
+    * [[TopK.weightedSampleNoReplacement]]) is the published recipe for
+    * tilting a web crawl toward a curated target domain.
+    *
+    * Both sides are scored (a target doc's weight is a useful sanity
+    * diagnostic — it should skew positive); `is_target` rides along so the
+    * caller selects raw docs only. Docs with NULL text carry no token
+    * evidence and report `(n_tokens=0, log_weight=NULL)` — emitted, not
+    * dropped (the [[Classifier]] lesson: absence must be an explicit
+    * outcome for keep/reroute pipelines).
+    *
+    * Shape: ONE corpus pass — per-(doc, token) counts (map-side combined;
+    * shuffle ∝ distinct doc×token pairs, corpus-hot tokens are hot GROUP
+    * keys absorbed by the combiner), then both LMs come from ONE
+    * vocabulary-sized conditional aggregate of that frame (never a second
+    * corpus pass), totals are a one-row broadcast, and the
+    * tf→vocabulary join is AQE-sized (a Zipf-bounded vocabulary
+    * broadcasts at any realistic scale). Zero UDFs.
+    *
+    * Output: `(idCol, is_target, n_tokens, log_weight)`, 6 dp. */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val tf = df
+      .select(
+        col(idCol).as("_id"),
+        targetPred.cast("boolean").as("_tgt"),
+        explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_id", "_tgt", "_w").agg(count(lit(1)).as("_c"))
+    val freq = tf.groupBy("_w").agg(
+      sum(when(col("_tgt"), col("_c")).otherwise(0L)).as("_ct"),
+      sum(when(!col("_tgt"), col("_c")).otherwise(0L)).as("_cr"))
+    val totals = freq.agg(
+      sum("_ct").as("_nt"), sum("_cr").as("_nr"),
+      count(lit(1)).as("_v"))
+    val k = lit(smoothing)
+    val scored = tf.join(freq, Seq("_w"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("_id"), col("_c"),
+        (col("_c") *
+          (log((col("_ct") + k) / (col("_nt") + k * col("_v"))) -
+            log((col("_cr") + k) / (col("_nr") + k * col("_v"))))).as("_wlr"))
+      .groupBy("_id")
+      .agg(
+        sum("_c").cast("long").as("_n"),
+        stableRound(sum("_wlr"), 6).as("_lw"))
+    df.select(col(idCol).as("_id"), targetPred.cast("boolean").as("is_target"))
+      .join(scored, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol), col("is_target"),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        col("_lw").as("log_weight"))
+  }
 }

@@ -574,4 +574,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
+
+  test("duplicationWeights: size^-alpha per member; cluster mass = size^(1-alpha)") {
+    import spark.implicits._
+    val assign = Seq(
+      (1L, "c1"), (2L, "c1"), (3L, "c1"), (4L, "c1"), (5L, "c2"), (6L, "c3"))
+      .toDF("doc_id", "cluster")
+    val w1 = Dedup.duplicationWeights(assign, "doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(w1(1L) == ((4L, 0.25)) && w1(4L) == ((4L, 0.25)))
+    assert(w1(5L) == ((1L, 1.0)) && w1(6L) == ((1L, 1.0)))
+    // alpha=1: every cluster contributes total weight 1 regardless of size
+    assert(w1.values.map(_._2).sum == 3.0)
+    // alpha=0.5: the 4-cluster keeps sqrt(4)=2 docs' worth of mass
+    val w05 = Dedup.duplicationWeights(assign, "doc_id", "cluster", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w05(1L) == 0.5 && w05(5L) == 1.0)
+    // alpha=0 degenerates to no dedup (every member keeps weight 1)
+    val w0 = Dedup.duplicationWeights(assign, "doc_id", "cluster", alpha = 0.0)
+      .collect().map(_.getDouble(3))
+    assert(w0.forall(_ == 1.0))
+  }
 }

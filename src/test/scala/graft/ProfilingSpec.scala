@@ -253,4 +253,34 @@ class ProfilingSpec extends SparkSpec {
     // the outlier moved the plain mean far more than the winsorized one
     assert(got(Some("a"))._4 < 60.0)
   }
+
+  test("calibrationBins: hand-built bins, null score excluded, null label in n only") {
+    import spark.implicits._
+    // scores 0..10 → min 0, max 10, 5 bins of width 2; score 10 clamps
+    // into the last bin. One null score (dropped), one null label
+    // (counts in n + mean but neither class).
+    val df = Seq(
+      (0.0, Some(false)), (1.0, Some(false)), (2.0, Some(false)),
+      (3.0, Some(true)), (8.0, Some(true)), (9.0, Some(true)),
+      (10.0, Some(true)), (8.5, None))
+      .toDF("s", "lbl")
+      .union(Seq((Option.empty[Double], Option.empty[Boolean])).toDF("s", "lbl"))
+    val got = Profiling.calibrationBins(df, "s", "lbl", nBins = 5)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    assert(got.keySet == Set(0, 1, 4))
+    assert(got(0) == ((0.0, 2.0, 2L, 0.5, Some(0.0))))           // 0,1
+    assert(got(1) == ((2.0, 4.0, 2L, 2.5, Some(0.5))))           // 2,3
+    // bin 4: 8, 8.5(null lbl), 9, 10(clamped) → n=4, pos_rate over 3 labeled
+    assert(got(4)._3 == 4L && got(4)._4 == 8.875 && got(4)._5 == Some(1.0))
+    // degenerate range: single distinct score → one bin, no div-by-zero
+    val deg = Profiling.calibrationBins(
+      Seq((5.0, true), (5.0, false)).toDF("s", "lbl"), "s", "lbl", 3)
+      .collect()
+    assert(deg.length == 1 && deg.head.getInt(0) == 0 &&
+      deg.head.getLong(3) == 2L)
+  }
 }

@@ -856,6 +856,82 @@ class SimilarityTextSpec extends SparkSpec {
     assert(out2(4L).getDouble(2) < out2(2L).getDouble(2))
   }
 
+  test("MIPS: brute force ranks by inner product; norm-augmentation reduces MIPS to cosine ANN") {
+    import spark.implicits._
+    // query q = (1, 0). Corpus: a long vector at an angle beats a unit
+    // vector pointing exactly at q on INNER PRODUCT but loses on cosine.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),            // the query itself
+      (1L, Seq(1.0f, 0.0f)),            // unit, perfectly aligned: ip=1, cos=1
+      (2L, Seq(4.0f, 3.0f)),            // norm 5 at 37°: ip=4, cos=0.8
+      (3L, Seq(0.5f, 0.1f)),            // small: ip=0.5
+      (4L, Seq(-2.0f, 0.0f)))           // anti-aligned: ip=-2
+      .toDF("vec_id", "embedding")
+    val mips = Similarity.bruteForceMipsTopK(df, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mips.map(_._1).toSeq == Seq(2L, 1L, 3L, 4L))
+    assert(mips.head._2 == 4.0)
+    // cosine disagrees on the winner — the case MIPS exists for
+    val cos = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 1)
+      .collect().head.getLong(0)
+    assert(cos == 1L)
+
+    // reduction: augmented corpus has constant norm (max corpus norm = 5),
+    // and cosine ranking over (augmented corpus, 0-padded query)
+    // reproduces the exact MIPS order
+    val aug = Similarity.augmentForMips(df, "vec_id", "embedding")
+    val norms = aug.select(Similarity.l2Norm(col("embedding")).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 5.0) < 1e-9))
+    val qv = df.filter(col("vec_id") === 0L)
+      .select(Similarity.mipsQueryPad(col("embedding")).as("embedding"))
+      .withColumn("vec_id", lit(900L)).select("vec_id", "embedding")
+    val augAll = aug.unionByName(qv)
+    val viaCosine = Similarity.bruteForceTopK(augAll, "vec_id", "embedding", 900L, 5)
+      .filter(col("vec_id") =!= 0L) // drop the un-augmented query's twin
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCosine == Seq(2L, 1L, 3L, 4L))
+
+    // and the ANN stack works unchanged on the augmented space: an IVF
+    // probe wide enough to cover all cells recovers the MIPS top-1
+    val idx = Similarity.buildIvfIndexAuto(aug, "vec_id", "embedding", nCells = 2)
+    val got = Similarity.probeIvf(
+      idx, qv, "vec_id", "embedding", k = 1, nProbe = 2, excludeSelf = true)
+      .collect().map(r => r.getLong(2))
+    idx.unpersisted()
+    assert(got.headOption.contains(2L))
+  }
+
+  test("dsirWeights matches the hand-computed two-LM model; null text emits (0, NULL)") {
+    import spark.implicits._
+    // target docs (tgt=true): "a a b"; raw: "a c", plus a null-text raw doc
+    val df = Seq(
+      (1L, "a a b", true), (2L, "a c", false), (3L, null: String, false))
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirWeights(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // union vocab V=3 {a,b,c}; target counts: a=2,b=1 (Nt=3); raw: a=1,c=1 (Nr=2)
+    // add-1: pT(a)=(2+1)/(3+3)=.5, pT(b)=2/6, pT(c)=1/6
+    //        pR(a)=(1+1)/(2+3)=.4, pR(b)=1/5, pR(c)=2/5
+    def lr(pt: Double, pr: Double) = math.log(pt) - math.log(pr)
+    val w1 = 2 * lr(3.0 / 6, 2.0 / 5) + lr(2.0 / 6, 1.0 / 5)
+    val w2 = lr(3.0 / 6, 2.0 / 5) + lr(1.0 / 6, 2.0 / 5)
+    assert(out(1L).getBoolean(1) && out(1L).getLong(2) == 3L)
+    assert(math.abs(out(1L).getDouble(3) - w1) < 1e-5)
+    assert(!out(2L).getBoolean(1) && out(2L).getLong(2) == 2L)
+    assert(math.abs(out(2L).getDouble(3) - w2) < 1e-5)
+    // a target-like raw doc must outscore an off-target raw doc
+    assert(w1 > w2)
+    // null text: no token evidence — explicit (0, NULL), not a dropped row
+    assert(out(3L).getLong(2) == 0L && out(3L).isNullAt(3))
+    // layout-stable
+    val a = TextAnalysis.dsirWeights(df, "doc_id", "text", col("tgt"))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.dsirWeights(df.repartition(7), "doc_id", "text", col("tgt"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bm25TopK matches the hand-computed model; zero-score docs dropped") {
     import spark.implicits._
     val df = Seq(
