@@ -2339,6 +2339,107 @@ object QueriesExt {
                             FROM embeddings e, q WHERE e.vec_id <> 0),
                    top AS (SELECT vec_id, ip FROM sims
                            ORDER BY ip DESC, vec_id LIMIT 5)
-              SELECT vec_id, ROUND(ip, 6) AS sim FROM top"""))
+              SELECT vec_id, ROUND(ip, 6) AS sim FROM top""")),
+
+    // C06 — end-to-end train-mix builder: soft-dedup weights (d17) ×
+    // per-token DSIR tilt (t32, exp(lw/n) — the geometric-mean-per-token
+    // form keeps doc length from compounding the exponent) → per-doc
+    // effective token mass → per-source temperature mixture (t23 math,
+    // α=0.5). Per-doc masses are 6-dp-rounded then summed as DECIMAL so
+    // the per-source fold is EXACT and order-independent on both engines
+    // (double summation order across 25k docs would drift past the 6-dp
+    // compare). Null-text docs carry no token evidence and are excluded
+    // from the mix (dsir n_tokens=0).
+    Entry(
+      "c06_trainmix",
+      (s, d) => {
+        val documents = docs(s, d)
+        val dup = Dedup.duplicationWeights(
+          documents.select(
+            col("doc_id"),
+            md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+              .as("cluster")),
+          "doc_id", "cluster")
+        val dsir = TextAnalysis.dsirWeights(
+          documents, "doc_id", "text", col("lang") === "en")
+        val eff = documents.select("doc_id", "source")
+          .join(dup.select("doc_id", "weight"), Seq("doc_id"))
+          .join(
+            dsir.filter(col("n_tokens") > 0)
+              .select("doc_id", "n_tokens", "log_weight"),
+            Seq("doc_id"))
+          .select(
+            col("source"), col("n_tokens"),
+            graft.operators.stableRound(
+              col("n_tokens") * col("weight") *
+                exp(col("log_weight") / col("n_tokens")), 6)
+              .cast("decimal(20,6)").as("eff"))
+        val g = eff.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          sum("eff").as("_mass"))
+        val tot = g.agg(sum("_mass").as("_tot"))
+        val p = g.crossJoin(broadcast(tot))
+          .withColumn("_p",
+            col("_mass").cast("double") / col("_tot").cast("double"))
+          .withColumn("_pa", pow(col("_p"), 0.5))
+        val z = p.agg(sum("_pa").as("_z"))
+        p.crossJoin(broadcast(z)).select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          graft.operators.stableRound(col("_mass").cast("double"), 4)
+            .as("eff_mass"),
+          graft.operators.stableRound(col("_p"), 6).as("p"),
+          graft.operators.stableRound(col("_pa") / col("_z"), 6).as("q"),
+          graft.operators.stableRound(
+            (col("_pa") / col("_z")) / col("_p"), 6).as("boost"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                                unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                         FROM documents),
+                   tf AS (SELECT doc_id, tgt, w, COUNT(*) AS c
+                          FROM t GROUP BY doc_id, tgt, w),
+                   f AS (SELECT w,
+                                SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+                                SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cr
+                         FROM tf GROUP BY w),
+                   tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM f),
+                   j AS (SELECT tf.doc_id, tf.c,
+                                tf.c * (LN((ct + 1.0) / (nt + 1.0 * v))
+                                        - LN((cr + 1.0) / (nr + 1.0 * v))) AS wlr
+                         FROM tf JOIN f USING (w), tot),
+                   dsir AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                                   ROUND(SUM(wlr) + 1e-9, 6) AS lw
+                            FROM j GROUP BY doc_id),
+                   a AS (SELECT doc_id,
+                                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS cluster
+                         FROM documents),
+                   sz AS (SELECT cluster, COUNT(*) AS cluster_size
+                          FROM a GROUP BY cluster),
+                   dup AS (SELECT a.doc_id,
+                                  ROUND(POW(sz.cluster_size, -1.0) + 1e-9, 6) AS wt
+                           FROM a JOIN sz USING (cluster)),
+                   eff AS (SELECT d.source, dsir.n AS n_tokens,
+                                  CAST(ROUND(dsir.n * dup.wt * EXP(dsir.lw / dsir.n) + 1e-9, 6)
+                                       AS DECIMAL(20,6)) AS eff
+                           FROM documents d
+                           JOIN dup ON d.doc_id = dup.doc_id
+                           JOIN dsir ON d.doc_id = dsir.doc_id
+                           WHERE dsir.n > 0),
+                   g AS (SELECT source, COUNT(*) AS n_docs,
+                                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                                SUM(eff) AS mass
+                         FROM eff GROUP BY source),
+                   tt AS (SELECT SUM(mass) AS tot FROM g),
+                   pp AS (SELECT g.*,
+                                 CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+                                 POWER(CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE), 0.5) AS pa
+                          FROM g, tt),
+                   zz AS (SELECT SUM(pa) AS z FROM pp)
+              SELECT source, n_docs, n_tokens,
+                     ROUND(CAST(mass AS DOUBLE) + 1e-9, 4) AS eff_mass,
+                     ROUND(p + 1e-9, 6) AS p,
+                     ROUND(pa / zz.z + 1e-9, 6) AS q,
+                     ROUND((pa / zz.z) / p + 1e-9, 6) AS boost
+              FROM pp, zz"""))
   )
 }
