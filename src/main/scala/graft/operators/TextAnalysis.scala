@@ -809,4 +809,79 @@ object TextAnalysis {
         coalesce(col("_n"), lit(0L)).as("n_tokens"),
         col("_lw").as("log_weight"))
   }
+
+  /** A trained DSIR model: the per-token log ratios as a vocabulary-sized
+    * frame plus the smoothed ratio an OUT-OF-VOCABULARY token gets
+    * (`ln((Nr + kV)/(Nt + kV))` — both smoothed probabilities collapse to
+    * `k/(N + kV)` for an unseen token). Build once on the curated
+    * target + a raw sample; score any corpus against the FROZEN model —
+    * the production DSIR shape, where the 100 TB crawl is scored but never
+    * trained on ([[dsirWeights]] is the train-and-score-the-same-corpus
+    * convenience). */
+  final case class DsirModel(
+      vocab: DataFrame, oovLogRatio: Double, smoothing: Double) {
+    /** Pin the vocabulary in executor storage and materialize it now, so
+      * the first scoring pass doesn't pay the training aggregate. */
+    def persisted(): DsirModel = { vocab.persist(); vocab.count(); this }
+    def unpersisted(): DsirModel = { vocab.unpersist(); this }
+  }
+
+  /** Train the two unigram LMs once — same single-corpus-pass shape as
+    * [[dsirWeights]], but the per-token log ratio is MATERIALIZED into the
+    * vocabulary frame so scoring never touches the training corpus again.
+    * The one-row totals head() is a build-time action on an already
+    * aggregated frame (three scalars), not a data collect. */
+  def trainDsir(
+      df: DataFrame, textCol: String, targetPred: Column,
+      smoothing: Double = 1.0): DsirModel = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val freq = df
+      .select(
+        targetPred.cast("boolean").as("_tgt"),
+        explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+        sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_cr"))
+    val Seq(nt, nr, v) = {
+      val r = freq
+        .agg(sum("_ct").as("_nt"), sum("_cr").as("_nr"), count(lit(1)).as("_v"))
+        .head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val k = lit(smoothing)
+    val vocab = freq.select(
+      col("_w"),
+      (log((col("_ct") + k) / (lit(nt) + k * v)) -
+        log((col("_cr") + k) / (lit(nr) + k * v))).as("_lr"))
+    DsirModel(
+      vocab,
+      math.log((nr + smoothing * v) / (nt + smoothing * v)),
+      smoothing)
+  }
+
+  /** Score a corpus against a FROZEN [[DsirModel]]: explode tokens, LEFT
+    * join the vocabulary (AQE broadcasts it — Zipf-bounded at any
+    * realistic scale), unseen tokens take the model's OOV ratio, fold per
+    * doc. The scored corpus is touched exactly once; nothing re-trains.
+    * Same null-text contract as [[dsirWeights]]: `(n_tokens=0,
+    * log_weight=NULL)`, emitted. Output: `(idCol, n_tokens,
+    * log_weight)`, 6 dp. */
+  def scoreDsir(
+      model: DsirModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .join(model.vocab, Seq("_w"), "left")
+      .groupBy("_id")
+      .agg(
+        count(lit(1)).cast("long").as("_n"),
+        stableRound(
+          sum(coalesce(col("_lr"), lit(model.oovLogRatio))), 6).as("_lw"))
+    df.select(col(idCol).as("_id"))
+      .join(scored, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        col("_lw").as("log_weight"))
+  }
 }

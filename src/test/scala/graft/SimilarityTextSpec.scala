@@ -932,6 +932,65 @@ class SimilarityTextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("trainDsir/scoreDsir: frozen-model scoring == dsirWeights on the training corpus; OOV takes the smoothed default") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b", true), (2L, "a c", false), (3L, null: String, false))
+      .toDF("doc_id", "text", "tgt")
+    val model = TextAnalysis.trainDsir(df, "text", col("tgt")).persisted()
+    // parity: scoring the training corpus through the frozen model equals
+    // the train-and-score convenience (every token is in-vocabulary)
+    val viaModel = TextAnalysis.scoreDsir(model, df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val direct = TextAnalysis.dsirWeights(df, "doc_id", "text", col("tgt"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(viaModel == direct)
+    // OOV: a doc of tokens the model never saw scores n × oovLogRatio —
+    // and the model's vocabulary is NOT retrained by scoring
+    val oovDoc = Seq((9L, "zz zz qq")).toDF("doc_id", "text")
+    val got = TextAnalysis.scoreDsir(model, oovDoc, "doc_id", "text")
+      .collect().head
+    assert(got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - 3 * model.oovLogRatio) < 1e-6)
+    // oovLogRatio itself: ln((Nr+kV)/(Nt+kV)) with Nt=3, Nr=2, V=3, k=1
+    assert(math.abs(model.oovLogRatio - math.log(5.0 / 6.0)) < 1e-12)
+    model.unpersisted()
+  }
+
+  test("StreamingDsir: per-batch scoring over a frozen model == batch scoreDsir") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq(
+      (1L, "a a b", true), (2L, "a c", false)).toDF("doc_id", "text", "tgt")
+    val model = TextAnalysis.trainDsir(train, "text", col("tgt")).persisted()
+    val incoming = Seq((10L, "a b"), (11L, "c zz"), (12L, "qq qq"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamingDsir.attach(
+      stream.toDF().toDF("id", "text"), model, "id", "text",
+      checkpoint = tmpDir("dsir-ckpt")) { (scored, _) =>
+      got.synchronized {
+        got ++= scored.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      stream.addData(incoming.take(2))
+      q.processAllAvailable()
+      stream.addData(incoming.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = TextAnalysis.scoreDsir(
+        model, incoming.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.synchronized(got.toSet) == expect)
+    model.unpersisted()
+  }
+
   test("bm25TopK matches the hand-computed model; zero-score docs dropped") {
     import spark.implicits._
     val df = Seq(
