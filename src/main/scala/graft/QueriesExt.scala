@@ -2440,6 +2440,47 @@ object QueriesExt {
                      ROUND(p + 1e-9, 6) AS p,
                      ROUND(pa / zz.z + 1e-9, 6) AS q,
                      ROUND((pa / zz.z) / p + 1e-9, 6) AS boost
-              FROM pp, zz"""))
+              FROM pp, zz""")),
+
+    // S16 — filtered vector search: exact top-5 cosine neighbors of
+    // vec_id=0 among label=2 rows only (pre-filter semantics — the exact
+    // top-k OF the slice, never a post-filtered short list). The
+    // allow-list IVF form is spec-covered (approximate path, no oracle).
+    Entry(
+      "s16_filtered_knn",
+      (s, d) => Similarity.bruteForceTopKFiltered(
+        embs(s, d), "vec_id", "embedding", 0L, 5, col("label") === 2),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                         FROM embeddings WHERE vec_id = 0),
+                   sims AS (SELECT e.vec_id AS vec_id,
+                                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS raw_sim
+                            FROM embeddings e, q
+                            WHERE e.label = 2 AND e.vec_id <> 0),
+                   top AS (SELECT vec_id, raw_sim FROM sims
+                           ORDER BY raw_sim DESC, vec_id LIMIT 5)
+              SELECT vec_id, ROUND(raw_sim, 6) AS sim FROM top""")),
+
+    // T33 — per-source midrank percentile normalization of a raw score
+    // (n_chars): the cross-source calibration step before a global
+    // quality cut. Oracle replays the distinct-value running sum and the
+    // midrank formula.
+    Entry(
+      "t33_percentile_norm",
+      (s, d) => Quantiles.percentileNormalize(
+        docs(s, d).select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars"),
+      Some("""WITH vc AS (SELECT source, CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+                          FROM documents WHERE n_chars IS NOT NULL
+                          GROUP BY source, CAST(n_chars AS DOUBLE)),
+                   r AS (SELECT source, v, c,
+                                SUM(c) OVER (PARTITION BY source ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb,
+                                SUM(c) OVER (PARTITION BY source) AS n
+                         FROM vc)
+              SELECT d.doc_id, d.source, d.n_chars,
+                     ROUND((cb + 0.5 * c) / n + 1e-9, 6) AS pct
+              FROM documents d
+              LEFT JOIN r ON d.source IS NOT DISTINCT FROM r.source
+                         AND CAST(d.n_chars AS DOUBLE) = r.v"""))
   )
 }

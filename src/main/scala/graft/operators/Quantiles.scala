@@ -213,4 +213,53 @@ object Quantiles {
       .withColumn(bucketCol, (lit(1) + b).cast("long"))
       .drop(cutNames: _*)
   }
+
+  /** Per-group midrank percentile (CDF) normalization — the cross-source
+    * score calibration step: a raw quality score is only comparable
+    * WITHIN its source (each classifier/heuristic has its own scale), so
+    * a global cut keeps "the top 30% of each source" only after mapping
+    * every score to its within-group percentile. Midrank convention:
+    * `pct = (count_below + count_equal/2) / n` — ties share one
+    * percentile, the estimator is symmetric (mean pct = 0.5 exactly).
+    *
+    * Scale shape: aggregate-then-window, never a per-row group sort. The
+    * running sum ranks the per-(group, DISTINCT value) table — bounded by
+    * distinct score values per group, which for any real score (rounded
+    * floats, integer lengths) is orders of magnitude below row count —
+    * and the percentile joins back on (group, value), AQE-sized. A
+    * `percent_rank()` window over the raw rows would instead sort every
+    * group's full row set in one task each — the unpartitioned-window
+    * trap one level down. Null values cannot be ranked and emit
+    * `pct = NULL` (rows kept, the explicit-absence contract); null GROUP
+    * keys are real groups (null-safe join back, the funnelTimes
+    * convention).
+    *
+    * Output: the input rows + `pctCol`, 6 dp. */
+  def percentileNormalize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pctCol: String = "pct"): DataFrame = {
+    require(groupCols.nonEmpty, "percentileNormalize needs a group column")
+    val v = col(valueCol).cast("double")
+    val vc = df
+      .filter(v.isNotNull)
+      .groupBy(groupCols.map(col) :+ v.as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = vc
+      .withColumn("_cb",
+        sum("_c").over(byGroup.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("_c"))
+      .withColumn("_n", sum("_c").over(byGroup))
+      .select(
+        groupCols.map(k => col(k).as(s"_graft_pn_$k")) ++ Seq(
+          col("_v"),
+          stableRound(
+            (col("_cb") + lit(0.5) * col("_c")) / col("_n"), 6).as(pctCol)): _*)
+    df.join(ranked,
+        groupCols.map(k => col(k) <=> col(s"_graft_pn_$k"))
+          .reduce(_ && _) && (v === col("_v")),
+        "left")
+      .drop(groupCols.map(k => s"_graft_pn_$k") :+ "_v": _*)
+  }
 }

@@ -119,6 +119,51 @@ object Similarity {
   def mipsQueryPad(v: Column): Column =
     concat(transform(v, x => x.cast("double")), array(lit(0.0)))
 
+  /** Metadata-FILTERED exact k-NN — "filtered vector search": top-k among
+    * only the corpus rows satisfying `pred` (label slice, source slice,
+    * license tier…). PRE-filter semantics: the predicate lands in the scan
+    * stage before any similarity math (Catalyst pushes it to the parquet
+    * reader when it names scannable columns), so the result is the exact
+    * top-k OF THE FILTERED SUBSET — not post-filter, which ranks first,
+    * drops after, and silently returns fewer than k whenever the global
+    * neighbors are mostly disallowed. */
+  def bruteForceTopKFiltered(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, pred: Column): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+    val sims = df.filter(pred && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("_q")).as("_sim"))
+    topK(sims, idCol, k)
+  }
+
+  /** Filtered ANN probe over a prebuilt [[IvfIndex]]: top-k restricted to
+    * an ALLOW-LIST of corpus ids (the composable form of a metadata
+    * predicate — the caller derives `allowed` from any predicate over any
+    * table, the probe never needs the metadata columns inside the index).
+    * The allow-list is applied as a LEFT SEMI join on the probed cells
+    * BEFORE ranking — pre-filter semantics like
+    * [[bruteForceTopKFiltered]], so a query returns k allowed neighbors
+    * (cells permitting) even when its unfiltered top-k is entirely
+    * disallowed. AQE broadcasts the semi join while the allow-list is
+    * small and falls back to a shuffle semi when it is half the corpus —
+    * both correct; the probed-cell subset, not the full corpus, is what
+    * gets filtered either way. */
+  def probeIvfFiltered(
+      index: IvfIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true, guardBroadcast: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val allowKeys = allowed.select(col(allowedIdCol).as(index.idCol))
+    val filteredIndex = index.copy(
+      assigned = index.assigned.join(allowKeys, Seq(index.idCol), "left_semi"))
+    probeIvf(
+      filteredIndex, queries, qIdCol, qVecCol, k, nProbe, excludeSelf,
+      broadcastProbes, guardBroadcast)
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
     * from md5 of "plane_dim" (identical on every executor AND reproducible in
     * the DuckDB oracle as

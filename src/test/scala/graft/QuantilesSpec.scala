@@ -209,4 +209,35 @@ class QuantilesSpec extends SparkSpec {
     assert(got(Some("a")) == 2.0)
     assert(got(None) == 15.0) // linear interpolation at rank 1.5
   }
+
+  test("percentileNormalize: midrank ties, null value -> NULL pct, null group is real") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10.0)), (2L, Some("a"), Some(10.0)),
+      (3L, Some("a"), Some(20.0)), (4L, Some("a"), Some(30.0)),
+      (5L, Some("a"), None),
+      (6L, None, Some(1.0)), (7L, None, Some(2.0)))
+      .toDF("id", "g", "v")
+    val got = Quantiles.percentileNormalize(df, Seq("g"), "v")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // group a, n=4: ties at 10 share (0 + 2/2)/4 = 0.25; 20 -> (2+0.5)/4;
+    // 30 -> (3+0.5)/4
+    assert(got(1L) == Some(0.25) && got(2L) == Some(0.25))
+    assert(got(3L) == Some(0.625) && got(4L) == Some(0.875))
+    // null value: row kept, pct NULL
+    assert(got(5L) == None)
+    // null group key ranks within its own group (n=2)
+    assert(got(6L) == Some(0.25) && got(7L) == Some(0.75))
+    // midrank symmetry: mean pct = 0.5 within every fully-ranked group
+    val aMean = Seq(got(1L), got(2L), got(3L), got(4L)).flatten.sum / 4
+    assert(math.abs(aMean - 0.5) < 1e-9)
+    // layout-stable
+    val b = Quantiles.percentileNormalize(df.repartition(7), Seq("g"), "v")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(b == got)
+  }
 }

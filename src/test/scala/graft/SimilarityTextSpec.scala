@@ -932,6 +932,40 @@ class SimilarityTextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("filtered k-NN: pre-filter semantics beat post-filter; IVF allow-list probe matches") {
+    import spark.implicits._
+    // query (1,0). Global top-2 are label-9 vectors; the label-5 slice's
+    // true top-2 are further out — post-filtering a global top-2 would
+    // return NOTHING from label 5.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),
+      (1L, Seq(0.99f, 0.01f), 9), (2L, Seq(0.98f, 0.02f), 9),
+      (3L, Seq(0.8f, 0.6f), 5), (4L, Seq(0.6f, 0.8f), 5),
+      (5L, Seq(-1.0f, 0.0f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopKFiltered(
+      df, "vec_id", "embedding", 0L, 2, col("label") === 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 4L))
+    // the unfiltered top-2 is disjoint — the case pre-filter exists for
+    val unfiltered = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(unfiltered == Seq(1L, 2L))
+
+    // allow-list IVF probe: with full cell coverage it returns the exact
+    // filtered ranking, k rows, even though the global neighbors are
+    // disallowed
+    val idx = Similarity.buildIvfIndexAuto(df, "vec_id", "embedding", nCells = 2)
+    val allowed = df.filter(col("label") === 5).select("vec_id")
+    val qv = df.filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    val viaIvf = Similarity.probeIvfFiltered(
+      idx, qv, "vec_id", "embedding", allowed, "vec_id",
+      k = 2, nProbe = 2, excludeSelf = true)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    idx.unpersisted()
+    assert(viaIvf == Seq(3L, 4L))
+  }
+
   test("trainDsir/scoreDsir: frozen-model scoring == dsirWeights on the training corpus; OOV takes the smoothed default") {
     import spark.implicits._
     val df = Seq(
