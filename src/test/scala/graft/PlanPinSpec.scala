@@ -160,4 +160,29 @@ class PlanPinSpec extends SparkSpec {
         s"$q fell back to sort-merge:\n${plan.take(3000)}")
     }
   }
+
+  test("s16: the metadata predicate reaches the parquet scan as a pushed filter") {
+    // pre-filter semantics only pay off at 100 TB if the slice predicate
+    // prunes AT THE SCAN — a post-scan Filter still reads every vector
+    val plan = Queries.byName("s16_filtered_knn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(label,2)"),
+      s"s16 label predicate must push to the scan:\n${plan.take(3000)}")
+  }
+
+  test("t33: the percentile window ranks the DISTINCT-value aggregate, never raw rows") {
+    // the scale contract: WindowExec's child must be the (group, value)
+    // hash aggregate — a window straight over the corpus re-sorts every
+    // group's full row set in one task each
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Queries.byName("t33_percentile_norm")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "t33 lost its window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"t33 planned an UNPARTITIONED window:\n${w.toString.take(2000)}")
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        s"t33 window must rank the aggregated distinct-value table:\n${w.toString.take(2000)}")
+    }
+  }
 }
