@@ -2481,6 +2481,61 @@ object QueriesExt {
                      ROUND((cb + 0.5 * c) / n + 1e-9, 6) AS pct
               FROM documents d
               LEFT JOIN r ON d.source IS NOT DISTINCT FROM r.source
-                         AND CAST(d.n_chars AS DOUBLE) = r.v"""))
+                         AND CAST(d.n_chars AS DOUBLE) = r.v""")),
+
+    // T34 — leakage-safe split: hash the duplicate CLUSTER, not the doc,
+    // so every member of a near-dup cluster lands in the SAME split —
+    // closing the train→test leakage path a per-doc split leaves open
+    // (two near-copies straddling the boundary). Pure composition:
+    // q18's cluster key through t06's deterministic split; the
+    // cluster-coherence property is spec-pinned.
+    Entry(
+      "t34_leakage_split",
+      (s, d) => TextAnalysis.deterministicSplit(
+        docs(s, d).select(
+          col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("cluster")),
+        "cluster"),
+      Some("""WITH a AS (SELECT doc_id,
+                                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS cluster
+                         FROM documents),
+                   b AS (SELECT doc_id, cluster,
+                                ('0x' || substr(md5(cluster), 1, 14))::UBIGINT::BIGINT % 100 AS bucket
+                         FROM a)
+              SELECT doc_id, cluster, bucket,
+                     CASE WHEN bucket < 90 THEN 'train'
+                          WHEN bucket < 95 THEN 'validation'
+                          ELSE 'test' END AS split
+              FROM b""")),
+
+    // S17 — BM25 through the materialized inverted index (build-once/
+    // probe-many lexical retrieval; s08 is the one-shot scan form). Same
+    // scoring contract, so the oracle is s08's formulation with this
+    // query's terms.
+    Entry(
+      "s17_bm25_index",
+      (s, d) => TextAnalysis.probeBm25(
+        TextAnalysis.buildBm25Index(docs(s, d), "doc_id", "text"),
+        queryTerms = Seq("table", "sort"), k = 10),
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE) AS tf1
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents)),
+              g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                           SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                           SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1
+                    FROM p),
+              sc AS (SELECT doc_id,
+                       ROUND(
+                         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + 1e-9, 6) AS bm25
+                     FROM p, g)
+              SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+              ORDER BY bm25 DESC, doc_id LIMIT 10"""))
   )
 }

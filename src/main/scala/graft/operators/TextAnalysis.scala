@@ -471,6 +471,99 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** A materialized lexical index for repeated BM25 retrieval: the classic
+    * inverted shape — per-(term, doc) postings, per-doc lengths, one-row
+    * corpus stats. [[bm25TopK]] is the right plan for ONE ad-hoc query (two
+    * narrow corpus scans); a retrieval/decontamination service issuing
+    * thousands of queries should pay the corpus scans ONCE here and probe
+    * term-sliced postings forever after — the same build-once/probe-many
+    * split as [[graft.operators.Similarity.IvfIndex]]. Persisted via
+    * [[saveBm25Index]] with postings BUCKETED on `term`, a probe's postings
+    * filter prunes buckets and the candidate set never re-scans the
+    * corpus. */
+  final case class Bm25Index(
+      postings: DataFrame, docLens: DataFrame, stats: DataFrame,
+      idCol: String) {
+    def persisted(): Bm25Index = {
+      postings.persist(); docLens.persist(); stats.persist()
+      postings.count(); docLens.count(); stats.count()
+      this
+    }
+    def unpersisted(): Bm25Index = {
+      postings.unpersist(); docLens.unpersist(); stats.unpersist(); this
+    }
+  }
+
+  /** Build the inverted index: one exploded corpus pass for the postings
+    * (map-side combined, shuffle ∝ distinct (term, doc)), one narrow pass
+    * for doc lengths (kept separate rather than derived from postings so a
+    * NULL-text doc still counts toward `N`/`avgdl` exactly as
+    * [[bm25TopK]]'s per-row scan counts it — parity is spec-pinned). */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val lens = df.select(
+      col(idCol).as("_ix_id"),
+      size(tokens(col(textCol))).cast("double").as("_dl"))
+    val postings = df
+      .select(col(idCol).as("_ix_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "_ix_id").agg(count(lit(1)).cast("double").as("tf"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("_n"), avg("_dl").as("_avgdl"))
+    Bm25Index(postings, lens, stats, idCol)
+  }
+
+  /** BM25 top-`k` against a prebuilt [[Bm25Index]] — identical scoring
+    * contract to [[bm25TopK]] (Lucene idf, qtf multiplicity, 6-dp rounding,
+    * zero-score drop), different cost model: work ∝ postings of the QUERY
+    * terms, not corpus size. The term filter prunes postings (bucket-pruned
+    * when the index is loaded from [[saveBm25Index]] tables); per-term
+    * document frequencies fold from the already-sliced candidates; the
+    * doc-length join is candidate-sized (AQE broadcasts the slice); the
+    * finisher is the partition-local top-k. */
+  def probeBm25(
+      index: Bm25Index, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "probeBm25: queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val qtf = queryTerms.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cand = index.postings.filter(col("term").isin(terms: _*))
+    val dfreq = cand.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+    val contrib = cand
+      .join(broadcast(dfreq), Seq("term"))
+      .join(index.docLens, Seq("_ix_id"))
+      .crossJoin(broadcast(index.stats))
+      .select(
+        col("_ix_id"),
+        (element_at(typedLit(qtf), col("term")) *
+          (log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))) *
+            col("tf") * lit(k1 + 1.0) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))).as("_c"))
+    contrib
+      .groupBy("_ix_id")
+      .agg(stableRound(sum("_c"), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .select(col("_ix_id").as(index.idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(index.idCol))
+      .limit(k)
+  }
+
+  /** Persist a [[Bm25Index]]: postings bucketed on `term` so probe-time
+    * term filters prune buckets and repeated probes never shuffle the
+    * postings; lengths and stats as plain tables. */
+  def saveBm25Index(index: Bm25Index, name: String, numBuckets: Int): Unit = {
+    graft.sources.Sinks.writeBucketed(
+      index.postings, s"${name}_postings", Seq("term"), numBuckets)
+    index.docLens.write.mode("overwrite").saveAsTable(s"${name}_doclens")
+    index.stats.write.mode("overwrite").saveAsTable(s"${name}_stats")
+  }
+
+  def loadBm25Index(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      idCol: String): Bm25Index =
+    Bm25Index(
+      spark.table(s"${name}_postings"), spark.table(s"${name}_doclens"),
+      spark.table(s"${name}_stats"), idCol)
+
   /** Top-`k` bigram collocations by pointwise mutual information — the
     * phrase-mining step (learn "new york"-style multi-word units before
     * tokenizer training or query expansion). PMI compares the observed

@@ -932,6 +932,55 @@ class SimilarityTextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Bm25Index: probe == bm25TopK (qtf multiplicity, null text in N); save/load round-trip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b x"), (2L, "a c y y"), (3L, "b b b z"), (4L, "w w w w"),
+      (5L, null: String))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.buildBm25Index(df, "doc_id", "text").persisted()
+    // repeated query term exercises the qtf multiplier; doc 5's null text
+    // must still count toward N/avgdl exactly as the scan form counts it
+    for (terms <- Seq(Seq("a", "b"), Seq("a", "a", "b"), Seq("z"))) {
+      val direct = TextAnalysis.bm25TopK(df, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probed = TextAnalysis.probeBm25(idx, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probed == direct, s"terms=$terms")
+    }
+    // persistence: bucketed postings round-trip, probe parity holds
+    TextAnalysis.saveBm25Index(idx, "bm25_spec_ix", numBuckets = 4)
+    val loaded = TextAnalysis.loadBm25Index(spark, "bm25_spec_ix", "doc_id")
+    val fromDisk = TextAnalysis.probeBm25(loaded, Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk == direct)
+    idx.unpersisted()
+    Seq("bm25_spec_ix_postings", "bm25_spec_ix_doclens", "bm25_spec_ix_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("leakage-safe split: cluster members co-locate; the per-doc split provably straddles") {
+    import spark.implicits._
+    // 40 clusters of 5 exact duplicates each
+    val docs = (0L until 200L).map(i => (i, s"cluster ${i / 5} body")).toDF("doc_id", "text")
+    val clustered = docs.select(
+      col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("cluster"))
+    val byCluster = TextAnalysis.deterministicSplit(clustered, "cluster")
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // coherence: every cluster maps to exactly one split
+    assert(byCluster.groupBy(_._1).values.forall(_.map(_._2).distinct.length == 1))
+    // the naive per-doc split straddles at least one cluster on this
+    // corpus — the leakage the cluster-keyed form closes
+    val byDoc = TextAnalysis.deterministicSplit(clustered, "doc_id")
+      .select(col("cluster"), col("split")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(byDoc.groupBy(_._1).values.exists(_.map(_._2).distinct.length > 1))
+  }
+
   test("filtered k-NN: pre-filter semantics beat post-filter; IVF allow-list probe matches") {
     import spark.implicits._
     // query (1,0). Global top-2 are label-9 vectors; the label-5 slice's
