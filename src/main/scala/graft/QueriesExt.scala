@@ -2536,6 +2536,71 @@ object QueriesExt {
                        + 1e-9, 6) AS bm25
                      FROM p, g)
               SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-              ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+              ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+    // C07 — hybrid retrieval via reciprocal-rank fusion: s08's lexical
+    // BM25 top-10 fused with q19's dense cosine top-10 over the paired
+    // id space (doc_id ≡ vec_id in the synthetic corpus), RRF c=60.
+    // Ranks derive from the 6-dp-rounded retriever scores (ties on id) so
+    // both engines rank identical decimals; the fused fold is k-sized.
+    Entry(
+      "c07_rrf_fusion",
+      (s, d) => {
+        val lex = TextAnalysis.bm25TopK(
+            docs(s, d), "doc_id", "text",
+            queryTerms = Seq("vector", "merge", "scan"), k = 10)
+          .withColumn("_g", lit(1))
+        val lexRanked = TopK.perGroup(
+            lex, Seq("_g"), Seq(col("bm25").desc, col("doc_id").asc), 10)
+          .select(col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(
+            embs(s, d), "vec_id", "embedding", 0L, 10)
+          .withColumn("_g", lit(1))
+        val denseRanked = TopK.perGroup(
+            dense, Seq("_g"), Seq(col("sim").desc, col("vec_id").asc), 10)
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        TopK.reciprocalRankFusion(
+          Seq(lexRanked, denseRanked), "doc_id", "rank", k = 10)
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf2
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents)),
+              g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                           SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                           SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                           SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+                    FROM p),
+              sc AS (SELECT doc_id,
+                       ROUND(
+                         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + 1e-9, 6) AS bm25
+                     FROM p, g),
+              lex AS (SELECT doc_id,
+                             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+                      FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+                            ORDER BY bm25 DESC, doc_id LIMIT 10)),
+              q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                    FROM embeddings WHERE vec_id = 0),
+              sims AS (SELECT e.vec_id AS vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS raw_sim
+                       FROM embeddings e, q WHERE e.vec_id <> 0),
+              dense AS (SELECT vec_id AS doc_id,
+                               row_number() OVER (ORDER BY ROUND(raw_sim, 6) DESC, vec_id) AS rk
+                        FROM (SELECT vec_id, raw_sim FROM sims
+                              ORDER BY raw_sim DESC, vec_id LIMIT 10)),
+              u AS (SELECT doc_id, rk FROM lex
+                    UNION ALL SELECT doc_id, rk FROM dense),
+              f AS (SELECT doc_id, COUNT(*) AS n_lists,
+                           ROUND(SUM(1.0 / (60.0 + rk)) + 1e-9, 6) AS rrf
+                    FROM u GROUP BY doc_id)
+              SELECT doc_id, n_lists, rrf FROM f
+              ORDER BY rrf DESC, doc_id LIMIT 10"""))
   )
 }

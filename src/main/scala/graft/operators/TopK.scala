@@ -173,4 +173,37 @@ object TopK {
       .limit(n)
       .select(col(idCol), col(weightCol), stableRound(col("_sk"), 6).as("samp_key"))
   }
+
+  /** Reciprocal-rank fusion (Cormack-Clarke-Buettcher 2009) — the standard
+    * hybrid-retrieval merge: given several rankings of the same id space
+    * (BM25, dense ANN, recency…), each list contributes `1/(c + rank)` for
+    * every id it ranks, absent ids contribute nothing, and the fused
+    * ordering is by the summed score. Rank-based, so the input scores
+    * never need calibration against each other — the reason RRF is the
+    * production default for lexical+vector fusion. `c = 60` is the
+    * published constant.
+    *
+    * Inputs are top-k lists (each already bounded by its retriever's k),
+    * so every frame here is k-sized: the union, the per-id fold, and the
+    * final `TakeOrderedAndProject` are all trivially small at any corpus
+    * scale — the heavy lifting happened inside the retrievers. Ties in
+    * the fused score break on id.
+    *
+    * Output: `(idCol, n_lists, rrf)` top-`k` rows, rrf 6 dp. */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, c: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 0, s"c must be >= 0, got $c")
+    rankings
+      .map(_.select(col(idCol), col(rankCol).cast("double").as("_rk")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        stableRound(sum(lit(1.0) / (lit(c) + col("_rk"))), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -150,4 +150,25 @@ class TopKSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 5L))
   }
+
+  test("reciprocalRankFusion: hand model — consensus beats single-list winners") {
+    import spark.implicits._
+    // list A ranks 1,2,3 as docs 10,11,12; list B ranks 1,2,3 as 20,11,12.
+    // doc 11 (rank 2 in both) must fuse above both list winners (10, 20):
+    // 2/62 > 1/61 + 0 — the consensus property RRF exists for.
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val got = TopK.reciprocalRankFusion(Seq(a, b), "id", "rank", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(11L, 12L, 10L, 20L))
+    val expect11 = BigDecimal(2.0 / 62.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head == ((11L, 2L, expect11)))
+    // single-list docs carry n_lists = 1 and exactly their own term
+    val exp10 = BigDecimal(1.0 / 61.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.find(_._1 == 10L).get == ((10L, 1L, exp10)))
+    // tie on fused score (10 vs 20, both rank-1 singletons) breaks on id
+    assert(got.indexWhere(_._1 == 10L) < got.indexWhere(_._1 == 20L))
+  }
 }
