@@ -122,4 +122,30 @@ class BucketedSinkSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("saved BM25 index: the probe's term filter PRUNES postings buckets") {
+    import graft.operators.TextAnalysis
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"w${i % 40} common filler t${i % 7}"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.buildBm25Index(docs, "doc_id", "text")
+    TextAnalysis.saveBm25Index(idx, "bkt_bm25", numBuckets = 8)
+    try {
+      val loaded = TextAnalysis.loadBm25Index(spark, "bkt_bm25", "doc_id")
+      val probe = TextAnalysis.probeBm25(loaded, Seq("common"), k = 5)
+      val plan = probe.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined,
+        s"postings scan must report bucket selection:\n${plan.take(2500)}")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"term filter must prune buckets, read ${m.get.group(1)}/${m.get.group(2)}")
+      // and the pruned probe still equals the in-memory index's answer
+      val a = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = TextAnalysis.probeBm25(idx, Seq("common"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b)
+    } finally
+      Seq("bkt_bm25_postings", "bkt_bm25_doclens", "bkt_bm25_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
