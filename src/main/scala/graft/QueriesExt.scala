@@ -2289,7 +2289,7 @@ object QueriesExt {
                           FROM a GROUP BY cluster)
               SELECT a.doc_id, a.cluster, sz.cluster_size,
                      ROUND(POW(sz.cluster_size, -1.0) + 1e-9, 6) AS weight
-              FROM a JOIN sz USING (cluster)""")),
+              FROM a JOIN sz ON a.cluster IS NOT DISTINCT FROM sz.cluster""")),
 
     // C05 — calibration/reliability bins for the c04 score/label pair
     // (n_chars as the "classifier" score, is-English as the label): does
@@ -2378,20 +2378,11 @@ object QueriesExt {
           count(lit(1)).as("n_docs"),
           sum("n_tokens").cast("long").as("n_tokens"),
           sum("eff").as("_mass"))
-        val tot = g.agg(sum("_mass").as("_tot"))
-        val p = g.crossJoin(broadcast(tot))
-          .withColumn("_p",
-            col("_mass").cast("double") / col("_tot").cast("double"))
-          .withColumn("_pa", pow(col("_p"), 0.5))
-        val z = p.agg(sum("_pa").as("_z"))
-        p.crossJoin(broadcast(z)).select(
+        TopK.temperatureFromMass(g, col("_mass"), alpha = 0.5).select(
           col("source"), col("n_docs"), col("n_tokens"),
           graft.operators.stableRound(col("_mass").cast("double"), 4)
             .as("eff_mass"),
-          graft.operators.stableRound(col("_p"), 6).as("p"),
-          graft.operators.stableRound(col("_pa") / col("_z"), 6).as("q"),
-          graft.operators.stableRound(
-            (col("_pa") / col("_z")) / col("_p"), 6).as("boost"))
+          col("p"), col("q"), col("boost"))
       },
       Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
                                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -2417,7 +2408,7 @@ object QueriesExt {
                           FROM a GROUP BY cluster),
                    dup AS (SELECT a.doc_id,
                                   ROUND(POW(sz.cluster_size, -1.0) + 1e-9, 6) AS wt
-                           FROM a JOIN sz USING (cluster)),
+                           FROM a JOIN sz ON a.cluster IS NOT DISTINCT FROM sz.cluster),
                    eff AS (SELECT d.source, dsir.n AS n_tokens,
                                   CAST(ROUND(dsir.n * dup.wt * EXP(dsir.lw / dsir.n) + 1e-9, 6)
                                        AS DECIMAL(20,6)) AS eff

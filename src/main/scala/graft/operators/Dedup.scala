@@ -1314,8 +1314,13 @@ object Dedup {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     val sizes = assignments
       .groupBy(col(clusterCol)).agg(count(lit(1)).as("cluster_size"))
+      .withColumnRenamed(clusterCol, "_graft_dw_k")
+    // null-safe join back (the funnelTimes convention): a NULL cluster key
+    // is a REAL cluster — e.g. md5(null text) groups every null-text doc
+    // into one indistinguishable-content cluster — and its members must be
+    // weighted, not silently dropped from the weights table
     assignments
-      .join(sizes, Seq(clusterCol))
+      .join(sizes, col(clusterCol) <=> col("_graft_dw_k"))
       .select(
         col(idCol), col(clusterCol), col("cluster_size"),
         stableRound(

@@ -532,15 +532,28 @@ object TextAnalysis {
       .join(index.docLens, Seq("_ix_id"))
       .crossJoin(broadcast(index.stats))
       .select(
-        col("_ix_id"),
+        col("_ix_id"), col("term"),
         (element_at(typedLit(qtf), col("term")) *
           (log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))) *
             col("tf") * lit(k1 + 1.0) /
             (col("tf") + lit(k1) *
               (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))).as("_c"))
+    // fold per doc in FIXED query-term order, mirroring bm25TopK's
+    // left-associated expression — a plain sum() accumulates in row order,
+    // which is partition-dependent, and double addition is not
+    // associative, so a 3+-term score could round differently at the 6-dp
+    // boundary between the probe and the scan form (or between layouts).
+    // Each per-term cell is the sum of AT MOST ONE row (postings are
+    // per-(term, doc)) — exact — and a missing term contributes literal
+    // 0.0, exactly bm25TopK's tf=0 term.
+    val termCells = terms.indices.map(i =>
+      coalesce(
+        sum(when(col("term") === terms(i), col("_c"))), lit(0.0)).as(s"_c$i"))
+    val score = terms.indices.map(i => col(s"_c$i")).reduce(_ + _)
     contrib
       .groupBy("_ix_id")
-      .agg(stableRound(sum("_c"), 6).as("bm25"))
+      .agg(termCells.head, termCells.tail: _*)
+      .withColumn("bm25", stableRound(score, 6))
       .filter(col("bm25") > 0)
       .select(col("_ix_id").as(index.idCol), col("bm25"))
       .orderBy(col("bm25").desc, col(index.idCol))
@@ -912,18 +925,31 @@ object TextAnalysis {
     * trained on ([[dsirWeights]] is the train-and-score-the-same-corpus
     * convenience). */
   final case class DsirModel(
-      vocab: DataFrame, oovLogRatio: Double, smoothing: Double) {
-    /** Pin the vocabulary in executor storage and materialize it now, so
-      * the first scoring pass doesn't pay the training aggregate. */
-    def persisted(): DsirModel = { vocab.persist(); vocab.count(); this }
-    def unpersisted(): DsirModel = { vocab.unpersist(); this }
+      vocab: DataFrame, oovLogRatio: Double, smoothing: Double,
+      private[graft] val backing: Option[DataFrame] = None) {
+    /** Pin the vocabulary itself in executor storage and materialize it
+      * now; the training-time counts cache (which backed `vocab` until
+      * here) is released — the vocabulary is self-contained after this. */
+    def persisted(): DsirModel = {
+      vocab.persist(); vocab.count()
+      backing.foreach(_.unpersist(blocking = false))
+      this
+    }
+    def unpersisted(): DsirModel = {
+      vocab.unpersist()
+      backing.foreach(_.unpersist(blocking = false))
+      this
+    }
   }
 
-  /** Train the two unigram LMs once — same single-corpus-pass shape as
-    * [[dsirWeights]], but the per-token log ratio is MATERIALIZED into the
-    * vocabulary frame so scoring never touches the training corpus again.
-    * The one-row totals head() is a build-time action on an already
-    * aggregated frame (three scalars), not a data collect. */
+  /** Train the two unigram LMs in ONE corpus pass: the (token, counts)
+    * aggregate is persisted, the totals `head()` below is the single
+    * action that materializes it (a build-time action on an already
+    * aggregated frame — three scalars, not a data collect), and the
+    * vocabulary's log ratios read that cache, never the corpus. The
+    * returned model keeps the counts cache as its backing store until
+    * `persisted()` pins the vocabulary itself (releasing the counts) or
+    * `unpersisted()` drops both. */
   def trainDsir(
       df: DataFrame, textCol: String, targetPred: Column,
       smoothing: Double = 1.0): DsirModel = {
@@ -935,6 +961,7 @@ object TextAnalysis {
       .groupBy("_w").agg(
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
         sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_cr"))
+      .persist()
     val Seq(nt, nr, v) = {
       val r = freq
         .agg(sum("_ct").as("_nt"), sum("_cr").as("_nr"), count(lit(1)).as("_v"))
@@ -949,7 +976,8 @@ object TextAnalysis {
     DsirModel(
       vocab,
       math.log((nr + smoothing * v) / (nt + smoothing * v)),
-      smoothing)
+      smoothing,
+      backing = Some(freq))
   }
 
   /** Score a corpus against a FROZEN [[DsirModel]]: explode tokens, LEFT

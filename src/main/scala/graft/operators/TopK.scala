@@ -118,20 +118,33 @@ object TopK {
   def temperatureWeights(
       df: DataFrame, groupCol: String, sizeCol: Column,
       alpha: Double): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val g = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(sizeCol).as("_nt"))
-    val tot = g.agg(sum("_nt").as("_tot"))
-    val p = g.crossJoin(broadcast(tot))
-      .withColumn("_p", col("_nt").cast("double") / col("_tot"))
+    temperatureFromMass(g, col("_nt"), alpha)
+      .select(
+        col(groupCol), col("n_docs"), col("_nt").cast("long").as("n_tokens"),
+        col("p"), col("q"), col("boost"))
+  }
+
+  /** The temperature normalization over an ALREADY-aggregated per-group
+    * mass table — the reusable core of [[temperatureWeights]] for callers
+    * whose mass is not a plain `sum(sizeCol)` (c06 feeds a soft-dedup ×
+    * DSIR-tilted DECIMAL mass). Appends `p = mass/Σmass`,
+    * `q = p^α / Σ p^α`, `boost = q/p` (6 dp) to `agg`'s columns; totals
+    * are one-row broadcasts, nothing rescans whatever produced `agg`. */
+  def temperatureFromMass(
+      agg: DataFrame, massCol: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val tot = agg.agg(sum(massCol).as("_tot"))
+    val p = agg.crossJoin(broadcast(tot))
+      .withColumn("_p", massCol.cast("double") / col("_tot").cast("double"))
       .withColumn("_pa", pow(col("_p"), alpha))
     val z = p.agg(sum("_pa").as("_z"))
     p.crossJoin(broadcast(z))
-      .select(
-        col(groupCol), col("n_docs"), col("_nt").cast("long").as("n_tokens"),
-        stableRound(col("_p"), 6).as("p"),
-        stableRound(col("_pa") / col("_z"), 6).as("q"),
-        stableRound((col("_pa") / col("_z")) / col("_p"), 6).as("boost"))
+      .withColumn("p", stableRound(col("_p"), 6))
+      .withColumn("q", stableRound(col("_pa") / col("_z"), 6))
+      .withColumn("boost", stableRound((col("_pa") / col("_z")) / col("_p"), 6))
+      .drop("_tot", "_p", "_pa", "_z")
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &

@@ -594,5 +594,13 @@ class DedupSpec extends SparkSpec {
     val w0 = Dedup.duplicationWeights(assign, "doc_id", "cluster", alpha = 0.0)
       .collect().map(_.getDouble(3))
     assert(w0.forall(_ == 1.0))
+    // NULL cluster keys are a REAL cluster (null-text docs hash to null
+    // together — indistinguishable content): members weighted, not dropped
+    val withNull = assign.union(
+      Seq((7L, null: String), (8L, null: String)).toDF("doc_id", "cluster"))
+    val wn = Dedup.duplicationWeights(withNull, "doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(wn.size == 8)
+    assert(wn(7L) == ((2L, 0.5)) && wn(8L) == ((2L, 0.5)))
   }
 }

@@ -941,7 +941,12 @@ class SimilarityTextSpec extends SparkSpec {
     val idx = TextAnalysis.buildBm25Index(df, "doc_id", "text").persisted()
     // repeated query term exercises the qtf multiplier; doc 5's null text
     // must still count toward N/avgdl exactly as the scan form counts it
-    for (terms <- Seq(Seq("a", "b"), Seq("a", "a", "b"), Seq("z"))) {
+    for (terms <- Seq(
+        Seq("a", "b"), Seq("a", "a", "b"), Seq("z"),
+        // 3+ DISTINCT terms: the case where probe-side summation order
+        // could diverge from the scan form's left-associated fold if the
+        // per-term cells were not folded in fixed query order
+        Seq("a", "b", "z"), Seq("b", "z", "a", "c"))) {
       val direct = TextAnalysis.bm25TopK(df, "doc_id", "text", terms, k = 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val probed = TextAnalysis.probeBm25(idx, terms, k = 10)
