@@ -506,8 +506,11 @@ object TextAnalysis {
     val postings = df
       .select(col(idCol).as("_ix_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("term", "_ix_id").agg(count(lit(1)).cast("double").as("tf"))
+    // _nl (docs with a real length) rides along solely so extendBm25Index
+    // can merge avgdl exactly from one-row frames; probes ignore it
     val stats = lens.agg(
-      count(lit(1)).cast("double").as("_n"), avg("_dl").as("_avgdl"))
+      count(lit(1)).cast("double").as("_n"), avg("_dl").as("_avgdl"),
+      count(col("_dl")).cast("double").as("_nl"))
     Bm25Index(postings, lens, stats, idCol)
   }
 
@@ -558,6 +561,34 @@ object TextAnalysis {
       .select(col("_ix_id").as(index.idCol), col("bm25"))
       .orderBy(col("bm25").desc, col(index.idCol))
       .limit(k)
+  }
+
+  /** Incrementally extend a [[Bm25Index]] with newly ingested documents —
+    * the ONLY corpus touched is the new batch (the d11/s04 incremental
+    * discipline): its postings and lengths aggregate from the batch alone
+    * and union in; the corpus stats merge EXACTLY from the two one-row
+    * frames (`n' = n + m`, `avgdl' = (n·avgdl + m·avgdl_new) / (n + m)`
+    * with null-length docs contributing to `n` but not the length mean,
+    * matching [[buildBm25Index]]'s `avg` semantics) — the existing
+    * postings are never re-read, let alone the old corpus. Callers are
+    * responsible for id disjointness, same as [[extendIvfIndex]]. */
+  def extendBm25Index(
+      index: Bm25Index, newDocs: DataFrame, textCol: String): Bm25Index = {
+    val fresh = buildBm25Index(newDocs, index.idCol, textCol)
+    val old = index.stats.select(
+      col("_n").as("_on"), col("_avgdl").as("_oavg"), col("_nl").as("_onl"))
+    val merged = old.crossJoin(fresh.stats)
+      .select(
+        (col("_on") + col("_n")).as("_n"),
+        when(col("_onl") + col("_nl") > 0,
+          (coalesce(col("_oavg"), lit(0.0)) * col("_onl") +
+            coalesce(col("_avgdl"), lit(0.0)) * col("_nl")) /
+            (col("_onl") + col("_nl"))).as("_avgdl"),
+        (col("_onl") + col("_nl")).as("_nl"))
+    Bm25Index(
+      index.postings.unionByName(fresh.postings),
+      index.docLens.unionByName(fresh.docLens),
+      merged, index.idCol)
   }
 
   /** Persist a [[Bm25Index]]: postings bucketed on `term` so probe-time

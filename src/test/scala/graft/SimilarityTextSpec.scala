@@ -966,6 +966,30 @@ class SimilarityTextSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("extendBm25Index == build over the union; stats merge from one-row frames only") {
+    import spark.implicits._
+    val base = Seq((1L, "a a b x"), (2L, "a c y y"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val batch = Seq((4L, "b b z"), (5L, "a z z z q q"))
+      .toDF("doc_id", "text")
+    val extended = TextAnalysis.extendBm25Index(
+      TextAnalysis.buildBm25Index(base, "doc_id", "text"), batch, "text")
+    val full = TextAnalysis.buildBm25Index(
+      base.unionByName(batch), "doc_id", "text")
+    for (terms <- Seq(Seq("a"), Seq("a", "b", "z"), Seq("q", "z", "a"))) {
+      val e = TextAnalysis.probeBm25(extended, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val f = TextAnalysis.probeBm25(full, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(e == f, s"terms=$terms")
+    }
+    // merged stats: counts exact, avgdl equal to the direct mean
+    val es = extended.stats.head(); val fs = full.stats.head()
+    assert(es.getDouble(0) == fs.getDouble(0)) // n (incl. the null-text doc)
+    assert(es.getDouble(2) == fs.getDouble(2)) // non-null length count
+    assert(math.abs(es.getDouble(1) - fs.getDouble(1)) < 1e-12)
+  }
+
   test("leakage-safe split: cluster members co-locate; the per-doc split provably straddles") {
     import spark.implicits._
     // 40 clusters of 5 exact duplicates each
