@@ -2592,6 +2592,57 @@ object QueriesExt {
                            ROUND(SUM(1.0 / (60.0 + rk)) + 1e-9, 6) AS rrf
                     FROM u GROUP BY doc_id)
               SELECT doc_id, n_lists, rrf FROM f
-              ORDER BY rrf DESC, doc_id LIMIT 10"""))
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // D18 — dedup-generator evaluation: how much of the MinHash-verified
+    // shingle-Jaccard pair set (d02, the recall reference) does the
+    // blocked token-Jaccard generator (d04) recover, and at what
+    // precision? One-row precision/recall/F1 over canonicalized pairs.
+    Entry(
+      "d18_dedup_eval",
+      (s, d) => {
+        val documents = docs(s, d)
+        Dedup.pairSetMetrics(
+          Dedup.ngramJaccardPairs(
+            documents, "doc_id", "text",
+            Seq(col("lang"), expr("n_chars div 100")), threshold = 0.5),
+          Dedup.minHashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+            .select("a_id", "b_id"),
+          "a_id", "b_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   sh AS (SELECT doc_id,
+                                 list_distinct([substring(norm, i, 5)
+                                                for i in range(1, greatest(length(norm) - 5, 0) + 2)]) AS sh
+                          FROM n),
+                   truth AS (SELECT a.doc_id AS _a, b.doc_id AS _b
+                             FROM sh a JOIN sh b
+                               ON a.doc_id < b.doc_id
+                              AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+                             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+                   tk AS (SELECT doc_id, lang, n_chars // 100 AS blk,
+                                 list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+                          FROM documents),
+                   pred AS (SELECT a.doc_id AS _a, b.doc_id AS _b
+                            FROM tk a JOIN tk b
+                              ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+                            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+                   np AS (SELECT COUNT(*) AS n_pred FROM pred),
+                   nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+                   nb AS (SELECT COUNT(*) AS n_both
+                          FROM (SELECT * FROM pred INTERSECT SELECT * FROM truth))
+              SELECT n_pred, n_truth, n_both,
+                     CASE WHEN n_pred > 0
+                          THEN ROUND(n_both / CAST(n_pred AS DOUBLE) + 1e-9, 6) END AS precision,
+                     CASE WHEN n_truth > 0
+                          THEN ROUND(n_both / CAST(n_truth AS DOUBLE) + 1e-9, 6) END AS recall,
+                     CASE WHEN n_pred > 0 AND n_truth > 0 AND n_both > 0
+                          THEN ROUND(2.0 * (n_both / CAST(n_pred AS DOUBLE)) * (n_both / CAST(n_truth AS DOUBLE))
+                                     / (n_both / CAST(n_pred AS DOUBLE) + n_both / CAST(n_truth AS DOUBLE)) + 1e-9, 6)
+                     END AS f1
+              FROM np, nt, nb"""))
   )
 }

@@ -1326,4 +1326,43 @@ object Dedup {
         stableRound(
           pow(col("cluster_size").cast("double"), lit(-alpha)), 6).as("weight"))
   }
+
+  /** Pair-set precision/recall/F1 — the dedup evaluation harness (the
+    * [[graft.operators.Similarity]] `recallAtK` analog for candidate
+    * pairs): how much of one near-dup pair generator's output does another
+    * recover? Feed a cheap blocked generator as `pred` and a
+    * higher-recall one (or a labeled truth set) as `truth` to price a
+    * blocking scheme's recall loss in one number instead of anecdotes.
+    * Pairs are canonicalized to (min, max) and deduplicated on both sides
+    * first, so orientation and duplicates can't skew the counts.
+    *
+    * Shape: everything is pair-set-sized, never corpus-sized — two
+    * distinct-aggregates, one LEFT SEMI on the pair key, three one-row
+    * count frames cross-joined. `precision = |∩|/|pred|`,
+    * `recall = |∩|/|truth|`, `f1` harmonic (NULL when both are 0 — no
+    * evidence, not a zero). Output: one row, 6 dp. */
+  def pairSetMetrics(
+      pred: DataFrame, truth: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(
+        least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .distinct()
+    val p = canon(pred)
+    val t = canon(truth)
+    val np = p.agg(count(lit(1)).as("n_pred"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nb = p.join(t, Seq("_a", "_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val prec = col("n_both").cast("double") / col("n_pred")
+    val rec = col("n_both").cast("double") / col("n_truth")
+    np.crossJoin(nt).crossJoin(nb)
+      .select(
+        col("n_pred"), col("n_truth"), col("n_both"),
+        when(col("n_pred") > 0, stableRound(prec, 6)).as("precision"),
+        when(col("n_truth") > 0, stableRound(rec, 6)).as("recall"),
+        when(col("n_pred") > 0 && col("n_truth") > 0 && col("n_both") > 0,
+          stableRound(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+  }
 }

@@ -603,4 +603,26 @@ class DedupSpec extends SparkSpec {
     assert(wn.size == 8)
     assert(wn(7L) == ((2L, 0.5)) && wn(8L) == ((2L, 0.5)))
   }
+
+  test("pairSetMetrics: canonicalization, duplicates collapsed, PR/F1 hand model") {
+    import spark.implicits._
+    // pred: (1,2) twice + reversed, (3,4), (5,6) -> 3 canonical pairs
+    val pred = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    // truth: (2,1), (3,4), (7,8), (9,10) -> 4 canonical pairs, 2 shared
+    val truth = Seq((2L, 1L), (3L, 4L), (7L, 8L), (9L, 10L))
+      .toDF("a_id", "b_id")
+    val r = Dedup.pairSetMetrics(pred, truth, "a_id", "b_id").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 2L)))
+    val (p, rec) = (2.0 / 3.0, 2.0 / 4.0)
+    def rd(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == rd(p) && r.getDouble(4) == rd(rec))
+    assert(r.getDouble(5) == rd(2 * p * rec / (p + rec)))
+    // disjoint sets: zero intersection -> F1 NULL (no evidence), PR zero
+    val none = Dedup.pairSetMetrics(
+      Seq((1L, 2L)).toDF("a_id", "b_id"),
+      Seq((3L, 4L)).toDF("a_id", "b_id"), "a_id", "b_id").collect().head
+    assert(none.getLong(2) == 0L && none.getDouble(3) == 0.0 && none.isNullAt(5))
+  }
 }
