@@ -2643,6 +2643,185 @@ object QueriesExt {
                           THEN ROUND(2.0 * (n_both / CAST(n_pred AS DOUBLE)) * (n_both / CAST(n_truth AS DOUBLE))
                                      / (n_both / CAST(n_pred AS DOUBLE) + n_both / CAST(n_truth AS DOUBLE)) + 1e-9, 6)
                      END AS f1
-              FROM np, nt, nb"""))
+              FROM np, nt, nb""")),
+
+    // S18 — the oracled slice of the PCA moment pass: population covariance
+    // of the first 8 embedding coordinates via Pca.covarianceSlice (one
+    // aggregate + stack unpivot; the full-dimension fit uses the typed
+    // O(d²) Gram buffer instead — same math, verified here).
+    Entry(
+      "s18_pca_cov",
+      (s, d) => Pca.covarianceSlice(embs(s, d), "embedding", 8)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("cov")),
+      Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                         WHERE embedding IS NOT NULL AND len(embedding) >= 8),
+                   p AS (SELECT i.i AS i, j.j AS j
+                         FROM generate_series(1, 8) AS i(i),
+                              generate_series(1, 8) AS j(j)
+                         WHERE j.j >= i.i)
+              SELECT p.i AS i, p.j AS j, COUNT(*) AS n,
+                     ROUND((SUM(v.v[p.i] * v.v[p.j])
+                            - SUM(v.v[p.i]) * SUM(v.v[p.j]) / COUNT(*)) / COUNT(*)
+                           + 1e-9, 6) AS cov
+              FROM v, p GROUP BY p.i, p.j""")),
+
+    // Q41 — declarative data-quality gate over the fact table: six
+    // constraints of four plan shapes (row-level one-pass aggregate, keyed
+    // uniqueness count, broadcast anti-join referential probe).
+    Entry(
+      "q41_expectations",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        Expectations.check(li, Seq(
+          Expectations.NotNull("l_orderkey"),
+          Expectations.InRange("l_discount", 0.0, 0.1),
+          Expectations.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+          Expectations.MatchesRegex("l_linestatus", "^[OF]$"),
+          Expectations.Unique(Seq("l_orderkey", "l_linenumber")),
+          Expectations.RefIntegrity(
+            "l_orderkey", Tables.load(s, d, "orders"), "o_orderkey")))
+      },
+      Some("""WITH t AS (SELECT COUNT(*) AS total FROM lineitem),
+                   v1 AS (SELECT COUNT(*) AS v FROM lineitem WHERE l_orderkey IS NULL),
+                   v2 AS (SELECT COUNT(*) AS v FROM lineitem
+                          WHERE l_discount IS NOT NULL
+                            AND (l_discount < 0.0 OR l_discount > 0.1)),
+                   v3 AS (SELECT COUNT(*) AS v FROM lineitem
+                          WHERE l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')),
+                   v4 AS (SELECT COUNT(*) AS v FROM lineitem
+                          WHERE l_linestatus IS NOT NULL
+                            AND NOT regexp_matches(l_linestatus, '^[OF]$')),
+                   v5 AS (SELECT t.total - (SELECT COUNT(*) FROM
+                            (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS v
+                          FROM t),
+                   v6 AS (SELECT COUNT(*) AS v FROM lineitem
+                          WHERE l_orderkey IS NOT NULL
+                            AND l_orderkey NOT IN
+                              (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+              SELECT 'not_null(l_orderkey)' AS expectation, t.total AS total,
+                     v1.v AS violations, v1.v = 0 AS pass FROM t, v1
+              UNION ALL
+              SELECT 'in_range(l_discount, 0.0, 0.1)', t.total, v2.v, v2.v = 0 FROM t, v2
+              UNION ALL
+              SELECT 'accepted_values(l_returnflag)', t.total, v3.v, v3.v = 0 FROM t, v3
+              UNION ALL
+              SELECT 'matches_regex(l_linestatus)', t.total, v4.v, v4.v = 0 FROM t, v4
+              UNION ALL
+              SELECT 'unique(l_orderkey, l_linenumber)', t.total, v5.v, v5.v = 0 FROM t, v5
+              UNION ALL
+              SELECT 'ref_integrity(l_orderkey -> o_orderkey)', t.total, v6.v, v6.v = 0
+              FROM t, v6""")),
+
+    // Q42 — 3-iteration PageRank over the symmetrized customer↔supplier
+    // trade graph (edge = some lineitem links the pair through an order) —
+    // graph centrality as a per-node feature. The edge table shuffles once;
+    // each iteration moves only the node-sized rank table.
+    Entry(
+      "q42_pagerank",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val ord = Tables.load(s, d, "orders")
+        val edges = li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(
+            concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+        GraphRank.pageRank(edges, "src", "dst", iters = 3)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                                    's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+                             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+                   e AS (SELECT c AS src, s AS dst FROM pairs
+                         UNION SELECT s AS src, c AS dst FROM pairs),
+                   deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+                   nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+                   r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS r
+                          FROM deg, nn),
+                   m1 AS (SELECT e.dst AS node, SUM(r0.r / deg.deg) AS m
+                          FROM e JOIN r0 ON e.src = r0.node
+                                 JOIN deg ON e.src = deg.src
+                          GROUP BY e.dst),
+                   r1 AS (SELECT d.src AS node,
+                                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                                 + CAST(0.85 AS DOUBLE) * COALESCE(m1.m, 0) AS r
+                          FROM deg d CROSS JOIN nn LEFT JOIN m1 ON d.src = m1.node),
+                   m2 AS (SELECT e.dst AS node, SUM(r1.r / deg.deg) AS m
+                          FROM e JOIN r1 ON e.src = r1.node
+                                 JOIN deg ON e.src = deg.src
+                          GROUP BY e.dst),
+                   r2 AS (SELECT d.src AS node,
+                                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                                 + CAST(0.85 AS DOUBLE) * COALESCE(m2.m, 0) AS r
+                          FROM deg d CROSS JOIN nn LEFT JOIN m2 ON d.src = m2.node),
+                   m3 AS (SELECT e.dst AS node, SUM(r2.r / deg.deg) AS m
+                          FROM e JOIN r2 ON e.src = r2.node
+                                 JOIN deg ON e.src = deg.src
+                          GROUP BY e.dst),
+                   r3 AS (SELECT d.src AS node,
+                                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                                 + CAST(0.85 AS DOUBLE) * COALESCE(m3.m, 0) AS r
+                          FROM deg d CROSS JOIN nn LEFT JOIN m3 ON d.src = m3.node)
+              SELECT r3.node AS node, ROUND(r3.r * nn.n + 1e-9, 6) AS rank_norm
+              FROM r3, nn""")),
+
+    // T35 — the oracled slice of BPE tokenizer induction: round-0 adjacent
+    // character-pair counts over the word-frequency table (min count 5).
+    // The iterative learner (t36) starts from exactly this aggregate.
+    Entry(
+      "t35_bpe_pairs",
+      (s, d) => TextAnalysis.bpePairCounts(docs(s, d), "text", 5L),
+      Some("""WITH wf AS (SELECT w, COUNT(*) AS n
+                          FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w
+                                FROM documents WHERE text IS NOT NULL)
+                          WHERE length(w) > 0 GROUP BY w),
+                   p AS (SELECT UNNEST([{'l': substring(w, i, 1), 'r': substring(w, i + 1, 1)}
+                                        for i in range(1, length(w))]) AS pr, n
+                         FROM wf WHERE length(w) >= 2)
+              SELECT pr.l AS sym_l, pr.r AS sym_r, CAST(SUM(n) AS BIGINT) AS cnt
+              FROM p GROUP BY pr.l, pr.r HAVING SUM(n) >= 5""")),
+
+    // T36 — BPE merge learning (8 merges, char-level start). Iterative
+    // argmax + greedy re-segmentation has no SQL equivalent → rows-only
+    // check; round-0 statistics are oracle-verified via t35 and the greedy
+    // application/tie-break semantics are spec-pinned (KernelsSpec /
+    // SimilarityTextSpec).
+    Entry(
+      "t36_bpe_merges",
+      (s, d) => TextAnalysis.learnBpeMerges(docs(s, d), "text", 8),
+      None),
+
+    // Q43 — keyed snapshot diff (CDC audit): which orders were added,
+    // removed, or changed between two deterministic snapshot derivations of
+    // the orders table. Delta-sized output; unchanged rows never leave the
+    // join.
+    Entry(
+      "q43_snapshot_diff",
+      (s, d) => {
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val before = base.where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        val after = base.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(31)) === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")))
+        Compaction.snapshotDiff(before, after, Seq("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+                   b AS (SELECT * FROM base WHERE o_orderkey % 89 <> 0),
+                   a AS (SELECT o_orderkey,
+                                CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice * 2
+                                     ELSE o_totalprice END AS o_totalprice,
+                                o_orderstatus
+                         FROM base WHERE o_orderkey % 97 <> 0),
+                   j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                                CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                                     WHEN a.o_orderkey IS NULL THEN 'removed'
+                                     WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                                       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                                       THEN 'changed' END AS status
+                         FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+              SELECT o_orderkey, status FROM j WHERE status IS NOT NULL"""))
   )
 }

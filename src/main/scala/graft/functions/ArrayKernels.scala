@@ -554,6 +554,44 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Apply one BPE merge to a symbol array: every adjacent `(left, right)`
+  * occurrence becomes the single symbol `left+right`, scanning left to right
+  * (so `aaa` under (a,a) → `[aa, a]` — the standard greedy application,
+  * Sennrich et al. 2016). Per-WORD-VOCABULARY cardinality (the merge loop
+  * runs over the word-frequency table, never the corpus) → CodegenFallback,
+  * like the other per-document kernels. Null elements pass through unmerged. */
+case class MergeAdjacentPair(child: Expression, left: String, right: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "merge_adjacent_pair"
+
+  private lazy val l = UTF8String.fromString(left)
+  private lazy val r = UTF8String.fromString(right)
+  private lazy val lr = UTF8String.fromString(left + right)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && cur != null && cur.equals(l)) {
+        val nxt = arr.getUTF8String(i + 1)
+        if (nxt != null && nxt.equals(r)) {
+          out(k) = lr; k += 1; i += 2
+        } else { out(k) = cur; k += 1; i += 1 }
+      } else { out(k) = cur; k += 1; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergeAdjacentPair =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the kernels above. */
 object ArrayKernels {
 
@@ -615,4 +653,6 @@ object ArrayKernels {
   def sortedTokenHashes(a: Column): Column = c(SortedTokenHashes(e(a)))
   def minHashSig(hashes: Column, numHashes: Int): Column =
     c(MinHashSig(e(hashes), numHashes))
+  def mergeAdjacentPair(symbols: Column, left: String, right: String): Column =
+    c(MergeAdjacentPair(e(symbols), left, right))
 }

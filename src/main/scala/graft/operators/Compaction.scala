@@ -37,4 +37,48 @@ object Compaction {
     * `…/dodetl/imtu/DatabaseManager.scala:161-167`). */
   def deleteKeys(snapshot: DataFrame, evicted: DataFrame, key: String): DataFrame =
     snapshot.join(evicted.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Keyed diff of two table snapshots — the CDC-audit inverse of
+    * [[applyUpserts]] (that applies a delta; this recovers one): which keys
+    * were `added`, `removed`, or `changed` between `before` and `after`?
+    * Output: key columns + `status`; unchanged keys are dropped (at 100 TB
+    * the overwhelmingly common case — the result is delta-sized, never
+    * snapshot-sized). `compareCols` defaults to every shared non-key column;
+    * comparison is null-safe per column (`<=>` — a null→value flip IS a
+    * change, two nulls are not). Both inputs must be key-unique
+    * ([[latestByKey]] output shape; duplicate keys make "changed" ambiguous
+    * and are the caller's bug).
+    *
+    * Plan: ONE full outer join on the key (both sides hash-partitioned by
+    * the same key — on bucketed/pre-partitioned snapshots written by
+    * [[graft.sources.Sinks]] the exchanges vanish entirely), then a
+    * per-row status expression. No window, no second pass. */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame,
+      keys: Seq[String], compareCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: no key columns")
+    val shared = before.columns.toSet.intersect(after.columns.toSet)
+    val cmp = if (compareCols.nonEmpty) compareCols
+    else (before.columns.filter(shared.contains).filterNot(keys.contains)).toSeq
+    require(cmp.forall(shared.contains),
+      s"snapshotDiff: compare columns ${cmp.filterNot(shared.contains).mkString(", ")} missing from a side")
+    val b = before.select((keys ++ cmp).map(c => col(c).as(s"_b_$c")): _*)
+    val a = after.select((keys ++ cmp).map(c => col(c).as(s"_a_$c")): _*)
+    val joinCond = keys.map(k => col(s"_b_$k") <=> col(s"_a_$k")).reduce(_ && _)
+    // presence flags must survive rows that are all-null on one side: a
+    // literal true per side, null only when the side is absent entirely
+    val joined = b.withColumn("_b_present", lit(true))
+      .join(a.withColumn("_a_present", lit(true)), joinCond, "full_outer")
+    val changed =
+      if (cmp.isEmpty) lit(false)
+      else cmp.map(c => !(col(s"_b_$c") <=> col(s"_a_$c"))).reduce(_ || _)
+    joined
+      .withColumn("status",
+        when(col("_b_present").isNull, lit("added"))
+          .when(col("_a_present").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .where(col("status").isNotNull)
+      .select(keys.map(k => coalesce(col(s"_a_$k"), col(s"_b_$k")).as(k))
+        :+ col("status"): _*)
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayKernels
+import graft.operators.TextAnalysis
+
+class BpeSpec extends SparkSpec {
+
+  test("mergeAdjacentPair: greedy left-to-right, overlaps consumed, nulls pass through") {
+    import spark.implicits._
+    val df = Seq(
+      Seq[String]("a", "a", "a"),
+      Seq[String]("x", "a", "a", "y"),
+      Seq[String]("a", "b", "a", "a"),
+      Seq[String]("a", null, "a", "a")
+    ).toDF("s")
+    val got = df.select(ArrayKernels.mergeAdjacentPair(col("s"), "a", "a"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("aa", "a")) // standard greedy: aaa -> [aa, a]
+    assert(got(1) == Seq("x", "aa", "y"))
+    assert(got(2) == Seq("a", "b", "aa"))
+    assert(got(3) == Seq("a", null, "aa"))
+  }
+
+  test("bpePairCounts: hand-counted weighted character pairs") {
+    import spark.implicits._
+    // "ab ab" + "ab" -> word 'ab' x3; "abc" -> a-b +1, b-c +1
+    val df = Seq("ab ab", "ab", "abc").toDF("text")
+    val got = TextAnalysis.bpePairCounts(df, "text", 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 4L, ("b", "c") -> 1L))
+  }
+
+  test("learnBpeMerges: the Sennrich corpus learns (e,s),(es,t),(l,o),(lo,w)") {
+    import spark.implicits._
+    // classic BPE example: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val got = TextAnalysis.learnBpeMerges(df, "text", 4).orderBy("rank")
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (e,s)=9 ties (s,t)=9 -> sym_l asc picks (e,s)
+    assert(got(0) == ((1, "e", "s", 9L)))
+    assert(got(1) == ((2, "es", "t", 9L)))
+    // round 3: (l,o)=7 ties (o,w)=7 -> (l,o)
+    assert(got(2) == ((3, "l", "o", 7L)))
+    assert(got(3) == ((4, "lo", "w", 7L)))
+  }
+
+  test("learnBpeMerges: stops early when nothing reaches minCount") {
+    import spark.implicits._
+    val df = Seq("ab cd ef").toDF("text")
+    val got = TextAnalysis.learnBpeMerges(df, "text", 10, minCount = 2L)
+    assert(got.count() == 0)
+    val got2 = TextAnalysis.learnBpeMerges(df, "text", 10, minCount = 1L)
+    // 3 two-char words: 3 merges exhaust every pair
+    assert(got2.count() == 3)
+  }
+}

@@ -57,4 +57,35 @@ class CompactionSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = Compaction.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: null-safe compare — null→value flips are changes, null==null is not") {
+    import spark.implicits._
+    val before = Seq[(java.lang.Long, String)]((1L, null), (2L, null), (3L, "x"))
+      .toDF("k", "s")
+    val after = Seq[(java.lang.Long, String)]((1L, null), (2L, "now"), (3L, null))
+      .toDF("k", "s")
+    val got = Compaction.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed"))
+  }
+
+  test("snapshotDiff: compareCols restricts what counts as a change") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0)).toDF("k", "s", "v")
+    val after = Seq((1L, "a", 99.0)).toDF("k", "s", "v")
+    assert(Compaction.snapshotDiff(before, after, Seq("k"), Seq("s")).count() == 0)
+    assert(Compaction.snapshotDiff(before, after, Seq("k"), Seq("v"))
+      .head().getString(1) == "changed")
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pca
+
+class PcaSpec extends SparkSpec {
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("fit: recovers a planted principal direction") {
+    import spark.implicits._
+    // points along (3,4)/5 with small orthogonal jitter — PC1 must be ±(0.6, 0.8)
+    val ts = (-10 to 10).map(_.toDouble)
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      val eps = (i % 3 - 1) * 0.01 // deterministic jitter on the normal (-0.8, 0.6)
+      Seq(0.6 * t - 0.8 * eps, 0.8 * t + 0.6 * eps)
+    }
+    val df = rows.toDF("v")
+    val m = Pca.fit(df, "v", 2)
+    assert(m.n == 21)
+    assert(math.abs(m.mean(0)) < 1e-12 && math.abs(m.mean(1)) < 1e-12)
+    val pc1 = m.components(0)
+    assert(math.abs(math.abs(dot(pc1, Array(0.6, 0.8))) - 1.0) < 1e-6,
+      s"PC1 should align with (0.6, 0.8), got ${pc1.toSeq}")
+    // sign canon: largest-|coordinate| entry (index 1, 0.8) positive
+    assert(pc1(1) > 0)
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    assert(m.varianceExplained(0) > 0.999)
+  }
+
+  test("fit: components are orthonormal, eigenvalues descend, trace preserved") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      Seq(math.sin(i * 0.7), math.cos(i * 1.3), (i % 5).toDouble, i * 0.1)
+    }
+    val m = Pca.fit(rows.toDF("v"), "v", 4)
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val d = dot(m.components(a), m.components(b))
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"<c$a, c$b> = $d")
+    }
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // full-rank fit: eigenvalue sum == covariance trace == total variance
+    assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9)
+  }
+
+  test("fit: null and empty vectors are skipped; float input accepted") {
+    import spark.implicits._
+    val df = Seq(
+      Some(Seq(1.0f, 0.0f)), None, Some(Seq.empty[Float]),
+      Some(Seq(-1.0f, 0.0f)), Some(Seq(0.0f, 0.5f)), Some(Seq(0.0f, -0.5f))
+    ).toDF("v")
+    val m = Pca.fit(df, "v", 1)
+    assert(m.n == 4)
+    assert(m.components(0)(0) == 1.0 && math.abs(m.components(0)(1)) < 1e-12)
+  }
+
+  test("project: codegen kernel equals the manual centered matvec; mismatched dim -> null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(-1.0, 0.5, 0.0)),
+      (3L, Seq(4.0, 4.0, 4.0)),
+      (4L, Seq(1.0, 2.0)) // wrong dimension
+    ).toDF("id", "v")
+    val model = Pca.PcaModel(
+      n = 3, mean = Array(1.0, 2.0, 2.0),
+      eigenvalues = Array(2.0, 1.0),
+      components = Array(Array(1.0, 0.0, 0.0), Array(0.0, 0.6, 0.8)),
+      totalVariance = 3.0)
+    val got = Pca.project(df, "v", model, "p").orderBy("id")
+      .select("p").collect().map(r =>
+        if (r.isNullAt(0)) null else r.getSeq[Double](0))
+    assert(got(0) == Seq(0.0, 0.8))
+    assert(got(1) == Seq(-2.0, -2.5))
+    assert(got(2) == Seq(3.0, 2.8))
+    assert(got(3) == null)
+  }
+
+  test("project(whiten = true): unit variance per component, zero-variance guarded") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => Seq(i * 0.4, math.sin(i * 1.1), 7.0))
+    val df = rows.toDF("v")
+    val m = Pca.fit(df, "v", 3) // third direction has ~zero variance
+    val proj = Pca.project(df, "v", m, "p", whiten = true)
+      .select(col("p")(0).as("p0"), col("p")(1).as("p1"), col("p")(2).as("p2"))
+    val stats = proj.agg(
+      var_pop(col("p0")), var_pop(col("p1")), var_pop(col("p2"))).head()
+    assert(math.abs(stats.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-6)
+    assert(stats.getDouble(2) == 0.0) // whitened zero-variance -> all zeros
+  }
+
+  test("reconstructionError: zero at full rank, decreasing in k") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i => Seq(i * 0.3, math.sin(i.toDouble), (i % 7) * 0.5))
+    val df = rows.toDF("v")
+    def mse(k: Int): Double = {
+      val m = Pca.fit(df, "v", k)
+      Pca.reconstructionError(df, "v", m).head().getDouble(0)
+    }
+    val e1 = mse(1); val e2 = mse(2); val e3 = mse(3)
+    assert(e3 < 1e-6, s"full-rank mse should vanish, got $e3")
+    assert(e1 >= e2 && e2 >= e3)
+  }
+
+  test("covarianceSlice: matches the hand covariance, skips null/short vectors") {
+    import spark.implicits._
+    val df = Seq(
+      Some(Seq(1.0, 2.0)), Some(Seq(3.0, 6.0)), Some(Seq(5.0, 4.0)),
+      None, Some(Seq(9.0)) // skipped: null, too short
+    ).toDF("v")
+    val got = Pca.covarianceSlice(df, "v", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // complete rows: (1,2),(3,6),(5,4); means 3, 4
+    // var x = ((1-3)^2+(3-3)^2+(5-3)^2)/3 = 8/3; var y = (4+4+0)/3 = 8/3
+    // cov xy = ((-2)(-2) + 0*2 + 2*0)/3 = 4/3
+    assert(got((1, 1)) == ((3L, 2.666667)))
+    assert(got((2, 2)) == ((3L, 2.666667)))
+    assert(got((1, 2)) == ((3L, 1.333333)))
+  }
+
+  test("fit agrees with covarianceSlice on the same data") {
+    import spark.implicits._
+    val rows = (0 until 25).map(i => Seq(i * 0.2, math.cos(i * 0.9), (i % 4).toDouble))
+    val df = rows.toDF("v")
+    val m = Pca.fit(df, "v", 3)
+    // rebuild covariance from the model: C = V diag(λ) Vᵀ (full rank)
+    val slice = Pca.covarianceSlice(df, "v", 3).collect()
+      .map(r => (r.getInt(0) - 1, r.getInt(1) - 1) -> r.getDouble(3)).toMap
+    for (((i, j), cov) <- slice) {
+      val rebuilt = (0 until 3).map(c =>
+        m.eigenvalues(c) * m.components(c)(i) * m.components(c)(j)).sum
+      assert(math.abs(rebuilt - cov) < 1e-5, s"C($i,$j): $rebuilt vs $cov")
+    }
+  }
+}
