@@ -44,12 +44,26 @@ object ScaleStressR9 {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
 
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-    val maxOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    // one shift constant shared by BOTH tables so the l_orderkey→o_orderkey
+    // FK stays intact in every copy (q41's referential gate, q42's graph)
+    val maxOk = math.max(
+      li.agg(max("l_orderkey")).head().getLong(0),
+      ord.agg(max("o_orderkey")).head().getLong(0)) + 1
     (0 until factor).map { k =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk))
         .withColumn("l_extendedprice", col("l_extendedprice") + lit(k * 1e-6))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+
+    // customers shift per copy (graph NODES scale with data); suppliers stay
+    // shared across copies — the "many customers, few hosts" hub shape
+    val maxCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOk))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * maxCust))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
 
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
