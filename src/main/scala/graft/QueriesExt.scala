@@ -2822,6 +2822,84 @@ object QueriesExt {
                                        OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
                                        THEN 'changed' END AS status
                          FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
-              SELECT o_orderkey, status FROM j WHERE status IS NOT NULL"""))
+              SELECT o_orderkey, status FROM j WHERE status IS NOT NULL""")),
+
+    // S19 — simplified silhouette (cosine variant) of the label clustering:
+    // per-cluster mean of (b−a)/max(a,b) against centroid distances — the
+    // clustering-quality gate for SemDeDup/IVF partitions.
+    Entry(
+      "s19_silhouette",
+      (s, d) => Similarity.simplifiedSilhouette(
+        embs(s, d), "vec_id", "embedding", "label"),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label AS clab, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   sims AS (SELECT e.vec_id, e.label, cent.clab,
+                                   list_cosine_similarity(e.v, cent.cv) AS sim
+                            FROM e CROSS JOIN cent),
+                   ab AS (SELECT vec_id, label,
+                                 1.0 - MAX(CASE WHEN label = clab THEN sim END) AS a,
+                                 1.0 - MAX(CASE WHEN label <> clab THEN sim END) AS b
+                          FROM sims GROUP BY vec_id, label),
+                   sil AS (SELECT label,
+                                  CASE WHEN greatest(a, b) = 0 THEN 0.0
+                                       ELSE (b - a) / greatest(a, b) END AS s
+                           FROM ab)
+              SELECT label, COUNT(*) AS n, ROUND(AVG(s) + 1e-9, 6) AS mean_sil
+              FROM sil GROUP BY label""")),
+
+    // Q44 — k-anonymity audit over customer quasi-identifiers
+    // (nation × market segment), k = 10: one keyed count + one-row fold.
+    Entry(
+      "q44_kanonymity",
+      (s, d) => Profiling.kAnonymity(
+        Tables.load(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), 10L),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+                         FROM customer GROUP BY 1, 2)
+              SELECT CAST(10 AS BIGINT) AS k,
+                     CAST(SUM(c) AS BIGINT) AS n_rows,
+                     COUNT(*) AS n_groups,
+                     CAST(SUM(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+                     CAST(SUM(CASE WHEN c < 10 THEN c ELSE 0 END) AS BIGINT) AS n_risky_rows,
+                     MIN(c) AS min_group_size
+              FROM g""")),
+
+    // Q45 — mutual information between return flag and line status (nats):
+    // the categorical dependence check; one corpus pass builds the joint
+    // pair table, everything after is pair-table-sized.
+    Entry(
+      "q45_mutual_info",
+      (s, d) => Profiling.mutualInformation(
+        Tables.load(s, d, "lineitem"), "l_returnflag", "l_linestatus"),
+      Some("""WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS nxy
+                         FROM lineitem GROUP BY 1, 2),
+                   ma AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+                   mb AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM j GROUP BY y),
+                   t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j)
+              SELECT MAX(t.n) AS n, COUNT(*) AS n_pairs,
+                     ROUND(SUM(CAST(nxy AS DOUBLE) / t.n
+                               * ln(CAST(nxy AS DOUBLE) * t.n
+                                    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))))
+                           + 1e-9, 6) AS mi
+              FROM j JOIN ma USING (x) JOIN mb USING (y) CROSS JOIN t""")),
+
+    // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
+    // then encode every document with them — per-doc BPE token count, the
+    // number t14's packing actually budgets against. Iterative learn +
+    // greedy encode has no SQL form → rows-only; encoder semantics are
+    // spec-pinned (BpeSpec) and the learner's round-0 statistics are
+    // oracle-verified via t35.
+    Entry(
+      "t37_bpe_encode",
+      (s, d) => {
+        val documents = docs(s, d)
+        val merges = TextAnalysis.learnBpeMerges(documents, "text", 8)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.encodeBpeTokenCount(documents, "doc_id", "text", merges)
+      },
+      None)
   )
 }

@@ -592,6 +592,65 @@ case class MergeAdjacentPair(child: Expression, left: String, right: String)
     copy(child = newChild)
 }
 
+/** Apply a LEARNED merge table to a symbol array (BPE encoding): repeatedly
+  * find the adjacent pair with the lowest merge rank and apply it greedily
+  * left-to-right ([[MergeAdjacentPair]] semantics), until no adjacent pair
+  * is in the table — the standard BPE encoder loop. `merges` is the
+  * rank-ordered output of the learner. Per-WORD-VOCABULARY cardinality
+  * (encode each distinct word once, join back) → CodegenFallback. Null
+  * elements never merge. */
+case class ApplyBpeMerges(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "apply_bpe_merges"
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var syms = new Array[String](arr.numElements())
+    var i = 0
+    while (i < syms.length) {
+      val u = arr.getUTF8String(i)
+      syms(i) = if (u == null) null else u.toString
+      i += 1
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        if (syms(j) != null && syms(j + 1) != null) {
+          val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+          if (r < bestRank) bestRank = r
+        }
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(bestRank)
+        val out = new Array[String](syms.length)
+        var k = 0
+        j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            out(k) = l + r; k += 1; j += 2
+          } else { out(k) = syms(j); k += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, k)
+        done = syms.length < 2
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      syms.map(s => if (s == null) null else UTF8String.fromString(s))
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ApplyBpeMerges =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the kernels above. */
 object ArrayKernels {
 
@@ -655,4 +714,6 @@ object ArrayKernels {
     c(MinHashSig(e(hashes), numHashes))
   def mergeAdjacentPair(symbols: Column, left: String, right: String): Column =
     c(MergeAdjacentPair(e(symbols), left, right))
+  def applyBpeMerges(symbols: Column, merges: Seq[(String, String)]): Column =
+    c(ApplyBpeMerges(e(symbols), merges.toArray))
 }

@@ -369,4 +369,74 @@ object Profiling {
             col("_pos").cast("double") / (col("_pos") + col("_neg")), 6))
           .as("pos_rate"))
   }
+
+  /** Mutual information between two categorical columns — the dependence
+    * diagnostic [[correlationMatrix]] cannot give for non-numeric pairs
+    * (label leakage checks: "does `source` already determine `label`?"):
+    * `MI = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x) p(y)) )` in nats, over the
+    * observed joint distribution. NULL is a category like any other (both
+    * engines' GROUP BY semantics). Output: one row,
+    * `(n, n_pairs, mi)` — row count, distinct observed (x, y) pairs, MI
+    * rounded 6 dp (0 for a single-category column; MI ≥ 0 up to float
+    * noise).
+    *
+    * Plan: THE one corpus pass is the joint (x, y) count aggregate
+    * (map-side combined, shuffle ∝ distinct pairs). Marginals and the total
+    * re-aggregate the PAIR table, not the corpus; both join back onto it
+    * (pair-table-sized, broadcast the one-row total) and the MI sum is a
+    * final one-row fold. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df.groupBy(col(colA).as("_x"), col(colB).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    // null-safe joins: NULL is a category, and a plain equi-join would
+    // silently drop its group (the Sequence.funnelTimes discipline)
+    val margA = joint.groupBy("_x").agg(sum("_nxy").as("_nx"))
+      .select(col("_x").as("_xm"), col("_nx"))
+    val margB = joint.groupBy("_y").agg(sum("_nxy").as("_ny"))
+      .select(col("_y").as("_ym"), col("_ny"))
+    val total = broadcast(joint.agg(sum("_nxy").as("_n")))
+    joint
+      .join(margA, col("_x") <=> col("_xm"))
+      .join(margB, col("_y") <=> col("_ym"))
+      .crossJoin(total)
+      .select(
+        col("_n"), col("_nxy"),
+        (col("_nxy").cast("double") / col("_n") *
+          log(col("_nxy").cast("double") * col("_n") /
+            (col("_nx").cast("double") * col("_ny")))).as("_term"))
+      .agg(
+        first(col("_n")).as("n"),
+        count(lit(1)).as("n_pairs"),
+        stableRound(sum(col("_term")), 6).as("mi"))
+  }
+
+  /** K-anonymity audit over quasi-identifier columns — the governance gate a
+    * pipeline runs before releasing data carrying indirect identifiers: a
+    * row is re-identifiable when its quasi-identifier combination is shared
+    * by fewer than `k` rows. Output: one row,
+    * `(k, n_rows, n_groups, n_risky_groups, n_risky_rows, min_group_size)`
+    * — `n_risky_rows = 0` ⇔ the table IS k-anonymous. NULL quasi values
+    * group as values (GROUP BY semantics on both engines).
+    *
+    * Plan: one keyed count (map-side combined, shuffle ∝ distinct
+    * quasi-combinations) then a one-row fold over the GROUP table — the
+    * corpus is scanned once, and a billion-row group is one combiner-
+    * absorbed key, never a hot partition. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: no quasi-identifier columns")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_c") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        coalesce(sum(when(col("_c") < k, col("_c")).otherwise(0L)), lit(0L))
+          .as("n_risky_rows"),
+        min(col("_c")).as("min_group_size"))
+      .select(
+        lit(k).as("k"), col("n_rows"), col("n_groups"),
+        coalesce(col("n_risky_groups"), lit(0L)).as("n_risky_groups"),
+        col("n_risky_rows"), col("min_group_size"))
+  }
 }

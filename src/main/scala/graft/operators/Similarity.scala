@@ -474,6 +474,59 @@ object Similarity {
         col(idCol), round(col("_sim"), 6).as("sim"))
   }
 
+  /** Simplified silhouette (cosine-distance variant) — the clustering-quality
+    * score a pipeline reads before trusting a SemDeDup/IVF partition of the
+    * corpus: per row `a = 1 − cos(x, own centroid)`,
+    * `b = 1 − max_other cos(x, centroid_c)` (nearest FOREIGN centroid), and
+    * `s = (b − a) / max(a, b)` (the Hruschka et al. simplified form —
+    * centroid distances instead of all-pairs, which is what makes it
+    * computable at corpus scale at all; the classic all-pairs form is
+    * O(n²) per cluster). Output: one row per cluster,
+    * `(<clusterCol>, n, mean_sil)` — mean over the cluster's rows, 6 dp.
+    *
+    * Plan: the (clusters × dims) centroid aggregate, the cluster-sized
+    * codebook broadcast-cross-joined onto the corpus (rows × clusters —
+    * meant for codebook-sized clusterings, same contract as the IVF
+    * codebook), one conditional (id)-group fold splitting own vs foreign
+    * similarity, then the per-cluster mean. No window, no all-pairs.
+    *
+    * Conventions: a single-cluster input has no foreign centroid → null
+    * mean. A singleton cluster's member sits AT its centroid (a = 0) and
+    * scores s = 1 — the simplified form's behavior, kept (not the classic
+    * form's s = 0) so both engines replay one formula. `max(a,b) = 0`
+    * (duplicate centroids) → s = 0 explicitly. */
+  def simplifiedSilhouette(
+      df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val assigned = df.select(
+      col(idCol).as("_id"), col(vecCol).as("_v"), col(clusterCol).as("_cl"))
+    val perRow = assigned
+      .crossJoin(broadcast(
+        centroids(assigned, "_cl", "_v")
+          .select(col("_cell"), col("_centroid"))))
+      .select(
+        col("_id"), col("_cl"),
+        (col("_cl") === col("_cell")).as("_own"),
+        cosine(col("_v"), col("_centroid")).as("_sim"))
+      .groupBy("_id", "_cl")
+      .agg(
+        max(when(col("_own"), col("_sim"))).as("_own_sim"),
+        max(when(!col("_own"), col("_sim"))).as("_foreign_sim"))
+      .select(
+        col("_cl"),
+        ((lit(1.0) - col("_own_sim")).as("_a")),
+        ((lit(1.0) - col("_foreign_sim")).as("_b")))
+      .select(
+        col("_cl"),
+        when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
+          .otherwise((col("_b") - col("_a")) / greatest(col("_a"), col("_b")))
+          .as("_s"))
+    perRow.groupBy(col("_cl").as(clusterCol))
+      .agg(
+        count(lit(1)).as("n"),
+        stableRound(avg(col("_s")), 6).as("mean_sil"))
+  }
+
   /** Hard-negative mining for contrastive training: for every query row,
     * the top-`k` most similar corpus vectors carrying a DIFFERENT label.
     * Candidates come from the label-cell IVF view of the corpus — rank the

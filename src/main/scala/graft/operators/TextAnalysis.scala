@@ -1117,4 +1117,35 @@ object TextAnalysis {
     seg.unpersist(blocking = false)
     merges.result().toDF("rank", "sym_l", "sym_r", "pair_count")
   }
+
+  /** Encode every document with a learned merge table: per-doc BPE token
+    * count (`n_bpe_tokens`) — the number the packing/budgeting operators
+    * (t14/t23) actually want once a real tokenizer exists, where t03's
+    * regex count is the pre-tokenizer approximation. `merges` is
+    * [[learnBpeMerges]] output collected as (sym_l, sym_r) in rank order.
+    *
+    * Scale shape: the encoder kernel runs once per DISTINCT word (the
+    * vocabulary frame — same Zipf-bounded trick as learning), then the
+    * per-doc count is an equi-join of the doc's words against that
+    * vocabulary and a sum — the corpus-sized sides carry only
+    * (doc id, word); no document is ever re-encoded per occurrence. Docs
+    * with NULL/empty text emit `n_bpe_tokens = 0` (kept via the id
+    * join-back, unlike a bare explode). */
+  def encodeBpeTokenCount(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+    val vocab = words.select("_w").distinct()
+      .select(col("_w"),
+        size(graft.functions.ArrayKernels.applyBpeMerges(
+          split(col("_w"), "(?!^)(?!$)"), merges)).cast("long").as("_k"))
+    val perDoc = words.join(vocab, Seq("_w"))
+      .groupBy("_id").agg(sum(col("_k")).as("_n"))
+    df.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -49,6 +49,38 @@ class BpeSpec extends SparkSpec {
     assert(got(3) == ((4, "lo", "w", 7L)))
   }
 
+  test("applyBpeMerges: lowest-rank pair first, repeated to fixpoint") {
+    import spark.implicits._
+    // merges ranked: (e,s) < (es,t) < (l,o) < (lo,w)
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val df = Seq(
+      Seq("l", "o", "w", "e", "s", "t"), // lowest -> [low, est]
+      Seq("l", "o", "w"), // low -> [low]
+      Seq("n", "e", "w"), // no applicable merge
+      Seq("e", "s", "e", "s") // es twice in one round
+    ).toDF("s")
+    val got = df.select(ArrayKernels.applyBpeMerges(col("s"), merges))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("low", "est"))
+    assert(got(1) == Seq("low"))
+    assert(got(2) == Seq("n", "e", "w"))
+    assert(got(3) == Seq("es", "es"))
+  }
+
+  test("encodeBpeTokenCount: per-doc counts from learned merges; null text -> 0") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val df = Seq(
+      (1L, "lowest low"), // [low, est] + [low] = 3
+      (2L, "newest"), // n-e-w-est = 4
+      (3L, null.asInstanceOf[String]),
+      (4L, "   ") // whitespace only -> no words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodeBpeTokenCount(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("learnBpeMerges: stops early when nothing reaches minCount") {
     import spark.implicits._
     val df = Seq("ab cd ef").toDF("text")

@@ -29,6 +29,43 @@ class ProfilingSpec extends SparkSpec {
       s"profile must scan the table once, found $scans scans:\n${plan.take(4000)}")
   }
 
+  test("mutualInformation: hand model — independent columns 0, determined columns H(X)") {
+    import spark.implicits._
+    // independent: all four (x, y) combos equally likely -> MI = 0
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val mi0 = Profiling.mutualInformation(indep, "x", "y").head()
+    assert(mi0.getLong(0) == 4L && mi0.getLong(1) == 4L)
+    assert(math.abs(mi0.getDouble(2)) < 1e-9)
+    // y determined by x, uniform x over 2 values -> MI = H(X) = ln 2
+    val det = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v")).toDF("x", "y")
+    val mi1 = Profiling.mutualInformation(det, "x", "y").head().getDouble(2)
+    assert(math.abs(mi1 - math.log(2.0)) < 1e-5)
+    // null is a category: (null -> w) adds a third deterministic symbol
+    val withNull = Seq(("a", "u"), ("b", "v"), (null, "w")).toDF("x", "y")
+    val mi2 = Profiling.mutualInformation(withNull, "x", "y").head()
+    assert(mi2.getLong(1) == 3L)
+    assert(math.abs(mi2.getDouble(2) - math.log(3.0)) < 1e-5)
+  }
+
+  test("kAnonymity: hand model — risky groups and rows below k") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", "m"), ("us", "m"), ("us", "m"), // group of 3
+      ("de", "f"), ("de", "f"), // group of 2 (risky at k=3)
+      ("fr", "m") // singleton (risky)
+    ).toDF("nation", "seg")
+    val r = Profiling.kAnonymity(df, Seq("nation", "seg"), 3L).head()
+    assert(r.getLong(0) == 3L) // k
+    assert(r.getLong(1) == 6L) // n_rows
+    assert(r.getLong(2) == 3L) // n_groups
+    assert(r.getLong(3) == 2L) // n_risky_groups
+    assert(r.getLong(4) == 3L) // n_risky_rows (2 + 1)
+    assert(r.getLong(5) == 1L) // min_group_size
+    // k-anonymous table: zero risky
+    val ok = Profiling.kAnonymity(df.limit(3), Seq("nation", "seg"), 3L).head()
+    assert(ok.getLong(4) == 0L)
+  }
+
   test("rocSweep: hand model — cumulative confusion counts per distinct score") {
     import spark.implicits._
     val df = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
