@@ -2885,6 +2885,40 @@ object QueriesExt {
                            + 1e-9, 6) AS mi
               FROM j JOIN ma USING (x) JOIN mb USING (y) CROSS JOIN t""")),
 
+    // S20 — exact euclidean retrieval: top-5 L2 neighbors of vec_id=0 — the
+    // third metric of the retrieval family (q19 cosine, s15 MIPS), and the
+    // ground truth the PCA-compression audit (s21) ranks against.
+    Entry(
+      "s20_l2_topk",
+      (s, d) => Similarity.bruteForceL2TopK(embs(s, d), "vec_id", "embedding", 0L, 5),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                         FROM embeddings WHERE vec_id = 0),
+                   ds AS (SELECT e.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS d
+                          FROM embeddings e, q WHERE e.vec_id <> 0),
+                   top AS (SELECT vec_id, d FROM ds ORDER BY d ASC, vec_id LIMIT 5)
+              SELECT vec_id, ROUND(d, 6) AS dist FROM top""")),
+
+    // S21 — PCA-compressed retrieval audit: recall@10 of exact L2 search in
+    // 16-d PCA space vs the full 64-d space, on every 100th vector as a
+    // query. Eigensolve has no SQL form → rows-only; the L2 ground truth is
+    // oracled via s20 and the full-rank recall==1 invariant is spec-pinned.
+    // NOTE: on THIS synthetic corpus the audit reports recall ~0.1-0.3 —
+    // correct, not a defect: the testdata embeddings are near-isotropic
+    // (flat spectrum, ~25% variance in 16 dims), which is precisely the
+    // "your corpus does not compress; don't ship PCA-16 retrieval" answer
+    // the audit exists to give. On clustered data recall is high
+    // (spec-pinned in PcaSpec).
+    Entry(
+      "s21_pca_recall",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.pcaL2Recall(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          dims = 16, k = 10)
+      },
+      None),
+
     // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
     // then encode every document with them — per-doc BPE token count, the
     // number t14's packing actually budgets against. Iterative learn +

@@ -592,6 +592,72 @@ case class MergeAdjacentPair(child: Expression, left: String, right: String)
     copy(child = newChild)
 }
 
+/** Euclidean (L2) distance of two numeric arrays in one fused primitive pass
+  * — the metric companion to [[VecCosine]] (cosine ignores magnitude, inner
+  * product IS magnitude; L2 is what PCA projection preserves under its
+  * centered rotation, so PCA-compressed retrieval ranks by THIS). Runs once
+  * per candidate pair → codegen. Sequential left-to-right accumulation,
+  * mirroring DuckDB's `list_distance` over double lists. Null when lengths
+  * differ or any element is null. */
+case class VecL2Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2_dist"
+
+  private def elemAccessor(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case t => throw new IllegalArgumentException(s"vec_l2_dist: unsupported element type $t")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val u = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val v = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = u - v
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = (double) $a.${elemAccessor(left)}($i)
+         |      - (double) $b.${elemAccessor(right)}($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Dist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Apply a LEARNED merge table to a symbol array (BPE encoding): repeatedly
   * find the adjacent pair with the lowest merge rank and apply it greedily
   * left-to-right ([[MergeAdjacentPair]] semantics), until no adjacent pair
@@ -716,4 +782,5 @@ object ArrayKernels {
     c(MergeAdjacentPair(e(symbols), left, right))
   def applyBpeMerges(symbols: Column, merges: Seq[(String, String)]): Column =
     c(ApplyBpeMerges(e(symbols), merges.toArray))
+  def vecL2Dist(a: Column, b: Column): Column = c(VecL2Dist(e(a), e(b)))
 }

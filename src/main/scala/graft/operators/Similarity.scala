@@ -66,6 +66,78 @@ object Similarity {
     topK(sims, idCol, k)
   }
 
+  /** Fused codegen L2 distance ([[graft.functions.VecL2Dist]]) — the third
+    * metric of the retrieval family (cosine = direction, MIPS = magnitude,
+    * L2 = position), and the one PCA's centered rotation preserves. */
+  def l2Dist(a: Column, b: Column): Column =
+    graft.functions.ArrayKernels.vecL2Dist(a, b)
+
+  /** Exact top-k EUCLIDEAN neighbors of `queryId` (nearest = smallest
+    * distance; ties to the lowest id; null/mismatched vectors excluded).
+    * Same one-row broadcast + distributed partial top-k shape as
+    * [[bruteForceTopK]]. Output: `(<idCol>, dist)`, dist rounded 6 dp. */
+  def bruteForceL2TopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), l2Dist(col(vecCol), col("_q")).as("_d"))
+      .filter(col("_d").isNotNull)
+      .orderBy(col("_d").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("_d"), 6).as("dist"))
+  }
+
+  /** Batch exact L2 top-k — the euclidean form of [[bruteForceBatch]], same
+    * broadcast-queries shape and probe contract `(q_id, rank, <idCol>,
+    * dist)` (rank 1 = nearest), so [[recallAtK]] consumes it unchanged. */
+  def bruteForceL2Batch(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cands = df.crossJoin(broadcast(
+      queries.select(col(qIdCol).as("_q_id"), col(qVecCol).as("_q_v"))))
+    val kept = if (excludeSelf) cands.filter(col(idCol) =!= col("_q_id")) else cands
+    val dists = kept
+      .select(col("_q_id"), col(idCol), l2Dist(col(vecCol), col("_q_v")).as("_d"))
+      .filter(col("_d").isNotNull)
+    TopK.perGroup(dists, Seq("_q_id"), Seq(col("_d").asc, col(idCol).asc), k)
+      .select(
+        col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),
+        col(idCol), round(col("_d"), 6).as("dist"))
+  }
+
+  /** PCA-compressed retrieval audit: recall@k of exact L2 search in
+    * `dims`-dimensional PCA space against exact L2 search in the original
+    * space, for a query sample — prices the d→dims compression the same way
+    * [[recallAtK]] prices an IVF probe or s12 prices SQ8. L2 is the right
+    * metric because a centered rotation preserves pairwise euclidean
+    * distances EXACTLY: at `dims = d` recall is identically 1 (spec-pinned),
+    * and truncation error grows only with the discarded eigenvalue mass.
+    *
+    * Cost: one [[Pca.fit]] corpus pass, one projection pass (codegen
+    * kernel), two sample-sized broadcast probe scans. Output:
+    * `(q_id, recall)` per sampled query. */
+  def pcaL2Recall(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      dims: Int, k: Int): DataFrame = {
+    val model = Pca.fit(df, vecCol, dims)
+    val proj = Pca.project(df, vecCol, model, "_pv")
+      .where(col("_pv").isNotNull)
+    val qProj = Pca.project(
+        queries.select(col(qIdCol).as("_qq"), col(qVecCol).as("_qv")),
+        "_qv", model, "_pq")
+      .where(col("_pq").isNotNull)
+    val exact = bruteForceL2Batch(
+      df, idCol, vecCol, queries, qIdCol, qVecCol, k, excludeSelf = true)
+    val approx = bruteForceL2Batch(
+      proj, idCol, "_pv", qProj, "_qq", "_pq", k, excludeSelf = true)
+    recallAtK(exact, approx, idCol)
+  }
+
   /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors of `queryId` — the
     * retrieval objective when magnitudes carry signal (recommender /
     * learned-retrieval scores), where cosine's normalization is wrong: a

@@ -74,6 +74,13 @@ object ScaleStressR9 {
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    val maxCk = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * maxCk))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
+
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val maxVec = embs.agg(max("vec_id")).head().getLong(0) + 1
     (0 until factor).map { k =>

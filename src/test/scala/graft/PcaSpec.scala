@@ -122,6 +122,58 @@ class PcaSpec extends SparkSpec {
     assert(got((1, 2)) == ((3L, 1.333333)))
   }
 
+  test("l2 kernel: hand distances, null/mismatch -> null") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 1.0), Seq(1.0, 1.0)),
+      (Seq(1.0), Seq(1.0, 2.0))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.l2Dist(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got(0) == 5.0)
+    assert(got(1) == 0.0)
+    assert(got(2) == null)
+  }
+
+  test("bruteForceL2Batch: nearest-first ranking with id tie-break") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 2.0)),
+      (3L, Seq(1.0, 0.0)) // ties with id 1 at dist 1
+    ).toDF("id", "v")
+    val got = Similarity.bruteForceL2Batch(
+      df, "id", "v", df.filter(col("id") === 0L), "id", "v", 3,
+      excludeSelf = true)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1.0), (2L, 3L, 1.0), (3L, 2L, 2.0)))
+  }
+
+  test("pcaL2Recall: full-rank projection preserves L2 exactly -> recall 1") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq(math.sin(i * 0.7), math.cos(i * 1.1), (i % 7) * 0.3, i * 0.05)))
+    val df = rows.toDF("id", "v")
+    val qs = df.filter(col("id") % 10 === 0)
+    val full = Similarity.pcaL2Recall(df, "id", "v", qs, "id", "v", dims = 4, k = 5)
+      .collect().map(_.getDouble(1))
+    assert(full.length == 6 && full.forall(_ == 1.0))
+    // structured data: 2 informative dims -> truncated recall stays high
+    val clustered = (0 until 60).map { i =>
+      val c = i % 2
+      (i.toLong, Seq(c * 10.0 + (i % 5) * 0.01, -c * 10.0 + (i % 3) * 0.01,
+        0.001 * (i % 4), 0.001 * (i % 6)))
+    }.toDF("id", "v")
+    val qs2 = clustered.filter(col("id") % 10 === 0)
+    val trunc = Similarity.pcaL2Recall(clustered, "id", "v", qs2, "id", "v", dims = 2, k = 5)
+      .collect().map(_.getDouble(1))
+    assert(trunc.forall(_ >= 0.6), s"clustered truncated recall: ${trunc.toSeq}")
+  }
+
   test("fit agrees with covarianceSlice on the same data") {
     import spark.implicits._
     val rows = (0 until 25).map(i => Seq(i * 0.2, math.cos(i * 0.9), (i % 4).toDouble))
