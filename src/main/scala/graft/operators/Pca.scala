@@ -99,22 +99,66 @@ object Pca {
     override def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
   }
 
+  /** One corpus pass to the moment buffer — the separable half of [[fit]],
+    * exposed because the buffer is EXACTLY mergeable ([[mergeState]]): the
+    * incremental-fit primitive, same build-once/extend-cheaply shape as the
+    * BM25 and near-dup indexes. */
+  def moments(df: DataFrame, vecCol: String): GramBuf = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
+      .select(new GramAgg().toColumn)
+      .head()
+  }
+
+  /** Merge two moment buffers — moments of the UNION of their inputs,
+    * exactly (sums of sums): `fitFromMoments(mergeState(a, b), k)` equals a
+    * fresh fit over both corpora without rescanning either. Driver-side on
+    * two O(d²) arrays. Either side may be empty. */
+  def mergeState(a: GramBuf, b: GramBuf): GramBuf =
+    if (a.n == 0L) b
+    else if (b.n == 0L) a
+    else {
+      require(a.sum.length == b.sum.length,
+        s"pca: mixed vector dimensions (${a.sum.length} vs ${b.sum.length})")
+      GramBuf(a.n + b.n,
+        a.sum.zip(b.sum).map { case (x, y) => x + y },
+        a.gram.zip(b.gram).map { case (x, y) => x + y })
+    }
+
+  /** Persist a moment buffer as a one-row parquet (n + d + d(d+1)/2 doubles
+    * — KBs at embedding dims; never data-sized). */
+  def saveState(spark: org.apache.spark.sql.SparkSession, buf: GramBuf, path: String): Unit = {
+    import spark.implicits._
+    Seq(buf).toDS().write.mode("overwrite").parquet(path)
+  }
+
+  def loadState(spark: org.apache.spark.sql.SparkSession, path: String): GramBuf = {
+    import spark.implicits._
+    spark.read.parquet(path).as[GramBuf].head()
+  }
+
   /** Fit a `k`-component PCA on `vecCol` (array of float/double; null and
     * empty vectors are skipped). One corpus pass (see class doc), then a
     * driver-side cyclic-Jacobi eigensolve of the d×d population covariance.
     * Deterministic: Jacobi rotation order is fixed, eigenpairs sort by
     * (eigenvalue desc, original index asc), and each component's sign is
     * canonicalized so its largest-|coordinate| entry (lowest index on ties)
-    * is positive. */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    * is positive.
+    *
+    * Incremental refresh: keep the [[moments]] buffer ([[saveState]]),
+    * [[mergeState]] each new batch's buffer into it, and
+    * [[fitFromMoments]] — the merged fit is EXACT (not an approximation),
+    * because the buffer is a pair of linear statistics. */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
+    fitFromMoments(moments(df, vecCol), k)
+
+  /** Eigensolve a moment buffer into a model — the driver-side half of
+    * [[fit]]; see [[mergeState]] for the incremental path. */
+  def fitFromMoments(buf: GramBuf, k: Int): PcaModel = {
     require(k >= 1, s"pca: k must be >= 1, got $k")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vecs = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(vecCol).cast("array<double>"))
-      .as[Seq[Double]]
-    val buf = vecs.select(new GramAgg().toColumn).head()
     require(buf.n > 0, "pca: no non-null vectors to fit on")
     val d = buf.sum.length
     require(k <= d, s"pca: k=$k exceeds vector dimension $d")

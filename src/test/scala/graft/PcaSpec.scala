@@ -174,6 +174,36 @@ class PcaSpec extends SparkSpec {
     assert(trunc.forall(_ >= 0.6), s"clustered truncated recall: ${trunc.toSeq}")
   }
 
+  test("incremental fit: merged moment buffers equal a fresh fit over the union") {
+    import spark.implicits._
+    val a = (0 until 20).map(i => Seq(i * 0.3, math.sin(i * 0.9), (i % 5) * 0.4)).toDF("v")
+    val b = (20 until 50).map(i => Seq(i * 0.3, math.sin(i * 0.9), (i % 5) * 0.4)).toDF("v")
+    val merged = Pca.fitFromMoments(
+      Pca.mergeState(Pca.moments(a, "v"), Pca.moments(b, "v")), 3)
+    val fresh = Pca.fit(a.unionAll(b), "v", 3)
+    assert(merged.n == fresh.n)
+    merged.mean.zip(fresh.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    merged.eigenvalues.zip(fresh.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9) }
+    for (c <- 0 until 3; i <- 0 until 3)
+      assert(math.abs(merged.components(c)(i) - fresh.components(c)(i)) < 1e-6)
+  }
+
+  test("state round-trips through parquet; empty-side merge is identity") {
+    import spark.implicits._
+    val df = (0 until 15).map(i => Seq(i * 1.0, 2.0 - i)).toDF("v")
+    val buf = Pca.moments(df, "v")
+    val path = tmpDir("pca-state") + "/state"
+    Pca.saveState(spark, buf, path)
+    val back = Pca.loadState(spark, path)
+    assert(back.n == buf.n && back.sum.toSeq == buf.sum.toSeq &&
+      back.gram.toSeq == buf.gram.toSeq)
+    val empty = Pca.moments(df.where(lit(false)), "v")
+    assert(empty.n == 0L)
+    assert(Pca.mergeState(empty, buf).n == buf.n)
+    assert(Pca.mergeState(buf, empty).n == buf.n)
+  }
+
   test("fit agrees with covarianceSlice on the same data") {
     import spark.implicits._
     val rows = (0 until 25).map(i => Seq(i * 0.2, math.cos(i * 0.9), (i % 4).toDouble))
