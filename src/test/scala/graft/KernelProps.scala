@@ -3,6 +3,10 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+
 import graft.functions.{kernels, Hash56}
 
 /** ScalaCheck properties for the pure (no-Spark) kernel functions — the JVM
@@ -89,5 +93,56 @@ object KernelProps extends Properties("kernels") {
         seeds.map(s => hs.map(h => kernels.splitmix64(h ^ s)).min)
       }
       Prop(sig(xs ++ extra).zip(sig(xs)).forall { case (sup, sub) => sup <= sub })
+    }
+
+  // ---- expression-eval properties for the round-9 kernels -----------------
+  // (interpreted nullSafeEval through Literal children — the same code path
+  // whole-stage codegen mirrors)
+
+  private val vecGen = Gen.listOfN(
+    8, Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 64) / 64))
+
+  private def l2(a: Seq[Double], b: Seq[Double]): Double =
+    graft.functions.VecL2Dist(
+      Literal.create(new GenericArrayData(a.toArray), ArrayType(DoubleType, false)),
+      Literal.create(new GenericArrayData(b.toArray), ArrayType(DoubleType, false)))
+      .eval(null).asInstanceOf[Double]
+
+  property("vecL2: symmetric, zero iff equal, matches reference sum") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val d = l2(a, b)
+      val ref = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      Prop(d == l2(b, a) && d == ref && ((d == 0.0) == (a == b)))
+    }
+
+  property("vecL2: triangle inequality (to float tolerance)") =
+    forAll(vecGen, vecGen, vecGen) { (a, b, c) =>
+      Prop(l2(a, c) <= l2(a, b) + l2(b, c) + 1e-9)
+    }
+
+  private def evalSyms(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toSeq[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(u => if (u == null) null else u.toString)
+
+  private val symGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "bc"))
+  private def symLit(xs: Seq[String]) = Literal.create(
+    new GenericArrayData(xs.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+    ArrayType(StringType, true))
+
+  property("mergeAdjacentPair: concatenation preserved, length shrinks by merges applied") =
+    forAll(symGen, Gen.oneOf(("a", "b"), ("b", "c"), ("a", "a"))) { (xs, p) =>
+      val out = evalSyms(graft.functions.MergeAdjacentPair(symLit(xs), p._1, p._2))
+      Prop(out.mkString == xs.mkString && out.size <= xs.size)
+    }
+
+  property("applyBpeMerges: concatenation preserved and fixpoint reached") =
+    forAll(symGen) { xs =>
+      val merges = Array(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "a"))
+      val out = evalSyms(graft.functions.ApplyBpeMerges(symLit(xs), merges))
+      val table = merges.toSet
+      val noPairLeft = out.size < 2 ||
+        out.sliding(2).forall(p => !table.contains((p(0), p(1))))
+      Prop(out.mkString == xs.mkString && noPairLeft)
     }
 }
