@@ -2919,6 +2919,108 @@ object QueriesExt {
       },
       None),
 
+    // Q46 — two-proportion z-test between md5-split variants (success =
+    // long document): the A/B readout over the deterministic assignment the
+    // split operators already provide.
+    Entry(
+      "q46_ab_ztest",
+      (s, d) => {
+        val v = docs(s, d).select(
+          when(pmod(Dedup.hash56(col("doc_id").cast("string")), lit(2L)) === 0,
+            "control").otherwise("treatment").as("variant"),
+          (col("n_chars") > 500).as("success"))
+        Experiment.abProportionZTest(v, "variant", "success", "control", "treatment")
+      },
+      Some("""WITH v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 2 = 0
+                                     THEN 'control' ELSE 'treatment' END AS variant,
+                                (n_chars > 500) AS success
+                         FROM documents),
+                   c AS (SELECT variant, COUNT(*) AS n,
+                                CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS successes
+                         FROM v GROUP BY variant),
+                   w AS (SELECT MAX(CASE WHEN variant = 'control' THEN n END) AS nc,
+                                MAX(CASE WHEN variant = 'control' THEN successes END) AS sc,
+                                MAX(CASE WHEN variant = 'treatment' THEN n END) AS nt,
+                                MAX(CASE WHEN variant = 'treatment' THEN successes END) AS st
+                         FROM c),
+                   z AS (SELECT CASE WHEN nc IS NOT NULL AND nt IS NOT NULL
+                                      AND (sc + st) > 0 AND (sc + st) < (nc + nt)
+                                     THEN ROUND((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                                                / sqrt((CAST(sc + st AS DOUBLE) / (nc + nt))
+                                                       * (1 - CAST(sc + st AS DOUBLE) / (nc + nt))
+                                                       * (1.0 / nc + 1.0 / nt))
+                                                + 1e-9, 6) END AS z
+                         FROM w)
+              SELECT c.variant, c.n, c.successes,
+                     ROUND(CAST(c.successes AS DOUBLE) / c.n + 1e-9, 6) AS rate, z.z
+              FROM c, z""")),
+
+    // Q47 — CUPED variance reduction over per-user pre/post activity
+    // (pre/post = even/odd event ids — deterministic, correlated through
+    // per-user activity level; variants by md5 user split).
+    Entry(
+      "q47_cuped",
+      (s, d) => {
+        val units = Tables.load(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(pmod(col("event_id"), lit(2L)) === 0, col("value"))
+              .otherwise(0.0)).as("pre"),
+            sum(when(pmod(col("event_id"), lit(2L)) === 1, col("value"))
+              .otherwise(0.0)).as("post"))
+          .withColumn("variant",
+            when(pmod(Dedup.hash56(col("user_id").cast("string")), lit(2L)) === 0,
+              "a").otherwise("b"))
+        Experiment.cuped(units, "variant", "pre", "post")
+      },
+      Some("""WITH u AS (SELECT user_id,
+                                SUM(CASE WHEN event_id % 2 = 0 THEN value ELSE 0 END) AS pre,
+                                SUM(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END) AS post,
+                                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 2 = 0
+                                     THEN 'a' ELSE 'b' END AS variant
+                         FROM events GROUP BY user_id),
+                   g AS (SELECT COUNT(*) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+                                SUM(pre * pre) AS sxx, SUM(post * post) AS syy,
+                                SUM(pre * post) AS sxy
+                         FROM u),
+                   fit AS (SELECT sx / n AS mx,
+                                  CASE WHEN n * sxx - sx * sx > 0
+                                       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+                                  (syy - sy * sy / n) / n AS vy,
+                                  sxy / n - sx * sy / (n * n) AS cxy,
+                                  (sxx - sx * sx / n) / n AS vx
+                           FROM g)
+              SELECT u.variant, COUNT(*) AS n,
+                     ROUND(AVG(u.post) + 1e-9, 6) AS mean_post,
+                     ROUND(AVG(u.post - COALESCE(fit.theta, 0) * (u.pre - fit.mx)) + 1e-9, 6) AS mean_adjusted,
+                     ROUND(MAX(fit.theta) + 1e-9, 6) AS theta,
+                     CASE WHEN MAX(fit.vy) > 0 AND MAX(fit.vx) > 0
+                          THEN ROUND(MAX(fit.cxy) * MAX(fit.cxy) / (MAX(fit.vx) * MAX(fit.vy)) + 1e-9, 6)
+                     END AS var_reduction
+              FROM u, fit GROUP BY u.variant""")),
+
+    // Q48 — leakage-safe target encoding: out-of-fold mean order price per
+    // priority class, 5 md5 folds — the encoding TABLE a feature join
+    // consumes.
+    Entry(
+      "q48_target_encode",
+      (s, d) => Profiling.targetEncode(
+        Tables.load(s, d, "orders"), "o_orderkey", "o_orderpriority",
+        "o_totalprice", 5),
+      Some("""WITH f AS (SELECT o_orderpriority AS category,
+                                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 5 AS fold,
+                                o_totalprice
+                         FROM orders WHERE o_totalprice IS NOT NULL),
+                   pf AS (SELECT category, fold, COUNT(*) AS nf, SUM(o_totalprice) AS sf
+                          FROM f GROUP BY 1, 2),
+                   pc AS (SELECT category, CAST(SUM(nf) AS BIGINT) AS na, SUM(sf) AS sa
+                          FROM pf GROUP BY 1)
+              SELECT pf.category, pf.fold, pc.na - pf.nf AS n_oof,
+                     CASE WHEN pc.na - pf.nf > 0
+                          THEN ROUND((pc.sa - pf.sf) / (pc.na - pf.nf) + 1e-9, 6)
+                     END AS enc
+              FROM pf JOIN pc USING (category)""")),
+
     // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
     // then encode every document with them — per-doc BPE token count, the
     // number t14's packing actually budgets against. Iterative learn +

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis operators — the readout layer for pipeline A/B tests
+  * (does the new dedup threshold / quality cutoff / mixture change a
+  * downstream metric?). The assignment side already exists
+  * ([[TextAnalysis.deterministicSplit]]'s md5 bucketing gives stable,
+  * engine-portable variants); these are the two standard readouts over it.
+  * North-star extension surface (the reference computes per-equipment OEE,
+  * not experiment statistics).
+  *
+  * Both operators are single aggregate passes (map-side combined, shuffle =
+  * a handful of variant/group rows) plus one-row folds — nothing here can
+  * become the bottleneck of the pipeline being measured.
+  */
+object Experiment {
+
+  /** Two-proportion z-test between exactly two variants: per variant the
+    * trial/success counts and rate, plus the pooled z statistic of
+    * `control → treatment` (positive z = treatment converts more):
+    * `z = (p_t − p_c) / sqrt( p(1−p) (1/n_c + 1/n_t) )` with `p` the pooled
+    * rate. Output: one row per variant
+    * `(variant, n, successes, rate, z)` — `z` identical on both rows (it is
+    * a property of the pair), null when either variant is empty or the
+    * pooled variance is 0 (all-success / all-failure), rate rounded 6 dp.
+    * Consumers threshold |z| (1.96 ≈ 95%); the erf-based p-value is not
+    * SQL-portable, so it stays out of the contract.
+    *
+    * ONE corpus aggregate (variant keyed); the z fold runs on the two-row
+    * frame. `successCol` must be boolean. */
+  def abProportionZTest(
+      df: DataFrame, variantCol: String, successCol: String,
+      control: String, treatment: String): DataFrame = {
+    val counts = df
+      .where(col(variantCol).isin(control, treatment))
+      .groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(successCol) === true, 1L).otherwise(0L)).as("successes"))
+    val wide = counts.agg(
+      max(when(col("variant") === control, col("n"))).as("_nc"),
+      max(when(col("variant") === control, col("successes"))).as("_sc"),
+      max(when(col("variant") === treatment, col("n"))).as("_nt"),
+      max(when(col("variant") === treatment, col("successes"))).as("_st"))
+    val z = wide.select(
+      ((col("_sc") + col("_st")).cast("double") / (col("_nc") + col("_nt"))).as("_p"),
+      col("_nc"), col("_nt"), col("_sc"), col("_st"))
+      .select(
+        when(
+          col("_nc").isNotNull && col("_nt").isNotNull &&
+            col("_p") > 0.0 && col("_p") < 1.0,
+          stableRound(
+            (col("_st").cast("double") / col("_nt") -
+              col("_sc").cast("double") / col("_nc")) /
+              sqrt(col("_p") * (lit(1.0) - col("_p")) *
+                (lit(1.0) / col("_nc") + lit(1.0) / col("_nt"))), 6))
+          .as("z"))
+    counts
+      .select(
+        col("variant"), col("n"), col("successes"),
+        stableRound(col("successes").cast("double") / col("n"), 6).as("rate"))
+      .crossJoin(broadcast(z))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
+    * post-period metric with its pre-period covariate,
+    * `y' = y − θ (x − x̄)` where `θ = cov(x, y) / var(x)` over ALL units —
+    * the experiment readout then compares adjusted variant means, whose
+    * variance is smaller by the squared pre/post correlation. Input: one
+    * row per unit `(variantCol, preCol, postCol)`. Output: one row per
+    * variant `(variant, n, mean_post, mean_adjusted, theta, var_reduction)`
+    * — theta/var_reduction identical across rows (global fit);
+    * `var_reduction = 1 − var(y')/var(y)` ≈ corr², null when var(x) or
+    * var(y) is 0. All 6 dp.
+    *
+    * Two aggregate passes over the UNIT table (one global for θ/x̄ from
+    * closed-form sums, one variant-keyed for the adjusted means) — the unit
+    * table is itself usually the output of a corpus aggregate, and both
+    * passes are map-side combined. */
+  def cuped(
+      df: DataFrame, variantCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val x = col(preCol).cast("double")
+    val y = col(postCol).cast("double")
+    val g = df.agg(
+      count(lit(1)).as("_n"),
+      sum(x).as("_sx"), sum(y).as("_sy"),
+      sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
+    val fit = broadcast(g.select(
+      (col("_sx") / col("_n")).as("_mx"),
+      when(col("_n") * col("_sxx") - col("_sx") * col("_sx") > 0.0,
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")))
+        .as("_theta"),
+      ((col("_syy") - col("_sy") * col("_sy") / col("_n")) / col("_n")).as("_vy"),
+      (col("_sxy") / col("_n") - col("_sx") * col("_sy") / (col("_n") * col("_n"))).as("_cxy"),
+      ((col("_sxx") - col("_sx") * col("_sx") / col("_n")) / col("_n")).as("_vx")))
+    df.crossJoin(fit)
+      .select(
+        col(variantCol).cast("string").as("variant"),
+        y.as("_y"),
+        // degenerate pre-covariate (var 0) -> no adjustment rather than a
+        // null-poisoned metric; theta stays null in the output as the signal
+        (y - coalesce(col("_theta"), lit(0.0)) * (x - col("_mx"))).as("_adj"),
+        col("_theta"), col("_vx"), col("_vy"), col("_cxy"))
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n"),
+        stableRound(avg(col("_y")), 6).as("mean_post"),
+        stableRound(avg(col("_adj")), 6).as("mean_adjusted"),
+        stableRound(first(col("_theta")), 6).as("theta"),
+        stableRound(
+          when(first(col("_vy")) > 0.0 && first(col("_vx")) > 0.0,
+            first(col("_cxy")) * first(col("_cxy")) /
+              (first(col("_vx")) * first(col("_vy")))), 6)
+          .as("var_reduction"))
+  }
+}

@@ -410,6 +410,48 @@ object Profiling {
         stableRound(sum(col("_term")), 6).as("mi"))
   }
 
+  /** Leakage-safe target encoding (out-of-fold category → target-mean): the
+    * feature-engineering step that replaces a high-cardinality category with
+    * the mean target of OTHER folds' rows in that category, so a row never
+    * sees its own target (the leakage a naive full-table target mean
+    * injects). Folds are md5-deterministic ([[Dedup.hash56]] of `idCol` mod
+    * `nFolds` — stable across runs/engines, like t06's split). Output: the
+    * encoding TABLE `(category, fold, n_oof, enc)` — `enc = (sum_all −
+    * sum_fold)/(n_all − n_fold)` rounded 6 dp, null when the category has
+    * no out-of-fold rows (single-fold category); join it back on
+    * (category, fold) to encode.
+    *
+    * Plan: ONE corpus aggregate to the (category, fold) frame (shuffle ∝
+    * categories × folds, map-side combined); category totals re-aggregate
+    * THAT frame; the encoding is a broadcast-joined arithmetic row — the
+    * corpus is touched once, the output is model-sized. */
+  def targetEncode(
+      df: DataFrame, idCol: String, categoryCol: String, targetCol: String,
+      nFolds: Int): DataFrame = {
+    require(nFolds >= 2, s"targetEncode: nFolds must be >= 2, got $nFolds")
+    val perFold = df
+      .where(col(targetCol).isNotNull)
+      .groupBy(
+        col(categoryCol).as("category"),
+        pmod(Dedup.hash56(col(idCol).cast("string")), lit(nFolds.toLong))
+          .as("fold"))
+      .agg(
+        count(lit(1)).as("_nf"),
+        sum(col(targetCol).cast("double")).as("_sf"))
+    val perCat = perFold.groupBy("category")
+      .agg(sum("_nf").as("_na"), sum("_sf").as("_sa"))
+      .select(col("category").as("_catA"), col("_na"), col("_sa"))
+    perFold
+      .join(broadcast(perCat), col("category") <=> col("_catA"))
+      .select(
+        col("category"), col("fold"),
+        (col("_na") - col("_nf")).as("n_oof"),
+        when(col("_na") - col("_nf") > 0,
+          stableRound(
+            (col("_sa") - col("_sf")) / (col("_na") - col("_nf")), 6))
+          .as("enc"))
+  }
+
   /** K-anonymity audit over quasi-identifier columns — the governance gate a
     * pipeline runs before releasing data carrying indirect identifiers: a
     * row is re-identifiable when its quasi-identifier combination is shared

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Experiment, Profiling}
+
+class ExperimentSpec extends SparkSpec {
+
+  test("abProportionZTest: hand model — pooled z, rates, shared z across rows") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("control", true)) ++ Seq.fill(2)(("control", false)) ++
+      Seq.fill(3)(("treatment", true)) ++ Seq.fill(1)(("treatment", false)))
+      .toDF("variant", "ok")
+    val got = Experiment.abProportionZTest(df, "variant", "ok", "control", "treatment")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val p = 5.0 / 8.0
+    val z = (0.75 - 0.5) / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
+    val zr = math.rint((z + 1e-9) * 1e6) / 1e6
+    assert(got("control") == ((4L, 2L, 0.5, zr)))
+    assert(got("treatment") == ((4L, 3L, 0.75, zr)))
+  }
+
+  test("abProportionZTest: degenerate pools and missing variants give null z") {
+    import spark.implicits._
+    val allWin = Seq(("control", true), ("treatment", true)).toDF("variant", "ok")
+    assert(Experiment.abProportionZTest(allWin, "variant", "ok", "control", "treatment")
+      .collect().forall(_.isNullAt(4)))
+    val oneArm = Seq(("control", true), ("control", false)).toDF("variant", "ok")
+    val rows = Experiment.abProportionZTest(oneArm, "variant", "ok", "control", "treatment")
+      .collect()
+    assert(rows.length == 1 && rows.forall(_.isNullAt(4)))
+  }
+
+  test("cuped: perfectly predictive covariate — theta exact, adjusted means collapse") {
+    import spark.implicits._
+    // post = 2*pre + 7 for every unit -> theta = 2, y' identical everywhere
+    val units = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 5.0), ("b", 3.0), ("b", 8.0), ("b", 13.0)
+    ).map { case (v, x) => (v, x, 2 * x + 7) }.toDF("variant", "pre", "post")
+    val got = Experiment.cuped(units, "variant", "pre", "post")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val meanPre = (1.0 + 2 + 5 + 3 + 8 + 13) / 6
+    val expectedAdj = math.rint((7 + 2 * meanPre + 1e-9) * 1e6) / 1e6
+    assert(got("a")._3 == 2.0 && got("b")._3 == 2.0) // theta
+    assert(got("a")._2 == expectedAdj && got("b")._2 == expectedAdj)
+    assert(got("a")._4 == 1.0 && got("b")._4 == 1.0) // var_reduction
+    // raw means differ (b's units are larger) but adjustment removed it all
+    assert(got("a")._1 != got("b")._1)
+  }
+
+  test("cuped: zero-variance covariate — null theta, adjusted == raw") {
+    import spark.implicits._
+    val units = Seq(("a", 5.0, 1.0), ("a", 5.0, 3.0), ("b", 5.0, 2.0))
+      .toDF("variant", "pre", "post")
+    val got = Experiment.cuped(units, "variant", "pre", "post")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.isNullAt(4)))).toMap
+    assert(got("a") == ((2.0, 2.0, true)))
+    assert(got("b") == ((2.0, 2.0, true)))
+  }
+
+  test("targetEncode: out-of-fold algebra holds and own fold is excluded") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "x" else "y", (i % 10).toDouble)).toDF("id", "cat", "t")
+    val enc = Profiling.targetEncode(df, "id", "cat", "t", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    // independent recomputation of per-(cat, fold) sums via the same hash
+    val folds = df.select(col("cat"), col("t"),
+      pmod(graft.operators.Dedup.hash56(col("id").cast("string")), lit(4L)).as("fold"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(1)))
+    val byCatFold = folds.groupBy(x => (x._1, x._2))
+      .view.mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val byCat = folds.groupBy(_._1)
+      .view.mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    assert(enc.nonEmpty)
+    for (((cat, fold), (nOof, e)) <- enc) {
+      val (na, sa) = byCat(cat)
+      val (nf, sf) = byCatFold((cat, fold))
+      assert(nOof == na - nf)
+      val want = math.rint(((sa - sf) / (na - nf) + 1e-9) * 1e6) / 1e6
+      assert(e == want, s"($cat, $fold): $e vs $want")
+    }
+  }
+
+  test("targetEncode: single-fold category encodes to null (no out-of-fold rows)") {
+    import spark.implicits._
+    // one row -> its category has exactly one fold
+    val df = Seq((1L, "solo", 9.0), (2L, "big", 1.0), (3L, "big", 2.0),
+      (4L, "big", 3.0), (5L, "big", 4.0)).toDF("id", "cat", "t")
+    val enc = Profiling.targetEncode(df, "id", "cat", "t", 2).collect()
+      .map(r => r.getString(0) -> r.isNullAt(3)).toMap.view
+    assert(enc.toMap.getOrElse("solo", false),
+      "solo category must encode to null")
+  }
+}
