@@ -74,6 +74,17 @@ object ScaleStressR9 {
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      // event-id parity drives q47's pre/post split — shift by an EVEN
+      // constant so each copy keeps the same parity structure
+      ev.withColumn("event_id", col("event_id") + lit(k * (maxEv + (maxEv % 2))))
+        .withColumn("user_id", col("user_id") + lit(k * maxUser))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
     val cust = spark.read.parquet(s"$baseDir/customer.parquet")
     val maxCk = cust.agg(max("c_custkey")).head().getLong(0) + 1
     (0 until factor).map { k =>
