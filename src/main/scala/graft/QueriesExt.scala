@@ -2655,7 +2655,8 @@ object QueriesExt {
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           col("n"), col("cov")),
       Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                         WHERE embedding IS NOT NULL AND len(embedding) >= 8),
+                         WHERE embedding IS NOT NULL AND len(embedding) >= 8
+                           AND len(list_filter(embedding[1:8], x -> x IS NULL)) = 0),
                    p AS (SELECT i.i AS i, j.j AS j
                          FROM generate_series(1, 8) AS i(i),
                               generate_series(1, 8) AS j(j)
@@ -2844,10 +2845,11 @@ object QueriesExt {
                                  1.0 - MAX(CASE WHEN label <> clab THEN sim END) AS b
                           FROM sims GROUP BY vec_id, label),
                    sil AS (SELECT label,
-                                  CASE WHEN greatest(a, b) = 0 THEN 0.0
+                                  CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                                       WHEN greatest(a, b) = 0 THEN 0.0
                                        ELSE (b - a) / greatest(a, b) END AS s
                            FROM ab)
-              SELECT label, COUNT(*) AS n, ROUND(AVG(s) + 1e-9, 6) AS mean_sil
+              SELECT label, COUNT(s) AS n, ROUND(AVG(s) + 1e-9, 6) AS mean_sil
               FROM sil GROUP BY label""")),
 
     // Q44 — k-anonymity audit over customer quasi-identifiers

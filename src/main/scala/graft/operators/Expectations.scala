@@ -78,7 +78,13 @@ object Expectations {
   private def violatedCond(e: Expectation): Column = e match {
     case NotNull(c) => col(c).isNull
     case InRange(c, lo, hi) =>
-      col(c).isNotNull && (col(c).cast("double") < lo || col(c).cast("double") > hi)
+      // a non-null value whose double cast FAILS is a violation, not a pass
+      // — the gate must hold exactly when the column is most broken, never
+      // wave garbage through. try_cast: under ANSI a plain cast would THROW
+      // on the first bad value instead of counting it
+      col(c).isNotNull &&
+        (col(c).try_cast("double").isNull ||
+          col(c).try_cast("double") < lo || col(c).try_cast("double") > hi)
     case AcceptedValues(c, vs) =>
       col(c).isNotNull && !col(c).cast("string").isin(vs: _*)
     case MatchesRegex(c, p) =>
@@ -110,13 +116,19 @@ object Expectations {
     val uniques = expectations.collect { case u: Unique => u }
     val refs = expectations.collect { case r: RefIntegrity => r }
 
-    // one aggregate pass: total + every row-level violation count side by side
-    val aggs = count(lit(1)).as("_total") +:
-      rowLevel.zipWithIndex.map { case (e, i) =>
-        sum(when(violatedCond(e), 1L).otherwise(0L)).as(s"_v_$i")
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*).head()
-    val total = one.getLong(0)
+    // one aggregate pass: total + every row-level violation count side by
+    // side — skipped entirely for a uniques-only suite (Unique derives its
+    // own total; no constraint would consume this scan's result)
+    val needsSharedPass = rowLevel.nonEmpty || refs.nonEmpty
+    val one =
+      if (needsSharedPass) {
+        val aggs = count(lit(1)).as("_total") +:
+          rowLevel.zipWithIndex.map { case (e, i) =>
+            sum(when(violatedCond(e), 1L).otherwise(0L)).as(s"_v_$i")
+          }
+        df.agg(aggs.head, aggs.tail: _*).head()
+      } else null
+    val total = if (needsSharedPass) one.getLong(0) else 0L
 
     def literalRow(name: String, tot: Long, viol: Long): DataFrame =
       spark.range(1).select(

@@ -29,12 +29,16 @@ object Experiment {
     * SQL-portable, so it stays out of the contract.
     *
     * ONE corpus aggregate (variant keyed); the z fold runs on the two-row
-    * frame. `successCol` must be boolean. */
+    * frame. `successCol` must be boolean; rows with a NULL outcome (metric
+    * not landed yet) are EXCLUDED from the trial count — counting an
+    * unknown as a failure would bias every rate and z downward with no
+    * signal. */
   def abProportionZTest(
       df: DataFrame, variantCol: String, successCol: String,
       control: String, treatment: String): DataFrame = {
     val counts = df
-      .where(col(variantCol).isin(control, treatment))
+      .where(col(variantCol).isin(control, treatment) &&
+        col(successCol).isNotNull)
       .groupBy(col(variantCol).cast("string").as("variant"))
       .agg(
         count(lit(1)).as("n"),
@@ -69,7 +73,11 @@ object Experiment {
     * `y' = y − θ (x − x̄)` where `θ = cov(x, y) / var(x)` over ALL units —
     * the experiment readout then compares adjusted variant means, whose
     * variance is smaller by the squared pre/post correlation. Input: one
-    * row per unit `(variantCol, preCol, postCol)`. Output: one row per
+    * row per unit `(variantCol, preCol, postCol)`; units with a NULL pre or
+    * post are EXCLUDED up front — otherwise count(\*) and the null-skipping
+    * sums would disagree about n and silently bias x̄, θ, and every
+    * variance (complete-case, like every closed-form-sums operator here).
+    * Output: one row per
     * variant `(variant, n, mean_post, mean_adjusted, theta, var_reduction)`
     * — theta/var_reduction identical across rows (global fit);
     * `var_reduction = 1 − var(y')/var(y)` ≈ corr², null when var(x) or
@@ -84,7 +92,8 @@ object Experiment {
       postCol: String): DataFrame = {
     val x = col(preCol).cast("double")
     val y = col(postCol).cast("double")
-    val g = df.agg(
+    val complete = df.where(x.isNotNull && y.isNotNull)
+    val g = complete.agg(
       count(lit(1)).as("_n"),
       sum(x).as("_sx"), sum(y).as("_sy"),
       sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
@@ -97,7 +106,7 @@ object Experiment {
       ((col("_syy") - col("_sy") * col("_sy") / col("_n")) / col("_n")).as("_vy"),
       (col("_sxy") / col("_n") - col("_sx") * col("_sy") / (col("_n") * col("_n"))).as("_cxy"),
       ((col("_sxx") - col("_sx") * col("_sx") / col("_n")) / col("_n")).as("_vx")))
-    df.crossJoin(fit)
+    complete.crossJoin(fit)
       .select(
         col(variantCol).cast("string").as("variant"),
         y.as("_y"),

@@ -81,23 +81,21 @@ object Pca {
       GramBuf(out.n + 1, out.sum, out.gram)
     }
 
-    override def merge(a: GramBuf, b: GramBuf): GramBuf =
-      if (a.n == 0L) b
-      else if (b.n == 0L) a
-      else {
-        require(a.sum.length == b.sum.length,
-          s"pca: mixed vector dimensions (${a.sum.length} vs ${b.sum.length})")
-        var i = 0
-        while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
-        i = 0
-        while (i < a.gram.length) { a.gram(i) += b.gram(i); i += 1 }
-        GramBuf(a.n + b.n, a.sum, a.gram)
-      }
+    override def merge(a: GramBuf, b: GramBuf): GramBuf = mergeState(a, b)
 
     override def finish(b: GramBuf): GramBuf = b
     override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
     override def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
   }
+
+  /** Rows the moment pass (and the oracled covariance slice) accepts:
+    * non-null, non-empty, and NO null elements — a vector with a null
+    * coordinate has no well-defined contribution to every (i, j) product,
+    * so it is complete-case excluded (the typed deserializer would
+    * otherwise die on the null element with an opaque error). */
+  private def fittable(vecCol: String): Column =
+    col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      !exists(col(vecCol), _.isNull)
 
   /** One corpus pass to the moment buffer — the separable half of [[fit]],
     * exposed because the buffer is EXACTLY mergeable ([[mergeState]]): the
@@ -106,7 +104,7 @@ object Pca {
   def moments(df: DataFrame, vecCol: String): GramBuf = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    df.where(fittable(vecCol))
       .select(col(vecCol).cast("array<double>"))
       .as[Seq[Double]]
       .select(new GramAgg().toColumn)
@@ -116,16 +114,22 @@ object Pca {
   /** Merge two moment buffers — moments of the UNION of their inputs,
     * exactly (sums of sums): `fitFromMoments(mergeState(a, b), k)` equals a
     * fresh fit over both corpora without rescanning either. Driver-side on
-    * two O(d²) arrays. Either side may be empty. */
+    * two O(d²) arrays (the aggregator's own partial-merge delegates here —
+    * ONE definition of the exact-merge invariant). Either side may be
+    * empty; in-place on the left buffer's arrays when both are non-empty
+    * (safe for the task-private aggregation buffers; pass a copy if the
+    * caller needs `a` preserved). */
   def mergeState(a: GramBuf, b: GramBuf): GramBuf =
     if (a.n == 0L) b
     else if (b.n == 0L) a
     else {
       require(a.sum.length == b.sum.length,
         s"pca: mixed vector dimensions (${a.sum.length} vs ${b.sum.length})")
-      GramBuf(a.n + b.n,
-        a.sum.zip(b.sum).map { case (x, y) => x + y },
-        a.gram.zip(b.gram).map { case (x, y) => x + y })
+      var i = 0
+      while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+      i = 0
+      while (i < a.gram.length) { a.gram(i) += b.gram(i); i += 1 }
+      GramBuf(a.n + b.n, a.sum, a.gram)
     }
 
   /** Persist a moment buffer as a one-row parquet (n + d + d(d+1)/2 doubles
@@ -294,9 +298,12 @@ object Pca {
         if (ev > 1e-12) { val s = 1.0 / math.sqrt(ev); row.map(_ * s) }
         else row.map(_ => 0.0)
       }
+    // cast like fit() does, so a model fit on an int/long-typed array column
+    // projects instead of hitting the kernel's float/double-only accessors
     df.withColumn(outCol,
       GraftExpr.column(CenteredProject(
-        GraftExpr.expression(col(vecCol)), model.mean, rows)))
+        GraftExpr.expression(col(vecCol).cast("array<double>")),
+        model.mean, rows)))
   }
 
   /** Mean squared reconstruction error of projecting to the model's k
@@ -320,8 +327,10 @@ object Pca {
     * the full-dimension [[fit]] path uses the typed buffer instead because
     * d(d+1)/2 separate aggregate expressions stop scaling around d≈30 (for
     * d=1024 that is 500k codegen'd aggregates) while ONE O(d²) buffer is
-    * flat. Rows are complete-case on the whole vector (null or short vectors
-    * skipped), mirroring [[fit]].
+    * flat. Rows are complete-case on the sliced coordinates (null vectors,
+    * short vectors, and vectors with a null element among the first `dims`
+    * are skipped — so `n` counts exactly the rows inside every sum),
+    * mirroring [[fit]]'s complete-case contract.
     *
     * Oracle mirror (DuckDB):
     * `(SUM(v[i]*v[j]) - SUM(v[i])*SUM(v[j])/n)/n`, ROUND(+1e-9, 6). */
@@ -330,7 +339,8 @@ object Pca {
     require(dims <= 30,
       s"covarianceSlice is the diagnostic slice — use fit() past d~30, got $dims")
     val v = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .where(col(vecCol).isNotNull && size(col(vecCol)) >= dims &&
+        !exists(slice(col(vecCol), 1, dims), _.isNull))
       .select(col(vecCol).cast("array<double>").as("_v"))
     val pairs = for { i <- 1 to dims; j <- i to dims } yield (i, j)
     val aggs =

@@ -554,7 +554,10 @@ object Similarity {
     * centroid distances instead of all-pairs, which is what makes it
     * computable at corpus scale at all; the classic all-pairs form is
     * O(n²) per cluster). Output: one row per cluster,
-    * `(<clusterCol>, n, mean_sil)` — mean over the cluster's rows, 6 dp.
+    * `(<clusterCol>, n, mean_sil)` — `n` counts the SCORED rows and
+    * `mean_sil` averages exactly those (6 dp), so the pair is internally
+    * consistent; a cluster whose rows are all unscorable (null vectors, or
+    * no foreign centroid) reports `(0, null)`.
     *
     * Plan: the (clusters × dims) centroid aggregate, the cluster-sized
     * codebook broadcast-cross-joined onto the corpus (rows × clusters —
@@ -562,8 +565,9 @@ object Similarity {
     * codebook), one conditional (id)-group fold splitting own vs foreign
     * similarity, then the per-cluster mean. No window, no all-pairs.
     *
-    * Conventions: a single-cluster input has no foreign centroid → null
-    * mean. A singleton cluster's member sits AT its centroid (a = 0) and
+    * Conventions: a single-cluster input has no foreign centroid → every
+    * row unscorable → `(0, null)`. A singleton cluster's member sits AT its
+    * centroid (a = 0) and
     * scores s = 1 — the simplified form's behavior, kept (not the classic
     * form's s = 0) so both engines replay one formula. `max(a,b) = 0`
     * (duplicate centroids) → s = 0 explicitly. */
@@ -590,12 +594,17 @@ object Similarity {
         ((lit(1.0) - col("_foreign_sim")).as("_b")))
       .select(
         col("_cl"),
-        when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
+        // explicit null-out FIRST: Spark's (and DuckDB's) greatest() skips
+        // nulls, so without this a single-cluster point sitting exactly at
+        // its centroid (a=0, b=null) would score 0.0 instead of the
+        // documented unscorable-null
+        when(col("_a").isNull || col("_b").isNull, lit(null).cast("double"))
+          .when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
           .otherwise((col("_b") - col("_a")) / greatest(col("_a"), col("_b")))
           .as("_s"))
     perRow.groupBy(col("_cl").as(clusterCol))
       .agg(
-        count(lit(1)).as("n"),
+        count(col("_s")).as("n"),
         stableRound(avg(col("_s")), 6).as("mean_sil"))
   }
 

@@ -30,6 +30,14 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("matches_regex(f)") == ((5L, 1L, false)))
   }
 
+  test("in_range: a non-null value that fails the double cast is a VIOLATION") {
+    import spark.implicits._
+    val df = Seq("0.5", "N/A", "0.7", "abc", null).toDF("score")
+    val got = results(Expectations.check(df, Seq(InRange("score", 0.0, 1.0))))
+    // "N/A" and "abc" must be caught; null stays NotNull's business
+    assert(got("in_range(score, 0.0, 1.0)") == ((5L, 2L, false)))
+  }
+
   test("unique: surplus rows beyond one per key; null keys group like values") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](

@@ -32,6 +32,32 @@ class ExperimentSpec extends SparkSpec {
     assert(rows.length == 1 && rows.forall(_.isNullAt(4)))
   }
 
+  test("abProportionZTest: null outcomes are excluded from trials, not counted as failures") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Boolean)](
+      ("control", true), ("control", false),
+      ("treatment", true), ("treatment", null), ("treatment", null)
+    ).toDF("variant", "ok")
+    val got = Experiment.abProportionZTest(df, "variant", "ok", "control", "treatment")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("treatment") == ((1L, 1L))) // the two null outcomes are gone
+    assert(got("control") == ((2L, 1L)))
+  }
+
+  test("cuped: null pre/post units are complete-case excluded, not mixed into sums") {
+    import spark.implicits._
+    val clean = Seq(("a", 1.0, 9.0), ("a", 2.0, 11.0), ("b", 3.0, 13.0))
+    val dirty = clean.map { case (v, x, y) =>
+      (v, java.lang.Double.valueOf(x), java.lang.Double.valueOf(y))
+    } ++ Seq(("a", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(99.0)),
+      ("b", java.lang.Double.valueOf(50.0), null.asInstanceOf[java.lang.Double]))
+    val want = Experiment.cuped(clean.toDF("variant", "pre", "post"),
+      "variant", "pre", "post").collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val got = Experiment.cuped(dirty.toDF("variant", "pre", "post"),
+      "variant", "pre", "post").collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got == want)
+  }
+
   test("cuped: perfectly predictive covariate — theta exact, adjusted means collapse") {
     import spark.implicits._
     // post = 2*pre + 7 for every unit -> theta = 2, y' identical everywhere

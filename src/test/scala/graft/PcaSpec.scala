@@ -46,7 +46,7 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9)
   }
 
-  test("fit: null and empty vectors are skipped; float input accepted") {
+  test("fit: null, empty, and null-ELEMENT vectors are skipped; float input accepted") {
     import spark.implicits._
     val df = Seq(
       Some(Seq(1.0f, 0.0f)), None, Some(Seq.empty[Float]),
@@ -55,6 +55,23 @@ class PcaSpec extends SparkSpec {
     val m = Pca.fit(df, "v", 1)
     assert(m.n == 4)
     assert(m.components(0)(0) == 1.0 && math.abs(m.components(0)(1)) < 1e-12)
+    // a null ELEMENT is complete-case excluded, not a deserializer crash
+    val withNullElem = Seq(
+      Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, null),
+      Seq[java.lang.Double](3.0, 4.0)
+    ).toDF("v")
+    assert(Pca.fit(withNullElem, "v", 1).n == 2)
+    // and covarianceSlice keeps n consistent with its sums
+    val cs = Pca.covarianceSlice(withNullElem, "v", 2).collect()
+    assert(cs.forall(_.getLong(2) == 2L))
+  }
+
+  test("project: int-typed arrays are cast like fit, not rejected by the kernel") {
+    import spark.implicits._
+    val df = Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6)).toDF("v")
+    val m = Pca.fit(df, "v", 2)
+    val p = Pca.project(df, "v", m, "p").select("p").collect()
+    assert(p.length == 3 && p.forall(!_.isNullAt(0)))
   }
 
   test("project: codegen kernel equals the manual centered matvec; mismatched dim -> null") {

@@ -45,11 +45,15 @@ class SilhouetteSpec extends SparkSpec {
     assert(got(0) == ((2L, 0.0)) && got(1) == ((2L, 0.0)))
   }
 
-  test("single cluster: no foreign centroid -> null mean") {
+  test("single cluster: no foreign centroid -> zero scored rows, null mean") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 0.0), 0), (2L, Seq(0.9, 0.1), 0)).toDF("id", "v", "cl")
     val got = sil(df)
-    assert(got(0)._1 == 2L && got(0)._2 == null)
+    assert(got(0) == ((0L, null)))
+    // the a=0 edge: a lone point AT its own centroid must also be
+    // unscorable-null, not 0.0 (greatest() skips nulls on both engines)
+    val lone = Seq((1L, Seq(1.0, 0.0), 0)).toDF("id", "v", "cl")
+    assert(sil(lone)(0) == ((0L, null)))
   }
 
   test("a mislabeled point drags its assigned cluster's mean down") {
