@@ -3023,6 +3023,71 @@ object QueriesExt {
                      END AS enc
               FROM pf JOIN pc USING (category)""")),
 
+    // Q49 — rolling z-score anomalies: per user, each event's value scored
+    // against its own trailing week (value-RANGE frame over explicit window
+    // sums — the testdata stream is ~2 events/user/day, so a week holds the
+    // >= 5 points the score needs), emitting only |z| >= 2.
+    Entry(
+      "q49_rolling_zscore",
+      (s, d) => Profiling.rollingZscore(
+        Tables.events(s, d), Seq("user_id"), "ts", "value",
+        windowSize = 604800000000L, zThreshold = 2.0, minCount = 5),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+                                CAST(value AS DOUBLE) AS value
+                         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+                   w AS (SELECT user_id, ts, value,
+                                COUNT(*) OVER win AS n,
+                                SUM(value) OVER win AS s,
+                                SUM(value * value) OVER win AS ss
+                         FROM e
+                         WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                                        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+                   z AS (SELECT user_id, ts, value, n,
+                                CASE WHEN n >= 5 AND (ss - s * s / n) / n > 0
+                                     THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / n)
+                                                + 1e-9, 6) END AS z
+                         FROM w)
+              SELECT user_id, ts, value, n AS n_window, z
+              FROM z WHERE abs(z) >= 2.0""")),
+
+    // Q50 — population stability index of the price distribution between
+    // returned ('A') and current ('N') line items — the drift monitor,
+    // bins anchored on the BEFORE snapshot.
+    Entry(
+      "q50_psi",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        Profiling.psi(
+          li.where(col("l_returnflag") === "A"),
+          li.where(col("l_returnflag") === "N"),
+          "l_extendedprice", nBins = 10)
+      },
+      Some("""WITH bounds AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                              FROM lineitem
+                              WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
+                   bb AS (SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10.0)), 0), 9) AS INT) AS bin,
+                                 COUNT(*) AS cb
+                          FROM lineitem, bounds
+                          WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL AND mx > mn
+                          GROUP BY 1),
+                   ab AS (SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10.0)), 0), 9) AS INT) AS bin,
+                                 COUNT(*) AS ca
+                          FROM lineitem, bounds
+                          WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL AND mx > mn
+                          GROUP BY 1),
+                   j AS (SELECT COALESCE(bb.cb, 0) AS cb, COALESCE(ab.ca, 0) AS ca
+                         FROM bb FULL OUTER JOIN ab ON bb.bin = ab.bin),
+                   t AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb, CAST(SUM(ca) AS BIGINT) AS ta FROM j)
+              SELECT t.tb AS n_before, t.ta AS n_after,
+                     CASE WHEN t.tb > 0 AND t.ta > 0
+                          THEN ROUND(SUM((GREATEST(CAST(ca AS DOUBLE) / t.ta, 1e-6)
+                                          - GREATEST(CAST(cb AS DOUBLE) / t.tb, 1e-6))
+                                         * ln(GREATEST(CAST(ca AS DOUBLE) / t.ta, 1e-6)
+                                              / GREATEST(CAST(cb AS DOUBLE) / t.tb, 1e-6)))
+                                     + 1e-9, 6)
+                     END AS psi
+              FROM j, t GROUP BY t.tb, t.ta""")),
+
     // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
     // then encode every document with them — per-doc BPE token count, the
     // number t14's packing actually budgets against. Iterative learn +

@@ -410,6 +410,105 @@ object Profiling {
         stableRound(sum(col("_term")), 6).as("mi"))
   }
 
+  /** Rolling (trailing-window) z-score anomaly detection — the time-aware
+    * form of [[zscoreOutliers]] (that scores against the group's ALL-TIME
+    * stats; this scores each point against its own trailing `windowSize`
+    * in event time, so a regime change doesn't permanently poison the
+    * baseline). Output: the anomalous rows only —
+    * `(keyCols…, ts, value, n_window, z)` where `|z| ≥ zThreshold` and the
+    * trailing window (INCLUDING the current row) holds ≥ `minCount` points;
+    * z rounded 6 dp from explicit window sums
+    * (`var = (Σv² − (Σv)²/n)/n` — the engine-portable formula, not the
+    * engine's own stddev accumulation).
+    *
+    * Plan: one keyed value-RANGE window (q31's frame kind) — per-key sort +
+    * two-pointer frames, no per-row rescan, no unpartitioned window. A
+    * pathologically hot key serializes its partition like any keyed window;
+    * [[Quantiles]]-style (key, time-bucket) splitting applies if one key
+    * dominates. */
+  def rollingZscore(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, valueCol: String,
+      windowSize: Long, zThreshold: Double, minCount: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty, "rollingZscore needs at least one key column")
+    require(windowSize > 0 && zThreshold > 0 && minCount >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSize, 0)
+    val v = col(valueCol).cast("double")
+    val stats = df
+      .where(v.isNotNull && col(tsCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(
+        col(tsCol).cast("long").as(tsCol), v.as(valueCol),
+        count(lit(1)).over(w).as("_n"),
+        sum(v).over(w).as("_s"),
+        sum(v * v).over(w).as("_ss")): _*)
+    stats
+      .withColumn("_var",
+        (col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n"))
+      .withColumn("z",
+        when(col("_n") >= minCount && col("_var") > 0.0,
+          stableRound(
+            (col(valueCol) - col("_s") / col("_n")) / sqrt(col("_var")), 6)))
+      .where(abs(col("z")) >= zThreshold)
+      .select(keyCols.map(col) ++ Seq(
+        col(tsCol), col(valueCol), col("_n").as("n_window"), col("z")): _*)
+  }
+
+  /** Population stability index between two score distributions — the
+    * drift monitor a pipeline runs between yesterday's and today's quality/
+    * classifier scores (industry convention: PSI < 0.1 stable, > 0.25
+    * shifted): equal-width bins from the BEFORE snapshot's [min, max]
+    * (out-of-range AFTER values clamp into the edge bins), proportions
+    * floored at `eps` so an empty bin contributes a large-but-finite term,
+    * `PSI = Σ (p_a − p_b) · ln(p_a / p_b)`. Output: one row,
+    * `(n_before, n_after, psi)` (6 dp; null when either side is empty or
+    * the BEFORE range is degenerate).
+    *
+    * Two corpus aggregates (one per snapshot, keyed by bin, map-side
+    * combined) + a bins-sized join and fold — the same broadcast-bounds
+    * shape as [[calibrationBins]]. */
+  def psi(
+      before: DataFrame, after: DataFrame, scoreCol: String,
+      nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"psi: nBins must be >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val bounds = broadcast(before.where(s.isNotNull)
+      .agg(min(s).as("_mn"), max(s).as("_mx")))
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
+      df.where(s.isNotNull).crossJoin(bounds)
+        .where(col("_mx") > col("_mn"))
+        .groupBy(
+          least(greatest(floor((s - col("_mn")) / width), lit(0)),
+            lit(nBins - 1)).cast("int").as("bin"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val joined = binned(before, "_nb")
+      .join(binned(after, "_na"), Seq("bin"), "full_outer")
+      .select(
+        coalesce(col("_nb"), lit(0L)).as("_cb"),
+        coalesce(col("_na"), lit(0L)).as("_ca"))
+    val totals = broadcast(
+      joined.agg(sum("_cb").as("_tb"), sum("_ca").as("_ta")))
+    joined.crossJoin(totals)
+      .select(
+        col("_tb"), col("_ta"),
+        // try_divide: an empty snapshot (total 0) must flow to the guarded
+        // null psi, not an ANSI divide-by-zero
+        greatest(try_divide(col("_cb").cast("double"),
+          col("_tb").cast("double")), lit(eps)).as("_pb"),
+        greatest(try_divide(col("_ca").cast("double"),
+          col("_ta").cast("double")), lit(eps)).as("_pa"))
+      .agg(
+        coalesce(first(col("_tb")), lit(0L)).as("n_before"),
+        coalesce(first(col("_ta")), lit(0L)).as("n_after"),
+        when(first(col("_tb")) > 0 && first(col("_ta")) > 0,
+          stableRound(
+            sum((col("_pa") - col("_pb")) * log(col("_pa") / col("_pb"))), 6))
+          .as("psi"))
+  }
+
   /** Leakage-safe target encoding (out-of-fold category → target-mean): the
     * feature-engineering step that replaces a high-cardinality category with
     * the mean target of OTHER folds' rows in that category, so a row never

