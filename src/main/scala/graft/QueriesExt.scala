@@ -3023,6 +3023,80 @@ object QueriesExt {
                      END AS enc
               FROM pf JOIN pc USING (category)""")),
 
+    // D19 — near-containment pairs: short doc quoted inside a long one
+    // (tiny Jaccard, high containment). Candidates via shared RARE tokens
+    // (df in [2, 50]) — the prefix-filter route, since length blocking is
+    // exactly wrong for containment.
+    Entry(
+      "d19_containment",
+      (s, d) => Dedup.containmentPairs(
+        docs(s, d), "doc_id", "text", threshold = 0.8, maxDf = 50L),
+      Some("""WITH tk AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+                          FROM documents WHERE text IS NOT NULL),
+                   tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+                   post AS (SELECT doc_id, UNNEST(toks) AS tok FROM tk2),
+                   rare AS (SELECT tok FROM post GROUP BY tok
+                            HAVING COUNT(*) BETWEEN 2 AND 50),
+                   cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                            FROM post a JOIN rare USING (tok)
+                                 JOIN post b USING (tok)
+                            WHERE a.doc_id < b.doc_id),
+                   sc AS (SELECT c.a_id, c.b_id,
+                                 len(list_intersect(ta.toks, tb.toks)) AS inter,
+                                 len(ta.toks) AS na, len(tb.toks) AS nb
+                          FROM cand c
+                          JOIN tk2 ta ON ta.doc_id = c.a_id
+                          JOIN tk2 tb ON tb.doc_id = c.b_id)
+              SELECT a_id, b_id,
+                     CASE WHEN na < nb OR (na = nb AND a_id < b_id)
+                          THEN a_id ELSE b_id END AS contained_id,
+                     ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb) + 1e-9, 6) AS containment
+              FROM sc
+              WHERE ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb) + 1e-9, 6) >= 0.8""")),
+
+    // Q51 — best information-gain split of document length against the
+    // is-English label: the decision-stump cut that turns the c04 sweep
+    // into one defensible keep/drop threshold.
+    Entry(
+      "q51_best_split",
+      (s, d) => Profiling.bestSplit(
+        docs(s, d).withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en"),
+      Some("""WITH per AS (SELECT CAST(n_chars AS DOUBLE) AS threshold,
+                                  COUNT(*) FILTER (lang = 'en') AS pos,
+                                  COUNT(*) FILTER (lang <> 'en') AS neg
+                           FROM documents GROUP BY 1),
+                   tot AS (SELECT COUNT(*) FILTER (lang = 'en') AS p,
+                                  COUNT(*) FILTER (lang <> 'en') AS n
+                           FROM documents),
+                   c AS (SELECT threshold,
+                                CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+                                CAST(SUM(neg) OVER w AS BIGINT) AS fp
+                         FROM per
+                         WINDOW w AS (ORDER BY threshold DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                   g AS (SELECT threshold,
+                                p + n - tp - fp AS n_left,
+                                tp + fp AS n_right,
+                                ROUND(
+                                  (CASE WHEN CAST(p AS DOUBLE)/(p+n) <= 0 OR CAST(p AS DOUBLE)/(p+n) >= 1 THEN 0
+                                        ELSE -((CAST(p AS DOUBLE)/(p+n)) * ln(CAST(p AS DOUBLE)/(p+n))
+                                               + (1 - CAST(p AS DOUBLE)/(p+n)) * ln(1 - CAST(p AS DOUBLE)/(p+n))) END)
+                                  - (CAST(tp+fp AS DOUBLE)/(p+n)) *
+                                    (CASE WHEN CAST(tp AS DOUBLE)/(tp+fp) <= 0 OR CAST(tp AS DOUBLE)/(tp+fp) >= 1 THEN 0
+                                          ELSE -((CAST(tp AS DOUBLE)/(tp+fp)) * ln(CAST(tp AS DOUBLE)/(tp+fp))
+                                                 + (1 - CAST(tp AS DOUBLE)/(tp+fp)) * ln(1 - CAST(tp AS DOUBLE)/(tp+fp))) END)
+                                  - (CASE WHEN p + n - tp - fp > 0 THEN
+                                      (CAST(p+n-tp-fp AS DOUBLE)/(p+n)) *
+                                      (CASE WHEN CAST(p-tp AS DOUBLE)/(p+n-tp-fp) <= 0 OR CAST(p-tp AS DOUBLE)/(p+n-tp-fp) >= 1 THEN 0
+                                            ELSE -((CAST(p-tp AS DOUBLE)/(p+n-tp-fp)) * ln(CAST(p-tp AS DOUBLE)/(p+n-tp-fp))
+                                                   + (1 - CAST(p-tp AS DOUBLE)/(p+n-tp-fp)) * ln(1 - CAST(p-tp AS DOUBLE)/(p+n-tp-fp))) END)
+                                     ELSE 0 END)
+                                  + 1e-9, 6) AS gain
+                         FROM c, tot)
+              SELECT threshold, gain, n_left, n_right
+              FROM g ORDER BY gain DESC, threshold LIMIT 1""")),
+
     // Q49 — rolling z-score anomalies: per user, each event's value scored
     // against its own trailing week (value-RANGE frame over explicit window
     // sums — the testdata stream is ~2 events/user/day, so a week holds the

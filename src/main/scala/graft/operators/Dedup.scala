@@ -1365,4 +1365,75 @@ object Dedup {
         when(col("n_pred") > 0 && col("n_truth") > 0 && col("n_both") > 0,
           stableRound(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
   }
+
+  /** Near-CONTAINMENT pairs — the asymmetric relative the near-dup family
+    * deliberately misses: a short document quoted/wrapped inside a long one
+    * has tiny Jaccard (the length-ratio prune in [[ngramJaccardPairs]] even
+    * rejects the pair up front) but containment
+    * `|A∩B| / min(|A|,|B|) ≥ threshold`. The curation use is boilerplate
+    * wrappers and quote-inflation: keep the container, drop or down-weight
+    * the contained copy.
+    *
+    * Candidate generation CANNOT block on length (the interesting pairs
+    * straddle length buckets), so it uses the inverted-index/prefix-filter
+    * route: documents pair only when they SHARE A RARE TOKEN (document
+    * frequency in [2, maxDf]). Scale shape: posting lists of rare tokens
+    * only — each such token emits ≤ maxDf·(maxDf−1)/2 candidate pairs, so
+    * the blow-up is bounded per token and never corpus-quadratic; exact
+    * containment then runs the merge-intersect kernel over SHUFFLE_HASH-
+    * attached sorted token-hash payloads (the d04 attach discipline).
+    *
+    * RECALL caveat (documented like d15's): a contained document whose
+    * every token is common (df > maxDf everywhere) generates no candidate.
+    * Raising `maxDf` buys recall linearly in posting size; the exact
+    * full-recall setting is `maxDf = nDocs`, which is the quadratic join
+    * this operator exists to avoid — pick maxDf like an LSH band count.
+    *
+    * Output: `(a_id, b_id, contained_id, containment)` with `a_id < b_id`,
+    * `contained_id` the smaller token SET (ties → lower id), containment
+    * rounded 6 dp. Null/empty texts never pair (no tokens → no postings). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df-1 tokens cannot pair), got $maxDf")
+    val toks = graft.functions.ArrayKernels
+      .sortedTokenHashes(split(lower(col(textCol)), "\\s+"))
+    val base = df
+      .select(col(idCol).as("_id"), toks.as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val postings = base.select(col("_id"), explode(col("_toks")).as("_tok"))
+    val rare = postings.groupBy("_tok").agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("_tok")
+    val rarePostings = postings.join(rare.hint("shuffle_hash"), Seq("_tok"))
+    val cand = rarePostings.select(col("_tok"), col("_id").as("a_id"))
+      .join(rarePostings.select(col("_tok"), col("_id").as("b_id")), Seq("_tok"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val out = cand
+      .join(base.select(col("_id").as("a_id"), col("_toks").as("_ta"))
+        .hint("shuffle_hash"), Seq("a_id"))
+      .join(base.select(col("_id").as("b_id"), col("_toks").as("_tb"))
+        .hint("shuffle_hash"), Seq("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("_ta"), col("_tb"))
+          .cast("long").as("_inter"),
+        size(col("_ta")).cast("long").as("_na"),
+        size(col("_tb")).cast("long").as("_nb"))
+      .select(
+        col("a_id"), col("b_id"),
+        when(col("_na") < col("_nb") ||
+          (col("_na") === col("_nb") && col("a_id") < col("b_id")),
+          col("a_id")).otherwise(col("b_id")).as("contained_id"),
+        stableRound(
+          col("_inter").cast("double") / least(col("_na"), col("_nb")), 6)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+    ManagedPairs(out, Seq(base)).releaseOnFirstUse()
+  }
 }

@@ -410,6 +410,47 @@ object Profiling {
         stableRound(sum(col("_term")), 6).as("mi"))
   }
 
+  /** Best binary split of a score against a boolean label — the decision-
+    * stump / information-gain cut a pipeline uses to TURN a continuous
+    * quality score into a keep/drop rule with one defensible number
+    * attached (rather than eyeballing the [[rocSweep]] curve): over every
+    * candidate threshold `t` (rule: positive-predicted when `score ≥ t`),
+    * the information gain of the two-way split, maximized. Output: ONE row
+    * `(threshold, gain, n_left, n_right)` — gain in nats rounded 6 dp
+    * BEFORE the argmax (so tie-breaking at 6 dp → lowest threshold is
+    * engine-portable), `n_right` = rows at or above the cut.
+    *
+    * Plan: the same collapsed frame as [[rocSweep]] (one corpus aggregate
+    * to a row per distinct score + the distributed prefix sum), a per-row
+    * entropy arithmetic, then `TakeOrdered(1)` — nothing beyond the sweep's
+    * own cost. */
+  def bestSplit(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    def h(p: Column): Column =
+      when(p <= 0.0 || p >= 1.0, 0.0)
+        .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+    sweepCounts(df, scoreCol, labelCol)
+      .filter(col("_p") + col("_n") > 0)
+      .select(
+        col("threshold"),
+        (col("_p") + col("_n")).as("_all"),
+        (col("tp") + col("fp")).as("n_right"),
+        (col("_p") + col("_n") - col("tp") - col("fp")).as("n_left"),
+        col("tp"), col("_p"))
+      .select(
+        col("threshold"), col("n_left"), col("n_right"),
+        stableRound(
+          h(col("_p").cast("double") / col("_all")) -
+            (col("n_right").cast("double") / col("_all")) *
+              h(col("tp").cast("double") / col("n_right")) -
+            when(col("n_left") > 0,
+              (col("n_left").cast("double") / col("_all")) *
+                h((col("_p") - col("tp")).cast("double") / col("n_left")))
+              .otherwise(0.0), 6).as("gain"))
+      .orderBy(col("gain").desc, col("threshold").asc)
+      .limit(1)
+      .select(col("threshold"), col("gain"), col("n_left"), col("n_right"))
+  }
+
   /** Rolling (trailing-window) z-score anomaly detection — the time-aware
     * form of [[zscoreOutliers]] (that scores against the group's ALL-TIME
     * stats; this scores each point against its own trailing `windowSize`

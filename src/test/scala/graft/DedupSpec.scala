@@ -625,4 +625,40 @@ class DedupSpec extends SparkSpec {
       Seq((3L, 4L)).toDF("a_id", "b_id"), "a_id", "b_id").collect().head
     assert(none.getLong(2) == 0L && none.getDouble(3) == 0.0 && none.isNullAt(5))
   }
+
+  test("containmentPairs: finds the small-doc-in-big-doc pair Jaccard misses") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), // fully contained in doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 0.9, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.0)))
+    // sanity: the SAME pair is invisible to Jaccard at any useful threshold
+    // (3 shared / 10 union = 0.3 — and the length-ratio prune rejects it)
+    val jacc = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(lit(1)), 0.5)
+    assert(jacc.count() == 0)
+  }
+
+  test("containmentPairs: recall caveat — pairs sharing only COMMON tokens are missed") {
+    import spark.implicits._
+    // "common" appears in every doc (df=4 > maxDf=3): no rare token shared
+    val df = Seq(
+      (1L, "common shared"), (2L, "common shared extra1 extra2"),
+      (3L, "common other1"), (4L, "common other2")
+    ).toDF("doc_id", "text")
+    // maxDf=3 excludes "common" (df 4) but keeps "shared" (df 2) -> 1-2 pair found
+    val got3 = Dedup.containmentPairs(df, "doc_id", "text", 0.9, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got3.toSeq == Seq((1L, 2L)))
+    // maxDf=2 ... still keeps "shared" (df 2); drop to a corpus where the
+    // only shared token is common-everywhere: nothing pairs
+    val allCommon = Seq(
+      (1L, "common"), (2L, "common a b"), (3L, "common c"), (4L, "common d")
+    ).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(allCommon, "doc_id", "text", 0.5, maxDf = 3L)
+      .count() == 0)
+  }
 }

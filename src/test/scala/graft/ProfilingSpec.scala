@@ -66,6 +66,20 @@ class ProfilingSpec extends SparkSpec {
     assert(ok.getLong(4) == 0L)
   }
 
+  test("bestSplit: perfect separation picks the boundary with gain = parent entropy") {
+    import spark.implicits._
+    val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true)).toDF("s", "y")
+    val r = Profiling.bestSplit(df, "s", "y").head()
+    assert(r.getDouble(0) == 3.0) // lowest threshold achieving the max gain
+    val ln2 = math.rint((math.log(2.0) + 1e-9) * 1e6) / 1e6
+    assert(r.getDouble(1) == ln2) // H(1/2), fully resolved
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    // uninformative score: every split has gain 0; tie-break -> lowest threshold
+    val flat = Seq((1.0, true), (1.0, false), (2.0, true), (2.0, false)).toDF("s", "y")
+    val r2 = Profiling.bestSplit(flat, "s", "y").head()
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(0) == 1.0)
+  }
+
   test("rollingZscore: trailing window catches a spike the all-time stats would dilute") {
     import spark.implicits._
     // stable baseline then a spike; window covers only recent points
