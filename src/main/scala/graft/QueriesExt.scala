@@ -3162,6 +3162,18 @@ object QueriesExt {
                      END AS psi
               FROM j, t GROUP BY t.tb, t.ta""")),
 
+    // Q52 — join-key skew report: the 10 heaviest user keys with row share
+    // — the pre-join diagnostic that decides shuffle vs salt vs broadcast.
+    Entry(
+      "q52_key_skew",
+      (s, d) => Profiling.keySkew(Tables.load(s, d, "events"), Seq("user_id"), 10),
+      Some("""WITH c AS (SELECT COALESCE(CAST(user_id AS VARCHAR), '∅') AS key,
+                                COUNT(*) AS cnt
+                         FROM events GROUP BY 1),
+                   t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+              SELECT key, cnt, ROUND(cnt / CAST(total AS DOUBLE) + 1e-9, 6) AS share
+              FROM c, t ORDER BY cnt DESC, key LIMIT 10""")),
+
     // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
     // then encode every document with them — per-doc BPE token count, the
     // number t14's packing actually budgets against. Iterative learn +

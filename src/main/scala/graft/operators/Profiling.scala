@@ -410,6 +410,34 @@ object Profiling {
         stableRound(sum(col("_term")), 6).as("mi"))
   }
 
+  /** Join-key skew report — the diagnostic to run BEFORE a big keyed join
+    * or aggregation ships: the `k` heaviest key values with their row share,
+    * so the decision between plain shuffle, [[SkewJoin]] salting, and a
+    * broadcast is made from measurement, not incident reports. Output:
+    * `(key, cnt, share)` for the top `k` (key stringified with `§`-joined
+    * parts for composite keys; ties → lexicographically first), share 6 dp.
+    *
+    * Plan: one keyed count (map-side combined — the hot key is one
+    * combiner-absorbed group here even though it would be a hot PARTITION
+    * in the join under diagnosis), a one-row broadcast total, and
+    * `TakeOrderedAndProject` for the top-k — no global sort, no global
+    * window, nothing driver-sized beyond k rows. */
+  def keySkew(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew needs at least one key column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // nulls stay visible as their own key value (concat_ws would silently
+    // drop them, merging NULL with empty string)
+    val keyStr = concat_ws("§",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+    val counts = df.groupBy(keyStr.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = broadcast(counts.agg(sum("cnt").as("_total")))
+    counts.crossJoin(total)
+      .select(col("key"), col("cnt"),
+        stableRound(col("cnt").cast("double") / col("_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(k)
+  }
+
   /** Best binary split of a score against a boolean label — the decision-
     * stump / information-gain cut a pipeline uses to TURN a continuous
     * quality score into a keep/drop rule with one defensible number
