@@ -3052,7 +3052,7 @@ object QueriesExt {
                           THEN a_id ELSE b_id END AS contained_id,
                      ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb) + 1e-9, 6) AS containment
               FROM sc
-              WHERE ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb) + 1e-9, 6) >= 0.8""")),
+              WHERE CAST(inter AS DOUBLE) / LEAST(na, nb) >= 0.8""")),
 
     // Q51 — best information-gain split of document length against the
     // is-English label: the decision-stump cut that turns the c04 sweep
@@ -3093,7 +3093,7 @@ object QueriesExt {
                                                    + (1 - CAST(p-tp AS DOUBLE)/(p+n-tp-fp)) * ln(1 - CAST(p-tp AS DOUBLE)/(p+n-tp-fp))) END)
                                      ELSE 0 END)
                                   + 1e-9, 6) AS gain
-                         FROM c, tot)
+                         FROM c, tot WHERE p + n > 0)
               SELECT threshold, gain, n_left, n_right
               FROM g ORDER BY gain DESC, threshold LIMIT 1""")),
 
@@ -3151,23 +3151,27 @@ object QueriesExt {
                           GROUP BY 1),
                    j AS (SELECT COALESCE(bb.cb, 0) AS cb, COALESCE(ab.ca, 0) AS ca
                          FROM bb FULL OUTER JOIN ab ON bb.bin = ab.bin),
-                   t AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb, CAST(SUM(ca) AS BIGINT) AS ta FROM j)
-              SELECT t.tb AS n_before, t.ta AS n_after,
-                     CASE WHEN t.tb > 0 AND t.ta > 0
-                          THEN ROUND(SUM((GREATEST(CAST(ca AS DOUBLE) / t.ta, 1e-6)
-                                          - GREATEST(CAST(cb AS DOUBLE) / t.tb, 1e-6))
-                                         * ln(GREATEST(CAST(ca AS DOUBLE) / t.ta, 1e-6)
-                                              / GREATEST(CAST(cb AS DOUBLE) / t.tb, 1e-6)))
-                                     + 1e-9, 6)
-                     END AS psi
-              FROM j, t GROUP BY t.tb, t.ta""")),
+                   t AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb, CAST(SUM(ca) AS BIGINT) AS ta FROM j),
+                   nb AS (SELECT COUNT(*) AS n_before FROM lineitem
+                          WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
+                   na AS (SELECT COUNT(*) AS n_after FROM lineitem
+                          WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL),
+                   ps AS (SELECT CASE WHEN MAX(t.tb) > 0 AND MAX(t.ta) > 0
+                                      THEN ROUND(SUM((GREATEST(CAST(ca AS DOUBLE) / t.ta, 1e-6)
+                                                      - GREATEST(CAST(cb AS DOUBLE) / t.tb, 1e-6))
+                                                     * ln(GREATEST(CAST(ca AS DOUBLE) / t.ta, 1e-6)
+                                                          / GREATEST(CAST(cb AS DOUBLE) / t.tb, 1e-6)))
+                                                 + 1e-9, 6)
+                                 END AS psi
+                          FROM j, t)
+              SELECT nb.n_before, na.n_after, ps.psi FROM nb, na, ps""")),
 
     // Q52 — join-key skew report: the 10 heaviest user keys with row share
     // — the pre-join diagnostic that decides shuffle vs salt vs broadcast.
     Entry(
       "q52_key_skew",
       (s, d) => Profiling.keySkew(Tables.load(s, d, "events"), Seq("user_id"), 10),
-      Some("""WITH c AS (SELECT COALESCE(CAST(user_id AS VARCHAR), '∅') AS key,
+      Some("""WITH c AS (SELECT COALESCE(regexp_replace(CAST(user_id AS VARCHAR), '§', '§§', 'g'), '§null§') AS key,
                                 COUNT(*) AS cnt
                          FROM events GROUP BY 1),
                    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)

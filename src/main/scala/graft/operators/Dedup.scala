@@ -1430,10 +1430,15 @@ object Dedup {
         when(col("_na") < col("_nb") ||
           (col("_na") === col("_nb") && col("a_id") < col("b_id")),
           col("a_id")).otherwise(col("b_id")).as("contained_id"),
-        stableRound(
-          col("_inter").cast("double") / least(col("_na"), col("_nb")), 6)
-          .as("containment"))
-      .where(col("containment") >= threshold)
+        (col("_inter").cast("double") / least(col("_na"), col("_nb")))
+          .as("_raw"))
+      // the module-wide verification contract (file header): threshold the
+      // RAW score — identical exact-integer-ratio doubles on both engines —
+      // and round only in the final projection
+      .where(col("_raw") >= threshold)
+      .select(
+        col("a_id"), col("b_id"), col("contained_id"),
+        stableRound(col("_raw"), 6).as("containment"))
     ManagedPairs(out, Seq(base)).releaseOnFirstUse()
   }
 }

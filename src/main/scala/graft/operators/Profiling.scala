@@ -425,10 +425,14 @@ object Profiling {
   def keySkew(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
     require(keyCols.nonEmpty, "keySkew needs at least one key column")
     require(k >= 1, s"k must be >= 1, got $k")
-    // nulls stay visible as their own key value (concat_ws would silently
-    // drop them, merging NULL with empty string)
+    // separator discipline: a literal '§' inside a key part doubles, so
+    // distinct composites can never merge (('x§y','z') vs ('x','y§z'));
+    // nulls become the single-§ token '§null§', which no escaped part can
+    // produce — nulls stay visible and unambiguous (concat_ws would
+    // silently drop them, merging NULL with empty string)
     val keyStr = concat_ws("§",
-      keyCols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+      keyCols.map(c => coalesce(
+        regexp_replace(col(c).cast("string"), "§", "§§"), lit("§null§"))): _*)
     val counts = df.groupBy(keyStr.as("key")).agg(count(lit(1)).as("cnt"))
     val total = broadcast(counts.agg(sum("cnt").as("_total")))
     counts.crossJoin(total)
@@ -447,6 +451,8 @@ object Profiling {
     * `(threshold, gain, n_left, n_right)` — gain in nats rounded 6 dp
     * BEFORE the argmax (so tie-breaking at 6 dp → lowest threshold is
     * engine-portable), `n_right` = rows at or above the cut.
+    * A corpus with NO labeled rows (every label null) has no split to rank
+    * and returns an EMPTY frame — mirror with `WHERE p + n > 0` oracle-side.
     *
     * Plan: the same collapsed frame as [[rocSweep]] (one corpus aggregate
     * to a row per distinct score + the distributed prefix sum), a per-row
@@ -560,7 +566,7 @@ object Profiling {
         coalesce(col("_na"), lit(0L)).as("_ca"))
     val totals = broadcast(
       joined.agg(sum("_cb").as("_tb"), sum("_ca").as("_ta")))
-    joined.crossJoin(totals)
+    val psiRow = joined.crossJoin(totals)
       .select(
         col("_tb"), col("_ta"),
         // try_divide: an empty snapshot (total 0) must flow to the guarded
@@ -570,12 +576,18 @@ object Profiling {
         greatest(try_divide(col("_ca").cast("double"),
           col("_ta").cast("double")), lit(eps)).as("_pa"))
       .agg(
-        coalesce(first(col("_tb")), lit(0L)).as("n_before"),
-        coalesce(first(col("_ta")), lit(0L)).as("n_after"),
         when(first(col("_tb")) > 0 && first(col("_ta")) > 0,
           stableRound(
             sum((col("_pa") - col("_pb")) * log(col("_pa") / col("_pb"))), 6))
           .as("psi"))
+    // truthful counts come from the SNAPSHOTS, not the bin table: with an
+    // empty/degenerate BEFORE, binned() drops every row of BOTH sides and
+    // the join-derived totals would misreport a populated AFTER as 0
+    val nB = broadcast(before.where(s.isNotNull)
+      .agg(count(lit(1)).as("n_before")))
+    val nA = broadcast(after.where(s.isNotNull)
+      .agg(count(lit(1)).as("n_after")))
+    nB.crossJoin(nA).crossJoin(broadcast(psiRow))
   }
 
   /** Leakage-safe target encoding (out-of-fold category → target-mean): the

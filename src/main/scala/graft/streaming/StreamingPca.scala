@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Pca
@@ -20,22 +21,40 @@ import graft.operators.Pca
   * buffer persisted at `statePath` (KBs) — restart-safe: a resumed query
   * reloads it and continues folding, and because foreachBatch may REPLAY
   * the last batch after a crash, the state write is staged per batch id
-  * (`statePath/_batch=<id>`): re-processing a batch overwrites its own
-  * staging rather than double-counting it (the same idempotence discipline
-  * as [[DurableState]]).
-  */
+  * (`statePath/_batch=<id>`): re-processing batch `id` rebuilds from the
+  * highest staging STRICTLY BELOW `id` and overwrites its own staging
+  * rather than double-counting (the [[DurableState]] idempotence
+  * discipline). Stagings older than `id − 1` are pruned after each
+  * successful save — the replay window only ever needs the previous one —
+  * so state storage is bounded at two tiny files regardless of stream
+  * lifetime. All paths go through the Hadoop FileSystem API (like
+  * [[DurableState]]), so `statePath` may live on HDFS/S3, not just the
+  * local disk. */
 object StreamingPca {
+
+  private val StagePrefix = "_batch="
+  private val StageRe = "_batch=(\\d+)".r
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def stagedIds(spark: SparkSession, statePath: String): Seq[Long] = {
+    val dir = new Path(statePath)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case StageRe(id) => Some(id.toLong)
+        case _ => None // stray dirs never throw, they are just not stagings
+      })
+  }
 
   /** Latest merged state across all committed batch stagings (highest batch
     * id wins — each staging holds the PREFIX-merge up to its id). */
-  def currentState(
-      spark: org.apache.spark.sql.SparkSession, statePath: String): Option[Pca.GramBuf] = {
-    val dir = new java.io.File(statePath)
-    val stages = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
-      .sortBy(f => -f.getName.stripPrefix("_batch=").toLong)
-    stages.headOption.map(f => Pca.loadState(spark, f.getPath))
-  }
+  def currentState(spark: SparkSession, statePath: String): Option[Pca.GramBuf] =
+    stagedIds(spark, statePath).maxOption
+      .map(b => Pca.loadState(spark, s"$statePath/$StagePrefix$b"))
 
   /** Attach the incremental fit to a streaming DataFrame carrying `vecCol`.
     * After each trigger, `sink` receives the refreshed k-component model
@@ -50,21 +69,18 @@ object StreamingPca {
         // replay safety: the prefix is the highest staging STRICTLY BELOW
         // this id — a replayed batch rebuilds from the same base and
         // overwrites its own staging instead of double-counting
-        val base = stagedIds(statePath).filter(_ < id).maxOption
-          .map(b => Pca.loadState(spark, s"$statePath/_batch=$b"))
+        val ids = stagedIds(spark, statePath)
+        val base = ids.filter(_ < id).maxOption
+          .map(b => Pca.loadState(spark, s"$statePath/$StagePrefix$b"))
           .getOrElse(Pca.GramBuf(0L, Array.empty, Array.empty))
         val merged = Pca.mergeState(base, Pca.moments(batch, vecCol))
-        Pca.saveState(spark, merged, s"$statePath/_batch=$id")
+        Pca.saveState(spark, merged, s"$statePath/$StagePrefix$id")
+        // bound storage: only id and id-1 can ever be read again
+        val f = fs(spark, new Path(statePath))
+        ids.filter(_ < id - 1).foreach(old =>
+          f.delete(new Path(statePath, s"$StagePrefix$old"), true))
         if (merged.n > 0) sink(Pca.fitFromMoments(merged, k), id)
       })
       .option("checkpointLocation", checkpoint)
       .start()
-
-  private def stagedIds(statePath: String): Seq[Long] = {
-    val dir = new java.io.File(statePath)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
-      .map(_.getName.stripPrefix("_batch=").toLong)
-      .toSeq
-  }
 }

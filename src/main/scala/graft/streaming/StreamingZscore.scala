@@ -19,28 +19,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * when each key's events arrive in non-decreasing event-time order ACROSS
   * triggers (within a trigger any order is fine — the fold sorts, and
   * equal-ts events are scored against the window INCLUDING each other,
-  * matching the batch RANGE frame). Equal-ts events SPLIT across triggers
-  * score against different windows than the batch form — route genuinely
-  * late/disordered sources through [[LateDataBuffer]], the standing
-  * contract of this surface. */
+  * matching the batch RANGE frame) AND cross-KEY event-time skew between
+  * triggers stays within `watermarkDelay`: the eviction watermark is
+  * GLOBAL, so a key whose clock lags the stream's max by more than the
+  * delay has its (per-key in-order!) events dropped as late — size
+  * `watermarkDelay` to the expected cross-key skew. Equal-ts events SPLIT
+  * across triggers score against different windows than the batch form —
+  * route genuinely late/disordered sources through [[LateDataBuffer]],
+  * the standing contract of this surface. */
 object StreamingZscore {
 
   /** Per-trigger anomaly rows `(key, ts, value, n_window, z)`; `ts` in
-    * epoch MICROSECONDS. */
+    * epoch MICROSECONDS. Rows with a null key/ts/value are dropped (the
+    * batch operator's filter — not a query-killing deserializer error). */
   def updates(
       events: Dataset[(String, Long, Double)],
       windowSize: Long, zThreshold: Double, minCount: Int = 5,
-      inactivity: java.time.Duration = java.time.Duration.ofDays(7))
+      inactivity: java.time.Duration = java.time.Duration.ofDays(7),
+      watermarkDelay: java.time.Duration = java.time.Duration.ZERO)
       : Dataset[(String, Long, Double, Long, Double)] = {
     require(windowSize > 0 && zThreshold > 0 && minCount >= 2)
     require(!inactivity.isNegative, s"inactivity must be >= 0, got $inactivity")
+    require(!watermarkDelay.isNegative,
+      s"watermarkDelay must be >= 0, got $watermarkDelay")
     val spark = events.sparkSession
     import spark.implicits._
     val horizonMs = inactivity.toMillis
     val withWm = events
       .toDF("_k", "_ts", "_v")
       .withColumn("_et", timestamp_micros(col("_ts")))
-      .withWatermark("_et", "0 seconds")
+      .withWatermark("_et", s"${watermarkDelay.toMillis} milliseconds")
       .as[(String, Long, Double, java.sql.Timestamp)]
     withWm
       .groupByKey(_._1)
@@ -69,11 +77,13 @@ object StreamingZscore {
                     val mean = s / n
                     val sd = math.sqrt(variance)
                     group.foreach { case (_, v) =>
-                      // round BEFORE thresholding — the batch operator
-                      // filters on the rounded z, and a boundary value
-                      // must make the same keep/drop call here
-                      val z = math.rint(
-                        ((v - mean) / sd + 1e-9) * 1e6) / 1e6
+                      // round BEFORE thresholding, and with the SAME
+                      // rounding Spark's round() uses (BigDecimal
+                      // HALF_UP) — scaled-rint is HALF_EVEN and flips
+                      // keep/drop calls exactly on rounding boundaries
+                      val z = BigDecimal((v - mean) / sd + 1e-9)
+                        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                        .toDouble
                       if (math.abs(z) >= zThreshold)
                         out += ((key, ts, v, n, z))
                     }
@@ -98,14 +108,21 @@ object StreamingZscore {
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       windowSize: Long, zThreshold: Double, minCount: Int,
       checkpoint: String,
-      inactivity: java.time.Duration = java.time.Duration.ofDays(7))(
+      inactivity: java.time.Duration = java.time.Duration.ofDays(7),
+      watermarkDelay: java.time.Duration = java.time.Duration.ZERO)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed = df.select(
-      col(keyCol).cast("string"), col(tsCol).cast("long"),
-      col(valueCol).cast("double")).as[(String, Long, Double)]
-    updates(typed, windowSize, zThreshold, minCount, inactivity).writeStream
+        col(keyCol).cast("string").as("_k"),
+        col(tsCol).cast("long").as("_ts"),
+        col(valueCol).cast("double").as("_v"))
+      // the batch operator FILTERS null ts/value; deserializing a null
+      // into the primitive tuple slot would kill the query instead
+      .where(col("_k").isNotNull && col("_ts").isNotNull && col("_v").isNotNull)
+      .as[(String, Long, Double)]
+    updates(typed, windowSize, zThreshold, minCount, inactivity, watermarkDelay)
+      .writeStream
       .outputMode("append")
       .foreachBatch((batch: Dataset[(String, Long, Double, Long, Double)], id: Long) =>
         sink(batch.toDF(keyCol, tsCol, valueCol, "n_window", "z"), id))
