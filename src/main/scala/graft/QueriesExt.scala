@@ -3178,6 +3178,60 @@ object QueriesExt {
               SELECT key, cnt, ROUND(cnt / CAST(total AS DOUBLE) + 1e-9, 6) AS share
               FROM c, t ORDER BY cnt DESC, key LIMIT 10""")),
 
+    // Q53 — Cohen's kappa between the cheap stopword language heuristic
+    // (t01) and the gold label: chance-corrected agreement — the honest
+    // readout where raw accuracy flatters any predictor on a skewed corpus.
+    Entry(
+      "q53_cohens_kappa",
+      (s, d) => Profiling.cohensKappa(
+        docs(s, d).select(
+          col("lang").as("gold"),
+          TextAnalysis.langIdHeuristic(col("text")).as("pred")),
+        "gold", "pred"),
+      Some("""WITH pr AS (SELECT lang AS x,
+                                 CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                                t -> t IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+                                           / len(string_split_regex(trim(lower(text)), '\s+')) >= 0.1
+                                      THEN 'en' ELSE 'unk' END AS y
+                          FROM documents),
+                   j AS (SELECT x, y, COUNT(*) AS nxy FROM pr GROUP BY 1, 2),
+                   ma AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+                   mb AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM j GROUP BY y),
+                   t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j),
+                   po AS (SELECT CAST(COALESCE(SUM(CASE WHEN x IS NOT DISTINCT FROM y THEN nxy END), 0) AS DOUBLE)
+                                 / MAX(t.n) AS po
+                          FROM j, t),
+                   pe AS (SELECT COALESCE(SUM(CAST(nx AS DOUBLE) * ny
+                                              / (CAST(n AS DOUBLE) * n)), 0.0) AS pe
+                          FROM ma JOIN mb ON ma.x IS NOT DISTINCT FROM mb.y
+                               CROSS JOIN t)
+              SELECT t.n AS n, ROUND(po.po + 1e-9, 6) AS po,
+                     ROUND(pe.pe + 1e-9, 6) AS pe,
+                     CASE WHEN pe.pe < 1.0
+                          THEN ROUND((po.po - pe.pe) / (1 - pe.pe) + 1e-9, 6)
+                     END AS kappa
+              FROM t, po, pe""")),
+
+    // Q54 — per-source document cap ("no source dominates the mix"): at
+    // most 15 docs per source (the sf0.01 corpus has 25 per source — the cap binds), picked by md5 order — an unbiased,
+    // rerun-stable draw. Pure composition of the skew-safe two-pass
+    // per-group top-k (TopK.perGroup) over the deterministic hash.
+    Entry(
+      "q54_source_cap",
+      (s, d) => TopK.perGroup(
+        docs(s, d).select(col("doc_id"), col("source"),
+          Dedup.hash56(col("doc_id").cast("string")).as("_h")),
+        Seq("source"), Seq(col("_h").asc, col("doc_id").asc), 15)
+        .select(col("source"), col("rank").cast("long").as("rank"), col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, source,
+                                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS hh
+                         FROM documents),
+                   r AS (SELECT source, doc_id,
+                                row_number() OVER (PARTITION BY source
+                                                   ORDER BY hh, doc_id) AS rank
+                         FROM h)
+              SELECT source, rank, doc_id FROM r WHERE rank <= 15""")),
+
     // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
     // then encode every document with them — per-doc BPE token count, the
     // number t14's packing actually budgets against. Iterative learn +

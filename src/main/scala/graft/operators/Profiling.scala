@@ -632,6 +632,48 @@ object Profiling {
           .as("enc"))
   }
 
+  /** Cohen's kappa between two categorical columns — chance-corrected
+    * agreement, the standard way to read "does the cheap classifier agree
+    * with the gold label BEYOND what the class skew alone would produce?"
+    * (raw accuracy flatters any predictor on a 95%-one-class corpus;
+    * kappa doesn't): `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed
+    * agreement rate and `p_e = Σ_c p_A(c) · p_B(c)` the chance rate from
+    * the marginals. Output: one row `(n, po, pe, kappa)` (6 dp; kappa null
+    * when `p_e = 1` — a constant pair has no chance-corrected signal).
+    * NULL is a category like any other (the [[mutualInformation]]
+    * convention, same machinery).
+    *
+    * Plan: THE one corpus pass is the joint (a, b) count aggregate;
+    * marginals, totals, and both rates re-aggregate the pair table with
+    * null-safe join-back. */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df.groupBy(col(colA).as("_x"), col(colB).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    val margA = joint.groupBy("_x").agg(sum("_nxy").as("_nx"))
+      .select(col("_x").as("_xm"), col("_nx"))
+    val margB = joint.groupBy("_y").agg(sum("_nxy").as("_ny"))
+      .select(col("_y").as("_ym"), col("_ny"))
+    val total = broadcast(joint.agg(sum("_nxy").as("_n")))
+    val po = broadcast(joint
+      .crossJoin(total)
+      .agg((coalesce(sum(when(col("_x") <=> col("_y"), col("_nxy"))), lit(0L))
+        .cast("double") / first(col("_n"))).as("_po")))
+    val pe = broadcast(margA
+      .join(margB, col("_xm") <=> col("_ym"))
+      .crossJoin(total)
+      .agg(coalesce(
+        sum(col("_nx").cast("double") * col("_ny") /
+          (col("_n").cast("double") * col("_n"))), lit(0.0)).as("_pe")))
+    total.crossJoin(po).crossJoin(pe)
+      .select(
+        col("_n").as("n"),
+        stableRound(col("_po"), 6).as("po"),
+        stableRound(col("_pe"), 6).as("pe"),
+        when(col("_pe") < 1.0,
+          stableRound((col("_po") - col("_pe")) / (lit(1.0) - col("_pe")), 6))
+          .as("kappa"))
+  }
+
   /** K-anonymity audit over quasi-identifier columns — the governance gate a
     * pipeline runs before releasing data carrying indirect identifiers: a
     * row is re-identifiable when its quasi-identifier combination is shared

@@ -47,6 +47,27 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(mi2.getDouble(2) - math.log(3.0)) < 1e-5)
   }
 
+  test("cohensKappa: 1 on identity, ~0 on independence, null on a constant pair") {
+    import spark.implicits._
+    val ident = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c")).toDF("x", "y")
+    val r1 = Profiling.cohensKappa(ident, "x", "y").head()
+    assert(r1.getLong(0) == 4L && r1.getDouble(1) == 1.0 && r1.getDouble(3) == 1.0)
+    // independent uniform pair: po == pe == 0.5 -> kappa 0
+    val indep = Seq(("a", "u"), ("a", "a"), ("b", "u"), ("b", "a"))
+      .toDF("x", "y") // agreement only on ("a","a") -> po = 0.25
+    val r2 = Profiling.cohensKappa(indep, "x", "y").head()
+    // pe = pA(a)*pB(a) + pA(b)*pB(b) = .5*.5 + .5*0 = 0.25 -> kappa 0
+    assert(r2.getDouble(1) == 0.25 && r2.getDouble(2) == 0.25 && r2.getDouble(3) == 0.0)
+    val const = Seq(("k", "k"), ("k", "k")).toDF("x", "y")
+    val r3 = Profiling.cohensKappa(const, "x", "y").head()
+    assert(r3.getDouble(2) == 1.0 && r3.isNullAt(3)) // pe = 1 -> undefined
+    // null is a category: (null, null) agrees with itself
+    val withNull = Seq[(String, String)](
+      (null, null), ("a", "a"), ("a", "b"), ("b", "b")).toDF("x", "y")
+    val r4 = Profiling.cohensKappa(withNull, "x", "y").head()
+    assert(r4.getDouble(1) == 0.75)
+  }
+
   test("kAnonymity: hand model — risky groups and rows below k") {
     import spark.implicits._
     val df = Seq(
