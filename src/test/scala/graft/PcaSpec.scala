@@ -254,6 +254,52 @@ class PcaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingPca: restart from checkpoint continues the fold; stagings stay pruned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val statePath = tmpDir("spca-r") + "/state"
+    val ckpt = tmpDir("spca-r-ckpt")
+    val models = scala.collection.mutable.Map[Long, Pca.PcaModel]()
+    def run(stream: MemoryStream[Seq[Double]]) =
+      graft.streaming.StreamingPca.attach(
+        stream.toDF().toDF("v"), "v", k = 2, statePath, ckpt) {
+        (m, id) => models.synchronized { models(id) = m }
+      }
+    val b1 = (0 until 15).map(i => Seq(i * 0.4, math.cos(i * 0.6)))
+    val b2 = (15 until 30).map(i => Seq(i * 0.4, math.cos(i * 0.6)))
+    val b3 = (30 until 50).map(i => Seq(i * 0.4, math.cos(i * 0.6)))
+
+    val s1 = MemoryStream[Seq[Double]](spark)
+    val q1 = run(s1)
+    try {
+      s1.addData(b1: _*); q1.processAllAvailable()
+      s1.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // NEW query instance, same checkpoint + state: the fold must continue
+    // from batch 1's staging, not restart from zero. MemoryStream restart
+    // idiom: re-add the already-committed blocks so the checkpoint's
+    // offsets resolve — Spark skips them and processes only block 3 (or
+    // replays block 2, which the staging design makes idempotent)
+    val s2 = MemoryStream[Seq[Double]](spark)
+    s2.addData(b1: _*)
+    s2.addData(b2: _*)
+    s2.addData(b3: _*)
+    val q2 = run(s2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val want = Pca.fit((b1 ++ b2 ++ b3).toDF("v"), "v", 2)
+    val got = models.synchronized(models.maxBy(_._1)._2)
+    assert(got.n == want.n, s"restarted fold must cover all 50 rows, got n=${got.n}")
+    got.mean.zip(want.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    got.eigenvalues.zip(want.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9) }
+    // storage bounded: at most the two newest stagings survive pruning
+    val stages = new java.io.File(statePath).listFiles()
+      .filter(_.getName.startsWith("_batch=")).map(_.getName).sorted
+    assert(stages.length <= 2, s"stagings must be pruned to two: ${stages.toSeq}")
+  }
+
   test("fit agrees with covarianceSlice on the same data") {
     import spark.implicits._
     val rows = (0 until 25).map(i => Seq(i * 0.2, math.cos(i * 0.9), (i % 4).toDouble))
