@@ -3178,6 +3178,41 @@ object QueriesExt {
               SELECT key, cnt, ROUND(cnt / CAST(total AS DOUBLE) + 1e-9, 6) AS share
               FROM c, t ORDER BY cnt DESC, key LIMIT 10""")),
 
+    // Q55 — Wilson score intervals for the q46 variant rates: the
+    // small-n-honest confidence band (never leaves [0,1]) printed next to
+    // every A/B readout.
+    Entry(
+      "q55_wilson",
+      (s, d) => {
+        val v = docs(s, d).select(
+          when(pmod(Dedup.hash56(col("doc_id").cast("string")), lit(2L)) === 0,
+            "control").otherwise("treatment").as("variant"),
+          (col("n_chars") > 500).as("success"))
+        Experiment.wilsonIntervals(v, "variant", "success")
+      },
+      Some("""WITH v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 2 = 0
+                                     THEN 'control' ELSE 'treatment' END AS variant,
+                                (n_chars > 500) AS success
+                         FROM documents),
+                   c AS (SELECT variant, COUNT(*) AS n,
+                                CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS successes
+                         FROM v WHERE success IS NOT NULL GROUP BY variant),
+                   w AS (SELECT variant, n, successes,
+                                CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                                1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE) AS denom
+                         FROM c)
+              SELECT variant, n, successes,
+                     ROUND(p + 1e-9, 6) AS rate,
+                     ROUND((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE))) / denom
+                           - (CAST(1.96 AS DOUBLE) / denom) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                                                   + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           + 1e-9, 6) AS lo,
+                     ROUND((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE))) / denom
+                           + (CAST(1.96 AS DOUBLE) / denom) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                                                   + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           + 1e-9, 6) AS hi
+              FROM w""")),
+
     // Q53 — Cohen's kappa between the cheap stopword language heuristic
     // (t01) and the gold label: chance-corrected agreement — the honest
     // readout where raw accuracy flatters any predictor on a skewed corpus.

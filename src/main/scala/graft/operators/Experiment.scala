@@ -68,6 +68,40 @@ object Experiment {
       .crossJoin(broadcast(z))
   }
 
+  /** Wilson score interval per variant — the confidence band to print NEXT
+    * TO [[abProportionZTest]]'s rates (a bare p̂ from 40 trials looks as
+    * authoritative as one from 40 million; the Wilson interval is the
+    * standard small-n-honest band, never leaving [0, 1] like the normal
+    * approximation does): center `(p̂ + z²/2n) / (1 + z²/n)`, half-width
+    * `z/(1 + z²/n) · √(p̂(1−p̂)/n + z²/4n²)`. Output: one row per variant,
+    * `(variant, n, successes, rate, lo, hi)`, all rates 6 dp. NULL
+    * outcomes are excluded from trials (the z-test's convention).
+    * One variant-keyed corpus aggregate; the interval is per-row
+    * arithmetic on the variant-sized frame. */
+  def wilsonIntervals(
+      df: DataFrame, variantCol: String, successCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val counts = df
+      .where(col(successCol).isNotNull)
+      .groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(successCol) === true, 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+    counts.select(
+      col("variant"), col("n"), col("successes"),
+      stableRound(p, 6).as("rate"),
+      stableRound(center - half, 6).as("lo"),
+      stableRound(center + half, 6).as("hi"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
     * post-period metric with its pre-period covariate,
     * `y' = y − θ (x − x̄)` where `θ = cov(x, y) / var(x)` over ALL units —

@@ -58,6 +58,29 @@ class ExperimentSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("wilsonIntervals: hand model — brackets the rate, stays inside [0,1]") {
+    import spark.implicits._
+    // 8/10 successes at z=1.96: the textbook Wilson numbers
+    val df = (Seq.fill(8)(("v", true)) ++ Seq.fill(2)(("v", false))).toDF("variant", "ok")
+    val r = Experiment.wilsonIntervals(df, "variant", "ok").head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L && r.getDouble(3) == 0.8)
+    val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+    def wilson(p: Double, n: Double, z: Double) = {
+      val denom = 1.0 + z * z / n
+      val c = (p + z * z / (2 * n)) / denom
+      val h = (z / denom) * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+      def rd(x: Double) = BigDecimal(x + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (rd(c - h), rd(c + h))
+    }
+    assert((lo, hi) == wilson(0.8, 10, 1.96))
+    assert(lo < 0.8 && 0.8 < hi && lo > 0.0 && hi < 1.0)
+    // extreme rates: the interval never leaves [0, 1]
+    val all = Seq.fill(5)(("v", true)).toDF("variant", "ok")
+    val re = Experiment.wilsonIntervals(all, "variant", "ok").head()
+    assert(re.getDouble(3) == 1.0 && re.getDouble(5) <= 1.0 && re.getDouble(4) < 1.0)
+  }
+
   test("cuped: perfectly predictive covariate — theta exact, adjusted means collapse") {
     import spark.implicits._
     // post = 2*pre + 7 for every unit -> theta = 2, y' identical everywhere
