@@ -2537,18 +2537,20 @@ object QueriesExt {
     Entry(
       "c07_rrf_fusion",
       (s, d) => {
-        val lex = TextAnalysis.bm25TopK(
-            docs(s, d), "doc_id", "text",
-            queryTerms = Seq("vector", "merge", "scan"), k = 10)
-          .withColumn("_g", lit(1))
-        val lexRanked = TopK.perGroup(
-            lex, Seq("_g"), Seq(col("bm25").desc, col("doc_id").asc), 10)
+        // rank each k-bounded retriever list via the windowless sorted-
+        // struct collapse — the constant-group perGroup spelling constant-
+        // folds its partition away and trips WindowExec's unpartitioned
+        // warning (benign at 10 rows, but the logs stay clean)
+        val lexRanked = TopK.rankBounded(
+            TextAnalysis.bm25TopK(
+              docs(s, d), "doc_id", "text",
+              queryTerms = Seq("vector", "merge", "scan"), k = 10),
+            "doc_id", "bm25")
           .select(col("doc_id"), col("rank"))
-        val dense = Similarity.bruteForceTopK(
-            embs(s, d), "vec_id", "embedding", 0L, 10)
-          .withColumn("_g", lit(1))
-        val denseRanked = TopK.perGroup(
-            dense, Seq("_g"), Seq(col("sim").desc, col("vec_id").asc), 10)
+        val denseRanked = TopK.rankBounded(
+            Similarity.bruteForceTopK(
+              embs(s, d), "vec_id", "embedding", 0L, 10),
+            "vec_id", "sim")
           .select(col("vec_id").as("doc_id"), col("rank"))
         TopK.reciprocalRankFusion(
           Seq(lexRanked, denseRanked), "doc_id", "rank", k = 10)
@@ -3031,7 +3033,7 @@ object QueriesExt {
       "d19_containment",
       (s, d) => Dedup.containmentPairs(
         docs(s, d), "doc_id", "text", threshold = 0.8, maxDf = 50L),
-      Some("""WITH tk AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      Some("""WITH tk AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS toks
                           FROM documents WHERE text IS NOT NULL),
                    tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
                    post AS (SELECT doc_id, UNNEST(toks) AS tok FROM tk2),
@@ -3267,21 +3269,71 @@ object QueriesExt {
                          FROM h)
               SELECT source, rank, doc_id FROM r WHERE rank <= 15""")),
 
-    // T37 — BPE encoding composition: learn 8 merges from the corpus (t36),
-    // then encode every document with them — per-doc BPE token count, the
-    // number t14's packing actually budgets against. Iterative learn +
-    // greedy encode has no SQL form → rows-only; encoder semantics are
-    // spec-pinned (BpeSpec) and the learner's round-0 statistics are
-    // oracle-verified via t35.
+    // T37 — BPE ENCODING with a fixed rank-ordered merge table: per-doc BPE
+    // token count, the number t14's packing actually budgets against. The
+    // table is a spec constant (two rank CHAINS — t+h→th→the, i+n→in→ind —
+    // exercise the lowest-rank-first loop), which is what makes the encoder
+    // fully oracle-able: a FIXED merge list is a bounded fixpoint, mirrored
+    // in DuckDB as a recursive CTE over (word, symbol-list) that each step
+    // picks the lowest-rank adjacent pair present and applies it greedily
+    // left-to-right (the leftmost-skip run semantics — matched(i) ⇔ raw
+    // match at i with an EVEN run of raw matches before it — reduces the
+    // kernel's sequential j+=2 scan to per-position list arithmetic; rows
+    // exit the recursion when no table pair remains). The LEARNED-merges
+    // composition (t36 → encode) stays spec-pinned in BpeSpec — the learner
+    // itself is the one genuinely non-SQL step.
     Entry(
       "t37_bpe_encode",
-      (s, d) => {
-        val documents = docs(s, d)
-        val merges = TextAnalysis.learnBpeMerges(documents, "text", 8)
-          .orderBy("rank").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        TextAnalysis.encodeBpeTokenCount(documents, "doc_id", "text", merges)
-      },
-      None)
+      (s, d) => TextAnalysis.encodeBpeTokenCount(
+        docs(s, d), "doc_id", "text", fixedBpeMerges),
+      Some("""WITH RECURSIVE
+                mg(rk, l, r) AS (SELECT * FROM (VALUES
+                  (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'in','d'),
+                  (4,'e','r'),(5,'a','n'),(6,'r','e'),(7,'s','c')) v(rk,l,r)),
+                toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w
+                         FROM documents WHERE text IS NOT NULL),
+                wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks
+                       WHERE length(w) > 0 GROUP BY doc_id, w),
+                wf AS (SELECT DISTINCT w FROM wc),
+                enc AS (
+                  SELECT w, [substring(w, i, 1) for i in range(1, length(w) + 1)] AS s FROM wf
+                  UNION ALL
+                  SELECT w,
+                         [CASE WHEN m[i] THEN s[i] || s[i + 1] ELSE s[i] END
+                          for i in range(1, len(s) + 1)
+                          if i = 1 OR NOT coalesce(m[i - 1], FALSE)] AS s
+                  FROM (
+                    SELECT w, s,
+                           [raw[i] AND ((i - 1 - coalesce(list_max([j for j in range(1, i) if NOT raw[j]]), 0)) % 2 = 0)
+                            for i in range(1, len(s))] AS m
+                    FROM (
+                      SELECT t0.w, t0.s, [t0.s[i] = mg.l AND t0.s[i + 1] = mg.r for i in range(1, len(t0.s))] AS raw
+                      FROM (
+                        SELECT w, s,
+                               (SELECT min(rk) FROM mg
+                                WHERE list_contains([s[i] || chr(1) || s[i + 1] for i in range(1, len(s))],
+                                                    l || chr(1) || r)) AS brk
+                        FROM enc) t0
+                      JOIN mg ON mg.rk = t0.brk
+                    ) t1
+                  ) t2
+                ),
+                fin AS (
+                  SELECT w, len(s) AS k FROM enc
+                  WHERE (SELECT min(rk) FROM mg
+                         WHERE list_contains([s[i] || chr(1) || s[i + 1] for i in range(1, len(s))],
+                                             l || chr(1) || r)) IS NULL
+                )
+              SELECT d.doc_id, CAST(COALESCE(SUM(wc.cnt * fin.k), 0) AS BIGINT) AS n_bpe_tokens
+              FROM documents d
+              LEFT JOIN wc ON wc.doc_id = d.doc_id
+              LEFT JOIN fin ON fin.w = wc.w
+              GROUP BY d.doc_id"""))
   )
+
+  /** t37's fixed rank-ordered merge table — a spec constant shared by the
+    * Spark query and (inlined as the `mg` VALUES) its DuckDB oracle. */
+  val fixedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "d"),
+    ("e", "r"), ("a", "n"), ("r", "e"), ("s", "c"))
 }

@@ -1056,6 +1056,43 @@ object Dedup {
   def probeNearDup(
       index: NearDupIndex, batch: DataFrame, qIdCol: String, qTextCol: String,
       threshold: Double = 0.5,
+      broadcastCandidates: Boolean = true): DataFrame =
+    probeNearDupPrepped(
+      index,
+      prepNearDup(batch, qIdCol, qTextCol, index.shingleK, index.numHashes,
+        index.bands),
+      threshold, broadcastCandidates)
+
+  /** Hash a frame with the index's geometry — the batch-side prep exposed
+    * so ingestion paths can STAGE prepped deltas ([[extendNearDupIndex]],
+    * [[graft.streaming.StreamingDedup]]'s self-extending attach) and probe
+    * them back without re-running the shingle/minhash/band kernels. Output
+    * schema is the index's own: `(_id, _hs, _sig, _bks)`. */
+  def prepForNearDupIndex(
+      index: NearDupIndex, df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    prepNearDup(df, idCol, textCol, index.shingleK, index.numHashes, index.bands)
+
+  /** Ingestion-time index maintenance — the near-dup analog of
+    * [[Similarity.extendIvfIndex]]: hash `newDf` with the index's FROZEN
+    * geometry and append, no corpus pass. The extended index is IDENTICAL
+    * to a fresh [[buildNearDupIndex]] over the union (the hash family is
+    * deterministic), so extension loses nothing — unlike IVF, where the
+    * frozen codebook is an approximation trade-off. */
+  def extendNearDupIndex(
+      index: NearDupIndex, newDf: DataFrame, idCol: String,
+      textCol: String): NearDupIndex =
+    index.copy(prepped = index.prepped.unionByName(
+      prepForNearDupIndex(index, newDf, idCol, textCol)))
+
+  /** [[probeNearDup]] with an ALREADY-PREPPED batch frame —
+    * `(_id, _hs, _sig, _bks)` hashed with THIS index's geometry
+    * ([[prepForNearDupIndex]] or a staged delta read back from parquet).
+    * The streaming self-extending attach uses this to hash each micro-batch
+    * exactly once: stage the prepped rows, read them back columnar, probe. */
+  def probeNearDupPrepped(
+      index: NearDupIndex, preppedBatch: DataFrame,
+      threshold: Double = 0.5,
       broadcastCandidates: Boolean = true): DataFrame = {
     val numHashes = index.numHashes
     val ct = index.prepped
@@ -1064,9 +1101,7 @@ object Dedup {
     // persist the batch's shingle/minhash/band kernels would run twice per
     // probe — released by the one-shot listener after the caller's first
     // action (the d02 cache discipline)
-    val bt = prepNearDup(
-        batch, qIdCol, qTextCol, index.shingleK, numHashes, index.bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bt = preppedBatch.persist(StorageLevel.MEMORY_AND_DISK)
     def maybeB(f: DataFrame): DataFrame =
       if (broadcastCandidates) broadcast(f) else f.hint("shuffle_hash")
     val bBand = bt.select(col("_id").as("_b_id"), posexplode(col("_bks")).as(Seq("_band", "_bh")))
@@ -1397,8 +1432,14 @@ object Dedup {
       threshold: Double, maxDf: Long): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(maxDf >= 2, s"maxDf must be >= 2 (df-1 tokens cannot pair), got $maxDf")
+    // drop zero-length tokens before hashing: split on leading/trailing
+    // whitespace emits empty strings, which would otherwise hash into the
+    // token set (inflating |A|, |B|, and the df postings) and let
+    // whitespace-only texts pair despite the no-tokens contract — the
+    // TextAnalysis.tokens discipline
     val toks = graft.functions.ArrayKernels
-      .sortedTokenHashes(split(lower(col(textCol)), "\\s+"))
+      .sortedTokenHashes(filter(
+        split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
     val base = df
       .select(col(idCol).as("_id"), toks.as("_toks"))
       .where(size(col("_toks")) > 0)

@@ -355,6 +355,12 @@ object Pca {
     one
       .select(col("_n"),
         expr(s"stack(${pairs.size}, $stacked) as (i, j, _sx, _sy, _sxy)"))
+      // empty-input contract: the single-row aggregate always produces a
+      // row, so with zero fittable rows the unpivot would emit d(d+1)/2
+      // (n=0, cov=null) rows while the documented DuckDB mirror (GROUP BY
+      // over the empty filtered relation) emits none — filter to match the
+      // bestSplit `WHERE p + n > 0` convention
+      .where(col("_n") > 0)
       .select(
         col("i"), col("j"), col("_n").as("n"),
         stableRound(

@@ -187,6 +187,26 @@ object TopK {
       .select(col(idCol), col(weightCol), stableRound(col("_sk"), 6).as("samp_key"))
   }
 
+  /** Rank an ALREADY-BOUNDED frame (a retriever's top-k output: ≤ k rows
+    * by construction) by `(scoreCol desc, idCol asc)` WITHOUT a window: the
+    * rows collapse into ONE sorted struct array (the foldAssign collapse
+    * discipline) and `posexplode` re-emits them with their 1-based
+    * position. The textbook constant-partition window spelling constant-
+    * folds into WindowExec's unpartitioned single-task path — harmless at
+    * k rows but indistinguishable in the logs from a genuine scale bug, so
+    * the bench keeps its zero-`No Partition Defined` invariant instead.
+    * Output: `(idCol, scoreCol, rank)` (rank matches `row_number` over the
+    * same total order). Use ONLY on frames bounded by construction — this
+    * materializes the whole frame as one array row. */
+  def rankBounded(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    df.agg(array_sort(collect_list(struct(
+        (-col(scoreCol)).as("_ns"), col(idCol).as("_id")))).as("_arr"))
+      .select(posexplode(col("_arr")).as(Seq("_p", "_r")))
+      .select(
+        col("_r._id").as(idCol),
+        (-col("_r._ns")).as(scoreCol),
+        (col("_p") + 1).cast("int").as("rank"))
+
   /** Reciprocal-rank fusion (Cormack-Clarke-Buettcher 2009) — the standard
     * hybrid-retrieval merge: given several rankings of the same id space
     * (BM25, dense ANN, recency…), each list contributes `1/(c + rank)` for

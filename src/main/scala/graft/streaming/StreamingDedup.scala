@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -31,4 +31,72 @@ object StreamingDedup {
           broadcastCandidates), id))
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** SELF-EXTENDING ingest-time near-dup: batch `N` is probed against the
+    * base corpus PLUS every earlier batch `1..N-1`, then folded into the
+    * index state — the actual ingest requirement [[attachNearDup]]'s
+    * frozen index cannot meet (a near-dup pair split across two triggers
+    * is invisible to it; the reference's whole on-demand idea is state
+    * that grows with the stream,
+    * `…/imtu/InMemoryTableUpdater.scala:173-215`).
+    *
+    * Mechanics per trigger ([[DeltaStaging]] — the [[StreamingPca]]
+    * replay/incarnation discipline, adapted to deltas): purge stagings
+    * ≥ id, hash the batch ONCE with the index's geometry
+    * ([[graft.operators.Dedup.prepForNearDupIndex]]), stage it at
+    * `statePath/_batch=<id>`, then probe the staged rows (read back
+    * columnar) against base ∪ deltas STRICTLY BELOW id. A replayed batch
+    * rewrites its own staging deterministically and probes the identical
+    * index state, so the sink output for a given id is idempotent; a fresh
+    * incarnation (checkpoint reset, same statePath) starts clean.
+    *
+    * Cost: write side ∝ batch (one hash pass, one small parquet dir per
+    * trigger); probe side scan-bound over base + history — exactly the
+    * batch-probe shape, because dedup against ALL earlier batches is the
+    * semantics, not overhead. Compact between restarts by folding deltas
+    * into a new base ([[graft.operators.Dedup.extendNearDupIndex]] →
+    * [[graft.operators.Dedup.saveNearDupIndex]]) and clearing `statePath`.
+    *
+    * WITHIN-batch duplicates do not pair here (the probe side is
+    * base ∪ earlier batches only); run
+    * [[graft.operators.Dedup.minHashLshPairs]] on the batch when
+    * intra-trigger pairs matter. `idCol` values must be unique across the
+    * stream and type-compatible with the base index's ids.
+    *
+    * `sink` receives `(batch_id, corpus_id, jaccard)` — `corpus_id` may
+    * name a base-corpus doc or an earlier stream doc — and the batch id. */
+  def attachNearDupSelfExtending(
+      docs: DataFrame, baseIndex: Dedup.NearDupIndex,
+      idCol: String, textCol: String, threshold: Double,
+      statePath: String, checkpoint: String,
+      broadcastCandidates: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        DeltaStaging.purgeAtOrAbove(spark, statePath, id)
+        DeltaStaging.stage(
+          Dedup.prepForNearDupIndex(baseIndex, batch, idCol, textCol),
+          statePath, id)
+        val index = DeltaStaging.deltasBelow(spark, statePath, id)
+          .fold(baseIndex)(d =>
+            baseIndex.copy(prepped = baseIndex.prepped.unionByName(d)))
+        sink(
+          Dedup.probeNearDupPrepped(
+            index, DeltaStaging.read(spark, statePath, id), threshold,
+            broadcastCandidates),
+          id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The serving-side view of a self-extending stream's index: base plus
+    * every committed delta — for ad-hoc batch probes against a live
+    * ingest's state (matches what the NEXT trigger will probe). */
+  def currentNearDupIndex(
+      spark: SparkSession, baseIndex: Dedup.NearDupIndex,
+      statePath: String): Dedup.NearDupIndex =
+    DeltaStaging.allDeltas(spark, statePath)
+      .fold(baseIndex)(d =>
+        baseIndex.copy(prepped = baseIndex.prepped.unionByName(d)))
 }

@@ -66,6 +66,17 @@ object StreamingPca {
     docs.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => {
         val spark = batch.sparkSession
+        val f0 = fs(spark, new Path(statePath))
+        // incarnation safety: a query restarted with a FRESH checkpoint
+        // (batch ids reset to 0) but the same statePath would otherwise
+        // leave the prior run's stagings in place until the new run's ids
+        // caught up — at which point a stale `_batch=N` would be silently
+        // chosen as the merge base, double-counting the previous
+        // incarnation. Stagings at or above the current id can only come
+        // from a prior incarnation (a replay's own staging is rewritten
+        // below anyway), so they are deleted before the base is chosen.
+        stagedIds(spark, statePath).filter(_ >= id).foreach(stale =>
+          f0.delete(new Path(statePath, s"$StagePrefix$stale"), true))
         // replay safety: the prefix is the highest staging STRICTLY BELOW
         // this id — a replayed batch rebuilds from the same base and
         // overwrites its own staging instead of double-counting

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Similarity
@@ -64,6 +64,69 @@ object StreamingSimilarity {
     attach(queries, checkpoint, sink)(batch =>
       Similarity.probeSq8Ivf(index, batch, qIdCol, qVecCol, k, nProbe,
         guardBroadcast = false))
+
+  /** SELF-EXTENDING ingest-time ANN: each micro-batch of vectors is probed
+    * against the base corpus PLUS every earlier batch, then folded into the
+    * index state — so a vector ingested in trigger 1 is retrievable by a
+    * trigger-2 probe WITHOUT a restart (the gap the frozen-index
+    * [[attachIvf]] leaves: its index only grows "between restarts").
+    *
+    * Mechanics per trigger ([[DeltaStaging]], the near-dup self-extending
+    * discipline): purge stagings ≥ id; assign the batch's vectors to the
+    * FROZEN codebook ([[Similarity.assignToCodebook]] — broadcast fold,
+    * rows never move); stage the assigned rows at `statePath/_batch=<id>`;
+    * probe the batch against base ∪ deltas STRICTLY BELOW id. Replay
+    * rewrites the same staging and probes the same state → sink output
+    * idempotent by batch id; a fresh incarnation starts clean. The
+    * codebook is never refit mid-stream (standard IVF practice — recall
+    * degrades only with distribution drift); rebuild + re-stage between
+    * restarts when it does, compacting deltas via
+    * [[Similarity.extendIvfIndex]] → [[Similarity.saveIvfIndex]].
+    *
+    * `sink` receives the probe result `(q_id, rank, <idCol>, sim)` — the
+    * retrieved id may name a base-corpus vector or an earlier stream
+    * vector — and the batch id. Within-batch neighbors do not pair (probe
+    * side excludes the current batch); ids must be unique across the
+    * stream and type-compatible with the base index's. */
+  def attachIvfSelfExtending(
+      vectors: DataFrame, index: Similarity.IvfIndex,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
+      statePath: String, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        DeltaStaging.purgeAtOrAbove(spark, statePath, id)
+        // stage under the INDEX's column names so the delta unions by name
+        // with index.assigned whatever the stream frame calls its columns
+        DeltaStaging.stage(
+          Similarity.assignToCodebook(
+            index.codebook,
+            batch.select(
+              org.apache.spark.sql.functions.col(qIdCol).as(index.idCol),
+              org.apache.spark.sql.functions.col(qVecCol).as(index.vecCol)),
+            index.idCol, index.vecCol),
+          statePath, id)
+        val extended = DeltaStaging.deltasBelow(spark, statePath, id)
+          .fold(index)(d =>
+            index.copy(assigned = index.assigned.unionByName(d)))
+        sink(
+          Similarity.probeIvf(extended, batch, qIdCol, qVecCol, k, nProbe,
+            guardBroadcast = false),
+          id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The serving-side view of a self-extending stream's index: base plus
+    * every committed delta — what the NEXT trigger will probe. Hand it to
+    * [[Similarity.probeIvf]] (or a second, query-stream [[attachIvf]]) so
+    * ad-hoc retrieval sees everything ingested so far. */
+  def currentIvf(
+      spark: SparkSession, index: Similarity.IvfIndex,
+      statePath: String): Similarity.IvfIndex =
+    DeltaStaging.allDeltas(spark, statePath)
+      .fold(index)(d => index.copy(assigned = index.assigned.unionByName(d)))
 
   /** [[attachIvf]] for a sign-LSH index. */
   def attachLsh(

@@ -57,8 +57,15 @@ object ScaleStressR9 {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
 
     // customers shift per copy (graph NODES scale with data); suppliers stay
-    // shared across copies — the "many customers, few hosts" hub shape
-    val maxCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    // shared across copies — the "many customers, few hosts" hub shape.
+    // ONE custkey shift constant over BOTH tables' custkeys, mirroring the
+    // maxOk treatment: not every customer appears in orders, so per-table
+    // maxima can differ and would break the o_custkey→c_custkey FK in
+    // replicated copies for any soak query joining the two.
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    val maxCust = math.max(
+      ord.agg(max("o_custkey")).head().getLong(0),
+      cust.agg(max("c_custkey")).head().getLong(0)) + 1
     (0 until factor).map { k =>
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOk))
         .withColumn("o_custkey", col("o_custkey") + lit(k * maxCust))
@@ -85,10 +92,8 @@ object ScaleStressR9 {
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
-    val maxCk = cust.agg(max("c_custkey")).head().getLong(0) + 1
     (0 until factor).map { k =>
-      cust.withColumn("c_custkey", col("c_custkey") + lit(k * maxCk))
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * maxCust))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
 

@@ -661,4 +661,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentPairs(allCommon, "doc_id", "text", 0.5, maxDf = 3L)
       .count() == 0)
   }
+
+  test("containmentPairs: surrounding whitespace never mints tokens; whitespace-only texts never pair") {
+    import spark.implicits._
+    // doc 2 = doc 1's tokens with leading/trailing/extra whitespace: token
+    // sets must be IDENTICAL (containment 1.0, |A| = |B| → lower id
+    // contained), not inflated by a hashed "" token
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha beta gamma  "),
+      (3L, "   "), (4L, " \t "), (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 0.9, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.0)),
+      s"whitespace-only docs 3-5 must not tokenize or pair, got ${got.toSeq}")
+  }
 }

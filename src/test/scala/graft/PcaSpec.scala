@@ -300,6 +300,56 @@ class PcaSpec extends SparkSpec {
     assert(stages.length <= 2, s"stagings must be pruned to two: ${stages.toSeq}")
   }
 
+  test("StreamingPca: fresh incarnation (new checkpoint, same statePath) never merges stale stagings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val statePath = tmpDir("spca-i") + "/state"
+    val models = scala.collection.mutable.Map[Long, Pca.PcaModel]()
+    def run(stream: MemoryStream[Seq[Double]], ckpt: String) =
+      graft.streaming.StreamingPca.attach(
+        stream.toDF().toDF("v"), "v", k = 2, statePath, ckpt) {
+        (m, id) => models.synchronized { models(id) = m }
+      }
+    // incarnation 1: two batches → stagings _batch=0, _batch=1 survive
+    val old1 = (0 until 15).map(i => Seq(i * 0.3, math.sin(i * 0.5)))
+    val old2 = (15 until 30).map(i => Seq(i * 0.3, math.sin(i * 0.5)))
+    val s1 = MemoryStream[Seq[Double]](spark)
+    val q1 = run(s1, tmpDir("spca-i-ckpt1"))
+    try {
+      s1.addData(old1: _*); q1.processAllAvailable()
+      s1.addData(old2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // incarnation 2: FRESH checkpoint, batch ids reset to 0, same statePath.
+    // Without the at-or-above purge, batch 1 here would merge on top of the
+    // dead incarnation's _batch=1 prefix (30 rows) — double-counting.
+    val n1 = (0 until 10).map(i => Seq(i * 0.7, math.cos(i * 0.4)))
+    val n2 = (10 until 22).map(i => Seq(i * 0.7, math.cos(i * 0.4)))
+    val s2 = MemoryStream[Seq[Double]](spark)
+    val q2 = run(s2, tmpDir("spca-i-ckpt2"))
+    try {
+      s2.addData(n1: _*); q2.processAllAvailable()
+      s2.addData(n2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val want = Pca.fit((n1 ++ n2).toDF("v"), "v", 2)
+    val got = models.synchronized(models(1L))
+    assert(got.n == want.n,
+      s"new incarnation must cover exactly its own ${want.n} rows, got n=${got.n}")
+    got.mean.zip(want.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    val st = graft.streaming.StreamingPca.currentState(spark, statePath).get
+    assert(st.n == want.n, s"state must hold only the live incarnation: n=${st.n}")
+  }
+
+  test("covarianceSlice: zero fittable rows → empty frame (the GROUP BY mirror's shape)") {
+    import spark.implicits._
+    val empty = Seq.empty[Seq[Double]].toDF("v")
+    assert(Pca.covarianceSlice(empty, "v", 3).count() == 0)
+    // all rows filtered out (too short / null element) — same contract
+    val unfittable = Seq(Seq(1.0), Seq(2.0)).toDF("v")
+    assert(Pca.covarianceSlice(unfittable, "v", 3).count() == 0)
+  }
+
   test("fit agrees with covarianceSlice on the same data") {
     import spark.implicits._
     val rows = (0 until 25).map(i => Seq(i * 0.2, math.cos(i * 0.9), (i % 4).toDouble))

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.{StreamingDedup, StreamingSimilarity}
+
+/** Self-extending streaming indexes (round-10 ingest realism): batch N must
+  * dedup / retrieve against batches 1..N-1, not just the frozen base corpus
+  * — with per-id-idempotent sink output (replay), checkpoint-restart
+  * continuation, and incarnation-reset purging (fresh checkpoint, same
+  * statePath starts clean). Batch parity anchor: the streaming trigger-N
+  * output equals `extend(base, batches < N)` + one batch probe. */
+class StreamingExtendSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic doc text: identical seed → identical text (jaccard 1);
+    * the 5000-token vocabulary keeps DIFFERENT seeds' jaccard near zero so
+    * threshold-0.5 assertions see only planted pairs. */
+  private def doc(i: Long, seed: Int): (Long, String) = {
+    val r = new scala.util.Random(seed)
+    (i, Seq.fill(30)(s"tok${r.nextInt(5000)}").mkString(" "))
+  }
+
+  private def pairRows(d: DataFrame): Set[(Long, Long, Double)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("attachNearDupSelfExtending: batch N pairs against batches < N; parity with batch extend+probe") {
+    val corpus = (0L until 20L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(corpus, "doc_id", "text").persisted()
+    val statePath = tmpDir("snd") + "/state"
+    val results = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.attachNearDupSelfExtending(
+      stream.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+      threshold = 0.5, statePath, tmpDir("snd-ckpt")) { (out, id) =>
+      results.synchronized { results(id) = pairRows(out) }
+    }
+    try {
+      // trigger 1: one dup of base doc 3, one brand-new doc 101
+      val b1 = Seq(doc(100L, 3), doc(101L, 991))
+      // trigger 2: dup of TRIGGER-1's doc 101 (absent from base) + new doc
+      val b2 = Seq(doc(200L, 991), doc(201L, 992))
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val r1 = results.synchronized(results(0L))
+      val r2 = results.synchronized(results(1L))
+      // trigger 1 sees only the base: the planted base dup, nothing else
+      assert(r1.map(p => (p._1, p._2)) == Set((100L, 3L)))
+      // trigger 2 catches the CROSS-TRIGGER pair — the frozen-index attach
+      // cannot (doc 101 is not in the base corpus)
+      assert(r2.map(p => (p._1, p._2)) == Set((200L, 101L)))
+      assert(pairRows(Dedup.probeNearDup(
+        base, b2.toDF("doc_id", "text"), "doc_id", "text", 0.5)).isEmpty)
+      // batch parity: extend(base, b1) probed with b2 == streaming trigger 2
+      val extended = Dedup.extendNearDupIndex(
+        base, b1.toDF("doc_id", "text"), "doc_id", "text")
+      assert(r2 == pairRows(Dedup.probeNearDup(
+        extended, b2.toDF("doc_id", "text"), "doc_id", "text", 0.5)))
+      // serving view covers both committed deltas
+      val current = StreamingDedup.currentNearDupIndex(spark, base, statePath)
+      assert(pairRows(Dedup.probeNearDup(
+          current, Seq(doc(300L, 992)).toDF("doc_id", "text"),
+          "doc_id", "text", 0.5)).map(p => (p._1, p._2)) == Set((300L, 201L)))
+    } finally q.stop()
+  }
+
+  test("attachNearDupSelfExtending: restart continues the index; fresh incarnation purges it") {
+    val corpus = (0L until 10L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(corpus, "doc_id", "text").persisted()
+    val statePath = tmpDir("snd-r") + "/state"
+    val ckpt = tmpDir("snd-r-ckpt")
+    val results = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    def run(stream: MemoryStream[(Long, String)], checkpoint: String) =
+      StreamingDedup.attachNearDupSelfExtending(
+        stream.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+        threshold = 0.5, statePath, checkpoint) { (out, id) =>
+        results.synchronized { results(id) = pairRows(out) }
+      }
+    val b1 = Seq(doc(100L, 771))
+    val b2 = Seq(doc(101L, 772))
+    val s1 = MemoryStream[(Long, String)](spark)
+    val q1 = run(s1, ckpt)
+    try {
+      s1.addData(b1: _*); q1.processAllAvailable()
+      s1.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the SAME checkpoint: trigger 3's dup of trigger-1's doc
+    // must be caught — the staged deltas survived the restart
+    val s2 = MemoryStream[(Long, String)](spark)
+    s2.addData(b1: _*); s2.addData(b2: _*)
+    s2.addData(doc(102L, 771))
+    val q2 = run(s2, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(results.synchronized(results(2L)).map(p => (p._1, p._2)) ==
+      Set((102L, 100L)))
+
+    // FRESH incarnation (new checkpoint, batch ids reset, same statePath):
+    // batch 0 must not pair against the previous incarnation's docs, and
+    // its processing purges every stale staging
+    results.clear()
+    val s3 = MemoryStream[(Long, String)](spark)
+    s3.addData(doc(500L, 771)) // dup of the DEAD incarnation's doc 100
+    val q3 = run(s3, tmpDir("snd-r-ckpt2"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(results.synchronized(results(0L)).isEmpty,
+      "a fresh incarnation must not see the prior incarnation's deltas")
+    val stages = new java.io.File(statePath).listFiles()
+      .filter(_.getName.startsWith("_batch=")).map(_.getName).toSeq
+    assert(stages == Seq("_batch=0"),
+      s"stale stagings must be purged, got $stages")
+  }
+
+  test("attachIvfSelfExtending: vector ingested in trigger 1 is retrieved by a trigger-2 probe; parity with batch extend") {
+    val rng = new scala.util.Random(41)
+    // two well-separated clusters so retrieval is unambiguous
+    def mk(ids: Seq[Long]): Seq[(Long, Seq[Double])] = ids.map { i =>
+      val cell = (i % 2).toInt
+      (i, Seq.tabulate(8)(d => (if (d == cell * 4) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.03))
+    }
+    val baseRows = mk(0L until 30L)
+    val base = Similarity.buildIvfIndex(
+      baseRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      pmod(col("vec_id"), lit(2L))).persisted()
+    val statePath = tmpDir("sivf") + "/state"
+    val results = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingSimilarity.attachIvfSelfExtending(
+      stream.toDF().toDF("vec_id", "embedding"), base,
+      "vec_id", "embedding", k = 3, nProbe = 2,
+      statePath, tmpDir("sivf-ckpt")) { (out, id) =>
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      results.synchronized { results(id) = rows }
+    }
+    try {
+      // stream vectors live on a THIRD direction (e2) the base corpus never
+      // uses, so the nearest neighbor of a stream query is unambiguously the
+      // earlier stream vector (cosine ≈ 1 vs ≈ 0 against every base row)
+      def mkDir(i: Long): (Long, Seq[Double]) =
+        (i, Seq.tabulate(8)(d => (if (d == 2) 1.0 else 0.0) +
+          rng.nextGaussian() * 0.03))
+      val b1 = Seq(mkDir(100L))
+      val b2 = Seq(mkDir(200L)) // must now retrieve 100 as its top hit
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val r2 = results.synchronized(results(1L))
+      assert(r2.exists { case (qid, rank, hit, _) =>
+        qid == 200L && rank == 1L && hit == 100L },
+        s"trigger-2 probe must retrieve the trigger-1 vector first, got $r2")
+      // parity with the batch path over the same history
+      val expect = Similarity.probeIvf(
+          Similarity.extendIvfIndex(base, b1.toDF("vec_id", "embedding")),
+          b2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 3, nProbe = 2, guardBroadcast = false)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(r2.toSet == expect.toSet)
+      // serving view: an ad-hoc batch probe sees everything ingested so far
+      val cur = StreamingSimilarity.currentIvf(spark, base, statePath)
+      val adhoc = Similarity.probeIvf(
+          cur, Seq(mkDir(300L)).toDF("vec_id", "embedding"), "vec_id",
+          "embedding", k = 4, nProbe = 2, guardBroadcast = false)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(adhoc.contains((300L, 100L)) && adhoc.contains((300L, 200L)),
+        s"serving view must cover both stream vectors, got $adhoc")
+    } finally q.stop()
+  }
+}

@@ -171,4 +171,21 @@ class TopKSpec extends SparkSpec {
     // tie on fused score (10 vs 20, both rank-1 singletons) breaks on id
     assert(got.indexWhere(_._1 == 10L) < got.indexWhere(_._1 == 20L))
   }
+
+  test("rankBounded == row_number over (score desc, id asc), ties on id, no WindowExec") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.5), (4L, 0.1), (5L, 0.9)
+    ).toDF("id", "score")
+    val got = TopK.rankBounded(df, "id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    // score desc, id asc: 2(.9) < 5(.9) < 1(.5) < 3(.5) < 4(.1)
+    assert(got == Set(
+      (2L, 0.9, 1), (5L, 0.9, 2), (1L, 0.5, 3), (3L, 0.5, 4), (4L, 0.1, 5)))
+    // the plan must carry no Window at all — that is the operator's point
+    val plan = TopK.rankBounded(df, "id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"windowless contract violated:\n$plan")
+    assert(TopK.rankBounded(df.where(lit(false)), "id", "score").count() == 0)
+  }
 }
