@@ -574,6 +574,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState parity on the RocksDB state store (sessionizeStateful)") {
+    import spark.implicits._
+    // the windowedAgg RocksDB test covers built-in streaming aggregation
+    // state; this covers the ARBITRARY typed-state family (every
+    // flatMapGroupsWithState operator — sessions, funnel, as-of, z-score,
+    // sampler — shares the provider-facing surface: Encoder-serialized
+    // state rows + event-time timeouts), proving the operators are
+    // provider-agnostic end to end, timeouts included
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    GraftSession.useRocksDbStateStore(spark)
+    try {
+      val base = 1700000000000L
+      def ts(offMin: Long) = new java.sql.Timestamp(base + offMin * 60000L)
+      val stream = MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val out = Pipeline.sessionizeStateful(stream.toDS(), gapMinutes = 30, delay = "5 minutes")
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)], _: Long) =>
+          sessions ++= b.collect().map(s =>
+            (s._1, (s._2.getTime - base) / 60000L, (s._3.getTime - base) / 60000L, s._4))
+          ()
+        }
+        .option("checkpointLocation", tmpDir("ckpt-sess-rocks"))
+        .start()
+      try {
+        // the sessionize exemplar scenario: in-batch split + timeout-sealed
+        // tail must behave identically to the default-provider test above
+        stream.addData(Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(70))))
+        q.processAllAvailable()
+        val provider = q.lastProgress.stateOperators.head
+          .customMetrics.keySet.toString
+        assert(provider.contains("rocksdb"), s"metrics: $provider")
+        assert(sessions.toList == List((1L, 0L, 40L, 2L)), s"got $sessions")
+        stream.addData(Seq((2L, ts(300))))
+        q.processAllAvailable()
+        assert(sessions.toSet.contains((1L, 70L, 100L, 1L)), s"got $sessions")
+      } finally q.stop()
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("T7: dimension snapshot survives process restart (durable stateDir)") {
     import spark.implicits._
     val schema = StructType.fromDDL("k BIGINT, ord BIGINT, v STRING")
