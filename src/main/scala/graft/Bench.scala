@@ -121,8 +121,72 @@ object Bench {
       .map(base => ok.map { case (k, v) => jstr(k) + ":" + f"${v / base}%.3f" }
         .mkString("{", ",", "}"))
       .getOrElse("{}")
+    // INFORMATIONAL shared-scan pass (round-9 verdict task 7): the
+    // components family (d06/d07/d10/d16/d18) recomputes the same minhash
+    // pair table — and three of them the same component labels — per
+    // standalone entry, because the official bench shape is
+    // one-query-per-entry with no cross-query materialization. This pass
+    // measures each consumer's MARGINAL cost against ONE materialized pair
+    // table / label frame, the way a production dedup pipeline would
+    // actually run them. One rep, reported in `shared_scan`; the official
+    // `queries`/`value` metrics above stay standalone.
+    val sharedJson = (try {
+      import org.apache.spark.sql.functions.{col, expr}
+      import graft.operators.{Dedup, TextAnalysis}
+      def timed[A](body: => A): (Double, A) = {
+        val t0 = System.nanoTime()
+        val a = body
+        ((System.nanoTime() - t0) / 1e9, a)
+      }
+      def noop(f: org.apache.spark.sql.DataFrame): Unit =
+        f.write.format("noop").mode("overwrite").save()
+      val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ids = documents.select("doc_id")
+      val (tPairs, pairs) = timed {
+        val p = Dedup.minHashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+          .select("a_id", "b_id").persist()
+        p.count() // materialize; the builder's managed caches release here
+        p
+      }
+      val (tD06, labels) = timed {
+        val l = Dedup.connectedComponents(ids, "doc_id", pairs, "a_id", "b_id")
+          .persist()
+        l.count()
+        l
+      }
+      val (tD07, _) = timed(noop(
+        Dedup.connectedComponentsAlternating(ids, "doc_id", pairs, "a_id", "b_id")))
+      val (tD10, _) = timed(noop(
+        Dedup.canonicalByCluster(
+          labels.join(
+            documents.select(
+              col("doc_id"), TextAnalysis.tokenCount(col("text")).as("_n_toks")),
+            Seq("doc_id")),
+          "doc_id", "cluster_id", "_n_toks")
+          .select("doc_id", "cluster_id", "keeper_id", "kept")))
+      val (tD16, _) = timed(noop(
+        Dedup.clusterSizeHistogram(labels, "cluster_id")))
+      val (tD18, _) = timed(noop(
+        Dedup.pairSetMetrics(
+          Dedup.ngramJaccardPairs(
+            documents, "doc_id", "text",
+            Seq(col("lang"), expr("n_chars div 100")), threshold = 0.5),
+          pairs, "a_id", "b_id")))
+      pairs.unpersist(); labels.unpersist()
+      spark.catalog.clearCache()
+      Seq(
+        "pairs_build" -> tPairs, "d06_components" -> tD06,
+        "d07_components_star" -> tD07, "d10_canonical" -> tD10,
+        "d16_cluster_sizes" -> tD16, "d18_dedup_eval" -> tD18)
+        .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] shared-scan pass skipped: $e")
+        "{}"
+    })
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$reps,"queries":$qJson,"queries_mean":$qMeanJson,"ratios_vs_q01":$rJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$reps,"queries":$qJson,"queries_mean":$qMeanJson,"ratios_vs_q01":$rJson,"shared_scan":$sharedJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
     // stdout AND a file: sbt's log decoration ([info] prefixes) makes the
     // printed line unparseable to callers that scrape stdout, so the file is
     // the machine-readable channel.

@@ -9,6 +9,7 @@ object Verify {
     // optional comma-separated name filter (dev iteration: dump only the
     // named queries; the driver always calls with two args = dump all)
     val only = args.lift(2).map(_.split(",").toSet)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
       // the dedup builders persist intermediates; 34 queries in one session
       // would otherwise accumulate caches until eviction pressure
@@ -50,5 +52,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the per-query stderr lines scroll past on a local dev run; one
+    // unmissable closing summary (+ nonzero exit — the driver keys off the
+    // dumped parquet, not the exit code, so this only tightens local use)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

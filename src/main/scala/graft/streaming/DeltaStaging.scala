@@ -90,4 +90,15 @@ private[streaming] object DeltaStaging {
   def allDeltas(spark: SparkSession, statePath: String): Option[DataFrame] =
     stagedIds(spark, statePath).maxOption
       .flatMap(last => deltasBelow(spark, statePath, last + 1))
+
+  /** Remove every staging — the final step of between-restart compaction
+    * ([[StreamingDedup.compactNearDupIndex]] /
+    * [[StreamingSimilarity.compactIvfIndex]]): once the deltas are folded
+    * into a new persisted base, they must not ALSO be re-unioned by the
+    * next incarnation. Only call with no query attached. */
+  def clear(spark: SparkSession, statePath: String): Unit = {
+    val f = fs(spark, new Path(statePath))
+    stagedIds(spark, statePath).foreach(id =>
+      f.delete(new Path(statePath, s"$StagePrefix$id"), true))
+  }
 }

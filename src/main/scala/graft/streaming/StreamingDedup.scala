@@ -99,4 +99,21 @@ object StreamingDedup {
     DeltaStaging.allDeltas(spark, statePath)
       .fold(baseIndex)(d =>
         baseIndex.copy(prepped = baseIndex.prepped.unionByName(d)))
+
+  /** BETWEEN-RESTART compaction — the delta-staging lifecycle's closing
+    * step: fold base ∪ deltas into a new persisted bucketed index
+    * ([[graft.operators.Dedup.saveNearDupIndex]] under `name`), clear the
+    * staging dir, and return the reloaded index to re-attach with. Bounds
+    * the per-trigger multi-dir read after long streams (one small parquet
+    * dir accrues per trigger) and restores the bucketed-table probe path.
+    * Run ONLY with the ingesting query stopped: a live query would re-fold
+    * cleared history or race the staging listing. */
+  def compactNearDupIndex(
+      spark: SparkSession, baseIndex: Dedup.NearDupIndex,
+      statePath: String, name: String, numBuckets: Int): Dedup.NearDupIndex = {
+    Dedup.saveNearDupIndex(
+      currentNearDupIndex(spark, baseIndex, statePath), name, numBuckets)
+    DeltaStaging.clear(spark, statePath)
+    Dedup.loadNearDupIndex(spark, name)
+  }
 }

@@ -128,6 +128,21 @@ object StreamingSimilarity {
     DeltaStaging.allDeltas(spark, statePath)
       .fold(index)(d => index.copy(assigned = index.assigned.unionByName(d)))
 
+  /** BETWEEN-RESTART compaction (the [[StreamingDedup.compactNearDupIndex]]
+    * lifecycle for IVF): persist base ∪ deltas as a bucketed index under
+    * `name` ([[Similarity.saveIvfIndex]]), clear the staging dir, return
+    * the reloaded index to re-attach with. The natural point to ALSO refit
+    * a drifted codebook ([[Similarity.buildIvfIndexAuto]] over the saved
+    * assigned rows) before re-attaching. Run ONLY with the ingesting query
+    * stopped. */
+  def compactIvfIndex(
+      spark: SparkSession, index: Similarity.IvfIndex,
+      statePath: String, name: String, numBuckets: Int): Similarity.IvfIndex = {
+    Similarity.saveIvfIndex(currentIvf(spark, index, statePath), name, numBuckets)
+    DeltaStaging.clear(spark, statePath)
+    Similarity.loadIvfIndex(spark, name, index.idCol, index.vecCol)
+  }
+
   /** [[attachIvf]] for a sign-LSH index. */
   def attachLsh(
       queries: DataFrame, index: Similarity.LshIndex,

@@ -115,6 +115,45 @@ class StreamingExtendSpec extends SparkSpec {
       s"stale stagings must be purged, got $stages")
   }
 
+  test("compactNearDupIndex: deltas fold into a persisted base, stagings clear, probes unchanged") {
+    val corpus = (0L until 10L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(corpus, "doc_id", "text").persisted()
+    val statePath = tmpDir("snd-c") + "/state"
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.attachNearDupSelfExtending(
+      stream.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+      threshold = 0.5, statePath, tmpDir("snd-c-ckpt")) { (out, _) => out.count(); () }
+    try {
+      stream.addData(doc(100L, 881)); q.processAllAvailable()
+      stream.addData(doc(101L, 882)); q.processAllAvailable()
+    } finally q.stop()
+    // a probe that hits BOTH stream docs, captured before compaction
+    val probeBatch = Seq(doc(300L, 881), doc(301L, 882)).toDF("doc_id", "text")
+    val before = pairRows(Dedup.probeNearDup(
+      StreamingDedup.currentNearDupIndex(spark, base, statePath),
+      probeBatch, "doc_id", "text", 0.5))
+    assert(before.map(p => (p._1, p._2)) == Set((300L, 100L), (301L, 101L)))
+    // saveNearDupIndex overwrite hygiene: a previous JVM's managed location
+    // may survive without a catalog entry (the DedupSpec pattern)
+    Seq("sext_compact_prepped", "sext_compact_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val compacted = StreamingDedup.compactNearDupIndex(
+      spark, base, statePath, "sext_compact", numBuckets = 4)
+    // stagings gone; the compacted bucketed index probes identically
+    val stages = new java.io.File(statePath).listFiles()
+    assert(stages == null || !stages.exists(_.getName.startsWith("_batch=")),
+      "compaction must clear every staging")
+    assert(pairRows(Dedup.probeNearDup(
+      compacted, probeBatch, "doc_id", "text", 0.5)) == before)
+  }
+
   test("attachIvfSelfExtending: vector ingested in trigger 1 is retrieved by a trigger-2 probe; parity with batch extend") {
     val rng = new scala.util.Random(41)
     // two well-separated clusters so retrieval is unambiguous
