@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
-import graft.streaming.{StreamingDedup, StreamingSimilarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.{StreamingBm25, StreamingDedup, StreamingSimilarity}
 
 /** Self-extending streaming indexes (round-10 ingest realism): batch N must
   * dedup / retrieve against batches 1..N-1, not just the frozen base corpus
@@ -152,6 +152,60 @@ class StreamingExtendSpec extends SparkSpec {
       "compaction must clear every staging")
     assert(pairRows(Dedup.probeNearDup(
       compacted, probeBatch, "doc_id", "text", 0.5)) == before)
+  }
+
+  test("attachBm25Ingest: streamed docs become retrievable; stats fold exactly; compaction preserves probes") {
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "columnar scans prune row groups"),
+      (3L, "the optimizer reorders joins")).toDF("doc_id", "text")
+    val base = TextAnalysis.buildBm25Index(corpus, "doc_id", "text").persisted()
+    val statePath = tmpDir("sbm") + "/state"
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingBm25.attachBm25Ingest(
+      stream.toDF().toDF("doc_id", "text"), base, "text",
+      statePath, tmpDir("sbm-ckpt"))()
+    val b1 = Seq((100L, "broadcast joins avoid shuffles entirely"))
+    val b2 = Seq((101L, "watermarks bound streaming state"), (102L, null: String))
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def probeRows(ix: TextAnalysis.Bm25Index) =
+      TextAnalysis.probeBm25(ix, Seq("shuffles", "joins"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val current = StreamingBm25.currentBm25Index(spark, base, statePath)
+    val got = probeRows(current)
+    // the streamed doc 100 outranks every base doc (hits BOTH query terms)
+    assert(got.map(_._1).contains(100L), s"got $got")
+    // parity with the batch fold over the same history — including the
+    // null-text doc 102's exact contribution to n/avgdl
+    val expect = probeRows(
+      TextAnalysis.extendBm25Index(
+        TextAnalysis.extendBm25Index(base, b1.toDF("doc_id", "text"), "text"),
+        b2.toDF("doc_id", "text"), "text"))
+    assert(got == expect)
+    // stats fold: n counts all 6 docs, _nl only the 5 with text
+    val st = current.stats.collect().head
+    assert(st.getDouble(0) == 6.0 && st.getDouble(2) == 5.0, s"stats: $st")
+    // compaction: bucketed tables probe identically, stagings gone
+    Seq("postings", "doclens", "stats").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS sext_bm25_$t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"sext_bm25_$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val compacted = StreamingBm25.compactBm25Index(
+      spark, base, statePath, "sext_bm25", numBuckets = 4)
+    assert(probeRows(compacted) == expect)
+    Seq("postings", "doclens", "stats").foreach { sub =>
+      val stages = new java.io.File(s"$statePath/$sub").listFiles()
+      assert(stages == null || !stages.exists(_.getName.startsWith("_batch=")),
+        s"$sub stagings must be cleared")
+    }
   }
 
   test("attachIvfSelfExtending: vector ingested in trigger 1 is retrieved by a trigger-2 probe; parity with batch extend") {
