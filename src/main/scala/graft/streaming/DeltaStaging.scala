@@ -32,6 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.operators.Similarity.extendIvfIndex]] +
   * [[graft.operators.Similarity.saveIvfIndex]]) and clearing `statePath`.
   *
+  * Commit visibility: a staging COUNTS only once its parquet `_SUCCESS`
+  * marker exists — Spark writes it last, and an overwrite (replay) deletes
+  * it first — so [[stagedIds]] never surfaces a directory that a trigger
+  * is mid-writing or mid-rewriting. Serving-view caveat: the frames these
+  * helpers return are LAZY — a probe action scans the listed paths when it
+  * RUNS, so a view held across a compaction or an incarnation purge can
+  * hit deleted paths; materialize (persist + count) a serving view
+  * promptly after taking it, and rebuild it on scan failure.
+  *
   * All paths go through the Hadoop FileSystem API, so `statePath` may live
   * on HDFS/S3, not just local disk.
   */
@@ -45,6 +54,8 @@ private[streaming] object DeltaStaging {
 
   def dir(statePath: String, id: Long): String = s"$statePath/$StagePrefix$id"
 
+  /** Ids of COMMITTED stagings (dir present AND `_SUCCESS` inside — see
+    * the commit-visibility contract in the object doc). */
   def stagedIds(spark: SparkSession, statePath: String): Seq[Long] = {
     val root = new Path(statePath)
     val f = fs(spark, root)
@@ -55,15 +66,32 @@ private[streaming] object DeltaStaging {
         case StageRe(id) => Some(id.toLong)
         case _ => None // stray dirs never throw, they are just not stagings
       })
+      .filter(id => f.exists(new Path(dir(statePath, id), "_SUCCESS")))
   }
 
   /** Purge stagings with id >= `id` — called at the top of every batch, so
     * both a crashed attempt's own staging and a prior incarnation's future
-    * ids are gone before the batch stages and probes. */
+    * ids are gone before the batch stages and probes. Deletes uncommitted
+    * (marker-less) dirs in range too — they are crash debris by definition. */
   def purgeAtOrAbove(spark: SparkSession, statePath: String, id: Long): Unit = {
+    val root = new Path(statePath)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return
+    f.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case StageRe(sid) => Some(sid.toLong)
+        case _ => None
+      })
+      .filter(_ >= id)
+      .foreach(stale => f.delete(new Path(statePath, s"$StagePrefix$stale"), true))
+  }
+
+  /** Purge COMMITTED stagings strictly below `id` — the prefix-merge prune
+    * ([[StreamingPca]]: only stagings id and id−1 can ever be read again). */
+  def purgeBelow(spark: SparkSession, statePath: String, id: Long): Unit = {
     val f = fs(spark, new Path(statePath))
-    stagedIds(spark, statePath).filter(_ >= id).foreach(stale =>
-      f.delete(new Path(statePath, s"$StagePrefix$stale"), true))
+    stagedIds(spark, statePath).filter(_ < id).foreach(old =>
+      f.delete(new Path(statePath, s"$StagePrefix$old"), true))
   }
 
   /** Write this batch's delta rows (overwrite — replay rewrites in place). */
@@ -78,27 +106,30 @@ private[streaming] object DeltaStaging {
     * stream has no history yet). One multi-path parquet read — partition
     * planning sees all dirs at once instead of a union-per-delta plan. */
   def deltasBelow(
-      spark: SparkSession, statePath: String, id: Long): Option[DataFrame] = {
-    val paths = stagedIds(spark, statePath).filter(_ < id).sorted
-      .map(b => dir(statePath, b))
+      spark: SparkSession, statePath: String, id: Long): Option[DataFrame] =
+    deltasFor(spark, statePath, stagedIds(spark, statePath).filter(_ < id))
+
+  /** Union of an EXPLICIT committed-id set — for multi-store states
+    * ([[StreamingBm25]]) where one store's committed ids gate the others. */
+  def deltasFor(
+      spark: SparkSession, statePath: String, ids: Seq[Long]): Option[DataFrame] = {
+    val paths = ids.sorted.map(b => dir(statePath, b))
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   /** Union of ALL committed deltas — the serving-side view for probes
     * issued outside the ingesting query ([[StreamingSimilarity.currentIvf]]
-    * and friends). */
+    * and friends). ONE listing feeds the read (no second listing whose
+    * result could differ mid-trigger). */
   def allDeltas(spark: SparkSession, statePath: String): Option[DataFrame] =
-    stagedIds(spark, statePath).maxOption
-      .flatMap(last => deltasBelow(spark, statePath, last + 1))
+    deltasFor(spark, statePath, stagedIds(spark, statePath))
 
-  /** Remove every staging — the final step of between-restart compaction
-    * ([[StreamingDedup.compactNearDupIndex]] /
+  /** Remove every staging, committed or not — the final step of
+    * between-restart compaction ([[StreamingDedup.compactNearDupIndex]] /
     * [[StreamingSimilarity.compactIvfIndex]]): once the deltas are folded
     * into a new persisted base, they must not ALSO be re-unioned by the
-    * next incarnation. Only call with no query attached. */
-  def clear(spark: SparkSession, statePath: String): Unit = {
-    val f = fs(spark, new Path(statePath))
-    stagedIds(spark, statePath).foreach(id =>
-      f.delete(new Path(statePath, s"$StagePrefix$id"), true))
-  }
+    * next incarnation (and crash debris goes with them). Only call with no
+    * query attached. */
+  def clear(spark: SparkSession, statePath: String): Unit =
+    purgeAtOrAbove(spark, statePath, Long.MinValue)
 }

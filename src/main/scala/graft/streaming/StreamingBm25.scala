@@ -27,6 +27,15 @@ import graft.operators.TextAnalysis
   * rewrites its own three stagings deterministically; a fresh incarnation
   * purges ids at-or-above its own.
   *
+  * Torn-read protection across the THREE stores: the stats store is the
+  * COMMIT GATE — it is purged FIRST and staged LAST each trigger, and
+  * [[currentBm25Index]] reads only batch ids the stats store has
+  * committed. With [[DeltaStaging]]'s `_SUCCESS` visibility rule, a stats
+  * staging exists for id ⟹ postings and doclens for id are fully written
+  * (staged before it) — so a serving read taken mid-trigger sees batch N
+  * completely or not at all, never postings without lengths (which would
+  * silently drop the batch's docs from scoring via the doc-length join).
+  *
   * Per-trigger cost ∝ batch (one tokenize/explode pass over the batch,
   * three small parquet writes); probe cost ∝ postings of the query's terms
   * across base + deltas — the term filter prunes every delta the same way
@@ -47,7 +56,9 @@ object StreamingBm25 {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        stores(statePath).foreach(DeltaStaging.purgeAtOrAbove(spark, _, id))
+        // gate discipline: stats purged FIRST (its absence makes id
+        // invisible to readers while the others rewrite), staged LAST
+        stores(statePath).reverse.foreach(DeltaStaging.purgeAtOrAbove(spark, _, id))
         val fresh = TextAnalysis.buildBm25Index(batch, index.idCol, textCol)
         DeltaStaging.stage(fresh.postings, s"$statePath/postings", id)
         DeltaStaging.stage(fresh.docLens, s"$statePath/doclens", id)
@@ -62,11 +73,14 @@ object StreamingBm25 {
   def currentBm25Index(
       spark: SparkSession, index: TextAnalysis.Bm25Index,
       statePath: String): TextAnalysis.Bm25Index = {
-    val postings = DeltaStaging.allDeltas(spark, s"$statePath/postings")
+    // ONE listing of the gate store bounds what every store contributes —
+    // ids the gate has committed are fully written in all three
+    val committed = DeltaStaging.stagedIds(spark, s"$statePath/stats")
+    val postings = DeltaStaging.deltasFor(spark, s"$statePath/postings", committed)
       .fold(index.postings)(index.postings.unionByName(_))
-    val docLens = DeltaStaging.allDeltas(spark, s"$statePath/doclens")
+    val docLens = DeltaStaging.deltasFor(spark, s"$statePath/doclens", committed)
       .fold(index.docLens)(index.docLens.unionByName(_))
-    val stats = DeltaStaging.allDeltas(spark, s"$statePath/stats")
+    val stats = DeltaStaging.deltasFor(spark, s"$statePath/stats", committed)
       .fold(index.stats)(d =>
         index.stats.unionByName(d).agg(
           sum("_n").as("_n"),

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -32,29 +31,16 @@ import graft.operators.Pca
   * local disk. */
 object StreamingPca {
 
-  private val StagePrefix = "_batch="
-  private val StageRe = "_batch=(\\d+)".r
-
-  private def fs(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def stagedIds(spark: SparkSession, statePath: String): Seq[Long] = {
-    val dir = new Path(statePath)
-    val f = fs(spark, dir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .flatMap(_.getPath.getName match {
-        case StageRe(id) => Some(id.toLong)
-        case _ => None // stray dirs never throw, they are just not stagings
-      })
-  }
+  // staging layout/listing/purge are [[DeltaStaging]]'s (the PAYLOAD
+  // differs — each staging here is a PREFIX-merge, not a delta, which is
+  // why deltasBelow/allDeltas are never used and only the last two
+  // stagings survive pruning)
 
   /** Latest merged state across all committed batch stagings (highest batch
     * id wins — each staging holds the PREFIX-merge up to its id). */
   def currentState(spark: SparkSession, statePath: String): Option[Pca.GramBuf] =
-    stagedIds(spark, statePath).maxOption
-      .map(b => Pca.loadState(spark, s"$statePath/$StagePrefix$b"))
+    DeltaStaging.stagedIds(spark, statePath).maxOption
+      .map(b => Pca.loadState(spark, DeltaStaging.dir(statePath, b)))
 
   /** Attach the incremental fit to a streaming DataFrame carrying `vecCol`.
     * After each trigger, `sink` receives the refreshed k-component model
@@ -66,7 +52,6 @@ object StreamingPca {
     docs.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => {
         val spark = batch.sparkSession
-        val f0 = fs(spark, new Path(statePath))
         // incarnation safety: a query restarted with a FRESH checkpoint
         // (batch ids reset to 0) but the same statePath would otherwise
         // leave the prior run's stagings in place until the new run's ids
@@ -74,22 +59,19 @@ object StreamingPca {
         // chosen as the merge base, double-counting the previous
         // incarnation. Stagings at or above the current id can only come
         // from a prior incarnation (a replay's own staging is rewritten
-        // below anyway), so they are deleted before the base is chosen.
-        stagedIds(spark, statePath).filter(_ >= id).foreach(stale =>
-          f0.delete(new Path(statePath, s"$StagePrefix$stale"), true))
+        // below anyway), so they are purged before the base is chosen.
+        DeltaStaging.purgeAtOrAbove(spark, statePath, id)
         // replay safety: the prefix is the highest staging STRICTLY BELOW
         // this id — a replayed batch rebuilds from the same base and
         // overwrites its own staging instead of double-counting
-        val ids = stagedIds(spark, statePath)
-        val base = ids.filter(_ < id).maxOption
-          .map(b => Pca.loadState(spark, s"$statePath/$StagePrefix$b"))
+        val base = DeltaStaging.stagedIds(spark, statePath).filter(_ < id)
+          .maxOption
+          .map(b => Pca.loadState(spark, DeltaStaging.dir(statePath, b)))
           .getOrElse(Pca.GramBuf(0L, Array.empty, Array.empty))
         val merged = Pca.mergeState(base, Pca.moments(batch, vecCol))
-        Pca.saveState(spark, merged, s"$statePath/$StagePrefix$id")
+        Pca.saveState(spark, merged, DeltaStaging.dir(statePath, id))
         // bound storage: only id and id-1 can ever be read again
-        val f = fs(spark, new Path(statePath))
-        ids.filter(_ < id - 1).foreach(old =>
-          f.delete(new Path(statePath, s"$StagePrefix$old"), true))
+        DeltaStaging.purgeBelow(spark, statePath, id - 1)
         if (merged.n > 0) sink(Pca.fitFromMoments(merged, k), id)
       })
       .option("checkpointLocation", checkpoint)

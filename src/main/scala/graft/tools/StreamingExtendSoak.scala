@@ -44,16 +44,33 @@ object StreamingExtendSoak {
 
     val rng = new scala.util.Random(11)
     var nextId = 1000000L
-    var prevStreamSeeds = Vector.empty[Int]
-    def trigRows(): Seq[(Long, String)] = (0 until perTrigger).map { _ =>
-      nextId += 1
-      // 1% duplicates of an EARLIER stream doc (the cross-trigger case the
-      // self-extending index exists for), rest fresh
-      val seed =
-        if (prevStreamSeeds.nonEmpty && rng.nextInt(100) == 0)
-          prevStreamSeeds(rng.nextInt(prevStreamSeeds.size))
-        else { val s = 500000000 + rng.nextInt(400000000); prevStreamSeeds :+= s; s }
-      doc(nextId, seed)
+    // docs per seed in STRICTLY EARLIER triggers: a dup drawn from this
+    // snapshot is guaranteed cross-trigger (within-batch dups are not
+    // probed by design, so drawing from the current trigger's own seeds
+    // would plant pairs the probe is defined not to find); each plant's
+    // expected pair count is the number of earlier copies of its seed
+    var seedCount = Map.empty[Int, Long]
+    var planted = 0L
+    var expectedPairs = 0L
+    def trigRows(): Seq[(Long, String)] = {
+      val earlier = seedCount.keys.toVector
+      var thisTrigger = Map.empty[Int, Long].withDefaultValue(0L)
+      val rows = (0 until perTrigger).map { _ =>
+        nextId += 1
+        val seed =
+          if (earlier.nonEmpty && rng.nextInt(100) == 0) {
+            val s = earlier(rng.nextInt(earlier.size))
+            planted += 1
+            expectedPairs += seedCount(s)
+            s
+          } else 500000000 + rng.nextInt(400000000)
+        thisTrigger += seed -> (thisTrigger(seed) + 1L)
+        doc(nextId, seed)
+      }
+      thisTrigger.foreach { case (s, c) =>
+        seedCount += s -> (seedCount.getOrElse(s, 0L) + c)
+      }
+      rows
     }
 
     val s1 = MemoryStream[(Long, String)](spark)
@@ -65,13 +82,19 @@ object StreamingExtendSoak {
         q1.processAllAvailable()
         val w = (System.nanoTime() - t0) / 1e9
         if (t % 4 == 0 || t == 1)
-          println(f"[sext-soak] trigger $t%3d wall=$w%5.2f s (history=${t.toLong * perTrigger} stream docs, pairs so far=$found)")
+          println(f"[sext-soak] trigger $t%3d wall=$w%5.2f s (history=${t.toLong * perTrigger} stream docs, planted=$planted pairs found=$found)")
         w
       }
     } finally q1.stop()
     println(f"[sext-soak] triggers 1-4 mean=${walls.take(4).sum / 4}%5.2f s; " +
       f"last-4 mean=${walls.takeRight(4).sum / 4}%5.2f s " +
-      f"(history grew ${base + triggers * perTrigger}/${base + perTrigger}x docs)")
+      s"(corpus grew ${base + perTrigger} -> ${base + triggers * perTrigger} docs)")
+    // exact accounting: each plant pairs with EVERY earlier copy of its
+    // seed, so the probe must find precisely expectedPairs (chance
+    // 0.5-jaccard collisions between 30-token docs over a 2M vocab: none)
+    println(s"[sext-soak] planted cross-trigger dups=$planted, " +
+      s"expected pairs=$expectedPairs, pairs found=$found " +
+      s"(exact recovery=${found == expectedPairs})")
 
     // compact: deltas fold into one bucketed base; fresh checkpoint
     Seq("sext_soak_prepped", "sext_soak_meta").foreach(t =>
