@@ -2785,15 +2785,21 @@ object QueriesExt {
               SELECT pr.l AS sym_l, pr.r AS sym_r, CAST(SUM(n) AS BIGINT) AS cnt
               FROM p GROUP BY pr.l, pr.r HAVING SUM(n) >= 5""")),
 
-    // T36 — BPE merge learning (8 merges, char-level start). Iterative
-    // argmax + greedy re-segmentation has no SQL equivalent → rows-only
-    // check; round-0 statistics are oracle-verified via t35 and the greedy
-    // application/tie-break semantics are spec-pinned (KernelsSpec /
-    // SimilarityTextSpec).
+    // T36 — BPE merge learning (8 merges, char-level start). The iterative
+    // argmax + greedy re-segmentation loop IS SQL-expressible for a FIXED
+    // merge budget: 8 UNROLLED rounds, each one pair-count aggregate over
+    // the current segmentation → deterministic argmax (cnt desc, l, r;
+    // min-count 2) → ONE greedy left-to-right application of just that
+    // pair via the t37 even-run arithmetic (no fixpoint needed — prior
+    // merges are already materialized in the segmentation). Early stop
+    // cascades naturally: an empty `top` round leaves the segmentation
+    // unchanged and emits no rank, and every later round is then empty
+    // too. The SQL is GENERATED ([[bpeLearnerSql]]) — 8 mechanical CTE
+    // rounds, hand-unrolling would only invite drift.
     Entry(
       "t36_bpe_merges",
       (s, d) => TextAnalysis.learnBpeMerges(docs(s, d), "text", 8),
-      None),
+      Some(bpeLearnerSql(numMerges = 8, minCount = 2))),
 
     // Q43 — keyed snapshot diff (CDC audit): which orders were added,
     // removed, or changed between two deterministic snapshot derivations of
@@ -3280,8 +3286,9 @@ object QueriesExt {
     // match at i with an EVEN run of raw matches before it — reduces the
     // kernel's sequential j+=2 scan to per-position list arithmetic; rows
     // exit the recursion when no table pair remains). The LEARNED-merges
-    // composition (t36 → encode) stays spec-pinned in BpeSpec — the learner
-    // itself is the one genuinely non-SQL step.
+    // composition (t36 → encode) stays spec-pinned in BpeSpec; the learner
+    // itself is oracled separately via the unrolled-round form
+    // ([[bpeLearnerSql]]).
     Entry(
       "t37_bpe_encode",
       (s, d) => TextAnalysis.encodeBpeTokenCount(
@@ -3336,4 +3343,56 @@ object QueriesExt {
   val fixedBpeMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("in", "d"),
     ("e", "r"), ("a", "n"), ("r", "e"), ("s", "c"))
+
+  /** t36's DuckDB oracle, GENERATED: `numMerges` unrolled learner rounds
+    * over the word-frequency segmentation. Per round k (reading seg(k−1)):
+    * `pc` = adjacent-pair counts weighted by word count (per occurrence —
+    * `aaa` contributes 2× to (a,a), the standard BPE statistic);
+    * `top` = the argmax row, empty once nothing reaches `minCount`
+    * (the learner's early stop — emptiness cascades through LEFT JOIN);
+    * `sgm`/`sgn`/`seg` = ONE greedy left-to-right application of the
+    * learned pair using the t37 even-run arithmetic
+    * (`matched(i) ⇔ raw(i) ∧ even run of raw before i`, which reduces the
+    * kernel's sequential skip-scan to per-position list arithmetic). */
+  private def bpeLearnerSql(numMerges: Int, minCount: Long): String = {
+    def round(k: Int): String = {
+      val p = k - 1
+      s"""pc$k AS (
+         |  SELECT pr.l AS l, pr.r AS r, SUM(n) AS cnt
+         |  FROM (SELECT n, UNNEST([{'l': s[i], 'r': s[i + 1]} for i in range(1, len(s))]) AS pr
+         |        FROM seg$p WHERE len(s) >= 2)
+         |  GROUP BY pr.l, pr.r),
+         |top$k AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pc$k
+         |          WHERE cnt >= $minCount ORDER BY cnt DESC, l, r LIMIT 1),
+         |sgm$k AS (
+         |  SELECT w, n, s, t.l AS tl,
+         |         [s[i] = t.l AND s[i + 1] = t.r for i in range(1, len(s))] AS raw
+         |  FROM seg$p LEFT JOIN top$k t ON TRUE),
+         |sgn$k AS (
+         |  SELECT w, n, s, tl,
+         |         [raw[i] AND ((i - 1 - coalesce(list_max([j for j in range(1, i) if NOT raw[j]]), 0)) % 2 = 0)
+         |          for i in range(1, len(s))] AS m
+         |  FROM sgm$k),
+         |seg$k AS (
+         |  SELECT w, n,
+         |         CASE WHEN tl IS NULL THEN s
+         |              ELSE [CASE WHEN m[i] THEN s[i] || s[i + 1] ELSE s[i] END
+         |                    for i in range(1, len(s) + 1)
+         |                    if i = 1 OR NOT coalesce(m[i - 1], FALSE)]
+         |         END AS s
+         |  FROM sgn$k)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val finals = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS INTEGER) AS rank, l AS sym_l, r AS sym_r, cnt AS pair_count FROM top$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH
+       |wf AS (SELECT w, COUNT(*) AS n
+       |       FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |             FROM documents WHERE text IS NOT NULL)
+       |       WHERE length(w) > 0 GROUP BY w),
+       |seg0 AS (SELECT w, n, [substring(w, i, 1) for i in range(1, length(w) + 1)] AS s FROM wf),
+       |$rounds
+       |SELECT rank, sym_l, sym_r, pair_count FROM ($finals) ORDER BY rank""".stripMargin
+  }
 }
