@@ -100,6 +100,151 @@ object StreamingDedup {
       .fold(baseIndex)(d =>
         baseIndex.copy(prepped = baseIndex.prepped.unionByName(d)))
 
+  /** STREAMING DEDUP CLUSTERING — incremental connected-component labels
+    * over the near-dup graph as batches arrive: each trigger assigns every
+    * new doc its cluster and MERGES existing clusters a new doc bridges,
+    * maintaining the batch invariant `cluster_id = min reachable doc id`
+    * exactly ([[graft.operators.Dedup.connectedComponents]] parity is
+    * spec-pinned). The streaming completion of the components family: the
+    * batch operators answer "what are the clusters", this answers it
+    * CONTINUOUSLY while the corpus grows.
+    *
+    * Per trigger (all three state stores under the [[DeltaStaging]]
+    * replay/incarnation discipline; the relabel store is the commit gate —
+    * purged first, staged last, reads bounded by its committed ids):
+    *  1. the batch folds into the self-extending near-dup index and is
+    *     probed against base ∪ earlier batches ([[attachNearDupSelfExtending]]'s
+    *     machinery) → cross-trigger pairs; within-batch pairs come from
+    *     [[graft.operators.Dedup.minHashLshPairs]] with the index's
+    *     geometry — together the SAME pair set a batch run over the union
+    *     corpus would generate;
+    *  2. a MINI component fold runs over batch ids + the matched docs'
+    *     current cluster REPS (reps are min ids, so the mini-min IS the
+    *     union-graph min) — iteration over a batch-sized frame, never the
+    *     corpus;
+    *  3. batch assignments stage as a labels delta; rep→smaller-min pairs
+    *     stage as the relabel map, COMPOSED with the previous map (chains
+    *     resolve at write time, so reads apply one broadcast join, never a
+    *     transitive closure).
+    *
+    * Per-trigger cost ∝ batch + matches + relabel-map size; label state
+    * rows are never rewritten — merges are repaired at READ time by the
+    * composed map ([[currentClusterLabels]]). `baseLabels` is the base
+    * corpus's `(idCol, cluster_id)` assignment (identity labels are legal:
+    * a later bridging doc repairs merges the base run missed — spec-pinned).
+    * `sink` receives the batch's `(idCol, cluster_id)` assignments. */
+  def attachNearDupClustering(
+      docs: DataFrame, baseIndex: Dedup.NearDupIndex, baseLabels: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      statePath: String, checkpoint: String,
+      broadcastCandidates: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+        // gate discipline: relabel purged FIRST / staged LAST
+        Seq(relabelStore(statePath), labelStore(statePath), indexStore(statePath))
+          .foreach(DeltaStaging.purgeAtOrAbove(spark, _, id))
+        DeltaStaging.stage(
+          Dedup.prepForNearDupIndex(baseIndex, batch, idCol, textCol),
+          indexStore(statePath), id)
+        val index = DeltaStaging.deltasBelow(spark, indexStore(statePath), id)
+          .fold(baseIndex)(d =>
+            baseIndex.copy(prepped = baseIndex.prepped.unionByName(d)))
+        val cross = Dedup.probeNearDupPrepped(
+            index, DeltaStaging.read(spark, indexStore(statePath), id),
+            threshold, broadcastCandidates)
+          .select(col("batch_id"), col("corpus_id"))
+        val within = Dedup.minHashLshPairs(
+            batch, idCol, textCol, baseIndex.shingleK, baseIndex.numHashes,
+            baseIndex.bands, threshold)
+          .select(col("a_id"), col("b_id"))
+        val labels = labelsView(spark, baseLabels, idCol, statePath,
+          DeltaStaging.stagedIds(spark, relabelStore(statePath)).filter(_ < id))
+        val crossReps = cross
+          .join(labels.select(col(idCol).as("corpus_id"), col("cluster_id")),
+            Seq("corpus_id"))
+          .select(col("batch_id").as("a_id"), col("cluster_id").as("b_id"))
+        val batchIds = batch.select(col(idCol).as("_n")).distinct()
+        val nodes = batchIds
+          .unionByName(crossReps.select(col("b_id").as("_n")))
+          .distinct()
+        val comps = Dedup.connectedComponents(
+            nodes, "_n", within.unionByName(crossReps), "a_id", "b_id")
+          .persist()
+        comps.count()
+        DeltaStaging.stage(
+          comps.join(batchIds, Seq("_n"))
+            .select(col("_n").as(idCol), col("cluster_id")),
+          labelStore(statePath), id)
+        // merges: an existing rep whose mini-component min undercuts it.
+        // Compose with the previous map at WRITE time: retired targets
+        // forward to their new min, and the key spaces stay disjoint (a
+        // retired id can never resurface as a rep — reads go through the
+        // map), so one staged frame is always chain-free.
+        val relabelNew = comps
+          .join(crossReps.select(col("b_id").as("_n")).distinct(), Seq("_n"))
+          .where(col("cluster_id") < col("_n"))
+          .select(col("_n").as("_old"), col("cluster_id").as("_new"))
+        val prev = relabelMap(spark, baseLabels, statePath,
+          DeltaStaging.stagedIds(spark, relabelStore(statePath)).filter(_ < id))
+        val composed = prev.as("p")
+          .join(relabelNew.select(col("_old").as("_o2"), col("_new").as("_n2")),
+            col("p._new") === col("_o2"), "left")
+          .select(col("p._old").as("_old"),
+            coalesce(col("_n2"), col("p._new")).as("_new"))
+          .unionByName(relabelNew)
+        DeltaStaging.stage(composed, relabelStore(statePath), id)
+        DeltaStaging.purgeBelow(spark, relabelStore(statePath), id - 1)
+        comps.unpersist()
+        sink(DeltaStaging.read(spark, labelStore(statePath), id), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  private def indexStore(statePath: String) = s"$statePath/index"
+  private def labelStore(statePath: String) = s"$statePath/labels"
+  private def relabelStore(statePath: String) = s"$statePath/relabel"
+
+  /** latest composed relabel map among `committed` staging ids (empty,
+    * schema-compatible frame when the stream has none yet). */
+  private def relabelMap(
+      spark: SparkSession, baseLabels: DataFrame, statePath: String,
+      committed: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    committed.maxOption
+      .map(b => DeltaStaging.read(spark, relabelStore(statePath), b))
+      .getOrElse(baseLabels
+        .select(col("cluster_id").as("_old"), col("cluster_id").as("_new"))
+        .limit(0))
+  }
+
+  private def labelsView(
+      spark: SparkSession, baseLabels: DataFrame, idCol: String,
+      statePath: String, committed: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    val raw = DeltaStaging
+      .deltasFor(spark, labelStore(statePath), committed)
+      .fold(baseLabels.select(col(idCol), col("cluster_id")))(d =>
+        baseLabels.select(col(idCol), col("cluster_id")).unionByName(d))
+    raw
+      .join(broadcast(relabelMap(spark, baseLabels, statePath, committed)),
+        col("cluster_id") === col("_old"), "left")
+      .select(col(idCol),
+        coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+  }
+
+  /** The serving-side view of the clustering state: every doc's CURRENT
+    * cluster (base ∪ all committed batch assignments, merges applied via
+    * the composed relabel map — one broadcast join, no closure). Matches
+    * what the NEXT trigger will read. */
+  def currentClusterLabels(
+      spark: SparkSession, baseLabels: DataFrame, idCol: String,
+      statePath: String): DataFrame =
+    labelsView(spark, baseLabels, idCol, statePath,
+      DeltaStaging.stagedIds(spark, relabelStore(statePath)))
+
   /** BETWEEN-RESTART compaction — the delta-staging lifecycle's closing
     * step: fold base ∪ deltas into a new persisted bucketed index
     * ([[graft.operators.Dedup.saveNearDupIndex]] under `name`), clear the

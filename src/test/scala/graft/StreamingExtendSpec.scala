@@ -154,6 +154,83 @@ class StreamingExtendSpec extends SparkSpec {
       compacted, probeBatch, "doc_id", "text", 0.5)) == before)
   }
 
+  test("attachNearDupClustering: incremental labels equal batch components over the union corpus") {
+    // base: docs 0..9, with 7 a dup of 2 (one base cluster) — base labels
+    // computed the batch way
+    val baseDocs = ((0L until 7L).map(i => doc(i, i.toInt)) :+ doc(7L, 2) :+
+      doc(8L, 8) :+ doc(9L, 9)).toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(baseDocs, "doc_id", "text").persisted()
+    val baseLabels = Dedup.connectedComponents(
+      baseDocs.select("doc_id"), "doc_id",
+      Dedup.minHashLshPairs(baseDocs, "doc_id", "text", threshold = 0.5)
+        .select("a_id", "b_id"),
+      "a_id", "b_id").persist()
+    val statePath = tmpDir("sndc") + "/state"
+    val assigns = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.attachNearDupClustering(
+      stream.toDF().toDF("doc_id", "text"), base, baseLabels,
+      "doc_id", "text", threshold = 0.5, statePath, tmpDir("sndc-ckpt")) {
+      (out, id) =>
+        assigns.synchronized {
+          assigns(id) = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+    }
+    // trigger 1: dup of base 2 (joins cluster 2), new doc 102, and a
+    // WITHIN-batch dup pair (103, 104)
+    val b1 = Seq(doc(101L, 2), doc(102L, 660), doc(103L, 661), doc(104L, 661))
+    // trigger 2: dup of stream doc 102 (cross-trigger cluster), singleton
+    val b2 = Seq(doc(201L, 660), doc(202L, 662))
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      assert(assigns.synchronized(assigns(0L)) ==
+        Set((101L, 2L), (102L, 102L), (103L, 103L), (104L, 103L)))
+      assert(assigns.synchronized(assigns(1L)) ==
+        Set((201L, 102L), (202L, 202L)))
+      // full-state parity with one batch run over the union corpus
+      val all = baseDocs.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+      val expect = Dedup.connectedComponents(
+          all.select("doc_id"), "doc_id",
+          Dedup.minHashLshPairs(all, "doc_id", "text", threshold = 0.5)
+            .select("a_id", "b_id"),
+          "a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = StreamingDedup.currentClusterLabels(
+          spark, baseLabels, "doc_id", statePath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"incremental $got\nvs batch $expect")
+    } finally q.stop()
+    baseLabels.unpersist()
+  }
+
+  test("attachNearDupClustering: a bridging doc merges clusters and the relabel map repairs existing rows") {
+    // base docs 3 and 5 share a text but start under IDENTITY labels (a
+    // legal, incomplete base assignment); the stream bridge must merge them
+    val baseDocs = Seq(doc(3L, 700), doc(5L, 700), doc(6L, 701))
+      .toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(baseDocs, "doc_id", "text").persisted()
+    val identity = baseDocs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).persist()
+    val statePath = tmpDir("sndc-m") + "/state"
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.attachNearDupClustering(
+      stream.toDF().toDF("doc_id", "text"), base, identity,
+      "doc_id", "text", threshold = 0.5, statePath, tmpDir("sndc-m-ckpt")) {
+      (out, _) => out.count(); ()
+    }
+    try {
+      stream.addData(doc(105L, 700)); q.processAllAvailable() // bridges 3 and 5
+      stream.addData(doc(205L, 700)); q.processAllAvailable() // joins merged
+      val got = StreamingDedup.currentClusterLabels(
+          spark, identity, "doc_id", statePath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((3L, 3L), (5L, 3L), (6L, 6L), (105L, 3L), (205L, 3L)),
+        s"got $got")
+    } finally q.stop()
+    identity.unpersist()
+  }
+
   test("attachBm25Ingest: streamed docs become retrievable; stats fold exactly; compaction preserves probes") {
     val corpus = Seq(
       (1L, "spark shuffles data across executors"),
