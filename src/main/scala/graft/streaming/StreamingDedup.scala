@@ -161,7 +161,7 @@ object StreamingDedup {
             baseIndex.bands, threshold)
           .select(col("a_id"), col("b_id"))
         val labels = labelsView(spark, baseLabels, idCol, statePath,
-          DeltaStaging.stagedIds(spark, relabelStore(statePath)).filter(_ < id))
+          gateId(spark, statePath, below = Some(id)))
         val crossReps = cross
           .join(labels.select(col(idCol).as("corpus_id"), col("cluster_id")),
             Seq("corpus_id"))
@@ -188,7 +188,7 @@ object StreamingDedup {
           .where(col("cluster_id") < col("_n"))
           .select(col("_n").as("_old"), col("cluster_id").as("_new"))
         val prev = relabelMap(spark, baseLabels, statePath,
-          DeltaStaging.stagedIds(spark, relabelStore(statePath)).filter(_ < id))
+          gateId(spark, statePath, below = Some(id)))
         val composed = prev.as("p")
           .join(relabelNew.select(col("_old").as("_o2"), col("_new").as("_n2")),
             col("p._new") === col("_o2"), "left")
@@ -207,14 +207,28 @@ object StreamingDedup {
   private def labelStore(statePath: String) = s"$statePath/labels"
   private def relabelStore(statePath: String) = s"$statePath/relabel"
 
-  /** latest composed relabel map among `committed` staging ids (empty,
-    * schema-compatible frame when the stream has none yet). */
+  /** The commit gate: the HIGHEST committed relabel staging id (staged
+    * last each trigger, prefix-replaced so only the latest two survive).
+    * A gate of G means every batch ≤ G fully committed — label DELTAS for
+    * all ids ≤ G are read (they are per-batch deltas, every one is live
+    * data), while the relabel map is read at G alone (each staging is the
+    * full COMPOSED map). Conflating the two — selecting label deltas by
+    * the relabel store's surviving ids — silently drops every assignment
+    * older than the prune window (caught by the ClusteringSoak end-state
+    * parity check). */
+  private def gateId(
+      spark: SparkSession, statePath: String,
+      below: Option[Long]): Option[Long] =
+    DeltaStaging.stagedIds(spark, relabelStore(statePath))
+      .filter(sid => below.forall(sid < _)).maxOption
+
+  /** Composed relabel map at gate `g` (empty, schema-compatible frame when
+    * the stream has no committed trigger yet). */
   private def relabelMap(
       spark: SparkSession, baseLabels: DataFrame, statePath: String,
-      committed: Seq[Long]): DataFrame = {
+      g: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    committed.maxOption
-      .map(b => DeltaStaging.read(spark, relabelStore(statePath), b))
+    g.map(b => DeltaStaging.read(spark, relabelStore(statePath), b))
       .getOrElse(baseLabels
         .select(col("cluster_id").as("_old"), col("cluster_id").as("_new"))
         .limit(0))
@@ -222,14 +236,17 @@ object StreamingDedup {
 
   private def labelsView(
       spark: SparkSession, baseLabels: DataFrame, idCol: String,
-      statePath: String, committed: Seq[Long]): DataFrame = {
+      statePath: String, g: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    val labelIds = g.map(gid =>
+      DeltaStaging.stagedIds(spark, labelStore(statePath)).filter(_ <= gid))
+      .getOrElse(Seq.empty)
     val raw = DeltaStaging
-      .deltasFor(spark, labelStore(statePath), committed)
+      .deltasFor(spark, labelStore(statePath), labelIds)
       .fold(baseLabels.select(col(idCol), col("cluster_id")))(d =>
         baseLabels.select(col(idCol), col("cluster_id")).unionByName(d))
     raw
-      .join(broadcast(relabelMap(spark, baseLabels, statePath, committed)),
+      .join(broadcast(relabelMap(spark, baseLabels, statePath, g)),
         col("cluster_id") === col("_old"), "left")
       .select(col(idCol),
         coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
@@ -243,7 +260,7 @@ object StreamingDedup {
       spark: SparkSession, baseLabels: DataFrame, idCol: String,
       statePath: String): DataFrame =
     labelsView(spark, baseLabels, idCol, statePath,
-      DeltaStaging.stagedIds(spark, relabelStore(statePath)))
+      gateId(spark, statePath, below = None))
 
   /** BETWEEN-RESTART compaction — the delta-staging lifecycle's closing
     * step: fold base ∪ deltas into a new persisted bucketed index

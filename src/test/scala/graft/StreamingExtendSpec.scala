@@ -181,15 +181,21 @@ class StreamingExtendSpec extends SparkSpec {
     val b1 = Seq(doc(101L, 2), doc(102L, 660), doc(103L, 661), doc(104L, 661))
     // trigger 2: dup of stream doc 102 (cross-trigger cluster), singleton
     val b2 = Seq(doc(201L, 660), doc(202L, 662))
+    // trigger 3: dup of TRIGGER-1's within-batch group — read through the
+    // relabel store's prune window (only the last two stagings survive, so
+    // trigger 1's ASSIGNMENT delta must still be visible under the gate)
+    val b3 = Seq(doc(301L, 661))
     try {
       stream.addData(b1: _*); q.processAllAvailable()
       stream.addData(b2: _*); q.processAllAvailable()
+      stream.addData(b3: _*); q.processAllAvailable()
       assert(assigns.synchronized(assigns(0L)) ==
         Set((101L, 2L), (102L, 102L), (103L, 103L), (104L, 103L)))
       assert(assigns.synchronized(assigns(1L)) ==
         Set((201L, 102L), (202L, 202L)))
+      assert(assigns.synchronized(assigns(2L)) == Set((301L, 103L)))
       // full-state parity with one batch run over the union corpus
-      val all = baseDocs.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+      val all = baseDocs.unionByName((b1 ++ b2 ++ b3).toDF("doc_id", "text"))
       val expect = Dedup.connectedComponents(
           all.select("doc_id"), "doc_id",
           Dedup.minHashLshPairs(all, "doc_id", "text", threshold = 0.5)
