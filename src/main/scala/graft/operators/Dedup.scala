@@ -645,6 +645,55 @@ object Dedup {
     labels.select(col("_id").as(idCol), col("_label").as("cluster_id"))
   }
 
+  /** [[connectedComponents]] with a BOUNDED driver fast path for graphs
+    * that are small BY CONSTRUCTION — the streaming clustering attach's
+    * per-trigger mini graph (batch ids + matched cluster reps: ∝ batch,
+    * never the corpus). The distributed fold's per-round
+    * persist/localCheckpoint overhead is the right price on a corpus graph
+    * and pure waste on a thousand-node one; below the bound this collects
+    * the (long-typed) graph and runs min-rooted union-find — identical
+    * min-id labels, equality spec-pinned — and above it, or for non-long
+    * ids, delegates unchanged. The collect is size-capped by the counts it
+    * just took (the 64-row-sample discipline: bounded by design, not by
+    * hope). */
+  def connectedComponentsBounded(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxDriverEdges: Long = 500000L): DataFrame = {
+    val longIds =
+      nodes.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    if (!longIds)
+      return connectedComponents(nodes, idCol, pairs, aCol, bCol)
+    val n = nodes.select(col(idCol)).persist(StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.select(col(aCol), col(bCol)).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (n.count() + p.count() > maxDriverEdges)
+        connectedComponents(n, idCol, p, aCol, bCol)
+      else {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        // min-rooted union: the smaller root absorbs — the invariant that
+        // makes the final root per set its minimum member id
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val ids = n.collect().map(_.getLong(0))
+        ids.foreach(i => parent.getOrElseUpdate(i, i))
+        p.collect().foreach { r => union(r.getLong(0), r.getLong(1)) }
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        ids.toSeq.map(i => (i, find(i))).toDF(idCol, "cluster_id")
+      }
+    } finally { n.unpersist(blocking = false); p.unpersist(blocking = false) }
+  }
+
   /** Release the `localCheckpoint` RDD blocks backing a superseded frame —
     * checkpointed blocks are not freed by `Dataset.unpersist` and would
     * otherwise pin one full frame per loop round until GC. Safe only when

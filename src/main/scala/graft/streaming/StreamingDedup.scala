@@ -170,7 +170,13 @@ object StreamingDedup {
         val nodes = batchIds
           .unionByName(crossReps.select(col("b_id").as("_n")))
           .distinct()
-        val comps = Dedup.connectedComponents(
+        // the mini graph is batch-bounded by construction → the bounded
+        // driver union-find path skips the distributed fold's per-round
+        // checkpoint overhead (measured ~1.5 s/trigger at 1k-doc triggers,
+        // and it removes the one history-INDEPENDENT iteration cost, which
+        // flattened the soak's wall trend); oversized batches fall back to
+        // the distributed fold unchanged
+        val comps = Dedup.connectedComponentsBounded(
             nodes, "_n", within.unionByName(crossReps), "a_id", "b_id")
           .persist()
         comps.count()

@@ -182,6 +182,26 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == 1L && got(12L) == 10L && got(21L) == 20L && got(30L) == 30L)
   }
 
+  test("connectedComponentsBounded == connectedComponents on random graphs, both sides of the bound") {
+    import spark.implicits._
+    val rng = new scala.util.Random(83)
+    val nodes = (0L until 60L).toDF("doc_id")
+    val pairs = Seq.fill(45)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    val reference = Dedup.connectedComponents(nodes, "doc_id", pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // under the bound: driver union-find path
+    val fast = Dedup.connectedComponentsBounded(
+        nodes, "doc_id", pairs, "a_id", "b_id", maxDriverEdges = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == reference)
+    // over the bound: must delegate to the distributed fold, same labels
+    val slow = Dedup.connectedComponentsBounded(
+        nodes, "doc_id", pairs, "a_id", "b_id", maxDriverEdges = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slow == reference)
+  }
+
   test("connectedComponents: adversarial chain fails loudly past maxIter, converges within") {
     import spark.implicits._
     // a pure path graph is the diameter worst case for label propagation:
