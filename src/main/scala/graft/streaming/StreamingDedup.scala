@@ -152,14 +152,19 @@ object StreamingDedup {
         val index = DeltaStaging.deltasBelow(spark, indexStore(statePath), id)
           .fold(baseIndex)(d =>
             baseIndex.copy(prepped = baseIndex.prepped.unionByName(d)))
+        val own = DeltaStaging.read(spark, indexStore(statePath), id)
         val cross = Dedup.probeNearDupPrepped(
-            index, DeltaStaging.read(spark, indexStore(statePath), id),
-            threshold, broadcastCandidates)
+            index, own, threshold, broadcastCandidates)
           .select(col("batch_id"), col("corpus_id"))
-        val within = Dedup.minHashLshPairs(
-            batch, idCol, textCol, baseIndex.shingleK, baseIndex.numHashes,
-            baseIndex.bands, threshold)
-          .select(col("a_id"), col("b_id"))
+        // within-batch pairs: SELF-probe of the already-staged prepped
+        // frame — the batch is hashed exactly once per trigger (at staging
+        // time); re-running the LSH pair pipeline would repeat the
+        // shingle/minhash/band kernels. The `<` filter drops the identity
+        // pair every doc forms with itself and the mirror of each match.
+        val within = Dedup.probeNearDupPrepped(
+            baseIndex.copy(prepped = own), own, threshold, broadcastCandidates)
+          .where(col("batch_id") < col("corpus_id"))
+          .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
         val labels = labelsView(spark, baseLabels, idCol, statePath,
           gateId(spark, statePath, below = Some(id)))
         val crossReps = cross
