@@ -237,6 +237,61 @@ class StreamingExtendSpec extends SparkSpec {
     identity.unpersist()
   }
 
+  test("attachNearDupClustering: restart continues the clustering; fresh incarnation starts clean") {
+    val baseDocs = (0L until 6L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(baseDocs, "doc_id", "text").persisted()
+    val baseLabels = baseDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val statePath = tmpDir("sndc-r") + "/state"
+    val ckpt = tmpDir("sndc-r-ckpt")
+    val assigns = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    def run(stream: MemoryStream[(Long, String)], checkpoint: String) =
+      StreamingDedup.attachNearDupClustering(
+        stream.toDF().toDF("doc_id", "text"), base, baseLabels,
+        "doc_id", "text", threshold = 0.5, statePath, checkpoint) { (out, id) =>
+        assigns.synchronized {
+          assigns(id) = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      }
+    val b1 = Seq(doc(101L, 810), doc(102L, 811))
+    val b2 = Seq(doc(201L, 810)) // joins 101's cluster
+    val s1 = MemoryStream[(Long, String)](spark)
+    val q1 = run(s1, ckpt)
+    try {
+      s1.addData(b1: _*); q1.processAllAvailable()
+      s1.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart, same checkpoint: trigger 3's dup of a TRIGGER-1 doc must
+    // land in the cluster the pre-restart state established
+    val s2 = MemoryStream[(Long, String)](spark)
+    s2.addData(b1: _*); s2.addData(b2: _*)
+    s2.addData(doc(301L, 811))
+    val q2 = run(s2, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(assigns.synchronized(assigns(2L)) == Set((301L, 102L)))
+    val labels = StreamingDedup.currentClusterLabels(
+        spark, baseLabels, "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels.filter(_._1 >= 100L) ==
+      Set((101L, 101L), (102L, 102L), (201L, 101L), (301L, 102L)), s"got $labels")
+
+    // fresh incarnation (new checkpoint, same statePath): batch 0 must see
+    // only the base corpus — the dead incarnation's docs are purged
+    assigns.clear()
+    val s3 = MemoryStream[(Long, String)](spark)
+    s3.addData(doc(500L, 810)) // dup of the DEAD incarnation's doc 101
+    val q3 = run(s3, tmpDir("sndc-r-ckpt2"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(assigns.synchronized(assigns(0L)) == Set((500L, 500L)),
+      "a fresh incarnation must not cluster against the prior incarnation's docs")
+    val after = StreamingDedup.currentClusterLabels(
+        spark, baseLabels, "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == baseLabels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet + ((500L, 500L)),
+      s"stale labels must be purged, got $after")
+  }
+
   test("attachBm25Ingest: streamed docs become retrievable; stats fold exactly; compaction preserves probes") {
     val corpus = Seq(
       (1L, "spark shuffles data across executors"),
