@@ -128,6 +128,45 @@ object StreamingSimilarity {
     DeltaStaging.allDeltas(spark, statePath)
       .fold(index)(d => index.copy(assigned = index.assigned.unionByName(d)))
 
+  /** [[attachIvfSelfExtending]] for a sign-LSH index — the same
+    * [[DeltaStaging]] discipline; the staged delta is the batch's bucket
+    * rows (hashing is a pure projection with the index's FROZEN plane
+    * matrix, so unlike IVF the extended index is IDENTICAL to a fresh
+    * build over the union — extension loses nothing). */
+  def attachLshSelfExtending(
+      vectors: DataFrame, index: Similarity.LshIndex,
+      qIdCol: String, qVecCol: String, k: Int,
+      statePath: String, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        DeltaStaging.purgeAtOrAbove(spark, statePath, id)
+        DeltaStaging.stage(
+          batch.select(
+            org.apache.spark.sql.functions.col(qIdCol).as(index.idCol),
+            org.apache.spark.sql.functions.col(qVecCol).as(index.vecCol))
+            .withColumn("_bucket", Similarity.lshBucket(
+              org.apache.spark.sql.functions.col(index.vecCol),
+              index.nPlanes, index.dims)),
+          statePath, id)
+        val extended = DeltaStaging.deltasBelow(spark, statePath, id)
+          .fold(index)(d => index.copy(buckets = index.buckets.unionByName(d)))
+        sink(
+          Similarity.probeLsh(extended, batch, qIdCol, qVecCol, k,
+            guardBroadcast = false),
+          id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The serving-side view of a self-extending LSH stream's index. */
+  def currentLsh(
+      spark: SparkSession, index: Similarity.LshIndex,
+      statePath: String): Similarity.LshIndex =
+    DeltaStaging.allDeltas(spark, statePath)
+      .fold(index)(d => index.copy(buckets = index.buckets.unionByName(d)))
+
   /** BETWEEN-RESTART compaction (the [[StreamingDedup.compactNearDupIndex]]
     * lifecycle for IVF): persist base ∪ deltas as a bucketed index under
     * `name` ([[Similarity.saveIvfIndex]]), clear the staging dir, return

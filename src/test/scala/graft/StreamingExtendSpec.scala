@@ -402,4 +402,38 @@ class StreamingExtendSpec extends SparkSpec {
         s"serving view must cover both stream vectors, got $adhoc")
     } finally q.stop()
   }
+
+  test("attachLshSelfExtending: cross-trigger retrieval; extension identical to a fresh build") {
+    val rng = new scala.util.Random(47)
+    def mk(i: Long, dir: Int): (Long, Seq[Double]) =
+      (i, Seq.tabulate(8)(d => (if (d == dir) 1.0 else 0.0) +
+        rng.nextGaussian() * 0.03))
+    val baseRows = (0L until 20L).map(i => mk(i, (i % 2).toInt * 4))
+    val base = Similarity.buildLshIndex(
+      baseRows.toDF("vec_id", "embedding"), "vec_id", "embedding", nPlanes = 4, dims = 8)
+    val statePath = tmpDir("slsh") + "/state"
+    val results = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingSimilarity.attachLshSelfExtending(
+      stream.toDF().toDF("vec_id", "embedding"), base,
+      "vec_id", "embedding", k = 2, statePath, tmpDir("slsh-ckpt")) { (out, id) =>
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      results.synchronized { results(id) = rows }
+    }
+    try {
+      val b1 = Seq(mk(100L, 2)) // third direction: absent from base
+      val b2 = Seq(mk(200L, 2))
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      assert(results.synchronized(results(1L)).contains((200L, 100L)),
+        s"trigger-2 probe must retrieve the trigger-1 vector, got ${results.get(1L)}")
+      // the deterministic-plane property: serving view == fresh build union
+      val cur = StreamingSimilarity.currentLsh(spark, base, statePath)
+      val rebuilt = Similarity.buildLshIndex(
+        (baseRows ++ b1 ++ b2).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nPlanes = 4, dims = 8)
+      assert(cur.buckets.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+        rebuilt.buckets.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    } finally q.stop()
+  }
 }
