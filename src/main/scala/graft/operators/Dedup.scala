@@ -660,9 +660,15 @@ object Dedup {
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxDriverEdges: Long = 500000L): DataFrame = {
-    val longIds =
-      nodes.schema(idCol).dataType == org.apache.spark.sql.types.LongType
-    if (!longIds)
+    // the fast path must be SEMANTICALLY invisible, so it only engages
+    // when every collected value really is a long (pair columns included —
+    // an int-typed pair frame would pass a nodes-only check and then CCE
+    // in getLong, while the distributed join would have cast it silently)
+    val allLong = Seq(
+      nodes.schema(idCol).dataType,
+      pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+      .forall(_ == org.apache.spark.sql.types.LongType)
+    if (!allLong)
       return connectedComponents(nodes, idCol, pairs, aCol, bCol)
     val n = nodes.select(col(idCol)).persist(StorageLevel.MEMORY_AND_DISK)
     val p = pairs.select(col(aCol), col(bCol)).persist(StorageLevel.MEMORY_AND_DISK)
@@ -685,8 +691,15 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
         }
         val ids = n.collect().map(_.getLong(0))
+        val known = ids.toSet
         ids.foreach(i => parent.getOrElseUpdate(i, i))
-        p.collect().foreach { r => union(r.getLong(0), r.getLong(1)) }
+        // a pair endpoint absent from `nodes` relays nothing — the
+        // distributed fold's label join drops such edges, and label-parity
+        // between the two paths is the operator's contract
+        p.collect().foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          if (known(a) && known(b)) union(a, b)
+        }
         val spark = nodes.sparkSession
         import spark.implicits._
         ids.toSeq.map(i => (i, find(i))).toDF(idCol, "cluster_id")

@@ -94,9 +94,28 @@ private[streaming] object DeltaStaging {
       f.delete(new Path(statePath, s"$StagePrefix$old"), true))
   }
 
-  /** Write this batch's delta rows (overwrite — replay rewrites in place). */
-  def stage(delta: DataFrame, statePath: String, id: Long): Unit =
+  /** Write this batch's delta rows (overwrite — replay rewrites in place).
+    * Fails loudly if the committer did not leave a `_SUCCESS` marker
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, or a
+    * marker-less committer): the commit-visibility rule would otherwise
+    * leave every staging permanently invisible and the attaches silently
+    * serving base-only state. */
+  def stage(delta: DataFrame, statePath: String, id: Long): Unit = {
     delta.write.mode("overwrite").parquet(dir(statePath, id))
+    assertCommitted(delta.sparkSession, statePath, id)
+  }
+
+  /** Fail loudly when a just-written staging carries no `_SUCCESS` marker —
+    * used after every staging write, including ones that bypass [[stage]]
+    * ([[StreamingPca]]'s `Pca.saveState`). */
+  def assertCommitted(spark: SparkSession, statePath: String, id: Long): Unit = {
+    val path = dir(statePath, id)
+    if (!fs(spark, new Path(path)).exists(new Path(path, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"DeltaStaging: no _SUCCESS marker at $path — staging visibility " +
+          "requires success markers; re-enable " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs for the state path")
+  }
 
   /** Read one staged delta back (columnar; self-releasing, no persist). */
   def read(spark: SparkSession, statePath: String, id: Long): DataFrame =

@@ -165,8 +165,12 @@ object StreamingDedup {
             baseIndex.copy(prepped = own), own, threshold, broadcastCandidates)
           .where(col("batch_id") < col("corpus_id"))
           .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
-        val labels = labelsView(spark, baseLabels, idCol, statePath,
-          gateId(spark, statePath, below = Some(id)))
+        // one gate resolution + one composed-map read serve both the label
+        // view and the map composition below (each listing is an RPC round
+        // on object-store state paths)
+        val g = gateId(spark, statePath, below = Some(id))
+        val prevMap = relabelMap(spark, baseLabels, statePath, g)
+        val labels = labelsView(spark, baseLabels, idCol, statePath, g, prevMap)
         val crossReps = cross
           .join(labels.select(col(idCol).as("corpus_id"), col("cluster_id")),
             Seq("corpus_id"))
@@ -198,9 +202,7 @@ object StreamingDedup {
           .join(crossReps.select(col("b_id").as("_n")).distinct(), Seq("_n"))
           .where(col("cluster_id") < col("_n"))
           .select(col("_n").as("_old"), col("cluster_id").as("_new"))
-        val prev = relabelMap(spark, baseLabels, statePath,
-          gateId(spark, statePath, below = Some(id)))
-        val composed = prev.as("p")
+        val composed = prevMap.as("p")
           .join(relabelNew.select(col("_old").as("_o2"), col("_new").as("_n2")),
             col("p._new") === col("_o2"), "left")
           .select(col("p._old").as("_old"),
@@ -247,7 +249,7 @@ object StreamingDedup {
 
   private def labelsView(
       spark: SparkSession, baseLabels: DataFrame, idCol: String,
-      statePath: String, g: Option[Long]): DataFrame = {
+      statePath: String, g: Option[Long], relMap: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     val labelIds = g.map(gid =>
       DeltaStaging.stagedIds(spark, labelStore(statePath)).filter(_ <= gid))
@@ -257,8 +259,7 @@ object StreamingDedup {
       .fold(baseLabels.select(col(idCol), col("cluster_id")))(d =>
         baseLabels.select(col(idCol), col("cluster_id")).unionByName(d))
     raw
-      .join(broadcast(relabelMap(spark, baseLabels, statePath, g)),
-        col("cluster_id") === col("_old"), "left")
+      .join(broadcast(relMap), col("cluster_id") === col("_old"), "left")
       .select(col(idCol),
         coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
   }
@@ -269,9 +270,34 @@ object StreamingDedup {
     * what the NEXT trigger will read. */
   def currentClusterLabels(
       spark: SparkSession, baseLabels: DataFrame, idCol: String,
-      statePath: String): DataFrame =
-    labelsView(spark, baseLabels, idCol, statePath,
-      gateId(spark, statePath, below = None))
+      statePath: String): DataFrame = {
+    val g = gateId(spark, statePath, below = None)
+    labelsView(spark, baseLabels, idCol, statePath, g,
+      relabelMap(spark, baseLabels, statePath, g))
+  }
+
+  /** BETWEEN-RESTART compaction for the CLUSTERING attach — folds all
+    * three stores: the index deltas persist as a bucketed near-dup index
+    * under `name` ([[graft.operators.Dedup.saveNearDupIndex]]), the
+    * current labels (merges applied) persist as table `<name>_labels`, and
+    * every staging clears — so the re-attached stream starts from one
+    * compacted base with an EMPTY relabel map instead of reading one
+    * staging dir per historical trigger. Returns the reloaded
+    * (index, labels) pair to re-attach with. Run ONLY with the ingesting
+    * query stopped. */
+  def compactClustering(
+      spark: SparkSession, baseIndex: Dedup.NearDupIndex,
+      baseLabels: DataFrame, idCol: String, statePath: String,
+      name: String, numBuckets: Int): (Dedup.NearDupIndex, DataFrame) = {
+    Dedup.saveNearDupIndex(
+      currentNearDupIndex(spark, baseIndex, indexStore(statePath)),
+      name, numBuckets)
+    currentClusterLabels(spark, baseLabels, idCol, statePath)
+      .write.mode("overwrite").saveAsTable(s"${name}_labels")
+    Seq(relabelStore(statePath), labelStore(statePath), indexStore(statePath))
+      .foreach(DeltaStaging.clear(spark, _))
+    (Dedup.loadNearDupIndex(spark, name), spark.table(s"${name}_labels"))
+  }
 
   /** BETWEEN-RESTART compaction — the delta-staging lifecycle's closing
     * step: fold base ∪ deltas into a new persisted bucketed index

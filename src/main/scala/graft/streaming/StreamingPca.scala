@@ -70,6 +70,7 @@ object StreamingPca {
           .getOrElse(Pca.GramBuf(0L, Array.empty, Array.empty))
         val merged = Pca.mergeState(base, Pca.moments(batch, vecCol))
         Pca.saveState(spark, merged, DeltaStaging.dir(statePath, id))
+        DeltaStaging.assertCommitted(spark, statePath, id)
         // bound storage: only id and id-1 can ever be read again
         DeltaStaging.purgeBelow(spark, statePath, id - 1)
         if (merged.n > 0) sink(Pca.fitFromMoments(merged, k), id)

@@ -47,6 +47,9 @@ object ClusteringSoak {
 
     val rng = new scala.util.Random(23)
     var nextId = 1000000L
+    // counter-derived fresh seeds: unique by construction (the
+    // StreamingExtendSoak birthday-collision lesson)
+    var freshSeed = 600000000
     var streamSeeds = Vector.empty[Int] // seeds of STRICTLY earlier triggers
     var allRows = baseRows
     def trigRows(): Seq[(Long, String)] = {
@@ -57,7 +60,7 @@ object ClusteringSoak {
         val seed =
           if (earlier.nonEmpty && rng.nextInt(50) == 0)
             earlier(rng.nextInt(earlier.size))
-          else { val s = 600000000 + rng.nextInt(300000000); fresh :+= s; s }
+          else { freshSeed += 1; fresh :+= freshSeed; freshSeed }
         doc(nextId, seed)
       }
       streamSeeds ++= fresh
@@ -97,11 +100,8 @@ object ClusteringSoak {
           .select("a_id", "b_id"),
         "a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val clusters = got.map(_._2).size
     println(s"[clu-soak] docs=${got.size} distinct_labels=${got.groupBy(_._2).size} " +
       s"exact_match_vs_batch=${got == expect}")
-    val mapRows = StreamingDedup.currentClusterLabels(
-      spark, baseLabels, "doc_id", statePath) // labels view reads the map; size via state dir
     val relabelDir = new java.io.File(s"$statePath/relabel")
     val relabelSize = Option(relabelDir.listFiles()).map(_.toSeq)
       .getOrElse(Seq.empty).filter(_.getName.startsWith("_batch="))

@@ -44,6 +44,12 @@ object StreamingExtendSoak {
 
     val rng = new scala.util.Random(11)
     var nextId = 1000000L
+    // fresh seeds come from a COUNTER, not a random draw: ~24k draws from a
+    // 4e8 space collide with ~50% probability per run (birthday bound), and
+    // an accidental seed collision is a REAL cross-trigger pair the probe
+    // correctly finds but expectedPairs never counted — the exact-recovery
+    // check would flag a healthy system
+    var freshSeed = 500000000
     // docs per seed in STRICTLY EARLIER triggers: a dup drawn from this
     // snapshot is guaranteed cross-trigger (within-batch dups are not
     // probed by design, so drawing from the current trigger's own seeds
@@ -63,7 +69,7 @@ object StreamingExtendSoak {
             planted += 1
             expectedPairs += seedCount(s)
             s
-          } else 500000000 + rng.nextInt(400000000)
+          } else { freshSeed += 1; freshSeed }
         thisTrigger += seed -> (thisTrigger(seed) + 1L)
         doc(nextId, seed)
       }

@@ -200,6 +200,23 @@ class DedupSpec extends SparkSpec {
         nodes, "doc_id", pairs, "a_id", "b_id", maxDriverEdges = 3L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(slow == reference)
+    // an edge through an endpoint ABSENT from nodes relays nothing in the
+    // distributed fold (its label join drops the edge) — the bounded path
+    // must agree, not link 10-5-20 through the phantom node
+    val orphanNodes = Seq(10L, 20L).toDF("doc_id")
+    val orphanPairs = Seq((10L, 5L), (5L, 20L)).toDF("a_id", "b_id")
+    def run(bound: Long) = Dedup.connectedComponentsBounded(
+        orphanNodes, "doc_id", orphanPairs, "a_id", "b_id", bound)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(100L) == Map(10L -> 10L, 20L -> 20L))
+    assert(run(100L) == run(0L), "both sides of the bound must agree")
+    // int-typed pair columns must take the delegate path, not CCE mid-collect
+    val intPairs = Seq((1, 2)).toDF("a_id", "b_id")
+    val got2 = Dedup.connectedComponentsBounded(
+        Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id", intPairs, "a_id", "b_id",
+        maxDriverEdges = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
   test("connectedComponents: adversarial chain fails loudly past maxIter, converges within") {

@@ -292,6 +292,58 @@ class StreamingExtendSpec extends SparkSpec {
       s"stale labels must be purged, got $after")
   }
 
+  test("compactClustering: all three stores fold; re-attached stream continues from the compacted state") {
+    val baseDocs = Seq(doc(3L, 900), doc(5L, 900), doc(6L, 901))
+      .toDF("doc_id", "text")
+    val base = Dedup.buildNearDupIndex(baseDocs, "doc_id", "text").persisted()
+    val identity = baseDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val statePath = tmpDir("sndc-c") + "/state"
+    def run(stream: MemoryStream[(Long, String)], ckpt: String,
+            idx: Dedup.NearDupIndex, labels: DataFrame) =
+      StreamingDedup.attachNearDupClustering(
+        stream.toDF().toDF("doc_id", "text"), idx, labels,
+        "doc_id", "text", threshold = 0.5, statePath, ckpt) {
+        (out, _) => out.count(); ()
+      }
+    val s1 = MemoryStream[(Long, String)](spark)
+    val q1 = run(s1, tmpDir("sndc-c-ck1"), base, identity)
+    try {
+      s1.addData(doc(105L, 900)); q1.processAllAvailable() // merges 3 and 5
+      s1.addData(doc(106L, 902)); q1.processAllAvailable() // new singleton
+    } finally q1.stop()
+    Seq("prepped", "meta", "labels").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS sext_cluc_$sfx")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"sext_cluc_$sfx")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val (cIdx, cLabels) = StreamingDedup.compactClustering(
+      spark, base, identity, "doc_id", statePath, "sext_cluc", numBuckets = 4)
+    // every staging in every store is gone
+    Seq("index", "labels", "relabel").foreach { sub =>
+      val stages = new java.io.File(s"$statePath/$sub").listFiles()
+      assert(stages == null || !stages.exists(_.getName.startsWith("_batch=")),
+        s"$sub stagings must be cleared")
+    }
+    // the compacted labels carry the merge
+    assert(cLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 3L), (5L, 3L), (6L, 6L), (105L, 3L), (106L, 106L)))
+    // a re-attached stream clusters against the compacted corpus
+    val s2 = MemoryStream[(Long, String)](spark)
+    val q2 = run(s2, tmpDir("sndc-c-ck2"), cIdx, cLabels)
+    try {
+      s2.addData(doc(205L, 902)); q2.processAllAvailable() // dup of 106
+    } finally q2.stop()
+    val after = StreamingDedup.currentClusterLabels(
+        spark, cLabels, "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((3L, 3L), (5L, 3L), (6L, 6L), (105L, 3L),
+      (106L, 106L), (205L, 106L)), s"got $after")
+  }
+
   test("attachBm25Ingest: streamed docs become retrievable; stats fold exactly; compaction preserves probes") {
     val corpus = Seq(
       (1L, "spark shuffles data across executors"),
