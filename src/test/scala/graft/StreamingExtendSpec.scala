@@ -237,6 +237,52 @@ class StreamingExtendSpec extends SparkSpec {
     identity.unpersist()
   }
 
+  test("attachNearDupClustering: randomized differential parity with batch components") {
+    // three random corpora/streams: duplicate groups scattered across base
+    // and triggers, including multi-copy seeds (merge pressure) — each run
+    // must end exactly equal to one batch component fold over the union
+    for (seed <- Seq(101, 202, 303)) {
+      val rig = new scala.util.Random(seed)
+      def randDoc(i: Long): (Long, String) = {
+        // 30% chance to reuse a seed from a small pool → dup groups of
+        // varied size; else a unique seed
+        val s = if (rig.nextInt(10) < 3) 9000 + rig.nextInt(12)
+                else 100000 + seed * 1000 + i.toInt
+        doc(i, s)
+      }
+      val baseDocs = (0L until 25L).map(randDoc).toDF("doc_id", "text")
+      val base = Dedup.buildNearDupIndex(baseDocs, "doc_id", "text").persisted()
+      val baseLabels = Dedup.connectedComponents(
+        baseDocs.select("doc_id"), "doc_id",
+        Dedup.minHashLshPairs(baseDocs, "doc_id", "text", threshold = 0.5)
+          .select("a_id", "b_id"),
+        "a_id", "b_id").persist()
+      baseLabels.count()
+      val statePath = tmpDir(s"sndc-x$seed") + "/state"
+      val stream = MemoryStream[(Long, String)](spark)
+      val q = StreamingDedup.attachNearDupClustering(
+        stream.toDF().toDF("doc_id", "text"), base, baseLabels,
+        "doc_id", "text", threshold = 0.5, statePath,
+        tmpDir(s"sndc-x$seed-ckpt")) { (out, _) => out.count(); () }
+      val batches = (0 until 3).map(t =>
+        (0 until 8).map(j => randDoc(1000L * (t + 1) + j)))
+      try {
+        batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+        val all = baseDocs.unionByName(batches.flatten.toDF("doc_id", "text"))
+        val expect = Dedup.connectedComponents(
+            all.select("doc_id"), "doc_id",
+            Dedup.minHashLshPairs(all, "doc_id", "text", threshold = 0.5)
+              .select("a_id", "b_id"),
+            "a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = StreamingDedup.currentClusterLabels(
+            spark, baseLabels, "doc_id", statePath)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect, s"seed $seed: incremental != batch\n$got\n$expect")
+      } finally { q.stop(); baseLabels.unpersist(); base.unpersisted() }
+    }
+  }
+
   test("attachNearDupClustering: restart continues the clustering; fresh incarnation starts clean") {
     val baseDocs = (0L until 6L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
     val base = Dedup.buildNearDupIndex(baseDocs, "doc_id", "text").persisted()
