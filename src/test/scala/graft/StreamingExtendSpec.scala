@@ -501,6 +501,43 @@ class StreamingExtendSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingDecontam: per-trigger parity with the batch forms on both modalities") {
+    import graft.streaming.StreamingDecontam
+    val bench = Seq((100L, "benchmark says the quick brown fox is canonical"))
+      .toDF("doc_id", "text").persist()
+    val hits = scala.collection.mutable.Map[Long, Set[Long]]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingDecontam.attachNgram(
+      stream.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+      tmpDir("sdec-ckpt"), n = 3) { (out, id) =>
+      hits.synchronized { hits(id) = out.select("doc_id").collect().map(_.getLong(0)).toSet }
+    }
+    try {
+      stream.addData((1L, "the quick brown fox jumps"), (2L, "unrelated clean text entirely"))
+      q.processAllAvailable()
+      stream.addData((3L, "quick brown fox appears here too"))
+      q.processAllAvailable()
+      assert(hits.synchronized(hits(0L)) == Set(1L), s"got $hits") // 2 is clean
+      assert(hits.synchronized(hits(1L)) == Set(3L))
+    } finally q.stop()
+
+    val benchV = Seq((900L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding").persist()
+    val clean = scala.collection.mutable.Map[Long, Set[Long]]()
+    val vs = MemoryStream[(Long, Seq[Double])](spark)
+    val q2 = StreamingDecontam.attachSemantic(
+      vs.toDF().toDF("vec_id", "embedding"), benchV, "vec_id", "embedding",
+      "embedding", threshold = 0.9, tmpDir("sdec2-ckpt")) { (out, id) =>
+      clean.synchronized { clean(id) = out.select("vec_id").collect().map(_.getLong(0)).toSet }
+    }
+    try {
+      vs.addData((10L, Seq(0.99, 0.1, 0.0)), (11L, Seq(0.0, 1.0, 0.0)))
+      q2.processAllAvailable()
+      // 10 is a near-benchmark paraphrase (dropped); 11 is orthogonal (kept)
+      assert(clean.synchronized(clean(0L)) == Set(11L), s"got $clean")
+    } finally q2.stop()
+    bench.unpersist(); benchV.unpersist()
+  }
+
   test("attachLshSelfExtending: cross-trigger retrieval; extension identical to a fresh build") {
     val rng = new scala.util.Random(47)
     def mk(i: Long, dir: Int): (Long, Seq[Double]) =
