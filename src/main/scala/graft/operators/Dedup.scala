@@ -1274,11 +1274,25 @@ object Dedup {
     * CORPUS vector is kept (score -1) — it is near nothing. */
   def semanticDecontaminate(
       df: DataFrame, idCol: String, vecCol: String,
-      bench: DataFrame, benchVecCol: String, threshold: Double): DataFrame = {
+      bench: DataFrame, benchVecCol: String, threshold: Double): DataFrame =
+    semanticDecontaminateAgainst(
+      df, idCol, vecCol, collectBenchVectors(bench, benchVecCol), threshold)
+
+  /** The build-once artifact behind [[semanticDecontaminate]]: the
+    * benchmark vectors collapsed to ONE broadcastable row (`_bvs`). Derive
+    * + persist ONCE for probe-many use (the streaming decontam attach) —
+    * the plain entry point rebuilds this collect per call. */
+  def collectBenchVectors(bench: DataFrame, benchVecCol: String): DataFrame =
+    bench.agg(collect_list(col(benchVecCol)).as("_bvs"))
+
+  /** [[semanticDecontaminate]] against a PREBUILT [[collectBenchVectors]]
+    * one-row frame. */
+  def semanticDecontaminateAgainst(
+      df: DataFrame, idCol: String, vecCol: String,
+      benchVectors: DataFrame, threshold: Double): DataFrame = {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be in (-1, 1], got $threshold")
-    val bv = bench.agg(collect_list(col(benchVecCol)).as("_bvs"))
-    df.crossJoin(broadcast(bv))
+    df.crossJoin(broadcast(benchVectors))
       .select(
         col(idCol),
         graft.operators.stableRound(

@@ -249,10 +249,29 @@ object TextAnalysis {
   def contaminatedDocs(
       train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 13, minShared: Int = 1): DataFrame = {
-    val benchGrams = benchmark
+      n: Int = 13, minShared: Int = 1): DataFrame =
+    contaminatedDocsAgainst(
+      train, benchmarkGramSet(benchmark, textCol, n), idCol, textCol, n,
+      minShared)
+
+  /** The build-once artifact behind [[contaminatedDocs]]: the benchmark's
+    * DISTINCT `n`-gram set (`_gram`). Derive + persist it ONCE for probe-
+    * many use ([[contaminatedDocsAgainst]], the streaming decontam attach)
+    * — calling [[contaminatedDocs]] repeatedly re-runs this explode +
+    * distinct per call. */
+  def benchmarkGramSet(
+      benchmark: DataFrame, textCol: String, n: Int = 13): DataFrame =
+    benchmark
       .select(explode(tokenNgrams(col(textCol), n)).as("_gram"))
       .distinct()
+
+  /** [[contaminatedDocs]] against a PREBUILT [[benchmarkGramSet]] — `n`
+    * must match the geometry the gram set was built with (a mismatch
+    * silently probes empty). */
+  def contaminatedDocsAgainst(
+      train: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 13, minShared: Int = 1): DataFrame = {
     val trainGrams = train.select(
       col(idCol), explode(tokenNgrams(col(textCol), n)).as("_gram"))
     trainGrams

@@ -75,7 +75,9 @@ object IngestSoak {
       val r = new scala.util.Random(i.toInt)
       (i, Seq.fill(40)(s"w${r.nextInt(30000)}").mkString(" "))
     }
-    val baseDocs = (0L until 20000L).map(docRow)
+    // scale the BM25 corpus with the same CLI knob as the IVF base
+    // (2/5 ratio preserves the default 50k-vector / 20k-doc proportions)
+    val baseDocs = (0L until (base.toLong * 2 / 5)).map(docRow)
     val bm = TextAnalysis.buildBm25Index(
       baseDocs.toDF("doc_id", "text"), "doc_id", "text").persisted()
     val bmState = java.nio.file.Files.createTempDirectory("bm-soak").toString + "/state"

@@ -507,34 +507,34 @@ class StreamingExtendSpec extends SparkSpec {
       .toDF("doc_id", "text").persist()
     val hits = scala.collection.mutable.Map[Long, Set[Long]]()
     val stream = MemoryStream[(Long, String)](spark)
-    val q = StreamingDecontam.attachNgram(
+    val a = StreamingDecontam.attachNgram(
       stream.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
       tmpDir("sdec-ckpt"), n = 3) { (out, id) =>
       hits.synchronized { hits(id) = out.select("doc_id").collect().map(_.getLong(0)).toSet }
     }
     try {
       stream.addData((1L, "the quick brown fox jumps"), (2L, "unrelated clean text entirely"))
-      q.processAllAvailable()
+      a.query.processAllAvailable()
       stream.addData((3L, "quick brown fox appears here too"))
-      q.processAllAvailable()
+      a.query.processAllAvailable()
       assert(hits.synchronized(hits(0L)) == Set(1L), s"got $hits") // 2 is clean
       assert(hits.synchronized(hits(1L)) == Set(3L))
-    } finally q.stop()
+    } finally { a.query.stop(); a.unpersistArtifacts() }
 
     val benchV = Seq((900L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding").persist()
     val clean = scala.collection.mutable.Map[Long, Set[Long]]()
     val vs = MemoryStream[(Long, Seq[Double])](spark)
-    val q2 = StreamingDecontam.attachSemantic(
+    val a2 = StreamingDecontam.attachSemantic(
       vs.toDF().toDF("vec_id", "embedding"), benchV, "vec_id", "embedding",
       "embedding", threshold = 0.9, tmpDir("sdec2-ckpt")) { (out, id) =>
       clean.synchronized { clean(id) = out.select("vec_id").collect().map(_.getLong(0)).toSet }
     }
     try {
       vs.addData((10L, Seq(0.99, 0.1, 0.0)), (11L, Seq(0.0, 1.0, 0.0)))
-      q2.processAllAvailable()
+      a2.query.processAllAvailable()
       // 10 is a near-benchmark paraphrase (dropped); 11 is orthogonal (kept)
       assert(clean.synchronized(clean(0L)) == Set(11L), s"got $clean")
-    } finally q2.stop()
+    } finally { a2.query.stop(); a2.unpersistArtifacts() }
     bench.unpersist(); benchV.unpersist()
   }
 
