@@ -3335,7 +3335,101 @@ object QueriesExt {
               FROM documents d
               LEFT JOIN wc ON wc.doc_id = d.doc_id
               LEFT JOIN fin ON fin.w = wc.w
-              GROUP BY d.doc_id"""))
+              GROUP BY d.doc_id""")),
+
+    // T38 — blocklist tagging: which banned terms appear as whole tokens,
+    // plus the keep/drop verdict. The term list is a plan literal → one
+    // shuffle-free map pass; matches emitted sorted for a deterministic
+    // engine-comparable readout.
+    Entry(
+      "t38_blocklist",
+      (s, d) => TextAnalysis.blocklistTag(
+        docs(s, d), "doc_id", "text", Seq("slow", "dup", "crash")),
+      Some("""WITH m AS (SELECT doc_id,
+                                list_sort(list_filter(
+                                  list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                                  t -> t IN ('slow', 'dup', 'crash'))) AS mt
+                         FROM documents)
+              SELECT doc_id,
+                     COALESCE(len(mt), 0) AS n_matched,
+                     COALESCE(array_to_string(mt, ','), '') AS matched_csv,
+                     COALESCE(len(mt), 0) > 0 AS blocked
+              FROM m""")),
+
+    // T39 — per-doc character profile (code-point count, distinct chars,
+    // Shannon entropy in bits): the gibberish detector. Spark side is the
+    // shuffle-free CharStats kernel; the oracle rebuilds the histogram
+    // relationally with the same cancellation-light entropy form
+    // log2(n) − Σ k·log2(k) / n.
+    Entry(
+      "t39_char_entropy",
+      (s, d) => TextAnalysis.charProfile(docs(s, d), "doc_id", "text"),
+      Some("""WITH ch AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '(?s).')) AS c
+                          FROM documents),
+                   h AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+                   t AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+                                COUNT(*) AS nd,
+                                ROUND(log2(CAST(SUM(k) AS DOUBLE))
+                                      - SUM(k * log2(CAST(k AS DOUBLE))) / SUM(k)
+                                      + 1e-9, 6) AS ent
+                         FROM h GROUP BY doc_id)
+              SELECT d.doc_id,
+                     COALESCE(t.n, 0) AS n_chars_counted,
+                     COALESCE(t.nd, 0) AS n_distinct_chars,
+                     t.ent AS entropy_bits
+              FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id""")),
+
+    // T40 — lexical diversity (type-token ratio + hapax ratio): the
+    // repetitive-template detector complementing t39's char entropy. One
+    // (doc, token) postings aggregate — the t13 tf-idf shuffle shape.
+    Entry(
+      "t40_ttr",
+      (s, d) => TextAnalysis.lexicalDiversity(docs(s, d), "doc_id", "text"),
+      Some("""WITH tk AS (SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w
+                          FROM documents WHERE text IS NOT NULL),
+                   c AS (SELECT doc_id, w, COUNT(*) AS k FROM tk
+                         WHERE length(w) > 0 GROUP BY doc_id, w),
+                   a AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+                                CAST(COUNT(*) AS BIGINT) AS n_types,
+                                CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                         FROM c GROUP BY doc_id)
+              SELECT d.doc_id,
+                     COALESCE(a.n_tokens, 0) AS n_tokens,
+                     COALESCE(a.n_types, 0) AS n_types,
+                     COALESCE(a.n_hapax, 0) AS n_hapax,
+                     ROUND(CAST(a.n_types AS DOUBLE) / a.n_tokens + 1e-9, 6) AS ttr,
+                     ROUND(CAST(a.n_hapax AS DOUBLE) / a.n_types + 1e-9, 6) AS hapax_ratio
+              FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""")),
+
+    // Q56 — Jensen–Shannon divergence between the language mixes of two
+    // sources: the symmetric, bounded drift readout next to q50's PSI
+    // (JSD handles support mismatch exactly — 0·log 0 = 0 — where PSI
+    // needs an epsilon floor).
+    Entry(
+      "q56_jsd",
+      (s, d) => {
+        val dd = docs(s, d)
+        Profiling.jsDivergence(
+          dd.where(col("source") === "src0"),
+          dd.where(col("source") === "src1"), "lang")
+      },
+      Some("""WITH ca AS (SELECT lang AS cat, COUNT(*) AS ca FROM documents
+                          WHERE source = 'src0' GROUP BY 1),
+                   cb AS (SELECT lang AS cat, COUNT(*) AS cb FROM documents
+                          WHERE source = 'src1' GROUP BY 1),
+                   j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+                         FROM ca FULL OUTER JOIN cb ON ca.cat IS NOT DISTINCT FROM cb.cat),
+                   t AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb,
+                                CAST(COUNT(*) AS BIGINT) AS ncat FROM j),
+                   s AS (SELECT CAST(ca AS DOUBLE) / t.ta AS p,
+                                CAST(cb AS DOUBLE) / t.tb AS q FROM j, t)
+              SELECT t.ta AS n_a, t.tb AS n_b, t.ncat AS n_categories,
+                     CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+                       ROUND(SUM(CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2.0)) ELSE 0 END * 0.5
+                               + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2.0)) ELSE 0 END * 0.5)
+                             + 1e-9, 6)
+                     END AS jsd_bits
+              FROM s, t GROUP BY t.ta, t.tb, t.ncat"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

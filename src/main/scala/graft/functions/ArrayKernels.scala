@@ -717,6 +717,51 @@ case class ApplyBpeMerges(child: Expression, merges: Array[(String, String)])
     copy(child = newChild)
 }
 
+/** Per-document character statistics in ONE pass over the string: code-point
+  * count, distinct code points, and Shannon entropy in bits — the
+  * gibberish/boilerplate quality signal (near-zero entropy = one repeated
+  * char; English prose sits ~4.1-4.5 bits/char). Computed per row with no
+  * shuffle at all — the relational alternative (explode chars → (doc, char)
+  * aggregate) moves a row PER CHARACTER of the corpus, ~3 orders of
+  * magnitude more shuffle at 100 TB. Entropy uses the cancellation-light
+  * form `log2(n) − Σ k·log2(k) / n`, mirrored term-for-term by the DuckDB
+  * oracle. Per-document cardinality → CodegenFallback. Empty string →
+  * (0, 0, null). */
+case class CharStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = true)))
+  override def prettyName: String = "char_stats"
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val cps = s.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) org.apache.spark.sql.catalyst.InternalRow(0L, 0, null)
+    else {
+      java.util.Arrays.sort(cps)
+      val ln2 = math.log(2.0)
+      var distinct = 0
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && cps(j) == cps(i)) j += 1
+        val k = (j - i).toDouble
+        sum += k * (math.log(k) / ln2)
+        distinct += 1
+        i = j
+      }
+      val entropy = math.log(n.toDouble) / ln2 - sum / n
+      org.apache.spark.sql.catalyst.InternalRow(n.toLong, distinct, entropy)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the kernels above. */
 object ArrayKernels {
 
@@ -783,4 +828,5 @@ object ArrayKernels {
   def applyBpeMerges(symbols: Column, merges: Seq[(String, String)]): Column =
     c(ApplyBpeMerges(e(symbols), merges.toArray))
   def vecL2Dist(a: Column, b: Column): Column = c(VecL2Dist(e(a), e(b)))
+  def charStats(s: Column): Column = c(CharStats(e(s)))
 }

@@ -703,4 +703,58 @@ object Profiling {
         coalesce(col("n_risky_groups"), lit(0L)).as("n_risky_groups"),
         col("n_risky_rows"), col("min_group_size"))
   }
+
+  /** Jensen–Shannon divergence between two CATEGORICAL distributions — the
+    * symmetric, bounded ([0, 1] in bits) complement to [[psi]]'s binned
+    * numeric drift: PSI needs an epsilon floor and explodes on support
+    * mismatch, JSD handles zero-probability categories exactly
+    * (`0·log 0 = 0`), which is what you want when comparing e.g. the
+    * language mix of two sources where one is missing a language entirely.
+    * `JSD = ½ KL(p ‖ m) + ½ KL(q ‖ m)`, `m = (p + q)/2`, log base 2.
+    * NULL is a category like any other (the [[cohensKappa]] convention).
+    * Output: one row `(n_a, n_b, n_categories, jsd_bits)` (6 dp; null when
+    * either side is empty — divergence from nothing is undefined).
+    *
+    * Plan: one keyed count aggregate PER SIDE (map-side combined, shuffle ∝
+    * distinct categories), a category-sized full-outer join, broadcast
+    * totals, one-row fold — the corpora are each scanned once and
+    * everything downstream is distribution-sized. */
+  def jsDivergence(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, key: String, cnt: String): DataFrame =
+      df.groupBy(col(catCol).as(key)).agg(count(lit(1)).as(cnt))
+    // null-safe join key: NULL is a category, so it must match itself
+    // (the [[cohensKappa]] marginal-join convention)
+    val joined = counts(a, "_cata", "_ca")
+      .join(counts(b, "_catb", "_cb"), col("_cata") <=> col("_catb"),
+        "full_outer")
+      .select(
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val totals = broadcast(joined.agg(
+      sum("_ca").as("_ta"), sum("_cb").as("_tb"),
+      count(lit(1)).as("_ncat")))
+    // try_divide: an empty side (total 0) must flow to the guarded null
+    // jsd, not an ANSI divide-by-zero
+    joined.crossJoin(totals)
+      .select(
+        col("_ta"), col("_tb"), col("_ncat"),
+        try_divide(col("_ca").cast("double"), col("_ta").cast("double"))
+          .as("_p"),
+        try_divide(col("_cb").cast("double"), col("_tb").cast("double"))
+          .as("_q"))
+      .select(col("_ta"), col("_tb"), col("_ncat"),
+        ((col("_p") + col("_q")) / lit(2.0)).as("_m"), col("_p"), col("_q"))
+      .agg(
+        coalesce(first(col("_ta")), lit(0L)).as("n_a"),
+        coalesce(first(col("_tb")), lit(0L)).as("n_b"),
+        coalesce(first(col("_ncat")), lit(0L)).as("n_categories"),
+        when(first(col("_ta")) > 0 && first(col("_tb")) > 0,
+          stableRound(
+            sum(
+              when(col("_p") > 0, col("_p") * log2(col("_p") / col("_m")))
+                .otherwise(0.0) * 0.5 +
+              when(col("_q") > 0, col("_q") * log2(col("_q") / col("_m")))
+                .otherwise(0.0) * 0.5), 6))
+          .as("jsd_bits"))
+  }
 }

@@ -1167,4 +1167,89 @@ object TextAnalysis {
       .select(col("_id").as(idCol),
         coalesce(col("_n"), lit(0L)).as("n_bpe_tokens"))
   }
+
+  /** Blocklist tagging — the ubiquitous curation gate (profanity / boilerplate
+    * / banned-domain term lists): per document, which of `terms` appear as
+    * whole tokens, plus the keep/drop verdict. The term list is a LITERAL
+    * compiled into the plan (the 100 TB shape: a curation blocklist is
+    * thousands of terms — driver-side, broadcast free inside codegen), so the
+    * whole operator is one shuffle-free map pass over the corpus:
+    * `array_intersect` of the doc's distinct tokens with the literal array.
+    * Matched terms are emitted sorted + comma-joined for a deterministic,
+    * engine-comparable readout. NULL text → no matches, not-blocked.
+    *
+    * Output: `(idCol, n_matched, matched_csv, blocked)`. */
+  def blocklistTag(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklistTag: empty term list")
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "blocklistTag: terms must be non-empty single tokens")
+    val termArray = array(terms.distinct.map(lit): _*)
+    // NULL text flows to an EMPTY match set up front (not null-per-output):
+    // size/array_join null semantics differ across ANSI modes, a coalesced
+    // array does not
+    val matched = coalesce(
+      array_sort(array_intersect(
+        array_distinct(filter(tokens(col(textCol)), t => length(t) > 0)),
+        termArray)),
+      array().cast("array<string>"))
+    df.select(
+      col(idCol),
+      size(matched).as("n_matched"),
+      array_join(matched, ",").as("matched_csv"),
+      (size(matched) > 0).as("blocked"))
+  }
+
+  /** Per-document character profile: code-point count, distinct code points,
+    * Shannon entropy (bits/char) — the cheap gibberish detector (entropy ≈ 0
+    * = one repeated char; natural prose ~4.1-4.5). One shuffle-free map pass
+    * via the [[graft.functions.CharStats]] kernel — the relational
+    * formulation would explode a row PER CHARACTER (≈ a 100× corpus blow-up
+    * through the shuffle); the kernel keeps the histogram in a per-row
+    * primitive array instead. Empty/NULL text → counts 0, entropy null.
+    *
+    * Output: `(idCol, n_chars_counted, n_distinct_chars, entropy_bits)`
+    * (entropy 6 dp). */
+  def charProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.ArrayKernels.charStats(col(textCol)).as("_cs"))
+      .select(
+        col(idCol),
+        coalesce(col("_cs.n_chars"), lit(0L)).as("n_chars_counted"),
+        coalesce(col("_cs.n_distinct"), lit(0)).as("n_distinct_chars"),
+        stableRound(col("_cs.entropy_bits"), 6).as("entropy_bits"))
+
+  /** Lexical diversity — type-token ratio + hapax ratio, the repetitive-
+    * template detector that catches what char entropy can't (a page of
+    * distinct chars but the same 10 words): per doc, `n_tokens`,
+    * `n_types` (distinct tokens), `n_hapax` (tokens occurring once),
+    * `ttr = types/tokens`, `hapax_ratio = hapax/types`.
+    *
+    * Scale shape: explode to (doc, token) postings, ONE map-side-combined
+    * aggregate to per-(doc, token) counts, then a doc-keyed re-aggregate —
+    * the t13 tf-idf shuffle shape, bounded by corpus token count, with no
+    * per-doc value buffers. Docs with no tokens are kept via the id
+    * join-back (counts 0, ratios null). */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+      .groupBy("_id", "_w").agg(count(lit(1)).as("_k"))
+    val perDoc = perTok.groupBy("_id").agg(
+      sum("_k").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("_k") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        stableRound(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        stableRound(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_ratio"))
+  }
 }

@@ -157,4 +157,42 @@ class KernelsSpec extends SparkSpec {
     assert(a.take(n).toSeq == Seq(1L, 3L, 5L, 7L))
     assert(kernels.sortDistinct(Array.empty[Long]) == 0)
   }
+
+  test("charStats: hand values, empty/null edges, random == Scala histogram model") {
+    import spark.implicits._
+    def stats(s: String) = Seq(Tuple1(s)).toDF("t")
+      .select(ArrayKernels.charStats(col("t")).as("c"))
+      .select("c.n_chars", "c.n_distinct", "c.entropy_bits").head()
+    val aab = stats("aab")
+    assert(aab.getLong(0) == 3L && aab.getInt(1) == 2)
+    // log2(3) - (2*log2(2) + 1*log2(1)) / 3
+    assert(math.abs(aab.getDouble(2) - (math.log(3.0) / math.log(2.0) - 2.0 / 3.0)) < 1e-12)
+    val uniform = stats("abcd")
+    assert(uniform.getDouble(2) == 2.0 && uniform.getInt(1) == 4)
+    val const = stats("aaaa")
+    assert(const.getDouble(2) == 0.0 && const.getInt(1) == 1)
+    val empty = stats("")
+    assert(empty.getLong(0) == 0L && empty.getInt(1) == 0 && empty.isNullAt(2))
+    // null text -> whole struct null (UnaryExpression null propagation)
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(ArrayKernels.charStats(col("t"))).head()
+    assert(n.isNullAt(0))
+    // non-ASCII code points count once each (no byte-level double counting)
+    val uni = stats("é€é")
+    assert(uni.getLong(0) == 3L && uni.getInt(1) == 2)
+    // randomized vs a Scala code-point histogram model
+    val rng = new Random(42)
+    (1 to 50).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(60))(('a' + rng.nextInt(6)).toChar).mkString
+      val got = stats(s)
+      val hist = s.groupBy(identity).map(_._2.length)
+      assert(got.getLong(0) == s.length.toLong)
+      assert(got.getInt(1) == hist.size)
+      if (s.nonEmpty) {
+        val n = s.length.toDouble
+        val want = hist.map(k => -(k / n) * (math.log(k / n) / math.log(2.0))).sum
+        assert(math.abs(got.getDouble(2) - want) < 1e-9)
+      } else assert(got.isNullAt(2))
+    }
+  }
 }

@@ -397,4 +397,28 @@ class ProfilingSpec extends SparkSpec {
     assert(deg.length == 1 && deg.head.getInt(0) == 0 &&
       deg.head.getLong(3) == 2L)
   }
+
+  test("jsDivergence: 0 on identical, 1 on disjoint, hand value, empty side null") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "y").toDF("c")
+    val same = Profiling.jsDivergence(a, a, "c").head()
+    assert(same.getLong(0) == 4L && same.getLong(1) == 4L &&
+      same.getLong(2) == 2L && same.getDouble(3) == 0.0)
+    // disjoint supports -> exactly 1 bit
+    val b = Seq("u", "v").toDF("c")
+    val far = Profiling.jsDivergence(a, b, "c").head()
+    assert(far.getLong(2) == 4L && far.getDouble(3) == 1.0)
+    // hand value: p = (.5, .5) on {x, y}; q = (1, 0) -> m = (.75, .25)
+    // jsd = .5*(.5*log2(2/3) + .5*log2(2)) + .5*log2(4/3) ≈ 0.311278
+    val q = Seq("x").toDF("c")
+    val h = Profiling.jsDivergence(a, q, "c").head()
+    assert(math.abs(h.getDouble(3) - 0.311278) < 1e-6)
+    // null is a category like any other
+    val withNull = Seq("x", null: String).toDF("c")
+    val nn = Profiling.jsDivergence(withNull, withNull, "c").head()
+    assert(nn.getLong(2) == 2L && nn.getDouble(3) == 0.0)
+    // empty side: truthful counts, null divergence
+    val e = Profiling.jsDivergence(a, a.where(lit(false)), "c").head()
+    assert(e.getLong(0) == 4L && e.getLong(1) == 0L && e.isNullAt(3))
+  }
 }

@@ -1334,4 +1334,66 @@ class SimilarityTextSpec extends SparkSpec {
       queries, "vec_id", "embedding", 3, nProbe = 4, excludeSelf = true))
     assert(ivf == flat)
   }
+
+  test("blocklistTag: whole-token matches only, sorted csv, null/empty text not blocked") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the spam and eggs and SPAM"),  // spam matches (case-folded) once
+      (2L, "spammer eggs"),                // substring must NOT match
+      (3L, "ham spam eggs ham"),           // two distinct matches -> sorted csv
+      (4L, ""),
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistTag(df, "doc_id", "text", Seq("spam", "ham", "zz"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1, "spam", true)))
+    assert(got(2L) == ((0, "", false)))
+    assert(got(3L) == ((2, "ham,spam", true)))
+    assert(got(4L) == ((0, "", false)))
+    assert(got(5L) == ((0, "", false)))
+    // the pass is shuffle-free: no exchange in the plan
+    val plan = TextAnalysis.blocklistTag(df, "doc_id", "text", Seq("spam"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist must not shuffle:\n$plan")
+  }
+
+  test("charProfile: entropy ranks gibberish below prose; empty/null edge rows kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaa"),            // entropy 0
+      (2L, "the quick brown fox jumps here"),  // prose-like
+      (3L, null: String),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 20L && got(1L).getInt(2) == 1 &&
+      got(1L).getDouble(3) == 0.0)
+    assert(got(2L).getDouble(3) > 3.0) // distinct-char prose sits well above 3 bits
+    assert(got(3L).getLong(1) == 0L && got(3L).getInt(2) == 0 && got(3L).isNullAt(3))
+    assert(got(4L).getLong(1) == 0L && got(4L).getInt(2) == 0 && got(4L).isNullAt(3))
+  }
+
+  test("lexicalDiversity: hand counts; repeated-template doc scores low TTR; no-token rows kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now buy now buy now"),     // 6 tokens, 2 types, 0 hapax
+      (2L, "every word here is different"),// 5 tokens, 5 types, 5 hapax
+      (3L, "one one two"),                 // 3 tokens, 2 types, 1 hapax
+      (4L, ""),                            // no tokens
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 6L && got(1L).getLong(2) == 2L &&
+      got(1L).getLong(3) == 0L)
+    assert(math.abs(got(1L).getDouble(4) - 0.333333) < 1e-9)
+    assert(got(1L).getDouble(5) == 0.0)
+    assert(got(2L).getDouble(4) == 1.0 && got(2L).getDouble(5) == 1.0)
+    assert(got(3L).getLong(1) == 3L && got(3L).getLong(3) == 1L &&
+      math.abs(got(3L).getDouble(5) - 0.5) < 1e-9)
+    assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(4) && got(4L).isNullAt(5))
+    assert(got(5L).getLong(1) == 0L && got(5L).isNullAt(4))
+  }
 }
