@@ -3429,7 +3429,76 @@ object QueriesExt {
                                + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2.0)) ELSE 0 END * 0.5)
                              + 1e-9, 6)
                      END AS jsd_bits
-              FROM s, t GROUP BY t.ta, t.tb, t.ncat"""))
+              FROM s, t GROUP BY t.ta, t.tb, t.ncat""")),
+
+    // T41 — Unicode NFC normalization: the pre-hash canonical-form cleaning
+    // pass. The synthetic corpus is ASCII (changed = false everywhere, the
+    // fast path); the combining-character semantics are spec-pinned in
+    // SimilarityTextSpec against composed/decomposed plants.
+    Entry(
+      "t41_nfc_normalize",
+      (s, d) => TextAnalysis.normalizeText(docs(s, d), "doc_id", "text"),
+      Some("""SELECT doc_id,
+                     nfc_normalize(text) AS text_norm,
+                     (text IS DISTINCT FROM nfc_normalize(text)) AS changed
+              FROM documents""")),
+
+    // Q57 — chi-squared independence of lang × source (with Cramér's V):
+    // the significance companion to q45's mutual information over the same
+    // pair machinery, expectation summed over the FULL r×c grid.
+    Entry(
+      "q57_chi2",
+      (s, d) => Profiling.chiSquared(docs(s, d), "lang", "source"),
+      Some("""WITH j AS (SELECT lang AS x, source AS y, COUNT(*) AS nxy
+                         FROM documents GROUP BY 1, 2),
+                   ma AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+                   mb AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM j GROUP BY y),
+                   t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j),
+                   g AS (SELECT ma.nx, mb.ny, t.n, COALESCE(j.nxy, 0) AS o
+                         FROM ma CROSS JOIN mb CROSS JOIN t
+                         LEFT JOIN j ON j.x IS NOT DISTINCT FROM ma.x
+                                    AND j.y IS NOT DISTINCT FROM mb.y),
+                   s AS (SELECT MAX(n) AS n,
+                                SUM(pow(o - CAST(nx AS DOUBLE) * ny / n, 2)
+                                    / (CAST(nx AS DOUBLE) * ny / n)) AS chi2
+                         FROM g),
+                   rc AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS r,
+                                 (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS c)
+              SELECT COALESCE(s.n, 0) AS n, rc.r, rc.c,
+                     GREATEST(rc.r - 1, 0) * GREATEST(rc.c - 1, 0) AS dof,
+                     ROUND(s.chi2 + 1e-9, 6) AS chi2,
+                     CASE WHEN rc.r > 1 AND rc.c > 1 AND s.n > 0
+                          THEN ROUND(sqrt(s.chi2 / (s.n * LEAST(rc.r - 1, rc.c - 1)))
+                                     + 1e-9, 6)
+                     END AS cramers_v
+              FROM s, rc""")),
+
+    // Q58 — KS statistic of the c04 score/label pair: max |TPR − FPR| with
+    // its attaining threshold, rounded BEFORE the argmax (the q51
+    // engine-portable tie-break convention; lowest threshold wins).
+    Entry(
+      "q58_ks",
+      (s, d) => Profiling.ksStatistic(
+        docs(s, d).withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en"),
+      Some("""WITH per AS (SELECT CAST(n_chars AS DOUBLE) AS threshold,
+                                  COUNT(*) FILTER (lang = 'en') AS pos,
+                                  COUNT(*) FILTER (lang <> 'en') AS neg
+                           FROM documents GROUP BY 1),
+                   tot AS (SELECT COUNT(*) FILTER (lang = 'en') AS p,
+                                  COUNT(*) FILTER (lang <> 'en') AS n
+                           FROM documents),
+                   c AS (SELECT threshold,
+                                CAST(SUM(pos) OVER (ORDER BY threshold DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                                CAST(SUM(neg) OVER (ORDER BY threshold DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+                         FROM per),
+                   k AS (SELECT threshold,
+                                ROUND(abs(tp::DOUBLE / p - fp::DOUBLE / n) + 1e-9, 6) AS ks
+                         FROM c, tot WHERE p > 0 AND n > 0)
+              SELECT ks, threshold AS at_threshold
+              FROM k ORDER BY ks DESC, threshold LIMIT 1"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -762,6 +762,31 @@ case class CharStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD via `java.text.Normalizer`) —
+  * the canonical-form cleaning step that makes visually-identical strings
+  * byte-identical BEFORE any hash-based dedup/token op sees them (a
+  * decomposed `é` and a composed `é` otherwise hash apart). Spark has no
+  * built-in for this; per-document cardinality → CodegenFallback. The fast
+  * path (`isNormalized` — true for all-ASCII) skips the rebuild, so the
+  * common case is one scan of the string, zero allocation. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String]
+    val jstr = str.toString
+    if (java.text.Normalizer.isNormalized(jstr, f)) str
+    else UTF8String.fromString(java.text.Normalizer.normalize(jstr, f))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the kernels above. */
 object ArrayKernels {
 
@@ -829,4 +854,9 @@ object ArrayKernels {
     c(ApplyBpeMerges(e(symbols), merges.toArray))
   def vecL2Dist(a: Column, b: Column): Column = c(VecL2Dist(e(a), e(b)))
   def charStats(s: Column): Column = c(CharStats(e(s)))
+  def unicodeNormalize(s: Column, form: String): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"unicodeNormalize: form must be NFC/NFD/NFKC/NFKD, got $form")
+    c(UnicodeNormalize(e(s), form))
+  }
 }

@@ -704,6 +704,80 @@ object Profiling {
         col("n_risky_rows"), col("min_group_size"))
   }
 
+  /** Kolmogorov–Smirnov statistic of score separation — `max |TPR − FPR|`
+    * over the [[rocSweep]] operating points, with the threshold attaining
+    * it: the single-number "how separable are the classes" readout (and
+    * the classical cut-point choice) printed next to c04's full curve and
+    * q51's information-gain stump. Output: one row `(ks, at_threshold)`;
+    * empty when either class is missing (no defined curve). KS is
+    * 6-dp-rounded BEFORE the argmax (the q51 convention) so tie-breaks
+    * (lowest threshold wins) are engine-portable.
+    *
+    * Shape: everything rides [[sweepCounts]]'s one corpus pass; the argmax
+    * is TakeOrdered(1) over the distinct-score frame. */
+  def ksStatistic(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    sweepCounts(df, scoreCol, labelCol)
+      .filter(col("_p") > 0 && col("_n") > 0)
+      .select(
+        col("threshold"),
+        stableRound(abs(
+          col("tp").cast("double") / col("_p") -
+          col("fp").cast("double") / col("_n")), 6).as("ks"))
+      .orderBy(col("ks").desc, col("threshold").asc)
+      .limit(1)
+      .select(col("ks"), col("threshold").as("at_threshold"))
+
+  /** Chi-squared test of independence between two categorical columns —
+    * the significance-bearing companion to [[mutualInformation]] (MI says
+    * how much dependence; chi² + dof says whether it beats chance):
+    * `χ² = Σ_cells (obs − exp)² / exp` over the FULL r×c grid (zero-
+    * observed cells contribute their expectation — skipping them, as a
+    * join over observed pairs would, understates the statistic), `dof =
+    * (r−1)(c−1)`, plus Cramér's V `√(χ² / (n·min(r−1, c−1)))` as the
+    * [0,1] effect size. NULL is a category like any other (the
+    * [[mutualInformation]] convention). Output: one row
+    * `(n, r, c, dof, chi2, cramers_v)` (6 dp; V null when dof = 0 — a
+    * constant column has no independence question).
+    *
+    * Plan: THE one corpus pass is the joint count; the r×c grid is a
+    * cross join of the two BROADCAST marginal frames (category-sized)
+    * left-joined back to the joint — everything after the first
+    * aggregate is distribution-sized. */
+  def chiSquared(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df.groupBy(col(colA).as("_x"), col(colB).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    val margA = joint.groupBy("_x").agg(sum("_nxy").as("_nx"))
+    val margB = joint.groupBy("_y").agg(sum("_nxy").as("_ny"))
+    val total = broadcast(joint.agg(sum("_nxy").as("_n")))
+    val jo = joint.select(
+      col("_x").as("_jx"), col("_y").as("_jy"), col("_nxy"))
+    val grid = broadcast(margA).crossJoin(broadcast(margB)).crossJoin(total)
+      .join(jo,
+        col("_x") <=> col("_jx") && col("_y") <=> col("_jy"), "left")
+      .select(
+        col("_n"),
+        (col("_nx").cast("double") * col("_ny") / col("_n")).as("_e"),
+        coalesce(col("_nxy"), lit(0L)).cast("double").as("_o"))
+    val stats = grid.agg(
+      first(col("_n")).as("_n"),
+      sum(pow(col("_o") - col("_e"), 2) / col("_e")).as("_chi2"))
+    val rc = broadcast(margA.agg(count(lit(1)).as("_r")))
+      .crossJoin(broadcast(margB.agg(count(lit(1)).as("_c"))))
+    stats.crossJoin(rc)
+      .select(
+        coalesce(col("_n"), lit(0L)).as("n"),
+        col("_r").as("r"), col("_c").as("c"),
+        // greatest(·, 0): empty input (r = c = 0) must report dof 0, not
+        // (−1)·(−1) = 1
+        (greatest(col("_r") - 1, lit(0L)) * greatest(col("_c") - 1, lit(0L)))
+          .as("dof"),
+        stableRound(col("_chi2"), 6).as("chi2"),
+        when(col("_r") > 1 && col("_c") > 1 && col("_n") > 0,
+          stableRound(sqrt(col("_chi2") /
+            (col("_n") * least(col("_r") - 1, col("_c") - 1))), 6))
+          .as("cramers_v"))
+  }
+
   /** Jensen–Shannon divergence between two CATEGORICAL distributions — the
     * symmetric, bounded ([0, 1] in bits) complement to [[psi]]'s binned
     * numeric drift: PSI needs an epsilon floor and explodes on support

@@ -1220,6 +1220,25 @@ object TextAnalysis {
         coalesce(col("_cs.n_distinct"), lit(0)).as("n_distinct_chars"),
         stableRound(col("_cs.entropy_bits"), 6).as("entropy_bits"))
 
+  /** Unicode canonical normalization of a text column — the cleaning step
+    * that runs BEFORE any hash-keyed op (dedup, token hashing, blocklists):
+    * a decomposed `é` (e + combining acute) and a composed `é` are
+    * different byte strings to every md5/FNV in the pipeline until they're
+    * normalized to one form. One shuffle-free map pass through the
+    * [[graft.functions.UnicodeNormalize]] kernel (ASCII fast-path skips
+    * the rebuild entirely — on natural web corpora the overwhelmingly
+    * common case). Output: `(idCol, <textCol>_norm, changed)`; NULL text
+    * → null normalized, changed = false. */
+  def normalizeText(
+      df: DataFrame, idCol: String, textCol: String,
+      form: String = "NFC"): DataFrame = {
+    val norm = graft.functions.ArrayKernels.unicodeNormalize(col(textCol), form)
+    df.select(
+      col(idCol),
+      norm.as(s"${textCol}_norm"),
+      not(col(textCol) <=> norm).as("changed"))
+  }
+
   /** Lexical diversity — type-token ratio + hapax ratio, the repetitive-
     * template detector that catches what char entropy can't (a page of
     * distinct chars but the same 10 words): per doc, `n_tokens`,

@@ -421,4 +421,39 @@ class ProfilingSpec extends SparkSpec {
     val e = Profiling.jsDivergence(a, a.where(lit(false)), "c").head()
     assert(e.getLong(0) == 4L && e.getLong(1) == 0L && e.isNullAt(3))
   }
+
+  test("chiSquared: 0 on independence, n and V=1 on a determined 2x2, dof 0 on a constant column") {
+    import spark.implicits._
+    // all four combos equally likely -> every obs == exp -> chi2 = 0
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val r0 = Profiling.chiSquared(indep, "x", "y").head()
+    assert(r0.getLong(0) == 4L && r0.getLong(3) == 1L &&
+      r0.getDouble(4) == 0.0 && r0.getDouble(5) == 0.0)
+    // perfectly determined 2x2 -> chi2 = n, Cramer's V = 1
+    val det = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v")).toDF("x", "y")
+    val r1 = Profiling.chiSquared(det, "x", "y").head()
+    assert(r1.getDouble(4) == 4.0 && r1.getDouble(5) == 1.0)
+    // constant column -> r = 1 -> dof 0, chi2 0, V null
+    val const = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
+    val r2 = Profiling.chiSquared(const, "x", "y").head()
+    assert(r2.getLong(1) == 1L && r2.getLong(3) == 0L &&
+      r2.getDouble(4) == 0.0 && r2.isNullAt(5))
+    // null is a category: (null, w) adds a third row category
+    val withNull = Seq(("a", "u"), ("b", "v"), (null, "w")).toDF("x", "y")
+    assert(Profiling.chiSquared(withNull, "x", "y").head().getLong(1) == 3L)
+  }
+
+  test("ksStatistic: perfect separation -> 1, tie broken to lowest threshold, missing class -> empty") {
+    import spark.implicits._
+    val perfect = Seq((3.0, true), (2.0, true), (1.0, false)).toDF("s", "l")
+    val p = Profiling.ksStatistic(perfect, "s", "l").head()
+    assert(p.getDouble(0) == 1.0 && p.getDouble(1) == 2.0)
+    // ks 0.5 at thresholds 3 AND 2 -> lowest attaining threshold wins
+    val tie = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "l")
+    val t = Profiling.ksStatistic(tie, "s", "l").head()
+    assert(t.getDouble(0) == 0.5 && t.getDouble(1) == 2.0)
+    // single-class corpus has no defined curve
+    assert(Profiling.ksStatistic(
+      Seq((1.0, true)).toDF("s", "l"), "s", "l").isEmpty)
+  }
 }

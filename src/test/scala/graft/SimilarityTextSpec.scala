@@ -1375,6 +1375,32 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got(4L).getLong(1) == 0L && got(4L).getInt(2) == 0 && got(4L).isNullAt(3))
   }
 
+  test("normalizeText: composed/decomposed forms converge, ASCII fast-path unchanged, null safe") {
+    import spark.implicits._
+    val composed = "caf\u00e9"          // e-acute as ONE code point
+    val decomposed = "cafe\u0301"       // e + combining acute (two code points)
+    val df = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, null: String)
+    ).toDF("doc_id", "text")
+    val nfc = TextAnalysis.normalizeText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(nfc(1L).getString(1) == composed && nfc(1L).getBoolean(2))
+    assert(nfc(2L).getString(1) == composed && !nfc(2L).getBoolean(2))
+    assert(nfc(3L).getString(1) == "plain ascii" && !nfc(3L).getBoolean(2))
+    assert(nfc(4L).isNullAt(1) && !nfc(4L).getBoolean(2))
+    // after NFC both spellings hash-dedup together (the reason this op
+    // runs before q18-style normalized-text dedup)
+    val deduped = graft.operators.Dedup.byNormalizedText(
+      TextAnalysis.normalizeText(df.where(col("doc_id") <= 2), "doc_id", "text")
+        .withColumnRenamed("text_norm", "text"),
+      "doc_id", "text")
+    assert(deduped.count() == 1 && deduped.head().getLong(1) == 2L)
+    // NFD is the inverse direction: the composed form decomposes
+    val nfd = TextAnalysis.normalizeText(df.where(col("doc_id") === 2),
+      "doc_id", "text", form = "NFD").head()
+    assert(nfd.getString(1) == decomposed && nfd.getBoolean(2))
+  }
+
   test("lexicalDiversity: hand counts; repeated-template doc scores low TTR; no-token rows kept") {
     import spark.implicits._
     val df = Seq(
