@@ -3498,7 +3498,24 @@ object QueriesExt {
                                 ROUND(abs(tp::DOUBLE / p - fp::DOUBLE / n) + 1e-9, 6) AS ks
                          FROM c, tot WHERE p > 0 AND n > 0)
               SELECT ks, threshold AS at_threshold
-              FROM k ORDER BY ks DESC, threshold LIMIT 1"""))
+              FROM k ORDER BY ks DESC, threshold LIMIT 1""")),
+
+    // S22 — exact phrase search (scan form, constant phrase): adjacency
+    // counted as per-row HOFs over the token array inside the scan stage —
+    // the bm25TopK philosophy; the positional-index probe form is
+    // spec-pinned to identical results in SimilarityTextSpec.
+    Entry(
+      "s22_phrase_search",
+      (s, d) => TextAnalysis.phraseCount(
+        docs(s, d), "doc_id", "text", Seq("hash", "join")),
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                          FROM documents WHERE text IS NOT NULL),
+                   m AS (SELECT doc_id,
+                                len([i for i in range(1, len(t))
+                                     if t[i] = 'hash' AND t[i + 1] = 'join']) AS n
+                         FROM tk)
+              SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+              FROM m WHERE n > 0"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -1168,6 +1168,73 @@ object TextAnalysis {
         coalesce(col("_n"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Exact phrase occurrences per document — SCAN form for a CONSTANT
+    * phrase (the [[bm25TopK]] philosophy): the phrase is a literal, so
+    * adjacency checks run as per-row higher-order functions over the
+    * token array inside the scan stage — no token explode, no (doc, term)
+    * shuffle, no index. Occurrences may overlap (`"a a a"` contains
+    * `"a a"` twice — the count is of start positions). Docs with no
+    * occurrence (including null/short texts) are dropped. Output:
+    * `(idCol, n_occurrences)`.
+    *
+    * For probe-many workloads build [[buildPositionalIndex]] once and
+    * [[probePhrase]] it — same results (spec-pinned parity), probe cost
+    * ∝ the phrase terms' postings instead of a corpus scan. */
+  def phraseCount(
+      df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      "phraseCount: phrase must be non-empty whitespace-free tokens")
+    val L = phrase.length
+    val base = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+    val nStarts = size(col("_t")) - L + 1
+    // CaseWhen evaluates the matched branch only, so sequence(1, n−L+1)
+    // never materializes descending for docs shorter than the phrase
+    val matches = size(filter(
+      sequence(lit(1), nStarts),
+      i => phrase.zipWithIndex.map { case (w, j) =>
+        element_at(col("_t"), (i + lit(j)).cast("int")) === lit(w)
+      }.reduce(_ && _)))
+    base.select(col(idCol),
+        when(nStarts >= 1, matches).otherwise(lit(0))
+          .cast("long").as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
+
+  /** Positional inverted index: `(term, _id, _pos)` postings with 0-based
+    * ORIGINAL token positions — the build-once artifact behind exact
+    * phrase retrieval at probe-many scale (persist bucketed on `term`
+    * like [[saveBm25Index]]'s postings). */
+  final case class PositionalIndex(postings: DataFrame)
+
+  def buildPositionalIndex(
+      df: DataFrame, idCol: String, textCol: String): PositionalIndex =
+    PositionalIndex(
+      df.select(col(idCol).as("_id"),
+          posexplode(tokens(col(textCol))).as(Seq("_pos", "term")))
+        .where(length(col("term")) > 0))
+
+  /** Phrase probe through a [[PositionalIndex]]: the classical positional-
+    * postings intersection — term j's postings shifted to start positions
+    * (`_pos − j`) and equi-joined across the phrase on `(_id, _start)`;
+    * each surviving row is one occurrence start. Probe cost ∝ the PHRASE
+    * TERMS' postings (predicate-pruned — bucketed persistence makes the
+    * term filter a bucket prune), never a corpus scan. Identical results
+    * to [[phraseCount]] (spec-pinned). Output: `(idOut, n_occurrences)`. */
+  def probePhrase(
+      index: PositionalIndex, phrase: Seq[String],
+      idOut: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      "probePhrase: phrase must be non-empty whitespace-free tokens")
+    phrase.zipWithIndex.map { case (w, j) =>
+        index.postings.where(col("term") === w)
+          .select(col("_id"), (col("_pos") - j).as("_start"))
+      }
+      .reduce((a, b) => a.join(b, Seq("_id", "_start")))
+      .groupBy("_id").agg(count(lit(1)).as("n_occurrences"))
+      .select(col("_id").as(idOut), col("n_occurrences"))
+  }
+
   /** Blocklist tagging — the ubiquitous curation gate (profanity / boilerplate
     * / banned-domain term lists): per document, which of `terms` appear as
     * whole tokens, plus the keep/drop verdict. The term list is a LITERAL

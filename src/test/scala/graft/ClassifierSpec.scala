@@ -85,4 +85,16 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"model joins must broadcast:\n${plan.take(3000)}")
   }
+
+  test("saveNbModel/loadNbModel: scoring through the persisted model is identical") {
+    val score = Seq((1L, "a a d"), (2L, "c b"), (3L, "zz")).toDF("id", "text")
+    def canon(m: Classifier.NbModel) =
+      Classifier.scoreNaiveBayes(m, score, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val direct = canon(model)
+    Classifier.saveNbModel(model, "nb_persist_spec")
+    val loaded = canon(Classifier.loadNbModel(spark, "nb_persist_spec"))
+    assert(loaded == direct && direct.nonEmpty)
+  }
 }

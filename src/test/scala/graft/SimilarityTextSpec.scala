@@ -1375,6 +1375,41 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got(4L).getLong(1) == 0L && got(4L).getInt(2) == 0 && got(4L).isNullAt(3))
   }
 
+  test("phraseCount: hand counts incl. overlaps; probePhrase parity on real docs; edge rows dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the hash join beats the sort merge join"),
+      (2L, "a a a"),                 // overlapping "a a" -> 2 starts
+      (3L, "hash only here"),
+      (4L, "join hash"),             // reversed order must not match
+      (5L, ""),
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    val hj = TextAnalysis.phraseCount(df, "doc_id", "text", Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hj == Map(1L -> 1L))
+    val aa = TextAnalysis.phraseCount(df, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(2L -> 2L))
+    // a 3-term phrase and one longer than any doc
+    val three = TextAnalysis.phraseCount(df, "doc_id", "text",
+      Seq("the", "hash", "join")).collect()
+    assert(three.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+    assert(TextAnalysis.phraseCount(df, "doc_id", "text",
+      Seq.fill(20)("x")).isEmpty)
+    // scan form == positional-index probe, on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = TextAnalysis.buildPositionalIndex(docs, "doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    for (phrase <- Seq(Seq("hash", "join"), Seq("a", "a"), Seq("the", "big", "table"))) {
+      assert(
+        canon(TextAnalysis.probePhrase(idx, phrase)) ==
+        canon(TextAnalysis.phraseCount(docs, "doc_id", "text", phrase)),
+        s"scan/probe divergence for phrase $phrase")
+    }
+  }
+
   test("normalizeText: composed/decomposed forms converge, ASCII fast-path unchanged, null safe") {
     import spark.implicits._
     val composed = "caf\u00e9"          // e-acute as ONE code point
