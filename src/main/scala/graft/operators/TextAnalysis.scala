@@ -1214,6 +1214,16 @@ object TextAnalysis {
           posexplode(tokens(col(textCol))).as(Seq("_pos", "term")))
         .where(length(col("term")) > 0))
 
+  /** Incremental positional-index maintenance: the new batch is the ONLY
+    * corpus touched (its postings are built and unioned in — the
+    * [[extendBm25Index]] discipline, with no stats to fold since phrase
+    * matching needs none). Caller guarantees disjoint doc ids. */
+  def extendPositionalIndex(
+      index: PositionalIndex, newDocs: DataFrame,
+      idCol: String, textCol: String): PositionalIndex =
+    PositionalIndex(index.postings.unionByName(
+      buildPositionalIndex(newDocs, idCol, textCol).postings))
+
   /** Phrase probe through a [[PositionalIndex]]: the classical positional-
     * postings intersection — term j's postings shifted to start positions
     * (`_pos − j`) and equi-joined across the phrase on `(_id, _start)`;

@@ -185,4 +185,13 @@ class PlanPinSpec extends SparkSpec {
         s"t33 window must rank the aggregated distinct-value table:\n${w.toString.take(2000)}")
     }
   }
+
+  test("t41/s22: the per-row kernels plan shuffle-free scans — no Exchange at all") {
+    for (q <- Seq("t41_nfc_normalize", "s22_phrase_search")) {
+      val plan = Queries.byName(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$q must be a pure map pass over the scan:\n${plan.take(3000)}")
+    }
+  }
 }

@@ -1408,6 +1408,14 @@ class SimilarityTextSpec extends SparkSpec {
         canon(TextAnalysis.phraseCount(docs, "doc_id", "text", phrase)),
         s"scan/probe divergence for phrase $phrase")
     }
+    // incremental extension == rebuild over the union (new batch only touched)
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val ext = TextAnalysis.extendPositionalIndex(idx, shifted, "doc_id", "text")
+    val full = TextAnalysis.buildPositionalIndex(
+      docs.unionByName(shifted), "doc_id", "text")
+    assert(
+      canon(TextAnalysis.probePhrase(ext, Seq("hash", "join"))) ==
+      canon(TextAnalysis.probePhrase(full, Seq("hash", "join"))))
   }
 
   test("normalizeText: composed/decomposed forms converge, ASCII fast-path unchanged, null safe") {
