@@ -97,19 +97,6 @@ object Classifier {
     * keep/reroute pipeline keyed on `pred_label` must treat absence as
     * its own outcome — left-join this result back to the corpus and
     * route unmatched docs explicitly. */
-  /** Persist a trained [[NbModel]] (both frames are vocabulary-sized —
-    * plain tables suffice; the scoring joins broadcast them regardless).
-    * The same build-once/probe-many discipline as
-    * [[TextAnalysis.saveBm25Index]]. */
-  def saveNbModel(model: NbModel, name: String): Unit = {
-    model.condLogProb.write.mode("overwrite").saveAsTable(s"${name}_cond")
-    model.labelPriors.write.mode("overwrite").saveAsTable(s"${name}_priors")
-  }
-
-  def loadNbModel(
-      spark: org.apache.spark.sql.SparkSession, name: String): NbModel =
-    NbModel(spark.table(s"${name}_cond"), spark.table(s"${name}_priors"))
-
   def scoreNaiveBayes(
       model: NbModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -134,4 +121,17 @@ object Classifier {
         col("_label").as("pred_label"),
         col("_score").as("score"))
   }
+
+  /** Persist a trained [[NbModel]] (both frames are vocabulary-sized —
+    * plain tables suffice; the scoring joins broadcast them regardless).
+    * The same build-once/probe-many discipline as
+    * [[TextAnalysis.saveBm25Index]]. */
+  def saveNbModel(model: NbModel, name: String): Unit = {
+    model.condLogProb.write.mode("overwrite").saveAsTable(s"${name}_cond")
+    model.labelPriors.write.mode("overwrite").saveAsTable(s"${name}_priors")
+  }
+
+  def loadNbModel(
+      spark: org.apache.spark.sql.SparkSession, name: String): NbModel =
+    NbModel(spark.table(s"${name}_cond"), spark.table(s"${name}_priors"))
 }

@@ -1185,14 +1185,17 @@ object TextAnalysis {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
       "phraseCount: phrase must be non-empty whitespace-free tokens")
-    val L = phrase.length
+    // tokens() lower-cases the corpus side — fold the phrase to match, or a
+    // capitalized query term would silently never match anything
+    val terms = phrase.map(_.toLowerCase)
+    val L = terms.length
     val base = df.select(col(idCol), tokens(col(textCol)).as("_t"))
     val nStarts = size(col("_t")) - L + 1
     // CaseWhen evaluates the matched branch only, so sequence(1, n−L+1)
     // never materializes descending for docs shorter than the phrase
     val matches = size(filter(
       sequence(lit(1), nStarts),
-      i => phrase.zipWithIndex.map { case (w, j) =>
+      i => terms.zipWithIndex.map { case (w, j) =>
         element_at(col("_t"), (i + lit(j)).cast("int")) === lit(w)
       }.reduce(_ && _)))
     base.select(col(idCol),
@@ -1236,7 +1239,8 @@ object TextAnalysis {
       idOut: String = "doc_id"): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
       "probePhrase: phrase must be non-empty whitespace-free tokens")
-    phrase.zipWithIndex.map { case (w, j) =>
+    // the index terms are tokens()-lower-cased — fold the phrase to match
+    phrase.map(_.toLowerCase).zipWithIndex.map { case (w, j) =>
         index.postings.where(col("term") === w)
           .select(col("_id"), (col("_pos") - j).as("_start"))
       }
@@ -1262,7 +1266,9 @@ object TextAnalysis {
     require(terms.nonEmpty, "blocklistTag: empty term list")
     require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       "blocklistTag: terms must be non-empty single tokens")
-    val termArray = array(terms.distinct.map(lit): _*)
+    // tokens() lower-cases the corpus side — fold the blocklist to match
+    // (a capitalized banned term would otherwise silently never block)
+    val termArray = array(terms.map(_.toLowerCase).distinct.map(lit): _*)
     // NULL text flows to an EMPTY match set up front (not null-per-output):
     // size/array_join null semantics differ across ANSI modes, a coalesced
     // array does not

@@ -87,6 +87,18 @@ class ClassifierSpec extends SparkSpec {
   }
 
   test("saveNbModel/loadNbModel: scoring through the persisted model is identical") {
+    // a previous JVM's run may have left the managed location behind with no
+    // catalog entry — drop both so Overwrite can't hit
+    // LOCATION_ALREADY_EXISTS (the saveIvfIndex spec's pattern)
+    Seq("nb_persist_spec_cond", "nb_persist_spec_priors").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val score = Seq((1L, "a a d"), (2L, "c b"), (3L, "zz")).toDF("id", "text")
     def canon(m: Classifier.NbModel) =
       Classifier.scoreNaiveBayes(m, score, "id", "text")

@@ -1344,7 +1344,9 @@ class SimilarityTextSpec extends SparkSpec {
       (4L, ""),
       (5L, null: String)
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.blocklistTag(df, "doc_id", "text", Seq("spam", "ham", "zz"))
+    // "SPAM" exercises the blocklist case-fold: tokens() lower-cases the
+    // corpus, so an unfolded capitalized term would silently never block
+    val got = TextAnalysis.blocklistTag(df, "doc_id", "text", Seq("SPAM", "ham", "zz"))
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
     assert(got(1L) == ((1, "spam", true)))
@@ -1385,7 +1387,8 @@ class SimilarityTextSpec extends SparkSpec {
       (5L, ""),
       (6L, null: String)
     ).toDF("doc_id", "text")
-    val hj = TextAnalysis.phraseCount(df, "doc_id", "text", Seq("hash", "join"))
+    // capitalized query phrase must case-fold against the lower-cased tokens
+    val hj = TextAnalysis.phraseCount(df, "doc_id", "text", Seq("Hash", "JOIN"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hj == Map(1L -> 1L))
     val aa = TextAnalysis.phraseCount(df, "doc_id", "text", Seq("a", "a"))
