@@ -3515,7 +3515,55 @@ object QueriesExt {
                                      if t[i] = 'hash' AND t[i + 1] = 'join']) AS n
                          FROM tk)
               SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
-              FROM m WHERE n > 0"""))
+              FROM m WHERE n > 0""")),
+
+    // C08 — text-hygiene gate composition: NFC normalize → blocklist drop →
+    // char-entropy + lexical-diversity quality cut, each stage individually
+    // oracled (t41/t38/t39/t40), the composition pinned end-to-end. The
+    // cuts are on the 6dp-ROUNDED stage outputs (the c01 discipline) so
+    // the keep set is bit-reproducible across engines; thresholds bind at
+    // ~p25 of this corpus's distributions.
+    Entry(
+      "c08_hygiene_gate",
+      (s, d) => {
+        val normed = TextAnalysis.normalizeText(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("text_norm").as("text"))
+        val unblocked = TextAnalysis.blocklistTag(
+            normed, "doc_id", "text", Seq("dup", "crash"))
+          .where(!col("blocked")).select("doc_id")
+        val pool = normed.join(unblocked, Seq("doc_id"))
+        val ent = TextAnalysis.charProfile(pool, "doc_id", "text")
+          .select("doc_id", "entropy_bits")
+        val lex = TextAnalysis.lexicalDiversity(pool, "doc_id", "text")
+          .select("doc_id", "n_tokens", "ttr")
+        ent.join(lex, Seq("doc_id"))
+          .where(col("entropy_bits") >= 4.05 && col("ttr") >= 0.35)
+          .select("doc_id", "entropy_bits", "ttr", "n_tokens")
+      },
+      Some("""WITH nn AS (SELECT doc_id, nfc_normalize(text) AS text FROM documents),
+                   bl AS (SELECT doc_id FROM nn
+                          WHERE NOT COALESCE(len(list_filter(
+                                  list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                                  t -> t IN ('dup', 'crash'))), 0) > 0),
+                   pool AS (SELECT nn.* FROM nn JOIN bl USING (doc_id)),
+                   ch AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '(?s).')) AS c
+                          FROM pool),
+                   h AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+                   e AS (SELECT doc_id,
+                                ROUND(log2(CAST(SUM(k) AS DOUBLE))
+                                      - SUM(k * log2(CAST(k AS DOUBLE))) / SUM(k)
+                                      + 1e-9, 6) AS entropy_bits
+                         FROM h GROUP BY doc_id),
+                   tk AS (SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w
+                          FROM pool WHERE text IS NOT NULL),
+                   c2 AS (SELECT doc_id, w, COUNT(*) AS k FROM tk
+                          WHERE length(w) > 0 GROUP BY doc_id, w),
+                   l AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+                                ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(k) + 1e-9, 6) AS ttr
+                         FROM c2 GROUP BY doc_id)
+              SELECT e.doc_id, e.entropy_bits, l.ttr, l.n_tokens
+              FROM e JOIN l USING (doc_id)
+              WHERE e.entropy_bits >= 4.05 AND l.ttr >= 0.35"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the
