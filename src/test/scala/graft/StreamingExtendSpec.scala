@@ -571,4 +571,36 @@ class StreamingExtendSpec extends SparkSpec {
         rebuilt.buckets.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
     } finally q.stop()
   }
+
+  test("StreamingHygiene.gate: streaming keep set == batch gate == the c08 composition") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val params = (Seq("dup", "crash"), 4.05, 0.35)
+    val batchKept = graft.streaming.StreamingHygiene.gate(
+        docs, "doc_id", "text", params._1, params._2, params._3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the per-row gate reproduces the aggregate-form composition exactly
+    val c08 = Queries.byName("c08_hygiene_gate")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == c08 && batchKept.nonEmpty)
+    // and the SAME transform runs unchanged on a stream, trigger-wise
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val stream = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.StreamingHygiene.gate(
+        stream.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", params._1, params._2, params._3)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }
+      .option("checkpointLocation", tmpDir("hyg-ckpt")).start()
+    try {
+      stream.addData(h1: _*); q.processAllAvailable()
+      stream.addData(h2: _*); q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == batchKept)
+    } finally q.stop()
+  }
 }
