@@ -3563,7 +3563,92 @@ object QueriesExt {
                          FROM c2 GROUP BY doc_id)
               SELECT e.doc_id, e.entropy_bits, l.ttr, l.n_tokens
               FROM e JOIN l USING (doc_id)
-              WHERE e.entropy_bits >= 4.05 AND l.ttr >= 0.35"""))
+              WHERE e.entropy_bits >= 4.05 AND l.ttr >= 0.35""")),
+
+    // Q59 — Mann–Whitney U on doc length across the q55 md5 variant split:
+    // the nonparametric A/B readout a heavy-tailed metric wants (q46 is
+    // rates, q47 means). Pooled midranks with tie correction; the oracle
+    // replays midranks as a window over the distinct-value frame (Spark
+    // uses the distributed prefix sum instead — never a global window).
+    Entry(
+      "q59_mannwhitney",
+      (s, d) => Experiment.mannWhitneyU(
+        docs(s, d).select(
+          when(pmod(Dedup.hash56(col("doc_id").cast("string")), lit(2L)) === 0,
+            "control").otherwise("treatment").as("variant"),
+          col("n_chars")),
+        "variant", "n_chars", "control", "treatment"),
+      Some("""WITH v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 2 = 0
+                                     THEN 'control' ELSE 'treatment' END AS g,
+                                CAST(n_chars AS DOUBLE) AS x
+                         FROM documents WHERE n_chars IS NOT NULL),
+                   vc AS (SELECT x, COUNT(*) AS c FROM v GROUP BY x),
+                   r AS (SELECT x, SUM(c) OVER (ORDER BY x
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb,
+                                c
+                         FROM vc),
+                   mr AS (SELECT x, cb + (c + 1) / 2.0 AS midrank FROM r),
+                   vg AS (SELECT g, x, COUNT(*) AS cg FROM v GROUP BY g, x),
+                   rg AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS n,
+                                 SUM(cg * mr.midrank) AS rsum
+                          FROM vg JOIN mr USING (x) GROUP BY g),
+                   t AS (SELECT COALESCE(SUM(CASE WHEN c > 1
+                                              THEN CAST(c AS DOUBLE)*c*c - c
+                                              ELSE 0 END), 0) AS ties,
+                                CAST(SUM(c) AS BIGINT) AS nn
+                         FROM vc),
+                   w AS (SELECT MAX(CASE WHEN g = 'control' THEN n END) AS na,
+                                MAX(CASE WHEN g = 'control' THEN rsum END) AS ra,
+                                MAX(CASE WHEN g = 'treatment' THEN n END) AS nb
+                         FROM rg)
+              SELECT w.na AS n_control, w.nb AS n_treatment,
+                     ROUND(w.ra - w.na * (w.na + 1) / 2.0 + 1e-9, 6) AS u_control,
+                     CASE WHEN w.na IS NOT NULL AND w.nb IS NOT NULL AND t.nn > 1
+                               AND (w.na * w.nb / 12.0) * ((t.nn + 1) - t.ties / (t.nn * (t.nn - 1.0))) > 0
+                          THEN ROUND((w.ra - w.na * (w.na + 1) / 2.0 - w.na * w.nb / 2.0)
+                                     / sqrt((w.na * w.nb / 12.0)
+                                            * ((t.nn + 1) - t.ties / (t.nn * (t.nn - 1.0))))
+                                     + 1e-9, 6)
+                     END AS z,
+                     CASE WHEN w.na IS NOT NULL AND w.nb IS NOT NULL AND w.na * w.nb > 0
+                          THEN ROUND(1.0 - 2.0 * (w.ra - w.na * (w.na + 1) / 2.0)
+                                     / (w.na * w.nb) + 1e-9, 6)
+                     END AS rank_biserial
+              FROM w, t""")),
+
+    // S23 — full k-means (Lloyd) fit over the embeddings: md5-seeded cells
+    // refined by two hard E-steps (6dp-rounded centroids and cosines, ties
+    // to the lowest cell). The oracle unrolls both rounds — seed mod,
+    // per-cell means, argmax — exactly; per-vector labels make the whole
+    // trajectory hash-checked, not just the final sizes.
+    Entry(
+      "s23_kmeans",
+      (s, d) => Similarity.kmeansClusters(
+        embs(s, d), "vec_id", "embedding", k = 4, iters = 2),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   a0 AS (SELECT vec_id, v,
+                                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 4 AS cell
+                          FROM e),
+                   c1 AS (SELECT cell, list(m ORDER BY i) AS c
+                          FROM (SELECT cell, i, ROUND(avg(v[i]) + 1e-9, 6) AS m
+                                FROM a0, (SELECT unnest(range(1, 65)) AS i) r GROUP BY 1, 2)
+                          GROUP BY cell),
+                   a1 AS (SELECT vec_id, v, cell FROM
+                           (SELECT e.vec_id, e.v, c1.cell,
+                                   row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY ROUND(list_cosine_similarity(e.v, c1.c) + 1e-9, 6) DESC,
+                                              c1.cell) AS rn
+                            FROM e CROSS JOIN c1) WHERE rn = 1),
+                   c2 AS (SELECT cell, list(m ORDER BY i) AS c
+                          FROM (SELECT cell, i, ROUND(avg(v[i]) + 1e-9, 6) AS m
+                                FROM a1, (SELECT unnest(range(1, 65)) AS i) r GROUP BY 1, 2)
+                          GROUP BY cell)
+              SELECT vec_id, cell AS cluster FROM
+               (SELECT e.vec_id, c2.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c2.c) + 1e-9, 6) DESC,
+                                  c2.cell) AS rn
+                FROM e CROSS JOIN c2) WHERE rn = 1"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -160,4 +160,77 @@ object Experiment {
               (first(col("_vx")) * first(col("_vy")))), 6)
           .as("var_reduction"))
   }
+
+  /** Mann–Whitney U test — the NONPARAMETRIC A/B readout on a numeric
+    * metric (the companion [[abProportionZTest]] is for rates, [[cuped]]
+    * for means; heavy-tailed pipeline metrics — latencies, doc lengths,
+    * quality scores — want the rank test that a single outlier can't move):
+    * pooled midranks with the standard tie correction,
+    * `U_c = R_c − n_c(n_c+1)/2`, normal approximation
+    * `z = (U_c − n_c·n_t/2) / σ`,
+    * `σ² = n_c·n_t/12 · ((N+1) − Σ(t³−t)/(N(N−1)))`, plus the
+    * rank-biserial effect size `1 − 2U_c/(n_c·n_t)` (positive ⇒ control
+    * stochastically SMALLER). Output: one row
+    * `(n_control, n_treatment, u_control, z, rank_biserial)` (6 dp;
+    * z null when a side is missing or every value is tied — no ordering
+    * signal). NULL metric values are excluded (the z-test convention).
+    *
+    * Shape: ranks come from ONE pooled distinct-value aggregate run
+    * through the DISTRIBUTED prefix sum ([[Packing.globalRunningSums]] —
+    * never an unpartitioned window); the per-(variant, value) frame joins
+    * the midranks value-wise; everything downstream is distinct-value- or
+    * one-row-sized. */
+  def mannWhitneyU(
+      df: DataFrame, variantCol: String, valueCol: String,
+      control: String, treatment: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df
+      .where(col(variantCol).isin(control, treatment) && v.isNotNull)
+      .select(col(variantCol).cast("string").as("_g"), v.as("_v"))
+    val vc = base.groupBy("_v").agg(count(lit(1)).as("_c"))
+    // ascending positions cb+1..cb+c for a value with cb pooled values
+    // below it and c ties -> midrank cb + (c+1)/2
+    val ranked = Packing
+      .globalRunningSums(vc, Seq(col("_v").asc), Seq("_c" -> "_cum"))
+      .select(
+        col("_v"),
+        (col("_cum") - col("_c") + (col("_c") + 1) / lit(2.0)).as("_midrank"))
+    val perGroup = base.groupBy("_g", "_v").agg(count(lit(1)).as("_cg"))
+      .join(ranked, Seq("_v"))
+      .groupBy("_g")
+      .agg(sum("_cg").as("_n"), sum(col("_cg") * col("_midrank")).as("_rsum"))
+    val ties = broadcast(vc.agg(
+      coalesce(sum(when(col("_c") > 1,
+        pow(col("_c").cast("double"), 3) - col("_c"))), lit(0.0)).as("_ties"),
+      coalesce(sum("_c"), lit(0L)).as("_nn")))
+    perGroup
+      .agg(
+        max(when(col("_g") === control, col("_n"))).as("_na"),
+        max(when(col("_g") === control, col("_rsum"))).as("_ra"),
+        max(when(col("_g") === treatment, col("_n"))).as("_nb"))
+      .crossJoin(ties)
+      .select(
+        col("_na").as("n_control"), col("_nb").as("n_treatment"),
+        (col("_ra") - col("_na") * (col("_na") + 1) / lit(2.0)).as("_u"),
+        col("_na"), col("_nb"), col("_ties"), col("_nn"))
+      .select(
+        col("n_control"), col("n_treatment"),
+        stableRound(col("_u"), 6).as("u_control"),
+        when(
+          col("_na").isNotNull && col("_nb").isNotNull && col("_nn") > 1 &&
+            (col("_na") * col("_nb") / lit(12.0)) *
+              ((col("_nn") + 1) -
+                col("_ties") / (col("_nn") * (col("_nn") - lit(1.0)))) > 0.0,
+          stableRound(
+            (col("_u") - col("_na") * col("_nb") / lit(2.0)) /
+              sqrt((col("_na") * col("_nb") / lit(12.0)) *
+                ((col("_nn") + 1) -
+                  col("_ties") / (col("_nn") * (col("_nn") - lit(1.0))))), 6))
+          .as("z"),
+        when(col("_na").isNotNull && col("_nb").isNotNull &&
+            col("_na") * col("_nb") > 0,
+          stableRound(
+            lit(1.0) - lit(2.0) * col("_u") / (col("_na") * col("_nb")), 6))
+          .as("rank_biserial"))
+  }
 }

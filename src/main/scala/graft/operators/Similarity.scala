@@ -428,6 +428,49 @@ object Similarity {
     IvfIndex(centroids(assigned, "_cell", vecCol), assigned, idCol, vecCol)
   }
 
+  /** Full k-means (Lloyd) clustering over an embedding column — the
+    * clustering READOUT (topic bucketing, SemDeDup partitions, mixture
+    * design), distinct from [[buildIvfIndexAuto]] which keeps the index
+    * (and seeds from xxhash64, which a SQL oracle can't replay).
+    * Deterministic end to end: seeding is `hash56(id) mod k` (the
+    * md5-derived engine-portable idiom), each of the `iters` hard E-steps
+    * is [[graft.operators.Dedup.assignNearestCentroid]] (per-cell
+    * element-wise-mean centroids rounded 6 dp, cosine argmax rounded 6 dp,
+    * ties to the lowest cell). Returns `(idCol, cluster)` for every input
+    * vector; a cell that loses all members simply stops existing (standard
+    * Lloyd on hash seeding — no re-spawn heuristic to keep both engines
+    * bit-identical).
+    *
+    * Scale shape: each round is ONE corpus pass — the codebook is a k-row
+    * aggregate collapsed to a single broadcast array row, assignment is a
+    * per-row fold (no exchange, no sort, rows never move), and rounds are
+    * eager-materialized so the build is exactly `iters` passes instead of
+    * the O(iters²) a lazy chain would recompute. The returned label frame
+    * is localCheckpoint-materialized so every vector-carrying intermediate
+    * is released before the caller sees it. */
+  def kmeansClusters(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var assigned = df.select(
+      col(idCol), col(vecCol),
+      pmod(Dedup.hash56(col(idCol).cast("string")), lit(k.toLong)).as("_cell"))
+    var prev: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      assigned = Dedup.assignNearestCentroid(assigned, idCol, vecCol, "_cell")
+        .persist()
+      assigned.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(assigned)
+    }
+    val out = assigned
+      .select(col(idCol), col("_cell").as("cluster"))
+      .localCheckpoint(true)
+    prev.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Build a sign-LSH index: one corpus pass assigning every vector its
     * `nPlanes`-bit bucket. */
   def buildLshIndex(

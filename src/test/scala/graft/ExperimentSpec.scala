@@ -145,4 +145,29 @@ class ExperimentSpec extends SparkSpec {
     assert(enc.toMap.getOrElse("solo", false),
       "solo category must encode to null")
   }
+
+  test("mannWhitneyU: hand values with and without ties; degenerate and missing-side nulls") {
+    import spark.implicits._
+    def mw(rows: Seq[(String, Double)]) = Experiment.mannWhitneyU(
+      rows.toDF("g", "x"), "g", "x", "control", "treatment").head()
+    // no ties: control {1,2}, treatment {3,4} -> ranks 1..4, R_c = 3,
+    // U_c = 0; sigma^2 = 4*5/12; z = -2/sqrt(5/3) = -1.549193
+    val a = mw(Seq(("control", 1.0), ("control", 2.0),
+      ("treatment", 3.0), ("treatment", 4.0)))
+    assert(a.getLong(0) == 2L && a.getLong(1) == 2L)
+    assert(a.getDouble(2) == 0.0)
+    assert(math.abs(a.getDouble(3) - -1.549193) < 1e-6)
+    assert(a.getDouble(4) == 1.0) // control stochastically smaller
+    // ties: control {1,1}, treatment {1,2}: midrank(1) = 2, midrank(2) = 4
+    // -> R_c = 4, U_c = 1; ties term 24 -> sigma^2 = 1 -> z = -1
+    val b = mw(Seq(("control", 1.0), ("control", 1.0),
+      ("treatment", 1.0), ("treatment", 2.0)))
+    assert(b.getDouble(2) == 1.0 && b.getDouble(3) == -1.0)
+    // every value tied -> no ordering signal -> z null (U is still defined)
+    val c = mw(Seq(("control", 5.0), ("treatment", 5.0)))
+    assert(c.isNullAt(3))
+    // missing side -> null counts and null z
+    val d = mw(Seq(("control", 1.0), ("control", 2.0)))
+    assert(d.isNullAt(1) && d.isNullAt(3))
+  }
 }

@@ -437,6 +437,34 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("kmeansClusters: separates antipodal clusters, reaches a fixed point, deterministic") {
+    import spark.implicits._
+    val rng = new Random(36)
+    val vecs = (0L until 60L).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i, Seq.fill(8)(sign + rng.nextGaussian() * 0.05))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 60)
+    assert(got.values.toSet.subsetOf(Set(0L, 1L)))
+    // clean antipodal data: the fit must recover the sign split exactly
+    // (each cluster pure, both present)
+    val bySign = got.groupBy { case (id, _) => id % 2 }.view
+      .mapValues(_.values.toSet).toMap
+    assert(bySign(0L).size === 1 && bySign(1L).size === 1)
+    assert(bySign(0L) != bySign(1L))
+    // fixed point: a 5th E-step changes nothing
+    val more = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 2, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(more === got)
+    // deterministic: a rerun is bit-identical
+    val again = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === got)
+  }
+
   test("saveIvfIndex/loadIvfIndex: probe through the bucketed tables is identical") {
     import spark.implicits._
     val rng = new Random(37)
