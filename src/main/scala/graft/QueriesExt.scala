@@ -3648,7 +3648,56 @@ object QueriesExt {
                        row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY ROUND(list_cosine_similarity(e.v, c2.c) + 1e-9, 6) DESC,
                                   c2.cell) AS rn
-                FROM e CROSS JOIN c2) WHERE rn = 1"""))
+                FROM e CROSS JOIN c2) WHERE rn = 1""")),
+
+    // Q60 — HyperLogLog grouped distinct count (p=8) next to the exact
+    // answer: the 100 TB cardinality primitive as RELATIONAL register state
+    // (md5-derived buckets/ranks, integer-scaled harmonic fold — exact,
+    // order-independent), so the oracle replays registers AND estimate
+    // bit-for-bit. rel_err makes the sketch's accuracy part of the
+    // hash-checked contract.
+    Entry(
+      "q60_hll_distinct",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val est = Hll.distinctSketch(li, keys, "l_partkey", p = 8)
+        li.groupBy(keys.map(col): _*)
+          .agg(countDistinct(col("l_partkey")).as("n_exact"))
+          .join(est, keys)
+          .select(
+            col("l_returnflag"), col("l_linestatus"), col("n_exact"),
+            col("hll_distinct"),
+            stableRound(
+              abs(col("hll_distinct") - col("n_exact")) / col("n_exact"), 6)
+              .as("rel_err"))
+      },
+      Some("""WITH h AS (SELECT l_returnflag, l_linestatus,
+                                ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS h
+                         FROM lineitem WHERE l_partkey IS NOT NULL),
+                   regs AS (SELECT l_returnflag, l_linestatus, h >> 48 AS b,
+                                   MAX(49 - length(regexp_replace(bin(h & ((1::BIGINT << 48) - 1)), '^0+', ''))) AS r
+                            FROM h GROUP BY 1, 2, 3),
+                   f AS (SELECT l_returnflag, l_linestatus,
+                                COUNT(*) AS ne,
+                                SUM(1::BIGINT << (49 - r)) AS s
+                         FROM regs GROUP BY 1, 2),
+                   est AS (SELECT l_returnflag, l_linestatus,
+                                  CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256 * 562949953421312
+                                    / CAST((256 - ne) * 562949953421312 + s AS DOUBLE) AS e0,
+                                  256 - ne AS v
+                           FROM f),
+                   ee AS (SELECT l_returnflag, l_linestatus,
+                                 ROUND(CASE WHEN e0 <= 640.0 AND v > 0
+                                            THEN 256.0 * ln(256 / CAST(v AS DOUBLE))
+                                            ELSE e0 END + 1e-9, 6) AS hll_distinct
+                          FROM est),
+                   x AS (SELECT l_returnflag, l_linestatus,
+                                COUNT(DISTINCT l_partkey) AS n_exact
+                         FROM lineitem GROUP BY 1, 2)
+              SELECT x.l_returnflag, x.l_linestatus, x.n_exact, ee.hll_distinct,
+                     ROUND(abs(ee.hll_distinct - x.n_exact) / x.n_exact + 1e-9, 6) AS rel_err
+              FROM ee JOIN x USING (l_returnflag, l_linestatus)"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the
