@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingKmeans
+
+/** Streaming mini-batch k-means: moment conservation (every ingested
+  * vector is in exactly one cell's (n, Σx)), mini-batch semantics (a new
+  * cluster's mass lands in one cell), restart continuation, incarnation
+  * purge. */
+class StreamingKmeansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private case class Snap(n: Map[Long, Long], sums: Map[Long, Seq[Double]])
+
+  private def snap(df: org.apache.spark.sql.DataFrame): Snap = {
+    val rows = df.collect()
+    Snap(
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getLong(0) ->
+        r.getSeq[Double](2).map(x => math.rint(x * 1e4) / 1e4)).toMap)
+  }
+
+  private def vec(center: Double, jitter: Double, i: Int): Seq[Double] =
+    Seq.tabulate(4)(d => center + jitter * ((i * 7 + d * 3) % 5 - 2) / 100.0)
+
+  /** The first batch's seed cell — hash56(id) mod k, replicated from
+    * [[graft.operators.Dedup.hash56]] so the test can pick data per cell. */
+  private def seedCell(id: Long, k: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(14), 16) % k
+  }
+
+  test("attach: moment conservation across triggers; new cluster mass lands in one cell") {
+    val statePath = tmpDir("skm") + "/state"
+    val sink = scala.collection.mutable.Map.empty[Long, Snap]
+    val momentsByBatch = scala.collection.mutable.Map.empty[Long, Snap]
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingKmeans.attach(
+      stream.toDF().toDF("id", "v"), "id", "v", k = 2,
+      statePath, tmpDir("skm-ckpt")) { (cents, id) =>
+      sink(id) = snap(cents) // (_cell, _n, _centroid)
+      momentsByBatch(id) = snap(
+        StreamingKmeans.currentMoments(spark, statePath).get)
+    }
+    // trigger 1: give each md5-seeded cell its own direction (cell 0 ids
+    // near e0, cell 1 ids near e1) so the fitted centroids DIFFER — with
+    // near-identical centroids the trigger-2 argmax would be a per-vector
+    // coin flip on jitter
+    def dir(axis: Int, i: Long): Seq[Double] =
+      Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0 else 0.0) + 0.01 * ((i * 7 + d * 3) % 5 - 2) / 10.0)
+    val a = (0L until 40L).map(i => (i, dir(seedCell(i, 2).toInt, i)))
+    assert(a.count { case (i, _) => seedCell(i, 2) == 0L } > 5)
+    assert(a.count { case (i, _) => seedCell(i, 2) == 1L } > 5)
+    // trigger 2: 20 vectors along e1-tilted (0, 0.9, 0.45, 0) — cosine ~0.9
+    // to the e1 centroid, ~0 to e0 -> ALL must land in cell 1
+    val b = (100L until 120L).map(i => (i, Seq(0.0, 0.9, 0.45, 0.0)))
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // conservation after trigger 1: n totals 40, Σ_cells Σx == Σ all of A
+    val m1 = momentsByBatch(0L)
+    assert(m1.n.values.sum === 40L)
+    val aTotal = (0 until 4).map(d => a.map(_._2(d)).sum)
+    val m1Total = (0 until 4).map(d => m1.sums.values.map(_(d)).sum)
+    m1Total.zip(aTotal).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+
+    // conservation after trigger 2 over A ∪ B
+    val m2 = momentsByBatch(1L)
+    assert(m2.n.values.sum === 60L)
+    val allTotal = (0 until 4).map(d => (a ++ b).map(_._2(d)).sum)
+    val m2Total = (0 until 4).map(d => m2.sums.values.map(_(d)).sum)
+    m2Total.zip(allTotal).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+
+    // mini-batch semantics: B is near cell 1's centroid and orthogonal to
+    // cell 0's, so its whole mass lands in cell 1 (deterministic argmax)
+    val grew = m2.n.map { case (c, n) => c -> (n - m1.n.getOrElse(c, 0L)) }
+    assert(grew === Map(0L -> 0L, 1L -> 20L), grew)
+    // and cell 1's centroid moved toward B: the e2 component (0.45 in B,
+    // ~0 in trigger-1 data) is now clearly positive
+    val cent = sink(1L).sums(1L)
+    assert(cent(2) > 0.05 && cent(1) < 1.0, cent)
+  }
+
+  test("attach: restart continues the fold; fresh incarnation starts clean") {
+    val statePath = tmpDir("skm-r") + "/state"
+    val ckpt = tmpDir("skm-r-ckpt")
+    val out = scala.collection.mutable.Map.empty[Long, Snap]
+    def run(stream: MemoryStream[(Long, Seq[Double])], checkpoint: String) =
+      StreamingKmeans.attach(
+        stream.toDF().toDF("id", "v"), "id", "v", k = 2,
+        statePath, checkpoint) { (cents, id) => out(id) = snap(cents) }
+
+    val b1 = (0L until 30L).map(i => (i, vec(0.5, 1.0, i.toInt)))
+    val b2 = (30L until 50L).map(i => (i, vec(0.5, 1.0, i.toInt)))
+    val s1 = MemoryStream[(Long, Seq[Double])](spark)
+    val q1 = run(s1, ckpt)
+    try { s1.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(out.values.map(_.n.values.sum).max === 30L)
+
+    val s2 = MemoryStream[(Long, Seq[Double])](spark)
+    s2.addData(b1: _*); s2.addData(b2: _*)
+    val q2 = run(s2, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    // continuation: re-adding b1 only recreates the source offsets — the
+    // checkpoint resumes AT b2, so totals cover b1 + b2 exactly once
+    assert(out.maxBy(_._1)._2.n.values.sum === 50L)
+
+    // fresh checkpoint, same statePath: prior incarnation's mass is purged
+    val s3 = MemoryStream[(Long, Seq[Double])](spark)
+    s3.addData((900L, vec(2.0, 0.0, 1)), (901L, vec(2.0, 0.0, 2)))
+    val q3 = run(s3, tmpDir("skm-r-ckpt2"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(out(0L).n.values.sum === 2L)
+  }
+}
