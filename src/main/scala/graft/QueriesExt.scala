@@ -3697,7 +3697,24 @@ object QueriesExt {
                          FROM lineitem GROUP BY 1, 2)
               SELECT x.l_returnflag, x.l_linestatus, x.n_exact, ee.hll_distinct,
                      ROUND(abs(ee.hll_distinct - x.n_exact) / x.n_exact + 1e-9, 6) AS rel_err
-              FROM ee JOIN x USING (l_returnflag, l_linestatus)"""))
+              FROM ee JOIN x USING (l_returnflag, l_linestatus)""")),
+
+    // Q61 — Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    // multi-dimensional clustering key a 100 TB lake sorts files by so
+    // footer min/max stats prune on EITHER column. All-integer bucket +
+    // interleave arithmetic; the oracle is GENERATED from the same
+    // dims/bits (Layout.zValueSql), so Spark and DuckDB unroll identical
+    // shift/mask terms.
+    Entry(
+      "q61_zorder",
+      (s, d) => Layout.withZValue(
+        Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select("l_orderkey", "l_linenumber", "z_value"),
+      Some(s"""SELECT l_orderkey, l_linenumber, z_value FROM (
+                 ${Layout.zValueSql("lineitem", Seq("l_partkey", "l_suppkey"), 8)}
+               )"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  /** Reference Morton code over pre-computed bucket indices. */
+  private def morton(buckets: Seq[Long], bits: Int): Long =
+    buckets.zipWithIndex.foldLeft(0L) { case (acc, (b, d)) =>
+      (0 until bits).foldLeft(acc)((a, i) =>
+        a | (((b >> i) & 1L) << (i * buckets.size + (buckets.size - 1 - d))))
+    }
+
+  test("withZValue: matches the reference interleave, including negatives and a constant dim") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, rng.nextInt(1000).toLong - 500L, rng.nextInt(90).toLong, 42L))
+    val df = rows.toDF("id", "x", "y", "k")
+    val got = Layout.withZValue(df, Seq("x", "y", "k"), bits = 5)
+      .select("id", "z_value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (minX, maxX) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (minY, maxY) = (rows.map(_._3).min, rows.map(_._3).max)
+    rows.foreach { case (id, x, y, _) =>
+      val bx = (x - minX) * 32 / (maxX - minX + 1)
+      val by = (y - minY) * 32 / (maxY - minY + 1)
+      // constant dim buckets to 0
+      assert(got(id) === morton(Seq(bx, by, 0L), 5), s"id=$id")
+    }
+  }
+
+  test("withZValue: monotone in each dimension with the other fixed; nulls bucket lowest") {
+    import spark.implicits._
+    // full 16x16 grid with values = bucket indices themselves
+    val rows = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val z = Layout.withZValue(rows.toDF("x", "y"), Seq("x", "y"), bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (y <- 0L until 16L; x <- 0L until 15L)
+      assert(z((x, y)) < z((x + 1, y)))
+    for (x <- 0L until 16L; y <- 0L until 15L)
+      assert(z((x, y)) < z((x, y + 1)))
+    // a null dim buckets to 0: it TIES the minimum value's z (bucket 0 as
+    // well) and never exceeds any other row
+    val withNull = Seq(
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(9L)),
+      (java.lang.Long.valueOf(12L), java.lang.Long.valueOf(9L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L)))
+      .toDF("x", "y")
+    val zByX = Layout.withZValue(withNull, Seq("x", "y"), bits = 4)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(2)).toMap
+    assert(zByX(-1L) === zByX(3L))
+    assert(zByX(-1L) < zByX(12L))
+  }
+
+  test("zOrderWrite: parquet files cover disjoint z-ranges and round-trip the rows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, rng.nextInt(512).toLong, rng.nextInt(512).toLong))
+    val path = tmpDir("zorder") + "/t"
+    Layout.zOrderWrite(rows.toDF("id", "x", "y"), Seq("x", "y"), path,
+      bits = 8, numFiles = 6)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 4000)
+    assert(back.select("id").distinct().count() === 4000)
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z_value").as("lo"), max("z_value").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file z-ranges: $hi vs $lo2")
+    }
+  }
+}
