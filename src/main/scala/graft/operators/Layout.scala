@@ -41,7 +41,12 @@ object Layout {
   /** Append `zCol`: the Morton interleave of `cols`' bucket indices
     * (`bits` per dimension, dimension 0 owns the most significant bit of
     * each group). Null dimension values bucket to 0 (they sort first).
-    * Supports up to `63 / cols.size` bits per dimension. */
+    * Supports up to `63 / cols.size` bits per dimension.
+    *
+    * Range constraint: each column's span `max − min` must stay below
+    * `2^(63−bits)` or the exact bucket product overflows — true for every
+    * realistic layout key (ids, dates, small measures). Do NOT z-order on
+    * full-width hash columns; bucket them first. */
   def withZValue(
       df: DataFrame, cols: Seq[String], bits: Int = 8,
       zCol: String = "z_value"): DataFrame = {
