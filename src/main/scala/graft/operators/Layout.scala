@@ -46,7 +46,10 @@ object Layout {
     * Range constraint: each column's span `max − min` must stay below
     * `2^(63−bits)` or the exact bucket product overflows — true for every
     * realistic layout key (ids, dates, small measures). Do NOT z-order on
-    * full-width hash columns; bucket them first. */
+    * full-width hash columns; bucket them first. Layout columns must be
+    * INTEGRAL: the bucket casts to BIGINT, and fractional casts diverge
+    * across engines (Spark truncates, DuckDB rounds) — floor a double
+    * column into an integer bucket before passing it here. */
   def withZValue(
       df: DataFrame, cols: Seq[String], bits: Int = 8,
       zCol: String = "z_value"): DataFrame = {

@@ -87,9 +87,13 @@ object StreamingKmeans {
       .foreachBatch((batch: DataFrame, id: Long) => {
         val spark = batch.sparkSession
         DeltaStaging.purgeAtOrAbove(spark, statePath, id)
+        // an EMPTY staged frame (a run whose first triggers carried no
+        // rows) must not become a codebook — an empty codebook would
+        // assign every row a null cell; keep seeding until mass exists
         val base = DeltaStaging.stagedIds(spark, statePath)
           .filter(_ < id).maxOption
           .map(b => DeltaStaging.read(spark, statePath, b))
+          .filter(!_.isEmpty)
         val assigned = base match {
           case Some(m) =>
             Similarity.assignToCodebook(

@@ -87,6 +87,30 @@ class StreamingKmeansSpec extends SparkSpec {
     assert(cent(2) > 0.05 && cent(1) < 1.0, cent)
   }
 
+  test("attach: an empty first trigger keeps seeding — no null cells later") {
+    import org.apache.spark.sql.functions.col
+    val statePath = tmpDir("skm-e") + "/state"
+    val out = scala.collection.mutable.Map.empty[Long, Snap]
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    // the sentinel id -1 is filtered inside the attached frame, so trigger
+    // 1 processes an EMPTY batch (and stages an empty moment frame)
+    val q = StreamingKmeans.attach(
+      stream.toDF().toDF("id", "v").filter(col("id") >= 0L),
+      "id", "v", k = 2, statePath, tmpDir("skm-e-ckpt")) { (cents, id) =>
+      out(id) = snap(cents)
+    }
+    try {
+      stream.addData((-1L, vec(1.0, 0.0, 1))); q.processAllAvailable()
+      stream.addData((0L until 20L).map(i => (i, vec(1.0, 1.0, i.toInt))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out(0L).n.isEmpty)
+    // trigger 2 must have seeded (md5 cells), not assigned against the
+    // empty staged codebook — every cell label is a real seed cell
+    assert(out(1L).n.values.sum === 20L)
+    assert(out(1L).n.keySet.subsetOf(Set(0L, 1L)))
+  }
+
   test("attach: restart continues the fold; fresh incarnation starts clean") {
     val statePath = tmpDir("skm-r") + "/state"
     val ckpt = tmpDir("skm-r-ckpt")
