@@ -191,6 +191,15 @@ object Bench {
     // printed line unparseable to callers that scrape stdout, so the file is
     // the machine-readable channel.
     println(line)
+    // A second, COMPACT summary line: the full line has outgrown tail-window
+    // scrapers (≈5 KB at 150+ queries — a caller keeping the last ~4 KB of
+    // stdout sees it head-truncated and unparseable). The compact line is a
+    // few hundred bytes, printed after the full one, so a scraper that takes
+    // the last parseable JSON line always gets at least the headline metric;
+    // per-query detail stays in the full line and the output file.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$reps,"n_queries":${ok.size},"failures":$fJson,"sf":"$sfDir"}"""
+    println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()

@@ -59,11 +59,46 @@ object Hll {
   }
 
   /** Max-fold two register frames (same keys/p): the HLL merge — exact,
-    * associative, idempotent. */
+    * associative, idempotent.
+    *
+    * CONTRACT: both frames must have been built by [[registers]] with the
+    * SAME precision `p` — max-folding registers of different precisions
+    * silently produces a meaningless sketch (buckets don't line up).
+    * Pass `p` to enforce it: every row is plan-guarded to
+    * `_bucket ∈ [0, 2^p)` and `_rank ∈ [1, 56−p+1]`. A FINER frame
+    * (p' > p) is always caught — with more than a handful of values some
+    * bucket necessarily exceeds `2^p−1`. A COARSER frame (p' < p) is
+    * caught only when it carries a rank beyond the p-envelope (deep ranks
+    * need ~2^(56−p) values per bucket), so the guard is a tripwire, not a
+    * proof, in that direction — registers carry no per-row precision
+    * fingerprint by design (the frame IS plain relational state). The
+    * 3-arg form skips the guard for callers that already hold the
+    * invariant structurally (e.g. both sides from one [[registers]] call
+    * site). */
   def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy((keys :+ "_bucket").map(col): _*)
       .agg(max("_rank").as("_rank"))
+
+  /** [[merge]] with the precision-compatibility guard (see contract
+    * above). */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String], p: Int): DataFrame = {
+    checkP(p)
+    val m = 1L << p
+    val maxRank = 56 - p + 1
+    def guarded(df: DataFrame): DataFrame = df.withColumn("_rank",
+      when(
+        col("_bucket") < 0 || col("_bucket") >= lit(m) ||
+          col("_rank") < 1 || col("_rank") > lit(maxRank),
+        raise_error(concat(
+          lit(s"HLL merge precision mismatch: register (bucket="),
+          col("_bucket").cast("string"), lit(", rank="),
+          col("_rank").cast("string"),
+          lit(s") is outside the p=$p envelope [0,$m) x [1,$maxRank]")))
+          .cast("int"))
+        .otherwise(col("_rank")))
+    merge(guarded(a), guarded(b), keys)
+  }
 
   /** Fold a register frame to one row per group: `(keys*, hll_distinct)`,
     * the bias-corrected HLL estimate (6 dp): `E = α_m m² / Σ 2^{-M_j}`

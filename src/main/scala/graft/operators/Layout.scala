@@ -25,9 +25,20 @@ object Layout {
 
   /** Per-dimension bucket index in `[0, 2^bits)` — exact integer math,
     * engine-portable (`DIV` truncation on non-negative operands). A
-    * constant dimension (max == min) buckets to 0. */
+    * constant dimension (max == min) buckets to 0. The span guard lives
+    * INSIDE the CASE (branch short-circuiting), not alongside it: codegen's
+    * common-subexpression elimination hoists the repeated bucket expression
+    * above any sibling guard column, so a standalone guard would lose the
+    * race to the ANSI overflow on `_max − _min + 1`. */
   private def bucket(c: String, bits: Int): Column =
     expr(s"""CASE WHEN _max_$c = _min_$c THEN CAST(0 AS BIGINT)
+             WHEN try_subtract(_max_$c, _min_$c) IS NULL
+                  OR try_subtract(_max_$c, _min_$c) >= ${1L << (63 - bits)}
+             THEN raise_error(concat(
+                    'z-order span overflow: column $c spans ',
+                    coalesce(CAST(try_subtract(_max_$c, _min_$c) AS STRING),
+                             '>2^63'),
+                    ' >= 2^${63 - bits}; bucket the column first'))
              ELSE (CAST($c AS BIGINT) - _min_$c) * ${1L << bits}
                   DIV (_max_$c - _min_$c + 1) END""")
 
@@ -43,24 +54,42 @@ object Layout {
     * each group). Null dimension values bucket to 0 (they sort first).
     * Supports up to `63 / cols.size` bits per dimension.
     *
-    * Range constraint: each column's span `max − min` must stay below
-    * `2^(63−bits)` or the exact bucket product overflows — true for every
-    * realistic layout key (ids, dates, small measures). Do NOT z-order on
-    * full-width hash columns; bucket them first. Layout columns must be
-    * INTEGRAL: the bucket casts to BIGINT, and fractional casts diverge
-    * across engines (Spark truncates, DuckDB rounds) — floor a double
-    * column into an integer bucket before passing it here. */
+    * Range constraint (ENFORCED): each column's span `max − min` must stay
+    * below `2^(63−bits)` or the exact bucket product overflows — true for
+    * every realistic layout key (ids, dates, small measures). A wide-span
+    * column (e.g. a full-width hash) raises at runtime via a guard over the
+    * already-computed min/max frame; bucket it first. Layout columns must
+    * be INTEGRAL (checked at plan time): the bucket casts to BIGINT, and
+    * fractional casts diverge across engines (Spark truncates, DuckDB
+    * rounds) — floor a double column into an integer bucket before passing
+    * it here. */
   def withZValue(
       df: DataFrame, cols: Seq[String], bits: Int = 8,
       zCol: String = "z_value"): DataFrame = {
     require(cols.nonEmpty, "at least one layout column")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits*dims must fit a signed long, got $bits x ${cols.size}")
+    // integrality is a hard precondition (fractional casts diverge across
+    // engines — Spark truncates, DuckDB rounds) — reject at plan time
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    cols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"layout column $c not in schema"))
+      require(integral.contains(f.dataType),
+        s"layout column $c must be integral (byte/short/int/long), " +
+          s"got ${f.dataType.simpleString} — floor/bucket it first")
+    }
     val aggExprs = cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"_min_$c"),
       max(col(c)).cast("long").as(s"_max_$c")))
     val mm = df.agg(aggExprs.head, aggExprs.tail: _*)
     val n = cols.size
+    // the runtime span guard (wide span => descriptive raise_error, not a
+    // wrapped/ANSI-overflowed z-value) lives inside bucket()'s CASE
     val z = cols.zipWithIndex.flatMap { case (c, d) =>
       val b = coalesce(bucket(c, bits), lit(0L))
       (0 until bits).map(i =>

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -48,15 +48,35 @@ object StreamingKmeans {
     DeltaStaging.stagedIds(spark, statePath).maxOption
       .map(b => DeltaStaging.read(spark, statePath, b))
 
+  // guard for the "every position counts the same rows" invariant both
+  // aggregates below depend on: a ragged batch (mixed vector dims) or a
+  // null vector element would otherwise break moment conservation with a
+  // nondeterministically chosen count. Checked per cell from the
+  // (count, non-null count) pair — min==max across positions AND no
+  // dropped nulls, else fail loudly.
+  private def checkedN(what: String): Column =
+    when(
+      min("_n") =!= max("_n") || max(col("_n") - col("_nn")) > 0,
+      raise_error(concat(
+        lit(s"$what: ragged or null-element vector batch in cell "),
+        col("_cell").cast("string"),
+        lit(" (per-position counts "), min("_n").cast("string"),
+        lit(".."), max("_n").cast("string"), lit(", null elements "),
+        max(col("_n") - col("_nn")).cast("string"), lit(")")))
+        .cast("long"))
+      .otherwise(max("_n"))
+
   // per-cell (n, element-wise Σx) of an assigned frame — k-row output
   private def moments(assigned: DataFrame, vecCol: String): DataFrame =
     assigned
       .select(col("_cell"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
       .groupBy("_cell", "_pos")
-      .agg(count(lit(1)).as("_n"), sum(col("_x").cast("double")).as("_s"))
+      .agg(
+        count(lit(1)).as("_n"), count(col("_x")).as("_nn"),
+        sum(col("_x").cast("double")).as("_s"))
       .groupBy("_cell")
       .agg(
-        first("_n").as("_n"), // every position counts the same rows
+        checkedN("streaming k-means ingest").as("_n"),
         transform(
           array_sort(collect_list(struct(col("_pos"), col("_s")))),
           x => x.getField("_s")).as("_sum"))
@@ -66,10 +86,13 @@ object StreamingKmeans {
     base.unionByName(delta)
       .select(col("_cell"), col("_n"), posexplode(col("_sum")).as(Seq("_pos", "_s")))
       .groupBy("_cell", "_pos")
-      .agg(sum("_n").as("_n2"), sum("_s").as("_s2"))
+      .agg(sum("_n").as("_n"), sum("_s").as("_s2"))
+      // _nn mirrors _n here: a base/delta dim mismatch shows up as
+      // positions covered by only one side, i.e. differing per-position _n
+      .withColumn("_nn", col("_n"))
       .groupBy("_cell")
       .agg(
-        first("_n2").as("_n"),
+        checkedN("streaming k-means fold").as("_n"),
         transform(
           array_sort(collect_list(struct(col("_pos"), col("_s2")))),
           x => x.getField("_s2")).as("_sum"))

@@ -65,4 +65,30 @@ class HllSpec extends SparkSpec {
       Seq("g"), "v", p = 9).collect().head.getDouble(1)
     assert(fwd === rev)
   }
+
+  test("guarded merge: same-p frames fold identically; mismatched p raises") {
+    import spark.implicits._
+    val a = (0 until 3000).map(i => ("g", s"a_$i")).toDF("g", "v")
+    val b = (1000 until 5000).map(i => ("g", s"b_$i")).toDF("g", "v")
+    val sa10 = Hll.registers(a, Seq("g"), "v", p = 10)
+    val sb10 = Hll.registers(b, Seq("g"), "v", p = 10)
+    // guarded == unguarded when the contract holds
+    assert(regSet(Hll.merge(sa10, sb10, Seq("g"), p = 10)) ===
+      regSet(Hll.merge(sa10, sb10, Seq("g"))))
+    def raises(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage)
+          .exists(_.contains("HLL merge precision mismatch"))), e)
+    }
+    // finer p' folded at coarser p: some bucket exceeds 2^p - 1 (always
+    // caught — 3000 values cannot all land in the low 1024 of 4096 buckets)
+    val sa12 = Hll.registers(a, Seq("g"), "v", p = 12)
+    raises(Hll.merge(sa12, sb10, Seq("g"), p = 10).collect())
+    // coarser p' folded at finer p: the tripwire is the rank envelope —
+    // pin it with a register whose rank only a coarser precision can
+    // produce (rank 50 needs w >= 49, i.e. p' <= 7)
+    val deepRank = Seq(("g", 3L, 50)).toDF("g", "_bucket", "_rank")
+    raises(Hll.merge(deepRank, sb10, Seq("g"), p = 10).collect())
+  }
 }

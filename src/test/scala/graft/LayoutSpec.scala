@@ -76,4 +76,31 @@ class LayoutSpec extends SparkSpec {
       assert(hi <= lo2, s"overlapping file z-ranges: $hi vs $lo2")
     }
   }
+
+  private def causeChain(e: Throwable): Iterator[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+
+  test("withZValue: wide-span column raises instead of silently wrapping") {
+    import spark.implicits._
+    // span >= 2^(63-bits): a full-width hash-like column must raise — the
+    // exact bucket product would otherwise overflow into garbage z-values
+    val wide = Seq((1L, Long.MinValue + 1), (2L, Long.MaxValue - 1)).toDF("id", "h")
+    val e = intercept[Exception] {
+      Layout.withZValue(wide, Seq("h"), bits = 8).collect()
+    }
+    assert(causeChain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("z-order span overflow"))), e)
+    // a span just inside the limit still z-orders fine
+    val ok = Seq((1L, 0L), (2L, (1L << 55) - 1L)).toDF("id", "h")
+    assert(Layout.withZValue(ok, Seq("h"), bits = 8).collect().length === 2)
+  }
+
+  test("withZValue: fractional layout column rejected at plan time") {
+    import spark.implicits._
+    val frac = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x")
+    val pe = intercept[IllegalArgumentException] {
+      Layout.withZValue(frac, Seq("x"), bits = 4)
+    }
+    assert(pe.getMessage.contains("must be integral"), pe.getMessage)
+  }
 }

@@ -142,4 +142,42 @@ class StreamingKmeansSpec extends SparkSpec {
     try q3.processAllAvailable() finally q3.stop()
     assert(out(0L).n.values.sum === 2L)
   }
+
+  test("attach: a ragged or null-element batch fails loudly, not silently") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit, when, transform => vmap}
+    def expectStreamFailure(
+        data: Seq[(Long, Seq[Double])], tag: String,
+        xform: DataFrame => DataFrame): Unit = {
+      val stream = MemoryStream[(Long, Seq[Double])](spark)
+      val q = StreamingKmeans.attach(
+        xform(stream.toDF().toDF("id", "v")), "id", "v", k = 2,
+        tmpDir(s"skm-$tag") + "/state", tmpDir(s"skm-$tag-ckpt"))((_, _) => ())
+      val e = intercept[Exception] {
+        try { stream.addData(data: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage)
+          .exists(_.contains("ragged or null-element vector batch"))), e)
+    }
+    // mixed dimensions in one batch: moment conservation would silently
+    // break with a nondeterministically chosen count — must raise instead.
+    // The guard is per seed cell, so plant the short vector on an id that
+    // provably shares its md5 seed cell with full-width ids.
+    val ids = 0L until 20L
+    val sameCell = ids.filter(seedCell(_, 2) == 0L)
+    assert(sameCell.size >= 2)
+    expectStreamFailure(
+      ids.map(i =>
+        (i, if (i == sameCell.head) Seq(1.0, 2.0) else Seq(1.0, 2.0, 3.0))),
+      "ragged", identity)
+    // a null vector element drops out of the sum but not the count —
+    // injected plan-side (a Seq[Double] cannot carry null) via a marker
+    expectStreamFailure(
+      Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 99.0)), (2L, Seq(3.0, 4.0))),
+      "nullelem",
+      df => df.withColumn("v",
+        vmap(col("v"), x => when(x === lit(99.0), lit(null)).otherwise(x))))
+  }
 }
