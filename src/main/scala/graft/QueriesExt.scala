@@ -3714,7 +3714,45 @@ object QueriesExt {
         .select("l_orderkey", "l_linenumber", "z_value"),
       Some(s"""SELECT l_orderkey, l_linenumber, z_value FROM (
                  ${Layout.zValueSql("lineitem", Seq("l_partkey", "l_suppkey"), 8)}
-               )"""))
+               )""")),
+
+    // Q62 — count-min sketch point estimates (depth=3, width=64) next to
+    // the exact per-supplier counts: the 100 TB heavy-hitter primitive as
+    // RELATIONAL register state (md5-derived "row:value" buckets, integer
+    // counts end to end), so the oracle replays registers AND every
+    // min-across-rows estimate bit-for-bit. width 64 < 100 suppliers
+    // forces collisions, so the hash-checked contract includes real
+    // overcounts — and the CMS guarantee that they are never UNDER.
+    Entry(
+      "q62_cms_counts",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val regs = Cms.registers(li, Nil, "l_suppkey", depth = 3, width = 64)
+        val exact = li.where(col("l_suppkey").isNotNull)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
+        Cms.estimate(regs, exact, Nil, "l_suppkey", depth = 3, width = 64)
+          .join(exact, Seq("l_suppkey"))
+          .select(
+            col("l_suppkey"), col("n_exact"), col("cms_count"),
+            (col("cms_count") - col("n_exact")).as("overcount"))
+      },
+      Some("""WITH r AS (SELECT rr.r AS _row,
+                                ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS _bucket,
+                                COUNT(*) AS cnt
+                         FROM lineitem CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rr
+                         WHERE l_suppkey IS NOT NULL
+                         GROUP BY 1, 2),
+                   x AS (SELECT l_suppkey, COUNT(*) AS n_exact
+                         FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+                   p AS (SELECT x.l_suppkey, rr.r AS _row,
+                                ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(x.l_suppkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS _bucket
+                         FROM x CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rr),
+                   e AS (SELECT p.l_suppkey, MIN(COALESCE(r.cnt, 0)) AS cms_count
+                         FROM p LEFT JOIN r ON p._row = r._row AND p._bucket = r._bucket
+                         GROUP BY 1)
+              SELECT x.l_suppkey, x.n_exact, e.cms_count,
+                     e.cms_count - x.n_exact AS overcount
+              FROM x JOIN e USING (l_suppkey)"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

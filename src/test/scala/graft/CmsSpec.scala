@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cms
+
+class CmsSpec extends SparkSpec {
+
+  private def regSet(
+      df: org.apache.spark.sql.DataFrame): Set[(String, Int, Long, Long)] =
+    df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("registers: merge(sketch(A), sketch(B)) == sketch(A union B) exactly; self-merge doubles") {
+    import spark.implicits._
+    val a = (0 until 3000).map(i => ("g", s"item_${i % 200}")).toDF("g", "v")
+    val b = (0 until 2000).map(i => ("g", s"item_${i % 350}")).toDF("g", "v")
+    val sa = Cms.registers(a, Seq("g"), "v", depth = 3, width = 32)
+    val sb = Cms.registers(b, Seq("g"), "v", depth = 3, width = 32)
+    val merged = Cms.merge(sa, sb, Seq("g"))
+    val direct = Cms.registers(a.unionByName(b), Seq("g"), "v", depth = 3, width = 32)
+    assert(regSet(merged) === regSet(direct))
+    // counts ADD — self-merge doubles every register (the documented
+    // non-idempotence; replay safety is the staging discipline's job)
+    val doubled = Cms.merge(sa, sa, Seq("g")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val base = sa.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(doubled === base.view.mapValues(_ * 2).toMap)
+  }
+
+  test("estimate: never underestimates; exact at ample width; absent probes >= 0") {
+    import spark.implicits._
+    // zipf-ish: item_k appears (200 - k) times
+    val rows = (0 until 200).flatMap(k => Seq.fill(200 - k)(("g", s"item_$k")))
+    val df = rows.toDF("g", "v")
+    val exact = df.groupBy("g", "v").agg(count(lit(1)).as("n_exact"))
+    def est(width: Int) = {
+      val regs = Cms.registers(df, Seq("g"), "v", depth = 4, width = width)
+      Cms.estimate(regs, exact, Seq("g"), "v", depth = 4, width = width)
+        .join(exact, Seq("g", "v"))
+        .collect().map(r => r.getAs[String]("v") ->
+          (r.getAs[Long]("cms_count"), r.getAs[Long]("n_exact"))).toMap
+    }
+    // tight width: collisions guaranteed, but NEVER an underestimate
+    val tight = est(16)
+    assert(tight.size === 200)
+    tight.foreach { case (v, (cms, ex)) => assert(cms >= ex, s"$v: $cms < $ex") }
+    assert(tight.exists { case (_, (cms, ex)) => cms > ex })
+    // ample width at depth 4: every estimate collapses to the exact count
+    // (a single clean row is enough for the min; md5 is fixed, so this is
+    // a deterministic regression pin, not a probabilistic claim)
+    val ample = est(1 << 14)
+    ample.foreach { case (v, (cms, ex)) => assert(cms === ex, s"$v: $cms != $ex") }
+    // a value the sketch never saw still answers (possibly >0 on collision,
+    // never negative); left-join reconstructs empty buckets as 0
+    val regs = Cms.registers(df, Seq("g"), "v", depth = 4, width = 16)
+    val ghost = Seq(("g", "never_seen_1"), ("g", "never_seen_2")).toDF("g", "v")
+    val g = Cms.estimate(regs, ghost, Seq("g"), "v", depth = 4, width = 16)
+      .collect().map(r => r.getAs[Long]("cms_count"))
+    assert(g.length === 2 && g.forall(_ >= 0))
+  }
+
+  test("registers fold is order-independent: shuffled input gives identical frame") {
+    import spark.implicits._
+    val vals = (0 until 5000).map(i => ("g", s"tok_${i % 500}"))
+    val fwd = Cms.registers(vals.toDF("g", "v"), Seq("g"), "v", 3, 64)
+    val rev = Cms.registers(
+      scala.util.Random.shuffle(vals).toDF("g", "v").repartition(7),
+      Seq("g"), "v", 3, 64)
+    assert(regSet(fwd) === regSet(rev))
+  }
+}
