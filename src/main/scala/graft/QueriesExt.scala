@@ -3752,7 +3752,71 @@ object QueriesExt {
                          GROUP BY 1)
               SELECT x.l_suppkey, x.n_exact, e.cms_count,
                      e.cms_count - x.n_exact AS overcount
-              FROM x JOIN e USING (l_suppkey)"""))
+              FROM x JOIN e USING (l_suppkey)""")),
+
+    // S24 — product quantization ADC retrieval: per-subspace Lloyd
+    // codebooks (m=2 halves, k=4 codes, 2 rounds, md5-seeded), one code
+    // word per vector, and the top-10 nearest docs to vec 0 scored purely
+    // from the m×k distance table over the CODES — the raw floats are
+    // never touched corpus-side. The oracle unrolls the whole trajectory
+    // (seed → means → argmin × 2 → codes → table → ranking) with the s23
+    // rounding contract (6dp at every boundary, ties to the lowest
+    // cell/id), so fit, encode AND the ADC ranking are all hash-checked.
+    Entry(
+      "s24_pq_adc",
+      (s, d) => {
+        val e = embs(s, d)
+        // fit returns cents persisted; released after materializing below
+        val cb = Pq.fit(e, "vec_id", "embedding", dims = 64, m = 2, k = 4,
+          iters = 2)
+        val codes = Pq.encode(e, "vec_id", "embedding", cb)
+        val out = Pq.adcTopK(
+          cb, codes.filter(col("vec_id") =!= 0L), "vec_id",
+          e.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 10)
+          .select("rank", "vec_id", "adc_dist2")
+        val materialized = out.localCheckpoint(true)
+        cb.unpersisted()
+        materialized
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   sub AS (SELECT vec_id, s.s AS sub,
+                                  CASE WHEN s.s = 0 THEN v[1:32] ELSE v[33:64] END AS sv
+                           FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS s) s),
+                   a0 AS (SELECT vec_id, sub, sv,
+                                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 4 AS cell
+                          FROM sub),
+                   c1 AS (SELECT sub, cell, list(m ORDER BY i) AS c
+                          FROM (SELECT sub, cell, i, ROUND(avg(sv[i]) + 1e-9, 6) AS m
+                                FROM a0, (SELECT unnest(range(1, 33)) AS i) r
+                                GROUP BY 1, 2, 3)
+                          GROUP BY sub, cell),
+                   a1 AS (SELECT vec_id, sub, sv, cell FROM
+                           (SELECT s0.vec_id, s0.sub, s0.sv, c1.cell,
+                                   row_number() OVER (PARTITION BY s0.vec_id, s0.sub
+                                     ORDER BY ROUND(list_distance(s0.sv, c1.c) + 1e-9, 6), c1.cell) AS rn
+                            FROM sub s0 JOIN c1 ON c1.sub = s0.sub) WHERE rn = 1),
+                   c2 AS (SELECT sub, cell, list(m ORDER BY i) AS c
+                          FROM (SELECT sub, cell, i, ROUND(avg(sv[i]) + 1e-9, 6) AS m
+                                FROM a1, (SELECT unnest(range(1, 33)) AS i) r
+                                GROUP BY 1, 2, 3)
+                          GROUP BY sub, cell),
+                   codes AS (SELECT vec_id, sub, cell FROM
+                              (SELECT s0.vec_id, s0.sub, c2.cell,
+                                      row_number() OVER (PARTITION BY s0.vec_id, s0.sub
+                                        ORDER BY ROUND(list_distance(s0.sv, c2.c) + 1e-9, 6), c2.cell) AS rn
+                               FROM sub s0 JOIN c2 ON c2.sub = s0.sub) WHERE rn = 1),
+                   dt AS (SELECT c2.sub, c2.cell,
+                                 ROUND(list_distance(q.sv, c2.c) + 1e-9, 6) AS d
+                          FROM c2 JOIN (SELECT sub, sv FROM sub WHERE vec_id = 0) q
+                            ON q.sub = c2.sub),
+                   sc AS (SELECT codes.vec_id, ROUND(SUM(dt.d * dt.d) + 1e-9, 6) AS adc_dist2
+                          FROM codes JOIN dt ON dt.sub = codes.sub AND dt.cell = codes.cell
+                          WHERE codes.vec_id <> 0
+                          GROUP BY 1),
+                   top AS (SELECT vec_id, adc_dist2,
+                                  row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank
+                           FROM sc)
+              SELECT rank, vec_id, adc_dist2 FROM top WHERE rank <= 10"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the
