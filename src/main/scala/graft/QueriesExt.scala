@@ -3816,7 +3816,70 @@ object QueriesExt {
                    top AS (SELECT vec_id, adc_dist2,
                                   row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank
                            FROM sc)
-              SELECT rank, vec_id, adc_dist2 FROM top WHERE rank <= 10"""))
+              SELECT rank, vec_id, adc_dist2 FROM top WHERE rank <= 10""")),
+
+    // Q63 — KMV/theta sketch set-operation cardinalities: distinct AND
+    // intersection estimates for the open-vs-fulfilled customer sets from
+    // two k=128 bottom-hash sketches, next to the exact answers. The
+    // sketch is an ORDER STATISTIC (k smallest md5 hashes — deterministic,
+    // not sampled), every estimate one integer-ratio division, so the
+    // oracle replays sketches and estimates bit-for-bit. This is the
+    // set-op sketch HLL cannot be: registers union but never intersect.
+    Entry(
+      "q63_kmv_intersect",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders")
+        val k = 128
+        val aSide = ord.filter(col("o_orderstatus") === "O")
+        val bSide = ord.filter(col("o_orderstatus") === "F")
+        // the two k-row sketches feed three consumers (estimate x2,
+        // intersect) — persist so the bottom-k pass runs once per side
+        val sa = Kmv.sketch(aSide, Nil, "o_custkey", k).persist()
+        val sb = Kmv.sketch(bSide, Nil, "o_custkey", k).persist()
+        val res = aSide.agg(countDistinct("o_custkey").as("n_a_exact"))
+          .crossJoin(bSide.agg(countDistinct("o_custkey").as("n_b_exact")))
+          .crossJoin(
+            aSide.select("o_custkey").distinct()
+              .join(bSide.select("o_custkey").distinct(), "o_custkey")
+              .agg(count(lit(1)).as("n_common_exact")))
+          .crossJoin(Kmv.estimate(sa, Nil, k)
+            .withColumnRenamed("kmv_distinct", "kmv_a"))
+          .crossJoin(Kmv.estimate(sb, Nil, k)
+            .withColumnRenamed("kmv_distinct", "kmv_b"))
+          .crossJoin(Kmv.intersectEstimate(sa, sb, Nil, k))
+          .withColumn("rel_err",
+            stableRound(
+              abs(col("kmv_intersect") - col("n_common_exact")) /
+                col("n_common_exact"), 6))
+        val materialized = res.localCheckpoint(true)
+        sa.unpersist(blocking = false); sb.unpersist(blocking = false)
+        materialized
+      },
+      Some("""WITH ha AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,14))::UBIGINT::BIGINT AS h
+                          FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL),
+                   hb AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,14))::UBIGINT::BIGINT AS h
+                          FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL),
+                   sa AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+                   sb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+                   ta AS (SELECT COUNT(*) AS n, MAX(h) AS mh FROM sa),
+                   tb AS (SELECT COUNT(*) AS n, MAX(h) AS mh FROM sb),
+                   ea AS (SELECT ROUND((CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                                        ELSE 127 * CAST(72057594037927936 AS DOUBLE) / mh END) + 1e-9, 6) AS kmv_a FROM ta),
+                   eb AS (SELECT ROUND((CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                                        ELSE 127 * CAST(72057594037927936 AS DOUBLE) / mh END) + 1e-9, 6) AS kmv_b FROM tb),
+                   co AS (SELECT COUNT(*) AS c FROM sa JOIN sb USING (h)),
+                   th AS (SELECT LEAST(CASE WHEN ta.n < 128 THEN 72057594037927936 ELSE ta.mh END,
+                                       CASE WHEN tb.n < 128 THEN 72057594037927936 ELSE tb.mh END) AS t FROM ta, tb),
+                   ei AS (SELECT ROUND(CAST(co.c AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) / CAST(th.t AS DOUBLE) + 1e-9, 6) AS kmv_intersect FROM co, th),
+                   xa AS (SELECT COUNT(DISTINCT o_custkey) AS n_a_exact FROM orders WHERE o_orderstatus = 'O'),
+                   xb AS (SELECT COUNT(DISTINCT o_custkey) AS n_b_exact FROM orders WHERE o_orderstatus = 'F'),
+                   xc AS (SELECT COUNT(*) AS n_common_exact FROM
+                           (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') a
+                           JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') b USING (o_custkey))
+              SELECT xa.n_a_exact, xb.n_b_exact, xc.n_common_exact, ea.kmv_a,
+                     eb.kmv_b, ei.kmv_intersect,
+                     ROUND(abs(ei.kmv_intersect - xc.n_common_exact) / xc.n_common_exact + 1e-9, 6) AS rel_err
+              FROM xa, xb, xc, ea, eb, ei"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the
