@@ -53,6 +53,20 @@ object Kmv {
     else TopK.perGroup(hashes, keys, Seq(col("_h").asc), k).drop("rank")
   }
 
+  /** Merge two sketches (same keys/k): the k smallest of the combined
+    * samples — EXACTLY `sketch(A ∪ B)` (the k smallest hashes of A ∪ B
+    * are all within the union of each side's k smallest), associative,
+    * commutative and idempotent, which is what makes the sketch
+    * incrementally maintainable ([[graft.streaming.StreamingKmv]]) and
+    * union-estimable for free: `estimate(merge(a, b))` is the union
+    * cardinality. */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    checkK(k)
+    val u = a.unionByName(b).distinct()
+    if (keys.isEmpty) u.orderBy("_h").limit(k)
+    else TopK.perGroup(u, keys, Seq(col("_h").asc), k).drop("rank")
+  }
+
   /** Fold a sketch to `(keys*, kmv_distinct)` (6dp): exact below k,
     * `(k−1) · H / θ` at capacity — one double division per group, no
     * accumulation. */

@@ -26,6 +26,19 @@ class KmvSpec extends SparkSpec {
     assert(est === 30.0)
   }
 
+  test("merge: merge(sketch(A), sketch(B)) == sketch(A union B) exactly; idempotent") {
+    val a = (0 until 4000).map(i => ("g", s"m_$i")).toDF("g", "v")
+    val b = (2000 until 7000).map(i => ("g", s"m_$i")).toDF("g", "v")
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sa = Kmv.sketch(a, Seq("g"), "v", 128)
+    val sb = Kmv.sketch(b, Seq("g"), "v", 128)
+    val merged = Kmv.merge(sa, sb, Seq("g"), 128)
+    val direct = Kmv.sketch(a.unionByName(b), Seq("g"), "v", 128)
+    assert(hs(merged) === hs(direct))
+    assert(hs(Kmv.merge(sa, sa, Seq("g"), 128)) === hs(sa))
+  }
+
   test("estimate: within 15% of truth at k=256 over 20k distincts, per group") {
     val df = (0 until 20000).flatMap(i =>
       Seq.fill(2)((if (i % 2 == 0) "even" else "odd", s"id_$i"))).toDF("g", "v")
