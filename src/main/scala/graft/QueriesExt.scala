@@ -3879,7 +3879,64 @@ object QueriesExt {
               SELECT xa.n_a_exact, xb.n_b_exact, xc.n_common_exact, ea.kmv_a,
                      eb.kmv_b, ei.kmv_intersect,
                      ROUND(abs(ei.kmv_intersect - xc.n_common_exact) / xc.n_common_exact + 1e-9, 6) AS rel_err
-              FROM xa, xb, xc, ea, eb, ei"""))
+              FROM xa, xb, xc, ea, eb, ei""")),
+
+    // Q64 — hash-threshold sampled quantiles next to the exact ones: the
+    // bounded-shuffle first cut at a 100 TB percentile pass. The sample is
+    // a MAP-ONLY Bernoulli-by-hash filter (deterministic — the oracle
+    // inlines the SAME integer threshold — mergeable, and nested across
+    // rates), so the rank-selection quantile pass runs over rate × corpus
+    // rows; sampled and exact p50/p95 plus their rel errors are all in the
+    // hash-checked contract.
+    Entry(
+      "q64_sampled_quantiles",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .where(col("l_extendedprice").isNotNull)
+        val key = concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))
+        val sample = TopK.hashSample(li, key, 0.05)
+        val qs = Seq("p50" -> 0.5, "p95" -> 0.95)
+        val sq = Quantiles.exactGrouped(
+          sample, Seq("l_returnflag"), "l_extendedprice",
+          qs.map { case (n, p) => s"${n}_sample" -> p })
+        val ns = sample.groupBy("l_returnflag").agg(count(lit(1)).as("n_sample"))
+        val xq = Quantiles.exactGrouped(
+          li, Seq("l_returnflag"), "l_extendedprice",
+          qs.map { case (n, p) => s"${n}_exact" -> p })
+        val j = sq.join(ns, Seq("l_returnflag")).join(xq, Seq("l_returnflag"))
+        val rounded = qs.foldLeft(j) { case (acc, (n, _)) =>
+          acc.withColumn(s"${n}_sample", stableRound(col(s"${n}_sample"), 6))
+            .withColumn(s"${n}_exact", stableRound(col(s"${n}_exact"), 6))
+        }
+        qs.foldLeft(rounded) { case (acc, (n, _)) =>
+          acc.withColumn(s"${n}_rel_err",
+            stableRound(
+              abs(col(s"${n}_sample") - col(s"${n}_exact")) / col(s"${n}_exact"),
+              6))
+        }
+      },
+      Some(s"""WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+                                  CAST(l_extendedprice AS DOUBLE) AS v
+                           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+                    sm AS (SELECT l_returnflag, v FROM li
+                           WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 14))::UBIGINT::BIGINT
+                                 < ${TopK.hashThreshold(0.05)}),
+                    sq AS (SELECT l_returnflag,
+                                  ROUND(quantile_cont(v, 0.5) + 1e-9, 6) AS p50_sample,
+                                  ROUND(quantile_cont(v, 0.95) + 1e-9, 6) AS p95_sample,
+                                  COUNT(*) AS n_sample
+                           FROM sm GROUP BY 1),
+                    xq AS (SELECT l_returnflag,
+                                  ROUND(quantile_cont(v, 0.5) + 1e-9, 6) AS p50_exact,
+                                  ROUND(quantile_cont(v, 0.95) + 1e-9, 6) AS p95_exact
+                           FROM li GROUP BY 1)
+               SELECT sq.l_returnflag, sq.p50_sample, sq.p95_sample, sq.n_sample,
+                      xq.p50_exact, xq.p95_exact,
+                      ROUND(abs(sq.p50_sample - xq.p50_exact) / xq.p50_exact + 1e-9, 6) AS p50_rel_err,
+                      ROUND(abs(sq.p95_sample - xq.p95_exact) / xq.p95_exact + 1e-9, 6) AS p95_rel_err
+               FROM sq JOIN xq USING (l_returnflag)"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -63,6 +63,27 @@ object TopK {
       .drop("_tk_pid", "_tk_lrk")
   }
 
+  /** The hash-threshold for a Bernoulli-by-hash `rate`: a row whose
+    * [[Dedup.hash56]] key hash falls below it is in the sample. Exposed so
+    * a SQL oracle (or another engine) can inline the SAME integer literal
+    * rather than re-deriving it from a float. */
+  def hashThreshold(rate: Double): Long = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0, 1], got $rate")
+    (rate * (1L << 56).toDouble).toLong
+  }
+
+  /** Deterministic Bernoulli-by-hash sample: keep rows whose
+    * `hash56(key) < threshold(rate)` — a MAP-ONLY filter (zero shuffle,
+    * composes with any downstream aggregate), stable across runs, engines
+    * and partitionings, and MERGEABLE by construction: the sample of a
+    * union is the union of samples, and samples at rate r nest inside
+    * samples at any r' > r (subsample by tightening the threshold, never
+    * by resampling). The uniform-hash sample is what bounds a 100 TB
+    * quantile/profile pass at rate × corpus rows — see
+    * [[Quantiles.exactGrouped]] applied to this output (q64). */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(Dedup.hash56(key.cast("string")) < lit(hashThreshold(rate)))
+
   /** Deterministic stratified sample: `k` rows per stratum, selected by
     * md5-hash order of `idCol` (stable across runs, engines, and
     * partitionings — the same selection DuckDB computes from the same

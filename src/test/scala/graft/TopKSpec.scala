@@ -188,4 +188,29 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"windowless contract violated:\n$plan")
     assert(TopK.rankBounded(df.where(lit(false)), "id", "score").count() == 0)
   }
+
+  test("hashSample: deterministic, map-only, nested across rates, union-mergeable") {
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, s"k_$i")).toDF("id", "k")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getLong(0)).toSet
+    val s5 = ids(TopK.hashSample(df, col("k"), 0.05))
+    // rate lands near 5% (md5 is fixed — this is a regression pin)
+    assert(math.abs(s5.size - 1000.0) / 1000.0 < 0.15, s5.size)
+    // deterministic under repartitioning
+    assert(ids(TopK.hashSample(df.repartition(7), col("k"), 0.05)) === s5)
+    // nested: the 5% sample is a subset of the 20% sample (tighten the
+    // threshold to subsample — never resample)
+    val s20 = ids(TopK.hashSample(df, col("k"), 0.20))
+    assert(s5.subsetOf(s20))
+    // union-mergeable: sample(A ∪ B) == sample(A) ∪ sample(B)
+    val (a, b) = ((0 until 12000).map(i => (i.toLong, s"k_$i")),
+      (12000 until 20000).map(i => (i.toLong, s"k_$i")))
+    assert(ids(TopK.hashSample(a.toDF("id", "k"), col("k"), 0.05)) ++
+      ids(TopK.hashSample(b.toDF("id", "k"), col("k"), 0.05)) === s5)
+    // map-only: no exchange in the plan
+    val plan = TopK.hashSample(df, col("k"), 0.05)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSample must not shuffle:\n$plan")
+  }
 }
