@@ -3936,7 +3936,133 @@ object QueriesExt {
                       xq.p50_exact, xq.p95_exact,
                       ROUND(abs(sq.p50_sample - xq.p50_exact) / xq.p50_exact + 1e-9, 6) AS p50_rel_err,
                       ROUND(abs(sq.p95_sample - xq.p95_exact) / xq.p95_exact + 1e-9, 6) AS p95_rel_err
-               FROM sq JOIN xq USING (l_returnflag)"""))
+               FROM sq JOIN xq USING (l_returnflag)""")),
+
+    // Q65 — pairwise Spearman rank correlation: the monotonic-association
+    // half of the q39 diagnostic (Pearson is blind to any nonlinear but
+    // monotone coupling and is wrecked by heavy tails — exactly the shape
+    // of pipeline measures like doc length vs quality score). Ranks are
+    // exact integers (2·avgrank), produced by a per-column distinct-value
+    // aggregate + DISTRIBUTED prefix sum (never a single-task global
+    // window) + one keyed join back; the oracle replays the same
+    // rank-then-pairwise-complete Pearson closed form.
+    Entry(
+      "q65_spearman",
+      (s, d) => Profiling.spearmanMatrix(
+        Tables.load(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val rankCtes = cols.map(c =>
+          s"""r_$c AS (SELECT $c AS v,
+                              CAST(2 * SUM(COUNT(*)) OVER (ORDER BY $c)
+                                   - COUNT(*) + 1 AS DOUBLE) AS r
+                       FROM lineitem WHERE $c IS NOT NULL GROUP BY $c)""")
+          .mkString(", ")
+        val joins = cols.map(c => s"LEFT JOIN r_$c ON l.$c = r_$c.v")
+          .mkString(" ")
+        val sel = cols.map(c => s"r_$c.r AS rk_$c").mkString(", ")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val pairSelects = pairs.map { case (a, b) =>
+          val (x, y) = (s"rk_$a", s"rk_$b")
+          val dx = s"(COUNT(*) * SUM($x * $x) - SUM($x) * SUM($x))"
+          val dy = s"(COUNT(*) * SUM($y * $y) - SUM($y) * SUM($y))"
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, COUNT(*) AS n_pairs,
+                     ROUND(CASE WHEN COUNT(*) >= 2 AND $dx > 0 AND $dy > 0
+                           THEN (COUNT(*) * SUM($x * $y) - SUM($x) * SUM($y))
+                                / sqrt($dx * $dy)
+                           END + 1e-9, 6) AS rho
+              FROM b WHERE $x IS NOT NULL AND $y IS NOT NULL"""
+        }
+        s"""WITH $rankCtes,
+                 b AS (SELECT $sel FROM lineitem l $joins)
+            ${pairSelects.mkString(" UNION ALL ")}"""
+      }),
+
+    // Q66 — multiple-testing governance: per-segment mean z-tests against
+    // the corpus, then Benjamini–Hochberg q-values. Screening every
+    // segment × metric at raw α manufactures false positives by
+    // construction; BH is the standard step-up correction. The p-values
+    // ride the Abramowitz–Stegun closed form (engine-portable arithmetic
+    // — the first hash-checked p-values in the suite, where q46 had to
+    // stop at z), rounded at each stage boundary so the BH ordering
+    // compares identical doubles in both engines.
+    Entry(
+      "q66_bh_fdr",
+      (s, d) => Experiment.bhAdjust(
+        Experiment.meanZTests(Tables.events(s, d), "event_type", "value"),
+        "group", "p"),
+      Some {
+        val sf = Experiment.normalSfSql("abs(z)")
+        s"""WITH r0 AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+                               CAST(value AS DOUBLE) AS v
+                        FROM events WHERE value IS NOT NULL),
+                 g AS (SELECT grp, COUNT(*) AS n, SUM(v) AS s
+                       FROM r0 GROUP BY grp),
+                 gl AS (SELECT COUNT(*) AS n_all, SUM(v) AS s_all,
+                               SUM(v * v) AS ss_all
+                        FROM r0),
+                 t AS (SELECT grp, n, ROUND(s / n + 1e-9, 6) AS mean,
+                              CASE WHEN (ss_all - s_all * s_all / n_all) / n_all > 0
+                                   THEN ROUND((s / n - s_all / n_all)
+                                              / (sqrt((ss_all - s_all * s_all / n_all)
+                                                      / n_all) / sqrt(n))
+                                              + 1e-9, 6) END AS z
+                       FROM g, gl),
+                 pv AS (SELECT grp, n, mean, z,
+                               CASE WHEN z IS NOT NULL
+                                    THEN ROUND(2.0 * $sf + 1e-9, 6) END AS p
+                        FROM t),
+                 m AS (SELECT COUNT(*) AS m FROM pv WHERE p IS NOT NULL),
+                 r AS (SELECT grp, p,
+                              CAST(row_number() OVER (ORDER BY p, grp) AS BIGINT) AS rank
+                       FROM pv WHERE p IS NOT NULL),
+                 q AS (SELECT r.grp, r.rank,
+                              ROUND(LEAST(MIN(r2.p * m.m / r2.rank), 1.0)
+                                    + 1e-9, 6) AS q_bh
+                       FROM r JOIN r r2
+                         ON (r2.p > r.p OR (r2.p = r.p AND r2.grp >= r.grp)), m
+                       GROUP BY r.grp, r.rank)
+            SELECT pv.grp AS "group", pv.n, pv.mean, pv.z, pv.p,
+                   q.rank, q.q_bh, q.q_bh <= 0.05 AS reject
+            FROM pv LEFT JOIN q ON pv.grp = q.grp"""
+      }),
+
+    // T42 — duplicate-n-gram coverage (the second Gopher repetition axis):
+    // t10's top-gram ratio misses documents whose repetition is spread
+    // over MANY recurring phrases; coverage — the fraction of token
+    // positions inside ANY bigram occurring twice in the doc — is the
+    // standard complement. The keep gate compares the UNROUNDED int/int
+    // ratio, exact in both engines.
+    Entry(
+      "t42_dup_coverage",
+      (s, d) => TextAnalysis.dupNgramCoverage(
+        docs(s, d), "doc_id", "text", n = 2),
+      Some("""WITH nn AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                          FROM documents),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nn),
+                   g AS (SELECT doc_id, p.pos AS pos, p.gram AS gram
+                         FROM (SELECT doc_id,
+                                      unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+1], ' ')}
+                                              for i in range(1, greatest(len(toks) - 2, 0) + 2)]) AS p
+                               FROM tk)),
+                   d AS (SELECT doc_id, gram
+                         FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+                         WHERE c >= 2),
+                   cov AS (SELECT doc_id, COUNT(DISTINCT pp) AS cov
+                           FROM (SELECT g.doc_id, unnest(range(g.pos, g.pos + 2)) AS pp
+                                 FROM g JOIN d USING (doc_id, gram))
+                           GROUP BY doc_id),
+                   dc AS (SELECT doc_id, COUNT(*) AS n_dup FROM d GROUP BY 1),
+                   b AS (SELECT doc_id, len(toks) AS n_tokens FROM tk)
+              SELECT b.doc_id AS doc_id, b.n_tokens AS n_tokens,
+                     COALESCE(dc.n_dup, 0) AS n_dup_grams,
+                     ROUND(CAST(COALESCE(cov.cov, 0) AS DOUBLE) / b.n_tokens + 1e-9, 6) AS dup_coverage,
+                     (CAST(COALESCE(cov.cov, 0) AS DOUBLE) / b.n_tokens <= 0.3) AS keep
+              FROM b LEFT JOIN dc ON b.doc_id = dc.doc_id
+                     LEFT JOIN cov ON b.doc_id = cov.doc_id"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -233,4 +233,120 @@ object Experiment {
             lit(1.0) - lit(2.0) * col("_u") / (col("_na") * col("_nb")), 6))
           .as("rank_biserial"))
   }
+
+  import org.apache.spark.sql.Column
+
+  /** Upper-tail standard normal survival `P(Z > z)` for `z ≥ 0`, via the
+    * Abramowitz–Stegun 26.2.17 polynomial (|ε| < 7.5e-8 — two orders below
+    * the 6 dp this feeds). The naked `erf` builtin is not engine-portable,
+    * but THIS closed form is — plain `exp`/`sqrt`/arithmetic an oracle
+    * replays verbatim, making p-values hash-checkable where
+    * [[abProportionZTest]] had to stop at z. */
+  private[operators] def normalSf(z: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+    val poly = t * (lit(0.319381530) +
+      t * (lit(-0.356563782) +
+        t * (lit(1.781477937) +
+          t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    exp(-z * z / lit(2.0)) / sqrt(lit(2.0) * lit(math.Pi)) * poly
+  }
+
+  /** SQL text of [[normalSf]] over the expression `z` — the oracle-side
+    * twin, kept adjacent so the two cannot drift. */
+  def normalSfSql(z: String): String =
+    s"""(exp(-($z) * ($z) / 2.0) / sqrt(2.0 * pi()) *
+        ((1.0 / (1.0 + 0.2316419 * ($z))) * (0.319381530 +
+         (1.0 / (1.0 + 0.2316419 * ($z))) * (-0.356563782 +
+         (1.0 / (1.0 + 0.2316419 * ($z))) * (1.781477937 +
+         (1.0 / (1.0 + 0.2316419 * ($z))) * (-1.821255978 +
+         (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))))"""
+
+  /** Per-group two-sided one-sample z-test of `valueCol`'s group mean
+    * against the corpus mean (population sd): the screening pass a
+    * pipeline runs over every segment × metric before believing any of
+    * them — and the natural input to [[bhAdjust]], because screening MANY
+    * segments at α=0.05 manufactures false positives by construction.
+    *
+    * Output: `(group, n, mean, z, p)` — z and p 6 dp (ROUNDED AT THE STAGE
+    * BOUNDARY so downstream ordering compares identical doubles in any
+    * engine), p from [[normalSf]], both null for empty groups or zero
+    * corpus variance. NULL values excluded. ONE group-keyed corpus
+    * aggregate + a broadcast one-row corpus-moment fold. */
+  def meanZTests(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val rows = df.where(v.isNotNull)
+    val grp = rows.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"), sum(v).as("_s"))
+    val glob = rows.agg(
+      count(lit(1)).as("_n_all"), sum(v).as("_s_all"),
+      sum(v * v).as("_ss_all"))
+    val z = (col("_s") / col("n") - col("_s_all") / col("_n_all")) /
+      (sqrt((col("_ss_all") - col("_s_all") * col("_s_all") / col("_n_all")) /
+        col("_n_all")) / sqrt(col("n")))
+    grp.crossJoin(broadcast(glob))
+      .withColumn("_var_all",
+        (col("_ss_all") - col("_s_all") * col("_s_all") / col("_n_all")) /
+          col("_n_all"))
+      .withColumn("z",
+        when(col("_var_all") > 0.0, stableRound(z, 6)))
+      .select(
+        col("group"), col("n"),
+        stableRound(col("_s") / col("n"), 6).as("mean"),
+        col("z"),
+        when(col("z").isNotNull,
+          stableRound(lit(2.0) * normalSf(abs(col("z"))), 6)).as("p"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a hypothesis frame: adds
+    * `(rank, q_bh, reject)` to `(keyCol, pCol)` rows — `q_i = min_{j≥i}
+    * (p_j · m / j)` clamped to 1 (the standard step-up q-value), `reject ⇔
+    * q ≤ alpha`. Rows with null p are carried through with null
+    * rank/q/reject and EXCLUDED from `m` (an untestable hypothesis must
+    * not dilute the correction). Ties order by (p, key) — deterministic in
+    * any engine.
+    *
+    * Shape: the hypothesis frame is segments × metrics — small by
+    * construction — so rank and the suffix-min run as TRIANGULAR
+    * SELF-JOINS over it (the [[Packing]] offsets idiom: partition-safe,
+    * no unpartitioned window, no driver collect), never touching the
+    * corpus the p-values came from. */
+  def bhAdjust(
+      tests: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val tested = tests.where(col(pCol).isNotNull)
+      .select(col(keyCol).as("_bh_key"), col(pCol).as("_bh_p"))
+    val m = tested.agg(count(lit(1)).as("_bh_m"))
+    val other = tested.select(
+      col("_bh_key").as("_bh_key_b"), col("_bh_p").as("_bh_p_b"))
+    // rank i = #{(p', key') ≤lex (p, key)}; suffix-min over j ≥ i reads the
+    // SAME triangular join the other way (p'·m/j' for (p', key') ≥lex us)
+    val ranked = tested
+      .join(other,
+        col("_bh_p_b") < col("_bh_p") ||
+          (col("_bh_p_b") === col("_bh_p") &&
+            col("_bh_key_b") <= col("_bh_key")),
+        "left")
+      .groupBy(col("_bh_key"), col("_bh_p"))
+      .agg(count(col("_bh_key_b")).as("rank"))
+    val withRankB = ranked.select(
+      col("_bh_key").as("_bh_key_b"), col("_bh_p").as("_bh_p_b"),
+      col("rank").as("_bh_rank_b"))
+    val q = ranked
+      .join(withRankB,
+        col("_bh_p_b") > col("_bh_p") ||
+          (col("_bh_p_b") === col("_bh_p") &&
+            col("_bh_key_b") >= col("_bh_key")))
+      .crossJoin(broadcast(m))
+      .groupBy(col("_bh_key"), col("_bh_p"), col("rank"))
+      .agg(stableRound(
+        least(min(col("_bh_p_b") * col("_bh_m") / col("_bh_rank_b")),
+          lit(1.0)), 6).as("q_bh"))
+    tests.join(
+      q.select(
+        col("_bh_key"), col("rank"), col("q_bh"),
+        (col("q_bh") <= lit(alpha)).as("reject")),
+      col(keyCol) === col("_bh_key"), "left")
+      .drop("_bh_key")
+  }
 }

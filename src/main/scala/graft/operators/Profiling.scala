@@ -147,6 +147,53 @@ object Profiling {
       s"stack(${pairs.size}, $stacked) as (col_a, col_b, n_pairs, corr)"))
   }
 
+  /** Pairwise Spearman rank correlation over `cols`: monotonic association,
+    * robust to the outliers and non-linearity that sink [[correlationMatrix]]
+    * on heavy-tailed pipeline measures (doc lengths, scores, prices). One
+    * row per unordered pair, `(col_a, col_b, n_pairs, rho)`.
+    *
+    * Rank transform: each column's non-null values get their AVERAGE rank
+    * (standard tie handling), carried as `2·rank` so every rank is an exact
+    * INTEGER — `2·avgrank = 2·(count below) + (count equal) + 1` — and the
+    * cross-engine rank values match bit-for-bit; Pearson on ranks is
+    * invariant to the 2× scaling. Ranks are per-column over that column's
+    * non-null rows; pairs then use COMPLETE cases only (with no nulls this
+    * is textbook Spearman; with nulls it is the documented
+    * rank-then-pairwise-delete variant — the oracle replays it exactly).
+    *
+    * Scale shape: per column, one hash aggregate to the DISTINCT-VALUE
+    * frame, a DISTRIBUTED prefix sum over it ([[Packing.globalRunningSums]]
+    * — range exchange + bounded per-slice windows, never a single-task
+    * global window), and one shuffle join of the rank frame back to the
+    * rows; then the same single-pass stacked pair aggregate as
+    * [[correlationMatrix]]. Global ranking cannot avoid per-column
+    * exchanges — this is the minimal set, and each is keyed/ranged, never
+    * driver-side. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    cols.foreach { c =>
+      require(!c.contains("`") && !c.contains("'") && !c.contains("__"),
+        s"spearmanMatrix column name '$c' may not contain backticks, " +
+          "quotes, or '__' (used as the internal alias separator) — " +
+          "alias the column first")
+    }
+    val ranked = cols.foldLeft(df.select(cols.map(col): _*)) { (acc, c) =>
+      val freq = df.filter(col(c).isNotNull).groupBy(col(c))
+        .agg(count(lit(1)).as("_sp_cnt"))
+      val cum = Packing.globalRunningSum(
+        freq, Seq(col(c)), "_sp_cnt", "_sp_cum")
+      val rank2 = cum.select(
+        col(c),
+        (lit(2L) * col("_sp_cum") - col("_sp_cnt") + lit(1L))
+          .cast("double").as(s"_sp_rk_$c"))
+      acc.join(rank2, Seq(c), "left")
+    }
+    val ranksAsCols = ranked.select(
+      cols.map(c => col(s"_sp_rk_$c").as(c)): _*)
+    correlationMatrix(ranksAsCols, cols).withColumnRenamed("corr", "rho")
+  }
+
   /** Per-group ordinary-least-squares trend of `yCol` against `xCol`:
     * `(keys…, n_points, slope, intercept)` from the closed-form sums —
     * ONE map-side-combined aggregate per group, no iteration, no join.

@@ -235,6 +235,57 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /** Duplicate-n-gram COVERAGE (the other Gopher repetition axis, Rae et
+    * al. 2021): the fraction of a document's token positions lying inside
+    * at least one n-gram that occurs ≥ 2 times in that document.
+    * [[repetitionStats]]'s top-gram ratio is blind to a document whose
+    * repetition is spread over MANY different recurring phrases — coverage
+    * is exactly the measure that catches it. Output: `(idCol, n_tokens,
+    * n_dup_grams, dup_coverage, keep)` — `n_dup_grams` = distinct repeating
+    * grams, coverage 6 dp, `keep ⇔ coverage ≤ maxCoverage` (tested on the
+    * UNROUNDED int/int ratio — exact in any engine).
+    *
+    * Shape: positional gram explode → per-(doc, gram) hash count → the
+    * repeating-gram set joins back gram-wise (shuffle ∝ gram occurrences,
+    * both sides pre-keyed by (doc, gram)) → covered positions explode n
+    * rows per repeated occurrence → per-doc distinct count. No pairwise
+    * comparison, no window; every aggregate map-side combines. A gram at
+    * start index i covers positions i..i+n−1, which cannot pass the text
+    * end: documents shorter than n tokens yield ONE truncated gram that
+    * can never repeat. */
+  def dupNgramCoverage(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      maxCoverage: Double = 0.3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(
+      col(idCol).as("_id"),
+      posexplode(tokenNgramsAll(col(textCol), n)).as(Seq("_pos", "_gram")))
+    val dup = grams.groupBy("_id", "_gram")
+      .agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2)
+    val covered = grams
+      .join(dup.select("_id", "_gram"), Seq("_id", "_gram"))
+      .select(
+        col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_p"))
+      .groupBy("_id").agg(count_distinct(col("_p")).as("_cov"))
+    val dupCounts = dup.groupBy("_id")
+      .agg(count(lit(1)).as("_ndup"))
+    val toks = split(Dedup.normalizeText(col(textCol)), " ")
+    val base = df.select(col(idCol).as("_id"), size(toks).as("n_tokens"))
+    val ratio =
+      coalesce(col("_cov"), lit(0L)).cast("double") / col("n_tokens")
+    base
+      .join(dupCounts, Seq("_id"), "left")
+      .join(covered, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("_ndup"), lit(0L)).as("n_dup_grams"),
+        stableRound(ratio, 6).as("dup_coverage"),
+        (ratio <= maxCoverage).as("keep"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` n-token-grams with ANY benchmark document (the standard
     * guard against test-set leakage into training corpora). Returns

@@ -170,4 +170,65 @@ class ExperimentSpec extends SparkSpec {
     val d = mw(Seq(("control", 1.0), ("control", 2.0)))
     assert(d.isNullAt(1) && d.isNullAt(3))
   }
+
+  test("meanZTests: z against hand moments; p matches the A-S closed form; constant corpus -> nulls") {
+    import spark.implicits._
+    // corpus: g1 = {1, 3}, g2 = {5, 7} -> mean 4, pop var 5
+    val df = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 5.0), ("g2", 7.0))
+      .toDF("grp", "v")
+    val got = Experiment.meanZTests(df, "grp", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val zWant = (2.0 - 4.0) / (math.sqrt(5.0) / math.sqrt(2.0))
+    val z6 = math.rint((zWant + 1e-9) * 1e6) / 1e6
+    assert(got("g1")._1 == 2L && got("g1")._2 == 2.0)
+    assert(math.abs(got("g1")._3 - z6) < 1e-9)
+    assert(math.abs(got("g1")._3 + got("g2")._3) < 1e-9) // symmetric
+    // p from the documented polynomial: two-sided, |eps| < 7.5e-8
+    def sfAS(z: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * z)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      math.exp(-z * z / 2.0) / math.sqrt(2.0 * math.Pi) * poly
+    }
+    assert(math.abs(got("g1")._4 - 2.0 * sfAS(math.abs(z6))) < 1e-5)
+    // zero corpus variance -> null z and p
+    val const = Seq(("g1", 7.0), ("g2", 7.0)).toDF("grp", "v")
+    val c = Experiment.meanZTests(const, "grp", "v").collect()
+    assert(c.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("bhAdjust: step-up q-values, ties keyed, null p excluded from m") {
+    import spark.implicits._
+    val tests = Seq[(String, java.lang.Double)](
+      ("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.5), ("e", null)
+    ).toDF("group", "p")
+    val got = Experiment.bhAdjust(tests, "group", "p", alpha = 0.05)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    // m = 4 (e's null p excluded); ranks a=1, b=2, c=3 (tie keyed), d=4
+    // raw = a:0.04 b:0.04 c:0.026667 d:0.5; suffix-min collapses a..c
+    assert(got("a") == ((Some(1L), Some(0.026667), Some(true))))
+    assert(got("b") == ((Some(2L), Some(0.026667), Some(true))))
+    assert(got("c") == ((Some(3L), Some(0.026667), Some(true))))
+    assert(got("d") == ((Some(4L), Some(0.5), Some(false))))
+    assert(got("e") == ((None, None, None)))
+  }
+
+  test("bhAdjust: q clamps to 1; single hypothesis passes through its own p") {
+    import spark.implicits._
+    val big = Seq(("x", 0.9), ("y", 0.95)).toDF("group", "p")
+    val gotBig = Experiment.bhAdjust(big, "group", "p")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // x: min(0.9*2/1, 0.95*2/2 = 0.95) = 0.95; y: 0.95 (both < clamp)
+    assert(gotBig("x") == 0.95 && gotBig("y") == 0.95)
+    val clamp = Seq(("x", 0.8)).toDF("group", "p")
+    // m = 1: q = min(p*1/1) = p
+    assert(Experiment.bhAdjust(clamp, "group", "p")
+      .head().getDouble(3) == 0.8)
+  }
 }

@@ -456,4 +456,72 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.ksStatistic(
       Seq((1.0, true)).toDF("s", "l"), "s", "l").isEmpty)
   }
+
+  // reference Spearman: average-rank transform then Pearson (the operator's
+  // documented contract), computed sequentially on driver-side doubles
+  private def spearmanModel(xs: Seq[Double], ys: Seq[Double]): Double = {
+    def avgRanks(v: Seq[Double]): Seq[Double] =
+      v.map(x => v.count(_ < x) + (v.count(_ == x) + 1) / 2.0)
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val n = xs.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxx = rx.map(r => r * r).sum
+    val syy = ry.map(r => r * r).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  test("spearmanMatrix: monotone nonlinear -> 1, reversed -> -1, ties averaged") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val df = xs.map(x => (x, math.exp(x), -x * x * x)).toDF("a", "b", "c")
+    val got = Profiling.spearmanMatrix(df, Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((5L, 1.0)))   // monotone increasing, any shape
+    assert(got(("a", "c")) == ((5L, -1.0)))  // monotone decreasing
+    assert(got(("b", "c")) == ((5L, -1.0)))
+
+    // ties: hand data with a known average-rank model value
+    val tx = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ty = Seq(5.0, 6.0, 7.5, 8.0, 7.5)
+    val tied = tx.zip(ty).toDF("a", "b")
+    val rho = Profiling.spearmanMatrix(tied, Seq("a", "b"))
+      .head().getDouble(3)
+    assert(math.abs(rho - spearmanModel(tx, ty)) < 1e-6)
+  }
+
+  test("spearmanMatrix: pairwise-complete nulls; zero variance -> null rho") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 10.0, 7.0), (2.0, 20.0, 7.0), (3.0, null, 7.0), (4.0, 40.0, 7.0)
+    ).toDF("a", "b", "k")
+    val got = Profiling.spearmanMatrix(df, Seq("a", "b", "k"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3))))).toMap
+    // (a, b): 3 complete pairs. Ranks come from each column's FULL non-null
+    // set (the documented rank-then-pairwise-delete contract), so a's ranks
+    // {1,2,4} pair b's {1,2,3}: Pearson = 5/sqrt(14·2/3)/... = 0.981981 —
+    // NOT 1.0 (re-ranking within complete cases would give 1.0)
+    assert(got(("a", "b")) == ((3L, Some(0.981981))))
+    // constant column k: zero rank variance -> null rho, n still counted
+    assert(got(("a", "k")) == ((4L, None)))
+    assert(got(("b", "k")) == ((3L, None)))
+  }
+
+  test("spearmanMatrix plan: no unpartitioned window — ranks ride the sliced prefix sum") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toDouble % 37, (i * 7 % 41).toDouble))
+      .toDF("a", "b")
+    val plan = Profiling.spearmanMatrix(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // a window specced directly on a value column would be the global form;
+    // the prefix sum's windows partition by _ps_pid
+    assert(!plan.contains("windowspecdefinition(a") &&
+      !plan.contains("windowspecdefinition(b"),
+      s"ranks must come from the sliced prefix sum:\n${plan.take(3000)}")
+  }
 }

@@ -1496,4 +1496,32 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(4) && got(4L).isNullAt(5))
     assert(got(5L).getLong(1) == 0L && got(5L).isNullAt(4))
   }
+
+  test("dupNgramCoverage: hand positions, overlap unioned, short docs never repeat") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a": bigrams (a b)@0,2 (b a)@1,3 -> all 5 positions covered,
+      // 2 distinct repeating grams
+      (1L, "a b a b a"),
+      // "x y z w": no repeats
+      (2L, "x y z w"),
+      // "a a a q r s t u v w": (a a)@0,1 covers {0,1,2} -> 3/10
+      (3L, "a a a q r s t u v w"),
+      // shorter than n: the single truncated gram cannot repeat
+      (4L, "solo"),
+      // repeats spread over many phrases — the case t10's top-ratio misses:
+      // "p q p q r s r s": (p q)@0,2 {0,1,2,3}, (r s)@4,6 {4,5,6,7} -> 8/8
+      (5L, "p q p q r s r s")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramCoverage(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((5, 2L, 1.0, false)))
+    assert(got(2L) == ((4, 0L, 0.0, true)))
+    assert(got(3L) == ((10, 1L, 0.3, true))) // boundary: 0.3 <= 0.3 keeps
+    assert(got(4L) == ((1, 0L, 0.0, true)))
+    assert(got(5L) == ((8, 2L, 1.0, false)))
+  }
 }
