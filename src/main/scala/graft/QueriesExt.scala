@@ -4062,7 +4062,52 @@ object QueriesExt {
                      ROUND(CAST(COALESCE(cov.cov, 0) AS DOUBLE) / b.n_tokens + 1e-9, 6) AS dup_coverage,
                      (CAST(COALESCE(cov.cov, 0) AS DOUBLE) / b.n_tokens <= 0.3) AS keep
               FROM b LEFT JOIN dc ON b.doc_id = dc.doc_id
-                     LEFT JOIN cov ON b.doc_id = cov.doc_id"""))
+                     LEFT JOIN cov ON b.doc_id = cov.doc_id""")),
+
+    // Q67 — Kaplan–Meier survival for time-to-first-failure, with
+    // right-censoring: the readout q34's cohort grid gets WRONG for
+    // subjects still mid-observation (never-failed users are not "failure
+    // at window end" — they leave the risk set as censored). The subject
+    // clock runs from each user's first event to their first 'error' (or
+    // the corpus max, censored). Integer-µs DIV day arithmetic end to
+    // end; at-risk suffix counts and the Σln(1−d/n) log-product both ride
+    // the distributed prefix sum; a full-exit step pins S to exactly 0 on
+    // both engines rather than racing ln(0) semantics.
+    Entry(
+      "q67_survival",
+      (s, d) => Experiment.kaplanMeierCurve(
+        Experiment.timeToFirst(
+          Tables.events(s, d), "user_id", "ts", "event_type", "error"),
+        "duration_days", "observed"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                         FROM events WHERE ts IS NOT NULL),
+                   u AS (SELECT user_id, min(t) AS f,
+                                min(CASE WHEN event_type = 'error' THEN t END) AS fl
+                         FROM e GROUP BY 1),
+                   g AS (SELECT max(t) AS gmax, COUNT(DISTINCT user_id) AS n_users
+                         FROM e),
+                   d0 AS (SELECT (coalesce(fl, gmax) - f) // 86400000000 AS dur,
+                                 CASE WHEN fl IS NOT NULL THEN 1 ELSE 0 END AS obs
+                          FROM u, g),
+                   pd AS (SELECT dur, COUNT(*) AS n_total,
+                                 CAST(SUM(obs) AS BIGINT) AS d
+                          FROM d0 GROUP BY 1),
+                   o AS (SELECT dur, n_total, d,
+                                CAST((SELECT n_users FROM g)
+                                     - (SUM(n_total) OVER (ORDER BY dur) - n_total)
+                                     AS BIGINT) AS at_risk
+                         FROM pd),
+                   s AS (SELECT dur, at_risk, d, n_total - d AS censored,
+                                SUM(CASE WHEN d > 0 AND d < at_risk
+                                         THEN ln(1 - CAST(d AS DOUBLE) / at_risk)
+                                         ELSE 0 END)
+                                    OVER (ORDER BY dur) AS lnsum
+                         FROM o)
+              SELECT dur AS duration_days, at_risk AS n_at_risk,
+                     d AS n_events, censored AS n_censored,
+                     CASE WHEN d = at_risk THEN 0.0
+                          ELSE ROUND(exp(lnsum) + 1e-9, 6) END AS survival
+              FROM s"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -298,6 +298,130 @@ object Experiment {
           stableRound(lit(2.0) * normalSf(abs(col("z"))), 6)).as("p"))
   }
 
+  /** Kaplan–Meier survival over event-stream lifetimes, with censoring —
+    * the readout [[graft.QueriesExt]] q34's cohort grid cannot give:
+    * retention matrices treat a user who JOINED YESTERDAY as churned at
+    * week 2; KM right-censors them instead (they leave the risk set
+    * without counting as an event), the standard estimator when every
+    * lifetime is still in progress.
+    *
+    * Per user: lifetime = whole days between first and last event
+    * (integer µs arithmetic end to end); a user whose last event is
+    * within `horizonDays` of the CORPUS max timestamp is CENSORED (may
+    * still be active), otherwise their lifetime ended (event). Output:
+    * one row per distinct lifetime `t` — `(duration_days, n_at_risk,
+    * n_events, n_censored, survival)` with
+    * `S(t) = Π_{t' ≤ t, events} (1 − d/n)`, 6 dp; a step where every
+    * at-risk user exits by event pins S to exactly 0 (no `ln(0)` — Spark
+    * nulls it, DuckDB gives −inf; the CASE keeps both engines off that
+    * path).
+    *
+    * Shape: one user-keyed aggregate (corpus-sized shuffle, map-side
+    * combined), a broadcast one-row corpus max, a distinct-lifetime
+    * aggregate (frame ≤ observation-window days), and the DISTRIBUTED
+    * prefix sum over it for both the at-risk suffix counts and the
+    * `Σ ln(1 − d/n)` product — never an unpartitioned window. The ln/exp
+    * round-trip is the one FP seam; it is rounded at 6 dp with ≤
+    * window-days terms of 1-ulp libm drift, orders below the boundary. */
+  def kaplanMeier(
+      df: DataFrame, userCol: String, tsCol: String,
+      horizonDays: Int = 3): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val us = epochMicros(df, tsCol)
+    val users = df.where(col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(us).as("_first"), max(us).as("_last"))
+    val gmax = df.where(col(tsCol).isNotNull)
+      .agg(max(us).as("_gmax"))
+    val durs = users.crossJoin(broadcast(gmax))
+      .select(
+        // integer DIV, not `/` (FP division could round a day boundary
+        // down across engines; both operands are non-negative µs)
+        expr(s"(_last - _first) div ${dayUs}L").as("_dur"),
+        when(col("_gmax") - col("_last") >= lit(horizonDays * dayUs), 1L)
+          .otherwise(0L).as("_obs"))
+    kaplanMeierCurve(durs, "_dur", "_obs")
+  }
+
+  private val dayUs = 86400L * 1000000L
+
+  // accept either shape: epoch-micros long (Tables.events) or timestamp
+  private def epochMicros(df: DataFrame, tsCol: String) =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(tsCol)
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+
+  /** Time-to-first-failure subject frame for [[kaplanMeierCurve]]: per
+    * `userCol`, days from the user's FIRST event to their first event with
+    * `typeCol = failValue` (observed), or to the corpus max timestamp
+    * (right-censored — observation simply ended) when they never fail.
+    * A user whose very first event is a failure gets duration 0, observed.
+    * Output: one row per user, `(userCol, duration_days, observed)` —
+    * integer-µs DIV day arithmetic, engine-exact. One user-keyed corpus
+    * aggregate + a broadcast one-row max. */
+  def timeToFirst(
+      df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, failValue: String): DataFrame = {
+    val us = epochMicros(df, tsCol)
+    val users = df.where(col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        min(us).as("_first"),
+        min(when(col(typeCol) === failValue, us)).as("_fail"))
+    val gmax = df.where(col(tsCol).isNotNull).agg(max(us).as("_gmax"))
+    users.crossJoin(broadcast(gmax))
+      .select(
+        col(userCol),
+        expr(s"(coalesce(_fail, _gmax) - _first) div ${dayUs}L")
+          .as("duration_days"),
+        col("_fail").isNotNull.as("observed"))
+  }
+
+  /** The Kaplan–Meier curve proper, over ANY one-row-per-subject
+    * `(duration, observed)` frame ([[kaplanMeier]]'s lifetimes,
+    * [[timeToFirst]]'s failure clocks, or caller-supplied durations):
+    * one row per distinct duration `t` — `(duration_days, n_at_risk,
+    * n_events, n_censored, survival)`, `S(t) = Π_{t' ≤ t} (1 − d/n)`
+    * 6 dp. A step where every remaining subject exits by event pins S to
+    * exactly 0 (no `ln(0)` — Spark nulls it, DuckDB gives −inf; the CASE
+    * keeps both engines off that path).
+    *
+    * Shape: one distinct-duration aggregate (frame ≤ observation-window
+    * days) + the DISTRIBUTED prefix sum over it, twice — at-risk suffix
+    * counts and the `Σ ln(1 − d/n)` log-product — never an unpartitioned
+    * window. The ln/exp round-trip is the one FP seam; 6 dp rounding
+    * absorbs its ≤ window-days × 1-ulp libm drift. */
+  def kaplanMeierCurve(
+      perSubject: DataFrame, durCol: String, obsCol: String): DataFrame = {
+    val n = perSubject.agg(count(lit(1)).as("_n_subj"))
+    val perDur = perSubject
+      .groupBy(col(durCol).cast("long").as("duration_days"))
+      .agg(
+        count(lit(1)).as("_n_total"),
+        sum(when(col(obsCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_events"))
+      .crossJoin(broadcast(n))
+    val atRisk = perDur
+      .transform(d => Packing.globalRunningSum(
+        d, Seq(col("duration_days")), "_n_total", "_cum_n"))
+      .withColumn("n_at_risk",
+        col("_n_subj") - (col("_cum_n") - col("_n_total")))
+    val lnTerm = when(
+      col("n_events") > 0 && col("n_events") < col("n_at_risk"),
+      log(lit(1.0) -
+        col("n_events").cast("double") / col("n_at_risk")))
+      .otherwise(lit(0.0))
+    Packing.globalRunningSum(
+      atRisk.withColumn("_ln", lnTerm),
+      Seq(col("duration_days")), "_ln", "_lnsum")
+      .select(
+        col("duration_days"), col("n_at_risk"), col("n_events"),
+        (col("_n_total") - col("n_events")).as("n_censored"),
+        when(col("n_events") === col("n_at_risk"), lit(0.0))
+          .otherwise(stableRound(exp(col("_lnsum")), 6)).as("survival"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a hypothesis frame: adds
     * `(rank, q_bh, reject)` to `(keyCol, pCol)` rows — `q_i = min_{j≥i}
     * (p_j · m / j)` clamped to 1 (the standard step-up q-value), `reject ⇔

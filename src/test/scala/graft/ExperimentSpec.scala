@@ -219,6 +219,60 @@ class ExperimentSpec extends SparkSpec {
     assert(got("e") == ((None, None, None)))
   }
 
+  test("kaplanMeier: hand curve — censoring shrinks risk set without dropping S; full exit pins 0") {
+    import spark.implicits._
+    val day = 86400L
+    // (user, event days): uZ defines corpus max at day 10 and is censored
+    // (dur 0); uB's last event is 2 days before max -> censored at dur 2
+    val events = Seq(
+      "uA" -> Seq(0L, 1L), "uB" -> Seq(6L, 8L), "uC" -> Seq(0L, 3L),
+      "uD" -> Seq(1L, 2L, 4L), "uE" -> Seq(0L, 4L), "uF" -> Seq(2L, 7L),
+      "uZ" -> Seq(10L)
+    ).flatMap { case (u, ds) => ds.map(dd => (u, dd * day)) }
+      .toDF("user_id", "sec")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val got = Experiment.kaplanMeier(events, "user_id", "ts", horizonDays = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(0L) == ((7L, 0L, 1L, 1.0)))       // uZ censored, S holds
+    assert(got(1L) == ((6L, 1L, 0L, 0.833333)))  // 5/6
+    assert(got(2L) == ((5L, 0L, 1L, 0.833333)))  // uB censored, S holds
+    assert(got(3L) == ((4L, 2L, 0L, 0.416667)))  // 5/6 · 1/2
+    assert(got(4L) == ((2L, 1L, 0L, 0.208333)))  // 5/24
+    assert(got(5L) == ((1L, 1L, 0L, 0.0)))       // full exit -> exactly 0
+  }
+
+  test("timeToFirst + curve: failure clock from first event, never-failed censored at corpus max") {
+    import spark.implicits._
+    val day = 86400L
+    val events = Seq(
+      ("u1", 0L, "view"), ("u1", 2L, "error"), ("u1", 5L, "click"),
+      ("u2", 1L, "view"), ("u2", 4L, "view"),      // never fails
+      ("u3", 0L, "error"),                         // fails immediately
+      ("u4", 10L, "click")                         // defines corpus max
+    ).map { case (u, dd, et) => (u, dd * day, et) }
+      .toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"),
+        col("event_type"))
+    val subj = Experiment.timeToFirst(
+      events, "user_id", "ts", "event_type", "error")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(subj == Map(
+      "u1" -> ((2L, true)), "u2" -> ((9L, false)),
+      "u3" -> ((0L, true)), "u4" -> ((0L, false))))
+    val curve = Experiment.kaplanMeierCurve(
+      Experiment.timeToFirst(events, "user_id", "ts", "event_type", "error"),
+      "duration_days", "observed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(curve(0L) == ((4L, 1L, 1L, 0.75)))
+    assert(curve(2L) == ((2L, 1L, 0L, 0.375)))
+    assert(curve(9L) == ((1L, 0L, 1L, 0.375)))
+  }
+
   test("bhAdjust: q clamps to 1; single hypothesis passes through its own p") {
     import spark.implicits._
     val big = Seq(("x", 0.9), ("y", 0.95)).toDF("group", "p")
