@@ -4107,7 +4107,22 @@ object QueriesExt {
                      d AS n_events, censored AS n_censored,
                      CASE WHEN d = at_risk THEN 0.0
                           ELSE ROUND(exp(lnsum) + 1e-9, 6) END AS survival
-              FROM s"""))
+              FROM s""")),
+
+    // S26 — MMR diversified re-ranking: the retrieval-side twin of d09's
+    // semantic dedup (d09 prunes near-dups from the corpus once; MMR
+    // prunes them from each result list — what a RAG/few-shot selector
+    // needs: k near-identical passages waste the context budget). Corpus
+    // touched once for the pool; the k greedy rounds run on the pool-sized
+    // frame with struct-max argmax folds, no driver collect; the oracle
+    // unrolls the identical trajectory (6 dp boundaries, lowest-id ties).
+    Entry(
+      "s26_mmr_rerank",
+      (s, d) => Similarity.mmrRerank(
+        embs(s, d), "vec_id", "embedding", queryId = 0L,
+        poolSize = 20, k = 5, lambda = 0.7),
+      Some(Similarity.mmrSql(
+        queryId = 0L, poolSize = 20, k = 5, lambda = 0.7)))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -1372,4 +1372,116 @@ object Similarity {
       .select(col("_q_id"), col(idCol))
     rerankExact(df, idCol, vecCol, short, queries, qIdCol, qVecCol, k)
   }
+
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998): greedily pick `k` results from the exact top-`poolSize`
+    * cosine pool, each pick maximizing
+    * `λ·sim(q, d) − (1−λ)·max_{s∈picked} sim(d, s)` — relevance traded
+    * against redundancy with what is already selected. This is the
+    * retrieval-side twin of d09's semantic dedup: d09 prunes near-dups from
+    * the CORPUS once; MMR prunes them from each RESULT LIST, which is what
+    * a few-shot/RAG example selector actually needs (k near-identical
+    * passages waste the whole context budget).
+    *
+    * Scale shape: the corpus is touched exactly once (the [[bruteForceTopK]]
+    * pool probe — swap in an IVF probe at scale, the contract only needs
+    * (id, sim, vector) rows); everything after runs on the ≤ poolSize pool
+    * and its ≤ poolSize² pairwise sims, both eager-materialized. The greedy
+    * loop is inherently sequential (each pick changes the next argmax — this
+    * is s23/s24's iteration-ladder discipline): k bounded rounds, each a
+    * pool-sized argmax fold via one-row broadcast struct-max — NO driver
+    * collect anywhere. Scores and pair-sims are rounded 6 dp at every stage
+    * boundary, ties break to the lowest id, so the trajectory is
+    * engine-replayable ([[mmrSql]] generates the unrolled oracle). */
+  def mmrRerank(
+      df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      poolSize: Int, k: Int, lambda: Double): DataFrame = {
+    require(poolSize >= 1 && k >= 1 && k <= poolSize,
+      s"need 1 <= k <= poolSize, got k=$k poolSize=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val pool = bruteForceTopK(df, idCol, vecCol, queryId, poolSize)
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .localCheckpoint(true)
+    val a = pool.select(col(idCol).as("_a"), col(vecCol).as("_va"))
+    val b = pool.select(col(idCol).as("_b"), col(vecCol).as("_vb"))
+    val pairSims = a.join(b, col("_a") =!= col("_b"))
+      .select(col("_a"), col("_b"),
+        round(cosine(col("_va"), col("_vb")), 6).as("_psim"))
+      .localCheckpoint(true)
+    var state = pool
+      .select(col(idCol), col("sim"), lit(0.0).as("_maxsel"))
+      .localCheckpoint(true)
+    val picks = Seq.newBuilder[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      if (state.isEmpty) { exhausted = true }
+      else {
+        val scored = state.withColumn("_score", stableRound(
+          lit(lambda) * col("sim") - lit(1.0 - lambda) * col("_maxsel"), 6))
+        val pick = scored
+          .agg(max(struct(col("_score"), (-col(idCol)).as("_nid"))).as("_m"))
+          .select(
+            col("_m._score").as("_pscore"), (-col("_m._nid")).as("_pid"))
+        picks += scored.join(broadcast(pick), col(idCol) === col("_pid"))
+          .select(
+            lit(r).as("rank"), col(idCol), col("_pscore").as("mmr_score"))
+        state = scored.crossJoin(broadcast(pick))
+          .where(col(idCol) =!= col("_pid"))
+          .join(pairSims,
+            col(idCol) === col("_a") && col("_pid") === col("_b"), "left")
+          .select(col(idCol), col("sim"),
+            greatest(col("_maxsel"), coalesce(col("_psim"), lit(0.0)))
+              .as("_maxsel"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    picks.result() match {
+      case Seq() => spark.emptyDataFrame
+        .select(lit(0).as("rank"), lit(0L).as(idCol),
+          lit(0.0).as("mmr_score")).limit(0)
+      case ps => ps.reduce(_ unionByName _)
+    }
+  }
+
+  /** GENERATED DuckDB oracle for [[mmrRerank]] — `k` unrolled greedy
+    * rounds over the same pool/pair-sim/argmax trajectory with the same
+    * 6 dp stage-boundary rounding and lowest-id tie-breaks. */
+  def mmrSql(queryId: Long, poolSize: Int, k: Int, lambda: Double): String = {
+    val lam = lambda
+    val oneMinus = 1.0 - lambda
+    def round(r: Int): String = {
+      val prev = r - 1
+      s"""sc$r AS (SELECT vec_id, ROUND(CAST($lam AS DOUBLE) * sim - CAST($oneMinus AS DOUBLE) * maxsel + 1e-9, 6) AS score
+         |          FROM s$prev),
+         |pk$r AS (SELECT vec_id, score FROM
+         |          (SELECT vec_id, score,
+         |                  row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+         |           FROM sc$r) WHERE rn = 1),
+         |s$r AS (SELECT s.vec_id, s.sim,
+         |               GREATEST(s.maxsel, coalesce(ps.psim, 0)) AS maxsel
+         |        FROM s$prev s JOIN pk$r ON TRUE
+         |        LEFT JOIN ps ON ps.a_id = s.vec_id AND ps.b_id = pk$r.vec_id
+         |        WHERE s.vec_id <> pk$r.vec_id)""".stripMargin
+    }
+    val rounds = (1 to k).map(round).mkString(",\n")
+    val finals = (1 to k)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS rank, vec_id, score AS mmr_score FROM pk$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId),
+       |pool AS (SELECT e.vec_id,
+       |                ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim, e.v
+       |         FROM e, q WHERE e.vec_id <> $queryId
+       |         ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+       |         LIMIT $poolSize),
+       |ps AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |              ROUND(list_cosine_similarity(a.v, b.v), 6) AS psim
+       |       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |s0 AS (SELECT vec_id, sim, CAST(0.0 AS DOUBLE) AS maxsel FROM pool),
+       |$rounds
+       |SELECT rank, vec_id, mmr_score FROM ($finals) ORDER BY rank""".stripMargin
+  }
 }

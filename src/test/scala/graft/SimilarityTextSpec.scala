@@ -1497,6 +1497,37 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got(5L).getLong(1) == 0L && got(5L).isNullAt(4))
   }
 
+  test("mmrRerank: diversification demotes the redundant near-dup; exhaustion stops early") {
+    import spark.implicits._
+    // a1/a2 nearly duplicate each other and the query; b points elsewhere.
+    // Pure similarity ranks (a1, a2, b); MMR at λ=0.3 must demote a2.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),      // query
+      (1L, Array(0.999f, 0.04f)),   // a1
+      (2L, Array(0.998f, 0.06f)),   // a2 ≈ a1
+      (3L, Array(0.2f, 0.98f))      // b: different direction
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    val mmr = Similarity.mmrRerank(df, "vec_id", "embedding", 0L,
+      poolSize = 3, k = 3, lambda = 0.3)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1)))
+    assert(mmr.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)),
+      s"redundant a2 must drop behind diverse b, got ${mmr.toSeq}")
+    // λ=1 degenerates to pure similarity order
+    val lam1 = Similarity.mmrRerank(df, "vec_id", "embedding", 0L,
+      poolSize = 3, k = 3, lambda = 1.0)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(lam1 == plain)
+    // pool smaller than k: stops after the pool is exhausted
+    val tiny = df.filter(col("vec_id") <= 2L)
+    val ex = Similarity.mmrRerank(tiny, "vec_id", "embedding", 0L,
+      poolSize = 5, k = 4, lambda = 0.5)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ex == Seq(1, 2))
+  }
+
   test("dupNgramCoverage: hand positions, overlap unioned, short docs never repeat") {
     import spark.implicits._
     val df = Seq(
