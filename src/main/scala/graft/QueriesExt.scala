@@ -4122,7 +4122,84 @@ object QueriesExt {
         embs(s, d), "vec_id", "embedding", queryId = 0L,
         poolSize = 20, k = 5, lambda = 0.7),
       Some(Similarity.mmrSql(
-        queryId = 0L, poolSize = 20, k = 5, lambda = 0.7)))
+        queryId = 0L, poolSize = 20, k = 5, lambda = 0.7))),
+
+    // S25 — IVF-PQ, the FAISS-standard composition of the engine's two ANN
+    // halves: label cells prune WHICH vectors to score (top-2 by
+    // query→centroid L2), PQ codes shrink WHAT a score costs (ADC
+    // lookup-sums over 2-int codes). s24 scans every code row; s11 prunes
+    // but pays byte-per-dim residency — this is the shape that holds at
+    // 100 TB. The oracle splices s24's full fit/encode/ADC trajectory with
+    // s11's centroid-probe CTEs, restricted scoring joined on the probed
+    // membership; every boundary 6dp, ties to lowest cell/id.
+    Entry(
+      "s25_ivf_pq",
+      (s, d) => {
+        val e = embs(s, d)
+        val cb = Pq.fit(e, "vec_id", "embedding", dims = 64, m = 2, k = 4,
+          iters = 2)
+        val codes = Pq.encode(e, "vec_id", "embedding", cb)
+        val cents = Similarity.centroids(e, "label", "embedding")
+        val out = Pq.ivfPqTopK(
+          cb, codes.filter(col("vec_id") =!= 0L), "vec_id",
+          e.select(col("vec_id"), col("label")), "label", cents,
+          e.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          k = 10, nProbe = 2)
+          .select("rank", "vec_id", "adc_dist2")
+        val materialized = out.localCheckpoint(true)
+        cb.unpersisted()
+        materialized
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   sub AS (SELECT vec_id, s.s AS sub,
+                                  CASE WHEN s.s = 0 THEN v[1:32] ELSE v[33:64] END AS sv
+                           FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS s) s),
+                   a0 AS (SELECT vec_id, sub, sv,
+                                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 4 AS cell
+                          FROM sub),
+                   c1 AS (SELECT sub, cell, list(m ORDER BY i) AS c
+                          FROM (SELECT sub, cell, i, ROUND(avg(sv[i]) + 1e-9, 6) AS m
+                                FROM a0, (SELECT unnest(range(1, 33)) AS i) r
+                                GROUP BY 1, 2, 3)
+                          GROUP BY sub, cell),
+                   a1 AS (SELECT vec_id, sub, sv, cell FROM
+                           (SELECT s0.vec_id, s0.sub, s0.sv, c1.cell,
+                                   row_number() OVER (PARTITION BY s0.vec_id, s0.sub
+                                     ORDER BY ROUND(list_distance(s0.sv, c1.c) + 1e-9, 6), c1.cell) AS rn
+                            FROM sub s0 JOIN c1 ON c1.sub = s0.sub) WHERE rn = 1),
+                   c2 AS (SELECT sub, cell, list(m ORDER BY i) AS c
+                          FROM (SELECT sub, cell, i, ROUND(avg(sv[i]) + 1e-9, 6) AS m
+                                FROM a1, (SELECT unnest(range(1, 33)) AS i) r
+                                GROUP BY 1, 2, 3)
+                          GROUP BY sub, cell),
+                   codes AS (SELECT vec_id, sub, cell FROM
+                              (SELECT s0.vec_id, s0.sub, c2.cell,
+                                      row_number() OVER (PARTITION BY s0.vec_id, s0.sub
+                                        ORDER BY ROUND(list_distance(s0.sv, c2.c) + 1e-9, 6), c2.cell) AS rn
+                               FROM sub s0 JOIN c2 ON c2.sub = s0.sub) WHERE rn = 1),
+                   q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   probed AS (SELECT cent.label FROM cent, q
+                              ORDER BY ROUND(list_distance(cv, qv) + 1e-9, 6), cent.label
+                              LIMIT 2),
+                   mem AS (SELECT e.vec_id FROM e JOIN probed ON e.label = probed.label),
+                   dt AS (SELECT c2.sub, c2.cell,
+                                 ROUND(list_distance(qs.sv, c2.c) + 1e-9, 6) AS d
+                          FROM c2 JOIN (SELECT sub, sv FROM sub WHERE vec_id = 0) qs
+                            ON qs.sub = c2.sub),
+                   sc AS (SELECT codes.vec_id, ROUND(SUM(dt.d * dt.d) + 1e-9, 6) AS adc_dist2
+                          FROM codes
+                          JOIN dt ON dt.sub = codes.sub AND dt.cell = codes.cell
+                          JOIN mem ON mem.vec_id = codes.vec_id
+                          WHERE codes.vec_id <> 0
+                          GROUP BY 1),
+                   top AS (SELECT vec_id, adc_dist2,
+                                  row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank
+                           FROM sc)
+              SELECT rank, vec_id, adc_dist2 FROM top WHERE rank <= 10"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

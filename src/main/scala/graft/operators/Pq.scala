@@ -175,4 +175,68 @@ object Pq {
         col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),
         col(idCol), col("_dist2").as("adc_dist2"))
   }
+
+  /** IVF-PQ — the FAISS-standard pairing of the engine's two ANN halves,
+    * composed: IVF prunes WHICH vectors to score (coarse cells, probe the
+    * `nProbe` nearest by query→centroid L2), PQ shrinks WHAT a score
+    * costs (ADC over m-int codes). At 100 TB this is the only shape that
+    * holds: scan ∝ probed-cell members, bytes ∝ codes — neither the raw
+    * floats nor the full corpus is ever touched per query ([[adcTopK]]
+    * alone still scans every code row; [[Similarity.sq8IvfTopK]] prunes
+    * but pays 1-byte-per-DIM residency, PQ is 1-int-per-SUBSPACE).
+    *
+    * Inputs: a fitted [[Codebook]] + `(id, _codes)` rows ([[encode]]),
+    * the coarse membership `(id, cellCol)` and its
+    * [[Similarity.centroids]] frame, and a query frame. Output:
+    * `(q_id, rank, <idCol>, adc_dist2)` — [[adcTopK]]'s contract, so
+    * [[Similarity.recallAtK]] audits it unchanged against the exact
+    * baseline. Deterministic: coarse distances 6dp-stable-rounded with
+    * ties to the lowest cell, ADC ties to the lowest id — the trajectory
+    * an oracle replays.
+    *
+    * Shape: coarse routing is a broadcast of the cell-centroid frame
+    * (cells × dims — tiny) crossed with queries + the skew-safe two-pass
+    * top-nProbe; candidate restriction is an equi-join of codes against
+    * the probed (query, member) frame; scoring is the broadcast
+    * distance-table lookup-sum. No corpus-wide scan, no window over the
+    * corpus, no driver collect. */
+  def ivfPqTopK(
+      cb: Codebook, codes: DataFrame, idCol: String,
+      cells: DataFrame, cellCol: String, cents: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val qd = queries.select(col(qIdCol).as("_q_id"), col(qVecCol).as("_qv"))
+    val cellDist = qd.crossJoin(broadcast(cents))
+      .select(
+        col("_q_id"), col("_cell"),
+        stableRound(Similarity.l2Dist(col("_qv"), col("_centroid")), 6)
+          .as("_cd"))
+    val probed = TopK
+      .perGroup(cellDist, Seq("_q_id"),
+        Seq(col("_cd").asc, col("_cell").asc), nProbe)
+      .select(col("_q_id"), col("_cell"))
+    val members = probed
+      .join(cells.select(col(idCol), col(cellCol).as("_cell")), Seq("_cell"))
+      .select(col("_q_id"), col(idCol))
+    val dt = subVectors(queries, qIdCol, qVecCol, cb.m, cb.subDim)
+      .select(col(qIdCol).as("_q_id"), col("_sub"), col("_sv"))
+      .join(cb.cents, Seq("_sub"))
+      .select(
+        col("_q_id"), col("_sub"), col("_cell"),
+        stableRound(Similarity.l2Dist(col("_sv"), col("_c")), 6).as("_d"))
+    val scored = codes
+      .join(members, Seq(idCol))
+      .select(
+        col("_q_id"), col(idCol),
+        posexplode(col("_codes")).as(Seq("_sub", "_cell")))
+      .join(broadcast(dt), Seq("_q_id", "_sub", "_cell"))
+      .groupBy(col("_q_id"), col(idCol))
+      .agg(stableRound(sum(col("_d") * col("_d")), 6).as("_dist2"))
+    TopK.perGroup(scored, Seq("_q_id"), Seq(col("_dist2").asc, col(idCol).asc), k)
+      .select(
+        col("_q_id").as("q_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("_dist2").as("adc_dist2"))
+  }
 }

@@ -84,6 +84,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: all cells probed == adcTopK; nProbe=1 scores only the nearest cell's members") {
+    import graft.operators.Similarity
+    val data = corners(80).toDF("id", "v")
+      // coarse cells = the corner quadrant (the IVF label analog)
+      .withColumn("cell",
+        (col("id") % 2 + (col("id") / 2) % 2 * 2).cast("long"))
+    val cb = Pq.fit(data, "id", "v", dims = 8, m = 2, k = 2, iters = 2)
+    val codes = Pq.encode(data, "id", "v", cb)
+    val cents = Similarity.centroids(data, "cell", "v")
+    val queries = data.filter(col("id") === 0L)
+    def run(nProbe: Int) = Pq.ivfPqTopK(
+      cb, codes.filter(col("id") =!= 0L), "id",
+      data.select(col("id"), col("cell")), "cell", cents,
+      queries, "id", "v", k = 10, nProbe = nProbe)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val flat = Pq.adcTopK(
+      cb, codes.filter(col("id") =!= 0L), "id", queries, "id", "v", k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // probing every cell degenerates to the flat ADC scan
+    assert(run(4) === flat)
+    // nProbe=1: candidates restricted to id 0's own corner (cell 0)
+    val pruned = run(1)
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (_, id, _) =>
+      assert(id % 2 == 0 && (id / 2) % 2 == 0,
+        s"id $id outside the probed corner")
+    }
+    cb.unpersisted()
+  }
+
   test("fit: a short vector fails loudly instead of encoding arbitrarily") {
     val bad = (corners(20) :+ ((99L, Seq(1.0, 2.0, 3.0)))).toDF("id", "v")
     val e = intercept[Exception] {
