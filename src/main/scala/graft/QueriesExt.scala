@@ -4199,7 +4199,83 @@ object QueriesExt {
                    top AS (SELECT vec_id, adc_dist2,
                                   row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank
                            FROM sc)
-              SELECT rank, vec_id, adc_dist2 FROM top WHERE rank <= 10"""))
+              SELECT rank, vec_id, adc_dist2 FROM top WHERE rank <= 10""")),
+
+    // Q68 — log-rank test between two hash-split user groups on the q67
+    // failure clock: THE standard "did the variant change time-to-event?"
+    // readout, and what a naive mean-lifetime t-test gets wrong (censored
+    // subjects must leave the risk set, not count as events). Expected
+    // events and hypergeometric variance fold over the duration × group
+    // grid; χ²₁'s p rides the same portable normalSf as q66, computed
+    // from the 6dp-ROUNDED chi2 so both engines transform the identical
+    // double.
+    Entry(
+      "q68_logrank",
+      (s, d) => {
+        val subj = Experiment.timeToFirst(
+          Tables.events(s, d), "user_id", "ts", "event_type", "error")
+          .withColumn("variant",
+            when(pmod(Dedup.hash56(col("user_id").cast("string")),
+              lit(2L)) === 0, "a").otherwise("b"))
+        Experiment.logRank(
+          subj, "duration_days", "observed", "variant", "a", "b")
+      },
+      Some {
+        val sf = Experiment.normalSfSql("sqrt(x.chi2)")
+        s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                       FROM events WHERE ts IS NOT NULL),
+                 u AS (SELECT user_id, min(t) AS f,
+                              min(CASE WHEN event_type = 'error' THEN t END) AS fl
+                       FROM e GROUP BY 1),
+                 g AS (SELECT max(t) AS gmax FROM e),
+                 s0 AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 2 = 0
+                                    THEN 'a' ELSE 'b' END AS grp,
+                               (coalesce(fl, gmax) - f) // 86400000000 AS dur,
+                               CASE WHEN fl IS NOT NULL THEN 1 ELSE 0 END AS obs
+                        FROM u, g),
+                 per AS (SELECT dur, grp, COUNT(*) AS n,
+                                CAST(SUM(obs) AS BIGINT) AS d
+                         FROM s0 GROUP BY 1, 2),
+                 grid AS (SELECT dd.dur, gg.grp,
+                                 coalesce(per.n, 0) AS n, coalesce(per.d, 0) AS d
+                          FROM (SELECT DISTINCT dur FROM per) dd
+                          CROSS JOIN (SELECT 'a' AS grp UNION ALL SELECT 'b') gg
+                          LEFT JOIN per ON per.dur = dd.dur AND per.grp = gg.grp),
+                 ng AS (SELECT grp, COUNT(*) AS ng FROM s0 GROUP BY 1),
+                 ar AS (SELECT grid.dur, grid.grp, grid.n, grid.d,
+                               CAST(ng.ng - (SUM(grid.n) OVER (PARTITION BY grid.grp ORDER BY grid.dur ROWS UNBOUNDED PRECEDING) - grid.n) AS BIGINT) AS r
+                        FROM grid JOIN ng ON ng.grp = grid.grp),
+                 wide AS (SELECT dur,
+                                 MAX(CASE WHEN grp = 'a' THEN r END) AS ra,
+                                 MAX(CASE WHEN grp = 'b' THEN r END) AS rb,
+                                 MAX(CASE WHEN grp = 'a' THEN d END) AS da,
+                                 MAX(CASE WHEN grp = 'b' THEN d END) AS db
+                          FROM ar GROUP BY dur),
+                 terms AS (SELECT da, db, da + db AS dt, ra + rb AS nt,
+                                  CAST(rb AS DOUBLE) / (ra + rb) AS pb
+                           FROM wide WHERE da + db > 0 AND ra + rb > 0),
+                 tt AS (SELECT da, db, dt * pb AS ee,
+                               CASE WHEN nt > 1
+                                    THEN dt * pb * (1 - pb) * CAST(nt - dt AS DOUBLE) / (nt - 1)
+                                    ELSE 0 END AS v
+                        FROM terms),
+                 f AS (SELECT CAST(SUM(da) AS BIGINT) AS sda,
+                              CAST(SUM(db) AS BIGINT) AS sdb,
+                              SUM(ee) AS se, SUM(v) AS sv
+                       FROM tt),
+                 c AS (SELECT MAX(CASE WHEN grp = 'a' THEN ng END) AS n_a,
+                              MAX(CASE WHEN grp = 'b' THEN ng END) AS n_b
+                       FROM ng),
+                 x AS (SELECT CASE WHEN sv > 0
+                                   THEN ROUND((sdb - se) * (sdb - se) / sv + 1e-9, 6) END AS chi2,
+                              sda, sdb, se FROM f)
+            SELECT c.n_a, c.n_b, coalesce(x.sda, 0) AS events_a,
+                   coalesce(x.sdb, 0) AS events_b,
+                   ROUND(x.se + 1e-9, 6) AS expected_b, x.chi2,
+                   CASE WHEN x.chi2 IS NOT NULL
+                        THEN ROUND(2.0 * $sf + 1e-9, 6) END AS p
+            FROM c, x"""
+      })
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

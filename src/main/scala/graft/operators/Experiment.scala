@@ -422,6 +422,89 @@ object Experiment {
           .otherwise(stableRound(exp(col("_lnsum")), 6)).as("survival"))
   }
 
+  /** Log-rank test between two survival groups — THE standard "did the
+    * treatment change time-to-event?" readout over [[timeToFirst]]-shaped
+    * subjects, and the honest alternative to comparing two
+    * [[kaplanMeierCurve]]s by eye: at every distinct event time the
+    * observed events in group B are compared against the expectation
+    * under the shared-hazard null (`e = d·n_b/n`, hypergeometric variance
+    * `v = d·(n_b/n)·(1−n_b/n)·(n−d)/(n−1)`), and
+    * `χ² = (Σd_b − Σe_b)²/Σv` is χ²₁ under the null. Censored subjects
+    * leave the risk set without contributing events — exactly what a
+    * naive "mean lifetime per variant" t-test gets wrong. Output: ONE row
+    * `(n_a, n_b, events_a, events_b, expected_b, chi2, p)` — p two-sided
+    * via the engine-portable [[normalSf]] (`P(χ²₁ > x) = 2·(1−Φ(√x))`),
+    * everything 6 dp; chi2/p null when the variance sum is 0 (no
+    * comparable event times).
+    *
+    * Shape: one subject-keyed aggregate to the (duration × group) frame
+    * (≤ observation-window days × 2 rows), per-group at-risk suffix
+    * counts via a PARTITIONED cumulative window over the densified
+    * duration × group grid, then one-row folds. The subject frame is
+    * touched once. */
+  def logRank(
+      subjects: DataFrame, durCol: String, obsCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "logRank needs two distinct groups")
+    val subj = subjects
+      .where(col(groupCol).isin(groupA, groupB) && col(durCol).isNotNull)
+      .select(
+        col(durCol).cast("long").as("_dur"),
+        when(col(obsCol).cast("boolean"), 1L).otherwise(0L).as("_obs"),
+        col(groupCol).cast("string").as("_grp"))
+    val per = subj.groupBy("_dur", "_grp")
+      .agg(count(lit(1)).as("_n"), sum(col("_obs")).as("_d"))
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val grid = per.select("_dur").distinct()
+      .crossJoin(Seq(groupA, groupB).toDF("_grp"))
+      .join(per, Seq("_dur", "_grp"), "left")
+      .na.fill(0L, Seq("_n", "_d"))
+    val ng = subj.groupBy("_grp").agg(count(lit(1)).as("_ng"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_grp")).orderBy(col("_dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val atRisk = grid.join(ng, Seq("_grp"))
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_r", col("_ng") - (col("_cum") - col("_n")))
+    val wide = atRisk.groupBy("_dur").agg(
+      max(when(col("_grp") === groupA, col("_r"))).as("_ra"),
+      max(when(col("_grp") === groupB, col("_r"))).as("_rb"),
+      max(when(col("_grp") === groupA, col("_d"))).as("_da"),
+      max(when(col("_grp") === groupB, col("_d"))).as("_db"))
+    val terms = wide
+      .withColumn("_dt", col("_da") + col("_db"))
+      .withColumn("_nt", col("_ra") + col("_rb"))
+      .where(col("_dt") > 0 && col("_nt") > 0)
+      .withColumn("_pb", col("_rb").cast("double") / col("_nt"))
+      .withColumn("_e", col("_dt") * col("_pb"))
+      .withColumn("_v",
+        when(col("_nt") > 1,
+          col("_dt") * col("_pb") * (lit(1.0) - col("_pb")) *
+            (col("_nt") - col("_dt")).cast("double") / (col("_nt") - lit(1L)))
+          .otherwise(lit(0.0)))
+    val folded = terms.agg(
+      sum(col("_da")).as("_sda"), sum(col("_db")).as("_sdb"),
+      sum(col("_e")).as("_se"), sum(col("_v")).as("_sv"))
+    val counts = ng.agg(
+      max(when(col("_grp") === groupA, col("_ng"))).as("n_a"),
+      max(when(col("_grp") === groupB, col("_ng"))).as("n_b"))
+    counts.crossJoin(broadcast(folded))
+      .withColumn("chi2",
+        when(col("_sv") > 0.0, stableRound(
+          (col("_sdb") - col("_se")) * (col("_sdb") - col("_se")) /
+            col("_sv"), 6)))
+      .select(
+        col("n_a"), col("n_b"),
+        coalesce(col("_sda"), lit(0L)).as("events_a"),
+        coalesce(col("_sdb"), lit(0L)).as("events_b"),
+        stableRound(col("_se"), 6).as("expected_b"),
+        col("chi2"),
+        when(col("chi2").isNotNull,
+          stableRound(lit(2.0) * normalSf(sqrt(col("chi2"))), 6)).as("p"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a hypothesis frame: adds
     * `(rank, q_bh, reject)` to `(keyCol, pCol)` rows — `q_i = min_{j≥i}
     * (p_j · m / j)` clamped to 1 (the standard step-up q-value), `reject ⇔

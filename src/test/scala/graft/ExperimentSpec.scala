@@ -273,6 +273,42 @@ class ExperimentSpec extends SparkSpec {
     assert(curve(9L) == ((1L, 0L, 1L, 0.375)))
   }
 
+  test("logRank: hand hypergeometric table; identical groups -> chi2 0; no events -> null") {
+    import spark.implicits._
+    // A: event@1, event@2, censored@3 / B: censored@1, event@2, event@4
+    // t=1: n=6, d_b=0, e_b=0.5, v=0.25 ; t=2: n=4, d_b=1, e_b=1, v=1/3
+    // t=4: n=1, d_b=1, e_b=1, v=0  => chi2 = (2-2.5)^2 / (0.25+1/3) = 0.428571
+    val subj = Seq(
+      ("A", 1L, true), ("A", 2L, true), ("A", 3L, false),
+      ("B", 1L, false), ("B", 2L, true), ("B", 4L, true)
+    ).toDF("grp", "dur", "obs")
+    val r = Experiment.logRank(subj, "dur", "obs", "grp", "A", "B").head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) == ((2L, 2L)))
+    assert(r.getDouble(4) == 2.5)        // expected_b
+    assert(r.getDouble(5) == 0.428571)   // chi2
+    // p from the documented A-S polynomial on sqrt(rounded chi2)
+    def sfAS(z: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * z)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      math.exp(-z * z / 2.0) / math.sqrt(2.0 * math.Pi) * poly
+    }
+    assert(math.abs(r.getDouble(6) - 2.0 * sfAS(math.sqrt(0.428571))) < 1e-5)
+
+    // same event pattern in both groups -> observed == expected -> chi2 0
+    val same = Seq(
+      ("A", 1L, true), ("A", 2L, true), ("B", 1L, true), ("B", 2L, true)
+    ).toDF("grp", "dur", "obs")
+    assert(Experiment.logRank(same, "dur", "obs", "grp", "A", "B")
+      .head().getDouble(5) == 0.0)
+
+    // all censored: no event times -> zero variance -> null chi2 and p
+    val none = Seq(("A", 1L, false), ("B", 2L, false)).toDF("grp", "dur", "obs")
+    val n = Experiment.logRank(none, "dur", "obs", "grp", "A", "B").head()
+    assert(n.isNullAt(5) && n.isNullAt(6))
+  }
+
   test("bhAdjust: q clamps to 1; single hypothesis passes through its own p") {
     import spark.implicits._
     val big = Seq(("x", 0.9), ("y", 0.95)).toDF("group", "p")
