@@ -4275,7 +4275,40 @@ object QueriesExt {
                    CASE WHEN x.chi2 IS NOT NULL
                         THEN ROUND(2.0 * $sf + 1e-9, 6) END AS p
             FROM c, x"""
-      })
+      }),
+
+    // Q69 — CUSUM change-point per event type: the offline "WHEN did this
+    // metric shift?" companion to q49's online outlier flag — the argmax
+    // of |Σ(x_t − x̄)| over daily bucket means tent-peaks at a level
+    // shift. Corpus pass → day-grid frame; keyed cumulative window;
+    // stage-boundary rounding makes the argmax engine-replayable (ties to
+    // the earliest day).
+    Entry(
+      "q69_cusum",
+      (s, d) => Profiling.cusumChangepoint(
+        Tables.events(s, d), Seq("event_type"), "ts", "value",
+        bucketUs = 86400000000L),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                                CAST(value AS DOUBLE) AS v
+                         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+                   b AS (SELECT event_type, day, ROUND(AVG(v) + 1e-9, 6) AS x
+                         FROM e GROUP BY 1, 2),
+                   m AS (SELECT event_type, AVG(x) AS xbar,
+                                COUNT(*) AS n_buckets
+                         FROM b GROUP BY 1),
+                   s AS (SELECT b.event_type, m.n_buckets, b.day,
+                                ROUND(SUM(b.x - m.xbar)
+                                      OVER (PARTITION BY b.event_type ORDER BY b.day
+                                            ROWS UNBOUNDED PRECEDING) + 1e-9, 6) AS cs
+                         FROM b JOIN m ON b.event_type = m.event_type),
+                   r AS (SELECT event_type, n_buckets, day, cs,
+                                ROUND(abs(cs) + 1e-9, 6) AS ca,
+                                row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(abs(cs) + 1e-9, 6) DESC, day) AS rn
+                         FROM s)
+              SELECT event_type, n_buckets, day AS cp_bucket,
+                     cs AS cusum, ca AS cusum_abs
+              FROM r WHERE rn = 1"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -878,4 +878,59 @@ object Profiling {
                 .otherwise(0.0) * 0.5), 6))
           .as("jsd_bits"))
   }
+
+  /** CUSUM change-point detection per key — the offline "WHEN did this
+    * metric shift?" companion to [[rollingZscore]]'s online "is this point
+    * anomalous?": bucket the series (integer-DIV time buckets), take each
+    * bucket's 6dp-rounded mean, and report the bucket maximizing the
+    * absolute cumulative deviation `|S_t| = |Σ_{u ≤ t} (x_u − x̄)|` — the
+    * classic CUSUM estimator (Page 1954; Taylor's change-point variant):
+    * a level shift at time τ makes S_t a tent peaking at τ, while white
+    * noise random-walks near 0. Output: one row per key —
+    * `(keys…, n_buckets, cp_bucket, cusum, cusum_abs)`, signed `cusum` > 0
+    * meaning the series ran ABOVE its mean before the shift (a drop), ties
+    * to the EARLIEST bucket.
+    *
+    * Shape: one corpus pass to the (key, bucket) mean frame (map-side
+    * combined; everything after is bucket-grid-sized), a per-key mean
+    * join-back, one KEYED cumulative window over the grid, and a struct-max
+    * argmax fold. Stage-boundary 6dp rounding on bucket means and S_t makes
+    * the argmax engine-replayable. */
+  def cusumChangepoint(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, valueCol: String,
+      bucketUs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "cusumChangepoint needs at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val us = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(tsCol)
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    val buckets = df.where(v.isNotNull && col(tsCol).isNotNull)
+      .withColumn("_cu_us", us)
+      .withColumn("_cu_b", expr(s"_cu_us div ${bucketUs}L"))
+      .groupBy(keys :+ col("_cu_b"): _*)
+      .agg(stableRound(avg(v), 6).as("_cu_x"))
+    val means = buckets.groupBy(keys: _*)
+      .agg(avg(col("_cu_x")).as("_cu_xbar"),
+        count(lit(1)).as("n_buckets"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("_cu_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val s = buckets.join(means, keyCols)
+      .withColumn("_cu_s",
+        stableRound(sum(col("_cu_x") - col("_cu_xbar")).over(w), 6))
+      .withColumn("_cu_a", stableRound(abs(col("_cu_s")), 6))
+    s.groupBy(keys :+ col("n_buckets"): _*)
+      .agg(max(struct(col("_cu_a"), (-col("_cu_b")).as("_cu_nb"),
+        col("_cu_s"))).as("_m"))
+      .select(
+        keys ++ Seq(
+          col("n_buckets"),
+          (-col("_m._cu_nb")).as("cp_bucket"),
+          col("_m._cu_s").as("cusum"),
+          col("_m._cu_a").as("cusum_abs")): _*)
+  }
 }

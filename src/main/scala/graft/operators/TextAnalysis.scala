@@ -286,6 +286,48 @@ object TextAnalysis {
         (ratio <= maxCoverage).as("keep"))
   }
 
+  /** PER-ROW form of [[dupNgramCoverage]]'s coverage ratio — value-identical
+    * by construction (spec-pinned on real docs), but a pure scalar
+    * expression with no explode/aggregate, so it composes into the
+    * STREAMING hygiene gate ([[graft.streaming.StreamingHygiene]]) where a
+    * groupBy cannot (append-mode streams take only per-row transforms
+    * before the sink).
+    *
+    * Mechanics, all inside one lambda tower: grams → duplicate-gram set
+    * (sorted-adjacent-equal — O(g log g), not the O(g²) pairwise count) →
+    * per-gram flags → covered-position count (each position scans its ≤ n
+    * overlapping gram starts). Cost O(g·(|dups| + n)) per row with |dups|
+    * tiny in real text; bounded by doc length, zero shuffle. Returns the
+    * UNROUNDED ratio (callers round at their own boundary). */
+  def dupCoverageRatio(c: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    let(split(Dedup.normalizeText(c), " ")) { toks =>
+      let(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))) { grams =>
+        let(array_sort(grams)) { sorted =>
+          let(array_distinct(filter(sorted, (x, i) =>
+            i >= 1 && x === element_at(sorted, i)))) { dups =>
+            let(transform(grams, g => array_contains(dups, g))) { fl =>
+              let(size(fl)) { g =>
+                aggregate(
+                  sequence(lit(0), size(toks) - 1), lit(0L),
+                  (acc, p) => {
+                    val s = greatest(p - lit(n - 1), lit(0)) + 1
+                    val len = greatest(
+                      least(p, g - 1) - greatest(p - lit(n - 1), lit(0)) + 1,
+                      lit(0))
+                    acc + when(exists(slice(fl, s, len), b => b), 1L)
+                      .otherwise(0L)
+                  }).cast("double") / size(toks)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` n-token-grams with ANY benchmark document (the standard
     * guard against test-set leakage into training corpora). Returns

@@ -28,8 +28,11 @@ object StreamingHygiene {
 
   def gate(
       docs: DataFrame, idCol: String, textCol: String,
-      blocklist: Seq[String], minEntropyBits: Double, minTtr: Double): DataFrame = {
+      blocklist: Seq[String], minEntropyBits: Double, minTtr: Double,
+      maxDupCoverage: Double = 1.0, dupN: Int = 2): DataFrame = {
     require(blocklist.nonEmpty, "gate: empty blocklist")
+    require(maxDupCoverage >= 0.0 && maxDupCoverage <= 1.0,
+      s"maxDupCoverage in [0,1], got $maxDupCoverage")
     val normed = graft.functions.ArrayKernels
       .unicodeNormalize(col(textCol), "NFC")
     // two selects: tokens must see the NORMALIZED text (a same-select
@@ -49,8 +52,17 @@ object StreamingHygiene {
         graft.functions.ArrayKernels.charStats(col(textCol))
           .getField("entropy_bits"), 6))
       .withColumn("ttr", ttr)
+      // repetition cut (t42's axis, per-row form — [[TextAnalysis
+      // .dupCoverageRatio]] is value-identical to the batch aggregate):
+      // OFF at the default 1.0 (coverage ≤ 1 always), so the c08 parity
+      // contract above is unchanged unless a caller opts in
+      .withColumn("dup_coverage", stableRound(
+        TextAnalysis.dupCoverageRatio(col(textCol), dupN), 6))
       .where(!coalesce(blocked, lit(false)) &&
-        col("entropy_bits") >= minEntropyBits && col("ttr") >= minTtr)
+        col("entropy_bits") >= minEntropyBits && col("ttr") >= minTtr &&
+        // cut on the emitted 6dp column (one kernel evaluation per row,
+        // and the threshold compares what the consumer sees)
+        col("dup_coverage") <= maxDupCoverage)
       .drop("_t")
   }
 }

@@ -194,4 +194,29 @@ class PlanPinSpec extends SparkSpec {
         s"$q must be a pure map pass over the scan:\n${plan.take(3000)}")
     }
   }
+
+  test("s25: the IVF-PQ probe broadcasts the distance table — codes never sort-merge") {
+    // at 100 TB the codes frame is the corpus; a sort-merge against the
+    // m×k distance table (or the probed membership) would shuffle it by a
+    // join key per query — the exact cost the composition exists to avoid.
+    // Built un-checkpointed here: the query entry materializes its result,
+    // which collapses the executed plan to a Scan of the checkpoint RDD.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Pq, Similarity}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Pq.fit(e, "vec_id", "embedding", dims = 64, m = 2, k = 4,
+      iters = 2)
+    val plan = Pq.ivfPqTopK(
+      cb, Pq.encode(e, "vec_id", "embedding", cb).filter(col("vec_id") =!= 0L),
+      "vec_id", e.select(col("vec_id"), col("label")), "label",
+      Similarity.centroids(e, "label", "embedding"),
+      e.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 10, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    cb.unpersisted()
+    assert(!plan.contains("SortMergeJoin"),
+      s"s25 must never sort-merge the codes:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s25 lost its broadcast probe joins:\n${plan.take(3000)}")
+  }
 }

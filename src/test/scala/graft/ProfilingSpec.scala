@@ -512,6 +512,32 @@ class ProfilingSpec extends SparkSpec {
     assert(got(("b", "k")) == ((3L, None)))
   }
 
+  test("cusumChangepoint: planted level shift peaks at the boundary; constant series ties to earliest") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // "shift": 10.0 for days 0-9, 20.0 for days 10-19 -> x̄ = 15,
+    // S_t = -5(t+1) down to S_9 = -50, then climbs back to 0
+    val rows =
+      (0 until 10).map(d => ("shift", d * dayUs, 10.0)) ++
+        (10 until 20).map(d => ("shift", d * dayUs, 20.0)) ++
+        (0 until 5).map(d => ("flat", d * dayUs, 7.0))
+    val got = Profiling.cusumChangepoint(
+      rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", dayUs)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("shift") == ((20L, 9L, -50.0, 50.0)))
+    // all-zero cusum: ties resolve to the EARLIEST bucket
+    assert(got("flat") == ((5L, 0L, 0.0, 0.0)))
+    // two points per bucket average before the cusum sees them
+    val dup = Seq(("k", 0L, 1.0), ("k", 1L, 3.0), ("k", dayUs, 8.0))
+      .toDF("k", "ts", "v")
+    val d = Profiling.cusumChangepoint(dup, Seq("k"), "ts", "v", dayUs).head()
+    // buckets: day0 mean 2, day1 mean 8 -> x̄ = 5 -> S = (-3, 0); peak day0
+    assert((d.getLong(1), d.getLong(2), d.getDouble(3)) == ((2L, 0L, -3.0)))
+  }
+
   test("spearmanMatrix plan: no unpartitioned window — ranks ride the sliced prefix sum") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toDouble % 37, (i * 7 % 41).toDouble))

@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{stableRound, Similarity, TextAnalysis}
 
 /** Similarity top-k vs a Scala model; text-analysis goldens. */
 class SimilarityTextSpec extends SparkSpec {
@@ -1526,6 +1526,32 @@ class SimilarityTextSpec extends SparkSpec {
       poolSize = 5, k = 4, lambda = 0.5)
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(ex == Seq(1, 2))
+  }
+
+  test("dupCoverageRatio: per-row kernel == the batch aggregate on real docs and edges") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      // edge rows the corpus lacks: short doc, all-same doc, empty text
+      .unionByName(Seq(
+        (100001L, "solo"), (100002L, "x x x x x x"), (100003L, "")
+      ).toDF("doc_id", "text"))
+    for (n <- Seq(2, 3)) {
+      val perRow = docs.select(
+        col("doc_id"),
+        stableRound(TextAnalysis.dupCoverageRatio(col("text"), n), 6)
+          .as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", n)
+        .select("doc_id", "dup_coverage")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(perRow.size == batch.size)
+      val diff = perRow.keys.filter(k => perRow(k) != batch(k))
+      assert(diff.isEmpty,
+        s"n=$n per-row != batch for ${diff.take(5).map(k =>
+          (k, perRow(k), batch(k)))}")
+    }
   }
 
   test("dupNgramCoverage: hand positions, overlap unioned, short docs never repeat") {

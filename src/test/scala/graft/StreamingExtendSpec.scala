@@ -603,4 +603,36 @@ class StreamingExtendSpec extends SparkSpec {
       assert(got.synchronized(got.toSet) == batchKept)
     } finally q.stop()
   }
+
+  test("StreamingHygiene.gate: opt-in repetition cut drops the boilerplate doc, default leaves c08 untouched") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // entropy floor relaxed to 3.5 here: the planted doc's repeated-phrase
+    // alphabet holds 3.66 bits — ABOVE this floor, so repetition is the
+    // only axis that can cut it (the c08-parity test above keeps 4.05)
+    val params = (Seq("dup", "crash"), 3.5, 0.35)
+    // a lexically diverse doc whose REPETITION is the only defect: many
+    // distinct recurring bigrams (t42's axis — the top-gram ratio and ttr
+    // both look fine)
+    val spammy = (900001L,
+      (1 to 6).map(i => s"alpha$i beta$i alpha$i beta$i").mkString(" ") +
+        " gamma delta epsilon zeta eta theta iota kappa")
+    import spark.implicits._
+    val withSpam = docs.unionByName(Seq(spammy).toDF("doc_id", "text"))
+    val defaultKept = graft.streaming.StreamingHygiene.gate(
+        withSpam, "doc_id", "text", params._1, params._2, params._3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cutKept = graft.streaming.StreamingHygiene.gate(
+        withSpam, "doc_id", "text", params._1, params._2, params._3,
+        maxDupCoverage = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // default 1.0 never cuts (the c08 parity contract), so the spam
+    // passes; the opt-in threshold removes exactly the repetition axis
+    assert(defaultKept.contains(900001L))
+    assert(!cutKept.contains(900001L))
+    // the cut is monotone (only removes) and barely touches the real corpus
+    assert(cutKept.subsetOf(defaultKept))
+    assert((defaultKept -- cutKept - 900001L).size <= 3)
+  }
 }
