@@ -4308,7 +4308,63 @@ object QueriesExt {
                          FROM s)
               SELECT event_type, n_buckets, day AS cp_bucket,
                      cs AS cusum, ca AS cusum_abs
-              FROM r WHERE rn = 1"""))
+              FROM r WHERE rn = 1""")),
+
+    // Q70 — per-group MULTI-feature least squares with R²: q38's trend
+    // generalized to the normal equations, solved IN THE PLAN by Cramer
+    // over generated cofactor expansions (scalar codegen math per group
+    // row — no driver solve, no iteration). Features constant-centered
+    // per the conditioning contract. The oracle replays the same sums and
+    // the same 3×3 Cramer closed form.
+    Entry(
+      "q70_linear_fit",
+      (s, d) => Profiling.linearFit(
+        Tables.load(s, d, "lineitem")
+          .withColumn("qty_c", col("l_quantity") - 25.0)
+          .withColumn("disc_c", col("l_discount") - 0.05),
+        Seq("l_returnflag"), Seq("qty_c", "disc_c"), "l_extendedprice"),
+      Some("""WITH e AS (SELECT l_returnflag,
+                                CAST(l_quantity AS DOUBLE) - 25.0 AS x1,
+                                CAST(l_discount AS DOUBLE) - 0.05 AS x2,
+                                CAST(l_extendedprice AS DOUBLE) AS y
+                         FROM lineitem
+                         WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                           AND l_extendedprice IS NOT NULL),
+                   g AS (SELECT l_returnflag, COUNT(*) AS n,
+                                SUM(x1) AS s1, SUM(x2) AS s2,
+                                SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+                                SUM(x2*x2) AS s22,
+                                SUM(y) AS sy, SUM(x1*y) AS s1y,
+                                SUM(x2*y) AS s2y, SUM(y*y) AS syy
+                         FROM e GROUP BY 1),
+                   f AS (SELECT *,
+                                n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                                  + s2*(s1*s12 - s11*s2) AS det,
+                                sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                                  + s2*(s1y*s12 - s11*s2y) AS det0,
+                                n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                                  + s2*(s1*s2y - s1y*s2) AS det1,
+                                n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                                  + sy*(s1*s12 - s11*s2) AS det2
+                         FROM g),
+                   b AS (SELECT *,
+                                CASE WHEN det <> 0 AND n > 2 THEN det0/det END AS b0,
+                                CASE WHEN det <> 0 AND n > 2 THEN det1/det END AS b1,
+                                CASE WHEN det <> 0 AND n > 2 THEN det2/det END AS b2
+                         FROM f),
+                   r AS (SELECT *,
+                                syy - 2*(b0*sy + b1*s1y + b2*s2y)
+                                  + (b0*b0*n + b1*b1*s11 + b2*b2*s22
+                                     + 2*b0*b1*s1 + 2*b0*b2*s2 + 2*b1*b2*s12) AS sse,
+                                syy - sy*sy/n AS sst
+                         FROM b)
+              SELECT l_returnflag, n AS n_points,
+                     ROUND(b0 + 1e-9, 6) AS intercept,
+                     ROUND(b1 + 1e-9, 6) AS beta_qty_c,
+                     ROUND(b2 + 1e-9, 6) AS beta_disc_c,
+                     CASE WHEN b0 IS NOT NULL AND sst <> 0
+                          THEN ROUND(1.0 - sse/sst + 1e-9, 6) END AS r2
+              FROM r"""))
   )
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

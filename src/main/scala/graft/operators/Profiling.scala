@@ -933,4 +933,106 @@ object Profiling {
           col("_m._cu_s").as("cusum"),
           col("_m._cu_a").as("cusum_abs")): _*)
   }
+
+  /** Cofactor expansion of an n×n matrix of Columns along the first row —
+    * generates the closed-form determinant EXPRESSION (whole-stage-codegen
+    * scalar math, no driver solve), used by [[linearFit]]'s Cramer solve.
+    * Factorial term count caps practical n at 4 (= 3 features +
+    * intercept), which [[linearFit]] enforces. */
+  private def detExpr(m: Vector[Vector[Column]]): Column =
+    if (m.size == 1) m(0)(0)
+    else m.head.indices.map { j =>
+      val minor = m.tail.map(row => row.patch(j, Nil, 1))
+      val term = m(0)(j) * detExpr(minor)
+      if (j % 2 == 0) term else -term
+    }.reduce(_ + _)
+
+  /** Per-group MULTI-feature least squares — [[groupTrend]] generalized
+    * from one regressor to up to three (plus the intercept), with an
+    * optional ridge penalty and R²: the "which features explain this
+    * metric, per segment?" profiling question answered in ONE
+    * map-side-combined corpus pass. Output: `(keys…, n_points, intercept,
+    * beta_<x> per feature, r2)`, fit columns 6dp-rounded; groups that
+    * cannot support the fit (fewer rows than coefficients, or a singular
+    * normal matrix) emit null coefficients rather than a division blowup.
+    *
+    * Method: the normal equations `A β = b` with
+    * `A = Σ [1,x][1,x]ᵀ (+ λ on feature diagonals)`, `b = Σ y·[1,x]`,
+    * solved IN THE PLAN by Cramer's rule over generated cofactor
+    * expansions ([[detExpr]]) — every group's solve is scalar codegen
+    * math on its one aggregate row; nothing is collected (contrast
+    * [[Pca]], which collects the ONE global Gram for a driver eigensolve —
+    * per-group frames can't afford that at 100 TB group counts, and the
+    * ≤4×4 closed form doesn't need it). `R² = 1 − SSE/SST` comes from the
+    * same sums: `SSE = Σy² − 2βᵀb₀ + βᵀA₀β` with the UNRIDGED moments, so
+    * it is the true residual even when λ > 0.
+    *
+    * Numeric-conditioning contract (same as [[groupTrend]]): CENTER/scale
+    * features to modest magnitudes before calling — the closed form
+    * cancels `(Σx)²`-scale terms — and do not pass collinear features
+    * (an analytically singular A is FP-tiny, not exactly zero, and
+    * Cramer amplifies it; the null gate catches exact zeros and
+    * undersized groups only). */
+  def linearFit(
+      df: DataFrame, keyCols: Seq[String], xCols: Seq[String], yCol: String,
+      ridge: Double = 0.0): DataFrame = {
+    require(keyCols.nonEmpty, "linearFit needs at least one key column")
+    require(xCols.nonEmpty && xCols.size <= 3,
+      s"linearFit solves 1..3 features closed-form (Cramer), got ${xCols.size}")
+    require(ridge >= 0.0, s"ridge must be non-negative, got $ridge")
+    val d = xCols.size
+    val xs = xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    // rows missing ANY coordinate leave every sum (a count over raw rows
+    // while the sums null-skip would mix inconsistent row sets)
+    val complete = xs.foldLeft(y.isNotNull)((p, x) => p && x.isNotNull)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n"), sum(y).as("_sy"), sum(y * y).as("_syy")) ++
+        xs.indices.map(i => sum(xs(i)).as(s"_s$i")) ++
+        xs.indices.map(i => sum(xs(i) * y).as(s"_sy$i")) ++
+        (for { i <- xs.indices; j <- i until d }
+          yield sum(xs(i) * xs(j)).as(s"_s${i}_$j"))
+    val g = df.filter(complete)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n = col("_n").cast("double")
+    // moment matrix over [1, x…]: index 0 = intercept, 1..d = features
+    def a0(i: Int, j: Int): Column = (i, j) match {
+      case (0, 0) => n
+      case (0, k) => col(s"_s${k - 1}")
+      case (k, 0) => col(s"_s${k - 1}")
+      case (i2, j2) =>
+        val (lo, hi) = (math.min(i2, j2) - 1, math.max(i2, j2) - 1)
+        col(s"_s${lo}_$hi")
+    }
+    def aR(i: Int, j: Int): Column =
+      if (i == j && i > 0) a0(i, j) + lit(ridge) else a0(i, j)
+    def b(i: Int): Column = if (i == 0) col("_sy") else col(s"_sy${i - 1}")
+    val full = Vector.tabulate(d + 1, d + 1)(aR)
+    val detA = detExpr(full)
+    val betas = (0 to d).map { i =>
+      detExpr(full.map(_.toVector).zipWithIndex.map { case (row, r) =>
+        row.updated(i, b(r))
+      }) / detA
+    }
+    val fit = betas.indices.foldLeft(g) { (acc, i) =>
+      acc.withColumn(s"_b$i",
+        when(detA =!= 0.0 && col("_n") > lit(d), betas(i)))
+    }
+    val bc = (0 to d).map(i => col(s"_b$i"))
+    val sse = col("_syy") -
+      lit(2.0) * (0 to d).map(i => bc(i) * b(i)).reduce(_ + _) +
+      (for { i <- 0 to d; j <- 0 to d } yield bc(i) * bc(j) * a0(i, j))
+        .reduce(_ + _)
+    val sst = col("_syy") - col("_sy") * col("_sy") / n
+    fit.select(
+      keyCols.map(col) ++ Seq(col("_n").as("n_points"),
+        stableRound(bc(0), 6).as("intercept")) ++
+        xCols.zipWithIndex.map { case (c, i) =>
+          stableRound(bc(i + 1), 6).as(s"beta_$c")
+        } ++
+        Seq(stableRound(
+          when(bc(0).isNotNull && sst =!= 0.0, lit(1.0) - sse / sst), 6)
+          .as("r2")): _*)
+  }
 }

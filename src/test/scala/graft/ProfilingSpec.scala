@@ -538,6 +538,63 @@ class ProfilingSpec extends SparkSpec {
     assert((d.getLong(1), d.getLong(2), d.getDouble(3)) == ((2L, 0L, -3.0)))
   }
 
+  test("linearFit: exact plane recovered with r2 = 1; undersized groups get null fit") {
+    import spark.implicits._
+    // y = 3 + 2*x1 - 5*x2, noise-free on 4 non-collinear points
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 3.0))
+    val df = pts.map { case (x1, x2) => ("a", x1, x2, 3.0 + 2.0 * x1 - 5.0 * x2) }
+      .toDF("g", "x1", "x2", "y")
+      // 3 rows cannot support 3 coefficients + residual dof gate (n > d)
+      .union(Seq(("b", 0.0, 0.0, 1.0), ("b", 1.0, 1.0, 2.0))
+        .toDF("g", "x1", "x2", "y"))
+    val got = Profiling.linearFit(df, Seq("g"), Seq("x1", "x2"), "y")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5))))
+      .toMap
+    assert(got("a") == ((4L, Some(3.0), Some(2.0), Some(-5.0), Some(1.0))))
+    assert(got("b") == ((2L, None, None, None, None)))
+  }
+
+  test("linearFit: single feature agrees with groupTrend's closed form") {
+    import spark.implicits._
+    val df = Seq(("a", 0.0, 1.2), ("a", 1.0, 2.9), ("a", 2.0, 5.4),
+      ("a", 3.0, 6.8)).toDF("g", "x", "y")
+    val fit = Profiling.linearFit(df, Seq("g"), Seq("x"), "y").head()
+    val trend = Profiling.groupTrend(df, Seq("g"), "x", "y").head()
+    assert(fit.getDouble(2) == trend.getDouble(3)) // intercept
+    assert(fit.getDouble(3) == trend.getDouble(2)) // beta_x == slope
+    assert(fit.getDouble(4) > 0.9 && fit.getDouble(4) <= 1.0)
+  }
+
+  test("linearFit: ridge shrinks the coefficient by the hand closed form; r2 uses true residuals") {
+    import spark.implicits._
+    // y = 2x on x = -1, 0, 1 (centered: sx = 0, sxx = 2, sxy = 4)
+    val df = Seq(("a", -1.0, -2.0), ("a", 0.0, 0.0), ("a", 1.0, 2.0))
+      .toDF("g", "x", "y")
+    val ols = Profiling.linearFit(df, Seq("g"), Seq("x"), "y").head()
+    assert((ols.getDouble(2), ols.getDouble(3), ols.getDouble(4)) ==
+      ((0.0, 2.0, 1.0)))
+    // ridged normal matrix [[3, 0], [0, 2 + 2]] -> beta = 4/4 = 1
+    val rr = Profiling.linearFit(df, Seq("g"), Seq("x"), "y", ridge = 2.0)
+      .head()
+    assert((rr.getDouble(2), rr.getDouble(3)) == ((0.0, 1.0)))
+    // SSE with beta 1: (1-2)^2 * 2 = 2 off a SST of 8 -> r2 = 0.75
+    assert(rr.getDouble(4) == 0.75)
+  }
+
+  test("linearFit: ONE corpus pass — the per-group solve is scalar math on the aggregate row") {
+    val df = Queries.byName("q70_linear_fit")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"linearFit must scan the table once, found $scans scans:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"the Cramer solve must not join:\n${plan.take(4000)}")
+  }
+
   test("spearmanMatrix plan: no unpartitioned window — ranks ride the sliced prefix sum") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toDouble % 37, (i * 7 % 41).toDouble))
