@@ -4364,8 +4364,62 @@ object QueriesExt {
                      ROUND(b2 + 1e-9, 6) AS beta_disc_c,
                      CASE WHEN b0 IS NOT NULL AND sst <> 0
                           THEN ROUND(1.0 - sse/sst + 1e-9, 6) END AS r2
-              FROM r"""))
+              FROM r""")),
+
+    // Q71 — logistic-regression curation classifier, trained by 6 in-plan
+    // full-batch gradient steps (chained one-row broadcast folds — the
+    // MMR/k-means iteration discipline, no driver collect) on O(1)-scaled
+    // lineitem features against the return flag. 6dp rounding at every
+    // coefficient boundary makes the whole trajectory engine-replayable;
+    // the oracle unrolls the same 6 steps as CTEs.
+    Entry(
+      "q71_logistic",
+      (s, d) => Classifier.logisticFit(
+        Tables.load(s, d, "lineitem")
+          .withColumn("qn", (col("l_quantity") - 25.0) / 25.0)
+          .withColumn("dn", (col("l_discount") - 0.05) * 20.0)
+          .withColumn("ret",
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
+        Seq("qn", "dn"), "ret", iters = 6, lr = 0.5),
+      Some(logisticSql(iters = 6, lr = 0.5)))
   )
+
+  /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient
+    * steps. Step k reads step k−1's one-row coefficient CTE (cross join),
+    * folds `AVG((σ(w·x̃) − y)·x̃)`, and rounds each coefficient 6dp — the
+    * exact boundary discipline of [[graft.operators.Classifier.logisticFit]],
+    * so the trajectories are bit-comparable after rounding. The final
+    * SELECT re-derives σ from the LAST coefficients for logloss and the
+    * rounded-probability accuracy. */
+  private def logisticSql(iters: Int, lr: Double): String = {
+    def sig(pre: String = "") = s"1/(1+exp(-(${pre}w0 + ${pre}w1*x1 + ${pre}w2*x2)))"
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "b0" else s"b${k - 1}"
+      s"""b$k AS (SELECT
+            ROUND(MAX(w0) - CAST($lr AS DOUBLE) * AVG(${sig()} - y) + 1e-9, 6) AS w0,
+            ROUND(MAX(w1) - CAST($lr AS DOUBLE) * AVG((${sig()} - y) * x1) + 1e-9, 6) AS w1,
+            ROUND(MAX(w2) - CAST($lr AS DOUBLE) * AVG((${sig()} - y) * x2) + 1e-9, 6) AS w2
+          FROM e, $prev)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT (CAST(l_quantity AS DOUBLE) - 25.0) / 25.0 AS x1,
+                          (CAST(l_discount AS DOUBLE) - 0.05) * 20.0 AS x2,
+                          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                   FROM lineitem
+                   WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                     AND l_returnflag IS NOT NULL),
+          b0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                        CAST(0 AS DOUBLE) AS w2),
+          $steps
+     SELECT COUNT(*) AS n_points,
+            ROUND(MAX(w0) + 1e-9, 6) AS intercept,
+            ROUND(MAX(w1) + 1e-9, 6) AS beta_qn,
+            ROUND(MAX(w2) + 1e-9, 6) AS beta_dn,
+            ROUND(-AVG(y * ln(${sig()}) + (1 - y) * ln(1 - ${sig()})) + 1e-9, 6) AS logloss,
+            ROUND(AVG(CASE WHEN (CASE WHEN ROUND(${sig()} + 1e-9, 6) > 0.5
+                                      THEN 1.0 ELSE 0.0 END) = y
+                           THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS accuracy
+     FROM e, b$iters"""
+  }
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the
     * Spark query and (inlined as the `mg` VALUES) its DuckDB oracle. */

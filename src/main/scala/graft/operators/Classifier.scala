@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -134,4 +134,70 @@ object Classifier {
   def loadNbModel(
       spark: org.apache.spark.sql.SparkSession, name: String): NbModel =
     NbModel(spark.table(s"${name}_cond"), spark.table(s"${name}_priors"))
+
+  /** Logistic-regression curation classifier — the gradient-trained
+    * sibling of the Naive Bayes model above (the shape of fastText-style
+    * quality scorers once features are numeric): `iters` full-batch
+    * gradient-descent steps on `σ(βᵀ[1,x])` against a {0,1} `labelCol`,
+    * entirely IN THE PLAN. Each step is one map-side-combined corpus
+    * aggregate of the gradient `avg((σ(βᵀx̃) − y)·x̃)` with the previous
+    * step's one-row coefficient frame broadcast-crossed in — the
+    * MMR/k-means discipline: a fixed iteration ladder of tiny one-row
+    * folds, NO driver collect, and 6dp rounding at every coefficient
+    * boundary so the whole trajectory is engine-replayable (the oracle
+    * unrolls the same steps as CTEs).
+    *
+    * Output (ONE row): `(n_points, intercept, beta_<x>…, logloss,
+    * accuracy)` — logloss/accuracy are the TRAINING diagnostics of the
+    * final β, accuracy thresholded on the 6dp-ROUNDED probability so
+    * borderline rows are decided on identical numbers in any engine.
+    *
+    * Conditioning contract: scale features into O(1) magnitudes first
+    * (keeps σ off its saturated tails, where a fixed learning rate stalls
+    * and exp overflows stop mattering before portability does). At 100 TB:
+    * `iters` corpus passes is the honest cost of batch GD — persist the
+    * feature frame before calling; the per-pass shuffle is ONE combiner
+    * row per partition (d+2 doubles). */
+  def logisticFit(
+      df: DataFrame, xCols: Seq[String], labelCol: String,
+      iters: Int, lr: Double): DataFrame = {
+    require(xCols.nonEmpty && xCols.size <= 8,
+      s"logisticFit takes 1..8 features, got ${xCols.size}")
+    require(iters >= 1 && iters <= 32, s"iters in [1,32], got $iters")
+    require(lr > 0.0, s"lr must be positive, got $lr")
+    val d = xCols.size
+    val y = col(labelCol).cast("double")
+    val complete = xCols.map(col(_).isNotNull).reduce(_ && _) && y.isNotNull
+    val e = df.filter(complete).select(
+      xCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"_x$i")
+      } :+ y.as("_y"): _*)
+    def margin: Column =
+      col("_w0") + (0 until d).map(i => col(s"_w${i + 1}") * col(s"_x$i"))
+        .reduce(_ + _)
+    def sigmoid: Column = lit(1.0) / (lit(1.0) + exp(-margin))
+    val w0 = e.sparkSession.range(1).select(
+      (0 to d).map(i => lit(0.0).as(s"_w$i")): _*)
+    val wFinal = (1 to iters).foldLeft(w0) { (w, _) =>
+      e.crossJoin(broadcast(w)).agg(
+        stableRound(max(col("_w0")) - lit(lr) * avg(sigmoid - col("_y")), 6)
+          .as("_w0"),
+        (1 to d).map(j => stableRound(
+          max(col(s"_w$j")) -
+            lit(lr) * avg((sigmoid - col("_y")) * col(s"_x${j - 1}")), 6)
+          .as(s"_w$j")): _*)
+    }
+    val p = stableRound(sigmoid, 6)
+    e.crossJoin(broadcast(wFinal)).agg(
+      count(lit(1)).as("n_points"),
+      stableRound(max(col("_w0")), 6).as("intercept") +:
+        ((1 to d).map(j => stableRound(max(col(s"_w$j")), 6)
+          .as(s"beta_${xCols(j - 1)}")) ++ Seq(
+          stableRound(-avg(col("_y") * log(sigmoid) +
+            (lit(1.0) - col("_y")) * log(lit(1.0) - sigmoid)), 6)
+            .as("logloss"),
+          stableRound(avg(
+            when((p > 0.5).cast("double") === col("_y"), 1.0)
+              .otherwise(0.0)), 6).as("accuracy"))): _*)
+  }
 }

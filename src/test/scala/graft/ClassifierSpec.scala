@@ -109,4 +109,42 @@ class ClassifierSpec extends SparkSpec {
     val loaded = canon(Classifier.loadNbModel(spark, "nb_persist_spec"))
     assert(loaded == direct && direct.nonEmpty)
   }
+
+  test("logisticFit: one hand-computed step from beta = 0 (sigma(0) = 0.5 exactly)") {
+    import spark.implicits._
+    // x = (-1, 0, 1), y = (0, 1, 1): grad0 = avg(0.5 - y) = -1/6,
+    // grad1 = avg((0.5 - y) * x) = (-0.5 - 0.5) / 3 = -1/3
+    val df = Seq((-1.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("x", "y")
+    val r = Classifier.logisticFit(df, Seq("x"), "y", iters = 1, lr = 0.6)
+      .head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.1)  // -0.6 * (-1/6)
+    assert(r.getDouble(2) == 0.2)  // -0.6 * (-1/3)
+  }
+
+  test("logisticFit: separable data trains to perfect accuracy, logloss falls with iterations") {
+    import spark.implicits._
+    val df = ((-10 to -1) ++ (1 to 10))
+      .map(i => (i / 10.0, if (i > 0) 1.0 else 0.0)).toDF("x", "y")
+    val short = Classifier.logisticFit(df, Seq("x"), "y", iters = 2, lr = 1.0)
+      .head()
+    val long = Classifier.logisticFit(df, Seq("x"), "y", iters = 12, lr = 1.0)
+      .head()
+    val (bShort, llShort) = (short.getDouble(2), short.getDouble(3))
+    val (bLong, llLong, acc) =
+      (long.getDouble(2), long.getDouble(3), long.getDouble(4))
+    assert(bLong > bShort && bShort > 0.0,
+      s"slope must grow toward the separator: $bShort -> $bLong")
+    assert(llLong < llShort, s"logloss must fall: $llShort -> $llLong")
+    assert(acc == 1.0)
+  }
+
+  test("logisticFit: null-feature rows leave every sum; label column drives n_points") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 1.0), (-1.0, 0.0), (null, 1.0), (2.0, null)).toDF("x", "y")
+    val r = Classifier.logisticFit(df, Seq("x"), "y", iters = 1, lr = 0.1)
+      .head()
+    assert(r.getLong(0) == 2L)
+  }
 }
