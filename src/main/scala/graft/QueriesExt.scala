@@ -4381,7 +4381,57 @@ object QueriesExt {
           .withColumn("ret",
             when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
         Seq("qn", "dn"), "ret", iters = 6, lr = 0.5),
-      Some(logisticSql(iters = 6, lr = 0.5)))
+      Some(logisticSql(iters = 6, lr = 0.5))),
+
+    // S27 — JL random-projection retrieval audit: recall@5 of exact L2
+    // search in md5-derived ±1/√16 projected space (64→16, zero corpus
+    // passes to build) against full-dim exact L2, every 50th vector as a
+    // query — the data-independent end of the compression ladder priced
+    // with the same recallAtK gate as IVF/SQ8/PCA. Projected coordinates
+    // 6dp-rounded on both sides, so distances compare identical numbers.
+    Entry(
+      "s27_jl_recall",
+      (s, d) => {
+        val e = embs(s, d)
+        val p = Similarity.jlProject(e, "embedding", 64, 16, "jl1")
+        val exact = Similarity.bruteForceL2Batch(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, excludeSelf = true)
+        val approx = Similarity.bruteForceL2Batch(
+          p, "vec_id", "jl_vec",
+          p.filter(col("vec_id") % 50 === 0), "vec_id", "jl_vec",
+          k = 5, excludeSelf = true)
+        Similarity.recallAtK(exact, approx, "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   sgn AS (SELECT j, i,
+                                  CASE WHEN ('0x' || substr(md5('jl1_' || i || '_' || j), 1, 14))::UBIGINT % 2 = 0
+                                       THEN 1.0 ELSE -1.0 END AS s
+                           FROM range(16) t(j), range(1, 65) u(i)),
+                   p AS (SELECT vec_id, list(pj ORDER BY j) AS pv
+                         FROM (SELECT e.vec_id, sgn.j,
+                                      ROUND(SUM(e.v[sgn.i] * sgn.s) / sqrt(16.0) + 1e-9, 6) AS pj
+                               FROM e, sgn GROUP BY e.vec_id, sgn.j)
+                         GROUP BY vec_id),
+                   q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+                   pq AS (SELECT vec_id AS q_id, pv AS qpv FROM p WHERE vec_id % 50 = 0),
+                   ex AS (SELECT q.q_id, e.vec_id,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                   ORDER BY list_distance(e.v, q.qv) ASC, e.vec_id) AS rk
+                          FROM e, q WHERE e.vec_id <> q.q_id),
+                   exact AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
+                   ax AS (SELECT pq.q_id, p.vec_id,
+                                 row_number() OVER (PARTITION BY pq.q_id
+                                   ORDER BY list_distance(p.pv, pq.qpv) ASC, p.vec_id) AS rk
+                          FROM p, pq WHERE p.vec_id <> pq.q_id),
+                   approx AS (SELECT q_id, vec_id FROM ax WHERE rk <= 5)
+              SELECT exact.q_id AS q_id,
+                     ROUND(SUM(CASE WHEN approx.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                           / COUNT(*), 6) AS recall
+              FROM exact LEFT JOIN approx
+                ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
+              GROUP BY exact.q_id"""))
   )
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient

@@ -1484,4 +1484,50 @@ object Similarity {
        |$rounds
        |SELECT rank, vec_id, mmr_score FROM ($finals) ORDER BY rank""".stripMargin
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix, md5-derived so
+    * any engine reproduces it from the (seed, i, j) strings alone —
+    * `sign(i, j) = +1 iff md5("seed_i_j")'s top-56-bit value is even`
+    * (the [[Dedup.hash56]] convention; DuckDB mirror:
+    * `('0x' || substr(md5(...), 1, 14))::UBIGINT % 2`). Row `j` holds
+    * output dimension j's signs over input positions `i = 1..dims`
+    * (1-based, matching `element_at`/list indexing). */
+  def jlSignMatrix(dims: Int, outDim: Int, seed: String): Array[Array[Double]] = {
+    require(dims >= 1 && outDim >= 1, s"dims/outDim must be >= 1")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dims) { (j, i0) =>
+      val hex = md.digest(s"${seed}_${i0 + 1}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss signed random projection (Achlioptas ±1 form):
+    * append `outCol = (Σᵢ v[i]·sign(i,j)) / √outDim` for j = 0..outDim−1 —
+    * the cheap, data-independent d→k compression of the residency ladder
+    * (PCA s18 learns the rotation from the data in one Gram pass; JL needs
+    * NO pass at all, preserving pairwise L2 within 1±ε for
+    * k = O(ln n / ε²) regardless of the data). Use it when the corpus is
+    * too young or too churned to fit PCA against, or as the pre-rotation
+    * before sign/SQ8 quantization.
+    *
+    * Scale shape: the matrix is k×d literals GENERATED driver-side (zero
+    * corpus passes, zero shuffle) and folded into the plan, so projection
+    * is map-only scalar codegen math — at 100 TB it pipelines into
+    * whatever scan already reads the vectors. Projected coordinates are
+    * 6dp-rounded (stage-boundary discipline), so downstream distances are
+    * computed on identical numbers in any engine. */
+  def jlProject(
+      df: DataFrame, vecCol: String, dims: Int, outDim: Int, seed: String,
+      outCol: String = "jl_vec"): DataFrame = {
+    val signs = jlSignMatrix(dims, outDim, seed)
+    val signLit = array(signs.map(r => array(r.map(lit(_)): _*)): _*)
+    val scale = math.sqrt(outDim.toDouble)
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        stableRound(
+          aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) =>
+            acc + element_at(col(vecCol), i).cast("double") *
+              element_at(element_at(signLit, j + 1), i)) / lit(scale), 6)))
+  }
 }

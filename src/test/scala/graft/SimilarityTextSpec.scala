@@ -1581,4 +1581,45 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got(4L) == ((1, 0L, 0.0, true)))
     assert(got(5L) == ((8, 2L, 1.0, false)))
   }
+
+  test("jlProject: deterministic md5 signs, exact hand projection, norm preserved in expectation") {
+    import spark.implicits._
+    // signs must be reproducible from the (seed, i, j) strings alone
+    val s1 = Similarity.jlSignMatrix(4, 3, "jl1")
+    val s2 = Similarity.jlSignMatrix(4, 3, "jl1")
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(Similarity.jlSignMatrix(4, 3, "other").map(_.toSeq).toSeq !=
+      s1.map(_.toSeq).toSeq)
+    // hand projection of a basis vector: picks out column i's signs / sqrt(k)
+    val e1 = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val got = Similarity.jlProject(e1, "v", 4, 3, "jl1")
+      .head().getSeq[Double](2)
+    val want = (0 until 3).map(j =>
+      BigDecimal(s1(j)(0) / math.sqrt(3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got == want)
+    // JL contract: squared norms preserved in expectation (within the
+    // 1/sqrt(k) distortion) on random-ish vectors
+    val vecs = (0 until 40).map { r =>
+      (r.toLong, (0 until 64).map(i =>
+        (math.sin(r * 64 + i + 1) * 2).toFloat))
+    }.toDF("id", "v")
+    val p = Similarity.jlProject(vecs, "v", 64, 16, "jl1")
+      .select(col("id"),
+        aggregate(col("v"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("n0"),
+        aggregate(col("jl_vec"), lit(0.0), (a, x) => a + x * x).as("n1"))
+      .agg(avg(col("n1") / col("n0"))).head().getDouble(0)
+    assert(p > 0.7 && p < 1.3, s"mean squared-norm ratio off: $p")
+  }
+
+  test("jlProject plan: map-only — the literal sign matrix adds no shuffle, scan, or join") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.fill(8)(1.0f))).toDF("id", "v")
+    val plan = Similarity.jlProject(df, "v", 8, 4, "jl1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"projection must be map-only:\n${plan.take(3000)}")
+  }
 }
