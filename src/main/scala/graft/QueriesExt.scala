@@ -4431,7 +4431,39 @@ object QueriesExt {
                            / COUNT(*), 6) AS recall
               FROM exact LEFT JOIN approx
                 ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
-              GROUP BY exact.q_id"""))
+              GROUP BY exact.q_id""")),
+
+    // T43 — Flesch reading-ease + FK grade: the readability quality axis
+    // next to t39/t40/t42. Word/sentence/syllable counts are INTEGERS
+    // (vowel-run heuristic, floored at 1/word) so the oracle is exact
+    // except the two 6dp-rounded scores; per-row regex/lambda kernels,
+    // zero shuffle.
+    Entry(
+      "t43_readability",
+      (s, d) => TextAnalysis.readability(docs(s, d), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id,
+                                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                            w -> regexp_matches(w, '[a-z0-9]')) AS ws,
+                                len(list_filter(regexp_split_to_array(lower(text), '[.!?]+'),
+                                                s -> regexp_matches(s, '[a-z0-9]'))) AS sents
+                         FROM documents WHERE text IS NOT NULL),
+                   c AS (SELECT doc_id, len(ws) AS words, sents,
+                                CAST(coalesce(list_sum(list_transform(ws,
+                                  w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+                                  AS BIGINT) AS syls
+                         FROM w)
+              SELECT doc_id, words AS n_words, sents AS n_sentences,
+                     syls AS n_syllables,
+                     CASE WHEN words > 0 AND sents > 0
+                          THEN ROUND(CAST('206.835' AS DOUBLE)
+                                     - CAST('1.015' AS DOUBLE) * (CAST(words AS DOUBLE) / sents)
+                                     - CAST('84.6' AS DOUBLE) * (CAST(syls AS DOUBLE) / words)
+                                     + 1e-9, 6) END AS flesch,
+                     CASE WHEN words > 0 AND sents > 0
+                          THEN ROUND(CAST('0.39' AS DOUBLE) * (CAST(words AS DOUBLE) / sents)
+                                     + CAST('11.8' AS DOUBLE) * (CAST(syls AS DOUBLE) / words)
+                                     - CAST('15.59' AS DOUBLE) + 1e-9, 6) END AS fk_grade
+              FROM c"""))
   )
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient

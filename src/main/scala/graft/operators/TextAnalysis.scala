@@ -328,6 +328,54 @@ object TextAnalysis {
     }
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * READABILITY quality axis next to entropy (t39), lexical diversity
+    * (t40), and repetition (t42): filters for "too simple" boilerplate or
+    * "unreadably dense" legalese both need it. Counts use the classic
+    * public heuristics: words = whitespace tokens containing an
+    * alphanumeric, sentences = `[.!?]+`-delimited segments containing an
+    * alphanumeric, syllables = vowel-run (`[aeiouy]+`) count per word
+    * floored at 1. The three COUNTS are integers — exact in any engine —
+    * so only the two final scores touch floating point (6dp-rounded).
+    *
+    * Shape: pure per-row lambda/regex kernels over the text — zero
+    * shuffle, zero explode; at 100 TB it pipelines into the reading scan
+    * like the rest of the hygiene family. Null-text rows are excluded
+    * (no text, no readability); zero-word or zero-sentence docs keep
+    * their counts with null scores. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = filter(split(trim(lower(t)), "\\s+"), w => w.rlike("[a-z0-9]"))
+    val sents = size(filter(split(lower(t), "[.!?]+"), s => s.rlike("[a-z0-9]")))
+      .cast("long")
+    val syls = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+        .cast("long"))
+    df.where(t.isNotNull)
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("n_sentences", sents)
+      .withColumn("n_syllables", syls)
+      .select(
+        col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        {
+          val wps = col("n_words").cast("double") / col("n_sentences")
+          val spw = col("n_syllables").cast("double") / col("n_words")
+          when(col("n_words") > 0 && col("n_sentences") > 0,
+            stableRound(
+              lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+            .as("flesch")
+        },
+        {
+          val wps = col("n_words").cast("double") / col("n_sentences")
+          val spw = col("n_syllables").cast("double") / col("n_words")
+          when(col("n_words") > 0 && col("n_sentences") > 0,
+            stableRound(
+              lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+            .as("fk_grade")
+        })
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` n-token-grams with ANY benchmark document (the standard
     * guard against test-set leakage into training corpora). Returns

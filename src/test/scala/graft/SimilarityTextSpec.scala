@@ -1622,4 +1622,39 @@ class SimilarityTextSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"projection must be map-only:\n${plan.take(3000)}")
   }
+
+  test("readability: hand-counted words/sentences/syllables and scores; degenerate docs null-score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. It purred loudly! Did it? tv"),
+      (2L, "..."),            // no words, no sentences
+      (3L, "word")            // 1/1/1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    // 9 words over 4 sentences, 11 vowel-run syllables ("tv" floors to 1)
+    val (w, s2, sy) = (9.0, 4.0, 11.0)
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((9L, 4L, 11L,
+      Some(r6(206.835 - 1.015 * (w / s2) - 84.6 * (sy / w))),
+      Some(r6(0.39 * (w / s2) + 11.8 * (sy / w) - 15.59)))))
+    assert(got(2L) == ((0L, 0L, 0L, None, None)))
+    assert(got(3L) == ((1L, 1L, 1L, Some(121.22), Some(r6(0.39 + 11.8 - 15.59)))))
+    // null text emits no row
+    val withNull = Seq((4L, null: String)).toDF("doc_id", "text")
+    assert(TextAnalysis.readability(withNull, "doc_id", "text").count() == 0)
+  }
+
+  test("readability plan: per-row kernels only — zero shuffle, zero explode") {
+    val df = Queries.byName("t43_readability")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"readability must not shuffle or explode:\n${plan.take(3000)}")
+  }
 }
