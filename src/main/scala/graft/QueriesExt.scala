@@ -4463,7 +4463,56 @@ object QueriesExt {
                           THEN ROUND(CAST('0.39' AS DOUBLE) * (CAST(words AS DOUBLE) / sents)
                                      + CAST('11.8' AS DOUBLE) * (CAST(syls AS DOUBLE) / words)
                                      - CAST('15.59' AS DOUBLE) + 1e-9, 6) END AS fk_grade
-              FROM c"""))
+              FROM c""")),
+
+    // Q72 — Welch's unequal-variance t-test: the MEANS readout between
+    // q46's rate z-test and q59's rank test. One (n, Σx, Σx²) aggregate
+    // per side, closed-form t + Welch–Satterthwaite df on the one-row
+    // frame; two-sided p from the 6dp-ROUNDED |t| through the same
+    // portable normal polynomial as q66 (large-sample form; df emitted so
+    // small-df callers can consult the exact t table).
+    Entry(
+      "q72_welch",
+      (s, d) => Experiment.welchTTest(
+        Tables.events(s, d), "event_type", "value",
+        control = "click", treatment = "purchase"),
+      Some {
+        val sf = Experiment.normalSfSql("abs(t)")
+        s"""WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+                 s AS (SELECT g, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS sq
+                       FROM e GROUP BY g),
+                 w AS (SELECT MAX(CASE WHEN g = 'click' THEN n END) AS na,
+                              MAX(CASE WHEN g = 'click' THEN sv END) AS sa,
+                              MAX(CASE WHEN g = 'click' THEN sq END) AS qa,
+                              MAX(CASE WHEN g = 'purchase' THEN n END) AS nb,
+                              MAX(CASE WHEN g = 'purchase' THEN sv END) AS sb,
+                              MAX(CASE WHEN g = 'purchase' THEN sq END) AS qb
+                       FROM s),
+                 f AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                              (qa - sa * sa / na) / (na - 1) AS va,
+                              (qb - sb * sb / nb) / (nb - 1) AS vb
+                       FROM w),
+                 d AS (SELECT *, va / na + vb / nb AS se2,
+                              na IS NOT NULL AND nb IS NOT NULL
+                                AND na > 1 AND nb > 1
+                                AND va / na + vb / nb > 0 AS ok
+                       FROM f),
+                 t AS (SELECT *, CASE WHEN ok THEN
+                                ROUND((ma - mb) / sqrt(se2) + 1e-9, 6) END AS t
+                       FROM d)
+            SELECT na AS n_control, nb AS n_treatment,
+                   ROUND(ma + 1e-9, 6) AS mean_control,
+                   ROUND(mb + 1e-9, 6) AS mean_treatment,
+                   t AS t_stat,
+                   CASE WHEN ok THEN
+                     ROUND(se2 * se2 / (va * va / (na * na * (na - 1))
+                                        + vb * vb / (nb * nb * (nb - 1))) + 1e-9, 6)
+                   END AS df,
+                   CASE WHEN ok THEN ROUND(2.0 * $sf + 1e-9, 6) END AS p
+            FROM t"""
+      })
   )
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient

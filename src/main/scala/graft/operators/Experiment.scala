@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Experiment-analysis operators — the readout layer for pipeline A/B tests
@@ -234,7 +234,63 @@ object Experiment {
           .as("rank_biserial"))
   }
 
-  import org.apache.spark.sql.Column
+  /** Welch's unequal-variance t-test — the MEANS companion between
+    * [[abProportionZTest]] (rates) and [[mannWhitneyU]] (ranks): "did the
+    * variant move the average?" without pretending the two arms share a
+    * variance (they never do after a treatment that works). One
+    * map-side-combined aggregate per side — `(n, Σx, Σx²)` — then the
+    * classic closed forms on the one-row frame:
+    * `t = (m_c − m_t)/√(v_c/n_c + v_t/n_t)`, Welch–Satterthwaite
+    * `df = (v_c/n_c + v_t/n_t)² / ((v_c/n_c)²/(n_c−1) + (v_t/n_t)²/(n_t−1))`,
+    * and a two-sided p from the 6dp-ROUNDED |t| through the portable
+    * [[normalSf]] — the LARGE-SAMPLE normal approximation (exact to ~3dp
+    * beyond df ≈ 30; `df` is emitted precisely so a caller near that
+    * boundary can look up the exact t-distribution instead). Output: one
+    * row `(n_control, n_treatment, mean_control, mean_treatment, t_stat,
+    * df, p)` — t/df/p null when a side has < 2 rows or both variances are
+    * zero. NULL metric values are excluded (the z-test convention).
+    *
+    * Conditioning note: the `Σx² − (Σx)²/n` variance form cancels when the
+    * coefficient of variation is tiny — center a near-constant metric
+    * before testing (the [[graft.operators.Profiling.groupTrend]]
+    * contract). */
+  def welchTTest(
+      df: DataFrame, variantCol: String, valueCol: String,
+      control: String, treatment: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val sides = df
+      .where(col(variantCol).isin(control, treatment) && v.isNotNull)
+      .groupBy(col(variantCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_sq"))
+    def side(g: String, c: String): Column = max(when(col("_g") === g, col(c)))
+    val one = sides.agg(
+      side(control, "_n").as("_na"), side(control, "_s").as("_sa"),
+      side(control, "_sq").as("_qa"),
+      side(treatment, "_n").as("_nb"), side(treatment, "_s").as("_sb"),
+      side(treatment, "_sq").as("_qb"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val ma = col("_sa") / na
+    val mb = col("_sb") / nb
+    val va = (col("_qa") - col("_sa") * col("_sa") / na) / (na - 1)
+    val vb = (col("_qb") - col("_sb") * col("_sb") / nb) / (nb - 1)
+    val se2 = va / na + vb / nb
+    val ok = col("_na").isNotNull && col("_nb").isNotNull &&
+      col("_na") > 1 && col("_nb") > 1 && se2 > 0.0
+    val t = stableRound((ma - mb) / sqrt(se2), 6)
+    one.select(
+      col("_na").as("n_control"), col("_nb").as("n_treatment"),
+      stableRound(ma, 6).as("mean_control"),
+      stableRound(mb, 6).as("mean_treatment"),
+      when(ok, t).as("t_stat"),
+      when(ok, stableRound(
+        se2 * se2 / (va * va / (na * na * (na - 1)) +
+          vb * vb / (nb * nb * (nb - 1))), 6)).as("df"),
+      // two-sided, from the ROUNDED |t| so both engines feed the
+      // polynomial identical numbers
+      when(ok, stableRound(lit(2.0) * normalSf(abs(t)), 6)).as("p"))
+  }
+
 
   /** Upper-tail standard normal survival `P(Z > z)` for `z ≥ 0`, via the
     * Abramowitz–Stegun 26.2.17 polynomial (|ε| < 7.5e-8 — two orders below

@@ -321,4 +321,33 @@ class ExperimentSpec extends SparkSpec {
     assert(Experiment.bhAdjust(clamp, "group", "p")
       .head().getDouble(3) == 0.8)
   }
+
+  test("welchTTest: hand moments — t, Welch-Satterthwaite df, two-sided p; degenerate sides null") {
+    import spark.implicits._
+    // control (2, 4, 6): n=3 mean=4 var=4; treatment (1, 2): n=2 mean=1.5 var=0.5
+    val df = Seq(("c", 2.0), ("c", 4.0), ("c", 6.0), ("t", 1.0), ("t", 2.0))
+      .toDF("g", "v")
+    val r = Experiment.welchTTest(df, "g", "v", "c", "t").head()
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert((r.getDouble(2), r.getDouble(3)) == ((4.0, 1.5)))
+    val se2 = 4.0 / 3 + 0.5 / 2
+    val t = r6(2.5 / math.sqrt(se2))
+    assert(r.getDouble(4) == t)
+    val df2 = r6(se2 * se2 /
+      (math.pow(4.0 / 3, 2) / 2 + math.pow(0.5 / 2, 2) / 1))
+    assert(r.getDouble(5) == df2)
+    // p in (0, 1), smaller than 2*sf(1) since |t| > 1
+    assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 0.7)
+    // a single-row side cannot estimate its variance -> null t/df/p
+    val one = Seq(("c", 2.0), ("c", 3.0), ("t", 1.0)).toDF("g", "v")
+    val r2 = Experiment.welchTTest(one, "g", "v", "c", "t").head()
+    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
+    // both sides constant: zero pooled se -> null rather than a blowup
+    val const = Seq(("c", 5.0), ("c", 5.0), ("t", 5.0), ("t", 5.0))
+      .toDF("g", "v")
+    val r3 = Experiment.welchTTest(const, "g", "v", "c", "t").head()
+    assert(r3.isNullAt(4) && r3.isNullAt(6))
+  }
 }
