@@ -4512,7 +4512,98 @@ object QueriesExt {
                    END AS df,
                    CASE WHEN ok THEN ROUND(2.0 * $sf + 1e-9, 6) END AS p
             FROM t"""
-      })
+      }),
+
+    // C09 — split-conformal prediction intervals, composed end-to-end from
+    // oracled stages: t34's deterministic split → q70's Cramer fit on the
+    // TRAIN slice → 6dp |residuals| → q23's exact grouped quantile of the
+    // CALIBRATION residuals (p=0.9; the interpolated-quantile variant of
+    // the classic ceil((n+1)(1−α)) order statistic — identical to within
+    // one rank position at these n) → empirical coverage on the TEST
+    // slice, which lands ≈ 0.9 by the conformal guarantee. Every branch
+    // (resid ≤ qhat) compares 6dp-rounded numbers on both sides.
+    Entry(
+      "c09_conformal",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .withColumn("qty_c", col("l_quantity") - 25.0)
+          .withColumn("disc_c", col("l_discount") - 0.05)
+          .withColumn("_rid",
+            concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+        val split = TextAnalysis.deterministicSplit(li, "_rid")
+        val fit = Profiling.linearFit(
+          split.where(col("split") === "train"),
+          Seq("l_returnflag"), Seq("qty_c", "disc_c"), "l_extendedprice")
+          .select(col("l_returnflag"), col("intercept"),
+            col("beta_qty_c"), col("beta_disc_c"))
+        val scored = split.join(broadcast(fit), Seq("l_returnflag"))
+          .withColumn("_resid", stableRound(abs(
+            col("l_extendedprice") - (col("intercept")
+              + col("beta_qty_c") * col("qty_c")
+              + col("beta_disc_c") * col("disc_c"))), 6))
+        val qhat = Quantiles.exactGrouped(
+          scored.where(col("split") === "validation"),
+          Seq("l_returnflag"), "_resid", Seq("qhat" -> 0.9))
+          .select(col("l_returnflag"), stableRound(col("qhat"), 6).as("qhat"))
+        val nCal = scored.where(col("split") === "validation")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_cal"))
+        scored.where(col("split") === "test")
+          .join(broadcast(qhat), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("qhat"))
+          .agg(
+            count(lit(1)).as("n_test"),
+            stableRound(
+              avg(when(col("_resid") <= col("qhat"), 1.0).otherwise(0.0)), 6)
+              .as("coverage"))
+          .join(broadcast(nCal), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_cal"), col("qhat"),
+            col("n_test"), col("coverage"))
+      },
+      Some("""WITH e AS (SELECT l_returnflag,
+                                CAST(l_quantity AS DOUBLE) - 25.0 AS x1,
+                                CAST(l_discount AS DOUBLE) - 0.05 AS x2,
+                                CAST(l_extendedprice AS DOUBLE) AS y,
+                                ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 14))::UBIGINT::BIGINT % 100 AS bucket
+                         FROM lineitem
+                         WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                           AND l_extendedprice IS NOT NULL),
+                   sp AS (SELECT *, CASE WHEN bucket < 90 THEN 'train'
+                                         WHEN bucket < 95 THEN 'validation'
+                                         ELSE 'test' END AS split
+                          FROM e),
+                   g AS (SELECT l_returnflag, COUNT(*) AS n,
+                                SUM(x1) AS s1, SUM(x2) AS s2,
+                                SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+                                SUM(x2*x2) AS s22,
+                                SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+                         FROM sp WHERE split = 'train' GROUP BY 1),
+                   f AS (SELECT *,
+                                n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                                  + s2*(s1*s12 - s11*s2) AS det,
+                                sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                                  + s2*(s1y*s12 - s11*s2y) AS det0,
+                                n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                                  + s2*(s1*s2y - s1y*s2) AS det1,
+                                n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                                  + sy*(s1*s12 - s11*s2) AS det2
+                         FROM g),
+                   b AS (SELECT l_returnflag,
+                                ROUND(det0/det + 1e-9, 6) AS b0,
+                                ROUND(det1/det + 1e-9, 6) AS b1,
+                                ROUND(det2/det + 1e-9, 6) AS b2
+                         FROM f WHERE det <> 0 AND n > 2),
+                   r AS (SELECT sp.l_returnflag, sp.split,
+                                ROUND(abs(sp.y - (b.b0 + b.b1*sp.x1 + b.b2*sp.x2)) + 1e-9, 6) AS resid
+                         FROM sp JOIN b USING (l_returnflag)),
+                   qh AS (SELECT l_returnflag, COUNT(*) AS n_cal,
+                                 ROUND(quantile_cont(resid, 0.9) + 1e-9, 6) AS qhat
+                          FROM r WHERE split = 'validation' GROUP BY 1)
+              SELECT r.l_returnflag, qh.n_cal, qh.qhat,
+                     COUNT(*) AS n_test,
+                     ROUND(AVG(CASE WHEN r.resid <= qh.qhat THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS coverage
+              FROM r JOIN qh USING (l_returnflag)
+              WHERE r.split = 'test'
+              GROUP BY 1, 2, 3"""))
   )
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient

@@ -607,4 +607,31 @@ class ProfilingSpec extends SparkSpec {
       !plan.contains("windowspecdefinition(b"),
       s"ranks must come from the sliced prefix sum:\n${plan.take(3000)}")
   }
+
+  test("c09 conformal: coverage ~= 1 - alpha on held-out noise; qhat covers exactly that share of calibration") {
+    import spark.implicits._
+    // y = 10 + 2x + uniform-ish deterministic noise in [-1, 1]
+    val rows = (0 until 3000).map { i =>
+      val x = (i % 100).toDouble / 10.0
+      val noise = ((i * 2654435761L % 2001) - 1000) / 1000.0
+      (i.toLong, "g", x, 10.0 + 2.0 * x + noise)
+    }.toDF("id", "g", "x", "y")
+    val split = graft.operators.TextAnalysis.deterministicSplit(rows, "id")
+    val fit = Profiling.linearFit(
+      split.where(col("split") === "train"), Seq("g"), Seq("x"), "y")
+      .select(col("g"), col("intercept"), col("beta_x"))
+    val scored = split.join(broadcast(fit), Seq("g"))
+      .withColumn("resid",
+        abs(col("y") - (col("intercept") + col("beta_x") * col("x"))))
+    val qhat = graft.operators.Quantiles.exactGrouped(
+      scored.where(col("split") === "validation"), Seq("g"), "resid",
+      Seq("qhat" -> 0.9)).head().getDouble(1)
+    // noise is ~uniform on [-1, 1] -> the 0.9-quantile of |resid| ~= 0.9
+    assert(qhat > 0.8 && qhat < 1.0, s"qhat off the known noise scale: $qhat")
+    val cov = scored.where(col("split") === "test")
+      .agg(avg(when(col("resid") <= qhat, 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(cov > 0.84 && cov < 0.96,
+      s"held-out coverage must land near 0.9: $cov")
+  }
 }
