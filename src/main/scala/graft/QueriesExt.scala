@@ -4603,7 +4603,43 @@ object QueriesExt {
                      ROUND(AVG(CASE WHEN r.resid <= qh.qhat THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS coverage
               FROM r JOIN qh USING (l_returnflag)
               WHERE r.split = 'test'
-              GROUP BY 1, 2, 3"""))
+              GROUP BY 1, 2, 3""")),
+
+    // Q73 — Gini concentration of customer spend per nation: the
+    // inequality/governance readout next to q52's key skew and q54's
+    // source caps. The unit frame (spend per customer) is the output of
+    // one corpus aggregate — the input contract that keeps the keyed rank
+    // window units-sized, never corpus-sized. Unit totals 6dp-rounded at
+    // the stage boundary so ranks bind to identical numbers.
+    Entry(
+      "q73_gini",
+      (s, d) => {
+        val spend = Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(stableRound(sum(col("o_totalprice")), 6).as("spend"))
+        val units = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(spend, col("c_custkey") === col("o_custkey"))
+        Profiling.giniConcentration(units, Seq("c_nationkey"), "spend")
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+                                    ROUND(SUM(o_totalprice) + 1e-9, 6) AS v
+                             FROM orders GROUP BY 1),
+                   u AS (SELECT c.c_nationkey, s.v
+                         FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey),
+                   r AS (SELECT c_nationkey, v,
+                                CAST(row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY v ASC) AS DOUBLE) AS rk
+                         FROM u WHERE v IS NOT NULL),
+                   g AS (SELECT c_nationkey, COUNT(*) AS n_units,
+                                SUM(v) AS t, SUM(rk * v) AS s, MIN(v) AS mn
+                         FROM r GROUP BY 1)
+              SELECT c_nationkey, n_units,
+                     ROUND(t + 1e-9, 6) AS total,
+                     CASE WHEN mn >= 0 AND t > 0
+                          THEN ROUND((2.0 * s - (n_units + 1) * t)
+                                     / (n_units * t) + 1e-9, 6) END AS gini
+              FROM g"""))
   )
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient

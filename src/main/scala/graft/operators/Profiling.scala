@@ -934,6 +934,50 @@ object Profiling {
           col("_m._cu_a").as("cusum_abs")): _*)
   }
 
+  /** Per-group Gini concentration — the inequality/governance readout
+    * ("is one domain dominating this corpus slice?") next to q52's key
+    * skew and q54's source caps: 0 = every unit contributes equally,
+    * →1 = one unit owns everything. Computed from the rank form over
+    * units sorted by contribution ascending,
+    * `G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx)` — tie order is irrelevant
+    * (equal x across a tied block contribute `x·Σr` for any permutation),
+    * so `row_number` is deterministic here without a tie-break column.
+    * Output: `(keys…, n_units, total, gini)`, total/gini 6dp; null gini
+    * for an all-zero group or any negative contribution (Gini is
+    * undefined below zero — a negative "contribution" means the caller
+    * aggregated the wrong thing).
+    *
+    * INPUT CONTRACT (the scale story): `df` is a UNIT-contribution frame —
+    * one row per (group, unit), i.e. the OUTPUT of a corpus aggregate
+    * (docs per domain, tokens per source, spend per customer), which is
+    * what bounds the keyed sort window: units per group are operationally
+    * bounded (domains, feeds, accounts), never corpus-row-sized. Feeding
+    * raw corpus rows through this window would be the unpartitioned-sort
+    * mistake the rest of this file avoids — aggregate first. */
+  def giniConcentration(
+      df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "giniConcentration needs at least one key column")
+    val v = col(valueCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(v.asc)
+    df.where(v.isNotNull)
+      .withColumn("_gc_r", row_number().over(w).cast("double"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(v).as("_t"),
+        sum(col("_gc_r") * v).as("_s"),
+        min(v).as("_min"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("n_units"),
+          stableRound(col("_t"), 6).as("total"),
+          stableRound(
+            when(col("_min") >= 0.0 && col("_t") > 0.0,
+              (lit(2.0) * col("_s") - (col("n_units") + 1) * col("_t")) /
+                (col("n_units") * col("_t"))), 6).as("gini")): _*)
+  }
+
   /** Cofactor expansion of an n×n matrix of Columns along the first row —
     * generates the closed-form determinant EXPRESSION (whole-stage-codegen
     * scalar math, no driver solve), used by [[linearFit]]'s Cramer solve.

@@ -634,4 +634,34 @@ class ProfilingSpec extends SparkSpec {
     assert(cov > 0.84 && cov < 0.96,
       s"held-out coverage must land near 0.9: $cov")
   }
+
+  test("giniConcentration: hand values — equality 0, monopoly -> (n-1)/n, ties invariant, negatives null") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),      // perfect equality
+      ("mono", 0.0), ("mono", 0.0), ("mono", 0.0), ("mono", 12.0), // one unit owns all
+      ("mix", 1.0), ("mix", 2.0), ("mix", 3.0),                // hand: G = 2/9
+      ("neg", -1.0), ("neg", 5.0),                             // undefined
+      ("zero", 0.0), ("zero", 0.0)                             // total 0
+    ).toDF("g", "v")
+    val got = Profiling.giniConcentration(df, Seq("g"), "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), Option(r.get(3))))
+      .toMap
+    assert(got("eq") == ((4L, 20.0, Some(0.0))))
+    // monopoly with n=4: G = (n-1)/n = 0.75
+    assert(got("mono") == ((4L, 12.0, Some(0.75))))
+    // 1,2,3: S = 1+4+9 = 14, T = 6, n = 3 -> (28 - 24)/18 = 2/9
+    val twoNinths = BigDecimal(2.0 / 9 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("mix") == ((3L, 6.0, Some(twoNinths))))
+    assert(got("neg")._3.isEmpty && got("zero")._3.isEmpty)
+    // tie invariance: shuffled duplicates give the same G
+    val tied = Seq(("t", 2.0), ("t", 2.0), ("t", 8.0), ("t", 2.0)).toDF("g", "v")
+    val g1 = Profiling.giniConcentration(tied, Seq("g"), "v").head().getDouble(3)
+    val g2 = Profiling.giniConcentration(
+      tied.orderBy(rand(7)), Seq("g"), "v").head().getDouble(3)
+    assert(g1 == g2)
+  }
 }
