@@ -788,6 +788,92 @@ case class UnicodeNormalize(child: Expression, form: String)
 }
 
 /** Column-level entry points for the kernels above. */
+/** Fused signed-projection kernel — the codegen form of
+  * [[graft.operators.Similarity.jlProject]]'s lambda tower. The HOF form
+  * (`transform` × `aggregate`) is interpreted with per-element boxing:
+  * k×d ≈ 1024 boxed lambda evaluations per VECTOR, on the map path every
+  * vector takes. This is a tight primitive double loop over the flattened
+  * row-major k×d sign matrix (a reference object — baked once per task,
+  * not per row), with the SAME per-coordinate boundary rounding as
+  * `stableRound` (`BigDecimal.valueOf(x/scale + 1e-9).setScale(6,
+  * HALF_UP)` — bit-identical to Catalyst's `Round` on double, so kernel
+  * and lambda outputs are equal and the s27 oracle is unchanged).
+  * Null result for a dimension mismatch or a null element. */
+case class SignedProject(
+    child: Expression, signs: Array[Double], outDim: Int, scale: Double)
+    extends UnaryExpression {
+  private def dims: Int = signs.length / outDim
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "signed_project"
+
+  private def elemAccessor: String =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case t => throw new IllegalArgumentException(
+        s"signed_project: unsupported element type $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val d = dims
+    if (v.numElements() != d) return null
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val res = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        if (v.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * signs(j * d + i)
+        i += 1
+      }
+      res(j) = java.math.BigDecimal.valueOf(s / scale + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sg = ctx.addReferenceObj("signs", signs, "double[]")
+      val res = ctx.freshName("res")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      val d = dims
+      s"""
+         |if ($a.numElements() != $d) { ${ev.isNull} = true; } else {
+         |  double[] $res = new double[$outDim];
+         |  boolean $bad = false;
+         |  for (int $j = 0; $j < $outDim && !$bad; $j++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $d; $i++) {
+         |      if ($a.isNullAt($i)) { $bad = true; break; }
+         |      $s += ((double) $a.$elemAccessor($i)) * $sg[$j * $d + $i];
+         |    }
+         |    if (!$bad) {
+         |      $res[$j] = java.math.BigDecimal.valueOf($s / $scale + 1e-9)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignedProject =
+    copy(child = newChild)
+}
+
 object ArrayKernels {
 
   /** Register the kernels as SQL functions (via SparkSessionExtensions), so
@@ -853,6 +939,9 @@ object ArrayKernels {
   def applyBpeMerges(symbols: Column, merges: Seq[(String, String)]): Column =
     c(ApplyBpeMerges(e(symbols), merges.toArray))
   def vecL2Dist(a: Column, b: Column): Column = c(VecL2Dist(e(a), e(b)))
+  def signedProject(
+      v: Column, signs: Array[Double], outDim: Int, scale: Double): Column =
+    c(SignedProject(e(v), signs, outDim, scale))
   def charStats(s: Column): Column = c(CharStats(e(s)))
   def unicodeNormalize(s: Column, form: String): Column = {
     require(Set("NFC", "NFD", "NFKC", "NFKD")(form),

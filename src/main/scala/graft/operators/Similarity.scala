@@ -1511,23 +1511,33 @@ object Similarity {
     * too young or too churned to fit PCA against, or as the pre-rotation
     * before sign/SQ8 quantization.
     *
-    * Scale shape: the matrix is k×d literals GENERATED driver-side (zero
-    * corpus passes, zero shuffle) and folded into the plan, so projection
-    * is map-only scalar codegen math — at 100 TB it pipelines into
-    * whatever scan already reads the vectors. Projected coordinates are
-    * 6dp-rounded (stage-boundary discipline), so downstream distances are
-    * computed on identical numbers in any engine. */
+    * Scale shape: the matrix is k×d signs GENERATED driver-side (zero
+    * corpus passes, zero shuffle) and baked into the plan, so projection
+    * is map-only math — at 100 TB it pipelines into whatever scan already
+    * reads the vectors. The default path is the
+    * [[graft.functions.SignedProject]] codegen kernel (one primitive
+    * double loop per vector); `useKernel = false` keeps the equivalent
+    * higher-order-function tower (interpreted, k×d boxed evaluations per
+    * vector — the parity spec pins the two bit-equal, and the measured
+    * gap is in SCALE.md). Projected coordinates are 6dp-rounded
+    * (stage-boundary discipline), so downstream distances are computed on
+    * identical numbers in any engine. */
   def jlProject(
       df: DataFrame, vecCol: String, dims: Int, outDim: Int, seed: String,
-      outCol: String = "jl_vec"): DataFrame = {
+      outCol: String = "jl_vec", useKernel: Boolean = true): DataFrame = {
     val signs = jlSignMatrix(dims, outDim, seed)
-    val signLit = array(signs.map(r => array(r.map(lit(_)): _*)): _*)
     val scale = math.sqrt(outDim.toDouble)
-    df.withColumn(outCol,
-      transform(sequence(lit(0), lit(outDim - 1)), j =>
-        stableRound(
-          aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) =>
-            acc + element_at(col(vecCol), i).cast("double") *
-              element_at(element_at(signLit, j + 1), i)) / lit(scale), 6)))
+    if (useKernel)
+      df.withColumn(outCol, graft.functions.ArrayKernels.signedProject(
+        col(vecCol), signs.flatten, outDim, scale))
+    else {
+      val signLit = array(signs.map(r => array(r.map(lit(_)): _*)): _*)
+      df.withColumn(outCol,
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          stableRound(
+            aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) =>
+              acc + element_at(col(vecCol), i).cast("double") *
+                element_at(element_at(signLit, j + 1), i)) / lit(scale), 6)))
+    }
   }
 }

@@ -1657,4 +1657,20 @@ class SimilarityTextSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Generate"),
       s"readability must not shuffle or explode:\n${plan.take(3000)}")
   }
+
+  test("jlProject kernel == lambda tower bit-for-bit; mismatched/null vectors null out") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { r =>
+      (r.toLong, (0 until 64).map(i => (math.cos(r * 64 + i) * 3).toFloat))
+    }.toDF("id", "v")
+    val k = Similarity.jlProject(vecs, "v", 64, 16, "jl1")
+      .select("id", "jl_vec").as[(Long, Seq[Double])].collect().toMap
+    val l = Similarity.jlProject(vecs, "v", 64, 16, "jl1", useKernel = false)
+      .select("id", "jl_vec").as[(Long, Seq[Double])].collect().toMap
+    assert(k == l, "codegen kernel must equal the HOF tower exactly")
+    // wrong dimension -> null projection, not garbage
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    assert(Similarity.jlProject(short, "v", 64, 16, "jl1")
+      .where(col("jl_vec").isNull).count() == 1)
+  }
 }
