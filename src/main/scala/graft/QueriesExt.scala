@@ -4536,11 +4536,16 @@ object QueriesExt {
           Seq("l_returnflag"), Seq("qty_c", "disc_c"), "l_extendedprice")
           .select(col("l_returnflag"), col("intercept"),
             col("beta_qty_c"), col("beta_disc_c"))
+        // three consumers read the residual frame (calibration quantile,
+        // n_cal, test coverage) — persist it so lineitem is scanned twice
+        // (fit pass + this build), not per consumer; Verify/Bench clear
+        // the cache between queries
         val scored = split.join(broadcast(fit), Seq("l_returnflag"))
           .withColumn("_resid", stableRound(abs(
             col("l_extendedprice") - (col("intercept")
               + col("beta_qty_c") * col("qty_c")
               + col("beta_disc_c") * col("disc_c"))), 6))
+          .persist()
         val qhat = Quantiles.exactGrouped(
           scored.where(col("split") === "validation"),
           Seq("l_returnflag"), "_resid", Seq("qhat" -> 0.9))

@@ -9,33 +9,41 @@ import org.apache.spark.sql.functions._
   * group's values in one aggregation buffer (a by-design executor OOM once a
   * group outgrows a heap: 100 TB of lineitem has three `l_returnflag` groups).
   *
-  * Two-pass count-then-select, no per-group value buffer anywhere:
+  * Count-then-select over the DISTINCT-value frame, no per-group value
+  * buffer anywhere and — deliberately — no sampled range exchange:
   *
-  *  1. range-partition rows by (group, value, salt) — each partition holds a
-  *     contiguous, bounded slice of one group's value range — and count rows
-  *     per (group, slice). The per-slice counts (≤ partitions + groups rows)
-  *     give every slice its global rank OFFSET and every group its total `n`.
-  *     The trailing salt key spreads rows EQUAL on (group, value) over
-  *     adjacent slices: a single value duplicated billions of times would
-  *     otherwise land in one slice and serialize it (the hot-key straggler
-  *     shape). Rank among equal values is arbitrary by definition and every
-  *     tied row carries the same value, so the interpolated quantile is
-  *     unchanged — the range-ordering invariant the offset math needs
-  *     (earlier slice ⇒ values ≤) still holds with ties split across a
-  *     contiguous slice run.
-  *  2. rank rows within their slice (`row_number` over the slice — a sort of
-  *     one bounded partition, never of a whole group), add the slice offset,
-  *     and keep only rows whose global rank is a floor/ceil target rank
-  *     `r = 1 + p·(n-1)`. A tiny aggregate interpolates
-  *     `v_lo + (r - lo)·(v_hi - v_lo)` — the same linear interpolation as
-  *     `percentile` and DuckDB's `quantile_cont`, so results hash-match.
+  *  1. ONE map-side-combined aggregate to the (group, value) → count frame.
+  *    Duplicates compress before anything sorts: a value duplicated
+  *    billions of times is ONE row here (the hot-key straggler shape other
+  *    designs salt around simply doesn't exist).
+  *  2. each distinct value is assigned a SLICE by a pure row function:
+  *    `slice = #{b ∈ B : b ≤ v}` against a one-row broadcast frame `B` of
+  *    `percentile_approx` cut points over the distinct values (accuracy
+  *    only affects balance, never correctness). Cumulative counts within
+  *    (group, slice) — a window over a bounded slice of DISTINCT values,
+  *    never a whole group — plus per-slice totals give every distinct
+  *    value its exact global rank range `(cum − c, cum]` and every group
+  *    its `n`; the floor/ceil target ranks `r = 1 + p·(n−1)` select two
+  *    rows per quantile, and a tiny aggregate interpolates
+  *    `v_lo + (r − lo)·(v_hi − v_lo)` — the same linear interpolation as
+  *    `percentile` and DuckDB's `quantile_cont`, so results hash-match.
   *
-  * Cost: two balanced exchanges of the (group, value) projection (range
-  * partition + slice-rank window) plus two broadcast-joined tiny frames. The
-  * largest single sort is one range slice (~`rows/partitions`), independent
-  * of group sizes, so one giant group cannot OOM or straggle a task — and
-  * the salt key means not even a single massively-duplicated value can
-  * concentrate one slice. Nulls are excluded, matching `percentile`.
+  * Why no `repartitionByRange`: its `RangePartitioner` samples boundaries
+  * with an `rdd.id`-seeded RNG, so correctness required the count subtree
+  * and the rank subtree to read the SAME physical exchange (ReusedExchange).
+  * Feeding the operator a CACHED frame broke that reuse and the two passes
+  * silently disagreed on slice membership — wrong quantiles, found by the
+  * c09 conformal composition in round 11. Every slicing input here (the
+  * aggregate, the `percentile_approx` cut points, the `#{b ≤ v}` bucket
+  * function) is a deterministic pure function of content, so ANY number of
+  * independent evaluations agree — cache-safe, AQE-safe, retry-safe, and
+  * the within-slice window orders DISTINCT values (no ties, total order).
+  *
+  * Cost: one combined exchange of the distinct frame (≤ the old full-row
+  * range exchange; far less under duplication) + the (group, slice) window
+  * exchange of the same frame + two broadcast-joined tiny frames. The
+  * largest single sort is one slice of distinct values (~distinct/slices),
+  * independent of group sizes. Nulls are excluded, matching `percentile`.
   */
 object Quantiles {
 
@@ -52,41 +60,50 @@ object Quantiles {
       require(p >= 0.0 && p <= 1.0, s"quantile $n=$p outside [0,1]")
     }
     val gCols = groupCols.map(col)
-    val proj = df.filter(col(valueCol).isNotNull)
-      .select(gCols :+ col(valueCol).cast("double").as("_v"): _*)
     val numSlices = df.sparkSession.sessionState.conf.numShufflePartitions
 
-    // pass 1: range slices + per-(group, slice) counts. The salt trails the
-    // range key so equal (group, value) rows spread over adjacent slices
-    // instead of serializing one. The salt must be RETRY-DETERMINISTIC: the
-    // range exchange's map output feeds two reduce stages (the count
-    // aggregate and the rank window), so a retried map task that re-salted
-    // rows differently would double-count them in one stage's offsets and
-    // drop them from the other's ranks — the round-robin-repartition retry
-    // bug class. hash(group, value, INPUT partition id) is a pure function
-    // of content + which map task owns the row (stable under retry, unlike
-    // a row-position id, and unlike a position id it needs no defensive
-    // local sort — which would run twice, once more for the range sampler,
-    // and measured 2× on q23). A duplicated value spanning many input
-    // partitions spreads over ~min(slices, partitions) slices; equal rows
-    // WITHIN one input partition share a slice, bounded by that partition's
-    // size (maxPartitionBytes) — never a data-proportional straggler.
-    val ranged = proj
-      .withColumn("_salt",
-        pmod(xxhash64(gCols ++ Seq(col("_v"), spark_partition_id()): _*),
-          lit(numSlices.toLong)))
-      .repartitionByRange(numSlices, gCols ++ Seq(col("_v"), col("_salt")): _*)
-      .drop("_salt")
-      .withColumn("_pid", spark_partition_id())
-    val localCounts = ranged
-      .groupBy(gCols :+ col("_pid"): _*)
+    // pass 1: duplicates compress into the (group, value) → count frame
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(gCols :+ col(valueCol).cast("double").as("_v"): _*)
       .agg(count(lit(1)).as("_c"))
-    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_pid").asc)
+
+    // slice = #{cut point ≤ v}: pure function of the row against a one-row
+    // broadcast of approximate GLOBAL cut points over the distinct values
+    // (they only balance the window; any cuts — even none — stay exact)
+    val sliced =
+      if (numSlices < 2) vc.withColumn("_slice", lit(0))
+      else {
+        val cuts = vc.agg(percentile_approx(
+          col("_v"),
+          array((1 until numSlices).map(i =>
+            lit(i.toDouble / numSlices)): _*),
+          lit(1000)).as("_b"))
+        vc.crossJoin(broadcast(cuts))
+          .withColumn("_slice",
+            coalesce(
+              aggregate(col("_b"), lit(0), (acc, b) =>
+                acc + when(b <= col("_v"), 1).otherwise(0)),
+              lit(0)))
+          .drop("_b")
+      }
+
+    // cumulative counts within (group, slice) — a window over a bounded
+    // slice of DISTINCT values (total order: no ties by construction)
+    val wCum = Window.partitionBy(gCols :+ col("_slice"): _*)
+      .orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sliced.withColumn("_lcum", sum(col("_c")).over(wCum))
+
+    // tiny frames: per-slice totals → slice offsets + group totals
+    val sliceTotals = sliced
+      .groupBy(gCols :+ col("_slice"): _*)
+      .agg(sum(col("_c")).as("_sc"))
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = localCounts
-      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
-      .select(gCols ++ Seq(col("_pid"), col("_off")): _*)
-    val totals = localCounts.groupBy(gCols: _*).agg(sum(col("_c")).as("_n"))
+    val offsets = sliceTotals
+      .withColumn("_off", coalesce(sum(col("_sc")).over(wOff), lit(0L)))
+      .select(gCols ++ Seq(col("_slice"), col("_off")): _*)
+    val totals = sliceTotals.groupBy(gCols: _*).agg(sum(col("_sc")).as("_n"))
     // per-group target ranks, 1-indexed: r = 1 + p·(n-1)
     val targets = quantiles.foldLeft(totals) { case (acc, (name, p)) =>
       acc.withColumn(s"_r_$name",
@@ -94,41 +111,39 @@ object Quantiles {
         .withColumn(s"_lo_$name", floor(col(s"_r_$name")).cast("long"))
         .withColumn(s"_hi_$name", ceil(col(s"_r_$name")).cast("long"))
     }.drop("_n")
-    // (A slice-pruned pass 2 — filtering to the slices that contain a target
-    // rank via the tiny offsets×targets frame — was measured SLOWER at sf0.1
-    // (3.25 vs 2.36 s): the extra broadcast stages and deeper AQE plan cost
-    // more than the ~3× window-input reduction saves at this scale, and the
-    // window's (group, slice) exchange is already balanced by construction.)
 
-    // pass 2: global rank = slice offset + rank-within-slice; keep targets.
-    // Both joins are NULL-SAFE on the group keys (the zscoreOutliers /
-    // funnelTimes convention: a null group key is a real group and gets
-    // quantiles like any other — a plain equi-join would silently drop it)
+    // pass 2: a distinct value covers global ranks (off+lcum−c, off+lcum];
+    // keep the rows covering a floor/ceil target. Both joins are NULL-SAFE
+    // on the group keys (the zscoreOutliers / funnelTimes convention: a
+    // null group key is a real group and gets quantiles like any other)
     val offsetsR = offsets.select(
       groupCols.map(k => col(k).as(s"_qo_$k")) ++
-        Seq(col("_pid").as("_qo_pid"), col("_off")): _*)
+        Seq(col("_slice").as("_qo_slice"), col("_off")): _*)
     val targetsR = targets.select(
       targets.columns.toSeq.map(c =>
         if (groupCols.contains(c)) col(c).as(s"_qt_$c") else col(c)): _*)
-    val wRank = Window.partitionBy(gCols :+ col("_pid"): _*).orderBy(col("_v").asc)
-    val picked = ranged
-      .withColumn("_lrk", row_number().over(wRank))
+    val picked = ranked
       .join(broadcast(offsetsR),
         (groupCols.map(k => col(k) <=> col(s"_qo_$k")) :+
-          (col("_pid") === col("_qo_pid"))).reduce(_ && _))
-      .drop(groupCols.map(k => s"_qo_$k") :+ "_qo_pid": _*)
-      .withColumn("_grk", col("_off") + col("_lrk"))
+          (col("_slice") === col("_qo_slice"))).reduce(_ && _))
+      .drop(groupCols.map(k => s"_qo_$k") :+ "_qo_slice": _*)
+      .withColumn("_gcum", col("_off") + col("_lcum"))
       .join(broadcast(targetsR),
         groupCols.map(k => col(k) <=> col(s"_qt_$k")).reduce(_ && _))
       .drop(groupCols.map(k => s"_qt_$k"): _*)
       .filter(quantiles.map { case (name, _) =>
-        col("_grk") === col(s"_lo_$name") || col("_grk") === col(s"_hi_$name")
+        (col(s"_lo_$name") > col("_gcum") - col("_c") &&
+          col(s"_lo_$name") <= col("_gcum")) ||
+          (col(s"_hi_$name") > col("_gcum") - col("_c") &&
+            col(s"_hi_$name") <= col("_gcum"))
       }.reduce(_ || _))
 
     val aggs = quantiles.flatMap { case (name, _) =>
       Seq(
-        max(when(col("_grk") === col(s"_lo_$name"), col("_v"))).as(s"_vlo_$name"),
-        max(when(col("_grk") === col(s"_hi_$name"), col("_v"))).as(s"_vhi_$name"),
+        max(when(col(s"_lo_$name") > col("_gcum") - col("_c") &&
+          col(s"_lo_$name") <= col("_gcum"), col("_v"))).as(s"_vlo_$name"),
+        max(when(col(s"_hi_$name") > col("_gcum") - col("_c") &&
+          col(s"_hi_$name") <= col("_gcum"), col("_v"))).as(s"_vhi_$name"),
         max(col(s"_r_$name")).as(s"_rr_$name"),
         max(col(s"_lo_$name")).as(s"_flo_$name"))
     }

@@ -58,15 +58,24 @@ class QuantilesSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 25.0)))
   }
 
-  test("plan has no ObjectHashAggregate value buffer and no whole-group sort") {
+  test("plan buffers no group values and sorts no whole group") {
     val df = (0 until 1000).map(i => ((i % 3).toLong, i.toDouble)).toDF("g", "v")
     val plan = Quantiles.exactGrouped(df, Seq("g"), "v", Seq("p50" -> 0.5))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("ObjectHashAggregate"),
-      s"distributed rank selection must not buffer group values:\n$plan")
-    // the only windows are the slice-rank (partitioned by group AND slice id)
-    // and the tiny offset window over per-slice counts
-    assert(!plan.contains("percentile"), s"must not fall back to percentile:\n$plan")
+    // the exact built-in would buffer every group value in one aggregation
+    // buffer; the only sketch allowed is the BOUNDED approx cut-point
+    // aggregate that balances the slices
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"must not fall back to the exact percentile built-in:\n$plan")
+    val objAggs = "ObjectHashAggregate[^\n]*".r.findAllIn(plan).toSeq
+    assert(objAggs.forall(_.contains("percentile_approx")),
+      s"the only object-buffer aggregate allowed is the bounded cut-point " +
+        s"sketch:\n${objAggs.mkString("\n")}")
+    // the rank window must partition by group AND slice, never group alone
+    // over the value frame (the whole-group sort this operator exists to
+    // avoid); the offset window over the tiny per-slice frame has no _v
+    assert(plan.contains("windowspecdefinition(g#") || plan.contains("_slice"),
+      s"expected the slice-partitioned window:\n${plan.take(2000)}")
   }
 
   test("exactGroupedMulti == per-column exactGrouped, one melted job") {
@@ -116,19 +125,23 @@ class QuantilesSpec extends SparkSpec {
     assert(out(2L)._1.contains(4.0) && out(2L)._2.isEmpty)
   }
 
-  test("a value at 90% frequency spreads across range slices (salted), result exact") {
-    // one value owns 90% of the group — without the salt key every copy
-    // lands in ONE range slice and serializes its sort
+  test("a value at 90% frequency compresses before any sort, result exact") {
+    // one value owns 90% of the group — the old range-slice design needed a
+    // salt to keep its copies from serializing one slice; here the
+    // map-side-combined (group, value) aggregate collapses them into ONE
+    // row before anything sorts or shuffles in volume
     val rows = (0 until 10000).map(i =>
       (1L, if (i % 10 == 0) (i % 997).toDouble else 777.0))
-    val df = rows.toDF("g", "v").repartition(8)
+    // CACHED input on purpose: a cached frame is exactly what broke the
+    // old range-slice design (independent boundary samples once exchange
+    // reuse is gone) — the pure-function slicing must stay exact over it
+    val df = rows.toDF("g", "v").repartition(8).persist()
+    df.count()
     assertClose(
       toMap(Quantiles.exactGrouped(df, Seq("g"), "v", ps)),
       toMap(viaPercentile(df)))
-    // slice balance, measured: per-task shuffle recordsRead in every stage
-    // that consumes the pass-1 range exchange (the per-slice count aggregate
-    // and the slice-rank window both read all 10k rows). Unsalted, one task
-    // reads >= 9000 of them.
+    // measured: NO stage shuffles anywhere near the 10k input rows — the
+    // distinct frame (≤ 998 values) is all that ever crosses an exchange
     val perTask = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
@@ -139,37 +152,25 @@ class QuantilesSpec extends SparkSpec {
         }
       }
     }
-    // AQE off: at 10k-row test scale its byte-based coalescing legitimately
-    // merges every tiny reducer partition into one task, which would mask
-    // exactly the distribution this test measures
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.addSparkListener(listener)
     try {
       Quantiles.exactGrouped(df, Seq("g"), "v", Seq("p50" -> 0.5)).collect()
-      // the listener bus is asynchronous and waitUntilEmpty is private[spark]:
-      // poll until a full-volume stage has landed (bounded, not a fixed sleep
-      // that flakes on a loaded box)
+      // the listener bus is asynchronous and waitUntilEmpty is
+      // private[spark]: poll until shuffle reads land (bounded)
       def stages() = perTask.synchronized(perTask.toSeq).groupBy(_._1)
-        .view.mapValues(_.map(_._2)).toMap
+        .view.mapValues(_.map(_._2).sum).toMap
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (stages().forall(_._2.sum < 10000) && System.nanoTime() < deadline)
+      while (stages().isEmpty && System.nanoTime() < deadline)
         Thread.sleep(100)
       Thread.sleep(300) // settle: late same-stage task events
       val byStage = stages()
-      val rangeReaders = byStage.filter(_._2.sum >= 10000)
-      assert(rangeReaders.nonEmpty, s"no stage read the range exchange: $byStage")
-      // the stage reading the RANGE exchange must be balanced (unsalted, its
-      // hot slice holds >= 9000 rows and no full-volume stage is balanced);
-      // the downstream (group, slice-id) hash exchange has only 4 distinct
-      // keys at this toy scale, so ITS per-task lumping is hash-collision
-      // noise, not slice skew — hence the existential form
-      assert(rangeReaders.values.exists(rs => rs.max <= 6000),
-        s"every full-volume stage has a >60% task — the 90%-duplicate " +
-          s"value serialized its range slice: $rangeReaders")
+      assert(byStage.nonEmpty, "no shuffle observed at all")
+      assert(byStage.values.forall(_ <= 3000),
+        s"duplicates must compress in the map-side combine before any " +
+          s"exchange — a stage shuffled near input volume: $byStage")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      df.unpersist()
     }
   }
 
