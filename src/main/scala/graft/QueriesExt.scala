@@ -4644,7 +4644,39 @@ object QueriesExt {
                      CASE WHEN mn >= 0 AND t > 0
                           THEN ROUND((2.0 * s - (n_units + 1) * t)
                                      / (n_units * t) + 1e-9, 6) END AS gini
-              FROM g"""))
+              FROM g""")),
+
+    // T44 — OOV rate against a frozen vocabulary: the tokenizer-fit
+    // readout ("does my vocab cover this corpus?") and the domain-shift
+    // tripwire. Vocab = train-split tokens with frequency >= 5 (threshold,
+    // not top-K — no tie-break surface); counts exact integers, so the
+    // oracle is exact except the 6dp rate.
+    Entry(
+      "t44_oov_rate",
+      (s, d) => {
+        val dd = docs(s, d)
+        val vocab = TextAnalysis.vocabulary(
+          TextAnalysis.deterministicSplit(dd, "doc_id")
+            .where(col("split") === "train"),
+          "text", minCount = 5)
+        TextAnalysis.oovRate(dd, "doc_id", "text", vocab)
+      },
+      Some("""WITH sp AS (SELECT doc_id, text,
+                                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 100 AS bucket
+                          FROM documents),
+                   vt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                          FROM sp WHERE bucket < 90),
+                   v AS (SELECT w FROM vt GROUP BY w HAVING COUNT(*) >= 5),
+                   toks AS (SELECT doc_id,
+                                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                            FROM sp),
+                   f AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+                   j AS (SELECT f.doc_id, f.c, v.w IS NOT NULL AS inv
+                         FROM f LEFT JOIN v ON f.w = v.w)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN inv THEN 0 ELSE c END) AS BIGINT) AS n_oov,
+                     ROUND(SUM(CASE WHEN inv THEN 0 ELSE c END) * 1.0 / SUM(c) + 1e-9, 6) AS oov_rate
+              FROM j GROUP BY 1"""))
   )
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient

@@ -376,6 +376,51 @@ object TextAnalysis {
         })
   }
 
+  /** Frozen whitespace-token vocabulary: distinct tokens with corpus
+    * frequency ≥ `minCount` — the build half of [[oovRate]] (frequency
+    * threshold rather than top-K: no tie-break ambiguity, and the cut is
+    * the one BPE/wordpiece vocab builders actually apply first). One
+    * explode + one token-keyed count; output `(_w, _n)` is
+    * vocabulary-sized — persist it and score many corpora against it, the
+    * frozen-model discipline of `trainDsir`/`trainNaiveBayes`. */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    df.select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minCount)
+  }
+
+  /** Out-of-vocabulary rate per document against a FROZEN [[vocabulary]]
+    * frame — the tokenizer-fit readout ("how much of this corpus does my
+    * vocab even cover?") run before committing a tokenizer, and the
+    * domain-shift tripwire after (a rising OOV rate on a feed means the
+    * vocab was built on different text). Output:
+    * `(idCol, n_tokens, n_oov, oov_rate)`, counts exact integers,
+    * rate 6dp. NULL-text documents emit NO row (nothing to cover —
+    * the [[graft.operators.Classifier.scoreNaiveBayes]] explicit-absence
+    * convention: left-join back and route them deliberately).
+    *
+    * Plan: one explode + (doc, token) count aggregate (shuffle ∝ distinct
+    * doc-token pairs, map-side combined), one BROADCAST left join against
+    * the vocabulary (MBs even web-scale), one doc-keyed fold. Nothing
+    * corpus-sized moves twice. */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+    toks
+      .join(broadcast(vocab.select(col("_w"), lit(1).as("_in"))),
+        Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).as("n_tokens"),
+        sum(when(col("_in").isNull, col("_c")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        stableRound(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` n-token-grams with ANY benchmark document (the standard
     * guard against test-set leakage into training corpora). Returns

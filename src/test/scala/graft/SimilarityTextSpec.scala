@@ -1673,4 +1673,29 @@ class SimilarityTextSpec extends SparkSpec {
     assert(Similarity.jlProject(short, "v", 64, 16, "jl1")
       .where(col("jl_vec").isNull).count() == 1)
   }
+
+  test("vocabulary + oovRate: hand counts, frequency threshold, frozen-vocab domain shift") {
+    import spark.implicits._
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog ran"))
+      .toDF("doc_id", "text")
+    // freq: the=3, cat=2, ran=2, sat=1, dog=1 -> minCount 2 keeps {the, cat, ran}
+    val vocab = TextAnalysis.vocabulary(train, "text", minCount = 2)
+    assert(vocab.select("_w").as[String].collect().toSet == Set("the", "cat", "ran"))
+    val score = Seq(
+      (10L, "the cat sat"),         // sat OOV -> 1/3
+      (11L, "zebra quark flux"),    // full shift -> 3/3
+      (12L, "the the the"),         // all in-vocab, duplicates counted
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(score, "doc_id", "text", vocab)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((3L, 1L, r6(1.0 / 3))))
+    assert(got(11L) == ((3L, 3L, 1.0)))
+    assert(got(12L) == ((3L, 0L, 0.0)))
+    assert(!got.contains(13L), "null text emits no row")
+  }
 }
