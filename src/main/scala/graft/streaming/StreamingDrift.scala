@@ -39,4 +39,24 @@ object StreamingDrift {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The TOKEN-level shift tripwire next to [[attachJsd]]'s categorical
+    * one: per-doc OOV rates of each micro-batch against a FROZEN
+    * [[graft.operators.TextAnalysis.vocabulary]] frame. A feed whose OOV
+    * rates climb is drifting away from the text the tokenizer/vocab was
+    * built on — the signal a tokenizer-bound ingest pipeline alerts on
+    * before perplexity or downstream loss ever sees the batch. Sink rows
+    * are the batch operator's own `(idCol, n_tokens, n_oov, oov_rate)`
+    * (stream == batch parity definitional); per-trigger cost ∝ batch plus
+    * the broadcast vocabulary join. */
+  def attachOov(
+      stream: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.TextAnalysis.oovRate(batch, idCol, textCol, vocab), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

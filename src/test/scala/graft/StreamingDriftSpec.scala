@@ -45,4 +45,37 @@ class StreamingDriftSpec extends SparkSpec {
           batchEq.getDouble(3))))
     } finally q.stop()
   }
+
+  test("attachOov: per-batch OOV == batch operator; drifted feed scores high") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val vocab = graft.operators.TextAnalysis.vocabulary(
+      Seq("the cat sat", "the cat ran", "the dog ran").toDF("text"),
+      "text", minCount = 2)
+    val stream = MemoryStream[(Long, String)](spark)
+    val df = stream.toDF().toDF("doc_id", "text")
+    val seen = scala.collection.mutable.Map[Long, Map[Long, (Long, Long, Double)]]()
+    val q = StreamingDrift.attachOov(df, "doc_id", "text", vocab,
+      tmpDir("oov-ckpt")) { (out, id) =>
+      val rows = out.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      seen.synchronized { seen(id) = rows }
+    }
+    try {
+      stream.addData((1L, "the cat ran"), (2L, "zebra quark flux"))
+      q.processAllAvailable()
+      val b0 = seen.synchronized(seen(0L))
+      assert(b0(1L) == ((3L, 0L, 0.0)))
+      assert(b0(2L) == ((3L, 3L, 1.0)), s"drifted doc must score 1.0: $b0")
+      // parity with the batch operator over the same rows
+      val batchEq = graft.operators.TextAnalysis.oovRate(
+        Seq((1L, "the cat ran"), (2L, "zebra quark flux")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(b0 == batchEq)
+    } finally q.stop()
+  }
 }
