@@ -664,4 +664,34 @@ class ProfilingSpec extends SparkSpec {
       tied.orderBy(rand(7)), Seq("g"), "v").head().getDouble(3)
     assert(g1 == g2)
   }
+
+  test("linearFit randomized: noise-free planes recovered exactly across shapes and partitionings") {
+    import spark.implicits._
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      val d = 1 + rnd.nextInt(3)
+      val beta = Vector.fill(d + 1)((rnd.nextInt(41) - 20) / 4.0) // 6dp-exact
+      val n = 10 + rnd.nextInt(200)
+      val rows = (0 until n).map { _ =>
+        val x = Vector.fill(d)((rnd.nextInt(2001) - 1000) / 100.0)
+        val y = beta(0) + (0 until d).map(i => beta(i + 1) * x(i)).sum
+        ("g", x, y)
+      }
+      val df = rows.toDF("g", "x", "y")
+        .select(col("g") +: (0 until d).map(i =>
+          element_at(col("x"), i + 1).as(s"x$i")) :+ col("y"): _*)
+        .repartition(1 + rnd.nextInt(5))
+      val fit = Profiling.linearFit(df, Seq("g"),
+        (0 until d).map(i => s"x$i"), "y").head()
+      val got = (0 to d).map(i => fit.getDouble(2 + i))
+      val r2 = Option(fit.get(2 + d + 1)).map(_.asInstanceOf[Double])
+      // noise-free, well-conditioned integers/4 -> coefficients exact at 6dp
+      assert(got.zip(beta).forall { case (a, b) => math.abs(a - b) < 2e-6 },
+        s"seed=$seed d=$d: $got vs $beta")
+      // constant y (all slopes drawn 0) has SST = 0 -> null r2 by contract
+      assert(r2.forall(_ >= 0.999999) &&
+        (r2.nonEmpty || rows.map(_._3).distinct.size == 1),
+        s"seed=$seed: r2=$r2")
+    }
+  }
 }

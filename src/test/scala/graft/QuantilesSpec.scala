@@ -241,4 +241,35 @@ class QuantilesSpec extends SparkSpec {
         (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     assert(b == got)
   }
+
+  test("randomized stress: 12 seeded datasets x {plain, cached} == percentile built-in") {
+    // the regression net for the deterministic-slicing rewrite: varied
+    // group counts, duplicate rates, sizes, and null mixes, each checked
+    // against the exact built-in — and re-checked over a CACHED input,
+    // the shape that silently corrupted the range-slice design
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val nGroups = 1 + rnd.nextInt(6)
+      val n = 200 + rnd.nextInt(3000)
+      val dupPool = 1 + rnd.nextInt(50) // small pool -> heavy duplicates
+      val rows = (0 until n).map { _ =>
+        val g = rnd.nextInt(nGroups).toLong
+        val v: Option[Double] =
+          if (rnd.nextInt(20) == 0) None
+          else if (rnd.nextBoolean()) Some(rnd.nextInt(dupPool).toDouble)
+          else Some(rnd.nextDouble() * 1000 - 500)
+        (g, v)
+      }
+      val base = rows.toDF("g", "v").repartition(1 + rnd.nextInt(7))
+      val df = if (seed % 2 == 0) { val p = base.persist(); p.count(); p }
+               else base
+      try assertClose(
+        toMap(Quantiles.exactGrouped(df, Seq("g"), "v", ps)),
+        toMap(viaPercentile(df)))
+      catch { case e: Throwable =>
+        throw new AssertionError(s"seed=$seed cached=${seed % 2 == 0}: $e", e)
+      }
+      finally if (seed % 2 == 0) df.unpersist()
+    }
+  }
 }
