@@ -924,6 +924,45 @@ object QueriesExt {
                        ',') AS offsets
               FROM documents""")),
 
+    // M3 — exact multimodal payload dedup by content hash: identical bytes
+    // are identical media regardless of codec, so raw-byte identity is the
+    // one dedup signal that needs no decoder. The oracle's md5(text) hashes
+    // the SAME UTF-8 bytes the Spark side hashes as the binary payload.
+    Entry(
+      "m03_payload_dedup",
+      (s, d) => Multimodal.payloadContentDedup(
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"), "doc_id"),
+      Some("""SELECT md5(text) AS payload_hash, COUNT(*) AS n_dups,
+                     MIN(doc_id) AS canonical_id
+              FROM documents WHERE text IS NOT NULL
+              GROUP BY md5(text)""")),
+
+    // M4 — chunked byte-signature near-dup over payloads: fixed 64-byte
+    // chunk-hash sets, candidates by shared chunk (exact blocking key, no
+    // all-pairs), lossless length-ratio prune, exact Jaccard ≥ 0.5.
+    // Chunking runs on the payload's HEX form (2 chars = 1 byte — the one
+    // byte-faithful representation both engines slice identically), so the
+    // oracle replays chunk hashes, candidate set and Jaccard bit-for-bit.
+    Entry(
+      "m04_payload_neardup",
+      (s, d) => Multimodal.payloadNearDupPairs(
+        Multimodal.withPayload(docs(s, d), "doc_id", "text"), "doc_id",
+        chunkBytes = 64, threshold = 0.5),
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                                CAST((octet_length(encode(text)) + 63) // 64 AS INTEGER) AS nch
+                         FROM documents WHERE text IS NOT NULL),
+                   t AS (SELECT doc_id,
+                                list_distinct([md5(substring(hx, i*128+1, 128)) for i in range(0, nch)]) AS ch
+                         FROM h WHERE nch > 0)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     ROUND(CAST(len(list_intersect(a.ch, b.ch)) AS DOUBLE)
+                           / (len(a.ch) + len(b.ch) - len(list_intersect(a.ch, b.ch))) + 1e-9, 6) AS jaccard
+              FROM t a JOIN t b
+                ON a.doc_id < b.doc_id
+               AND least(len(a.ch), len(b.ch)) >= 0.5 * greatest(len(a.ch), len(b.ch))
+              WHERE CAST(len(list_intersect(a.ch, b.ch)) AS DOUBLE)
+                    / (len(a.ch) + len(b.ch) - len(list_intersect(a.ch, b.ch))) >= 0.5""")),
+
     // T11 — per-group top-k (TopK.perGroup two-pass rank: local top-k per
     // (group, partition) slice, then global over ≤ k×partitions survivors —
     // a hot group cannot straggle one task): best 3 documents per language
@@ -4676,8 +4715,100 @@ object QueriesExt {
               SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                      CAST(SUM(CASE WHEN inv THEN 0 ELSE c END) AS BIGINT) AS n_oov,
                      ROUND(SUM(CASE WHEN inv THEN 0 ELSE c END) * 1.0 / SUM(c) + 1e-9, 6) AS oov_rate
-              FROM j GROUP BY 1"""))
+              FROM j GROUP BY 1""")),
+
+    // Q74 — mergeable q-digest quantile sketch: the fourth member of the
+    // sketch family (HLL distinct / CMS frequency / KMV set-ops / now
+    // quantiles) and the day-over-day 100 TB percentile primitive q64's
+    // exact pass cannot be. The query exercises the FULL lifecycle — two
+    // independent half-builds (orderkey parity), an exact-count merge, the
+    // post-order estimate — and the oracle replays every compression round
+    // bit-for-bit (integer registers end to end), so build, merge AND
+    // estimate are all hash-checked; rank errors vs the exact quantiles put
+    // the declared `bits·Σ⌊nᵢ/k⌋` slack bound in the contract.
+    Entry(
+      "q74_qdigest_quantiles",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val keys = Seq("l_returnflag")
+        val (lo, hi, bits, k) = (900.0, 105000.0, 12, 512)
+        val half0 = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+        val half1 = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+        val sa = QDigest.registers(half0, keys, "l_extendedprice", lo, hi, bits, k)
+        val sb = QDigest.registers(half1, keys, "l_extendedprice", lo, hi, bits, k)
+        // the merged sketch feeds three consumers (estimate, size, nothing
+        // corpus-sized) — materialize the ≤ 3k-rows/group frame once
+        val mg = QDigest.merge(sa, sb, keys, bits, k).localCheckpoint(true)
+        val est = QDigest.estimate(mg, keys, bits, lo, hi,
+          Seq("p50_qd" -> 0.5, "p95_qd" -> 0.95))
+        val sizes = mg.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_nodes"))
+        val nn = li.where(col("l_extendedprice").isNotNull)
+        val exact = Quantiles.exactGrouped(nn, keys, "l_extendedprice",
+          Seq("p50_exact" -> 0.5, "p95_exact" -> 0.95))
+        val leaves = nn.select(col("l_returnflag"),
+          QDigest.leafIndex(col("l_extendedprice"), lo, hi, bits).as("_leaf"))
+        val tr = leaves
+          .join(broadcast(est.select(col("l_returnflag"),
+            col("p50_qd_leaf"), col("p95_qd_leaf"))), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("_leaf") <= col("p50_qd_leaf"), 1L).otherwise(0L)).as("_tr50"),
+            sum(when(col("_leaf") <= col("p95_qd_leaf"), 1L).otherwise(0L)).as("_tr95"))
+        est.join(sizes, "l_returnflag").join(exact, "l_returnflag")
+          .join(tr, "l_returnflag")
+          .select(
+            col("l_returnflag"), col("n"), col("n_nodes"),
+            col("p50_qd_leaf"), col("p50_qd"),
+            col("p95_qd_leaf"), col("p95_qd"),
+            stableRound(col("p50_exact"), 6).as("p50_exact"),
+            stableRound(col("p95_exact"), 6).as("p95_exact"),
+            stableRound(
+              abs(col("_tr50") - ceil(lit(0.5) * col("n"))) / col("n"), 6)
+              .as("p50_rank_err"),
+            stableRound(
+              abs(col("_tr95") - ceil(lit(0.95) * col("n"))) / col("n"), 6)
+              .as("p95_rank_err"))
+      },
+      Some(qdigestSql))
   )
+
+  /** q74's DuckDB oracle, GENERATED by the [[graft.operators.QDigest]] SQL
+    * mirrors: two half-builds (each `bits` unrolled compression rounds over
+    * integer registers), the union+recompress merge, the post-order
+    * estimate, plus exact quantiles and the leaf-level true-rank audit. */
+  private def qdigestSql: String = {
+    val keys = Seq("l_returnflag")
+    val (lo, hi, bits, k) = (900.0, 105000.0, 12, 512)
+    val leafIdx = QDigest.leafIndexSql("l_extendedprice", lo, hi, bits)
+    val src = (par: Int) =>
+      s"SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = $par"
+    s"""WITH
+       |${QDigest.buildSql(src(0), keys, "l_extendedprice", lo, hi, bits, k, "qa")},
+       |${QDigest.buildSql(src(1), keys, "l_extendedprice", lo, hi, bits, k, "qb")},
+       |${QDigest.mergeSql("qa1", "qb1", keys, bits, k, "qm")},
+       |${QDigest.estimateSql("qm1", keys, bits, lo, hi,
+             Seq("p50_qd" -> 0.5, "p95_qd" -> 0.95), "qe")},
+       |est AS MATERIALIZED (SELECT a.l_returnflag, a.n, a.p50_qd_leaf, a.p50_qd,
+       |               b.p95_qd_leaf, b.p95_qd
+       |        FROM qe_p50_qd a JOIN qe_p95_qd b USING (l_returnflag)),
+       |sizes AS MATERIALIZED (SELECT l_returnflag, COUNT(*) AS n_nodes FROM qm1 GROUP BY 1),
+       |xq AS MATERIALIZED (SELECT l_returnflag,
+       |              ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) + 1e-9, 6) AS p50_exact,
+       |              ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) + 1e-9, 6) AS p95_exact
+       |       FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |lv AS MATERIALIZED (SELECT l_returnflag, $leafIdx AS _leaf
+       |       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |tr AS MATERIALIZED (SELECT lv.l_returnflag,
+       |              CAST(SUM(CASE WHEN lv._leaf <= e.p50_qd_leaf THEN 1 ELSE 0 END) AS BIGINT) AS tr50,
+       |              CAST(SUM(CASE WHEN lv._leaf <= e.p95_qd_leaf THEN 1 ELSE 0 END) AS BIGINT) AS tr95
+       |       FROM lv JOIN est e USING (l_returnflag) GROUP BY 1)
+       |SELECT e.l_returnflag, e.n, s.n_nodes, e.p50_qd_leaf, e.p50_qd,
+       |       e.p95_qd_leaf, e.p95_qd, x.p50_exact, x.p95_exact,
+       |       ROUND(abs(tr.tr50 - CAST(CEIL(CAST('0.5' AS DOUBLE) * e.n) AS BIGINT)) / e.n + 1e-9, 6) AS p50_rank_err,
+       |       ROUND(abs(tr.tr95 - CAST(CEIL(CAST('0.95' AS DOUBLE) * e.n) AS BIGINT)) / e.n + 1e-9, 6) AS p95_rank_err
+       |FROM est e JOIN sizes s USING (l_returnflag)
+       |  JOIN xq x USING (l_returnflag) JOIN tr USING (l_returnflag)""".stripMargin
+  }
 
   /** q71's DuckDB oracle, GENERATED: `iters` unrolled full-batch gradient
     * steps. Step k reads step k−1's one-row coefficient CTE (cross join),

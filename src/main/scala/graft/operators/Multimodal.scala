@@ -54,4 +54,71 @@ object Multimodal {
     df.withColumn(
       "sampled_offsets",
       sequence(lit(0), greatest(octet_length(col("payload")) - 1, lit(0)), lit(stride)))
+
+  /** Exact payload dedup by CONTENT hash — codec-free: identical bytes are
+    * identical media regardless of what they decode to, so raw-byte
+    * identity is the one dedup signal that needs no codec. One map-side-
+    * combined aggregate over `(md5(payload))`; shuffle ∝ distinct payloads.
+    * Output: `(payload_hash, n_dups, canonical_id)` (canonical = min id,
+    * the d10 convention). Null payloads are excluded. */
+  def payloadContentDedup(df: DataFrame, idCol: String): DataFrame =
+    df.where(col("payload").isNotNull)
+      .groupBy(md5(col("payload")).as("payload_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+
+  /** Per-payload DISTINCT chunk signatures over fixed-stride byte chunks:
+    * `(id, chunk_hash)`, one row per distinct md5 of each `chunkBytes`-byte
+    * slice (last chunk may be short). Chunking happens on the HEX encoding
+    * of the payload (2 hex chars = 1 byte, so chunk boundaries are
+    * byte-faithful) because hex is the one byte-level representation both
+    * engines slice identically — DuckDB 1.0 has no BLOB substring/md5, and
+    * character-slicing raw text would break on multi-byte UTF-8. Empty and
+    * null payloads have no chunks (excluded). */
+  def payloadChunkSignatures(
+      df: DataFrame, idCol: String, chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 8 && chunkBytes <= 65536,
+      s"chunkBytes must be in [8, 65536], got $chunkBytes")
+    val hc = 2 * chunkBytes
+    val chunks = expr(
+      s"""transform(
+            sequence(0, CAST((octet_length(payload) + ${chunkBytes - 1}) DIV $chunkBytes AS INT) - 1),
+            i -> md5(substring(hex(payload), i * $hc + 1, $hc)))""")
+    df.where(col("payload").isNotNull && octet_length(col("payload")) > 0)
+      .select(col(idCol), explode(array_distinct(chunks)).as("chunk_hash"))
+  }
+
+  /** Chunked byte-signature near-dup pairs — the codec-free near-dup the
+    * multimodal pillar can run TODAY: re-encodes, container re-muxes, and
+    * partial re-uploads share long byte runs even when whole-file hashes
+    * differ; fixed-stride chunk-hash Jaccard finds them without decoding a
+    * single frame. Candidates = pairs sharing ≥ 1 chunk hash (an EXACT
+    * blocking key — postings ∝ per-chunk duplication, which IS the signal
+    * being measured; no all-pairs anywhere), pre-pruned by the lossless
+    * d02 length-ratio bound (`j ≥ t ⇒ min(nch) ≥ t·max(nch)`), then exact
+    * set Jaccard ≥ `threshold` over the distinct-chunk sets. Output:
+    * `(a_id, b_id, jaccard)` with `a_id < b_id`, jaccard 6 dp. */
+  def payloadNearDupPairs(
+      df: DataFrame, idCol: String, chunkBytes: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sigs = payloadChunkSignatures(df, idCol, chunkBytes)
+    val sizes = sigs.groupBy(col(idCol)).agg(count(lit(1)).as("nch"))
+    val withN = sigs.join(sizes, idCol)
+    val a = withN.select(
+      col(idCol).as("a_id"), col("chunk_hash").as("a_ch"), col("nch").as("na"))
+    val b = withN.select(
+      col(idCol).as("b_id"), col("chunk_hash").as("b_ch"), col("nch").as("nb"))
+    a.join(b,
+        col("a_ch") === col("b_ch") && col("a_id") < col("b_id") &&
+          least(col("na"), col("nb")) >=
+            lit(threshold) * greatest(col("na"), col("nb")))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("a_id"), col("b_id"),
+        stableRound(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
 }
