@@ -2968,6 +2968,87 @@ object QueriesExt {
       },
       None),
 
+    // S21b — the hash-checked invariant that closes s21's rows-only
+    // asterisk: at FULL rank (dims = 64) the PCA basis is a pure rotation
+    // (every Jacobi step is orthogonal), L2 distances are preserved
+    // exactly, so recall@10 ≡ 1 for every query — a mathematical identity
+    // the oracle can state without an eigensolve, and one a non-orthogonal
+    // basis (the eigensolver's only silent failure mode) would break
+    // immediately. The Spark side RUNS the whole fit→project→retrieve
+    // pipeline; only the invariant is SQL-stated.
+    Entry(
+      "s21b_pca_fullrank_recall",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.pcaL2Recall(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          dims = 64, k = 10)
+      },
+      Some("""SELECT vec_id AS q_id, CAST(1.0 AS DOUBLE) AS recall
+              FROM embeddings WHERE vec_id % 100 = 0""")),
+
+    // S28 — Misra-Gries heavy-hitter registers: bounded-state approximate
+    // top terms per language, ≤ k+1 rows per group FOREVER — the register
+    // state the exact t08 pass (vocabulary-sized) cannot be on adversarial
+    // vocabularies. Order-independent offset construction (exact counts
+    // minus the (k+1)-th largest — a tie-invariant multiset statistic), so
+    // the oracle replays two half-builds AND the mergeable-summaries merge
+    // bit-for-bit; the reported (w_min, w_max) bracket carries the classic
+    // additive error budget in the hash-checked contract.
+    Entry(
+      "s28_mg_heavy_hitters",
+      (s, d) => {
+        val dd = docs(s, d)
+          .where(col("text").isNotNull && col("lang").isNotNull)
+        val toks = dd.select(
+          col("lang"), pmod(col("doc_id"), lit(2)).as("_half"),
+          explode(TextAnalysis.tokens(col("text"))).as("_tok"))
+        val k = 16
+        val s0 = Mg.summarize(
+          toks.where(col("_half") === 0), Seq("lang"), "_tok", k)
+        val s1 = Mg.summarize(
+          toks.where(col("_half") === 1), Seq("lang"), "_tok", k)
+        Mg.estimate(Mg.merge(s0, s1, Seq("lang"), k), Seq("lang"))
+      },
+      Some("""WITH tok AS (SELECT lang, doc_id % 2 AS half,
+                                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+                           FROM documents
+                           WHERE text IS NOT NULL AND lang IS NOT NULL),
+                   langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+                   c0 AS (SELECT lang, item, COUNT(*) AS c FROM tok WHERE half = 0 GROUP BY 1, 2),
+                   c1 AS (SELECT lang, item, COUNT(*) AS c FROM tok WHERE half = 1 GROUP BY 1, 2),
+                   t0 AS (SELECT lang, CAST(c AS BIGINT) AS t FROM
+                           (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, item ASC) AS rn FROM c0)
+                          WHERE rn = 17),
+                   t1 AS (SELECT lang, CAST(c AS BIGINT) AS t FROM
+                           (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, item ASC) AS rn FROM c1)
+                          WHERE rn = 17),
+                   s0 AS (SELECT c0.lang, c0.item, CAST(c0.c - COALESCE(t0.t, 0) AS BIGINT) AS w
+                          FROM c0 LEFT JOIN t0 USING (lang)
+                          WHERE c0.c - COALESCE(t0.t, 0) > 0),
+                   s1 AS (SELECT c1.lang, c1.item, CAST(c1.c - COALESCE(t1.t, 0) AS BIGINT) AS w
+                          FROM c1 LEFT JOIN t1 USING (lang)
+                          WHERE c1.c - COALESCE(t1.t, 0) > 0),
+                   uc AS (SELECT lang, item, CAST(SUM(w) AS BIGINT) AS c
+                          FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+                          GROUP BY 1, 2),
+                   tm AS (SELECT lang, CAST(c AS BIGINT) AS t FROM
+                           (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, item ASC) AS rn FROM uc)
+                          WHERE rn = 17),
+                   err AS (SELECT langs.lang,
+                                  COALESCE(t0.t, 0) + COALESCE(t1.t, 0) + COALESCE(tm.t, 0) AS e
+                           FROM langs LEFT JOIN t0 USING (lang)
+                             LEFT JOIN t1 USING (lang) LEFT JOIN tm USING (lang))
+              SELECT uc.lang, uc.item AS item,
+                     CAST(uc.c - COALESCE(tm.t, 0) AS BIGINT) AS w_min,
+                     CAST(uc.c - COALESCE(tm.t, 0) + err.e AS BIGINT) AS w_max,
+                     langs.n AS n, CAST(err.e AS BIGINT) AS err_budget
+              FROM uc LEFT JOIN tm USING (lang)
+                JOIN err ON err.lang = uc.lang
+                JOIN langs ON langs.lang = uc.lang
+              WHERE uc.c - COALESCE(tm.t, 0) > 0""")),
+
     // Q46 — two-proportion z-test between md5-split variants (success =
     // long document): the A/B readout over the deterministic assignment the
     // split operators already provide.

@@ -20,4 +20,17 @@ object SparkEntry {
     * same parquet tables. Keys absent here are non-SQL-expressible ops
     * (xxhash64-based LSH/SimHash/fingerprints) → rows-only check. */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Queries that are rows-only BY DESIGN — not missing oracles, but
+    * measurements whose value IS the approximation being audited, where a
+    * SQL replay is impossible or tautological. Every declared query is
+    * either in [[oracleSql]] or here; nothing is unaccounted.
+    *
+    * - `s21_pca_recall`: recall@10 of 16-d PCA retrieval. The eigensolve
+    *   has no SQL form, and the MEASURED sub-unit recall on near-isotropic
+    *   data is the audit's answer. Its hash-checkable invariant lives in
+    *   `s21b_pca_fullrank_recall` (full-rank PCA is an isometry ⇒ recall
+    *   ≡ 1 exactly — any orthogonality bug in the eigensolve breaks the
+    *   hash). */
+  def rowsOnlyByDesign: Set[String] = Set("s21_pca_recall")
 }
