@@ -3049,6 +3049,62 @@ object QueriesExt {
                 JOIN langs ON langs.lang = uc.lang
               WHERE uc.c - COALESCE(tm.t, 0) > 0""")),
 
+    // T45 — per-key seasonal profile: day-of-week × hour-of-day bucket
+    // means/sds + residual-outlier counts — the "is this deviation just
+    // Saturday?" readout between q49's rolling z-score and q69's CUSUM.
+    // Values fold as exact cents, the 3σ branch is the all-integer
+    // (n·v−S)² > 9(nQ−S²) form, so every outlier flag is bit-replayed;
+    // only the reported mean/sd touch FP (6 dp). Spark Sunday=1 vs DuckDB
+    // Sunday=0 → the oracle shifts dayofweek by +1.
+    Entry(
+      "t45_seasonal_profile",
+      (s, d) => Profiling.seasonalProfile(
+        Tables.eventsWithTimestamp(s, d), Seq("event_type"), "ts_utc",
+        "value", sigmaK = 3),
+      Some("""WITH b AS (SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+                                CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS c
+                         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+                   st AS (SELECT event_type, dow, hod, COUNT(*) AS n,
+                                 CAST(SUM(c) AS BIGINT) AS s,
+                                 CAST(SUM(c * c) AS BIGINT) AS q
+                          FROM b GROUP BY 1, 2, 3),
+                   fl AS (SELECT st.event_type, st.dow, st.hod,
+                                 CAST(SUM(CASE WHEN (st.n * b.c - st.s) * (st.n * b.c - st.s)
+                                                    > 9 * (st.n * st.q - st.s * st.s)
+                                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                          FROM b JOIN st USING (event_type, dow, hod)
+                          GROUP BY 1, 2, 3)
+              SELECT st.event_type, st.dow, st.hod, st.n,
+                     ROUND(CAST(st.s AS DOUBLE) / (CAST(st.n AS DOUBLE) * 100) + 1e-9, 6) AS mean_value,
+                     ROUND(sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) / 100 + 1e-9, 6) AS sd_value,
+                     fl.n_outliers
+              FROM st JOIN fl USING (event_type, dow, hod)""")),
+
+    // Q75 — CUBE with grouping-id markers: the all-subtotals one-pass
+    // aggregate that rounds out the §2.6-beyond family next to q25 ROLLUP
+    // and q26 pivot (a CUBE answers every GROUPING SETS subset, so the
+    // whole lattice is covered by this one plan). Spark expands the 2^3
+    // grouping sets inside ONE Expand + hash aggregate — no multi-pass
+    // union — and grouping_id() is the same bitmask as DuckDB's GROUPING().
+    Entry(
+      "q75_cube",
+      (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .withColumn("ship_year", year(col("l_shipdate")))
+          .cube("l_returnflag", "l_linestatus", "ship_year")
+          .agg(
+            grouping_id().as("gid"),
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus, ship_year,
+                     CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS BIGINT) AS gid,
+                     ROUND(SUM(l_quantity), 4) AS sum_qty,
+                     COUNT(*) AS cnt
+              FROM (SELECT l_returnflag, l_linestatus,
+                           year(l_shipdate) AS ship_year, l_quantity
+                    FROM lineitem)
+              GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)""")),
+
     // Q46 — two-proportion z-test between md5-split variants (success =
     // long document): the A/B readout over the deterministic assignment the
     // split operators already provide.

@@ -1079,4 +1079,78 @@ object Profiling {
           when(bc(0).isNotNull && sst =!= 0.0, lit(1.0) - sse / sst), 6)
           .as("r2")): _*)
   }
+
+  /** Per-key SEASONAL profile: day-of-week × hour-of-day buckets with
+    * exact integer moment registers and residual-outlier counts — the
+    * time-series readout between q49's rolling z-score (trend-relative)
+    * and q69's CUSUM (single change-point): ingest monitoring needs "is
+    * this deviation just Saturday?" before it pages anyone.
+    *
+    * Exactness discipline: values fold as CENTS (`round(v·100)` — exact
+    * BIGINT sums, order-independent), and the outlier branch is the
+    * all-integer form `(n·v − S)² > k²·(n·Q − S²)` (⇔ |v − mean| > k·σ
+    * scaled by n²), so no cross-row FP sum ever feeds a branch and a
+    * DuckDB oracle replays every flag bit-for-bit. Only the REPORTED mean
+    * and sd touch doubles, 6 dp at the boundary. Bucket n·v products are
+    * BIGINT-safe to ~1.9e14 rows per bucket at 2-dp values.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the (key, dow, hod)
+    * register frame (≤ keys × 168 rows — broadcastable at any corpus
+    * size), one broadcast join back for the outlier pass. Null
+    * values/timestamps are excluded. */
+  /** The bucketed-cents projection shared by registers and scoring:
+    * `(keys*, dow, hod, _cents)`. */
+  private[graft] def seasonalBuckets(
+      df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select((keys.map(col) :+ dayofweek(col(tsCol)).as("dow") :+
+        hour(col(tsCol)).as("hod") :+
+        round(col(valueCol).cast("double") * lit(100)).cast("long")
+          .as("_cents")): _*)
+
+  /** Exact integer moment registers per (key, dow, hod) bucket:
+    * `(keys*, dow, hod, n, _s, _q)` — the frame [[seasonalProfile]] reports
+    * from and [[graft.streaming.StreamingSeasonal]] freezes as its
+    * reference. ≤ keys × 168 rows, broadcastable at any corpus size. */
+  def seasonalRegisters(
+      df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String): DataFrame =
+    seasonalBuckets(df, keys, tsCol, valueCol)
+      .groupBy((keys ++ Seq("dow", "hod")).map(col): _*)
+      .agg(
+        count(lit(1)).as("n"), sum(col("_cents")).as("_s"),
+        sum(col("_cents") * col("_cents")).as("_q"))
+
+  /** The all-integer residual test: `(n·v − S)² > k²·(n·Q − S²)` ⇔
+    * `|v − mean| > k·σ`, exact — no cross-row FP sum ever feeds the
+    * branch. */
+  private[graft] def seasonalOutlierFlag(sigmaK: Int): Column = {
+    val dev = col("n") * col("_cents") - col("_s")
+    (dev * dev) >
+      lit(sigmaK.toLong * sigmaK) *
+        (col("n") * col("_q") - col("_s") * col("_s"))
+  }
+
+  def seasonalProfile(
+      df: DataFrame, keys: Seq[String], tsCol: String, valueCol: String,
+      sigmaK: Int = 3): DataFrame = {
+    require(sigmaK >= 1, s"sigmaK must be >= 1, got $sigmaK")
+    val base = seasonalBuckets(df, keys, tsCol, valueCol)
+    val bkeys = keys ++ Seq("dow", "hod")
+    val stats = seasonalRegisters(df, keys, tsCol, valueCol)
+    val flagged = base
+      .join(broadcast(stats), bkeys)
+      .withColumn("_isout", seasonalOutlierFlag(sigmaK))
+      .groupBy(bkeys.map(col): _*)
+      .agg(sum(when(col("_isout"), 1L).otherwise(0L)).as("n_outliers"))
+    stats.join(flagged, bkeys)
+      .select((bkeys.map(col) :+ col("n") :+
+        stableRound(col("_s").cast("double") / (col("n") * lit(100.0)), 6)
+          .as("mean_value") :+
+        stableRound(
+          sqrt((col("n") * col("_q") - col("_s") * col("_s")).cast("double") /
+            (col("n") * col("n"))) / lit(100.0), 6).as("sd_value") :+
+        col("n_outliers")): _*)
+  }
 }
