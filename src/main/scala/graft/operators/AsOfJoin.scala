@@ -40,17 +40,20 @@ object AsOfJoin {
     *
     * SKEW AUTO-ROUTING: this is the entry point users reach for, so it
     * carries [[asOfBucketed]]'s hot-key protection by default. Before
-    * planning, a bounded head sample of the left side (`autoSkewSampleRows`
-    * rows — a `limit`, which short-circuits the scan, + one driver-local
-    * histogram; NOT a full-corpus pass) estimates the hottest key's row
-    * fraction. At or above `autoSkewHotFraction` — the regime where the
-    * plain per-key window serializes one task's sort on the hot key — and
-    * when both time columns are integral, the call routes to [[asOfBucketed]]
-    * with a bucket width of (TRUE left time range / 16·parallelism, from one
-    * single-column min/max aggregate paid only when routing triggers). Output is
-    * identical either way (property-pinned in AsOfJoinSpec); only the plan
-    * changes. Set `autoSkewSampleRows = 0` to skip the sample (micro-batch
-    * callers that re-plan per batch, e.g. the streaming maintainer).
+    * planning, ONE map-side-combined aggregate over the left key columns
+    * (the q52 keySkew statistic folded to max/total — exact and
+    * layout-independent, see [[skewBucketWidth]]) measures the hottest
+    * key's row fraction. At or above `autoSkewHotFraction` — the regime
+    * where the plain per-key window serializes one task's sort on the hot
+    * key — and when both time columns are integral, the call routes to
+    * [[asOfBucketed]] with a bucket width of (TRUE left time range /
+    * 16·parallelism, from one single-column min/max aggregate paid only
+    * when routing triggers). Output is identical either way
+    * (property-pinned in AsOfJoinSpec); only the plan changes. Set
+    * `autoSkewMinRows = 0` to skip the probe entirely (micro-batch callers
+    * that re-plan per batch, e.g. the streaming maintainer); inputs with
+    * fewer than `max(autoSkewMinRows, 64)` rows never route — data that
+    * small cannot straggle.
     *
     * @param leftKeys  equi-join key columns on `left`
     * @param rightKeys matching key columns on `right` (positional)
@@ -70,19 +73,19 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String],
       inclusive: Boolean = true,
-      autoSkewSampleRows: Int = 4096,
+      autoSkewMinRows: Int = 4096,
       autoSkewHotFraction: Double = 0.5): DataFrame = {
-    require(autoSkewSampleRows >= 0,
-      s"autoSkewSampleRows must be >= 0, got $autoSkewSampleRows")
+    require(autoSkewMinRows >= 0,
+      s"autoSkewMinRows must be >= 0, got $autoSkewMinRows")
     // <= 0 would route EVERY integral-time input to the bucketed plan
     // (a silent 2.4× premium on uniform data); > 1 would silently disable
     // routing
     require(autoSkewHotFraction > 0.0 && autoSkewHotFraction <= 1.0,
       s"autoSkewHotFraction must be in (0, 1], got $autoSkewHotFraction")
     val routedWidth =
-      if (autoSkewSampleRows > 0)
+      if (autoSkewMinRows > 0)
         skewBucketWidth(left, right, leftKeys, leftTime, rightTime,
-          autoSkewSampleRows, autoSkewHotFraction)
+          autoSkewMinRows, autoSkewHotFraction)
       else None
     routedWidth match {
       case Some(w) =>
@@ -102,47 +105,51 @@ object AsOfJoin {
     }
   }
 
-  /** The auto-route decision: Some(bucketWidth) when the head sample shows a
-    * key at/above `hotFraction` of rows AND both time columns are integral
-    * (bucketing's precondition); None otherwise. The sample is a driver
-    * collect of at most `sampleRows` (leftKeys, time) tuples — bounded,
-    * justified: this is the strategy statistic AQE cannot provide (it never
-    * sees per-key window-sort concentration, only input bytes). A sample
-    * under 64 rows skips routing — data that small cannot straggle.
-    *
-    * Known head-sample biases, resolved toward the status-quo plan: a table
-    * stored SORTED BY KEY shows one key in its head whether the key is hot
-    * or the layout is clustered — indistinguishable from `limit`, so a
-    * single-distinct-key sample does NOT route (false negative ≻ false
-    * positive: the plain plan is correct either way, and [[asOfBucketed]]
-    * remains the explicit control). A hot key living beyond the head goes
-    * undetected — again the pre-feature status quo, not a regression.
+  /** The auto-route decision: Some(bucketWidth) when the EXACT per-key
+    * concentration of the left side shows a key at/above `hotFraction` of
+    * rows AND both time columns are integral (bucketing's precondition);
+    * None otherwise. The statistic is the q52 keySkew shape absorbed to
+    * three scalars: one map-side-combined `groupBy(keys).count` folded to
+    * `(max, total)` — shuffle ∝ distinct keys, ONE driver row, no head
+    * sample anywhere. The round-11 probe (`limit(sampleRows)` + a driver
+    * histogram) systematically misread clustered layouts: a table stored
+    * SORTED BY KEY shows one key in its head whether or not that key is
+    * hot, so its single-distinct-key guard suppressed routing exactly when
+    * a genuinely hot sorted key needed it (flagged by the round-11
+    * verdict). The exact aggregate is layout-independent — hot is hot
+    * wherever the rows sit — which also retires the old guard: a ONE-key
+    * corpus now correctly routes (that is the most serialized input the
+    * plain plan can receive). Cost: one columnar key-column pass, gated to
+    * callers that enabled probing (`minRows > 0`) and paid once to pick
+    * the join's plan; per-micro-batch callers keep opting out. Inputs
+    * below `minRows` total rows skip routing — data that small cannot
+    * straggle.
     *
     * When routing DOES trigger, the bucket width comes from the TRUE time
     * range — one min/max aggregate over the left time column (columnar
-    * single-column scan, paid only on the hot path). The head sample's span
-    * must not be used: a time-ordered table's head covers seconds of a
-    * year-long range, and a seconds-scale width would shatter the hot key
-    * into ~rows distinct buckets, rebuilding the very single-task grid
-    * straggler the routing exists to kill. */
+    * single-column scan, paid only on the hot path) — never from any
+    * sample's span: a time-ordered head covers seconds of a year-long
+    * range, and a seconds-scale width would shatter the hot key into ~rows
+    * distinct buckets, rebuilding the very single-task grid straggler the
+    * routing exists to kill. */
   private def skewBucketWidth(
       left: DataFrame, right: DataFrame, leftKeys: Seq[String],
       leftTime: String, rightTime: String,
-      sampleRows: Int, hotFraction: Double): Option[Long] = {
+      minRows: Int, hotFraction: Double): Option[Long] = {
     import org.apache.spark.sql.types._
     val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
     if (!integral(left.schema(leftTime).dataType) ||
         !integral(right.schema(rightTime).dataType)) return None
-    val sample = left
-      .select(leftKeys.map(col): _*)
-      .limit(sampleRows)
-      .collect()
-    if (sample.length < 64) return None
-    val freqs = sample
-      .groupBy(r => leftKeys.indices.map(r.get).toIndexedSeq)
-      .valuesIterator.map(_.length).toSeq
-    val hot = freqs.max.toDouble / sample.length
-    if (hot < hotFraction || freqs.length < 2) return None
+    val stats = left
+      .groupBy(leftKeys.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .agg(max(col("_c")).as("_max"), sum(col("_c")).as("_tot"))
+      .head()
+    if (stats.isNullAt(0) || stats.isNullAt(1)) return None
+    val total = stats.getLong(1)
+    if (total < math.max(minRows, 64).toLong) return None
+    val hot = stats.getLong(0).toDouble / total
+    if (hot < hotFraction) return None
     val mm = left.agg(
         min(col(leftTime).cast("long")), max(col(leftTime).cast("long")))
       .head()

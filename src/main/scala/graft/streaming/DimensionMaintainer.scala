@@ -202,12 +202,12 @@ final class DimensionHistory(
   def asOfEnrich(
       batch: DataFrame, streamKeys: Seq[String], tsCol: String,
       payload: Seq[String]): DataFrame =
-    // autoSkewSampleRows = 0: micro-batches are checkpoint-bounded (no
+    // autoSkewMinRows = 0: micro-batches are checkpoint-bounded (no
     // job-length straggler possible) and a per-batch sampling job would add
     // a driver round-trip to every trigger
     graft.operators.AsOfJoin.asOf(
       batch, current, streamKeys, keys, tsCol, ord, payload,
-      autoSkewSampleRows = 0)
+      autoSkewMinRows = 0)
 
   /** Attach to a streaming CDC frame. */
   def attachTo(cdcStream: DataFrame, checkpoint: String): StreamingQuery =

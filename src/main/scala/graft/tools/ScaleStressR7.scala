@@ -51,12 +51,12 @@ object ScaleStressR7 {
         val t0 = System.nanoTime()
         val out =
           if (mode == "plain")
-            // autoSkewSampleRows = 0: this arm MEASURES the plain plan's
+            // autoSkewMinRows = 0: this arm MEASURES the plain plan's
             // hot-key behavior; round 8's default auto-router would
             // otherwise rescue exactly this input and compare bucketed
             // against bucketed
             AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"), "t", "rt",
-              Seq("pk", "v"), autoSkewSampleRows = 0)
+              Seq("pk", "v"), autoSkewMinRows = 0)
           else
             AsOfJoin.asOfBucketed(left, right, Seq("k"), Seq("rk"), "t", "rt",
               Seq("pk", "v"), bucketWidth = dayUs / 256)

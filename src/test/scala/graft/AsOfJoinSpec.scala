@@ -135,11 +135,11 @@ class AsOfJoinSpec extends SparkSpec {
     try {
       def partCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
         df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
-      // autoSkewSampleRows = 0: this test MEASURES the plain form's hot-key
+      // autoSkewMinRows = 0: this test MEASURES the plain form's hot-key
       // serialization, so the auto-router must not rescue it
       val plain = partCounts(AsOfJoin.asOf(
         left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"),
-        autoSkewSampleRows = 0))
+        autoSkewMinRows = 0))
       val bucketed = partCounts(AsOfJoin.asOfBucketed(
         left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"),
         bucketWidth = 1000L))
@@ -168,7 +168,7 @@ class AsOfJoinSpec extends SparkSpec {
       s"hot-key input must plan the bucketed form:\n${plan.take(4000)}")
     // identical output to the un-routed plain form (multiset compare)
     val plain = AsOfJoin.asOf(l, r, Seq("k"), Seq("rk"), "t", "rt",
-      Seq("pk", "v"), autoSkewSampleRows = 0)
+      Seq("pk", "v"), autoSkewMinRows = 0)
     assert(!plain.queryExecution.executedPlan.toString.contains("_graft_asof_b"))
     assert(routed.collect().map(_.toString).sorted.toSeq
       === plain.collect().map(_.toString).sorted.toSeq)
@@ -179,6 +179,45 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("pk", "v")).queryExecution.executedPlan.toString
     assert(!planU.contains("_graft_asof_b"),
       s"uniform input must keep the plain plan:\n${planU.take(4000)}")
+  }
+
+  test("auto-route triggers on a KEY-SORTED hot layout (hot key beyond the head)") {
+    // 1000 cold rows over keys 100..119 FIRST, then 5000 rows of hot key 1:
+    // the retired head-sample probe saw only cold keys (or, sorted the
+    // other way, one key and refused to route); the exact aggregate sees
+    // hot = 5000/6000 wherever the rows sit
+    val left = ((0 until 1000).map(i =>
+      (i.toLong, (100 + i % 20).toLong, (i.toLong * 7) % 40000)) ++
+      (0 until 5000).map(i =>
+        ((1000 + i).toLong, 1L, (i.toLong * 13) % 40000)))
+      .toDF("id", "k", "t")
+      .sortWithinPartitions("k")
+    val right = (0 until 500).map(i =>
+      ((i % 25).toLong, (i.toLong * 80) % 40000, i.toLong, (i % 3).toDouble))
+      .toDF("rk", "rt", "pk", "v")
+    val routed = AsOfJoin.asOf(
+      left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"))
+    assert(routed.queryExecution.executedPlan.toString.contains("_graft_asof_b"),
+      "sorted hot layout must route to the bucketed plan")
+    val plain = AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"), "t", "rt",
+      Seq("pk", "v"), autoSkewMinRows = 0)
+    assert(routed.collect().map(_.toString).sorted.toSeq
+      === plain.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("auto-route triggers on a SINGLE-key corpus (the most serialized input)") {
+    val left = (0 until 4096).map(i => (i.toLong, 1L, (i.toLong * 13) % 40000))
+      .toDF("id", "k", "t")
+    val right = (0 until 200).map(i =>
+      (1L, (i.toLong * 200) % 40000, i.toLong, 1.0)).toDF("rk", "rt", "pk", "v")
+    val routed = AsOfJoin.asOf(
+      left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("pk", "v"))
+    assert(routed.queryExecution.executedPlan.toString.contains("_graft_asof_b"),
+      "a one-key corpus must route to the bucketed plan")
+    val plain = AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"), "t", "rt",
+      Seq("pk", "v"), autoSkewMinRows = 0)
+    assert(routed.collect().map(_.toString).sorted.toSeq
+      === plain.collect().map(_.toString).sorted.toSeq)
   }
 
   test("plan shuffles once by key: single Exchange, no joins") {
