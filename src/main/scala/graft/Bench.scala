@@ -5,7 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and prints
   * one JSON line. Uses the noop sink so every projected expression is
   * actually computed (a bare count() would let Catalyst prune the metric
-  * math out of the plan). */
+  * math out of the plan).
+  *
+  * PER-FAMILY JVM ISOLATION (round-11 verdict task 4): a single long-lived
+  * bench JVM accumulates cache/heap pressure that inflates persist-heavy
+  * late-running queries up to 3× vs a fresh JVM (SCALE.md round-11: c09
+  * 7.0 s long-JVM vs 2.3 s fresh), so round-over-round deltas needed
+  * footnotes. The orchestrator now FORKS one child JVM per query family
+  * (core/dedup/similarity/text/multimodal/compositions + the shared-scan
+  * pass), sequentially — each family starts with a fresh heap, empty block
+  * manager, and its own warm-up, so families cannot pressure each other.
+  * Child results come back over a temp file (stdout stays Spark-log-free
+  * for the parent's one-JSON-line contract); `queries_sd` publishes the
+  * per-query sample standard deviation across reps — the variance column
+  * that separates real regressions from box drift. Set
+  * SPARK_GRAFT_BENCH_FORK=0 for the legacy single-JVM run (also the
+  * automatic fallback if spawning fails). */
 object Bench {
 
   /** FULL coverage: every declared query is benched, so every operator has
@@ -14,8 +29,21 @@ object Bench {
     * cross-round key order; q01 stays the box-drift ratio base. */
   val headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** Family = fresh-JVM unit. Prefix-keyed: the suite's naming scheme is
+    * one letter per pillar. */
+  def familyOf(name: String): String = name.head match {
+    case 'd' => "dedup"
+    case 's' => "similarity"
+    case 't' => "text"
+    case 'm' => "multimodal"
+    case 'c' => "compositions"
+    case _ => "core"
+  }
+
+  val families: Seq[String] =
+    Seq("core", "dedup", "similarity", "text", "multimodal", "compositions")
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,17 +55,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
-    val qs = SparkEntry.queries
-    // Untimed warm-up: JVM/codegen/classloader one-time costs otherwise land
-    // entirely on whichever query runs first (q01 measured 3.4s cold vs ~0.5s
-    // warm for a 4-column scan).
+    spark
+  }
+
+  /** Untimed warm-up: JVM/codegen/classloader one-time costs otherwise land
+    * entirely on whichever query runs first (q01 measured 3.4s cold vs
+    * ~0.5s warm for a 4-column scan); the dedup kernels run interpreted
+    * until C2 kicks in (profiled 62 CPU-s cold vs 2 warm for the SAME
+    * pass), so a 200-doc pass pays JIT outside the timed region. */
+  private def warmUp(spark: SparkSession, sfDir: String): Unit = {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
-    // ... and the dedup kernel paths: the per-doc/per-pair kernels run
-    // interpreted until C2 kicks in — profiled 62 CPU-s cold vs 2 CPU-s warm
-    // for the SAME 1.5 MB cache build — so a 200-doc pass through the
-    // minhash and token-jaccard pipelines pays the JIT cost outside the
-    // timed region (one-time cost, not steady-state throughput).
     // best-effort: a missing documents table must not abort the whole bench
     try {
       val warmDocs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
@@ -51,86 +79,55 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] kernel warm-up skipped: $e")
     }
     spark.catalog.clearCache()
-    // Repeats: box throughput drifts ±50-60% across hours, and even within a
-    // run one GC or page-cache hiccup can move a single measurement ±25%
-    // (round 6's q01 "+23%" was exactly this). min-of-3 is the stable
-    // estimator — noise only ever ADDS time — so `queries`/`value` publish
-    // mins; means ride along for drift visibility.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val samples: Seq[Seq[(String, Either[String, Double])]] =
-      (0 until reps).map { _ =>
-        headline.filter(qs.contains).map { name =>
-          val t0 = System.nanoTime()
-          val r = try {
-            qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: $e")
-              Left(e.toString.takeWhile(_ != '\n'))
-          }
-          // release caches a query left behind (the dedup builders persist
-          // intermediates) so one query's cache pressure can't skew the next
-          spark.catalog.clearCache()
-          name -> r
-        }
+  }
+
+  /** Timed reps over `names`: per-query rep samples + first failure. */
+  private def runQueries(
+      spark: SparkSession, names: Seq[String], sfDir: String, reps: Int)
+      : (Map[String, Seq[Double]], Map[String, String]) = {
+    val qs = SparkEntry.queries
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val failures = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 0 until reps; name <- names if qs.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) =
+          samples.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          failures.getOrElseUpdate(name, e.toString.takeWhile(_ != '\n'))
       }
-    val byName = samples.flatten.groupBy(_._1)
-    val order = headline.filter(byName.contains)
-    // a query that failed in ANY rep is excluded and reported
-    val failures = order.flatMap(n =>
-      byName(n).collectFirst { case (_, Left(e)) => n -> e })
-    val failed = failures.map(_._1).toSet
-    val ok = order.filterNot(failed).map { n =>
-      n -> byName(n).collect { case (_, Right(v)) => v }.min
+      // release caches a query left behind (the dedup builders persist
+      // intermediates) so one query's cache pressure can't skew the next
+      spark.catalog.clearCache()
     }
-    val okMean = order.filterNot(failed).map { n =>
-      val vs = byName(n).collect { case (_, Right(v)) => v }
-      n -> vs.sum / vs.size
-    }
-    // control chars included: a Spark analysis error's tab/CR in
-    // failure_detail must not break the machine-readable JSON channel
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qJson = ok
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val qMeanJson = okMean
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val fJson = failures.map(f => jstr(f._1)).mkString("[", ",", "]")
-    val fDetail = failures
-      .map { case (k, e) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    // a failed query is EXCLUDED from `queries`/total and listed in
-    // `failures` (reason in `failure_detail`) + nonzero exit — erroring
-    // instantly must not read as fast
-    val total = ok.map(_._2).sum
-    // box-drift normalization: each query over the trivial q01 scan. Box
-    // throughput drifts ±50-60% across hours, so absolute times are only
-    // comparable within one run; the ratios survive across rounds (SCALE.md
-    // caveat). q01 itself is always 1.0 when present.
-    val rJson = ok.toMap.get("q01_project").filter(_ > 0)
-      .map(base => ok.map { case (k, v) => jstr(k) + ":" + f"${v / base}%.3f" }
-        .mkString("{", ",", "}"))
-      .getOrElse("{}")
-    // INFORMATIONAL shared-scan pass (round-9 verdict task 7): the
-    // components family (d06/d07/d10/d16/d18) recomputes the same minhash
-    // pair table — and three of them the same component labels — per
-    // standalone entry, because the official bench shape is
-    // one-query-per-entry with no cross-query materialization. This pass
-    // measures each consumer's MARGINAL cost against ONE materialized pair
-    // table / label frame, the way a production dedup pipeline would
-    // actually run them. One rep, reported in `shared_scan`; the official
-    // `queries`/`value` metrics above stay standalone.
-    val sharedJson = (try {
+    (samples.toMap, failures.toMap)
+  }
+
+  // control chars included: a Spark analysis error's tab/CR in
+  // failure_detail must not break the machine-readable JSON channel
+  private def jstr(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** INFORMATIONAL shared-scan pass (round-9 verdict task 7): the
+    * components family (d06/d07/d10/d16/d18) recomputes the same minhash
+    * pair table — and three of them the same component labels — per
+    * standalone entry, because the official bench shape is
+    * one-query-per-entry with no cross-query materialization. This pass
+    * measures each consumer's MARGINAL cost against ONE materialized pair
+    * table / label frame, the way a production dedup pipeline would
+    * actually run them. One rep; the official metrics stay standalone. */
+  private def sharedScanJson(spark: SparkSession, sfDir: String): String =
+    try {
       import org.apache.spark.sql.functions.{col, expr}
       import graft.operators.{Dedup, TextAnalysis}
       def timed[A](body: => A): (Double, A) = {
@@ -184,9 +181,199 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] shared-scan pass skipped: $e")
         "{}"
-    })
+    }
+
+  // ── child protocol: one line per record in the out file ──
+  //   S <name> <v1> <v2> ...     rep samples (seconds)
+  //   F <name> <base64 error>    first failure
+  //   H <json>                   shared-scan json
+  //   W <seconds>                family wall clock
+  private def childMain(fam: String, outPath: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val t0 = System.nanoTime()
+    val spark = buildSession()
+    warmUp(spark, sfDir)
+    val sb = new StringBuilder
+    if (fam == "shared") {
+      sb.append("H ").append(sharedScanJson(spark, sfDir).replace("\n", " "))
+        .append('\n')
+    } else {
+      val names = headline.filter(n => familyOf(n) == fam)
+      val (samples, failures) = runQueries(spark, names, sfDir, reps)
+      samples.toSeq.sortBy(_._1).foreach { case (n, vs) =>
+        sb.append("S ").append(n)
+          .append(vs.map(v => f" $v%.4f").mkString).append('\n')
+      }
+      failures.toSeq.sortBy(_._1).foreach { case (n, e) =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(e.getBytes("UTF-8"))
+        sb.append("F ").append(n).append(' ').append(b64).append('\n')
+      }
+    }
+    sb.append(f"W ${(System.nanoTime() - t0) / 1e9}%.3f\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    spark.stop()
+  }
+
+  /** Child classpath: our compiled classes (from this class's code source)
+    * + every jar next to Spark's (the /opt/spark/jars layout). Returns None
+    * when either location cannot be resolved — the caller falls back to
+    * in-process. */
+  private def childClasspath(): Option[String] =
+    try {
+      val self = new java.io.File(
+        GraftSession.getClass.getProtectionDomain.getCodeSource
+          .getLocation.toURI).getAbsolutePath
+      // the Spark+scala-library jar directory: env override, then the
+      // standard image location, then wherever SparkSession loaded from —
+      // under sbt the last can be a synthetic path, so it is the fallback,
+      // and only a directory that really holds scala-library qualifies
+      // (the child JVM dies on NoClassDefFoundError otherwise)
+      def holdsScala(dir: java.io.File): Boolean =
+        dir.isDirectory && dir.listFiles != null &&
+          dir.listFiles.exists(_.getName.startsWith("scala-library"))
+      val candidates = Seq(
+        sys.env.get("SPARK_GRAFT_JARS").map(new java.io.File(_)),
+        Some(new java.io.File("/opt/spark/jars")),
+        Some(new java.io.File(
+          classOf[SparkSession].getProtectionDomain.getCodeSource
+            .getLocation.toURI).getParentFile)).flatten
+      candidates.find(holdsScala).map(dir =>
+        s"$self${java.io.File.pathSeparator}${dir.getAbsolutePath}/*")
+    } catch { case _: Throwable => None }
+
+  private def runChild(fam: String, cp: String): Option[Seq[String]] = {
+    val out = java.nio.file.Files.createTempFile(s"bench_$fam", ".txt")
+    val java17 = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(
+      java17, "-cp", cp,
+      "--add-opens=java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+      "--add-opens=java.base/java.io=ALL-UNNAMED",
+      "--add-opens=java.base/java.net=ALL-UNNAMED",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "--add-opens=java.base/java.util=ALL-UNNAMED",
+      "--add-opens=java.base/java.util.concurrent=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.cs=ALL-UNNAMED",
+      "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+      "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+      "graft.Bench", s"family:$fam", out.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    // child stdout/stderr (Spark logs) go to a log file — the parent's
+    // stdout must stay the one-JSON-line machine channel
+    val log = java.nio.file.Files.createTempFile(s"bench_${fam}_log", ".txt")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(log.toFile))
+    val rc = pb.start().waitFor()
+    if (rc != 0) {
+      System.err.println(s"[bench] child $fam exited rc=$rc; log tail:")
+      val lines = java.nio.file.Files.readAllLines(log)
+      lines.subList(math.max(0, lines.size - 40), lines.size)
+        .forEach(l => System.err.println(s"[bench:$fam] $l"))
+      None
+    } else Some(
+      java.nio.file.Files.readAllLines(out).toArray(Array.empty[String]).toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    args.headOption match {
+      case Some(a) if a.startsWith("family:") =>
+        childMain(a.stripPrefix("family:"), args(1))
+      case _ => parentMain()
+    }
+  }
+
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val forkWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val cpOpt = if (forkWanted) childClasspath() else None
+
+    var samples = Map.empty[String, Seq[Double]]
+    var failures = Map.empty[String, String]
+    var shared = "{}"
+    var famWalls = Seq.empty[(String, Double)]
+
+    cpOpt match {
+      case Some(cp) =>
+        var ok = true
+        for (fam <- families :+ "shared" if ok) {
+          System.err.println(s"[bench] forking family $fam")
+          runChild(fam, cp) match {
+            case None => ok = false
+            case Some(lines) =>
+              var wall = 0.0
+              lines.foreach { line =>
+                val parts = line.split(" ")
+                parts(0) match {
+                  case "S" =>
+                    samples += parts(1) -> parts.drop(2).map(_.toDouble).toSeq
+                  case "F" =>
+                    failures += parts(1) -> new String(
+                      java.util.Base64.getDecoder.decode(parts(2)), "UTF-8")
+                  case "H" => shared = line.drop(2)
+                  case "W" => wall = parts(1).toDouble
+                  case _ =>
+                }
+              }
+              famWalls :+= fam -> wall
+          }
+        }
+        if (!ok) {
+          System.err.println(
+            "[bench] a child failed — falling back to single-JVM run")
+          samples = Map.empty; failures = Map.empty; famWalls = Seq.empty
+        }
+      case None =>
+        if (forkWanted)
+          System.err.println(
+            "[bench] classpath unresolvable — single-JVM fallback")
+    }
+
+    if (samples.isEmpty && failures.isEmpty) {
+      // legacy single-JVM path (opt-out or fallback)
+      val spark = buildSession()
+      warmUp(spark, sfDir)
+      val (s, f) = runQueries(spark, headline, sfDir, reps)
+      samples = s; failures = f
+      shared = sharedScanJson(spark, sfDir)
+      spark.stop()
+    }
+
+    val order = headline.filter(n => samples.contains(n) || failures.contains(n))
+    val failed = failures.keySet
+    // a query that failed in ANY rep is excluded and reported
+    val okNames = order.filterNot(failed)
+    val ok = okNames.map(n => n -> samples(n).min)
+    val okMean = okNames.map(n => n -> (samples(n).sum / samples(n).size))
+    // the VARIANCE column: sample sd across reps (0 when reps == 1) — what
+    // separates a real regression from one GC/page-cache hiccup
+    val okSd = okNames.map { n =>
+      val vs = samples(n)
+      val m = vs.sum / vs.size
+      n -> (if (vs.size < 2) 0.0
+            else math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1)))
+    }
+    def qmap(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val fJson = failures.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val fDetail = failures.toSeq.sortBy(_._1)
+      .map { case (k, e) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    // a failed query is EXCLUDED from `queries`/total and listed in
+    // `failures` (reason in `failure_detail`) + nonzero exit — erroring
+    // instantly must not read as fast
+    val total = ok.map(_._2).sum
+    // box-drift normalization: each query over the trivial q01 scan; the
+    // ratios survive across rounds where absolute times do not
+    val rJson = ok.toMap.get("q01_project").filter(_ > 0)
+      .map(base => qmap(ok.map { case (k, v) => k -> v / base }))
+      .getOrElse("{}")
+    val famJson = qmap(famWalls)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$reps,"queries":$qJson,"queries_mean":$qMeanJson,"ratios_vs_q01":$rJson,"shared_scan":$sharedJson,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$reps,"isolation":${if (famWalls.nonEmpty) "\"per-family-jvm\"" else "\"single-jvm\""},"queries":${qmap(ok)},"queries_mean":${qmap(okMean)},"queries_sd":${qmap(okSd)},"family_walls":$famJson,"ratios_vs_q01":$rJson,"shared_scan":$shared,"failures":$fJson,"failure_detail":$fDetail,"sf":"$sfDir"}"""
     // stdout AND a file: sbt's log decoration ([info] prefixes) makes the
     // printed line unparseable to callers that scrape stdout, so the file is
     // the machine-readable channel.
@@ -202,7 +389,6 @@ object Bench {
     println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.GraftSession
-import graft.streaming.{StreamingCms, StreamingHll, StreamingKmv}
+import graft.streaming.{StreamingCms, StreamingHll, StreamingKmv, StreamingMg, StreamingQuantiles}
 
 /** Streaming sketch-attach soak (round-11 → SCALE.md): the design claim
   * behind all three sketch attaches (HLL, CMS, KMV) is BOUNDED state —
@@ -12,7 +12,11 @@ import graft.streaming.{StreamingCms, StreamingHll, StreamingKmv}
   * accumulate. This drives each attach through `triggers` triggers of
   * `perTrigger` rows (fresh values each trigger — the worst case for a
   * sketch: state saturates to its cap instead of deduplicating away) and
-  * prints per-trigger walls + committed state row counts.
+  * prints per-trigger walls + committed state row counts. Round 12 adds
+  * the two new family members: q-digest quantiles (state ≤ groups × 3k
+  * nodes) and Misra-Gries heavy hitters (state ≤ groups × (k+1) rows —
+  * driven with FRESH items every trigger, the adversarial vocabulary that
+  * unbounds exact top-terms state).
   *
   * Healthy output: walls flat from first to last trigger (the per-trigger
   * work is one batch aggregate + one parameter-sized merge), state rows
@@ -66,6 +70,16 @@ object SketchAttachSoak {
     drive("kmv",
       (df, st, ck) => StreamingKmv.attach(df, Seq("g"), "v", k = 1024, st, ck)((_, _) => ()),
       st => StreamingKmv.currentSketch(spark, st).map(_.count()).getOrElse(0L))
+    // numeric value stream for quantiles: fresh values each trigger
+    drive("qdig",
+      (df, st, ck) => StreamingQuantiles.attach(
+        df.selectExpr("g", "CAST(length(v) * 1000 + abs(hash(v)) % 997 AS DOUBLE) AS v"),
+        Seq("g"), "v", lo = 0.0, hi = 20000.0, bits = 12, k = 512,
+        Seq("p50" -> 0.5, "p95" -> 0.95), st, ck)((_, _) => ()),
+      st => StreamingQuantiles.currentRegisters(spark, st).map(_.count()).getOrElse(0L))
+    drive("mg",
+      (df, st, ck) => StreamingMg.attach(df, Seq("g"), "v", k = 64, st, ck)((_, _) => ()),
+      st => StreamingMg.currentState(spark, st).map(_.count()).getOrElse(0L))
 
     spark.stop()
   }
