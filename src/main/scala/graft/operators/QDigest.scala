@@ -83,41 +83,66 @@ object QDigest {
       .agg(count(lit(1)).as("_cnt"))
   }
 
-  /** Deterministic bottom-up compression to ≤ 3k nodes per group: for depth
-    * d = bits..1, every sibling pair at depth d folds into its parent iff
-    * `cnt(left)+cnt(right)+cnt(parent) ≤ ⌊n/k⌋` (n = the group's total
-    * count, derived FROM the registers — count is preserved exactly by
-    * construction, so no side channel is needed). A pure function of the
+  /** The per-group compression recurrence, evaluated locally: for depth
+    * d = bits..1, a sibling pair folds into its parent iff
+    * `cnt(left)+cnt(right)+cnt(parent) ≤ ⌊n/k⌋`. Families at one level are
+    * DISJOINT, so within-level order is irrelevant — the result is a pure
+    * function of the input multiset, bit-identical to the unrolled
+    * relational form the DuckDB oracle replays ([[compressChainSql]]). */
+  private def compressLocal(
+      pairs: Seq[(Long, Long)], bits: Int, k: Int): Seq[(Long, Long)] = {
+    val cnt = scala.collection.mutable.LongMap.empty[Long]
+    pairs.foreach { case (nd, c) => cnt(nd) = cnt.getOrElse(nd, 0L) + c }
+    val n = pairs.iterator.map(_._2).sum
+    val thr = n / k
+    var d = bits
+    while (d >= 1) {
+      val lo = 1L << d
+      val hi = 1L << (d + 1)
+      val parents =
+        cnt.keys.iterator.filter(nd => nd >= lo && nd < hi)
+          .map(_ >> 1).toArray.distinct
+      parents.foreach { p =>
+        val cc = cnt.getOrElse(2 * p, 0L) + cnt.getOrElse(2 * p + 1, 0L)
+        if (cc > 0 && cc + cnt.getOrElse(p, 0L) <= thr) {
+          cnt(p) = cnt.getOrElse(p, 0L) + cc
+          cnt.remove(2 * p)
+          cnt.remove(2 * p + 1)
+        }
+      }
+      d -= 1
+    }
+    cnt.toSeq.sortBy(_._1)
+  }
+
+  /** Deterministic bottom-up compression to ≤ 3k nodes per group: the
+    * [[compressLocal]] recurrence applied per group. A pure function of the
     * register multiset: order- and partitioning-independent, hence
     * cache/AQE/retry-safe and engine-replayable. Input may hold nodes at
-    * any depth (the [[merge]] path), not just leaves. */
+    * any depth (the [[merge]] path), not just leaves.
+    *
+    * Physical shape — a DELIBERATE one-UDF exception to the
+    * functions-not-UDFs rule, with the justification the rule demands:
+    * per-group state here is bounded by the UNIVERSE (≤ 2^bits occupied
+    * leaves + their ancestors), never by the corpus, so one keyed
+    * `collect_list` fold holds ≤ 2^{bits+1} integer pairs per group —
+    * while the fully relational unroll (kept verbatim in the generated
+    * oracle SQL) costs `bits` window exchanges + `bits` aggregates PER
+    * EVALUATION, ~50 scheduler round-trips of a kilobyte-sized frame
+    * (measured 8.5 s of pure stage latency for q74's three chains at
+    * sf0.01, data-size-independent). The kernel is integer arithmetic on
+    * ≤ 4096-entry maps — microseconds per group — and runs once per group,
+    * not per row, so codegen is irrelevant to it. */
   def compress(regs: DataFrame, keys: Seq[String], bits: Int, k: Int): DataFrame = {
     check(bits, k)
-    val wKeys = Window.partitionBy(keys.map(col): _*)
-    var cur = regs.withColumn("_n", sum(col("_cnt")).over(wKeys))
-    for (d <- bits to 1 by -1) {
-      val loId = 1L << d
-      val hiId = 1L << (d + 1)
-      val isChild = col("_node") >= loId && col("_node") < hiId
-      val isParent = col("_node") >= (loId >> 1) && col("_node") < loId
-      // family id: the parent node for the two children and the parent
-      // itself; every other row gets a private (negative) family so the
-      // window sum is its own count and the merge test can never fire
-      val fam = when(isChild, shiftright(col("_node"), 1))
-        .when(isParent, col("_node"))
-        .otherwise(-col("_node"))
-      val withTot = cur.withColumn("_famtot",
-        sum(col("_cnt")).over(Window.partitionBy((keys.map(col) :+ fam): _*)))
-      val newNode = when(
-        isChild && col("_famtot") <= expr(s"_n DIV $k"),
-        shiftright(col("_node"), 1)).otherwise(col("_node"))
-      cur = withTot
-        .select((keys.map(col) :+ newNode.as("_node") :+ col("_cnt") :+
-          col("_n")): _*)
-        .groupBy((keys :+ "_node").map(col): _*)
-        .agg(sum(col("_cnt")).as("_cnt"), max(col("_n")).as("_n"))
-    }
-    cur.drop("_n")
+    val kernel = udf((rs: Seq[org.apache.spark.sql.Row]) =>
+      compressLocal(rs.map(r => (r.getLong(0), r.getLong(1))), bits, k))
+    regs
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("_node"), col("_cnt"))).as("_rs"))
+      .select((keys.map(col) :+ explode(kernel(col("_rs"))).as("_e")): _*)
+      .select((keys.map(col) :+ col("_e._1").as("_node") :+
+        col("_e._2").as("_cnt")): _*)
   }
 
   /** [[leafCounts]] + [[compress]]: the one-shot sketch build. */
