@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bloom
+
+class BloomSpec extends SparkSpec {
+
+  private def regSet(
+      df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("registers: 32-lane envelope holds; nulls excluded; empty input -> empty frame") {
+    import spark.implicits._
+    val df = ((0 until 500).map(i => s"v$i") :+ null).toDF("v")
+    val regs = Bloom.registers(df, Nil, "v", mBits = 1024, k = 3).collect()
+    assert(regs.nonEmpty)
+    regs.foreach { r =>
+      val (w, b) = (r.getLong(0), r.getLong(1))
+      assert(w >= 0 && w < 1024 / 32, s"word $w outside envelope")
+      assert(b >= 1L && b <= (1L << 32) - 1, s"bits $b outside 32-lane cap")
+    }
+    assert(Bloom.registers(df.limit(0), Nil, "v", 1024, 3).count() === 0)
+  }
+
+  test("merge: merge(sketch(A), sketch(B)) == sketch(A union B) exactly; self-merge idempotent") {
+    import spark.implicits._
+    val a = (0 until 300).map(i => s"a$i").toDF("v")
+    val b = (0 until 200).map(i => s"b$i").toDF("v")
+    val sa = Bloom.registers(a, Nil, "v", 2048, 3)
+    val sb = Bloom.registers(b, Nil, "v", 2048, 3)
+    assert(regSet(Bloom.merge(sa, sb, Nil, 2048)) ===
+      regSet(Bloom.registers(a.unionByName(b), Nil, "v", 2048, 3)))
+    // OR is idempotent — replaying the same registers changes nothing
+    assert(regSet(Bloom.merge(sa, sa, Nil)) === regSet(sa))
+  }
+
+  test("merge guard: an out-of-envelope register raises; in-envelope passes") {
+    import spark.implicits._
+    val ok = Bloom.registers((0 until 50).map(i => s"v$i").toDF("v"), Nil, "v", 1024, 3)
+    // a frame built at larger mBits carries words beyond 1024/32
+    val big = Bloom.registers((0 until 200).map(i => s"v$i").toDF("v"), Nil, "v", 8192, 3)
+    assert(big.agg(max("_word")).head.getLong(0) >= 1024 / 32)
+    val e = intercept[Exception] {
+      Bloom.merge(ok, big, Nil, mBits = 1024).collect()
+    }
+    assert(e.getMessage.contains("Bloom merge shape mismatch"))
+    Bloom.merge(ok, ok, Nil, mBits = 1024).collect() // must not throw
+  }
+
+  test("mightContain: no false negatives ever; false positives live at tight m, gone at ample m") {
+    import spark.implicits._
+    val members = (0 until 400).map(i => s"member_$i")
+    val ghosts = (0 until 400).map(i => s"ghost_$i")
+    val df = members.toDF("v")
+    def hits(mBits: Int) = {
+      val regs = Bloom.registers(df, Nil, "v", mBits, 3)
+      val probe = (members ++ ghosts).zipWithIndex.map(_.swap).toDF("id", "v")
+      Bloom.mightContain(regs, probe, Nil, Seq("id"), "v", mBits, 3)
+        .collect().map(r => r.getAs[String]("v") -> r.getAs[Boolean]("might_contain")).toMap
+    }
+    // tight: 1024 bits for 400x3 insertions -> fill ~0.7, FPs guaranteed
+    val tight = hits(1024)
+    members.foreach(v => assert(tight(v), s"false negative on $v"))
+    assert(ghosts.exists(tight(_)), "expected live false positives at fill ~0.7")
+    // ample: 2^18 bits -> fp ~ 1e-7; md5 is fixed, so this is a
+    // deterministic regression pin, not a probabilistic claim
+    val ample = hits(1 << 18)
+    members.foreach(v => assert(ample(v)))
+    ghosts.foreach(v => assert(!ample(v), s"false positive on $v at ample m"))
+  }
+
+  test("grouped filters: probes answer against their OWN group; a group with no registers answers false") {
+    import spark.implicits._
+    val df = Seq(("g1", "x"), ("g1", "y"), ("g2", "z")).toDF("g", "v")
+    val regs = Bloom.registers(df, Seq("g"), "v", 4096, 3)
+    val probe = Seq(
+      (1, "g1", "x"), (2, "g2", "x"), (3, "g2", "z"),
+      (4, "g3", "x")).toDF("id", "g", "v")
+    val out = Bloom.mightContain(regs, probe, Seq("g"), Seq("id"), "v", 4096, 3)
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Boolean]("might_contain")).toMap
+    assert(out(1), "member of g1 must hit g1's filter")
+    assert(!out(2), "x was never inserted into g2's filter")
+    assert(out(3))
+    assert(!out(4), "a group with no registers is the empty filter")
+  }
+
+  test("stats: bits_set bounded by k*n and mBits; occupancy inversion tracks true n; saturation -> null estimate") {
+    import spark.implicits._
+    val n = 400
+    val df = (0 until n).map(i => s"v$i").toDF("v")
+    val st = Bloom.stats(Bloom.registers(df, Nil, "v", 8192, 3), Nil, 8192, 3).head
+    val bitsSet = st.getAs[Long]("bits_set")
+    assert(bitsSet > 0 && bitsSet <= math.min(8192L, 3L * n))
+    val estN = st.getAs[Double]("est_inserted")
+    assert(math.abs(estN - n) / n < 0.1, s"occupancy inversion $estN vs $n")
+    assert(st.getAs[Double]("est_fp_rate") > 0.0)
+    // saturate a tiny filter: every bit set -> inversion diverges -> null
+    val sat = Bloom.stats(
+      Bloom.registers((0 until 2000).map(i => s"v$i").toDF("v"), Nil, "v", 32, 3),
+      Nil, 32, 3).head
+    assert(sat.getAs[Long]("bits_set") === 32L)
+    assert(sat.isNullAt(sat.fieldIndex("est_inserted")))
+  }
+}
