@@ -3105,6 +3105,137 @@ object QueriesExt {
                     FROM lineitem)
               GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)""")),
 
+    // Q76 — Bloom-filter decontamination probe: the SIXTH sketch-register
+    // family member (HLL distinct / CMS frequency / KMV set-ops / q-digest
+    // quantiles / MG heavy-hitters / Bloom MEMBERSHIP) — t18's exact gram
+    // decontamination re-asked against bounded state: an 8192-bit / k=3
+    // filter over the benchmark slice's 3-gram set (two-half build +
+    // guarded OR-merge — exactness means merge ≡ one-shot build, which the
+    // oracle states by building one-shot), probed per (doc, gram) with NO
+    // false negatives (bloom_hits ≥ exact_hits on every row — hash-checked)
+    // and REAL false positives (8192 bits < 3×grams forces fill ~15% at
+    // sf0.01, so fp_overcount is a live column, the q62 forced-collision
+    // discipline). Fill/occupancy-inversion/fp-rate audit columns ride
+    // along from the same registers. Probe side: one broadcast join + two
+    // combiner-absorbed folds — the corpus never shuffles.
+    Entry(
+      "q76_bloom_decontam",
+      (s, d) => {
+        val grams = docs(s, d).select(
+          col("doc_id"),
+          explode(TextAnalysis.tokenNgrams(col("text"), 3)).as("_gram"))
+        val bench = grams.filter(col("doc_id") % 50 === 0)
+          .select("_gram").distinct()
+        def half(r: Int) = Bloom.registers(
+          bench.filter(pmod(Dedup.hash56(col("_gram")), lit(2L)) === r),
+          Nil, "_gram", mBits = 8192, k = 3)
+        val regs = Bloom.merge(half(0), half(1), Nil, mBits = 8192)
+        val hits = Bloom.mightContain(
+          regs, grams.filter(col("doc_id") % 50 =!= 0), Nil,
+          Seq("doc_id"), "_gram", mBits = 8192, k = 3)
+        hits
+          .join(bench.withColumn("_hit", lit(1L)), Seq("_gram"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("might_contain"), 1L).otherwise(0L)).as("bloom_hits"),
+            sum(coalesce(col("_hit"), lit(0L))).as("exact_hits"))
+          .withColumn("fp_overcount", col("bloom_hits") - col("exact_hits"))
+          .crossJoin(broadcast(Bloom.stats(regs, Nil, mBits = 8192, k = 3)))
+      },
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+                   g AS (SELECT doc_id,
+                                list_distinct([array_to_string(toks[i:i+2], ' ')
+                                               for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS grams
+                         FROM tk),
+                   bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+                   bpos AS (SELECT ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || gram), 1, 14))::UBIGINT::BIGINT % 8192 AS pos
+                            FROM bench CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
+                   regs AS (SELECT pos // 32 AS w,
+                                   bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+                            FROM bpos GROUP BY 1),
+                   tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+                   pp AS (SELECT doc_id, gram,
+                                 ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || gram), 1, 14))::UBIGINT::BIGINT % 8192 AS pos
+                          FROM tr CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
+                   ph AS (SELECT doc_id, gram,
+                                 bool_and((COALESCE(r.bits, 0) & (1::BIGINT << CAST(pos % 32 AS INTEGER)))
+                                          = (1::BIGINT << CAST(pos % 32 AS INTEGER))) AS hit
+                          FROM pp LEFT JOIN regs r ON pos // 32 = r.w
+                          GROUP BY doc_id, gram),
+                   agg AS (SELECT ph.doc_id AS doc_id, COUNT(*) AS n_grams,
+                                  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+                                  CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+                           FROM ph LEFT JOIN bench USING (gram)
+                           GROUP BY ph.doc_id),
+                   st AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set FROM regs)
+              SELECT doc_id, n_grams, bloom_hits, exact_hits,
+                     bloom_hits - exact_hits AS fp_overcount,
+                     st.bits_set,
+                     ROUND(bits_set / 8192.0 + 1e-9, 6) AS fill_ratio,
+                     ROUND(CASE WHEN bits_set < 8192
+                                THEN -(8192.0 / 3) * ln(1 - bits_set / 8192.0) END + 1e-9, 6) AS est_inserted,
+                     ROUND(pow(bits_set / 8192.0, 3) + 1e-9, 6) AS est_fp_rate
+              FROM agg, st""")),
+
+    // Q77 — Bradley–Terry preference ranking: the RLHF preference-data
+    // readout (which source wins head-to-head?) as 3 unrolled MM rounds
+    // (Hunter 2004) over the item-pair frame. Trials = consecutive-doc
+    // source matchups judged by n_chars (ties and same-source pairs
+    // excluded — classic BT has no tie outcome); the corpus is touched
+    // once (pair join + map-side-combined (winner, loser) count), every
+    // MM round runs on broadcast item-sized frames — nothing collected,
+    // so the fit survives 100 TB trial counts. 6 dp rounding at each
+    // iteration boundary (the s23/q71 contract) makes the whole
+    // trajectory — wins, games, all three rounds, the sum-1
+    // normalization — hash-checked.
+    Entry(
+      "q77_bradley_terry",
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "source", "n_chars")
+        val next = base.select(
+          (col("doc_id") - 1).as("doc_id"),
+          col("source").as("_sb"), col("n_chars").as("_cb"))
+        val trials = base.join(next, Seq("doc_id"))
+          .filter(col("source") =!= col("_sb") &&
+            col("n_chars") =!= col("_cb"))
+          .select(
+            when(col("n_chars") > col("_cb"), col("source"))
+              .otherwise(col("_sb")).as("winner"),
+            when(col("n_chars") > col("_cb"), col("_sb"))
+              .otherwise(col("source")).as("loser"))
+        Experiment.bradleyTerry(trials, "winner", "loser", iters = 3)
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+                   pr AS (SELECT a.source AS sa, b.source AS sb, a.n_chars AS ca, b.n_chars AS cb
+                          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                          WHERE a.source <> b.source AND a.n_chars <> b.n_chars),
+                   m AS (SELECT CASE WHEN ca > cb THEN sa ELSE sb END AS winner,
+                                CASE WHEN ca > cb THEN sb ELSE sa END AS loser FROM pr),
+                   wl AS (SELECT winner AS i, loser AS j, COUNT(*) AS w FROM m GROUP BY 1, 2),
+                   n AS (SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+                           SELECT i, j, w FROM wl UNION ALL SELECT j AS i, i AS j, w FROM wl) GROUP BY 1, 2),
+                   it AS (SELECT DISTINCT i FROM n),
+                   wi AS (SELECT it.i, CAST(COALESCE(s.w, 0) AS BIGINT) AS wins
+                          FROM it LEFT JOIN (SELECT i, SUM(w) AS w FROM wl GROUP BY 1) s USING (i)),
+                   gm AS (SELECT i, CAST(SUM(n) AS BIGINT) AS games FROM n GROUP BY 1),
+                   p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM it),
+                   d1 AS (SELECT n.i, SUM(n.n / (pi.p + pj.p)) AS den
+                          FROM n JOIN p0 pi ON n.i = pi.i JOIN p0 pj ON n.j = pj.i GROUP BY n.i),
+                   p1 AS (SELECT wi.i, ROUND(wi.wins / d1.den + 1e-9, 6) AS p FROM wi JOIN d1 USING (i)),
+                   d2 AS (SELECT n.i, SUM(n.n / (pi.p + pj.p)) AS den
+                          FROM n JOIN p1 pi ON n.i = pi.i JOIN p1 pj ON n.j = pj.i GROUP BY n.i),
+                   p2 AS (SELECT wi.i, ROUND(wi.wins / d2.den + 1e-9, 6) AS p FROM wi JOIN d2 USING (i)),
+                   d3 AS (SELECT n.i, SUM(n.n / (pi.p + pj.p)) AS den
+                          FROM n JOIN p2 pi ON n.i = pi.i JOIN p2 pj ON n.j = pj.i GROUP BY n.i),
+                   p3 AS (SELECT wi.i, ROUND(wi.wins / d3.den + 1e-9, 6) AS p FROM wi JOIN d3 USING (i)),
+                   tot AS (SELECT ROUND(SUM(p) + 1e-9, 6) AS t FROM p3)
+              SELECT p3.i AS item, wi.wins AS n_wins, gm.games AS n_games,
+                     ROUND(p3.p / tot.t + 1e-9, 6) AS bt_strength
+              FROM p3 JOIN wi USING (i) JOIN gm USING (i), tot""")),
+
     // Q46 — two-proportion z-test between md5-split variants (success =
     // long document): the A/B readout over the deterministic assignment the
     // split operators already provide.

@@ -612,4 +612,63 @@ object Experiment {
       col(keyCol) === col("_bh_key"), "left")
       .drop("_bh_key")
   }
+
+  /** Bradley–Terry preference strengths from pairwise trials — the
+    * preference-data readout (which model/source/annotator wins?): each
+    * input row is one comparison `(winnerCol, loserCol)`; output is one row
+    * per item, `(item, n_wins, n_games, bt_strength)` with strengths
+    * normalized to sum 1 (the model's scale is otherwise unidentifiable).
+    * `iters` rounds of Hunter (2004)'s MM update
+    * `p_i ← W_i / Σ_j n_ij/(p_i + p_j)` from the all-ones start —
+    * deterministic, monotone in likelihood, and each round is one join +
+    * one fold over the ITEM-PAIR frame, so the oracle unrolls it exactly
+    * (6 dp [[stableRound]] at every iteration boundary, the s23/q71
+    * rounding contract).
+    *
+    * Scale shape: the corpus of trials is touched ONCE (a map-side-combined
+    * (winner, loser) count — shuffle ∝ item pairs, never rows); every MM
+    * round then runs on broadcast item-sized frames. Nothing is collected —
+    * the fit survives 100 TB trial counts because the iteration state is
+    * items², not trials. Self-pairs and null items are dropped (a trial
+    * needs two distinct named players); ties are the caller's decision to
+    * exclude (classic BT has no tie outcome). Degenerate items are safe by
+    * construction: a never-winner's strength goes to 0, and `p_i + p_j > 0`
+    * on every played edge since each edge's winner keeps `W > 0`. */
+  def bradleyTerry(
+      pairs: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
+    val wl = pairs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).as("_i"), col(loserCol).as("_j"))
+      .agg(count(lit(1)).as("_w"))
+    val n = wl
+      .unionByName(wl.select(
+        col("_j").as("_i"), col("_i").as("_j"), col("_w")))
+      .groupBy("_i", "_j").agg(sum("_w").as("_n"))
+    val items = n.select("_i").distinct()
+    val wins = items
+      .join(wl.groupBy("_i").agg(sum("_w").as("n_wins")), Seq("_i"), "left")
+      .withColumn("n_wins", coalesce(col("n_wins"), lit(0L)))
+    val games = n.groupBy("_i").agg(sum("_n").as("n_games"))
+    val pFinal = (1 to iters).foldLeft(items.withColumn("_p", lit(1.0))) {
+      (p, _) =>
+        n.join(broadcast(p.select(col("_i"), col("_p").as("_pi"))), Seq("_i"))
+          .join(broadcast(p.select(col("_i").as("_j"), col("_p").as("_pj"))),
+            Seq("_j"))
+          .groupBy("_i")
+          .agg(sum(col("_n") / (col("_pi") + col("_pj"))).as("_den"))
+          .join(broadcast(wins), Seq("_i"))
+          .select(col("_i"),
+            stableRound(col("n_wins") / col("_den"), 6).as("_p"))
+    }
+    pFinal
+      .crossJoin(broadcast(pFinal.agg(stableRound(sum("_p"), 6).as("_t"))))
+      .join(broadcast(wins), Seq("_i"))
+      .join(broadcast(games), Seq("_i"))
+      .select(
+        col("_i").as("item"), col("n_wins"), col("n_games"),
+        stableRound(col("_p") / col("_t"), 6).as("bt_strength"))
+  }
 }

@@ -350,4 +350,56 @@ class ExperimentSpec extends SparkSpec {
     val r3 = Experiment.welchTTest(const, "g", "v", "c", "t").head()
     assert(r3.isNullAt(4) && r3.isNullAt(6))
   }
+
+  test("bradleyTerry: hand-unrolled MM rounds; sum-1; dominance order; never-winner pins 0") {
+    import spark.implicits._
+    // A beats B twice, B beats A once, A beats C once, C beats B once
+    val trials = Seq(
+      ("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"), ("C", "B"))
+      .toDF("winner", "loser")
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent replication of Hunter's MM over plain Scala collections,
+    // same 6dp rounding at each boundary
+    val wins = Map("A" -> 3.0, "B" -> 1.0, "C" -> 1.0)
+    val n = Map(("A", "B") -> 3.0, ("B", "A") -> 3.0,
+      ("A", "C") -> 1.0, ("C", "A") -> 1.0,
+      ("B", "C") -> 1.0, ("C", "B") -> 1.0)
+    var p = Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0)
+    (1 to 3).foreach { _ =>
+      val next = p.keys.map { i =>
+        val den = n.collect { case ((a, b), nij) if a == i =>
+          nij / (p(a) + p(b)) }.sum
+        i -> r6(wins(i) / den)
+      }.toMap
+      p = next
+    }
+    val tot = r6(p.values.sum)
+    val out = Experiment.bradleyTerry(trials, "winner", "loser", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A")._1 === 3L && out("A")._2 === 4L)
+    assert(out("B") === ((1L, 4L, r6(p("B") / tot))))
+    assert(out("C") === ((1L, 2L, r6(p("C") / tot))))
+    assert(out("A")._3 === r6(p("A") / tot))
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-5)
+    assert(out("A")._3 > out("B")._3, "dominant item must rank first")
+
+    // never-winner pins 0; self-pairs and null rows are dropped
+    val deg = Seq(
+      (Some("X"), Some("Y")), (Some("X"), Some("Y")), (Some("X"), Some("X")),
+      (None, Some("Y")), (Some("X"), None))
+      .toDF("winner", "loser")
+    val d = Experiment.bradleyTerry(deg, "winner", "loser", iters = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(d === Map("X" -> ((2L, 2L, 1.0)), "Y" -> ((0L, 2L, 0.0))))
+
+    // layout determinism: a different physical partitioning folds to the
+    // same rounded trajectory
+    val shuffled = Experiment.bradleyTerry(
+      trials.repartition(7), "winner", "loser", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(shuffled === out.view.mapValues(_._3).toMap)
+  }
 }
