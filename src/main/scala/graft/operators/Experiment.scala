@@ -636,13 +636,32 @@ object Experiment {
     * on every played edge since each edge's winner keeps `W > 0`. */
   def bradleyTerry(
       pairs: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 3): DataFrame = {
-    require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
-    val wl = pairs
+      iters: Int = 3): DataFrame =
+    bradleyTerryFromCounts(pairCounts(pairs, winnerCol, loserCol), iters)
+
+  /** Directed win-count frame `(_i, _j, _w)` for a trial frame — the
+    * SUFFICIENT STATISTIC of the Bradley–Terry model, and (like the CMS
+    * registers) plain mergeable relational state: counts ADD, so
+    * `pairCounts(A) ⊎ pairCounts(B)` sum-folded equals
+    * `pairCounts(A ∪ B)` exactly — what makes the fit incrementally
+    * maintainable over a stream. Self-pairs and null items are dropped. */
+  def pairCounts(
+      pairs: DataFrame, winnerCol: String, loserCol: String): DataFrame =
+    pairs
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
       .groupBy(col(winnerCol).as("_i"), col(loserCol).as("_j"))
       .agg(count(lit(1)).as("_w"))
+
+  /** Sum-fold two [[pairCounts]] frames — exact, associative, NON-idempotent
+    * (replay safety is the caller's staging discipline, as with
+    * [[Cms]]). */
+  def mergePairCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("_i", "_j").agg(sum("_w").as("_w"))
+
+  /** The MM fit from a [[pairCounts]] frame (see [[bradleyTerry]]). */
+  def bradleyTerryFromCounts(wl: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
     val n = wl
       .unionByName(wl.select(
         col("_j").as("_i"), col("_i").as("_j"), col("_w")))
