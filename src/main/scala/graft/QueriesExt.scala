@@ -963,6 +963,30 @@ object QueriesExt {
               WHERE CAST(len(list_intersect(a.ch, b.ch)) AS DOUBLE)
                     / (len(a.ch) + len(b.ch) - len(list_intersect(a.ch, b.ch))) >= 0.5""")),
 
+    // M05 — WebDataset-style payload shard packing: the export step a
+    // multimodal corpus actually ships as — fixed ~16 KiB archive shards
+    // under the deterministic md5(id) permutation (shard id = pure function
+    // of the corpus, so every re-export is byte-stable). Reuses the
+    // t19/packing distributed prefix sum — never a single-task global
+    // window; concat-and-chunk semantics (a payload belongs to the shard
+    // its first byte lands in).
+    Entry(
+      "m05_payload_shards",
+      (s, d) =>
+        Multimodal.payloadShards(
+          Multimodal.withPayload(docs(s, d), "doc_id", "text"),
+          "doc_id", shardBytes = 16384)
+          .select("doc_id", "payload_bytes", "cum_bytes", "shard"),
+      Some("""WITH p AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+                         FROM documents WHERE text IS NOT NULL),
+                   r AS (SELECT doc_id, payload_bytes,
+                                SUM(payload_bytes) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                                         ROWS UNBOUNDED PRECEDING) AS cum_bytes
+                         FROM p)
+              SELECT doc_id, payload_bytes, CAST(cum_bytes AS BIGINT) AS cum_bytes,
+                     CAST((cum_bytes - payload_bytes) // 16384 AS BIGINT) AS shard
+              FROM r""")),
+
     // T11 — per-group top-k (TopK.perGroup two-pass rank: local top-k per
     // (group, partition) slice, then global over ≤ k×partitions survivors —
     // a hot group cannot straggle one task): best 3 documents per language

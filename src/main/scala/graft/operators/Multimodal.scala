@@ -121,4 +121,27 @@ object Multimodal {
         stableRound(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
   }
+
+  /** WebDataset-style export sharding — pack payloads into fixed
+    * `shardBytes` output shards under the deterministic md5(id) corpus
+    * permutation, the multimodal analog of [[Packing.packSequences]]
+    * (which it reuses: tokens → bytes): a training-data export writes
+    * blobs as a sequence of ~equal-size archive shards, and the shard id
+    * must be a pure function of the corpus (not of physical layout) so
+    * every re-export lands every payload in the same shard. Concat-and-
+    * chunk semantics: a payload belongs to the shard its FIRST byte lands
+    * in. Adds `payload_bytes`, `cum_bytes` (inclusive running total over
+    * the permutation — the DISTRIBUTED prefix sum, never a single-task
+    * global window) and `shard` (0-based). Null payloads are excluded
+    * (nothing to write). */
+  def payloadShards(
+      df: DataFrame, idCol: String, shardBytes: Int): DataFrame = {
+    require(shardBytes >= 1024, s"shardBytes must be >= 1024, got $shardBytes")
+    Packing.packSequences(
+      df.where(col("payload").isNotNull)
+        .withColumn("payload_bytes", octet_length(col("payload")).cast("long")),
+      idCol, "payload_bytes", maxTokens = shardBytes)
+      .withColumnRenamed("cum_tokens", "cum_bytes")
+      .withColumnRenamed("seq_id", "shard")
+  }
 }

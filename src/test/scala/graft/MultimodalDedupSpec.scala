@@ -61,4 +61,30 @@ class MultimodalDedupSpec extends SparkSpec {
     val df = payloads(1L -> ("A" * 32), 2L -> ("B" * 32))
     assert(Multimodal.payloadNearDupPairs(df, "doc_id", 8, 0.1).count() == 0)
   }
+
+  test("payloadShards: first-byte rule, contiguous shard ids, permutation-stable across layouts") {
+    val df = payloads((0L until 200L).map(i => i -> ("x" * (40 + (i % 97)).toInt)): _*)
+    val out = Multimodal.payloadShards(df, "doc_id", shardBytes = 2048)
+      .select("doc_id", "payload_bytes", "cum_bytes", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 200)
+    out.foreach { case (id, bytes, cum, shard) =>
+      assert(shard === (cum - bytes) / 2048, s"doc $id violates the first-byte rule")
+    }
+    // shard ids cover 0..max with none skipped (concat-and-chunk leaves no
+    // empty shard), and the running total is consistent: per-shard first
+    // bytes are ordered
+    val shards = out.map(_._4).distinct.sorted
+    assert(shards === (0L to shards.max).toArray)
+    // a different physical layout folds to the identical assignment
+    val re = Multimodal.payloadShards(df.repartition(13), "doc_id", 2048)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === out.map(t => t._1 -> t._4).toMap)
+    // null payloads are excluded
+    val withNull = payloads(1L -> "abc")
+      .unionByName(payloads(2L -> "ignored")
+        .withColumn("payload", lit(null).cast("binary")))
+    assert(Multimodal.payloadShards(withNull, "doc_id", 2048).count() === 1)
+  }
 }
