@@ -3260,6 +3260,57 @@ object QueriesExt {
                      ROUND(p3.p / tot.t + 1e-9, 6) AS bt_strength
               FROM p3 JOIN wi USING (i) JOIN gm USING (i), tot""")),
 
+    // Q78 — Theil–Sen robust trend per user: q36's OLS re-asked with a
+    // 29.3%-breakdown estimator (median of pairwise slopes — one corrupted
+    // point can move an OLS slope arbitrarily, it moves this one not at
+    // all). Pair frame is quadratic IN THE GROUP (per-user series are
+    // bounded time buckets), the self-join is group-local, ranking windows
+    // are group-partitioned; slopes rounded 6 dp BEFORE ranking (the t13
+    // discipline) so a last-ulp division difference can't reorder the
+    // median cut; both medians use the two-middle order-statistic form,
+    // deterministic under ties.
+    Entry(
+      "q78_theil_sen",
+      (s, d) => {
+        val e = graft.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("value"))
+        val t0 = e.agg(min("ts").as("_t0"))
+        Profiling.theilSen(
+          e.crossJoin(broadcast(t0))
+            .withColumn(
+              "x", (col("ts") - col("_t0")).cast("double") / 86400000000.0),
+          Seq("user_id"), "x", "value")
+      },
+      Some("""WITH m AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+                   e AS (SELECT user_id,
+                                (epoch_us(ts) - t0)::DOUBLE / 86400000000 AS x,
+                                value AS y
+                         FROM events, m),
+                   pr AS (SELECT a.user_id AS user_id,
+                                 ROUND((b.y - a.y) / (b.x - a.x) + 1e-9, 6) AS s
+                          FROM e a JOIN e b ON a.user_id = b.user_id AND a.x < b.x),
+                   rk AS (SELECT user_id, s,
+                                 row_number() OVER (PARTITION BY user_id ORDER BY s) AS r,
+                                 COUNT(*) OVER (PARTITION BY user_id) AS mm
+                          FROM pr),
+                   sl AS (SELECT user_id, ROUND(AVG(s) + 1e-9, 6) AS ts_slope,
+                                 CAST(MAX(mm) AS BIGINT) AS n_pairs
+                          FROM rk WHERE r = (mm + 1) // 2 OR r = (mm + 2) // 2
+                          GROUP BY user_id),
+                   ic AS (SELECT e.user_id AS user_id,
+                                 ROUND(e.y - sl.ts_slope * e.x + 1e-9, 6) AS i0
+                          FROM e JOIN sl USING (user_id)),
+                   rk2 AS (SELECT user_id, i0,
+                                  row_number() OVER (PARTITION BY user_id ORDER BY i0) AS r,
+                                  COUNT(*) OVER (PARTITION BY user_id) AS mm
+                           FROM ic),
+                   ic2 AS (SELECT user_id, ROUND(AVG(i0) + 1e-9, 6) AS ts_intercept
+                           FROM rk2 WHERE r = (mm + 1) // 2 OR r = (mm + 2) // 2
+                           GROUP BY user_id),
+                   np AS (SELECT user_id, COUNT(*) AS n_points FROM e GROUP BY 1)
+              SELECT np.user_id, np.n_points, sl.n_pairs, sl.ts_slope, ic2.ts_intercept
+              FROM np JOIN sl USING (user_id) JOIN ic2 USING (user_id)""")),
+
     // Q46 — two-proportion z-test between md5-split variants (success =
     // long document): the A/B readout over the deterministic assignment the
     // split operators already provide.

@@ -1153,4 +1153,73 @@ object Profiling {
             (col("n") * col("n"))) / lit(100.0), 6).as("sd_value") :+
         col("n_outliers")): _*)
   }
+
+  /** Exact per-group median of `valCol` (6 dp) by the two-middle order
+    * statistics: rank by value inside the group (order-statistic VALUES
+    * are deterministic even under ties), average ranks ⌈m/2⌉ and ⌈(m+1)/2⌉
+    * — the `quantile_cont(0.5)` convention, replayable in plain SQL. The
+    * window is partitioned by the group — bounded by the caller's
+    * per-group contract, never corpus-global. */
+  private def groupedMedian(
+      vals: DataFrame, keys: Seq[String], valCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valCol))
+    vals
+      .withColumn("_gm_r", row_number().over(w))
+      .withColumn("_gm_m",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("_gm_r") === expr("(_gm_m + 1) DIV 2") ||
+        col("_gm_r") === expr("(_gm_m + 2) DIV 2"))
+      .groupBy(keys.map(col): _*)
+      .agg(stableRound(avg(col(valCol)), 6).as(out),
+        max("_gm_m").as(s"${out}_n"))
+  }
+
+  /** Theil–Sen robust trend per group — the outlier-resistant companion to
+    * [[groupTrend]]'s OLS (a single corrupted point moves an OLS slope
+    * arbitrarily; the median-of-pairwise-slopes estimator has a 29.3%
+    * breakdown point — Sen 1968): slope = median over all in-group point
+    * pairs with `x1 < x2` of `(y2−y1)/(x2−x1)` (6 dp before ranking, the
+    * t13 round-then-rank discipline), intercept = median of
+    * `y − slope·x`. Output: `(keys*, n_points, n_pairs, ts_slope,
+    * ts_intercept)`; groups with no defined pair (a single point, or all
+    * points sharing one x) are omitted — there is no slope to report.
+    *
+    * SCALE CONTRACT: the pair frame is quadratic IN THE GROUP — callers
+    * feed bounded per-group series (daily/hourly buckets: ≤ thousands of
+    * points → ≤ millions of pairs per group), never raw 100 TB rows under
+    * one key. The self-join is group-local (both sides hash on `keys` —
+    * one co-partitioned exchange each), the ranking windows are
+    * group-partitioned, and nothing is corpus-global. */
+  def theilSen(
+      df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((keys.map(col) :+ col(xCol).cast("double").as("_x") :+
+        col(yCol).cast("double").as("_y")): _*)
+    val b = pts.select((keys.map(col) :+ col("_x").as("_x2") :+
+      col("_y").as("_y2")): _*)
+    val slopes = pts.join(b, keys)
+      .filter(col("_x") < col("_x2"))
+      .select((keys.map(col) :+
+        stableRound(
+          (col("_y2") - col("_y")) / (col("_x2") - col("_x")), 6)
+          .as("_s")): _*)
+    val slope = groupedMedian(slopes, keys, "_s", "ts_slope")
+      .withColumnRenamed("ts_slope_n", "n_pairs")
+    val resid = pts.join(slope, keys)
+      .select((keys.map(col) :+
+        stableRound(col("_y") - col("ts_slope") * col("_x"), 6)
+          .as("_i")): _*)
+    val nPoints = pts.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"))
+    nPoints
+      .join(slope, keys)
+      .join(groupedMedian(resid, keys, "_i", "ts_intercept")
+        .drop("ts_intercept_n"), keys)
+      .select((keys.map(col) :+ col("n_points") :+ col("n_pairs") :+
+        col("ts_slope") :+ col("ts_intercept")): _*)
+  }
 }

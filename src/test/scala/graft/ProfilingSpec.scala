@@ -665,6 +665,41 @@ class ProfilingSpec extends SparkSpec {
     assert(g1 == g2)
   }
 
+  test("theilSen: hand medians; breakdown resistance; degenerate groups omitted; layout-deterministic") {
+    import spark.implicits._
+    // slopes over (0,0),(1,1),(2,2),(3,10): [1,1,1,3.333333,4.5,8] ->
+    // median 2.166667; residual medians -> intercept -0.583333
+    val hand = Seq(("g", 0.0, 0.0), ("g", 1.0, 1.0), ("g", 2.0, 2.0),
+      ("g", 3.0, 10.0)).toDF("g", "x", "y")
+    val h = Profiling.theilSen(hand, Seq("g"), "x", "y").head()
+    assert((h.getLong(1), h.getLong(2)) === ((4L, 6L)))
+    assert(h.getDouble(3) === 2.166667)
+    assert(h.getDouble(4) === -0.583333)
+
+    // breakdown: one wild outlier leaves the slope at EXACTLY 1 (6 of the
+    // 10 pairwise slopes are clean-pair slopes = 1, so both middles are 1)
+    // — the property OLS cannot have
+    val robust = Seq(("r", 0.0, 0.0), ("r", 1.0, 1.0), ("r", 2.0, 2.0),
+      ("r", 3.0, 3.0), ("r", 4.0, 100.0)).toDF("g", "x", "y")
+    val r = Profiling.theilSen(robust, Seq("g"), "x", "y").head()
+    assert(r.getDouble(3) === 1.0)
+    val ols = Profiling.groupTrend(robust, Seq("g"), "x", "y")
+      .head().getAs[Double]("slope")
+    assert(ols > 10.0, "OLS must be dragged by the outlier for contrast")
+
+    // a single point and an all-same-x group have no defined pair -> omitted
+    val degenerate = Seq(("one", 1.0, 5.0), ("samex", 2.0, 1.0),
+      ("samex", 2.0, 9.0)).toDF("g", "x", "y")
+    assert(Profiling.theilSen(degenerate, Seq("g"), "x", "y").count() === 0)
+
+    // layout determinism: the rounded trajectory survives repartitioning
+    val big = (0 until 60).map(i =>
+      ("k", i.toDouble, (i % 7).toDouble + 3 * i)).toDF("g", "x", "y")
+    val a = Profiling.theilSen(big, Seq("g"), "x", "y").head()
+    val b = Profiling.theilSen(big.repartition(11), Seq("g"), "x", "y").head()
+    assert((a.getDouble(3), a.getDouble(4)) === ((b.getDouble(3), b.getDouble(4))))
+  }
+
   test("linearFit randomized: noise-free planes recovered exactly across shapes and partitionings") {
     import spark.implicits._
     (1 to 8).foreach { seed =>
