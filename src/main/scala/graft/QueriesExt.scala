@@ -3311,6 +3311,48 @@ object QueriesExt {
               SELECT np.user_id, np.n_points, sl.n_pairs, sl.ts_slope, ic2.ts_intercept
               FROM np JOIN sl USING (user_id) JOIN ic2 USING (user_id)""")),
 
+    // Q79 — Mann–Kendall monotone-trend test per user: the significance
+    // half of the q78 pairing (MK asks "is there a trend?", Theil–Sen
+    // "how steep?") over the same group-local pair frame. S is an exact
+    // integer fold, Var(S) carries the all-integer y-tie correction, z
+    // gets the ±1 continuity correction, and the two-sided p replays the
+    // q46-family Abramowitz–Stegun polynomial on the ROUNDED |z| — S/Var
+    // hash-exact, z/p engine-portable 6 dp. Per-user timestamps are
+    // distinct (the declared x precondition).
+    Entry(
+      "q79_mann_kendall",
+      (s, d) => Profiling.mannKendall(
+        graft.Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("double").as("x"),
+            col("value")),
+        Seq("user_id"), "x", "value"),
+      Some {
+        val sf = Experiment.normalSfSql("abs(z)")
+        s"""WITH e AS (SELECT user_id, epoch_us(ts)::DOUBLE AS x, value AS y FROM events),
+                 pr AS (SELECT a.user_id AS user_id,
+                               CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+                        FROM e a JOIN e b ON a.user_id = b.user_id AND a.x < b.x),
+                 st AS (SELECT user_id, CAST(SUM(sg) AS BIGINT) AS s_stat FROM pr GROUP BY 1),
+                 np AS (SELECT user_id, COUNT(*) AS n_points FROM e GROUP BY 1),
+                 tt AS (SELECT user_id, SUM(t * (t - 1) * (2 * t + 5)) AS tie
+                        FROM (SELECT user_id, y, COUNT(*) AS t FROM e GROUP BY 1, 2)
+                        GROUP BY 1),
+                 v AS (SELECT np.user_id, np.n_points, st.s_stat,
+                              (np.n_points * (np.n_points - 1) * (2 * np.n_points + 5) - tt.tie)::DOUBLE / 18.0 AS var_s
+                       FROM np JOIN st USING (user_id) JOIN tt USING (user_id)),
+                 zz AS (SELECT user_id, n_points, s_stat,
+                               ROUND(var_s + 1e-9, 6) AS var_s,
+                               CASE WHEN var_s > 0 THEN
+                                 ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                                            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                                            ELSE 0.0 END + 1e-9, 6)
+                               END AS z
+                        FROM v)
+            SELECT user_id, n_points, s_stat, var_s, z,
+                   CASE WHEN z IS NOT NULL THEN ROUND(2.0 * $sf + 1e-9, 6) END AS p_value
+            FROM zz"""
+      }),
+
     // Q46 — two-proportion z-test between md5-split variants (success =
     // long document): the A/B readout over the deterministic assignment the
     // split operators already provide.

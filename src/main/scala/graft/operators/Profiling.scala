@@ -1192,6 +1192,66 @@ object Profiling {
     * one key. The self-join is group-local (both sides hash on `keys` —
     * one co-partitioned exchange each), the ranking windows are
     * group-partitioned, and nothing is corpus-global. */
+  /** Mann–Kendall trend TEST per group — the significance companion to
+    * [[theilSen]]'s estimator (the classic pairing: MK answers "is there a
+    * monotone trend at all?", Theil–Sen answers "how steep?"), over the
+    * same group-local pair frame and the same scale contract (pair frame
+    * quadratic IN THE GROUP — feed bounded time-bucket series).
+    *
+    * `S = Σ_{x_i<x_j} sign(y_j − y_i)` is an EXACT integer fold (never a
+    * float sum), variance carries the standard y-tie correction
+    * `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18` (all-integer
+    * numerator), z applies the ±1 continuity correction, and the two-sided
+    * p comes from the [[Experiment.normalSf]] polynomial on the ROUNDED
+    * |z| — so S and Var are hash-exact and z/p are engine-portable 6 dp.
+    *
+    * PRECONDITION: `xCol` is distinct within a group (timestamps /
+    * bucket indices — the tie correction above covers ties in y only;
+    * tied x would silently drop pairs from S while staying in n). Groups
+    * with no pair are omitted; all-tied-y groups report S but null z/p
+    * (zero variance). Output: `(keys*, n_points, s_stat, var_s, z,
+    * p_value)`. */
+  def mannKendall(
+      df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((keys.map(col) :+ col(xCol).cast("double").as("_x") :+
+        col(yCol).cast("double").as("_y")): _*)
+    val b = pts.select((keys.map(col) :+ col("_x").as("_x2") :+
+      col("_y").as("_y2")): _*)
+    val s = pts.join(b, keys)
+      .filter(col("_x") < col("_x2"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(
+        when(col("_y2") > col("_y"), 1L)
+          .when(col("_y2") < col("_y"), -1L)
+          .otherwise(0L)).as("s_stat"))
+    val tie = pts.groupBy((keys.map(col) :+ col("_y")): _*)
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+        .as("_tt"))
+    val n = pts.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_points"))
+    val varS = (col("n_points") * (col("n_points") - 1) *
+      (lit(2) * col("n_points") + 5) - col("_tt")).cast("double") / 18.0
+    val z = when(col("var_s") > 0,
+      stableRound(
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6))
+    n.join(s, keys).join(tie, keys)
+      .withColumn("var_s", varS)
+      .withColumn("z", z)
+      .select((keys.map(col) :+ col("n_points") :+ col("s_stat") :+
+        stableRound(col("var_s"), 6).as("var_s") :+ col("z") :+
+        when(col("z").isNotNull,
+          stableRound(lit(2.0) * Experiment.normalSf(abs(col("z"))), 6))
+          .as("p_value")): _*)
+  }
+
   def theilSen(
       df: DataFrame, keys: Seq[String], xCol: String,
       yCol: String): DataFrame = {

@@ -700,6 +700,45 @@ class ProfilingSpec extends SparkSpec {
     assert((a.getDouble(3), a.getDouble(4)) === ((b.getDouble(3), b.getDouble(4))))
   }
 
+  test("mannKendall: hand S and tie-corrected variance; zero-variance nulls; direction and significance") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // strictly increasing triple: S = 3, no ties -> Var = 3*2*11/18
+    val up = Seq(("g", 0.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    val u = Profiling.mannKendall(up, Seq("g"), "x", "y").head()
+    assert((u.getLong(1), u.getLong(2)) === ((3L, 3L)))
+    val varS = 3.0 * 2 * 11 / 18
+    assert(u.getDouble(3) === r6(varS))
+    assert(u.getDouble(4) === r6(2.0 / math.sqrt(varS)))
+    assert(u.getDouble(5) > 0.0 && u.getDouble(5) < 0.35)
+
+    // all-tied y: S = 0 and the tie term cancels the variance -> null z/p
+    val tied = Seq(("t", 0.0, 5.0), ("t", 1.0, 5.0), ("t", 2.0, 5.0))
+      .toDF("g", "x", "y")
+    val t = Profiling.mannKendall(tied, Seq("g"), "x", "y").head()
+    assert(t.getLong(2) === 0L && t.getDouble(3) === 0.0)
+    assert(t.isNullAt(4) && t.isNullAt(5))
+
+    // long monotone decrease: S = -n(n-1)/2, z < 0, p ~ 0; a single-point
+    // group has no pair and is omitted
+    val down = (0 until 30).map(i => ("d", i.toDouble, -i.toDouble)) :+
+      (("solo", 0.0, 1.0))
+    val d = Profiling.mannKendall(down.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!d.contains("solo"))
+    assert(d("d").getLong(2) === -(30L * 29 / 2))
+    assert(d("d").getDouble(4) < -6.0 && d("d").getDouble(5) === 0.0)
+
+    // partial ties: y = [1, 2, 2, 3] -> S = 5, tie term for t=2 is 2*1*9
+    val pt = Seq(("p", 0.0, 1.0), ("p", 1.0, 2.0), ("p", 2.0, 2.0),
+      ("p", 3.0, 3.0)).toDF("g", "x", "y")
+    val p = Profiling.mannKendall(pt, Seq("g"), "x", "y").head()
+    assert(p.getLong(2) === 5L)
+    assert(p.getDouble(3) === r6((4.0 * 3 * 13 - 2 * 1 * 9) / 18))
+  }
+
   test("linearFit randomized: noise-free planes recovered exactly across shapes and partitionings") {
     import spark.implicits._
     (1 to 8).foreach { seed =>
