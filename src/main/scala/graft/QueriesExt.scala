@@ -3129,6 +3129,52 @@ object QueriesExt {
                     FROM lineitem)
               GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)""")),
 
+    // T46 — held-out Stupid Backoff LM scoring: the frozen-LM quality
+    // filter (Brants et al. 2007) t20/t28's trained-on-itself MLE cannot
+    // be — scoring a corpus against its own counts never exercises
+    // smoothing; here the train/score doc split makes the whole backoff
+    // chain live (bigram → α·unigram → α²/N OOV floor), and the
+    // n_backoff/n_oov counts put each fallback tier into the hash-checked
+    // contract. Model = two train-side vocabulary aggregates; scoring =
+    // one bigram explode + three vocabulary joins + a per-doc fold.
+    Entry(
+      "t46_stupid_backoff",
+      (s, d) => {
+        val documents = docs(s, d)
+        TextAnalysis.stupidBackoffScore(
+          documents.filter(col("doc_id") % 2 === 0),
+          documents.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                            FROM documents),
+                   uni AS (SELECT w, COUNT(*) AS uc
+                           FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
+                           GROUP BY 1),
+                   tot AS (SELECT SUM(uc) AS n FROM uni),
+                   bi AS (SELECT b, COUNT(*) AS bc FROM (
+                            SELECT t[i] || ' ' || t[i+1] AS b
+                            FROM toks, LATERAL (SELECT unnest(range(1, len(toks.t))) AS i) r
+                            WHERE doc_id % 2 = 0 AND len(t) >= 2)
+                          GROUP BY 1),
+                   tf AS (SELECT doc_id, b, COUNT(*) AS c FROM (
+                            SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                            FROM toks, LATERAL (SELECT unnest(range(1, len(toks.t))) AS i) r
+                            WHERE doc_id % 2 <> 0 AND len(t) >= 2)
+                          GROUP BY 1, 2),
+                   j AS (SELECT tf.doc_id AS doc_id, tf.c AS c, bi.bc AS bc, u2.uc AS uc2,
+                                CASE WHEN bi.bc IS NOT NULL THEN bi.bc::DOUBLE / u1.uc
+                                     WHEN u2.uc IS NOT NULL THEN 0.4 * u2.uc::DOUBLE / tot.n
+                                     ELSE 0.4::DOUBLE * 0.4::DOUBLE / tot.n END AS s
+                         FROM tf LEFT JOIN bi USING (b)
+                                 LEFT JOIN uni u1 ON split_part(tf.b, ' ', 1) = u1.w
+                                 LEFT JOIN uni u2 ON split_part(tf.b, ' ', 2) = u2.w, tot)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_transitions,
+                     CAST(SUM(CASE WHEN bc IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_backoff,
+                     CAST(SUM(CASE WHEN bc IS NULL AND uc2 IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+                     ROUND(SUM(c * ln(s)) / SUM(c) + 1e-9, 6) AS avg_logscore
+              FROM j GROUP BY doc_id""")),
+
     // Q76 — Bloom-filter decontamination probe: the SIXTH sketch-register
     // family member (HLL distinct / CMS frequency / KMV set-ops / q-digest
     // quantiles / MG heavy-hitters / Bloom MEMBERSHIP) — t18's exact gram

@@ -993,6 +993,73 @@ object TextAnalysis {
         col("_lp").as("avg_logprob"))
   }
 
+  /** Held-out Stupid Backoff scoring (Brants et al. 2007) — the FROZEN-LM
+    * form of [[bigramLogProb]], and the one production quality filters
+    * actually run: score NEW data against a model trained on a held
+    * corpus. Trained-on-itself bigram MLE ([[t28|bigramLogProb]]) never
+    * exercises smoothing — every scored bigram was seen by construction;
+    * here the backoff chain is live: `S(w2|w1) = C(w1w2)/C(w1)` if the
+    * train corpus saw the bigram, else `α·C(w2)/N` if it saw the unigram,
+    * else `α²/N` (the OOV floor) — Stupid Backoff's relative frequencies,
+    * NOT normalized probabilities, which is exactly why it needs no
+    * discounting pass and scales to web-corpus LMs.
+    *
+    * Output per scored doc with ≥1 transition: `(idCol, n_transitions,
+    * n_backoff, n_oov, avg_logscore)` — the two count columns make the
+    * backoff path part of the hash-checked contract. Docs with < 2 tokens
+    * are omitted (no transition to score).
+    *
+    * Shape: the model is two train-side map-side-combined aggregates
+    * (vocabulary-sized frames); scoring is one bigram explode over the
+    * scored side + three vocabulary joins (AQE broadcasts them at web
+    * scale the same way it does [[unigramLogProb]]'s) + one per-doc fold.
+    * Nothing is collected. */
+  def stupidBackoffScore(
+      train: DataFrame, score: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    def bigrams(c: Column): Column =
+      let(tokens(c)) { t =>
+        when(
+          size(t) >= 2,
+          transform(
+            sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", slice(t, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+      }
+    val uni = train.select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_uc"))
+    val total = uni.agg(sum("_uc").as("_n"))
+    val bi = train.select(explode(bigrams(col(textCol))).as("_bg"))
+      .groupBy("_bg").agg(count(lit(1)).as("_bc"))
+    val tf = score
+      .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("_bg"))
+      .groupBy("_id", "_bg").agg(count(lit(1)).as("_c"))
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .withColumn("_w2", substring_index(col("_bg"), " ", -1))
+    tf.join(bi, Seq("_bg"), "left")
+      .join(uni.select(col("_w").as("_w1"), col("_uc").as("_uc1")),
+        Seq("_w1"), "left")
+      .join(uni.select(col("_w").as("_w2"), col("_uc").as("_uc2")),
+        Seq("_w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_score",
+        when(col("_bc").isNotNull, col("_bc").cast("double") / col("_uc1"))
+          .when(col("_uc2").isNotNull,
+            lit(alpha) * col("_uc2").cast("double") / col("_n"))
+          .otherwise(lit(alpha * alpha) / col("_n")))
+      .groupBy("_id")
+      .agg(
+        sum("_c").cast("long").as("n_transitions"),
+        sum(when(col("_bc").isNull, col("_c")).otherwise(lit(0L)))
+          .as("n_backoff"),
+        sum(when(col("_bc").isNull && col("_uc2").isNull, col("_c"))
+          .otherwise(lit(0L))).as("n_oov"),
+        stableRound(sum(col("_c") * log(col("_score"))) / sum("_c"), 6)
+          .as("avg_logscore"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Zipf-law fit of the corpus vocabulary: OLS of `ln(freq)` against
     * `ln(rank)` over the term-frequency table — `alpha` (the negated
     * slope, ~1 for natural language) and `r2` are the standard "is this

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.GraftSession
-import graft.streaming.{StreamingCms, StreamingHll, StreamingKmv, StreamingMg, StreamingQuantiles}
+import graft.streaming.{StreamingBloom, StreamingBt, StreamingCms, StreamingHll, StreamingKmv, StreamingMg, StreamingQuantiles}
 
 /** Streaming sketch-attach soak (round-11 → SCALE.md): the design claim
   * behind all three sketch attaches (HLL, CMS, KMV) is BOUNDED state —
@@ -13,10 +13,13 @@ import graft.streaming.{StreamingCms, StreamingHll, StreamingKmv, StreamingMg, S
   * `perTrigger` rows (fresh values each trigger — the worst case for a
   * sketch: state saturates to its cap instead of deduplicating away) and
   * prints per-trigger walls + committed state row counts. Round 12 adds
-  * the two new family members: q-digest quantiles (state ≤ groups × 3k
-  * nodes) and Misra-Gries heavy hitters (state ≤ groups × (k+1) rows —
+  * the newer family members: q-digest quantiles (state ≤ groups × 3k
+  * nodes), Misra-Gries heavy hitters (state ≤ groups × (k+1) rows —
   * driven with FRESH items every trigger, the adversarial vocabulary that
-  * unbounds exact top-terms state).
+  * unbounds exact top-terms state), Bloom membership (state ≤ groups ×
+  * mBits/32 words however many values fold in), and Bradley–Terry
+  * (state = the pair-count sufficient statistic, ≤ items² rows however
+  * many trials stream).
   *
   * Healthy output: walls flat from first to last trigger (the per-trigger
   * work is one batch aggregate + one parameter-sized merge), state rows
@@ -80,6 +83,20 @@ object SketchAttachSoak {
     drive("mg",
       (df, st, ck) => StreamingMg.attach(df, Seq("g"), "v", k = 64, st, ck)((_, _) => ()),
       st => StreamingMg.currentState(spark, st).map(_.count()).getOrElse(0L))
+    // round 12: Bloom membership (state <= groups x mBits/32 words) and
+    // Bradley-Terry (state <= items^2 pair counts; winner/loser drawn from
+    // a fixed 32-item roster so trials accumulate, state doesn't)
+    drive("blm",
+      (df, st, ck) => StreamingBloom.attach(
+        df, Seq("g"), "v", mBits = 1 << 16, k = 3, st, ck)((_, _) => ()),
+      st => StreamingBloom.currentRegisters(spark, st).map(_.count()).getOrElse(0L))
+    drive("bt",
+      (df, st, ck) => StreamingBt.attach(
+        df.selectExpr(
+          "concat('item_', abs(hash(v)) % 32) AS winner",
+          "concat('item_', abs(hash(v, g)) % 32) AS loser"),
+        "winner", "loser", iters = 3, st, ck)((_, _) => ()),
+      st => StreamingBt.currentCounts(spark, st).map(_.count()).getOrElse(0L))
 
     spark.stop()
   }

@@ -884,6 +884,35 @@ class SimilarityTextSpec extends SparkSpec {
     assert(out2(4L).getDouble(2) < out2(2L).getDouble(2))
   }
 
+  test("stupidBackoffScore: every tier of the backoff chain fires with hand values") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // train: unigrams a=3, b=2, c=1 (N=6); bigrams "a b"=2, "b a"=1, "a c"=1
+    val train = Seq((0L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // scored doc exercises all three tiers:
+    //  "a b"  seen bigram        -> 2/3
+    //  "b c"  unseen, c seen     -> 0.4 * 1/6
+    //  "c zz" unseen, zz unseen  -> 0.16/6
+    val score = Seq((1L, "a b c zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((3L, 2L, 1L)))
+    val expected = (math.log(2.0 / 3) + math.log(0.4 * 1 / 6.0) +
+      math.log(0.4 * 0.4 / 6.0)) / 3.0
+    assert(out.getDouble(4) === r6(expected))
+    // a scored doc with < 2 tokens has no transition -> omitted
+    val short = TextAnalysis.stupidBackoffScore(
+      train, Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() === 0)
+    // in-model ordering outscores word salad under the SAME frozen model
+    val pair = TextAnalysis.stupidBackoffScore(
+      train, Seq((5L, "a b a b"), (6L, "b b a a")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(pair(5L) > pair(6L))
+  }
+
   test("MIPS: brute force ranks by inner product; norm-augmentation reduces MIPS to cosine ANN") {
     import spark.implicits._
     // query q = (1, 0). Corpus: a long vector at an angle beats a unit
