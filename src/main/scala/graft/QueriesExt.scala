@@ -3399,6 +3399,87 @@ object QueriesExt {
             FROM zz"""
       }),
 
+    // C10 — preference-steered training mixture: the composition that
+    // closes the RLHF curation loop — q77's Bradley–Terry strengths
+    // (which source WINS head-to-head?) temperature-flattened (α=0.5)
+    // into mixture shares, set against each source's NATURAL token share,
+    // with the resulting sampling boost per source. The q77 fit runs on
+    // broadcast item frames; the token shares are one map-side-combined
+    // corpus aggregate; the composition is a 20-row join. Every stage —
+    // trials, MM rounds, normalization, power-scaling, boosts — replays
+    // in one composed oracle.
+    Entry(
+      "c10_preference_mix",
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "source", "n_chars")
+        val next = base.select(
+          (col("doc_id") - 1).as("doc_id"),
+          col("source").as("_sb"), col("n_chars").as("_cb"))
+        val trials = base.join(next, Seq("doc_id"))
+          .filter(col("source") =!= col("_sb") &&
+            col("n_chars") =!= col("_cb"))
+          .select(
+            when(col("n_chars") > col("_cb"), col("source"))
+              .otherwise(col("_sb")).as("winner"),
+            when(col("n_chars") > col("_cb"), col("_sb"))
+              .otherwise(col("source")).as("loser"))
+        val bt = Experiment.bradleyTerry(trials, "winner", "loser", iters = 3)
+          .withColumnRenamed("item", "source")
+        val tok = docs(s, d).groupBy("source")
+          .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        val tot = tok.agg(sum("n_tokens").as("_tot"))
+        val pa = bt.join(tok, Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("_p", col("n_tokens").cast("double") / col("_tot"))
+          .withColumn("_pa", pow(col("bt_strength"), 0.5))
+        pa.crossJoin(broadcast(pa.agg(sum("_pa").as("_z"))))
+          .select(
+            col("source"), col("bt_strength"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            stableRound(col("_p"), 6).as("p_natural"),
+            stableRound(col("_pa") / col("_z"), 6).as("q_pref"),
+            stableRound((col("_pa") / col("_z")) / col("_p"), 6).as("boost"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+                   pr AS (SELECT a.source AS sa, b.source AS sb, a.n_chars AS ca, b.n_chars AS cb
+                          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                          WHERE a.source <> b.source AND a.n_chars <> b.n_chars),
+                   m AS (SELECT CASE WHEN ca > cb THEN sa ELSE sb END AS winner,
+                                CASE WHEN ca > cb THEN sb ELSE sa END AS loser FROM pr),
+                   wl AS (SELECT winner AS i, loser AS j, COUNT(*) AS w FROM m GROUP BY 1, 2),
+                   n AS (SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+                           SELECT i, j, w FROM wl UNION ALL SELECT j AS i, i AS j, w FROM wl) GROUP BY 1, 2),
+                   it AS (SELECT DISTINCT i FROM n),
+                   wi AS (SELECT it.i, CAST(COALESCE(s.w, 0) AS BIGINT) AS wins
+                          FROM it LEFT JOIN (SELECT i, SUM(w) AS w FROM wl GROUP BY 1) s USING (i)),
+                   p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM it),
+                   d1 AS (SELECT n.i, SUM(n.n / (pi.p + pj.p)) AS den
+                          FROM n JOIN p0 pi ON n.i = pi.i JOIN p0 pj ON n.j = pj.i GROUP BY n.i),
+                   p1 AS (SELECT wi.i, ROUND(wi.wins / d1.den + 1e-9, 6) AS p FROM wi JOIN d1 USING (i)),
+                   d2 AS (SELECT n.i, SUM(n.n / (pi.p + pj.p)) AS den
+                          FROM n JOIN p1 pi ON n.i = pi.i JOIN p1 pj ON n.j = pj.i GROUP BY n.i),
+                   p2 AS (SELECT wi.i, ROUND(wi.wins / d2.den + 1e-9, 6) AS p FROM wi JOIN d2 USING (i)),
+                   d3 AS (SELECT n.i, SUM(n.n / (pi.p + pj.p)) AS den
+                          FROM n JOIN p2 pi ON n.i = pi.i JOIN p2 pj ON n.j = pj.i GROUP BY n.i),
+                   p3 AS (SELECT wi.i, ROUND(wi.wins / d3.den + 1e-9, 6) AS p FROM wi JOIN d3 USING (i)),
+                   bt_tot AS (SELECT ROUND(SUM(p) + 1e-9, 6) AS t FROM p3),
+                   bt AS (SELECT p3.i AS source, ROUND(p3.p / bt_tot.t + 1e-9, 6) AS bt_strength
+                          FROM p3, bt_tot),
+                   tok AS (SELECT source,
+                                  SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS nt
+                           FROM documents GROUP BY source),
+                   tt AS (SELECT SUM(nt) AS tot FROM tok),
+                   pa AS (SELECT bt.source, bt.bt_strength, tok.nt,
+                                 tok.nt / tt.tot AS p,
+                                 POWER(bt.bt_strength, 0.5) AS pa
+                          FROM bt JOIN tok USING (source), tt),
+                   z AS (SELECT SUM(pa) AS z FROM pa)
+              SELECT source, bt_strength, CAST(nt AS BIGINT) AS n_tokens,
+                     ROUND(p + 1e-9, 6) AS p_natural,
+                     ROUND(pa / z.z + 1e-9, 6) AS q_pref,
+                     ROUND((pa / z.z) / p + 1e-9, 6) AS boost
+              FROM pa, z""")),
+
     // Q46 — two-proportion z-test between md5-split variants (success =
     // long document): the A/B readout over the deterministic assignment the
     // split operators already provide.
