@@ -659,19 +659,32 @@ object Experiment {
   def mergePairCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("_i", "_j").agg(sum("_w").as("_w"))
 
-  /** The MM fit from a [[pairCounts]] frame (see [[bradleyTerry]]). */
+  /** The MM fit from a [[pairCounts]] frame (see [[bradleyTerry]]).
+    *
+    * The sufficient statistic is MATERIALIZED once (`localCheckpoint` —
+    * items²-bounded, KBs), and so is each round's strength frame: an MM
+    * round references the previous strengths TWICE (once per side of the
+    * edge), so a lazily-chained fold would double the upstream subtree
+    * per round — 2^iters re-executions of the corpus-side trial aggregate
+    * at plan time AND run time. Checkpointing pins both to one corpus
+    * pass + `iters` item-frame jobs, and keeps the plan constant-size at
+    * any `iters`. */
   def bradleyTerryFromCounts(wl: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
-    val n = wl
-      .unionByName(wl.select(
+    val wlM = wl.localCheckpoint(true)
+    val n = wlM
+      .unionByName(wlM.select(
         col("_j").as("_i"), col("_i").as("_j"), col("_w")))
       .groupBy("_i", "_j").agg(sum("_w").as("_n"))
+      .localCheckpoint(true)
     val items = n.select("_i").distinct()
     val wins = items
-      .join(wl.groupBy("_i").agg(sum("_w").as("n_wins")), Seq("_i"), "left")
+      .join(wlM.groupBy("_i").agg(sum("_w").as("n_wins")), Seq("_i"), "left")
       .withColumn("n_wins", coalesce(col("n_wins"), lit(0L)))
+      .localCheckpoint(true)
     val games = n.groupBy("_i").agg(sum("_n").as("n_games"))
-    val pFinal = (1 to iters).foldLeft(items.withColumn("_p", lit(1.0))) {
+    val pFinal = (1 to iters).foldLeft(
+      items.withColumn("_p", lit(1.0)).localCheckpoint(true)) {
       (p, _) =>
         n.join(broadcast(p.select(col("_i"), col("_p").as("_pi"))), Seq("_i"))
           .join(broadcast(p.select(col("_i").as("_j"), col("_p").as("_pj"))),
@@ -681,6 +694,7 @@ object Experiment {
           .join(broadcast(wins), Seq("_i"))
           .select(col("_i"),
             stableRound(col("n_wins") / col("_den"), 6).as("_p"))
+          .localCheckpoint(true)
     }
     pFinal
       .crossJoin(broadcast(pFinal.agg(stableRound(sum("_p"), 6).as("_t"))))
