@@ -583,9 +583,14 @@ object Experiment {
     val other = tested.select(
       col("_bh_key").as("_bh_key_b"), col("_bh_p").as("_bh_p_b"))
     // rank i = #{(p', key') ≤lex (p, key)}; suffix-min over j ≥ i reads the
-    // SAME triangular join the other way (p'·m/j' for (p', key') ≥lex us)
+    // SAME triangular join the other way (p'·m/j' for (p', key') ≥lex us).
+    // Both triangular joins broadcast their hypothesis-frame side (the
+    // declared contract: hypotheses = segments × metrics, never corpus
+    // rows) — a non-equi join with no hint degenerates to a SHUFFLE
+    // CartesianProduct, the one plan shape that would not survive a big
+    // hypothesis frame on a cluster.
     val ranked = tested
-      .join(other,
+      .join(broadcast(other),
         col("_bh_p_b") < col("_bh_p") ||
           (col("_bh_p_b") === col("_bh_p") &&
             col("_bh_key_b") <= col("_bh_key")),
@@ -596,7 +601,7 @@ object Experiment {
       col("_bh_key").as("_bh_key_b"), col("_bh_p").as("_bh_p_b"),
       col("rank").as("_bh_rank_b"))
     val q = ranked
-      .join(withRankB,
+      .join(broadcast(withRankB),
         col("_bh_p_b") > col("_bh_p") ||
           (col("_bh_p_b") === col("_bh_p") &&
             col("_bh_key_b") >= col("_bh_key")))
