@@ -1712,6 +1712,79 @@ object QueriesExt {
                 ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
               GROUP BY exact.q_id""")),
 
+    // S29 — IVF nProbe operating curve: the FAISS-benchmark tuning table
+    // s12's single-config audit can't be — mean recall@5 at nProbe ∈
+    // {1, 2, 4} (10% / 20% / 40% of the 10 cells scanned), in ONE query.
+    // Ground truth is ONE brute-force pass over the query sample; the
+    // index is built once and probed three times, each probe touching
+    // only probed-cell members. The GENERATED oracle shares the
+    // exact/centroid CTEs across the three settings and unrolls one
+    // probed→ranked→recall chain per nProbe. The hash-checked content is
+    // the CURVE — recall must be non-decreasing in nProbe by construction
+    // (probed sets are nested), so any cell-routing bug that breaks
+    // nesting breaks the hash.
+    Entry(
+      "s29_nprobe_curve",
+      (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val exact = Similarity.bruteForceBatch(
+          e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 5, excludeSelf = true)
+        val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", col("label"))
+        Seq(1, 2, 4).map { np =>
+          Similarity.recallAtK(
+            exact,
+            Similarity.probeIvf(idx, q, "vec_id", "embedding", k = 5,
+              nProbe = np, excludeSelf = true, guardBroadcast = false),
+            "vec_id")
+            .agg(
+              count(lit(1)).as("n_queries"),
+              stableRound(avg("recall"), 6).as("mean_recall"))
+            .withColumn("n_probe", lit(np))
+        }.reduce(_ unionByName _)
+          .select("n_probe", "n_queries", "mean_recall")
+      },
+      Some {
+        def chain(np: Int) =
+          s"""probed$np AS (SELECT q_id, label FROM cr WHERE crk <= $np),
+             |ax$np AS (SELECT p.q_id, e.vec_id,
+             |                 row_number() OVER (PARTITION BY p.q_id
+             |                                    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+             |          FROM e JOIN probed$np p ON e.label = p.label
+             |                 JOIN q ON q.q_id = p.q_id
+             |          WHERE e.vec_id <> p.q_id
+             |            AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+             |rec$np AS (SELECT exact.q_id,
+             |                  ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             |                        / COUNT(*), 6) AS recall
+             |           FROM exact LEFT JOIN (SELECT q_id, vec_id FROM ax$np WHERE rk <= 5) a
+             |             ON exact.q_id = a.q_id AND exact.vec_id = a.vec_id
+             |           GROUP BY exact.q_id),
+             |agg$np AS (SELECT $np AS n_probe, COUNT(*) AS n_queries,
+             |                  ROUND(AVG(recall) + 1e-9, 6) AS mean_recall FROM rec$np)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+           |     ex AS (SELECT q.q_id, e.vec_id,
+           |                   row_number() OVER (PARTITION BY q.q_id
+           |                                      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+           |            FROM e, q
+           |            WHERE e.vec_id <> q.q_id
+           |              AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+           |     exact AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
+           |     px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+           |     cent AS (SELECT label, list(av ORDER BY pos) AS cv
+           |              FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+           |              GROUP BY label),
+           |     cr AS (SELECT q.q_id, cent.label,
+           |                   row_number() OVER (PARTITION BY q.q_id
+           |                                      ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label) AS crk
+           |            FROM cent, q),
+           |${Seq(1, 2, 4).map(chain).mkString(",\n")}
+           |SELECT n_probe, n_queries, mean_recall FROM
+           |(SELECT * FROM agg1 UNION ALL SELECT * FROM agg2 UNION ALL SELECT * FROM agg4)""".stripMargin
+      }),
+
     // S13 — 1-bit sign quantization + Hamming retrieval: the 32× end of the
     // compressed-residency ladder. Sign bits packed 32-per-BIGINT-word (no
     // set bit ever lands in a sign position, so both engines build

@@ -110,6 +110,43 @@ class SimilarityTextSpec extends SparkSpec {
     index.unpersisted()
   }
 
+  test("nProbe operating curve: recall non-decreasing in nProbe, exact 1.0 at full probe width") {
+    import spark.implicits._
+    // same deterministic fixture as the tuneNProbe test: the stray best
+    // neighbor in cell 1 makes nProbe=1 strictly lossy
+    val e = (i: Int) => Seq.tabulate(4)(d => if (d == i) 1.0 else 0.0)
+    val vecs =
+      Seq(
+        (0L, e(0), 0L),
+        (1L, Seq(0.9, 0.1, 0.0, 0.0), 0L),
+        (2L, Seq(0.8, 0.2, 0.0, 0.0), 0L),
+        (10L, Seq(0.99, 0.01, 0.0, 0.0), 1L)) ++
+        (11L to 19L).map(i => (i, Seq(0.01, 1.0, 0.0, 0.0), 1L)) ++
+        (20L to 29L).map(i => (i, e(2), 2L)) ++
+        (30L to 39L).map(i => (i, e(3), 3L))
+    val df = vecs.toDF("vec_id", "embedding", "cell")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", col("cell"))
+      .persisted()
+    val sample = df.filter(col("vec_id") === 0L)
+    val exact = Similarity.bruteForceBatch(
+      df, "vec_id", "embedding", sample, "vec_id", "embedding",
+      k = 3, excludeSelf = true)
+    def meanRecall(np: Int): Double =
+      Similarity.recallAtK(
+        exact,
+        Similarity.probeIvf(index, sample, "vec_id", "embedding", k = 3,
+          nProbe = np, excludeSelf = true, guardBroadcast = false),
+        "vec_id")
+        .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    val curve = Seq(1, 2, 4).map(meanRecall)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"probed sets are nested, recall must be monotone: $curve")
+    assert(math.abs(curve.head - 2.0 / 3.0) < 1e-6, "one cell misses the stray")
+    assert(curve(1) === 1.0)
+    assert(meanRecall(4) === 1.0, "full probe width IS the exact scan")
+    index.unpersisted()
+  }
+
   test("probeLsh batch == per-query lshTopK through one shared index") {
     import spark.implicits._
     val rng = new Random(33)
