@@ -3472,6 +3472,56 @@ object QueriesExt {
             FROM zz"""
       }),
 
+    // Q80 — Kruskal–Wallis k-group rank test over the five event types:
+    // the one-way "did ANY segment shift?" screen q59's two-group
+    // Mann–Whitney cannot ask. Pooled midranks ride the distributed
+    // prefix sum over the distinct-value frame (q59's machinery), the
+    // tie correction is the standard Σ(t³−t)/(N³−N), and the p-value is
+    // engine-portable in two declared stages: H' rounded at the stage
+    // boundary, then the Wilson–Hilferty cube-root normal approximation
+    // priced by the shared Abramowitz–Stegun polynomial.
+    Entry(
+      "q80_kruskal_wallis",
+      (s, d) => Experiment.kruskalWallis(
+        graft.Tables.events(s, d), "event_type", "value"),
+      Some {
+        val sfPos = Experiment.normalSfSql("z_wh")
+        val sfNeg = Experiment.normalSfSql("-z_wh")
+        s"""WITH b AS (SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+           |           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+           |     vc AS (SELECT v, COUNT(*) AS c FROM b GROUP BY v),
+           |     rk AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + (c + 1) / 2.0 AS midrank
+           |            FROM vc),
+           |     pgv AS (SELECT g, v, COUNT(*) AS cg FROM b GROUP BY 1, 2),
+           |     pg AS (SELECT g, SUM(cg) AS n, SUM(cg * rk.midrank) AS rsum
+           |            FROM pgv JOIN rk USING (v) GROUP BY g),
+           |     t AS (SELECT COALESCE(SUM(CASE WHEN c > 1 THEN CAST(c AS DOUBLE) * c * c - c END), 0.0) AS ties,
+           |                  CAST(SUM(c) AS BIGINT) AS nn
+           |           FROM vc),
+           |     h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_total,
+           |                  CASE WHEN COUNT(*) >= 2
+           |                        AND (1.0 - ties / (CAST(nn AS DOUBLE) * nn * nn - nn)) > 0
+           |                       THEN ROUND((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+           |                                     * SUM(rsum * rsum / n)
+           |                                   - 3.0 * (CAST(nn AS DOUBLE) + 1))
+           |                                  / (1.0 - ties / (CAST(nn AS DOUBLE) * nn * nn - nn)) + 1e-9, 6)
+           |                  END AS h_stat,
+           |                  CAST(COUNT(*) - 1 AS BIGINT) AS df
+           |           FROM pg, t GROUP BY ties, nn),
+           |     z AS (SELECT n_groups, n_total, h_stat, df,
+           |                  CASE WHEN h_stat IS NOT NULL THEN
+           |                    ROUND((cbrt(h_stat / CAST(df AS DOUBLE))
+           |                             - (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))))
+           |                          * sqrt(9.0 * CAST(df AS DOUBLE) / 2.0) + 1e-9, 6)
+           |                  END AS z_wh
+           |           FROM h)
+           |SELECT n_groups, n_total, h_stat, df, z_wh,
+           |       CASE WHEN z_wh IS NULL THEN NULL
+           |            WHEN z_wh >= 0 THEN ROUND($sfPos + 1e-9, 6)
+           |            ELSE ROUND(1.0 - $sfNeg + 1e-9, 6) END AS p_approx
+           |FROM z""".stripMargin
+      }),
+
     // C10 — preference-steered training mixture: the composition that
     // closes the RLHF curation loop — q77's Bradley–Terry strengths
     // (which source WINS head-to-head?) temperature-flattened (α=0.5)

@@ -618,6 +618,73 @@ object Experiment {
       .drop("_bh_key")
   }
 
+  /** Kruskal–Wallis k-group rank test — the one-way "did ANY of these
+    * segments shift?" screen that [[mannWhitneyU]] (its k=2 special case)
+    * cannot ask: H over pooled midranks with the standard tie correction
+    * `H' = H / (1 − Σ(t³−t)/(N³−N))`, df = k−1, and a TWO-stage portable
+    * p: H' is 6 dp-rounded at the stage boundary, the Wilson–Hilferty
+    * cube-root normalization `z = ((H'/ν)^⅓ − (1 − 2/9ν))·√(9ν/2)` maps
+    * it to a normal deviate (declared approximation — good to ~1e-3 for
+    * ν ≥ 2, far above the decisions it gates), and the shared
+    * [[normalSf]] polynomial prices the upper tail (z < 0 → 1 − sf(−z)).
+    *
+    * Midranks ride [[Packing.globalRunningSums]] over the DISTINCT-value
+    * frame — the sliced prefix sum, never a single-task global window —
+    * exactly as [[mannWhitneyU]] does; everything after the first two
+    * aggregates is group-count-sized. Output (one row): `(n_groups,
+    * n_total, h_stat, df, z_wh, p_approx)`; z/p null when fewer than two
+    * groups or when ALL values are tied (the tie correction divides out
+    * every rank distinction). */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df
+      .where(col(groupCol).isNotNull && v.isNotNull)
+      .select(col(groupCol).cast("string").as("_g"), v.as("_v"))
+    val vc = base.groupBy("_v").agg(count(lit(1)).as("_c"))
+    val ranked = Packing
+      .globalRunningSums(vc, Seq(col("_v").asc), Seq("_c" -> "_cum"))
+      .select(
+        col("_v"),
+        (col("_cum") - col("_c") + (col("_c") + 1) / lit(2.0)).as("_midrank"))
+    val perGroup = base.groupBy("_g", "_v").agg(count(lit(1)).as("_cg"))
+      .join(ranked, Seq("_v"))
+      .groupBy("_g")
+      .agg(sum("_cg").as("_n"), sum(col("_cg") * col("_midrank")).as("_rsum"))
+    val ties = broadcast(vc.agg(
+      coalesce(sum(when(col("_c") > 1,
+        pow(col("_c").cast("double"), 3) - col("_c"))), lit(0.0)).as("_ties"),
+      coalesce(sum("_c"), lit(0L)).as("_nn")))
+    val nnD = col("_nn").cast("double")
+    val tieDenom = lit(1.0) - col("_ties") / (nnD * nnD * nnD - nnD)
+    val h = (lit(12.0) / (nnD * (nnD + 1)) *
+      sum(col("_rsum") * col("_rsum") / col("_n")) -
+      lit(3.0) * (nnD + 1)) / tieDenom
+    val agg = perGroup.crossJoin(ties)
+      .groupBy("_ties", "_nn")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum("_n").as("n_total"),
+        when(count(lit(1)) >= 2 && tieDenom > 0, stableRound(h, 6))
+          .as("h_stat"))
+      .withColumn("df", col("n_groups") - 1)
+    val nu = col("df").cast("double")
+    val z = when(col("h_stat").isNotNull,
+      stableRound(
+        (cbrt(col("h_stat") / nu) - (lit(1.0) - lit(2.0) / (lit(9.0) * nu))) *
+          sqrt(lit(9.0) * nu / 2.0), 6))
+    agg
+      .withColumn("z_wh", z)
+      .select(
+        col("n_groups"), col("n_total"), col("h_stat"), col("df"),
+        col("z_wh"),
+        when(col("z_wh").isNotNull,
+          stableRound(
+            when(col("z_wh") >= 0, normalSf(col("z_wh")))
+              .otherwise(lit(1.0) - normalSf(-col("z_wh"))), 6))
+          .as("p_approx"))
+  }
+
   /** Bradley–Terry preference strengths from pairwise trials — the
     * preference-data readout (which model/source/annotator wins?): each
     * input row is one comparison `(winnerCol, loserCol)`; output is one row

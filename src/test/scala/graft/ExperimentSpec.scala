@@ -351,6 +351,55 @@ class ExperimentSpec extends SparkSpec {
     assert(r3.isNullAt(4) && r3.isNullAt(6))
   }
 
+  test("kruskalWallis: hand H values with and without ties; equal rank sums pin 0; degenerate nulls") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // clean separation, no ties: ranks 1..6, R = (3, 7, 11) ->
+    // H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 32/7
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val s = Experiment.kruskalWallis(sep, "g", "v").head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(3)) === ((3L, 6L, 2L)))
+    assert(s.getDouble(2) === r6(32.0 / 7))
+    assert(s.getDouble(5) > 0.09 && s.getDouble(5) < 0.12,
+      s"exact sf(32/7, df 2) = e^{-16/7} ~ 0.1017, WH must land close: ${s.getDouble(5)}")
+
+    // balanced rank sums: R = (7, 7, 7) -> H exactly 0, p -> ~1
+    val bal = Seq(("a", 1.0), ("a", 6.0), ("b", 2.0), ("b", 5.0),
+      ("c", 3.0), ("c", 4.0)).toDF("g", "v")
+    val b = Experiment.kruskalWallis(bal, "g", "v").head()
+    assert(b.getDouble(2) === 0.0)
+    assert(b.getDouble(5) > 0.95)
+
+    // ties: independent Scala replication of midranks + tie correction
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("c", 2.0))
+    val pooled = rows.map(_._2).sorted
+    def midrank(x: Double) =
+      (pooled.indexOf(x) + 1 + pooled.lastIndexOf(x) + 1) / 2.0
+    val rsums = rows.groupBy(_._1).view
+      .mapValues(g => (g.size, g.map(r => midrank(r._2)).sum)).toMap
+    val nn = rows.size.toDouble
+    val tieTerm = pooled.groupBy(identity).values
+      .map(_.size.toDouble).map(t => t * t * t - t).sum
+    val hExpect = r6(
+      (12.0 / (nn * (nn + 1)) *
+        rsums.values.map { case (n, r) => r * r / n }.sum - 3 * (nn + 1)) /
+        (1.0 - tieTerm / (nn * nn * nn - nn)))
+    val t = Experiment.kruskalWallis(rows.toDF("g", "v"), "g", "v").head()
+    assert(t.getDouble(2) === hExpect)
+
+    // ALL values tied: the correction divides out every rank -> nulls
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val c = Experiment.kruskalWallis(const, "g", "v").head()
+    assert(c.isNullAt(2) && c.isNullAt(4) && c.isNullAt(5))
+
+    // a single group has no between-group question -> nulls
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val o = Experiment.kruskalWallis(one, "g", "v").head()
+    assert(o.getLong(0) === 1L && o.isNullAt(2) && o.isNullAt(5))
+  }
+
   test("bradleyTerry: hand-unrolled MM rounds; sum-1; dominance order; never-winner pins 0") {
     import spark.implicits._
     // A beats B twice, B beats A once, A beats C once, C beats B once
