@@ -118,6 +118,13 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  // locale-independent decimal formatting: the child→parent sample
+  // protocol and the JSON emitters are parsed with `.toDouble` /
+  // machine-read — a comma-decimal JVM locale must not produce "1,234"
+  // (the scala `f` interpolator is Locale.getDefault-sensitive)
+  private def fmt(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
+
   /** INFORMATIONAL shared-scan pass (round-9 verdict task 7): the
     * components family (d06/d07/d10/d16/d18) recomputes the same minhash
     * pair table — and three of them the same component labels — per
@@ -175,7 +182,7 @@ object Bench {
         "pairs_build" -> tPairs, "d06_components" -> tD06,
         "d07_components_star" -> tD07, "d10_canonical" -> tD10,
         "d16_cluster_sizes" -> tD16, "d18_dedup_eval" -> tD18)
-        .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+        .map { case (k, v) => jstr(k) + ":" + fmt(v, 3) }
         .mkString("{", ",", "}")
     } catch {
       case e: Throwable =>
@@ -203,7 +210,7 @@ object Bench {
       val (samples, failures) = runQueries(spark, names, sfDir, reps)
       samples.toSeq.sortBy(_._1).foreach { case (n, vs) =>
         sb.append("S ").append(n)
-          .append(vs.map(v => f" $v%.4f").mkString).append('\n')
+          .append(vs.map(v => " " + fmt(v, 4)).mkString).append('\n')
       }
       failures.toSeq.sortBy(_._1).foreach { case (n, e) =>
         val b64 = java.util.Base64.getEncoder
@@ -211,7 +218,7 @@ object Bench {
         sb.append("F ").append(n).append(' ').append(b64).append('\n')
       }
     }
-    sb.append(f"W ${(System.nanoTime() - t0) / 1e9}%.3f\n")
+    sb.append("W " + fmt((System.nanoTime() - t0) / 1e9, 3) + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     spark.stop()
   }
@@ -357,7 +364,7 @@ object Bench {
             else math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1)))
     }
     def qmap(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      xs.map { case (k, v) => jstr(k) + ":" + fmt(v, 3) }.mkString("{", ",", "}")
     val fJson = failures.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val fDetail = failures.toSeq.sortBy(_._1)
       .map { case (k, e) => jstr(k) + ":" + jstr(e) }

@@ -3150,7 +3150,9 @@ object QueriesExt {
     // means/sds + residual-outlier counts — the "is this deviation just
     // Saturday?" readout between q49's rolling z-score and q69's CUSUM.
     // Values fold as exact cents, the 3σ branch is the all-integer
-    // (n·v−S)² > 9(nQ−S²) form, so every outlier flag is bit-replayed;
+    // (n·v−S)² > 9(nQ−S²) form — widened to decimal(38,0) on the Spark
+    // side and HUGEINT here, since the SQUARED terms outgrow BIGINT at a
+    // mere ~3e5 rows/bucket — so every outlier flag is bit-replayed;
     // only the reported mean/sd touch FP (6 dp). Spark Sunday=1 vs DuckDB
     // Sunday=0 → the oracle shifts dayofweek by +1.
     Entry(
@@ -3162,12 +3164,12 @@ object QueriesExt {
                                 CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS c
                          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
                    st AS (SELECT event_type, dow, hod, COUNT(*) AS n,
-                                 CAST(SUM(c) AS BIGINT) AS s,
-                                 CAST(SUM(c * c) AS BIGINT) AS q
+                                 SUM(c) AS s,
+                                 SUM(CAST(c AS HUGEINT) * c) AS q
                           FROM b GROUP BY 1, 2, 3),
                    fl AS (SELECT st.event_type, st.dow, st.hod,
-                                 CAST(SUM(CASE WHEN (st.n * b.c - st.s) * (st.n * b.c - st.s)
-                                                    > 9 * (st.n * st.q - st.s * st.s)
+                                 CAST(SUM(CASE WHEN (CAST(st.n AS HUGEINT) * b.c - st.s) * (CAST(st.n AS HUGEINT) * b.c - st.s)
+                                                    > 9 * (CAST(st.n AS HUGEINT) * st.q - CAST(st.s AS HUGEINT) * st.s)
                                                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
                           FROM b JOIN st USING (event_type, dow, hod)
                           GROUP BY 1, 2, 3)
@@ -3272,7 +3274,7 @@ object QueriesExt {
         def half(r: Int) = Bloom.registers(
           bench.filter(pmod(Dedup.hash56(col("_gram")), lit(2L)) === r),
           Nil, "_gram", mBits = 8192, k = 3)
-        val regs = Bloom.merge(half(0), half(1), Nil, mBits = 8192)
+        val regs = Bloom.merge(half(0), half(1), Nil, mBits = 8192, k = 3)
         val hits = Bloom.mightContain(
           regs, grams.filter(col("doc_id") % 50 =!= 0), Nil,
           Seq("doc_id"), "_gram", mBits = 8192, k = 3)

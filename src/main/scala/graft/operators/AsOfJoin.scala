@@ -40,10 +40,11 @@ object AsOfJoin {
     *
     * SKEW AUTO-ROUTING: this is the entry point users reach for, so it
     * carries [[asOfBucketed]]'s hot-key protection by default. Before
-    * planning, ONE map-side-combined aggregate over the left key columns
-    * (the q52 keySkew statistic folded to max/total — exact and
-    * layout-independent, see [[skewBucketWidth]]) measures the hottest
-    * key's row fraction. At or above `autoSkewHotFraction` — the regime
+    * planning, a cheap seeded-sample pre-gate — and, only when it flags a
+    * hot candidate or the input is small, ONE exact map-side-combined
+    * aggregate over the left key columns (the q52 keySkew statistic folded
+    * to max/total — exact and layout-independent, see
+    * [[skewBucketWidth]]) — measures the hottest key's row fraction. At or above `autoSkewHotFraction` — the regime
     * where the plain per-key window serializes one task's sort on the hot
     * key — and when both time columns are integral, the call routes to
     * [[asOfBucketed]] with a bucket width of (TRUE left time range /
@@ -119,11 +120,28 @@ object AsOfJoin {
     * verdict). The exact aggregate is layout-independent — hot is hot
     * wherever the rows sit — which also retires the old guard: a ONE-key
     * corpus now correctly routes (that is the most serialized input the
-    * plain plan can receive). Cost: one columnar key-column pass, gated to
-    * callers that enabled probing (`minRows > 0`) and paid once to pick
-    * the join's plan; per-micro-batch callers keep opting out. Inputs
-    * below `minRows` total rows skip routing — data that small cannot
-    * straggle.
+    * plain plan can receive).
+    *
+    * COST SHAPE (round-12 advice): the exact aggregate is a full
+    * key-column scan plus a shuffle ∝ distinct keys, which uniform-data
+    * callers shouldn't pay just to learn "not hot". So a PRE-GATE runs
+    * first: a seeded Bernoulli 1/64 sample of the key columns —
+    * layout-independent (per-row coin flips, never `limit`'s physical
+    * head) and its aggregate shuffles only ~|L|/64 sampled rows, not every
+    * distinct key. When the sample is large enough to trust (≥ 50k sampled
+    * rows ⇒ a key truly owning `hotFraction` of rows shows at least half
+    * that share in the sample up to a ~e^{-1000} Chernoff tail) and shows
+    * max-share < hotFraction/2, routing is declined WITHOUT the exact
+    * pass — the common uniform-big-input case pays one narrow sampled
+    * aggregate only. A flagged candidate (or a sample too small to trust —
+    * i.e. a table small enough that the exact pass is trivial) falls
+    * through to the exact aggregate, so the routing DECISION itself is
+    * always made on exact counts, never on the sample. Probing remains
+    * gated to callers that enabled it (`minRows > 0`) and is paid once per
+    * asOf() call to pick the join's plan; per-micro-batch / hot-path
+    * callers should pass `autoSkewMinRows = 0` and choose the plan
+    * themselves. Inputs below `minRows` total rows skip routing — data
+    * that small cannot straggle.
     *
     * When routing DOES trigger, the bucket width comes from the TRUE time
     * range — one min/max aggregate over the left time column (columnar
@@ -140,6 +158,20 @@ object AsOfJoin {
     val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
     if (!integral(left.schema(leftTime).dataType) ||
         !integral(right.schema(rightTime).dataType)) return None
+    // pre-gate: sampled aggregate (see the cost-shape note above) — only
+    // a trusted-size sample may DECLINE routing; it can never trigger it
+    val pre = left
+      .select(leftKeys.map(col): _*)
+      .sample(withReplacement = false, fraction = 1.0 / 64, seed = 0x5eedL)
+      .groupBy(leftKeys.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .agg(max(col("_c")).as("_max"), sum(col("_c")).as("_tot"))
+      .head()
+    if (!pre.isNullAt(0) && !pre.isNullAt(1)) {
+      val (preMax, preTot) = (pre.getLong(0), pre.getLong(1))
+      if (preTot >= 50000L && preMax.toDouble / preTot < hotFraction / 2)
+        return None
+    }
     val stats = left
       .groupBy(leftKeys.map(col): _*)
       .agg(count(lit(1)).as("_c"))

@@ -48,6 +48,19 @@ object Bloom {
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
   }
 
+  /** The `(mBits, k)` fingerprint STAGED WITH THE STATE: every register
+    * frame carries one sentinel row per group at `_word = -1` with
+    * `_bits = mBits·32 + k` (decodable: `mBits = _bits DIV 32`,
+    * `k = _bits % 32`). `_word = -1` can never collide with a data word
+    * (the envelope is `[0, mBits/32)`), and OR-folding identical
+    * fingerprints is idempotent, so [[merge]] ≡ one-shot build still holds
+    * exactly. The fingerprint is what lets the guarded merge catch a
+    * SMALLER-mBits frame (whose data words all fit inside a larger
+    * envelope) — the failure direction the envelope check alone cannot
+    * see, which would silently break the no-false-negative guarantee. */
+  private[graft] def shapeCode(mBits: Int, k: Int): Long =
+    mBits.toLong * 32L + k
+
   /** The `i`-th hash position of value column `v` in `[0, mBits)` —
     * [[Dedup.hash56]] of `"i:value"`, the same salt-prefix recipe as
     * [[Cms]] rows, so both engines derive identical positions. */
@@ -57,21 +70,29 @@ object Bloom {
 
   /** Register frame for `valueCol` per `keys`: one row per (group,
     * non-empty word) — `(keys*, _word, _bits)` with `_bits` the OR of the
-    * 32 lane masks landed in that word. Null values are excluded (a null
-    * is not a member of any set). Empty words are implicit (0) and
+    * 32 lane masks landed in that word — PLUS one [[shapeCode]] sentinel
+    * row per group at `_word = -1` (emitted inside the SAME explode, so
+    * the corpus is still scanned exactly once; the map-side combiner
+    * absorbs the per-row sentinel copies). Null values are excluded (a
+    * null is not a member of any set). Empty words are implicit (0) and
     * reconstructed by [[mightContain]]/[[stats]]; an empty input yields an
-    * empty frame. */
+    * empty frame (no data, no sentinel). */
   def registers(
       df: DataFrame, keys: Seq[String], valueCol: String,
       mBits: Int, k: Int): DataFrame = {
     checkShape(mBits, k)
     df.where(col(valueCol).isNotNull)
       .select((keys.map(col) :+ col(valueCol).as("_v")): _*)
-      .withColumn("_i", explode(sequence(lit(0), lit(k - 1))))
+      // i = -1 is the sentinel lane; i in [0, k) are the hash positions
+      .withColumn("_i", explode(sequence(lit(-1), lit(k - 1))))
       .withColumn("_pos", position(col("_i"), col("_v"), mBits))
       .select(
-        (keys.map(col) :+ expr("_pos DIV 32").as("_word") :+
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))")
+        (keys.map(col) :+
+          when(col("_i") === lit(-1), lit(-1L))
+            .otherwise(expr("_pos DIV 32")).as("_word") :+
+          when(col("_i") === lit(-1), lit(shapeCode(mBits, k)))
+            .otherwise(
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))"))
             .as("_bits")): _*)
       .groupBy((keys :+ "_word").map(col): _*)
       .agg(expr("bit_or(_bits)").as("_bits"))
@@ -79,43 +100,86 @@ object Bloom {
 
   /** OR-fold two register frames (same keys/mBits/k): the Bloom merge —
     * exact, associative, idempotent: the merged frame is bit-identical to
-    * [[registers]] over the unioned inputs.
+    * [[registers]] over the unioned inputs (sentinels included — OR of
+    * identical fingerprints is the fingerprint).
     *
     * CONTRACT: both frames must have been built by [[registers]] with the
     * SAME `(mBits, k)` — OR-folding registers of different shapes silently
-    * produces a meaningless filter (positions don't line up). Pass `mBits`
-    * to enforce the envelope: every row is plan-guarded to
-    * `_word ∈ [0, mBits/32)` and `_bits ∈ [1, 2³²−1]`. A LARGER filter is
-    * always caught (some word necessarily exceeds the envelope once a
-    * handful of values land); a smaller one only via the lane mask, so the
-    * guard is a tripwire, not a proof, in that direction — registers carry
-    * no per-row shape fingerprint by design (the frame IS plain relational
-    * state). The 3-arg form skips the guard for callers that already hold
-    * the invariant structurally. */
+    * produces a meaningless filter (positions don't line up). Pass
+    * `(mBits, k)` to enforce it: every data row is plan-guarded to
+    * `_word ∈ [0, mBits/32)` and `_bits ∈ [1, 2³²−1]`, and every
+    * [[shapeCode]] sentinel row must equal `mBits·32 + k` exactly — which
+    * catches BOTH directions, including the smaller-mBits frame whose data
+    * words fit inside the larger envelope (the false-negative factory the
+    * envelope alone cannot see). The `mBits`-only form checks the
+    * sentinel's mBits digit but not k; the 3-arg form skips the guard for
+    * callers that already hold the invariant structurally (e.g. the
+    * streaming attach, which pins the shape via its API). */
   def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy((keys :+ "_word").map(col): _*)
       .agg(expr("bit_or(_bits)").as("_bits"))
 
-  /** [[merge]] with the shape-compatibility guard (see contract above). */
+  /** [[merge]] with the envelope + sentinel-mBits guard (see contract). */
   def merge(
-      a: DataFrame, b: DataFrame, keys: Seq[String], mBits: Int): DataFrame = {
-    checkShape(mBits, 1)
+      a: DataFrame, b: DataFrame, keys: Seq[String], mBits: Int): DataFrame =
+    merge(guardShape(a, mBits, None), guardShape(b, mBits, None), keys)
+
+  /** [[merge]] with the FULL `(mBits, k)` fingerprint guard (see
+    * contract). */
+  def merge(
+      a: DataFrame, b: DataFrame, keys: Seq[String], mBits: Int,
+      k: Int): DataFrame =
+    merge(guardShape(a, mBits, Some(k)), guardShape(b, mBits, Some(k)), keys)
+
+  /** Plan-guard a register frame against the declared shape: data rows to
+    * the envelope, sentinel rows to the fingerprint (mBits digit only when
+    * `k` is unknown). Rows pass through unchanged; a violation raises at
+    * execution. */
+  private def guardShape(
+      df: DataFrame, mBits: Int, kOpt: Option[Int]): DataFrame = {
+    checkShape(mBits, kOpt.getOrElse(1))
     val nWords = mBits / 32
     val laneCap = (1L << 32) - 1L
-    def guarded(df: DataFrame): DataFrame = df.withColumn("_bits",
+    val sentinelBad = kOpt match {
+      case Some(k) => col("_bits") =!= lit(shapeCode(mBits, k))
+      case None => expr("_bits DIV 32") =!= lit(mBits.toLong)
+    }
+    val dataBad =
+      col("_word") < 0 || col("_word") >= lit(nWords.toLong) ||
+        col("_bits") < 1 || col("_bits") > lit(laneCap)
+    df.withColumn("_bits",
       when(
-        col("_word") < 0 || col("_word") >= lit(nWords.toLong) ||
-          col("_bits") < 1 || col("_bits") > lit(laneCap),
+        when(col("_word") === lit(-1L), sentinelBad).otherwise(dataBad),
         raise_error(concat(
           lit("Bloom merge shape mismatch: register (word="),
           col("_word").cast("string"), lit(", bits="),
           col("_bits").cast("string"),
-          lit(s") is outside the mBits=$mBits envelope [0,$nWords) x [1,$laneCap]")))
+          lit(s") violates the mBits=$mBits" +
+            kOpt.map(k => s", k=$k").getOrElse("") +
+            s" contract (envelope [0,$nWords) x [1,$laneCap]; sentinel " +
+            s"fingerprint at _word=-1)")))
           .cast("bigint"))
         .otherwise(col("_bits")))
-    merge(guarded(a), guarded(b), keys)
   }
+
+  /** Strip the sentinel rows AND assert their fingerprint in the same
+    * filter (one predicate cannot be split by pushdown, so the check can't
+    * be optimized away): keeps data rows, drops a MATCHING sentinel,
+    * raises on a mismatched one. A frame with no sentinel at all passes —
+    * the fingerprint is a tripwire for [[registers]]-built state, not a
+    * proof of provenance. */
+  private def dataRows(regs: DataFrame, mBits: Int, k: Int): DataFrame =
+    regs.where(
+      when(col("_word") === lit(-1L),
+        when(col("_bits") =!= lit(shapeCode(mBits, k)),
+          raise_error(concat(
+            lit(s"Bloom shape mismatch: sentinel fingerprint "),
+            col("_bits").cast("string"),
+            lit(s" != declared ${shapeCode(mBits, k)} (mBits=$mBits, k=$k)")))
+            .cast("boolean"))
+          .otherwise(lit(false)))
+        .otherwise(lit(true)))
 
   /** Probe `probe`'s `valueCol` against a register frame: adds
     * `might_contain` (true iff all `k` positions are set — never a false
@@ -139,7 +203,7 @@ object Bloom {
       .withColumn("_word", expr("_pos DIV 32"))
       .withColumn("_mask",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))"))
-      .join(broadcast(regs), keys :+ "_word", "left")
+      .join(broadcast(dataRows(regs, mBits, k)), keys :+ "_word", "left")
       .groupBy(outKeys: _*)
       .agg(expr("bool_and((COALESCE(_bits, CAST(0 AS BIGINT)) & _mask) = _mask)")
         .as("might_contain"))
@@ -154,7 +218,7 @@ object Bloom {
   def stats(regs: DataFrame, keys: Seq[String], mBits: Int, k: Int): DataFrame = {
     checkShape(mBits, k)
     val m = mBits.toDouble
-    regs
+    dataRows(regs, mBits, k)
       .groupBy(keys.map(col): _*)
       .agg(sum(expr("bit_count(_bits)")).as("bits_set"))
       .select(

@@ -1091,8 +1091,10 @@ object Profiling {
     * all-integer form `(n·v − S)² > k²·(n·Q − S²)` (⇔ |v − mean| > k·σ
     * scaled by n²), so no cross-row FP sum ever feeds a branch and a
     * DuckDB oracle replays every flag bit-for-bit. Only the REPORTED mean
-    * and sd touch doubles, 6 dp at the boundary. Bucket n·v products are
-    * BIGINT-safe to ~1.9e14 rows per bucket at 2-dp values.
+    * and sd touch doubles, 6 dp at the boundary. The branch products are
+    * widened to decimal(38,0) before multiplying (the SQUARED terms, not
+    * the raw n·v product, are what bind — see [[seasonalOutlierFlag]]):
+    * exact to ~5e11 rows per bucket at 2-dp |values| ≤ 1e5.
     *
     * Scale shape: ONE map-side-combined aggregate to the (key, dow, hod)
     * register frame (≤ keys × 168 rows — broadcastable at any corpus
@@ -1112,24 +1114,42 @@ object Profiling {
   /** Exact integer moment registers per (key, dow, hod) bucket:
     * `(keys*, dow, hod, n, _s, _q)` — the frame [[seasonalProfile]] reports
     * from and [[graft.streaming.StreamingSeasonal]] freezes as its
-    * reference. ≤ keys × 168 rows, broadcastable at any corpus size. */
+    * reference. ≤ keys × 168 rows, broadcastable at any corpus size.
+    * `_s`/`_q` fold in decimal(38,0): the squared-cents sum outgrows BIGINT
+    * at only ~20 rows of 1e7-magnitude values (ANSI would raise; legacy
+    * mode would wrap), while decimal keeps the registers exact to ~1e38 —
+    * far past any physical bucket. */
   def seasonalRegisters(
       df: DataFrame, keys: Seq[String], tsCol: String,
-      valueCol: String): DataFrame =
+      valueCol: String): DataFrame = {
+    val wideC = col("_cents").cast("decimal(38,0)")
     seasonalBuckets(df, keys, tsCol, valueCol)
       .groupBy((keys ++ Seq("dow", "hod")).map(col): _*)
       .agg(
-        count(lit(1)).as("n"), sum(col("_cents")).as("_s"),
-        sum(col("_cents") * col("_cents")).as("_q"))
+        count(lit(1)).as("n"),
+        sum(wideC).cast("decimal(38,0)").as("_s"),
+        sum(wideC * wideC).cast("decimal(38,0)").as("_q"))
+  }
 
   /** The all-integer residual test: `(n·v − S)² > k²·(n·Q − S²)` ⇔
     * `|v − mean| > k·σ`, exact — no cross-row FP sum ever feeds the
-    * branch. */
+    * branch. Every operand is widened to `decimal(38,0)` BEFORE any
+    * multiply: the squared terms bind long before the raw `n·v` product
+    * does (`(n·c)²` exceeds signed 64-bit once `n·|c|` > ~3.0e9 — a mere
+    * ~3e5 rows/bucket at 2-dp values near 1e4 cents), and with ANSI off
+    * Spark would wrap BIGINT silently. In decimal the test is exact up to
+    * ~5e11 rows per (key,dow,hod) bucket at 2-dp |values| ≤ 1e5; past
+    * that a product overflows decimal(38,0) → null → the row is simply
+    * not flagged (never a wrapped wrong flag). The DuckDB oracle computes
+    * the same branch in HUGEINT (int128, same ~1.7e38 headroom). */
   private[graft] def seasonalOutlierFlag(sigmaK: Int): Column = {
-    val dev = col("n") * col("_cents") - col("_s")
-    (dev * dev) >
-      lit(sigmaK.toLong * sigmaK) *
-        (col("n") * col("_q") - col("_s") * col("_s"))
+    val wide = "decimal(38,0)"
+    val n = col("n").cast(wide)
+    val c = col("_cents").cast(wide)
+    val s = col("_s").cast(wide)
+    val q = col("_q").cast(wide)
+    val dev = n * c - s
+    (dev * dev) > lit(sigmaK.toLong * sigmaK).cast(wide) * (n * q - s * s)
   }
 
   def seasonalProfile(

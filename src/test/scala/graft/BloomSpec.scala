@@ -10,16 +10,20 @@ class BloomSpec extends SparkSpec {
       df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("registers: 32-lane envelope holds; nulls excluded; empty input -> empty frame") {
+  test("registers: 32-lane envelope holds; shape sentinel present; nulls excluded; empty input -> empty frame") {
     import spark.implicits._
     val df = ((0 until 500).map(i => s"v$i") :+ null).toDF("v")
     val regs = Bloom.registers(df, Nil, "v", mBits = 1024, k = 3).collect()
-    assert(regs.nonEmpty)
-    regs.foreach { r =>
+    val (sentinels, data) = regs.partition(_.getLong(0) == -1L)
+    assert(data.nonEmpty)
+    data.foreach { r =>
       val (w, b) = (r.getLong(0), r.getLong(1))
       assert(w >= 0 && w < 1024 / 32, s"word $w outside envelope")
       assert(b >= 1L && b <= (1L << 32) - 1, s"bits $b outside 32-lane cap")
     }
+    // exactly ONE fingerprint row per group, decodable to (mBits, k)
+    assert(sentinels.length === 1)
+    assert(sentinels.head.getLong(1) === 1024L * 32 + 3)
     assert(Bloom.registers(df.limit(0), Nil, "v", 1024, 3).count() === 0)
   }
 
@@ -46,6 +50,41 @@ class BloomSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Bloom merge shape mismatch"))
     Bloom.merge(ok, ok, Nil, mBits = 1024).collect() // must not throw
+  }
+
+  test("shape fingerprint: the SMALLER frame and the same-mBits different-k frame are caught") {
+    import spark.implicits._
+    val vs = (0 until 50).map(i => s"v$i").toDF("v")
+    val big = Bloom.registers(vs, Nil, "v", 8192, 3)
+    // a smaller-mBits frame: every data word FITS the 8192 envelope, so
+    // only the sentinel fingerprint can catch it
+    val small = Bloom.registers(vs, Nil, "v", 1024, 3)
+    val e1 = intercept[Exception] {
+      Bloom.merge(big, small, Nil, mBits = 8192).collect()
+    }
+    assert(e1.getMessage.contains("shape mismatch"))
+    // same mBits, different k: invisible to the envelope AND the mBits
+    // digit — only the full (mBits, k) fingerprint sees it
+    val k5 = Bloom.registers(vs, Nil, "v", 8192, 5)
+    Bloom.merge(big, k5, Nil, mBits = 8192).collect() // mBits-only: passes
+    val e2 = intercept[Exception] {
+      Bloom.merge(big, k5, Nil, mBits = 8192, k = 3).collect()
+    }
+    assert(e2.getMessage.contains("shape mismatch"))
+    // probe/stats assert the fingerprint too
+    val probe = Seq((1, "v1")).toDF("id", "v")
+    val e3 = intercept[Exception] {
+      Bloom.mightContain(small, probe, Nil, Seq("id"), "v", 8192, 3).collect()
+    }
+    assert(e3.getMessage.contains("shape mismatch"))
+    val e4 = intercept[Exception] {
+      Bloom.stats(k5, Nil, 8192, 3).collect()
+    }
+    assert(e4.getMessage.contains("shape mismatch"))
+    // matching shape everywhere: clean pass end-to-end
+    Bloom.merge(big, big, Nil, mBits = 8192, k = 3).collect()
+    assert(Bloom.mightContain(big, probe, Nil, Seq("id"), "v", 8192, 3)
+      .head.getAs[Boolean]("might_contain"))
   }
 
   test("mightContain: no false negatives ever; false positives live at tight m, gone at ample m") {

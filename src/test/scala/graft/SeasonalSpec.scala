@@ -42,6 +42,22 @@ class SeasonalSpec extends SparkSpec {
     assert(p.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("large-magnitude values: the decimal branch flags exactly where BIGINT would wrap") {
+    // cents ~1e9 ⇒ (n·c − S)² ~1e20 > Long.MaxValue (9.2e18): the old
+    // BIGINT form wrapped silently here (round-12 advice). 20 base points
+    // at 1e7 + one 3e7 spike: mean ≈ 1.095e7, σ ≈ 4.36e6 → only the spike
+    // exceeds 3σ, and no base point may flag (a wrapped square could flag
+    // anything).
+    val df = ev((0 until 20).map(i => (i.toLong * 1000000L, 1.0e7)) :+
+      ((20L * 1000000L, 3.0e7)): _*)
+    val p = Profiling.seasonalProfile(df, Seq("k"), "ts", "value").head()
+    assert(p.getAs[Long]("n_outliers") == 1L)
+    // and the symmetric no-variance case at large magnitude stays quiet
+    val flat = ev((0 until 20).map(i => (i.toLong * 1000000L, 1.0e7)): _*)
+    val pf = Profiling.seasonalProfile(flat, Seq("k"), "ts", "value").head()
+    assert(pf.getAs[Long]("n_outliers") == 0L)
+  }
+
   test("buckets split by hour and day; registers stay ≤ 168 per key") {
     val df = ev(
       (0L, 10.0), (3600L * 1000000L, 20.0),
