@@ -5406,8 +5406,156 @@ object QueriesExt {
               abs(col("_tr95") - ceil(lit(0.95) * col("n"))) / col("n"), 6)
               .as("p95_rank_err"))
       },
-      Some(qdigestSql))
+      Some(qdigestSql)),
+
+    // Q81 — KLL mergeable quantile sketch over UNBOUNDED reals: closes
+    // q74's finite-universe contract (q-digest needs a declared [lo, hi) +
+    // 2^bits cells; KLL's compactor state carries ORIGINAL values, so
+    // heavy-tailed 100 TB telemetry needs no range declaration). Build:
+    // one narrow corpus exchange into 4 md5 buckets, per-bucket compaction
+    // stacks, one fold sweep — every compaction coin is md5-derived, so
+    // the oracle replays each round bit-for-bit and the full state
+    // (level, value, weight) is hash-checked. Weight conservation means
+    // sum(weight) == exact row count by construction.
+    Entry(
+      "q81_kll_build",
+      (s, d) =>
+        Kll.registers(
+            Tables.load(s, d, "events"), Seq("event_type"), "value",
+            "event_id", buckets = 4, k = 32, rounds = 10, salt = "q81")
+          .select(
+            col("event_type"), col("_level").as("level"),
+            col("_value").as("value"),
+            expr("shiftleft(CAST(1 AS BIGINT), _level)").as("weight")),
+      Some(kllBuildSql)),
+
+    // Q81b — the KLL MERGE lifecycle: two independent half-builds
+    // (event_id parity), a union+sweep merge, then decile estimates from
+    // the merged sketch — the day-over-day fold shape. Total weight stays
+    // the exact row count through build AND merge; estimates are original
+    // data values (the sketch never averages). All hash-checked via the
+    // generated replay oracle.
+    Entry(
+      "q81_kll_merge",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val keys = Seq("event_type")
+        val sa = Kll.registers(ev.where(col("event_id") % 2 === 0), keys,
+          "value", "event_id", buckets = 4, k = 32, rounds = 10, salt = "q81m")
+        val sb = Kll.registers(ev.where(col("event_id") % 2 === 1), keys,
+          "value", "event_id", buckets = 4, k = 32, rounds = 10, salt = "q81m")
+        Kll.estimate(
+          Kll.merge(sa, sb, keys, k = 32, sweepRounds = 16, salt = "q81m"),
+          keys,
+          Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+            "p90" -> 0.9))
+      },
+      Some(kllMergeSql)),
+
+    // Q81c — the rank-error audit vs q23-exact semantics: estimate all
+    // nine deciles from the sketch, then measure each reported value's
+    // TRUE rank with one exact corpus aggregate next to the sketch's own
+    // weight-rank. rank_err_frac puts the ≲ 4n/k worst-case (and the much
+    // smaller md5-coin typical case) into the hash-checked contract the
+    // way q74 pins its bits·Σ⌊nᵢ/k⌋ slack.
+    Entry(
+      "q81_kll_error",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val keys = Seq("event_type")
+        val regs = Kll.registers(ev, keys, "value", "event_id",
+          buckets = 4, k = 32, rounds = 10, salt = "q81")
+          .localCheckpoint(true) // sketch-sized; feeds estimate + rank join
+        val est = Kll.estimate(regs, keys,
+          (1 to 9).map(i => s"d$i" -> i / 10.0))
+        val long = est.select(
+            col("event_type"), col("n"),
+            explode(array((1 to 9).map(i =>
+              struct(lit(i).as("q_ix"), col(s"d$i").as("est_value"))): _*))
+              .as("_e"))
+          .select(col("event_type"), col("n"), col("_e.q_ix").as("q_ix"),
+            col("_e.est_value").as("est_value"))
+        val withEst = Kll.estRank(regs, long, keys, "est_value")
+        val exact = ev.select(col("event_type"), col("value"))
+          .join(broadcast(long.select("event_type", "q_ix", "est_value")),
+            Seq("event_type"))
+          .groupBy("event_type", "q_ix")
+          .agg(sum(when(col("value") <= col("est_value"), 1L).otherwise(0L))
+            .as("exact_rank"))
+        withEst.join(exact, Seq("event_type", "q_ix"))
+          .select(
+            col("event_type"), col("q_ix"), col("n"), col("est_value"),
+            col("est_rank"), col("exact_rank"),
+            abs(col("est_rank") - col("exact_rank")).as("rank_abs_err"),
+            stableRound(
+              abs(col("est_rank") - col("exact_rank")) / col("n"), 6)
+              .as("rank_err_frac"))
+      },
+      Some(kllErrorSql))
   )
+
+  /** q81's build oracle, GENERATED by the [[graft.operators.Kll]] SQL
+    * mirrors: md5 bucketing, 10 unrolled per-bucket compaction rounds, the
+    * 14-round fold sweep — the sketch state replayed row-for-row. */
+  private def kllBuildSql: String =
+    s"""WITH
+       |${Kll.buildSql("SELECT event_type, event_id, value FROM events",
+          Seq("event_type"), "value", "event_id", buckets = 4, k = 32,
+          rounds = 10, salt = "q81", p = "k")}
+       |SELECT event_type, _level AS level, _value AS value,
+       |       (CAST(1 AS BIGINT) << _level) AS weight
+       |FROM kreg""".stripMargin
+
+  /** q81_kll_merge's oracle: two generated half-builds, the union+sweep
+    * merge chain, the cumulative-weight decile estimates. */
+  private def kllMergeSql: String = {
+    val qs = Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+      "p90" -> 0.9)
+    val joins = qs.tail.map { case (n, _) =>
+      s"JOIN e_$n USING (event_type)" }.mkString(" ")
+    s"""WITH
+       |${Kll.buildSql("SELECT event_type, event_id, value FROM events WHERE event_id % 2 = 0",
+          Seq("event_type"), "value", "event_id", 4, 32, 10, "q81m", "ka")},
+       |${Kll.buildSql("SELECT event_type, event_id, value FROM events WHERE event_id % 2 = 1",
+          Seq("event_type"), "value", "event_id", 4, 32, 10, "q81m", "kb")},
+       |${Kll.mergeSql("kareg", "kbreg", Seq("event_type"), k = 32,
+          sweepRounds = 16, salt = "q81m", p = "km")},
+       |${Kll.estimateSql("kmreg", Seq("event_type"), qs, p = "e")}
+       |SELECT event_type, e_p10.n AS n,
+       |       ${qs.map { case (n, _) => s"e_$n.$n AS $n" }.mkString(", ")}
+       |FROM e_p10 $joins""".stripMargin
+  }
+
+  /** q81_kll_error's oracle: the generated build + decile estimates,
+    * melted long, the sketch weight-rank and the exact corpus rank per
+    * reported value. */
+  private def kllErrorSql: String = {
+    val qs = (1 to 9).map(i => s"d$i" -> i / 10.0)
+    val melt = (1 to 9).map(i =>
+      s"SELECT event_type, n, CAST($i AS INTEGER) AS q_ix, d$i AS est_value FROM e_d$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH
+       |${Kll.buildSql("SELECT event_type, event_id, value FROM events",
+          Seq("event_type"), "value", "event_id", 4, 32, 10, "q81", "k")},
+       |${Kll.estimateSql("kreg", Seq("event_type"), qs, p = "e")},
+       |long AS MATERIALIZED ($melt),
+       |er AS MATERIALIZED (
+       |  SELECT l.event_type, l.q_ix,
+       |         CAST(COALESCE(SUM(CASE WHEN r._value <= l.est_value
+       |                            THEN (CAST(1 AS BIGINT) << r._level)
+       |                            ELSE 0 END), 0) AS BIGINT) AS est_rank
+       |  FROM long l JOIN kreg r USING (event_type) GROUP BY 1, 2),
+       |ex AS MATERIALIZED (
+       |  SELECT l.event_type, l.q_ix,
+       |         CAST(SUM(CASE WHEN ev.value <= l.est_value THEN 1 ELSE 0 END) AS BIGINT) AS exact_rank
+       |  FROM long l JOIN events ev USING (event_type) GROUP BY 1, 2)
+       |SELECT long.event_type, long.q_ix, long.n, long.est_value,
+       |       er.est_rank, ex.exact_rank,
+       |       abs(er.est_rank - ex.exact_rank) AS rank_abs_err,
+       |       ROUND(abs(er.est_rank - ex.exact_rank) * 1.0 / long.n + 1e-9, 6) AS rank_err_frac
+       |FROM long JOIN er USING (event_type, q_ix)
+       |          JOIN ex USING (event_type, q_ix)""".stripMargin
+  }
 
   /** q74's DuckDB oracle, GENERATED by the [[graft.operators.QDigest]] SQL
     * mirrors: two half-builds (each `bits` unrolled compression rounds over

@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KLL-style mergeable quantile sketch over UNBOUNDED reals — the seventh
+  * member of the engine's sketch-register family (HLL distinct [[Hll]], CMS
+  * frequency [[Cms]], KMV set-ops [[Kmv]], q-digest quantiles [[QDigest]],
+  * Misra-Gries heavy hitters [[Mg]], Bloom membership [[Bloom]]) and the one
+  * that closes q74's contract gap: a q-digest requires a DECLARED finite
+  * `[lo, hi)` universe quantized to `2^bits` cells, which real heavy-tailed
+  * telemetry doesn't offer. Here the state is compactor levels as plain
+  * relational rows — `(keys*, _level, _value)`, weight `2^_level`, values
+  * are ORIGINAL data values (never averaged, never quantized) — so the
+  * sketch needs no range declaration at all, and composes with everything
+  * else in the engine: persist it, union it, fold it across days or
+  * micro-batches, estimate whenever.
+  *
+  * North-star extension (not in the reference — the reference has no
+  * approximate aggregate surface at all; its analytics stop at H2 SQL
+  * aggregates, `dod-etl/.../imtu/InMemoryTableUpdater.scala:141-171`).
+  * Design follows Karnin–Lang–Liberty (FOCS'16) compactors with two
+  * deliberate deviations that make the whole trajectory engine-replayable,
+  * the same discipline as [[QDigest]]'s deterministic compression:
+  *
+  *  1. EQUAL level capacities `k` and BATCH (lazy) compaction: a level
+  *     compacts AT MOST ONCE per sweep round — sort the level, pair
+  *     consecutive items, promote one of each pair to the next level, keep
+  *     the odd leftover in place. Weight is conserved EXACTLY
+  *     (`2·⌊m/2⌋·2^ℓ + (m mod 2)·2^ℓ = m·2^ℓ`), so the sketch's total
+  *     weight always equals the true row count — pinned in KllSpec.
+  *  2. md5-DERIVED compaction coins: the keep-odd/keep-even choice for a
+  *     compaction event is `hash56("salt:bucket:level") % 2` — the [[Cms]]
+  *     row-salt recipe — so ANY engine replaying the rule produces
+  *     bit-identical state, which is what lets a DuckDB oracle replay
+  *     build, merge AND estimate exactly (the q81 queries are hash-checked
+  *     end-to-end, not rows-only).
+  *
+  * Error: one compaction event at level ℓ moves any fixed rank by at most
+  * `2^ℓ` (exactly one sorted pair straddles any threshold; promoting its
+  * even or odd member misstates that pair's mass by `±2^ℓ`). A build
+  * compacts each level once per bucket and the fold sweeps once more, so
+  * the worst-case rank error after build+fold is `≤ Σ 2^ℓ ≤ 4·n/k`
+  * (geometric, dominated by the top level `2^L ≈ n/(P·k)` per bucket plus
+  * `≈ 2·n/k` for the fold) — audited live by the q81_kll_error query and
+  * asserted in KllSpec; the md5 coins make typical error far smaller
+  * (random-walk cancellation across levels).
+  *
+  * Scale shape: [[bucketSketches]] shuffles the corpus ONCE, as narrow
+  * `(keys, bucket, value)` rows partitioned by (keys × `buckets`) — the
+  * bucket count is the parallelism knob (pick `buckets` so a bucket holds
+  * ~1-10M rows; it scales with the corpus the way input partitions do).
+  * Each bucket folds through ONE local kernel — the [[QDigest.compress]]
+  * one-UDF exception, with the same justification: the kernel is the
+  * per-partition sketch builder every mergeable-sketch system runs (Spark's
+  * own ApproximatePercentile builds per-partition summaries identically),
+  * except keyed by an md5 bucket instead of the physical partition id so
+  * the result is partitioning/AQE/retry-INDEPENDENT. Everything after that
+  * first exchange touches only sketch-sized frames (≤ `buckets·(k+rounds)`
+  * rows per group). [[merge]] is a union + one sweep over register rows —
+  * corpus never re-read. The relational unroll of the kernel is kept
+  * verbatim in the generated oracle SQL ([[sweepSql]]).
+  */
+object Kll {
+
+  private def check(k: Int, rounds: Int): Unit = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    require(rounds >= 1 && rounds <= 40, s"rounds must be in [1, 40], got $rounds")
+  }
+
+  /** Plain-Scala mirror of [[Dedup.hash56]] (`conv(substr(md5(s),1,14),16,10)`):
+    * the first 56 bits of md5 as a non-negative Long — bit-identical to the
+    * SQL form, which is what makes the kernel's compaction coins replayable. */
+  private[graft] def hash56Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+  }
+
+  /** The compaction sweep, evaluated locally per (group, bucket): for level
+    * ℓ = 0..rounds-1, if the level holds more than `k` items, sort it, keep
+    * the odd leftover (greatest value) in place, and promote the
+    * md5-chosen parity of each consecutive sorted pair to level ℓ+1. A pure
+    * function of the input multiset — order- and partitioning-independent,
+    * bit-identical to the unrolled relational form the DuckDB oracle
+    * replays ([[sweepSql]]). */
+  private[graft] def sweepLocal(
+      items: Seq[(Int, Double)], k: Int, rounds: Int, salt: String,
+      bucket: Long): Seq[(Int, Double)] = {
+    import scala.collection.mutable.ArrayBuffer
+    val levels = ArrayBuffer.fill(rounds + 1)(ArrayBuffer.empty[Double])
+    items.foreach { case (l, v) =>
+      while (levels.size <= l) levels += ArrayBuffer.empty[Double]
+      levels(l) += v
+    }
+    var l = 0
+    while (l < rounds) {
+      if (l < levels.size && levels(l).size > k) {
+        val cur = levels(l).sorted
+        val m = cur.size
+        val keepOdd = hash56Local(s"$salt:$bucket:$l") % 2 == 0
+        val kept = (1 to 2 * (m / 2)).iterator
+          .filter(p => (p % 2 == 1) == keepOdd).map(p => cur(p - 1)).toSeq
+        while (levels.size <= l + 1) levels += ArrayBuffer.empty[Double]
+        levels(l + 1) ++= kept
+        levels(l) = if (m % 2 == 1) ArrayBuffer(cur(m - 1)) else ArrayBuffer.empty
+      }
+      l += 1
+    }
+    levels.iterator.zipWithIndex
+      .flatMap { case (vs, lv) => vs.sorted.map(v => (lv, v)) }.toSeq
+  }
+
+  /** Per-bucket compactor state: `(keys*, _b, _level, _value)`. Rows hash
+    * into `buckets` lanes by md5 of `idCol` (content-derived — NOT the
+    * physical partition id, so the sketch is cache/AQE/retry-stable), each
+    * lane builds its own compactor stack. ONE corpus exchange, narrow rows.
+    * Nulls are excluded; an empty input yields an empty frame. */
+  def bucketSketches(
+      df: DataFrame, keys: Seq[String], valueCol: String, idCol: String,
+      buckets: Int, k: Int, rounds: Int, salt: String): DataFrame = {
+    check(k, rounds)
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val kernel = udf((b: Long, vs: Seq[Double]) =>
+      sweepLocal(vs.map((0, _)), k, rounds, s"$salt/b", b))
+    df.where(col(valueCol).isNotNull)
+      .select((keys.map(col) :+
+        (Dedup.hash56(col(idCol).cast("string")) % buckets).as("_b") :+
+        col(valueCol).cast("double").as("_v")): _*)
+      .groupBy((keys :+ "_b").map(col): _*)
+      .agg(collect_list(col("_v")).as("_vs"))
+      .select((keys.map(col) :+ col("_b") :+
+        explode(kernel(col("_b"), col("_vs"))).as("_e")): _*)
+      .select((keys.map(col) :+ col("_b") :+ col("_e._1").as("_level") :+
+        col("_e._2").as("_value")): _*)
+  }
+
+  /** Fold the per-bucket stacks of each group into ONE sketch per group:
+    * union all bucket states and sweep once more (bucket label −1, salt
+    * suffix `/f`). Output `(keys*, _level, _value)` — ≤ `k + rounds`-ish
+    * rows per group, corpus-size-independent. */
+  def foldBuckets(
+      perBucket: DataFrame, keys: Seq[String], k: Int, foldRounds: Int,
+      salt: String): DataFrame =
+    sweepGroups(perBucket.drop("_b"), keys, k, foldRounds, s"$salt/f")
+
+  /** One-shot build: [[bucketSketches]] + [[foldBuckets]]. */
+  def registers(
+      df: DataFrame, keys: Seq[String], valueCol: String, idCol: String,
+      buckets: Int, k: Int, rounds: Int, salt: String): DataFrame =
+    foldBuckets(
+      bucketSketches(df, keys, valueCol, idCol, buckets, k, rounds, salt),
+      keys, k, rounds + 4, salt)
+
+  /** Merge two sketches (same keys/k): union the compactor rows and sweep
+    * (salt suffix `/m`). Exact in the sketch sense — total weight is
+    * conserved bit-exactly and the result is a valid KLL state of the union
+    * whose rank slack is the SUM of the constituents' slacks plus one sweep
+    * (the mergeable-summaries additive argument). Deterministic given the
+    * two inputs; like [[QDigest.merge]], NOT structurally associative —
+    * every ordering satisfies the declared bound. */
+  def merge(
+      a: DataFrame, b: DataFrame, keys: Seq[String], k: Int,
+      sweepRounds: Int, salt: String): DataFrame =
+    sweepGroups(a.unionByName(b), keys, k, sweepRounds, s"$salt/m")
+
+  /** The shared group-level sweep kernel over `(keys*, _level, _value)`. */
+  private def sweepGroups(
+      state: DataFrame, keys: Seq[String], k: Int, rounds: Int,
+      saltPrefix: String): DataFrame = {
+    check(k, rounds)
+    val kernel = udf((rows: Seq[Row]) =>
+      sweepLocal(rows.map(r => (r.getInt(0), r.getDouble(1))), k, rounds,
+        saltPrefix, -1L))
+    state
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("_level"), col("_value"))).as("_rs"))
+      .select((keys.map(col) :+ explode(kernel(col("_rs"))).as("_e")): _*)
+      .select((keys.map(col) :+ col("_e._1").as("_level") :+
+        col("_e._2").as("_value")): _*)
+  }
+
+  /** Fold a sketch to one row per group with, per requested quantile
+    * `(name, q)`: the FIRST compactor value (by value order) whose running
+    * weight reaches `⌈q·n̂⌉`, where `n̂` = total weight = the EXACT row
+    * count (weight conservation). Reported values are original data values.
+    * The window orders ≤ sketch rows per group — never corpus rows. */
+  def estimate(
+      regs: DataFrame, keys: Seq[String],
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(qs.nonEmpty, "qs must be non-empty")
+    qs.foreach { case (n, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile $n=$q outside (0,1]") }
+    val wt = expr("shiftleft(CAST(1 AS BIGINT), _level)")
+    val ann = regs
+      .withColumn("_wt", wt)
+      .withColumn("_n",
+        sum(col("_wt")).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn("_cum",
+        sum(col("_wt")).over(
+          Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("_value").asc, col("_level").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perQ = qs.map { case (name, q) =>
+      ann.where(col("_cum") >= ceil(lit(q) * col("_n")).cast("long"))
+        .groupBy(keys.map(col): _*)
+        .agg(max(col("_n")).as("n"), min(col("_value")).as(name))
+    }
+    perQ.reduce((a, b) => a.join(b.drop("n"), keys))
+  }
+
+  /** Estimated rank of each probe row's `probeCol` against the sketch:
+    * adds `est_rank` = Σ weights of compactor values ≤ probe. The sketch
+    * side is broadcast (register rows); the probe side never shuffles. */
+  def estRank(
+      regs: DataFrame, probes: DataFrame, keys: Seq[String],
+      probeCol: String): DataFrame = {
+    val sketch = regs.select((keys.map(col) :+ col("_level") :+
+      col("_value")): _*)
+    probes
+      .join(broadcast(sketch), keys, "left")
+      .groupBy(probes.columns.map(col).toSeq: _*)
+      .agg(coalesce(
+        sum(when(col("_value") <= col(probeCol),
+          expr("shiftleft(CAST(1 AS BIGINT), _level)")).otherwise(0L)),
+        lit(0L)).as("est_rank"))
+  }
+
+  // ── generated DuckDB oracle fragments (house pattern: QDigest.buildSql) ──
+
+  private def hashSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 14))::UBIGINT::BIGINT"
+
+  private def kc(keys: Seq[String]): String =
+    if (keys.isEmpty) "" else keys.mkString("", ", ", ", ")
+  private def kpart(keys: Seq[String]): String =
+    if (keys.isEmpty) "" else keys.mkString("PARTITION BY ", ", ", "")
+
+  /** CTE chain replaying [[sweepLocal]] over `inCte` (columns: keys, _b,
+    * _level, _value), one CTE per level 0..rounds-1. Final frame:
+    * `${p}${rounds}`. `saltPrefix` must already carry the stage suffix
+    * (`salt/b`, `salt/f`, `salt/m`); the bucket term in the coin is the
+    * `_b` column itself, so the same chain serves per-bucket builds
+    * (genuine buckets) and group folds (constant −1 relabel). */
+  def sweepSql(
+      inCte: String, keys: Seq[String], k: Int, rounds: Int,
+      saltPrefix: String, p: String): String = {
+    val part = (keys :+ "_b").mkString(", ")
+    (0 until rounds).map { l =>
+      val prev = if (l == 0) inCte else s"$p$l"
+      val coin = hashSql(s"'$saltPrefix:' || CAST(_b AS VARCHAR) || ':$l'")
+      val ranked =
+        s"""SELECT ${kc(keys)}_b, _level, _value,
+           |       row_number() OVER (PARTITION BY $part ORDER BY _value) AS _rn,
+           |       COUNT(*) OVER (PARTITION BY $part) AS _m
+           |FROM $prev WHERE _level = $l""".stripMargin
+      s"""$p${l + 1} AS MATERIALIZED (
+         |  SELECT ${kc(keys)}_b, _level, _value FROM $prev WHERE _level <> $l
+         |  UNION ALL
+         |  SELECT ${kc(keys)}_b, _level + 1 AS _level, _value
+         |  FROM ($ranked)
+         |  WHERE _m > $k AND _rn <= 2 * (_m // 2)
+         |    AND _rn % 2 = CASE WHEN $coin % 2 = 0 THEN 1 ELSE 0 END
+         |  UNION ALL
+         |  SELECT ${kc(keys)}_b, _level, _value
+         |  FROM ($ranked)
+         |  WHERE _m <= $k OR _rn > 2 * (_m // 2))""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** CTE chain replaying [[registers]] from `srcSql` (any SELECT producing
+    * the keys, `valueExpr` and `idExpr`). Final sketch frame (keys, _level,
+    * _value): `${p}reg`. */
+  def buildSql(
+      srcSql: String, keys: Seq[String], valueExpr: String, idExpr: String,
+      buckets: Int, k: Int, rounds: Int, salt: String, p: String): String = {
+    val src =
+      s"""${p}s AS MATERIALIZED (
+         |  SELECT ${kc(keys)}${hashSql(s"CAST($idExpr AS VARCHAR)")} % $buckets AS _b,
+         |         0 AS _level, CAST($valueExpr AS DOUBLE) AS _value
+         |  FROM ($srcSql) WHERE $valueExpr IS NOT NULL)""".stripMargin
+    val build = sweepSql(s"${p}s", keys, k, rounds, s"$salt/b", s"${p}b")
+    val relabel =
+      s"""${p}r0 AS MATERIALIZED (
+         |  SELECT ${kc(keys)}CAST(-1 AS BIGINT) AS _b, _level, _value
+         |  FROM ${p}b$rounds)""".stripMargin
+    val fold = sweepSql(s"${p}r0", keys, k, rounds + 4, s"$salt/f", s"${p}f")
+    val out =
+      s"""${p}reg AS MATERIALIZED (
+         |  SELECT ${kc(keys)}_level, _value FROM ${p}f${rounds + 4})""".stripMargin
+    Seq(src, build, relabel, fold, out).mkString(",\n")
+  }
+
+  /** CTE chain replaying [[merge]] of two sketch frames (keys, _level,
+    * _value). Final frame: `${p}reg`. */
+  def mergeSql(
+      aCte: String, bCte: String, keys: Seq[String], k: Int,
+      sweepRounds: Int, salt: String, p: String): String = {
+    val u =
+      s"""${p}u AS MATERIALIZED (
+         |  SELECT ${kc(keys)}CAST(-1 AS BIGINT) AS _b, _level, _value FROM $aCte
+         |  UNION ALL
+         |  SELECT ${kc(keys)}CAST(-1 AS BIGINT) AS _b, _level, _value FROM $bCte)""".stripMargin
+    val sweep = sweepSql(s"${p}u", keys, k, sweepRounds, s"$salt/m", s"${p}m")
+    val out =
+      s"""${p}reg AS MATERIALIZED (
+         |  SELECT ${kc(keys)}_level, _value FROM ${p}m$sweepRounds)""".stripMargin
+    Seq(u, sweep, out).mkString(",\n")
+  }
+
+  /** CTE chain replaying [[estimate]] over sketch frame `inCte`. Emits
+    * `${p}cum` plus one `${p}_<name>` CTE per quantile with columns
+    * `(keys*, n, <name>)`. */
+  def estimateSql(
+      inCte: String, keys: Seq[String], qs: Seq[(String, Double)],
+      p: String): String = {
+    val cum =
+      s"""${p}cum AS MATERIALIZED (
+         |  SELECT ${kc(keys)}_level, _value,
+         |         SUM(CAST(1 AS BIGINT) << _level) OVER (${kpart(keys)}) AS _n,
+         |         SUM(CAST(1 AS BIGINT) << _level) OVER (${kpart(keys)}
+         |           ORDER BY _value ASC, _level ASC ROWS UNBOUNDED PRECEDING) AS _cum
+         |  FROM $inCte)""".stripMargin
+    val perQ = qs.map { case (name, q) =>
+      val grp = if (keys.isEmpty) "" else keys.mkString("GROUP BY ", ", ", "")
+      s"""${p}_$name AS MATERIALIZED (
+         |  SELECT ${kc(keys)}CAST(MAX(_n) AS BIGINT) AS n, MIN(_value) AS $name
+         |  FROM ${p}cum
+         |  WHERE _cum >= CAST(CEIL(CAST('$q' AS DOUBLE) * _n) AS BIGINT)
+         |  $grp)""".stripMargin
+    }
+    (cum +: perQ).mkString(",\n")
+  }
+}

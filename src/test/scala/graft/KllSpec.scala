@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Kll}
+
+/** KLL compactor sketch: weight conservation (total weight == exact row
+  * count through build AND merge), level-capacity bounds, determinism and
+  * cache-independence of the md5-coin build, the kernel-vs-SQL hash56
+  * parity the oracle replay rests on, value provenance (estimates are
+  * original data values), and the worst-case rank-error bound. */
+class KllSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val (buckets, k, rounds) = (4, 32, 10)
+
+  private def build(df: DataFrame, salt: String = "t"): DataFrame =
+    Kll.registers(df, Seq("g"), "v", "id", buckets, k, rounds, salt)
+
+  private def mkDf(n: Int, seed: Int = 7): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => ("g", i.toLong, rnd.nextDouble() * 1e6 - 5e5))
+      .toDF("g", "id", "v")
+  }
+
+  private def stateSet(regs: DataFrame): Set[(String, Int, Double)] =
+    regs.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+
+  test("weight conservation: total weight == exact row count; nulls excluded; empty -> empty") {
+    val df = mkDf(5000).unionByName(
+      Seq(("g", -1L, null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "id", "v"))
+    val regs = build(df)
+    val w = regs.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), _level)")))
+      .head().getLong(0)
+    assert(w === 5000L)
+    assert(build(df.limit(0)).count() === 0L)
+  }
+
+  test("level capacities: every swept level holds <= k items; state is corpus-size-independent") {
+    val small = build(mkDf(2000))
+    val large = build(mkDf(40000))
+    for (regs <- Seq(small, large)) {
+      val byLevel = regs.groupBy("_level").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      byLevel.foreach { case (l, c) =>
+        if (l < rounds + 4) assert(c <= k.toLong, s"level $l holds $c > $k")
+      }
+    }
+    // 20x the data must NOT mean 20x the state (the whole point)
+    assert(large.count() <= small.count() * 3)
+  }
+
+  test("determinism: independent builds agree bit-for-bit; caching the input changes nothing") {
+    val df = mkDf(8000)
+    val a = stateSet(build(df))
+    val b = stateSet(build(df))
+    assert(a === b)
+    val cached = df.cache()
+    try assert(stateSet(build(cached)) === a)
+    finally cached.unpersist(blocking = false)
+  }
+
+  test("kernel hash56 mirrors the SQL hash56 bit-for-bit") {
+    val samples = Seq("t/b:0:0", "t/f:-1:3", "skll/m:-1:11", "", "äöü:1:2")
+    val fromSql = samples.toDF("s")
+      .select(Dedup.hash56(col("s"))).collect().map(_.getLong(0))
+    samples.zip(fromSql).foreach { case (s, h) =>
+      assert(Kll.hash56Local(s) === h, s"hash mismatch on '$s'")
+    }
+  }
+
+  test("estimates are ORIGINAL data values and ranks hit their targets within 4n/k") {
+    val n = 10000
+    val df = mkDf(n, seed = 13)
+    val vals = df.select("v").as[Double].collect().sorted
+    val regs = build(df)
+    val est = Kll.estimate(regs, Seq("g"),
+      (1 to 9).map(i => s"d$i" -> i / 10.0))
+    val row = est.head()
+    assert(row.getAs[Long]("n") === n.toLong)
+    val bound = 4.0 * n / k
+    (1 to 9).foreach { i =>
+      val v = row.getAs[Double](s"d$i")
+      assert(vals.contains(v), s"d$i=$v is not an input value")
+      val exactRank = vals.count(_ <= v)
+      val target = math.ceil(i / 10.0 * n).toLong
+      assert(math.abs(exactRank - target) <= bound,
+        s"d$i true rank $exactRank vs target $target exceeds $bound")
+    }
+  }
+
+  test("merge conserves weight exactly and stays within the additive error bound") {
+    val n = 12000
+    val df = mkDf(n, seed = 29)
+    val a = build(df.where(col("id") % 2 === 0))
+    val b = build(df.where(col("id") % 2 === 1))
+    val mg = Kll.merge(a, b, Seq("g"), k, sweepRounds = 16, salt = "t")
+    val w = mg.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), _level)")))
+      .head().getLong(0)
+    assert(w === n.toLong)
+    val vals = df.select("v").as[Double].collect().sorted
+    val p50 = Kll.estimate(mg, Seq("g"), Seq("p50" -> 0.5))
+      .head().getAs[Double]("p50")
+    // two builds + one merge sweep: <= 3 * (4n/k) in the worst case
+    assert(math.abs(vals.count(_ <= p50) - n / 2) <= 12.0 * n / k)
+  }
+
+  test("estRank: weight-rank of a probe matches a hand fold of the state") {
+    val df = mkDf(3000, seed = 31)
+    val regs = build(df).cache()
+    try {
+      val state = regs.collect()
+        .map(r => (r.getInt(1), r.getDouble(2)))
+      val probe = Seq(("g", 0.0)).toDF("g", "p")
+      val got = Kll.estRank(regs, probe, Seq("g"), "p")
+        .head().getAs[Long]("est_rank")
+      val want = state.filter(_._2 <= 0.0).map(x => 1L << x._1).sum
+      assert(got === want)
+    } finally regs.unpersist(blocking = false)
+  }
+}
