@@ -88,20 +88,35 @@ object Bench {
     val qs = SparkEntry.queries
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val failures = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 0 until reps; name <- names if qs.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        samples(name) =
-          samples.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e")
-          failures.getOrElseUpdate(name, e.toString.takeWhile(_ != '\n'))
+    for (rep <- 0 until reps) {
+      for (name <- names if qs.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          samples(name) =
+            samples.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            failures.getOrElseUpdate(name, e.toString.takeWhile(_ != '\n'))
+        }
+        // release caches a query left behind (the dedup builders persist
+        // intermediates) so one query's cache pressure can't skew the next
+        spark.catalog.clearCache()
       }
-      // release caches a query left behind (the dedup builders persist
-      // intermediates) so one query's cache pressure can't skew the next
+      // REP BARRIER (round-12 verdict task 5): even with per-family fork
+      // isolation, the sd column showed within-fork wobble on the
+      // persist-heavy families (c01 ±1.61 s, d06 ±1.08 s) — residual
+      // block-manager/heap pressure accumulating ACROSS reps inside one
+      // JVM. Between reps, drop every still-persisted RDD (localCheckpoint
+      // survivors included; blocking, so the next rep starts with an empty
+      // block manager) and ask for a full GC, so rep i+1 measures the
+      // query, not rep i's leftovers.
+      val _ = rep
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     (samples.toMap, failures.toMap)
   }

@@ -5491,7 +5491,194 @@ object QueriesExt {
               abs(col("est_rank") - col("exact_rank")) / col("n"), 6)
               .as("rank_err_frac"))
       },
-      Some(kllErrorSql))
+      Some(kllErrorSql)),
+
+    // T47 — unigram-LM (SentencePiece-style) tokenizer induction: the
+    // probabilistic sibling of BPE t35-t37 (Kudo 2018), hard-EM over the
+    // SAME one-corpus-pass word-frequency frame. Every Viterbi score is an
+    // integer micro-logp (round(ln p · 1e6) — the 6 dp stage boundary as
+    // BIGINT), so segmentation argmaxes are exact integer comparisons and
+    // the whole trajectory — seed, 3 E/M rounds, every count and
+    // renormalization — replays through a generated recursive-CTE oracle
+    // (forward DP carries a 4-score sliding window; backward path takes
+    // the longest qualifying piece).
+    Entry(
+      "t47_unigram_learn",
+      (s, d) => TextAnalysis.unigramLmLearn(docs(s, d), "text",
+        seedMulti = 40, emRounds = 3),
+      Some(unigramLearnSql(40, 3))),
+
+    // T47b — the fixed-vocab ENCODE twin: segment every document with the
+    // learned vocabulary (Viterbi once per DISTINCT word, the t37 trick);
+    // per-doc piece counts and the exact BIGINT best-path score.
+    Entry(
+      "t47_unigram_encode",
+      (s, d) => TextAnalysis.unigramLmEncode(docs(s, d), "doc_id", "text",
+        seedMulti = 40, emRounds = 3),
+      Some(unigramEncodeSql(40, 3))),
+
+    // S30 — graded-relevance ranking metrics (nDCG@10, MRR@10, AP@10): the
+    // retrieval-quality evaluation s12's binary recall@k cannot be (recall
+    // sees neither ORDER nor GRADE — a retriever that ranks its one good
+    // hit last scores the same recall). Retriever = brute-force cosine
+    // top-10 per sampled query; relevance = label-derived grades (same
+    // label rel 2, ring-adjacent label rel 1 — deterministic, and graded,
+    // so the 2^rel gain matters). Everything after the probe is
+    // (queries × k)-sized; the ideal ranking comes CLOSED-FORM from
+    // per-grade counts — the corpus is never sorted for IDCG.
+    Entry(
+      "s30_ranking_metrics",
+      (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val retrieved = Similarity.bruteForceBatch(
+          e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, excludeSelf = true)
+        val rel = e.select(col("vec_id"), col("label"))
+          .crossJoin(broadcast(
+            q.select(col("vec_id").as("q_id"), col("label").as("_ql"))))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("_rel",
+            when(col("label") === col("_ql"), 2L)
+              .when(pmod(col("label") - col("_ql"), lit(10)).isin(1, 9), 1L))
+          .where(col("_rel").isNotNull)
+          .select(col("q_id"), col("vec_id"), col("_rel").as("rel"))
+        Similarity.rankingMetrics(
+          retrieved, rel, "q_id", "vec_id", "rank", "rel", k = 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, label AS ql, v AS qv FROM e WHERE vec_id % 50 = 0),
+                   rk AS (SELECT q.q_id, e.vec_id,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+                          FROM e, q
+                          WHERE e.vec_id <> q.q_id
+                            AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+                   ret AS (SELECT q_id, vec_id, rk FROM rk WHERE rk <= 10),
+                   rel AS (SELECT q_id, vec_id, rel FROM (
+                             SELECT q.q_id AS q_id, e.vec_id AS vec_id,
+                                    CASE WHEN e.label = q.ql THEN 2
+                                         WHEN ((e.label - q.ql) % 10 + 10) % 10 IN (1, 9) THEN 1
+                                    END AS rel
+                             FROM e, q WHERE e.vec_id <> q.q_id)
+                           WHERE rel IS NOT NULL),
+                   j AS (SELECT r.q_id, r.rk, COALESCE(rel.rel, 0) AS rel
+                         FROM ret r LEFT JOIN rel
+                           ON rel.q_id = r.q_id AND rel.vec_id = r.vec_id),
+                   ann AS (SELECT q_id, rk, rel,
+                                  SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                                    OVER (PARTITION BY q_id ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cumrel
+                           FROM j),
+                   pq AS (SELECT q_id,
+                                 SUM((pow(2, rel) - 1) / log2(rk + 1)) AS dcg,
+                                 MIN(CASE WHEN rel > 0 THEN rk END) AS fr,
+                                 SUM(CASE WHEN rel > 0 THEN CAST(cumrel AS DOUBLE) / rk ELSE 0 END) AS apnum
+                          FROM ann GROUP BY q_id),
+                   rs AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY q_id),
+                   gc AS (SELECT q_id, rel AS g, COUNT(*) AS c FROM rel GROUP BY 1, 2),
+                   gi AS (SELECT q_id, g, c,
+                                 COALESCE(SUM(c) OVER (PARTITION BY q_id ORDER BY g DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+                          FROM gc),
+                   ip AS (SELECT q_id, g,
+                                 unnest(range(CAST(bf + 1 AS BIGINT),
+                                              CAST(bf + GREATEST(0, LEAST(c, 10 - bf)) + 1 AS BIGINT))) AS pos
+                          FROM gi WHERE LEAST(c, 10 - bf) > 0),
+                   ideal AS (SELECT q_id, SUM((pow(2, g) - 1) / log2(pos + 1)) AS idcg
+                             FROM ip GROUP BY q_id)
+              SELECT pq.q_id AS q_id, COALESCE(rs.n_rel, 0) AS n_rel,
+                     ROUND(dcg / idcg + 1e-9, 6) AS ndcg_at_10,
+                     ROUND(COALESCE(1.0 / fr, 0) + 1e-9, 6) AS mrr_at_10,
+                     CASE WHEN rs.n_rel IS NOT NULL
+                          THEN ROUND(apnum / CAST(LEAST(rs.n_rel, 10) AS DOUBLE) + 1e-9, 6)
+                     END AS ap_at_10
+              FROM pq LEFT JOIN rs USING (q_id) LEFT JOIN ideal USING (q_id)""")),
+
+    // Q82 — lakehouse small-file compaction, identity-checked THROUGH the
+    // oracle: fragment orders into 48 z-ordered small files, bin-pack them
+    // back to ~target-size files preserving the z-sort contract
+    // (Layout.compactFiles), then fingerprint the COMPACTED copy — exact
+    // row count, bit_xor of per-row hash56, exact key/cents sums. The
+    // oracle computes the same fingerprint over the ORIGINAL table, so a
+    // compaction that drops, duplicates, or mutates a single row breaks
+    // the hash; the file-count/layout assertions ride as pinned booleans
+    // (oracle says TRUE; Spark must deliver TRUE). This is the at-rest
+    // maintenance half of the 100 TB story next to Sinks.writeZOrdered.
+    Entry(
+      "q82_compaction_identity",
+      (s, d) => {
+        val src = Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q82").toString
+        val fragDir = s"$tmp/frag"
+        val outDir = s"$tmp/compact"
+        Layout.zOrderWrite(src, Seq("o_custkey", "o_orderkey"), fragDir,
+          bits = 8, numFiles = 48)
+        val stats = Layout.compactFiles(
+          s, fragDir, outDir, targetFileBytes = 4L << 20,
+          sortCol = Some("z_value"))
+        val rowHash = Dedup.hash56(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").cast("string"),
+          col("o_orderdate").cast("date").cast("string"),
+          col("o_orderpriority")))
+        s.read.parquet(outDir)
+          .withColumn("_h", rowHash)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            expr("bit_xor(_h)").as("content_xor"),
+            sum(col("o_orderkey")).as("orderkey_sum"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"))
+          .withColumn("fewer_files",
+            lit(stats.nFilesOut < stats.nFilesIn))
+          .withColumn("file_count_at_target",
+            lit(stats.nFilesOut <= stats.targetFiles && stats.nFilesOut >= 1L))
+          .select(col("n_rows"), col("content_xor"), col("orderkey_sum"),
+            col("cents_sum"), col("fewer_files"), col("file_count_at_target"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+                     bit_xor(('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                       o_orderpriority), 1, 14))::UBIGINT::BIGINT) AS content_xor,
+                     CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+                     TRUE AS fewer_files,
+                     TRUE AS file_count_at_target
+              FROM orders""")),
+
+    // Q83 — l-diversity audit, the governance pair of q44's k-anonymity
+    // (k hides group SIZE; l guards against a class whose members all
+    // share one sensitive value). Quasi-identifier = (order status, order
+    // year); sensitive = order priority; null sensitive values form their
+    // own category (the declared q44/q45 null contract) instead of
+    // vanishing the way COUNT(DISTINCT) would drop them.
+    Entry(
+      "q83_ldiversity",
+      (s, d) => Profiling.lDiversity(
+        Tables.load(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate"))),
+        Seq("o_orderstatus", "o_year"), "o_orderpriority", l = 5L),
+      Some("""WITH g AS (SELECT o_orderstatus, year(o_orderdate) AS o_year,
+                                o_orderpriority, COUNT(*) AS c
+                         FROM orders GROUP BY 1, 2, 3),
+                   cl AS (SELECT o_orderstatus, o_year, COUNT(*) AS d,
+                                 CAST(SUM(c) AS BIGINT) AS rws
+                          FROM g GROUP BY 1, 2)
+              SELECT CAST(5 AS BIGINT) AS l,
+                     CAST(SUM(rws) AS BIGINT) AS n_rows,
+                     COUNT(*) AS n_groups,
+                     CAST(SUM(CASE WHEN d < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+                     CAST(SUM(CASE WHEN d < 5 THEN rws ELSE 0 END) AS BIGINT) AS n_risky_rows,
+                     MIN(d) AS min_diversity
+              FROM cl"""))
   )
 
   /** q81's build oracle, GENERATED by the [[graft.operators.Kll]] SQL
@@ -5555,6 +5742,142 @@ object QueriesExt {
        |       ROUND(abs(er.est_rank - ex.exact_rank) * 1.0 / long.n + 1e-9, 6) AS rank_err_frac
        |FROM long JOIN er USING (event_type, q_ix)
        |          JOIN ex USING (event_type, q_ix)""".stripMargin
+  }
+
+  /** The t47 unigram-LM chain, generated: word-frequency base, seed
+    * vocabulary (top multi-char substrings + all chars), then per EM round
+    * a Viterbi pass — `pw` (piece scores by end position), `fwd` (the DP
+    * as a recursive CTE carrying a 4-score sliding window), `sc`, `bwd`
+    * (backward path reconstruction, longest-qualifying-piece rule) — and an
+    * M step (`cnt`/`vr`/`v`: path counts, char +1 smoothing, renormalized
+    * integer micro-logps). `passes` > `emRounds` appends extra Viterbi
+    * passes against the final vocabulary (the encode twin). maxLen fixed
+    * at 4 (matches the operator default). */
+  private def unigramChainSql(seedMulti: Int, emRounds: Int, passes: Int): String = {
+    val base =
+      s"""wf AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(w) > 0 GROUP BY w),
+         |sub AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT substr(wf.w, CAST(ii.i AS INTEGER), CAST(ll.l AS INTEGER)) AS piece, wf.n AS n
+         |        FROM wf,
+         |             LATERAL (SELECT unnest(range(1, length(wf.w) + 1)) AS i) ii,
+         |             LATERAL (SELECT unnest(range(1, 5)) AS l) ll
+         |        WHERE ii.i + ll.l - 1 <= length(wf.w))
+         |  GROUP BY piece),
+         |v0raw AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM sub WHERE length(piece) >= 2) WHERE rn <= $seedMulti
+         |  UNION ALL
+         |  SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0raw)) * 1000000) AS BIGINT) AS lp
+         |  FROM v0raw)""".stripMargin
+    def viterbiPass(r: Int): String =
+      s"""pw$r AS MATERIALIZED (
+         |  SELECT w, i,
+         |         MAX(CASE WHEN l = 1 THEN lp END) AS lp1,
+         |         MAX(CASE WHEN l = 2 THEN lp END) AS lp2,
+         |         MAX(CASE WHEN l = 3 THEN lp END) AS lp3,
+         |         MAX(CASE WHEN l = 4 THEN lp END) AS lp4
+         |  FROM (SELECT s.w AS w, s.i AS i, s.l AS l, v.lp AS lp
+         |        FROM (SELECT wf.w AS w, ii.i AS i, ll.l AS l,
+         |                     substr(wf.w, CAST(ii.i - ll.l + 1 AS INTEGER), CAST(ll.l AS INTEGER)) AS piece
+         |              FROM wf,
+         |                   LATERAL (SELECT unnest(range(1, length(wf.w) + 1)) AS i) ii,
+         |                   LATERAL (SELECT unnest(range(1, 5)) AS l) ll
+         |              WHERE ii.i - ll.l + 1 >= 1) s
+         |        JOIN v${r - 1} v ON s.piece = v.piece)
+         |  GROUP BY w, i),
+         |fwd$r AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS a,
+         |         CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT f.w, f.i + 1,
+         |         GREATEST(f.a + p.lp1, f.b + p.lp2, f.c + p.lp3, f.d + p.lp4),
+         |         f.a, f.b, f.c
+         |  FROM fwd$r f JOIN pw$r p ON p.w = f.w AND p.i = f.i + 1
+         |  WHERE f.i < length(f.w)),
+         |sc$r AS MATERIALIZED (SELECT w, i, a AS s FROM fwd$r),
+         |bwd$r AS (
+         |  SELECT w, CAST(length(w) AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS piece
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT q.w, q.i - q.len, q.pc
+         |  FROM (SELECT z.w AS w, z.i AS i,
+         |               CASE WHEN z.ok4 THEN 4 WHEN z.ok3 THEN 3 WHEN z.ok2 THEN 2 ELSE 1 END AS len,
+         |               CASE WHEN z.ok4 THEN substr(z.w, CAST(z.i - 3 AS INTEGER), 4)
+         |                    WHEN z.ok3 THEN substr(z.w, CAST(z.i - 2 AS INTEGER), 3)
+         |                    WHEN z.ok2 THEN substr(z.w, CAST(z.i - 1 AS INTEGER), 2)
+         |                    ELSE substr(z.w, CAST(z.i AS INTEGER), 1) END AS pc
+         |        FROM (SELECT b.w, b.i,
+         |                     COALESCE(s4.s + p.lp4 = s0.s, FALSE) AS ok4,
+         |                     COALESCE(s3.s + p.lp3 = s0.s, FALSE) AS ok3,
+         |                     COALESCE(s2.s + p.lp2 = s0.s, FALSE) AS ok2
+         |              FROM bwd$r b
+         |              JOIN sc$r s0 ON s0.w = b.w AND s0.i = b.i
+         |              JOIN pw$r p ON p.w = b.w AND p.i = b.i
+         |              LEFT JOIN sc$r s2 ON s2.w = b.w AND s2.i = b.i - 2
+         |              LEFT JOIN sc$r s3 ON s3.w = b.w AND s3.i = b.i - 3
+         |              LEFT JOIN sc$r s4 ON s4.w = b.w AND s4.i = b.i - 4
+         |              WHERE b.i > 0) z) q)""".stripMargin
+    def mStep(r: Int): String =
+      s"""cnt$r AS MATERIALIZED (
+         |  SELECT b.piece AS piece, CAST(SUM(wf.n) AS BIGINT) AS cnt
+         |  FROM bwd$r b JOIN wf ON wf.w = b.w
+         |  WHERE b.piece IS NOT NULL GROUP BY b.piece),
+         |vr$r AS MATERIALIZED (
+         |  SELECT COALESCE(c.piece, ch.piece) AS piece,
+         |         CAST(COALESCE(c.cnt, 0) + CASE WHEN length(COALESCE(c.piece, ch.piece)) = 1 THEN 1 ELSE 0 END AS BIGINT) AS cnt
+         |  FROM cnt$r c FULL JOIN (SELECT piece FROM v${r - 1} WHERE length(piece) = 1) ch ON c.piece = ch.piece),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM vr$r)) * 1000000) AS BIGINT) AS lp
+         |  FROM vr$r)""".stripMargin
+    val rounds = (1 to passes).map { r =>
+      if (r <= emRounds) viterbiPass(r) + ",\n" + mStep(r)
+      else viterbiPass(r)
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private def unigramLearnSql(seedMulti: Int, emRounds: Int): String =
+    s"""WITH RECURSIVE
+       |${unigramChainSql(seedMulti, emRounds, emRounds)}
+       |SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, cnt,
+       |       lp AS logp_micro
+       |FROM v$emRounds""".stripMargin
+
+  private def unigramEncodeSql(seedMulti: Int, emRounds: Int): String = {
+    val e = emRounds + 1
+    s"""WITH RECURSIVE
+       |${unigramChainSql(seedMulti, emRounds, e)},
+       |stats AS MATERIALIZED (
+       |  SELECT b.w AS w, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM bwd$e b WHERE b.piece IS NOT NULL GROUP BY b.w),
+       |sce AS MATERIALIZED (SELECT w, s FROM sc$e WHERE i = length(w)),
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(w) > 0),
+       |pd AS MATERIALIZED (
+       |  SELECT dt.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(st.k) AS BIGINT) AS n_pieces,
+       |         CAST(SUM(sce.s) AS BIGINT) AS logp_micro_sum
+       |  FROM dt JOIN stats st ON st.w = dt.w JOIN sce ON sce.w = dt.w
+       |  GROUP BY dt.doc_id)
+       |SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words,
+       |       COALESCE(pd.n_pieces, 0) AS n_pieces,
+       |       ROUND(CAST(pd.n_pieces AS DOUBLE) / pd.n_words + 1e-9, 6) AS pieces_per_word,
+       |       COALESCE(pd.logp_micro_sum, 0) AS logp_micro_sum
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
   }
 
   /** q74's DuckDB oracle, GENERATED by the [[graft.operators.QDigest]] SQL

@@ -129,4 +129,62 @@ object Layout {
       .repartitionByRange(numFiles, col("z_value"))
       .sortWithinPartitions("z_value")
       .write.mode("overwrite").parquet(path)
+
+  /** Compaction stats: the before/after file inventory [[compactFiles]]
+    * reports. Content identity is deliberately NOT in here — it is the
+    * caller's hash check (q82 pins it through the DuckDB oracle; LayoutSpec
+    * pins it row-for-row). */
+  final case class CompactionStats(
+      nFilesIn: Long, bytesIn: Long, nFilesOut: Long, bytesOut: Long,
+      targetFiles: Long)
+
+  private def listParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** Q82 — lakehouse small-file compaction (bin-packing maintenance): read
+    * a fragmented parquet directory and rewrite it as
+    * `ceil(inputBytes / targetFileBytes)` files, preserving the clustering
+    * contract the table was written under — with `sortCol` (e.g.
+    * [[zOrderWrite]]'s `z_value`), output files again cover DISJOINT sorted
+    * ranges (range exchange + within-partition sort, the zOrderWrite
+    * recipe), so footer min/max pruning survives compaction; without it,
+    * plain bin-packing. This is the at-rest half of the 100 TB story: a
+    * streaming ingest lands thousands of KB-sized files per hour, and scan
+    * cost at that scale is dominated by file-open overhead until a
+    * maintenance pass repacks them — content-identically, which is exactly
+    * what the q82 oracle hash-checks (the fingerprint of the compacted copy
+    * must equal the fingerprint DuckDB computes over the ORIGINAL table).
+    *
+    * The range exchange here is layout-only: which file a row lands in is
+    * allowed to vary across Spark versions (RangePartitioner samples); the
+    * CONTENT and the disjoint-range contract are what's pinned (LayoutSpec).
+    * Returns the before/after inventory. */
+  def compactFiles(
+      spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long,
+      sortCol: Option[String] = None): CompactionStats = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0")
+    val inFiles = listParquet(spark, inPath)
+    require(inFiles.nonEmpty, s"no parquet files under $inPath")
+    val bytesIn = inFiles.map(_._2).sum
+    val n = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    val src = spark.read.parquet(inPath)
+    val packed = sortCol match {
+      case Some(c) =>
+        src.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None => src.repartition(n)
+    }
+    packed.write.mode("overwrite").parquet(outPath)
+    val outFiles = listParquet(spark, outPath)
+    CompactionStats(
+      inFiles.size.toLong, bytesIn, outFiles.size.toLong,
+      outFiles.map(_._2).sum, n.toLong)
+  }
 }

@@ -751,6 +751,46 @@ object Profiling {
         col("n_risky_rows"), col("min_group_size"))
   }
 
+  /** Q83 — l-diversity audit, the governance pair of [[kAnonymity]]:
+    * k-anonymity says "each quasi-identifier class hides ≥ k people";
+    * l-diversity adds the attack it misses — a class of 500 people who ALL
+    * share one sensitive value discloses that value regardless of k. Per
+    * class, diversity = number of distinct sensitive values; classes below
+    * `l` are risky.
+    *
+    * NULL-CATEGORY CONTRACT (the q44/q45 discipline): a null sensitive
+    * value IS a category — it falls out of the two-stage aggregate
+    * naturally (groupBy keeps the null group), so "unknown" counts toward
+    * diversity rather than silently vanishing the way COUNT(DISTINCT)
+    * would drop it; null quasi-identifier values likewise form their own
+    * class. Output is the q44 one-row fold:
+    * `(l, n_rows, n_groups, n_risky_groups, n_risky_rows, min_diversity)`.
+    *
+    * Shape: ONE map-side-combined (quasi, sensitive) aggregate — shuffle ∝
+    * distinct pairs, never rows — then a class-sized aggregate and a
+    * one-row fold. */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: no quasi-identifier columns")
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_d"), sum(col("_c")).as("_rows"))
+      .agg(
+        coalesce(sum(col("_rows")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_d") < l, 1L).otherwise(0L)).as("n_risky_groups"),
+        coalesce(sum(when(col("_d") < l, col("_rows")).otherwise(0L)), lit(0L))
+          .as("n_risky_rows"),
+        min(col("_d")).as("min_diversity"))
+      .select(
+        lit(l).as("l"), col("n_rows"), col("n_groups"),
+        coalesce(col("n_risky_groups"), lit(0L)).as("n_risky_groups"),
+        col("n_risky_rows"), col("min_diversity"))
+  }
+
   /** Kolmogorov–Smirnov statistic of score separation — `max |TPR − FPR|`
     * over the [[rocSweep]] operating points, with the threshold attaining
     * it: the single-number "how separable are the classes" readout (and

@@ -1540,4 +1540,78 @@ object Similarity {
                 element_at(element_at(signLit, j + 1), i)) / lit(scale), 6)))
     }
   }
+
+  /** S30 — graded-relevance ranking metrics: nDCG@k, MRR@k, AP@k per query,
+    * the retrieval-quality evaluation next to [[recallAtK]]'s binary overlap
+    * (recall cannot see ORDER or GRADE; these can). Standard definitions:
+    * DCG = Σ (2^rel − 1)/log2(rank+1) over the top k; nDCG = DCG/IDCG
+    * (null when the query has no relevant docs); MRR = 1/rank of the first
+    * relevant in the top k (0 if none); AP@k = Σ_{rel hits} P@i / min(R, k)
+    * (TREC convention, null when R = 0).
+    *
+    * Scale shape: everything is (queries × k)-sized after the rank filter —
+    * the one window orders ≤ k rows per query. The IDEAL ranking never
+    * sorts the corpus: IDCG comes CLOSED-FORM from per-grade counts (grades
+    * desc, cumulative fill of the k slots, explode ≤ k positions per
+    * query). `relevance` carries only rel > 0 judgments (absent = 0, the
+    * judgment-file convention); retrieved docs without judgments gain 0.
+    *
+    * @param retrieved `(qCol, idCol, rankCol)` — rank 1-based, dense per
+    *                  query ([[bruteForceBatch]]'s shape)
+    * @param relevance `(qCol, idCol, relCol)` — integer grades > 0
+    */
+  def rankingMetrics(
+      retrieved: DataFrame, relevance: DataFrame, qCol: String,
+      idCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val rel = relevance
+      .select(col(qCol), col(idCol), col(relCol).cast("long").as("_rel"))
+      .where(col("_rel") > 0)
+    val r = retrieved.where(col(rankCol) <= k)
+      .select(col(qCol), col(idCol), col(rankCol).cast("long").as("_rk"))
+      .join(rel, Seq(qCol, idCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0L)))
+    val w = Window.partitionBy(qCol).orderBy(col("_rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQ = r
+      .withColumn("_cumrel",
+        sum(when(col("_rel") > 0, 1L).otherwise(0L)).over(w))
+      .groupBy(col(qCol))
+      .agg(
+        sum((pow(lit(2.0), col("_rel")) - lit(1.0)) / log2(col("_rk") + 1))
+          .as("_dcg"),
+        min(when(col("_rel") > 0, col("_rk"))).as("_fr"),
+        sum(when(col("_rel") > 0, col("_cumrel").cast("double") / col("_rk"))
+          .otherwise(0.0)).as("_apnum"))
+    val relStats = rel.groupBy(col(qCol)).agg(count(lit(1)).as("n_rel"))
+    val wg = Window.partitionBy(qCol).orderBy(col("_rel").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ideal = rel
+      .groupBy(col(qCol), col("_rel"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum(col("_c")).over(wg), lit(0L)))
+      .withColumn("_take",
+        greatest(lit(0L), least(col("_c"), lit(k.toLong) - col("_before"))))
+      .where(col("_take") > 0)
+      .withColumn("_pos",
+        explode(sequence(col("_before") + 1, col("_before") + col("_take"))))
+      .groupBy(col(qCol))
+      .agg(sum((pow(lit(2.0), col("_rel")) - lit(1.0)) / log2(col("_pos") + 1))
+        .as("_idcg"))
+    perQ
+      .join(relStats, Seq(qCol), "left")
+      .join(ideal, Seq(qCol), "left")
+      .select(
+        col(qCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        stableRound(col("_dcg") / col("_idcg"), 6).as(s"ndcg_at_$k"),
+        stableRound(coalesce(lit(1.0) / col("_fr"), lit(0.0)), 6)
+          .as(s"mrr_at_$k"),
+        stableRound(
+          col("_apnum") /
+            when(col("n_rel").isNotNull,
+              least(col("n_rel"), lit(k.toLong)).cast("double")), 6)
+          .as(s"ap_at_$k"))
+  }
 }

@@ -1607,4 +1607,184 @@ object TextAnalysis {
         stableRound(col("n_hapax").cast("double") / col("n_types"), 6)
           .as("hapax_ratio"))
   }
+
+  // ---- Unigram-LM (SentencePiece-style) tokenizer induction ---------------
+
+  /** Micro-log-probability: `round(ln(p)·1e6)` as BIGINT — the 6 dp stage
+    * boundary as an INTEGER, so Viterbi scores are exact BIGINT sums and
+    * every argmax branch replays across engines (the t45 cents discipline
+    * applied to log space). HALF_UP away from zero = Catalyst `round` =
+    * DuckDB `ROUND` on doubles. */
+  private[graft] def microLogp(p: Double): Long =
+    java.math.BigDecimal.valueOf(math.log(p) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** Viterbi segmentation of `w` under integer piece scores: maximize the
+    * summed micro-logp over segmentations; backward reconstruction prefers
+    * the LONGEST piece whose score equation holds (deterministic — the
+    * exact rule the generated oracle's CASE chain replays). Every single
+    * character of the corpus is always in the vocabulary, so a best path
+    * always exists. */
+  private[graft] def unigramViterbi(
+      w: String, vocab: Map[String, Long], maxLen: Int): Seq[String] = {
+    val L = w.length
+    val s = Array.fill(L + 1)(Long.MinValue / 4)
+    s(0) = 0L
+    var i = 1
+    while (i <= L) {
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        vocab.get(w.substring(i - l, i)).foreach { lp =>
+          if (s(i - l) != Long.MinValue / 4 && s(i - l) + lp > s(i))
+            s(i) = s(i - l) + lp
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = L
+    while (pos > 0) {
+      var chosen = 1
+      var l = math.min(maxLen, pos)
+      var found = false
+      while (l >= 1 && !found) {
+        vocab.get(w.substring(pos - l, pos)) match {
+          case Some(lp)
+              if s(pos - l) != Long.MinValue / 4 && s(pos - l) + lp == s(pos) =>
+            chosen = l; found = true
+          case _ => ()
+        }
+        l -= 1
+      }
+      out.prepend(w.substring(pos - chosen, pos))
+      pos -= chosen
+    }
+    out.toList
+  }
+
+  /** The EM fit over the word-frequency frame: seed vocabulary = top
+    * `seedMulti` multi-character substrings (length 2..maxLen, count desc /
+    * piece asc) + ALL single characters; each round is a hard-EM step —
+    * E: Viterbi-segment every word TYPE under current micro-logps (the
+    * corpus is touched once, in [[wordFreq]]; rounds run on the
+    * vocabulary-sized frame), M: piece count = Σ word-freq over best paths,
+    * single characters get +1 smoothing (coverage can never be lost),
+    * zero-count multi-char pieces drop out, probabilities renormalize.
+    * Returns `(piece, cnt, microLogp)` sorted by piece. The vocabulary is
+    * MODEL state (≤ seedMulti + alphabet rows) — collected per round the
+    * way t36's BPE learner fetches its per-round argmax. */
+  private def unigramFit(
+      wf: DataFrame, seedMulti: Int, emRounds: Int, maxLen: Int)
+      : Seq[(String, Long, Long)] = {
+    val spark = wf.sparkSession
+    import spark.implicits._
+    val subs = wf
+      .withColumn("_i", explode(sequence(lit(1), length(col("_w")))))
+      .withColumn("_l", explode(sequence(lit(1), lit(maxLen))))
+      .where(col("_i") + col("_l") - lit(1) <= length(col("_w")))
+      .select(expr("substring(_w, _i, _l)").as("piece"), col("_n"))
+      .groupBy("piece").agg(sum(col("_n")).as("cnt"))
+      .persist()
+    subs.count()
+    val multi = subs.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
+    val chars = subs.where(length(col("piece")) === 1)
+    val seed = multi.unionByName(chars)
+      .select(col("piece"), col("cnt")).as[(String, Long)].collect().toSeq
+    subs.unpersist(blocking = false)
+    def withLogp(v: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = v.map(_._2).sum.toDouble
+      v.map { case (p, c) => (p, c, microLogp(c.toDouble / total)) }
+    }
+    var vocab = withLogp(seed)
+    for (_ <- 1 to emRounds) {
+      val vmap = vocab.map(t => t._1 -> t._3).toMap
+      val ml = maxLen
+      val vit = udf((w: String) => unigramViterbi(w, vmap, ml))
+      val counts = wf
+        .select(col("_n"), explode(vit(col("_w"))).as("piece"))
+        .groupBy("piece").agg(sum(col("_n")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val charPieces = vocab.collect { case (p, _, _) if p.length == 1 => p }
+      val pieces = (counts.keySet ++ charPieces).toSeq
+      vocab = withLogp(pieces.map { p =>
+        (p, counts.getOrElse(p, 0L) + (if (p.length == 1) 1L else 0L))
+      }.filter(_._2 > 0))
+    }
+    vocab.sortBy(_._1)
+  }
+
+  /** T47 — unigram-LM tokenizer induction (Kudo 2018, the SentencePiece
+    * objective), the probabilistic sibling of BPE t35-t37: learn a piece
+    * vocabulary by hard-EM over the SAME Zipf-bounded word-frequency frame
+    * (one corpus pass; E/M rounds are vocabulary-sized). Deviations from
+    * SentencePiece, both for engine replayability: hard-EM (Viterbi-best
+    * path, not lattice forward-backward) and count-prune instead of
+    * likelihood-loss prune. All scores are integer micro-logps — the 6 dp
+    * stage boundary — so the full trajectory (seed, every segmentation,
+    * every count, every renormalization) replays through a generated
+    * recursive-CTE oracle. Output: `(piece, piece_len, cnt, logp_micro)`. */
+  def unigramLmLearn(
+      df: DataFrame, textCol: String, seedMulti: Int, emRounds: Int,
+      maxLen: Int = 4): DataFrame = {
+    require(seedMulti >= 1 && emRounds >= 1 && maxLen >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = wordFreq(df, textCol).persist()
+    wf.count()
+    val vocab =
+      try unigramFit(wf, seedMulti, emRounds, maxLen)
+      finally wf.unpersist(blocking = false)
+    vocab.toDF("piece", "cnt", "logp_micro")
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        col("cnt"), col("logp_micro"))
+  }
+
+  /** T47's fixed-vocab ENCODE twin: learn the vocabulary (same fit), then
+    * segment each document with it — per doc `(n_words, n_pieces,
+    * pieces_per_word, logp_micro_sum)`. The Viterbi kernel runs once per
+    * DISTINCT word (the vocabulary frame, the t37 trick); per-doc numbers
+    * are an equi-join of doc words against those stats plus a sum —
+    * `logp_micro_sum` is an exact BIGINT fold of the document's best-path
+    * score. Docs with no tokens keep zeros via the id join-back. */
+  def unigramLmEncode(
+      df: DataFrame, idCol: String, textCol: String, seedMulti: Int,
+      emRounds: Int, maxLen: Int = 4): DataFrame = {
+    require(seedMulti >= 1 && emRounds >= 1 && maxLen >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = wordFreq(df, textCol).persist()
+    wf.count()
+    val (vocab, stats) =
+      try {
+        val v = unigramFit(wf, seedMulti, emRounds, maxLen)
+        val vmap = v.map(t => t._1 -> t._3).toMap
+        val ml = maxLen
+        val st = udf((w: String) => {
+          val ps = unigramViterbi(w, vmap, ml)
+          (ps.size.toLong, ps.map(vmap).sum)
+        })
+        (v, wf.select(col("_w"), st(col("_w")).as("_st"))
+          .select(col("_w"), col("_st._1").as("_k"), col("_st._2").as("_s"))
+          .localCheckpoint(true))
+      } finally wf.unpersist(blocking = false)
+    val _ = vocab
+    val words = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+    val perDoc = words.join(stats, Seq("_w"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("_k")).as("n_pieces"),
+        sum(col("_s")).as("logp_micro_sum"))
+    df.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        stableRound(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("pieces_per_word"),
+        coalesce(col("logp_micro_sum"), lit(0L)).as("logp_micro_sum"))
+  }
 }

@@ -77,6 +77,45 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactFiles: fragments repack to the target count, content-identically, z-contract intact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 6000).map(i =>
+      (i.toLong, rng.nextInt(512).toLong, rng.nextInt(512).toLong))
+    val frag = tmpDir("compact") + "/frag"
+    val out = tmpDir("compact") + "/out"
+    // a deliberately fragmented z-ordered table: 32 small files
+    Layout.zOrderWrite(rows.toDF("id", "x", "y"), Seq("x", "y"), frag,
+      bits = 8, numFiles = 32)
+    val bytesIn = spark.read.parquet(frag).inputFiles.length
+    assert(bytesIn === 32)
+    val stats = Layout.compactFiles(spark, frag, out,
+      targetFileBytes = 64L << 10, sortCol = Some("z_value"))
+    assert(stats.nFilesIn === 32L)
+    assert(stats.nFilesOut < stats.nFilesIn, s"no compaction: $stats")
+    assert(stats.nFilesOut <= stats.targetFiles && stats.nFilesOut >= 1L)
+    // content identity, row for row
+    val back = spark.read.parquet(out)
+    assert(back.count() === 6000)
+    assert(back.select("id", "x", "y").as[(Long, Long, Long)]
+      .collect().sorted === rows.sorted)
+    // the z-order contract survives: output files cover DISJOINT z-ranges
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z_value").as("lo"), max("z_value").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping compacted z-ranges: $hi vs $lo2")
+      case _ => ()
+    }
+    // bin-pack-only mode (no sort contract) still preserves content
+    val out2 = tmpDir("compact") + "/out2"
+    val s2 = Layout.compactFiles(spark, frag, out2, 64L << 10, None)
+    assert(s2.nFilesOut <= s2.targetFiles)
+    assert(spark.read.parquet(out2).count() === 6000)
+  }
+
   private def causeChain(e: Throwable): Iterator[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
 

@@ -87,6 +87,29 @@ class ProfilingSpec extends SparkSpec {
     assert(ok.getLong(4) == 0L)
   }
 
+  test("lDiversity: hand model — per-class distinct sensitive values; null is a CATEGORY") {
+    import spark.implicits._
+    val df = Seq(
+      // class (us,m): sensitive {a, b, c} -> diversity 3
+      ("us", "m", "a"), ("us", "m", "b"), ("us", "m", "c"), ("us", "m", "a"),
+      // class (de,f): all share one value -> diversity 1 (the k-anon blind spot)
+      ("de", "f", "a"), ("de", "f", "a"), ("de", "f", "a"),
+      // class (fr,m): {a, null} -> null counts as its own category -> 2
+      ("fr", "m", "a"), ("fr", "m", null)
+    ).toDF("nation", "seg", "diag")
+    val r = Profiling.lDiversity(df, Seq("nation", "seg"), "diag", 3L).head()
+    assert(r.getLong(0) == 3L) // l
+    assert(r.getLong(1) == 9L) // n_rows
+    assert(r.getLong(2) == 3L) // n_groups
+    assert(r.getLong(3) == 2L) // risky: (de,f) d=1 and (fr,m) d=2
+    assert(r.getLong(4) == 5L) // risky rows: 3 + 2
+    assert(r.getLong(5) == 1L) // min_diversity
+    // an l-diverse table: zero risky
+    val ok = Profiling.lDiversity(
+      df.filter($"nation" === "us"), Seq("nation", "seg"), "diag", 3L).head()
+    assert(ok.getLong(3) == 0L && ok.getLong(5) == 3L)
+  }
+
   test("bestSplit: perfect separation picks the boundary with gain = parent entropy") {
     import spark.implicits._
     val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true)).toDF("s", "y")
