@@ -5678,7 +5678,73 @@ object QueriesExt {
                      CAST(SUM(CASE WHEN d < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
                      CAST(SUM(CASE WHEN d < 5 THEN rws ELSE 0 END) AS BIGINT) AS n_risky_rows,
                      MIN(d) AS min_diversity
-              FROM cl"""))
+              FROM cl""")),
+
+    // C11 — tokenizer-aware sequence packing: t14 packs by t03's
+    // whitespace count, an approximation this composition retires — the
+    // REAL training-data step budgets sequences in learned-tokenizer
+    // pieces. The t47 unigram vocabulary is fit, every doc is
+    // Viterbi-counted (once per distinct word), and the distributed
+    // prefix-sum packer deals docs into 512-PIECE sequences; the output is
+    // the per-sequence fill audit (a doc straddling a boundary is budgeted
+    // to its first token's sequence, so fill can exceed 1 — the declared
+    // t14 contract). Oracle = the full generated unigram chain + the same
+    // window prefix sum.
+    Entry(
+      "c11_token_packing",
+      (s, d) => {
+        val enc = TextAnalysis.unigramLmEncode(
+          docs(s, d), "doc_id", "text", seedMulti = 40, emRounds = 3)
+        Packing.packSequences(
+            enc.select(col("doc_id"), col("n_pieces")),
+            "doc_id", "n_pieces", maxTokens = 512)
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("seq_tokens"))
+          .withColumn("fill_ratio",
+            stableRound(col("seq_tokens").cast("double") / 512.0, 6))
+      },
+      Some(tokenPackingSql(40, 3))),
+
+    // Q84 — EXACT stratified train/test split: per class, exactly
+    // ceil(0.8·n_class) train rows under the deterministic (md5(id), id)
+    // within-class permutation — the guarantee t22's hash buckets give
+    // only in expectation. Per-class rank rides ONE distributed prefix-sum
+    // pass + a broadcast class-offset join, never a per-class row_number
+    // window (the biggest class would serialize one task at 100 TB). The
+    // output pins the exact per-(class, split) counts against the closed
+    // form.
+    Entry(
+      "q84_stratified_split",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        Packing.stratifiedSplit(ev, "event_type", "event_id", 0.8)
+          .groupBy("event_type", "split")
+          .agg(count(lit(1)).as("n"))
+          .join(
+            broadcast(Tables.load(s, d, "events")
+              .groupBy("event_type").agg(count(lit(1)).as("_tot"))),
+            Seq("event_type"))
+          .withColumn("expected",
+            when(col("split") === "train",
+              ceil(lit(0.8) * col("_tot")).cast("long"))
+              .otherwise(col("_tot") - ceil(lit(0.8) * col("_tot")).cast("long")))
+          .select("event_type", "split", "n", "expected")
+      },
+      Some("""WITH r AS (SELECT event_type,
+                                row_number() OVER (PARTITION BY event_type
+                                                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk,
+                                COUNT(*) OVER (PARTITION BY event_type) AS n
+                         FROM events),
+                   sp AS (SELECT event_type, n,
+                                 CASE WHEN rk <= CAST(CEIL(CAST('0.8' AS DOUBLE) * n) AS BIGINT)
+                                      THEN 'train' ELSE 'test' END AS split
+                          FROM r)
+              SELECT event_type, split, COUNT(*) AS n,
+                     CASE WHEN split = 'train'
+                          THEN CAST(CEIL(CAST('0.8' AS DOUBLE) * MAX(n)) AS BIGINT)
+                          ELSE MAX(n) - CAST(CEIL(CAST('0.8' AS DOUBLE) * MAX(n)) AS BIGINT)
+                     END AS expected
+              FROM sp GROUP BY event_type, split"""))
   )
 
   /** q81's build oracle, GENERATED by the [[graft.operators.Kll]] SQL
@@ -5878,6 +5944,38 @@ object QueriesExt {
        |       ROUND(CAST(pd.n_pieces AS DOUBLE) / pd.n_words + 1e-9, 6) AS pieces_per_word,
        |       COALESCE(pd.logp_micro_sum, 0) AS logp_micro_sum
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** c11's oracle: the generated unigram chain + fixed-vocab per-word piece
+    * counts, then the SAME md5-order prefix sum and 512-piece sequence
+    * fold t14's oracle uses — but over learned-tokenizer counts. */
+  private def tokenPackingSql(seedMulti: Int, emRounds: Int): String = {
+    val e = emRounds + 1
+    s"""WITH RECURSIVE
+       |${unigramChainSql(seedMulti, emRounds, e)},
+       |stats AS MATERIALIZED (
+       |  SELECT b.w AS w, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM bwd$e b WHERE b.piece IS NOT NULL GROUP BY b.w),
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(w) > 0),
+       |pd AS MATERIALIZED (
+       |  SELECT dt.doc_id AS doc_id, CAST(SUM(st.k) AS BIGINT) AS np
+       |  FROM dt JOIN stats st ON st.w = dt.w GROUP BY dt.doc_id),
+       |alldocs AS MATERIALIZED (
+       |  SELECT d.doc_id AS doc_id, COALESCE(pd.np, 0) AS np
+       |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+       |cum AS MATERIALIZED (
+       |  SELECT doc_id, np,
+       |         CAST(SUM(np) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+       |  FROM alldocs)
+       |SELECT (ct - np) // 512 AS seq_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(np) AS BIGINT) AS seq_tokens,
+       |       ROUND(CAST(SUM(np) AS DOUBLE) / CAST('512' AS DOUBLE) + 1e-9, 6) AS fill_ratio
+       |FROM cum GROUP BY 1""".stripMargin
   }
 
   /** q74's DuckDB oracle, GENERATED by the [[graft.operators.QDigest]] SQL

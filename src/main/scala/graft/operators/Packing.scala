@@ -125,4 +125,56 @@ object Packing {
       .withColumn("shard_pos", expr(s"(global_rank - 1) DIV $nShards"))
       .drop("_ps_one")
   }
+
+  /** Q84 — EXACT stratified train/test split: per class, exactly
+    * `⌈trainFrac·n_class⌉` rows land in "train" (the first that many under
+    * the deterministic `(md5(id), id)` permutation WITHIN the class), the
+    * rest in "test" — the guarantee [[graft.operators.TextAnalysis.deterministicSplit]]'s
+    * hash buckets give only in expectation, and the one a small or skewed
+    * class actually needs (a 50-row minority class can easily land 35/65
+    * under independent coin flips).
+    *
+    * Shape: per-class rank = ONE [[globalRunningSum]] pass over the
+    * class-major total order `(class, md5(id), id)` minus a broadcast
+    * class-offset join (offsets from the class-sized count frame via the
+    * same triangular join as the prefix-sum slices) — never a per-class
+    * row_number window, whose biggest class would serialize one task's
+    * sort at 100 TB. A NULL class is its own stratum: it sorts FIRST
+    * (Spark ASC null ordering), gets offset 0, and joins back null-safely.
+    * The per-class rank is layout/cache/AQE-independent (pure function of
+    * content), so the split is reproducible across reruns and engines. */
+  def stratifiedSplit(
+      df: DataFrame, classCol: String, idCol: String, trainFrac: Double,
+      out: String = "split"): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      s"trainFrac must be in (0, 1), got $trainFrac")
+    val order = Seq(
+      col(classCol).asc, md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val ranked = globalRunningSum(
+      df.withColumn("_ss_one", lit(1L)), order, "_ss_one", "_ss_grank")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("_ss_n"))
+    val earlier = counts.select(
+      col(classCol).as("_ss_cb"), col("_ss_n").as("_ss_nb"))
+    // class offset = rows of strictly-earlier classes. The null class
+    // sorts FIRST (Spark ASC null ordering), so it is "earlier" than every
+    // non-null class — a bare `<` would skip it (null-false) and shift
+    // every later class's rank by the null stratum's size (caught by
+    // PackingSpec's null-stratum case).
+    val offsets = counts
+      .join(earlier,
+        col("_ss_cb") < col(classCol) ||
+          (col("_ss_cb").isNull && col(classCol).isNotNull), "left")
+      .groupBy(col(classCol), col("_ss_n"))
+      .agg(coalesce(sum(col("_ss_nb")), lit(0L)).as("_ss_off"))
+      .select(col(classCol).as("_ss_c"), col("_ss_n"), col("_ss_off"))
+    ranked
+      .join(broadcast(offsets), col(classCol) <=> col("_ss_c"))
+      .withColumn("_ss_crank", col("_ss_grank") - col("_ss_off"))
+      .withColumn(out,
+        when(
+          col("_ss_crank") <=
+            ceil(lit(trainFrac) * col("_ss_n")).cast("long"),
+          "train").otherwise("test"))
+      .drop("_ss_one", "_ss_grank", "_ss_c", "_ss_n", "_ss_off", "_ss_crank")
+  }
 }

@@ -77,4 +77,48 @@ class PackingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again === out.map(t => (t._1, t._2)).toSet)
   }
+
+  test("stratifiedSplit: exactly ceil(frac*n) train rows PER CLASS; null class is a stratum; layout-stable") {
+    import org.apache.spark.sql.functions.col
+    // deliberately skewed strata incl. a tiny one a coin-flip split mangles
+    val rows = (0 until 1000).map(i => ("big", i.toLong)) ++
+      (1000 until 1050).map(i => ("small", i.toLong)) ++
+      (1050 until 1057).map(i => (null.asInstanceOf[String], i.toLong))
+    val df = rows.toDF("cls", "id")
+    val out = Packing.stratifiedSplit(df, "cls", "id", 0.8)
+    val counts = out.groupBy("cls", "split").count().collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(counts(("big", "train")) === 800L)
+    assert(counts(("big", "test")) === 200L)
+    assert(counts(("small", "train")) === 40L)
+    assert(counts(("small", "test")) === 10L)
+    // null class: its own stratum, ceil(0.8*7) = 6
+    assert(counts(("<null>", "train")) === 6L)
+    assert(counts(("<null>", "test")) === 1L)
+    // every input row present exactly once
+    assert(out.count() === 1057L)
+    assert(out.select("id").distinct().count() === 1057L)
+    // deterministic under a different physical layout
+    val a = out.select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Packing.stratifiedSplit(df.repartition(13), "cls", "id", 0.8)
+      .select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // membership matches the declared rule: within-class md5 order prefix
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{md5, row_number}
+    val w = Window.partitionBy("cls")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val rule = df.withColumn("rk", row_number().over(w))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val trainIds = a.filter(_._2 == "train").map(_._1)
+    val sizes = Map("big" -> 1000, "small" -> 50, "<null>" -> 7)
+    rows.foreach { case (c, id) =>
+      val n = sizes(Option(c).getOrElse("<null>"))
+      val expectTrain = rule(id) <= math.ceil(0.8 * n).toLong
+      assert(trainIds.contains(id) === expectTrain, s"id $id class $c")
+    }
+  }
 }
