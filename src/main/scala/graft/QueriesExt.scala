@@ -5744,7 +5744,87 @@ object QueriesExt {
                           THEN CAST(CEIL(CAST('0.8' AS DOUBLE) * MAX(n)) AS BIGINT)
                           ELSE MAX(n) - CAST(CEIL(CAST('0.8' AS DOUBLE) * MAX(n)) AS BIGINT)
                      END AS expected
-              FROM sp GROUP BY event_type, split"""))
+              FROM sp GROUP BY event_type, split""")),
+
+    // Q85 — CMS inner-product join-cardinality estimation (AGMS): the
+    // plan-time shuffle-sizing readout — estimate |lineitem ⋈ orders| from
+    // two KB-sized CMS register frames without touching either corpus,
+    // the number that decides broadcast vs shuffle vs skew-salt before
+    // any exchange is scheduled. Each hash row's Σ cntA·cntB never
+    // UNDER-estimates (collisions only add); min across rows is the
+    // estimate, expected excess ≤ |A|·|B|/width per row. width=4096 is
+    // deliberately tight against 15k order keys so the overestimate is
+    // LIVE (the q62/q76 forced-collision discipline) — over_ratio is a
+    // real column, and never_underestimates is the pinned guarantee. All
+    // integer registers: build, inner product, and the exact audit all
+    // hash-replay.
+    Entry(
+      "q85_join_cardinality",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders").select(col("o_orderkey"))
+        val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"))
+        val sa = Cms.registers(ord, Nil, "o_orderkey", depth = 4, width = 4096)
+        val sb = Cms.registers(li, Nil, "l_orderkey", depth = 4, width = 4096)
+        val est = Cms.innerProduct(sa, sb, Nil)
+        val exact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("exact_join_size"))
+        est.crossJoin(exact)
+          .select(
+            col("join_size_est"), col("exact_join_size"),
+            stableRound(
+              col("join_size_est").cast("double") / col("exact_join_size"), 6)
+              .as("over_ratio"),
+            (col("join_size_est") >= col("exact_join_size"))
+              .as("never_underestimates"))
+      },
+      Some("""WITH ra AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+                          FROM (SELECT rr.r AS r,
+                                       ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 4096 AS b
+                                FROM orders, (SELECT unnest(range(0, 4)) AS r) rr
+                                WHERE o_orderkey IS NOT NULL)
+                          GROUP BY 1, 2),
+                   rb AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+                          FROM (SELECT rr.r AS r,
+                                       ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 4096 AS b
+                                FROM lineitem, (SELECT unnest(range(0, 4)) AS r) rr
+                                WHERE l_orderkey IS NOT NULL)
+                          GROUP BY 1, 2),
+                   ip AS (SELECT ra.r AS r, SUM(CAST(ra.c AS HUGEINT) * rb.c) AS p
+                          FROM ra JOIN rb ON ra.r = rb.r AND ra.b = rb.b
+                          GROUP BY 1),
+                   est AS (SELECT CAST(MIN(p) AS BIGINT) AS join_size_est FROM ip),
+                   ex AS (SELECT COUNT(*) AS exact_join_size
+                          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+              SELECT est.join_size_est, ex.exact_join_size,
+                     ROUND(CAST(est.join_size_est AS DOUBLE) / ex.exact_join_size + 1e-9, 6) AS over_ratio,
+                     est.join_size_est >= ex.exact_join_size AS never_underestimates
+              FROM est, ex""")),
+
+    // T48 — TF-IDF keyword extraction: top-3 characteristic terms per doc,
+    // the document-side readout next to t09's BM25 (BM25 ranks documents
+    // for a query; this ranks terms for a document). sklearn smooth-idf,
+    // scores 6dp-rounded BEFORE ranking so tie-breaks replay (term asc);
+    // top-k rides the two-pass TopK prune, never a doc-partitioned window
+    // over raw tokens.
+    Entry(
+      "t48_tfidf_keywords",
+      (s, d) => TextAnalysis.tfidfKeywords(docs(s, d), "doc_id", "text", 3),
+      Some("""WITH toks AS (SELECT doc_id, w FROM (
+                              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                              FROM documents WHERE text IS NOT NULL)
+                            WHERE length(w) > 0),
+                   tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+                   dfq AS (SELECT w, COUNT(*) AS dfc FROM tf GROUP BY w),
+                   n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+                   sc AS (SELECT tf.doc_id, tf.w,
+                                 ROUND(tf.c * (ln(CAST(n.nd + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)) + 1) + 1e-9, 6) AS score
+                          FROM tf JOIN dfq USING (w), n),
+                   rk AS (SELECT doc_id, w, score,
+                                 row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY score DESC, w) AS rnk
+                          FROM sc)
+              SELECT doc_id, CAST(rnk AS BIGINT) AS rank, w AS term, score
+              FROM rk WHERE rnk <= 3"""))
   )
 
   /** q81's build oracle, GENERATED by the [[graft.operators.Kll]] SQL

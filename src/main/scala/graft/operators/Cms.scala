@@ -97,4 +97,35 @@ object Cms {
       .groupBy((keys :+ valueCol).map(col): _*)
       .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_count"))
   }
+
+  /** Q85 — CMS inner-product JOIN-CARDINALITY estimate (Alon–Gilbert–
+    * Matias–Szegedy / Cormode–Muthukrishnan §4.2): for two sketches built
+    * over the two join key columns with the SAME (depth, width), each hash
+    * row's `Σ_bucket cntA·cntB` is an overestimate of the true equi-join
+    * size `Σ_k fA(k)·fB(k)` (collisions only ever ADD — never an
+    * underestimate), and the reported estimate is the MIN across rows,
+    * with expected excess ≤ |A|·|B|/width per row. This is the plan-time
+    * shuffle-sizing readout at 100 TB: the true join size of two
+    * petabyte tables from two KB-sized register frames, no corpus touched
+    * — the number that decides broadcast vs shuffle vs skew-salt before
+    * any exchange is scheduled.
+    *
+    * Output: `(keys*, join_size_est)`. The product fold runs in
+    * decimal(38,0) (two billion-row hot keys square past BIGINT); the
+    * reported estimate is cast to BIGINT — exact to 9.2e18, beyond any
+    * join an engine would survive anyway. Register frames carry no
+    * parameter fingerprint ([[merge]]'s documented contract): the caller
+    * owns depth/width agreement. */
+  def innerProduct(
+      a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val wide = "decimal(38,0)"
+    val bb = b.select(
+      (keys.map(col) :+ col("_row") :+ col("_bucket") :+
+        col("_cnt").as("_cnt_b")): _*)
+    a.join(bb, keys ++ Seq("_row", "_bucket"))
+      .groupBy((keys :+ "_row").map(col): _*)
+      .agg(sum(col("_cnt").cast(wide) * col("_cnt_b").cast(wide)).as("_ip"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("_ip")).cast("long").as("join_size_est"))
+  }
 }

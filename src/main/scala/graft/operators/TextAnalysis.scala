@@ -1608,6 +1608,42 @@ object TextAnalysis {
           .as("hapax_ratio"))
   }
 
+  /** T48 — TF-IDF keyword extraction: top-`k` characteristic terms per
+    * document — the document-side readout next to t09's BM25 (BM25 ranks
+    * DOCUMENTS for a query; this ranks TERMS for a document — tagging,
+    * clustering labels, near-dup explanations). Scoring is the sklearn
+    * smooth-idf convention, declared: `tf · (ln((N+1)/(df+1)) + 1)` with
+    * N = documents holding ≥ 1 token; scores are 6 dp-rounded BEFORE
+    * ranking (the t13 round-then-rank discipline — tie-breaks engine-
+    * portable, term asc). Output `(idCol, rank, term, score)`.
+    *
+    * Shape: one corpus tokenize into the (doc, term, tf) frame; df and N
+    * are term-vocabulary/one-row aggregates broadcast back; top-k rides
+    * [[TopK.perGroup]]'s two-pass local prune — no document-partitioned
+    * window over the raw token stream. */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+    val tf = toks.groupBy("_id", "_w").agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_w").agg(count(lit(1)).as("_df"))
+    val nd = tf.select("_id").distinct().agg(count(lit(1)).as("_nd"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("_w"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        stableRound(
+          col("_tf") *
+            (log((col("_nd") + 1).cast("double") / (col("_df") + 1)) +
+              lit(1.0)), 6))
+    TopK.perGroup(scored, Seq("_id"),
+        Seq(col("score").desc, col("_w").asc), k)
+      .select(col("_id").as(idCol), col("rank").cast("long").as("rank"),
+        col("_w").as("term"), col("score"))
+  }
+
   // ---- Unigram-LM (SentencePiece-style) tokenizer induction ---------------
 
   /** Micro-log-probability: `round(ln(p)·1e6)` as BIGINT — the 6 dp stage

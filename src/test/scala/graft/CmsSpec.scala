@@ -71,4 +71,27 @@ class CmsSpec extends SparkSpec {
       Seq("g"), "v", 3, 64)
     assert(regSet(fwd) === regSet(rev))
   }
+
+  test("innerProduct: never underestimates the true join size; exact at ample width") {
+    import spark.implicits._
+    // skewed key frequencies: true join size = sum fA(k)*fB(k)
+    val a = (0 until 600).map(i => s"k${i % 40}").toDF("v")
+    val b = (0 until 300).map(i => s"k${i % 60}").toDF("v")
+    val exact = (0 until 40).map { k =>
+      val fa = 600 / 40 // 15 each
+      val fb = (0 until 300).count(i => i % 60 == k)
+      fa.toLong * fb
+    }.sum
+    def est(width: Int): Long = Cms.innerProduct(
+      Cms.registers(a, Nil, "v", depth = 4, width = width),
+      Cms.registers(b, Nil, "v", depth = 4, width = width),
+      Nil).head().getAs[Long]("join_size_est")
+    // tight width: collisions force a LIVE overestimate, never under
+    val tight = est(16)
+    assert(tight >= exact, s"underestimate: $tight < $exact")
+    assert(tight > exact, "16 buckets for 60 keys must collide")
+    // ample width (2^14 for 60 keys): md5 is fixed, so no row collides and
+    // the estimate is EXACT — a deterministic regression pin
+    assert(est(1 << 14) === exact)
+  }
 }

@@ -1764,4 +1764,27 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got(12L) == ((3L, 0L, 0.0)))
     assert(!got.contains(13L), "null text emits no row")
   }
+
+  test("tfidfKeywords: a doc-unique term outranks a ubiquitous one; ties break term-asc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare common"),
+      (2L, "common common common"),
+      (3L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(df, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: 'rare' (df 1) has idf ln(4/2)+1 ≈ 1.693; 'common' tf 2 but
+    // idf ln(4/4)+1 = 1 → score 2.0 vs 1.693: tf still wins here — pin the
+    // actual smooth-idf arithmetic, not intuition
+    assert(out((1L, 1L)) === "common" && out((1L, 2L)) === "rare")
+    assert(out((2L, 1L)) === "common")
+    // doc 3 has one term only: exactly one ranked row
+    assert(out.get((3L, 2L)).isEmpty && out((3L, 1L)) === "common")
+    // equal scores tie to the lexicographically smaller term
+    val tie = Seq((1L, "bb aa")).toDF("doc_id", "text")
+    val t = TextAnalysis.tfidfKeywords(tie, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(t(1L) === "aa" && t(2L) === "bb")
+  }
 }
