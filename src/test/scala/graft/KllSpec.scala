@@ -109,6 +109,37 @@ class KllSpec extends SparkSpec {
     assert(math.abs(vals.count(_ <= p50) - n / 2) <= 12.0 * n / k)
   }
 
+  test("randomized net: heavy duplicates, negatives, and skew all hold the rank bound") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 3) {
+      val n = 3000 + trial * 1000
+      // heavy-tailed with many exact duplicates (the tie regime the sort
+      // determinism argument covers: equal values pair interchangeably)
+      val vals = (0 until n).map { i =>
+        val base = rnd.nextInt(50).toDouble
+        if (i % 3 == 0) base else base * math.pow(10, rnd.nextInt(4)) - 250.0
+      }
+      val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("g", "id", "v")
+      val regs = build(df, salt = s"net$trial")
+      val w = regs.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), _level)")))
+        .head().getLong(0)
+      assert(w === n.toLong, s"trial $trial: weight $w != $n")
+      val sorted = vals.sorted
+      val est = Kll.estimate(regs, Seq("g"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).head()
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75).foreach { case (nm, q) =>
+        val v = est.getAs[Double](nm)
+        // reported values are original data values even under duplication
+        assert(sorted.contains(v), s"trial $trial $nm=$v not in input")
+        val exactRank = sorted.count(_ <= v)
+        val target = math.ceil(q * n).toLong
+        assert(math.abs(exactRank - target) <= 4.0 * n / k,
+          s"trial $trial $nm: rank $exactRank vs $target > ${4.0 * n / k}")
+      }
+    }
+  }
+
   test("estRank: weight-rank of a probe matches a hand fold of the state") {
     val df = mkDf(3000, seed = 31)
     val regs = build(df).cache()
