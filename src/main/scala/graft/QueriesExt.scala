@@ -5957,8 +5957,105 @@ object QueriesExt {
                      CASE WHEN rs.n_rel IS NOT NULL
                           THEN ROUND(apnum / CAST(LEAST(rs.n_rel, 10) AS DOUBLE) + 1e-9, 6)
                      END AS ap_at_10
-              FROM pq LEFT JOIN rs USING (q_id) LEFT JOIN ideal USING (q_id)"""))
+              FROM pq LEFT JOIN rs USING (q_id) LEFT JOIN ideal USING (q_id)""")),
+
+    // Q86 — range-predicate SELECTIVITY estimation from the KLL sketch:
+    // q81's second consumer and q85's column-range sibling — q85 sizes an
+    // equi-join from CMS registers, this sizes `lo <= v < hi` filters from
+    // the quantile sketch (the statistic a 100 TB planner reads instead of
+    // scanning): est = rank(hi⁻) − rank(lo⁻) probed against the register
+    // frame, vs one exact conditional aggregate, per event_type × three
+    // band widths. Edge semantics pinned by probing at `edge − 1e-9` on
+    // BOTH sides (values are 2 dp — the nudge cannot cross a representable
+    // data value); err_frac reports the live rank slack.
+    Entry(
+      "q86_range_selectivity",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val keys = Seq("event_type")
+        val regs = Kll.registers(ev, keys, "value", "event_id",
+            buckets = 4, k = 32, rounds = 10, salt = "q86")
+          .localCheckpoint(true) // sketch-sized; probed twice + sized once
+        val sparkS = s
+        import sparkS.implicits._
+        val bands = Seq(
+          ("narrow", 100.0, 150.0), ("mid", 50.0, 300.0),
+          ("wide", 0.0, 400.0)).toDF("band", "lo", "hi")
+        val probes = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bands))
+        val withLo = Kll.estRank(regs,
+            probes.withColumn("_p", col("lo") - lit(1e-9)), keys, "_p")
+          .withColumnRenamed("est_rank", "_r_lo").drop("_p")
+        val withHi = Kll.estRank(regs,
+            probes.withColumn("_p", col("hi") - lit(1e-9)), keys, "_p")
+          .withColumnRenamed("est_rank", "_r_hi").drop("_p")
+        val est = withLo.join(withHi, Seq("event_type", "band", "lo", "hi"))
+          .withColumn("est_count", col("_r_hi") - col("_r_lo"))
+        val exact = ev.select(col("event_type"), col("value"))
+          .crossJoin(broadcast(bands))
+          .groupBy("event_type", "band")
+          .agg(sum(when(
+            col("value") >= col("lo") && col("value") < col("hi"), 1L)
+            .otherwise(0L)).as("exact_count"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        est.join(exact, Seq("event_type", "band"))
+          .join(broadcast(n), Seq("event_type"))
+          .select(
+            col("event_type"), col("band"), col("n"),
+            col("est_count"), col("exact_count"),
+            stableRound(
+              abs(col("est_count") - col("exact_count")) / col("n"), 6)
+              .as("err_frac"))
+      },
+      Some(kllSelectivitySql))
   )
+
+  /** q86's oracle: the generated q81 build chain (salt q86) + the same
+    * cumulative-weight rank probes at the nudged band edges + one exact
+    * conditional aggregate. */
+  private def kllSelectivitySql: String = {
+    val bands = Seq(
+      ("narrow", "100.0", "150.0"), ("mid", "50.0", "300.0"),
+      ("wide", "0.0", "400.0"))
+    val bandsSql = bands.map { case (b, lo, hi) =>
+      s"SELECT '$b' AS band, CAST('$lo' AS DOUBLE) AS lo, CAST('$hi' AS DOUBLE) AS hi"
+    }.mkString("\nUNION ALL ")
+    s"""WITH
+       |${Kll.buildSql("SELECT event_type, event_id, value FROM events",
+          Seq("event_type"), "value", "event_id", buckets = 4, k = 32,
+          rounds = 10, salt = "q86", p = "k")},
+       |bands AS MATERIALIZED ($bandsSql),
+       |et AS MATERIALIZED (SELECT DISTINCT event_type FROM events),
+       |pr AS MATERIALIZED (SELECT et.event_type, b.band, b.lo, b.hi
+       |                    FROM et CROSS JOIN bands b),
+       |rlo AS MATERIALIZED (
+       |  SELECT p.event_type, p.band,
+       |         CAST(COALESCE(SUM(CASE WHEN r._value <= p.lo - 1e-9
+       |                            THEN (CAST(1 AS BIGINT) << r._level)
+       |                            ELSE 0 END), 0) AS BIGINT) AS r_lo
+       |  FROM pr p JOIN kreg r USING (event_type) GROUP BY 1, 2),
+       |rhi AS MATERIALIZED (
+       |  SELECT p.event_type, p.band,
+       |         CAST(COALESCE(SUM(CASE WHEN r._value <= p.hi - 1e-9
+       |                            THEN (CAST(1 AS BIGINT) << r._level)
+       |                            ELSE 0 END), 0) AS BIGINT) AS r_hi
+       |  FROM pr p JOIN kreg r USING (event_type) GROUP BY 1, 2),
+       |ex AS MATERIALIZED (
+       |  SELECT p.event_type, p.band,
+       |         CAST(SUM(CASE WHEN ev.value >= p.lo AND ev.value < p.hi
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS exact_count
+       |  FROM pr p JOIN events ev USING (event_type) GROUP BY 1, 2),
+       |nn AS MATERIALIZED (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1)
+       |SELECT pr.event_type, pr.band, nn.n,
+       |       rhi.r_hi - rlo.r_lo AS est_count, ex.exact_count,
+       |       ROUND(abs(rhi.r_hi - rlo.r_lo - ex.exact_count) * 1.0 / nn.n + 1e-9, 6) AS err_frac
+       |FROM pr JOIN rlo USING (event_type, band)
+       |        JOIN rhi USING (event_type, band)
+       |        JOIN ex USING (event_type, band)
+       |        JOIN nn USING (event_type)""".stripMargin
+  }
 
   /** q81's build oracle, GENERATED by the [[graft.operators.Kll]] SQL
     * mirrors: md5 bucketing, 10 unrolled per-bucket compaction rounds, the
