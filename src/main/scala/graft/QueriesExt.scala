@@ -5968,6 +5968,32 @@ object QueriesExt {
     // band widths. Edge semantics pinned by probing at `edge − 1e-9` on
     // BOTH sides (values are 2 dp — the nudge cannot cross a representable
     // data value); err_frac reports the live rank slack.
+    // T49 — n-gram novelty profile: per doc, the fraction of its distinct
+    // 5-grams FIRST seen (by doc_id = ingestion order) in that doc — the
+    // curation readout between t18's binary decontamination and d08's
+    // destructive chunk dedup: a late low-novelty doc is recombined
+    // boilerplate dedup missed (every gram seen before, never all
+    // together). First-occurrence is an argmin aggregate, never a sort.
+    Entry(
+      "t49_ngram_novelty",
+      (s, d) => TextAnalysis.ngramNovelty(docs(s, d), "doc_id", "text", 5),
+      Some("""WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                           FROM documents WHERE text IS NOT NULL),
+                   tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nrm),
+                   g AS (SELECT doc_id,
+                                list_distinct([array_to_string(toks[i:i+4], ' ')
+                                               for i in range(1, greatest(len(toks) - 5, 0) + 2)]) AS grams
+                         FROM tk),
+                   gd AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+                   fo AS (SELECT gram, MIN(doc_id) AS fd FROM gd GROUP BY gram),
+                   pd AS (SELECT gd.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                                 CAST(SUM(CASE WHEN fo.fd = gd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                          FROM gd JOIN fo USING (gram) GROUP BY gd.doc_id)
+              SELECT d.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+                     COALESCE(pd.n_novel, 0) AS n_novel,
+                     ROUND(CAST(pd.n_novel AS DOUBLE) / pd.n_grams + 1e-9, 6) AS novelty
+              FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
     Entry(
       "q86_range_selectivity",
       (s, d) => {

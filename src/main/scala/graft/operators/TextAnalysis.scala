@@ -1644,6 +1644,49 @@ object TextAnalysis {
         col("_w").as("term"), col("score"))
   }
 
+  /** T49 — n-gram NOVELTY profile: per document, the fraction of its
+    * distinct n-grams whose FIRST corpus occurrence (by doc_id order — the
+    * corpus ingestion order) is this document. The curation readout between
+    * t18's binary benchmark decontamination and d08's destructive chunk
+    * dedup: a low-novelty document late in the corpus is recombined
+    * boilerplate a dedup pass missed (every gram seen before, just never
+    * all together), and down-weighting it is the duplication-aware-weights
+    * (d17) story at sub-document granularity. Output:
+    * `(idCol, n_grams, n_novel, novelty)` — distinct grams per doc, grams
+    * first seen here, their ratio (6 dp; docs with no grams keep zeros and
+    * a null ratio via the id join-back).
+    *
+    * Shape: one corpus explode to the (gram, doc) frame, ONE
+    * map-side-combined `min(doc_id)` aggregate per gram (shuffle ∝
+    * distinct grams — Zipf-bounded), one equi-join back. No window, no
+    * ordering pass — "first occurrence" is an argmin, not a sort. */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df
+      // explicit: a NULL text has no grams (tokenNgrams would otherwise
+      // emit one "" gram via concat_ws's null-skipping — spec-pinned)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(tokenNgrams(col(textCol), n)).as("_g"))
+      .select("_id", "_g").distinct()
+    val first = grams.groupBy("_g").agg(min(col("_id")).as("_first"))
+    val perDoc = grams.join(first, Seq("_g"))
+      .groupBy("_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col("_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        stableRound(
+          col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   // ---- Unigram-LM (SentencePiece-style) tokenizer induction ---------------
 
   /** Micro-log-probability: `round(ln(p)·1e6)` as BIGINT — the 6 dp stage

@@ -1787,4 +1787,23 @@ class SimilarityTextSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getString(2)).toMap
     assert(t(1L) === "aa" && t(2L) === "bb")
   }
+
+  test("ngramNovelty: exact duplicates score 0, the original 1, partial overlap in between") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"), // grams: "a b c", "b c d", "c d e", "d e f" (4)
+      (2L, "a b c d e f"), // exact dup of doc 1 -> novelty 0
+      (3L, "c d e f g"), // shares "c d e","d e f"; novel: "e f g" -> 1/3
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((4L, 0L, 0.0)))
+    assert(out(3L)._1 === 3L && out(3L)._2 === 1L)
+    assert(math.abs(out(3L)._3 - 1.0 / 3) < 1e-6)
+    // null text keeps zeros and a null ratio via the join-back
+    assert(out(4L) === ((0L, 0L, -1.0)))
+  }
 }
