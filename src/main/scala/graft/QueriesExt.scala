@@ -5968,6 +5968,36 @@ object QueriesExt {
     // band widths. Edge semantics pinned by probing at `edge − 1e-9` on
     // BOTH sides (values are 2 dp — the nudge cannot cross a representable
     // data value); err_frac reports the live rank slack.
+    // T50 — Heaps-law vocabulary growth: cumulative distinct types vs
+    // cumulative tokens in ingestion order — the capacity-planning curve
+    // behind every vocabulary-sized structure here (BPE/unigram vocab,
+    // BM25 postings, embedding tables): the curve's tail extrapolates
+    // V(T) ≈ K·T^β without scanning 100 TB. New-type detection is the t49
+    // first-occurrence argmin; both cumulative columns ride ONE
+    // distributed prefix-sum pass.
+    Entry(
+      "t50_heaps_growth",
+      (s, d) => TextAnalysis.heapsGrowth(docs(s, d), "doc_id", "text"),
+      Some("""WITH tk AS (SELECT doc_id, w FROM (
+                           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                           FROM documents WHERE text IS NOT NULL)
+                         WHERE length(w) > 0),
+                   fo AS (SELECT w, MIN(doc_id) AS fd FROM tk GROUP BY w),
+                   pd AS (SELECT tk.doc_id AS doc_id,
+                                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                                 CAST(COUNT(DISTINCT CASE WHEN fo.fd = tk.doc_id THEN tk.w END) AS BIGINT) AS n_new_types
+                          FROM tk JOIN fo USING (w) GROUP BY tk.doc_id),
+                   b AS (SELECT d.doc_id AS doc_id,
+                                COALESCE(pd.n_tokens, 0) AS n_tokens,
+                                COALESCE(pd.n_new_types, 0) AS n_new_types
+                         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+              SELECT doc_id, n_tokens, n_new_types,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                     CAST(SUM(n_new_types) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+                     ROUND(CAST(SUM(n_new_types) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                           / CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) + 1e-9, 6) AS ttr
+              FROM b""")),
+
     // T49 — n-gram novelty profile: per doc, the fraction of its distinct
     // 5-grams FIRST seen (by doc_id = ingestion order) in that doc — the
     // curation readout between t18's binary decontamination and d08's

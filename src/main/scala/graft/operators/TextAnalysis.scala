@@ -1687,6 +1687,49 @@ object TextAnalysis {
           col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** T50 — Heaps-law vocabulary growth: cumulative distinct word TYPES vs
+    * cumulative TOKENS along the corpus in ingestion (doc id) order — the
+    * capacity-planning curve behind every vocabulary-sized structure in
+    * this engine (BPE/unigram vocab, BM25 postings, embedding tables):
+    * extrapolating V(T) ≈ K·T^β from the curve's tail says how big those
+    * get at 100 TB before anyone scans 100 TB. Output per doc:
+    * `(idCol, n_tokens, n_new_types, cum_tokens, cum_types, ttr)` with
+    * ttr = cum_types/cum_tokens (6 dp).
+    *
+    * Shape: one corpus tokenize; "new type" is the t49 first-occurrence
+    * argmin (ONE map-side-combined `min(id)` per word — no sort); both
+    * cumulative columns ride ONE [[graft.operators.Packing.globalRunningSums]]
+    * pass (range exchange + bounded per-slice windows + broadcast offsets
+    * — never a single-task global window). Docs with no tokens contribute
+    * zeros and stay on the curve. */
+  def heapsGrowth(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+    val first = words.groupBy("_w").agg(min(col("_id")).as("_fd"))
+    val perDoc = words.join(first, Seq("_w"))
+      .groupBy("_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct(when(col("_fd") === col("_id"), col("_w")))
+          .as("n_new_types"))
+    val base = df.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(
+        col("_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+    graft.operators.Packing.globalRunningSums(
+        base, Seq(col("_id").asc),
+        Seq("n_tokens" -> "cum_tokens", "n_new_types" -> "cum_types"))
+      .select(
+        col("_id").as(idCol), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"),
+        stableRound(
+          col("cum_types").cast("double") / col("cum_tokens"), 6).as("ttr"))
+  }
+
   // ---- Unigram-LM (SentencePiece-style) tokenizer induction ---------------
 
   /** Micro-log-probability: `round(ln(p)·1e6)` as BIGINT — the 6 dp stage
