@@ -5612,33 +5612,49 @@ object QueriesExt {
             "o_totalprice", "o_orderdate", "o_orderpriority")
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-q82").toString
-        val fragDir = s"$tmp/frag"
-        val outDir = s"$tmp/compact"
-        Layout.zOrderWrite(src, Seq("o_custkey", "o_orderkey"), fragDir,
-          bits = 8, numFiles = 48)
-        val stats = Layout.compactFiles(
-          s, fragDir, outDir, targetFileBytes = 4L << 20,
-          sortCol = Some("z_value"))
-        val rowHash = Dedup.hash56(concat_ws("|",
-          col("o_orderkey").cast("string"),
-          col("o_custkey").cast("string"),
-          col("o_orderstatus"),
-          round(col("o_totalprice") * 100).cast("long").cast("string"),
-          col("o_orderdate").cast("date").cast("string"),
-          col("o_orderpriority")))
-        s.read.parquet(outDir)
-          .withColumn("_h", rowHash)
-          .agg(
-            count(lit(1)).as("n_rows"),
-            expr("bit_xor(_h)").as("content_xor"),
-            sum(col("o_orderkey")).as("orderkey_sum"),
-            sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"))
-          .withColumn("fewer_files",
-            lit(stats.nFilesOut < stats.nFilesIn))
-          .withColumn("file_count_at_target",
-            lit(stats.nFilesOut <= stats.targetFiles && stats.nFilesOut >= 1L))
-          .select(col("n_rows"), col("content_xor"), col("orderkey_sum"),
-            col("cents_sum"), col("fewer_files"), col("file_count_at_target"))
+        // the tmp tree holds TWO full table copies — it must not outlive
+        // this call (round-13 advice: Bench's warm+timed reps and the 10x
+        // soak leaked one pair of copies per execution). The result is one
+        // aggregate row, so it is computed EAGERLY (still inside Bench's
+        // timed region — timing wraps the closure call) and returned as a
+        // local frame; the finally tears the tree down even on failure.
+        try {
+          val fragDir = s"$tmp/frag"
+          val outDir = s"$tmp/compact"
+          Layout.zOrderWrite(src, Seq("o_custkey", "o_orderkey"), fragDir,
+            bits = 8, numFiles = 48)
+          val stats = Layout.compactFiles(
+            s, fragDir, outDir, targetFileBytes = 4L << 20,
+            sortCol = Some("z_value"))
+          val rowHash = Dedup.hash56(concat_ws("|",
+            col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").cast("string"),
+            col("o_orderdate").cast("date").cast("string"),
+            col("o_orderpriority")))
+          val res = s.read.parquet(outDir)
+            .withColumn("_h", rowHash)
+            .agg(
+              count(lit(1)).as("n_rows"),
+              expr("bit_xor(_h)").as("content_xor"),
+              sum(col("o_orderkey")).as("orderkey_sum"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"))
+            .withColumn("fewer_files",
+              lit(stats.nFilesOut < stats.nFilesIn))
+            .withColumn("file_count_at_target",
+              lit(stats.nFilesOut <= stats.targetFiles && stats.nFilesOut >= 1L))
+            .select(col("n_rows"), col("content_xor"), col("orderkey_sum"),
+              col("cents_sum"), col("fewer_files"), col("file_count_at_target"))
+          s.createDataFrame(
+            java.util.Arrays.asList(res.collect(): _*), res.schema)
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       },
       Some("""SELECT COUNT(*) AS n_rows,
                      bit_xor(('0x' || substr(md5(
@@ -5792,7 +5808,10 @@ object QueriesExt {
                    ip AS (SELECT ra.r AS r, SUM(CAST(ra.c AS HUGEINT) * rb.c) AS p
                           FROM ra JOIN rb ON ra.r = rb.r AND ra.b = rb.b
                           GROUP BY 1),
-                   est AS (SELECT CAST(MIN(p) AS BIGINT) AS join_size_est FROM ip),
+                   sp AS (SELECT r FROM (SELECT DISTINCT r FROM ra)
+                          JOIN (SELECT DISTINCT r FROM rb) USING (r)),
+                   est AS (SELECT CAST(MIN(COALESCE(p, 0)) AS BIGINT) AS join_size_est
+                           FROM sp LEFT JOIN ip USING (r)),
                    ex AS (SELECT COUNT(*) AS exact_join_size
                           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
               SELECT est.join_size_est, ex.exact_join_size,

@@ -125,9 +125,20 @@ object AsOfJoin {
     * COST SHAPE (round-12 advice): the exact aggregate is a full
     * key-column scan plus a shuffle ∝ distinct keys, which uniform-data
     * callers shouldn't pay just to learn "not hot". So a PRE-GATE runs
-    * first: a seeded Bernoulli 1/64 sample of the key columns —
-    * layout-independent (per-row coin flips, never `limit`'s physical
-    * head) and its aggregate shuffles only ~|L|/64 sampled rows, not every
+    * first: a 1/64 coin per row, CONTENT-DERIVED — the house md5 recipe
+    * `hash56("asof-gate" ⊕ keys ⊕ time) % 64 == 0` — so the sampled set
+    * (and hence the routing decision) is a pure function of the data,
+    * identical across physical layouts, AQE re-plans, and task retries
+    * (round-13 advice: Spark's `sample()` seeds its RNG per PARTITION, so
+    * the old Bernoulli gate flipped different coins under a different
+    * layout). Rows sharing the full (keys, time) tuple flip ONE shared
+    * coin: over-representation when it lands heads only ever blocks a
+    * decline (falls through to the exact pass — still a correct decision),
+    * and under-representation requires the hot key to concentrate on few
+    * distinct timestamps (all-miss odds (63/64)^d for d distinct times) —
+    * precisely the key whose time-bucket spread is capped at d buckets
+    * anyway, so a decline there forgoes little. The gate's aggregate
+    * shuffles only ~|L|/64 sampled rows, not every
     * distinct key. When the sample is large enough to trust (≥ 50k sampled
     * rows ⇒ a key truly owning `hotFraction` of rows shows at least half
     * that share in the sample up to a ~e^{-1000} Chernoff tail) and shows
@@ -160,9 +171,12 @@ object AsOfJoin {
         !integral(right.schema(rightTime).dataType)) return None
     // pre-gate: sampled aggregate (see the cost-shape note above) — only
     // a trusted-size sample may DECLINE routing; it can never trigger it
+    val coin = Dedup.hash56(concat_ws("",
+      (lit("asof-gate") +:
+        (leftKeys :+ leftTime).map(c => col(c).cast("string"))): _*)) % 64
     val pre = left
+      .where(coin === 0)
       .select(leftKeys.map(col): _*)
-      .sample(withReplacement = false, fraction = 1.0 / 64, seed = 0x5eedL)
       .groupBy(leftKeys.map(col): _*)
       .agg(count(lit(1)).as("_c"))
       .agg(max(col("_c")).as("_max"), sum(col("_c")).as("_tot"))

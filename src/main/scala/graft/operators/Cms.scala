@@ -115,17 +115,31 @@ object Cms {
     * reported estimate is cast to BIGINT — exact to 9.2e18, beyond any
     * join an engine would survive anyway. Register frames carry no
     * parameter fingerprint ([[merge]]'s documented contract): the caller
-    * owns depth/width agreement. */
+    * owns depth/width agreement.
+    *
+    * Every depth row participates in the min (round-13 advice): a hash
+    * row whose two sketches share NO non-empty bucket has inner product
+    * 0 — the strongest possible evidence the true join size is ~0 — so
+    * the bucket join is re-anchored on a per-(keys, _row) spine (one row
+    * per depth row present in BOTH sketches, register-frame-sized) and
+    * missing products coalesce to 0 instead of silently dropping out.
+    * Disjoint key sets now estimate 0, never NULL and never a
+    * collision-inflated min over the surviving rows. */
   def innerProduct(
       a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val wide = "decimal(38,0)"
+    val rk = keys :+ "_row"
     val bb = b.select(
       (keys.map(col) :+ col("_row") :+ col("_bucket") :+
         col("_cnt").as("_cnt_b")): _*)
-    a.join(bb, keys ++ Seq("_row", "_bucket"))
-      .groupBy((keys :+ "_row").map(col): _*)
+    val spine = a.select(rk.map(col): _*).distinct()
+      .join(bb.select(rk.map(col): _*).distinct(), rk)
+    val perRow = a.join(bb, keys ++ Seq("_row", "_bucket"))
+      .groupBy(rk.map(col): _*)
       .agg(sum(col("_cnt").cast(wide) * col("_cnt_b").cast(wide)).as("_ip"))
+    spine.join(perRow, rk, "left")
       .groupBy(keys.map(col): _*)
-      .agg(min(col("_ip")).cast("long").as("join_size_est"))
+      .agg(min(coalesce(col("_ip"), lit(0).cast(wide)))
+        .cast("long").as("join_size_est"))
   }
 }

@@ -190,26 +190,36 @@ object Kll {
   def estimate(
       regs: DataFrame, keys: Seq[String],
       qs: Seq[(String, Double)]): DataFrame = {
-    require(keys.nonEmpty, "keys must be non-empty")
     require(qs.nonEmpty, "qs must be non-empty")
     qs.foreach { case (n, q) =>
       require(q > 0.0 && q <= 1.0, s"quantile $n=$q outside (0,1]") }
+    // keys = Nil is a GLOBAL sketch, same as registers/merge/estRank
+    // (round-13 advice: StreamingKll accepted a global attach and then
+    // died here at the first trigger). The internal constant group keeps
+    // the code path identical; Catalyst folds it to a single-partition
+    // window, which is exactly right here — the window orders ≤ sketch
+    // rows (k·levels per group), never corpus rows, so one partition IS
+    // the intended global fold, not a straggler.
+    val (kk, frame) =
+      if (keys.nonEmpty) (keys, regs)
+      else (Seq("_g"), regs.withColumn("_g", lit(0)))
     val wt = expr("shiftleft(CAST(1 AS BIGINT), _level)")
-    val ann = regs
+    val ann = frame
       .withColumn("_wt", wt)
       .withColumn("_n",
-        sum(col("_wt")).over(Window.partitionBy(keys.map(col): _*)))
+        sum(col("_wt")).over(Window.partitionBy(kk.map(col): _*)))
       .withColumn("_cum",
         sum(col("_wt")).over(
-          Window.partitionBy(keys.map(col): _*)
+          Window.partitionBy(kk.map(col): _*)
             .orderBy(col("_value").asc, col("_level").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val perQ = qs.map { case (name, q) =>
       ann.where(col("_cum") >= ceil(lit(q) * col("_n")).cast("long"))
-        .groupBy(keys.map(col): _*)
+        .groupBy(kk.map(col): _*)
         .agg(max(col("_n")).as("n"), min(col("_value")).as(name))
     }
-    perQ.reduce((a, b) => a.join(b.drop("n"), keys))
+    val out = perQ.reduce((a, b) => a.join(b.drop("n"), kk))
+    if (keys.nonEmpty) out else out.drop("_g")
   }
 
   /** Estimated rank of each probe row's `probeCol` against the sketch:

@@ -171,6 +171,22 @@ object Layout {
       outPath: String, targetFileBytes: Long,
       sortCol: Option[String] = None): CompactionStats = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0")
+    // in-place compaction is a data-loss trap (round-13 advice): the
+    // overwrite-mode write lazily re-reads inPath WHILE clearing it —
+    // Spark rejects it at best, and a stale file listing silently loses
+    // rows at worst. Compare fully-qualified paths so `dir` vs `./dir` vs
+    // `file:///...dir` spellings can't slip past the guard.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      // makeQualified absolutizes; URI.normalize folds `..`/`.` segments
+      // (Hadoop Path keeps them literal)
+      new org.apache.hadoop.fs.Path(
+        hp.getFileSystem(hconf).makeQualified(hp).toUri.normalize())
+    }
+    require(qualified(inPath) != qualified(outPath),
+      s"compactFiles: outPath must differ from inPath (${qualified(inPath)})" +
+        " — an overwrite write cannot re-read the directory it is clearing")
     val inFiles = listParquet(spark, inPath)
     require(inFiles.nonEmpty, s"no parquet files under $inPath")
     val bytesIn = inFiles.map(_._2).sum

@@ -94,4 +94,22 @@ class CmsSpec extends SparkSpec {
     // the estimate is EXACT — a deterministic regression pin
     assert(est(1 << 14) === exact)
   }
+
+  test("innerProduct: disjoint key sets estimate 0, never NULL (zero-overlap rows reach the min)") {
+    import spark.implicits._
+    val a = (0 until 500).map(i => s"a${i % 25}").toDF("v")
+    val b = (0 until 500).map(i => s"b${i % 25}").toDF("v")
+    // ample width: the disjoint key sets share no bucket in any hash row,
+    // so every per-row inner product is 0 and the estimate must be 0 —
+    // before the round-13 fix the inner bucket join dropped exactly those
+    // rows, reporting NULL here (and a collision-inflated min whenever
+    // only SOME rows had zero overlap)
+    val rows = Cms.innerProduct(
+      Cms.registers(a, Nil, "v", depth = 4, width = 1 << 14),
+      Cms.registers(b, Nil, "v", depth = 4, width = 1 << 14),
+      Nil).collect()
+    assert(rows.length === 1)
+    assert(!rows.head.isNullAt(rows.head.fieldIndex("join_size_est")))
+    assert(rows.head.getAs[Long]("join_size_est") === 0L)
+  }
 }

@@ -153,4 +153,20 @@ class KllSpec extends SparkSpec {
       assert(got === want)
     } finally regs.unpersist(blocking = false)
   }
+
+  test("estimate: keys = Nil is the global sketch — identical numbers to a constant-key fold (round-13 advice)") {
+    val df = mkDf(6000)
+    val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p95", 0.95))
+    val keyed = Kll.estimate(build(df), Seq("g"), qs).head()
+    // the coins salt on (bucket, level), never on keys, so a one-group
+    // keyed build and a global build hold identical compactor state — the
+    // global estimate must reproduce the keyed numbers exactly
+    val global = Kll.estimate(
+      Kll.registers(df, Nil, "v", "id", buckets, k, rounds, "t"), Nil, qs)
+    assert(global.columns.toSeq === Seq("n", "p25", "p50", "p95"))
+    val g = global.head()
+    assert(g.getAs[Long]("n") === keyed.getAs[Long]("n"))
+    for (q <- Seq("p25", "p50", "p95"))
+      assert(g.getAs[Double](q) === keyed.getAs[Double](q))
+  }
 }

@@ -142,4 +142,24 @@ class LayoutSpec extends SparkSpec {
     }
     assert(pe.getMessage.contains("must be integral"), pe.getMessage)
   }
+
+  test("compactFiles: refuses in-place compaction under any path spelling (round-13 advice)") {
+    import spark.implicits._
+    val dir = tmpDir("inplace") + "/t"
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .repartition(4).write.parquet(dir)
+    // the overwrite write would lazily re-read the directory it is
+    // clearing — rejected at entry, before any file is touched
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, dir, dir, 64L << 10, None)
+    }
+    assert(e.getMessage.contains("outPath must differ"))
+    // a different spelling of the same directory is still in-place
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, dir, dir + "/../t", 64L << 10, None)
+    }
+    assert(e2.getMessage.contains("outPath must differ"))
+    // the source is untouched by either rejected call
+    assert(spark.read.parquet(dir).count() === 100L)
+  }
 }

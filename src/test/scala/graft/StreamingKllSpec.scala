@@ -107,4 +107,27 @@ class StreamingKllSpec extends SparkSpec {
       assert(w === 100L)
     } finally q3.stop()
   }
+
+  test("attach: keys = Nil maintains a global sketch end-to-end (round-13 advice)") {
+    val statePath = tmpDir("skll-g") + "/state"
+    val stream = MemoryStream[(String, Long, Double)](spark)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    // before the fix this attach started cleanly and died inside
+    // foreachBatch at the first trigger (Kll.estimate required keys)
+    val q = StreamingKll.attach(
+      stream.toDF().toDF("g", "id", "v"), Nil, "v", "id",
+      buckets, k, rounds, sweep, Seq("p50" -> 0.5),
+      statePath, tmpDir("skll-g-ckpt")) { (est, id) =>
+      val r = est.head()
+      got(id) = (r.getAs[Long]("n"), r.getAs[Double]("p50"))
+    }
+    try {
+      stream.addData((0 until 1000).map(i => ("g", i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+      val (n, p50) = got(0L)
+      assert(n === 1000L)
+      // single trigger, no merge slack: |rank(p50) - n/2| <= 4n/k
+      assert(math.abs(p50 - 500.0) <= 4.0 * 1000 / k + 1)
+    } finally q.stop()
+  }
 }
