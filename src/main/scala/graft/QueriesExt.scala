@@ -6082,7 +6082,106 @@ object QueriesExt {
               abs(col("est_count") - col("exact_count")) / col("n"), 6)
               .as("err_frac"))
       },
-      Some(kllSelectivitySql))
+      Some(kllSelectivitySql)),
+
+    // Q87 — SCD Type-2 dimension historization from CDC
+    // (Compaction.scd2): the history-keeping upgrade of q12's latest-wins
+    // snapshot — per key the CDC log becomes half-open validity intervals
+    // (effective_from, effective_to, is_current). Lineitem plays the CDC
+    // log of a per-order shipment dimension: key = order, version ts =
+    // ship date, CDC offset = line number (same-date ties collapse to the
+    // LAST writer — the pinned tie-break), and returned lines are delete
+    // tombstones (they close the prior interval at their date but open
+    // none; a key whose last version is a delete keeps no current row).
+    // Plan: one map-side-combined argmax per (key, date) + a lead() window
+    // over the collapsed version log, partitioned by key — versions per
+    // key, never fact rows, in any one partition.
+    Entry(
+      "q87_scd2",
+      (s, d) => {
+        val cdc = Tables.load(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"),
+          when(col("l_returnflag") === "R", lit("D")).otherwise(lit("U"))
+            .as("op"))
+        Compaction.scd2(cdc, Seq("l_orderkey"), "ship_date",
+          Seq("l_quantity", "l_extendedprice"),
+          seqCol = Some("l_linenumber"), opCol = Some("op"))
+          // ISO strings for the compare only: pandas folds DuckDB DATE
+          // into Timestamp, a dtype-only mismatch against Spark's date
+          .select(
+            col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("effective_from").cast("string").as("effective_from"),
+            col("effective_to").cast("string").as("effective_to"),
+            col("is_current"))
+      },
+      Some("""WITH cdc AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_date,
+                                  l_linenumber, l_quantity, l_extendedprice,
+                                  CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op
+                           FROM lineitem),
+                   w AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey, ship_date
+                                     ORDER BY l_linenumber DESC, l_quantity DESC,
+                                              l_extendedprice DESC, op DESC) AS rn
+                         FROM cdc),
+                   v AS (SELECT l_orderkey, ship_date, l_quantity, l_extendedprice, op
+                         FROM w WHERE rn = 1),
+                   iv AS (SELECT *, lead(ship_date) OVER (PARTITION BY l_orderkey
+                                      ORDER BY ship_date) AS effective_to
+                          FROM v)
+              SELECT l_orderkey, l_quantity, l_extendedprice,
+                     CAST(ship_date AS VARCHAR) AS effective_from,
+                     CAST(effective_to AS VARCHAR) AS effective_to,
+                     effective_to IS NULL AS is_current
+              FROM iv WHERE op <> 'D'""")),
+
+    // Q87b — the composition pin: as-of-joining the SCD2 interval table
+    // (probe: effective_from <= t < effective_to, open-ended current rows)
+    // reproduces AsOfJoin.asOf row-for-row — the SAME oracle as q22/q24.
+    // This works because scd2's same-timestamp tie-break (greatest payload
+    // struct, no seq column) IS the as-of carry's tie-break, and the
+    // intervals tile each key's timeline disjointly, so the equi-join on
+    // key + range filter matches each event to at most one interval. The
+    // interval probe is the warehouse-native form of the lookup: build the
+    // history once, answer any number of point-in-time probes with a plain
+    // join — no re-sort of the fact side per query.
+    Entry(
+      "q87b_scd2_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_t"),
+          col("o_orderkey"), col("o_totalprice"))
+        val hist = Compaction.scd2(ord, Seq("o_custkey"), "o_t",
+          Seq("o_orderkey", "o_totalprice"))
+        ev.join(hist,
+            ev("user_id") === hist("o_custkey") &&
+              ev("ts") >= hist("effective_from") &&
+              (hist("effective_to").isNull ||
+                ev("ts") < hist("effective_to")),
+            "left")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""WITH r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS tag,
+                                {'o_orderkey': o_orderkey, 'o_totalprice': o_totalprice} AS p,
+                                CAST(NULL AS BIGINT) AS event_id
+                         FROM orders),
+                   l AS (SELECT user_id AS k, epoch_us(ts) AS t, 1 AS tag,
+                                CAST(NULL AS STRUCT(o_orderkey BIGINT, o_totalprice DOUBLE)) AS p,
+                                event_id
+                         FROM events),
+                   u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+                   m AS (SELECT k, t, tag, event_id,
+                                last_value(p IGNORE NULLS) OVER (
+                                  PARTITION BY k ORDER BY t, tag, p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+                         FROM u)
+              SELECT event_id, k AS user_id, t AS ts,
+                     mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
+              FROM m WHERE tag = 1"""))
   )
 
   /** q86's oracle: the generated q81 build chain (salt q86) + the same

@@ -88,4 +88,107 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.snapshotDiff(before, after, Seq("k"), Seq("v"))
       .head().getString(1) == "changed")
   }
+
+  // ── SCD Type-2 ──────────────────────────────────────────────────────────
+
+  /** Naive model: collapse same-(k, ts) by max (seq, v, op), order by ts,
+    * close each row with the next version's ts, drop delete rows. */
+  private def scd2Model(rows: Seq[(Long, Long, Long, Double, String)])
+      : Set[(Long, Double, Long, Option[Long], Boolean)] =
+    rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((k, ts), vs) =>
+        val w = vs.maxBy(r => (r._3, r._4, r._5))
+        (k, ts, w._4, w._5)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (k, vsU) =>
+        val vs = vsU.sortBy(_._2)
+        vs.zipWithIndex.collect { case ((_, ts, v, op), i) if op != "D" =>
+          val to = if (i + 1 < vs.size) Some(vs(i + 1)._2) else None
+          (k, v, ts, to, to.isEmpty)
+        }
+      }.toSet
+
+  private def scd2Set(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Double, Long, Option[Long], Boolean)] =
+    df.collect().map { r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))
+    }.toSet
+
+  test("scd2 == interval model on random CDC with deletes and same-ts ties (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 901)) {
+      val rng = new Random(seed)
+      // small ts domain FORCES same-(key, ts) collisions; ~15% deletes
+      val rows = (0 until 800).map { i =>
+        (rng.nextInt(40).toLong, rng.nextInt(25).toLong, i.toLong,
+          rng.nextInt(1000) / 10.0,
+          if (rng.nextInt(100) < 15) "D" else "U")
+      }
+      val got = Compaction.scd2(
+        rows.toDF("k", "ts", "seq", "v", "op"), Seq("k"), "ts", Seq("v"),
+        seqCol = Some("seq"), opCol = Some("op"))
+      assert(scd2Set(got) === scd2Model(rows), s"seed $seed")
+    }
+  }
+
+  test("scd2 tombstone contracts: close-only, gap on re-insert, no current after trailing delete") {
+    import spark.implicits._
+    val rows = Seq(
+      // key 1: U@1, D@3, U@5 -> [1,3) then [5,inf); the [3,5) gap is uncovered
+      (1L, 1L, 0L, 10.0, "U"), (1L, 3L, 1L, 0.0, "D"), (1L, 5L, 2L, 11.0, "U"),
+      // key 2: a delete-first key opens nothing
+      (2L, 1L, 3L, 0.0, "D"),
+      // key 3: trailing delete -> closed interval, NO current row
+      (3L, 2L, 4L, 30.0, "U"), (3L, 9L, 5L, 0.0, "D"))
+    val got = scd2Set(Compaction.scd2(
+      rows.toDF("k", "ts", "seq", "v", "op"), Seq("k"), "ts", Seq("v"),
+      seqCol = Some("seq"), opCol = Some("op")))
+    assert(got === Set(
+      (1L, 10.0, 1L, Some(3L), false),
+      (1L, 11.0, 5L, None, true),
+      (3L, 30.0, 2L, Some(9L), false)))
+  }
+
+  test("scd2 same-timestamp tie-break: seq wins when supplied, else greatest payload") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 5L, 1L, 99.0, "U"), (1L, 5L, 2L, 7.0, "U")) // higher seq, lower v
+    val df = rows.toDF("k", "ts", "seq", "v", "op")
+    val withSeq = scd2Set(Compaction.scd2(
+      df, Seq("k"), "ts", Seq("v"), seqCol = Some("seq"), opCol = Some("op")))
+    assert(withSeq === Set((1L, 7.0, 5L, None, true)))
+    val noSeq = Compaction.scd2(df, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(noSeq === Set((1L, 99.0)))
+  }
+
+  test("scd2 composition: the interval probe reproduces AsOfJoin.asOf row-for-row") {
+    import graft.operators.AsOfJoin
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new Random(77)
+    // duplicate (k, ts) right rows exercise the shared greatest-payload
+    // tie-break; probes land before, between, on, and after versions
+    val cdc = (0 until 400).map(i =>
+      (rng.nextInt(20).toLong, rng.nextInt(40).toLong, rng.nextInt(500).toDouble))
+      .toDF("k", "ts", "v")
+    val probes = (0 until 600).map(i =>
+      (i.toLong, rng.nextInt(25).toLong, rng.nextInt(50).toLong))
+      .toDF("id", "k", "t")
+    val viaAsOf = AsOfJoin.asOf(
+        probes, cdc, Seq("k"), Seq("k"), "t", "ts", Seq("v"))
+      .select("id", "k", "t", "v")
+    val hist = Compaction.scd2(cdc, Seq("k"), "ts", Seq("v"))
+    val viaIntervals = probes.join(hist,
+        probes("k") === hist("k") &&
+          probes("t") >= hist("effective_from") &&
+          (hist("effective_to").isNull || probes("t") < hist("effective_to")),
+        "left")
+      .select(probes("id"), probes("k"), col("t"), col("v"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rs(viaIntervals) === rs(viaAsOf))
+  }
 }
