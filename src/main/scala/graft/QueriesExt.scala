@@ -6181,7 +6181,77 @@ object QueriesExt {
                          FROM u)
               SELECT event_id, k AS user_id, t AS ts,
                      mp.o_orderkey AS o_orderkey, mp.o_totalprice AS o_totalprice
-              FROM m WHERE tag = 1"""))
+              FROM m WHERE tag = 1""")),
+
+    // Q88 — file-pruning manifest + scan-pruning estimator: the
+    // planner-statistics loop q85/q86 opened, closed at the FILE level.
+    // Orders are dealt into 16 files by EXACT global rank over
+    // (o_date, o_orderkey) — the deterministic, oracle-replayable form of
+    // a clustered write's range partitioning (prefix-sum rank, never
+    // sampled boundaries, never a single-task window) — and the manifest
+    // holds per-file n_rows + min/max/null-count for three columns: the
+    // footer-stats table a 100 TB planner probes instead of opening
+    // files. Three estimator probes ride as pinned booleans: a date range
+    // (Q3'95) and a date point both prune hard on the sort column; the
+    // custkey point probe survives in ~every file — the honest
+    // demonstration of WHY you sort by what you prune on.
+    Entry(
+      "q88_prune_manifest",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val man = Layout.fileManifest(ord,
+          Seq(col("o_date").asc, col("o_orderkey").asc), 16,
+          Seq("o_date", "o_custkey", "o_totalprice"))
+        val probed = Layout.pruneEqual(
+          Layout.pruneEqual(
+            Layout.pruneRange(man, "o_date",
+              lit("1995-07-01").cast("date"), lit("1995-10-01").cast("date"),
+              "touches_q3_1995"),
+            "o_date", lit("1995-09-15").cast("date"), "touches_eq_date"),
+          "o_custkey", lit(777L), "touches_eq_custkey")
+        probed.select(
+          col("file_id"), col("n_rows"),
+          col("o_date_min").cast("string").as("o_date_min"),
+          col("o_date_max").cast("string").as("o_date_max"),
+          col("o_date_nulls"),
+          col("o_custkey_min"), col("o_custkey_max"), col("o_custkey_nulls"),
+          stableRound(col("o_totalprice_min"), 6).as("o_totalprice_min"),
+          stableRound(col("o_totalprice_max"), 6).as("o_totalprice_max"),
+          col("o_totalprice_nulls"),
+          col("touches_q3_1995"), col("touches_eq_date"),
+          col("touches_eq_custkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+                                CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+                         FROM orders),
+                   r AS (SELECT *, row_number() OVER (ORDER BY o_date, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM o),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, COUNT(*) AS n_rows,
+                                MIN(o_date) AS dmin, MAX(o_date) AS dmax,
+                                CAST(SUM(CASE WHEN o_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dnull,
+                                MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cnull,
+                                MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax,
+                                CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pnull
+                         FROM a GROUP BY file_id)
+              SELECT file_id, n_rows,
+                     CAST(dmin AS VARCHAR) AS o_date_min,
+                     CAST(dmax AS VARCHAR) AS o_date_max,
+                     dnull AS o_date_nulls,
+                     cmin AS o_custkey_min, cmax AS o_custkey_max,
+                     cnull AS o_custkey_nulls,
+                     ROUND(pmin + 1e-9, 6) AS o_totalprice_min,
+                     ROUND(pmax + 1e-9, 6) AS o_totalprice_max,
+                     pnull AS o_totalprice_nulls,
+                     (dmax >= DATE '1995-07-01' AND dmin < DATE '1995-10-01') AS touches_q3_1995,
+                     (dmin <= DATE '1995-09-15' AND dmax >= DATE '1995-09-15') AS touches_eq_date,
+                     (cmin <= 777 AND cmax >= 777) AS touches_eq_custkey
+              FROM m"""))
   )
 
   /** q86's oracle: the generated q81 build chain (salt q86) + the same

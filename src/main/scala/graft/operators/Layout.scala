@@ -138,6 +138,79 @@ object Layout {
       nFilesIn: Long, bytesIn: Long, nFilesOut: Long, bytesOut: Long,
       targetFiles: Long)
 
+  /** Exact-rank file assignment: adds `file_id` ∈ [0, nFiles) — file k
+    * holds global-rank rows `[k·N/nFiles, (k+1)·N/nFiles)` under the TOTAL
+    * order `orderCols` (supply a tie-free order: append a unique id). This
+    * is the deterministic, engine-replayable form of what
+    * `repartitionByRange(n).write` does with SAMPLED boundaries: the
+    * assignment is a pure function of content (the [[graft.operators.Packing.globalRunningSum]]
+    * distributed prefix sum — range exchange + bounded per-slice windows +
+    * broadcast offsets, never a single-task global window), so the same
+    * data yields the same file set on any layout, engine, or rerun — which
+    * is what lets [[fileManifest]]'s per-file stats be hash-checked by an
+    * oracle that recomputes the SAME assignment. Balanced by construction:
+    * every file gets ⌈N/nFiles⌉ or ⌊N/nFiles⌋ rows. */
+  def fileAssignments(
+      df: DataFrame, orderCols: Seq[Column], nFiles: Int): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val ranked = Packing.globalRunningSum(
+      df.withColumn("_fm_one", lit(1L)), orderCols, "_fm_one", "_fm_rank")
+    // N rides a broadcast one-row frame, not a driver collect; the integer
+    // product (rank−1)·nFiles stays exact to N ≈ 9.2e18/nFiles
+    val n = df.agg(count(lit(1)).as("_fm_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("file_id",
+        expr(s"CAST((_fm_rank - 1) * $nFiles AS BIGINT) DIV _fm_n"))
+      .drop("_fm_one", "_fm_rank", "_fm_n")
+  }
+
+  /** Q88 — the write-time pruning manifest: per [[fileAssignments]] file,
+    * exact `n_rows` plus `<col>_min` / `<col>_max` / `<col>_nulls` for each
+    * stat column — the footer-stats table a 100 TB planner consults
+    * INSTEAD of listing and opening files. One map-side-combined
+    * aggregation over the assigned frame (shuffle ∝ nFiles rows); at a
+    * real lake this fold runs inside the writer's task and costs nothing
+    * extra. min/max ignore nulls (SQL semantics); an all-null file carries
+    * null bounds and a full null count, so a range probe skips it and an
+    * IS NULL probe keeps it. */
+  def fileManifest(
+      df: DataFrame, orderCols: Seq[Column], nFiles: Int,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "fileManifest: no stat columns")
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    fileAssignments(df, orderCols, nFiles)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** The scan-pruning estimator over a [[fileManifest]]: answers "which
+    * files can predicate P touch, and how many rows is that" from the
+    * manifest ALONE — zero corpus I/O, the q85/q86 planner-statistics
+    * family applied to file skipping. Adds one boolean `outCol` per probe:
+    *  - `range(lo, hi)`  — true iff `[min, max] ∩ [lo, hi)` ≠ ∅
+    *  - `equalTo(v)`     — true iff `min <= v <= max`
+    *  - `isNull`         — true iff the file holds any null
+    * A file with null bounds (all-null column) only matches `isNull`.
+    * These are conservative (a surviving file may hold no matching row —
+    * bounds are boxes, not bitmaps) but never wrong in the pruning
+    * direction: a pruned file provably holds no match, so a scan over
+    * surviving files is EXACT, not approximate. */
+  def pruneRange(
+      manifest: DataFrame, statCol: String, lo: Column, hi: Column,
+      outCol: String): DataFrame =
+    manifest.withColumn(outCol,
+      col(s"${statCol}_max") >= lo && col(s"${statCol}_min") < hi)
+
+  /** Equality-probe variant of [[pruneRange]] (see there). */
+  def pruneEqual(
+      manifest: DataFrame, statCol: String, v: Column,
+      outCol: String): DataFrame =
+    manifest.withColumn(outCol,
+      col(s"${statCol}_min") <= v && col(s"${statCol}_max") >= v)
+
   private def listParquet(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, Long)] = {

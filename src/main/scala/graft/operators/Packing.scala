@@ -45,9 +45,22 @@ object Packing {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     require(valueCols.nonEmpty, "valueCols must be non-empty")
     val slices = df.sparkSession.sessionState.conf.numShufflePartitions
+    // The slice id MUST be read from ONE materialized layout: the local
+    // prefix sums and the per-slice totals are two subtrees of this plan,
+    // and if the range exchange is re-executed per subtree (exchange reuse
+    // is an OPTIMIZATION, not a guarantee — surrounding plan shape, AQE
+    // stage boundaries, or a cached input can all break it), each re-run
+    // draws DIFFERENT sampled boundaries and the offsets no longer match
+    // the local sums — ranks collide or overshoot N (caught live by q88:
+    // a 17th "file" appeared with ranks past the row count). The eager
+    // localCheckpoint pins the sampled layout: both subtrees scan the
+    // same materialized slices, so the reconstructed rank is exact — and
+    // layout-INDEPENDENT, because boundary placement only decides which
+    // slice adds the offset, never the total-order position itself.
     val ranged = df
       .repartitionByRange(slices, orderCols: _*)
       .withColumn("_ps_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = valueCols.zipWithIndex.foldLeft(ranged) {

@@ -162,4 +162,55 @@ class LayoutSpec extends SparkSpec {
     // the source is untouched by either rejected call
     assert(spark.read.parquet(dir).count() === 100L)
   }
+
+  test("fileAssignments/fileManifest: exact balanced ranks, stats match the model, pruning never wrong") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 5000).map(i =>
+      (i.toLong, rng.nextInt(1000).toLong, rng.nextInt(100000) / 100.0))
+    val df = rows.toDF("id", "k", "v").repartition(7) // layout must not matter
+    val order = Seq(col("k").asc, col("id").asc)
+    val asg = Layout.fileAssignments(df, order, 8)
+    val got = asg.select("id", "file_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // model: exact 0-based rank over the total order (k, id)
+    val model = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> (i.toLong * 8 / 5000) }.toMap
+    assert(got === model)
+    // manifest: per-file stats equal the model's group stats
+    val man = Layout.fileManifest(df, order, 8, Seq("k", "v"))
+      .collect().map(r => r.getAs[Long]("file_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("k_min"), r.getAs[Long]("k_max"),
+          r.getAs[Long]("k_nulls"))).toMap
+    val byFile = rows.groupBy(r => model(r._1))
+    assert(man.keySet === byFile.keySet)
+    byFile.foreach { case (f, rs) =>
+      assert(man(f) === ((rs.size.toLong, rs.map(_._2).min, rs.map(_._2).max, 0L)), s"file $f")
+    }
+    // pruning is conservative in exactly one direction: a pruned file
+    // provably holds NO match, so the union of surviving files is exact
+    val manDf = Layout.fileManifest(df, order, 8, Seq("k", "v"))
+    val pr = Layout.pruneRange(manDf, "k", lit(200L), lit(400L), "hit")
+      .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Boolean]("hit")).toMap
+    byFile.foreach { case (f, rs) =>
+      val hasMatch = rs.exists(r => r._2 >= 200L && r._2 < 400L)
+      if (hasMatch) assert(pr(f), s"file $f wrongly pruned")
+    }
+    val pe = Layout.pruneEqual(manDf, "k", lit(555L), "hit")
+      .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Boolean]("hit")).toMap
+    byFile.foreach { case (f, rs) =>
+      if (rs.exists(_._2 == 555L)) assert(pe(f), s"file $f wrongly pruned (eq)")
+    }
+    // physical write parity: partitionBy(file_id) dirs hold exactly the
+    // manifest's row counts — the manifest IS the written layout's stats
+    val out = tmpDir("manifest") + "/t"
+    asg.write.partitionBy("file_id").parquet(out)
+    val back = spark.read.parquet(out)
+      // partition-column type inference reads file_id back as INT
+      .groupBy(col("file_id").cast("long").as("file_id"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back === man.view.mapValues(_._1).toMap)
+  }
 }
