@@ -6251,8 +6251,130 @@ object QueriesExt {
                      (dmax >= DATE '1995-07-01' AND dmin < DATE '1995-10-01') AS touches_q3_1995,
                      (dmin <= DATE '1995-09-15' AND dmax >= DATE '1995-09-15') AS touches_eq_date,
                      (cmin <= 777 AND cmax >= 777) AS touches_eq_custkey
-              FROM m"""))
+              FROM m""")),
+
+    // D20 — structured-record entity resolution (Dedup.entityPairs): the
+    // multi-field fuzzy matcher the dedup family lacked — blocking on
+    // (brand, first name char), per-field similarity (banded edit on the
+    // name, token Jaccard on the name, null-safe brand equality, numeric
+    // size closeness), weighted score, threshold. Records = parts plus
+    // PLANTED variants (every 4th part re-enters with a one-char name
+    // deletion and size+1 — the oracle replays the same planting), so the
+    // matcher faces real fuzz, and d20b prices its recall against the
+    // planted truth instead of guessing. Every sim is 6dp-rounded before
+    // weighting and the threshold branches on the rounded score — the
+    // round-then-branch discipline that makes the hash replay.
+    Entry(
+      "d20_entity_pairs",
+      (s, d) => d20Pairs(s, d),
+      Some(d20PairsSql +
+        """
+          SELECT a_id, b_id, p_name_edit_sim, p_name_jaccard_sim,
+                 p_brand_exact_sim, p_size_close_sim, score
+          FROM sc WHERE score >= CAST('0.75' AS DOUBLE)""")),
+
+    // D20b — the recall price of d20's blocking+threshold, via d18's
+    // pair-set metrics against the planted truth: every (part, variant)
+    // pair the matcher finds counts toward recall; same-name same-brand
+    // genuine near-records it also surfaces price the precision honestly.
+    Entry(
+      "d20b_entity_recall",
+      (s, d) => Dedup.pairSetMetrics(
+        d20Pairs(s, d),
+        Tables.load(s, d, "part")
+          .filter(col("p_partkey") % 4 === 0)
+          .select(col("p_partkey").as("a_id"),
+            (col("p_partkey") + lit(1000000L)).as("b_id")),
+        "a_id", "b_id"),
+      Some(d20PairsSql +
+        """ ,
+          pc AS (SELECT DISTINCT LEAST(a_id, b_id) AS _a, GREATEST(a_id, b_id) AS _b
+                 FROM sc WHERE score >= CAST('0.75' AS DOUBLE)),
+          tc AS (SELECT DISTINCT LEAST(p_partkey, p_partkey + 1000000) AS _a,
+                        GREATEST(p_partkey, p_partkey + 1000000) AS _b
+                 FROM p0 WHERE p_partkey % 4 = 0),
+          np AS (SELECT COUNT(*) AS n_pred FROM pc),
+          nt AS (SELECT COUNT(*) AS n_truth FROM tc),
+          nb AS (SELECT COUNT(*) AS n_both
+                 FROM (SELECT * FROM pc INTERSECT SELECT * FROM tc))
+          SELECT n_pred, n_truth, n_both,
+                 CASE WHEN n_pred > 0
+                      THEN ROUND(n_both / CAST(n_pred AS DOUBLE) + 1e-9, 6) END AS precision,
+                 CASE WHEN n_truth > 0
+                      THEN ROUND(n_both / CAST(n_truth AS DOUBLE) + 1e-9, 6) END AS recall,
+                 CASE WHEN n_pred > 0 AND n_truth > 0 AND n_both > 0
+                      THEN ROUND(2.0 * (n_both / CAST(n_pred AS DOUBLE)) * (n_both / CAST(n_truth AS DOUBLE))
+                                 / (n_both / CAST(n_pred AS DOUBLE) + n_both / CAST(n_truth AS DOUBLE)) + 1e-9, 6)
+                 END AS f1
+          FROM np, nt, nb"""))
   )
+
+  /** d20's record set: parts + planted variants (every 4th part with a
+    * one-character name deletion and size+1, id offset 1e6) — the fuzz
+    * the matcher must find, replayed identically by [[d20PairsSql]]. */
+  private def d20Records(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val p = Tables.load(s, d, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+    p.unionByName(
+      p.filter(col("p_partkey") % 4 === 0).select(
+        (col("p_partkey") + lit(1000000L)).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 1), expr("substring(p_name, 3)"))
+          .as("p_name"),
+        col("p_brand"),
+        (col("p_size") + lit(1)).as("p_size")))
+  }
+
+  private def d20Pairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Dedup.entityPairs(
+      d20Records(s, d), "p_partkey",
+      Seq(col("p_brand"), substring(col("p_name"), 1, 1)),
+      editFields = Seq("p_name" -> 0.4),
+      jaccardFields = Seq("p_name" -> 0.2),
+      exactFields = Seq("p_brand" -> 0.2),
+      closeFields = Seq("p_size" -> 0.2),
+      threshold = 0.75)
+
+  /** The shared d20 oracle prefix: variant planting, blocking self-join,
+    * the four per-field similarities (each ROUND(x+1e-9, 6) = stableRound)
+    * and the weighted score — everything up to the threshold filter. */
+  private def d20PairsSql: String =
+    """WITH p0 AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+          vr AS (SELECT p_partkey + 1000000 AS p_partkey,
+                        substring(p_name, 1, 1) || substring(p_name, 3) AS p_name,
+                        p_brand, p_size + 1 AS p_size
+                 FROM p0 WHERE p_partkey % 4 = 0),
+          r AS (SELECT * FROM p0 UNION ALL SELECT * FROM vr),
+          t AS (SELECT p_partkey AS id, p_brand,
+                       substring(p_name, 1, 1) AS nk,
+                       lower(trim(p_name)) AS nn,
+                       list_distinct([x for x in string_split_regex(lower(trim(p_name)), '\s+')
+                                      if length(x) > 0]) AS toks,
+                       p_size
+                FROM r),
+          c AS (SELECT a.id AS a_id, b.id AS b_id,
+                       ROUND(CASE WHEN levenshtein(a.nn, b.nn) > 20 THEN 0.0
+                             ELSE 1.0 - CAST(levenshtein(a.nn, b.nn) AS DOUBLE)
+                                  / GREATEST(length(a.nn), length(b.nn), 1) END + 1e-9, 6) AS p_name_edit_sim,
+                       ROUND(CASE WHEN len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) = 0 THEN 1.0
+                             ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) END + 1e-9, 6) AS p_name_jaccard_sim,
+                       ROUND(CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN 1.0 ELSE 0.0 END + 1e-9, 6) AS p_brand_exact_sim,
+                       ROUND(CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size THEN 1.0
+                                  WHEN a.p_size IS NULL OR b.p_size IS NULL THEN 0.0
+                             ELSE 1.0 - CAST(abs(a.p_size - b.p_size) AS DOUBLE)
+                                  / GREATEST(abs(a.p_size), abs(b.p_size), 1) END + 1e-9, 6) AS p_size_close_sim
+                FROM t a JOIN t b
+                  ON a.p_brand = b.p_brand AND a.nk = b.nk AND a.id < b.id),
+          sc AS (SELECT *, ROUND((CAST('0.4' AS DOUBLE) * p_name_edit_sim +
+                                  CAST('0.2' AS DOUBLE) * p_name_jaccard_sim +
+                                  CAST('0.2' AS DOUBLE) * p_brand_exact_sim +
+                                  CAST('0.2' AS DOUBLE) * p_size_close_sim)
+                                 / CAST('1.0' AS DOUBLE) + 1e-9, 6) AS score
+                 FROM c)"""
 
   /** q86's oracle: the generated q81 build chain (salt q86) + the same
     * cumulative-weight rank probes at the nudged band edges + one exact

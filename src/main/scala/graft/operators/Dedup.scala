@@ -1383,6 +1383,112 @@ object Dedup {
       .filter(col("dist") >= 0)
   }
 
+  /** D20 — structured-record entity resolution: multi-field fuzzy matching
+    * (name+address-style) composed from the parts this family already has
+    * — exact-key/prefix BLOCKING for candidates, per-field similarity
+    * (the [[editDistancePairs]] banded-DP edit kernel, token Jaccard,
+    * null-safe equality, numeric closeness), and a weighted match score.
+    * Field kinds and their similarities (each 6 dp-rounded BEFORE
+    * weighting, so the score and the threshold branch replay exactly on
+    * any engine):
+    *  - edit:    `1 − lev(lower(trim(a)), lower(trim(b))) / max(len)`;
+    *             the DP is BANDED at `maxEdit` — a pair further apart
+    *             than that scores 0 on the field (it was never a fuzzy
+    *             match at typo scale) and costs O(len·maxEdit), not
+    *             O(len²).
+    *  - jaccard: distinct whitespace tokens of lower(trim()); two empty
+    *             token sets are identical (1.0).
+    *  - exact:   null-safe equality (two nulls match — same record shape).
+    *  - close:   `1 − |a−b| / max(|a|, |b|, 1)` for numerics; null-safe
+    *             equal → 1.0, one-sided null → 0.0.
+    * `score = Σ wᵢ·simᵢ / Σ wᵢ`, 6 dp; pairs below `threshold` drop.
+    *
+    * Scale/recall contract (the d04/d15 discipline): candidates come ONLY
+    * from the exact `blockCols` equi-self-join — a true match whose block
+    * key differs (e.g. a typo inside the blocking prefix) is missed, and
+    * recall is PRICED, not guessed, by running [[pairSetMetrics]] against
+    * planted variants (d20b). A NULL block key drops its record from
+    * candidate generation (equi-join semantics). A hot block is a hot
+    * join key — quadratic in ITS size only, never corpus-quadratic; AQE's
+    * skew split spreads the build, and the block key should carry enough
+    * cardinality that blocks stay task-sized (the d02 strategy-gate
+    * rule). */
+  def entityPairs(
+      df: DataFrame, idCol: String, blockCols: Seq[Column],
+      editFields: Seq[(String, Double)] = Nil,
+      jaccardFields: Seq[(String, Double)] = Nil,
+      exactFields: Seq[(String, Double)] = Nil,
+      closeFields: Seq[(String, Double)] = Nil,
+      threshold: Double = 0.8, maxEdit: Int = 20): DataFrame = {
+    require(blockCols.nonEmpty, "entityPairs: no blocking columns")
+    val weighted =
+      editFields.map { case (f, w) => (f, w, "edit") } ++
+        jaccardFields.map { case (f, w) => (f, w, "jaccard") } ++
+        exactFields.map { case (f, w) => (f, w, "exact") } ++
+        closeFields.map { case (f, w) => (f, w, "close") }
+    require(weighted.nonEmpty, "entityPairs: no similarity fields")
+    weighted.foreach { case (f, w, k) =>
+      require(w >= 0, s"entityPairs: negative weight $w on $k($f)") }
+    val wSum = weighted.map(_._2).sum
+    require(wSum > 0, "entityPairs: all weights zero")
+    require(threshold >= 0 && threshold <= 1,
+      s"entityPairs: threshold in [0,1], got $threshold")
+    require(maxEdit >= 1, s"entityPairs: maxEdit must be >= 1, got $maxEdit")
+
+    val fieldCols = weighted.map(_._1).distinct
+    val base = df.select(
+      col(idCol).as("_id") +:
+        (blockCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") } ++
+          fieldCols.map(col)): _*)
+    def side(p: String) = base.select(
+      col("_id").as(s"${p}_id") +:
+        (blockCols.indices.map(i => col(s"_blk$i")) ++
+          fieldCols.map(f => col(f).as(s"_${p}_$f"))): _*)
+    val cand = side("a")
+      .join(side("b"), blockCols.indices.map(i => s"_blk$i").toSeq)
+      .filter(col("a_id") < col("b_id"))
+
+    def norm(c: Column) = lower(trim(c.cast("string")))
+    def toks(c: Column) = array_distinct(
+      filter(split(norm(coalesce(c, lit(""))), "\\s+"),
+        t => length(t) > 0))
+    def sim(f: String, kind: String): Column = {
+      val (a, b) = (col(s"_a_$f"), col(s"_b_$f"))
+      kind match {
+        case "edit" =>
+          val (na, nb) = (norm(coalesce(a, lit(""))), norm(coalesce(b, lit(""))))
+          val d = levenshtein(na, nb, maxEdit)
+          when(d < 0, lit(0.0)).otherwise(
+            lit(1.0) - d.cast("double") /
+              greatest(length(na), length(nb), lit(1)).cast("double"))
+        case "jaccard" =>
+          val (ta, tb) = (toks(a), toks(b))
+          val inter = size(array_intersect(ta, tb))
+          val uni = size(ta) + size(tb) - inter
+          when(uni === 0, lit(1.0))
+            .otherwise(inter.cast("double") / uni.cast("double"))
+        case "exact" => when(a <=> b, lit(1.0)).otherwise(lit(0.0))
+        case "close" =>
+          when(a <=> b, lit(1.0))
+            .when(a.isNull || b.isNull, lit(0.0))
+            .otherwise(lit(1.0) - abs(a - b).cast("double") /
+              greatest(abs(a), abs(b), lit(1)).cast("double"))
+      }
+    }
+    val withSims = weighted.foldLeft(cand) { case (acc, (f, _, k)) =>
+      acc.withColumn(s"${f}_${k}_sim", stableRound(sim(f, k), 6))
+    }
+    val score = weighted.map { case (f, w, k) =>
+      col(s"${f}_${k}_sim") * lit(w)
+    }.reduce(_ + _) / lit(wSum)
+    withSims
+      .withColumn("score", stableRound(score, 6))
+      .filter(col("score") >= threshold)
+      .select(col("a_id") +: col("b_id") +:
+        weighted.map { case (f, _, k) => col(s"${f}_${k}_sim") } :+
+        col("score"): _*)
+  }
+
   /** Duplicate-cluster size histogram — the "how duplicated is this
     * corpus" monitoring table over a component assignment
     * ([[connectedComponents]] / [[connectedComponentsAlternating]] output,

@@ -714,4 +714,49 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 1.0)),
       s"whitespace-only docs 3-5 must not tokenize or pair, got ${got.toSeq}")
   }
+
+  test("entityPairs: per-field sims and weighted score match the hand model; blocking and banding are honest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val recs = Seq(
+      (1L, "acme corp", "B1", 10L),
+      (2L, "acme corpp", "B1", 10L),   // 1-char insertion of record 1
+      (3L, "zeta", "B1", 10L),         // different first char -> other block
+      (5L, "bcme corp", "B1", 20L),    // near record 1 but blocked apart
+      (6L, "x y", null, 5L),           // null brand pair: null-safe exact
+      (7L, "x y", null, 5L),
+      (8L, "q" + "a" * 29, "B9", 1L),  // 29 edits apart: past the band
+      (9L, "q" + "b" * 29, "B9", 1L)
+    ).toDF("id", "name", "brand", "size")
+    def run(th: Double) = Dedup.entityPairs(
+      recs, "id", Seq(substring(col("name"), 1, 1)),
+      editFields = Seq("name" -> 0.4),
+      jaccardFields = Seq("name" -> 0.2),
+      exactFields = Seq("brand" -> 0.2),
+      closeFields = Seq("size" -> 0.2),
+      threshold = th, maxEdit = 5)
+    val all = run(0.0).collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // block 'a': only (1,2); 3 blocks under 'z', 5 under 'b' (the PRICED
+    // blocking miss); block 'x': (6,7); block 'q': (8,9), whose 29 edits
+    // exceed the band, zeroing the edit sim
+    assert(all.keySet === Set((1L, 2L), (6L, 7L), (8L, 9L)))
+    val (e12, j12, x12, c12v, s12) = all((1L, 2L))
+    assert(e12 === 0.9)         // lev 1 / maxlen 10
+    assert(j12 === 0.333333)    // {acme,corp} vs {acme,corpp}
+    assert(x12 === 1.0)
+    assert(c12v === 1.0)
+    assert(s12 === 0.826667)    // .4*.9 + .2*.333333 + .2 + .2, 6dp
+    val (e67, j67, x67, c67, s67) = all((6L, 7L))
+    assert((e67, j67, x67, c67, s67) === ((1.0, 1.0, 1.0, 1.0, 1.0))) // null<=>null brand matches
+    val (e89, _, _, _, _) = all((8L, 9L))
+    assert(e89 === 0.0)         // 29 edits > maxEdit 5: banded to zero
+    // threshold branches on the ROUNDED score: >= keeps the exact value
+    assert(run(0.826667).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (6L, 7L)))
+    assert(run(0.826668).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((6L, 7L)))
+  }
 }
