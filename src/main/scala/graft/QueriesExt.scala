@@ -6306,7 +6306,53 @@ object QueriesExt {
                       THEN ROUND(2.0 * (n_both / CAST(n_pred AS DOUBLE)) * (n_both / CAST(n_truth AS DOUBLE))
                                  / (n_both / CAST(n_pred AS DOUBLE) + n_both / CAST(n_truth AS DOUBLE)) + 1e-9, 6)
                  END AS f1
-          FROM np, nt, nb"""))
+          FROM np, nt, nb""")),
+
+    // T51 — sentence-aware RAG chunking (TextAnalysis.sentenceChunks):
+    // t22 cuts mid-sentence on raw token offsets; this packs WHOLE
+    // sentences to a 20-token budget under the packSequences first-token
+    // rule and re-carries 1 sentence of overlap between chunks. The
+    // synthetic corpus has no punctuation (one "sentence" per doc), so
+    // the entry PLANTS deterministic sentence ends — every
+    // table/query/value token closes a sentence — which the oracle
+    // replays verbatim; boundaries, budgets, and the carried overlap are
+    // then all hash-pinned. Map-side only: sentence split + per-row array
+    // folds + one explode — zero Exchange (TextAnalysisSpec pin).
+    Entry(
+      "t51_sentence_chunks",
+      (s, d) => TextAnalysis.sentenceChunks(
+        docs(s, d).withColumn("text",
+          regexp_replace(col("text"), "(table|query|value)", "$1.")),
+        "doc_id", "text", budgetTokens = 20, overlapSents = 1),
+      Some("""WITH pre AS (SELECT doc_id,
+                                  regexp_replace(text, '(table|query|value)', '\1.', 'g') AS text
+                           FROM documents WHERE text IS NOT NULL),
+                   s0 AS (SELECT doc_id,
+                                 [trim(regexp_replace(x, '\s+', ' ', 'g'))
+                                  for x in string_split_regex(lower(trim(text)), '[.!?]+')
+                                  if regexp_matches(x, '[a-z0-9]')] AS s
+                          FROM pre),
+                   s1 AS (SELECT doc_id, s,
+                                 [CAST(len(string_split(x, ' ')) AS BIGINT) for x in s] AS tc
+                          FROM s0 WHERE len(s) > 0),
+                   s2 AS (SELECT doc_id, s, tc,
+                                 [CAST(COALESCE(list_sum(tc[1:i-1]), 0) AS BIGINT) // 20
+                                  for i in range(1, len(tc) + 1)] AS cid
+                          FROM s1),
+                   x AS (SELECT doc_id, s, tc, cid,
+                                unnest(list_distinct(cid)) AS chunk_id
+                         FROM s2),
+                   m AS (SELECT doc_id, chunk_id, s, tc,
+                                [i for i in range(1, len(s) + 1)
+                                 if cid[i] = chunk_id
+                                    OR (i < len([c for c in cid if c < chunk_id]) + 1
+                                        AND i >= len([c for c in cid if c < chunk_id]) + 1 - 1)] AS mi
+                         FROM x)
+              SELECT doc_id, chunk_id, CAST(mi[1] - 1 AS BIGINT) AS start_sent,
+                     CAST(len(mi) AS BIGINT) AS n_sents,
+                     CAST(list_sum([tc[i] for i in mi]) AS BIGINT) AS n_tokens,
+                     array_to_string([s[i] for i in mi], ' ') AS chunk_text
+              FROM m"""))
   )
 
   /** d20's record set: parts + planted variants (every 4th part with a

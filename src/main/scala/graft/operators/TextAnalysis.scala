@@ -903,6 +903,77 @@ object TextAnalysis {
         col("_ch.n").as("n_tokens"), col("_ch.t").as("chunk_text"))
   }
 
+  /** T51 — sentence-aware RAG chunking: [[chunkDocs]] cuts on raw token
+    * offsets mid-sentence; this variant packs WHOLE sentences (the t43
+    * `[.!?]+` kernel: segments containing an alphanumeric, lowercased,
+    * whitespace-collapsed) into chunks of `budgetTokens`, overlapping by
+    * `overlapSents` sentences. Boundary rule = the [[Packing.packSequences]]
+    * first-token contract: a sentence belongs to the chunk its FIRST token
+    * lands in under the running token count, so the budget is a soft
+    * target — a chunk can run over by at most one sentence's tail, and a
+    * single over-budget sentence still forms a (whole) chunk, never a
+    * split sentence (its successor's chunk_id then JUMPS: ids are
+    * `tokens-before DIV budget`, stable but gappy around an over-budget
+    * sentence — only ids with members are emitted). Each chunk after the
+    * first also re-carries the `overlapSents` sentences immediately
+    * before its first own sentence (RAG context stitching);
+    * `n_tokens`/`n_sents` count the carried sentences too.
+    *
+    * Purely map-side like t22 — sentence split, per-row array folds, one
+    * explode per chunk; ZERO Exchange at any scale (pinned in
+    * TextAnalysisSpec). The running count is an O(sents²)-per-document
+    * slice-fold (sentence counts are tens, not thousands; the quadratic
+    * is per-ROW compute that pipelines into the scan, chosen over a
+    * stateful fold because an engine-portable oracle can replay slice
+    * sums verbatim). Null-text and sentence-free documents produce no
+    * chunks (nothing to retrieve — unlike t22's singleton empty chunk,
+    * and documented here as the contract difference).
+    *
+    * Output: `(idCol, chunk_id, start_sent, n_sents, n_tokens,
+    * chunk_text)` — chunk_id and start_sent 0-based. */
+  def sentenceChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, overlapSents: Int = 0): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(overlapSents >= 0, s"overlapSents must be >= 0, got $overlapSents")
+    val sents = transform(
+      filter(split(lower(trim(col(textCol))), "[.!?]+"),
+        s => s.rlike("[a-z0-9]")),
+      s => trim(regexp_replace(s, "\\s+", " ")))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), sents.as("_s"))
+      .where(size(col("_s")) > 0)
+      .withColumn("_tc",
+        expr("transform(_s, s -> CAST(size(split(s, ' ')) AS BIGINT))"))
+      // cumulative tokens BEFORE each sentence (1-based positions)
+      .withColumn("_cum",
+        expr("""transform(sequence(1, size(_tc)),
+                          i -> aggregate(slice(_tc, 1, i - 1),
+                                         CAST(0 AS BIGINT), (a, x) -> a + x))"""))
+      .withColumn("_cid",
+        expr(s"transform(_cum, cb -> cb div ${budgetTokens.toLong}L)"))
+      .select(col(idCol), col("_s"), col("_tc"), col("_cid"),
+        explode(expr("array_distinct(_cid)")).as("chunk_id"))
+      // chunk members: its own contiguous sentence range (_cid is
+      // non-decreasing) + the `overlapSents` sentences immediately before
+      // it — "immediately before", not "of chunk k-1", so the carry
+      // survives the gapped ids an over-budget sentence leaves behind
+      .withColumn("_m",
+        expr(s"""filter(sequence(1, size(_s)),
+                        i -> element_at(_cid, i) = chunk_id
+                          OR (i < size(filter(_cid, c -> c < chunk_id)) + 1
+                              AND i >= size(filter(_cid, c -> c < chunk_id))
+                                  + 1 - ${overlapSents.toLong}L))"""))
+      .select(
+        col(idCol), col("chunk_id"),
+        expr("CAST(element_at(_m, 1) - 1 AS BIGINT)").as("start_sent"),
+        expr("CAST(size(_m) AS BIGINT)").as("n_sents"),
+        expr("aggregate(_m, CAST(0 AS BIGINT), (a, i) -> a + element_at(_tc, i))")
+          .as("n_tokens"),
+        expr("array_join(transform(_m, i -> element_at(_s, i)), ' ')")
+          .as("chunk_text"))
+  }
+
   /** Corpus-trained unigram log-probability score — the CCNet-style quality
     * signal: each document's mean per-token `ln P(token)`, with `P`
     * estimated from THIS corpus's own token frequencies. Very low scores

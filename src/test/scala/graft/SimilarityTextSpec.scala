@@ -1806,4 +1806,49 @@ class SimilarityTextSpec extends SparkSpec {
     // null text keeps zeros and a null ratio via the join-back
     assert(out(4L) === ((0L, 0L, -1.0)))
   }
+
+  test("sentenceChunks packs whole sentences to the budget, carries overlap, survives over-budget sentences; zero shuffle") {
+    import spark.implicits._
+    // sentences: 3 + 4 + 3 + 12 + 2 + 3 tokens; budget 8, overlap 1
+    // cum-before: 0,3,7,10,22,24 -> cid 0,0,0,1,2,3 ... wait recompute in model below
+    val text = "a b c. d e f g! h i j? " +
+      "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12. m n. o p q."
+    val df = Seq((1L, text), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceChunks(df, "doc_id", "text",
+        budgetTokens = 8, overlapSents = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .sortBy(r => (r._1, r._2))
+    // model: cum-before = 0,3,7,10,22,24; cid = cum div 8 = 0,0,0,1,2,3
+    // chunk 0: sents 1-3 (first-token rule: sent 3 starts at token 7 < 8)
+    // chunk 1: sent 4 (over budget, stays whole) + carry sent 3
+    // chunk 2: sent 5 + carry sent 4
+    // chunk 3: sent 6 + carry sent 5
+    assert(out.map(_._1).forall(_ == 1L)) // blank + null docs emit nothing
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._3).toSeq == Seq(0L, 2L, 3L, 4L)) // start_sent incl carry
+    assert(out.map(_._4).toSeq == Seq(3L, 2L, 2L, 2L))
+    assert(out.map(_._5).toSeq == Seq(10L, 15L, 14L, 5L))
+    assert(out(0)._6 == "a b c d e f g h i j")
+    assert(out(1)._6.startsWith("h i j k1 ") && out(1)._6.endsWith("k12"))
+    assert(out(3)._6 == "m n o p q")
+    // no sentence is ever split: every chunk text is a concatenation of
+    // whole sentences
+    val sents = Seq("a b c", "d e f g", "h i j",
+      (1 to 12).map(i => s"k$i").mkString(" "), "m n", "o p q")
+    out.foreach { c =>
+      var rest = c._6
+      while (rest.nonEmpty) {
+        val hit = sents.find(s => rest == s || rest.startsWith(s + " "))
+        assert(hit.isDefined, s"chunk '" + c._6 + "' is not whole sentences")
+        rest = rest.drop(hit.get.length).stripPrefix(" ")
+      }
+    }
+    // map-side only: the physical plan has no exchange
+    val plan = TextAnalysis.sentenceChunks(df, "doc_id", "text", 8, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
 }
