@@ -1732,17 +1732,39 @@ object TextAnalysis {
     * distinct grams — Zipf-bounded), one equi-join back. No window, no
     * ordering pass — "first occurrence" is an argmin, not a sort. */
   def ngramNovelty(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val grams = df
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    ngramNoveltyAgainst(df, idCol, textCol, n, prior = None)
+
+  /** The `(_id, _g)` distinct doc-gram frame behind [[ngramNovelty]] —
+    * exposed for the streaming attach's gram-store deltas. */
+  private[graft] def docGrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df
       // explicit: a NULL text has no grams (tokenNgrams would otherwise
       // emit one "" gram via concat_ws's null-skipping — spec-pinned)
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("_id"),
         explode(tokenNgrams(col(textCol), n)).as("_g"))
       .select("_id", "_g").distinct()
-    val first = grams.groupBy("_g").agg(min(col("_id")).as("_first"))
-    val perDoc = grams.join(first, Seq("_g"))
+
+  /** [[ngramNovelty]] scored against an accumulated PRIOR gram store (one
+    * `_g` column): a gram is novel for a doc iff it is absent from the
+    * prior AND this doc is its first holder (min id) within `df` — which
+    * with an empty prior IS the batch operator, and with the previous
+    * triggers' store is exactly the per-trigger ingest monitor
+    * [[graft.streaming.StreamingNovelty]] maintains (streamed novelty ==
+    * batch novelty over the concatenation, parity-pinned there). */
+  def ngramNoveltyAgainst(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      prior: Option[DataFrame]): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docGrams(df, idCol, textCol, n)
+    val fresh = prior match {
+      case Some(p) => grams.join(p.select(col("_g")), Seq("_g"), "left_anti")
+      case None    => grams
+    }
+    val first = fresh.groupBy("_g").agg(min(col("_id")).as("_first"))
+    val perDoc = grams.join(first, Seq("_g"), "left")
       .groupBy("_id")
       .agg(
         count(lit(1)).as("n_grams"),
