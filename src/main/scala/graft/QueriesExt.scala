@@ -6280,7 +6280,9 @@ object QueriesExt {
     Entry(
       "d20b_entity_recall",
       (s, d) => Dedup.pairSetMetrics(
-        d20Pairs(s, d),
+        // pair-set-sized; three metric consumers would re-run the
+        // blocked join per aggregate otherwise (the c12 judgments idiom)
+        d20Pairs(s, d).localCheckpoint(true),
         Tables.load(s, d, "part")
           .filter(col("p_partkey") % 4 === 0)
           .select(col("p_partkey").as("a_id"),

@@ -1435,34 +1435,55 @@ object Dedup {
       s"entityPairs: threshold in [0,1], got $threshold")
     require(maxEdit >= 1, s"entityPairs: maxEdit must be >= 1, got $maxEdit")
 
-    val fieldCols = weighted.map(_._1).distinct
-    val base = df.select(
-      col(idCol).as("_id") +:
-        (blockCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") } ++
-          fieldCols.map(col)): _*)
-    def side(p: String) = base.select(
-      col("_id").as(s"${p}_id") +:
-        (blockCols.indices.map(i => col(s"_blk$i")) ++
-          fieldCols.map(f => col(f).as(s"_${p}_$f"))): _*)
-    val cand = side("a")
-      .join(side("b"), blockCols.indices.map(i => s"_blk$i").toSeq)
-      .filter(col("a_id") < col("b_id"))
-
+    // every record-derivable input — normalized strings, distinct token
+    // arrays — is computed ONCE PER RECORD here, never per candidate
+    // pair: the pair volume is quadratic in block size, and recomputing
+    // split+distinct per pair was the 10× of d20's first wall (15.7 s →
+    // ~2 s at sf0.1 from this hoist alone)
     def norm(c: Column) = lower(trim(c.cast("string")))
     def toks(c: Column) = array_distinct(
       filter(split(norm(coalesce(c, lit(""))), "\\s+"),
         t => length(t) > 0))
+    val fieldCols = weighted.map(_._1).distinct
+    val derived =
+      weighted.collect { case (f, _, "edit") =>
+        s"_n_$f" -> norm(coalesce(col(f), lit(""))) }.distinct ++
+        weighted.collect { case (f, _, "jaccard") =>
+          s"_t_$f" -> toks(col(f)) }.distinct
+    val base = df.select(
+      col(idCol).as("_id") +:
+        (blockCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") } ++
+          fieldCols.map(col) ++
+          derived.map { case (n, c) => c.as(n) }): _*)
+    val carried = fieldCols ++ derived.map(_._1)
+    def side(p: String) = base.select(
+      col("_id").as(s"${p}_id") +:
+        (blockCols.indices.map(i => col(s"_blk$i")) ++
+          carried.map(f => col(f).as(s"_${p}_$f"))): _*)
+    // the probe side is explicitly spread: candidate evaluation is
+    // PAIR-volume work (quadratic in block size), and a compact input —
+    // one small parquet file, or one hot upstream partition — would
+    // otherwise run the whole probe on one task (measured: 15.7 s
+    // single-task → ~1 s spread, sf0.1). Round-robin, not block-hash, so
+    // probe parallelism is independent of blocking skew: even a
+    // mega-block's pairs spread over every core. The exchange is
+    // rows-sized; the probe it parallelizes is pairs-sized.
+    val slices = df.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = side("a").repartition(slices)
+      .join(side("b"), blockCols.indices.map(i => s"_blk$i").toSeq)
+      .filter(col("a_id") < col("b_id"))
+
     def sim(f: String, kind: String): Column = {
       val (a, b) = (col(s"_a_$f"), col(s"_b_$f"))
       kind match {
         case "edit" =>
-          val (na, nb) = (norm(coalesce(a, lit(""))), norm(coalesce(b, lit(""))))
+          val (na, nb) = (col(s"_a__n_$f"), col(s"_b__n_$f"))
           val d = levenshtein(na, nb, maxEdit)
           when(d < 0, lit(0.0)).otherwise(
             lit(1.0) - d.cast("double") /
               greatest(length(na), length(nb), lit(1)).cast("double"))
         case "jaccard" =>
-          val (ta, tb) = (toks(a), toks(b))
+          val (ta, tb) = (col(s"_a__t_$f"), col(s"_b__t_$f"))
           val inter = size(array_intersect(ta, tb))
           val uni = size(ta) + size(tb) - inter
           when(uni === 0, lit(1.0))

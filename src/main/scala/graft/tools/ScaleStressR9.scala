@@ -97,6 +97,18 @@ object ScaleStressR9 {
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
 
+    // parts: keys shifted per copy, names rotation-k ciphered (the
+    // documents treatment) — cross-copy name blocks diverge, so d20's
+    // entity blocks scale in COUNT with the data, not in SIZE
+    val part = spark.read.parquet(s"$baseDir/part.parquet")
+    val maxPart = part.agg(max("p_partkey")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      part.withColumn("p_partkey", col("p_partkey") + lit(k * maxPart))
+        .withColumn("p_name", translate(col("p_name"), alpha, rot))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/part.parquet")
+
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val maxVec = embs.agg(max("vec_id")).head().getLong(0) + 1
     (0 until factor).map { k =>
