@@ -6253,6 +6253,73 @@ object QueriesExt {
                      (cmin <= 777 AND cmax >= 777) AS touches_eq_custkey
               FROM m""")),
 
+    // Q89 — equi-depth histogram with per-bucket exact NDV
+    // (Profiling.equiDepthHistogram): the optimizer-statistics table —
+    // per bucket (lo, hi, n_rows, n_distinct) — that q85's CMS and q86's
+    // KLL approximate. Bucket membership is by EXACT GLOBAL RANK over
+    // (value, orderkey, linenumber) — the q88 prefix-sum rank, never an
+    // interpolated value cut — so ties at a boundary split
+    // deterministically and the oracle's row_number() replays the
+    // assignment bit-for-bit. l_quantity (50 distinct integer-valued
+    // doubles over 60k rows) makes the NDV column meaningful: heavy tie
+    // runs cross bucket boundaries and the histogram must price them.
+    Entry(
+      "q89_histogram_stats",
+      (s, d) => Profiling.equiDepthHistogram(
+          Tables.load(s, d, "lineitem"), "l_quantity",
+          Seq("l_orderkey", "l_linenumber"), nBuckets = 16)
+        .select(col("bucket"),
+          stableRound(col("lo"), 6).as("lo"),
+          stableRound(col("hi"), 6).as("hi"),
+          col("n_rows"), col("n_distinct")),
+      Some(q89HistSql + """
+              SELECT bucket, ROUND(MIN(v) + 1e-9, 6) AS lo,
+                     ROUND(MAX(v) + 1e-9, 6) AS hi,
+                     COUNT(*) AS n_rows, COUNT(DISTINCT v) AS n_distinct
+              FROM a GROUP BY bucket""")),
+
+    // Q89b — the estimator audit: equality-predicate selectivity from the
+    // histogram alone (est = Σ n_rows/n_distinct over buckets whose
+    // [lo, hi] contains the probe — the uniform-within-bucket NDV rule
+    // every CBO uses, summed when a tie run crosses a boundary) priced
+    // against the exact per-value count. The histogram is 16 rows, so
+    // probing is a broadcast range join against the 50-row probe frame —
+    // zero corpus cost at estimate time, which is the point of statistics.
+    Entry(
+      "q89b_eq_selectivity",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .filter(col("l_quantity").isNotNull)
+        val hist = Profiling.equiDepthHistogram(li, "l_quantity",
+          Seq("l_orderkey", "l_linenumber"), nBuckets = 16)
+        val probes = li.select(col("l_quantity").cast("double").as("v"))
+          .distinct()
+        val exact = li
+          .groupBy(col("l_quantity").cast("double").as("v"))
+          .agg(count(lit(1)).as("exact_rows"))
+        Profiling.histEqualitySelectivity(hist, probes, "v")
+          .join(exact, Seq("v"))
+          .select(col("v"), col("est_rows"), col("exact_rows"),
+            stableRound(
+              abs(col("est_rows") - col("exact_rows")) / col("exact_rows"),
+              6).as("err_frac"))
+      },
+      Some(q89HistSql + """ ,
+                   h AS (SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
+                                COUNT(*) AS n_rows, COUNT(DISTINCT v) AS n_distinct
+                         FROM a GROUP BY bucket),
+                   p AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS v
+                         FROM lineitem WHERE l_quantity IS NOT NULL),
+                   e AS (SELECT p.v,
+                                ROUND(COALESCE(SUM(h.n_rows / CAST(h.n_distinct AS DOUBLE)), 0) + 1e-9, 6) AS est_rows
+                         FROM p LEFT JOIN h ON p.v >= h.lo AND p.v <= h.hi
+                         GROUP BY p.v),
+                   x AS (SELECT CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS exact_rows
+                         FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
+              SELECT e.v, e.est_rows, x.exact_rows,
+                     ROUND(ABS(e.est_rows - x.exact_rows) / x.exact_rows + 1e-9, 6) AS err_frac
+              FROM e JOIN x USING (v)""")),
+
     // D20 — structured-record entity resolution (Dedup.entityPairs): the
     // multi-field fuzzy matcher the dedup family lacked — blocking on
     // (brand, first name char), per-field similarity (banded edit on the
@@ -6356,6 +6423,18 @@ object QueriesExt {
                      array_to_string([s[i] for i in mi], ' ') AS chunk_text
               FROM m"""))
   )
+
+  /** q89's shared oracle prefix: the rank-based equi-depth bucket
+    * assignment — row_number over (value, orderkey, linenumber) replaying
+    * [[Packing.globalRunningSum]]'s exact global rank, then
+    * `(rn−1)·16 // n` (the q88 file-assignment rule at bucket granularity). */
+  private def q89HistSql: String =
+    """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+                         row_number() OVER (ORDER BY CAST(l_quantity AS DOUBLE),
+                                            l_orderkey, l_linenumber) AS rn,
+                         COUNT(*) OVER () AS n
+                  FROM lineitem WHERE l_quantity IS NOT NULL),
+            a AS (SELECT v, (rn - 1) * 16 // n AS bucket FROM r)"""
 
   /** d20's record set: parts + planted variants (every 4th part with a
     * one-character name deletion and size+1, id offset 1e6) — the fuzz

@@ -1342,4 +1342,78 @@ object Profiling {
       .select((keys.map(col) :+ col("n_points") :+ col("n_pairs") :+
         col("ts_slope") :+ col("ts_intercept")): _*)
   }
+
+  /** Equi-depth histogram with per-bucket exact NDV — the OPTIMIZER-
+    * statistics table (Postgres `pg_stats`, Spark CBO column histograms)
+    * rather than t16's count-per-bucket chart: each of `nBuckets` rows
+    * carries `(bucket, lo, hi, n_rows, n_distinct)`, which is exactly the
+    * state an equality- or range-selectivity estimator probes
+    * ([[histEqualitySelectivity]]). Completes the planner-statistics loop:
+    * q85 sizes joins from CMS sketches, q86 sizes ranges from KLL
+    * registers, q88 prunes files from footer stats — this is the exact
+    * per-column histogram those sketches approximate.
+    *
+    * Bucket membership is by EXACT GLOBAL RANK over `(value, tieCols)` —
+    * `bucket = (rank − 1) · B div n` — not by interpolated value cuts, so
+    * ties at a boundary split deterministically by the tiebreaker and the
+    * DuckDB mirror (`row_number() OVER (ORDER BY v, ties)`) replays the
+    * assignment bit-for-bit (no float-interpolation boundary to disagree
+    * on). The rank is [[Packing.globalRunningSum]] of 1 — a range exchange
+    * + bounded per-slice windows + a broadcast offset frame, never a
+    * single-task global window — and the per-bucket aggregate is one
+    * map-side-combined pass (the multi-distinct Expand is rows × 1 here).
+    * At 100 TB the cost is the one range exchange a clustered write pays
+    * anyway; the output is `nBuckets` rows.
+    *
+    * `tieCols` must make the order total for the hash to replay. Nulls in
+    * `valueCol` are excluded (both engines' histogram convention).
+    */
+  def equiDepthHistogram(
+      df: DataFrame, valueCol: String, tieCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(tieCols.nonEmpty, "tieCols must be non-empty (total order)")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_edh_v") +:
+        tieCols.map(col): _*)
+    val ranked = Packing.globalRunningSum(
+      vals.withColumn("_edh_one", lit(1L)),
+      col("_edh_v") +: tieCols.map(col), "_edh_one", "_edh_rank")
+    val n = vals.agg(count(lit(1)).as("_edh_n"))
+    ranked
+      .crossJoin(broadcast(n))
+      // long `div`, not `/`: double division would round the product past
+      // 2^53 rows × buckets — exact integer arithmetic at any scale
+      .withColumn("bucket",
+        expr(s"((_edh_rank - 1L) * ${nBuckets}L) div _edh_n"))
+      .groupBy(col("bucket"))
+      .agg(
+        min(col("_edh_v")).as("lo"),
+        max(col("_edh_v")).as("hi"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("_edh_v")).as("n_distinct"))
+  }
+
+  /** Equality-predicate selectivity from an [[equiDepthHistogram]]: for
+    * each probe value `v`, `est_rows = Σ_{buckets with lo ≤ v ≤ hi}
+    * n_rows / n_distinct` — the uniform-within-bucket NDV estimate every
+    * cost-based optimizer uses, summed across buckets when a tie run
+    * crosses a boundary. The histogram is `nBuckets` rows, so the range
+    * join is a broadcast against the probe frame — zero corpus cost at
+    * probe time, the entire point of keeping statistics. Probes that land
+    * outside every bucket estimate 0 (left join + coalesce). */
+  def histEqualitySelectivity(
+      hist: DataFrame, probes: DataFrame, probeCol: String): DataFrame = {
+    val h = broadcast(hist.select(
+      col("lo").as("_hes_lo"), col("hi").as("_hes_hi"),
+      (col("n_rows").cast("double") / col("n_distinct").cast("double"))
+        .as("_hes_e")))
+    probes
+      .join(h,
+        col(probeCol).cast("double") >= col("_hes_lo") &&
+          col(probeCol).cast("double") <= col("_hes_hi"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(stableRound(coalesce(sum(col("_hes_e")), lit(0.0)), 6)
+        .as("est_rows"))
+  }
 }

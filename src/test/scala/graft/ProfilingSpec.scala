@@ -791,4 +791,62 @@ class ProfilingSpec extends SparkSpec {
         s"seed=$seed: r2=$r2")
     }
   }
+
+  test("equiDepthHistogram: hand model — rank-based buckets, tie runs split " +
+      "deterministically, nulls excluded, NDV per bucket exact") {
+    import spark.implicits._
+    // n=8, B=2: ranks 1-4 -> bucket 0, 5-8 -> bucket 1
+    val even = Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val h1 = Profiling.equiDepthHistogram(even, "v", Seq("id"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(h1(0L) == ((1.0, 2.0, 4L, 2L)))
+    assert(h1(1L) == ((3.0, 4.0, 4L, 2L)))
+    // n=5, B=2 with a tie run (2,2,2) crossing the boundary:
+    // bucket = (rank-1)*2 div 5 -> ranks 1-3 bucket 0, ranks 4-5 bucket 1
+    val ties = Seq[(java.lang.Double, Long)](
+      (1.0, 0L), (2.0, 1L), (2.0, 2L), (2.0, 3L), (3.0, 4L), (null, 5L))
+      .toDF("v", "id")
+    val h2 = Profiling.equiDepthHistogram(ties, "v", Seq("id"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(h2(0L) == ((1.0, 2.0, 3L, 2L)), s"got $h2") // 1,2,2
+    assert(h2(1L) == ((2.0, 3.0, 2L, 2L)), s"got $h2") // 2,3
+  }
+
+  test("histEqualitySelectivity: sums n_rows/ndv across boundary-crossing " +
+      "buckets; misses estimate 0") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, Long)](
+      (1.0, 0L), (2.0, 1L), (2.0, 2L), (2.0, 3L), (3.0, 4L)).toDF("v", "id")
+    val hist = Profiling.equiDepthHistogram(df, "v", Seq("id"), 2)
+    val probes = Seq(2.0, 5.0).toDF("p")
+    val got = Profiling.histEqualitySelectivity(hist, probes, "p")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // v=2 spans both buckets: 3/2 + 2/2 = 2.5 (true count 3); v=5 misses
+    assert(got(2.0) == 2.5 && got(5.0) == 0.0, s"got $got")
+  }
+
+  test("equiDepthHistogram plan: no unpartitioned window — bucket rank rides " +
+      "the sliced prefix sum; invariants hold on real data") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val h = Profiling.equiDepthHistogram(
+      li, "l_quantity", Seq("l_orderkey", "l_linenumber"), 16)
+    val plan = h.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      "global window leaked into the histogram plan")
+    val rows = h.collect().sortBy(_.getLong(0))
+    val n = li.filter(org.apache.spark.sql.functions.col("l_quantity").isNotNull).count()
+    assert(rows.map(_.getLong(3)).sum == n, "bucket rows must partition the corpus")
+    assert(rows.length == 16)
+    // equi-depth: bucket sizes differ by at most 1... they can differ by
+    // more only through div flooring; bound = ceil(n/B) - floor(n/B) + 1
+    val sizes = rows.map(_.getLong(3))
+    assert(sizes.max - sizes.min <= 1, s"sizes not equi-depth: ${sizes.toSeq}")
+    // buckets tile the value range in order (lo/hi monotone)
+    val los = rows.map(_.getDouble(1)); val his = rows.map(_.getDouble(2))
+    assert(los.zip(his).forall { case (l, hgh) => l <= hgh })
+    assert(his.init.zip(los.tail).forall { case (h0, l1) => h0 <= l1 })
+  }
 }
