@@ -6320,6 +6320,49 @@ object QueriesExt {
                      ROUND(ABS(e.est_rows - x.exact_rows) / x.exact_rows + 1e-9, 6) AS err_frac
               FROM e JOIN x USING (v)""")),
 
+    // Q90 — Poisson-bootstrap confidence intervals
+    // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
+    // row contributes a content-derived Poisson(1) weight to each of 200
+    // replicate means (inverse-CDF of hash56(salt:id:r)/2^56 against the
+    // shared literal thresholds), so the N×R expansion fuses into its map
+    // stage and the only shuffle is groups × replicates partial rows — no
+    // per-replicate corpus resample anywhere. Replicate means are
+    // 6dp-rounded BEFORE quantile selection (cross-engine order becomes
+    // exact), and the 95% percentile interval rides the exact grouped
+    // quantile operator over the 3×200-row replicate frame.
+    Entry(
+      "q90_bootstrap_ci",
+      (s, d) => Experiment.poissonBootstrap(
+        Tables.load(s, d, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+        replicates = 200, salt = "q90"),
+      Some("""WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                                'q90:' || l_orderkey || ':' || l_linenumber AS id
+                         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+                   e AS (SELECT g, v, id, unnest(range(200)) AS r FROM b),
+                   uw AS (SELECT g, v, r,
+                                 ('0x' || substr(md5(id || ':' || r), 1, 14))::UBIGINT::BIGINT
+                                   / 72057594037927936.0 AS u
+                          FROM e),
+                   w AS (SELECT g, r, v,
+                                (u >= 0.36787944117144233)::BIGINT + (u >= 0.7357588823428847)::BIGINT
+                              + (u >= 0.9196986029286058)::BIGINT + (u >= 0.9810118431238462)::BIGINT
+                              + (u >= 0.9963401531726562)::BIGINT + (u >= 0.9994058151824182)::BIGINT
+                              + (u >= 0.999916758850712)::BIGINT + (u >= 0.9999897508033254)::BIGINT
+                              + (u >= 0.9999988747974021)::BIGINT AS w
+                         FROM uw),
+                   m AS (SELECT g, r, ROUND(SUM(w * v) / SUM(w) + 1e-9, 6) AS mr
+                         FROM w GROUP BY g, r HAVING SUM(w) > 0),
+                   ci AS (SELECT g, quantile_cont(mr, 0.025) AS ci_lo,
+                                 quantile_cont(mr, 0.975) AS ci_hi
+                          FROM m GROUP BY g),
+                   pt AS (SELECT g, COUNT(*) AS n, ROUND(AVG(v) + 1e-9, 6) AS mean
+                          FROM b GROUP BY g)
+              SELECT pt.g AS l_returnflag, pt.n, pt.mean,
+                     ROUND(ci.ci_lo + 1e-9, 6) AS ci_lo,
+                     ROUND(ci.ci_hi + 1e-9, 6) AS ci_hi
+              FROM pt JOIN ci USING (g)""")),
+
     // D20 — structured-record entity resolution (Dedup.entityPairs): the
     // multi-field fuzzy matcher the dedup family lacked — blocking on
     // (brand, first name char), per-field similarity (banded edit on the

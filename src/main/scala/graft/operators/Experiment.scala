@@ -776,4 +776,73 @@ object Experiment {
         col("_i").as("item"), col("n_wins"), col("n_games"),
         stableRound(col("_p") / col("_t"), 6).as("bt_strength"))
   }
+
+  /** Poisson(1) cumulative thresholds (P(X ≤ k), k = 0..8) as shortest-
+    * round-trip decimal literals: both engines parse them to the same IEEE
+    * double, so the weight `w = #{k : u ≥ c_k}` (≡ inverse-CDF sampling of
+    * Poisson(1), truncated at 9 — P(X > 9) < 1.2e-6) is bit-identical. */
+  private[operators] val PoissonCdf1: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726562", "0.9994058151824182",
+    "0.999916758850712", "0.9999897508033254", "0.9999988747974021")
+
+  /** Resampling-free distributed bootstrap (the Poisson bootstrap of
+    * Chamandy/Muralidharan/Najmi/Naidu, "Estimating uncertainty for massive
+    * data streams", Google TR 2012): instead of drawing B resamples — a
+    * shuffle of the corpus per replicate, unusable at 100 TB — every row
+    * contributes an independent Poisson(1) WEIGHT to each of `replicates`
+    * replicate means, computed inline from a content-derived uniform
+    * (`hash56(salt:id:r) / 2^56` — layout/retry/AQE-independent, and the
+    * DuckDB oracle replays it bit-for-bit). The N×R expansion never leaves
+    * its map stage: explode + weight + partial aggregate fuse, so the only
+    * shuffle is `groups × replicates` partial rows. Replicate means are
+    * 6 dp-rounded BEFORE the quantile selection (order across engines is
+    * then exact), and the CI is [[Quantiles.exactGrouped]] over the
+    * replicate-mean frame — `groups × replicates` rows, never the corpus.
+    *
+    * Output: one row per group —
+    * `(groupCols…, n, mean, ci_lo, ci_hi)` — `mean` the exact corpus mean
+    * of `valueCol`, `ci_lo`/`ci_hi` the `(1±level)/2` bootstrap percentile
+    * interval of the weighted replicate means, all 6 dp. Null values are
+    * excluded; replicates whose total weight is 0 are dropped (probability
+    * e^{−n} — a formality everywhere but empty groups). */
+  def poissonBootstrap(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCols: Seq[String], replicates: Int, salt: String,
+      level: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(idCols.nonEmpty, "idCols must be non-empty (content identity)")
+    require(replicates >= 2, s"need >= 2 replicates, got $replicates")
+    require(level > 0.0 && level < 1.0, s"level $level outside (0,1)")
+    val gCols = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(gCols :+ col(valueCol).cast("double").as("_pb_v") :+
+        concat_ws(":", lit(salt) +: idCols.map(c => col(c).cast("string")): _*)
+          .as("_pb_id"): _*)
+    val u = Dedup.hash56(
+      concat_ws(":", col("_pb_id"), col("_pb_r").cast("string"))) /
+      lit(72057594037927936.0) // 2^56
+    val w = PoissonCdf1
+      .map(c => when(u >= lit(c.toDouble), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = base
+      .withColumn("_pb_r",
+        explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("_pb_w", w)
+      .groupBy(gCols :+ col("_pb_r"): _*)
+      .agg(sum(col("_pb_w") * col("_pb_v")).as("_pb_wv"),
+        sum(col("_pb_w")).as("_pb_wn"))
+      .filter(col("_pb_wn") > 0L)
+      .select(gCols :+
+        stableRound(col("_pb_wv") / col("_pb_wn"), 6).as("_pb_mr"): _*)
+    val alpha = (1.0 - level) / 2.0
+    val ci = Quantiles.exactGrouped(reps, groupCols, "_pb_mr",
+      Seq("ci_lo" -> alpha, "ci_hi" -> (1.0 - alpha)))
+    val pt = base.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"), stableRound(avg(col("_pb_v")), 6).as("mean"))
+    pt.join(ci, groupCols)
+      .select(gCols :+ col("n") :+ col("mean") :+
+        stableRound(col("ci_lo"), 6).as("ci_lo") :+
+        stableRound(col("ci_hi"), 6).as("ci_hi"): _*)
+  }
 }

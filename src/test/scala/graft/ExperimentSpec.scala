@@ -451,4 +451,39 @@ class ExperimentSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(shuffled === out.view.mapValues(_._3).toMap)
   }
+
+  test("poissonBootstrap: constant data collapses the interval; width shrinks " +
+      "~1/sqrt(n); CI brackets the sample mean; layout-deterministic") {
+    import spark.implicits._
+    // constant column: every weighted replicate mean is exactly c
+    val const = (1L to 500L).map(i => ("g", 7.5, i)).toDF("g", "v", "id")
+    val r0 = Experiment.poissonBootstrap(
+      const, Seq("g"), "v", Seq("id"), replicates = 50, salt = "s").head()
+    assert(r0.getLong(1) == 500L && r0.getDouble(2) == 7.5)
+    assert(r0.getDouble(3) == 7.5 && r0.getDouble(4) == 7.5)
+
+    // deterministic pseudo-noise, two sample sizes from the same generator
+    def mk(n: Int) = (1 to n).map { i =>
+      ("g", 100.0 + math.sin(i * 12.9898) * 43758.5453 % 10, i.toLong)
+    }.toDF("g", "v", "id")
+    def width(df: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val r = Experiment.poissonBootstrap(
+        df, Seq("g"), "v", Seq("id"), replicates = 200, salt = "s").head()
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    val (mS, loS, hiS) = width(mk(100))
+    val (mB, loB, hiB) = width(mk(10000))
+    assert(loS <= mS && mS <= hiS, s"small-n CI [$loS,$hiS] misses mean $mS")
+    assert(loB <= mB && mB <= hiB, s"big-n CI [$loB,$hiB] misses mean $mB")
+    assert((hiS - loS) > 2.0 * (hiB - loB),
+      s"100-row CI ${hiS - loS} not >2x wider than 10k-row CI ${hiB - loB}")
+
+    // content-derived weights: physical layout cannot move the interval
+    val a = Experiment.poissonBootstrap(
+      mk(1000), Seq("g"), "v", Seq("id"), 100, "s").collect().toSeq
+    val b = Experiment.poissonBootstrap(
+      mk(1000).repartition(13), Seq("g"), "v", Seq("id"), 100, "s")
+      .collect().toSeq
+    assert(a == b)
+  }
 }
