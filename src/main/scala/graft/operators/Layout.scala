@@ -201,15 +201,19 @@ object Layout {
   def pruneRange(
       manifest: DataFrame, statCol: String, lo: Column, hi: Column,
       outCol: String): DataFrame =
+    // coalesce: null bounds (all-null file) = documented non-match, not a
+    // null verdict a consumer could mistake for "maybe"
     manifest.withColumn(outCol,
-      col(s"${statCol}_max") >= lo && col(s"${statCol}_min") < hi)
+      coalesce(col(s"${statCol}_max") >= lo && col(s"${statCol}_min") < hi,
+        lit(false)))
 
   /** Equality-probe variant of [[pruneRange]] (see there). */
   def pruneEqual(
       manifest: DataFrame, statCol: String, v: Column,
       outCol: String): DataFrame =
     manifest.withColumn(outCol,
-      col(s"${statCol}_min") <= v && col(s"${statCol}_max") >= v)
+      coalesce(col(s"${statCol}_min") <= v && col(s"${statCol}_max") >= v,
+        lit(false)))
 
   private def listParquet(
       spark: org.apache.spark.sql.SparkSession,

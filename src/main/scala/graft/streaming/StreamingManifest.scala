@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.SparkSession
+
+/** Streaming file-pruning manifest — the incrementally-maintained form of
+  * [[graft.operators.Layout.fileManifest]] (q88): a streaming ingest
+  * appends one data file per trigger, and the manifest — per-file
+  * `n_rows` + `<col>_min` / `<col>_max` / `<col>_nulls` — is maintained
+  * alongside it so the q88 estimators ([[graft.operators.Layout.pruneRange]]
+  * / [[graft.operators.Layout.pruneEqual]], same column contract) answer
+  * "which files can predicate P touch?" over the LIVE table without
+  * listing or opening anything. This is how a real lake keeps footer
+  * statistics: collected at write time per file, appended to a manifest
+  * log, compacted occasionally — never recomputed from data.
+  *
+  * The file identity is the micro-batch id (`file_id = batchId` — the
+  * batch IS the file a streaming writer would emit for it), so the stats
+  * row is a pure function of the batch and replay is idempotent by
+  * construction.
+  *
+  * State discipline = the [[StreamingKll]]/[[StreamingHll]] prefix-staging
+  * recipe under [[DeltaStaging]]: each staging holds the FULL manifest up
+  * to its batch id (one row per non-empty file — the manifest IS
+  * file-count-sized, the entire point), a replayed batch id purges and
+  * rewrites its own staging instead of double-appending, and a fresh
+  * incarnation purges ids at or above its own. Per-trigger cost: one
+  * map-side-combined aggregate of the BATCH to a single stats row + a
+  * rewrite of the nFiles-row manifest. Nothing ever re-reads the data.
+  */
+object StreamingManifest {
+
+  /** Latest committed manifest (None before the first trigger). Columns:
+    * `file_id, n_rows, <col>_min, <col>_max, <col>_nulls` per stat column
+    * — feed directly to [[graft.operators.Layout.pruneRange]] /
+    * [[graft.operators.Layout.pruneEqual]]. */
+  def currentManifest(
+      spark: SparkSession, statePath: String): Option[DataFrame] =
+    DeltaStaging.stagedIds(spark, statePath).maxOption
+      .map(b => DeltaStaging.read(spark, statePath, b))
+
+  /** The one-file stats row of a batch (shared by the attach and the
+    * batch-parity spec): `file_id = id`, exact n_rows, min/max/null-count
+    * per stat column — min/max ignore nulls (SQL semantics), so an
+    * all-null file carries null bounds and a full null count: a range
+    * probe skips it, an IS NULL probe keeps it. */
+  def fileStats(batch: DataFrame, statCols: Seq[String], id: Long): DataFrame = {
+    require(statCols.nonEmpty, "fileStats: no stat columns")
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    batch.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(lit(id).as("file_id") +: (col("n_rows") +:
+        statCols.flatMap(c => Seq(
+          col(s"${c}_min"), col(s"${c}_max"), col(s"${c}_nulls")))): _*)
+  }
+
+  /** Attach manifest maintenance to a streaming DataFrame. After each
+    * trigger, `sink` receives the refreshed COMMITTED manifest and the
+    * batch id. Empty batches append no file row (a writer emits no file)
+    * but still commit a staging, so replay stays idempotent. */
+  def attach(
+      df: DataFrame, statCols: Seq[String], statePath: String,
+      checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => {
+        val spark = batch.sparkSession
+        // incarnation safety: stagings at or above this id are a prior
+        // run's state (a replay rewrites its own staging below)
+        DeltaStaging.purgeAtOrAbove(spark, statePath, id)
+        val prev = DeltaStaging.stagedIds(spark, statePath)
+          .filter(_ < id).maxOption
+          .map(b => DeltaStaging.read(spark, statePath, b))
+        val delta = fileStats(batch, statCols, id)
+          .filter(col("n_rows") > 0L)
+        val merged = prev.map(_.unionByName(delta)).getOrElse(delta)
+        DeltaStaging.stage(merged, statePath, id)
+        // only id and id-1 can ever be read again
+        DeltaStaging.purgeBelow(spark, statePath, id - 1)
+        sink(DeltaStaging.read(spark, statePath, id), id)
+      })
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
