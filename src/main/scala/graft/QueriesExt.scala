@@ -6464,7 +6464,69 @@ object QueriesExt {
                      CAST(len(mi) AS BIGINT) AS n_sents,
                      CAST(list_sum([tc[i] for i in mi]) AS BIGINT) AS n_tokens,
                      array_to_string([s[i] for i in mi], ' ') AS chunk_text
-              FROM m"""))
+              FROM m""")),
+
+    // T52 — BLEU-style clipped n-gram overlap eval
+    // (TextAnalysis.ngramOverlapEval): the generated-text eval metric as a
+    // dataset operator — per pair, modified unigram/bigram precisions
+    // (clipped multiset intersection / candidate gram count), brevity
+    // penalty, BLEU-2. Pairing here is the self-BLEU diversity readout:
+    // candidate doc_id against reference doc_id+1 within the same lang —
+    // a plain equi-join, no per-lang window anywhere. The metric kernel is
+    // the scalable relational shape (posexplode both gram levels once,
+    // map-side-combined counts, ONE equi-join on (pair, n, gram)), so it
+    // works unchanged when documents are books.
+    Entry(
+      "t52_ngram_overlap",
+      (s, d) => {
+        val d0 = docs(s, d).select("doc_id", "lang", "text")
+        val nxt = d0.select(col("doc_id").as("_nid"),
+          col("lang").as("_nlang"), col("text").as("_ntext"))
+        TextAnalysis.ngramOverlapEval(
+          d0.join(nxt,
+            col("_nid") === col("doc_id") + 1 && col("_nlang") === col("lang"))
+            .select(col("doc_id"), col("text").as("cand"),
+              col("_ntext").as("ref")),
+          "doc_id", "cand", "ref", maxN = 2)
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+                                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents WHERE text IS NOT NULL),
+                   pr AS (SELECT a.doc_id, string_split(a.norm, ' ') AS ct,
+                                 string_split(b.norm, ' ') AS rt
+                          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+                   g AS (SELECT doc_id, n,
+                                [array_to_string(ct[i:i+n-1], ' ')
+                                 for i in range(1, len(ct) - n + 2)] AS cg,
+                                [array_to_string(rt[i:i+n-1], ' ')
+                                 for i in range(1, len(rt) - n + 2)] AS rg
+                         FROM pr CROSS JOIN (SELECT unnest([1, 2]) AS n)),
+                   cgc AS (SELECT doc_id, n, gr, COUNT(*) AS cc
+                           FROM (SELECT doc_id, n, unnest(cg) AS gr FROM g)
+                           GROUP BY doc_id, n, gr),
+                   rgc AS (SELECT doc_id, n, gr, COUNT(*) AS rc
+                           FROM (SELECT doc_id, n, unnest(rg) AS gr FROM g)
+                           GROUP BY doc_id, n, gr),
+                   cl AS (SELECT doc_id, n, SUM(LEAST(cc, rc)) AS m
+                          FROM cgc JOIN rgc USING (doc_id, n, gr) GROUP BY doc_id, n),
+                   tp AS (SELECT doc_id, n, SUM(cc) AS t FROM cgc GROUP BY doc_id, n),
+                   pv AS (SELECT tp.doc_id, tp.n,
+                                 COALESCE(m, 0) / CAST(t AS DOUBLE) AS p
+                          FROM tp LEFT JOIN cl USING (doc_id, n)),
+                   w AS (SELECT doc_id,
+                                MAX(CASE WHEN n = 1 THEN p END) AS p1,
+                                MAX(CASE WHEN n = 2 THEN p END) AS p2
+                         FROM pv GROUP BY doc_id),
+                   l AS (SELECT doc_id, CAST(len(ct) AS INT) AS c_len,
+                                CAST(len(rt) AS INT) AS r_len
+                         FROM pr)
+              SELECT l.doc_id, l.c_len, l.r_len,
+                     ROUND(p1 + 1e-9, 6) AS p1, ROUND(p2 + 1e-9, 6) AS p2,
+                     ROUND(LEAST(1.0, exp(1.0 - r_len / CAST(c_len AS DOUBLE))) + 1e-9, 6) AS bp,
+                     ROUND(LEAST(1.0, exp(1.0 - r_len / CAST(c_len AS DOUBLE)))
+                           * pow(p1 * p2, 0.5) + 1e-9, 6) AS bleu
+              FROM l JOIN w USING (doc_id)
+              WHERE p1 IS NOT NULL AND p2 IS NOT NULL"""))
   )
 
   /** q89's shared oracle prefix: the rank-based equi-depth bucket

@@ -2002,4 +2002,80 @@ object TextAnalysis {
           .as("pieces_per_word"),
         coalesce(col("logp_micro_sum"), lit(0L)).as("logp_micro_sum"))
   }
+
+  /** BLEU-style clipped n-gram overlap between a candidate and a reference
+    * text column — the standard generated-text eval (Papineni et al. 2002)
+    * run as a DATASET metric: per pair, modified n-gram precisions
+    * `p_n = Σ_g min(count_cand(g), count_ref(g)) / (c_len − n + 1)` for
+    * n = 1..maxN, the brevity penalty
+    * `bp = min(1, exp(1 − r_len/c_len))`, and
+    * `bleu = bp · (Π p_n)^(1/maxN)` (0 whenever any p_n is 0 — the product
+    * form needs no log-of-zero guard). Self-BLEU against a neighbor pair
+    * frame is the usual corpus-diversity readout; eval-vs-reference pairs
+    * give the generation-quality one. Pairing is the CALLER's: this takes
+    * any frame with (pair id, candidate, reference) and never windows.
+    *
+    * Shape — the scalable relational form, not a per-row quadratic fold:
+    * ONE pass over the pair frame posexplodes all maxN gram levels
+    * (rows ∝ tokens × maxN), per-(pair, n, gram) counts map-side combine,
+    * candidate and reference counts meet in ONE equi-join on
+    * (pair, n, gram), and the clipped sum + precision pivot back to a row
+    * per pair. Works unchanged when documents are books: no per-row
+    * O(len²) lambda, every stage partitions by the compound key.
+    *
+    * Pairs whose candidate has fewer than `maxN` tokens have no maxN-gram
+    * (denominator 0) and are EXCLUDED — an eval harness filters empties
+    * rather than inventing a convention for them. Output:
+    * `(pairIdCol, c_len, r_len, p1..p<maxN>, bp, bleu)`, all 6 dp. */
+  def ngramOverlapEval(
+      pairs: DataFrame, pairIdCol: String, candCol: String, refCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    // grams with multiplicity, empty when the text is too short for n
+    // (tokenNgramsAll would emit one truncated gram there)
+    def grams(c: Column, n: Int): Column =
+      let(split(Dedup.normalizeText(c), " ")) { toks =>
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - n + 1),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      }
+    val base = pairs
+      .filter(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(col(pairIdCol).as("_ng_id"),
+        size(split(Dedup.normalizeText(col(candCol)), " ")).as("c_len"),
+        size(split(Dedup.normalizeText(col(refCol)), " ")).as("r_len"),
+        array((1 to maxN).map(n => grams(col(candCol), n)): _*).as("_cgs"),
+        array((1 to maxN).map(n => grams(col(refCol), n)): _*).as("_rgs"))
+      .localCheckpoint() // both gram subtrees read one materialized pass
+    def counts(gsCol: String, cnt: String): DataFrame = base
+      .select(col("_ng_id"), posexplode(col(gsCol)).as(Seq("_n0", "_gs")))
+      .select(col("_ng_id"), (col("_n0") + 1).as("_n"), explode(col("_gs")).as("_g"))
+      .groupBy("_ng_id", "_n", "_g").agg(count(lit(1)).as(cnt))
+    val cg = counts("_cgs", "_cc")
+    val rg = counts("_rgs", "_rc")
+    val clip = cg.join(rg, Seq("_ng_id", "_n", "_g"))
+      .groupBy("_ng_id", "_n")
+      .agg(sum(least(col("_cc"), col("_rc"))).as("_m"))
+    val tot = cg.groupBy("_ng_id", "_n").agg(sum(col("_cc")).as("_t"))
+    val prec = tot.join(clip, Seq("_ng_id", "_n"), "left")
+      .select(col("_ng_id"), col("_n"),
+        (coalesce(col("_m"), lit(0L)).cast("double") / col("_t")).as("_p"))
+      .groupBy("_ng_id")
+      .pivot("_n", (1 to maxN).map(Integer.valueOf))
+      .agg(first(col("_p")))
+    val pCols = (1 to maxN).map(n => col(n.toString))
+    base.select("_ng_id", "c_len", "r_len")
+      .join(prec, Seq("_ng_id"))
+      .filter(pCols.map(_.isNotNull).reduce(_ && _)) // candidate >= maxN tokens
+      .select(col("_ng_id").as(pairIdCol) +: col("c_len") +: col("r_len") +:
+        (1 to maxN).map(n => stableRound(col(n.toString), 6).as(s"p$n")) :+
+        stableRound(
+          least(lit(1.0), exp(lit(1.0) -
+            col("r_len").cast("double") / col("c_len"))), 6).as("bp") :+
+        stableRound(
+          least(lit(1.0), exp(lit(1.0) -
+            col("r_len").cast("double") / col("c_len"))) *
+            pow(pCols.reduce(_ * _), 1.0 / maxN), 6).as("bleu"): _*)
+  }
 }

@@ -1851,4 +1851,45 @@ class SimilarityTextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
+
+  test("ngramOverlapEval: the BLEU hand model — clipped precisions, brevity " +
+      "penalty, edge cases") {
+    import spark.implicits._
+    val pairs = Seq(
+      // classic: p1 = 5/6 (the clipped at 2), p2 = 3/5, bp = 1
+      (1L, "the cat sat on the mat", "the cat is on the mat"),
+      // identical: perfect score
+      (2L, "a b c", "a b c"),
+      // disjoint: both precisions 0, bleu 0
+      (3L, "x y z", "p q r"),
+      // clipping: candidate repeats 'the' 4x, ref holds 1 -> p1 = 1/4
+      (4L, "the the the the", "the mat"),
+      // brevity: 2-token candidate vs 4-token ref -> bp = exp(1 - 4/2)
+      (5L, "a b", "a b c d"),
+      // short candidate (1 token, no bigram) is excluded
+      (6L, "a", "a b")
+    ).toDF("pair_id", "cand", "ref")
+    val got = TextAnalysis.ngramOverlapEval(pairs, "pair_id", "cand", "ref", 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val r1 = got(1L)
+    assert(r1._1 == 6 && r1._2 == 6)
+    assert(approx(r1._3, 5.0 / 6) && approx(r1._4, 3.0 / 5) && r1._5 == 1.0)
+    assert(approx(r1._6, math.sqrt(5.0 / 6 * 3.0 / 5)))
+    assert(got(2L) == ((3, 3, 1.0, 1.0, 1.0, 1.0)))
+    assert(got(3L)._3 == 0.0 && got(3L)._4 == 0.0 && got(3L)._6 == 0.0)
+    assert(approx(got(4L)._3, 0.25))
+    assert(approx(got(5L)._5, math.exp(-1.0)))
+    assert(approx(got(5L)._6, math.exp(-1.0) * 1.0)) // p1 = p2 = 1 prefix
+
+    // layout determinism: repartitioned input folds to the same rows
+    val a = TextAnalysis.ngramOverlapEval(pairs, "pair_id", "cand", "ref", 2)
+      .collect().toSet
+    val b = TextAnalysis.ngramOverlapEval(
+      pairs.repartition(7), "pair_id", "cand", "ref", 2).collect().toSet
+    assert(a == b)
+  }
 }
