@@ -6323,10 +6323,12 @@ object QueriesExt {
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200
-    // replicate means (inverse-CDF of hash56(salt:id:r)/2^56 against the
-    // shared literal thresholds), so the N×R expansion fuses into its map
-    // stage and the only shuffle is groups × replicates partial rows — no
-    // per-replicate corpus resample anywhere. Replicate means are
+    // replicate means (inverse-CDF of a per-row md5 seed + per-replicate
+    // Lehmer counter mix against the shared literal thresholds), so the
+    // N×R expansion fuses into its map stage — one md5 per ROW, integer
+    // arithmetic per replicate — and the only shuffle is groups ×
+    // replicates partial rows; no per-replicate corpus resample anywhere.
+    // Replicate means are
     // 6dp-rounded BEFORE quantile selection (cross-engine order becomes
     // exact), and the 95% percentile interval rides the exact grouped
     // quantile operator over the 3×200-row replicate frame.
@@ -6337,12 +6339,13 @@ object QueriesExt {
         "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
         replicates = 200, salt = "q90"),
       Some("""WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
-                                'q90:' || l_orderkey || ':' || l_linenumber AS id
+                                ('0x' || substr(md5('q90:' || l_orderkey || ':' || l_linenumber), 1, 14))::UBIGINT::BIGINT
+                                  % 2147483647 AS h
                          FROM lineitem WHERE l_extendedprice IS NOT NULL),
-                   e AS (SELECT g, v, id, unnest(range(200)) AS r FROM b),
+                   e AS (SELECT g, v, h, unnest(range(200)) AS r FROM b),
                    uw AS (SELECT g, v, r,
-                                 ('0x' || substr(md5(id || ':' || r), 1, 14))::UBIGINT::BIGINT
-                                   / 72057594037927936.0 AS u
+                                 ((48271 * ((48271 * ((h + r) % 2147483647)) % 2147483647)) % 2147483647)
+                                   / 2147483647.0 AS u
                           FROM e),
                    w AS (SELECT g, r, v,
                                 (u >= 0.36787944117144233)::BIGINT + (u >= 0.7357588823428847)::BIGINT

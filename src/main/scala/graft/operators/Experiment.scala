@@ -791,9 +791,16 @@ object Experiment {
     * data streams", Google TR 2012): instead of drawing B resamples — a
     * shuffle of the corpus per replicate, unusable at 100 TB — every row
     * contributes an independent Poisson(1) WEIGHT to each of `replicates`
-    * replicate means, computed inline from a content-derived uniform
-    * (`hash56(salt:id:r) / 2^56` — layout/retry/AQE-independent, and the
-    * DuckDB oracle replays it bit-for-bit). The N×R expansion never leaves
+    * replicate means, computed inline from a content-derived uniform —
+    * ONE md5 seed per row (`hash56(salt:id) mod 2³¹−1`), then per
+    * replicate a counter-mixed Lehmer step
+    * `u = 48271·(48271·((h+r) mod M) mod M) mod M / M`, `M = 2³¹−1`:
+    * pure BIGINT add/mul/mod both engines execute identically (products
+    * stay < 2⁴⁷ — no overflow, no wrap semantics to disagree on), so the
+    * oracle replays every weight bit-for-bit at 1/R-th the hashing cost
+    * (the md5-per-(row,r) form cost 114 s of single-column CPU at sf1 —
+    * caught by the 10× soak). Layout/retry/AQE-independent throughout.
+    * The N×R expansion never leaves
     * its map stage: explode + weight + partial aggregate fuse, so the only
     * shuffle is `groups × replicates` partial rows. Replicate means are
     * 6 dp-rounded BEFORE the quantile selection (order across engines is
@@ -819,9 +826,20 @@ object Experiment {
       .select(gCols :+ col(valueCol).cast("double").as("_pb_v") :+
         concat_ws(":", lit(salt) +: idCols.map(c => col(c).cast("string")): _*)
           .as("_pb_id"): _*)
-    val u = Dedup.hash56(
-      concat_ws(":", col("_pb_id"), col("_pb_r").cast("string"))) /
-      lit(72057594037927936.0) // 2^56
+      // round-robin spread BEFORE the R-way explode: the expansion's md5
+      // work runs where the input splits land, and a single-file input
+      // would put all N×R hashes on one task (caught by the 10× soak —
+      // 114 s single-task straggler, median 0.02 s). One narrow exchange
+      // of the corpus buys expansion parallelism independent of layout;
+      // output is unaffected (weights are content-derived, folds
+      // commutative — the d20 probe-spread precedent).
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("_pb_h", Dedup.hash56(col("_pb_id")) % lit(2147483647L))
+    val M = 2147483647L // 2^31 - 1 (Lehmer modulus; 48271·M < 2^47)
+    val x0 = (col("_pb_h") + col("_pb_r")) % lit(M)
+    val x1 = (lit(48271L) * x0) % lit(M)
+    val x2 = (lit(48271L) * x1) % lit(M)
+    val u = x2 / lit(M.toDouble)
     val w = PoissonCdf1
       .map(c => when(u >= lit(c.toDouble), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -835,6 +853,9 @@ object Experiment {
       .filter(col("_pb_wn") > 0L)
       .select(gCols :+
         stableRound(col("_pb_wv") / col("_pb_wn"), 6).as("_pb_mr"): _*)
+      // groups × replicates rows; the exact-quantile selection reads this
+      // frame through two subtrees — pin it or the N×R expansion runs twice
+      .localCheckpoint(true)
     val alpha = (1.0 - level) / 2.0
     val ci = Quantiles.exactGrouped(reps, groupCols, "_pb_mr",
       Seq("ci_lo" -> alpha, "ci_hi" -> (1.0 - alpha)))
