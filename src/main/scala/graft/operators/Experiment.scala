@@ -813,28 +813,41 @@ object Experiment {
     * interval of the weighted replicate means, all 6 dp. Null values are
     * excluded; replicates whose total weight is 0 are dropped (probability
     * e^{−n} — a formality everywhere but empty groups). */
-  def poissonBootstrap(
+  /** The prepared bootstrap frame: group columns + `_pb_v` (double value) +
+    * `_pb_h` (the per-row md5 seed, already reduced mod 2³¹−1). The
+    * round-robin spread runs BEFORE the R-way explode: the expansion's
+    * weight work runs where the input splits land, and a single-file input
+    * would put all N×R evaluations on one task (caught by the 10× soak —
+    * 114 s single-task straggler, median 0.02 s). One narrow exchange of
+    * the corpus buys expansion parallelism independent of layout; output
+    * is unaffected (weights are content-derived, folds commutative — the
+    * d20 probe-spread precedent). */
+  private def bootstrapBase(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
-      idCols: Seq[String], replicates: Int, salt: String,
-      level: Double = 0.95): DataFrame = {
+      idCols: Seq[String], salt: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_pb_v") :+
+        concat_ws(":", lit(salt) +: idCols.map(c => col(c).cast("string")): _*)
+          .as("_pb_id"): _*)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("_pb_h", Dedup.hash56(col("_pb_id")) % lit(2147483647L))
+      .drop("_pb_id")
+
+  /** Per-(group, replicate) bootstrap partial sums over `df` — the
+    * MERGEABLE state of the Poisson bootstrap (sums add across any data
+    * split, which is what [[graft.streaming.StreamingBootstrap]] folds per
+    * trigger): `(groupCols…, _pb_r, _pb_wv = Σ w·v, _pb_wn = Σ w,
+    * _pb_sv = Σ v, _pb_cnt = rows)`. `_pb_sv`/`_pb_cnt` repeat the same
+    * per-group totals on every replicate row (R-fold redundancy on a
+    * groups×R-row frame — noise) so the point estimate folds through the
+    * identical state. One pass: explode + weight + partial aggregate fuse
+    * into the scan stage; shuffle = groups × replicates partial rows. */
+  private[graft] def replicateSums(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCols: Seq[String], replicates: Int, salt: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(idCols.nonEmpty, "idCols must be non-empty (content identity)")
     require(replicates >= 2, s"need >= 2 replicates, got $replicates")
-    require(level > 0.0 && level < 1.0, s"level $level outside (0,1)")
-    val gCols = groupCols.map(col)
-    val base = df.filter(col(valueCol).isNotNull)
-      .select(gCols :+ col(valueCol).cast("double").as("_pb_v") :+
-        concat_ws(":", lit(salt) +: idCols.map(c => col(c).cast("string")): _*)
-          .as("_pb_id"): _*)
-      // round-robin spread BEFORE the R-way explode: the expansion's md5
-      // work runs where the input splits land, and a single-file input
-      // would put all N×R hashes on one task (caught by the 10× soak —
-      // 114 s single-task straggler, median 0.02 s). One narrow exchange
-      // of the corpus buys expansion parallelism independent of layout;
-      // output is unaffected (weights are content-derived, folds
-      // commutative — the d20 probe-spread precedent).
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .withColumn("_pb_h", Dedup.hash56(col("_pb_id")) % lit(2147483647L))
     val M = 2147483647L // 2^31 - 1 (Lehmer modulus; 48271·M < 2^47)
     val x0 = (col("_pb_h") + col("_pb_r")) % lit(M)
     val x1 = (lit(48271L) * x0) % lit(M)
@@ -843,27 +856,48 @@ object Experiment {
     val w = PoissonCdf1
       .map(c => when(u >= lit(c.toDouble), 1L).otherwise(0L))
       .reduce(_ + _)
-    val reps = base
+    bootstrapBase(df, groupCols, valueCol, idCols, salt)
       .withColumn("_pb_r",
         explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("_pb_w", w)
-      .groupBy(gCols :+ col("_pb_r"): _*)
+      .groupBy(groupCols.map(col) :+ col("_pb_r"): _*)
       .agg(sum(col("_pb_w") * col("_pb_v")).as("_pb_wv"),
-        sum(col("_pb_w")).as("_pb_wn"))
+        sum(col("_pb_w")).as("_pb_wn"),
+        sum(col("_pb_v")).as("_pb_sv"),
+        count(lit(1)).as("_pb_cnt"))
+  }
+
+  /** The CI readout over a [[replicateSums]]-shaped frame (batch or
+    * accumulated streaming state): replicate means 6 dp-rounded, exact
+    * grouped percentile interval, point mean/n from the redundant per-group
+    * totals. Output: `(groupCols…, n, mean, ci_lo, ci_hi)`. */
+  private[graft] def bootstrapEstimate(
+      sums: DataFrame, groupCols: Seq[String], level: Double): DataFrame = {
+    require(level > 0.0 && level < 1.0, s"level $level outside (0,1)")
+    val gCols = groupCols.map(col)
+    val pinned = sums.localCheckpoint(true) // groups × replicates rows;
+    // the quantile selection + point join read it through three subtrees
+    val reps = pinned
       .filter(col("_pb_wn") > 0L)
       .select(gCols :+
         stableRound(col("_pb_wv") / col("_pb_wn"), 6).as("_pb_mr"): _*)
-      // groups × replicates rows; the exact-quantile selection reads this
-      // frame through two subtrees — pin it or the N×R expansion runs twice
-      .localCheckpoint(true)
     val alpha = (1.0 - level) / 2.0
     val ci = Quantiles.exactGrouped(reps, groupCols, "_pb_mr",
       Seq("ci_lo" -> alpha, "ci_hi" -> (1.0 - alpha)))
-    val pt = base.groupBy(gCols: _*)
-      .agg(count(lit(1)).as("n"), stableRound(avg(col("_pb_v")), 6).as("mean"))
+    val pt = pinned.filter(col("_pb_r") === 0)
+      .select(gCols :+ col("_pb_cnt").as("n") :+
+        stableRound(col("_pb_sv") / col("_pb_cnt"), 6).as("mean"): _*)
     pt.join(ci, groupCols)
       .select(gCols :+ col("n") :+ col("mean") :+
         stableRound(col("ci_lo"), 6).as("ci_lo") :+
         stableRound(col("ci_hi"), 6).as("ci_hi"): _*)
   }
+
+  def poissonBootstrap(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCols: Seq[String], replicates: Int, salt: String,
+      level: Double = 0.95): DataFrame =
+    bootstrapEstimate(
+      replicateSums(df, groupCols, valueCol, idCols, replicates, salt),
+      groupCols, level)
 }
