@@ -6320,6 +6320,56 @@ object QueriesExt {
                      ROUND(ABS(e.est_rows - x.exact_rows) / x.exact_rows + 1e-9, 6) AS err_frac
               FROM e JOIN x USING (v)""")),
 
+    // Q91 — multi-dimensional pruning: the q88 manifest over a Z-ORDERED
+    // file assignment. q88 demonstrated the single-sort limit honestly
+    // (its custkey point probe survived ~every date-sorted file); here
+    // files are dealt by exact global rank over (z_value(o_day,
+    // o_custkey), o_orderkey), so each file covers a box chain in
+    // (day, custkey) space and BOTH probes prune: touch_day × touch_cust
+    // shrinks the multi-predicate scan to the box intersection — the
+    // layout decision a 100 TB lake makes when queries filter on two
+    // dims. Z-value, rank, stats, and all three verdict booleans are
+    // hash-checked (the oracle unrolls the same interleave terms via
+    // the generated zValueSql).
+    Entry(
+      "q91_zorder_manifest",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("o_day"))
+        val z = Layout.withZValue(ord, Seq("o_day", "o_custkey"), bits = 8)
+        val man = Layout.fileManifest(z,
+          Seq(col("z_value").asc, col("o_orderkey").asc), 16,
+          Seq("o_day", "o_custkey"))
+        Layout.pruneRange(
+          Layout.pruneRange(man, "o_day", lit(9312), lit(9404), "touch_day"),
+          "o_custkey", lit(0L), lit(500L), "touch_cust")
+          .withColumn("touches_both", col("touch_day") && col("touch_cust"))
+      },
+      Some(s"""WITH ob AS (SELECT o_orderkey, o_custkey,
+                                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day
+                           FROM orders),
+                   z AS (${Layout.zValueSql("ob", Seq("o_day", "o_custkey"), 8)}),
+                   r AS (SELECT *, row_number() OVER (ORDER BY z_value, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM z),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, COUNT(*) AS n_rows,
+                                MIN(o_day) AS dmin, MAX(o_day) AS dmax,
+                                CAST(SUM(CASE WHEN o_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dnull,
+                                MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cnull
+                         FROM a GROUP BY file_id)
+              SELECT file_id, n_rows,
+                     dmin AS o_day_min, dmax AS o_day_max, dnull AS o_day_nulls,
+                     cmin AS o_custkey_min, cmax AS o_custkey_max,
+                     cnull AS o_custkey_nulls,
+                     COALESCE(dmax >= 9312 AND dmin < 9404, FALSE) AS touch_day,
+                     COALESCE(cmax >= 0 AND cmin < 500, FALSE) AS touch_cust,
+                     (COALESCE(dmax >= 9312 AND dmin < 9404, FALSE)
+                      AND COALESCE(cmax >= 0 AND cmin < 500, FALSE)) AS touches_both
+              FROM m""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

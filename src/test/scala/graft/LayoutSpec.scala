@@ -213,4 +213,34 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(back === man.view.mapValues(_._1).toMap)
   }
+
+  test("z-ordered manifest: two-dim probes prune conservative-exactly — " +
+      "every matching row lives in a file both probes keep") {
+    import org.apache.spark.sql.functions._
+    val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      unix_date(col("o_orderdate").cast("date")).as("o_day"))
+    val z = Layout.withZValue(ord, Seq("o_day", "o_custkey"), bits = 8)
+      .localCheckpoint() // assignment read twice: manifest + row audit
+    val asg = Layout.fileAssignments(
+      z, Seq(col("z_value").asc, col("o_orderkey").asc), 8)
+    val man = Layout.fileManifest(
+      z, Seq(col("z_value").asc, col("o_orderkey").asc), 8,
+      Seq("o_day", "o_custkey"))
+    val (dLo, dHi, cLo, cHi) = (9312L, 9404L, 0L, 300L)
+    val keep = Layout.pruneRange(
+      Layout.pruneRange(man, "o_day", lit(dLo), lit(dHi), "td"),
+      "o_custkey", lit(cLo), lit(cHi), "tc")
+      .filter(col("td") && col("tc"))
+      .select("file_id").collect().map(_.getLong(0)).toSet
+    // conservative: every row matching BOTH predicates is in a kept file
+    val matching = asg.filter(
+      col("o_day") >= dLo && col("o_day") < dHi &&
+        col("o_custkey") >= cLo && col("o_custkey") < cHi)
+      .select("file_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(matching.nonEmpty && matching.subsetOf(keep),
+      s"files holding matches $matching escaped the kept set $keep")
+    // and the z layout genuinely prunes: both-dim survivors < all files
+    assert(keep.size < 8, s"no pruning: kept ${keep.size}/8 files")
+  }
 }
