@@ -6579,7 +6579,113 @@ object QueriesExt {
                      ROUND(LEAST(1.0, exp(1.0 - r_len / CAST(c_len AS DOUBLE)))
                            * pow(p1 * p2, 0.5) + 1e-9, 6) AS bleu
               FROM l JOIN w USING (doc_id)
-              WHERE p1 IS NOT NULL AND p2 IS NOT NULL"""))
+              WHERE p1 IS NOT NULL AND p2 IS NOT NULL""")),
+
+    // C13 — corpus diversity report card: the per-source readout a
+    // curation run ends with — is this slice of the corpus REPETITIVE?
+    // Three orthogonal diversity lenses per lang, each an existing oracled
+    // operator, joined on the 5-row lang frame: corpus TTR (distinct
+    // types / tokens — lexical breadth), mean t49 novelty (how much of
+    // each doc's 5-gram content is first-seen — cross-doc freshness), and
+    // mean neighbor self-BLEU (t52 — local pairwise overlap; HIGH
+    // self-BLEU = generated-looking boilerplate). Heavy stages are the
+    // constituent operators' own (map-side-combined counts, one
+    // (pair, n, gram) join); everything after is lang-frame-sized.
+    Entry(
+      "c13_diversity_report",
+      (s, d) => {
+        val d0 = docs(s, d).select("doc_id", "lang", "text")
+        val ttr = d0.filter(col("text").isNotNull)
+          .select(col("lang"),
+            explode(split(Dedup.normalizeText(col("text")), " ")).as("_w"))
+          .groupBy("lang")
+          .agg(countDistinct(col("_w")).as("n_types"),
+            count(lit(1)).as("n_tokens"))
+        val nov = TextAnalysis.ngramNovelty(d0, "doc_id", "text", 5)
+          .join(d0.select("doc_id", "lang"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(stableRound(avg(col("novelty")), 6).as("mean_novelty"))
+        val nxt = d0.select(col("doc_id").as("_nid"),
+          col("lang").as("_nlang"), col("text").as("_ntext"))
+        val sb = TextAnalysis.ngramOverlapEval(
+          d0.join(nxt,
+            col("_nid") === col("doc_id") + 1 && col("_nlang") === col("lang"))
+            .select(col("doc_id"), col("text").as("cand"),
+              col("_ntext").as("ref")),
+          "doc_id", "cand", "ref", maxN = 2)
+          .join(d0.select("doc_id", "lang"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_pairs"),
+            stableRound(avg(col("bleu")), 6).as("mean_self_bleu"))
+        d0.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(ttr, Seq("lang"), "left")
+          .join(nov, Seq("lang"), "left")
+          .join(sb, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_types"), col("n_tokens"),
+            stableRound(col("n_types").cast("double") / col("n_tokens"), 6)
+              .as("corpus_ttr"),
+            col("mean_novelty"), col("n_pairs"), col("mean_self_bleu"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+                                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                         FROM documents WHERE text IS NOT NULL),
+                   tok AS (SELECT lang, unnest(string_split(norm, ' ')) AS w FROM d),
+                   ttr AS (SELECT lang, COUNT(DISTINCT w) AS n_types, COUNT(*) AS n_tokens
+                           FROM tok GROUP BY lang),
+                   tk5 AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+                   g5 AS (SELECT doc_id,
+                                 list_distinct([array_to_string(toks[i:i+4], ' ')
+                                                for i in range(1, greatest(len(toks) - 5, 0) + 2)]) AS grams
+                          FROM tk5),
+                   gd AS (SELECT doc_id, unnest(grams) AS gram FROM g5),
+                   fo AS (SELECT gram, MIN(doc_id) AS fd FROM gd GROUP BY gram),
+                   pd AS (SELECT gd.doc_id AS doc_id, COUNT(*) AS n_grams,
+                                 SUM(CASE WHEN fo.fd = gd.doc_id THEN 1 ELSE 0 END) AS n_novel
+                          FROM gd JOIN fo USING (gram) GROUP BY gd.doc_id),
+                   novd AS (SELECT d.doc_id, d.lang,
+                                   ROUND(CAST(pd.n_novel AS DOUBLE) / pd.n_grams + 1e-9, 6) AS novelty
+                            FROM d LEFT JOIN pd USING (doc_id)),
+                   nov AS (SELECT lang, ROUND(AVG(novelty) + 1e-9, 6) AS mean_novelty
+                           FROM novd GROUP BY lang),
+                   pr AS (SELECT a.doc_id, a.lang, string_split(a.norm, ' ') AS ct,
+                                 string_split(b.norm, ' ') AS rt
+                          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+                   g AS (SELECT doc_id, n,
+                                [array_to_string(ct[i:i+n-1], ' ')
+                                 for i in range(1, len(ct) - n + 2)] AS cg,
+                                [array_to_string(rt[i:i+n-1], ' ')
+                                 for i in range(1, len(rt) - n + 2)] AS rg
+                         FROM pr CROSS JOIN (SELECT unnest([1, 2]) AS n)),
+                   cgc AS (SELECT doc_id, n, gr, COUNT(*) AS cc
+                           FROM (SELECT doc_id, n, unnest(cg) AS gr FROM g)
+                           GROUP BY doc_id, n, gr),
+                   rgc AS (SELECT doc_id, n, gr, COUNT(*) AS rc
+                           FROM (SELECT doc_id, n, unnest(rg) AS gr FROM g)
+                           GROUP BY doc_id, n, gr),
+                   cl AS (SELECT doc_id, n, SUM(LEAST(cc, rc)) AS m
+                          FROM cgc JOIN rgc USING (doc_id, n, gr) GROUP BY doc_id, n),
+                   tp AS (SELECT doc_id, n, SUM(cc) AS t FROM cgc GROUP BY doc_id, n),
+                   pv AS (SELECT tp.doc_id, tp.n,
+                                 COALESCE(m, 0) / CAST(t AS DOUBLE) AS p
+                          FROM tp LEFT JOIN cl USING (doc_id, n)),
+                   w AS (SELECT doc_id,
+                                MAX(CASE WHEN n = 1 THEN p END) AS p1,
+                                MAX(CASE WHEN n = 2 THEN p END) AS p2
+                         FROM pv GROUP BY doc_id),
+                   bl AS (SELECT pr.lang,
+                                 ROUND(LEAST(1.0, exp(1.0 - len(pr.rt) / CAST(len(pr.ct) AS DOUBLE)))
+                                       * pow(w.p1 * w.p2, 0.5) + 1e-9, 6) AS bleu
+                          FROM pr JOIN w USING (doc_id)
+                          WHERE w.p1 IS NOT NULL AND w.p2 IS NOT NULL),
+                   sb AS (SELECT lang, COUNT(*) AS n_pairs,
+                                 ROUND(AVG(bleu) + 1e-9, 6) AS mean_self_bleu
+                          FROM bl GROUP BY lang),
+                   nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+              SELECT nd.lang, nd.n_docs, ttr.n_types, ttr.n_tokens,
+                     ROUND(CAST(ttr.n_types AS DOUBLE) / ttr.n_tokens + 1e-9, 6) AS corpus_ttr,
+                     nov.mean_novelty, sb.n_pairs, sb.mean_self_bleu
+              FROM nd LEFT JOIN ttr USING (lang) LEFT JOIN nov USING (lang)
+              LEFT JOIN sb USING (lang)"""))
   )
 
   /** q89's shared oracle prefix: the rank-based equi-depth bucket
