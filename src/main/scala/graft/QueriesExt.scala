@@ -6581,6 +6581,50 @@ object QueriesExt {
               FROM l JOIN w USING (doc_id)
               WHERE p1 IS NOT NULL AND p2 IS NOT NULL""")),
 
+    // T53 — lexicon topic mixture (TextAnalysis.lexiconMixture): the
+    // CONTENT side of the mixing family — t15/t23 weight SOURCES by a
+    // declared mixture; this measures what each doc actually contains.
+    // Three domain lexicons over the corpus vocabulary; per doc the
+    // token-weighted tag distribution yields dominant tag + share + the
+    // Shannon mixture entropy (0 = single-topic, ln 3 = uniform) + tagged
+    // fraction — the audit a train-mix pipeline runs before trusting its
+    // source labels. One broadcast lexicon join, corpus touched once.
+    Entry(
+      "t53_lexicon_mixture",
+      (s, d) => TextAnalysis.lexiconMixture(
+        docs(s, d), "doc_id", "text", t53Lexicon),
+      Some(s"""WITH lx(w, tag) AS (VALUES ${t53Lexicon
+          .map { case (w, t) => s"('$w', '$t')" }.mkString(", ")}),
+                   n0 AS (SELECT doc_id,
+                                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                          FROM documents WHERE text IS NOT NULL),
+                   wd AS (SELECT doc_id, w, COUNT(*) AS wc
+                          FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM n0)
+                          GROUP BY doc_id, w),
+                   tt AS (SELECT doc_id, SUM(wc) AS n_tokens FROM wd GROUP BY doc_id),
+                   pt AS (SELECT doc_id, tag, SUM(wc) AS n
+                          FROM wd JOIN lx ON wd.w = lx.w GROUP BY doc_id, tag),
+                   tg AS (SELECT doc_id, SUM(n) AS n_tagged, COUNT(*) AS n_tags
+                          FROM pt GROUP BY doc_id),
+                   dm AS (SELECT doc_id, tag AS dominant_tag, n AS dn FROM
+                            (SELECT doc_id, tag, n,
+                                    row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, tag ASC) AS rk
+                             FROM pt) WHERE rk = 1),
+                   en AS (SELECT pt.doc_id,
+                                 -SUM((n / CAST(n_tagged AS DOUBLE))
+                                      * ln(n / CAST(n_tagged AS DOUBLE))) AS h
+                          FROM pt JOIN tg USING (doc_id) GROUP BY pt.doc_id)
+              SELECT d.doc_id, CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(tg.n_tagged, 0) AS BIGINT) AS n_tagged,
+                     COALESCE(tg.n_tags, 0) AS n_tags,
+                     COALESCE(dm.dominant_tag, 'none') AS dominant_tag,
+                     ROUND(dm.dn / CAST(tg.n_tagged AS DOUBLE) + 1e-9, 6) AS dominant_share,
+                     ROUND(en.h + 1e-9, 6) AS tag_entropy
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN tt USING (doc_id) LEFT JOIN tg USING (doc_id)
+              LEFT JOIN dm USING (doc_id) LEFT JOIN en USING (doc_id)""")),
+
     // C13 — corpus diversity report card: the per-source readout a
     // curation run ends with — is this slice of the corpus REPETITIVE?
     // Three orthogonal diversity lenses per lang, each an existing oracled
@@ -6687,6 +6731,18 @@ object QueriesExt {
               FROM nd LEFT JOIN ttr USING (lang) LEFT JOIN nov USING (lang)
               LEFT JOIN sb USING (lang)"""))
   )
+
+  /** t53's domain lexicons over the corpus vocabulary (word → tag; the
+    * oracle inlines the same pairs as VALUES). */
+  private def t53Lexicon: Seq[(String, String)] = Seq(
+    "spark" -> "engine", "batch" -> "engine", "stream" -> "engine",
+    "shuffle" -> "engine",
+    "query" -> "plan", "scan" -> "plan", "sort" -> "plan",
+    "merge" -> "plan", "join" -> "plan", "agg" -> "plan",
+    "window" -> "plan", "group" -> "plan", "order" -> "plan",
+    "table" -> "storage", "row" -> "storage", "value" -> "storage",
+    "part" -> "storage", "hash" -> "storage", "key" -> "storage",
+    "line" -> "storage")
 
   /** q89's shared oracle prefix: the rank-based equi-depth bucket
     * assignment — row_number over (value, orderkey, linenumber) replaying

@@ -2003,6 +2003,67 @@ object TextAnalysis {
         coalesce(col("logp_micro_sum"), lit(0L)).as("logp_micro_sum"))
   }
 
+  /** Within-document topic mixture over caller-supplied tag lexicons — the
+    * CONTENT side of the data-mixing family: t15/t23 weight SOURCES by a
+    * declared mixture, this measures what each document actually contains
+    * (domain tagging for mixture audits, code-vs-prose splits, contamination
+    * triage). Each lexicon word maps to a tag; per document the
+    * token-weighted tag distribution yields the dominant tag, its share,
+    * the Shannon entropy over tags (the code-switching/mixture signal:
+    * 0 = single-topic, ln k = uniform over k), and the tagged-token
+    * fraction.
+    *
+    * Shape: per-(doc, word) counts map-side combine, ONE broadcast join
+    * against the lexicon (lexicons are KBs — never a shuffle), tag-frame
+    * aggregates, a per-doc keyed argmax window. Corpus tokens are touched
+    * once; everything after is (docs × tags)-sized. Untagged tokens count
+    * toward `n_tokens` but not the distribution; a document with no tagged
+    * token reports tag "none" with null share/entropy.
+    *
+    * Output: `(idCol, n_tokens, n_tagged, n_tags, dominant_tag,
+    * dominant_share, tag_entropy)`, doubles 6 dp. */
+  def lexiconMixture(
+      df: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[(String, String)]): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    require(lexicon.map(_._1).distinct.size == lexicon.size,
+      "lexicon words must be unique (one tag per word)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toDF("_w", "_tag"))
+    val words = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("_w"))
+      .groupBy("_id", "_w").agg(count(lit(1)).as("_wc"))
+    val tot = words.groupBy("_id").agg(sum(col("_wc")).as("n_tokens"))
+    val perTag = words.join(lex, Seq("_w"))
+      .groupBy("_id", "_tag").agg(sum(col("_wc")).as("_n"))
+    val tagged = perTag.groupBy("_id")
+      .agg(sum(col("_n")).as("n_tagged"), count(lit(1)).as("n_tags"))
+    val byDoc = Window.partitionBy("_id")
+      .orderBy(col("_n").desc, col("_tag").asc)
+    val dom = perTag.withColumn("_rk", row_number().over(byDoc))
+      .filter(col("_rk") === 1)
+      .select(col("_id"), col("_tag").as("dominant_tag"), col("_n").as("_dn"))
+    val ent = perTag.join(tagged, Seq("_id"))
+      .groupBy("_id")
+      .agg((-sum((col("_n") / col("n_tagged")) *
+        log(col("_n") / col("n_tagged")))).as("_h"))
+    df.select(col(idCol)).distinct()
+      .join(tot.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .join(tagged.join(dom, Seq("_id")).join(ent, Seq("_id"))
+        .withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tagged"), lit(0L)).as("n_tagged"),
+        coalesce(col("n_tags"), lit(0L)).as("n_tags"),
+        coalesce(col("dominant_tag"), lit("none")).as("dominant_tag"),
+        stableRound(col("_dn").cast("double") / col("n_tagged"), 6)
+          .as("dominant_share"),
+        stableRound(col("_h"), 6).as("tag_entropy"))
+  }
+
   /** BLEU-style clipped n-gram overlap between a candidate and a reference
     * text column — the standard generated-text eval (Papineni et al. 2002)
     * run as a DATASET metric: per pair, modified n-gram precisions

@@ -1892,4 +1892,35 @@ class SimilarityTextSpec extends SparkSpec {
       pairs.repartition(7), "pair_id", "cand", "ref", 2).collect().toSet
     assert(a == b)
   }
+
+  test("lexiconMixture: hand model — token-weighted tags, entropy 0/ln2 " +
+      "poles, untagged and empty docs") {
+    import spark.implicits._
+    val lex = Seq("cat" -> "animal", "dog" -> "animal",
+      "oak" -> "plant", "fir" -> "plant")
+    val docs = Seq(
+      (1L, "cat dog cat x"),          // pure animal: 3 tagged of 4
+      (2L, "cat oak cat oak"),        // 50/50 -> entropy ln 2
+      (3L, "x y z"),                  // nothing tagged
+      (4L, "oak oak oak cat"),        // dominant plant 3/4
+      (5L, null.asInstanceOf[String]) // null text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexiconMixture(docs, "doc_id", "text", lex)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, i: Int) = got(id).getDouble(i)
+    // (id -> n_tokens, n_tagged, n_tags, dominant_tag)
+    assert(got(1L).getLong(1) == 4 && got(1L).getLong(2) == 3 &&
+      got(1L).getLong(3) == 1 && got(1L).getString(4) == "animal")
+    assert(d(1L, 5) == 1.0 && d(1L, 6) == 0.0) // single tag: share 1, H 0
+    assert(got(2L).getString(4) == "animal" && d(2L, 5) == 0.5) // tie -> asc
+    assert(math.abs(d(2L, 6) - math.log(2.0)) < 1e-6)
+    assert(got(3L).getLong(2) == 0 && got(3L).getString(4) == "none" &&
+      got(3L).isNullAt(5) && got(3L).isNullAt(6))
+    assert(got(4L).getString(4) == "plant" && d(4L, 5) == 0.75)
+    assert(got(5L).getLong(1) == 0 && got(5L).getString(4) == "none")
+    // layout determinism
+    val again = TextAnalysis.lexiconMixture(
+      docs.repartition(3), "doc_id", "text", lex).collect().toSet
+    assert(again == got.values.toSet)
+  }
 }
