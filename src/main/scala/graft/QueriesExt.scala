@@ -6370,6 +6370,81 @@ object QueriesExt {
                       AND COALESCE(cmax >= 0 AND cmin < 500, FALSE)) AS touches_both
               FROM m""")),
 
+    // Q92 — 2-D Hilbert curve index (Layout.withHilbertValue over the
+    // HilbertIndex native kernel): the locality-preserving alternative to
+    // q61's Z interleave — consecutive Hilbert indices are always grid
+    // NEIGHBORS where the Z curve jumps across the plane at power-of-two
+    // boundaries. Same bucketing contract as z (q61's columns, for
+    // comparability); the oracle is the GENERATED bits-level CTE chain
+    // (Layout.hilbertSql), replaying the same reflect/swap walk in pure
+    // integer SQL — hash-exact against the codegen'd kernel loop.
+    Entry(
+      "q92_hilbert",
+      (s, d) => Layout.withHilbertValue(
+        Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select("l_orderkey", "l_linenumber", "h_value"),
+      Some(s"""SELECT l_orderkey, l_linenumber, h_value FROM (
+                 ${Layout.hilbertSql("lineitem", "l_partkey", "l_suppkey", 8,
+                   Seq("l_orderkey", "l_linenumber"))}
+               )""")),
+
+    // Q92b — the measured locality verdict: deal orders into 16 files by
+    // exact global rank under BOTH curves over the same (o_day, o_custkey)
+    // buckets, and compare the per-file bounding-box areas a pruning
+    // manifest would carry. Smaller total area = tighter boxes = fewer
+    // files touched by any box predicate — the number that decides which
+    // curve a 100 TB lake sorts by. Both chains hash-checked end to end
+    // (generated z + hilbert SQL, prefix-sum rank, manifest fold).
+    Entry(
+      "q92b_layout_quality",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("o_day"))
+        def quality(vdf: org.apache.spark.sql.DataFrame, vCol: String,
+            name: String): org.apache.spark.sql.DataFrame =
+          Layout.fileManifest(vdf,
+            Seq(col(vCol).asc, col("o_orderkey").asc), 16,
+            Seq("o_day", "o_custkey"))
+            .withColumn("_area",
+              (col("o_day_max") - col("o_day_min") + 1) *
+                (col("o_custkey_max") - col("o_custkey_min") + 1))
+            .agg(sum(col("_area")).as("total_area"),
+              max(col("_area")).as("max_area"))
+            .select(lit(name).as("layout"),
+              col("total_area").cast("long").as("total_area"),
+              col("max_area").cast("long").as("max_area"))
+        quality(Layout.withZValue(ord, Seq("o_day", "o_custkey"), 8),
+          "z_value", "zorder")
+          .unionByName(quality(
+            Layout.withHilbertValue(ord, Seq("o_day", "o_custkey"), 8),
+            "h_value", "hilbert"))
+      },
+      Some(s"""WITH ob AS (SELECT o_orderkey, o_custkey,
+                                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day
+                           FROM orders),
+                   zc AS (SELECT o_orderkey, o_custkey, o_day, z_value AS v FROM (
+                            ${Layout.zValueSql("ob", Seq("o_day", "o_custkey"), 8)})),
+                   hc AS (SELECT o_orderkey, o_custkey, o_day, h_value AS v FROM (
+                            ${Layout.hilbertSql("ob", "o_day", "o_custkey", 8,
+                              Seq("o_orderkey", "o_custkey", "o_day"))})),
+                   u AS (SELECT 'zorder' AS layout, * FROM zc
+                         UNION ALL SELECT 'hilbert' AS layout, * FROM hc),
+                   r AS (SELECT *, row_number() OVER (PARTITION BY layout
+                                     ORDER BY v, o_orderkey) AS rn,
+                                COUNT(*) OVER (PARTITION BY layout) AS n
+                         FROM u),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT layout, file_id,
+                                (MAX(o_day) - MIN(o_day) + 1)
+                                  * (MAX(o_custkey) - MIN(o_custkey) + 1) AS area
+                         FROM a GROUP BY layout, file_id)
+              SELECT layout, CAST(SUM(area) AS BIGINT) AS total_area,
+                     CAST(MAX(area) AS BIGINT) AS max_area
+              FROM m GROUP BY layout""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

@@ -117,6 +117,86 @@ object Layout {
         FROM $table t CROSS JOIN (SELECT $mins FROM $table) mm"""
   }
 
+  /** Append `hCol`: the 2-D HILBERT index of `cols`' bucket indices —
+    * same bucketing contract as [[withZValue]] (integral columns, span
+    * guard, nulls bucket to 0), better locality: consecutive Hilbert
+    * indices are always grid neighbors, where the Z curve jumps across
+    * the plane at every power-of-two boundary, so files cut from a
+    * Hilbert-sorted order cover tighter (day × key)-style boxes and
+    * prune harder on two-column predicates (q92b measures the gap).
+    * The walk itself is the [[graft.functions.HilbertIndex]] native
+    * kernel — a per-level state dependency that would grow ~4^bits
+    * expression nodes as a Column fold. */
+  def withHilbertValue(
+      df: DataFrame, cols: Seq[String], bits: Int = 8,
+      hCol: String = "h_value"): DataFrame = {
+    require(cols.size == 2, s"hilbert layout takes exactly 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    cols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"layout column $c not in schema"))
+      require(integral.contains(f.dataType),
+        s"layout column $c must be integral (byte/short/int/long), " +
+          s"got ${f.dataType.simpleString} — floor/bucket it first")
+    }
+    val aggExprs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"_min_$c"),
+      max(col(c)).cast("long").as(s"_max_$c")))
+    val mm = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val bx = coalesce(bucket(cols(0), bits), lit(0L))
+    val by = coalesce(bucket(cols(1), bits), lit(0L))
+    df.crossJoin(broadcast(mm))
+      .withColumn(hCol, org.apache.spark.sql.GraftExpr.column(
+        graft.functions.HilbertIndex(
+          org.apache.spark.sql.GraftExpr.expression(bx),
+          org.apache.spark.sql.GraftExpr.expression(by), bits)))
+      .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
+  }
+
+  /** DuckDB-dialect SQL for the same Hilbert index over `table` —
+    * GENERATED like [[zValueSql]], but as a chain of `bits` CTE levels
+    * (each materializing the walk state (hx, hy, hd) once — the linear
+    * form of the sequential dependency the native kernel loops over).
+    * Returns a complete `WITH … SELECT carryCols…, h_value` statement;
+    * embed as a parenthesized subquery. Mirrors [[withHilbertValue]]
+    * term for term: same buckets, nulls to 0, same reflect/swap walk. */
+  def hilbertSql(
+      table: String, colA: String, colB: String, bits: Int,
+      carryCols: Seq[String]): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(carryCols.nonEmpty, "carryCols must be non-empty")
+    val mins = Seq(colA, colB).map(c =>
+      s"MIN(CAST($c AS BIGINT)) AS _min_$c, MAX(CAST($c AS BIGINT)) AS _max_$c")
+      .mkString(", ")
+    val carry = carryCols.mkString(", ")
+    val levels = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      s"""h${k + 1} AS (SELECT $carry,
+            CASE WHEN (hy & $s) = 0
+                 THEN (CASE WHEN (hx & $s) > 0 THEN $s - 1 - hy ELSE hy END)
+                 ELSE hx END AS hx,
+            CASE WHEN (hy & $s) = 0
+                 THEN (CASE WHEN (hx & $s) > 0 THEN $s - 1 - hx ELSE hx END)
+                 ELSE hy END AS hy,
+            hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+                                (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd
+          FROM h$k)"""
+    }
+    s"""WITH hmm AS (SELECT $mins FROM $table),
+        h0 AS (SELECT $carry,
+                 COALESCE(${bucketSql(colA, bits)}, 0) AS hx,
+                 COALESCE(${bucketSql(colB, bits)}, 0) AS hy,
+                 CAST(0 AS BIGINT) AS hd
+               FROM $table t CROSS JOIN hmm mm),
+        ${levels.mkString(",\n")}
+        SELECT $carry, hd AS h_value FROM h$bits"""
+  }
+
   /** Write `df` z-clustered: range-partition on the z-value into
     * `numFiles` tasks and sort each by z before writing, so every parquet
     * file covers a DISJOINT z-range (one box chain in dimension space) and

@@ -243,4 +243,44 @@ class LayoutSpec extends SparkSpec {
     // and the z layout genuinely prunes: both-dim survivors < all files
     assert(keep.size < 8, s"no pruning: kept ${keep.size}/8 files")
   }
+
+  test("withHilbertValue: full-grid walk is a bijection whose consecutive " +
+      "indices are ALWAYS grid neighbors (the property z-order lacks)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bits = 3 // 8x8 grid, all 64 cells
+    val cells = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
+    val df = cells.toDF("x", "y")
+    val got = Layout.withHilbertValue(df, Seq("x", "y"), bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bijection onto [0, 64)
+    assert(got.values.toSet === (0L until 64L).toSet)
+    // Hilbert property: d and d+1 are Manhattan-distance-1 neighbors
+    val byD = got.toSeq.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Seq((x0, y0), (x1, y1)) =>
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+        s"jump between d cells ($x0,$y0) -> ($x1,$y1)")
+    }
+    // z-order on the same grid violates it (sanity that the property is
+    // discriminating, not vacuous)
+    val z = Layout.withZValue(df, Seq("x", "y"), bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val zJumps = z.toSeq.sortBy(_._2).map(_._1).sliding(2).count {
+      case Seq((x0, y0), (x1, y1)) => math.abs(x0 - x1) + math.abs(y0 - y1) > 1
+    }
+    assert(zJumps > 0, "z-order unexpectedly adjacency-preserving")
+    // interpreted eval agrees with codegen (same kernel, both paths)
+    val interp = cells.map { case (x, y) =>
+      graft.functions.HilbertIndex(
+        org.apache.spark.sql.catalyst.expressions.Literal(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(y), bits)
+        .eval(null).asInstanceOf[Long]
+    }
+    assert(interp.toSet === (0L until 64L).toSet)
+    assert(cells.zip(interp).forall { case (c, dv) => got(c) == dv })
+    // layout determinism
+    val again = Layout.withHilbertValue(df.repartition(5), Seq("x", "y"), bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === got)
+  }
 }
