@@ -210,6 +210,17 @@ object Layout {
       .sortWithinPartitions("z_value")
       .write.mode("overwrite").parquet(path)
 
+  /** [[zOrderWrite]]'s Hilbert twin: same disjoint-range file contract on
+    * `h_value`, tighter per-file boxes (q92b: −38% total box area on the
+    * same buckets). Two dims only — the [[withHilbertValue]] constraint. */
+  def hilbertOrderWrite(
+      df: DataFrame, cols: Seq[String], path: String,
+      bits: Int = 8, numFiles: Int = 8): Unit =
+    withHilbertValue(df, cols, bits)
+      .repartitionByRange(numFiles, col("h_value"))
+      .sortWithinPartitions("h_value")
+      .write.mode("overwrite").parquet(path)
+
   /** Compaction stats: the before/after file inventory [[compactFiles]]
     * reports. Content identity is deliberately NOT in here — it is the
     * caller's hash check (q82 pins it through the DuckDB oracle; LayoutSpec

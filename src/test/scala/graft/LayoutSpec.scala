@@ -77,6 +77,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertOrderWrite: parquet files cover disjoint h-ranges and round-trip the rows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(12)
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, rng.nextInt(512).toLong, rng.nextInt(512).toLong))
+    val path = tmpDir("hilbert") + "/t"
+    Layout.hilbertOrderWrite(rows.toDF("id", "x", "y"), Seq("x", "y"), path,
+      bits = 8, numFiles = 6)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 4000)
+    assert(back.select("id").distinct().count() === 4000)
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("h_value").as("lo"), max("h_value").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file h-ranges: $hi vs $lo2")
+    }
+  }
+
   test("compactFiles: fragments repack to the target count, content-identically, z-contract intact") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
