@@ -29,6 +29,10 @@ object Sinks {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
 
+  /** ORC sink — [[graft.sources.Sources.orcTable]]'s writer half. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** P14 — processing-time stamp, the reference's `NOW(3)` on each sunk row
     * (`…/dodetl/utils/JDBCSink.scala:24`). Applied at the sink (batch or
     * foreachBatch), so the stamp is the processing time of the micro-batch

@@ -66,6 +66,24 @@ object Sources {
     spark.read.jdbc(url, table, p)
   }
 
+  /** Columnar interchange beyond parquet: ORC read (Spark-native reader —
+    * the orc-core jars ship in every Spark distribution, so a lake that
+    * standardized on ORC plugs in with predicate pushdown and column
+    * pruning intact; IoSpec pins a parquet == ORC content round-trip). */
+  def orcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Schema-explicit CSV scan (interchange ingest): header + declared DDL
+    * schema, no inference pass — at 100 TB an inference pre-scan of every
+    * file is an extra full read, so the schema is part of the contract. */
+  def csvTable(
+      spark: SparkSession, path: String, schemaDdl: String,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .csv(path)
+
   /** S6 — JSON config source (driver-side, not data-plane): parse a config
     * file into [[graft.model.GlobalConfig]] via Spark's own JSON reader so no
     * extra JSON dependency is needed. See [[graft.model.Config.load]]. */

@@ -194,6 +194,34 @@ class IoSpec extends SparkSpec {
       == df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
   }
 
+  test("ORC source/sink: content round-trip identical to parquet, pushdown intact") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val dir = tmpDir("orc-out")
+    Sinks.orc(li, dir)
+    val back = Sources.orcTable(spark, dir)
+    assert(back.schema === li.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      li.collect().map(_.toString).sorted.toSeq)
+    // the ORC scan takes predicate pushdown like parquet does
+    val plan = back.filter(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)"),
+      s"no pushdown into the ORC scan:\n${plan.take(1500)}")
+  }
+
+  test("csvTable: schema-explicit scan — no inference pass, declared types land") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.25), (2L, "y", 2.5)).toDF("id", "name", "v")
+    val dir = tmpDir("csv-src")
+    Sinks.csv(df, dir)
+    val back = Sources.csvTable(spark, dir, "id BIGINT, name STRING, v DOUBLE")
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq("id" -> "bigint", "name" -> "string", "v" -> "double"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      === Set((1L, "x", 1.25), (2L, "y", 2.5)))
+  }
+
   test("S4: Avro encode/decode round-trip incl. nullable union and bytes") {
     import spark.implicits._
     val schemaJson =
