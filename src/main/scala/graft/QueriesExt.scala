@@ -6445,6 +6445,87 @@ object QueriesExt {
                      CAST(MAX(area) AS BIGINT) AS max_area
               FROM m GROUP BY layout""")),
 
+    // Q93 — sketch-served distinct-count CUBE (Hll.rollup): the finest
+    // (status, priority) cells' HLL registers are built ONCE from the
+    // corpus; every coarser level — by status, by priority, grand total —
+    // is derived by max-merging the register frame (cells × 256 rows),
+    // never re-scanning. This is the serving shape of a 100 TB BI layer:
+    // store fine-cell sketches, answer any rollup by merge. Each of the
+    // 4 levels carries its exact countDistinct audit + rel_err; "ALL"
+    // marks rolled dimensions. Registers, merges, and the integer-scaled
+    // harmonic estimates all replay bit-for-bit in the oracle.
+    Entry(
+      "q93_hll_cube",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders")
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val fine = Hll.registers(ord, keys, "o_custkey", p = 8)
+          .localCheckpoint(true) // cells × 256 rows; read by all 4 levels
+        def level(ks: Seq[String]): org.apache.spark.sql.DataFrame = {
+          val est = Hll.estimate(
+            if (ks == keys) fine else Hll.rollup(fine, ks), ks, 8)
+          val exact = ord.filter(col("o_custkey").isNotNull)
+            .groupBy(ks.map(col): _*)
+            .agg(countDistinct(col("o_custkey")).as("n_exact"))
+          val j = if (ks.isEmpty) est.crossJoin(exact) else est.join(exact, ks)
+          j.select(
+            (if (ks.contains("o_orderstatus")) col("o_orderstatus")
+             else lit("ALL")).as("o_orderstatus"),
+            (if (ks.contains("o_orderpriority")) col("o_orderpriority")
+             else lit("ALL")).as("o_orderpriority"),
+            col("n_exact"), col("hll_distinct"),
+            stableRound(
+              abs(col("hll_distinct") - col("n_exact")) / col("n_exact"), 6)
+              .as("rel_err"))
+        }
+        level(keys)
+          .unionByName(level(Seq("o_orderstatus")))
+          .unionByName(level(Seq("o_orderpriority")))
+          .unionByName(level(Nil))
+      },
+      Some("""WITH h AS (SELECT o_orderstatus, o_orderpriority,
+                                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS h
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   regs AS (SELECT o_orderstatus, o_orderpriority, h >> 48 AS b,
+                                   MAX(49 - length(regexp_replace(bin(h & ((1::BIGINT << 48) - 1)), '^0+', ''))) AS r
+                            FROM h GROUP BY 1, 2, 3),
+                   ru AS (SELECT o_orderstatus AS st, o_orderpriority AS pr, b, r FROM regs
+                          UNION ALL
+                          SELECT o_orderstatus, 'ALL', b, MAX(r) FROM regs GROUP BY o_orderstatus, b
+                          UNION ALL
+                          SELECT 'ALL', o_orderpriority, b, MAX(r) FROM regs GROUP BY o_orderpriority, b
+                          UNION ALL
+                          SELECT 'ALL', 'ALL', b, MAX(r) FROM regs GROUP BY b),
+                   f AS (SELECT st, pr, COUNT(*) AS ne,
+                                SUM(1::BIGINT << (49 - r)) AS s
+                         FROM ru GROUP BY st, pr),
+                   est AS (SELECT st, pr,
+                                  CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256 * 562949953421312
+                                    / CAST((256 - ne) * 562949953421312 + s AS DOUBLE) AS e0,
+                                  256 - ne AS v
+                           FROM f),
+                   ee AS (SELECT st, pr,
+                                 ROUND(CASE WHEN e0 <= 640.0 AND v > 0
+                                            THEN 256.0 * ln(256 / CAST(v AS DOUBLE))
+                                            ELSE e0 END + 1e-9, 6) AS hll_distinct
+                          FROM est),
+                   x AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                COUNT(DISTINCT o_custkey) AS n_exact
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2
+                         UNION ALL
+                         SELECT o_orderstatus, 'ALL', COUNT(DISTINCT o_custkey)
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderstatus
+                         UNION ALL
+                         SELECT 'ALL', o_orderpriority, COUNT(DISTINCT o_custkey)
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderpriority
+                         UNION ALL
+                         SELECT 'ALL', 'ALL', COUNT(DISTINCT o_custkey)
+                         FROM orders WHERE o_custkey IS NOT NULL)
+              SELECT x.st AS o_orderstatus, x.pr AS o_orderpriority,
+                     x.n_exact, ee.hll_distinct,
+                     ROUND(abs(ee.hll_distinct - x.n_exact) / x.n_exact + 1e-9, 6) AS rel_err
+              FROM ee JOIN x USING (st, pr)""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

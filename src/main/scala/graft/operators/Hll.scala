@@ -100,6 +100,17 @@ object Hll {
     merge(guarded(a), guarded(b), keys)
   }
 
+  /** Roll a register frame up to a coarser grouping (`toKeys` ⊂ the frame's
+    * keys, possibly empty = the grand total): per surviving key set and
+    * bucket, max of ranks — the idempotent HLL merge applied as ONE
+    * aggregation over the register frame, never a corpus re-scan. This is
+    * how a sketch-serving OLAP layer answers every cube level from the
+    * finest cells (q93): register frames are cells × 2^p rows, so the
+    * whole rollup is sketch-sized work. */
+  def rollup(regs: DataFrame, toKeys: Seq[String]): DataFrame =
+    regs.groupBy((toKeys :+ "_bucket").map(col): _*)
+      .agg(max("_rank").as("_rank"))
+
   /** Fold a register frame to one row per group: `(keys*, hll_distinct)`,
     * the bias-corrected HLL estimate (6 dp): `E = α_m m² / Σ 2^{-M_j}`
     * (empty buckets contribute 2⁰), switched to linear counting

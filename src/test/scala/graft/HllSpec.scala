@@ -91,4 +91,29 @@ class HllSpec extends SparkSpec {
     val deepRank = Seq(("g", 3L, 50)).toDF("g", "_bucket", "_rank")
     raises(Hll.merge(deepRank, sb10, Seq("g"), p = 10).collect())
   }
+
+  test("rollup: merging fine-cell registers == registers built directly at " +
+      "the coarse level, at every cube level incl. the grand total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 5000).map { i =>
+      (s"s${i % 3}", s"p${i % 5}", rnd.nextInt(800).toLong)
+    }.toDF("st", "pr", "v")
+    val fine = Hll.registers(rows, Seq("st", "pr"), "v", p = 8)
+    def regSet(df: org.apache.spark.sql.DataFrame, ks: Seq[String]) =
+      df.collect().map(r => (ks.map(r.getAs[String]), r.getAs[Long]("_bucket"),
+        r.getAs[Int]("_rank"))).toSet
+    // rollup to each coarser level equals the direct build — the
+    // mergeability identity that makes sketch-served cubes exact-by-merge
+    for (ks <- Seq(Seq("st"), Seq("pr"), Nil)) {
+      assert(regSet(Hll.rollup(fine, ks), ks) ===
+        regSet(Hll.registers(rows, ks, "v", p = 8), ks),
+        s"rollup to $ks diverged from the direct registers")
+    }
+    // and the grand-total estimate is the known ~800 within the p=8 band
+    val est = Hll.estimate(Hll.rollup(fine, Nil), Nil, 8)
+      .head().getDouble(0)
+    assert(math.abs(est - 800.0) / 800.0 < 0.15, s"grand total est $est")
+  }
 }
