@@ -6629,6 +6629,75 @@ object QueriesExt {
                  END AS f1
           FROM np, nt, nb""")),
 
+    // D21 — cross-table record linkage (Dedup.entityLink): d20's
+    // two-frame form — match a probe table (the planted variants, playing
+    // an incoming feed) against a reference master table (part) instead
+    // of deduplicating one table against itself. Same blocking, sims,
+    // weighted score; every (probe, store) pair kept — the MDM-style
+    // "which master record is this feed row?" lookup. Every planted
+    // variant should find its original (d20b priced the recall of this
+    // exact matcher at 0.972 — the misses are single-token names).
+    Entry(
+      "d21_record_linkage",
+      (s, d) => {
+        val p = Tables.load(s, d, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_size")
+        val variants = p.filter(col("p_partkey") % 4 === 0).select(
+          (col("p_partkey") + lit(1000000L)).as("p_partkey"),
+          concat(substring(col("p_name"), 1, 1), expr("substring(p_name, 3)"))
+            .as("p_name"),
+          col("p_brand"), (col("p_size") + lit(1)).as("p_size"))
+        Dedup.entityLink(variants, p, "p_partkey",
+          Seq(col("p_brand"), substring(col("p_name"), 1, 1)),
+          editFields = Seq("p_name" -> 0.4),
+          jaccardFields = Seq("p_name" -> 0.2),
+          exactFields = Seq("p_brand" -> 0.2),
+          closeFields = Seq("p_size" -> 0.2),
+          threshold = 0.75)
+      },
+      Some("""WITH p0 AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+                   vr AS (SELECT p_partkey + 1000000 AS p_partkey,
+                                 substring(p_name, 1, 1) || substring(p_name, 3) AS p_name,
+                                 p_brand, p_size + 1 AS p_size
+                          FROM p0 WHERE p_partkey % 4 = 0),
+                   ta AS (SELECT p_partkey AS id, p_brand,
+                                 substring(p_name, 1, 1) AS nk,
+                                 lower(trim(p_name)) AS nn,
+                                 list_distinct([x for x in string_split_regex(lower(trim(p_name)), '\s+')
+                                                if length(x) > 0]) AS toks,
+                                 p_size
+                          FROM vr),
+                   tb AS (SELECT p_partkey AS id, p_brand,
+                                 substring(p_name, 1, 1) AS nk,
+                                 lower(trim(p_name)) AS nn,
+                                 list_distinct([x for x in string_split_regex(lower(trim(p_name)), '\s+')
+                                                if length(x) > 0]) AS toks,
+                                 p_size
+                          FROM p0),
+                   c AS (SELECT a.id AS a_id, b.id AS b_id,
+                                ROUND(CASE WHEN levenshtein(a.nn, b.nn) > 20 THEN 0.0
+                                      ELSE 1.0 - CAST(levenshtein(a.nn, b.nn) AS DOUBLE)
+                                           / GREATEST(length(a.nn), length(b.nn), 1) END + 1e-9, 6) AS p_name_edit_sim,
+                                ROUND(CASE WHEN len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) = 0 THEN 1.0
+                                      ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                                           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) END + 1e-9, 6) AS p_name_jaccard_sim,
+                                ROUND(CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand THEN 1.0 ELSE 0.0 END + 1e-9, 6) AS p_brand_exact_sim,
+                                ROUND(CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size THEN 1.0
+                                           WHEN a.p_size IS NULL OR b.p_size IS NULL THEN 0.0
+                                      ELSE 1.0 - CAST(abs(a.p_size - b.p_size) AS DOUBLE)
+                                           / GREATEST(abs(a.p_size), abs(b.p_size), 1) END + 1e-9, 6) AS p_size_close_sim
+                         FROM ta a JOIN tb b
+                           ON a.p_brand = b.p_brand AND a.nk = b.nk),
+                   sc AS (SELECT *, ROUND((CAST('0.4' AS DOUBLE) * p_name_edit_sim +
+                                           CAST('0.2' AS DOUBLE) * p_name_jaccard_sim +
+                                           CAST('0.2' AS DOUBLE) * p_brand_exact_sim +
+                                           CAST('0.2' AS DOUBLE) * p_size_close_sim)
+                                          / CAST('1.0' AS DOUBLE) + 1e-9, 6) AS score
+                          FROM c)
+              SELECT a_id, b_id, p_name_edit_sim, p_name_jaccard_sim,
+                     p_brand_exact_sim, p_size_close_sim, score
+              FROM sc WHERE score >= CAST('0.75' AS DOUBLE)""")),
+
     // T51 — sentence-aware RAG chunking (TextAnalysis.sentenceChunks):
     // t22 cuts mid-sentence on raw token offsets; this packs WHOLE
     // sentences to a 20-token budget under the packSequences first-token

@@ -1419,7 +1419,39 @@ object Dedup {
       jaccardFields: Seq[(String, Double)] = Nil,
       exactFields: Seq[(String, Double)] = Nil,
       closeFields: Seq[(String, Double)] = Nil,
-      threshold: Double = 0.8, maxEdit: Int = 20): DataFrame = {
+      threshold: Double = 0.8, maxEdit: Int = 20): DataFrame =
+    entityCore(df, None, idCol, blockCols, editFields, jaccardFields,
+      exactFields, closeFields, threshold, maxEdit)
+
+  /** Cross-table record LINKAGE — [[entityPairs]]' two-frame form (match
+    * a probe table against a reference/master table instead of
+    * deduplicating one table against itself): same blocking, same
+    * per-field similarities, same weighted score and threshold, but
+    * candidates come from the probe ⋈ store block join and every
+    * (probe, store) pair is kept (no `a_id < b_id` self-dedup filter —
+    * the sides are distinct tables). `a_id` is the probe record, `b_id`
+    * the store record. Both frames must carry the similarity fields under
+    * the same names; [[graft.streaming.StreamingEntity]] runs this per
+    * micro-batch against the accumulated store. */
+  def entityLink(
+      probe: DataFrame, store: DataFrame, idCol: String,
+      blockCols: Seq[Column],
+      editFields: Seq[(String, Double)] = Nil,
+      jaccardFields: Seq[(String, Double)] = Nil,
+      exactFields: Seq[(String, Double)] = Nil,
+      closeFields: Seq[(String, Double)] = Nil,
+      threshold: Double = 0.8, maxEdit: Int = 20): DataFrame =
+    entityCore(probe, Some(store), idCol, blockCols, editFields,
+      jaccardFields, exactFields, closeFields, threshold, maxEdit)
+
+  private def entityCore(
+      df: DataFrame, storeOpt: Option[DataFrame], idCol: String,
+      blockCols: Seq[Column],
+      editFields: Seq[(String, Double)],
+      jaccardFields: Seq[(String, Double)],
+      exactFields: Seq[(String, Double)],
+      closeFields: Seq[(String, Double)],
+      threshold: Double, maxEdit: Int): DataFrame = {
     require(blockCols.nonEmpty, "entityPairs: no blocking columns")
     val weighted =
       editFields.map { case (f, w) => (f, w, "edit") } ++
@@ -1450,13 +1482,14 @@ object Dedup {
         s"_n_$f" -> norm(coalesce(col(f), lit(""))) }.distinct ++
         weighted.collect { case (f, _, "jaccard") =>
           s"_t_$f" -> toks(col(f)) }.distinct
-    val base = df.select(
+    def prep(in: DataFrame) = in.select(
       col(idCol).as("_id") +:
         (blockCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") } ++
           fieldCols.map(col) ++
           derived.map { case (n, c) => c.as(n) }): _*)
+    val base = prep(df)
     val carried = fieldCols ++ derived.map(_._1)
-    def side(p: String) = base.select(
+    def side(from: DataFrame, p: String) = from.select(
       col("_id").as(s"${p}_id") +:
         (blockCols.indices.map(i => col(s"_blk$i")) ++
           carried.map(f => col(f).as(s"_${p}_$f"))): _*)
@@ -1469,9 +1502,13 @@ object Dedup {
     // mega-block's pairs spread over every core. The exchange is
     // rows-sized; the probe it parallelizes is pairs-sized.
     val slices = df.sparkSession.sessionState.conf.numShufflePartitions
-    val cand = side("a").repartition(slices)
-      .join(side("b"), blockCols.indices.map(i => s"_blk$i").toSeq)
-      .filter(col("a_id") < col("b_id"))
+    val bSide = side(storeOpt.map(prep).getOrElse(base), "b")
+    val cand0 = side(base, "a").repartition(slices)
+      .join(bSide, blockCols.indices.map(i => s"_blk$i").toSeq)
+    // self-dedup keeps each unordered pair once; cross-table linkage
+    // keeps every (probe, store) pair — the sides are distinct tables
+    val cand = if (storeOpt.isEmpty) cand0.filter(col("a_id") < col("b_id"))
+      else cand0
 
     def sim(f: String, kind: String): Column = {
       val (a, b) = (col(s"_a_$f"), col(s"_b_$f"))
