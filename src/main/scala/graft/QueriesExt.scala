@@ -6526,6 +6526,78 @@ object QueriesExt {
                      ROUND(abs(ee.hll_distinct - x.n_exact) / x.n_exact + 1e-9, 6) AS rel_err
               FROM ee JOIN x USING (st, pr)""")),
 
+    // Q94 — KMV distinct-count CUBE (Kmv.rollup): q93's twin for the
+    // SET-OPERATION sketch — the same finest-cells-once, coarser-levels-
+    // by-merge serving shape, but with bottom-k samples, whose rollup
+    // (distinct union re-truncated to k smallest) is EXACTLY the sketch
+    // built directly at the coarse level. A lake keeps both: HLL for the
+    // cheapest distinct counts, KMV where levels must also answer
+    // intersections (q63). Four levels, exact audits, "ALL" marks rolled
+    // dims; samples and estimates replay bit-for-bit.
+    Entry(
+      "q94_kmv_cube",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders")
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val k = 128
+        val fine = Kmv.sketch(ord, keys, "o_custkey", k)
+          .localCheckpoint(true) // cells × k rows; read by all 4 levels
+        def level(ks: Seq[String]): org.apache.spark.sql.DataFrame = {
+          val est = Kmv.estimate(
+            if (ks == keys) fine else Kmv.rollup(fine, ks, k), ks, k)
+          val exact = ord.filter(col("o_custkey").isNotNull)
+            .groupBy(ks.map(col): _*)
+            .agg(countDistinct(col("o_custkey")).as("n_exact"))
+          val j = if (ks.isEmpty) est.crossJoin(exact) else est.join(exact, ks)
+          j.select(
+            (if (ks.contains("o_orderstatus")) col("o_orderstatus")
+             else lit("ALL")).as("o_orderstatus"),
+            (if (ks.contains("o_orderpriority")) col("o_orderpriority")
+             else lit("ALL")).as("o_orderpriority"),
+            col("n_exact"), col("kmv_distinct"),
+            stableRound(
+              abs(col("kmv_distinct") - col("n_exact")) / col("n_exact"), 6)
+              .as("rel_err"))
+        }
+        level(keys)
+          .unionByName(level(Seq("o_orderstatus")))
+          .unionByName(level(Seq("o_orderpriority")))
+          .unionByName(level(Nil))
+      },
+      Some("""WITH h AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,14))::UBIGINT::BIGINT AS h
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   hd AS (SELECT DISTINCT st, pr, h FROM h),
+                   lv AS (SELECT st, pr, h FROM hd
+                          UNION ALL SELECT st, 'ALL', h FROM (SELECT DISTINCT st, h FROM hd)
+                          UNION ALL SELECT 'ALL', pr, h FROM (SELECT DISTINCT pr, h FROM hd)
+                          UNION ALL SELECT 'ALL', 'ALL', h FROM (SELECT DISTINCT h FROM hd)),
+                   sk AS (SELECT st, pr, h FROM
+                            (SELECT st, pr, h,
+                                    row_number() OVER (PARTITION BY st, pr ORDER BY h) AS rk
+                             FROM lv) WHERE rk <= 128),
+                   t AS (SELECT st, pr, COUNT(*) AS n, MAX(h) AS th FROM sk GROUP BY st, pr),
+                   e AS (SELECT st, pr,
+                                ROUND((CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                                       ELSE 127 * CAST(72057594037927936 AS DOUBLE) / th END) + 1e-9, 6) AS kmv_distinct
+                         FROM t),
+                   x AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                COUNT(DISTINCT o_custkey) AS n_exact
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2
+                         UNION ALL
+                         SELECT o_orderstatus, 'ALL', COUNT(DISTINCT o_custkey)
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderstatus
+                         UNION ALL
+                         SELECT 'ALL', o_orderpriority, COUNT(DISTINCT o_custkey)
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderpriority
+                         UNION ALL
+                         SELECT 'ALL', 'ALL', COUNT(DISTINCT o_custkey)
+                         FROM orders WHERE o_custkey IS NOT NULL)
+              SELECT x.st AS o_orderstatus, x.pr AS o_orderpriority,
+                     x.n_exact, e.kmv_distinct,
+                     ROUND(abs(e.kmv_distinct - x.n_exact) / x.n_exact + 1e-9, 6) AS rel_err
+              FROM e JOIN x USING (st, pr)""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

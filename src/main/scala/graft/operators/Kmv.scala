@@ -67,6 +67,20 @@ object Kmv {
     else TopK.perGroup(u, keys, Seq(col("_h").asc), k).drop("rank")
   }
 
+  /** Roll a sketch frame up to a coarser grouping (`toKeys` ⊂ the frame's
+    * keys, possibly empty = the grand total): distinct union of the
+    * constituent samples re-truncated to the k smallest per surviving
+    * group — EXACTLY `sketch()` built directly at the coarse level (the
+    * merge-exactness argument), in sketch-sized work. [[Hll.rollup]]'s
+    * twin for the set-operation sketch, so a sketch-serving cube keeps
+    * INTERSECTION estimates available at every level (q94). */
+  def rollup(sk: DataFrame, toKeys: Seq[String], k: Int): DataFrame = {
+    checkK(k)
+    val u = sk.select((toKeys :+ "_h").map(col): _*).distinct()
+    if (toKeys.isEmpty) u.orderBy("_h").limit(k)
+    else TopK.perGroup(u, toKeys, Seq(col("_h").asc), k).drop("rank")
+  }
+
   /** Fold a sketch to `(keys*, kmv_distinct)` (6dp): exact below k,
     * `(k−1) · H / θ` at capacity — one double division per group, no
     * accumulation. */

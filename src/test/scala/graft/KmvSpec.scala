@@ -85,4 +85,26 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(got("k0") - 750) / 750.0 < 0.35, got("k0"))
     assert(got("k1") === 0.0)
   }
+
+  test("rollup: re-truncated union of fine-cell samples == the sketch built " +
+      "directly at the coarse level, at every cube level incl. grand total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 6000).map { i =>
+      (s"s${i % 3}", s"p${i % 4}", s"v${rnd.nextInt(900)}")
+    }.toDF("st", "pr", "v")
+    val k = 64
+    val fine = Kmv.sketch(rows, Seq("st", "pr"), "v", k)
+    def hset(df: org.apache.spark.sql.DataFrame, ks: Seq[String]) =
+      df.collect().map(r => (ks.map(r.getAs[String]), r.getAs[Long]("_h"))).toSet
+    for (ks <- Seq(Seq("st"), Seq("pr"), Nil)) {
+      assert(hset(Kmv.rollup(fine, ks, k), ks) ===
+        hset(Kmv.sketch(rows, ks, "v", k), ks),
+        s"rollup to $ks diverged from the direct sketch")
+    }
+    val est = Kmv.estimate(Kmv.rollup(fine, Nil, k), Nil, k)
+      .head().getDouble(0)
+    assert(math.abs(est - 900.0) / 900.0 < 0.25, s"grand total est $est")
+  }
 }
