@@ -6598,6 +6598,43 @@ object QueriesExt {
                      ROUND(abs(e.kmv_distinct - x.n_exact) / x.n_exact + 1e-9, 6) AS rel_err
               FROM e JOIN x USING (st, pr)""")),
 
+    // Q95 — KLL quantile CUBE (Kll.rollup): the trilogy's third member —
+    // q93 serves distincts (HLL max-merge), q94 set ops (KMV bottom-k),
+    // q95 QUANTILES: the finest (status, priority) compactor frames are
+    // built once; by-status / by-priority / grand-total sketches are
+    // derived by dropping the rolled key and compaction-sweeping each
+    // coarse group's combined rows — merge across all of a group's cells
+    // at once, register-frame-sized work. Weight conservation keeps every
+    // level's n the EXACT row count (the built-in audit); estimates are
+    // original data values, coins md5-derived, so the whole cube replays
+    // bit-for-bit through the generated build/rollup/estimate chains.
+    Entry(
+      "q95_kll_cube",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders")
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+        val fine = Kll.registers(ord, keys, "o_totalprice", "o_orderkey",
+            buckets = 4, k = 32, rounds = 10, salt = "q95")
+          .localCheckpoint(true) // sketch-sized; read by all 4 levels
+        def level(ks: Seq[String]): org.apache.spark.sql.DataFrame =
+          Kll.estimate(
+            if (ks == keys) fine
+            else Kll.rollup(fine, ks, k = 32, sweepRounds = 16, salt = "q95"),
+            ks, qs)
+            .select(
+              (if (ks.contains("o_orderstatus")) col("o_orderstatus")
+               else lit("ALL")).as("o_orderstatus"),
+              (if (ks.contains("o_orderpriority")) col("o_orderpriority")
+               else lit("ALL")).as("o_orderpriority"),
+              col("n"), col("p50"), col("p90"))
+        level(keys)
+          .unionByName(level(Seq("o_orderstatus")))
+          .unionByName(level(Seq("o_orderpriority")))
+          .unionByName(level(Nil))
+      },
+      Some(q95CubeSql)),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200
@@ -7028,6 +7065,38 @@ object QueriesExt {
               FROM nd LEFT JOIN ttr USING (lang) LEFT JOIN nov USING (lang)
               LEFT JOIN sb USING (lang)"""))
   )
+
+  /** q95's oracle: the generated KLL build over (status, priority), three
+    * generated rollup chains (by status, by priority, global), and the
+    * cumulative-weight estimates per level, unioned with 'ALL' fills. */
+  private def q95CubeSql: String = {
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    s"""WITH
+       |${Kll.buildSql(
+        "SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice FROM orders",
+        keys, "o_totalprice", "o_orderkey", buckets = 4, k = 32,
+        rounds = 10, salt = "q95", p = "k")},
+       |${Kll.rollupSql("kreg", Seq("o_orderstatus"), 32, 16, "q95", "ra")},
+       |${Kll.rollupSql("kreg", Seq("o_orderpriority"), 32, 16, "q95", "rb")},
+       |${Kll.rollupSql("kreg", Nil, 32, 16, "q95", "rc")},
+       |${Kll.estimateSql("kreg", keys, qs, p = "e0")},
+       |${Kll.estimateSql("rareg", Seq("o_orderstatus"), qs, p = "e1")},
+       |${Kll.estimateSql("rbreg", Seq("o_orderpriority"), qs, p = "e2")},
+       |${Kll.estimateSql("rcreg", Nil, qs, p = "e3")}
+       |SELECT e0_p50.o_orderstatus, e0_p50.o_orderpriority,
+       |       e0_p50.n, e0_p50.p50, e0_p90.p90
+       |FROM e0_p50 JOIN e0_p90 USING (o_orderstatus, o_orderpriority)
+       |UNION ALL
+       |SELECT e1_p50.o_orderstatus, 'ALL', e1_p50.n, e1_p50.p50, e1_p90.p90
+       |FROM e1_p50 JOIN e1_p90 USING (o_orderstatus)
+       |UNION ALL
+       |SELECT 'ALL', e2_p50.o_orderpriority, e2_p50.n, e2_p50.p50, e2_p90.p90
+       |FROM e2_p50 JOIN e2_p90 USING (o_orderpriority)
+       |UNION ALL
+       |SELECT 'ALL', 'ALL', e3_p50.n, e3_p50.p50, e3_p90.p90
+       |FROM e3_p50, e3_p90""".stripMargin
+  }
 
   /** t53's domain lexicons over the corpus vocabulary (word → tag; the
     * oracle inlines the same pairs as VALUES). */

@@ -166,6 +166,40 @@ object Kll {
       sweepRounds: Int, salt: String): DataFrame =
     sweepGroups(a.unionByName(b), keys, k, sweepRounds, s"$salt/m")
 
+  /** Roll a sketch frame up to a coarser grouping (`toKeys` ⊂ the frame's
+    * keys, possibly empty = the global sketch): drop the rolled key
+    * columns and compaction-sweep each coarse group's combined compactor
+    * rows back to size — [[merge]] applied across all of a coarse group's
+    * cells at once. Completes the sketch-served-cube trilogy
+    * ([[Hll.rollup]] distincts, [[Kmv.rollup]] set ops, this for
+    * QUANTILES): fine cells built once from the corpus, any rollup level
+    * answered from register frames. Weight conservation holds (the sweep
+    * never drops weight), so the per-level `n` stays the exact row count;
+    * rank error grows by one sweep per rollup (the mergeable-summaries
+    * bound), audited live by q81_kll_error's machinery. */
+  def rollup(
+      regs: DataFrame, toKeys: Seq[String], k: Int, sweepRounds: Int,
+      salt: String): DataFrame =
+    sweepGroups(
+      regs.select((toKeys :+ "_level" :+ "_value").map(col): _*),
+      toKeys, k, sweepRounds, s"$salt/r")
+
+  /** CTE chain replaying [[rollup]] over sketch frame `inCte`. Final
+    * frame: `${p}reg`. */
+  def rollupSql(
+      inCte: String, toKeys: Seq[String], k: Int, sweepRounds: Int,
+      salt: String, p: String): String = {
+    val u =
+      s"""${p}u AS MATERIALIZED (
+         |  SELECT ${kc(toKeys)}CAST(-1 AS BIGINT) AS _b, _level, _value
+         |  FROM $inCte)""".stripMargin
+    val sweep = sweepSql(s"${p}u", toKeys, k, sweepRounds, s"$salt/r", s"${p}m")
+    val out =
+      s"""${p}reg AS MATERIALIZED (
+         |  SELECT ${kc(toKeys)}_level, _value FROM ${p}m$sweepRounds)""".stripMargin
+    Seq(u, sweep, out).mkString(",\n")
+  }
+
   /** The shared group-level sweep kernel over `(keys*, _level, _value)`. */
   private def sweepGroups(
       state: DataFrame, keys: Seq[String], k: Int, rounds: Int,

@@ -169,4 +169,41 @@ class KllSpec extends SparkSpec {
     for (q <- Seq("p25", "p50", "p95"))
       assert(g.getAs[Double](q) === keyed.getAs[Double](q))
   }
+
+  test("rollup: weight conservation at every cube level; rolled-up medians " +
+      "stay within the merge rank bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(51)
+    val rows = (0 until 9000).map { i =>
+      (s"s${i % 3}", s"p${i % 3}", i.toLong, rnd.nextDouble() * 1000)
+    }
+    val df = rows.toDF("st", "pr", "id", "v")
+    val (k, rounds) = (32, 10)
+    val fine = Kll.registers(df, Seq("st", "pr"), "v", "id",
+      buckets = 4, k = k, rounds = rounds, salt = "kr")
+    for (ks <- Seq(Seq("st"), Seq("pr"), Nil)) {
+      val rolled = Kll.rollup(fine, ks, k, sweepRounds = 16, salt = "kr")
+      // weight conservation: the rolled frame still weighs the corpus
+      val w = rolled.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), _level)"))).head().getLong(0)
+      assert(w === rows.size.toLong, s"rollup to $ks lost weight: $w")
+      // the rolled estimate's true rank stays near the median (generous
+      // slack: one extra sweep on top of the 4n/k build bound)
+      val est = Kll.estimate(rolled, ks, Seq("p50" -> 0.5))
+      est.collect().foreach { r =>
+        val grp = ks.map(r.getAs[String])
+        val vals = rows.filter { t =>
+          ks.zip(grp).forall {
+            case ("st", g) => t._1 == g
+            case ("pr", g) => t._2 == g
+          }
+        }.map(_._4).sorted
+        val p50 = r.getAs[Double]("p50")
+        val rank = vals.count(_ <= p50)
+        assert(math.abs(rank - vals.size / 2) <= 8.0 * vals.size / k,
+          s"rollup to $ks grp $grp: rank $rank of ${vals.size}")
+      }
+    }
+  }
 }
