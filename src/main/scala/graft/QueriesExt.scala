@@ -6635,6 +6635,89 @@ object QueriesExt {
       },
       Some(q95CubeSql)),
 
+    // Q96 — CMS frequency CUBE (Cms.rollup): the sketch-cube family's
+    // fourth member — HLL distincts (q93), KMV set ops (q94), KLL
+    // quantiles (q95), and here FREQUENCIES: per-cell count-min registers
+    // built once, every coarser level derived by sum-folding
+    // (row, bucket) counts — exactly the registers built directly at that
+    // level, since the sum-fold is exact. Point estimates for custkeys
+    // 1-10 at all four levels vs exact counts; width 64 keeps the q62
+    // collision-honest regime, with never-undercount as the pinned
+    // guarantee at every level.
+    Entry(
+      "q96_cms_cube",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders")
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val (depth, width) = (3, 64)
+        val fine = Cms.registers(ord, keys, "o_custkey", depth, width)
+          .localCheckpoint(true) // cells × depth × width rows; 4 readers
+        def level(ks: Seq[String]): org.apache.spark.sql.DataFrame = {
+          val regs = if (ks == keys) fine else Cms.rollup(fine, ks)
+          val exact = ord
+            .filter(col("o_custkey").isNotNull && col("o_custkey") <= 10)
+            .groupBy((ks :+ "o_custkey").map(col): _*)
+            .agg(count(lit(1)).as("n_exact"))
+          Cms.estimate(regs, exact, ks, "o_custkey", depth, width)
+            .join(exact, ks :+ "o_custkey")
+            .select(
+              (if (ks.contains("o_orderstatus")) col("o_orderstatus")
+               else lit("ALL")).as("o_orderstatus"),
+              (if (ks.contains("o_orderpriority")) col("o_orderpriority")
+               else lit("ALL")).as("o_orderpriority"),
+              col("o_custkey"), col("n_exact"), col("cms_count"),
+              (col("cms_count") - col("n_exact")).as("overcount"))
+        }
+        level(keys)
+          .unionByName(level(Seq("o_orderstatus")))
+          .unionByName(level(Seq("o_orderpriority")))
+          .unionByName(level(Nil))
+      },
+      Some("""WITH h0 AS (SELECT o_orderstatus AS st, o_orderpriority AS pr, o_custkey
+                          FROM orders WHERE o_custkey IS NOT NULL),
+                   r0 AS (SELECT st, pr, rr.r AS _row,
+                                 ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS _bucket,
+                                 COUNT(*) AS cnt
+                          FROM h0 CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rr
+                          GROUP BY st, pr, rr.r, _bucket),
+                   ru AS (SELECT st, pr, _row, _bucket, CAST(cnt AS BIGINT) AS cnt FROM r0
+                          UNION ALL
+                          SELECT st, 'ALL', _row, _bucket, CAST(SUM(cnt) AS BIGINT)
+                          FROM r0 GROUP BY st, _row, _bucket
+                          UNION ALL
+                          SELECT 'ALL', pr, _row, _bucket, CAST(SUM(cnt) AS BIGINT)
+                          FROM r0 GROUP BY pr, _row, _bucket
+                          UNION ALL
+                          SELECT 'ALL', 'ALL', _row, _bucket, CAST(SUM(cnt) AS BIGINT)
+                          FROM r0 GROUP BY _row, _bucket),
+                   x AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                o_custkey, COUNT(*) AS n_exact
+                         FROM orders WHERE o_custkey IS NOT NULL AND o_custkey <= 10
+                         GROUP BY 1, 2, 3
+                         UNION ALL
+                         SELECT o_orderstatus, 'ALL', o_custkey, COUNT(*)
+                         FROM orders WHERE o_custkey IS NOT NULL AND o_custkey <= 10
+                         GROUP BY o_orderstatus, o_custkey
+                         UNION ALL
+                         SELECT 'ALL', o_orderpriority, o_custkey, COUNT(*)
+                         FROM orders WHERE o_custkey IS NOT NULL AND o_custkey <= 10
+                         GROUP BY o_orderpriority, o_custkey
+                         UNION ALL
+                         SELECT 'ALL', 'ALL', o_custkey, COUNT(*)
+                         FROM orders WHERE o_custkey IS NOT NULL AND o_custkey <= 10
+                         GROUP BY o_custkey),
+                   p AS (SELECT x.st, x.pr, x.o_custkey, rr.r AS _row,
+                                ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(x.o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS _bucket
+                         FROM x CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rr),
+                   e AS (SELECT p.st, p.pr, p.o_custkey,
+                                MIN(COALESCE(ru.cnt, 0)) AS cms_count
+                         FROM p LEFT JOIN ru USING (st, pr, _row, _bucket)
+                         GROUP BY p.st, p.pr, p.o_custkey)
+              SELECT x.st AS o_orderstatus, x.pr AS o_orderpriority,
+                     x.o_custkey, x.n_exact, e.cms_count,
+                     e.cms_count - x.n_exact AS overcount
+              FROM x JOIN e USING (st, pr, o_custkey)""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

@@ -79,6 +79,19 @@ object Cms {
       .groupBy((keys ++ Seq("_row", "_bucket")).map(col): _*)
       .agg(sum("_cnt").as("_cnt"))
 
+  /** Roll a register frame up to a coarser grouping (`toKeys` ⊂ the
+    * frame's keys, possibly empty = the grand total): per surviving key
+    * set and (row, bucket), sum of counts — [[merge]] applied across all
+    * of a coarse group's cells at once, EXACTLY the registers built
+    * directly at the coarse level (the sum-fold is exact). The
+    * frequency-sketch member of the cube family (q93 HLL / q94 KMV /
+    * q95 KLL / q96 this): point estimates and the never-undercount
+    * guarantee stay available at every rollup level from cells × depth ×
+    * width rows of state. */
+  def rollup(regs: DataFrame, toKeys: Seq[String]): DataFrame =
+    regs.groupBy((toKeys ++ Seq("_row", "_bucket")).map(col): _*)
+      .agg(sum("_cnt").as("_cnt"))
+
   /** Point-estimate each probe row's `valueCol` against the registers:
     * `(keys*, valueCol, cms_count)` with `cms_count = min` over hash rows
     * of the hit bucket's count (0 for a bucket the sketch never touched).

@@ -112,4 +112,23 @@ class CmsSpec extends SparkSpec {
     assert(!rows.head.isNullAt(rows.head.fieldIndex("join_size_est")))
     assert(rows.head.getAs[Long]("join_size_est") === 0L)
   }
+
+  test("rollup: sum-folded fine-cell registers == registers built directly " +
+      "at the coarse level, at every cube level incl. grand total") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 5000).map { i =>
+      (s"s${i % 3}", s"p${i % 4}", rnd.nextInt(300).toLong)
+    }.toDF("st", "pr", "v")
+    val (depth, width) = (3, 64)
+    val fine = Cms.registers(rows, Seq("st", "pr"), "v", depth, width)
+    def regSet(df: org.apache.spark.sql.DataFrame, ks: Seq[String]) =
+      df.collect().map(r => (ks.map(r.getAs[String]), r.getAs[Int]("_row"),
+        r.getAs[Long]("_bucket"), r.getAs[Long]("_cnt"))).toSet
+    for (ks <- Seq(Seq("st"), Seq("pr"), Nil)) {
+      assert(regSet(Cms.rollup(fine, ks), ks) ===
+        regSet(Cms.registers(rows, ks, "v", depth, width), ks),
+        s"rollup to $ks diverged from the direct registers")
+    }
+  }
 }
