@@ -6718,6 +6718,72 @@ object QueriesExt {
                      e.cms_count - x.n_exact AS overcount
               FROM x JOIN e USING (st, pr, o_custkey)""")),
 
+    // Q97 — Bloom-augmented pruning manifest: q88's honest failure case
+    // closed. The date-sorted manifest's min/max bounds cannot prune an
+    // equality probe on the UNSORTED custkey column (q88's touches_eq_
+    // custkey survives in ~every file, by design and on record); adding a
+    // per-file Bloom filter over custkey (8192 bits, k=4 — ~256 BIGINT
+    // words per file) prunes that same probe to the files that actually
+    // contain the key plus a priced fp tail, with NO false negatives —
+    // a bloom-skipped file provably holds no match, so the pruned scan
+    // stays exact. Per file: min/max verdict vs bloom verdict vs ground
+    // truth, all hash-checked (the md5 "i:value" lanes replay exactly).
+    Entry(
+      "q97_bloom_manifest",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"))
+        val (mBits, k, probe) = (8192, 4, 777L)
+        val asg = Layout.fileAssignments(ord,
+            Seq(col("o_date").asc, col("o_orderkey").asc), 16)
+          .localCheckpoint(true) // read by stats, bloom build, and truth
+        val man = asg.groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_custkey")).as("_cmin"),
+            max(col("o_custkey")).as("_cmax"),
+            max(when(col("o_custkey") === probe, 1L).otherwise(0L))
+              .as("has_true"))
+        val regs = Bloom.registers(asg, Seq("file_id"), "o_custkey", mBits, k)
+        val probes = asg.select("file_id").distinct()
+          .withColumn("_v", lit(probe))
+        val bm = Bloom.mightContain(regs, probes, Seq("file_id"), Nil,
+          "_v", mBits, k)
+        man.join(bm, Seq("file_id"))
+          .select(col("file_id"), col("n_rows"),
+            coalesce(col("_cmin") <= probe && col("_cmax") >= probe,
+              lit(false)).as("touches_minmax"),
+            col("might_contain").as("touches_bloom"),
+            col("has_true"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date
+                         FROM orders),
+                   r AS (SELECT *, row_number() OVER (ORDER BY o_date, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM o),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, COUNT(*) AS n_rows,
+                                MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                                CAST(MAX(CASE WHEN o_custkey = 777 THEN 1 ELSE 0 END) AS BIGINT) AS has_true
+                         FROM a GROUP BY file_id),
+                   ins AS (SELECT a.file_id, rr.i,
+                                  ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':' || CAST(a.o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 8192 AS p
+                           FROM a CROSS JOIN (SELECT unnest(range(0, 4)) AS i) rr
+                           WHERE a.o_custkey IS NOT NULL),
+                   bits AS (SELECT DISTINCT file_id, p FROM ins),
+                   pp AS (SELECT rr.i,
+                                 ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':777'), 1, 14))::UBIGINT::BIGINT % 8192 AS p
+                          FROM (SELECT unnest(range(0, 4)) AS i) rr),
+                   bm AS (SELECT f.file_id, COUNT(b.p) = 4 AS touches_bloom
+                          FROM (SELECT DISTINCT file_id FROM a) f
+                          CROSS JOIN pp
+                          LEFT JOIN bits b ON b.file_id = f.file_id AND b.p = pp.p
+                          GROUP BY f.file_id)
+              SELECT m.file_id, m.n_rows,
+                     COALESCE(m.cmin <= 777 AND m.cmax >= 777, FALSE) AS touches_minmax,
+                     bm.touches_bloom, m.has_true
+              FROM m JOIN bm USING (file_id)""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

@@ -141,4 +141,33 @@ class BloomSpec extends SparkSpec {
     assert(sat.getAs[Long]("bits_set") === 32L)
     assert(sat.isNullAt(sat.fieldIndex("est_inserted")))
   }
+
+  test("bloom-as-file-filter (q97): equality pruning is conservative-exact — " +
+      "every file truly holding the key is kept; an absent key prunes files " +
+      "min/max never could") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 "files", each holding keys (fid*100)..(fid*100+99) plus the
+    // common key 42 in even files only — min/max bounds all straddle 42
+    val rows = (0 until 8).flatMap { fid =>
+      val own = (0 until 100).map(i => (fid.toLong, (fid * 100 + i).toLong))
+      if (fid % 2 == 0) own :+ ((fid.toLong, 42L)) else own
+    }.toDF("file_id", "key")
+    val (m, k) = (8192, 4)
+    val regs = Bloom.registers(rows, Seq("file_id"), "key", m, k)
+    def touches(v: Long): Map[Long, Boolean] =
+      Bloom.mightContain(regs,
+        rows.select("file_id").distinct().withColumn("_v", lit(v)),
+        Seq("file_id"), Nil, "_v", m, k)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val t42 = touches(42L)
+    // no false negatives: every even file (truly holds 42) is kept
+    (0 until 8).filter(_ % 2 == 0).foreach(f =>
+      assert(t42(f.toLong), s"file $f holds 42 but bloom pruned it"))
+    // an absent key prunes: no file holds 99999, and at this fill the
+    // deterministic lanes keep nothing (pinned — md5 lanes are fixed)
+    val tAbs = touches(99999L)
+    assert(!tAbs.values.exists(identity),
+      s"absent key kept files: ${tAbs.filter(_._2).keys}")
+  }
 }
