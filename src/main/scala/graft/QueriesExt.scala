@@ -6784,6 +6784,193 @@ object QueriesExt {
                      bm.touches_bloom, m.has_true
               FROM m JOIN bm USING (file_id)""")),
 
+    // Q98 — manifest-driven pruned scan IN THE READ PATH (PrunedScan,
+    // round-14 verdict task 1): q88 measured pruning with a tool; this
+    // entry pins it as a first-class source. Orders are written under the
+    // fileAssignments contract (16 one-file dirs), the manifest is
+    // derived, and the Q3'95 range probe lists ONLY surviving files into
+    // the parquet reader. Pinned: the scan node's own numFiles metric
+    // (not a directory listing) must equal the oracle's replayed survivor
+    // count, and the pruned scan's rows/sums must equal the full scan's —
+    // the conservative-pruning exactness guarantee, hash-checked.
+    Entry(
+      "q98_pruned_scan",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q98").toString
+        try {
+          val dir = s"$tmp/orders"
+          val order = Seq(col("o_date").asc, col("o_orderkey").asc)
+          Layout.assignedWrite(ord, order, 16, dir)
+          // manifest is 16 rows; consulted by survivorIds AND the scan —
+          // pin it once (the q82 eager-result discipline)
+          val man = Layout.fileManifest(ord, order, 16,
+            Seq("o_date", "o_custkey")).localCheckpoint(true)
+          val lo = lit("1995-07-01").cast("date")
+          val hi = lit("1995-10-01").cast("date")
+          val probes = Seq(graft.sources.RangeProbe("o_date", lo, hi))
+          val rowPred = col("o_date") >= lo && col("o_date") < hi
+          def agg3(df: org.apache.spark.sql.DataFrame) = df.where(rowPred)
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_orderkey")).as("ok"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("ct"))
+          val pruned = agg3(
+            graft.sources.PrunedScan.prunedParquet(s, dir, man, probes))
+          val p = pruned.collect()(0)
+          val filesRead = graft.sources.PrunedScan.filesRead(pruned)
+          val f = agg3(s.read.option("basePath", dir).parquet(dir))
+            .collect()(0)
+          val nSurvive =
+            graft.sources.PrunedScan.survivorIds(man, probes).length.toLong
+          Seq((16L, nSurvive, filesRead, p.getLong(0), p.getLong(1),
+            p.getLong(2),
+            p.getLong(0) == f.getLong(0) && p.getLong(1) == f.getLong(1) &&
+              p.getLong(2) == f.getLong(2),
+            filesRead == nSurvive))
+            .toDF("n_files_total", "files_survive", "files_read", "n_rows",
+              "orderkey_sum", "cents_sum", "identical_to_full",
+              "metric_matches")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+                                CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+                         FROM orders),
+                   r AS (SELECT *, row_number() OVER (ORDER BY o_date, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM o),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, MIN(o_date) AS dmin, MAX(o_date) AS dmax
+                         FROM a GROUP BY file_id),
+                   sv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_survive FROM m
+                          WHERE dmax >= DATE '1995-07-01' AND dmin < DATE '1995-10-01'),
+                   q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                                CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum,
+                                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+                         FROM o
+                         WHERE o_date >= DATE '1995-07-01' AND o_date < DATE '1995-10-01')
+              SELECT CAST(16 AS BIGINT) AS n_files_total,
+                     sv.n_survive AS files_survive,
+                     sv.n_survive AS files_read,
+                     q.n_rows, q.orderkey_sum, q.cents_sum,
+                     TRUE AS identical_to_full,
+                     TRUE AS metric_matches
+              FROM sv, q""")),
+
+    // Q98b — the Bloom-sharpened pruned scan: q97 built per-file Bloom
+    // registers to close q88's unsorted-column failure case; this entry
+    // wires them into the SAME read path. The custkey=777 equality probe
+    // on the date-sorted layout survives min/max in every file (on
+    // record in q88), but the Bloom sidecar prunes the listing to the
+    // truly-containing files plus the priced fp tail — and the scan-node
+    // numFiles metric must equal the oracle's replayed bloom-survivor
+    // count while the row answer stays exactly the full scan's.
+    Entry(
+      "q98b_pruned_scan_bloom",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"))
+        val (mBits, k, probe) = (8192, 4, 777L)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q98b").toString
+        try {
+          val dir = s"$tmp/orders"
+          val order = Seq(col("o_date").asc, col("o_orderkey").asc)
+          Layout.assignedWrite(ord, order, 16, dir)
+          val asg = Layout.fileAssignments(ord, order, 16)
+            .localCheckpoint(true) // read by manifest and register build
+          val man = asg.groupBy(col("file_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("o_custkey")).as("o_custkey_min"),
+              max(col("o_custkey")).as("o_custkey_max"),
+              sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+                .as("o_custkey_nulls"))
+            .localCheckpoint(true)
+          val regs = graft.operators.Bloom.registers(
+            asg, Seq("file_id"), "o_custkey", mBits, k)
+            .localCheckpoint(true)
+          val probes = Seq(graft.sources.EqualProbe("o_custkey", lit(probe)))
+          val blooms = Map("o_custkey" ->
+            graft.sources.BloomSidecar(regs, mBits, k))
+          def agg2(df: org.apache.spark.sql.DataFrame) =
+            df.where(col("o_custkey") === probe)
+              .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ok"))
+          val pruned = agg2(graft.sources.PrunedScan.prunedParquet(
+            s, dir, man, probes, blooms))
+          val p = pruned.collect()(0)
+          val filesRead = graft.sources.PrunedScan.filesRead(pruned)
+          val f = agg2(s.read.option("basePath", dir).parquet(dir))
+            .collect()(0)
+          val nMinMax = graft.sources.PrunedScan
+            .survivorIds(man, probes).length.toLong
+          val nBloom = graft.sources.PrunedScan
+            .survivorIds(man, probes, blooms).length.toLong
+          Seq((16L, nMinMax, nBloom, filesRead, p.getLong(0), p.getLong(1),
+            p.getLong(0) == f.getLong(0) && p.getLong(1) == f.getLong(1),
+            filesRead == nBloom))
+            .toDF("n_files_total", "files_survive_minmax",
+              "files_survive_bloom", "files_read", "n_rows", "orderkey_sum",
+              "identical_to_full", "metric_matches")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date
+                         FROM orders),
+                   r AS (SELECT *, row_number() OVER (ORDER BY o_date, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM o),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax
+                         FROM a GROUP BY file_id),
+                   ins AS (SELECT a.file_id, rr.i,
+                                  ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':' || CAST(a.o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 8192 AS p
+                           FROM a CROSS JOIN (SELECT unnest(range(0, 4)) AS i) rr
+                           WHERE a.o_custkey IS NOT NULL),
+                   bits AS (SELECT DISTINCT file_id, p FROM ins),
+                   pp AS (SELECT rr.i,
+                                 ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':777'), 1, 14))::UBIGINT::BIGINT % 8192 AS p
+                          FROM (SELECT unnest(range(0, 4)) AS i) rr),
+                   bm AS (SELECT f.file_id, COUNT(b.p) = 4 AS might
+                          FROM (SELECT DISTINCT file_id FROM a) f
+                          CROSS JOIN pp
+                          LEFT JOIN bits b ON b.file_id = f.file_id AND b.p = pp.p
+                          GROUP BY f.file_id),
+                   mv AS (SELECT m.file_id,
+                                 COALESCE(m.cmin <= 777 AND m.cmax >= 777, FALSE) AS mm,
+                                 bm.might
+                          FROM m JOIN bm USING (file_id)),
+                   sv AS (SELECT CAST(SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS BIGINT) AS n_mm,
+                                 CAST(SUM(CASE WHEN mm AND might THEN 1 ELSE 0 END) AS BIGINT) AS n_bl
+                          FROM mv),
+                   q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                                CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum
+                         FROM o WHERE o_custkey = 777)
+              SELECT CAST(16 AS BIGINT) AS n_files_total,
+                     sv.n_mm AS files_survive_minmax,
+                     sv.n_bl AS files_survive_bloom,
+                     sv.n_bl AS files_read,
+                     q.n_rows, q.orderkey_sum,
+                     TRUE AS identical_to_full,
+                     TRUE AS metric_matches
+              FROM sv, q""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200
@@ -6803,7 +6990,14 @@ object QueriesExt {
         "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
         replicates = 200, salt = "q90"),
       Some("""WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
-                                ('0x' || substr(md5('q90:' || l_orderkey || ':' || l_linenumber), 1, 14))::UBIGINT::BIGINT
+                                ('0x' || substr(md5('q90:'
+                                  || CASE WHEN l_orderkey IS NULL THEN 'n'
+                                          ELSE 'v' || CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR)
+                                               || '|' || CAST(l_orderkey AS VARCHAR) END
+                                  || ':'
+                                  || CASE WHEN l_linenumber IS NULL THEN 'n'
+                                          ELSE 'v' || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR)
+                                               || '|' || CAST(l_linenumber AS VARCHAR) END), 1, 14))::UBIGINT::BIGINT
                                   % 2147483647 AS h
                          FROM lineitem WHERE l_extendedprice IS NOT NULL),
                    e AS (SELECT g, v, h, unnest(range(200)) AS r FROM b),

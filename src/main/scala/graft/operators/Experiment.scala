@@ -827,7 +827,16 @@ object Experiment {
       idCols: Seq[String], salt: String): DataFrame =
     df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_pb_v") :+
-        concat_ws(":", lit(salt) +: idCols.map(c => col(c).cast("string")): _*)
+        // injective id encoding (round-14 advice): each component is
+        // length-prefixed (`v<len>|<value>`, null → `n`), so id values
+        // containing ':' — or null components, which concat_ws would
+        // silently drop — cannot make distinct rows collide to one seed
+        // and correlate their replicate weights. Mirrored in the oracle.
+        concat_ws(":", lit(salt) +: idCols.map { c =>
+          val s = col(c).cast("string")
+          when(s.isNull, lit("n"))
+            .otherwise(concat(lit("v"), length(s).cast("string"), lit("|"), s))
+        }: _*)
           .as("_pb_id"): _*)
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("_pb_h", Dedup.hash56(col("_pb_id")) % lit(2147483647L))

@@ -35,7 +35,7 @@ object Layout {
              WHEN try_subtract(_max_$c, _min_$c) IS NULL
                   OR try_subtract(_max_$c, _min_$c) >= ${1L << (63 - bits)}
              THEN raise_error(concat(
-                    'z-order span overflow: column $c spans ',
+                    'layout span overflow: column $c spans ',
                     coalesce(CAST(try_subtract(_max_$c, _min_$c) AS STRING),
                              '>2^63'),
                     ' >= 2^${63 - bits}; bucket the column first'))
@@ -48,6 +48,33 @@ object Layout {
     s"""CASE WHEN mm._max_$c = mm._min_$c THEN CAST(0 AS BIGINT)
         ELSE (CAST($c AS BIGINT) - mm._min_$c) * ${1L << bits}
              // (mm._max_$c - mm._min_$c + 1) END"""
+
+  /** Shared layout-column precondition: integrality is a hard plan-time
+    * requirement (fractional casts diverge across engines — Spark
+    * truncates, DuckDB rounds) for every curve ([[withZValue]],
+    * [[withHilbertValue]], [[withHilbertValueN]]). */
+  private def requireIntegral(df: DataFrame, cols: Seq[String]): Unit = {
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    cols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"layout column $c not in schema"))
+      require(integral.contains(f.dataType),
+        s"layout column $c must be integral (byte/short/int/long), " +
+          s"got ${f.dataType.simpleString} — floor/bucket it first")
+    }
+  }
+
+  /** The one-row broadcast min/max frame every curve buckets against. */
+  private def minMaxFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggExprs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"_min_$c"),
+      max(col(c)).cast("long").as(s"_max_$c")))
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+  }
 
   /** Append `zCol`: the Morton interleave of `cols`' bucket indices
     * (`bits` per dimension, dimension 0 owns the most significant bit of
@@ -69,24 +96,8 @@ object Layout {
     require(cols.nonEmpty, "at least one layout column")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits*dims must fit a signed long, got $bits x ${cols.size}")
-    // integrality is a hard precondition (fractional casts diverge across
-    // engines — Spark truncates, DuckDB rounds) — reject at plan time
-    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.ByteType,
-      org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.LongType)
-    cols.foreach { c =>
-      val f = df.schema.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"layout column $c not in schema"))
-      require(integral.contains(f.dataType),
-        s"layout column $c must be integral (byte/short/int/long), " +
-          s"got ${f.dataType.simpleString} — floor/bucket it first")
-    }
-    val aggExprs = cols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"_min_$c"),
-      max(col(c)).cast("long").as(s"_max_$c")))
-    val mm = df.agg(aggExprs.head, aggExprs.tail: _*)
+    requireIntegral(df, cols)
+    val mm = minMaxFrame(df, cols)
     val n = cols.size
     // the runtime span guard (wide span => descriptive raise_error, not a
     // wrapped/ANSI-overflowed z-value) lives inside bucket()'s CASE
@@ -132,22 +143,8 @@ object Layout {
       hCol: String = "h_value"): DataFrame = {
     require(cols.size == 2, s"hilbert layout takes exactly 2 columns, got ${cols.size}")
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.ByteType,
-      org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.LongType)
-    cols.foreach { c =>
-      val f = df.schema.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"layout column $c not in schema"))
-      require(integral.contains(f.dataType),
-        s"layout column $c must be integral (byte/short/int/long), " +
-          s"got ${f.dataType.simpleString} — floor/bucket it first")
-    }
-    val aggExprs = cols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"_min_$c"),
-      max(col(c)).cast("long").as(s"_max_$c")))
-    val mm = df.agg(aggExprs.head, aggExprs.tail: _*)
+    requireIntegral(df, cols)
+    val mm = minMaxFrame(df, cols)
     val bx = coalesce(bucket(cols(0), bits), lit(0L))
     val by = coalesce(bucket(cols(1), bits), lit(0L))
     df.crossJoin(broadcast(mm))
@@ -254,6 +251,24 @@ object Layout {
         expr(s"CAST((_fm_rank - 1) * $nFiles AS BIGINT) DIV _fm_n"))
       .drop("_fm_one", "_fm_rank", "_fm_n")
   }
+
+  /** Write `df` under the [[fileAssignments]] contract a
+    * [[graft.sources.PrunedScan]] reader prunes against: file `k` holds
+    * exactly the rows `fileAssignments` maps to it, lands under
+    * `path/file_id=k/` as ONE physical file (hash exchange on `file_id`
+    * puts each id wholly in one task), and is sorted by `orderCols`
+    * within, so parquet row-group footer stats nest inside the manifest's
+    * file stats. The matching [[fileManifest]] over the same `df` is
+    * byte-for-byte the written layout's statistics — deterministic by the
+    * prefix-sum assignment, which is what lets an oracle replay the
+    * survivor set. */
+  def assignedWrite(
+      df: DataFrame, orderCols: Seq[Column], nFiles: Int,
+      path: String): Unit =
+    fileAssignments(df, orderCols, nFiles)
+      .repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id") +: orderCols: _*)
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
 
   /** Q88 — the write-time pruning manifest: per [[fileAssignments]] file,
     * exact `n_rows` plus `<col>_min` / `<col>_max` / `<col>_nulls` for each

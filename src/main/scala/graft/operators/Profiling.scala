@@ -1401,7 +1401,13 @@ object Profiling {
     * crosses a boundary. The histogram is `nBuckets` rows, so the range
     * join is a broadcast against the probe frame — zero corpus cost at
     * probe time, the entire point of keeping statistics. Probes that land
-    * outside every bucket estimate 0 (left join + coalesce). */
+    * outside every bucket estimate 0 (left join + coalesce).
+    *
+    * One output row PER PROBE ROW, duplicates included: the cross-bucket
+    * sum aggregates over a per-row identity tag, not the probe columns, so
+    * two identical probe rows yield two rows of `e` — not one row of `2e`
+    * (round-14 advice; the tag is positional only and never survives into
+    * the output, so results stay content-deterministic). */
   def histEqualitySelectivity(
       hist: DataFrame, probes: DataFrame, probeCol: String): DataFrame = {
     val h = broadcast(hist.select(
@@ -1409,11 +1415,13 @@ object Profiling {
       (col("n_rows").cast("double") / col("n_distinct").cast("double"))
         .as("_hes_e")))
     probes
+      .withColumn("_hes_rid", monotonically_increasing_id())
       .join(h,
         col(probeCol).cast("double") >= col("_hes_lo") &&
           col(probeCol).cast("double") <= col("_hes_hi"), "left")
-      .groupBy(probes.columns.map(col): _*)
+      .groupBy((probes.columns :+ "_hes_rid").map(col): _*)
       .agg(stableRound(coalesce(sum(col("_hes_e")), lit(0.0)), 6)
         .as("est_rows"))
+      .drop("_hes_rid")
   }
 }

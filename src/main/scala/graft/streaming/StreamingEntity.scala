@@ -41,17 +41,21 @@ object StreamingEntity {
     * batch's match pairs (`a_id` = incoming record, `b_id` = master or
     * earlier-stream record, per-field sims, score) and the batch id. The
     * probe and store frames must carry the similarity fields under the
-    * same names; id namespaces must not collide across them. */
+    * same names; id namespaces must not collide across them.
+    *
+    * `checkpoint` is REQUIRED and therefore precedes every defaulted
+    * parameter (round-14 advice: trailing it behind six defaults forced
+    * by-name calls and let a positional string silently bind to
+    * statePath). */
   def attach(
       df: DataFrame, master: DataFrame, idCol: String,
-      blockCols: Seq[Column],
+      blockCols: Seq[Column], checkpoint: String,
       editFields: Seq[(String, Double)] = Nil,
       jaccardFields: Seq[(String, Double)] = Nil,
       exactFields: Seq[(String, Double)] = Nil,
       closeFields: Seq[(String, Double)] = Nil,
       threshold: Double = 0.8, maxEdit: Int = 20,
-      extend: Boolean = false, statePath: String = "",
-      checkpoint: String)(
+      extend: Boolean = false, statePath: String = "")(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(!extend || statePath.nonEmpty,
       "extend = true needs a statePath for the accumulated store")

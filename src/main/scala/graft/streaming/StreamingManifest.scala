@@ -41,6 +41,27 @@ object StreamingManifest {
     DeltaStaging.stagedIds(spark, statePath).maxOption
       .map(b => DeltaStaging.read(spark, statePath, b))
 
+  /** The SIBLING state root holding per-file Bloom registers for one
+    * column (kept out of the manifest's own [[DeltaStaging]] tree so
+    * neither staging family can mistake the other's dirs for its own). */
+  private def bloomRoot(statePath: String, c: String): String =
+    s"$statePath-bloom-$c"
+
+  /** Latest committed per-file Bloom register frame for `column` (None
+    * before the first trigger, or if the attach was not configured with a
+    * Bloom for this column). Shape = [[graft.operators.Bloom.registers]]
+    * keyed by `file_id` — feed to
+    * [[graft.sources.PrunedScan]] as a [[graft.sources.BloomSidecar]] so
+    * equality probes on unsorted columns prune the LIVE table (round-14
+    * verdict task 5: without this, such probes stayed unprunable until a
+    * batch q97 rebuild). */
+  def currentBloom(
+      spark: SparkSession, statePath: String, column: String): Option[DataFrame] = {
+    val root = bloomRoot(statePath, column)
+    DeltaStaging.stagedIds(spark, root).maxOption
+      .map(b => DeltaStaging.read(spark, root, b))
+  }
+
   /** The one-file stats row of a batch (shared by the attach and the
     * batch-parity spec): `file_id = id`, exact n_rows, min/max/null-count
     * per stat column — min/max ignore nulls (SQL semantics), so an
@@ -61,10 +82,21 @@ object StreamingManifest {
   /** Attach manifest maintenance to a streaming DataFrame. After each
     * trigger, `sink` receives the refreshed COMMITTED manifest and the
     * batch id. Empty batches append no file row (a writer emits no file)
-    * but still commit a staging, so replay stays idempotent. */
+    * but still commit a staging, so replay stays idempotent.
+    *
+    * `bloomCols` (column, mBits, k) adds a per-file Bloom register
+    * sidecar per entry: each trigger builds
+    * [[graft.operators.Bloom.registers]] over the BATCH keyed by its
+    * `file_id` and appends those rows to the column's sibling staging
+    * under the identical purge/replay discipline. Per-file registers
+    * never fold ACROSS files (each file keeps its own filter — the q97
+    * shape), and a replayed batch rewrites register rows that are a pure
+    * function of the batch, so replay is idempotent by the same argument
+    * as the stats row (the q76 OR-merge determinism, applied per file). */
   def attach(
       df: DataFrame, statCols: Seq[String], statePath: String,
-      checkpoint: String)(
+      checkpoint: String,
+      bloomCols: Seq[(String, Int, Int)] = Nil)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     df.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => {
@@ -81,6 +113,20 @@ object StreamingManifest {
         DeltaStaging.stage(merged, statePath, id)
         // only id and id-1 can ever be read again
         DeltaStaging.purgeBelow(spark, statePath, id - 1)
+        bloomCols.foreach { case (c, mBits, k) =>
+          val root = bloomRoot(statePath, c)
+          DeltaStaging.purgeAtOrAbove(spark, root, id)
+          val prevRegs = DeltaStaging.stagedIds(spark, root)
+            .filter(_ < id).maxOption
+            .map(b => DeltaStaging.read(spark, root, b))
+          val regsDelta = graft.operators.Bloom.registers(
+            batch.withColumn("file_id", lit(id)), Seq("file_id"), c,
+            mBits, k)
+          val regsMerged = prevRegs
+            .map(_.unionByName(regsDelta)).getOrElse(regsDelta)
+          DeltaStaging.stage(regsMerged, root, id)
+          DeltaStaging.purgeBelow(spark, root, id - 1)
+        }
         sink(DeltaStaging.read(spark, statePath, id), id)
       })
       .option("checkpointLocation", checkpoint)

@@ -149,7 +149,7 @@ class LayoutSpec extends SparkSpec {
       Layout.withZValue(wide, Seq("h"), bits = 8).collect()
     }
     assert(causeChain(e).exists(t =>
-      Option(t.getMessage).exists(_.contains("z-order span overflow"))), e)
+      Option(t.getMessage).exists(_.contains("layout span overflow"))), e)
     // a span just inside the limit still z-orders fine
     val ok = Seq((1L, 0L), (2L, (1L << 55) - 1L)).toDF("id", "h")
     assert(Layout.withZValue(ok, Seq("h"), bits = 8).collect().length === 2)
