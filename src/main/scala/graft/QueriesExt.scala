@@ -6971,6 +6971,85 @@ object QueriesExt {
                      TRUE AS metric_matches
               FROM sv, q""")),
 
+    // Q99 — statistics-driven join auto-router (SkewJoin.autoJoin,
+    // round-14 verdict task 2): the engine's planner statistics acting
+    // as an optimizer. Three planted scenarios — a broadcastable dim, a
+    // hot-key big side (every user_id % 3 == 0 collapsed onto one key,
+    // ~1/3 of the corpus), and a balanced join — each routed from two
+    // KB-sized frames only (an MG-64 key summary and a one-row small
+    // count; no corpus pre-scan at decision time). The decision table —
+    // route, the MG lower-bound top-key share, and the salt fan-out —
+    // is hash-checked against an oracle that replays the MG truncation
+    // (counts → 65th-largest offset → max residual weight) exactly;
+    // route equivalence against the plain join is SkewJoinSpec's pin.
+    Entry(
+      "q99_join_router",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+        val cust = Tables.load(s, d, "customer")
+        val users = ev.select(col("user_id")).distinct()
+        def scenario(
+            name: String, big: org.apache.spark.sql.DataFrame,
+            keyCol: String, small: org.apache.spark.sql.DataFrame,
+            limit: Long) = {
+          val mg = SkewJoin.keyFreqSummary(big, Seq(keyCol), 64)
+          val cnt = small.agg(count(lit(1)).as("n"))
+          val dec = SkewJoin.decide(mg, cnt, limit,
+            skewShare = 0.2, nSalts = 8)
+          (name, dec.route, dec.smallRows, dec.bigRows,
+            dec.topKeyShareLb, dec.nSalts.toLong)
+        }
+        val skewed = ev.withColumn("skew_key",
+          when(pmod(col("user_id"), lit(3)) === 0, lit(-1L))
+            .otherwise(col("user_id")))
+        Seq(
+          scenario("planted_small", ev, "user_id", cust, 10000L),
+          scenario("planted_skew", skewed, "skew_key", users, 100L),
+          scenario("balanced", ev, "user_id", users, 100L))
+          .toDF("scenario", "route", "small_rows", "big_rows",
+            "top_share", "n_salts")
+          .withColumn("top_share", stableRound(col("top_share"), 6))
+      },
+      Some("""WITH b1 AS (SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS c
+                          FROM events GROUP BY 1),
+                   b2 AS (SELECT CAST(CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS VARCHAR) AS item,
+                                 COUNT(*) AS c
+                          FROM events GROUP BY 1),
+                   n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+                   cu AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM customer),
+                   u AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+                         FROM (SELECT DISTINCT user_id FROM events)),
+                   t1 AS (SELECT CAST(c AS BIGINT) AS t
+                          FROM (SELECT c, row_number() OVER (ORDER BY c DESC, item ASC) AS rn FROM b1)
+                          WHERE rn = 65),
+                   t2 AS (SELECT CAST(c AS BIGINT) AS t
+                          FROM (SELECT c, row_number() OVER (ORDER BY c DESC, item ASC) AS rn FROM b2)
+                          WHERE rn = 65),
+                   w1 AS (SELECT CAST(MAX(c) - COALESCE((SELECT t FROM t1), 0) AS BIGINT) AS topw FROM b1),
+                   w2 AS (SELECT CAST(MAX(c) - COALESCE((SELECT t FROM t2), 0) AS BIGINT) AS topw FROM b2),
+                   sc AS (SELECT 'planted_small' AS scenario, cu.cnt AS small_rows,
+                                 n.n AS big_rows, w1.topw / CAST(n.n AS DOUBLE) AS share,
+                                 CAST(10000 AS BIGINT) AS lim
+                          FROM n, cu, w1
+                          UNION ALL
+                          SELECT 'planted_skew', u.cnt, n.n,
+                                 w2.topw / CAST(n.n AS DOUBLE), 100
+                          FROM n, u, w2
+                          UNION ALL
+                          SELECT 'balanced', u.cnt, n.n,
+                                 w1.topw / CAST(n.n AS DOUBLE), 100
+                          FROM n, u, w1)
+              SELECT scenario,
+                     CASE WHEN small_rows <= lim THEN 'broadcast'
+                          WHEN share >= 0.2 THEN 'salted'
+                          ELSE 'shuffle' END AS route,
+                     small_rows, big_rows,
+                     ROUND(share + 1e-9, 6) AS top_share,
+                     CAST(CASE WHEN small_rows > lim AND share >= 0.2
+                               THEN 8 ELSE 1 END AS BIGINT) AS n_salts
+              FROM sc""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

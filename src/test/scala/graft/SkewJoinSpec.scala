@@ -61,4 +61,60 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.saltedJoin(big, small, Seq("k"), 4, "right")
     }
   }
+
+  // ------------------------------------------------- statistics router
+
+  private def mgOf(df: org.apache.spark.sql.DataFrame) =
+    SkewJoin.keyFreqSummary(df, Seq("k"), 64)
+  private def cntOf(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)).as("n"))
+
+  test("autoJoin routes planted skew/small/balanced correctly and every " +
+      "route is result-equivalent to the plain join") {
+    // big: 95% on key 1 ⇒ salted when small exceeds the broadcast budget
+    val (salted, dSkew) = SkewJoin.autoJoin(big, small, Seq("k"),
+      mgOf(big), cntOf(small), broadcastRowLimit = 3, skewShare = 0.2,
+      nSalts = 8)
+    assert(dSkew.route === "salted" && dSkew.nSalts === 8)
+    assert(dSkew.topKeyShareLb > 0.9 && dSkew.bigRows === 10000L)
+    assert(canon(salted) === canon(big.join(small, Seq("k"))))
+
+    // same stats, roomy broadcast budget ⇒ broadcast wins over salting
+    val (bcast, dSmall) = SkewJoin.autoJoin(big, small, Seq("k"),
+      mgOf(big), cntOf(small), broadcastRowLimit = 1000)
+    assert(dSmall.route === "broadcast" && dSmall.nSalts === 1)
+    assert(dSmall.smallRows === 7L)
+    assert(canon(bcast) === canon(big.join(small, Seq("k"))))
+
+    // balanced big side (uniform keys) + over-budget small ⇒ plain shuffle
+    val uniform = (0 until 10000).map(i => ((i % 7).toLong, i.toLong))
+      .toDF("k", "v")
+    val (plain, dBal) = SkewJoin.autoJoin(uniform, small, Seq("k"),
+      mgOf(uniform), cntOf(small), broadcastRowLimit = 3, skewShare = 0.2)
+    assert(dBal.route === "shuffle" && dBal.nSalts === 1)
+    assert(dBal.topKeyShareLb < 0.2)
+    assert(canon(plain) === canon(uniform.join(small, Seq("k"))))
+  }
+
+  test("decide: MG share is a LOWER bound — sketch error can only suppress " +
+      "a salted verdict, never trigger one") {
+    // 200 distinct keys, perfectly uniform, k = 64 ⇒ heavy truncation;
+    // the w_min residuals understate every share, so no key can cross a
+    // 0.2 threshold it doesn't truly cross
+    val flat = (0 until 10000).map(i => ((i % 200).toLong, i.toLong))
+      .toDF("k", "v")
+    val d = SkewJoin.decide(mgOf(flat), cntOf(small),
+      broadcastRowLimit = 3, skewShare = 0.2, nSalts = 8)
+    assert(d.route === "shuffle")
+    assert(d.topKeyShareLb <= 1.0 / 200.0 + 1e-9)
+  }
+
+  test("decide rejects invalid thresholds") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.decide(mgOf(big), cntOf(small), 10, 0.0, 8)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.decide(mgOf(big), cntOf(small), 10, 0.5, 1)
+    }
+  }
 }
