@@ -6971,6 +6971,96 @@ object QueriesExt {
                      TRUE AS metric_matches
               FROM sv, q""")),
 
+    // Q92c — N-DIMENSIONAL Hilbert layout (Layout.withHilbertValueN,
+    // round-14 verdict task 6): q92's kernel was 2-D while z-order
+    // already generalized; 3-4 layout columns is the common lake case.
+    // Skilling's transpose walk as a native codegen kernel
+    // (functions/HilbertN.scala), hash-checked against a GENERATED
+    // DuckDB CTE chain that unrolls the same walk one (level, dim)
+    // exchange/invert step per CTE — bit-identical h_value for every
+    // orders row at 3 dims x 6 bits.
+    Entry(
+      "q92c_hilbert3",
+      (s, d) => Layout.withHilbertValueN(
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("o_day"),
+          floor(col("o_totalprice")).cast("long").as("o_price")),
+        Seq("o_day", "o_custkey", "o_price"), bits = 6)
+        .select("o_orderkey", "h_value"),
+      Some(s"""WITH ob AS (SELECT o_orderkey, o_custkey,
+                                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day,
+                                  CAST(FLOOR(o_totalprice) AS BIGINT) AS o_price
+                           FROM orders)
+               SELECT o_orderkey, h_value FROM (
+                 ${Layout.hilbertSqlN("ob",
+                   Seq("o_day", "o_custkey", "o_price"), 6,
+                   Seq("o_orderkey"))}
+               )""")),
+
+    // Q92d — the measured 3-dim locality verdict (q92b's discipline one
+    // dimension up): deal orders into 16 rank-files under 3-dim z-order
+    // and 3-dim Hilbert over the same (day, custkey, price) buckets and
+    // compare the per-file bounding-BOX VOLUMES a pruning manifest would
+    // carry — the number that decides which curve a 3-column lake sorts
+    // by. Both chains hash-checked end to end (generated z + hilbertN
+    // SQL, prefix-sum rank, manifest fold).
+    Entry(
+      "q92d_layout_quality3",
+      (s, d) => {
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("o_day"),
+          floor(col("o_totalprice")).cast("long").as("o_price"))
+        def quality(vdf: org.apache.spark.sql.DataFrame, vCol: String,
+            name: String): org.apache.spark.sql.DataFrame =
+          Layout.fileManifest(vdf,
+            Seq(col(vCol).asc, col("o_orderkey").asc), 16,
+            Seq("o_day", "o_custkey", "o_price"))
+            .withColumn("_vol",
+              (col("o_day_max") - col("o_day_min") + 1) *
+                (col("o_custkey_max") - col("o_custkey_min") + 1) *
+                (col("o_price_max") - col("o_price_min") + 1))
+            .agg(sum(col("_vol")).as("total_volume"),
+              max(col("_vol")).as("max_volume"))
+            .select(lit(name).as("layout"),
+              col("total_volume").cast("long").as("total_volume"),
+              col("max_volume").cast("long").as("max_volume"))
+        quality(
+          Layout.withZValue(ord, Seq("o_day", "o_custkey", "o_price"), 6),
+          "z_value", "zorder3")
+          .unionByName(quality(
+            Layout.withHilbertValueN(ord,
+              Seq("o_day", "o_custkey", "o_price"), 6),
+            "h_value", "hilbert3"))
+      },
+      Some(s"""WITH ob AS (SELECT o_orderkey, o_custkey,
+                                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day,
+                                  CAST(FLOOR(o_totalprice) AS BIGINT) AS o_price
+                           FROM orders),
+                   zc AS (SELECT o_orderkey, o_custkey, o_day, o_price, z_value AS v FROM (
+                            ${Layout.zValueSql("ob",
+                              Seq("o_day", "o_custkey", "o_price"), 6)})),
+                   hc AS (SELECT o_orderkey, o_custkey, o_day, o_price, h_value AS v FROM (
+                            ${Layout.hilbertSqlN("ob",
+                              Seq("o_day", "o_custkey", "o_price"), 6,
+                              Seq("o_orderkey", "o_custkey", "o_day", "o_price"))})),
+                   u AS (SELECT 'zorder3' AS layout, * FROM zc
+                         UNION ALL SELECT 'hilbert3' AS layout, * FROM hc),
+                   r AS (SELECT *, row_number() OVER (PARTITION BY layout
+                                     ORDER BY v, o_orderkey) AS rn,
+                                COUNT(*) OVER (PARTITION BY layout) AS n
+                         FROM u),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT layout, file_id,
+                                (MAX(o_day) - MIN(o_day) + 1)
+                                  * (MAX(o_custkey) - MIN(o_custkey) + 1)
+                                  * (MAX(o_price) - MIN(o_price) + 1) AS vol
+                         FROM a GROUP BY layout, file_id)
+              SELECT layout, CAST(SUM(vol) AS BIGINT) AS total_volume,
+                     CAST(MAX(vol) AS BIGINT) AS max_volume
+              FROM m GROUP BY layout""")),
+
     // Q99 — statistics-driven join auto-router (SkewJoin.autoJoin,
     // round-14 verdict task 2): the engine's planner statistics acting
     // as an optimizer. Three planted scenarios — a broadcastable dim, a

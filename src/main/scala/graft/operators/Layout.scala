@@ -194,6 +194,110 @@ object Layout {
         SELECT $carry, hd AS h_value FROM h$bits"""
   }
 
+  /** [[withHilbertValue]] generalized to N dimensions (round-14 verdict
+    * task 6) — same bucketing contract (integral columns, span guard,
+    * nulls bucket to 0), Skilling's transpose walk instead of the 2-D
+    * reflect/swap ([[graft.functions.HilbertKernel]]); `bits·dims ≤ 63`.
+    * 3-4 layout columns is the common lake case, and it is where
+    * Hilbert's tighter boxes beat z-order hardest (q92d measures it at
+    * 3 dims the way q92b did at 2). */
+  def withHilbertValueN(
+      df: DataFrame, cols: Seq[String], bits: Int = 6,
+      hCol: String = "h_value"): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 layout columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*dims must fit a signed long, got $bits x ${cols.size}")
+    requireIntegral(df, cols)
+    val mm = minMaxFrame(df, cols)
+    val bucketExprs = cols.map(c =>
+      org.apache.spark.sql.GraftExpr.expression(
+        coalesce(bucket(c, bits), lit(0L))))
+    df.crossJoin(broadcast(mm))
+      .withColumn(hCol, org.apache.spark.sql.GraftExpr.column(
+        graft.functions.HilbertIndexN(bucketExprs, bits)))
+      .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
+  }
+
+  /** DuckDB-dialect SQL replaying [[withHilbertValueN]] — GENERATED as a
+    * CTE chain like [[hilbertSql]], but unrolling Skilling's walk: one
+    * CTE per (level, dimension) exchange/invert step (the i-loop is
+    * order-dependent through word 0, so it cannot collapse into one
+    * SELECT), then gray-encode, the t-fold, and the interleave. Returns
+    * a complete `WITH … SELECT carryCols…, h_value` statement. */
+  def hilbertSqlN(
+      table: String, cols: Seq[String], bits: Int,
+      carryCols: Seq[String]): String = {
+    require(cols.size >= 2, s"need >= 2 layout columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*dims must fit a signed long, got $bits x ${cols.size}")
+    require(carryCols.nonEmpty, "carryCols must be non-empty")
+    val n = cols.size
+    val carry = carryCols.mkString(", ")
+    val xs = (0 until n).map(i => s"x$i")
+    val mins = cols.map(c =>
+      s"MIN(CAST($c AS BIGINT)) AS _min_$c, MAX(CAST($c AS BIGINT)) AS _max_$c")
+      .mkString(", ")
+    val h0 =
+      s"""hn0 AS (SELECT $carry,
+            ${cols.zipWithIndex.map { case (c, i) =>
+              s"COALESCE(${bucketSql(c, bits)}, 0) AS x$i" }.mkString(",\n            ")}
+          FROM $table t CROSS JOIN hnmm mm)"""
+    // exchange/invert steps: level q = 2^(bits-1) … 2, word i = 0 … n-1
+    var step = 0
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (lb <- (1 until bits).reverse; i <- 0 until n) {
+      val q = 1L << lb
+      val p = q - 1
+      val prev = if (step == 0) "hn0" else s"hns$step"
+      step += 1
+      val outCols = xs.indices.map { j =>
+        if (i == 0 && j == 0)
+          s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0"
+        else if (j == 0)
+          s"""CASE WHEN (x$i & $q) != 0 THEN xor(x0, $p)
+              ELSE xor(x0, xor(x0, x$i) & $p) END AS x0"""
+        else if (j == i)
+          s"""CASE WHEN (x$i & $q) != 0 THEN x$i
+              ELSE xor(x$i, xor(x0, x$i) & $p) END AS x$i"""
+        else s"x$j"
+      }
+      steps += s"""hns$step AS (SELECT $carry,
+            ${outCols.mkString(",\n            ")}
+          FROM $prev)"""
+    }
+    val lastStep = if (step == 0) "hn0" else s"hns$step"
+    // gray encode: xg_i = x0 ^ … ^ x_i (cumulative xor of the originals)
+    val grayCols = xs.indices.map { i =>
+      val folded = (0 to i).map(j => s"x$j")
+        .reduce((a, b) => s"xor($a, $b)")
+      s"$folded AS x$i"
+    }
+    // t = fold over levels of (x_{n-1} & q ? q-1 : 0)
+    val tExpr = (1 until bits).reverse
+      .map { lb =>
+        val q = 1L << lb
+        s"(CASE WHEN (x${n - 1} & $q) != 0 THEN ${q - 1} ELSE 0 END)"
+      }
+      .reduceOption((a, b) => s"xor($a, $b)").getOrElse("0")
+    val g =
+      s"""hng AS (SELECT $carry, ${grayCols.mkString(", ")}
+          FROM $lastStep)"""
+    val f =
+      s"""hnf AS (SELECT $carry,
+            ${xs.map(x => s"xor($x, $tExpr) AS $x").mkString(",\n            ")}
+          FROM hng)"""
+    val interleave = (0 until bits).flatMap { lvl =>
+      (0 until n).map(j =>
+        s"(((x$j >> $lvl) & 1) << ${lvl * n + (n - 1 - j)})")
+    }.mkString(" | ")
+    s"""WITH hnmm AS (SELECT $mins FROM $table),
+        $h0,
+        ${steps.mkString(",\n        ")},
+        $g,
+        $f
+        SELECT $carry, ($interleave) AS h_value FROM hnf"""
+  }
+
   /** Write `df` z-clustered: range-partition on the z-value into
     * `numFiles` tasks and sort each by z before writing, so every parquet
     * file covers a DISJOINT z-range (one box chain in dimension space) and
