@@ -7061,6 +7061,97 @@ object QueriesExt {
                      CAST(MAX(vol) AS BIGINT) AS max_volume
               FROM m GROUP BY layout""")),
 
+    // C14 — TRAINED entity-resolution scorer (round-14 verdict task 4):
+    // d20b honestly priced the hand-set field weights at precision 0.24
+    // (recall 0.972). This composition LEARNS the weights instead:
+    // q71's logistic GD over d20's per-field 6dp similarities against
+    // the planted-truth labels, sigmoid rescore on the rounded final
+    // coefficients, q51's information-gain cut on the learned score,
+    // and d18's pair-set metrics at that cut — the full c09-style
+    // composition, one row, hash-checked end to end. Every stage reuses
+    // an individually-oracled operator; the learned cut prices
+    // materially above the 0.24 baseline at the same planted truth.
+    Entry(
+      "c14_trained_matcher",
+      (s, d) => {
+        val feats = Seq("p_name_edit_sim", "p_name_jaccard_sim",
+          "p_brand_exact_sim", "p_size_close_sim")
+        // all block candidates (threshold 0), labeled by the planting
+        // rule; pair-set-sized, read by fit + sweep + metrics — pin it
+        val labeled = Dedup.entityPairs(
+          d20Records(s, d), "p_partkey",
+          Seq(col("p_brand"), substring(col("p_name"), 1, 1)),
+          editFields = Seq("p_name" -> 0.4),
+          jaccardFields = Seq("p_name" -> 0.2),
+          exactFields = Seq("p_brand" -> 0.2),
+          closeFields = Seq("p_size" -> 0.2),
+          threshold = 0.0)
+          .withColumn("is_match",
+            col("b_id") === col("a_id") + lit(1000000L) &&
+              col("a_id") % 4 === 0)
+          .withColumn("y", col("is_match").cast("double"))
+          .localCheckpoint(true)
+        // LABEL-BALANCED training sample: ~500 positives against ~15.5k
+        // candidate negatives stalls a zero-initialized GD inside the
+        // negative prior (measured: all-negative betas, accuracy == the
+        // prior, precision 0.001). Keep every positive + a deterministic
+        // 1/31 md5 slice of negatives (≈ class parity); train on the
+        // sample, CUT AND PRICE ON THE FULL SET — the standard
+        // imbalanced-learning recipe, hash-replayable like everything.
+        val train = labeled.where(col("is_match") ||
+          pmod(Dedup.hash56(concat_ws(":",
+            col("a_id").cast("string"), col("b_id").cast("string"))),
+            lit(31L)) === 0)
+        val fit = Classifier.logisticFit(
+          train, feats, "y", iters = 32, lr = 4.0)
+          .localCheckpoint(true) // one row; read by rescore and output
+        val wRow = fit.select(
+          col("intercept").as("_w0") +:
+            feats.zipWithIndex.map { case (f, i) =>
+              col(s"beta_$f").as(s"_w${i + 1}") }: _*)
+        val scored = labeled.crossJoin(broadcast(wRow))
+          .withColumn("t_score", stableRound(
+            lit(1.0) / (lit(1.0) + exp(-(col("_w0") +
+              feats.zipWithIndex.map { case (f, i) =>
+                col(s"_w${i + 1}") * col(f) }.reduce(_ + _)))), 6))
+          .localCheckpoint(true) // read by sweep and predicted set
+        val split = Profiling.bestSplit(scored, "t_score", "is_match")
+          .localCheckpoint(true) // one row
+        val predicted = scored.crossJoin(broadcast(
+            split.select(col("threshold").as("_thr"))))
+          .where(col("t_score") >= col("_thr"))
+        val truth = Tables.load(s, d, "part")
+          .filter(col("p_partkey") % 4 === 0)
+          .select(col("p_partkey").as("a_id"),
+            (col("p_partkey") + lit(1000000L)).as("b_id"))
+        val metrics = Dedup.pairSetMetrics(predicted, truth, "a_id", "b_id")
+        // the priced verdict vs the hand-weight baseline: d20's own 0.75
+        // cut on the UNTRAINED score prices (base_precision, base_recall);
+        // the trained score is then read at the SAME recall (highest
+        // threshold keeping every baseline-recalled pair) — the
+        // equal-recall precision is the apples-to-apples win
+        val baseMet = Dedup.pairSetMetrics(
+          labeled.where(col("score") >= 0.75), truth, "a_id", "b_id")
+          .select(col("n_both").as("_bboth"), col("n_truth").as("_bnt"),
+            col("precision").as("base_precision"),
+            col("recall").as("base_recall"))
+          .localCheckpoint(true) // one row; read by eq sweep and output
+        val eq = Profiling.rocSweep(scored, "t_score", "is_match")
+          .crossJoin(broadcast(baseMet))
+          .where(col("tp") >= col("_bboth"))
+          .orderBy(col("threshold").desc).limit(1)
+          .select(
+            col("threshold").as("threshold_at_base_recall"),
+            stableRound(col("tp").cast("double") / (col("tp") + col("fp")),
+              6).as("precision_at_base_recall"),
+            stableRound(col("tp").cast("double") / col("_bnt"), 6)
+              .as("recall_at_base_recall"))
+        fit.crossJoin(split).crossJoin(metrics)
+          .crossJoin(baseMet.select("base_precision", "base_recall"))
+          .crossJoin(eq)
+      },
+      Some(c14Sql(iters = 32, lr = 4.0))),
+
     // Q99 — statistics-driven join auto-router (SkewJoin.autoJoin,
     // round-14 verdict task 2): the engine's planner statistics acting
     // as an optimizer. Three planted scenarios — a broadcastable dim, a
@@ -7700,6 +7791,121 @@ object QueriesExt {
                                   CAST('0.2' AS DOUBLE) * p_size_close_sim)
                                  / CAST('1.0' AS DOUBLE) + 1e-9, 6) AS score
                  FROM c)"""
+
+  /** c14's oracle: the d20 pair/similarity prefix + planted labels, an
+    * unrolled 4-feature logistic-GD ladder (the q71 CTE discipline),
+    * sigmoid rescore on the ROUNDED final weights, the q51 best-split
+    * sweep over the learned score, and the d18 pair-set metrics at the
+    * learned cut — one composed SELECT, hash-checked end to end. */
+  private def c14Sql(iters: Int, lr: Double): String = {
+    def sig = "1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3 + w4*x4)))"
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "cb0" else s"cb${k - 1}"
+      val grads = (1 to 4).map(j =>
+        s"ROUND(MAX(w$j) - CAST($lr AS DOUBLE) * AVG(($sig - y) * x$j) + 1e-9, 6) AS w$j")
+      s"""cb$k AS MATERIALIZED (SELECT
+            ROUND(MAX(w0) - CAST($lr AS DOUBLE) * AVG($sig - y) + 1e-9, 6) AS w0,
+            ${grads.mkString(",\n            ")}
+          FROM trn, $prev)"""
+    }.mkString(",\n          ")
+    def ent(p: String) =
+      s"""(CASE WHEN $p <= 0 OR $p >= 1 THEN 0
+           ELSE -(($p) * ln($p) + (1 - ($p)) * ln(1 - ($p))) END)"""
+    d20PairsSql +
+      s""" ,
+          lab AS MATERIALIZED (SELECT a_id, b_id,
+                         CASE WHEN b_id = a_id + 1000000 AND a_id % 4 = 0
+                              THEN 1.0 ELSE 0.0 END AS y,
+                         p_name_edit_sim AS x1, p_name_jaccard_sim AS x2,
+                         p_brand_exact_sim AS x3, p_size_close_sim AS x4
+                  FROM sc),
+          trn AS MATERIALIZED (SELECT * FROM lab
+                  WHERE y = 1.0
+                     OR ('0x' || substr(md5(CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 31 = 0),
+          cb0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                         CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+                         CAST(0 AS DOUBLE) AS w4),
+          $steps,
+          fit AS (SELECT COUNT(*) AS n_points,
+                         ROUND(MAX(w0) + 1e-9, 6) AS intercept,
+                         ROUND(MAX(w1) + 1e-9, 6) AS beta_p_name_edit_sim,
+                         ROUND(MAX(w2) + 1e-9, 6) AS beta_p_name_jaccard_sim,
+                         ROUND(MAX(w3) + 1e-9, 6) AS beta_p_brand_exact_sim,
+                         ROUND(MAX(w4) + 1e-9, 6) AS beta_p_size_close_sim,
+                         ROUND(-AVG(y * ln($sig) + (1 - y) * ln(1 - $sig)) + 1e-9, 6) AS logloss,
+                         ROUND(AVG(CASE WHEN (CASE WHEN ROUND($sig + 1e-9, 6) > 0.5
+                                              THEN 1.0 ELSE 0.0 END) = y
+                                        THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS accuracy
+                  FROM trn, cb$iters),
+          rs AS MATERIALIZED (SELECT a_id, b_id, y,
+                        ROUND($sig + 1e-9, 6) AS t_score
+                 FROM lab, cb$iters),
+          per AS (SELECT t_score AS threshold,
+                         COUNT(*) FILTER (y = 1.0) AS pos,
+                         COUNT(*) FILTER (y = 0.0) AS neg
+                  FROM rs GROUP BY 1),
+          tot AS (SELECT COUNT(*) FILTER (y = 1.0) AS p,
+                         COUNT(*) FILTER (y = 0.0) AS n
+                  FROM rs),
+          cw AS (SELECT threshold,
+                        CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+                        CAST(SUM(neg) OVER w AS BIGINT) AS fp
+                 FROM per
+                 WINDOW w AS (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          gn AS (SELECT threshold,
+                        p + n - tp - fp AS n_left,
+                        tp + fp AS n_right,
+                        ROUND(${ent("CAST(p AS DOUBLE)/(p+n)")}
+                          - (CAST(tp+fp AS DOUBLE)/(p+n)) * ${ent("CAST(tp AS DOUBLE)/(tp+fp)")}
+                          - (CASE WHEN p + n - tp - fp > 0 THEN
+                               (CAST(p+n-tp-fp AS DOUBLE)/(p+n))
+                                 * ${ent("CAST(p-tp AS DOUBLE)/(p+n-tp-fp)")}
+                             ELSE 0 END)
+                          + 1e-9, 6) AS gain
+                 FROM cw, tot WHERE p + n > 0),
+          best AS (SELECT threshold, gain, n_left, n_right FROM gn
+                   ORDER BY gain DESC, threshold ASC LIMIT 1),
+          prd AS (SELECT DISTINCT LEAST(a_id, b_id) AS _a,
+                         GREATEST(a_id, b_id) AS _b
+                  FROM rs, best WHERE rs.t_score >= best.threshold),
+          tru AS (SELECT DISTINCT LEAST(p_partkey, p_partkey + 1000000) AS _a,
+                         GREATEST(p_partkey, p_partkey + 1000000) AS _b
+                  FROM p0 WHERE p_partkey % 4 = 0),
+          np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred FROM prd),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tru),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM (SELECT * FROM prd INTERSECT SELECT * FROM tru)),
+          bpd AS (SELECT DISTINCT LEAST(a_id, b_id) AS _a,
+                         GREATEST(a_id, b_id) AS _b
+                  FROM sc WHERE score >= CAST('0.75' AS DOUBLE)),
+          bnp AS (SELECT CAST(COUNT(*) AS BIGINT) AS bpred FROM bpd),
+          bnb AS (SELECT CAST(COUNT(*) AS BIGINT) AS bboth
+                  FROM (SELECT * FROM bpd INTERSECT SELECT * FROM tru)),
+          base AS (SELECT ROUND(bboth / CAST(bpred AS DOUBLE) + 1e-9, 6) AS base_precision,
+                          ROUND(bboth / CAST(n_truth AS DOUBLE) + 1e-9, 6) AS base_recall,
+                          bboth
+                   FROM bnp, bnb, nt),
+          eqr AS (SELECT cw.threshold AS threshold_at_base_recall,
+                         ROUND(cw.tp / CAST(cw.tp + cw.fp AS DOUBLE) + 1e-9, 6) AS precision_at_base_recall,
+                         ROUND(cw.tp / CAST(nt.n_truth AS DOUBLE) + 1e-9, 6) AS recall_at_base_recall
+                  FROM cw, base, nt WHERE cw.tp >= base.bboth
+                  ORDER BY cw.threshold DESC LIMIT 1)
+      SELECT fit.*, best.threshold, best.gain, best.n_left, best.n_right,
+             np.n_pred, nt.n_truth, nb.n_both,
+             CASE WHEN n_pred > 0
+                  THEN ROUND(n_both / CAST(n_pred AS DOUBLE) + 1e-9, 6) END AS precision,
+             CASE WHEN n_truth > 0
+                  THEN ROUND(n_both / CAST(n_truth AS DOUBLE) + 1e-9, 6) END AS recall,
+             CASE WHEN n_pred > 0 AND n_truth > 0 AND n_both > 0
+                  THEN ROUND(2.0 * (n_both / CAST(n_pred AS DOUBLE)) * (n_both / CAST(n_truth AS DOUBLE))
+                             / (n_both / CAST(n_pred AS DOUBLE) + n_both / CAST(n_truth AS DOUBLE)) + 1e-9, 6)
+             END AS f1,
+             base.base_precision, base.base_recall,
+             eqr.threshold_at_base_recall, eqr.precision_at_base_recall,
+             eqr.recall_at_base_recall
+      FROM fit, best, np, nt, nb, base, eqr"""
+  }
 
   /** q86's oracle: the generated q81 build chain (salt q86) + the same
     * cumulative-weight rank probes at the nudged band edges + one exact
