@@ -7231,6 +7231,142 @@ object QueriesExt {
                                THEN 8 ELSE 1 END AS BIGINT) AS n_salts
               FROM sc""")),
 
+    // Q100-Q103 — the sketch algebra REGISTERED AS SQL AGGREGATES
+    // (functions/SketchSql.scala, round-14 verdict task 7): the cube
+    // family (q93-q96) was DataFrame-only; these entries pin the SQL
+    // surface — one BUILD and one MERGE/ROLLUP per algebra, written
+    // entirely in spark.sql over the registered udafs, exploded back to
+    // register rows and hash-checked against the same generated DuckDB
+    // replays the relational operators use. SketchSqlSpec pins the
+    // stronger claim (SQL rows == DataFrame-operator rows exactly).
+    Entry(
+      "q100_hll_sql",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, hllP = 8)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus, o_orderpriority,
+                               hll_regs(CAST(o_custkey AS STRING)) AS regs
+                        FROM orders_sksql WHERE o_custkey IS NOT NULL
+                        GROUP BY 1, 2),
+               roll AS (SELECT o_orderstatus, hll_merge_regs(regs) AS regs
+                        FROM fine GROUP BY 1)
+          SELECT 'fine' AS lvl, o_orderstatus, o_orderpriority,
+                 CAST(pos AS BIGINT) AS _bucket, CAST(r AS BIGINT) AS _rank
+          FROM fine LATERAL VIEW posexplode(regs) t AS pos, r WHERE r > 0
+          UNION ALL
+          SELECT 'roll', o_orderstatus, 'ALL',
+                 CAST(pos AS BIGINT), CAST(r AS BIGINT)
+          FROM roll LATERAL VIEW posexplode(regs) t AS pos, r WHERE r > 0""")
+      },
+      Some("""WITH h AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS h
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   regs AS (SELECT st, pr, h >> 48 AS b,
+                                   CAST(MAX(49 - length(regexp_replace(bin(h & ((1::BIGINT << 48) - 1)), '^0+', ''))) AS BIGINT) AS r
+                            FROM h GROUP BY 1, 2, 3)
+              SELECT 'fine' AS lvl, st AS o_orderstatus, pr AS o_orderpriority,
+                     b AS _bucket, r AS _rank
+              FROM regs
+              UNION ALL
+              SELECT 'roll', st, 'ALL', b, MAX(r) FROM regs GROUP BY st, b""")),
+
+    Entry(
+      "q101_cms_sql",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, cmsDepth = 4, cmsWidth = 64)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus,
+                               cms_regs(CAST(o_custkey AS STRING)) AS regs
+                        FROM orders_sksql WHERE o_custkey IS NOT NULL
+                        GROUP BY 1),
+               roll AS (SELECT cms_merge_regs(regs) AS regs FROM fine)
+          SELECT 'fine' AS lvl, o_orderstatus,
+                 CAST(pos DIV 64 AS BIGINT) AS _row,
+                 CAST(pos % 64 AS BIGINT) AS _bucket, c AS _cnt
+          FROM fine LATERAL VIEW posexplode(regs) t AS pos, c WHERE c > 0
+          UNION ALL
+          SELECT 'roll', 'ALL', CAST(pos DIV 64 AS BIGINT),
+                 CAST(pos % 64 AS BIGINT), c
+          FROM roll LATERAL VIEW posexplode(regs) t AS pos, c WHERE c > 0""")
+      },
+      Some("""WITH v AS (SELECT o_orderstatus AS st, o_custkey
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   e AS (SELECT st, rr.i AS r,
+                                ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS b
+                         FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS i) rr),
+                   regs AS (SELECT st, r, b, CAST(COUNT(*) AS BIGINT) AS c
+                            FROM e GROUP BY 1, 2, 3)
+              SELECT 'fine' AS lvl, st AS o_orderstatus,
+                     CAST(r AS BIGINT) AS _row, b AS _bucket, c AS _cnt
+              FROM regs
+              UNION ALL
+              SELECT 'roll', 'ALL', CAST(r AS BIGINT), b, CAST(SUM(c) AS BIGINT)
+              FROM regs GROUP BY r, b""")),
+
+    Entry(
+      "q102_kmv_sql",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, kmvK = 64)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus,
+                               kmv_sketch(CAST(o_custkey AS STRING)) AS sk
+                        FROM orders_sksql WHERE o_custkey IS NOT NULL
+                        GROUP BY 1),
+               roll AS (SELECT kmv_merge_sketch(sk) AS sk FROM fine)
+          SELECT 'fine' AS lvl, o_orderstatus, h AS _h
+          FROM fine LATERAL VIEW explode(sk) t AS h
+          UNION ALL
+          SELECT 'roll', 'ALL', h
+          FROM roll LATERAL VIEW explode(sk) t AS h""")
+      },
+      Some("""WITH h AS (SELECT DISTINCT o_orderstatus AS st,
+                                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS h
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   rk AS (SELECT st, h,
+                                 row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+                          FROM h),
+                   fine AS (SELECT st, h FROM rk WHERE rn <= 64),
+                   grk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM (SELECT DISTINCT h FROM fine))
+              SELECT 'fine' AS lvl, st AS o_orderstatus, h AS _h FROM fine
+              UNION ALL
+              SELECT 'roll', 'ALL', h FROM grk WHERE rn <= 64""")),
+
+    Entry(
+      "q103_kll_sql",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, kllBuckets = 4, kllK = 32,
+          kllRounds = 10, kllSalt = "sqlk", kllSweepRounds = 16)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus,
+                               kll_regs(CAST(o_orderkey AS STRING),
+                                        CAST(o_totalprice AS DOUBLE)) AS regs
+                        FROM orders_sksql WHERE o_totalprice IS NOT NULL
+                        GROUP BY 1),
+               roll AS (SELECT kll_merge_regs(regs) AS regs FROM fine)
+          SELECT 'fine' AS lvl, o_orderstatus,
+                 CAST(r.level AS BIGINT) AS _level, r.value AS _value
+          FROM fine LATERAL VIEW explode(regs) t AS r
+          UNION ALL
+          SELECT 'roll', 'ALL', CAST(r.level AS BIGINT), r.value
+          FROM roll LATERAL VIEW explode(regs) t AS r""")
+      },
+      Some(s"""WITH
+        ${Kll.buildSql(
+          "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders",
+          Seq("o_orderstatus"), "o_totalprice", "o_orderkey",
+          buckets = 4, k = 32, rounds = 10, salt = "sqlk", p = "k")},
+        ${Kll.rollupSql("kreg", Nil, 32, 16, "sqlk", "r")}
+        SELECT 'fine' AS lvl, o_orderstatus,
+               CAST(_level AS BIGINT) AS _level, _value
+        FROM kreg
+        UNION ALL
+        SELECT 'roll', 'ALL', CAST(_level AS BIGINT), _value FROM rreg""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.operators.Kll
+
+/** SQL-surface registration for the sketch algebra (round-14 verdict task
+  * 7): the cube family (q93-q96) was DataFrame-only; these typed
+  * [[Aggregator]]s expose each algebra's BUILD and MERGE as SQL aggregate
+  * functions, so `GROUP BY … WITH CUBE`-style sketch serving is
+  * expressible from `spark.sql` alone:
+  *
+  *  - `hll_regs(value)`  / `hll_merge_regs(regs)`   — dense rank array
+  *  - `cms_regs(value)`  / `cms_merge_regs(regs)`   — depth×width counts
+  *  - `kmv_sketch(value)` / `kmv_merge_sketch(sk)`  — k smallest hashes
+  *  - `kll_regs(id, value)` / `kll_merge_regs(regs)` — compactor rows
+  *
+  * Each mirrors the RELATIONAL register algebra bit-for-bit (same
+  * [[graft.operators.Dedup.hash56]] lanes via [[Kll.hash56Local]], same
+  * max/sum/truncate/sweep folds, same salts), so a sketch built through
+  * SQL and one built through the DataFrame operators are ROW-IDENTICAL
+  * once the array is exploded back to register rows — pinned per algebra
+  * in SketchSqlSpec and hash-checked against the generated DuckDB
+  * replays in q100-q103.
+  *
+  * Scale note: the relational register frames remain the 100 TB serving
+  * shape (they shuffle as narrow rows and fold map-side); this surface
+  * is the EXPRESSIBILITY layer — per-group state here is the same
+  * sketch-sized array the register frame holds, and the KLL build
+  * buffers raw values per group exactly like the relational
+  * `collect_list` kernel it mirrors. Nulls: callers filter null values
+  * (`WHERE v IS NOT NULL`), the count-distinct convention everywhere in
+  * the family; a null String input is additionally skipped defensively. */
+object SketchSql {
+
+  final case class IntArr(a: Seq[Int])
+  final case class LongArr(a: Seq[Long])
+  final case class KllItem(level: Int, value: Double)
+  final case class KllBuf(items: Seq[KllItem], raw: Seq[Double],
+      rawBuckets: Seq[Long])
+
+  private def hllBucketRank(v: String, p: Int): (Int, Int) = {
+    val w = 56 - p
+    val h = Kll.hash56Local(v)
+    val rest = h & ((1L << w) - 1L)
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(rest)
+    ((h >>> w).toInt, w + 1 - bitlen)
+  }
+
+  /** HLL build: dense `2^p` rank array, max-per-bucket — the array form
+    * of [[graft.operators.Hll.registers]] (bucket = array index, empty
+    * buckets 0). */
+  final class HllRegsAgg(p: Int) extends Aggregator[String, IntArr, Seq[Int]] {
+    private val m = 1 << p
+    def zero: IntArr = IntArr(Vector.fill(m)(0))
+    def reduce(b: IntArr, v: String): IntArr =
+      if (v == null) b
+      else {
+        val (bk, r) = hllBucketRank(v, p)
+        if (r > b.a(bk)) IntArr(b.a.updated(bk, r)) else b
+      }
+    def merge(x: IntArr, y: IntArr): IntArr =
+      IntArr(x.a.lazyZip(y.a).map(math.max))
+    def finish(b: IntArr): Seq[Int] = b.a
+    def bufferEncoder: Encoder[IntArr] = Encoders.product[IntArr]
+    def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** HLL merge: element-wise max of register arrays —
+    * [[graft.operators.Hll.merge]]/[[graft.operators.Hll.rollup]] as a
+    * SQL aggregate. */
+  final class HllMergeAgg(p: Int) extends Aggregator[Seq[Int], IntArr, Seq[Int]] {
+    private val m = 1 << p
+    def zero: IntArr = IntArr(Vector.fill(m)(0))
+    def reduce(b: IntArr, v: Seq[Int]): IntArr =
+      if (v == null) b
+      else {
+        require(v.size == m, s"hll_merge_regs: array size ${v.size} != $m")
+        IntArr(b.a.lazyZip(v).map(math.max))
+      }
+    def merge(x: IntArr, y: IntArr): IntArr =
+      IntArr(x.a.lazyZip(y.a).map(math.max))
+    def finish(b: IntArr): Seq[Int] = b.a
+    def bufferEncoder: Encoder[IntArr] = Encoders.product[IntArr]
+    def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** CMS build: flattened `depth×width` count array (`i = row·width +
+    * bucket`), sum-per-cell — the array form of
+    * [[graft.operators.Cms.registers]]. */
+  final class CmsRegsAgg(depth: Int, width: Int)
+      extends Aggregator[String, LongArr, Seq[Long]] {
+    def zero: LongArr = LongArr(Vector.fill(depth * width)(0L))
+    def reduce(b: LongArr, v: String): LongArr =
+      if (v == null) b
+      else {
+        var a = b.a
+        var r = 0
+        while (r < depth) {
+          val bk = (Kll.hash56Local(s"$r:$v") % width).toInt
+          a = a.updated(r * width + bk, a(r * width + bk) + 1L)
+          r += 1
+        }
+        LongArr(a)
+      }
+    def merge(x: LongArr, y: LongArr): LongArr =
+      LongArr(x.a.lazyZip(y.a).map(_ + _))
+    def finish(b: LongArr): Seq[Long] = b.a
+    def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** CMS merge: element-wise sum —
+    * [[graft.operators.Cms.merge]]/[[graft.operators.Cms.rollup]]. */
+  final class CmsMergeAgg(depth: Int, width: Int)
+      extends Aggregator[Seq[Long], LongArr, Seq[Long]] {
+    def zero: LongArr = LongArr(Vector.fill(depth * width)(0L))
+    def reduce(b: LongArr, v: Seq[Long]): LongArr =
+      if (v == null) b
+      else {
+        require(v.size == depth * width,
+          s"cms_merge_regs: array size ${v.size} != ${depth * width}")
+        LongArr(b.a.lazyZip(v).map(_ + _))
+      }
+    def merge(x: LongArr, y: LongArr): LongArr =
+      LongArr(x.a.lazyZip(y.a).map(_ + _))
+    def finish(b: LongArr): Seq[Long] = b.a
+    def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  private def kSmallest(sorted: Seq[Long], k: Int): Seq[Long] =
+    sorted.take(k)
+
+  /** KMV build: the k smallest distinct value hashes, ascending — the
+    * array form of [[graft.operators.Kmv.sketch]]. */
+  final class KmvSketchAgg(k: Int) extends Aggregator[String, LongArr, Seq[Long]] {
+    def zero: LongArr = LongArr(Vector.empty)
+    def reduce(b: LongArr, v: String): LongArr =
+      if (v == null) b
+      else {
+        val h = Kll.hash56Local(v)
+        if (b.a.contains(h)) b
+        else if (b.a.size < k) LongArr((b.a :+ h).sorted)
+        else if (h < b.a.last) LongArr(((b.a :+ h).sorted).take(k))
+        else b
+      }
+    def merge(x: LongArr, y: LongArr): LongArr =
+      LongArr(kSmallest((x.a ++ y.a).distinct.sorted, k))
+    def finish(b: LongArr): Seq[Long] = b.a
+    def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** KMV merge: distinct union re-truncated to the k smallest —
+    * [[graft.operators.Kmv.merge]]/[[graft.operators.Kmv.rollup]]. */
+  final class KmvMergeAgg(k: Int) extends Aggregator[Seq[Long], LongArr, Seq[Long]] {
+    def zero: LongArr = LongArr(Vector.empty)
+    def reduce(b: LongArr, v: Seq[Long]): LongArr =
+      if (v == null) b
+      else LongArr(kSmallest((b.a ++ v).distinct.sorted, k))
+    def merge(x: LongArr, y: LongArr): LongArr =
+      LongArr(kSmallest((x.a ++ y.a).distinct.sorted, k))
+    def finish(b: LongArr): Seq[Long] = b.a
+    def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** KLL build over `(id, value)` pairs: raw values buffer per group
+    * (the same shape the relational `collect_list` kernel holds), then
+    * the EXACT [[graft.operators.Kll.registers]] pipeline at finish —
+    * md5-bucketed lanes (`salt/b`), per-lane sweep, one fold sweep at
+    * `rounds+4` (`salt/f`). Output: compactor rows as structs. */
+  final class KllRegsAgg(buckets: Int, k: Int, rounds: Int, salt: String)
+      extends Aggregator[(String, Double), KllBuf, Seq[KllItem]] {
+    def zero: KllBuf = KllBuf(Vector.empty, Vector.empty, Vector.empty)
+    def reduce(b: KllBuf, v: (String, Double)): KllBuf =
+      if (v == null || v._1 == null) b
+      else KllBuf(b.items, b.raw :+ v._2,
+        b.rawBuckets :+ (Kll.hash56Local(v._1) % buckets))
+    def merge(x: KllBuf, y: KllBuf): KllBuf =
+      KllBuf(x.items ++ y.items, x.raw ++ y.raw,
+        x.rawBuckets ++ y.rawBuckets)
+    def finish(b: KllBuf): Seq[KllItem] = {
+      val perBucket = b.rawBuckets.zip(b.raw).groupBy(_._1).toSeq
+        .flatMap { case (bk, vs) =>
+          Kll.sweepLocal(vs.map(x => (0, x._2)), k, rounds, s"$salt/b", bk)
+        }
+      Kll.sweepLocal(perBucket, k, rounds + 4, s"$salt/f", -1L)
+        .map { case (l, v) => KllItem(l, v) }
+    }
+    def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    def outputEncoder: Encoder[Seq[KllItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KllItem]]()
+  }
+
+  /** KLL merge/rollup: union the compactor rows, one `salt/r` sweep —
+    * [[graft.operators.Kll.rollup]] as a SQL aggregate. */
+  final class KllMergeAgg(k: Int, sweepRounds: Int, salt: String)
+      extends Aggregator[Seq[KllItem], KllBuf, Seq[KllItem]] {
+    def zero: KllBuf = KllBuf(Vector.empty, Vector.empty, Vector.empty)
+    def reduce(b: KllBuf, v: Seq[KllItem]): KllBuf =
+      if (v == null) b else KllBuf(b.items ++ v, b.raw, b.rawBuckets)
+    def merge(x: KllBuf, y: KllBuf): KllBuf =
+      KllBuf(x.items ++ y.items, Vector.empty, Vector.empty)
+    def finish(b: KllBuf): Seq[KllItem] =
+      Kll.sweepLocal(b.items.map(i => (i.level, i.value)), k, sweepRounds,
+        s"$salt/r", -1L)
+        .map { case (l, v) => KllItem(l, v) }
+    def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    def outputEncoder: Encoder[Seq[KllItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KllItem]]()
+  }
+
+  /** Register the whole surface on `spark` (idempotent — re-registering
+    * replaces). Parameters are bound at registration, the same way the
+    * relational call sites bind them; re-register to change them. */
+  def register(
+      spark: SparkSession,
+      hllP: Int = 8,
+      cmsDepth: Int = 4, cmsWidth: Int = 64,
+      kmvK: Int = 64,
+      kllBuckets: Int = 4, kllK: Int = 32, kllRounds: Int = 10,
+      kllSalt: String = "sqlk", kllSweepRounds: Int = 16): Unit = {
+    spark.udf.register("hll_regs", udaf(new HllRegsAgg(hllP)))
+    spark.udf.register("hll_merge_regs", udaf(new HllMergeAgg(hllP)))
+    spark.udf.register("cms_regs", udaf(new CmsRegsAgg(cmsDepth, cmsWidth)))
+    spark.udf.register("cms_merge_regs",
+      udaf(new CmsMergeAgg(cmsDepth, cmsWidth)))
+    spark.udf.register("kmv_sketch", udaf(new KmvSketchAgg(kmvK)))
+    spark.udf.register("kmv_merge_sketch", udaf(new KmvMergeAgg(kmvK)))
+    spark.udf.register("kll_regs",
+      udaf(new KllRegsAgg(kllBuckets, kllK, kllRounds, kllSalt)))
+    spark.udf.register("kll_merge_regs",
+      udaf(new KllMergeAgg(kllK, kllSweepRounds, kllSalt)))
+  }
+}
