@@ -84,6 +84,16 @@ object Sources {
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .csv(path)
 
+  /** Manifest-driven pruned parquet scan — see [[PrunedScan.prunedParquet]]
+    * (the q88/q91/q97 statistics consulted in the read path; only
+    * surviving `file_id=` dirs are listed into the reader). This
+    * forwarder keeps the source surface in one place. */
+  def prunedParquet(
+      spark: SparkSession, dir: String,
+      manifest: DataFrame, probes: Seq[FileProbe],
+      blooms: Map[String, BloomSidecar] = Map.empty): DataFrame =
+    PrunedScan.prunedParquet(spark, dir, manifest, probes, blooms)
+
   /** S6 — JSON config source (driver-side, not data-plane): parse a config
     * file into [[graft.model.GlobalConfig]] via Spark's own JSON reader so no
     * extra JSON dependency is needed. See [[graft.model.Config.load]]. */
