@@ -25,6 +25,15 @@ import graft.operators.Kll
   * in SketchSqlSpec and hash-checked against the generated DuckDB
   * replays in q100-q103.
   *
+  * Buffer discipline, measured both ways: the FIXED-SIZE register
+  * buffers (hll/cms arrays, kmv's k-bounded array) are mutable primitive
+  * arrays updated in place — the first immutable-Vector cut copied the
+  * whole register array per input row, an O(m)-per-row tax that benched
+  * q101 at 6.4 s for ~1 s of work. The GROWING buffers (kll's raw-value
+  * lists) stay persistent Vectors — tree-amortized append — because the
+  * symmetric "optimization" (flat-array append) is O(n) per row and sent
+  * q103 quadratic (2.2 s → 11.5 s before being caught).
+  *
   * Scale note: the relational register frames remain the 100 TB serving
   * shape (they shuffle as narrow rows and fold map-side); this surface
   * is the EXPRESSIBILITY layer — per-group state here is the same
@@ -35,11 +44,9 @@ import graft.operators.Kll
   * the family; a null String input is additionally skipped defensively. */
 object SketchSql {
 
-  final case class IntArr(a: Seq[Int])
-  final case class LongArr(a: Seq[Long])
+  final case class IntArr(var a: Array[Int])
+  final case class LongArr(var a: Array[Long])
   final case class KllItem(level: Int, value: Double)
-  final case class KllBuf(items: Seq[KllItem], raw: Seq[Double],
-      rawBuckets: Seq[Long])
 
   private def hllBucketRank(v: String, p: Int): (Int, Int) = {
     val w = 56 - p
@@ -54,16 +61,20 @@ object SketchSql {
     * buckets 0). */
   final class HllRegsAgg(p: Int) extends Aggregator[String, IntArr, Seq[Int]] {
     private val m = 1 << p
-    def zero: IntArr = IntArr(Vector.fill(m)(0))
-    def reduce(b: IntArr, v: String): IntArr =
-      if (v == null) b
-      else {
+    def zero: IntArr = IntArr(new Array[Int](m))
+    def reduce(b: IntArr, v: String): IntArr = {
+      if (v != null) {
         val (bk, r) = hllBucketRank(v, p)
-        if (r > b.a(bk)) IntArr(b.a.updated(bk, r)) else b
+        if (r > b.a(bk)) b.a(bk) = r
       }
-    def merge(x: IntArr, y: IntArr): IntArr =
-      IntArr(x.a.lazyZip(y.a).map(math.max))
-    def finish(b: IntArr): Seq[Int] = b.a
+      b
+    }
+    def merge(x: IntArr, y: IntArr): IntArr = {
+      var i = 0
+      while (i < m) { if (y.a(i) > x.a(i)) x.a(i) = y.a(i); i += 1 }
+      x
+    }
+    def finish(b: IntArr): Seq[Int] = b.a.toSeq
     def bufferEncoder: Encoder[IntArr] = Encoders.product[IntArr]
     def outputEncoder: Encoder[Seq[Int]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
@@ -74,16 +85,21 @@ object SketchSql {
     * SQL aggregate. */
   final class HllMergeAgg(p: Int) extends Aggregator[Seq[Int], IntArr, Seq[Int]] {
     private val m = 1 << p
-    def zero: IntArr = IntArr(Vector.fill(m)(0))
-    def reduce(b: IntArr, v: Seq[Int]): IntArr =
-      if (v == null) b
-      else {
+    def zero: IntArr = IntArr(new Array[Int](m))
+    def reduce(b: IntArr, v: Seq[Int]): IntArr = {
+      if (v != null) {
         require(v.size == m, s"hll_merge_regs: array size ${v.size} != $m")
-        IntArr(b.a.lazyZip(v).map(math.max))
+        var i = 0
+        while (i < m) { if (v(i) > b.a(i)) b.a(i) = v(i); i += 1 }
       }
-    def merge(x: IntArr, y: IntArr): IntArr =
-      IntArr(x.a.lazyZip(y.a).map(math.max))
-    def finish(b: IntArr): Seq[Int] = b.a
+      b
+    }
+    def merge(x: IntArr, y: IntArr): IntArr = {
+      var i = 0
+      while (i < m) { if (y.a(i) > x.a(i)) x.a(i) = y.a(i); i += 1 }
+      x
+    }
+    def finish(b: IntArr): Seq[Int] = b.a.toSeq
     def bufferEncoder: Encoder[IntArr] = Encoders.product[IntArr]
     def outputEncoder: Encoder[Seq[Int]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
@@ -94,22 +110,24 @@ object SketchSql {
     * [[graft.operators.Cms.registers]]. */
   final class CmsRegsAgg(depth: Int, width: Int)
       extends Aggregator[String, LongArr, Seq[Long]] {
-    def zero: LongArr = LongArr(Vector.fill(depth * width)(0L))
-    def reduce(b: LongArr, v: String): LongArr =
-      if (v == null) b
-      else {
-        var a = b.a
+    def zero: LongArr = LongArr(new Array[Long](depth * width))
+    def reduce(b: LongArr, v: String): LongArr = {
+      if (v != null) {
         var r = 0
         while (r < depth) {
           val bk = (Kll.hash56Local(s"$r:$v") % width).toInt
-          a = a.updated(r * width + bk, a(r * width + bk) + 1L)
+          b.a(r * width + bk) += 1L
           r += 1
         }
-        LongArr(a)
       }
-    def merge(x: LongArr, y: LongArr): LongArr =
-      LongArr(x.a.lazyZip(y.a).map(_ + _))
-    def finish(b: LongArr): Seq[Long] = b.a
+      b
+    }
+    def merge(x: LongArr, y: LongArr): LongArr = {
+      var i = 0
+      while (i < x.a.length) { x.a(i) += y.a(i); i += 1 }
+      x
+    }
+    def finish(b: LongArr): Seq[Long] = b.a.toSeq
     def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
@@ -119,41 +137,59 @@ object SketchSql {
     * [[graft.operators.Cms.merge]]/[[graft.operators.Cms.rollup]]. */
   final class CmsMergeAgg(depth: Int, width: Int)
       extends Aggregator[Seq[Long], LongArr, Seq[Long]] {
-    def zero: LongArr = LongArr(Vector.fill(depth * width)(0L))
-    def reduce(b: LongArr, v: Seq[Long]): LongArr =
-      if (v == null) b
-      else {
+    def zero: LongArr = LongArr(new Array[Long](depth * width))
+    def reduce(b: LongArr, v: Seq[Long]): LongArr = {
+      if (v != null) {
         require(v.size == depth * width,
           s"cms_merge_regs: array size ${v.size} != ${depth * width}")
-        LongArr(b.a.lazyZip(v).map(_ + _))
+        var i = 0
+        while (i < b.a.length) { b.a(i) += v(i); i += 1 }
       }
-    def merge(x: LongArr, y: LongArr): LongArr =
-      LongArr(x.a.lazyZip(y.a).map(_ + _))
-    def finish(b: LongArr): Seq[Long] = b.a
+      b
+    }
+    def merge(x: LongArr, y: LongArr): LongArr = {
+      var i = 0
+      while (i < x.a.length) { x.a(i) += y.a(i); i += 1 }
+      x
+    }
+    def finish(b: LongArr): Seq[Long] = b.a.toSeq
     def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  private def kSmallest(sorted: Seq[Long], k: Int): Seq[Long] =
-    sorted.take(k)
+  /** Insert `h` into a sorted-ascending k-bounded distinct array. */
+  private def kmvInsert(a: Array[Long], h: Long, k: Int): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(a, h)
+    if (pos >= 0) a // already present
+    else {
+      val ins = -pos - 1
+      if (a.length >= k && ins >= k) a // larger than the k-th smallest
+      else {
+        val n = math.min(a.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(a, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
 
   /** KMV build: the k smallest distinct value hashes, ascending — the
     * array form of [[graft.operators.Kmv.sketch]]. */
   final class KmvSketchAgg(k: Int) extends Aggregator[String, LongArr, Seq[Long]] {
-    def zero: LongArr = LongArr(Vector.empty)
-    def reduce(b: LongArr, v: String): LongArr =
-      if (v == null) b
-      else {
-        val h = Kll.hash56Local(v)
-        if (b.a.contains(h)) b
-        else if (b.a.size < k) LongArr((b.a :+ h).sorted)
-        else if (h < b.a.last) LongArr(((b.a :+ h).sorted).take(k))
-        else b
-      }
-    def merge(x: LongArr, y: LongArr): LongArr =
-      LongArr(kSmallest((x.a ++ y.a).distinct.sorted, k))
-    def finish(b: LongArr): Seq[Long] = b.a
+    def zero: LongArr = LongArr(Array.emptyLongArray)
+    def reduce(b: LongArr, v: String): LongArr = {
+      if (v != null) b.a = kmvInsert(b.a, Kll.hash56Local(v), k)
+      b
+    }
+    def merge(x: LongArr, y: LongArr): LongArr = {
+      var i = 0
+      while (i < y.a.length) { x.a = kmvInsert(x.a, y.a(i), k); i += 1 }
+      x
+    }
+    def finish(b: LongArr): Seq[Long] = b.a.toSeq
     def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
@@ -162,34 +198,43 @@ object SketchSql {
   /** KMV merge: distinct union re-truncated to the k smallest —
     * [[graft.operators.Kmv.merge]]/[[graft.operators.Kmv.rollup]]. */
   final class KmvMergeAgg(k: Int) extends Aggregator[Seq[Long], LongArr, Seq[Long]] {
-    def zero: LongArr = LongArr(Vector.empty)
-    def reduce(b: LongArr, v: Seq[Long]): LongArr =
-      if (v == null) b
-      else LongArr(kSmallest((b.a ++ v).distinct.sorted, k))
-    def merge(x: LongArr, y: LongArr): LongArr =
-      LongArr(kSmallest((x.a ++ y.a).distinct.sorted, k))
-    def finish(b: LongArr): Seq[Long] = b.a
+    def zero: LongArr = LongArr(Array.emptyLongArray)
+    def reduce(b: LongArr, v: Seq[Long]): LongArr = {
+      if (v != null) v.foreach(h => b.a = kmvInsert(b.a, h, k))
+      b
+    }
+    def merge(x: LongArr, y: LongArr): LongArr = {
+      var i = 0
+      while (i < y.a.length) { x.a = kmvInsert(x.a, y.a(i), k); i += 1 }
+      x
+    }
+    def finish(b: LongArr): Seq[Long] = b.a.toSeq
     def bufferEncoder: Encoder[LongArr] = Encoders.product[LongArr]
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** KLL build over `(id, value)` pairs: raw values buffer per group
-    * (the same shape the relational `collect_list` kernel holds), then
-    * the EXACT [[graft.operators.Kll.registers]] pipeline at finish —
-    * md5-bucketed lanes (`salt/b`), per-lane sweep, one fold sweep at
-    * `rounds+4` (`salt/f`). Output: compactor rows as structs. */
+    * (the same shape the relational `collect_list` kernel holds — Vector
+    * appends are tree-amortized, where a flat-array append would be
+    * quadratic per group), then the EXACT
+    * [[graft.operators.Kll.registers]] pipeline at finish — md5-bucketed
+    * lanes (`salt/b`), per-lane sweep, one fold sweep at `rounds+4`
+    * (`salt/f`). Output: compactor rows as structs. */
+  final case class KllVBuf(items: Seq[KllItem], raw: Seq[Double],
+      rawBuckets: Seq[Long])
+
   final class KllRegsAgg(buckets: Int, k: Int, rounds: Int, salt: String)
-      extends Aggregator[(String, Double), KllBuf, Seq[KllItem]] {
-    def zero: KllBuf = KllBuf(Vector.empty, Vector.empty, Vector.empty)
-    def reduce(b: KllBuf, v: (String, Double)): KllBuf =
+      extends Aggregator[(String, Double), KllVBuf, Seq[KllItem]] {
+    def zero: KllVBuf = KllVBuf(Vector.empty, Vector.empty, Vector.empty)
+    def reduce(b: KllVBuf, v: (String, Double)): KllVBuf =
       if (v == null || v._1 == null) b
-      else KllBuf(b.items, b.raw :+ v._2,
+      else KllVBuf(b.items, b.raw :+ v._2,
         b.rawBuckets :+ (Kll.hash56Local(v._1) % buckets))
-    def merge(x: KllBuf, y: KllBuf): KllBuf =
-      KllBuf(x.items ++ y.items, x.raw ++ y.raw,
+    def merge(x: KllVBuf, y: KllVBuf): KllVBuf =
+      KllVBuf(x.items ++ y.items, x.raw ++ y.raw,
         x.rawBuckets ++ y.rawBuckets)
-    def finish(b: KllBuf): Seq[KllItem] = {
+    def finish(b: KllVBuf): Seq[KllItem] = {
       val perBucket = b.rawBuckets.zip(b.raw).groupBy(_._1).toSeq
         .flatMap { case (bk, vs) =>
           Kll.sweepLocal(vs.map(x => (0, x._2)), k, rounds, s"$salt/b", bk)
@@ -197,7 +242,7 @@ object SketchSql {
       Kll.sweepLocal(perBucket, k, rounds + 4, s"$salt/f", -1L)
         .map { case (l, v) => KllItem(l, v) }
     }
-    def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    def bufferEncoder: Encoder[KllVBuf] = Encoders.product[KllVBuf]
     def outputEncoder: Encoder[Seq[KllItem]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KllItem]]()
   }
@@ -205,17 +250,17 @@ object SketchSql {
   /** KLL merge/rollup: union the compactor rows, one `salt/r` sweep —
     * [[graft.operators.Kll.rollup]] as a SQL aggregate. */
   final class KllMergeAgg(k: Int, sweepRounds: Int, salt: String)
-      extends Aggregator[Seq[KllItem], KllBuf, Seq[KllItem]] {
-    def zero: KllBuf = KllBuf(Vector.empty, Vector.empty, Vector.empty)
-    def reduce(b: KllBuf, v: Seq[KllItem]): KllBuf =
-      if (v == null) b else KllBuf(b.items ++ v, b.raw, b.rawBuckets)
-    def merge(x: KllBuf, y: KllBuf): KllBuf =
-      KllBuf(x.items ++ y.items, Vector.empty, Vector.empty)
-    def finish(b: KllBuf): Seq[KllItem] =
+      extends Aggregator[Seq[KllItem], KllVBuf, Seq[KllItem]] {
+    def zero: KllVBuf = KllVBuf(Vector.empty, Vector.empty, Vector.empty)
+    def reduce(b: KllVBuf, v: Seq[KllItem]): KllVBuf =
+      if (v == null) b else KllVBuf(b.items ++ v, b.raw, b.rawBuckets)
+    def merge(x: KllVBuf, y: KllVBuf): KllVBuf =
+      KllVBuf(x.items ++ y.items, Vector.empty, Vector.empty)
+    def finish(b: KllVBuf): Seq[KllItem] =
       Kll.sweepLocal(b.items.map(i => (i.level, i.value)), k, sweepRounds,
         s"$salt/r", -1L)
         .map { case (l, v) => KllItem(l, v) }
-    def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    def bufferEncoder: Encoder[KllVBuf] = Encoders.product[KllVBuf]
     def outputEncoder: Encoder[Seq[KllItem]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KllItem]]()
   }

@@ -71,12 +71,24 @@ object Kll {
 
   /** Plain-Scala mirror of [[Dedup.hash56]] (`conv(substr(md5(s),1,14),16,10)`):
     * the first 56 bits of md5 as a non-negative Long — bit-identical to the
-    * SQL form, which is what makes the kernel's compaction coins replayable. */
+    * SQL form, which is what makes the kernel's compaction coins replayable.
+    * The first 14 hex chars ARE the first 7 digest bytes big-endian, so the
+    * value is folded from bytes directly (the hex-string round-trip cost
+    * ~1 µs/call — measurable at [[graft.functions.SketchSql]]'s 4 hashes
+    * per input row); the digest instance is thread-cached (getInstance
+    * allocates). KllSpec pins local == SQL bit-for-bit. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   private[graft] def hash56Local(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
   }
 
   /** The compaction sweep, evaluated locally per (group, bucket): for level

@@ -76,7 +76,7 @@ object SkewJoin {
       // spec and trip the no-partition warning (the Kll.estimate
       // precedent); the window orders ≤ distinct-key rows, not the corpus
       df.withColumn("_sj_key",
-          concat_ws("", keys.map(c => col(c).cast("string")): _*))
+          concat_ws("\u0001", keys.map(c => col(c).cast("string")): _*))
         .withColumn("_sj_g", pmod(length(col("_sj_key")), lit(1))),
       Seq("_sj_g"), "_sj_key", k)
   }
