@@ -7236,6 +7236,97 @@ object QueriesExt {
                                THEN 8 ELSE 1 END AS BIGINT) AS n_salts
               FROM sc""")),
 
+    // C15 — the round-15 features COMPOSED: a statistics-optimized read
+    // + join pipeline whose answer must equal the naive SQL exactly.
+    // Orders land under the assignedWrite contract; the Q3'95 probe
+    // prunes the listing through the manifest (files_read pinned against
+    // the oracle-replayed survivor count); the surviving rows join
+    // customer through the auto-router, whose decision — broadcast, from
+    // a one-row count and an MG key summary, no corpus pre-scan — is
+    // pinned alongside. Segment revenue totals are computed ONLY from
+    // the optimized path; the oracle computes them from the plain
+    // table — conservative pruning + route equivalence make the two
+    // identical, which is the entire point of pinning compositions.
+    Entry(
+      "c15_pruned_routed_join",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-c15").toString
+        try {
+          val dir = s"$tmp/orders"
+          val order = Seq(col("o_date").asc, col("o_orderkey").asc)
+          Layout.assignedWrite(ord, order, 16, dir)
+          val man = Layout.fileManifest(ord, order, 16, Seq("o_date"))
+            .localCheckpoint(true)
+          val lo = lit("1995-07-01").cast("date")
+          val hi = lit("1995-10-01").cast("date")
+          val probes = Seq(graft.sources.RangeProbe("o_date", lo, hi))
+          // keep the pre-checkpoint frame: the scan-node metric lives on
+          // ITS executed plan (the checkpointed frame is a LogicalRDD)
+          val scanned = graft.sources.PrunedScan
+            .prunedParquet(s, dir, man, probes)
+            .where(col("o_date") >= lo && col("o_date") < hi)
+            .withColumnRenamed("o_custkey", "c_custkey")
+          val pruned = scanned
+            .localCheckpoint(true) // read by MG stats AND the join
+          // router inputs: KB-sized frames only — the MG summary of the
+          // PRUNED fact side's join key, and the one-row dim count
+          val mg = SkewJoin.keyFreqSummary(pruned, Seq("c_custkey"), 64)
+          val cnt = cust.agg(count(lit(1)).as("n"))
+          val (joined, dec) = SkewJoin.autoJoin(
+            pruned, cust, Seq("c_custkey"), mg, cnt,
+            broadcastRowLimit = 100000L, skewShare = 0.2, nSalts = 8)
+          val agg = joined.groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(round(col("o_totalprice") * 100).cast("long"))
+                .as("cents_sum"))
+            .collect().toSeq
+          val filesRead = graft.sources.PrunedScan.filesRead(scanned)
+          val nSurvive = graft.sources.PrunedScan
+            .survivorIds(man, probes).length.toLong
+          agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            dec.route, filesRead, nSurvive, filesRead == nSurvive))
+            .toDF("c_mktsegment", "n_orders", "cents_sum", "route",
+              "files_read", "files_survive", "metric_matches")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+                                CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+                         FROM orders),
+                   r AS (SELECT *, row_number() OVER (ORDER BY o_date, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM o),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, MIN(o_date) AS dmin, MAX(o_date) AS dmax
+                         FROM a GROUP BY file_id),
+                   sv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_survive FROM m
+                          WHERE dmax >= DATE '1995-07-01' AND dmin < DATE '1995-10-01'),
+                   q AS (SELECT c.c_mktsegment,
+                                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                                CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+                         FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+                         WHERE o.o_date >= DATE '1995-07-01' AND o.o_date < DATE '1995-10-01'
+                         GROUP BY c.c_mktsegment)
+              SELECT q.c_mktsegment, q.n_orders, q.cents_sum,
+                     'broadcast' AS route,
+                     sv.n_survive AS files_read,
+                     sv.n_survive AS files_survive,
+                     TRUE AS metric_matches
+              FROM q, sv""")),
+
     // Q100-Q103 — the sketch algebra REGISTERED AS SQL AGGREGATES
     // (functions/SketchSql.scala, round-14 verdict task 7): the cube
     // family (q93-q96) was DataFrame-only; these entries pin the SQL
