@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -69,10 +69,17 @@ object HilbertKernel {
   * The per-level state dependency makes this a native kernel, not a
   * Column fold — an unrolled expression tree grows ~`(2n)^bits` nodes. */
 case class HilbertIndexN(children: Seq[Expression], bits: Int)
-    extends Expression {
+    extends Expression with ExpectsInputTypes {
   require(children.size >= 2, s"need >= 2 dims, got ${children.size}")
   require(bits >= 1 && bits * children.size <= 63,
     s"bits*dims must fit a signed long, got $bits x ${children.size}")
+
+  // every child must already be LongType (round-15 advice: eval casts
+  // with asInstanceOf[Long], so an int child would throw in interpreted
+  // mode while codegen silently widened — declare the contract so misuse
+  // fails at ANALYSIS time, identically on both paths). Return type is
+  // inferred: AbstractDataType is private[sql], unnamable from here.
+  override def inputTypes = Seq.fill(children.size)(LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

@@ -65,18 +65,27 @@ object SkewJoin {
     * (`_sj_g = 0`), built once by a statistics-maintenance pass — batch
     * here, or incrementally via [[graft.streaming.StreamingMg]]'s
     * attach + [[Mg.merge]] — and then read by every join that touches
-    * the table. Null key components concat to the empty slot (share
-    * estimates only; the router never routes ON a key value). */
+    * the table. Key components are INJECTIVELY encoded (length-prefixed
+    * `v<len>|<value>`, null → `n` — the Experiment.poissonBootstrap seed
+    * encoding, round-15 advice): distinct composite keys can never
+    * collide to one MG item (concat_ws would drop nulls and merge
+    * ('a',null)/(null,'a'), inflating `topKeyShareLb` past the true
+    * top-key share and breaking the documented lower-bound invariant). */
   def keyFreqSummary(
       df: DataFrame, keys: Seq[String], k: Int = 64): DataFrame = {
     require(keys.nonEmpty, "keyFreqSummary: no key columns")
     Mg.summarize(
-      // the constant group derives from data (pmod(length, 1), which the
-      // the optimizer cannot strip it from the MG truncation's window
-      // spec and trip the no-partition warning (the Kll.estimate
-      // precedent); the window orders ≤ distinct-key rows, not the corpus
+      // the constant group derives from data (pmod(length, 1)) so the
+      // optimizer cannot strip it from the MG truncation's window spec
+      // and trip the no-partition warning (the Kll.estimate precedent);
+      // the window orders ≤ distinct-key rows, not the corpus
       df.withColumn("_sj_key",
-          concat_ws("\u0001", keys.map(c => col(c).cast("string")): _*))
+          concat_ws(":", keys.map { c =>
+            val s = col(c).cast("string")
+            when(s.isNull, lit("n"))
+              .otherwise(concat(lit("v"), length(s).cast("string"),
+                lit("|"), s))
+          }: _*))
         .withColumn("_sj_g", pmod(length(col("_sj_key")), lit(1))),
       Seq("_sj_g"), "_sj_key", k)
   }
@@ -105,8 +114,15 @@ object SkewJoin {
     require(skewShare > 0.0 && skewShare <= 1.0,
       s"skewShare must be in (0, 1], got $skewShare")
     require(nSalts >= 2, s"nSalts must be >= 2, got $nSalts")
-    val est = Mg.estimate(bigKeyMg, Seq("_sj_g"))
-      .agg(max(col("w_min")).as("_top"), max(col("n")).as("_n"))
+    // one pass over the ≤ k+1-row state: the top weight comes from the
+    // item rows, but the group total comes from the `_item IS NULL`
+    // sentinel row — which exists precisely so that an all-ties input
+    // whose truncation legitimately empties the item set still reports
+    // its true n (round-15 advice: estimate()'s item rows alone would
+    // yield bigRows=0 on a non-empty corpus — misleading metadata)
+    val est = bigKeyMg
+      .agg(max(when(col("_item").isNotNull, col("_w"))).as("_top"),
+        max(when(col("_item").isNull, col("_n"))).as("_n"))
       .collect()(0)
     val bigRows = if (est.isNullAt(1)) 0L else est.getLong(1)
     val top = if (est.isNullAt(0)) 0L else est.getLong(0)

@@ -110,9 +110,14 @@ object StreamingManifest {
         val delta = fileStats(batch, statCols, id)
           .filter(col("n_rows") > 0L)
         val merged = prev.map(_.unionByName(delta)).getOrElse(delta)
-        DeltaStaging.stage(merged, statePath, id)
-        // only id and id-1 can ever be read again
-        DeltaStaging.purgeBelow(spark, statePath, id - 1)
+        // bloom sidecars stage BEFORE the manifest (round-15 advice): a
+        // reader is driven by the manifest's file list, so a sidecar that
+        // is AHEAD of the manifest (extra register rows for a not-yet-
+        // listed file_id) is harmless, while a sidecar BEHIND it would
+        // make mightContain return false for the newest file and probed()
+        // silently prune it — a false negative. With bloom-ahead order, a
+        // crash between the two stage calls leaves the pair readable and
+        // exact until the batch replays.
         bloomCols.foreach { case (c, mBits, k) =>
           val root = bloomRoot(statePath, c)
           DeltaStaging.purgeAtOrAbove(spark, root, id)
@@ -127,6 +132,9 @@ object StreamingManifest {
           DeltaStaging.stage(regsMerged, root, id)
           DeltaStaging.purgeBelow(spark, root, id - 1)
         }
+        DeltaStaging.stage(merged, statePath, id)
+        // only id and id-1 can ever be read again
+        DeltaStaging.purgeBelow(spark, statePath, id - 1)
         sink(DeltaStaging.read(spark, statePath, id), id)
       })
       .option("checkpointLocation", checkpoint)

@@ -5,15 +5,19 @@ import graft.operators.Dedup
 
 /** Diagnose d02's replica-scale blowup: count LSH band-join candidate
   * pairs and split them into within-copy vs cross-copy (copy = doc_id
-  * range block), at each scale dir. */
+  * range block), at each scale dir. Docs-per-copy is parameterized
+  * (round-15 advice): pass `docs=<n>` as any arg (default 5000 — the
+  * sf0.1 base [[ScaleStressR15]] replicates). */
 object CandCount {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("local[32]")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    for (dir <- args) {
+    val maxDoc = args.collectFirst {
+      case a if a.startsWith("docs=") => a.stripPrefix("docs=").toLong
+    }.getOrElse(5000L)
+    for (dir <- args.filterNot(_.startsWith("docs="))) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val maxDoc = 5000L  // sf0.1 base docs per copy
       val base = docs.repartition(32).select(
         col("doc_id").as("_id"),
         Dedup.hashedShingles(col("text"), 5).as("_hs"))

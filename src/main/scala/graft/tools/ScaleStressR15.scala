@@ -25,16 +25,22 @@ object ScaleStressR15 {
     "q60_hll_distinct", "q88_prune_manifest", "d02_minhash_lsh",
     "q95_kll_cube", "q90_bootstrap_ci", "t14_packing")
 
-  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  // both cases covered (round-15 advice: a lowercase-only translate would
+  // leave uppercase-heavy text identical across copies and re-introduce
+  // exactly the artificial cross-copy near-dup pairs the cipher prevents)
+  private val alpha = "abcdefghijklmnopqrstuvwxyz" +
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
   private val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
   /** Copy k's substitution alphabet: affine map `i → a·i + b (mod 26)`
     * with `a = coprimes(k / 26)`, `b = k mod 26` — injective per copy,
-    * distinct permutations for every k < 312. */
+    * distinct permutations for every k < 312; the SAME permutation is
+    * applied to the uppercase half so case never leaks identity. */
   private def cipher(k: Int): String = {
     val a = coprimes((k / 26) % coprimes.size)
     val b = k % 26
-    (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+    val lower = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+    lower + lower.toUpperCase
   }
 
   private def noop(df: DataFrame): Unit =

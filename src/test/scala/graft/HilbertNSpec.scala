@@ -76,6 +76,16 @@ class HilbertNSpec extends SparkSpec {
       Layout.withHilbertValueN(
         Seq((1.5, 1L, 1L)).toDF("a", "b", "c"), Seq("a", "b", "c"), 2)
     }
+    // direct-expression misuse fails at ANALYSIS time on both eval paths
+    // (round-15 advice: a raw Int child used to ClassCastException only
+    // in interpreted mode while codegen silently widened)
+    val intDf = Seq((1, 2)).toDF("x", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      intDf.select(org.apache.spark.sql.GraftExpr.column(
+        graft.functions.HilbertIndexN(
+          Seq("x", "y").map(c => org.apache.spark.sql.GraftExpr
+            .expression(col(c))), 4))).collect()
+    }
   }
 
   test("3-dim hilbert clusters tighter than 3-dim z-order on the same " +

@@ -160,5 +160,24 @@ class PrunedScanSpec extends SparkSpec {
     assert(gotLive === full && full.nonEmpty)
     // metric from the collected plan itself: ≤ files the sidecar kept
     assert(PrunedScan.filesRead(liveDf) === liveSharp.size.toLong)
+
+    // crash-window exactness (round-15 advice): the attach stages bloom
+    // sidecars BEFORE the manifest, so the only observable intermediate
+    // state is bloom-AHEAD — registers exist for a file_id the manifest
+    // does not list yet. A reader is driven by the manifest's file list,
+    // so the extra rows must be inert: same survivors, same answer.
+    val phantom = Seq((900L, probeV), (901L, probeV + 1L)).toDF("v", "w")
+      .withColumn("file_id", lit(3L))
+    val aheadRegs = live.unionByName(
+      Bloom.registers(phantom, Seq("file_id"), "w", mBits, k))
+    // stage by the DeltaStaging directory convention (the object itself is
+    // private[streaming]): `<root>/_batch=<id>` parquet with _SUCCESS
+    aheadRegs.write.mode("overwrite")
+      .parquet(s"$statePath-bloom-w/_batch=3")
+    val aheadDf = PrunedScan.prunedParquetLive(spark, dataDir, statePath,
+      probes, Map("w" -> (mBits, k))).get
+      .where(col("w") === probeV).select("v")
+    assert(aheadDf.collect().map(_.getLong(0)).toSet === full)
+    assert(PrunedScan.filesRead(aheadDf) === liveSharp.size.toLong)
   }
 }

@@ -109,6 +109,45 @@ class SkewJoinSpec extends SparkSpec {
     assert(d.topKeyShareLb <= 1.0 / 200.0 + 1e-9)
   }
 
+  test("keyFreqSummary: composite-key encoding is injective — null " +
+      "placement and component boundaries never merge distinct keys") {
+    // with a plain concat, all four composite keys would collapse to "aa":
+    // ('a',null)/(null,'a') (null-dropping) and ('aa',null)/(null,'aa')
+    // likewise; worse, ('a','a') would join them. The length-prefixed
+    // encoding must keep all FIVE keys distinct, so the top share is the
+    // true 3/11, not a fabricated 9/11 that would trip a salted verdict.
+    val df = (
+      Seq.fill(3)((Some("a"), Option.empty[String])) ++
+        Seq.fill(2)((Option.empty[String], Some("a"))) ++
+        Seq.fill(2)((Some("aa"), Option.empty[String])) ++
+        Seq.fill(2)((Option.empty[String], Some("aa"))) ++
+        Seq.fill(2)((Some("a"), Some("a")))
+      ).toDF("k1", "k2")
+    val mg = SkewJoin.keyFreqSummary(df, Seq("k1", "k2"), 64)
+    val items = graft.operators.Mg.estimate(mg, Seq("_sj_g"))
+      .select("item", "w_min").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(items.size === 5, s"keys merged: $items")
+    assert(items.values.max === 3L)
+    val d = SkewJoin.decide(mg, cntOf(small),
+      broadcastRowLimit = 3, skewShare = 0.5, nSalts = 8)
+    assert(d.route === "shuffle" && math.abs(d.topKeyShareLb - 3.0 / 11.0) < 1e-9)
+  }
+
+  test("decide: all-ties truncation (empty item set) still reports the " +
+      "true bigRows from the sentinel row") {
+    // 200 distinct keys, one row each, k = 64 ⇒ the 65th-largest count
+    // equals every count, every residual weight is 0, the item set is
+    // EMPTY — the sentinel row alone carries n = 200
+    val ties = (0 until 200).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    val mg = mgOf(ties)
+    assert(graft.operators.Mg.estimate(mg, Seq("_sj_g")).count() === 0L)
+    val d = SkewJoin.decide(mg, cntOf(small),
+      broadcastRowLimit = 3, skewShare = 0.2, nSalts = 8)
+    assert(d.bigRows === 200L)
+    assert(d.route === "shuffle" && d.topKeyShareLb === 0.0)
+  }
+
   test("decide rejects invalid thresholds") {
     intercept[IllegalArgumentException] {
       SkewJoin.decide(mgOf(big), cntOf(small), 10, 0.0, 8)
