@@ -7327,6 +7327,89 @@ object QueriesExt {
                      TRUE AS metric_matches
               FROM q, sv""")),
 
+    // Q104 — TRANSPARENT manifest pruning (round-15 verdict task 1):
+    // q98's table and predicate, but NOTHING handed to the reader — the
+    // table is opened through ManifestFileIndex.manifestParquet and the
+    // query is a PLAIN .where(...): the index derives the file probes
+    // from the query's own pushed filters (the Delta/Iceberg
+    // data-skipping shape), so the scan node's numFiles metric must
+    // equal the oracle-replayed survivor count with zero opt-in, and
+    // the answer must stay row-for-row the full scan's. The conservatism
+    // direction (an unprunable predicate reads ALL files) is
+    // ManifestFileIndexSpec's pin.
+    Entry(
+      "q104_transparent_prune",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q104").toString
+        try {
+          val dir = s"$tmp/orders"
+          val order = Seq(col("o_date").asc, col("o_orderkey").asc)
+          Layout.assignedWrite(ord, order, 16, dir)
+          val man = Layout.fileManifest(ord, order, 16,
+            Seq("o_date", "o_custkey")).localCheckpoint(true)
+          val t = graft.sources.ManifestFileIndex.manifestParquet(
+            s, dir, man)
+          val lo = lit("1995-07-01").cast("date")
+          val hi = lit("1995-10-01").cast("date")
+          val rowPred = col("o_date") >= lo && col("o_date") < hi
+          def agg3(df: org.apache.spark.sql.DataFrame) = df.where(rowPred)
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_orderkey")).as("ok"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("ct"))
+          val pruned = agg3(t)
+          val p = pruned.collect()(0)
+          // the metric from the executed plan of the PLAIN query itself
+          val filesRead = graft.sources.PrunedScan.filesRead(pruned)
+          val f = agg3(s.read.option("basePath", dir).parquet(dir))
+            .collect()(0)
+          val nSurvive = graft.sources.PrunedScan.survivorIds(man,
+            Seq(graft.sources.RangeProbe("o_date", lo, hi))).length.toLong
+          Seq((16L, nSurvive, filesRead, p.getLong(0), p.getLong(1),
+            p.getLong(2),
+            p.getLong(0) == f.getLong(0) && p.getLong(1) == f.getLong(1) &&
+              p.getLong(2) == f.getLong(2),
+            filesRead == nSurvive))
+            .toDF("n_files_total", "files_survive", "files_read", "n_rows",
+              "orderkey_sum", "cents_sum", "identical_to_full",
+              "metric_matches")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+                                CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+                         FROM orders),
+                   r AS (SELECT *, row_number() OVER (ORDER BY o_date, o_orderkey) AS rn,
+                                COUNT(*) OVER () AS n
+                         FROM o),
+                   a AS (SELECT *, (rn - 1) * 16 // n AS file_id FROM r),
+                   m AS (SELECT file_id, MIN(o_date) AS dmin, MAX(o_date) AS dmax
+                         FROM a GROUP BY file_id),
+                   sv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_survive FROM m
+                          WHERE dmax >= DATE '1995-07-01' AND dmin < DATE '1995-10-01'),
+                   q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                                CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum,
+                                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+                         FROM o
+                         WHERE o_date >= DATE '1995-07-01' AND o_date < DATE '1995-10-01')
+              SELECT CAST(16 AS BIGINT) AS n_files_total,
+                     sv.n_survive AS files_survive,
+                     sv.n_survive AS files_read,
+                     q.n_rows, q.orderkey_sum, q.cents_sum,
+                     TRUE AS identical_to_full,
+                     TRUE AS metric_matches
+              FROM sv, q""")),
+
     // Q100-Q103 — the sketch algebra REGISTERED AS SQL AGGREGATES
     // (functions/SketchSql.scala, round-14 verdict task 7): the cube
     // family (q93-q96) was DataFrame-only; these entries pin the SQL

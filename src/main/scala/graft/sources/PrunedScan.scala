@@ -24,6 +24,17 @@ final case class RangeProbe(column: String, lo: Column, hi: Column)
 final case class EqualProbe(column: String, v: Column) extends FileProbe
 final case class NullProbe(column: String) extends FileProbe
 
+/** One-sided comparison probe — `col <op> v` for `op` ∈ `> >= < <=`:
+  * the half-open forms [[ManifestFileIndex]] needs to translate a
+  * query's own pushed `>`/`<` filters (a [[RangeProbe]] is their
+  * two-sided conjunction). Verdicts read one bound only: `>`/`>=`
+  * consult the file's max, `<`/`<=` its min. */
+final case class CompareProbe(column: String, op: String, v: Column)
+    extends FileProbe {
+  require(Set(">", ">=", "<", "<=").contains(op),
+    s"CompareProbe op must be one of > >= < <=, got $op")
+}
+
 /** Per-column Bloom sidecar for [[EqualProbe]] sharpening: the
   * `(file_id, _word, _bits)` register frame [[graft.operators.Bloom.registers]]
   * builds (batch) or [[graft.streaming.StreamingManifest]] maintains
@@ -84,6 +95,14 @@ object PrunedScan {
       case (m, (NullProbe(c), i)) =>
         m.withColumn(s"_ps_$i",
           coalesce(col(s"${c}_nulls") > 0L, lit(false)))
+      case (m, (CompareProbe(c, op, v), i)) =>
+        val verdict = op match {
+          case ">"  => col(s"${c}_max") > v
+          case ">=" => col(s"${c}_max") >= v
+          case "<"  => col(s"${c}_min") < v
+          case "<=" => col(s"${c}_min") <= v
+        }
+        m.withColumn(s"_ps_$i", coalesce(verdict, lit(false)))
     }
     withVerdicts.withColumn("_ps_hit",
       probes.indices.map(i => col(s"_ps_$i")).reduce(_ && _))
