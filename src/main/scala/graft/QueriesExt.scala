@@ -7410,6 +7410,105 @@ object QueriesExt {
                      TRUE AS metric_matches
               FROM sv, q""")),
 
+    // Q105 — manifest ADOPTION (round-15 verdict task 2): the table is
+    // written by a PLAIN df.write.parquet — no assignedWrite contract,
+    // no file_id dirs, file split decided by Spark's range sampler — and
+    // the manifest is harvested from the files' OWN FOOTERS (one
+    // driver-side footer read per file, never a corpus scan), with file
+    // identity derived from filenames. Because the sampler's file split
+    // is not engine-replayable, the oracle hash-checks the ANSWER (must
+    // equal the plain table's) while the structural pins are computed
+    // in-entry from two independent paths and must come out TRUE:
+    // footer stats == per-actual-file recomputation over input_file_name
+    // (footer_matches_data), scan-node numFiles == the footer manifest's
+    // survivor count (metric_matches), and strictly fewer files than the
+    // table holds were read (pruned_strictly).
+    Entry(
+      "q105_footer_prune",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q105").toString
+        try {
+          val dir = s"$tmp/orders"
+          ord.repartitionByRange(16, col("o_date"), col("o_orderkey"))
+            .sortWithinPartitions("o_date", "o_orderkey")
+            .write.parquet(dir)
+          val man = graft.sources.FooterManifest
+            .fromFooters(s, dir, Seq("o_date"))
+            .localCheckpoint(true)
+          val nFiles = man.count()
+          // independent recomputation of the same stats FROM THE DATA,
+          // keyed by the actual file each row came back from
+          val byFile = s.read.parquet(dir)
+            .groupBy(input_file_name().as("f"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("o_date")).as("o_date_min"),
+              max(col("o_date")).as("o_date_max"),
+              sum(when(col("o_date").isNull, 1L).otherwise(0L))
+                .as("o_date_nulls"))
+            .collect()
+            .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+              .toUri.getPath ->
+              (r.getLong(1), r.getDate(2), r.getDate(3), r.getLong(4)))
+            .toMap
+          val footerMatches = man
+            .select("path", "n_rows", "o_date_min", "o_date_max",
+              "o_date_nulls")
+            .collect().forall { r =>
+              byFile.get(r.getString(0)).contains(
+                (r.getLong(1), r.getDate(2), r.getDate(3), r.getLong(4)))
+            } && byFile.size == nFiles
+          val lo = lit("1995-07-01").cast("date")
+          val hi = lit("1995-10-01").cast("date")
+          val probes = Seq(graft.sources.RangeProbe("o_date", lo, hi))
+          val rowPred = col("o_date") >= lo && col("o_date") < hi
+          val pruned = graft.sources.PrunedScan
+            .prunedParquetPaths(s, dir, man, probes)
+            .where(rowPred)
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_orderkey")).as("ok"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("ct"))
+          val p = pruned.collect()(0)
+          val filesRead = graft.sources.PrunedScan.filesRead(pruned)
+          val nSurvive = graft.sources.PrunedScan
+            .survivorIds(man, probes).length.toLong
+          val f = s.read.parquet(dir).where(rowPred)
+            .agg(count(lit(1)), sum(col("o_orderkey")),
+              sum(round(col("o_totalprice") * 100).cast("long")))
+            .collect()(0)
+          Seq((p.getLong(0), p.getLong(1), p.getLong(2),
+            footerMatches,
+            filesRead == nSurvive,
+            filesRead < nFiles,
+            p.getLong(0) == f.getLong(0) && p.getLong(1) == f.getLong(1) &&
+              p.getLong(2) == f.getLong(2)))
+            .toDF("n_rows", "orderkey_sum", "cents_sum",
+              "footer_matches_data", "metric_matches", "pruned_strictly",
+              "identical_to_full")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+                     TRUE AS footer_matches_data,
+                     TRUE AS metric_matches,
+                     TRUE AS pruned_strictly,
+                     TRUE AS identical_to_full
+              FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1995-10-01'""")),
+
     // Q100-Q103 — the sketch algebra REGISTERED AS SQL AGGREGATES
     // (functions/SketchSql.scala, round-14 verdict task 7): the cube
     // family (q93-q96) was DataFrame-only; these entries pin the SQL

@@ -1,0 +1,204 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Manifest bootstrap for EXISTING tables (round-15 verdict task 2):
+  * [[graft.operators.Layout.fileManifest]] recomputes per-file statistics
+  * from the data frame — correct for a table you are writing, wasteful
+  * for one you are adopting: parquet files already carry min/max/null
+  * counts in their FOOTERS. `fromFooters` builds the same manifest frame
+  * from one driver-side footer read per file — never a corpus scan — so
+  * [[PrunedScan]] / [[ManifestFileIndex]] work on any parquet directory,
+  * exactly how Delta's `CONVERT TO DELTA` adopts a plain table: harvest
+  * footer stats once, plan from the manifest forever after.
+  *
+  * File identity: a file under a `file_id=k/` directory (the
+  * [[graft.operators.Layout.assignedWrite]] layout) keeps that id — and
+  * files sharing one id fold into ONE manifest row (the id is the
+  * pruning unit; `path` is then the directory). A plain
+  * `df.write.parquet` layout has no ids, so each file gets its rank in
+  * the sorted file listing — deterministic for a fixed directory — and
+  * `path` is the file itself, which [[PrunedScan.prunedParquetPaths]]
+  * reads back selectively.
+  *
+  * Type coverage (DECLARED — fail-loudly beyond it): byte/short/int/
+  * long/float/double/date/string. Strings compare by unsigned UTF-8
+  * byte order — the same ordering Spark's min/max use — via parquet's
+  * own Binary comparator. A column chunk with missing statistics (or an
+  * unset null count) on a non-empty file raises rather than fabricating
+  * bounds: a wrong bound would prune a file that holds matches, and the
+  * whole contract here is that pruning is provably lossless. Spark- and
+  * parquet-mr-written files always carry chunk statistics for these
+  * types.
+  */
+object FooterManifest {
+
+  private val FileIdDir = "file_id=(\\d+)".r
+
+  /** Build the manifest frame — `file_id, path, n_rows,
+    * <c>_min/_max/_nulls` per stat column — from footers alone. Column
+    * types mirror the table's Spark schema, so the frame is
+    * drop-in-compatible with [[graft.operators.Layout.pruneRange]] /
+    * [[PrunedScan]] probes and (modulo the extra `path` column) with a
+    * [[graft.operators.Layout.fileManifest]] built from the data. */
+  def fromFooters(
+      spark: SparkSession, dir: String,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "fromFooters: no stat columns")
+    val tableSchema = spark.read.option("basePath", dir).parquet(dir).schema
+    val colType: Map[String, DataType] =
+      statCols.map { c =>
+        val f = tableSchema.find(_.name == c).getOrElse(throw
+          new IllegalArgumentException(s"fromFooters: $c not in $dir schema"))
+        f.dataType match {
+          case t @ (ByteType | ShortType | IntegerType | LongType |
+                    FloatType | DoubleType | DateType | StringType) => c -> t
+          case other => throw new IllegalArgumentException(
+            s"fromFooters: unsupported stat type ${other.simpleString} " +
+              s"for $c — declared coverage is integral/float/date/string")
+        }
+      }.toMap
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    // one level of nesting covers both layouts (flat and file_id=k/)
+    val files = {
+      val it = fs.listStatus(root).toSeq
+      val flat = it.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val nested = it.filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      (flat ++ nested).map(_.getPath).sortBy(_.toString)
+    }
+    require(files.nonEmpty, s"fromFooters: no parquet files under $dir")
+
+    // (file_id, unit path): id from the dir name when present, else the
+    // sorted rank; the unit path is what a reader opens for that id
+    val idOf: Path => Option[Long] = p => p.getParent.getName match {
+      case FileIdDir(k) => Some(k.toLong)
+      case _ => None
+    }
+    val anyIds = files.exists(idOf(_).isDefined)
+    val keyed: Seq[(Long, String, Path)] = files.zipWithIndex.map {
+      case (p, rank) => idOf(p) match {
+        case Some(k) if anyIds => (k, p.getParent.toUri.getPath, p)
+        case _ => (rank.toLong, p.toUri.getPath, p)
+      }
+    }
+
+    // per-file footer fold: (n_rows, per-col (min, max, nulls))
+    final case class ColStats(min: Any, max: Any, nulls: Long)
+    def footerStats(p: Path): (Long, Map[String, ColStats]) = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val per = statCols.map { c =>
+          var mn: Any = null
+          var mx: Any = null
+          var nulls = 0L
+          blocks.foreach { b =>
+            val ccm = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).getOrElse(throw
+                new IllegalStateException(s"fromFooters: $p has no chunk for $c"))
+            val st = ccm.getStatistics
+            require(st != null && st.isNumNullsSet,
+              s"fromFooters: $p chunk $c carries no null count — cannot " +
+                "build a lossless manifest from this footer")
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val (bMin, bMax) = (st.genericGetMin, st.genericGetMax)
+              if (mn == null || cmp(bMin, mn) < 0) mn = bMin
+              if (mx == null || cmp(bMax, mx) > 0) mx = bMax
+            } else require(st.getNumNulls == b.getRowCount || b.getRowCount == 0L,
+              s"fromFooters: $p chunk $c has values but no min/max " +
+                "statistics — cannot build a lossless manifest")
+          }
+          val pt = reader.getFooter.getFileMetaData.getSchema
+            .getColumnDescription(Array(c)).getPrimitiveType
+          c -> ColStats(decode(mn, pt, colType(c), c),
+            decode(mx, pt, colType(c), c), nulls)
+        }.toMap
+        (nRows, per)
+      } finally reader.close()
+    }
+
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    // fold files sharing an id (multi-file file_id=k/ dirs) into one row
+    val rows = keyed.groupBy { case (id, unit, _) => (id, unit) }.toSeq
+      .sortBy(_._1._1)
+      .map { case ((id, unit), group) =>
+        val stats = group.map { case (_, _, p) => footerStats(p) }
+        val nRows = stats.map(_._1).sum
+        val folded = statCols.map { c =>
+          val cs = stats.map(_._2(c))
+          val mins = cs.map(_.min).filter(_ != null)
+          val maxs = cs.map(_.max).filter(_ != null)
+          ColStats(
+            if (mins.isEmpty) null else mins.reduce((a, b) => if (extCmp(a, b, colType(c)) <= 0) a else b),
+            if (maxs.isEmpty) null else maxs.reduce((a, b) => if (extCmp(a, b, colType(c)) >= 0) a else b),
+            cs.map(_.nulls).sum)
+        }
+        Row.fromSeq(Seq(id, unit, nRows) ++
+          folded.flatMap(s => Seq(s.min, s.max, s.nulls)))
+      }
+
+    val schema = StructType(
+      Seq(StructField("file_id", LongType, nullable = false),
+        StructField("path", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false)) ++
+        statCols.flatMap(c => Seq(
+          StructField(s"${c}_min", colType(c)),
+          StructField(s"${c}_max", colType(c)),
+          StructField(s"${c}_nulls", LongType, nullable = false))))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Footer value → Spark external value under the declared coverage. */
+  private def decode(v: Any, pt: org.apache.parquet.schema.PrimitiveType,
+      target: DataType, c: String): Any = {
+    if (v == null) return null
+    (pt.getPrimitiveTypeName, target) match {
+      case (PrimitiveTypeName.INT32, DateType) =>
+        pt.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+          case other => throw new IllegalStateException(
+            s"fromFooters: $c is DateType but parquet annotation is $other")
+        }
+      case (PrimitiveTypeName.INT32, IntegerType) => v
+      case (PrimitiveTypeName.INT32, ShortType) =>
+        v.asInstanceOf[Int].toShort
+      case (PrimitiveTypeName.INT32, ByteType) => v.asInstanceOf[Int].toByte
+      case (PrimitiveTypeName.INT64, LongType) => v
+      case (PrimitiveTypeName.FLOAT, FloatType) => v
+      case (PrimitiveTypeName.DOUBLE, DoubleType) => v
+      case (PrimitiveTypeName.BINARY, StringType) =>
+        v.asInstanceOf[Binary].toStringUsingUTF8
+      case (p, t) => throw new IllegalStateException(
+        s"fromFooters: $c physical $p does not decode to ${t.simpleString}")
+    }
+  }
+
+  /** Ordering on DECODED externals (cross-file fold): numeric/natural for
+    * the scalar types; strings re-compare by UTF-8 bytes (the parquet
+    * and Spark ordering, not UTF-16 code units). */
+  private def extCmp(a: Any, b: Any, t: DataType): Int = t match {
+    case StringType => Binary.fromString(a.asInstanceOf[String])
+      .compareTo(Binary.fromString(b.asInstanceOf[String]))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+}

@@ -64,12 +64,35 @@ class ManifestFileIndex(
   /** One survivor set per distinct translated filter — planning cache. */
   private val survivorCache = mutable.Map.empty[String, Set[Long]]
 
+  /** Manifest unit path → file_id, when the manifest carries a `path`
+    * column (the [[FooterManifest.fromFooters]] shape): lets the index
+    * prune INDIVIDUAL FILES of a plain `df.write.parquet` table, which
+    * has no `file_id=` partition values to filter on. Scheme-free path
+    * form on both sides. */
+  private val idByPath: Map[String, Long] =
+    if (!manifest.columns.contains("path")) Map.empty
+    else manifest.select("path", "file_id").collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+      .toMap
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     survivorsFor(dataFilters) match {
       case None => base
+      case Some(keep) if idByPath.nonEmpty =>
+        // file-granularity pruning: a file whose path (or parent dir —
+        // the assignedWrite unit) maps to a pruned id is dropped; a file
+        // the manifest does not know is KEPT (conservative)
+        base.map { pd =>
+          pd.copy(files = pd.files.filter { f =>
+            val p = f.getPath.toUri.getPath
+            val unit = idByPath.get(p)
+              .orElse(idByPath.get(new Path(p).getParent.toUri.getPath))
+            unit.forall(keep.contains)
+          })
+        }.filter(_.files.nonEmpty)
       case Some(keep) => base.filter(pd =>
         // a partition value we cannot read as a file id is kept —
         // conservative in the pruning direction, like everything here

@@ -137,6 +137,25 @@ object PrunedScan {
         .parquet(ids.map(k => s"$dir/file_id=$k"): _*)
   }
 
+  /** [[prunedParquet]] for manifests carrying a `path` column (the
+    * [[FooterManifest.fromFooters]] shape over a PLAIN `df.write.parquet`
+    * table — no `file_id=` directories to address): read ONLY the
+    * surviving units' paths. Same conservative-exactness contract; zero
+    * survivors → empty frame with the table's schema. */
+  def prunedParquetPaths(
+      spark: SparkSession, dir: String, manifest: DataFrame,
+      probes: Seq[FileProbe],
+      blooms: Map[String, BloomSidecar] = Map.empty): DataFrame = {
+    require(manifest.columns.contains("path"),
+      "prunedParquetPaths: manifest has no path column — use prunedParquet")
+    val paths = probed(manifest, probes, blooms)
+      .where(col("_ps_hit"))
+      .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+    if (paths.isEmpty)
+      spark.read.option("basePath", dir).parquet(dir).where(lit(false))
+    else spark.read.option("basePath", dir).parquet(paths: _*)
+  }
+
   /** The LIVE variant: prune against the manifest
     * [[graft.streaming.StreamingManifest]] maintains per trigger (file =
     * micro-batch, `dir/file_id=<batchId>/`), with per-file Bloom sidecars
