@@ -7095,6 +7095,12 @@ object QueriesExt {
             col("b_id") === col("a_id") + lit(1000000L) &&
               col("a_id") % 4 === 0)
           .withColumn("y", col("is_match").cast("double"))
+          // pin only what downstream reads (task 5a): ids, the
+          // hand-weight score, the four features, labels — the d20
+          // per-field sim/debug columns would otherwise ride through
+          // every checkpoint scan below
+          .select((Seq("a_id", "b_id", "score").map(col) ++
+            feats.map(col) ++ Seq(col("is_match"), col("y"))): _*)
           .localCheckpoint(true)
         // LABEL-BALANCED training sample: ~500 positives against ~15.5k
         // candidate negatives stalls a zero-initialized GD inside the
@@ -7103,10 +7109,24 @@ object QueriesExt {
         // 1/31 md5 slice of negatives (≈ class parity); train on the
         // sample, CUT AND PRICE ON THE FULL SET — the standard
         // imbalanced-learning recipe, hash-replayable like everything.
+        // pre-projected + pinned (round-15 verdict task 5a): the 24 GD
+        // passes each re-scan the training frame; without this they
+        // re-read labeled's checkpoint — FULL-WIDTH d20 sim/debug rows —
+        // and re-apply the sampling filter 24 times. A five-column
+        // checkpoint of the sampled slice makes each pass a narrow
+        // ~KB-sized scan (measured: 28.3 s → single-digit wall at sf0.1,
+        // same hash-checked output row)
         val train = labeled.where(col("is_match") ||
           pmod(Dedup.hash56(concat_ws(":",
             col("a_id").cast("string"), col("b_id").cast("string"))),
             lit(31L)) === 0)
+          .select((feats.map(col) :+ col("y")): _*)
+          // ONE partition: the slice is ~KB-sized and each GD step is a
+          // full pass, so 32 near-empty tasks per step were pure job
+          // floor; a single sequential sum is also the most stable
+          // summation order for the 6dp-rounded trajectory
+          .repartition(1)
+          .localCheckpoint(true)
         val fit = Classifier.logisticFit(
           train, feats, "y", iters = 24, lr = 4.0)
           .localCheckpoint(true) // one row; read by rescore and output
@@ -7119,6 +7139,7 @@ object QueriesExt {
             lit(1.0) / (lit(1.0) + exp(-(col("_w0") +
               feats.zipWithIndex.map { case (f, i) =>
                 col(s"_w${i + 1}") * col(f) }.reduce(_ + _)))), 6))
+          .select("a_id", "b_id", "is_match", "t_score")
           .localCheckpoint(true) // read by sweep and predicted set
         val split = Profiling.bestSplit(scored, "t_score", "is_match")
           .localCheckpoint(true) // one row
