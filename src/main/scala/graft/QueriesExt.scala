@@ -5059,6 +5059,32 @@ object QueriesExt {
         Seq("qn", "dn"), "ret", iters = 6, lr = 0.5),
       Some(logisticSql(iters = 6, lr = 0.5))),
 
+    // Q71b — the FROZEN-model scoring path (round-15 verdict task 3):
+    // q71's fit is frozen into a LogisticModel and a deterministic probe
+    // slice is scored through Classifier.scoreLogistic — the exact
+    // per-row (score, pred) surface a persisted model serves, hash-
+    // checked row-for-row against an oracle that unrolls the same 6
+    // training steps and then scores with the final coefficients.
+    // Persisted-vs-direct and streaming-vs-batch parity are
+    // ClassifierSpec's pins; this entry pins the scoring arithmetic.
+    Entry(
+      "q71b_frozen_logit_score",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .withColumn("qn", (col("l_quantity") - 25.0) / 25.0)
+          .withColumn("dn", (col("l_discount") - 0.05) * 20.0)
+          .withColumn("ret",
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        val fit = Classifier.logisticFit(li, Seq("qn", "dn"), "ret",
+          iters = 6, lr = 0.5)
+        val m = Classifier.logisticModel(fit, Seq("qn", "dn"))
+        val probe = li.filter(col("l_orderkey") % 100 === 0)
+          .withColumn("rid",
+            col("l_orderkey") * lit(10L) + col("l_linenumber"))
+        Classifier.scoreLogistic(m, probe, "rid")
+      },
+      Some(frozenLogitScoreSql(iters = 6, lr = 0.5))),
+
     // S27 — JL random-projection retrieval audit: recall@5 of exact L2
     // search in md5-derived ±1/√16 projected space (64→16, zero corpus
     // passes to build) against full-dim exact L2, every 50th vector as a
@@ -8693,6 +8719,40 @@ object QueriesExt {
                                       THEN 1.0 ELSE 0.0 END) = y
                            THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS accuracy
      FROM e, b$iters"""
+  }
+
+  /** q71b's DuckDB oracle, GENERATED: [[logisticSql]]'s unrolled training
+    * ladder, then per-row scoring of the probe slice with the FINAL
+    * coefficients — `score = ROUND(σ(w·x̃)+1e-9, 6)`, `pred = score >
+    * 0.5`, the exact [[graft.operators.Classifier.scoreLogistic]]
+    * surface. */
+  private def frozenLogitScoreSql(iters: Int, lr: Double): String = {
+    def sig = s"1/(1+exp(-(w0 + w1*x1 + w2*x2)))"
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "b0" else s"b${k - 1}"
+      s"""b$k AS (SELECT
+            ROUND(MAX(w0) - CAST($lr AS DOUBLE) * AVG($sig - y) + 1e-9, 6) AS w0,
+            ROUND(MAX(w1) - CAST($lr AS DOUBLE) * AVG(($sig - y) * x1) + 1e-9, 6) AS w1,
+            ROUND(MAX(w2) - CAST($lr AS DOUBLE) * AVG(($sig - y) * x2) + 1e-9, 6) AS w2
+          FROM e, $prev)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT (CAST(l_quantity AS DOUBLE) - 25.0) / 25.0 AS x1,
+                          (CAST(l_discount AS DOUBLE) - 0.05) * 20.0 AS x2,
+                          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                   FROM lineitem
+                   WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                     AND l_returnflag IS NOT NULL),
+          b0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                        CAST(0 AS DOUBLE) AS w2),
+          $steps,
+          probe AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+                           (CAST(l_quantity AS DOUBLE) - 25.0) / 25.0 AS x1,
+                           (CAST(l_discount AS DOUBLE) - 0.05) * 20.0 AS x2
+                    FROM lineitem WHERE l_orderkey % 100 = 0)
+     SELECT rid,
+            ROUND(1/(1+exp(-(w0 + w1*x1 + w2*x2))) + 1e-9, 6) AS score,
+            (ROUND(1/(1+exp(-(w0 + w1*x1 + w2*x2))) + 1e-9, 6) > 0.5) AS pred
+     FROM probe, b$iters"""
   }
 
   /** t37's fixed rank-ordered merge table — a spec constant shared by the

@@ -135,6 +135,65 @@ object Classifier {
       spark: org.apache.spark.sql.SparkSession, name: String): NbModel =
     NbModel(spark.table(s"${name}_cond"), spark.table(s"${name}_priors"))
 
+  /** A frozen logistic model: the one-row 6dp-rounded coefficient frame
+    * [[logisticFit]] produced plus its FEATURE CONTRACT (which columns,
+    * in which coefficient order). Broadcastable by construction; persist
+    * with [[saveLogistic]] and score many batches with [[scoreLogistic]]
+    * — the same build-once/probe-many discipline as [[NbModel]] and the
+    * BM25/DSIR/ANN indexes (round-15 verdict task 3: c14 trained in-plan
+    * but consumed the fit inline; nothing could freeze it). */
+  final case class LogisticModel(coeffs: DataFrame, xCols: Seq[String])
+
+  /** Freeze a [[logisticFit]] result. `fit` is the fit's one-row output
+    * (or any one-row frame with `intercept` + `beta_<x>` columns). */
+  def logisticModel(fit: DataFrame, xCols: Seq[String]): LogisticModel = {
+    val need = "intercept" +: xCols.map(c => s"beta_$c")
+    val missing = need.filterNot(fit.columns.contains)
+    require(missing.isEmpty,
+      s"logisticModel: fit frame lacks ${missing.mkString(", ")}")
+    LogisticModel(fit.select(need.map(col): _*), xCols)
+  }
+
+  /** Score `df` with a frozen model: `score` = the 6dp-rounded
+    * `σ(βᵀ[1,x])` (identical boundary discipline to the fit's own
+    * diagnostics, so persisted-vs-direct scoring is bit-equal), `pred` =
+    * score > 0.5. Rows with any null feature score null/false — they
+    * carried no complete evidence, mirroring [[logisticFit]]'s
+    * completeness filter. Plan: ONE broadcast of the one-row coefficient
+    * frame crossed into a per-row map — per-batch cost ∝ batch, zero
+    * shuffle. */
+  def scoreLogistic(
+      model: LogisticModel, df: DataFrame, idCol: String): DataFrame = {
+    val margin = col("_lm_intercept") +
+      model.xCols.zipWithIndex.map { case (c, i) =>
+        col(s"_lm_b$i") * col(c).cast("double") }.reduce(_ + _)
+    val renamed = model.coeffs.select(
+      col("intercept").as("_lm_intercept") +:
+        model.xCols.zipWithIndex.map { case (c, i) =>
+          col(s"beta_$c").as(s"_lm_b$i") }: _*)
+    df.crossJoin(broadcast(renamed))
+      .withColumn("score", stableRound(
+        lit(1.0) / (lit(1.0) + exp(-margin)), 6))
+      .withColumn("pred", coalesce(col("score") > 0.5, lit(false)))
+      .select(col(idCol), col("score"), col("pred"))
+  }
+
+  /** Persist / load a frozen logistic model. The coefficient row is
+    * KB-sized — a plain table; the feature contract rides in the column
+    * NAMES (`beta_<feature>`, in order), so load needs no side channel. */
+  def saveLogistic(model: LogisticModel, name: String): Unit =
+    model.coeffs.write.mode("overwrite").saveAsTable(s"${name}_coef")
+
+  def loadLogistic(
+      spark: org.apache.spark.sql.SparkSession, name: String): LogisticModel = {
+    val coeffs = spark.table(s"${name}_coef")
+    val xCols = coeffs.columns.toSeq
+      .filter(_.startsWith("beta_")).map(_.stripPrefix("beta_"))
+    require(xCols.nonEmpty && coeffs.columns.contains("intercept"),
+      s"loadLogistic: ${name}_coef is not a saved logistic model")
+    LogisticModel(coeffs, xCols)
+  }
+
   /** Logistic-regression curation classifier — the gradient-trained
     * sibling of the Naive Bayes model above (the shape of fastText-style
     * quality scorers once features are numeric): `iters` full-batch

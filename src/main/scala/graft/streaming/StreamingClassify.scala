@@ -28,4 +28,20 @@ object StreamingClassify {
         sink(Classifier.scoreNaiveBayes(model, batch, idCol, textCol), id))
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The logistic sibling (round-15 verdict task 3): score each
+    * micro-batch against a FROZEN [[Classifier.LogisticModel]] — one
+    * broadcast of the one-row coefficient frame per trigger, per-trigger
+    * cost ∝ batch. `sink` receives `(idCol, score, pred)` and the batch
+    * id; batch parity (streaming rows == [[Classifier.scoreLogistic]]
+    * over the same rows) is ClassifierSpec's pin. */
+  def attachLogistic(
+      rows: DataFrame, model: Classifier.LogisticModel,
+      idCol: String, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    rows.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        sink(Classifier.scoreLogistic(model, batch, idCol), id))
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -147,4 +147,97 @@ class ClassifierSpec extends SparkSpec {
       .head()
     assert(r.getLong(0) == 2L)
   }
+
+  // ------------------------------------------- frozen logistic model
+
+  private def logitFixture() = {
+    import spark.implicits._
+    val train = ((-10 to -1) ++ (1 to 10))
+      .map(i => (i / 10.0, i / 20.0, if (i > 0) 1.0 else 0.0))
+      .toDF("a", "b", "y")
+    val fit = Classifier.logisticFit(train, Seq("a", "b"), "y", 8, 1.0)
+    Classifier.logisticModel(fit, Seq("a", "b"))
+  }
+
+  test("scoreLogistic: frozen model scores match the fit's own boundary " +
+      "discipline; null features score null/false; plan broadcasts") {
+    import spark.implicits._
+    val m = logitFixture()
+    val probe = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, 0.9, 0.45), (2L, -0.9, -0.45), (3L, null, 1.0))
+      .toDF("id", "a", "b")
+    val out = Classifier.scoreLogistic(m, probe, "id")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getBoolean(2))).sortBy(_._1)
+    assert(rows(0)._2.exists(_ > 0.5) && rows(0)._3)
+    assert(rows(1)._2.exists(_ < 0.5) && !rows(1)._3)
+    assert(rows(2)._2.isEmpty && !rows(2)._3)
+    // hand-check row 1 against the frozen coefficients
+    val c = m.coeffs.head()
+    val z = c.getDouble(0) + c.getDouble(1) * 0.9 + c.getDouble(2) * 0.45
+    val exp6 = BigDecimal(1.0 / (1.0 + math.exp(-z)) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0)._2.contains(exp6))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hash"),
+      s"coefficient join must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("saveLogistic/loadLogistic: persisted-vs-direct scoring parity; " +
+      "feature contract survives the round trip") {
+    import spark.implicits._
+    Seq("logit_persist_spec_coef").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val m = logitFixture()
+    val probe = (1 to 50).map(i => (i.toLong, (i - 25) / 25.0, (25 - i) / 50.0))
+      .toDF("id", "a", "b")
+    def canon(mm: Classifier.LogisticModel) =
+      Classifier.scoreLogistic(mm, probe, "id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val direct = canon(m)
+    Classifier.saveLogistic(m, "logit_persist_spec")
+    val loaded = Classifier.loadLogistic(spark, "logit_persist_spec")
+    assert(loaded.xCols === Seq("a", "b"))
+    assert(canon(loaded) === direct && direct.nonEmpty)
+  }
+
+  test("StreamingClassify.attachLogistic: per-batch scoring over a frozen " +
+      "model == batch scoring over the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val m = logitFixture()
+    val stream = MemoryStream[(Long, Double, Double)](spark)
+    var got = Vector.empty[(Long, Double, Boolean)]
+    val q = graft.streaming.StreamingClassify.attachLogistic(
+      stream.toDF().toDF("id", "a", "b"), m, "id",
+      tmpDir("slogit-ckpt")) { (scored, _) =>
+      got ++= scored.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    }
+    val rows = (1 to 40).map(i => (i.toLong, (i - 20) / 20.0, (20 - i) / 40.0))
+    try {
+      rows.grouped(15).foreach { g => stream.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = Classifier.scoreLogistic(m, rows.toDF("id", "a", "b"), "id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got.sortBy(_._1) === batch && batch.nonEmpty)
+  }
+
+  test("logisticModel rejects a frame missing the contract columns") {
+    import spark.implicits._
+    val bogus = Seq((0.1, 0.2)).toDF("intercept", "beta_a")
+    intercept[IllegalArgumentException] {
+      Classifier.logisticModel(bogus, Seq("a", "b"))
+    }
+  }
 }
