@@ -81,6 +81,39 @@ class BpeSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("saveBpeMerges/loadBpeMerges: persisted-vs-direct encode parity, " +
+      "rank order preserved") {
+    import spark.implicits._
+    Seq("bpe_persist_spec_merges").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++
+      Seq.fill(6)("newer") ++ Seq.fill(3)("wider")).mkString(" ")
+    val corpus = Seq(text).toDF("text")
+    val merges = TextAnalysis.learnBpeMerges(corpus, "text", 6)
+    val direct = merges.orderBy("rank").select("sym_l", "sym_r")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.saveBpeMerges(merges, "bpe_persist_spec")
+    val loaded = TextAnalysis.loadBpeMerges(spark, "bpe_persist_spec")
+    assert(loaded === direct && loaded.size === 6)
+    val probe = Seq((1L, "lowest newer"), (2L, "wide low"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    def enc(m: Seq[(String, String)]) =
+      TextAnalysis.encodeBpeTokenCount(probe, "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc(loaded) === enc(direct))
+    // a frame without the contract columns is rejected
+    intercept[IllegalArgumentException] {
+      TextAnalysis.saveBpeMerges(probe, "bpe_persist_bad")
+    }
+  }
+
   test("learnBpeMerges: stops early when nothing reaches minCount") {
     import spark.implicits._
     val df = Seq("ab cd ef").toDF("text")

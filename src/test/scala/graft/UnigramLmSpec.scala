@@ -81,4 +81,45 @@ class UnigramLmSpec extends SparkSpec {
     assert(p1 === 3 * p2 && s1 === 3 * s2)
     assert(p2 >= 1L && p2 <= 3L)
   }
+
+  test("saveUnigramVocab/loadUnigramVocab: persisted-vs-direct encode " +
+      "parity through unigramLmEncodeWith") {
+    import spark.implicits._
+    Seq("uni_persist_spec_vocab").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a cat ate the hat"),
+      (3L, "a mat on the cat")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramLmLearn(corpus, "text",
+      seedMulti = 10, emRounds = 2)
+    // direct encode re-fits with the same hyperparameters -> the same
+    // vocabulary, so encoding THROUGH the persisted frame must match it
+    val direct = TextAnalysis.unigramLmEncode(corpus, "doc_id", "text",
+      seedMulti = 10, emRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).sortBy(_._1).toSeq
+    TextAnalysis.saveUnigramVocab(vocab, "uni_persist_spec")
+    val loaded = TextAnalysis.loadUnigramVocab(spark, "uni_persist_spec")
+    val via = TextAnalysis.unigramLmEncodeWith(corpus, "doc_id", "text",
+      loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(via === direct && via.nonEmpty)
+    // the frozen vocabulary also encodes UNSEEN corpora (chars it knows)
+    val fresh = Seq((9L, "a cat on a mat"), (10L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmEncodeWith(fresh, "doc_id", "text",
+      loaded).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(9L) >= 1L && out(10L) === 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.saveUnigramVocab(corpus, "uni_persist_bad")
+    }
+  }
 }
