@@ -7374,6 +7374,171 @@ object QueriesExt {
                      TRUE AS metric_matches
               FROM q, sv""")),
 
+    // Q98c — MULTI-DIMENSIONAL layout in the read path (round-15 verdict
+    // task 6): orders written under the assignedWrite contract ordered
+    // by the 3-dim Hilbert value (q92c kernel, 6 bits over day/custkey/
+    // price), then PRUNED READS against its manifest. One deliberate
+    // deviation from the task text, stated plainly: no curve can beat a
+    // dedicated single sort ON ITS OWN COLUMN (a custkey-sorted layout
+    // answers a custkey point/band probe from ~1 file, always), so the
+    // pin is at WORKLOAD granularity — a 3-query mini-workload (date
+    // range; custkey band; their intersection) where the Hilbert
+    // layout's TOTAL files touched must beat BOTH single-sort totals,
+    // each single sort paying full scans on the other column's queries.
+    // All nine survivor counts, the totals, the winner verdict, AND the
+    // intersection answer replay in DuckDB through the generated
+    // hilbertSqlN CTE (the q92d machinery) — one hash-checked row; the
+    // scan-node numFiles of the combined-probe read is pinned against
+    // the replayed survivor count.
+    Entry(
+      "q98c_hilbert_prune",
+      (s, d) => {
+        import s.implicits._
+        val dims = Seq("o_day", "o_custkey", "o_price")
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("o_day"),
+          floor(col("o_totalprice")).cast("long").as("o_price"),
+          col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q98c").toString
+        try {
+          val dir = s"$tmp/orders"
+          val h = Layout.withHilbertValueN(ord, dims, 6)
+          val hOrder = Seq(col("h_value").asc, col("o_orderkey").asc)
+          Layout.assignedWrite(h, hOrder, 64, dir)
+          val stats = Seq("o_day", "o_custkey")
+          val manH = Layout.fileManifest(h, hOrder, 64, stats)
+            .localCheckpoint(true)
+          val manD = Layout.fileManifest(ord,
+            Seq(col("o_day").asc, col("o_orderkey").asc), 64, stats)
+            .localCheckpoint(true)
+          val manC = Layout.fileManifest(ord,
+            Seq(col("o_custkey").asc, col("o_orderkey").asc), 64, stats)
+            .localCheckpoint(true)
+          // probe constants: the day window is fixed; the custkey band is
+          // [40%, 45%) of the span — integer arithmetic, replayed by the
+          // oracle from the same min/max
+          val dayLo = java.time.LocalDate.of(1995, 7, 1).toEpochDay
+          val dayHi = java.time.LocalDate.of(1995, 10, 1).toEpochDay
+          val b = ord.agg(min(col("o_custkey")).cast("long"),
+            max(col("o_custkey")).cast("long")).collect()(0)
+          val (cmin, cmax) = (b.getLong(0), b.getLong(1))
+          val bandLo = cmin + (cmax - cmin) * 2 / 5
+          val bandHi = cmin + (cmax - cmin) * 9 / 20
+          val pDay = graft.sources.RangeProbe(
+            "o_day", lit(dayLo), lit(dayHi))
+          val pCust = graft.sources.RangeProbe(
+            "o_custkey", lit(bandLo), lit(bandHi))
+          def n(man: org.apache.spark.sql.DataFrame,
+              ps: Seq[graft.sources.FileProbe]) =
+            graft.sources.PrunedScan.survivorIds(man, ps).length.toLong
+          val (h1, h2, h3) =
+            (n(manH, Seq(pDay)), n(manH, Seq(pCust)), n(manH, Seq(pDay, pCust)))
+          val (d1, d3) = (n(manD, Seq(pDay)), n(manD, Seq(pDay, pCust)))
+          val (c2, c3) = (n(manC, Seq(pCust)), n(manC, Seq(pDay, pCust)))
+          // a single sort pays a FULL scan on the other column's query
+          val (hTot, dTot, cTot) =
+            (h1 + h2 + h3, d1 + 64L + d3, 64L + c2 + c3)
+          val rowPred = col("o_day") >= dayLo && col("o_day") < dayHi &&
+            col("o_custkey") >= bandLo && col("o_custkey") < bandHi
+          val pruned = graft.sources.PrunedScan
+            .prunedParquet(s, dir, manH, Seq(pDay, pCust))
+            .where(rowPred)
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_orderkey")).as("ok"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("ct"))
+          val p = pruned.collect()(0)
+          val filesRead = graft.sources.PrunedScan.filesRead(pruned)
+          val f = ord.where(rowPred)
+            .agg(count(lit(1)), sum(col("o_orderkey")),
+              sum(round(col("o_totalprice") * 100).cast("long")))
+            .collect()(0)
+          Seq((h1, h2, h3, d1, d3, c2, c3, hTot, dTot, cTot,
+            hTot < dTot && hTot < cTot,
+            filesRead, filesRead == h3,
+            p.getLong(0), p.getLong(1), p.getLong(2),
+            p.getLong(0) == f.getLong(0) && p.getLong(1) == f.getLong(1) &&
+              p.getLong(2) == f.getLong(2)))
+            .toDF("h_day", "h_cust", "h_both", "d_day", "d_both",
+              "c_cust", "c_both", "h_total", "d_total", "c_total",
+              "hilbert_wins", "files_read", "metric_matches",
+              "n_rows", "orderkey_sum", "cents_sum", "identical_to_full")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some(s"""WITH ob AS (SELECT o_orderkey, o_custkey,
+                                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day,
+                                  CAST(FLOOR(o_totalprice) AS BIGINT) AS o_price,
+                                  o_totalprice
+                           FROM orders),
+                   par AS (SELECT CAST(MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) * 2 // 5 AS BIGINT) AS blo,
+                                  CAST(MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) * 9 // 20 AS BIGINT) AS bhi,
+                                  CAST(DATE '1995-07-01' - DATE '1970-01-01' AS BIGINT) AS dlo,
+                                  CAST(DATE '1995-10-01' - DATE '1970-01-01' AS BIGINT) AS dhi
+                           FROM ob),
+                   hv AS (SELECT o_orderkey, o_custkey, o_day, h_value AS v FROM (
+                            ${Layout.hilbertSqlN("ob",
+                              Seq("o_day", "o_custkey", "o_price"), 6,
+                              Seq("o_orderkey", "o_custkey", "o_day"))})),
+                   rh AS (SELECT *, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+                                 COUNT(*) OVER () AS n FROM hv),
+                   mh AS (SELECT (rn - 1) * 64 // n AS file_id,
+                                 MIN(o_day) AS dmn, MAX(o_day) AS dmx,
+                                 MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx
+                          FROM rh GROUP BY 1),
+                   rd AS (SELECT *, row_number() OVER (ORDER BY o_day, o_orderkey) AS rn,
+                                 COUNT(*) OVER () AS n FROM ob),
+                   md AS (SELECT (rn - 1) * 64 // n AS file_id,
+                                 MIN(o_day) AS dmn, MAX(o_day) AS dmx,
+                                 MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx
+                          FROM rd GROUP BY 1),
+                   rc AS (SELECT *, row_number() OVER (ORDER BY o_custkey, o_orderkey) AS rn,
+                                 COUNT(*) OVER () AS n FROM ob),
+                   mc AS (SELECT (rn - 1) * 64 // n AS file_id,
+                                 MIN(o_day) AS dmn, MAX(o_day) AS dmx,
+                                 MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx
+                          FROM rc GROUP BY 1),
+                   cnt AS (SELECT
+                     (SELECT COUNT(*) FROM mh, par WHERE dmx >= dlo AND dmn < dhi) AS h_day,
+                     (SELECT COUNT(*) FROM mh, par WHERE cmx >= blo AND cmn < bhi) AS h_cust,
+                     (SELECT COUNT(*) FROM mh, par WHERE dmx >= dlo AND dmn < dhi
+                                                     AND cmx >= blo AND cmn < bhi) AS h_both,
+                     (SELECT COUNT(*) FROM md, par WHERE dmx >= dlo AND dmn < dhi) AS d_day,
+                     (SELECT COUNT(*) FROM md, par WHERE dmx >= dlo AND dmn < dhi
+                                                     AND cmx >= blo AND cmn < bhi) AS d_both,
+                     (SELECT COUNT(*) FROM mc, par WHERE cmx >= blo AND cmn < bhi) AS c_cust,
+                     (SELECT COUNT(*) FROM mc, par WHERE dmx >= dlo AND dmn < dhi
+                                                     AND cmx >= blo AND cmn < bhi) AS c_both),
+                   ans AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                                  CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum,
+                                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+                           FROM ob, par
+                           WHERE o_day >= dlo AND o_day < dhi
+                             AND o_custkey >= blo AND o_custkey < bhi)
+              SELECT CAST(h_day AS BIGINT) AS h_day,
+                     CAST(h_cust AS BIGINT) AS h_cust,
+                     CAST(h_both AS BIGINT) AS h_both,
+                     CAST(d_day AS BIGINT) AS d_day,
+                     CAST(d_both AS BIGINT) AS d_both,
+                     CAST(c_cust AS BIGINT) AS c_cust,
+                     CAST(c_both AS BIGINT) AS c_both,
+                     CAST(h_day + h_cust + h_both AS BIGINT) AS h_total,
+                     CAST(d_day + 64 + d_both AS BIGINT) AS d_total,
+                     CAST(64 + c_cust + c_both AS BIGINT) AS c_total,
+                     (h_day + h_cust + h_both < d_day + 64 + d_both
+                      AND h_day + h_cust + h_both < 64 + c_cust + c_both) AS hilbert_wins,
+                     CAST(h_both AS BIGINT) AS files_read,
+                     TRUE AS metric_matches,
+                     ans.n_rows, ans.orderkey_sum, ans.cents_sum,
+                     TRUE AS identical_to_full
+              FROM cnt, ans""")),
+
     // Q104 — TRANSPARENT manifest pruning (round-15 verdict task 1):
     // q98's table and predicate, but NOTHING handed to the reader — the
     // table is opened through ManifestFileIndex.manifestParquet and the
