@@ -234,18 +234,35 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
       maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
-      uniformPairRepartition: Boolean = false): DataFrame =
+      uniformPairRepartition: Boolean = false,
+      stagedAttach: Boolean = false): DataFrame =
     minHashLshPairsManaged(
       df, idCol, textCol, shingleK, numHashes, bands, threshold,
-      maxBroadcastDocs, uniformPairRepartition).releaseOnFirstUse()
+      maxBroadcastDocs, uniformPairRepartition,
+      stagedAttach).releaseOnFirstUse()
 
-  /** [[minHashLshPairs]] with cache ownership — see [[ManagedPairs]]. */
+  /** [[minHashLshPairs]] with cache ownership — see [[ManagedPairs]].
+    *
+    * `stagedAttach` is the SCRATCH-BOUND regime's knob (round-15 verdict
+    * task 7): the default single-stage shape exchanges the candidate
+    * stream with both verification payloads attached (~0.8 KB/row —
+    * measured as THE scratch consumer once the stream outgrows the page
+    * cache, SCALE.md addendum 2). The staged shape instead DISTINCTs the
+    * bare `(a_id, b_id)` stream first — a ~20 B/row exchange that both
+    * eliminates the k-fold band duplicates before any payload exists and
+    * replaces the first-match dedup (so `_bks` never rides the stream at
+    * all) — then attaches signatures once per UNIQUE pair. Same emitted
+    * pair set (spec-pinned identical to the default shape; the 4-sigma
+    * filter sees the same signatures), ~35% slower at page-cache scale
+    * (two extra exchanges of the bare stream), ~3x less shuffle volume
+    * through the dominant exchange where scratch, not CPU, binds. */
   def minHashLshPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
       maxBroadcastDocs: Long = defaultMaxBroadcastDocs,
-      uniformPairRepartition: Boolean = false): ManagedPairs = {
+      uniformPairRepartition: Boolean = false,
+      stagedAttach: Boolean = false): ManagedPairs = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // Repartition at ingest: a small-file source (one parquet file ⇒ one
@@ -325,26 +342,38 @@ object Dedup {
       graft.functions.ArrayKernels.firstEqualIndex(col("_bks_a"), col("_bks_b"))
     val agree =
       graft.functions.ArrayKernels.agreeCount(col("_sig_a"), col("_sig_b"))
-    // Single-stage attach: both payloads in one pair of joins. (A staged
-    // variant — band keys first, signatures only for first-match survivors —
-    // measured ~35% SLOWER: two extra joins cost more than the array-copy
-    // volume they save.) The shuffle_hash-hinted attaches exchange the
+    // Single-stage attach (default): both payloads in one pair of joins —
+    // fastest while the exchanged stream fits the page cache; the
+    // `stagedAttach` branch below is the scratch-bound alternative (see
+    // the method doc). The shuffle_hash-hinted attaches exchange the
     // candidate stream by the single id key — uniform unless one document
     // dominates the candidate set, which the banding bounds.
     val cand0 =
       if (!direct && uniformPairRepartition)
         candRaw.repartition(par, col("a_id"), col("b_id"))
       else candRaw
-    val cand = cand0
-      .join(attach(sigsK.select(
-        col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a"))),
-        Seq("a_id"))
-      .join(attach(sigsK.select(
-        col("_id").as("b_id"), col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))),
-        Seq("b_id"))
-      .filter(firstMatch === col("_band") + 1)
-      .filter(agree >= lit(sigCut * numHashes))
-      .select("a_id", "b_id")
+    val cand =
+      if (stagedAttach)
+        // staged: dedup the BARE stream (no payload exists yet), then
+        // attach signatures once per unique pair — distinct subsumes the
+        // first-match trick, so the band-key arrays never attach at all
+        cand0.select("a_id", "b_id").distinct()
+          .join(attach(sigs.select(
+            col("_id").as("a_id"), col("_sig").as("_sig_a"))), Seq("a_id"))
+          .join(attach(sigs.select(
+            col("_id").as("b_id"), col("_sig").as("_sig_b"))), Seq("b_id"))
+          .filter(agree >= lit(sigCut * numHashes))
+          .select("a_id", "b_id")
+      else cand0
+        .join(attach(sigsK.select(
+          col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a"))),
+          Seq("a_id"))
+        .join(attach(sigsK.select(
+          col("_id").as("b_id"), col("_sig").as("_sig_b"), col("_bks").as("_bks_b"))),
+          Seq("b_id"))
+        .filter(firstMatch === col("_band") + 1)
+        .filter(agree >= lit(sigCut * numHashes))
+        .select("a_id", "b_id")
     val withSets = cand
       .join(attach(base.select(col("_id").as("a_id"), col("_hs").as("_hs_a"))), Seq("a_id"))
       .join(attach(base.select(col("_id").as("b_id"), col("_hs").as("_hs_b"))), Seq("b_id"))

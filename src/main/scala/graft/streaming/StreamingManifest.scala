@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -139,4 +140,127 @@ object StreamingManifest {
       })
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Compact a LIVE manifest-managed table (round-15 verdict task 8):
+    * a streaming ingest lands one file per trigger, and
+    * [[graft.operators.Layout.compactFiles]] (q82) repacks such
+    * fragmentation — but nothing rewrote the live manifest (+ Bloom
+    * sidecars), so a compacted streaming table silently lost its pruning
+    * until a batch rebuild. This pass does both sides under the same
+    * staging discipline:
+    *
+    *  1. repack the manifest-listed `dir/file_id=k/` dirs into
+    *     `ceil(bytes/target)` files under FRESH ids starting at
+    *     `max(maxFileId+1, 2^40)` — disjoint from every past and
+    *     realistic future batch id, so the resumed stream can never
+    *     collide with a compacted file;
+    *  2. re-derive per-file stats and Bloom registers by READING THE
+    *     WRITTEN FILES BACK (one pass over the repacked data — exactly
+    *     what is on disk, no determinism assumptions about the writer's
+    *     split);
+    *  3. stage, in false-negative-free order: the bloom SUPERSET
+    *     (old ∪ new registers) → the compacted manifest → the pruned
+    *     (new-only) registers — every crash window leaves a manifest
+    *     whose listed files all have register coverage;
+    *  4. delete the old dirs (plus any stray `file_id=` dirs a previous
+    *     crashed compaction left unreferenced).
+    *
+    * All three stagings REWRITE the current max staged id, so a resumed
+    * stream's next trigger reads the compacted state as its prefix and
+    * appends normally (spec-pinned). Contract: run in a maintenance
+    * window — the stream must be STOPPED CLEANLY (all batches
+    * committed); a replay of the rewritten id would resurrect the
+    * pre-compaction manifest against post-compaction dirs. Returns the
+    * q82-shaped before/after inventory. */
+  def compact(
+      spark: SparkSession, dir: String, statePath: String,
+      statCols: Seq[String], targetFileBytes: Long,
+      sortCol: Option[String] = None,
+      bloomCols: Seq[(String, Int, Int)] = Nil)
+      : graft.operators.Layout.CompactionStats = {
+    require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
+    require(statCols.nonEmpty, "compact: no stat columns")
+    val man = currentManifest(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"compact: no committed manifest at $statePath"))
+    val stagedId = DeltaStaging.stagedIds(spark, statePath).max
+    val oldIds = man.select(col("file_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    require(oldIds.nonEmpty, "compact: manifest lists no files")
+    val newBase = math.max(oldIds.max + 1L, 1L << 40)
+
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def idDir(k: Long) = new Path(dir, s"file_id=$k")
+    def bytesOf(p: Path): Long =
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    // janitor: a crashed previous compaction may have left written-but-
+    // never-referenced dirs behind — any file_id dir not in the manifest
+    // is dead by definition (the manifest IS the table)
+    val live = oldIds.toSet
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("file_id="))
+      .filter(p => p.getName.stripPrefix("file_id=").toLongOption
+        .exists(!live.contains(_)))
+      .foreach(p => fs.delete(p, true))
+
+    val oldDirs = oldIds.map(k => idDir(k))
+    val bytesIn = oldDirs.map(bytesOf).sum
+    val nOut = math.max(1L,
+      (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    val src = spark.read.option("basePath", dir)
+      .parquet(oldDirs.map(_.toString): _*).drop("file_id")
+    val packed = sortCol match {
+      case Some(c) =>
+        src.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+      case None => src.repartition(nOut)
+    }
+    packed
+      .withColumn("file_id", lit(newBase) + spark_partition_id().cast("long"))
+      .write.mode("append").partitionBy("file_id").parquet(dir)
+
+    // stats + registers from the files as WRITTEN (read-back pass)
+    val newDirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(p =>
+        p.getName.stripPrefix("file_id=").toLongOption.exists(_ >= newBase))
+      .map(_.toString).toSeq.sorted
+    val rb = spark.read.option("basePath", dir).parquet(newDirs: _*)
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    val newMan = rb.groupBy(col("file_id").cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(man.columns.map(col): _*)
+      .localCheckpoint(true)
+
+    // bloom-superset → manifest → bloom-prune: every crash window keeps
+    // register coverage for every file the visible manifest lists
+    val newRegs = bloomCols.map { case (c, mBits, k) =>
+      val regs = graft.operators.Bloom.registers(
+        rb.withColumn("file_id", col("file_id").cast("long")),
+        Seq("file_id"), c, mBits, k).localCheckpoint(true)
+      (c, regs)
+    }
+    newRegs.foreach { case (c, regs) =>
+      val rootB = bloomRoot(statePath, c)
+      val prev = DeltaStaging.stagedIds(spark, rootB).maxOption
+        .map(b => DeltaStaging.read(spark, rootB, b))
+      // pin before staging: the superset lazily READS the staging dir it
+      // is about to overwrite
+      val superset = prev.map(_.unionByName(regs)).getOrElse(regs)
+        .localCheckpoint(true)
+      DeltaStaging.stage(superset, rootB, stagedId)
+    }
+    DeltaStaging.stage(newMan, statePath, stagedId)
+    newRegs.foreach { case (c, regs) =>
+      DeltaStaging.stage(regs, bloomRoot(statePath, c), stagedId)
+    }
+    oldDirs.foreach(p => fs.delete(p, true))
+
+    val outFiles = newDirs.map(p => bytesOf(new Path(p)))
+    graft.operators.Layout.CompactionStats(
+      oldIds.size.toLong, bytesIn, newDirs.size.toLong, outFiles.sum,
+      nOut.toLong)
+  }
 }

@@ -46,6 +46,23 @@ object ScaleStressR15 {
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode(SaveMode.Overwrite).save()
 
+  /** Documents-only replica build (the d02 soak's input — no other table
+    * needed): doc_id-shifted, per-copy affine-ciphered text. Shared with
+    * [[ScaleStressR16]]. */
+  def buildDocsScaled(
+      spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 2 && factor <= 312,
+      s"factor must be in [2, 312] (affine cipher family size), got $factor")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+        .withColumn("text", translate(col("text"), alpha, cipher(k)))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+  }
+
   private def buildScaled(
       spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // the corpus really has near-dups
   }
 
+  test("minHashLshPairs: stagedAttach emits the IDENTICAL pair set — the " +
+      "scratch-bound shape is a plan change, not a semantics change") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    def run(staged: Boolean) = Dedup.minHashLshPairs(
+        df, "doc_id", "text", threshold = 0.5, stagedAttach = staged)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (direct, staged) = (run(false), run(true))
+    assert(staged === direct && direct.nonEmpty)
+    // and in narrow (non-broadcast) mode too — the regime the knob exists
+    // for (maxBroadcastDocs = 0 forces the shuffle_hash attaches)
+    def runNarrow(st: Boolean) = Dedup.minHashLshPairs(
+        df, "doc_id", "text", threshold = 0.5, maxBroadcastDocs = 0L,
+        stagedAttach = st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(runNarrow(true) === runNarrow(false))
+    assert(runNarrow(true) === direct)
+  }
+
   test("simHashPairs == brute-force hamming pairs (8x7-bit blocking, maxHamming 7)") {
     import spark.implicits._
     def hash56(t: String): Long = {

@@ -125,4 +125,80 @@ class StreamingManifestSpec extends SparkSpec {
       assert(rows(man) === Set((0L, 10L, Some(1000L), Some(1009L), 0L)))
     } finally q3.stop()
   }
+
+  test("compact: live table repacks, manifest + bloom sidecars rewritten, " +
+      "pruned reads stay exact, the resumed stream appends on top") {
+    import graft.sources.{EqualProbe, PrunedScan, RangeProbe}
+    val base = tmpDir("sman-c")
+    val statePath = s"$base/state"
+    val dataDir = s"$base/data"
+    val ckpt = s"$base/ckpt"
+    val (mBits, k) = (4096, 4)
+    def run(stream: MemoryStream[(Long, Long)]) =
+      StreamingManifest.attach(
+        stream.toDF().toDF("v", "w"), Seq("v", "w"), statePath, ckpt,
+        bloomCols = Seq(("w", mBits, k))) { (_, _) => () }
+    // 6 tiny "files": v in [0,599), w uncorrelated
+    val s1 = MemoryStream[(Long, Long)](spark)
+    val waves = (0 until 6).map(wv =>
+      (0 until 100).map(i => ((wv * 100 + i).toLong,
+        ((wv * 100 + i) * 7919L % 600L))))
+    val q1 = run(s1)
+    try {
+      waves.zipWithIndex.foreach { case (w, id) =>
+        s1.addData(w: _*); q1.processAllAvailable()
+        w.toDF("v", "w").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dataDir/file_id=$id")
+      }
+    } finally q1.stop()
+    val all = waves.flatten
+    def answers(probes: Seq[graft.sources.FileProbe],
+        rowPred: org.apache.spark.sql.Column) = {
+      val df = PrunedScan.prunedParquetLive(spark, dataDir, statePath,
+        probes, Map("w" -> (mBits, k))).get.where(rowPred)
+      (df.collect().map(_.getAs[Long]("v")).toSet, PrunedScan.filesRead(df))
+    }
+    val rProbe = Seq(RangeProbe("v", lit(150L), lit(450L)))
+    val rPred = col("v") >= 150L && col("v") < 450L
+    val (preRows, preFiles) = answers(rProbe, rPred)
+    assert(preRows === all.filter(t => t._1 >= 150 && t._1 < 450).map(_._1).toSet)
+    assert(preFiles === 4L) // files 1..4
+
+    // compact 6 files -> ~2 (sorted by v so range pruning survives)
+    val st = StreamingManifest.compact(spark, dataDir, statePath,
+      Seq("v", "w"), targetFileBytes = 3L * 1024, sortCol = Some("v"),
+      bloomCols = Seq(("w", mBits, k)))
+    assert(st.nFilesIn === 6L && st.nFilesOut < 6L && st.nFilesOut >= 1L)
+    // old dirs are gone; the manifest lists only >= 2^40 ids
+    val man = StreamingManifest.currentManifest(spark, statePath).get
+    val ids = man.select(col("file_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.forall(_ >= (1L << 40)) && ids.size.toLong === st.nFilesOut)
+    assert(!new java.io.File(s"$dataDir/file_id=0").exists())
+
+    // range pruning still exact, still strictly pruning when nFilesOut > 1
+    val (postRows, postFiles) = answers(rProbe, rPred)
+    assert(postRows === preRows)
+    assert(postFiles <= st.nFilesOut)
+    // bloom equality probing still exact through the rewritten sidecar
+    val probeW = all.head._2
+    val (eqRows, _) = answers(Seq(EqualProbe("w", lit(probeW))),
+      col("w") === probeW)
+    assert(eqRows === all.filter(_._2 == probeW).map(_._1).toSet)
+
+    // the resumed stream appends on top of the compacted prefix
+    val s2 = MemoryStream[(Long, Long)](spark)
+    waves.foreach(w => s2.addData(w: _*)) // replays commit nothing new
+    s2.addData((600 until 700).map(i => (i.toLong, (i * 7919L) % 600L)): _*)
+    val q2 = run(s2)
+    try q2.processAllAvailable() finally q2.stop()
+    (600 until 700).map(i => (i.toLong, (i * 7919L) % 600L))
+      .toDF("v", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/file_id=6")
+    val man2 = StreamingManifest.currentManifest(spark, statePath).get
+    assert(man2.count() === st.nFilesOut + 1L)
+    val (tailRows, _) = answers(Seq(RangeProbe("v", lit(600L), lit(700L))),
+      col("v") >= 600L && col("v") < 700L)
+    assert(tailRows === (600L until 700L).toSet)
+  }
 }
