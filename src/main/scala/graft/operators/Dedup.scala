@@ -245,17 +245,20 @@ object Dedup {
     *
     * `stagedAttach` is the SCRATCH-BOUND regime's knob (round-15 verdict
     * task 7): the default single-stage shape exchanges the candidate
-    * stream with both verification payloads attached (~0.8 KB/row —
-    * measured as THE scratch consumer once the stream outgrows the page
-    * cache, SCALE.md addendum 2). The staged shape instead DISTINCTs the
-    * bare `(a_id, b_id)` stream first — a ~20 B/row exchange that both
-    * eliminates the k-fold band duplicates before any payload exists and
-    * replaces the first-match dedup (so `_bks` never rides the stream at
-    * all) — then attaches signatures once per UNIQUE pair. Same emitted
-    * pair set (spec-pinned identical to the default shape; the 4-sigma
-    * filter sees the same signatures), ~35% slower at page-cache scale
-    * (two extra exchanges of the bare stream), ~3x less shuffle volume
-    * through the dominant exchange where scratch, not CPU, binds. */
+    * stream with verification payloads attached (~0.8 KB/row — measured
+    * as THE scratch consumer once the stream outgrows the page cache,
+    * SCALE.md addendum 2; an intermediate distinct-first variant still
+    * ENOSPC'd at 20x). The staged shape never exchanges the candidate
+    * stream at all: BYTE-FOLDED signatures (64 B/doc) ride the banded
+    * frames through the doc-sized (band, bucket) exchange, the 4-sigma
+    * agreement filter runs fused inside the band join's emission
+    * (byte-fold agreement over-counts with p = 1/256 per lane, so a
+    * SUPERSET passes — conservative-keep), and only the near-real
+    * survivors are distinct'd and shingle-verified. Same emitted pair
+    * set (spec-pinned in both broadcast and shuffle_hash modes); the
+    * trade is per-pair compute inside the band join (a hot bucket
+    * serializes its agreement checks) for candidate-exchange scratch
+    * that no longer exists — measured in SCALE.md's 30x leg. */
   def minHashLshPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,
@@ -353,17 +356,57 @@ object Dedup {
         candRaw.repartition(par, col("a_id"), col("b_id"))
       else candRaw
     val cand =
-      if (stagedAttach)
-        // staged: dedup the BARE stream (no payload exists yet), then
-        // attach signatures once per unique pair — distinct subsumes the
-        // first-match trick, so the band-key arrays never attach at all
-        cand0.select("a_id", "b_id").distinct()
-          .join(attach(sigs.select(
-            col("_id").as("a_id"), col("_sig").as("_sig_a"))), Seq("a_id"))
-          .join(attach(sigs.select(
-            col("_id").as("b_id"), col("_sig").as("_sig_b"))), Seq("b_id"))
-          .filter(agree >= lit(sigCut * numHashes))
-          .select("a_id", "b_id")
+      if (stagedAttach) {
+        // staged (the scratch-bound shape): the candidate stream is NEVER
+        // exchanged. Byte-folded signatures (64 B/doc) ride the banded
+        // frames through the (band, bucket) exchange — doc-sized, not
+        // candidate-sized — so the agreement filter runs FUSED inside the
+        // band join's emission, and only its survivors (near-real pairs)
+        // reach a distinct. Exactness: equal minhash longs have equal
+        // byte folds, so folded agreement can only OVER-count (p = 1/256
+        // per position) — a superset passes, and the exact-Jaccard
+        // verification below emits the identical final pair set
+        // (spec-pinned against the single-stage shape). Trade, stated in
+        // the method doc: per-pair compute sits inside the band join, so
+        // a hot bucket serializes its n^2 agreement checks on one task —
+        // the exact cost the single-stage shape avoids — in exchange for
+        // eliminating the candidate-stream exchanges that bind scratch.
+        // second, WIDER minhash family for the fused filter only: 4x the
+        // lanes quarter the estimator sigma, so the same 4-sigma recall
+        // guarantee cuts at j-hat >= t - 4*sqrt(t(1-t)/256) (0.375 at
+        // t = 0.5) instead of 0.25 — measured ~50x fewer pairs reach the
+        // set-payload verify on template-heavy corpora, which is where
+        // the scratch actually went (the j in [0.25, t) population, not
+        // the k-fold duplicates)
+        val filterHashes = 256
+        val cut2 = math.max(0.0, threshold -
+          4.0 * math.sqrt(threshold * (1 - threshold) / filterHashes))
+        val sg8 = (sc: Column) => transform(sc,
+          x => (x.bitwiseAND(lit(255L)) - 128).cast("byte"))
+        val sigsW = base.select(col("_id"),
+          sg8(minHashSignature(col("_hs"), filterHashes)).as("_sgw"))
+        val bandedS = sigsK.join(sigsW, Seq("_id")).select(
+          col("_id"), sg8(col("_sig")).as("_sg8"), col("_sgw"),
+          posexplode(col("_bks")).as(Seq("_band", "_bh")))
+        val aS = bandedS.select(col("_id").as("a_id"),
+          col("_sg8").as("_sg8_a"), col("_sgw").as("_sgw_a"),
+          col("_band"), col("_bh"))
+        val bS = bandedS.select(col("_id").as("b_id"),
+          col("_sg8").as("_sg8_b"), col("_sgw").as("_sgw_b"),
+          col("_band").as("_band2"), col("_bh").as("_bh2"))
+        def agreeOf(a: Column, b: Column) =
+          size(filter(zip_with(a, b, (x, y) => x === y), hit => hit))
+        aS.join(if (direct) broadcast(bS) else bS,
+            col("_band") === col("_band2") && col("_bh") === col("_bh2") &&
+              col("a_id") < col("b_id"))
+          // cheap 64-lane cut first (drops the bulk), wide 256-lane cut
+          // second (drops the j in [0.25, 0.375) template band)
+          .filter(agreeOf(col("_sg8_a"), col("_sg8_b")) >=
+            lit(sigCut * numHashes))
+          .filter(agreeOf(col("_sgw_a"), col("_sgw_b")) >=
+            lit(cut2 * filterHashes))
+          .select("a_id", "b_id").distinct()
+      }
       else cand0
         .join(attach(sigsK.select(
           col("_id").as("a_id"), col("_sig").as("_sig_a"), col("_bks").as("_bks_a"))),

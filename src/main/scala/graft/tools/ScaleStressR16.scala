@@ -27,8 +27,19 @@ object ScaleStressR16 {
     val factors = args.lift(1).map(_.split(",").toSeq.map(_.toInt))
       .getOrElse(Seq(10, 20, 30))
     val runDefaultUpTo = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark = GraftSession.build("local[32]")
+    // FRESH SparkContext per scale factor: shuffle files live until the
+    // ContextCleaner gets to them, and at 20x+ a single leftover leg is
+    // tens of GB — round-15's GC+sleep was not enough (observed ENOSPC
+    // mid-20x). A context stop deletes its blockmgr/spill dirs outright.
+    var spark = GraftSession.build("local[32]")
     spark.sparkContext.setLogLevel("WARN")
+    def recycle(): Unit = {
+      spark.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      spark = GraftSession.build("local[32]")
+      spark.sparkContext.setLogLevel("WARN")
+    }
 
     // the replica shift is max(doc_id)+1 of the base table (what
     // buildDocsScaled uses), so copy(doc) = doc_id DIV shift
@@ -84,13 +95,15 @@ object ScaleStressR16 {
     runLeg("1x", baseDir, staged = true)
 
     for (f <- factors) {
+      recycle()
       val outDir = s"/tmp/graft_scale_r16_${f}x"
       val t0 = System.nanoTime()
       ScaleStressR15.buildDocsScaled(spark, baseDir, outDir, f)
       println(f"[r16-soak] ${f}x documents built in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s at $outDir")
-      if (f <= runDefaultUpTo) runLeg(s"${f}x", outDir, staged = false)
+      if (f <= runDefaultUpTo) { runLeg(s"${f}x", outDir, staged = false); recycle() }
       runLeg(s"${f}x", outDir, staged = true)
+      recycle()
       candCounters(s"${f}x", outDir)
       // reclaim the replica before building the next (30x documents alone
       // is ~30 copies x the base parquet)
