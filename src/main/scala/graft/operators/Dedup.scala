@@ -258,7 +258,9 @@ object Dedup {
     * set (spec-pinned in both broadcast and shuffle_hash modes); the
     * trade is per-pair compute inside the band join (a hot bucket
     * serializes its agreement checks) for candidate-exchange scratch
-    * that no longer exists — measured in SCALE.md's 30x leg. */
+    * that no longer exists — measured in SCALE.md's 30x leg.
+    * `uniformPairRepartition` has no effect in staged mode: there is no
+    * candidate-stream exchange left for it to balance. */
   def minHashLshPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 32,

@@ -57,6 +57,18 @@ class ManifestFileIndex(
   extends InMemoryFileIndex(
     spark, Seq(new Path(dir)), Map("basePath" -> dir), None) {
 
+  // IDENTITY equality: the parent compares rootPaths only, under which
+  // this index would equal a PLAIN index — or another manifest's index —
+  // over the same directory, and Spark's scan/exchange reuse could then
+  // substitute a pruned scan for a full one (or vice versa) inside a
+  // single query. Losing reuse between genuinely identical manifest
+  // reads is the safe direction.
+  override def equals(other: Any): Boolean = other match {
+    case m: ManifestFileIndex => m eq this
+    case _ => false
+  }
+  override def hashCode(): Int = System.identityHashCode(this)
+
   /** Columns the manifest carries stats for (`<c>_min/_max/_nulls`). */
   private val statCols: Set[String] = manifest.columns.iterator
     .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSet

@@ -145,6 +145,24 @@ class ManifestFileIndexSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("mfi_sql_t")
   }
 
+  test("index equality is identity: a manifest read never aliases a plain " +
+      "read of the same dir through scan/exchange reuse") {
+    val dir = tmpDir("mfi-eqid") + "/t"
+    val man = writeTable(dir)
+    val t = ManifestFileIndex.manifestParquet(spark, dir, man)
+    // the parent's rootPaths-only equality would make these equal
+    val t2 = ManifestFileIndex.manifestParquet(spark, dir, man)
+    val plain = fullScan(dir)
+    // ONE query combining a pruned read and the full scan of the SAME
+    // dir: a reuse alias in either direction changes the counts
+    val both = t.where(col("v") >= 350L).select("v")
+      .unionAll(plain.select("v"))
+    val got = both.collect().map(_.getLong(0))
+    assert(got.length === 50 + 400)
+    assert(PrunedScan.filesRead(both) === 1L + 8L)
+    val _ = t2
+  }
+
   test("live variant: manifestParquetLive prunes a streaming table's " +
       "plain reads") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
