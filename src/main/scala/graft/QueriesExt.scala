@@ -5075,8 +5075,10 @@ object QueriesExt {
           .withColumn("dn", (col("l_discount") - 0.05) * 20.0)
           .withColumn("ret",
             when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        // pinned: logisticModel's one-row contract check counts the frame,
+        // and scoring reads it again — one evaluation, not two
         val fit = Classifier.logisticFit(li, Seq("qn", "dn"), "ret",
-          iters = 6, lr = 0.5)
+          iters = 6, lr = 0.5).localCheckpoint(true)
         val m = Classifier.logisticModel(fit, Seq("qn", "dn"))
         val probe = li.filter(col("l_orderkey") % 100 === 0)
           .withColumn("rid",

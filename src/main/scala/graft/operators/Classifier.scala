@@ -151,6 +151,11 @@ object Classifier {
     val missing = need.filterNot(fit.columns.contains)
     require(missing.isEmpty,
       s"logisticModel: fit frame lacks ${missing.mkString(", ")}")
+    // enforce the one-row contract AT FREEZE TIME (one tiny job): a 0-row
+    // frame would silently score nothing through the crossJoin and an
+    // N-row frame would emit every id N times
+    val n = fit.count()
+    require(n == 1L, s"logisticModel: coefficient frame has $n rows, need 1")
     LogisticModel(fit.select(need.map(col): _*), xCols)
   }
 
@@ -191,7 +196,7 @@ object Classifier {
       .filter(_.startsWith("beta_")).map(_.stripPrefix("beta_"))
     require(xCols.nonEmpty && coeffs.columns.contains("intercept"),
       s"loadLogistic: ${name}_coef is not a saved logistic model")
-    LogisticModel(coeffs, xCols)
+    logisticModel(coeffs, xCols)
   }
 
   /** Logistic-regression curation classifier — the gradient-trained

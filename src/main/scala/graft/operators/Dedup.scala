@@ -202,8 +202,10 @@ object Dedup {
   def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
     graft.functions.ArrayKernels.minHashSig(shingleHashes, numHashes)
 
-  /** LSH band keys: hash `rows`-sized slices of the signature. */
-  private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+  /** LSH band keys: hash `rows`-sized slices of the signature. Shared
+    * with the soak/profiling tools (private[graft]) so their candidate
+    * counters can never desynchronize from the production banding. */
+  private[graft] def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map(b =>
       xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
 
@@ -398,7 +400,12 @@ object Dedup {
           col("_band").as("_band2"), col("_bh").as("_bh2"))
         def agreeOf(a: Column, b: Column) =
           size(filter(zip_with(a, b, (x, y) => x === y), hit => hit))
-        aS.join(if (direct) broadcast(bS) else bS,
+        // never broadcast here, even in direct mode: the banded frame
+        // carries ~340 B of folded lanes per row (32 rows/doc) — ~30-50x
+        // the bytes the broadcastable() gate was calibrated for, so a
+        // corpus just under the gate could blow the broadcast limit; the
+        // shuffle the plain join pays is doc-sized either way
+        aS.join(bS,
             col("_band") === col("_band2") && col("_bh") === col("_bh2") &&
               col("a_id") < col("b_id"))
           // cheap 64-lane cut first (drops the bulk), wide 256-lane cut

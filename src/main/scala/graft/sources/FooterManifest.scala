@@ -89,6 +89,12 @@ object FooterManifest {
       case _ => None
     }
     val anyIds = files.exists(idOf(_).isDefined)
+    // a MIXED layout (file_id=k/ dirs plus stray flat files) would hand
+    // flat files rank ids that collide with real dir ids and silently
+    // drop rows from an id-addressed pruned read — fail loudly instead
+    require(!anyIds || files.forall(idOf(_).isDefined),
+      s"fromFooters: $dir mixes file_id= dirs with flat parquet files — " +
+        "clean the strays or adopt the two layouts separately")
     val keyed: Seq[(Long, String, Path)] = files.zipWithIndex.map {
       case (p, rank) => idOf(p) match {
         case Some(k) if anyIds => (k, p.getParent.toUri.getPath, p)

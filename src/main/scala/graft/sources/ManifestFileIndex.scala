@@ -1,7 +1,5 @@
 package graft.sources
 
-import scala.collection.mutable
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -73,8 +71,13 @@ class ManifestFileIndex(
   private val statCols: Set[String] = manifest.columns.iterator
     .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSet
 
-  /** One survivor set per distinct translated filter — planning cache. */
-  private val survivorCache = mutable.Map.empty[String, Set[Long]]
+  /** One survivor set per distinct translated filter — planning cache.
+    * Concurrent (listFiles can be invoked from parallel query threads)
+    * and bounded: a long-lived index over a high-cardinality predicate
+    * stream would otherwise grow one Set per distinct literal. */
+  private val survivorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Long]]()
+  private val MaxCachedPredicates = 128
 
   /** Manifest unit path → file_id, when the manifest carries a `path`
     * column (the [[FooterManifest.fromFooters]] shape): lets the index
@@ -137,7 +140,10 @@ class ManifestFileIndex(
     if (andProbes.isEmpty && anyOfProbes.isEmpty) None
     else {
       val key = conjuncts.map(_.canonicalized.toString).sorted.mkString(";")
-      Some(survivorCache.getOrElseUpdate(key, {
+      val cached = survivorCache.get(key)
+      if (cached != null) Some(cached)
+      else {
+        // compute OUTSIDE any map lock — survivorIds runs Spark jobs
         val sets =
           (if (andProbes.nonEmpty)
              Seq(PrunedScan.survivorIds(manifest, andProbes, blooms).toSet)
@@ -145,8 +151,11 @@ class ManifestFileIndex(
             anyOfProbes.map(_.map(p =>
               PrunedScan.survivorIds(manifest, Seq(p), blooms).toSet)
               .reduce(_ union _))
-        sets.reduce(_ intersect _)
-      }))
+        val ids = sets.reduce(_ intersect _)
+        if (survivorCache.size >= MaxCachedPredicates) survivorCache.clear()
+        survivorCache.put(key, ids)
+        Some(ids)
+      }
     }
   }
 

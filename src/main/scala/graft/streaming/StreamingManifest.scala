@@ -234,28 +234,32 @@ object StreamingManifest {
       .select(man.columns.map(col): _*)
       .localCheckpoint(true)
 
-    // bloom-superset → manifest → bloom-prune: every crash window keeps
-    // register coverage for every file the visible manifest lists
-    val newRegs = bloomCols.map { case (c, mBits, k) =>
+    // ONE bloom staging per column, BEFORE the manifest: the staged frame
+    // is the union of the new files' registers and the previous staging's
+    // rows RESTRICTED to the (old) manifest's ids — covers both the old
+    // manifest (pre-crash reads) and the new one, so no crash window can
+    // leave a listed file without register rows. Restricting to oldIds is
+    // also what bounds growth across repeated compactions: a prior
+    // compaction's dead rows (ids no manifest lists) are dropped here,
+    // never by a second overwrite that would re-open the window
+    // (round-16 review: a final new-only re-stage at the same id briefly
+    // deletes _SUCCESS — a crash there resurrects old-id registers
+    // against the new manifest and prunes EVERYTHING).
+    bloomCols.foreach { case (c, mBits, k) =>
       val regs = graft.operators.Bloom.registers(
         rb.withColumn("file_id", col("file_id").cast("long")),
-        Seq("file_id"), c, mBits, k).localCheckpoint(true)
-      (c, regs)
-    }
-    newRegs.foreach { case (c, regs) =>
+        Seq("file_id"), c, mBits, k)
       val rootB = bloomRoot(statePath, c)
       val prev = DeltaStaging.stagedIds(spark, rootB).maxOption
-        .map(b => DeltaStaging.read(spark, rootB, b))
-      // pin before staging: the superset lazily READS the staging dir it
-      // is about to overwrite
-      val superset = prev.map(_.unionByName(regs)).getOrElse(regs)
+        .map(b => DeltaStaging.read(spark, rootB, b)
+          .where(col("file_id").cast("long").isInCollection(oldIds)))
+      // pin before staging: the union lazily READS the staging dir it is
+      // about to overwrite
+      val staged = prev.map(_.unionByName(regs)).getOrElse(regs)
         .localCheckpoint(true)
-      DeltaStaging.stage(superset, rootB, stagedId)
+      DeltaStaging.stage(staged, rootB, stagedId)
     }
     DeltaStaging.stage(newMan, statePath, stagedId)
-    newRegs.foreach { case (c, regs) =>
-      DeltaStaging.stage(regs, bloomRoot(statePath, c), stagedId)
-    }
     oldDirs.foreach(p => fs.delete(p, true))
 
     val outFiles = newDirs.map(p => bytesOf(new Path(p)))
