@@ -16,8 +16,7 @@ object ProfStaged {
       Dedup.minHashSignature(col("_hs"), 64).as("_sig"))
     val sg8 = transform(col("_sig"), x => (x.bitwiseAND(lit(255L)) - 128).cast("byte"))
     val bandedS = sigs.select(col("_id"), sg8.as("_sg8"),
-      posexplode(array((0 until 32).map(b =>
-        xxhash64(lit(b), slice(col("_sig"), b * 2 + 1, 2))): _*)).as(Seq("_band", "_bh")))
+      posexplode(Dedup.bandKeys(col("_sig"), 32, 2)).as(Seq("_band", "_bh")))
     val aS = bandedS.select(col("_id").as("a_id"), col("_sg8").as("_sg8_a"), col("_band"), col("_bh"))
     val bS = bandedS.select(col("_id").as("b_id"), col("_sg8").as("_sg8_b"),
       col("_band").as("_band2"), col("_bh").as("_bh2"))

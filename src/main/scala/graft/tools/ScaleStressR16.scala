@@ -69,8 +69,7 @@ object ScaleStressR16 {
       val sigs = base.select(col("_id"),
         Dedup.minHashSignature(col("_hs"), 64).as("_sig"))
       val banded = sigs.select(col("_id"),
-        posexplode(array((0 until 32).map(b =>
-          xxhash64(lit(b), slice(col("_sig"), b * 2 + 1, 2))): _*))
+        posexplode(Dedup.bandKeys(col("_sig"), 32, 2))
           .as(Seq("_band", "_bh")))
       val a = banded.select(col("_id").as("a_id"), col("_band"), col("_bh"))
       val b = banded.select(col("_id").as("b_id"),
