@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *                         for `c` was supplied)
   *  - `c > v, >=, <, <=` → [[CompareProbe]]
   *  - `c IS NULL`        → [[NullProbe]]
+  *  - `c LIKE 'p%'`      → [[PrefixProbe]] (startsWith)
   *  - `c IN (v…)`        → union of per-value [[EqualProbe]] survivors
   *                         (bounded fan-out; larger IN-lists fall back)
   *
@@ -217,6 +218,10 @@ class ManifestFileIndex(
         Some(scala.util.Left(CompareProbe(a.name, ">=", litCol(l))))
       case IsNull(a: AttributeReference) if covered(a) =>
         Some(scala.util.Left(NullProbe(a.name)))
+      case StartsWith(a: AttributeReference, l: Literal)
+          if covered(a) && l.value != null &&
+            a.dataType == org.apache.spark.sql.types.StringType =>
+        Some(scala.util.Left(PrefixProbe(a.name, l.value.toString)))
       case In(a: AttributeReference, vs)
           if covered(a) && vs.nonEmpty && vs.size <= MaxInFanout &&
             vs.forall { case l: Literal => l.value != null; case _ => false } =>

@@ -35,6 +35,16 @@ final case class CompareProbe(column: String, op: String, v: Column)
     s"CompareProbe op must be one of > >= < <=, got $op")
 }
 
+/** String-prefix probe — `col LIKE 'p%'` / `startsWith(p)`: a value with
+  * prefix `p` satisfies `v >= p` AND `v < next(p)`, and the second bound
+  * needs no successor arithmetic: `min < next(p)` ⇔ the first `len(p)`
+  * characters of `min` are `<= p`. So the verdict reads
+  * `max >= p && substring(min, 1, len(p)) <= p` — exact in the pruning
+  * direction, the Delta data-skipping prefix rule. Empty prefix matches
+  * every non-empty file (everything starts with ""). */
+final case class PrefixProbe(column: String, prefix: String)
+    extends FileProbe
+
 /** Per-column Bloom sidecar for [[EqualProbe]] sharpening: the
   * `(file_id, _word, _bits)` register frame [[graft.operators.Bloom.registers]]
   * builds (batch) or [[graft.streaming.StreamingManifest]] maintains
@@ -103,6 +113,11 @@ object PrunedScan {
           case "<=" => col(s"${c}_min") <= v
         }
         m.withColumn(s"_ps_$i", coalesce(verdict, lit(false)))
+      case (m, (PrefixProbe(c, p), i)) =>
+        m.withColumn(s"_ps_$i", coalesce(
+          col(s"${c}_max") >= lit(p) &&
+            substring(col(s"${c}_min"), 1, p.length) <= lit(p),
+          lit(false)))
     }
     withVerdicts.withColumn("_ps_hit",
       probes.indices.map(i => col(s"_ps_$i")).reduce(_ && _))

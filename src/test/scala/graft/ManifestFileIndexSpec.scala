@@ -145,6 +145,44 @@ class ManifestFileIndexSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("mfi_sql_t")
   }
 
+  test("string-prefix predicate prunes by the prefix rule; LIKE 'p%' and " +
+      "startsWith translate; non-prefix string predicates read all files") {
+    import spark.implicits._
+    val dir = tmpDir("mfi-pfx") + "/t"
+    // 400 rows sorted by a zero-padded string key: file k covers
+    // s ∈ [s0050k, s0050k+49] — prefixes align with file boundaries
+    val sdf = (0 until 400).map(i => (f"s$i%04d", i.toLong)).toDF("s", "v")
+    val order = Seq(col("s").asc)
+    Layout.assignedWrite(sdf, order, 8, dir)
+    val man = Layout.fileManifest(sdf, order, 8, Seq("s"))
+      .localCheckpoint(true)
+    val t = ManifestFileIndex.manifestParquet(spark, dir, man)
+    // "s01" matches s0100..s0199 — exactly files 2 and 3
+    val pfx = t.where(col("s").startsWith("s01"))
+    assert(pfx.collect().map(_.getAs[String]("s")).toSet ===
+      (100 until 200).map(i => f"s$i%04d").toSet)
+    assert(PrunedScan.filesRead(pfx) === 2L)
+    // SQL LIKE 'p%' goes through the same translation
+    t.createOrReplaceTempView("mfi_pfx_t")
+    try {
+      val like = spark.sql("SELECT s FROM mfi_pfx_t WHERE s LIKE 's039%'")
+      assert(like.collect().map(_.getString(0)).toSet ===
+        (390 until 400).map(i => f"s$i%04d").toSet)
+      assert(PrunedScan.filesRead(like) === 1L)
+    } finally spark.catalog.dropTempView("mfi_pfx_t")
+    // a prefix matching nothing reads zero files
+    val none = t.where(col("s").startsWith("t"))
+    assert(none.collect().isEmpty)
+    assert(PrunedScan.filesRead(none) === 0L)
+    // explicit-probe parity on the same manifest
+    assert(PrunedScan.survivorIds(man,
+      Seq(graft.sources.PrefixProbe("s", "s01"))) === Seq(2L, 3L))
+    // conservatism: contains/endsWith translate to nothing
+    val contains = t.where(col("s").contains("01"))
+    contains.collect()
+    assert(PrunedScan.filesRead(contains) === 8L)
+  }
+
   test("index equality is identity: a manifest read never aliases a plain " +
       "read of the same dir through scan/exchange reuse") {
     val dir = tmpDir("mfi-eqid") + "/t"
