@@ -224,7 +224,15 @@ object Classifier {
     * and exp overflows stop mattering before portability does). At 100 TB:
     * `iters` corpus passes is the honest cost of batch GD — persist the
     * feature frame before calling; the per-pass shuffle is ONE combiner
-    * row per partition (d+2 doubles). */
+    * row per partition (d+2 doubles).
+    *
+    * EAGER EXECUTION: calling this method runs `iters` Spark jobs AT CALL
+    * TIME (each step's d+1-double coefficient row is collected and
+    * re-injected as literals — the flat-plan form). The returned one-row
+    * frame embeds the final β as literals: it is cheap to re-evaluate but
+    * its lineage does NOT replay training — callers that constructed the
+    * fit lazily, or relied on lineage recomputation, should checkpoint
+    * the row instead. */
   def logisticFit(
       df: DataFrame, xCols: Seq[String], labelCol: String,
       iters: Int, lr: Double): DataFrame = {

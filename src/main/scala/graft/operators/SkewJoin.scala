@@ -70,7 +70,14 @@ object SkewJoin {
     * encoding, round-15 advice): distinct composite keys can never
     * collide to one MG item (concat_ws would drop nulls and merge
     * ('a',null)/(null,'a'), inflating `topKeyShareLb` past the true
-    * top-key share and breaking the documented lower-bound invariant). */
+    * top-key share and breaking the documented lower-bound invariant).
+    *
+    * STATE-FORMAT BREAK (round 16): summaries persisted under the old
+    * ``-joined encoding are NOT mergeable with this one — the same
+    * logical key encodes to two distinct MG items, splitting its weight
+    * and deflating `topKeyShareLb` (bound stays valid, results stay
+    * correct; only the salted-route trigger degrades). Rebuild persisted
+    * / streaming MG state rather than Mg.merge-ing across encodings. */
   def keyFreqSummary(
       df: DataFrame, keys: Seq[String], k: Int = 64): DataFrame = {
     require(keys.nonEmpty, "keyFreqSummary: no key columns")

@@ -114,9 +114,16 @@ object PrunedScan {
         }
         m.withColumn(s"_ps_$i", coalesce(verdict, lit(false)))
       case (m, (PrefixProbe(c, p), i)) =>
+        // truncate min to the prefix's CODE POINT count: Spark's
+        // substring counts code points, Java's String.length counts
+        // UTF-16 units — for a prefix with a supplementary character
+        // (emoji: 2 units, 1 code point) the unit count would take
+        // extra characters of min and prune a matching file
+        // (round-16 advice, spec-pinned with a non-BMP prefix)
         m.withColumn(s"_ps_$i", coalesce(
           col(s"${c}_max") >= lit(p) &&
-            substring(col(s"${c}_min"), 1, p.length) <= lit(p),
+            substring(col(s"${c}_min"), 1,
+              p.codePointCount(0, p.length)) <= lit(p),
           lit(false)))
     }
     withVerdicts.withColumn("_ps_hit",

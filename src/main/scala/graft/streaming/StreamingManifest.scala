@@ -250,6 +250,13 @@ object StreamingManifest {
         rb.withColumn("file_id", col("file_id").cast("long")),
         Seq("file_id"), c, mBits, k)
       val rootB = bloomRoot(statePath, c)
+      // a crashed attach can leave a bloom staging ABOVE the manifest's
+      // max staged id (bloom-before-manifest order): left in place it
+      // would win currentBloom's max-id read after this compaction and —
+      // covering no compacted file id — silently prune the whole table.
+      // It corresponds to no committed manifest, so purge it (round-16
+      // advice; the resumed stream's replay would rewrite it anyway).
+      DeltaStaging.purgeAtOrAbove(spark, rootB, stagedId + 1)
       val prev = DeltaStaging.stagedIds(spark, rootB).maxOption
         .map(b => DeltaStaging.read(spark, rootB, b)
           .where(col("file_id").cast("long").isInCollection(oldIds)))

@@ -183,6 +183,33 @@ class ManifestFileIndexSpec extends SparkSpec {
     assert(PrunedScan.filesRead(contains) === 8L)
   }
 
+  test("prefix probe with a supplementary (non-BMP) character: a file whose " +
+      "min is prefix+suffix survives (code-point truncation, round-16 advice)") {
+    import spark.implicits._
+    // min = prefix + suffix. UTF-16-unit truncation (String.length = 2 for
+    // the emoji) would take TWO code points of min — "😀b" > the
+    // prefix — and silently prune the file that holds every match.
+    val man = Seq((0L, 2L, "😀b", "😀z", 0L))
+      .toDF("file_id", "n_rows", "s_min", "s_max", "s_nulls")
+      .localCheckpoint(true)
+    assert(PrunedScan.survivorIds(man,
+      Seq(graft.sources.PrefixProbe("s", "😀"))) === Seq(0L))
+    // a different non-BMP prefix still prunes (max < prefix in UTF-8 order)
+    assert(PrunedScan.survivorIds(man,
+      Seq(graft.sources.PrefixProbe("s", "😁"))) === Seq.empty)
+    // end-to-end through the transparent StartsWith translation
+    val dir = tmpDir("mfi-nonbmp") + "/t"
+    val sdf = Seq("😀b", "😀z", "zz")
+      .toDF("s").withColumn("v", length(col("s")).cast("long"))
+    Layout.assignedWrite(sdf, Seq(col("s").asc), 2, dir)
+    val man2 = Layout.fileManifest(sdf, Seq(col("s").asc), 2, Seq("s"))
+      .localCheckpoint(true)
+    val t = ManifestFileIndex.manifestParquet(spark, dir, man2)
+    val q = t.where(col("s").startsWith("😀"))
+    assert(q.collect().map(_.getAs[String]("s")).toSet ===
+      Set("😀b", "😀z"))
+  }
+
   test("index equality is identity: a manifest read never aliases a plain " +
       "read of the same dir through scan/exchange reuse") {
     val dir = tmpDir("mfi-eqid") + "/t"

@@ -201,4 +201,5 @@ class StreamingManifestSpec extends SparkSpec {
       col("v") >= 600L && col("v") < 700L)
     assert(tailRows === (600L until 700L).toSet)
   }
+
 }
