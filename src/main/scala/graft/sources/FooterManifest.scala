@@ -71,13 +71,18 @@ object FooterManifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    // one level of nesting covers both layouts (flat and file_id=k/)
+    // one level of nesting covers both layouts (flat and file_id=k/);
+    // `_`/`.`-prefixed names are metadata (Spark's hidden-path rule —
+    // _SUCCESS, and [[GraftTable]]'s own _graft_manifest dir), never data
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
     val files = {
-      val it = fs.listStatus(root).toSeq
+      val it = fs.listStatus(root).toSeq.filter(s => visible(s.getPath))
       val flat = it.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       val nested = it.filter(_.isDirectory).flatMap(d =>
         fs.listStatus(d.getPath).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+          .filter(s => s.isFile && visible(s.getPath) &&
+            s.getPath.getName.endsWith(".parquet")))
       (flat ++ nested).map(_.getPath).sortBy(_.toString)
     }
     require(files.nonEmpty, s"fromFooters: no parquet files under $dir")
@@ -170,6 +175,49 @@ object FooterManifest {
           StructField(s"${c}_max", colType(c)),
           StructField(s"${c}_nulls", LongType, nullable = false))))
     spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Bloom sidecar for an ADOPTED table (round-16 verdict task 5):
+    * [[fromFooters]] gives min/max/null pruning, but equality probes on a
+    * column the layout is NOT sorted by stay unsharpened — exactly q97's
+    * honest failure case, reopened for adoption. This is the declared
+    * single data pass that closes it: read the table once (column-pruned
+    * to `column` + file identity — a columnar scan reads only that
+    * column's bytes), key each row by its manifest unit, and fold
+    * [[graft.operators.Bloom.registers]] per file. Feed the result to
+    * [[PrunedScan]] / [[ManifestFileIndex]] as a [[BloomSidecar]].
+    *
+    * File identity mirrors [[fromFooters]]: a `file_id=k/` layout keys by
+    * the partition value; a flat layout keys by FILENAME joined against
+    * the manifest's `path` basenames (broadcast, manifest-sized) —
+    * filenames in one directory are unique by construction, and the
+    * nested-arbitrary-dir case where basenames could collide fails
+    * loudly rather than mis-keying a register. */
+  def bloomSidecar(
+      spark: SparkSession, dir: String, manifest: DataFrame,
+      bloomCol: String, mBits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = spark.read.option("basePath", dir).parquet(dir)
+    if (t.columns.contains("file_id"))
+      graft.operators.Bloom.registers(
+        t.select(col("file_id").cast("long").as("file_id"), col(bloomCol)),
+        Seq("file_id"), bloomCol, mBits, k)
+    else {
+      val ids = manifest
+        .select(col("file_id").cast("long"),
+          element_at(split(col("path"), "/"), -1))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      require(ids.map(_._2).distinct.length == ids.length,
+        "bloomSidecar: manifest unit basenames collide — flat-layout " +
+          "keying needs unique filenames (re-adopt per subdirectory)")
+      val idsDf = spark.createDataFrame(ids).toDF("file_id", "_fb_base")
+      val tagged = t.select(col(bloomCol))
+        .withColumn("_fb_base",
+          element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(idsDf), Seq("_fb_base"))
+      graft.operators.Bloom.registers(tagged, Seq("file_id"), bloomCol,
+        mBits, k)
+    }
   }
 
   /** Footer value → Spark external value under the declared coverage. */

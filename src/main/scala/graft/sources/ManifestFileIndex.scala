@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{greatest, least}
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -31,12 +32,25 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *  - `c IS NULL`        → [[NullProbe]]
   *  - `c LIKE 'p%'`      → [[PrefixProbe]] (startsWith)
   *  - `c IN (v…)`        → union of per-value [[EqualProbe]] survivors
-  *                         (bounded fan-out; larger IN-lists fall back)
+  *                         (≤ `MaxInFanout` values); LARGER IN-lists
+  *                         collapse to the `[least(v…), greatest(v…)]`
+  *                         [[CompareProbe]] pair — one survivor job
+  *                         instead of |vs|, conservative (no Bloom
+  *                         sharpening on the collapsed range), capped at
+  *                         `MaxInCollapse` literals (round-16 task 8)
+  *  - `p OR q`           → union of the branches' survivor sets via
+  *                         bounded DNF expansion (round-16 task 2): each
+  *                         disjunct is a conjunction probed in one job,
+  *                         the disjunction is the union, nested And/Or
+  *                         distribute up to `MaxDnfDisjuncts` — one
+  *                         untranslatable leaf anywhere drops the WHOLE
+  *                         disjunction (a lossy union could prune a
+  *                         matching file)
   *
-  * Everything else — casts, functions of `c`, disjunctions, filters on
-  * columns the manifest has no stats for — translates to NOTHING, i.e. no
-  * pruning from that conjunct: the verdict language is conservative in
-  * the pruning direction ONLY, so the scan's answer is always exactly the
+  * Everything else — casts, functions of `c`, filters on columns the
+  * manifest has no stats for — translates to NOTHING, i.e. no pruning
+  * from that conjunct: the verdict language is conservative in the
+  * pruning direction ONLY, so the scan's answer is always exactly the
   * full scan's (ManifestFileIndexSpec pins both directions; q104
   * hash-checks it against the oracle).
   *
@@ -128,17 +142,20 @@ class ManifestFileIndex(
   }
 
   /** None = nothing translatable (full listing); Some(ids) = the files
-    * that can hold a matching row under every translated conjunct. */
+    * that can hold a matching row under every translated conjunct.
+    * Per-conjunct form is a bounded DNF (`Seq[Seq[FileProbe]]` — any-of
+    * over all-of): one-disjunct conjuncts batch into a single survivor
+    * job; multi-disjunct conjuncts run one job per disjunct and union. */
   private def survivorsFor(filters: Seq[Expression]): Option[Set[Long]] = {
     val conjuncts = filters.flatMap(split)
     val ands = Seq.newBuilder[FileProbe]
-    val anyOfs = Seq.newBuilder[Seq[FileProbe]]
-    conjuncts.foreach(c => translate(c).foreach {
-      case scala.util.Left(p) => ands += p
-      case scala.util.Right(ps) => anyOfs += ps
+    val unions = Seq.newBuilder[Seq[Seq[FileProbe]]]
+    conjuncts.foreach(c => dnf(c).foreach {
+      case Seq(conj) => ands ++= conj
+      case disjuncts => unions += disjuncts
     })
-    val (andProbes, anyOfProbes) = (ands.result(), anyOfs.result())
-    if (andProbes.isEmpty && anyOfProbes.isEmpty) None
+    val (andProbes, unionProbes) = (ands.result(), unions.result())
+    if (andProbes.isEmpty && unionProbes.isEmpty) None
     else {
       val key = conjuncts.map(_.canonicalized.toString).sorted.mkString(";")
       val cached = survivorCache.get(key)
@@ -149,8 +166,8 @@ class ManifestFileIndex(
           (if (andProbes.nonEmpty)
              Seq(PrunedScan.survivorIds(manifest, andProbes, blooms).toSet)
            else Nil) ++
-            anyOfProbes.map(_.map(p =>
-              PrunedScan.survivorIds(manifest, Seq(p), blooms).toSet)
+            unionProbes.map(_.map(conj =>
+              PrunedScan.survivorIds(manifest, conj, blooms).toSet)
               .reduce(_ union _))
         val ids = sets.reduce(_ intersect _)
         if (survivorCache.size >= MaxCachedPredicates) survivorCache.clear()
@@ -165,73 +182,106 @@ class ManifestFileIndex(
     case other => Seq(other)
   }
 
+  /** Bounded disjuncts-of-conjunctions cap: each disjunct costs one
+    * KB-sized survivor job; past the cap the conjunct translates to
+    * nothing (conservative full listing from that conjunct). */
+  private val MaxDnfDisjuncts = 16
+
+  /** A conjunct → bounded DNF over the probe language; None anywhere in
+    * the tree = this conjunct prunes nothing. And/Or distribute with the
+    * disjunct count capped (an A∧B of m×n disjuncts crosses to m·n). */
+  private def dnf(e: Expression): Option[Seq[Seq[FileProbe]]] = e match {
+    case Or(a, b) =>
+      for {
+        l <- dnf(a); r <- dnf(b)
+        if l.size + r.size <= MaxDnfDisjuncts
+      } yield l ++ r
+    case And(a, b) =>
+      for {
+        l <- dnf(a); r <- dnf(b)
+        if l.size.toLong * r.size <= MaxDnfDisjuncts
+      } yield for { x <- l; y <- r } yield x ++ y
+    case other => translate(other)
+  }
+
   private def covered(a: AttributeReference): Boolean =
     statCols.contains(a.name)
 
   private def litCol(l: Literal): Column =
     org.apache.spark.sql.GraftExpr.column(l)
 
-  /** A conjunct → one probe (Left), an any-of probe set (Right), or
-    * nothing (no pruning from this conjunct). Only bare attribute vs
-    * non-null literal shapes translate; IN fan-out is capped so the
-    * per-value survivor jobs stay trivially bounded. */
-  private def translate(
-      e: Expression): Option[Either[FileProbe, Seq[FileProbe]]] = {
+  /** A leaf conjunct → bounded DNF over the probe language (any-of over
+    * all-of), or None (no pruning from this conjunct). Only bare
+    * attribute vs non-null literal shapes translate. IN-lists up to
+    * `MaxInFanout` probe per value (Bloom-sharpened); larger lists up to
+    * `MaxInCollapse` collapse to ONE `[least(vs), greatest(vs)]` range
+    * conjunction — one survivor job instead of |vs|, min/max computed by
+    * Catalyst's own least/greatest (constant-folded, type-correct), at
+    * the price of no Bloom sharpening and range-box granularity
+    * (round-16 verdict task 8). */
+  private def translate(e: Expression): Option[Seq[Seq[FileProbe]]] = {
     val MaxInFanout = 16
+    val MaxInCollapse = 4096
     def nn(l: Literal): Boolean = l.value != null
+    def one(p: FileProbe) = Some(Seq(Seq(p)))
+    def inProbes(name: String, lits: Seq[Literal]) =
+      if (lits.size <= MaxInFanout)
+        Some(lits.map(l => Seq(EqualProbe(name, litCol(l)): FileProbe)))
+      else {
+        val cols = lits.map(litCol)
+        Some(Seq(Seq(
+          CompareProbe(name, ">=", least(cols: _*)),
+          CompareProbe(name, "<=", greatest(cols: _*)))))
+      }
     e match {
       case EqualTo(a: AttributeReference, l: Literal)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(EqualProbe(a.name, litCol(l))))
+        one(EqualProbe(a.name, litCol(l)))
       case EqualTo(l: Literal, a: AttributeReference)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(EqualProbe(a.name, litCol(l))))
+        one(EqualProbe(a.name, litCol(l)))
       case EqualNullSafe(a: AttributeReference, l: Literal) if covered(a) =>
-        Some(scala.util.Left(if (nn(l)) EqualProbe(a.name, litCol(l))
-        else NullProbe(a.name)))
+        one(if (nn(l)) EqualProbe(a.name, litCol(l)) else NullProbe(a.name))
       case EqualNullSafe(l: Literal, a: AttributeReference) if covered(a) =>
-        Some(scala.util.Left(if (nn(l)) EqualProbe(a.name, litCol(l))
-        else NullProbe(a.name)))
+        one(if (nn(l)) EqualProbe(a.name, litCol(l)) else NullProbe(a.name))
       case GreaterThan(a: AttributeReference, l: Literal)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, ">", litCol(l))))
+        one(CompareProbe(a.name, ">", litCol(l)))
       case GreaterThan(l: Literal, a: AttributeReference)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, "<", litCol(l))))
+        one(CompareProbe(a.name, "<", litCol(l)))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, ">=", litCol(l))))
+        one(CompareProbe(a.name, ">=", litCol(l)))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, "<=", litCol(l))))
+        one(CompareProbe(a.name, "<=", litCol(l)))
       case LessThan(a: AttributeReference, l: Literal)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, "<", litCol(l))))
+        one(CompareProbe(a.name, "<", litCol(l)))
       case LessThan(l: Literal, a: AttributeReference)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, ">", litCol(l))))
+        one(CompareProbe(a.name, ">", litCol(l)))
       case LessThanOrEqual(a: AttributeReference, l: Literal)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, "<=", litCol(l))))
+        one(CompareProbe(a.name, "<=", litCol(l)))
       case LessThanOrEqual(l: Literal, a: AttributeReference)
           if covered(a) && nn(l) =>
-        Some(scala.util.Left(CompareProbe(a.name, ">=", litCol(l))))
+        one(CompareProbe(a.name, ">=", litCol(l)))
       case IsNull(a: AttributeReference) if covered(a) =>
-        Some(scala.util.Left(NullProbe(a.name)))
+        one(NullProbe(a.name))
       case StartsWith(a: AttributeReference, l: Literal)
           if covered(a) && l.value != null &&
             a.dataType == org.apache.spark.sql.types.StringType =>
-        Some(scala.util.Left(PrefixProbe(a.name, l.value.toString)))
+        one(PrefixProbe(a.name, l.value.toString))
       case In(a: AttributeReference, vs)
-          if covered(a) && vs.nonEmpty && vs.size <= MaxInFanout &&
+          if covered(a) && vs.nonEmpty && vs.size <= MaxInCollapse &&
             vs.forall { case l: Literal => l.value != null; case _ => false } =>
-        Some(scala.util.Right(vs.map(v =>
-          EqualProbe(a.name, litCol(v.asInstanceOf[Literal])))))
+        inProbes(a.name, vs.map(_.asInstanceOf[Literal]))
       case InSet(a: AttributeReference, set)
-          if covered(a) && set.nonEmpty && set.size <= MaxInFanout &&
+          if covered(a) && set.nonEmpty && set.size <= MaxInCollapse &&
             !set.contains(null) =>
-        Some(scala.util.Right(set.toSeq.map(v =>
-          EqualProbe(a.name, litCol(Literal(v, a.dataType))))))
+        inProbes(a.name, set.toSeq.map(v => Literal(v, a.dataType)))
       case _ => None
     }
   }

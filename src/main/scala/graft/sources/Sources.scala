@@ -94,6 +94,14 @@ object Sources {
       blooms: Map[String, BloomSidecar] = Map.empty): DataFrame =
     PrunedScan.prunedParquet(spark, dir, manifest, probes, blooms)
 
+  /** Open a SELF-DESCRIBING graft table from its path alone — the
+    * persisted `_graft_manifest/` sidecar ([[GraftTable]]) reconstructs
+    * the transparently-pruned frame in any session: plain `.where(...)`
+    * / `spark.sql` over it prunes files with zero handed-over state.
+    * Fails loudly when the sidecar is missing or stale. */
+  def graftTable(spark: SparkSession, dir: String): DataFrame =
+    GraftTable.open(spark, dir)
+
   /** S6 — JSON config source (driver-side, not data-plane): parse a config
     * file into [[graft.model.GlobalConfig]] via Spark's own JSON reader so no
     * extra JSON dependency is needed. See [[graft.model.Config.load]]. */

@@ -122,9 +122,10 @@ class ManifestFileIndexSpec extends SparkSpec {
     val expr1 = t.where(col("v") % 2L === 0L)
     assert(expr1.collect().length === 200)
     assert(PrunedScan.filesRead(expr1) === 8L)
-    // (c) a disjunction translates to nothing (only IN is unioned)
-    val or1 = t.where(col("v") === 10L || col("v") === 210L)
-    sameRows(or1, fullScan(dir).where(col("v").isin(10L, 210L)))
+    // (c) a disjunction with an UNTRANSLATABLE branch translates to
+    // nothing (round 16: translatable ORs now union — see the OR test)
+    val or1 = t.where(col("v") === 10L || col("w") % 3L === 0L)
+    sameRows(or1, fullScan(dir).where(col("v") === 10L || col("w") % 3L === 0L))
     assert(PrunedScan.filesRead(or1) === 8L)
     // (d) conjunction keeps the translatable half: pruned AND exact
     val mixed = t.where(col("v") >= 350L && col("w") % 3L === 0L)
@@ -181,6 +182,63 @@ class ManifestFileIndexSpec extends SparkSpec {
     val contains = t.where(col("s").contains("01"))
     contains.collect()
     assert(PrunedScan.filesRead(contains) === 8L)
+  }
+
+  test("OR translates as the union of its branches' survivor sets; an " +
+      "untranslatable branch anywhere drops the whole disjunction") {
+    val dir = tmpDir("mfi-or") + "/t"
+    val man = writeTable(dir)
+    val t = ManifestFileIndex.manifestParquet(spark, dir, man)
+    // (v∈[120,170)) OR v=350 — files {2,3} ∪ {7}
+    val orPred = (col("v") >= 120L && col("v") < 170L) || col("v") === 350L
+    val q = t.where(orPred)
+    sameRows(q, fullScan(dir).where(orPred))
+    assert(PrunedScan.filesRead(q) === 3L)
+    // SQL BETWEEN-OR-equality (the round-16 verdict's named shape)
+    t.createOrReplaceTempView("mfi_or_t")
+    try {
+      val sq = spark.sql(
+        "SELECT v, w FROM mfi_or_t WHERE v BETWEEN 120 AND 169 OR v = 350")
+      sameRows(sq, fullScan(dir)
+        .where((col("v") >= 120L && col("v") <= 169L) || col("v") === 350L))
+      assert(PrunedScan.filesRead(sq) === 3L)
+      // nested: (v<50 OR v>=350) AND an untranslatable conjunct — the OR
+      // still prunes, the other conjunct just contributes nothing
+      val nested = spark.sql(
+        "SELECT v, w FROM mfi_or_t WHERE (v < 50 OR v >= 350) AND w % 2 = 0")
+      sameRows(nested, fullScan(dir)
+        .where((col("v") < 50L || col("v") >= 350L) && col("w") % 2 === 0L))
+      assert(PrunedScan.filesRead(nested) === 2L)
+    } finally spark.catalog.dropTempView("mfi_or_t")
+    // conservatism: an untranslatable BRANCH poisons the whole OR — a
+    // lossy union could prune a matching file, so it must read everything
+    val poisoned = t.where(col("v") >= 350L || col("w") % 2 === 0L)
+    sameRows(poisoned,
+      fullScan(dir).where(col("v") >= 350L || col("w") % 2 === 0L))
+    assert(PrunedScan.filesRead(poisoned) === 8L)
+  }
+
+  test("IN-list past the per-value fan-out cap collapses to the " +
+      "[least, greatest] range pair: one job, range-granularity pruning") {
+    val dir = tmpDir("mfi-in") + "/t"
+    val man = writeTable(dir)
+    val t = ManifestFileIndex.manifestParquet(spark, dir, man)
+    // 100 values spanning [100, 199] on the sorted column — files {2, 3}
+    val vs = (100 until 200).map(_.toLong)
+    val q = t.where(col("v").isInCollection(vs))
+    sameRows(q, fullScan(dir).where(col("v").isInCollection(vs)))
+    assert(PrunedScan.filesRead(q) === 2L)
+    // a small IN still probes per value (files 0 and 7, nothing between)
+    val sparse = t.where(col("v").isInCollection(Seq(3L, 399L)))
+    sameRows(sparse, fullScan(dir).where(col("v").isInCollection(Seq(3L, 399L))))
+    assert(PrunedScan.filesRead(sparse) === 2L)
+    // the collapsed form is range-granular: 100 sparse values spanning
+    // everything read all files containing the range (conservative)
+    val wide = t.where(col("v").isInCollection(
+      (0 until 100).map(i => i * 4L + 1L)))
+    sameRows(wide, fullScan(dir).where(col("v").isInCollection(
+      (0 until 100).map(i => i * 4L + 1L))))
+    assert(PrunedScan.filesRead(wide) === 8L)
   }
 
   test("prefix probe with a supplementary (non-BMP) character: a file whose " +
