@@ -8018,6 +8018,160 @@ object QueriesExt {
                      TRUE AS identical_to_full
               FROM sv, q, eqq""")),
 
+    // Q107 — MANIFEST-SERVED exact aggregates (round-16 verdict task 3):
+    // the persisted manifest already carries exact per-file n_rows +
+    // min/max/null counts, so COUNT(*)/MIN/MAX/COUNT(c) queries need no
+    // scan at all — GraftTable.aggregate answers them from the sidecar
+    // and returns a LITERAL row whose executed plan reads ZERO files
+    // (files_read pinned), null-count-aware for MIN/MAX by SQL
+    // semantics. matches_scan pins the answer against a full-scan
+    // recomputation in-entry; the oracle recomputes it from the raw
+    // table — the q88 estimator promoted to an exact fast path.
+    Entry(
+      "q107_manifest_agg",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q107").toString
+        try {
+          val dir = s"$tmp/orders"
+          val order = Seq(col("o_date").asc, col("o_orderkey").asc)
+          graft.sources.GraftTable.write(s, ord, order, 16, dir,
+            Seq("o_date", "o_custkey"))
+          val ans = graft.sources.GraftTable.aggregate(s, dir,
+            Seq("o_date", "o_custkey"))
+          val a = ans.collect()(0)
+          // the executed answer's own plan: a LocalRelation — zero files
+          val filesRead = graft.sources.PrunedScan.filesRead(ans)
+          val f = s.read.option("basePath", dir).parquet(dir)
+            .agg(count(lit(1)), min(col("o_date")), max(col("o_date")),
+              min(col("o_custkey")), max(col("o_custkey")),
+              count(col("o_custkey")))
+            .collect()(0)
+          val matches =
+            a.getLong(0) == f.getLong(0) &&
+              a.getDate(1) == f.getDate(1) && a.getDate(2) == f.getDate(2) &&
+              a.getLong(5) == f.getLong(3) && a.getLong(6) == f.getLong(4) &&
+              a.getLong(8) == f.getLong(5)
+          Seq((a.getLong(0), a.getDate(1).toString, a.getDate(2).toString,
+            a.getLong(5), a.getLong(6), a.getLong(7), a.getLong(8),
+            filesRead, matches))
+            .toDF("n_rows", "date_min", "date_max", "ck_min", "ck_max",
+              "ck_nulls", "ck_count", "files_read", "matches_scan")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS date_min,
+                     CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS date_max,
+                     CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+                     CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+                     CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS ck_nulls,
+                     CAST(COUNT(o_custkey) AS BIGINT) AS ck_count,
+                     CAST(0 AS BIGINT) AS files_read,
+                     TRUE AS matches_scan
+              FROM orders""")),
+
+    // Q108 — ZERO-PASS join routing (round-16 verdict task 4): q99's
+    // decision table, but the big side's MG key summary comes from the
+    // PERSISTED per-file sidecar (merged by the mergeable-summaries
+    // rule) and the small side's row count from its manifest — the
+    // decide phase provably scans NEITHER corpus
+    // (decide_corpus_files == 0, from the executed decide inputs' own
+    // plans via corpusFilesRead). Routes are pinned: the MG merge error
+    // budget (≤ 2n/65 across build+merge) cannot flip a 1/3-share
+    // planted skew below the 0.2 threshold nor lift a <1% balanced top
+    // share above it. The routed join itself runs through
+    // autoJoinFromManifest and its aggregate is hash-checked against the
+    // plain join.
+    Entry(
+      "q108_manifest_route",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"))
+          .withColumn("skew_key",
+            when(pmod(col("user_id"), lit(3)) === 0, lit(-1L))
+              .otherwise(col("user_id")))
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q108").toString
+        try {
+          val bigDir = s"$tmp/events"
+          val smallDir = s"$tmp/customer"
+          graft.sources.GraftTable.write(s, ev,
+            Seq(col("user_id").asc, col("event_id").asc), 8, bigDir,
+            Seq("user_id"),
+            mgKeys = Seq((Seq("user_id"), 64), (Seq("skew_key"), 64)))
+          graft.sources.GraftTable.write(s, cust,
+            Seq(col("user_id").asc), 4, smallDir, Seq("user_id"))
+          // decide phase: planner state only
+          val mgU = graft.sources.GraftTable
+            .keyFreqSummary(s, bigDir, Seq("user_id"))
+          val mgS = graft.sources.GraftTable
+            .keyFreqSummary(s, bigDir, Seq("skew_key"))
+          val smallRows = graft.sources.GraftTable.rowCount(s, smallDir)
+          val smallNDf = Seq(smallRows).toDF("n")
+          mgU.collect(); mgS.collect()
+          val decideCorpusFiles =
+            graft.sources.PrunedScan.corpusFilesRead(mgU) +
+              graft.sources.PrunedScan.corpusFilesRead(mgS)
+          val d1 = SkewJoin.decide(mgU, smallNDf, 1000000L, 0.2, 8)
+          val d2 = SkewJoin.decide(mgS, smallNDf, 10L, 0.2, 8)
+          val d3 = SkewJoin.decide(mgU, smallNDf, 10L, 0.2, 8)
+          // the one-call routed join, answer vs the plain join
+          val (joined, dec) = SkewJoin.autoJoinFromManifest(
+            s, bigDir, smallDir, Seq("user_id"),
+            broadcastRowLimit = 1000000L)
+          val j = joined.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("es")).collect()(0)
+          val pj = ev.join(cust, Seq("user_id"))
+            .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+          Seq((d1.route, d2.route, d3.route,
+            smallRows, d1.bigRows, decideCorpusFiles,
+            d2.topKeyShareLb >= 0.2, d3.topKeyShareLb < 0.2,
+            j.getLong(0), j.getLong(1), dec.route,
+            j.getLong(0) == pj.getLong(0) && j.getLong(1) == pj.getLong(1)))
+            .toDF("route_broadcast", "route_salted", "route_shuffle",
+              "small_rows", "big_rows", "decide_corpus_files",
+              "skew_lb_above", "balanced_lb_below",
+              "join_rows", "join_ev_sum", "route_used", "join_matches")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS big FROM events),
+                   c AS (SELECT CAST(COUNT(*) AS BIGINT) AS small FROM customer),
+                   j AS (SELECT CAST(COUNT(*) AS BIGINT) AS join_rows,
+                                CAST(SUM(e.event_id) AS BIGINT) AS join_ev_sum
+                         FROM events e JOIN customer cu ON e.user_id = cu.c_custkey)
+              SELECT 'broadcast' AS route_broadcast,
+                     'salted' AS route_salted,
+                     'shuffle' AS route_shuffle,
+                     c.small AS small_rows,
+                     n.big AS big_rows,
+                     CAST(0 AS BIGINT) AS decide_corpus_files,
+                     TRUE AS skew_lb_above,
+                     TRUE AS balanced_lb_below,
+                     j.join_rows, j.join_ev_sum,
+                     'broadcast' AS route_used,
+                     TRUE AS join_matches
+              FROM n, c, j""")),
+
     // Q100-Q103 — the sketch algebra REGISTERED AS SQL AGGREGATES
     // (functions/SketchSql.scala, round-14 verdict task 7): the cube
     // family (q93-q96) was DataFrame-only; these entries pin the SQL

@@ -78,6 +78,19 @@ object SkewJoin {
     * and deflating `topKeyShareLb` (bound stays valid, results stay
     * correct; only the salted-route trigger degrades). Rebuild persisted
     * / streaming MG state rather than Mg.merge-ing across encodings. */
+  /** The injective composite-key encoding every MG key summary uses
+    * (length-prefixed `v<len>|<value>`, null → `n`): distinct composite
+    * keys can never collide to one MG item. Shared by [[keyFreqSummary]]
+    * and [[graft.sources.GraftTable]]'s per-file summaries so persisted
+    * and ad-hoc state stay mergeable. */
+  def encodedKey(keys: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws(":", keys.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(s).cast("string"),
+          lit("|"), s))
+    }: _*)
+
   def keyFreqSummary(
       df: DataFrame, keys: Seq[String], k: Int = 64): DataFrame = {
     require(keys.nonEmpty, "keyFreqSummary: no key columns")
@@ -86,13 +99,7 @@ object SkewJoin {
       // optimizer cannot strip it from the MG truncation's window spec
       // and trip the no-partition warning (the Kll.estimate precedent);
       // the window orders ≤ distinct-key rows, not the corpus
-      df.withColumn("_sj_key",
-          concat_ws(":", keys.map { c =>
-            val s = col(c).cast("string")
-            when(s.isNull, lit("n"))
-              .otherwise(concat(lit("v"), length(s).cast("string"),
-                lit("|"), s))
-          }: _*))
+      df.withColumn("_sj_key", encodedKey(keys))
         .withColumn("_sj_g", pmod(length(col("_sj_key")), lit(1))),
       Seq("_sj_g"), "_sj_key", k)
   }
@@ -164,5 +171,31 @@ object SkewJoin {
       case _ => big.join(small, keys, joinType)
     }
     (joined, d)
+  }
+
+  /** ZERO-PASS routing (round-16 verdict task 4): [[autoJoin]] where the
+    * big side's MG key summary and the small side's row count both come
+    * from the tables' persisted `_graft_manifest/` sidecars
+    * ([[graft.sources.GraftTable.keyFreqSummary]] /
+    * [[graft.sources.GraftTable.rowCount]]) — the decide phase reads
+    * planner state ONLY (KB-sized sidecar parquet + a driver literal),
+    * never either corpus. The big table must have been written/adopted
+    * with an MG sidecar for exactly `keys`; both sides open through
+    * [[graft.sources.Sources.graftTable]], so the routed join's scans
+    * are ALSO manifest-pruned by any downstream filter. */
+  def autoJoinFromManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      bigDir: String, smallDir: String, keys: Seq[String],
+      broadcastRowLimit: Long = 1000000L, skewShare: Double = 0.2,
+      nSalts: Int = 16,
+      joinType: String = "inner"): (DataFrame, JoinDecision) = {
+    val bigMg = graft.sources.GraftTable.keyFreqSummary(spark, bigDir, keys)
+    val smallN = spark.createDataFrame(
+      Seq(Tuple1(graft.sources.GraftTable.rowCount(spark, smallDir))))
+      .toDF("n")
+    val big = graft.sources.Sources.graftTable(spark, bigDir)
+    val small = graft.sources.Sources.graftTable(spark, smallDir)
+    autoJoin(big, small, keys, bigMg, smallN, broadcastRowLimit,
+      skewShare, nSalts, joinType)
   }
 }

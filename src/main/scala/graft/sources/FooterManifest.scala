@@ -195,28 +195,39 @@ object FooterManifest {
     * loudly rather than mis-keying a register. */
   def bloomSidecar(
       spark: SparkSession, dir: String, manifest: DataFrame,
-      bloomCol: String, mBits: Int, k: Int): DataFrame = {
+      bloomCol: String, mBits: Int, k: Int): DataFrame =
+    graft.operators.Bloom.registers(
+      withUnitIds(spark, dir, manifest, Seq(bloomCol)),
+      Seq("file_id"), bloomCol, mBits, k)
+
+  /** Read the table column-pruned to `cols`, each row keyed by its
+    * manifest unit as `file_id` — the shared plumbing of every
+    * data-derived sidecar over an adopted table ([[bloomSidecar]], the
+    * [[GraftTable]] MG key summaries). `file_id=k/` layouts key by the
+    * partition value; flat layouts key by filename against the
+    * manifest's `path` basenames (broadcast, manifest-sized; unique in
+    * one directory by construction, fail-loud otherwise). */
+  def withUnitIds(
+      spark: SparkSession, dir: String, manifest: DataFrame,
+      cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val t = spark.read.option("basePath", dir).parquet(dir)
     if (t.columns.contains("file_id"))
-      graft.operators.Bloom.registers(
-        t.select(col("file_id").cast("long").as("file_id"), col(bloomCol)),
-        Seq("file_id"), bloomCol, mBits, k)
+      t.select(col("file_id").cast("long").as("file_id") +: cols.map(col): _*)
     else {
       val ids = manifest
         .select(col("file_id").cast("long"),
           element_at(split(col("path"), "/"), -1))
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       require(ids.map(_._2).distinct.length == ids.length,
-        "bloomSidecar: manifest unit basenames collide — flat-layout " +
+        "withUnitIds: manifest unit basenames collide — flat-layout " +
           "keying needs unique filenames (re-adopt per subdirectory)")
       val idsDf = spark.createDataFrame(ids).toDF("file_id", "_fb_base")
-      val tagged = t.select(col(bloomCol))
+      t.select(cols.map(col): _*)
         .withColumn("_fb_base",
           element_at(split(input_file_name(), "/"), -1))
         .join(broadcast(idsDf), Seq("_fb_base"))
-      graft.operators.Bloom.registers(tagged, Seq("file_id"), bloomCol,
-        mBits, k)
+        .select(col("file_id") +: cols.map(col): _*)
     }
   }
 

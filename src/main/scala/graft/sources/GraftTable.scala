@@ -102,7 +102,8 @@ object GraftTable {
     * table root so the table can move; re-absolutized by [[open]]. */
   private def persist(
       spark: SparkSession, dir: String, manifest: DataFrame,
-      blooms: Seq[(String, Int, Int, DataFrame)]): Unit = {
+      blooms: Seq[(String, Int, Int, DataFrame)],
+      mgs: Seq[(String, Int, DataFrame)] = Nil): Unit = {
     val root = rootPath(spark, dir)
     val mp = metaRoot(spark, dir)
     val man =
@@ -116,11 +117,19 @@ object GraftTable {
     blooms.foreach { case (c, _, _, regs) =>
       regs.coalesce(1).write.mode("overwrite").parquet(s"$mp/bloom_$c")
     }
+    mgs.foreach { case (name, _, perFile) =>
+      perFile.coalesce(1).write.mode("overwrite").parquet(s"$mp/mg_$name")
+    }
     spark.createDataFrame(Seq((FormatVersion,
-        blooms.map(_._1), blooms.map(_._2), blooms.map(_._3))))
-      .toDF("version", "bloom_cols", "bloom_m_bits", "bloom_ks")
+        blooms.map(_._1), blooms.map(_._2), blooms.map(_._3),
+        mgs.map(_._1), mgs.map(_._2))))
+      .toDF("version", "bloom_cols", "bloom_m_bits", "bloom_ks",
+        "mg_keys", "mg_ks")
       .coalesce(1).write.mode("overwrite").parquet(s"$mp/meta")
   }
+
+  /** Sidecar directory stem for one MG key set. */
+  private def mgName(keys: Seq[String]): String = keys.mkString("+")
 
   /** Write `df` as a self-describing pruned table: the
     * [[Layout.assignedWrite]] layout (file `k` = global-rank slice `k`
@@ -133,7 +142,8 @@ object GraftTable {
   def write(
       spark: SparkSession, df: DataFrame, orderCols: Seq[Column],
       nFiles: Int, dir: String, statCols: Seq[String],
-      bloomCols: Seq[(String, Int, Int)] = Nil): Unit = {
+      bloomCols: Seq[(String, Int, Int)] = Nil,
+      mgKeys: Seq[(Seq[String], Int)] = Nil): Unit = {
     Layout.assignedWrite(df, orderCols, nFiles, dir)
     val man = Layout.fileManifest(df, orderCols, nFiles, statCols)
       .localCheckpoint(true)
@@ -142,8 +152,26 @@ object GraftTable {
         Layout.fileAssignments(df, orderCols, nFiles),
         Seq("file_id"), c, mBits, k).localCheckpoint(true))
     }
-    persist(spark, dir, man, blooms)
+    val mgs = mgKeys.map { case (keys, k) =>
+      (mgName(keys), k, perFileMg(
+        Layout.fileAssignments(df, orderCols, nFiles), keys, k)
+        .localCheckpoint(true))
+    }
+    persist(spark, dir, man, blooms, mgs)
   }
+
+  /** Per-file MG-`k` summary of the injectively-encoded join key — the
+    * [[graft.operators.SkewJoin.keyFreqSummary]] statistic at FILE
+    * granularity, so it can live in the sidecar and be merged down to a
+    * routing decision without ever re-scanning the corpus (the MG merge
+    * algebra: weights add, truncation error budgets add — round-16
+    * verdict task 4). `df` must carry `file_id`. */
+  private def perFileMg(
+      df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    graft.operators.Mg.summarize(
+      df.withColumn("_sj_key",
+        graft.operators.SkewJoin.encodedKey(keys)),
+      Seq("file_id"), "_sj_key", k)
 
   /** Adopt (or REFRESH) an existing parquet directory as a graft table:
     * harvest the manifest from the files' own footers
@@ -155,7 +183,8 @@ object GraftTable {
     * whose data was since rewritten out-of-band. */
   def adopt(
       spark: SparkSession, dir: String, statCols: Seq[String],
-      bloomCols: Seq[(String, Int, Int)] = Nil): Unit = {
+      bloomCols: Seq[(String, Int, Int)] = Nil,
+      mgKeys: Seq[(Seq[String], Int)] = Nil): Unit = {
     val man = FooterManifest.fromFooters(spark, dir, statCols)
       .localCheckpoint(true)
     val blooms = bloomCols.map { case (c, mBits, k) =>
@@ -163,7 +192,12 @@ object GraftTable {
         FooterManifest.bloomSidecar(spark, dir, man, c, mBits, k)
           .localCheckpoint(true))
     }
-    persist(spark, dir, man, blooms)
+    val mgs = mgKeys.map { case (keys, k) =>
+      (mgName(keys), k, perFileMg(
+        FooterManifest.withUnitIds(spark, dir, man, keys), keys, k)
+        .localCheckpoint(true))
+    }
+    persist(spark, dir, man, blooms, mgs)
   }
 
   /** True iff `dir` carries a `_graft_manifest` sidecar. */
@@ -178,15 +212,37 @@ object GraftTable {
     * state. Schema-identical to the stock parquet reader. */
   def open(spark: SparkSession, dir: String): DataFrame = {
     val mp = metaRoot(spark, dir)
+    val meta = requireFresh(spark, dir)
+    val root = rootPath(spark, dir)
+    val man0 = spark.read.parquet(s"$mp/manifest")
+    val man = (if (man0.columns.contains("path"))
+      man0.withColumn("path", concat(lit(root + "/"), col("path")))
+    else man0).localCheckpoint(true)
+    val bloomCols = meta.getSeq[String](meta.fieldIndex("bloom_cols"))
+    val mBitss = meta.getSeq[Int](meta.fieldIndex("bloom_m_bits"))
+    val ks = meta.getSeq[Int](meta.fieldIndex("bloom_ks"))
+    val blooms = bloomCols.indices.map { i =>
+      bloomCols(i) -> BloomSidecar(
+        spark.read.parquet(s"$mp/bloom_${bloomCols(i)}").localCheckpoint(true),
+        mBitss(i), ks(i))
+    }.toMap
+    ManifestFileIndex.manifestParquet(spark, dir, man, blooms)
+  }
+
+  /** Load + freshness-gate the meta row (the shared front door of
+    * [[open]] / [[aggregate]] / [[keyFreqSummary]]): the persisted unit
+    * fingerprints must equal the directory's file set EXACTLY — a unit
+    * added, removed, or rewritten since persist time makes every pruning
+    * verdict (and every manifest-served answer) unsound. */
+  private def requireFresh(
+      spark: SparkSession, dir: String): org.apache.spark.sql.Row = {
+    val mp = metaRoot(spark, dir)
     if (!isGraftTable(spark, dir))
       throw new IllegalStateException(
         s"open: $dir has no $MetaDirName sidecar — write() or adopt() it first")
     val meta = spark.read.parquet(s"$mp/meta").collect()(0)
     require(meta.getInt(0) == FormatVersion,
       s"open: $dir manifest format v${meta.getInt(0)}, reader supports v$FormatVersion")
-    // freshness: the persisted unit fingerprints must equal the
-    // directory's file set EXACTLY — a unit added, removed, or rewritten
-    // since persist time makes every pruning verdict unsound
     val persisted = spark.read.parquet(s"$mp/units")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val actual = listUnits(spark, dir)
@@ -203,19 +259,87 @@ object GraftTable {
           s"rewritten units: ${changed.toSeq.sorted.take(5)}). " +
           "Re-run GraftTable.write or GraftTable.adopt to refresh.")
     }
-    val root = rootPath(spark, dir)
-    val man0 = spark.read.parquet(s"$mp/manifest")
-    val man = (if (man0.columns.contains("path"))
-      man0.withColumn("path", concat(lit(root + "/"), col("path")))
-    else man0).localCheckpoint(true)
-    val bloomCols = meta.getSeq[String](1)
-    val mBitss = meta.getSeq[Int](2)
-    val ks = meta.getSeq[Int](3)
-    val blooms = bloomCols.indices.map { i =>
-      bloomCols(i) -> BloomSidecar(
-        spark.read.parquet(s"$mp/bloom_${bloomCols(i)}").localCheckpoint(true),
-        mBitss(i), ks(i))
-    }.toMap
-    ManifestFileIndex.manifestParquet(spark, dir, man, blooms)
+    meta
+  }
+
+  /** MANIFEST-SERVED exact aggregates (round-16 verdict task 3):
+    * `COUNT(*)` / `MIN(c)` / `MAX(c)` / `COUNT(c)` / null counts answered
+    * from the persisted manifest with ZERO data files read — the q88
+    * estimator promoted to an exact fast path. Returns ONE literal row
+    * (a LocalRelation: `PrunedScan.filesRead` of it is 0 by
+    * construction): `n_rows`, then per stat column `<c>_min`, `<c>_max`,
+    * `<c>_nulls`, `<c>_count`.
+    *
+    * Exactness: the freshness gate guarantees the manifest covers
+    * exactly the directory's files; per-file stats are exact (manifests
+    * we compute fold exact min/max/null counts; adopted footers under
+    * [[FooterManifest]]'s declared coverage fail loud on absent or
+    * unusable statistics rather than fabricating bounds). MIN/MAX are
+    * null-aware by SQL semantics for free — an all-null file carries
+    * null bounds, which `min`/`max` over the manifest rows ignore; a
+    * fully-null column yields null. Asking for a column the manifest has
+    * no stats for fails loud. */
+  def aggregate(
+      spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    requireFresh(spark, dir)
+    val mp = metaRoot(spark, dir)
+    val man = spark.read.parquet(s"$mp/manifest")
+    cols.foreach(c => require(man.columns.contains(s"${c}_min"),
+      s"aggregate: $dir manifest has no stats for $c — re-write/adopt " +
+        s"with $c in statCols"))
+    val agg = man.agg(
+      sum(col("n_rows")).as("n_rows"),
+      cols.flatMap(c => Seq(
+        min(col(s"${c}_min")).as(s"${c}_min"),
+        max(col(s"${c}_max")).as(s"${c}_max"),
+        sum(col(s"${c}_nulls")).as(s"${c}_nulls"),
+        (sum(col("n_rows")) - sum(col(s"${c}_nulls"))).as(s"${c}_count"))): _*)
+    // literalize: the answer is planner state — re-injecting the one
+    // collected row as a LocalRelation keeps every downstream plan free
+    // of even the manifest's own file scan
+    val row = agg.collect()(0)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), agg.schema)
+  }
+
+  /** `COUNT(*)` served from the manifest (zero scans — see
+    * [[aggregate]]). */
+  def rowCount(spark: SparkSession, dir: String): Long = {
+    requireFresh(spark, dir)
+    val mp = metaRoot(spark, dir)
+    spark.read.parquet(s"$mp/manifest")
+      .agg(coalesce(sum(col("n_rows")), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
+  /** The single-group MG key summary [[graft.operators.SkewJoin.decide]]
+    * consumes, merged FROM THE PERSISTED PER-FILE SIDECAR — planner
+    * state only, no corpus pass (round-16 verdict task 4). The table
+    * must have been written/adopted with `mgKeys` containing exactly
+    * `keys`; the merge is the mergeable-summaries rule (weights add,
+    * re-truncate at the combined (k+1)-th largest), so the result
+    * satisfies the MG lower-bound contract for the whole table with
+    * `err ≤ Σᵢ nᵢ/(k+1)` — the safe direction for skew routing. */
+  def keyFreqSummary(
+      spark: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+    val meta = requireFresh(spark, dir)
+    val mp = metaRoot(spark, dir)
+    val names = meta.getSeq[String](meta.fieldIndex("mg_keys"))
+    val ks = meta.getSeq[Int](meta.fieldIndex("mg_ks"))
+    val name = mgName(keys)
+    val i = names.indexOf(name)
+    require(i >= 0,
+      s"keyFreqSummary: $dir has no MG sidecar for keys $keys — " +
+        s"write/adopt with mgKeys (available: ${names.mkString(", ")})")
+    val perFile = spark.read.parquet(s"$mp/mg_$name")
+    // relabel every file to ONE data-derived constant group (pmod keeps
+    // the optimizer from stripping it out of the truncation window) and
+    // let the merge's re-truncation collapse them
+    val relabeled = perFile
+      .withColumn("_sj_g",
+        pmod(length(coalesce(col("_item"), lit(""))), lit(1)))
+      .drop("file_id")
+    graft.operators.Mg.merge(
+      relabeled, relabeled.limit(0), Seq("_sj_g"), ks(i))
   }
 }

@@ -201,7 +201,18 @@ object PrunedScan {
     * EXECUTED (the judge-specified metric — from the plan, not from a
     * tool's directory listing): sum of `numFiles` over every parquet scan
     * leaf in the executed plan. */
-  def filesRead(df: DataFrame): Long = {
+  def filesRead(df: DataFrame): Long = filesRead(df, corpusOnly = false)
+
+  /** [[filesRead]] restricted to CORPUS scans: leaves rooted under a
+    * table's `_graft_manifest/` sidecar ([[GraftTable]]) are planner
+    * state, not data — the metric the zero-pass routing pins ("the
+    * decide phase scans neither corpus") must not count them. */
+  def corpusFilesRead(df: DataFrame): Long = filesRead(df, corpusOnly = true)
+
+  private def filesRead(df: DataFrame, corpusOnly: Boolean): Long = {
+    def sidecar(s: org.apache.spark.sql.execution.FileSourceScanExec): Boolean =
+      s.relation.location.rootPaths.forall(
+        _.toString.contains(s"/${GraftTable.MetaDirName}/"))
     def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
       p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -212,7 +223,8 @@ object PrunedScan {
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
           leaves(r.child)
         case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(s.metrics("numFiles").value)
+          if (corpusOnly && sidecar(s)) Nil
+          else Seq(s.metrics("numFiles").value)
         case other => other.children.flatMap(leaves) ++
           other.subqueries.flatMap(leaves)
       }

@@ -86,6 +86,76 @@ class GraftTableSpec extends SparkSpec {
     }.getMessage.contains("_graft_manifest"))
   }
 
+  test("manifest-served aggregates: exact COUNT/MIN/MAX/null counts with " +
+      "zero files read, null-aware; uncovered column fails loud") {
+    val dir = tmpDir("gt-agg") + "/t"
+    // maybe: per-file nulls (i % 100 == 7 → null), exercises null-awareness
+    val df = (0 until 400).map(i =>
+      (i.toLong, if (i % 100 == 7) None else Some(i.toLong)))
+      .toDF("v", "maybe")
+    GraftTable.write(spark, df, Seq(col("v").asc), 8, dir, Seq("v", "maybe"))
+    val ans = GraftTable.aggregate(spark, dir, Seq("v", "maybe"))
+    val a = ans.collect()(0)
+    assert(PrunedScan.filesRead(ans) === 0L)
+    assert(a.getLong(0) === 400L)                      // n_rows
+    assert(a.getLong(ans.columns.indexOf("v_min")) === 0L)
+    assert(a.getLong(ans.columns.indexOf("v_max")) === 399L)
+    assert(a.getLong(ans.columns.indexOf("maybe_nulls")) === 4L)
+    assert(a.getLong(ans.columns.indexOf("maybe_count")) === 396L)
+    // min/max ignore the null rows (SQL semantics through the manifest)
+    assert(a.getLong(ans.columns.indexOf("maybe_min")) === 0L)
+    assert(a.getLong(ans.columns.indexOf("maybe_max")) === 399L)
+    assert(GraftTable.rowCount(spark, dir) === 400L)
+    intercept[IllegalArgumentException] {
+      GraftTable.aggregate(spark, dir, Seq("w"))
+    }
+    // staleness gates the served answer too
+    Seq((9999L, Some(1L))).toDF("v", "maybe").coalesce(1)
+      .write.parquet(s"$dir/file_id=99")
+    intercept[IllegalStateException] {
+      GraftTable.aggregate(spark, dir, Seq("v"))
+    }
+  }
+
+  test("zero-pass join routing: persisted per-file MG merges to a routing " +
+      "summary (no corpus scan), autoJoinFromManifest result == plain join") {
+    import graft.operators.SkewJoin
+    val base = tmpDir("gt-mg")
+    val (bigDir, smallDir) = (s"$base/big", s"$base/small")
+    // 1/4 of the big side lands on key -1 (planted skew); small is a dim
+    val big = (0 until 2000).map { i =>
+      val k = if (i % 4 == 0) -1L else (i % 50).toLong
+      (i.toLong, k)
+    }.toDF("row_id", "k")
+    val small = (-1 until 50).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    GraftTable.write(spark, big, Seq(col("k").asc, col("row_id").asc), 4,
+      bigDir, Seq("k"), mgKeys = Seq((Seq("k"), 16)))
+    GraftTable.write(spark, small, Seq(col("k").asc), 2, smallDir, Seq("k"))
+    val mg = GraftTable.keyFreqSummary(spark, bigDir, Seq("k"))
+    mg.collect()
+    // the decide inputs read ONLY sidecar state — zero corpus files
+    assert(PrunedScan.corpusFilesRead(mg) === 0L)
+    assert(GraftTable.rowCount(spark, smallDir) === 51L)
+    // MG lower bound: true share 0.25; err ≤ 2n/17 can't lift others past it
+    val dec = SkewJoin.decide(mg, Seq(51L).toDF("n"),
+      broadcastRowLimit = 10L, skewShare = 0.15, nSalts = 4)
+    assert(dec.route === "salted")
+    assert(dec.bigRows === 2000L)
+    val (joined, dec2) = SkewJoin.autoJoinFromManifest(spark, bigDir,
+      smallDir, Seq("k"), broadcastRowLimit = 10L, skewShare = 0.15,
+      nSalts = 4)
+    assert(dec2.route === "salted")
+    val got = joined.select("row_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = big.join(small, Seq("k")).select("row_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want && want.size === 2000)
+    // asking for an unregistered key set fails loud
+    intercept[IllegalArgumentException] {
+      GraftTable.keyFreqSummary(spark, bigDir, Seq("row_id"))
+    }
+  }
+
   test("adopt a PLAIN parquet table with a Bloom column: flat layout, " +
       "file-granularity pruning, equality probe sharpened by the sidecar") {
     val dir = tmpDir("gt-adopt") + "/t"
