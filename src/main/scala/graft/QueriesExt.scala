@@ -8308,6 +8308,206 @@ object QueriesExt {
         UNION ALL
         SELECT 'roll', 'ALL', CAST(_level AS BIGINT), _value FROM rreg""")),
 
+    // Q100B-Q103B — SQL ESTIMATE finishers (round-16 verdict task 7):
+    // q100–q103 registered the sketch BUILD/MERGE aggregates, but
+    // estimation still required the DataFrame operators — a pure
+    // spark.sql user could build a sketch cube and not serve it. These
+    // entries pin the scalar finishers (hll_est / cms_est / kmv_est /
+    // kll_quantile, SketchSql.register): build AND estimate written
+    // entirely in SQL, hash-checked against the same generated DuckDB
+    // replays the relational estimators use (the arithmetic is
+    // bit-identical — integer harmonic folds, same literal products, the
+    // house ROUND(x + 1e-9, 6) at the output boundary).
+    Entry(
+      "q100b_hll_sql_est",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, hllP = 8)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus, o_orderpriority,
+                               hll_regs(CAST(o_custkey AS STRING)) AS regs
+                        FROM orders_sksql WHERE o_custkey IS NOT NULL
+                        GROUP BY 1, 2),
+               roll AS (SELECT o_orderstatus, hll_merge_regs(regs) AS regs
+                        FROM fine GROUP BY 1)
+          SELECT 'fine' AS lvl, o_orderstatus, o_orderpriority,
+                 ROUND(hll_est(regs) + 1e-9, 6) AS hll_distinct
+          FROM fine
+          UNION ALL
+          SELECT 'roll', o_orderstatus, 'ALL',
+                 ROUND(hll_est(regs) + 1e-9, 6)
+          FROM roll""")
+      },
+      Some("""WITH h AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS h
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   regs AS (SELECT st, pr, h >> 48 AS b,
+                                   MAX(49 - length(regexp_replace(bin(h & ((1::BIGINT << 48) - 1)), '^0+', ''))) AS r
+                            FROM h GROUP BY 1, 2, 3),
+                   ff AS (SELECT st, pr, COUNT(*) AS ne,
+                                 SUM(1::BIGINT << (49 - r)) AS s
+                          FROM regs GROUP BY 1, 2),
+                   rregs AS (SELECT st, b, MAX(r) AS r FROM regs GROUP BY 1, 2),
+                   rf AS (SELECT st, COUNT(*) AS ne,
+                                 SUM(1::BIGINT << (49 - r)) AS s
+                          FROM rregs GROUP BY 1),
+                   fe AS (SELECT st, pr,
+                                 CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256 * 562949953421312
+                                   / CAST((256 - ne) * 562949953421312 + s AS DOUBLE) AS e0,
+                                 256 - ne AS v
+                          FROM ff),
+                   re AS (SELECT st,
+                                 CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256 * 562949953421312
+                                   / CAST((256 - ne) * 562949953421312 + s AS DOUBLE) AS e0,
+                                 256 - ne AS v
+                          FROM rf)
+              SELECT 'fine' AS lvl, st AS o_orderstatus, pr AS o_orderpriority,
+                     ROUND(CASE WHEN e0 <= 640.0 AND v > 0
+                                THEN 256.0 * ln(256 / CAST(v AS DOUBLE))
+                                ELSE e0 END + 1e-9, 6) AS hll_distinct
+              FROM fe
+              UNION ALL
+              SELECT 'roll', st, 'ALL',
+                     ROUND(CASE WHEN e0 <= 640.0 AND v > 0
+                                THEN 256.0 * ln(256 / CAST(v AS DOUBLE))
+                                ELSE e0 END + 1e-9, 6)
+              FROM re""")),
+
+    Entry(
+      "q101b_cms_sql_est",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, cmsDepth = 4, cmsWidth = 64)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus,
+                               cms_regs(CAST(o_custkey AS STRING)) AS regs
+                        FROM orders_sksql WHERE o_custkey IS NOT NULL
+                        GROUP BY 1),
+               roll AS (SELECT cms_merge_regs(regs) AS regs FROM fine),
+               probes AS (SELECT explode(sequence(1, 20)) AS ck)
+          SELECT 'fine' AS lvl, o_orderstatus, CAST(ck AS BIGINT) AS ck,
+                 cms_est(regs, CAST(ck AS STRING)) AS cms_count
+          FROM fine CROSS JOIN probes
+          UNION ALL
+          SELECT 'roll', 'ALL', CAST(ck AS BIGINT),
+                 cms_est(regs, CAST(ck AS STRING))
+          FROM roll CROSS JOIN probes""")
+      },
+      Some("""WITH v AS (SELECT o_orderstatus AS st, o_custkey
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   e AS (SELECT st, rr.i AS r,
+                                ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS b
+                         FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS i) rr),
+                   regs AS (SELECT st, r, b, CAST(COUNT(*) AS BIGINT) AS c
+                            FROM e GROUP BY 1, 2, 3),
+                   rregs AS (SELECT r, b, CAST(SUM(c) AS BIGINT) AS c
+                             FROM regs GROUP BY 1, 2),
+                   pb AS (SELECT pr.ck, rr.i AS r,
+                                 ('0x' || substr(md5(CAST(rr.i AS VARCHAR) || ':' || CAST(pr.ck AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 64 AS b
+                          FROM (SELECT unnest(range(1, 21)) AS ck) pr
+                          CROSS JOIN (SELECT unnest(range(0, 4)) AS i) rr),
+                   fest AS (SELECT s.st, pb.ck,
+                                   CAST(MIN(COALESCE(regs.c, 0)) AS BIGINT) AS cms_count
+                            FROM (SELECT DISTINCT st FROM v) s
+                            CROSS JOIN pb
+                            LEFT JOIN regs ON regs.st = s.st
+                                          AND regs.r = pb.r AND regs.b = pb.b
+                            GROUP BY 1, 2),
+                   rest AS (SELECT pb.ck,
+                                   CAST(MIN(COALESCE(rregs.c, 0)) AS BIGINT) AS cms_count
+                            FROM pb LEFT JOIN rregs
+                              ON rregs.r = pb.r AND rregs.b = pb.b
+                            GROUP BY 1)
+              SELECT 'fine' AS lvl, st AS o_orderstatus,
+                     CAST(ck AS BIGINT) AS ck, cms_count
+              FROM fest
+              UNION ALL
+              SELECT 'roll', 'ALL', CAST(ck AS BIGINT), cms_count
+              FROM rest""")),
+
+    Entry(
+      "q102b_kmv_sql_est",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, kmvK = 64)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus,
+                               kmv_sketch(CAST(o_custkey AS STRING)) AS sk
+                        FROM orders_sksql WHERE o_custkey IS NOT NULL
+                        GROUP BY 1),
+               roll AS (SELECT kmv_merge_sketch(sk) AS sk FROM fine)
+          SELECT 'fine' AS lvl, o_orderstatus,
+                 ROUND(kmv_est(sk) + 1e-9, 6) AS kmv_distinct
+          FROM fine
+          UNION ALL
+          SELECT 'roll', 'ALL', ROUND(kmv_est(sk) + 1e-9, 6)
+          FROM roll""")
+      },
+      Some("""WITH h AS (SELECT DISTINCT o_orderstatus AS st,
+                                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))::UBIGINT::BIGINT AS h
+                         FROM orders WHERE o_custkey IS NOT NULL),
+                   rk AS (SELECT st, h,
+                                 row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+                          FROM h),
+                   fine AS (SELECT st, h FROM rk WHERE rn <= 64),
+                   fest AS (SELECT st, COUNT(*) AS n, MAX(h) AS th
+                            FROM fine GROUP BY 1),
+                   grk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM (SELECT DISTINCT h FROM fine)),
+                   roll AS (SELECT h FROM grk WHERE rn <= 64),
+                   rest AS (SELECT COUNT(*) AS n, MAX(h) AS th FROM roll)
+              SELECT 'fine' AS lvl, st AS o_orderstatus,
+                     ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                                ELSE CAST(63 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) / th END + 1e-9, 6) AS kmv_distinct
+              FROM fest
+              UNION ALL
+              SELECT 'roll', 'ALL',
+                     ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                                ELSE CAST(63 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) / th END + 1e-9, 6)
+              FROM rest""")),
+
+    Entry(
+      "q103b_kll_sql_est",
+      (s, d) => {
+        graft.functions.SketchSql.register(s, kllBuckets = 4, kllK = 32,
+          kllRounds = 10, kllSalt = "sqlk", kllSweepRounds = 16)
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_sksql")
+        s.sql("""
+          WITH fine AS (SELECT o_orderstatus,
+                               kll_regs(CAST(o_orderkey AS STRING),
+                                        CAST(o_totalprice AS DOUBLE)) AS regs
+                        FROM orders_sksql WHERE o_totalprice IS NOT NULL
+                        GROUP BY 1),
+               roll AS (SELECT kll_merge_regs(regs) AS regs FROM fine)
+          SELECT 'fine' AS lvl, o_orderstatus,
+                 ROUND(kll_quantile(regs, CAST(0.5 AS DOUBLE)) + 1e-9, 6) AS p50,
+                 ROUND(kll_quantile(regs, CAST(0.9 AS DOUBLE)) + 1e-9, 6) AS p90
+          FROM fine
+          UNION ALL
+          SELECT 'roll', 'ALL',
+                 ROUND(kll_quantile(regs, CAST(0.5 AS DOUBLE)) + 1e-9, 6),
+                 ROUND(kll_quantile(regs, CAST(0.9 AS DOUBLE)) + 1e-9, 6)
+          FROM roll""")
+      },
+      Some(s"""WITH
+        ${Kll.buildSql(
+          "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders",
+          Seq("o_orderstatus"), "o_totalprice", "o_orderkey",
+          buckets = 4, k = 32, rounds = 10, salt = "sqlk", p = "k")},
+        ${Kll.rollupSql("kreg", Nil, 32, 16, "sqlk", "r")},
+        ${Kll.estimateSql("kreg", Seq("o_orderstatus"),
+          Seq(("p50", 0.5), ("p90", 0.9)), "f")},
+        ${Kll.estimateSql("rreg", Nil,
+          Seq(("p50", 0.5), ("p90", 0.9)), "g")}
+        SELECT 'fine' AS lvl, a.o_orderstatus,
+               ROUND(a.p50 + 1e-9, 6) AS p50,
+               ROUND(b.p90 + 1e-9, 6) AS p90
+        FROM f_p50 a JOIN f_p90 b USING (o_orderstatus)
+        UNION ALL
+        SELECT 'roll', 'ALL',
+               ROUND(g_p50.p50 + 1e-9, 6), ROUND(g_p90.p90 + 1e-9, 6)
+        FROM g_p50, g_p90""")),
+
     // Q90 — Poisson-bootstrap confidence intervals
     // (Experiment.poissonBootstrap): the resampling-free bootstrap — every
     // row contributes a content-derived Poisson(1) weight to each of 200

@@ -265,6 +265,76 @@ object SketchSql {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KllItem]]()
   }
 
+  // ── scalar ESTIMATE finishers over the register arrays (round-16
+  // verdict task 7): q100–q103 could BUILD and MERGE sketches in pure
+  // SQL but estimation still required the DataFrame operators — these
+  // close the loop so a spark.sql-only user builds AND serves a sketch
+  // cube. Arithmetic is bit-identical to the relational estimators
+  // (integer harmonic fold, same literal products/divisions in the same
+  // order), so the SAME generated DuckDB replays hash-check both
+  // surfaces. Raw doubles — compose `round(x + 1e-9, 6)` (the house
+  // stableRound) at the output boundary when hash-comparing. ──
+
+  /** [[graft.operators.Hll.estimate]] over one dense rank array. */
+  def hllEstimate(regs: Seq[Int], p: Int): Double = {
+    val m = 1 << p
+    val w = 56 - p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var ne = 0L
+    var s = 0L
+    regs.foreach { r => if (r > 0) { ne += 1L; s += 1L << (w + 1 - r) } }
+    val v = (m - ne).toDouble
+    val denom = ((m - ne) * (1L << (w + 1)) + s).toDouble
+    val e = alpha * m.toDouble * m * (1L << (w + 1)).toDouble / denom
+    if (e <= 2.5 * m && v > 0) m.toDouble * math.log(m / v) else e
+  }
+
+  /** [[graft.operators.Cms.estimate]]'s point count for one value over a
+    * flattened depth×width count array (0 for untouched buckets). */
+  def cmsEstimate(regs: Seq[Long], v: String, depth: Int, width: Int): Long =
+    if (v == null) 0L
+    else {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val bk = (Kll.hash56Local(s"$r:$v") % width).toInt
+        val c = regs(r * width + bk)
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+
+  /** [[graft.operators.Kmv.estimate]] over one ascending hash array:
+    * exact below k, `(k−1)·H/θ` at capacity. */
+  def kmvEstimate(sk: Seq[Long], k: Int): Double =
+    if (sk.size < k) sk.size.toDouble
+    else (k - 1).toDouble * graft.operators.Kmv.H.toDouble / sk.last
+
+  /** [[graft.operators.Kll.estimate]]'s quantile readout over one
+    * compactor-row array: weighted cumulative rank by (value, level),
+    * first value whose cum ≥ ⌈q·n⌉. */
+  def kllQuantile(items: Seq[KllItem], q: Double): Double = {
+    require(q > 0.0 && q <= 1.0, s"kll_quantile: q=$q outside (0,1]")
+    require(items.nonEmpty, "kll_quantile: empty sketch")
+    val sorted = items.sortBy(i => (i.value, i.level))
+    val n = sorted.iterator.map(i => 1L << i.level).sum
+    val t = math.ceil(q * n).toLong
+    var cum = 0L
+    var i = 0
+    while (i < sorted.length) {
+      cum += 1L << sorted(i).level
+      if (cum >= t) return sorted(i).value
+      i += 1
+    }
+    sorted.last.value
+  }
+
   /** Register the whole surface on `spark` (idempotent — re-registering
     * replaces). Parameters are bound at registration, the same way the
     * relational call sites bind them; re-register to change them. */
@@ -286,5 +356,13 @@ object SketchSql {
       udaf(new KllRegsAgg(kllBuckets, kllK, kllRounds, kllSalt)))
     spark.udf.register("kll_merge_regs",
       udaf(new KllMergeAgg(kllK, kllSweepRounds, kllSalt)))
+    spark.udf.register("hll_est",
+      (regs: Seq[Int]) => hllEstimate(regs, hllP))
+    spark.udf.register("cms_est",
+      (regs: Seq[Long], v: String) =>
+        cmsEstimate(regs, v, cmsDepth, cmsWidth))
+    spark.udf.register("kmv_est", (sk: Seq[Long]) => kmvEstimate(sk, kmvK))
+    spark.udf.register("kll_quantile",
+      (items: Seq[KllItem], q: Double) => kllQuantile(items, q))
   }
 }

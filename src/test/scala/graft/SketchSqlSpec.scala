@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.SketchSql
-import graft.operators.{Cms, Hll, Kll, Kmv}
+import graft.operators.{stableRound, Cms, Hll, Kll, Kmv}
 
 /** SQL-vs-DataFrame parity for the sketch algebra: a sketch built through
   * the registered SQL aggregates, exploded back to register rows, is
@@ -120,5 +120,71 @@ class SketchSqlSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(rows2(sqlRoll) === rows2(
       dfRoll.select(col("_level"), col("_value"))))
+  }
+
+  test("scalar estimate finishers == the relational estimators, " +
+      "bit-identical (hll_est / cms_est / kmv_est / kll_quantile)") {
+    data.count() // force view + UDAF/UDF registration
+    // HLL: SQL estimate over the built array vs Hll.estimate per group
+    val sqlHll = spark.sql(
+      """SELECT g, ROUND(hll_est(regs) + 1e-9, 6) AS hll_distinct
+         FROM (SELECT g, hll_regs(v) AS regs FROM sk_t GROUP BY g)""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dfHll = Hll.estimate(
+      Hll.registers(data, Seq("g"), "v", p = 6), Seq("g"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sqlHll === dfHll)
+    // CMS: point estimates for a probe list vs Cms.estimate
+    val sqlCms = spark.sql(
+      """SELECT g, pv, cms_est(regs, pv) AS cms_count
+         FROM (SELECT g, cms_regs(v) AS regs FROM sk_t GROUP BY g)
+         CROSS JOIN (SELECT explode(array('v0', 'v1', 'v66', 'zzz')) AS pv)""")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val probes = data.select(col("g")).distinct()
+      .crossJoin(Seq("v0", "v1", "v66", "zzz").toDF("pv"))
+    val dfCms = Cms.estimate(
+      Cms.registers(data, Seq("g"), "v", depth = 3, width = 16),
+      probes, Seq("g"), "pv", depth = 3, width = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sqlCms === dfCms)
+    // the never-under CMS guarantee holds through the scalar finisher
+    val exact = data.groupBy("g", "v").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    sqlCms.foreach { case ((g, pv), est) =>
+      assert(est >= exact.getOrElse((g, pv), 0L)) }
+    // KMV: capacity path (67 distinct > k=8) and exact path (5 distinct)
+    val sqlKmv = spark.sql(
+      """SELECT g, ROUND(kmv_est(sk) + 1e-9, 6) AS kmv_distinct
+         FROM (SELECT g, kmv_sketch(v) AS sk FROM sk_t GROUP BY g)""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dfKmv = Kmv.estimate(
+      Kmv.sketch(data, Seq("g"), "v", k = 8), Seq("g"), k = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sqlKmv === dfKmv)
+    val sqlKmvExact = spark.sql(
+      """SELECT ROUND(kmv_est(sk) + 1e-9, 6)
+         FROM (SELECT kmv_sketch(s) AS sk FROM sk_t)""")
+      .collect()(0).getDouble(0)
+    assert(sqlKmvExact === 5.0)
+    // KLL: SQL quantile readout vs Kll.estimate on the same sketch
+    val sqlKll = spark.sql(
+      """SELECT g, ROUND(kll_quantile(regs, CAST(0.5 AS DOUBLE)) + 1e-9, 6) AS p50,
+                ROUND(kll_quantile(regs, CAST(0.9 AS DOUBLE)) + 1e-9, 6) AS p90
+         FROM (SELECT g, kll_regs(id, x) AS regs FROM sk_t
+               WHERE x IS NOT NULL GROUP BY g)""")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dfKll = Kll.estimate(
+      Kll.registers(data, Seq("g"), "x", "id",
+        buckets = 2, k = 8, rounds = 6, salt = "tsql"),
+      Seq("g"), Seq(("p50", 0.5), ("p90", 0.9)))
+      .select(col("g"),
+        stableRound(col("p50"), 6), stableRound(col("p90"), 6))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sqlKll === dfKll)
   }
 }
