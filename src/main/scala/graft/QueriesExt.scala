@@ -7110,10 +7110,20 @@ object QueriesExt {
         val feats = Seq("p_name_edit_sim", "p_name_jaccard_sim",
           "p_brand_exact_sim", "p_size_close_sim")
         // all block candidates (threshold 0), labeled by the planting
-        // rule; pair-set-sized, read by fit + sweep + metrics — pin it
+        // rule; pair-set-sized, read by fit + sweep + metrics — pin it.
+        // Blocking carries a THIRD, variant-invariant key (round-16
+        // verdict task 6): the LAST name token — the planted variant
+        // only damages the first token, so every truth pair still
+        // co-blocks (block_recall is PRICED below and rides the
+        // hash-checked row, 1.0 by construction of the plant), while
+        // unrelated same-(brand, first-letter) pairs drop ~7.9×
+        // (sf0.1: 1.57M -> 200k candidates; the residue shares the
+        // whole name tail — the genuinely-hard near-identical names)
         val labeled = Dedup.entityPairs(
           d20Records(s, d), "p_partkey",
-          Seq(col("p_brand"), substring(col("p_name"), 1, 1)),
+          Seq(col("p_brand"), substring(col("p_name"), 1, 1),
+            element_at(org.apache.spark.sql.functions.split(
+              trim(col("p_name")), " "), -1)),
           editFields = Seq("p_name" -> 0.4),
           jaccardFields = Seq("p_name" -> 0.2),
           exactFields = Seq("p_brand" -> 0.2),
@@ -7130,12 +7140,14 @@ object QueriesExt {
           .select((Seq("a_id", "b_id", "score").map(col) ++
             feats.map(col) ++ Seq(col("is_match"), col("y"))): _*)
           .localCheckpoint(true)
-        // LABEL-BALANCED training sample: ~500 positives against ~15.5k
-        // candidate negatives stalls a zero-initialized GD inside the
-        // negative prior (measured: all-negative betas, accuracy == the
-        // prior, precision 0.001). Keep every positive + a deterministic
-        // 1/31 md5 slice of negatives (≈ class parity); train on the
-        // sample, CUT AND PRICE ON THE FULL SET — the standard
+        // LABEL-BALANCED training sample: a heavily negative candidate
+        // set stalls a zero-initialized GD inside the negative prior
+        // (measured: all-negative betas, accuracy == the prior,
+        // precision 0.001). Keep every positive + a deterministic 1/4
+        // md5 slice of negatives (~parity at sf0.01, ~10:1 at sf0.1
+        // under the tightened blocking — the regime the old 1/31 slice
+        // gave the 7.9×-larger candidate set); train on the sample,
+        // CUT AND PRICE ON THE FULL SET — the standard
         // imbalanced-learning recipe, hash-replayable like everything.
         // pre-projected + pinned (round-15 verdict task 5a): the 24 GD
         // passes each re-scan the training frame; without this they
@@ -7147,7 +7159,7 @@ object QueriesExt {
         val train = labeled.where(col("is_match") ||
           pmod(Dedup.hash56(concat_ws(":",
             col("a_id").cast("string"), col("b_id").cast("string"))),
-            lit(31L)) === 0)
+            lit(4L)) === 0)
           .select((feats.map(col) :+ col("y")): _*)
           // ONE partition: the slice is ~KB-sized and each GD step is a
           // full pass, so 32 near-empty tasks per step were pure job
@@ -7200,9 +7212,16 @@ object QueriesExt {
               6).as("precision_at_base_recall"),
             stableRound(col("tp").cast("double") / col("_bnt"), 6)
               .as("recall_at_base_recall"))
+        // the blocking's own priced verdict (round-16 task 6): recall
+        // of the CANDIDATE set against truth — the number that says the
+        // tightened key lost nothing, pinned in the same hashed row
+        val candMet = Dedup.pairSetMetrics(labeled, truth, "a_id", "b_id")
+          .select(col("n_pred").as("n_cand"),
+            col("recall").as("block_recall"))
         fit.crossJoin(split).crossJoin(metrics)
           .crossJoin(baseMet.select("base_precision", "base_recall"))
           .crossJoin(eq)
+          .crossJoin(candMet)
       },
       Some(c14Sql(iters = 24, lr = 4.0))),
 
@@ -8575,7 +8594,7 @@ object QueriesExt {
     Entry(
       "d20_entity_pairs",
       (s, d) => d20Pairs(s, d),
-      Some(d20PairsSql +
+      Some(d20PairsSql() +
         """
           SELECT a_id, b_id, p_name_edit_sim, p_name_jaccard_sim,
                  p_brand_exact_sim, p_size_close_sim, score
@@ -8596,7 +8615,7 @@ object QueriesExt {
           .select(col("p_partkey").as("a_id"),
             (col("p_partkey") + lit(1000000L)).as("b_id")),
         "a_id", "b_id"),
-      Some(d20PairsSql +
+      Some(d20PairsSql() +
         """ ,
           pc AS (SELECT DISTINCT LEAST(a_id, b_id) AS _a, GREATEST(a_id, b_id) AS _b
                  FROM sc WHERE score >= CAST('0.75' AS DOUBLE)),
@@ -9034,7 +9053,8 @@ object QueriesExt {
   /** The shared d20 oracle prefix: variant planting, blocking self-join,
     * the four per-field similarities (each ROUND(x+1e-9, 6) = stableRound)
     * and the weighted score — everything up to the threshold filter. */
-  private def d20PairsSql: String =
+  private def d20PairsSql(tightBlock: Boolean = false): String = {
+    val lkJoin = if (tightBlock) " AND a.lk = b.lk" else ""
     """WITH p0 AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
           vr AS (SELECT p_partkey + 1000000 AS p_partkey,
                         substring(p_name, 1, 1) || substring(p_name, 3) AS p_name,
@@ -9043,6 +9063,7 @@ object QueriesExt {
           r AS (SELECT * FROM p0 UNION ALL SELECT * FROM vr),
           t AS (SELECT p_partkey AS id, p_brand,
                        substring(p_name, 1, 1) AS nk,
+                       list_extract(string_split(trim(p_name), ' '), -1) AS lk,
                        lower(trim(p_name)) AS nn,
                        list_distinct([x for x in string_split_regex(lower(trim(p_name)), '\s+')
                                       if length(x) > 0]) AS toks,
@@ -9061,13 +9082,15 @@ object QueriesExt {
                              ELSE 1.0 - CAST(abs(a.p_size - b.p_size) AS DOUBLE)
                                   / GREATEST(abs(a.p_size), abs(b.p_size), 1) END + 1e-9, 6) AS p_size_close_sim
                 FROM t a JOIN t b
-                  ON a.p_brand = b.p_brand AND a.nk = b.nk AND a.id < b.id),
+                  ON a.p_brand = b.p_brand AND a.nk = b.nk AND a.id < b.id
+                     """ + lkJoin + """),
           sc AS (SELECT *, ROUND((CAST('0.4' AS DOUBLE) * p_name_edit_sim +
                                   CAST('0.2' AS DOUBLE) * p_name_jaccard_sim +
                                   CAST('0.2' AS DOUBLE) * p_brand_exact_sim +
                                   CAST('0.2' AS DOUBLE) * p_size_close_sim)
                                  / CAST('1.0' AS DOUBLE) + 1e-9, 6) AS score
                  FROM c)"""
+  }
 
   /** c14's oracle: the d20 pair/similarity prefix + planted labels, an
     * unrolled 4-feature logistic-GD ladder (the q71 CTE discipline),
@@ -9088,7 +9111,7 @@ object QueriesExt {
     def ent(p: String) =
       s"""(CASE WHEN $p <= 0 OR $p >= 1 THEN 0
            ELSE -(($p) * ln($p) + (1 - ($p)) * ln(1 - ($p))) END)"""
-    d20PairsSql +
+    d20PairsSql(tightBlock = true) +
       s""" ,
           lab AS MATERIALIZED (SELECT a_id, b_id,
                          CASE WHEN b_id = a_id + 1000000 AND a_id % 4 = 0
@@ -9098,7 +9121,7 @@ object QueriesExt {
                   FROM sc),
           trn AS MATERIALIZED (SELECT * FROM lab
                   WHERE y = 1.0
-                     OR ('0x' || substr(md5(CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 31 = 0),
+                     OR ('0x' || substr(md5(CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT % 4 = 0),
           cb0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
                          CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
                          CAST(0 AS DOUBLE) AS w4),
@@ -9167,7 +9190,17 @@ object QueriesExt {
                          ROUND(cw.tp / CAST(cw.tp + cw.fp AS DOUBLE) + 1e-9, 6) AS precision_at_base_recall,
                          ROUND(cw.tp / CAST(nt.n_truth AS DOUBLE) + 1e-9, 6) AS recall_at_base_recall
                   FROM cw, base, nt WHERE cw.tp >= base.bboth
-                  ORDER BY cw.threshold DESC LIMIT 1)
+                  ORDER BY cw.threshold DESC LIMIT 1),
+          cnp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand
+                  FROM (SELECT DISTINCT LEAST(a_id, b_id), GREATEST(a_id, b_id)
+                        FROM sc)),
+          cnb AS (SELECT CAST(COUNT(*) AS BIGINT) AS cboth
+                  FROM (SELECT DISTINCT LEAST(a_id, b_id) AS _a,
+                               GREATEST(a_id, b_id) AS _b
+                        FROM sc
+                        INTERSECT SELECT * FROM tru)),
+          cbr AS (SELECT ROUND(cboth / CAST(n_truth AS DOUBLE) + 1e-9, 6) AS block_recall
+                  FROM cnb, nt)
       SELECT fit.*, best.threshold, best.gain, best.n_left, best.n_right,
              np.n_pred, nt.n_truth, nb.n_both,
              CASE WHEN n_pred > 0
@@ -9180,8 +9213,9 @@ object QueriesExt {
              END AS f1,
              base.base_precision, base.base_recall,
              eqr.threshold_at_base_recall, eqr.precision_at_base_recall,
-             eqr.recall_at_base_recall
-      FROM fit, best, np, nt, nb, base, eqr"""
+             eqr.recall_at_base_recall,
+             cnp.n_cand, cbr.block_recall
+      FROM fit, best, np, nt, nb, base, eqr, cnp, cbr"""
   }
 
   /** q86's oracle: the generated q81 build chain (salt q86) + the same
