@@ -8100,6 +8100,73 @@ object QueriesExt {
                      TRUE AS matches_scan
               FROM orders""")),
 
+    // Q107B — metadata-only aggregates made TRANSPARENT: q107's served
+    // answers through a PLAIN spark.sql over the path-opened table — the
+    // ManifestAggRewrite optimizer rule (installed automatically when a
+    // manifest index is constructed) rewrites the whole-table
+    // COUNT/MIN/MAX aggregate to a one-row LocalRelation, so the
+    // executed plan reads ZERO files (pinned) — Spark's
+    // OptimizeMetadataOnlyQuery idea extended from partition columns to
+    // every manifest-covered column. Conservatism (filters / GROUP BY /
+    // DISTINCT / expressions decline) is ManifestAggRewriteSpec's pin.
+    Entry(
+      "q107b_sql_manifest_agg",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q107b").toString
+        try {
+          val dir = s"$tmp/orders"
+          val order = Seq(col("o_date").asc, col("o_orderkey").asc)
+          graft.sources.GraftTable.write(s, ord, order, 16, dir,
+            Seq("o_date", "o_custkey"))
+          graft.sources.Sources.graftTable(s, dir)
+            .createOrReplaceTempView("q107b_t")
+          try {
+            val q = s.sql(
+              """SELECT COUNT(*) AS n_rows,
+                        CAST(MIN(o_date) AS STRING) AS date_min,
+                        CAST(MAX(o_date) AS STRING) AS date_max,
+                        MIN(o_custkey) AS ck_min,
+                        MAX(o_custkey) AS ck_max,
+                        COUNT(o_custkey) AS ck_count
+                 FROM q107b_t""")
+            val r = q.collect()(0)
+            val filesRead = graft.sources.PrunedScan.filesRead(q)
+            val f = s.read.option("basePath", dir).parquet(dir)
+              .agg(count(lit(1)), min(col("o_date")).cast("string"),
+                max(col("o_date")).cast("string"),
+                min(col("o_custkey")), max(col("o_custkey")),
+                count(col("o_custkey")))
+              .collect()(0)
+            Seq((r.getLong(0), r.getString(1), r.getString(2),
+              r.getLong(3), r.getLong(4), r.getLong(5), filesRead,
+              (0 until 6).forall(i => r.get(i) == f.get(i))))
+              .toDF("n_rows", "date_min", "date_max", "ck_min", "ck_max",
+                "ck_count", "files_read", "matches_scan")
+          } finally s.catalog.dropTempView("q107b_t")
+        } finally {
+          val root = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS date_min,
+                     CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS date_max,
+                     CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+                     CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+                     CAST(COUNT(o_custkey) AS BIGINT) AS ck_count,
+                     CAST(0 AS BIGINT) AS files_read,
+                     TRUE AS matches_scan
+              FROM orders""")),
+
     // Q108 — ZERO-PASS join routing (round-16 verdict task 4): q99's
     // decision table, but the big side's MG key summary comes from the
     // PERSISTED per-file sidecar (merged by the mergeable-summaries

@@ -121,6 +121,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark =>
       new IntervalJoinRewrite(spark.asInstanceOf[SparkSession]))
+    ext.injectOptimizerRule(spark =>
+      new ManifestAggRewrite(spark.asInstanceOf[SparkSession]))
     graft.functions.ArrayKernels.registerSql(ext)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{greatest, least}
+import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum}
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -85,6 +85,33 @@ class ManifestFileIndex(
   /** Columns the manifest carries stats for (`<c>_min/_max/_nulls`). */
   private val statCols: Set[String] = manifest.columns.iterator
     .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSet
+
+  /** Exact whole-table totals over the manifest — computed lazily ONCE
+    * (one job over the KB-sized manifest, cached for the index's life)
+    * for the metadata-only aggregate rewrite
+    * ([[graft.plans.ManifestAggRewrite]]): total row count plus, per
+    * stat column, (min of mins, max of maxes, summed null count) in
+    * EXTERNAL value form. The manifest-level min/max ignore null bounds
+    * (all-null files) — SQL MIN/MAX semantics for free. */
+  private lazy val totals: (Long, Map[String, (Any, Any, Long)]) = {
+    val cols = statCols.toSeq.sorted
+    val aggs = cols.flatMap(c => Seq(
+      min(col(s"${c}_min")).as(s"${c}_mn"),
+      max(col(s"${c}_max")).as(s"${c}_mx"),
+      coalesce(sum(col(s"${c}_nulls")), lit(0L)).as(s"${c}_nl")))
+    val row = manifest
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("_n"), aggs: _*)
+      .collect()(0)
+    val m = cols.zipWithIndex.map { case (c, i) =>
+      c -> ((row.get(1 + i * 3), row.get(2 + i * 3), row.getLong(3 + i * 3)))
+    }.toMap
+    (row.getLong(0), m)
+  }
+
+  def totalRows: Long = totals._1
+  def colMin(c: String): Option[Any] = totals._2.get(c).map(_._1)
+  def colMax(c: String): Option[Any] = totals._2.get(c).map(_._2)
+  def colNulls(c: String): Option[Long] = totals._2.get(c).map(_._3)
 
   /** One survivor set per distinct translated filter — planning cache.
     * Concurrent (listFiles can be invoked from parallel query threads)
@@ -301,6 +328,9 @@ object ManifestFileIndex {
   def manifestParquet(
       spark: SparkSession, dir: String, manifest: DataFrame,
       blooms: Map[String, BloomSidecar] = Map.empty): DataFrame = {
+    // whole-table COUNT/MIN/MAX over this table become metadata-only
+    // (idempotent per-session install; rule fires on this index only)
+    graft.plans.ManifestAggregates.install(spark)
     val index = new ManifestFileIndex(spark, dir, manifest, blooms)
     val dataSchema = StructType(
       spark.read.option("basePath", dir).parquet(dir)
