@@ -134,28 +134,44 @@ object GraftTable {
   /** Write `df` as a self-describing pruned table: the
     * [[Layout.assignedWrite]] layout (file `k` = global-rank slice `k`
     * under `orderCols`, one physical file, sorted within) plus the
-    * persisted [[Layout.fileManifest]] and, per `bloomCols` entry
+    * persisted per-file stats manifest and, per `bloomCols` entry
     * `(column, mBits, k)`, a per-file Bloom register sidecar for
-    * equality probes on columns the order does not sort. Cost: the
-    * assignedWrite passes, plus one register fold per Bloom column over
-    * the assigned frame. */
+    * equality probes on columns the order does not sort; `mgKeys` adds
+    * per-file MG summaries for zero-pass join routing.
+    *
+    * Cost shape: the [[Layout.fileAssignments]] prefix-sum runs ONCE and
+    * is pinned (localCheckpoint) — the data write, the stats manifest,
+    * and every Bloom/MG sidecar fold read the pinned frame instead of
+    * re-running the assignment per sidecar (measured: q108's
+    * two-MG-sidecar write was 5 assignment passes before this). At a
+    * real lake these folds run inside the writer's task; the pinned
+    * single pass is the local-mode equivalent. */
   def write(
       spark: SparkSession, df: DataFrame, orderCols: Seq[Column],
       nFiles: Int, dir: String, statCols: Seq[String],
       bloomCols: Seq[(String, Int, Int)] = Nil,
       mgKeys: Seq[(Seq[String], Int)] = Nil): Unit = {
-    Layout.assignedWrite(df, orderCols, nFiles, dir)
-    val man = Layout.fileManifest(df, orderCols, nFiles, statCols)
+    require(statCols.nonEmpty, "write: no stat columns")
+    val assigned = Layout.fileAssignments(df, orderCols, nFiles)
+      .localCheckpoint(true)
+    // identical layout to Layout.assignedWrite, fed from the pinned frame
+    assigned
+      .repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id") +: orderCols: _*)
+      .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    val man = assigned.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
       .localCheckpoint(true)
     val blooms = bloomCols.map { case (c, mBits, k) =>
-      (c, mBits, k, Bloom.registers(
-        Layout.fileAssignments(df, orderCols, nFiles),
-        Seq("file_id"), c, mBits, k).localCheckpoint(true))
+      (c, mBits, k, Bloom.registers(assigned, Seq("file_id"), c, mBits, k)
+        .localCheckpoint(true))
     }
     val mgs = mgKeys.map { case (keys, k) =>
-      (mgName(keys), k, perFileMg(
-        Layout.fileAssignments(df, orderCols, nFiles), keys, k)
-        .localCheckpoint(true))
+      (mgName(keys), k, perFileMg(assigned, keys, k).localCheckpoint(true))
     }
     persist(spark, dir, man, blooms, mgs)
   }
@@ -198,6 +214,36 @@ object GraftTable {
         .localCheckpoint(true))
     }
     persist(spark, dir, man, blooms, mgs)
+  }
+
+  /** Publish a LIVE streaming table's state as a self-describing sidecar
+    * (the streaming twin of [[write]]/[[adopt]]): snapshot the committed
+    * [[graft.streaming.StreamingManifest]] manifest (+ Bloom sidecars
+    * for `bloomShapes`' columns) into `<dir>/_graft_manifest/`, so a
+    * SECOND session — one without the `statePath` handle — opens the
+    * table by path alone. Run in a maintenance window with the stream
+    * STOPPED CLEANLY (same contract as
+    * [[graft.streaming.StreamingManifest.compact]]): the freshness
+    * fingerprint is taken against the directory as-is, so the next
+    * committed trigger makes the published sidecar fail-loud stale
+    * (exactly right — republish after appends). State copied is
+    * KB-sized planner state; no corpus pass. */
+  def publishLive(
+      spark: SparkSession, dir: String, statePath: String,
+      bloomShapes: Map[String, (Int, Int)] = Map.empty): Unit = {
+    val man = graft.streaming.StreamingManifest
+      .currentManifest(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"publishLive: no committed manifest at $statePath"))
+      .localCheckpoint(true)
+    val blooms = bloomShapes.toSeq.map { case (c, (mBits, k)) =>
+      (c, mBits, k,
+        graft.streaming.StreamingManifest.currentBloom(spark, statePath, c)
+          .getOrElse(throw new IllegalStateException(
+            s"publishLive: no committed Bloom sidecar for $c at $statePath"))
+          .localCheckpoint(true))
+    }
+    persist(spark, dir, man, blooms)
   }
 
   /** True iff `dir` carries a `_graft_manifest` sidecar. */

@@ -156,6 +156,63 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("publishLive: a cleanly-stopped stream's manifest publishes as a " +
+      "sidecar — open by path, pruned reads exact; a new trigger stales it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingManifest
+    val base = tmpDir("gt-live")
+    val statePath = s"$base/state"
+    val dataDir = s"$base/data"
+    val (mBits, k) = (4096, 4)
+    def run(stream: MemoryStream[(Long, Long)]) =
+      StreamingManifest.attach(
+        stream.toDF().toDF("v", "w"), Seq("v", "w"), statePath,
+        s"$base/ckpt", bloomCols = Seq(("w", mBits, k))) { (_, _) => () }
+    val waves = (0 until 3).map(wv =>
+      (0 until 100).map(i => ((wv * 100 + i).toLong,
+        ((wv * 100 + i) * 7919L % 300L))))
+    val s1 = MemoryStream[(Long, Long)](spark)
+    val q1 = run(s1)
+    try {
+      waves.zipWithIndex.foreach { case (w, id) =>
+        s1.addData(w: _*); q1.processAllAvailable()
+        w.toDF("v", "w").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dataDir/file_id=$id")
+      }
+    } finally q1.stop()
+    GraftTable.publishLive(spark, dataDir, statePath,
+      Map("w" -> (mBits, k)))
+    // a path-only open (no statePath handle) serves pruned reads
+    val t = Sources.graftTable(spark, dataDir)
+    val rq = t.where(col("v") >= 100L && col("v") < 200L)
+    assert(rq.collect().map(_.getAs[Long]("v")).toSet ===
+      (100L until 200L).toSet)
+    assert(PrunedScan.filesRead(rq) === 1L)
+    val probeW = (5L * 7919L) % 300L
+    val eq = t.where(col("w") === probeW)
+    assert(eq.collect().map(_.getAs[Long]("v")).toSet ===
+      (0 until 300).filter(i => (i * 7919L) % 300L == probeW)
+        .map(_.toLong).toSet)
+    // the stream appends another batch: the published sidecar is stale
+    val s2 = MemoryStream[(Long, Long)](spark)
+    waves.foreach(w => s2.addData(w: _*))
+    s2.addData((300 until 400).map(i =>
+      (i.toLong, (i * 7919L) % 300L)): _*)
+    val q2 = run(s2)
+    try q2.processAllAvailable() finally q2.stop()
+    (300 until 400).map(i => (i.toLong, (i * 7919L) % 300L))
+      .toDF("v", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/file_id=3")
+    assert(intercept[IllegalStateException] {
+      Sources.graftTable(spark, dataDir)
+    }.getMessage.contains("STALE"))
+    // republish covers the appended batch
+    GraftTable.publishLive(spark, dataDir, statePath,
+      Map("w" -> (mBits, k)))
+    val t2 = Sources.graftTable(spark, dataDir)
+    assert(t2.where(col("v") >= 300L).count() === 100L)
+  }
+
   test("adopt a PLAIN parquet table with a Bloom column: flat layout, " +
       "file-granularity pruning, equality probe sharpened by the sidecar") {
     val dir = tmpDir("gt-adopt") + "/t"
