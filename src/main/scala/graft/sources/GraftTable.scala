@@ -256,7 +256,15 @@ object GraftTable {
     * transparently-pruned frame: every plain `.where(...)` over it gets
     * the q104 `numFiles` savings in any session, with zero handed-over
     * state. Schema-identical to the stock parquet reader. */
-  def open(spark: SparkSession, dir: String): DataFrame = {
+  def open(spark: SparkSession, dir: String): DataFrame =
+    spark.baseRelationToDataFrame(openRelation(spark, dir))
+
+  /** [[open]]'s relation form — what the `graft` DataSource short name
+    * ([[GraftFormat]]) returns, so `spark.read.format("graft").load(dir)`
+    * and SQL `CREATE … USING graft OPTIONS (path …)` serve the same
+    * pruned table. */
+  def openRelation(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.sources.BaseRelation = {
     val mp = metaRoot(spark, dir)
     val meta = requireFresh(spark, dir)
     val root = rootPath(spark, dir)
@@ -272,7 +280,7 @@ object GraftTable {
         spark.read.parquet(s"$mp/bloom_${bloomCols(i)}").localCheckpoint(true),
         mBitss(i), ks(i))
     }.toMap
-    ManifestFileIndex.manifestParquet(spark, dir, man, blooms)
+    ManifestFileIndex.manifestRelation(spark, dir, man, blooms)
   }
 
   /** Load + freshness-gate the meta row (the shared front door of

@@ -327,7 +327,15 @@ object ManifestFileIndex {
     * `spark.read.option("basePath", dir).parquet(dir)`. */
   def manifestParquet(
       spark: SparkSession, dir: String, manifest: DataFrame,
-      blooms: Map[String, BloomSidecar] = Map.empty): DataFrame = {
+      blooms: Map[String, BloomSidecar] = Map.empty): DataFrame =
+    spark.baseRelationToDataFrame(
+      manifestRelation(spark, dir, manifest, blooms))
+
+  /** [[manifestParquet]]'s relation form (the `graft` DataSource and
+    * [[GraftTable.openRelation]] consume it directly). */
+  def manifestRelation(
+      spark: SparkSession, dir: String, manifest: DataFrame,
+      blooms: Map[String, BloomSidecar] = Map.empty): HadoopFsRelation = {
     // whole-table COUNT/MIN/MAX over this table become metadata-only
     // (idempotent per-session install; rule fires on this index only)
     graft.plans.ManifestAggregates.install(spark)
@@ -337,10 +345,9 @@ object ManifestFileIndex {
         .schema.filterNot(f =>
           index.partitionSpec().partitionColumns.fieldNames
             .contains(f.name)))
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       index, index.partitionSpec().partitionColumns, dataSchema, None,
       new ParquetFileFormat, Map("basePath" -> dir))(spark)
-    spark.baseRelationToDataFrame(relation)
   }
 
   /** The LIVE twin: transparent pruning against the manifest (+ Bloom

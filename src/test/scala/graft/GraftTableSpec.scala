@@ -156,6 +156,37 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("the graft DataSource short name: format(\"graft\").load and SQL " +
+      "USING graft serve the pruned, metadata-aggregate frame") {
+    val dir = tmpDir("gt-fmt") + "/t"
+    GraftTable.write(spark, table, Seq(col("v").asc), 8, dir, Seq("v", "w"))
+    val t = spark.read.format("graft").load(dir)
+    val q = t.where(col("v") >= 120L && col("v") < 260L)
+    assert(q.collect().map(_.getAs[Long]("v")).toSet ===
+      (120L until 260L).toSet)
+    assert(PrunedScan.filesRead(q) === 4L)
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW gt_fmt USING graft OPTIONS (path '$dir')")
+    try {
+      val sq = spark.sql("SELECT v FROM gt_fmt WHERE v >= 350")
+      assert(sq.collect().map(_.getLong(0)).toSet === (350L until 400L).toSet)
+      assert(PrunedScan.filesRead(sq) === 1L)
+      // metadata-only aggregates serve through the SQL surface too
+      val agg = spark.sql("SELECT COUNT(*), MIN(v), MAX(v) FROM gt_fmt")
+      val r = agg.collect()(0)
+      assert(r.getLong(0) === 400L && r.getLong(1) === 0L &&
+        r.getLong(2) === 399L)
+      assert(PrunedScan.filesRead(agg) === 0L)
+    } finally spark.catalog.dropTempView("gt_fmt")
+    // a stale table refuses through the format path too
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("v", "w").coalesce(1)
+      .write.parquet(s"$dir/file_id=99")
+    assert(intercept[IllegalStateException] {
+      spark.read.format("graft").load(dir).collect()
+    }.getMessage.contains("STALE"))
+  }
+
   test("publishLive: a cleanly-stopped stream's manifest publishes as a " +
       "sidecar — open by path, pruned reads exact; a new trigger stales it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
