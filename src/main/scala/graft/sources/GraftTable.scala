@@ -18,6 +18,7 @@ import graft.operators.{Bloom, Layout}
   *   <dir>/_graft_manifest/manifest/    the pruning manifest (file-count-sized)
   *   <dir>/_graft_manifest/units/       per-unit freshness fingerprint
   *   <dir>/_graft_manifest/bloom_<c>/   per-file Bloom registers per column
+  *   <dir>/_graft_manifest/mg_<keys>/   per-file MG join-key summaries
   * }}}
   *
   * so [[open]] (= [[Sources.graftTable]]) reconstructs the fully-pruned
@@ -64,8 +65,6 @@ object GraftTable {
 
   private def metaRoot(spark: SparkSession, dir: String): String =
     s"${rootPath(spark, dir)}/$MetaDirName"
-
-  private val FileIdDir = "file_id=(\\d+)".r
 
   /** One fingerprint row per pruning unit: (relative unit path, parquet
     * part count, total bytes). A unit is a `file_id=k/` directory when
