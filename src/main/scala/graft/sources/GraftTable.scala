@@ -229,7 +229,8 @@ object GraftTable {
     * KB-sized planner state; no corpus pass. */
   def publishLive(
       spark: SparkSession, dir: String, statePath: String,
-      bloomShapes: Map[String, (Int, Int)] = Map.empty): Unit = {
+      bloomShapes: Map[String, (Int, Int)] = Map.empty,
+      mgKeys: Seq[(Seq[String], Int)] = Nil): Unit = {
     val man = graft.streaming.StreamingManifest
       .currentManifest(spark, statePath)
       .getOrElse(throw new IllegalStateException(
@@ -242,7 +243,20 @@ object GraftTable {
             s"publishLive: no committed Bloom sidecar for $c at $statePath"))
           .localCheckpoint(true))
     }
-    persist(spark, dir, man, blooms)
+    // scope published MG rows to the manifest's ids (compaction's
+    // crash-window staging may hold superset rows — the same scoping
+    // StreamingManifest.currentKeyFreq applies live)
+    val listed = man.select(col("file_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val mgs = mgKeys.map { case (keys, k) =>
+      (mgName(keys), k,
+        graft.streaming.StreamingManifest.currentMg(spark, statePath, keys)
+          .getOrElse(throw new IllegalStateException(
+            s"publishLive: no committed MG sidecar for $keys at $statePath"))
+          .where(col("file_id").cast("long").isInCollection(listed))
+          .localCheckpoint(true))
+    }
+    persist(spark, dir, man, blooms, mgs)
   }
 
   /** True iff `dir` carries a `_graft_manifest` sidecar. */

@@ -48,6 +48,11 @@ object StreamingManifest {
   private def bloomRoot(statePath: String, c: String): String =
     s"$statePath-bloom-$c"
 
+  /** Sibling root for one MG key set's per-file summaries (same
+    * isolation rationale as [[bloomRoot]]). */
+  private def mgRoot(statePath: String, keys: Seq[String]): String =
+    s"$statePath-mg-${keys.mkString("+")}"
+
   /** Latest committed per-file Bloom register frame for `column` (None
     * before the first trigger, or if the attach was not configured with a
     * Bloom for this column). Shape = [[graft.operators.Bloom.registers]]
@@ -62,6 +67,48 @@ object StreamingManifest {
     DeltaStaging.stagedIds(spark, root).maxOption
       .map(b => DeltaStaging.read(spark, root, b))
   }
+
+  /** Latest committed PER-FILE MG summary frame for one key set (None
+    * before the first trigger, or if the attach was not configured with
+    * `mgKeys` for it): `(file_id, _item, _w, _n, _terr)` rows — the
+    * live twin of the [[graft.sources.GraftTable]] `mg_<keys>/` sidecar
+    * (round-16 verdict task 4's "batch + StreamingManifest" clause). */
+  def currentMg(
+      spark: SparkSession, statePath: String,
+      keys: Seq[String]): Option[DataFrame] = {
+    val root = mgRoot(statePath, keys)
+    DeltaStaging.stagedIds(spark, root).maxOption
+      .map(b => DeltaStaging.read(spark, root, b))
+  }
+
+  /** [[currentMg]] merged to the single-group routing summary
+    * [[graft.operators.SkewJoin.decide]] consumes — zero-pass join
+    * routing against the LIVE table: the mergeable-summaries rule
+    * (weights add, error budgets add), so `topKeyShareLb` stays a
+    * routing-safe lower bound for the whole streamed corpus. */
+  def currentKeyFreq(
+      spark: SparkSession, statePath: String, keys: Seq[String],
+      k: Int): Option[DataFrame] =
+    currentMg(spark, statePath, keys).map { perFile =>
+      // scope to the ids the CURRENT manifest lists — the sidecar may
+      // carry superset rows from compaction's crash-window staging
+      // (exactly how Bloom consumers are implicitly scoped by their
+      // file_id join); without this a just-compacted table would count
+      // every key twice (old-id and re-derived new-id rows)
+      val listed = currentManifest(spark, statePath).map(
+        _.select(col("file_id").cast("long"))
+          .collect().map(_.getLong(0)).toSeq)
+      val scoped = listed
+        .map(ids => perFile.where(
+          col("file_id").cast("long").isInCollection(ids)))
+        .getOrElse(perFile)
+      val relabeled = scoped
+        .withColumn("_sj_g",
+          pmod(length(coalesce(col("_item"), lit(""))), lit(1)))
+        .drop("file_id")
+      graft.operators.Mg.merge(
+        relabeled, relabeled.limit(0), Seq("_sj_g"), k)
+    }
 
   /** The one-file stats row of a batch (shared by the attach and the
     * batch-parity spec): `file_id = id`, exact n_rows, min/max/null-count
@@ -94,10 +141,19 @@ object StreamingManifest {
     * shape), and a replayed batch rewrites register rows that are a pure
     * function of the batch, so replay is idempotent by the same argument
     * as the stats row (the q76 OR-merge determinism, applied per file). */
+  /** `mgKeys` (keyCols, k) adds a per-file MG summary sidecar per entry
+    * — the injectively-encoded join key's MG-k state per batch-file,
+    * staged under [[mgRoot]] with the identical purge/replay discipline,
+    * feeding [[currentKeyFreq]]'s zero-pass join routing. Staged before
+    * the manifest like the Blooms; either crash order keeps the MG
+    * lower-bound direction safe for routing (an extra unlisted file's
+    * summary inflates, a missing newest file's deflates — both within
+    * the decide contract's error budget). */
   def attach(
       df: DataFrame, statCols: Seq[String], statePath: String,
       checkpoint: String,
-      bloomCols: Seq[(String, Int, Int)] = Nil)(
+      bloomCols: Seq[(String, Int, Int)] = Nil,
+      mgKeys: Seq[(Seq[String], Int)] = Nil)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     df.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => {
@@ -131,6 +187,22 @@ object StreamingManifest {
           val regsMerged = prevRegs
             .map(_.unionByName(regsDelta)).getOrElse(regsDelta)
           DeltaStaging.stage(regsMerged, root, id)
+          DeltaStaging.purgeBelow(spark, root, id - 1)
+        }
+        mgKeys.foreach { case (keys, k) =>
+          val root = mgRoot(statePath, keys)
+          DeltaStaging.purgeAtOrAbove(spark, root, id)
+          val prevMg = DeltaStaging.stagedIds(spark, root)
+            .filter(_ < id).maxOption
+            .map(b => DeltaStaging.read(spark, root, b))
+          val mgDelta = graft.operators.Mg.summarize(
+            batch.withColumn("file_id", lit(id))
+              .withColumn("_sj_key",
+                graft.operators.SkewJoin.encodedKey(keys)),
+            Seq("file_id"), "_sj_key", k)
+          val mgMerged = prevMg
+            .map(_.unionByName(mgDelta)).getOrElse(mgDelta)
+          DeltaStaging.stage(mgMerged, root, id)
           DeltaStaging.purgeBelow(spark, root, id - 1)
         }
         DeltaStaging.stage(merged, statePath, id)
@@ -176,7 +248,8 @@ object StreamingManifest {
       spark: SparkSession, dir: String, statePath: String,
       statCols: Seq[String], targetFileBytes: Long,
       sortCol: Option[String] = None,
-      bloomCols: Seq[(String, Int, Int)] = Nil)
+      bloomCols: Seq[(String, Int, Int)] = Nil,
+      mgKeys: Seq[(Seq[String], Int)] = Nil)
       : graft.operators.Layout.CompactionStats = {
     require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
     require(statCols.nonEmpty, "compact: no stat columns")
@@ -265,6 +338,25 @@ object StreamingManifest {
       val staged = prev.map(_.unionByName(regs)).getOrElse(regs)
         .localCheckpoint(true)
       DeltaStaging.stage(staged, rootB, stagedId)
+    }
+    // MG sidecars: identical discipline — re-derive per-file summaries
+    // from the repacked files, drop prior rows for ids no manifest lists
+    // (bounds growth + kills double-counting of compacted-away files),
+    // purge orphan stagings a crashed attach left above the manifest id
+    mgKeys.foreach { case (keys, k) =>
+      val mgNew = graft.operators.Mg.summarize(
+        rb.withColumn("file_id", col("file_id").cast("long"))
+          .withColumn("_sj_key",
+            graft.operators.SkewJoin.encodedKey(keys)),
+        Seq("file_id"), "_sj_key", k)
+      val rootM = mgRoot(statePath, keys)
+      DeltaStaging.purgeAtOrAbove(spark, rootM, stagedId + 1)
+      val prevMg = DeltaStaging.stagedIds(spark, rootM).maxOption
+        .map(b => DeltaStaging.read(spark, rootM, b)
+          .where(col("file_id").cast("long").isInCollection(oldIds)))
+      val stagedMg = prevMg.map(_.unionByName(mgNew)).getOrElse(mgNew)
+        .localCheckpoint(true)
+      DeltaStaging.stage(stagedMg, rootM, stagedId)
     }
     DeltaStaging.stage(newMan, statePath, stagedId)
     oldDirs.foreach(p => fs.delete(p, true))

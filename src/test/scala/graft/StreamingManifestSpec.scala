@@ -202,4 +202,57 @@ class StreamingManifestSpec extends SparkSpec {
     assert(tailRows === (600L until 700L).toSet)
   }
 
+  test("mgKeys: per-file MG sidecar maintained per trigger — zero-pass " +
+      "routing over the LIVE table, exact through compaction and publish") {
+    import graft.operators.{Mg, SkewJoin}
+    import graft.sources.GraftTable
+    val base = tmpDir("sman-mg")
+    val statePath = s"$base/state"
+    val dataDir = s"$base/data"
+    // planted skew: 1/3 of every wave lands on key -1
+    def keyOf(i: Long): Long = if (i % 3 == 0) -1L else i % 50
+    val waves = (0 until 3).map(wv =>
+      (0 until 100).map(i => ((wv * 100 + i).toLong,
+        keyOf((wv * 100 + i).toLong))))
+    val s1 = MemoryStream[(Long, Long)](spark)
+    val q1 = StreamingManifest.attach(
+      s1.toDF().toDF("v", "k"), Seq("v"), statePath, s"$base/ckpt",
+      mgKeys = Seq((Seq("k"), 16))) { (_, _) => () }
+    try {
+      waves.zipWithIndex.foreach { case (w, id) =>
+        s1.addData(w: _*); q1.processAllAvailable()
+        w.toDF("v", "k").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dataDir/file_id=$id")
+      }
+    } finally q1.stop()
+    // per-file parity: the staged rows for batch 1 equal the batch fold
+    val perFile = StreamingManifest.currentMg(spark, statePath, Seq("k")).get
+    def mgRows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(mgRows(perFile.where(col("file_id") === 1L)) === mgRows(
+      Mg.summarize(
+        waves(1).toDF("v", "k")
+          .withColumn("file_id", lit(1L))
+          .withColumn("_sj_key", SkewJoin.encodedKey(Seq("k"))),
+        Seq("file_id"), "_sj_key", 16)))
+    // zero-pass routing over the live state: -1 holds 1/3 ⇒ salted
+    def route(): graft.operators.JoinDecision = SkewJoin.decide(
+      StreamingManifest.currentKeyFreq(spark, statePath, Seq("k"), 16).get,
+      Seq(51L).toDF("n"), broadcastRowLimit = 10L, skewShare = 0.15,
+      nSalts = 4)
+    val d1 = route()
+    assert(d1.route === "salted" && d1.bigRows === 300L)
+    // compaction re-derives the sidecar; scoped merge sees each key ONCE
+    StreamingManifest.compact(spark, dataDir, statePath, Seq("v"),
+      targetFileBytes = 3L * 1024, sortCol = Some("v"),
+      mgKeys = Seq((Seq("k"), 16)))
+    val d2 = route()
+    assert(d2.route === "salted" && d2.bigRows === 300L)
+    // publish: a path-only session routes from the persisted sidecar
+    GraftTable.publishLive(spark, dataDir, statePath,
+      mgKeys = Seq((Seq("k"), 16)))
+    val mg = GraftTable.keyFreqSummary(spark, dataDir, Seq("k"))
+    val d3 = SkewJoin.decide(mg, Seq(51L).toDF("n"),
+      broadcastRowLimit = 10L, skewShare = 0.15, nSalts = 4)
+    assert(d3.route === "salted" && d3.bigRows === 300L)
+  }
 }
