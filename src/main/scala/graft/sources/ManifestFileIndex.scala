@@ -30,6 +30,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *                         for `c` was supplied)
   *  - `c > v, >=, <, <=` → [[CompareProbe]]
   *  - `c IS NULL`        → [[NullProbe]]
+  *  - `c IS NOT NULL`    → [[NotNullProbe]] (prunes all-null files —
+  *                         pushed plans add this conjunct for every
+  *                         referenced column, so it is free sharpening)
   *  - `c LIKE 'p%'`      → [[PrefixProbe]] (startsWith)
   *  - `c IN (v…)`        → union of per-value [[EqualProbe]] survivors
   *                         (≤ `MaxInFanout` values); LARGER IN-lists
@@ -303,6 +306,8 @@ class ManifestFileIndex(
         one(CompareProbe(a.name, ">=", litCol(l)))
       case IsNull(a: AttributeReference) if covered(a) =>
         one(NullProbe(a.name))
+      case IsNotNull(a: AttributeReference) if covered(a) =>
+        one(NotNullProbe(a.name))
       case StartsWith(a: AttributeReference, l: Literal)
           if covered(a) && l.value != null &&
             a.dataType == org.apache.spark.sql.types.StringType =>

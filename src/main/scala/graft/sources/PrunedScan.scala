@@ -24,6 +24,12 @@ final case class RangeProbe(column: String, lo: Column, hi: Column)
 final case class EqualProbe(column: String, v: Column) extends FileProbe
 final case class NullProbe(column: String) extends FileProbe
 
+/** `col IS NOT NULL` — prunes files whose null count equals their row
+  * count (an ALL-null file provably holds no matching row). Pushed-down
+  * plans carry an IsNotNull conjunct for every referenced column, so
+  * this is free sharpening on any table with all-null files. */
+final case class NotNullProbe(column: String) extends FileProbe
+
 /** One-sided comparison probe — `col <op> v` for `op` ∈ `> >= < <=`:
   * the half-open forms [[ManifestFileIndex]] needs to translate a
   * query's own pushed `>`/`<` filters (a [[RangeProbe]] is their
@@ -105,6 +111,10 @@ object PrunedScan {
       case (m, (NullProbe(c), i)) =>
         m.withColumn(s"_ps_$i",
           coalesce(col(s"${c}_nulls") > 0L, lit(false)))
+      case (m, (NotNullProbe(c), i)) =>
+        // unknown null count keeps the file (conservative direction)
+        m.withColumn(s"_ps_$i",
+          coalesce(col(s"${c}_nulls") < col("n_rows"), lit(true)))
       case (m, (CompareProbe(c, op, v), i)) =>
         val verdict = op match {
           case ">"  => col(s"${c}_max") > v

@@ -241,6 +241,32 @@ class ManifestFileIndexSpec extends SparkSpec {
     assert(PrunedScan.filesRead(wide) === 8L)
   }
 
+  test("IS NOT NULL prunes all-null files; populated columns keep all") {
+    import spark.implicits._
+    val dir = tmpDir("mfi-nn") + "/t"
+    // file 0 (rows 0..49 under the v sort) is ALL-null on maybe; w is
+    // nullable with nulls SCATTERED across files (no all-null file)
+    val df = (0 until 400).map(i =>
+      (i.toLong, if (i < 50) None else Some(i.toLong),
+        if (i % 100 == 7) None else Some(i.toLong))).toDF("v", "maybe", "w")
+    val order = Seq(col("v").asc)
+    Layout.assignedWrite(df, order, 8, dir)
+    val man = Layout.fileManifest(df, order, 8, Seq("v", "maybe", "w"))
+      .localCheckpoint(true)
+    val t = ManifestFileIndex.manifestParquet(spark, dir, man)
+    val q = t.where(col("maybe").isNotNull)
+    assert(q.collect().map(_.getAs[Long]("v")).toSet ===
+      (50L until 400L).toSet)
+    assert(PrunedScan.filesRead(q) === 7L)
+    // explicit-probe parity
+    assert(PrunedScan.survivorIds(man,
+      Seq(graft.sources.NotNullProbe("maybe"))) === (1L to 7L))
+    // scattered nulls (no all-null file) keep every file
+    val all = t.where(col("w").isNotNull)
+    assert(all.collect().length === 396)
+    assert(PrunedScan.filesRead(all) === 8L)
+  }
+
   test("prefix probe with a supplementary (non-BMP) character: a file whose " +
       "min is prefix+suffix survives (code-point truncation, round-16 advice)") {
     import spark.implicits._
