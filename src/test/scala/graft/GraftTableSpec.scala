@@ -187,6 +187,35 @@ class GraftTableSpec extends SparkSpec {
     }.getMessage.contains("STALE"))
   }
 
+  test("graft format write path: df.write.format(\"graft\") lands the " +
+      "layout + sidecars; append mode is refused") {
+    val dir = tmpDir("gt-wfmt") + "/t"
+    table.write.format("graft")
+      .option("orderBy", "v").option("nFiles", "8")
+      .option("stats", "v,w").option("blooms", "w:4096:4")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("graft").load(dir)
+    val q = t.where(col("v") >= 120L && col("v") < 260L)
+    assert(q.collect().map(_.getAs[Long]("v")).toSet ===
+      (120L until 260L).toSet)
+    assert(PrunedScan.filesRead(q) === 4L)
+    // the bloom option landed: unsorted-column equality reads < all files
+    val probeW = (5L * 7919L) % 400L
+    val eq = t.where(col("w") === probeW)
+    eq.collect()
+    assert(PrunedScan.filesRead(eq) < 8L)
+    // append would break the rank-slice layout — refused loudly
+    intercept[UnsupportedOperationException] {
+      table.write.format("graft").option("orderBy", "v")
+        .mode("append").save(dir)
+    }
+    // ErrorIfExists refuses an existing graft table
+    intercept[IllegalStateException] {
+      table.write.format("graft").option("orderBy", "v")
+        .mode("error").save(dir)
+    }
+  }
+
   test("publishLive: a cleanly-stopped stream's manifest publishes as a " +
       "sidecar — open by path, pruned reads exact; a new trigger stales it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
