@@ -182,7 +182,10 @@ object SkewJoin {
     * never either corpus. The big table must have been written/adopted
     * with an MG sidecar for exactly `keys`; both sides open through
     * [[graft.sources.Sources.graftTable]], so the routed join's scans
-    * are ALSO manifest-pruned by any downstream filter. */
+    * are ALSO manifest-pruned by any downstream filter. Note: both
+    * opened frames carry their own `file_id` partition column — select
+    * the output columns you need rather than `*` where the two sides'
+    * file ids would collide. */
   def autoJoinFromManifest(
       spark: org.apache.spark.sql.SparkSession,
       bigDir: String, smallDir: String, keys: Seq[String],
