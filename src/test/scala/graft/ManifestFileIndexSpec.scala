@@ -216,6 +216,13 @@ class ManifestFileIndexSpec extends SparkSpec {
     sameRows(poisoned,
       fullScan(dir).where(col("v") >= 350L || col("w") % 2 === 0L))
     assert(PrunedScan.filesRead(poisoned) === 8L)
+    // composition: an IN branch inside an OR — the IN's per-value
+    // disjuncts and the equality branch union (files 0, 7, 4)
+    val inOr = t.where(col("v").isInCollection(Seq(3L, 399L)) ||
+      col("v") === 210L)
+    sameRows(inOr, fullScan(dir).where(
+      col("v").isInCollection(Seq(3L, 399L)) || col("v") === 210L))
+    assert(PrunedScan.filesRead(inOr) === 3L)
   }
 
   test("IN-list past the per-value fan-out cap collapses to the " +
