@@ -24,8 +24,24 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.files.openCostInBytes", openCostInBytes.toString)
     spark
   }
+
+  /** Scan-split open cost (`spark.sql.files.openCostInBytes`). Spark's 4 MB
+    * default models remote-object-store opens and FLOORS the split size
+    * (`maxSplitBytes = min(maxPartitionBytes, max(openCost, total/minPartitionNum))`),
+    * so a table held in a handful of small-MB files scans with a handful of
+    * tasks no matter how many cores exist — measured on the bench corpus:
+    * the q85 CMS register build ran its corpus fold in 3 tasks on 32 cores
+    * (7.2 s stage) purely from this floor. 128 KB reflects a local-disk /
+    * fast-store file open; at production scale files are ≥ 128 MB and the
+    * `total/minPartitionNum` term dominates, so the setting is inert there —
+    * it is NOT a local-only parallelism hack, just a removal of the
+    * small-file anti-floor. Env-overridable for deployments where opens are
+    * genuinely expensive. */
+  def openCostInBytes: Long =
+    sys.env.get("SPARK_GRAFT_OPEN_COST_BYTES").map(_.toLong).getOrElse(131072L)
 
   /** Switch Structured Streaming state to the RocksDB provider (per-session;
     * applies to queries STARTED afterwards). The default HDFS-backed store
@@ -55,6 +71,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.openCostInBytes", openCostInBytes.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

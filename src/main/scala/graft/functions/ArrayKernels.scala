@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpr}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -401,13 +401,53 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * `conv(substring(md5(c), 1, 14), 16, 10)` and to DuckDB's
   * `('0x' || substr(md5(c), 1, 14))::UBIGINT`, at primitive speed. */
 object Hash56 {
-  def apply(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+  // MessageDigest.getInstance is a provider lookup + allocation per call —
+  // measured as the dominant per-gram cost in the fingerprint/simhash
+  // kernels. MD5 digests are reusable after digest() (implicit reset), so
+  // one instance per thread serves every row that thread evaluates.
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def apply(bytes: Array[Byte]): Long = ofRange(bytes, 0, bytes.length)
+
+  /** Hash a sub-range without materializing the slice (the k-gram loop's
+    * shape: one shared byte array, many windows). */
+  def ofRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val digest = md.get()
+    digest.update(bytes, from, until - from)
+    val d = digest.digest()
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
     h
   }
+}
+
+/** `hash56(c)` as one fused codegen-friendly expression: md5 over the
+  * input bytes, top 56 bits as a long — bit-identical to the composed SQL
+  * form `conv(substring(md5(c), 1, 14), 16, 10)` (the first 14 hex chars
+  * ARE the first 7 digest bytes) and to DuckDB's
+  * `('0x' || substr(md5(c), 1, 14))::UBIGINT::BIGINT`, without the hex
+  * string materialization and the base-16 string re-parse (`conv`) the
+  * composed form pays per row. Accepts BinaryType with the same implicit
+  * string→binary coercion `md5` itself uses, so string inputs hash the
+  * identical UTF-8 bytes. */
+case class Hash56Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash56"
+
+  override protected def nullSafeEval(b: Any): Any =
+    Hash56(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash56.apply($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash56Expr =
+    copy(child = newChild)
 }
 
 /** 56-bit SimHash over an array of string tokens: per-bit majority vote of
@@ -458,10 +498,27 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int, take: Int)
     val s = a.asInstanceOf[UTF8String]
     val n = s.numChars()
     val nGrams = math.max(n - k, 0) + 1
+    // One byte copy + one char-offset walk, then every k-gram hashes in
+    // place over the shared array (the ShingleHashes discipline). The
+    // previous `substringSQL(i + 1, k).getBytes` per gram re-scanned the
+    // string from position 0 each call (O(n²) char walks) and allocated a
+    // UTF8String + byte[] per gram. Hash values are bit-identical: same md5
+    // over the same byte windows.
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val offsets = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      offsets(ci) = bi
+      ci += 1
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+    }
+    offsets(ci) = nBytes
     val grams = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      grams(i) = Hash56(s.substringSQL(i + 1, k).getBytes)
+      grams(i) = Hash56.ofRange(bytes, offsets(i), offsets(math.min(i + k, n)))
       i += 1
     }
     val nWins = math.max(nGrams - window, 0) + 1
@@ -920,6 +977,7 @@ object ArrayKernels {
   private def c(e: Expression): Column = GraftExpr.column(e)
   private def e(col: Column): Expression = GraftExpr.expression(col)
 
+  def hash56(s: Column): Column = c(Hash56Expr(e(s)))
   def agreeCount(a: Column, b: Column): Column = c(LongArrayAgree(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def simHash56(tokens: Column): Column = c(SimHash56(e(tokens)))

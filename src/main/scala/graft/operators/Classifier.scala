@@ -235,7 +235,15 @@ object Classifier {
     * the row instead. */
   def logisticFit(
       df: DataFrame, xCols: Seq[String], labelCol: String,
-      iters: Int, lr: Double): DataFrame = {
+      iters: Int, lr: Double): DataFrame =
+    logisticFitImpl(df, xCols, labelCol, iters, lr, driverFastPath = true)
+
+  /** [[logisticFit]] with the single-partition driver fast path togglable —
+    * package-private so the parity spec can run BOTH paths over the same
+    * one-partition frame and pin bit-identical outputs. */
+  private[graft] def logisticFitImpl(
+      df: DataFrame, xCols: Seq[String], labelCol: String,
+      iters: Int, lr: Double, driverFastPath: Boolean): DataFrame = {
     require(xCols.nonEmpty && xCols.size <= 8,
       s"logisticFit takes 1..8 features, got ${xCols.size}")
     require(iters >= 1 && iters <= 32, s"iters in [1,32], got $iters")
@@ -258,19 +266,68 @@ object Classifier {
     def sigmoid(w: Option[Array[Double]]): Column =
       lit(1.0) / (lit(1.0) + exp(-margin(w)))
     var w: Option[Array[Double]] = Some(Array.fill(d + 1)(0.0))
-    var step = 0
-    while (step < iters && w.isDefined) {
-      val row = e.agg(
-        stableRound(wCol(w, 0) - lit(lr) * avg(sigmoid(w) - col("_y")), 6)
-          .as("_w0"),
-        (1 to d).map(j => stableRound(
-          wCol(w, j) -
-            lit(lr) * avg((sigmoid(w) - col("_y")) * col(s"_x${j - 1}")), 6)
-          .as(s"_w$j")): _*)
-        .collect()(0)
-      w = if (row.isNullAt(0)) None
-      else Some(Array.tabulate(d + 1)(row.getDouble))
-      step += 1
+    // SINGLE-PARTITION DRIVER FAST PATH: when the caller has already routed
+    // the training slice into ONE partition (the documented conditioning
+    // recipe — c14 repartition(1)s its KB-sized sample), every GD step's
+    // aggregate is a sequential fold over one task's rows, and running the
+    // same fold on the driver over one collect() is bit-identical: collect
+    // preserves the partition's row order, the margin is the same
+    // left-to-right `w0 + Σ wj·xj` fold, `avg` is the same ordered
+    // double-sum / count, and the 6dp boundary is applied by evaluating
+    // Spark's own `round` expression (not a re-implementation). This turns
+    // `iters` scheduler-floor jobs into one collect job (measured: 24 GD
+    // jobs ≈ 7 s of c14's wall at sf0.1 → ~0.2 s; identical hash-checked
+    // row, parity spec-pinned). Multi-partition inputs keep the distributed
+    // ladder — at 100 TB the per-pass map-side-combined aggregate IS the
+    // honest cost of batch GD, and partial-sum order would differ anyway.
+    val singlePartition = driverFastPath && e.rdd.getNumPartitions == 1
+    if (singlePartition && w.isDefined) {
+      val rows = e.collect()
+      if (rows.isEmpty) w = None
+      else {
+        val n = rows.length
+        val xs = Array.tabulate(n, d)((i, j) => rows(i).getDouble(j))
+        val ys = Array.tabulate(n)(i => rows(i).getDouble(d))
+        def round6(x: Double): Double =
+          org.apache.spark.sql.catalyst.expressions.Round(
+            org.apache.spark.sql.catalyst.expressions.Literal(x + 1e-9),
+            org.apache.spark.sql.catalyst.expressions.Literal(6))
+            .eval(null).asInstanceOf[Double]
+        var step = 0
+        while (step < iters) {
+          val cur = w.get
+          val gradSum = new Array[Double](d + 1)
+          var i = 0
+          while (i < n) {
+            var m = cur(0)
+            var j = 0
+            while (j < d) { m += cur(j + 1) * xs(i)(j); j += 1 }
+            val diff = 1.0 / (1.0 + math.exp(-m)) - ys(i)
+            gradSum(0) += diff
+            j = 0
+            while (j < d) { gradSum(j + 1) += diff * xs(i)(j); j += 1 }
+            i += 1
+          }
+          w = Some(Array.tabulate(d + 1)(j =>
+            round6(cur(j) - lr * (gradSum(j) / n))))
+          step += 1
+        }
+      }
+    } else {
+      var step = 0
+      while (step < iters && w.isDefined) {
+        val row = e.agg(
+          stableRound(wCol(w, 0) - lit(lr) * avg(sigmoid(w) - col("_y")), 6)
+            .as("_w0"),
+          (1 to d).map(j => stableRound(
+            wCol(w, j) -
+              lit(lr) * avg((sigmoid(w) - col("_y")) * col(s"_x${j - 1}")), 6)
+            .as(s"_w$j")): _*)
+          .collect()(0)
+        w = if (row.isNullAt(0)) None
+        else Some(Array.tabulate(d + 1)(row.getDouble))
+        step += 1
+      }
     }
     val p = stableRound(sigmoid(w), 6)
     e.agg(

@@ -446,7 +446,7 @@ object Dedup {
     * `('0x' || substr(md5(t), 1, 14))::UBIGINT`). 56 bits so the value fits a
     * signed long on both sides and splits evenly into 8 blocking chunks. */
   def hash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+    graft.functions.ArrayKernels.hash56(c)
 
   /** 56-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hash56 values, folded into one long. Pure Catalyst higher-order

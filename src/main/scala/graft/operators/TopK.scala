@@ -192,7 +192,7 @@ object TopK {
     * draw BIT-IDENTICAL keys (the property that makes the streaming top-n
     * merge equal the batch sample over everything seen). */
   private[graft] def aesKey(id: Column, weight: Column): Column = {
-    val u = (conv(substring(md5(id.cast("string")), 1, 14), 16, 10)
+    val u = (graft.functions.ArrayKernels.hash56(id.cast("string"))
       .cast("double") + 0.5) / math.pow(2.0, 56)
     log(u) / weight.cast("double")
   }

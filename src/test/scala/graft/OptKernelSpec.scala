@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Classifier, Dedup, TextAnalysis}
+
+import scala.util.Random
+
+/** Round-17 optimization parity pins: every rewritten kernel/path must be
+  * bit-identical to the form it replaced (the oracle hashes ride on it). */
+class OptKernelSpec extends SparkSpec {
+
+  test("hash56 kernel == conv(substring(md5(c),1,14),16,10) on random strings incl. unicode/empty/null") {
+    import spark.implicits._
+    val rng = new Random(17)
+    val pool = "abc XYZ 0189-_:é☃😀日本語"
+    val strs = (1 to 300).map { _ =>
+      (1 to rng.nextInt(40)).map(_ => pool(rng.nextInt(pool.length))).mkString
+    } ++ Seq("", "a", "😀")
+    val df = strs.toDF("s")
+    val got = df.select(
+      Dedup.hash56(col("s")).as("k"),
+      conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null in -> null out, like md5
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(Dedup.hash56(col("s"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("winnowFingerprint offsets-walk form matches per-doc reference incl. non-ASCII") {
+    import spark.implicits._
+    // reference: the SQL/oracle construction — hash56 of every char 8-gram
+    // of the normalized text, window-4 minima, distinct+sorted, first 8
+    def ref(text: String): String = {
+      val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
+      val n = norm.length // test strings are BMP-only => chars == code points
+      val grams = (0 to math.max(n - 8, 0)).map { i =>
+        val g = norm.substring(i, math.min(i + 8, n))
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        (0 until 7).foldLeft(0L)((h, j) => (h << 8) | (d(j) & 0xFFL))
+      }
+      val mins = (0 to math.max(grams.size - 4, 0)).map { w =>
+        grams.slice(w, math.min(w + 4, grams.size)).min
+      }
+      mins.distinct.sorted.take(8).mkString(",")
+    }
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld ünicode tëxt with áccents everywhere",
+      "short", "", "  spaced   out   tokens   here  ",
+      "日本語のテキストです これはテストです")
+    val out = TextAnalysis.withFingerprint(docs.toDF("text"), "text")
+      .select("text", "fingerprint").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    docs.foreach { t => assert(out(t) == ref(t), s"doc: $t") }
+  }
+
+  test("logisticFit driver fast path == distributed ladder on the same 1-partition frame") {
+    import spark.implicits._
+    val rng = new Random(5)
+    val rows = (1 to 500).map { i =>
+      val x1 = rng.nextDouble() * 2 - 1
+      val x2 = rng.nextDouble() * 2 - 1
+      val y = if (x1 + 2 * x2 + 0.3 * rng.nextGaussian() > 0) 1.0 else 0.0
+      (x1, x2, y)
+    }
+    val df = rows.toDF("x1", "x2", "y").repartition(1).cache()
+    df.count()
+    val fast = Classifier.logisticFitImpl(
+      df, Seq("x1", "x2"), "y", iters = 24, lr = 2.0, driverFastPath = true)
+      .collect()(0)
+    val dist = Classifier.logisticFitImpl(
+      df, Seq("x1", "x2"), "y", iters = 24, lr = 2.0, driverFastPath = false)
+      .collect()(0)
+    assert(fast == dist)
+    df.unpersist()
+  }
+
+  test("logisticFit fast path: empty input yields the all-null row, like the ladder") {
+    import spark.implicits._
+    val df = Seq.empty[(Double, Double)].toDF("x", "y").repartition(1)
+    val fast = Classifier.logisticFitImpl(
+      df, Seq("x"), "y", iters = 3, lr = 1.0, driverFastPath = true).collect()(0)
+    val dist = Classifier.logisticFitImpl(
+      df, Seq("x"), "y", iters = 3, lr = 1.0, driverFastPath = false).collect()(0)
+    assert(fast == dist)
+    assert(fast.isNullAt(1)) // intercept null on empty input
+  }
+}
