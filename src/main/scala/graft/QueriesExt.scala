@@ -5249,7 +5249,18 @@ object QueriesExt {
             col("l_extendedprice") - (col("intercept")
               + col("beta_qty_c") * col("qty_c")
               + col("beta_disc_c") * col("disc_c"))), 6))
+          // every consumer reads exactly these three columns — project
+          // BEFORE the persist so the cache holds 3 narrow columns, not
+          // the full lineitem row (71 MB → ~5 MB cache at sf0.1; guide
+          // §2.3 project-before-materialize)
+          .select("l_returnflag", "split", "_resid")
           .persist()
+        // materialize BEFORE the consumers: the three readers are sibling
+        // stages of ONE final plan and run concurrently — against a lazy
+        // persist each computed the full residual subtree itself (cache
+        // blocks land once but the compute raced 3×; measured 8 concurrent
+        // 3 s stages at sf0.1). One count() pins the cache first.
+        scored.count()
         val qhat = Quantiles.exactGrouped(
           scored.where(col("split") === "validation"),
           Seq("l_returnflag"), "_resid", Seq("qhat" -> 0.9))

@@ -450,6 +450,92 @@ case class Hash56Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Occurrence count of a constant token phrase inside a token array: the
+  * number of start positions `i` with `tokens(i+j) == terms(j)` for every
+  * `j` (overlaps count, the s22 contract) — one primitive pass replacing
+  * the interpreted `size(filter(sequence(1, n−L+1), …))` HOF tower whose
+  * per-start lambda allocated boxed indices and re-dispatched two
+  * `element_at` calls (measured ~0.5 ms/doc at sf0.1 → µs). Result is
+  * bit-identical to the HOF form for non-null arrays; the caller supplies
+  * the null→0 wrapper the old CaseWhen provided. Per-row variable-length
+  * loop → CodegenFallback (the kernel family's documented trade). */
+case class PhraseCount(child: Expression, terms: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phrase_count"
+
+  @transient private lazy val termBytes: Array[UTF8String] =
+    terms.map(UTF8String.fromString)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val l = termBytes.length
+    var count = 0L
+    var i = 0
+    val last = n - l
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < l) {
+        val t = arr.getUTF8String(i + j)
+        ok = t != null && t.equals(termBytes(j))
+        j += 1
+      }
+      if (ok) count += 1L
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhraseCount =
+    copy(child = newChild)
+}
+
+/** Distinct character k-grams of a string in first-occurrence order — the
+  * primitive form of `array_distinct(transform(sequence(0, n−k), i →
+  * substr(i+1, k)))` (one byte copy + one char-offset walk + one hash set,
+  * instead of an interpreted per-position lambda and a second distinct
+  * pass). Identical output: same grams, same first-occurrence order, the
+  * whole (short) string as the single gram when n ≤ k. */
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val n = s.numChars()
+    val offsets = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      offsets(ci) = bi
+      ci += 1
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+    }
+    offsets(ci) = nBytes
+    val count = math.max(n - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      seen.add(UTF8String.fromBytes(
+        bytes, offsets(i), offsets(math.min(i + k, n)) - offsets(i)))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
 /** 56-bit SimHash over an array of string tokens: per-bit majority vote of
   * md5-derived token hashes ([[Hash56]]) — one primitive pass replacing the
   * interpreted per-token-per-bit `aggregate(zip_with(…))` chain (measured 9.2s
@@ -978,6 +1064,9 @@ object ArrayKernels {
   private def e(col: Column): Expression = GraftExpr.expression(col)
 
   def hash56(s: Column): Column = c(Hash56Expr(e(s)))
+  def phraseCountKernel(tokens: Column, terms: Seq[String]): Column =
+    c(PhraseCount(e(tokens), terms.toArray))
+  def charShingles(s: Column, k: Int): Column = c(CharShingles(e(s), k))
   def agreeCount(a: Column, b: Column): Column = c(LongArrayAgree(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def simHash56(tokens: Column): Column = c(SimHash56(e(tokens)))

@@ -180,12 +180,7 @@ object Dedup {
   /** Distinct character k-gram shingles of the normalized text. `let`-bound
     * so the regex normalization runs once per row, not once per shingle. */
   def charShingles(c: Column, k: Int): Column =
-    let(normalizeText(c)) { n =>
-      array_distinct(
-        transform(
-          sequence(lit(0), greatest(length(n) - k, lit(0))),
-          i => n.substr(i + 1, lit(k))))
-    }
+    graft.functions.ArrayKernels.charShingles(normalizeText(c), k)
 
   /** Shingle set hashed to longs (sorted distinct) — every downstream
     * MinHash/Jaccard step operates on these 8-byte values instead of carrying

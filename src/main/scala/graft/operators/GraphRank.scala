@@ -56,12 +56,23 @@ object GraphRank {
       (if (undirected)
         raw.unionAll(raw.select(col("_dst").as("_src"), col("_src").as("_dst")))
       else raw).distinct()
-    // one edge shuffle for the whole run: degree join + pin the partitioning
-    val deg = dedup.groupBy("_src").agg(count(lit(1)).as("_deg"))
-    val adj = dedup.join(deg, "_src")
-      .repartition(col("_src"))
+    // ONE edge shuffle for the whole run (round-17 optimization): the
+    // previous form paid the distinct exchange PLUS a degree groupBy
+    // exchange PLUS a repartition(_src) exchange of the joined adjacency —
+    // three corpus-sized shuffles before the first iteration. The degree is
+    // a per-_src count, so after the single repartition(_src) it is a keyed
+    // window over exactly that partitioning (no new exchange, no join, no
+    // broadcast build); values are identical to the join form. The window
+    // is keyed (never global), so a hot node serializes only its own key
+    // group — same contract as the old groupBy.
+    val bysrc = org.apache.spark.sql.expressions.Window.partitionBy("_src")
+    val adj = dedup.repartition(col("_src"))
+      .withColumn("_deg", count(lit(1)).over(bysrc))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("_src").as("_node")).persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct _src values read off the _src-partitioned cache — the
+    // groupBy reuses adj's partitioning (zero exchange)
+    val nodes = adj.select(col("_src").as("_node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val teleport = (1.0 - damping) / n

@@ -55,9 +55,15 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, labelCol: String,
       topN: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the trigram frame feeds BOTH the profile aggregate and the overlap
+    // join of one plan — persist it so normalize+shingle runs once, not
+    // once per branch (round-17: the two extraction stages were the
+    // entry's top cost; the cache is corpus-trigram-sized and released by
+    // the caller's post-query cache clear, the repo's owned-persist idiom)
     val exploded = df.select(
         col(idCol).as("_id"), col(labelCol).as("_lab"),
         explode(Dedup.charShingles(col(textCol), 3)).as("_tri"))
+      .persist()
     val counts = exploded.groupBy("_lab", "_tri").agg(count(lit(1)).as("_c"))
     val byLang = Window.partitionBy("_lab").orderBy(col("_c").desc, col("_tri").asc)
     val profile = counts
@@ -1512,19 +1518,15 @@ object TextAnalysis {
     // tokens() lower-cases the corpus side — fold the phrase to match, or a
     // capitalized query term would silently never match anything
     val terms = phrase.map(_.toLowerCase)
-    val L = terms.length
     val base = df.select(col(idCol), tokens(col(textCol)).as("_t"))
-    val nStarts = size(col("_t")) - L + 1
-    // CaseWhen evaluates the matched branch only, so sequence(1, n−L+1)
-    // never materializes descending for docs shorter than the phrase
-    val matches = size(filter(
-      sequence(lit(1), nStarts),
-      i => terms.zipWithIndex.map { case (w, j) =>
-        element_at(col("_t"), (i + lit(j)).cast("int")) === lit(w)
-      }.reduce(_ && _)))
+    // one primitive pass per row (round-17 optimization: the previous
+    // `size(filter(sequence(1, n−L+1), …))` HOF tower evaluated an
+    // interpreted lambda with two element_at dispatches per start — the
+    // whole scan stage was ~0.5 ms/doc; the kernel is bit-identical,
+    // spec-pinned, incl. the null-text → 0 CaseWhen the HOF form had)
+    val matches = graft.functions.ArrayKernels.phraseCountKernel(col("_t"), terms)
     base.select(col(idCol),
-        when(nStarts >= 1, matches).otherwise(lit(0))
-          .cast("long").as("n_occurrences"))
+        coalesce(matches, lit(0L)).as("n_occurrences"))
       .where(col("n_occurrences") > 0)
   }
 

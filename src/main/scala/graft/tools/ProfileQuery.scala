@@ -20,7 +20,12 @@ object ProfileQuery {
     val jobs = mutable.LinkedHashMap.empty[Int, (Long, Long)]
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val i = sc.stageInfo
-      val st = stages.getOrElseUpdate(i.stageId, St(i.name.takeWhile(_ != '\n')))
+      // the short callsite is an AQE thread-pool frame for every stage;
+      // pull the first graft.* frame from the long form instead
+      val graftFrame = i.details.linesIterator
+        .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+        .map(_.trim).getOrElse(i.name.takeWhile(_ != '\n'))
+      val st = stages.getOrElseUpdate(i.stageId, St(graftFrame))
       st.ms = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
       st.tasks = i.numTasks
       st.shRead = i.taskMetrics.shuffleReadMetrics.totalBytesRead

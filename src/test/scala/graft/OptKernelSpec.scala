@@ -57,6 +57,50 @@ class OptKernelSpec extends SparkSpec {
     docs.foreach { t => assert(out(t) == ref(t), s"doc: $t") }
   }
 
+  test("charShingles kernel == array_distinct(transform(sequence…substr)) incl. short/empty/unicode") {
+    import spark.implicits._
+    val rng = new Random(23)
+    val pool = "ab c1é☃x"
+    val strs = (1 to 200).map { _ =>
+      (1 to rng.nextInt(30)).map(_ => pool(rng.nextInt(pool.length))).mkString
+    } ++ Seq("", "ab", "aaaa", "日本語テキスト")
+    val k = 3
+    val df = strs.toDF("s")
+    val rows = df.select(
+      operators.Dedup.charShingles(col("s"), k).as("got"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(
+          length(lower(trim(regexp_replace(col("s"), "\\s+", " ")))) - k, lit(0))),
+        i => lower(trim(regexp_replace(col("s"), "\\s+", " "))).substr(i + 1, lit(k))))
+        .as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("phraseCount kernel == the sequence/filter HOF form on random token arrays") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val vocab = Seq("hash", "join", "scan", "x")
+    val docs = (1 to 300).map { _ =>
+      (1 to rng.nextInt(20)).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    } ++ Seq("hash join hash join", "hash", "", "hash join join hash join")
+    // reference: count start positions by hand
+    def ref(s: String): Long = {
+      val t = s.trim.toLowerCase.split("\\s+").filter(_ => true)
+      (0 to t.length - 2).count(i => t(i) == "hash" && t(i + 1) == "join").toLong
+    }
+    val out = TextAnalysis.phraseCount(
+      docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("hash", "JOIN"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.zipWithIndex.foreach { case (d, i) =>
+      val expect = ref(d)
+      if (expect > 0) assert(out(i.toLong) == expect, s"doc: $d")
+      else assert(!out.contains(i.toLong), s"doc: $d")
+    }
+  }
+
   test("logisticFit driver fast path == distributed ladder on the same 1-partition frame") {
     import spark.implicits._
     val rng = new Random(5)
