@@ -18,6 +18,12 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
+  /** Vocabulary bound below which [[learnBpeMerges]] folds merge rounds on
+    * the driver (segmentation frames are model state, not corpus — ~tens
+    * of MB at this bound); above it the distributed per-round ladder runs
+    * unchanged. */
+  val DriverBpeVocabBound: Long = 500000L
+
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -1434,14 +1440,97 @@ object TextAnalysis {
     * untouched after pass one. */
   def learnBpeMerges(
       df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L): DataFrame =
+    learnBpeMergesBounded(df, textCol, numMerges, minCount, DriverBpeVocabBound)
+
+  /** [[learnBpeMerges]] with the driver-fold vocabulary bound explicit —
+    * spec surface so parity between the bounded driver fold and the
+    * distributed per-round ladder is pinned on the same frame (bound 0
+    * forces distributed; a large bound forces the driver fold). */
+  private[graft] def learnBpeMergesBounded(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long, driverVocabBound: Long): DataFrame = {
     require(numMerges >= 1, s"learnBpeMerges: numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
     var seg = wordFreq(df, textCol)
       .select(col("_w"), col("_n"), split(col("_w"), "(?!^)(?!$)").as("_sym"))
       .persist()
-    seg.count()
+    val vocabSize = seg.count()
+    // BOUNDED DRIVER FAST PATH (the Dedup.connectedComponents discipline:
+    // driver fast path behind an explicit bound, distributed fallback
+    // above it): the segmentation frame is VOCABULARY-sized — the same
+    // Zipf-bounded model state the tokenizer family already collects at
+    // build time — and each merge round is a fold over it. Below the bound
+    // one collect replaces 2·numMerges scheduler-floor jobs (pair-count
+    // argmax + rewrite materialization per round; measured 17 jobs →
+    // 2 for the 8-merge t36 at sf0.1). Arithmetic is integer (exact), the
+    // argmax tie-break compares UTF8String bytes exactly like Spark's
+    // string ordering, and the greedy rewrite is the MergeAdjacentPair
+    // kernel's own loop — parity spec-pinned against the distributed path.
+    if (vocabSize <= driverVocabBound) {
+      val rows = seg.select(col("_n"), col("_sym")).collect()
+      seg.unpersist(blocking = false)
+      val counts = rows.map(_.getLong(0))
+      val syms = rows.map(_.getSeq[String](1).toArray)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var done = false
+      while (rank <= numMerges && !done) {
+        val pair = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var i = 0
+        while (i < syms.length) {
+          val s = syms(i)
+          var j = 0
+          while (j + 1 < s.length) {
+            val k = (s(j), s(j + 1))
+            pair.update(k, pair.getOrElse(k, 0L) + counts(i))
+            j += 1
+          }
+          i += 1
+        }
+        // argmax with Spark's orderBy tie-break: cnt desc, sym_l asc,
+        // sym_r asc under BINARY (UTF8 byte) string order
+        def less(a: ((String, String), Long), b: ((String, String), Long)): Boolean = {
+          if (a._2 != b._2) a._2 > b._2
+          else {
+            val cl = org.apache.spark.unsafe.types.UTF8String.fromString(a._1._1)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1._1))
+            if (cl != 0) cl < 0
+            else org.apache.spark.unsafe.types.UTF8String.fromString(a._1._2)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1._2)) < 0
+          }
+        }
+        val top = pair.foldLeft(Option.empty[((String, String), Long)]) {
+          case (best, e) =>
+            if (best.isEmpty || less(e, best.get)) Some(e) else best
+        }
+        top match {
+          case Some(((l, r), c)) if c >= minCount =>
+            merges += ((rank, l, r, c))
+            val lr = l + r
+            var x = 0
+            while (x < syms.length) {
+              val s = syms(x)
+              if (s.length >= 2) {
+                val out = new Array[String](s.length)
+                var a = 0
+                var k2 = 0
+                while (a < s.length) {
+                  if (a + 1 < s.length && s(a) == l && s(a + 1) == r) {
+                    out(k2) = lr; k2 += 1; a += 2
+                  } else { out(k2) = s(a); k2 += 1; a += 1 }
+                }
+                syms(x) = java.util.Arrays.copyOf(out, k2)
+              }
+              x += 1
+            }
+            rank += 1
+          case _ => done = true
+        }
+      }
+      return merges.result().toDF("rank", "sym_l", "sym_r", "pair_count")
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var done = false

@@ -114,6 +114,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnBpeMerges: driver fold == distributed ladder on the same " +
+      "corpus (tie-breaks, early stop, multi-char merges)") {
+    import spark.implicits._
+    // corpus exercises: count ties broken by sym_l/sym_r byte order,
+    // merged symbols re-entering later rounds, non-ASCII (2-byte UTF-8)
+    // symbols where byte order != UTF-16 order would diverge, early stop
+    val text = ((Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("héllo") ++ Seq.fill(2)("héllos")).mkString(" ") +
+      " zq zq zq")
+    val df = Seq(text, "aaa bbb aaa", text).toDF("text")
+    def run(bound: Long) =
+      TextAnalysis.learnBpeMergesBounded(df, "text", 12, 2L, bound)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val driver = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(driver === dist)
+    assert(driver.nonEmpty)
+    // early-stop parity at a high floor too
+    def runFloor(bound: Long) =
+      TextAnalysis.learnBpeMergesBounded(df, "text", 12, 11L, bound)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    assert(runFloor(Long.MaxValue) === runFloor(0L))
+  }
+
   test("learnBpeMerges: stops early when nothing reaches minCount") {
     import spark.implicits._
     val df = Seq("ab cd ef").toDF("text")
