@@ -370,7 +370,15 @@ object Layout {
       df: DataFrame, orderCols: Seq[Column], nFiles: Int,
       path: String): Unit =
     fileAssignments(df, orderCols, nFiles)
-      .repartition(col("file_id"))
+      // EXPLICIT partition count (round-17, guide §2.5): a bare
+      // `repartition(col)` lets AQE size the exchange by shuffle bytes,
+      // which at local/small scale coalesces to ONE partition — all
+      // nFiles file writes then run in a single task, serially. Pinning
+      // the count to nFiles keeps parallelism ∝ the layout (each id
+      // still lands wholly in one task → still one physical file per
+      // directory, sorted within), and is scale-free: at 100 TB nFiles
+      // IS the natural write fan-out.
+      .repartition(nFiles, col("file_id"))
       .sortWithinPartitions(col("file_id") +: orderCols: _*)
       .write.mode("overwrite").partitionBy("file_id").parquet(path)
 

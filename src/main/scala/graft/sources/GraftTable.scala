@@ -109,26 +109,86 @@ object GraftTable {
       if (!manifest.columns.contains("path")) manifest
       else manifest.withColumn("path",
         regexp_replace(col("path"), java.util.regex.Pattern.quote(root + "/"), ""))
-    man.coalesce(1).write.mode("overwrite").parquet(s"$mp/manifest")
     val units = listUnits(spark, dir)
-    spark.createDataFrame(units).toDF("unit", "n_parts", "bytes")
-      .coalesce(1).write.mode("overwrite").parquet(s"$mp/units")
-    blooms.foreach { case (c, _, _, regs) =>
-      regs.coalesce(1).write.mode("overwrite").parquet(s"$mp/bloom_$c")
-    }
-    mgs.foreach { case (name, _, perFile) =>
-      perFile.coalesce(1).write.mode("overwrite").parquet(s"$mp/mg_$name")
-    }
-    spark.createDataFrame(Seq((FormatVersion,
+    val meta = spark.createDataFrame(Seq((FormatVersion,
         blooms.map(_._1), blooms.map(_._2), blooms.map(_._3),
         mgs.map(_._1), mgs.map(_._2))))
       .toDF("version", "bloom_cols", "bloom_m_bits", "bloom_ks",
         "mg_keys", "mg_ks")
-      .coalesce(1).write.mode("overwrite").parquet(s"$mp/meta")
+    // the sidecar writes land in DISTINCT directories and each frame is
+    // already pinned (KB-sized planner state) — run them as concurrent
+    // driver actions (round-17, guide §5 driver floor: the commit
+    // protocol's per-write setup dominated a serial loop of 5+ writes)
+    concurrently(
+      (Seq(
+        () => man.coalesce(1).write.mode("overwrite")
+          .parquet(s"$mp/manifest"),
+        () => spark.createDataFrame(units).toDF("unit", "n_parts", "bytes")
+          .coalesce(1).write.mode("overwrite").parquet(s"$mp/units"),
+        () => meta.coalesce(1).write.mode("overwrite")
+          .parquet(s"$mp/meta")) ++
+        blooms.map { case (c, _, _, regs) =>
+          () => regs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$mp/bloom_$c")
+        } ++
+        mgs.map { case (name, _, perFile) =>
+          () => perFile.coalesce(1).write.mode("overwrite")
+            .parquet(s"$mp/mg_$name")
+        }): _*)
+    invalidate(spark, dir)
+  }
+
+  /** Run independent driver-side Spark actions concurrently and await
+    * all (rethrowing the first failure). Used where a serial loop of
+    * small jobs would pay the scheduler floor once per job. */
+  private def concurrently(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(actions.map(a => Future(a()))), Duration.Inf)
   }
 
   /** Sidecar directory stem for one MG key set. */
   private def mgName(keys: Seq[String]): String = keys.mkString("+")
+
+  /** BOUNDED sidecar cache (round-17, guide §5 driver-side cost; the
+    * [[ManifestFileIndex]] survivorCache discipline): one table open
+    * re-reads `meta` + `units` (two collect jobs + two parquet opens) and
+    * every consumer re-reads its sidecar frame, so a routing entry that
+    * opens the same table seven times pays the driver floor seven times.
+    * The cache holds PLANNER STATE ONLY (the KB-sized sidecar frames,
+    * pinned), keyed by (session, root), and is revalidated against the
+    * directory's ACTUAL file listing on EVERY use — the freshness
+    * contract is enforced exactly as before (the listing was always the
+    * live side of the comparison; only the persisted side is cached).
+    * Any mismatch, or any [[persist]] to the dir, drops the entry.
+    * Overflow does a wholesale clear — correctness-neutral churn. */
+  private case class SidecarState(
+      units: Map[String, (Long, Long)],
+      meta: org.apache.spark.sql.Row,
+      frames: java.util.concurrent.ConcurrentHashMap[String, DataFrame])
+
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SidecarState]()
+  private val SidecarCacheBound = 64
+
+  private def cacheKey(spark: SparkSession, dir: String): (String, String) =
+    (System.identityHashCode(spark).toString, rootPath(spark, dir))
+
+  private def invalidate(spark: SparkSession, dir: String): Unit =
+    sidecarCache.remove(cacheKey(spark, dir))
+
+  /** Load-or-reuse one sidecar frame, pinned. Caller passes the loader
+    * that reads `<dir>/_graft_manifest/<name>`; the cached entry is only
+    * consulted after [[requireFresh]] has revalidated the fingerprint. */
+  private def cachedFrame(
+      spark: SparkSession, dir: String, name: String)(
+      load: => DataFrame): DataFrame = {
+    val st = sidecarCache.get(cacheKey(spark, dir))
+    if (st == null) load
+    else st.frames.computeIfAbsent(name, _ => load)
+  }
 
   /** Write `df` as a self-describing pruned table: the
     * [[Layout.assignedWrite]] layout (file `k` = global-rank slice `k`
@@ -151,27 +211,50 @@ object GraftTable {
       bloomCols: Seq[(String, Int, Int)] = Nil,
       mgKeys: Seq[(Seq[String], Int)] = Nil): Unit = {
     require(statCols.nonEmpty, "write: no stat columns")
+    // EXPLICIT nFiles partitioning BEFORE the pin (round-17, guide §2.5):
+    // AQE sizes the assignment exchange by shuffle bytes, which at
+    // local/small scale coalesces to ONE partition — every consumer of
+    // the pinned frame (data write, manifest fold, each Bloom/MG sidecar)
+    // then re-reads the whole frame single-task, serially. Partitioning
+    // by file_id at the layout's own fan-out parallelizes all of them and
+    // drops the write's second exchange; each id still lands wholly in
+    // one task → one physical file per directory, sorted within.
     val assigned = Layout.fileAssignments(df, orderCols, nFiles)
+      .repartition(nFiles, col("file_id"))
       .localCheckpoint(true)
-    // identical layout to Layout.assignedWrite, fed from the pinned frame
-    assigned
-      .repartition(col("file_id"))
-      .sortWithinPartitions(col("file_id") +: orderCols: _*)
-      .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+    // identical layout to Layout.assignedWrite, fed from the pinned
+    // frame; the data write and every sidecar fold are independent reads
+    // of that frame, so they run as concurrent driver actions
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dataF = Future {
+      assigned
+        .sortWithinPartitions(col("file_id") +: orderCols: _*)
+        .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+    }
     val aggs = statCols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
     }
-    val man = assigned.groupBy(col("file_id"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .localCheckpoint(true)
-    val blooms = bloomCols.map { case (c, mBits, k) =>
-      (c, mBits, k, Bloom.registers(assigned, Seq("file_id"), c, mBits, k)
-        .localCheckpoint(true))
+    val manF = Future {
+      assigned.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .localCheckpoint(true)
     }
-    val mgs = mgKeys.map { case (keys, k) =>
-      (mgName(keys), k, perFileMg(assigned, keys, k).localCheckpoint(true))
-    }
+    val bloomsF = Future.sequence(bloomCols.map { case (c, mBits, k) =>
+      Future((c, mBits, k,
+        Bloom.registers(assigned, Seq("file_id"), c, mBits, k)
+          .localCheckpoint(true)))
+    })
+    val mgsF = Future.sequence(mgKeys.map { case (keys, k) =>
+      Future((mgName(keys), k,
+        perFileMg(assigned, keys, k).localCheckpoint(true)))
+    })
+    val man = Await.result(manF, Duration.Inf)
+    val blooms = Await.result(bloomsF, Duration.Inf)
+    val mgs = Await.result(mgsF, Duration.Inf)
+    Await.result(dataF, Duration.Inf)
     persist(spark, dir, man, blooms, mgs)
   }
 
@@ -281,16 +364,19 @@ object GraftTable {
     val mp = metaRoot(spark, dir)
     val meta = requireFresh(spark, dir)
     val root = rootPath(spark, dir)
-    val man0 = spark.read.parquet(s"$mp/manifest")
-    val man = (if (man0.columns.contains("path"))
-      man0.withColumn("path", concat(lit(root + "/"), col("path")))
-    else man0).localCheckpoint(true)
+    val man = cachedFrame(spark, dir, "manifest_abs") {
+      val man0 = spark.read.parquet(s"$mp/manifest")
+      (if (man0.columns.contains("path"))
+        man0.withColumn("path", concat(lit(root + "/"), col("path")))
+      else man0).localCheckpoint(true)
+    }
     val bloomCols = meta.getSeq[String](meta.fieldIndex("bloom_cols"))
     val mBitss = meta.getSeq[Int](meta.fieldIndex("bloom_m_bits"))
     val ks = meta.getSeq[Int](meta.fieldIndex("bloom_ks"))
     val blooms = bloomCols.indices.map { i =>
       bloomCols(i) -> BloomSidecar(
-        spark.read.parquet(s"$mp/bloom_${bloomCols(i)}").localCheckpoint(true),
+        cachedFrame(spark, dir, s"bloom_${bloomCols(i)}")(
+          spark.read.parquet(s"$mp/bloom_${bloomCols(i)}").localCheckpoint(true)),
         mBitss(i), ks(i))
     }.toMap
     ManifestFileIndex.manifestRelation(spark, dir, man, blooms)
@@ -303,6 +389,14 @@ object GraftTable {
     * verdict (and every manifest-served answer) unsound. */
   private def requireFresh(
       spark: SparkSession, dir: String): org.apache.spark.sql.Row = {
+    val actual = listUnits(spark, dir)
+      .map { case (u, n, b) => u -> (n, b) }.toMap
+    val key = cacheKey(spark, dir)
+    val cached = sidecarCache.get(key)
+    if (cached != null) {
+      if (cached.units == actual) return cached.meta
+      sidecarCache.remove(key)
+    }
     val mp = metaRoot(spark, dir)
     if (!isGraftTable(spark, dir))
       throw new IllegalStateException(
@@ -312,9 +406,13 @@ object GraftTable {
       s"open: $dir manifest format v${meta.getInt(0)}, reader supports v$FormatVersion")
     val persisted = spark.read.parquet(s"$mp/units")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val actual = listUnits(spark, dir)
-      .map { case (u, n, b) => u -> (n, b) }.toMap
-    if (persisted != actual) {
+    if (persisted == actual) {
+      if (sidecarCache.size >= SidecarCacheBound) sidecarCache.clear()
+      sidecarCache.put(key, SidecarState(persisted, meta,
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()))
+      return meta
+    }
+    {
       val gone = persisted.keySet -- actual.keySet
       val added = actual.keySet -- persisted.keySet
       val changed = (persisted.keySet & actual.keySet)
@@ -349,8 +447,7 @@ object GraftTable {
   def aggregate(
       spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     requireFresh(spark, dir)
-    val mp = metaRoot(spark, dir)
-    val man = spark.read.parquet(s"$mp/manifest")
+    val man = manifestRaw(spark, dir)
     cols.foreach(c => require(man.columns.contains(s"${c}_min"),
       s"aggregate: $dir manifest has no stats for $c — re-write/adopt " +
         s"with $c in statCols"))
@@ -373,11 +470,18 @@ object GraftTable {
     * [[aggregate]]). */
   def rowCount(spark: SparkSession, dir: String): Long = {
     requireFresh(spark, dir)
-    val mp = metaRoot(spark, dir)
-    spark.read.parquet(s"$mp/manifest")
+    manifestRaw(spark, dir)
       .agg(coalesce(sum(col("n_rows")), lit(0L)))
       .collect()(0).getLong(0)
   }
+
+  /** The persisted manifest as stored (relative paths), pinned and
+    * cached — the shared front of [[rowCount]] / [[aggregate]] /
+    * [[keyFreqSummary]]. Callers must hold a fresh [[requireFresh]]. */
+  private def manifestRaw(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(spark, dir, "manifest_raw")(
+      spark.read.parquet(s"${metaRoot(spark, dir)}/manifest")
+        .localCheckpoint(true))
 
   /** The single-group MG key summary [[graft.operators.SkewJoin.decide]]
     * consumes, merged FROM THE PERSISTED PER-FILE SIDECAR — planner
@@ -398,15 +502,20 @@ object GraftTable {
     require(i >= 0,
       s"keyFreqSummary: $dir has no MG sidecar for keys $keys — " +
         s"write/adopt with mgKeys (available: ${names.mkString(", ")})")
-    val perFile = spark.read.parquet(s"$mp/mg_$name")
-    // relabel every file to ONE data-derived constant group (pmod keeps
-    // the optimizer from stripping it out of the truncation window) and
-    // let the merge's re-truncation collapse them
-    val relabeled = perFile
-      .withColumn("_sj_g",
-        pmod(length(coalesce(col("_item"), lit(""))), lit(1)))
-      .drop("file_id")
-    graft.operators.Mg.merge(
-      relabeled, relabeled.limit(0), Seq("_sj_g"), ks(i))
+    // pinned + cached (planner state, ≤ k+1 rows): the merge's windowed
+    // re-truncation otherwise replays on every consumer collect
+    cachedFrame(spark, dir, s"mgsum_$name") {
+      val perFile = spark.read.parquet(s"$mp/mg_$name")
+      // relabel every file to ONE data-derived constant group (pmod keeps
+      // the optimizer from stripping it out of the truncation window) and
+      // let the merge's re-truncation collapse them
+      val relabeled = perFile
+        .withColumn("_sj_g",
+          pmod(length(coalesce(col("_item"), lit(""))), lit(1)))
+        .drop("file_id")
+      graft.operators.Mg.merge(
+        relabeled, relabeled.limit(0), Seq("_sj_g"), ks(i))
+        .localCheckpoint(true)
+    }
   }
 }
