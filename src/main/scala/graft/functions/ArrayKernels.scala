@@ -536,6 +536,93 @@ case class CharShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Per-document language-profile overlap in ONE primitive pass — the
+  * scoring half of [[graft.operators.TextAnalysis.langIdNgram]] once the
+  * per-language trigram profiles (bounded MODEL state: topN × nLangs
+  * strings, the tokenizer-family build-once discipline) are collected.
+  * Walks the text's DISTINCT char k-grams exactly like [[CharShingles]]
+  * (same byte walk, same whole-string-when-short rule), counts, per
+  * language, how many land in that language's profile set, and returns
+  * `struct(lang, ov)` for the argmax under the relational tie-break
+  * (ov desc, lang asc in UTF8 binary order); zero overlap → ("unk", 0).
+  * Replaces a corpus-trigram explode + join + two windows with a map
+  * lookup per distinct gram. Per-document cardinality → CodegenFallback. */
+case class LangProfileOverlap(
+    child: Expression, k: Int, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("ov", LongType, nullable = false)))
+  override def prettyName: String = "lang_profile_overlap"
+
+  private lazy val langs: Array[UTF8String] = profiles
+    .map(p => UTF8String.fromString(p._1))
+    .sortWith(_.compareTo(_) < 0)
+    .toArray
+  private lazy val unk = UTF8String.fromString("unk")
+  private lazy val gramToLangs: java.util.HashMap[UTF8String, Array[Int]] = {
+    val li = langs.zipWithIndex.toMap
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    profiles.foreach { case (l, gs) =>
+      val i = li(UTF8String.fromString(l))
+      gs.foreach { g =>
+        val u = UTF8String.fromString(g)
+        val prev = m.get(u)
+        m.put(u, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val n = s.numChars()
+    val offsets = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      offsets(ci) = bi
+      ci += 1
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+    }
+    offsets(ci) = nBytes
+    val count = math.max(n - k, 0) + 1
+    val seen = new java.util.HashSet[UTF8String](count * 2)
+    val ov = new Array[Long](langs.length)
+    var i = 0
+    while (i < count) {
+      val g = UTF8String.fromBytes(
+        bytes, offsets(i), offsets(math.min(i + k, n)) - offsets(i))
+      if (seen.add(g)) {
+        val ls = gramToLangs.get(g)
+        if (ls != null) {
+          var j = 0
+          while (j < ls.length) { ov(ls(j)) += 1L; j += 1 }
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestOv = 0L
+    i = 0
+    while (i < langs.length) {
+      if (ov(i) > bestOv) { best = i; bestOv = ov(i) }
+      i += 1
+    }
+    if (best < 0)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](unk, 0L))
+    else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](langs(best), bestOv))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangProfileOverlap =
+    copy(child = newChild)
+}
+
 /** 56-bit SimHash over an array of string tokens: per-bit majority vote of
   * md5-derived token hashes ([[Hash56]]) — one primitive pass replacing the
   * interpreted per-token-per-bit `aggregate(zip_with(…))` chain (measured 9.2s
@@ -1067,6 +1154,10 @@ object ArrayKernels {
   def phraseCountKernel(tokens: Column, terms: Seq[String]): Column =
     c(PhraseCount(e(tokens), terms.toArray))
   def charShingles(s: Column, k: Int): Column = c(CharShingles(e(s), k))
+
+  def langProfileOverlap(
+      s: Column, k: Int, profiles: Seq[(String, Seq[String])]): Column =
+    c(LangProfileOverlap(e(s), k, profiles))
   def agreeCount(a: Column, b: Column): Column = c(LongArrayAgree(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def simHash56(tokens: Column): Column = c(SimHash56(e(tokens)))

@@ -61,34 +61,41 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, labelCol: String,
       topN: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the trigram frame feeds BOTH the profile aggregate and the overlap
-    // join of one plan — persist it so normalize+shingle runs once, not
-    // once per branch (round-17: the two extraction stages were the
-    // entry's top cost; the cache is corpus-trigram-sized and released by
-    // the caller's post-query cache clear, the repo's owned-persist idiom)
+    // TWO-PHASE form (round-17, guide §2.1/§4.1): phase 1 builds the
+    // per-language topN trigram profiles — one explode + aggregate pass,
+    // collected as BOUNDED MODEL state (≤ topN × nLangs strings, the
+    // tokenizer-family build-once discipline). Phase 2 scores every doc
+    // in one primitive scan ([[graft.functions.ArrayKernels
+    // .langProfileOverlap]]): distinct char trigrams against the profile
+    // sets, argmax with the same (ov desc, lang asc) tie-break the old
+    // row_number window applied. Replaces the corpus-trigram persist, the
+    // trigram join, and both windows — the previous shape's entire
+    // shuffled surface; results bit-identical (spec-pinned against the
+    // relational form, incl. ties, zero overlap, null/short texts).
     val exploded = df.select(
-        col(idCol).as("_id"), col(labelCol).as("_lab"),
+        col(labelCol).as("_lab"),
         explode(Dedup.charShingles(col(textCol), 3)).as("_tri"))
-      .persist()
     val counts = exploded.groupBy("_lab", "_tri").agg(count(lit(1)).as("_c"))
     val byLang = Window.partitionBy("_lab").orderBy(col("_c").desc, col("_tri").asc)
-    val profile = counts
+    val profRows = counts
       .withColumn("_rk", row_number().over(byLang))
       .filter(col("_rk") <= topN)
-      .select(col("_lab").as("_plab"), col("_tri"))
-    val overlap = exploded.select("_id", "_tri")
-      .join(profile, Seq("_tri"))
-      .groupBy("_id", "_plab").agg(count(lit(1)).as("_ov"))
-    val byDoc = Window.partitionBy("_id").orderBy(col("_ov").desc, col("_plab").asc)
-    val pred = overlap
-      .withColumn("_rk", row_number().over(byDoc))
-      .filter(col("_rk") === 1)
-    df.select(col(idCol))
-      .join(pred, col(idCol) === pred("_id"), "left")
-      .select(
-        col(idCol),
-        coalesce(col("_plab"), lit("unk")).as("lang_pred"),
-        coalesce(col("_ov"), lit(0L)).as("n_shared"))
+      .select(col("_lab"), col("_tri"))
+      .collect()
+    val profiles = profRows.groupBy(_.getString(0)).toSeq
+      .map { case (l, rs) => (l, rs.map(_.getString(1)).toSeq) }
+    if (profiles.isEmpty)
+      df.select(col(idCol), lit("unk").as("lang_pred"),
+        lit(0L).as("n_shared"))
+    else {
+      val po = graft.functions.ArrayKernels
+        .langProfileOverlap(col(textCol), 3, profiles)
+      df.select(col(idCol), po.as("_po"))
+        .select(
+          col(idCol),
+          coalesce(col("_po.lang"), lit("unk")).as("lang_pred"),
+          coalesce(col("_po.ov"), lit(0L)).as("n_shared"))
+    }
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single non-space

@@ -132,4 +132,53 @@ class OptKernelSpec extends SparkSpec {
     assert(fast == dist)
     assert(fast.isNullAt(1)) // intercept null on empty input
   }
+
+  test("langIdNgram kernel scorer == the relational explode/join/window " +
+      "form incl. ties, zero overlap, null and short texts, non-ASCII") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "der schnelle braune fuchs springt über den faulen hund", "de"),
+      (3L, "the lazy dog sleeps in the sun all day long", "en"),
+      (4L, "über den wolken muss die freiheit wohl grenzenlos sein", "de"),
+      (5L, "zz", "en"), // short text: single whole-string shingle
+      (6L, null.asInstanceOf[String], "de"), // null text -> unk/0
+      (7L, "日本語のテキストです、これは完全に別の文字です", "ja"),
+      (8L, "xqv jkw zpf", "ja") // likely zero overlap -> unk/0
+    ).toDF("doc_id", "text", "lang")
+    val topN = 25
+    val got = TextAnalysis.langIdNgram(docs, "doc_id", "text", "lang", topN)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // the pre-round-17 relational form, verbatim
+    val exploded = docs.select(
+        col("doc_id").as("_id"), col("lang").as("_lab"),
+        explode(Dedup.charShingles(col("text"), 3)).as("_tri"))
+      .persist()
+    val counts = exploded.groupBy("_lab", "_tri").agg(count(lit(1)).as("_c"))
+    val byLang = Window.partitionBy("_lab")
+      .orderBy(col("_c").desc, col("_tri").asc)
+    val profile = counts
+      .withColumn("_rk", row_number().over(byLang))
+      .filter(col("_rk") <= topN)
+      .select(col("_lab").as("_plab"), col("_tri"))
+    val overlap = exploded.select("_id", "_tri")
+      .join(profile, Seq("_tri"))
+      .groupBy("_id", "_plab").agg(count(lit(1)).as("_ov"))
+    val byDoc = Window.partitionBy("_id")
+      .orderBy(col("_ov").desc, col("_plab").asc)
+    val pred = overlap
+      .withColumn("_rk", row_number().over(byDoc)).filter(col("_rk") === 1)
+    val ref = docs.select(col("doc_id"))
+      .join(pred, col("doc_id") === pred("_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_plab"), lit("unk")).as("lang_pred"),
+        coalesce(col("_ov"), lit(0L)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    exploded.unpersist()
+    assert(got === ref)
+    assert(got.exists(_._2 == "unk")) // the zero-overlap/null rows exercised
+  }
 }
