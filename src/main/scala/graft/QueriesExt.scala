@@ -6845,11 +6845,10 @@ object QueriesExt {
         try {
           val dir = s"$tmp/orders"
           val order = Seq(col("o_date").asc, col("o_orderkey").asc)
-          Layout.assignedWrite(ord, order, 16, dir)
           // manifest is 16 rows; consulted by survivorIds AND the scan —
-          // pin it once (the q82 eager-result discipline)
-          val man = Layout.fileManifest(ord, order, 16,
-            Seq("o_date", "o_custkey")).localCheckpoint(true)
+          // pin it once (the q82 eager-result discipline); write ∥ fold
+          val man = Layout.writeWithManifest(ord, order, 16, dir,
+            Seq("o_date", "o_custkey"))
           val lo = lit("1995-07-01").cast("date")
           val hi = lit("1995-10-01").cast("date")
           val probes = Seq(graft.sources.RangeProbe("o_date", lo, hi))
@@ -6927,19 +6926,27 @@ object QueriesExt {
         try {
           val dir = s"$tmp/orders"
           val order = Seq(col("o_date").asc, col("o_orderkey").asc)
-          Layout.assignedWrite(ord, order, 16, dir)
+          // write ∥ assignment pin, then manifest ∥ register fold — all
+          // independent deterministic jobs (round-17, guide §5)
+          import scala.concurrent.{Await, Future, ExecutionContext}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val wF = Future(Layout.assignedWrite(ord, order, 16, dir))
           val asg = Layout.fileAssignments(ord, order, 16)
             .localCheckpoint(true) // read by manifest and register build
-          val man = asg.groupBy(col("file_id"))
+          val manF = Future(asg.groupBy(col("file_id"))
             .agg(count(lit(1)).as("n_rows"),
               min(col("o_custkey")).as("o_custkey_min"),
               max(col("o_custkey")).as("o_custkey_max"),
               sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
                 .as("o_custkey_nulls"))
-            .localCheckpoint(true)
-          val regs = graft.operators.Bloom.registers(
+            .localCheckpoint(true))
+          val regsF = Future(graft.operators.Bloom.registers(
             asg, Seq("file_id"), "o_custkey", mBits, k)
-            .localCheckpoint(true)
+            .localCheckpoint(true))
+          val man = Await.result(manF, Duration.Inf)
+          val regs = Await.result(regsF, Duration.Inf)
+          Await.result(wF, Duration.Inf)
           val probes = Seq(graft.sources.EqualProbe("o_custkey", lit(probe)))
           val blooms = Map("o_custkey" ->
             graft.sources.BloomSidecar(regs, mBits, k))
@@ -7617,9 +7624,8 @@ object QueriesExt {
         try {
           val dir = s"$tmp/orders"
           val order = Seq(col("o_date").asc, col("o_orderkey").asc)
-          Layout.assignedWrite(ord, order, 16, dir)
-          val man = Layout.fileManifest(ord, order, 16,
-            Seq("o_date", "o_custkey")).localCheckpoint(true)
+          val man = Layout.writeWithManifest(ord, order, 16, dir,
+            Seq("o_date", "o_custkey"))
           val t = graft.sources.ManifestFileIndex.manifestParquet(
             s, dir, man)
           val lo = lit("1995-07-01").cast("date")
@@ -7799,9 +7805,8 @@ object QueriesExt {
         try {
           val dir = s"$tmp/orders"
           val order = Seq(col("o_date").asc, col("o_orderkey").asc)
-          Layout.assignedWrite(ord, order, 16, dir)
-          val man = Layout.fileManifest(ord, order, 16, Seq("o_date"))
-            .localCheckpoint(true)
+          val man = Layout.writeWithManifest(ord, order, 16, dir,
+            Seq("o_date"))
           val t = graft.sources.ManifestFileIndex.manifestParquet(
             s, dir, man)
           val (lo1, hi1) = (lit("1994-02-01").cast("date"),

@@ -382,6 +382,24 @@ object Layout {
       .sortWithinPartitions(col("file_id") +: orderCols: _*)
       .write.mode("overwrite").partitionBy("file_id").parquet(path)
 
+  /** [[assignedWrite]] and its matching [[fileManifest]], run as
+    * CONCURRENT driver actions (round-17, guide §5 driver floor: the two
+    * are independent deterministic jobs over the same input, and the
+    * serial form paid the write's wall before the manifest's); returns
+    * the PINNED manifest. Semantics identical to the sequential pair. */
+  def writeWithManifest(
+      df: DataFrame, orderCols: Seq[Column], nFiles: Int, path: String,
+      statCols: Seq[String]): DataFrame = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val wF = Future(assignedWrite(df, orderCols, nFiles, path))
+    val man = fileManifest(df, orderCols, nFiles, statCols)
+      .localCheckpoint(true)
+    Await.result(wF, Duration.Inf)
+    man
+  }
+
   /** Q88 — the write-time pruning manifest: per [[fileAssignments]] file,
     * exact `n_rows` plus `<col>_min` / `<col>_max` / `<col>_nulls` for each
     * stat column — the footer-stats table a 100 TB planner consults
